@@ -1,0 +1,158 @@
+"""Dedup estimation pipeline — the reference's core capability, Spark-first.
+
+Reference lifecycle (src/lib.rs:16-33, de/estimate.py:26-38):
+    files → per-file ChunkStores (rayon) → merge with provenance →
+    stats (total, unique-chunk bytes, compressed unique bytes) → ratios.
+
+Spark lifecycle: files → mapInArrow chunker → chunk DataFrame →
+groupBy(hash) aggregations. Partial/final aggregation replaces the
+store-merge (src/store.rs:114-130); Catalyst plans everything after the
+chunker, which sits at the scan edge so nothing needs pushing through it.
+
+Scale notes (100 TB): the chunk table is ~24 bytes/row × ~16M rows per TiB —
+the only shuffle is groupBy(hash) over those narrow rows; chunk *bytes*
+never shuffle (data column dropped before any wide transform). Provenance
+joins broadcast the dedup map when small; AQE handles hot hashes (e.g.
+zero-filled pages). For estimates where exact uniqueness is unnecessary,
+``approx_stats`` uses approx_count_distinct at a fraction of the cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataset_dedupe_estimator_spark.operators.chunker import (
+    ChunkerParams,
+    XET_PARAMS,
+    chunk_files,
+)
+
+
+def dedup_map(chunks: DataFrame) -> DataFrame:
+    """Merged chunk store with provenance (C5, src/store.rs:114-130).
+
+    One row per distinct hash: size/compressed (identical across
+    occurrences), first_seen_in = min file index, seen_in = set of files.
+    """
+    return chunks.groupBy("hash").agg(
+        F.first("size").alias("size"),
+        F.first("compressed").alias("compressed"),
+        F.min("file_idx").alias("first_seen_in"),
+        F.array_sort(F.collect_set("file_idx")).alias("seen_in"),
+    )
+
+
+def chunk_stats(chunks: DataFrame) -> DataFrame:
+    """(total_len, chunk_bytes, compressed_chunk_bytes) — C6, src/store.rs:132-136.
+
+    total_len counts every occurrence; chunk_bytes / compressed count each
+    distinct hash once. Single job: two-level aggregate.
+    """
+    per_hash = chunks.groupBy("hash").agg(
+        F.first("size").alias("size"),
+        F.first("compressed").alias("compressed"),
+        F.sum("size").alias("occ_bytes"),
+        F.count("*").alias("occ_count"),
+    )
+    return per_hash.agg(
+        F.sum("occ_bytes").alias("total_len"),
+        F.sum("occ_count").alias("total_chunks"),
+        F.count("*").alias("unique_chunks"),
+        F.sum("size").alias("chunk_bytes"),
+        F.sum("compressed").alias("compressed_chunk_bytes"),
+    )
+
+
+def segments(chunks: DataFrame) -> DataFrame:
+    """Provenance projection for every occurrence in stream order (C7).
+
+    Reference: ChunkStore::segments (src/store.rs:138-143) — heatmap input.
+    Broadcast-able hash join + sort at the edge (output is for rendering).
+    """
+    prov = dedup_map(chunks).select("hash", "first_seen_in")
+    return (
+        chunks.join(F.broadcast(prov), "hash")
+        .orderBy("file_idx", "seq")
+        .select("file_idx", "seq", "size", "first_seen_in")
+    )
+
+
+def estimate(
+    spark: SparkSession,
+    paths: list[str],
+    params: ChunkerParams = ChunkerParams(),
+    xet_params: ChunkerParams = XET_PARAMS,
+    with_xet: bool = True,
+) -> dict:
+    """files → dedup metrics dict (C9+C11; de/estimate.py:26-38).
+
+    Returns the reference's result shape: total_len, chunk_bytes,
+    compressed_chunk_bytes, dedup_ratio (+ xet_bytes / xet_dedup_ratio from
+    the second chunker parameterization, src/xet.rs:10-39).
+    """
+    chunks = chunk_files(spark, paths, params=params)
+    row = chunk_stats(chunks).collect()[0]
+    out = {
+        "numfiles": len(paths),
+        "total_len": row.total_len or 0,
+        "chunk_bytes": row.chunk_bytes or 0,
+        "compressed_chunk_bytes": row.compressed_chunk_bytes or 0,
+        "total_chunks": row.total_chunks or 0,
+        "unique_chunks": row.unique_chunks or 0,
+    }
+    out["dedup_ratio"] = (out["chunk_bytes"] / out["total_len"]) if out["total_len"] else 0.0
+    if with_xet:
+        xchunks = chunk_files(spark, paths, params=xet_params)
+        xrow = (
+            xchunks.groupBy("hash")
+            .agg(F.first("size").alias("size"))
+            .agg(F.sum("size").alias("xet_bytes"))
+            .collect()[0]
+        )
+        out["xet_bytes"] = xrow.xet_bytes or 0
+        out["xet_dedup_ratio"] = (
+            out["xet_bytes"] / out["total_len"] if out["total_len"] else 0.0
+        )
+    return out
+
+
+def estimate_df(spark: SparkSession, paths: list[str], params: ChunkerParams = ChunkerParams()) -> DataFrame:
+    """DataFrame-valued estimate (no collect): one row of dedup metrics."""
+    chunks = chunk_files(spark, paths, params=params)
+    return chunk_stats(chunks).select(
+        F.lit(len(paths)).alias("numfiles"),
+        "total_len",
+        "total_chunks",
+        "unique_chunks",
+        "chunk_bytes",
+        "compressed_chunk_bytes",
+        F.round(F.col("chunk_bytes") / F.col("total_len"), 6).alias("dedup_ratio"),
+        F.round(F.col("compressed_chunk_bytes") / F.col("total_len"), 6).alias(
+            "compressed_dedup_ratio"
+        ),
+    )
+
+
+def approx_stats(chunks: DataFrame, rsd: float = 0.01) -> DataFrame:
+    """100 TB-scale variant of C6/C10: approximate unique-chunk accounting.
+
+    HyperLogLog++ distinct count × exact mean chunk size — no exact
+    per-hash aggregation, one pass, mergeable. (SURVEY §2.2 C10 note.)
+    """
+    return chunks.agg(
+        F.sum("size").alias("total_len"),
+        F.count("*").alias("total_chunks"),
+        F.approx_count_distinct("hash", rsd).alias("approx_unique_chunks"),
+        (F.sum("size") / F.count("*")).alias("avg_chunk_size"),
+    ).select(
+        "total_len",
+        "total_chunks",
+        "approx_unique_chunks",
+        F.round(F.col("approx_unique_chunks") * F.col("avg_chunk_size"), 0).alias(
+            "approx_chunk_bytes"
+        ),
+        F.round(
+            F.col("approx_unique_chunks") * F.col("avg_chunk_size") / F.col("total_len"), 6
+        ).alias("approx_dedup_ratio"),
+    )

@@ -1,0 +1,94 @@
+"""Chunker invariants mirroring the reference's implicit contracts
+(src/store.rs:11-13,65-95): determinism, size bounds, coverage,
+content-definedness (shared content → shared chunks)."""
+
+import hashlib
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from dataset_dedupe_estimator_spark.operators.chunker import (
+    ChunkerParams,
+    _hash64,
+    _iter_file_chunks,
+    chunk_bytes,
+    chunk_files,
+)
+
+RNG = np.random.default_rng(7)
+DATA = RNG.integers(0, 256, 4_000_000, dtype=np.uint8).tobytes()
+P = ChunkerParams()
+
+
+def test_deterministic():
+    assert chunk_bytes(DATA) == chunk_bytes(DATA)
+
+
+def test_coverage_and_bounds():
+    chunks = chunk_bytes(DATA)
+    offsets = [o for o, _ in chunks]
+    sizes = [s for _, s in chunks]
+    assert offsets[0] == 0
+    assert sum(sizes) == len(DATA)
+    # contiguous
+    for (o1, s1), (o2, _) in zip(chunks, chunks[1:]):
+        assert o1 + s1 == o2
+    assert all(s <= P.max_size for s in sizes)
+    # all but the final tail respect min size
+    assert all(s >= P.min_size for s in sizes[:-1])
+    # average in the right ballpark (~64 KiB target, random data)
+    avg = sum(sizes) / len(sizes)
+    assert 16 * 1024 < avg < 128 * 1024
+
+
+def test_content_defined_resync():
+    """Inserting bytes near the start must not re-chunk the whole stream."""
+    edited = DATA[:100_000] + os.urandom(50) + DATA[100_000:]
+    orig = {hashlib.blake2b(DATA[o : o + s], digest_size=8).digest() for o, s in chunk_bytes(DATA)}
+    edit = {
+        hashlib.blake2b(edited[o : o + s], digest_size=8).digest()
+        for o, s in chunk_bytes(edited)
+    }
+    shared = len(orig & edit)
+    # Most chunks after the edit point re-align (content-defined, not fixed).
+    assert shared / len(orig) > 0.8
+
+
+def test_streaming_matches_in_memory(tmp_path):
+    path = tmp_path / "blob.bin"
+    path.write_bytes(DATA)
+    streamed = [(o, len(c)) for o, c in _iter_file_chunks(str(path), P)]
+    assert streamed == chunk_bytes(DATA)
+
+
+def test_streaming_crosses_block_boundaries(tmp_path):
+    # file larger than the 8 MiB streaming block
+    big = (DATA * 3)[: 10 * 1024 * 1024]
+    path = tmp_path / "big.bin"
+    path.write_bytes(big)
+    streamed = [(o, len(c)) for o, c in _iter_file_chunks(str(path), P)]
+    assert streamed == chunk_bytes(big)
+    assert sum(s for _, s in streamed) == len(big)
+
+
+def test_hash64_range():
+    h = _hash64(b"hello world")
+    assert -(2**63) <= h < 2**63
+    assert _hash64(b"hello world") == h
+    assert _hash64(b"hello worlde") != h
+
+
+def test_chunk_files_dataframe(spark, tmp_path):
+    p1 = tmp_path / "a.bin"
+    p2 = tmp_path / "b.bin"
+    p1.write_bytes(DATA)
+    p2.write_bytes(DATA)  # identical file → full dedup
+    df = chunk_files(spark, [str(p1), str(p2)])
+    rows = df.collect()
+    assert {r.file_idx for r in rows} == {0, 1}
+    total = sum(r.size for r in rows)
+    assert total == 2 * len(DATA)
+    uniq = df.select("hash").distinct().count()
+    assert uniq == len(chunk_bytes(DATA))

@@ -1,0 +1,80 @@
+"""Estimate-pipeline invariants, mirroring de/tests/test_estimate.py:
+result-field presence, ratio bounds, identical-files ⇒ ratio ≈ 1/numfiles."""
+
+import numpy as np
+import pytest
+
+from dataset_dedupe_estimator_spark.operators.chunker import chunk_files
+from dataset_dedupe_estimator_spark.plans.estimate import (
+    approx_stats,
+    chunk_stats,
+    dedup_map,
+    estimate,
+    segments,
+)
+
+RNG = np.random.default_rng(11)
+BLOB = RNG.integers(0, 256, 2_000_000, dtype=np.uint8).tobytes()
+
+
+@pytest.fixture(scope="module")
+def two_identical(tmp_path_factory):
+    d = tmp_path_factory.mktemp("est")
+    paths = []
+    for name in ("a.bin", "b.bin"):
+        p = d / name
+        p.write_bytes(BLOB)
+        paths.append(str(p))
+    return paths
+
+
+def test_estimate_fields_and_ratio(spark, two_identical):
+    res = estimate(spark, two_identical)
+    for key in (
+        "numfiles",
+        "total_len",
+        "chunk_bytes",
+        "compressed_chunk_bytes",
+        "dedup_ratio",
+        "xet_bytes",
+        "xet_dedup_ratio",
+    ):
+        assert key in res
+    assert res["numfiles"] == 2
+    assert res["total_len"] == 2 * len(BLOB)
+    # two identical files ⇒ dedup ratio ≈ 1/2 (exactly, with per-file chunking)
+    assert res["dedup_ratio"] == pytest.approx(0.5, abs=1e-6)
+    assert 0 < res["xet_dedup_ratio"] <= 1.0
+
+
+def test_dedup_map_provenance(spark, two_identical):
+    chunks = chunk_files(spark, two_identical)
+    dm = dedup_map(chunks)
+    rows = dm.collect()
+    assert all(r.first_seen_in == 0 for r in rows)  # file 0 wins (min file_idx)
+    assert all(list(r.seen_in) == [0, 1] for r in rows)
+
+
+def test_segments_order(spark, two_identical):
+    chunks = chunk_files(spark, two_identical)
+    seg = segments(chunks).collect()
+    # ordered by (file_idx, seq); every occurrence maps to first_seen_in = 0
+    keys = [(r.file_idx, r.seq) for r in seg]
+    assert keys == sorted(keys)
+    assert all(r.first_seen_in == 0 for r in seg)
+
+
+def test_stats_vs_approx(spark, two_identical):
+    chunks = chunk_files(spark, two_identical).cache()
+    exact = chunk_stats(chunks).collect()[0]
+    approx = approx_stats(chunks).collect()[0]
+    assert approx.total_len == exact.total_len
+    assert approx.approx_unique_chunks == pytest.approx(exact.unique_chunks, rel=0.1)
+    chunks.unpersist()
+
+
+def test_estimate_on_testdata(spark, parquet_paths):
+    res = estimate(spark, parquet_paths, with_xet=False)
+    assert res["numfiles"] == len(parquet_paths)
+    assert 0 < res["dedup_ratio"] <= 1.0
+    assert res["chunk_bytes"] <= res["total_len"]
