@@ -1,38 +1,55 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      — flagship dedup-estimate over sf0.001 (smoke, rows>0)
+queries()         — every implemented operator from SURVEY.md §2
+oracle_sql()      — DuckDB-equivalent SQL per query (None ⇒ rows-only)
+
+Implementations live in dataset_dedupe_estimator_spark.queries.*; this
+module is just the registry adapter.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dataset_dedupe_estimator_spark.queries import REGISTRY  # noqa: E402
+
+
+def _ensure_importable(spark: SparkSession) -> None:
+    """Executor-side python workers must be able to import the package
+    (the driver may have created the session without our factory)."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{root}{os.pathsep}{pypath}" if pypath else root
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: CDC dedup estimate across all sf0.001 parquet files."""
+    _ensure_importable(spark)
+    from dataset_dedupe_estimator_spark.plans.estimate import estimate_df
+    import glob
+
+    paths = sorted(glob.glob("/root/testdata/sf0.001/*.parquet"))
+    return estimate_df(spark, paths)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_importable(spark)
+            return fn(spark, sf_dir)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        return run
+
+    return {name: wrap(q.spark) for name, q in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}

@@ -1,0 +1,92 @@
+"""Chunk-level dedup estimation queries — the reference's core surface
+(de dedup / de stats), exposed through the driver contract.
+
+CDC chunking of raw file bytes is not SQL-expressible, so these entries
+have no DuckDB oracle (rows-only checks); their invariants are covered by
+tests/test_chunker.py and tests/test_estimate.py instead.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from dataset_dedupe_estimator_spark.operators.chunker import XET_PARAMS, chunk_files
+from dataset_dedupe_estimator_spark.plans.estimate import (
+    approx_stats,
+    chunk_stats,
+    dedup_map,
+    estimate_df,
+)
+from dataset_dedupe_estimator_spark.queries.base import Q
+
+
+def _paths(sf_dir: str) -> list[str]:
+    return sorted(glob.glob(f"{sf_dir}/*.parquet"))
+
+
+def cdc_estimate(spark, sf):
+    """`de dedup` over every parquet file in the dataset: one row of dedup
+    metrics (C9+C11)."""
+    return estimate_df(spark, _paths(sf))
+
+
+def cdc_per_file_chunks(spark, sf):
+    """Per-file chunk accounting (ChunkStore per file, src/store.rs:97-101)."""
+    chunks = chunk_files(spark, _paths(sf))
+    return (
+        chunks.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("hash").alias("n_unique_chunks"),
+            F.sum("size").alias("total_bytes"),
+            F.max("size").alias("max_chunk"),
+            F.min("size").alias("min_chunk"),
+        )
+        .select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("file"),
+            "n_chunks",
+            "n_unique_chunks",
+            "total_bytes",
+            "max_chunk",
+            "min_chunk",
+        )
+        .orderBy("file")
+    )
+
+
+def cdc_provenance(spark, sf):
+    """Merged-store provenance distribution: how many files share each
+    chunk (seen_in cardinality histogram; C5)."""
+    chunks = chunk_files(spark, _paths(sf))
+    return (
+        dedup_map(chunks)
+        .select(F.size("seen_in").alias("n_files_sharing"))
+        .groupBy("n_files_sharing")
+        .agg(F.count(F.lit(1)).alias("n_chunks"))
+        .orderBy("n_files_sharing")
+    )
+
+
+def cdc_estimate_xet(spark, sf):
+    """Alternate chunker parameterization (src/xet.rs:10-39 role)."""
+    chunks = chunk_files(spark, _paths(sf), params=XET_PARAMS)
+    return chunk_stats(chunks)
+
+
+def cdc_approx_estimate(spark, sf):
+    """100 TB-scale approximate variant: HLL distinct chunks instead of the
+    exact per-hash aggregate."""
+    chunks = chunk_files(spark, _paths(sf))
+    return approx_stats(chunks)
+
+
+QUERIES = {
+    "cdc_estimate": Q(cdc_estimate, None, headline=True),
+    "cdc_per_file_chunks": Q(cdc_per_file_chunks, None),
+    "cdc_provenance": Q(cdc_provenance, None),
+    "cdc_estimate_xet": Q(cdc_estimate_xet, None),
+    "cdc_approx_estimate": Q(cdc_approx_estimate, None),
+}

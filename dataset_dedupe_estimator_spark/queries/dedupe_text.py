@@ -1,0 +1,327 @@
+"""Document deduplication operators over the ``documents`` table —
+the LLM-training-data extension of the reference's chunk-dedup core
+(north star, BASELINE.json): exact dedup, normalized-fingerprint dedup,
+n-gram Jaccard near-dup, MinHash+LSH candidates, SimHash signatures.
+
+Hash discipline: every hash is ``md5`` (hex string) — the one hash both
+Spark and DuckDB implement identically — so every operator is fully
+oracle-checkable. Engine users can swap in xxhash64 for speed (the hash
+role is identical; SURVEY §2.2 C2).
+
+Scale notes (100 TB):
+- exact dedup: single shuffle on the 32-char digest, AQE-coalesced.
+- MinHash: shingle explosion stays columnar (sequence/transform before
+  explode); the 16 min() aggs collapse to one row per doc before any join;
+  LSH band self-join shuffles only (band_id, band_key, doc_id) triples.
+- pairwise Jaccard is intentionally quadratic-per-bucket — at scale you run
+  it AFTER LSH banding (candidates only), which is exactly how the
+  ``minhash_lsh_candidates`` → ``ngram_jaccard_pairs`` pair composes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from dataset_dedupe_estimator_spark.queries.base import Q, load
+
+N_MINHASH = 16
+N_BANDS = 4  # 4 rows per band
+SHINGLE_W = 3  # word-trigram shingles
+
+
+def tokens_col(c="text"):
+    return F.split(F.col(c), " ")
+
+
+def shingles_df(spark, sf) -> DataFrame:
+    """(doc_id, shingle) — distinct word-trigram shingles per document."""
+    docs = load(spark, sf, "documents")
+    t = tokens_col()
+    n = F.size(t)
+    sh = F.when(
+        n >= SHINGLE_W,
+        F.transform(
+            F.sequence(F.lit(0), n - SHINGLE_W),
+            lambda i: F.concat_ws(
+                " ", t[i], t[i + 1], t[i + 2]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+shingles AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM toks, UNNEST(list_transform(
+      generate_series(1, greatest(len(t) - {SHINGLE_W - 1}, 0)),
+      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
+)
+"""
+
+
+def dedup_exact_groups(spark, sf):
+    """Exact duplicate groups by full-text digest (hash-groupBy dedup)."""
+    docs = load(spark, sf, "documents")
+    return (
+        docs.select(F.md5(F.col("text").cast("binary")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("text_hash")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY text_hash
+"""
+
+
+def dedup_fingerprint_groups(spark, sf):
+    """Near-exact dedup on a normalized fingerprint: md5 of the sorted
+    distinct token set (bag-of-words identity — robust to word order)."""
+    docs = load(spark, sf, "documents")
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(tokens_col())), " ").cast("binary")
+    )
+    return (
+        docs.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("fingerprint")
+    )
+
+
+DEDUP_FP_SQL = """
+SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+       COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fingerprint
+"""
+
+
+def dedup_keep_first(spark, sf):
+    """Survivor set after exact dedup: first doc_id per text hash wins
+    (reference first-writer-wins provenance, src/store.rs:121-126)."""
+    docs = load(spark, sf, "documents")
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    return (
+        docs.select(F.md5(F.col("text").cast("binary")).alias("text_hash"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_KEEP_FIRST_SQL = """
+SELECT doc_id FROM (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def ngram_jaccard_pairs(spark, sf):
+    """Pairwise n-gram Jaccard similarity (shingle-intersection join).
+
+    Exact integer intersection/union counts → deterministic double ratio.
+    """
+    sh = shingles_df(spark, sf)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH {SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / CAST(sa.n_shingles + sb.n_shingles - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_shingles + sb.n_shingles - n_inter AS DOUBLE) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+def _minhash_aggs():
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary"))).alias(f"m{i}")
+        for i in range(N_MINHASH)
+    ]
+
+
+def minhash_signatures(spark, sf):
+    """Per-doc MinHash signature: 16 seeded-permutation minima.
+
+    A seeded md5 prefix induces each permutation — identical in any engine
+    with md5, no custom hash needed.
+    """
+    sh = shingles_df(spark, sf)
+    return sh.groupBy("doc_id").agg(*_minhash_aggs()).orderBy("doc_id")
+
+
+_MH_COLS = ", ".join(
+    f"MIN(md5('{i}:' || shingle)) AS m{i}" for i in range(N_MINHASH)
+)
+
+MINHASH_SIG_SQL = f"""
+WITH {SHINGLES_CTE}
+SELECT doc_id, {_MH_COLS}
+FROM shingles GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def minhash_lsh_candidates(spark, sf):
+    """LSH banding over MinHash signatures → candidate near-dup pairs.
+
+    bands of {N_MINHASH // N_BANDS} rows; pair emitted when any band key
+    collides. This is the scale path: candidates-only, no quadratic scan.
+    """
+    sig = minhash_signatures(spark, sf)
+    rows = N_MINHASH // N_BANDS
+    bands = None
+    for b in range(N_BANDS):
+        cols = [F.col(f"m{b * rows + r}") for r in range(rows)]
+        band = sig.select(
+            "doc_id",
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat(*cols).cast("binary")).alias("band_key"),
+        )
+        bands = band if bands is None else bands.unionByName(band)
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    return (
+        a.join(b_, ["band_id", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_BAND_SELECTS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band_id, md5("
+    + " || ".join(f"m{b * (N_MINHASH // N_BANDS) + r}" for r in range(N_MINHASH // N_BANDS))
+    + ") AS band_key FROM sig"
+    for b in range(N_BANDS)
+)
+
+MINHASH_LSH_SQL = f"""
+WITH {SHINGLES_CTE},
+sig AS (SELECT doc_id, {_MH_COLS} FROM shingles GROUP BY doc_id),
+bands AS ({_BAND_SELECTS})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b USING (band_id, band_key)
+WHERE a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+SIMHASH_BITS = 32
+
+
+def simhash_signatures(spark, sf):
+    """Per-doc SimHash: bit j from the sign of Σ_tokens (±1 by the j-th
+    md5 nibble's high bit). Output as a {SIMHASH_BITS}-char bit string."""
+    docs = load(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    h = F.md5(F.col("token").cast("binary"))
+    aggs = []
+    for j in range(SIMHASH_BITS):
+        nibble_hi = F.substring(h, j + 1, 1).isin(*"89abcdef")
+        aggs.append(F.sum(F.when(nibble_hi, 1).otherwise(-1)).alias(f"s{j}"))
+    per_doc = tok.groupBy("doc_id").agg(*aggs)
+    bits = F.concat(
+        *[F.when(F.col(f"s{j}") > 0, "1").otherwise("0") for j in range(SIMHASH_BITS)]
+    )
+    return per_doc.select("doc_id", bits.alias("simhash")).orderBy("doc_id")
+
+
+_SIM_SUMS = ", ".join(
+    f"SUM(CASE WHEN substr(md5(token), {j + 1}, 1) IN "
+    "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s" + str(j)
+    for j in range(SIMHASH_BITS)
+)
+_SIM_BITS = " || ".join(
+    f"CASE WHEN s{j} > 0 THEN '1' ELSE '0' END" for j in range(SIMHASH_BITS)
+)
+
+SIMHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, u.token FROM documents, UNNEST(string_split(text, ' ')) AS u(token)
+),
+sums AS (SELECT doc_id, {_SIM_SUMS} FROM tok GROUP BY doc_id)
+SELECT doc_id, {_SIM_BITS} AS simhash FROM sums ORDER BY doc_id
+"""
+
+
+def dedup_exact_events(spark, sf):
+    """Exact row-level dedup over the events stream (the test corpus has
+    duplicate (user_id, event_type, value, props) rows; documents do not)."""
+    ev = load(spark, sf, "events")
+    key = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("user_id"),
+            F.col("event_type"),
+            cents_str := (F.round(F.col("value") * 100, 0).cast("long")),
+            F.col("props"),
+        ).cast("binary")
+    )
+    return (
+        ev.select(key.alias("row_hash"), "event_id")
+        .groupBy("row_hash")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("event_id").alias("keeper_event_id"))
+        .filter(F.col("n_dups") > 1)
+        .orderBy("row_hash")
+    )
+
+
+DEDUP_EVENTS_SQL = """
+SELECT md5(concat_ws('|', user_id, event_type,
+                     CAST(ROUND(value * 100.0) AS BIGINT), props)) AS row_hash,
+       COUNT(*) AS n_dups, MIN(event_id) AS keeper_event_id
+FROM events GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY row_hash
+"""
+
+
+QUERIES = {
+    "dedup_exact_groups": Q(dedup_exact_groups, DEDUP_EXACT_SQL),
+    "dedup_exact_events": Q(dedup_exact_events, DEDUP_EVENTS_SQL),
+    "dedup_fingerprint_groups": Q(dedup_fingerprint_groups, DEDUP_FP_SQL),
+    "dedup_keep_first": Q(dedup_keep_first, DEDUP_KEEP_FIRST_SQL, headline=True),
+    "ngram_jaccard_pairs": Q(ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
+    "minhash_signatures": Q(minhash_signatures, MINHASH_SIG_SQL),
+    "minhash_lsh_candidates": Q(minhash_lsh_candidates, MINHASH_LSH_SQL, headline=True),
+    "simhash_signatures": Q(simhash_signatures, SIMHASH_SQL),
+}

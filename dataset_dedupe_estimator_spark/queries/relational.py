@@ -1,0 +1,411 @@
+"""Relational operator coverage (SURVEY §2.5): scans, projection, filter,
+equi/semi/anti joins, hash aggregation, windows, sort/limit, set ops,
+rollup, conditional aggregation.
+
+The reference realizes these implicitly (hash-map joins src/store.rs:138-143,
+map/merge aggregation src/store.rs:114-136, slicing de/synthetic.py:15-50);
+here they are first-class DataFrame operators over the TPC-H-ish tables.
+
+Scale notes: dimension joins (region/nation/supplier/customer) broadcast —
+no shuffle of the fact table; aggregations are partial+final hash aggs;
+top-k uses window-free sort-limit (TakeOrderedAndProject) or per-group
+row_number with partial pushdown via AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dataset_dedupe_estimator_spark.queries.base import Q, cents, load, sql_cents, ts
+
+C_QTY = sql_cents("l_quantity")
+C_EP = sql_cents("l_extendedprice")
+C_DISC = sql_cents("l_discount")
+C_TAX = sql_cents("l_tax")
+C_TP = sql_cents("o_totalprice")
+
+
+def q1_pricing_summary(spark, sf):
+    """TPC-H Q1 shape: wide hash aggregation over the fact table."""
+    li = load(spark, sf, "lineitem")
+    qty, ep, disc, tax = (cents(c) for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    disc_price = ep * (F.lit(100) - disc)            # 1e-4 dollar units, exact
+    charge = disc_price * (F.lit(100) + tax)         # 1e-6 dollar units, exact
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(qty) / F.lit(100.0)).alias("sum_qty"),
+            (F.sum(ep) / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(disc_price) / F.lit(1000000.0) * F.lit(100.0)).alias("sum_disc_price"),
+            (F.sum(charge) / F.lit(1000000.0)).alias("sum_charge"),
+            (F.sum(qty).cast("double") / n.cast("double") / F.lit(100.0)).alias("avg_qty"),
+            (F.sum(ep).cast("double") / n.cast("double") / F.lit(100.0)).alias("avg_price"),
+            (F.sum(disc).cast("double") / n.cast("double") / F.lit(100.0)).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       SUM({C_QTY}) / 100.0 AS sum_qty,
+       SUM({C_EP}) / 100.0 AS sum_base_price,
+       SUM({C_EP} * (100 - {C_DISC})) / 1000000.0 * 100.0 AS sum_disc_price,
+       SUM({C_EP} * (100 - {C_DISC}) * (100 + {C_TAX})) / 1000000.0 AS sum_charge,
+       CAST(SUM({C_QTY}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0 AS avg_qty,
+       CAST(SUM({C_EP}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0 AS avg_price,
+       CAST(SUM({C_DISC}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0 AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf):
+    """TPC-H Q3 shape: selective join + agg + deterministic top-k.
+
+    Revenue kept in exact integer 1e-4 units for a total-order sort.
+    """
+    cust = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf, "orders").filter(F.col("o_orderdate") < ts("1998-03-15 00:00:00"))
+    li = load(spark, sf, "lineitem").filter(F.col("l_shipdate") > ts("1998-03-15 00:00:00"))
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("revenue_e4"))
+        .select(
+            "l_orderkey",
+            (F.col("revenue_e4") / F.lit(10000.0)).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey,
+       SUM({C_EP} * (100 - {C_DISC})) / 10000.0 AS revenue,
+       o_orderdate, o_orderpriority
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark, sf):
+    """TPC-H Q5 shape: 6-way join, dims broadcast, group by nation."""
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    supp = load(spark, sf, "supplier")
+    nation = load(spark, sf, "nation")
+    region = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(
+            (F.col("o_orderdate") >= ts("1996-01-01 00:00:00"))
+            & (F.col("o_orderdate") < ts("1997-01-01 00:00:00"))
+        )
+        .groupBy("n_name")
+        .agg((F.sum(rev) / F.lit(10000.0)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+Q5_SQL = f"""
+SELECT n_name, SUM({C_EP} * (100 - {C_DISC})) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def top_spenders(spark, sf):
+    """Broadcast dim join + group + deterministic top-k (sort-limit)."""
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(cents("o_totalprice")).alias("spent_cents"), F.count(F.lit(1)).alias("n_orders"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("spent_cents") / F.lit(100.0)).alias("total_spent"),
+            "n_orders",
+        )
+        .orderBy(F.col("total_spent").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+TOP_SPENDERS_SQL = f"""
+SELECT c_custkey, c_name, SUM({C_TP}) / 100.0 AS total_spent, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spent DESC, c_custkey
+LIMIT 20
+"""
+
+
+def filter_project_scan(spark, sf):
+    """Predicate-pushdown + column-pruning scan (PushedFilters visible in plan)."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_quantity") >= 45.0)
+            & (F.col("l_shipdate") >= ts("2000-01-01 00:00:00"))
+            & (F.col("l_returnflag") == "R")
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+FILTER_PROJECT_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_quantity >= 45.0 AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+  AND l_returnflag = 'R'
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def window_top_orders_per_customer(spark, sf):
+    """Window row_number: top-3 orders per customer by exact cents."""
+    orders = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("price_cents").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", cents("o_totalprice").alias("price_cents")
+        )
+        .withColumn("rank_in_cust", F.row_number().over(w))
+        .filter(F.col("rank_in_cust") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            (F.col("price_cents") / F.lit(100.0)).alias("o_totalprice"),
+            "rank_in_cust",
+        )
+        .orderBy("o_custkey", "rank_in_cust")
+    )
+
+
+WINDOW_TOP_SQL = f"""
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, {C_TP} AS price_cents,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY {C_TP} DESC, o_orderkey) AS rank_in_cust
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, price_cents / 100.0 AS o_totalprice, rank_in_cust
+FROM ranked WHERE rank_in_cust <= 3
+ORDER BY o_custkey, rank_in_cust
+"""
+
+
+def window_running_spend(spark, sf):
+    """Cumulative window sum per customer in exact integer cents."""
+    orders = load(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_orderdate", cents("o_totalprice").alias("pc")
+        )
+        .withColumn("running_cents", F.sum("pc").over(w))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            (F.col("running_cents") / F.lit(100.0)).alias("running_spend"),
+        )
+        .filter(F.col("o_custkey") % 100 == 0)
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+WINDOW_RUNNING_SQL = f"""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       SUM({C_TP}) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_spend
+FROM orders
+QUALIFY o_custkey % 100 = 0
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+def rollup_order_status(spark, sf):
+    """ROLLUP aggregation with grouping-set ids."""
+    orders = load(spark, sf, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents("o_totalprice")) / F.lit(100.0)).alias("total_price"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy(
+            F.col("gid"),
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+ROLLUP_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       SUM({C_TP}) / 100.0 AS total_price,
+       GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def semi_anti_customers(spark, sf):
+    """left_semi + left_anti in one result: per-customer order activity class."""
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    big = orders.filter(F.col("o_totalprice") > 400000.0).select("o_custkey")
+    with_big = cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", F.lit("big_spender").alias("segment_class")
+    )
+    inactive = cust.join(
+        orders.select("o_custkey"), cust.c_custkey == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", F.lit("no_orders").alias("segment_class"))
+    return with_big.unionByName(inactive).orderBy("segment_class", "c_custkey")
+
+
+SEMI_ANTI_SQL = """
+SELECT c_custkey, 'big_spender' AS segment_class FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+UNION ALL
+SELECT c_custkey, 'no_orders' AS segment_class FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY segment_class, c_custkey
+"""
+
+
+def set_ops_parts(spark, sf):
+    """intersect + exceptAll coverage (reference: seen_in membership,
+    equality sanity checks de/formats.py:116-129)."""
+    li = load(spark, sf, "lineitem")
+    cheap = load(spark, sf, "part").filter(F.col("p_retailprice") < 920.0).select("p_partkey")
+    shipped_parts = li.select(F.col("l_partkey").alias("p_partkey")).distinct()
+    both = cheap.intersect(shipped_parts).withColumn("part_class", F.lit("cheap_shipped"))
+    never = cheap.exceptAll(shipped_parts).withColumn("part_class", F.lit("cheap_never_shipped"))
+    return both.unionByName(never).orderBy("part_class", "p_partkey")
+
+
+SET_OPS_SQL = """
+WITH cheap AS (SELECT p_partkey FROM part WHERE p_retailprice < 920.0),
+     shipped AS (SELECT DISTINCT l_partkey AS p_partkey FROM lineitem)
+SELECT p_partkey, 'cheap_shipped' AS part_class FROM (SELECT * FROM cheap INTERSECT SELECT * FROM shipped)
+UNION ALL
+SELECT p_partkey, 'cheap_never_shipped' AS part_class FROM (SELECT * FROM cheap EXCEPT SELECT * FROM shipped)
+ORDER BY part_class, p_partkey
+"""
+
+
+def conditional_pivot_brands(spark, sf):
+    """Pivot-style conditional aggregation (O7, de/display.py:91-137)."""
+    part = load(spark, sf, "part")
+
+    def bucket(name):
+        return F.sum(F.when(F.col("p_brand") == name, 1).otherwise(0))
+
+    return (
+        part.groupBy("p_type")
+        .agg(
+            bucket("Brand#1").alias("brand1"),
+            bucket("Brand#2").alias("brand2"),
+            bucket("Brand#3").alias("brand3"),
+            F.count(F.lit(1)).alias("total"),
+            (F.sum(cents("p_retailprice")) / F.lit(100.0)).alias("sum_price"),
+        )
+        .orderBy("p_type")
+    )
+
+
+PIVOT_SQL = f"""
+SELECT p_type,
+       SUM(CASE WHEN p_brand = 'Brand#1' THEN 1 ELSE 0 END) AS brand1,
+       SUM(CASE WHEN p_brand = 'Brand#2' THEN 1 ELSE 0 END) AS brand2,
+       SUM(CASE WHEN p_brand = 'Brand#3' THEN 1 ELSE 0 END) AS brand3,
+       COUNT(*) AS total,
+       SUM({sql_cents("p_retailprice")}) / 100.0 AS sum_price
+FROM part GROUP BY p_type ORDER BY p_type
+"""
+
+
+def distinct_ship_modes(spark, sf):
+    """Exact distinct + per-group count distinct."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+DISTINCT_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": Q(q1_pricing_summary, Q1_SQL, headline=True),
+    "q3_shipping_priority": Q(q3_shipping_priority, Q3_SQL, headline=True),
+    "q5_local_supplier_volume": Q(q5_local_supplier_volume, Q5_SQL, headline=True),
+    "top_spenders": Q(top_spenders, TOP_SPENDERS_SQL),
+    "filter_project_scan": Q(filter_project_scan, FILTER_PROJECT_SQL),
+    "window_top_orders_per_customer": Q(window_top_orders_per_customer, WINDOW_TOP_SQL),
+    "window_running_spend": Q(window_running_spend, WINDOW_RUNNING_SQL),
+    "rollup_order_status": Q(rollup_order_status, ROLLUP_SQL),
+    "semi_anti_customers": Q(semi_anti_customers, SEMI_ANTI_SQL),
+    "set_ops_parts": Q(set_ops_parts, SET_OPS_SQL),
+    "conditional_pivot_brands": Q(conditional_pivot_brands, PIVOT_SQL),
+    "distinct_ship_modes": Q(distinct_ship_modes, DISTINCT_SQL),
+}

@@ -1,0 +1,173 @@
+"""Text-analysis operators over ``documents``: token statistics, quality
+scoring, stopword-overlap language scoring, corpus token frequencies.
+
+All ratios are exact-integer divisions (IEEE-identical in Spark/DuckDB);
+no rounding tricks needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataset_dedupe_estimator_spark.queries.base import Q, load
+
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is", "on")
+_SW_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+# Tiny per-language marker sets for the heuristic language scorer. The test
+# corpus is synthetic word-soup, so the *predictions* are arbitrary — the
+# operator contract (deterministic argmax over overlap scores) is what the
+# oracle verifies.
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "of", "is"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "fr": ("le", "la", "et", "est", "les"),
+}
+
+
+def text_quality(spark, sf):
+    """Per-doc quality metrics: token counts, type-token ratio, stopword
+    ratio, average token length — the standard LLM-data quality gates."""
+    docs = load(spark, sf, "documents")
+    t = F.split(F.col("text"), " ")
+    n_tok = F.size(t)
+    n_uniq = F.size(F.array_distinct(t))
+    n_stop = F.size(F.array_intersect(F.array_distinct(t), F.array(*[F.lit(w) for w in STOPWORDS])))
+    avg_len = (F.length(F.col("text")) - n_tok + 1).cast("double") / n_tok.cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            n_tok.alias("n_tokens"),
+            n_uniq.alias("n_unique_tokens"),
+            (n_uniq.cast("double") / n_tok.cast("double")).alias("type_token_ratio"),
+            n_stop.alias("n_stopword_types"),
+            avg_len.alias("avg_token_len"),
+            (
+                (n_tok >= 20)
+                & (n_uniq.cast("double") / n_tok.cast("double") > 0.05)
+            ).alias("passes_quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+         len(list_intersect(list_distinct(string_split(text, ' ')),
+             [{", ".join(f"'{w}'" for w in STOPWORDS)}])) AS n_stopword_types,
+         length(text) AS n_chars_calc
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens, n_unique_tokens,
+       CAST(n_unique_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS type_token_ratio,
+       n_stopword_types,
+       CAST(n_chars_calc - n_tokens + 1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+       (n_tokens >= 20 AND CAST(n_unique_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.05)
+           AS passes_quality
+FROM base ORDER BY doc_id
+"""
+
+
+def lang_score(spark, sf):
+    """Stopword-overlap language scoring with deterministic argmax."""
+    docs = load(spark, sf, "documents")
+    uniq = F.array_distinct(F.split(F.col("text"), " "))
+    scores = {
+        lang: F.size(F.array_intersect(uniq, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_MARKERS.items()
+    }
+    pred = (
+        F.when(
+            (scores["en"] >= scores["de"]) & (scores["en"] >= scores["fr"]), "en"
+        )
+        .when(scores["de"] >= scores["fr"], "de")
+        .otherwise("fr")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.col("lang").alias("actual_lang"),
+            scores["en"].alias("score_en"),
+            scores["de"].alias("score_de"),
+            scores["fr"].alias("score_fr"),
+            pred.alias("predicted_lang"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _score_sql(words):
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_intersect(list_distinct(string_split(text, ' ')), [{lst}]))"
+
+
+LANG_SCORE_SQL = f"""
+WITH s AS (
+  SELECT doc_id, lang AS actual_lang,
+         {_score_sql(LANG_MARKERS["en"])} AS score_en,
+         {_score_sql(LANG_MARKERS["de"])} AS score_de,
+         {_score_sql(LANG_MARKERS["fr"])} AS score_fr
+  FROM documents
+)
+SELECT doc_id, actual_lang, score_en, score_de, score_fr,
+       CASE WHEN score_en >= score_de AND score_en >= score_fr THEN 'en'
+            WHEN score_de >= score_fr THEN 'de'
+            ELSE 'fr' END AS predicted_lang
+FROM s ORDER BY doc_id
+"""
+
+
+def token_frequencies(spark, sf):
+    """Corpus-level token frequency table (top 50, deterministic order)."""
+    docs = load(spark, sf, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(50)
+    )
+
+
+TOKEN_FREQ_SQL = """
+SELECT token, COUNT(*) AS freq
+FROM documents, UNNEST(string_split(text, ' ')) AS u(token)
+GROUP BY token ORDER BY freq DESC, token LIMIT 50
+"""
+
+
+def source_token_stats(spark, sf):
+    """Per-source corpus statistics (grouped token counting)."""
+    docs = load(spark, sf, "documents")
+    t = F.split(F.col("text"), " ")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(t)).alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_STATS_SQL = """
+SELECT source, COUNT(*) AS n_docs,
+       SUM(len(string_split(text, ' '))) AS total_tokens,
+       SUM(n_chars) AS total_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+QUERIES = {
+    "text_quality": Q(text_quality, TEXT_QUALITY_SQL, headline=True),
+    "lang_score": Q(lang_score, LANG_SCORE_SQL),
+    "token_frequencies": Q(token_frequencies, TOKEN_FREQ_SQL),
+    "source_token_stats": Q(source_token_stats, SOURCE_STATS_SQL),
+}

@@ -1,0 +1,124 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at sf0.01 and compares it to
+``oracle_sql()`` via DuckDB: row count + schema (column names) +
+order-insensitive values (columns sorted by name, rows sorted).
+
+Usage: python tools/check_oracles.py [name-substring ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+            )
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(sdf.columns) != sorted(odf.columns):
+        problems.append(f"schema: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        return problems
+    if len(sdf) != len(odf):
+        problems.append(f"rowcount: spark={len(sdf)} oracle={len(odf)}")
+        return problems
+    s, o = canon(sdf), canon(odf)
+    for c in s.columns:
+        sv, ov = s[c].to_numpy(), o[c].to_numpy()
+        if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(ov.dtype, np.floating):
+            svf = sv.astype(float)
+            ovf = ov.astype(float)
+            both_nan = np.isnan(svf) & np.isnan(ovf)
+            if not np.all((svf == ovf) | both_nan):
+                bad = np.nonzero(~((svf == ovf) | both_nan))[0][:3]
+                problems.append(
+                    f"col {c}: {len(bad)}+ mismatches, e.g. "
+                    + ", ".join(f"[{i}] {svf[i]!r} vs {ovf[i]!r}" for i in bad)
+                )
+        else:
+            eq = pd.Series(sv).astype(str) == pd.Series(ov).astype(str)
+            if not eq.all():
+                bad = np.nonzero(~eq.to_numpy())[0][:3]
+                problems.append(
+                    f"col {c}: {int((~eq).sum())} mismatches, e.g. "
+                    + ", ".join(f"[{i}] {sv[i]!r} vs {ov[i]!r}" for i in bad)
+                )
+    return problems
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from dataset_dedupe_estimator_spark import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    filters = [a for a in sys.argv[1:] if not a.startswith("-")]
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    spark = get_spark(app_name="oracle-check", shuffle_partitions=8)
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    n_pass = n_fail = n_weak = 0
+    for name, fn in queries.items():
+        if filters and not any(f in name for f in filters):
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark raised {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"weak  {name}: rows={len(sdf)} (no oracle, rows-only) [{time.time()-t0:.1f}s]")
+            n_weak += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle raised {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            print(f"FAIL  {name} [{time.time()-t0:.1f}s]")
+            for p in problems:
+                print(f"      {p}")
+            n_fail += 1
+        else:
+            print(f"ok    {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} ok, {n_weak} rows-only, {n_fail} failed")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
