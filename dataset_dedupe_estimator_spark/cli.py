@@ -1,0 +1,217 @@
+"""Command-line surface — parity with the reference's `de` CLI
+(de/cli.py): dedup, synthetic, stats, param-impact, page-chunks, checkout.
+
+Usage: python -m dataset_dedupe_estimator_spark <command> [...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _spark(args):
+    from dataset_dedupe_estimator_spark import get_spark
+
+    return get_spark(app_name=f"dde-{args.command}")
+
+
+def _humanize(n):
+    from dataset_dedupe_estimator_spark.plans.display import humanize
+
+    return humanize(n)
+
+
+def cmd_dedup(args) -> int:
+    """`de dedup f1 f2 ...` (de/cli.py:241-251): estimate dedup across files."""
+    from dataset_dedupe_estimator_spark.plans.estimate import estimate
+    from dataset_dedupe_estimator_spark.operators.chunker import chunk_files
+    from dataset_dedupe_estimator_spark.viz import write_provenance_pngs
+
+    paths = [p for pat in args.files for p in sorted(glob.glob(pat))] or args.files
+    spark = _spark(args)
+    res = estimate(spark, paths, with_xet=not args.no_xet)
+    if args.pngs:
+        chunks = chunk_files(spark, paths)
+        write_provenance_pngs(chunks, args.pngs)
+    print(
+        f"files: {res['numfiles']}  total: {_humanize(res['total_len'])}  "
+        f"unique: {_humanize(res['chunk_bytes'])}  "
+        f"compressed unique: {_humanize(res['compressed_chunk_bytes'])}"
+    )
+    print(f"dedup ratio: {res['dedup_ratio']:.2%}")
+    if "xet_dedup_ratio" in res:
+        print(f"xet dedup ratio: {res['xet_dedup_ratio']:.2%}")
+    return 0
+
+
+def cmd_synthetic(args) -> int:
+    """`de synthetic -s S -e E SCHEMA` (de/cli.py:65-145): generate variants,
+    write them in every format, compare dedup ratios."""
+    from dataset_dedupe_estimator_spark.operators.synthetic import DataGenerator, finalize
+    from dataset_dedupe_estimator_spark.plans.compare import (
+        compare_formats_tables,
+        results_df,
+    )
+    from dataset_dedupe_estimator_spark.plans.display import markdown_report
+    from dataset_dedupe_estimator_spark.sources.formats import default_formats
+
+    schema = json.loads(args.schema)
+    e = args.edits
+    edit_points = list(np.linspace(0.5 / e, 1 - 0.5 / e, e))  # de/cli.py:94
+    spark = _spark(args)
+    gen = DataGenerator(schema, seed=args.seed)
+    tables = gen.generate_synthetic_tables(
+        spark,
+        args.size,
+        edit_points,
+        append_ratio=0.05,
+        update_columns=list(schema) if args.update_columns else None,
+        edit_size=args.edit_size,
+    )
+    original = finalize(tables["original"]).cache()
+    groups = {
+        f"edit{i}-{name}": {"original": original, name: finalize(df)}
+        for i, (name, df) in enumerate(t for t in tables.items() if t[0] != "original")
+    }
+    formats = default_formats(with_json=args.with_json, with_sqlite=args.with_sqlite)
+    results = compare_formats_tables(spark, formats, groups, Path(args.directory))
+    print(markdown_report(spark, results_df(spark, results)))
+    return 0
+
+
+def cmd_stats(args) -> int:
+    """`de stats DIR` (de/cli.py:204-228): rewrite every parquet in DIR into
+    every format; compare cross-file dedup per format."""
+    from dataset_dedupe_estimator_spark.plans.compare import (
+        compare_formats_tables,
+        results_df,
+    )
+    from dataset_dedupe_estimator_spark.plans.display import markdown_report
+    from dataset_dedupe_estimator_spark.sources.formats import default_formats
+
+    paths = sorted(glob.glob(f"{args.directory}/*.parquet"))
+    if not paths:
+        print(f"no parquet files in {args.directory}", file=sys.stderr)
+        return 1
+    spark = _spark(args)
+    members = {Path(p).stem: p for p in paths}
+    groups = {"combined": members}
+    formats = default_formats(with_json=args.with_json, with_sqlite=args.with_sqlite)
+    results = compare_formats_tables(spark, formats, groups, Path(args.out))
+    print(markdown_report(spark, results_df(spark, results)))
+    return 0
+
+
+def cmd_param_impact(args) -> int:
+    """`de param-impact` (de/cli.py:324-349): row-group/page-size sweep."""
+    from dataset_dedupe_estimator_spark.plans.compare import compare_formats
+    from dataset_dedupe_estimator_spark.sources.formats import ParquetFormat
+
+    spark = _spark(args)
+    table = spark.read.parquet(args.file)
+    contenders = [
+        ParquetFormat(compression=args.compression, row_group_size=2**i)
+        for i in range(args.min_pow, args.max_pow + 1)
+    ]
+    results = compare_formats(
+        spark, ParquetFormat(compression=args.compression), contenders, table, Path(args.out)
+    )
+    for r in sorted(results, key=lambda r: r.format):
+        print(f"{r.format}: dedup_ratio={r.dedup_ratio:.2%}")
+    return 0
+
+
+def cmd_page_chunks(args) -> int:
+    """`de page-chunks` (de/cli.py:273-307): physical-layout histogram."""
+    from dataset_dedupe_estimator_spark.sources.pagemeta import (
+        chunk_size_histogram,
+        page_chunk_meta,
+    )
+
+    paths = [p for pat in args.files for p in sorted(glob.glob(pat))] or args.files
+    spark = _spark(args)
+    meta = page_chunk_meta(spark, paths)
+    for r in chunk_size_histogram(meta, args.bucket).collect():
+        bar = "#" * min(int(r.n_chunks), 80)
+        print(f"{_humanize(r.bucket_start):>12} | {r.n_chunks:6d} {bar}")
+    return 0
+
+
+def cmd_checkout(args) -> int:
+    """`de checkout` (de/cli.py:148-170): materialize git revisions."""
+    from dataset_dedupe_estimator_spark.sources.git_revisions import (
+        checkout_file_revisions,
+    )
+
+    written = checkout_file_revisions(
+        args.repo, args.file, args.target, args.from_rev, args.until_rev
+    )
+    print(f"wrote {len(written)} revisions to {args.target}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dataset-dedupe-estimator-spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    d = sub.add_parser("dedup", help="estimate dedup across files")
+    d.add_argument("files", nargs="+")
+    d.add_argument("--no-xet", action="store_true")
+    d.add_argument("--pngs", help="directory for provenance heatmaps")
+    d.set_defaults(fn=cmd_dedup)
+
+    s = sub.add_parser("synthetic", help="generate synthetic variants and compare formats")
+    s.add_argument("schema", help='JSON schema, e.g. {"a": "int", "b": "str"}')
+    s.add_argument("-s", "--size", type=int, default=100_000)
+    s.add_argument("-e", "--edits", type=int, default=3)
+    s.add_argument("--edit-size", type=int, default=10)
+    s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--directory", default="/tmp/dde-synthetic")
+    s.add_argument("--update-columns", action="store_true")
+    s.add_argument("--with-json", action="store_true")
+    s.add_argument("--with-sqlite", action="store_true")
+    s.set_defaults(fn=cmd_synthetic)
+
+    st = sub.add_parser("stats", help="rewrite a directory and compare formats")
+    st.add_argument("directory")
+    st.add_argument("--out", default="/tmp/dde-stats")
+    st.add_argument("--with-json", action="store_true")
+    st.add_argument("--with-sqlite", action="store_true")
+    st.set_defaults(fn=cmd_stats)
+
+    pi = sub.add_parser("param-impact", help="row-group size sweep")
+    pi.add_argument("file")
+    pi.add_argument("--compression", default="snappy")
+    pi.add_argument("--min-pow", type=int, default=16)
+    pi.add_argument("--max-pow", type=int, default=22)
+    pi.add_argument("--out", default="/tmp/dde-param-impact")
+    pi.set_defaults(fn=cmd_param_impact)
+
+    pc = sub.add_parser("page-chunks", help="parquet layout histogram")
+    pc.add_argument("files", nargs="+")
+    pc.add_argument("--bucket", type=int, default=64 * 1024)
+    pc.set_defaults(fn=cmd_page_chunks)
+
+    co = sub.add_parser("checkout", help="materialize git file revisions")
+    co.add_argument("repo")
+    co.add_argument("file")
+    co.add_argument("target")
+    co.add_argument("--from-rev")
+    co.add_argument("--until-rev")
+    co.set_defaults(fn=cmd_checkout)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
