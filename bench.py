@@ -25,9 +25,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     headline = {name: q for name, q in REGISTRY.items() if q.headline}
-    # Warm the JVM/Python-worker pools so per-query numbers measure the
-    # queries, not executor startup.
+    # Warm the JVM and the Python-worker pool (mapInArrow spawns workers
+    # lazily) so per-query numbers measure the queries, not startup.
     spark.range(1000).selectExpr("sum(id)").collect()
+    import pyarrow as _pa
+
+    spark.range(32, numPartitions=32).mapInArrow(
+        lambda it: it, "id long"
+    ).write.mode("overwrite").format("noop").save()
 
     per_query: dict[str, float] = {}
     for name, q in headline.items():

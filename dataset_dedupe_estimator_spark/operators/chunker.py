@@ -89,13 +89,20 @@ class ChunkerParams:
 XET_PARAMS = ChunkerParams(min_size=16 * 1024, max_size=128 * 1024, mask_bits=16)
 
 _GEAR_CACHE: dict[int, np.ndarray] = {}
-_MIX = np.uint64(0x9E3779B97F4A7C15)
+# int64 arithmetic throughout: this numpy build's uint64 kernels lack SIMD
+# paths (8-13x slower); two's-complement int64 wraparound produces the same
+# low 64 bits, and the top-16-bits-zero test becomes a sign-safe mask test.
+_MIX = np.int64(np.uint64(0x9E3779B97F4A7C15).astype(np.int64))
 
 
 def _gear_table(seed: int) -> np.ndarray:
     tbl = _GEAR_CACHE.get(seed)
     if tbl is None:
-        tbl = np.random.default_rng(seed).integers(0, 2**64, 256, dtype=np.uint64)
+        tbl = (
+            np.random.default_rng(seed)
+            .integers(0, 2**64, 256, dtype=np.uint64)
+            .view(np.int64)
+        )
         _GEAR_CACHE[seed] = tbl
     return tbl
 
@@ -111,12 +118,14 @@ def _boundary_candidates(buf: np.ndarray, params: ChunkerParams) -> np.ndarray:
     if n <= w:
         return np.empty(0, dtype=np.int64)
     g = _gear_table(params.seed)[buf]
+    # top `mask_bits` bits == 0  <=>  value & mask == 0 (bit-identical to
+    # the unsigned formulation: (x >> (64-mask_bits)) == 0)
+    mask = np.int64(np.uint64(((1 << params.mask_bits) - 1) << (64 - params.mask_bits)).astype(np.int64))
     with np.errstate(over="ignore"):
-        s = np.cumsum(g, dtype=np.uint64)
+        s = np.cumsum(g, dtype=np.int64)
         rolled = s[w:] - s[:-w]  # window sums ending at index w..n-1
         mixed = rolled * _MIX
-    shift = np.uint64(64 - params.mask_bits)
-    cand = np.nonzero((mixed >> shift) == 0)[0]
+        cand = np.nonzero((mixed & mask) == 0)[0]
     # candidate i corresponds to a cut *after* byte index i + w (cut position
     # i + w + 1 in exclusive-offset terms)
     return (cand + w + 1).astype(np.int64)
@@ -198,24 +207,11 @@ def _hash64(data: bytes) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
-def chunk_files(
-    spark: SparkSession,
-    paths: list[str],
-    params: ChunkerParams = ChunkerParams(),
-    store_data: bool = False,
-) -> DataFrame:
-    """files → chunk-occurrence DataFrame (C1–C4 of SURVEY §2.2).
+def make_chunk_partition_fn(p: ChunkerParams, keep_data: bool):
+    """mapInArrow closure: (file_idx, path) batches → chunk-row batches.
 
-    One Spark task per file (reference: rayon par_iter, src/store.rs:103-112).
-    file_idx is the position in ``paths`` — input-list order, not
-    lexicographic (src/store.rs:117 semantics).
-    """
-    files = spark.createDataFrame(
-        [(i, p) for i, p in enumerate(paths)], "file_idx long, path string"
-    ).repartition(max(len(paths), 1), "file_idx")
-
-    p = params
-    keep_data = store_data
+    Shared by the batch scan (chunk_files) and the streaming source
+    (streaming/incremental.py) — the operator itself is stateless."""
 
     def chunk_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -238,7 +234,28 @@ def chunk_files(
                 if rows["seq"]:
                     yield pa.RecordBatch.from_pydict(rows, schema=CHUNK_SCHEMA)
 
-    chunks = files.mapInArrow(chunk_partition, CHUNK_DDL)
+    return chunk_partition
+
+
+def chunk_files(
+    spark: SparkSession,
+    paths: list[str],
+    params: ChunkerParams = ChunkerParams(),
+    store_data: bool = False,
+) -> DataFrame:
+    """files → chunk-occurrence DataFrame (C1–C4 of SURVEY §2.2).
+
+    One Spark task per file (reference: rayon par_iter, src/store.rs:103-112).
+    file_idx is the position in ``paths`` — input-list order, not
+    lexicographic (src/store.rs:117 semantics).
+    """
+    files = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(paths)], "file_idx long, path string"
+    ).repartition(max(len(paths), 1), "file_idx")
+
+    chunks = files.mapInArrow(
+        make_chunk_partition_fn(params, store_data), CHUNK_DDL
+    )
     if not store_data:
         chunks = chunks.drop("data")
     return chunks

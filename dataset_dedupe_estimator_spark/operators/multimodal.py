@@ -1,0 +1,238 @@
+"""Multimodal column operators: image/audio/video as opaque binary columns
+with typed metadata (north-star extension, BASELINE.json).
+
+Design: media rows are ``(media_id, kind, content: binary, meta: struct)``;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInArrow`` operators — the Spark-side plumbing (schema, partitioning,
+UDF signature, batch shape, 1→N fan-out) is real and tested. The actual
+codec work is STUBBED: this container has no image/audio libraries, so
+real formats raise ``NotImplementedError`` and a deterministic fake format
+(``FAKE`` header + counter-based payload) exercises every code path.
+
+Scale notes: media blobs never shuffle — every operator is a narrow
+map; fan-outs (frame sampling) multiply rows within a partition.
+``repartition_by_bytes`` balances skewed blob sizes before expensive
+decode stages (large videos next to icons would straggle otherwise).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MAGIC = b"FAKE"
+# media schema: meta fields cover the three kinds (unused ones null)
+MEDIA_DDL = (
+    "media_id long, kind string, content binary, "
+    "meta struct<width: int, height: int, sample_rate: int, n_frames: int, fmt: string>"
+)
+
+_META_PA = pa.struct(
+    [
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("sample_rate", pa.int32()),
+        ("n_frames", pa.int32()),
+        ("fmt", pa.string()),
+    ]
+)
+
+
+def _fake_blob(media_id: int, kind: str) -> tuple[bytes, dict]:
+    """Deterministic fake media blob: MAGIC + kind + packed dims + payload."""
+    h = hashlib.blake2b(f"{kind}:{media_id}".encode(), digest_size=16).digest()
+    if kind == "image":
+        w, hgt = 16 + h[0] % 64, 16 + h[1] % 64
+        meta = {"width": w, "height": hgt, "sample_rate": None, "n_frames": None, "fmt": "fake-img"}
+        payload_len = w * hgt
+    elif kind == "audio":
+        sr = 8000 * (1 + h[0] % 4)
+        meta = {"width": None, "height": None, "sample_rate": sr, "n_frames": None, "fmt": "fake-audio"}
+        payload_len = 1000 + h[1] * 16
+    else:  # video
+        nf = 4 + h[0] % 28
+        meta = {"width": 32, "height": 32, "sample_rate": None, "n_frames": nf, "fmt": "fake-video"}
+        payload_len = nf * 256
+    header = MAGIC + kind[:1].encode() + struct.pack(
+        "<iii", meta["width"] or 0, meta["height"] or meta["sample_rate"] or 0, meta["n_frames"] or 0
+    )
+    rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
+    payload = rng.integers(0, 256, payload_len, dtype=np.uint8).tobytes()
+    return header + payload, meta
+
+
+def synth_media(spark: SparkSession, n: int, kind: str = "image") -> DataFrame:
+    """Deterministic fake media table (test corpus for the pipeline)."""
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            blobs, metas = [], []
+            for i in ids:
+                blob, meta = _fake_blob(i, kind)
+                blobs.append(blob)
+                metas.append(meta)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array([kind] * len(ids)),
+                    pa.array(blobs, pa.binary()),
+                    pa.array(metas, _META_PA),
+                ],
+                names=["media_id", "kind", "content", "meta"],
+            )
+
+    return spark.range(n).mapInArrow(gen, MEDIA_DDL)
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Parse headers → fill meta. Real formats (PNG/JPEG/WAV/...) would
+    decode here via PIL/soundfile; unavailable in this environment, so
+    non-FAKE content raises NotImplementedError (clearly a stub seam)."""
+
+    def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            tbl = batch.to_pydict()
+            metas = []
+            for content in tbl["content"]:
+                if not content.startswith(MAGIC):
+                    raise NotImplementedError(
+                        "real media decode requires imaging/audio libraries "
+                        "not present in this environment; only the FAKE "
+                        "format is decodable (stub seam)"
+                    )
+                k = content[4:5].decode()
+                a, b, c = struct.unpack("<iii", content[5:17])
+                if k == "i":
+                    metas.append({"width": a, "height": b, "sample_rate": None, "n_frames": None, "fmt": "fake-img"})
+                elif k == "a":
+                    metas.append({"width": None, "height": None, "sample_rate": b, "n_frames": None, "fmt": "fake-audio"})
+                else:
+                    metas.append({"width": a, "height": b, "sample_rate": None, "n_frames": c, "fmt": "fake-video"})
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("media_id"),
+                    batch.column("kind"),
+                    batch.column("content"),
+                    pa.array(metas, _META_PA),
+                ],
+                names=["media_id", "kind", "content", "meta"],
+            )
+
+    return df.mapInArrow(decode, MEDIA_DDL)
+
+
+FEATURE_DIM = 16
+
+
+def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """content → float feature vector (deterministic digest-derived stub;
+    a real extractor would be a model forward pass in the same seam).
+    Output: (media_id, kind, feature array<float>) — embedding-ready for
+    the similarity operators."""
+
+    out_schema = pa.schema(
+        [("media_id", pa.int64()), ("kind", pa.string()), ("feature", pa.list_(pa.float32()))]
+    )
+
+    def feats(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("media_id")
+            kinds = batch.column("kind")
+            vecs = []
+            for content in batch.column("content").to_pylist():
+                digest = hashlib.blake2b(content, digest_size=2 * dim).digest()
+                v = np.frombuffer(digest, dtype=np.uint16).astype(np.float32) / 65535.0
+                vecs.append(v)
+            yield pa.RecordBatch.from_arrays(
+                [ids, kinds, pa.array([v.tolist() for v in vecs], pa.list_(pa.float32()))],
+                schema=out_schema,
+            )
+
+    return df.mapInArrow(feats, "media_id long, kind string, feature array<float>")
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stub: recomputes meta and emits a correctly-sized payload
+    (nearest-neighbor index math on the fake payload; a real implementation
+    swaps in PIL.Image.resize at the marked seam)."""
+
+    def resize(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            contents, metas = [], []
+            for content, meta in zip(
+                batch.column("content").to_pylist(), batch.column("meta").to_pylist()
+            ):
+                if not content.startswith(MAGIC):
+                    raise NotImplementedError("real image resize requires PIL (stub seam)")
+                w0, h0 = meta["width"], meta["height"]
+                payload = np.frombuffer(content[17:], dtype=np.uint8)
+                if len(payload) >= w0 * h0:
+                    img = payload[: w0 * h0].reshape(h0, w0)
+                    yy = (np.arange(height) * h0) // height
+                    xx = (np.arange(width) * w0) // width
+                    out = img[yy][:, xx]
+                else:
+                    out = np.zeros((height, width), dtype=np.uint8)
+                header = MAGIC + b"i" + struct.pack("<iii", width, height, 0)
+                contents.append(header + out.tobytes())
+                metas.append({**meta, "width": width, "height": height})
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("media_id"),
+                    batch.column("kind"),
+                    pa.array(contents, pa.binary()),
+                    pa.array(metas, _META_PA),
+                ],
+                names=["media_id", "kind", "content", "meta"],
+            )
+
+    return df.mapInArrow(resize, MEDIA_DDL)
+
+
+def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
+    """Video frame sampling: 1→N fan-out (every ``every``-th frame as its
+    own row). Real codecs would seek/decode at the seam; fake videos carry
+    256 bytes per frame."""
+
+    out_schema = pa.schema(
+        [("media_id", pa.int64()), ("frame_idx", pa.int32()), ("frame", pa.binary())]
+    )
+
+    def frames(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids, idxs, blobs = [], [], []
+            for media_id, content, meta in zip(
+                batch.column("media_id").to_pylist(),
+                batch.column("content").to_pylist(),
+                batch.column("meta").to_pylist(),
+            ):
+                if not content.startswith(MAGIC):
+                    raise NotImplementedError("real frame extraction requires a video codec (stub seam)")
+                nf = meta["n_frames"] or 0
+                payload = content[17:]
+                for f_idx in range(0, nf, every):
+                    ids.append(media_id)
+                    idxs.append(f_idx)
+                    blobs.append(payload[f_idx * 256 : (f_idx + 1) * 256])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(idxs, pa.int32()), pa.array(blobs, pa.binary())],
+                schema=out_schema,
+            )
+
+    return df.mapInArrow(frames, "media_id long, frame_idx int, frame binary")
+
+
+def repartition_by_bytes(df: DataFrame, target_bytes: int = 128 * 1024 * 1024) -> DataFrame:
+    """Balance skewed blob sizes before decode stages: range-partition on
+    cumulative size so each task sees ~target_bytes of media."""
+    sized = df.withColumn("_blen", F.length("content"))
+    total = sized.agg(F.sum("_blen")).collect()[0][0] or 0
+    n_parts = max(1, int(total / target_bytes))
+    return sized.repartitionByRange(n_parts, F.col("_blen"), F.col("media_id")).drop("_blen")

