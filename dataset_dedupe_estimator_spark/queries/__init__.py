@@ -11,6 +11,7 @@ from __future__ import annotations
 from dataset_dedupe_estimator_spark.queries.base import Q
 
 from dataset_dedupe_estimator_spark.queries import (  # noqa: E402
+    advanced,
     core_cdc,
     dedupe_text,
     events,
@@ -21,7 +22,7 @@ from dataset_dedupe_estimator_spark.queries import (  # noqa: E402
 )
 
 REGISTRY: dict[str, Q] = {}
-for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthetic_sql, core_cdc):
+for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthetic_sql, advanced, core_cdc):
     overlap = REGISTRY.keys() & _mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,251 @@
+"""Advanced relational coverage: as-of join, range/band join, cube,
+date-part extraction, percentiles, BPE-ish regex tokenization, rolling-hash
+document fingerprints.
+
+These fill the SURVEY §2.5 rows the reference lacks (as-of/range joins,
+grouping sets beyond rollup, date/time functions) — exposed as first-class
+engine operators with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dataset_dedupe_estimator_spark.operators.joins import asof_join, range_join_bucket
+from dataset_dedupe_estimator_spark.queries.base import Q, cents, load, sql_cents
+
+
+def asof_prev_order(spark, sf):
+    """As-of self-join: each order matched to the customer's latest
+    strictly-earlier order (gap analysis). Right side deduped to one order
+    per (custkey, date) — max orderkey wins — so as-of is well-defined."""
+    orders = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
+    right = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderdate").alias("prev_date"),
+            F.col("o_orderkey").alias("prev_orderkey"),
+            cents("o_totalprice").alias("prev_price_cents"),
+        )
+    )
+    joined = asof_join(
+        orders.select("o_custkey", "o_orderkey", "o_orderdate"),
+        right,
+        on="o_custkey",
+        left_time="o_orderdate",
+        right_time="prev_date",
+        strict=True,
+    )
+    return joined.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "prev_orderkey",
+        "prev_date",
+        (F.col("prev_price_cents") / F.lit(100.0)).alias("prev_price"),
+        F.datediff(F.col("o_orderdate"), F.col("prev_date")).alias("gap_days"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+ASOF_SQL = f"""
+WITH deduped AS (
+  SELECT o_custkey, o_orderdate AS prev_date, o_orderkey AS prev_orderkey,
+         {sql_cents("o_totalprice")} AS prev_price_cents
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                 ORDER BY o_orderkey DESC) AS rn
+    FROM orders
+  ) WHERE rn = 1
+)
+SELECT a.o_custkey, a.o_orderkey, a.o_orderdate,
+       b.prev_orderkey, b.prev_date,
+       b.prev_price_cents / 100.0 AS prev_price,
+       datediff('day', b.prev_date, a.o_orderdate) AS gap_days
+FROM orders a
+ASOF LEFT JOIN deduped b
+  ON a.o_custkey = b.o_custkey AND a.o_orderdate > b.prev_date
+ORDER BY a.o_custkey, a.o_orderkey
+"""
+
+
+PRICE_BANDS = [
+    (0.0, 50000.0, "small"),
+    (50000.0, 150000.0, "medium"),
+    (150000.0, 300000.0, "large"),
+    (300000.0, 1e9, "jumbo"),
+]
+
+
+def range_join_price_bands(spark, sf):
+    """Band join: orders classified into price bands via interval
+    containment (broadcast nested-loop; no fact shuffle)."""
+    orders = load(spark, sf, "orders")
+    buckets = spark.createDataFrame(PRICE_BANDS, "lo double, hi double, band string")
+    joined = range_join_bucket(orders, buckets, F.col("o_totalprice"))
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents("o_totalprice")) / F.lit(100.0)).alias("total_price"),
+        )
+        .orderBy("band")
+    )
+
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT {lo} AS lo, {hi} AS hi, '{name}' AS band" for lo, hi, name in PRICE_BANDS
+)
+
+RANGE_JOIN_SQL = f"""
+WITH buckets AS ({_BANDS_SQL})
+SELECT band, COUNT(*) AS n_orders,
+       SUM({sql_cents("o_totalprice")}) / 100.0 AS total_price
+FROM orders LEFT JOIN buckets
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band ORDER BY band
+"""
+
+
+def cube_order_stats(spark, sf):
+    """CUBE grouping sets (rollup's sibling; SURVEY §2.5)."""
+    orders = load(spark, sf, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy(
+            "gid",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def date_part_revenue(spark, sf):
+    """Date-part extraction + aggregation (year/month/hour-of-day)."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupBy(
+            F.year("l_shipdate").alias("ship_year"),
+            F.month("l_shipdate").alias("ship_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(cents("l_extendedprice")) / F.lit(100.0)).alias("revenue"),
+            F.min(F.dayofmonth("l_shipdate")).alias("first_dom"),
+            F.max(F.hour("l_shipdate")).alias("max_hour"),
+        )
+        .orderBy("ship_year", "ship_month")
+    )
+
+
+DATE_PART_SQL = f"""
+SELECT extract(year FROM l_shipdate) AS ship_year,
+       extract(month FROM l_shipdate) AS ship_month,
+       COUNT(*) AS n_items,
+       SUM({sql_cents("l_extendedprice")}) / 100.0 AS revenue,
+       MIN(extract(day FROM l_shipdate)) AS first_dom,
+       MAX(extract(hour FROM l_shipdate)) AS max_hour
+FROM lineitem GROUP BY 1, 2 ORDER BY ship_year, ship_month
+"""
+
+
+def quantity_percentiles(spark, sf):
+    """Exact interpolated percentiles over integer cents (deterministic
+    linear interpolation in both engines)."""
+    li = load(spark, sf, "lineitem")
+    qc = cents("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            (F.percentile(qc, F.lit(0.25)) / 100.0).alias("p25"),
+            (F.percentile(qc, F.lit(0.5)) / 100.0).alias("p50"),
+            (F.percentile(qc, F.lit(0.75)) / 100.0).alias("p75"),
+            F.max(qc).alias("max_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+PERCENTILE_SQL = f"""
+SELECT l_returnflag,
+       quantile_cont({sql_cents("l_quantity")}, 0.25) / 100.0 AS p25,
+       quantile_cont({sql_cents("l_quantity")}, 0.5) / 100.0 AS p50,
+       quantile_cont({sql_cents("l_quantity")}, 0.75) / 100.0 AS p75,
+       MAX({sql_cents("l_quantity")}) AS max_cents
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+# GPT-style coarse token classes: letter runs, digit runs, other-symbol runs
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+
+
+def token_bpe_ish(spark, sf):
+    """BPE-ish regex tokenization (letters/digits/symbol runs) — per-doc
+    token counts for LLM-data budgeting."""
+    docs = load(spark, sf, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+BPE_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(text, '{BPE_PATTERN}'))) AS n_unique_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+_MOD = 1_000_000_007
+
+
+def rolling_hash_fingerprint(spark, sf):
+    """Polynomial rolling-hash document fingerprint over code points:
+    h = fold(h*31 + ord(c)) mod 1e9+7 — exact integer arithmetic, so the
+    fold is engine-identical."""
+    docs = load(spark, sf, "documents")
+    chars = F.split(F.col("text"), "")
+    h = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % _MOD,
+    )
+    return docs.select("doc_id", h.alias("fingerprint")).orderBy("doc_id")
+
+
+ROLLING_HASH_SQL = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+         (a, b) -> (a * 31 + b) % {_MOD}) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "asof_prev_order": Q(asof_prev_order, ASOF_SQL),
+    "range_join_price_bands": Q(range_join_price_bands, RANGE_JOIN_SQL),
+    "cube_order_stats": Q(cube_order_stats, CUBE_SQL),
+    "date_part_revenue": Q(date_part_revenue, DATE_PART_SQL),
+    "quantity_percentiles": Q(quantity_percentiles, PERCENTILE_SQL),
+    "token_bpe_ish": Q(token_bpe_ish, BPE_SQL),
+    "rolling_hash_fingerprint": Q(rolling_hash_fingerprint, ROLLING_HASH_SQL),
+}

@@ -1,0 +1,68 @@
+"""Physical-plan assertions: the optimizations the engine is designed
+around must actually appear in the plans — predicate pushdown + column
+pruning at the scan, broadcast (never sort-merge) dim joins, sort-limit
+top-k, no cartesian products in LSH paths."""
+
+import pytest
+
+from dataset_dedupe_estimator_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].spark(spark, SF)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_filter_pushdown_and_pruning(spark):
+    p = plan_of(spark, "filter_project_scan")
+    assert "PushedFilters: [" in p
+    assert "GreaterThanOrEqual(l_quantity,45.0)" in p
+    # pruned read schema: only the referenced columns, not all 11
+    read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_comment" not in read_schema
+    assert read_schema.count(":") <= 7
+
+
+def test_q5_broadcasts_dims(spark):
+    p = plan_of(spark, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_topk_is_sort_limit(spark):
+    p = plan_of(spark, "top_spenders")
+    assert "TakeOrderedAndProject" in p  # no global sort for top-k
+
+
+def test_lsh_paths_avoid_cartesian(spark):
+    for name in ("minhash_lsh_candidates", "embedding_dedup_lsh"):
+        p = plan_of(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_brute_force_pair_scan_is_explicit_cross(spark):
+    # the documented-quadratic baseline IS a cross join — and stays out of
+    # the headline bench set
+    assert not REGISTRY["embedding_dedup_pairs"].headline
+
+
+def test_q1_aggregation_is_hash_agg(spark):
+    p = plan_of(spark, "q1_pricing_summary")
+    assert "HashAggregate" in p
+    assert "SortAggregate" not in p
+
+
+def test_chunk_stats_single_shuffle(spark):
+    from dataset_dedupe_estimator_spark.operators.chunker import chunk_files
+    from dataset_dedupe_estimator_spark.plans.estimate import chunk_stats
+    import glob
+
+    chunks = chunk_files(spark, sorted(glob.glob(f"{SF}/*.parquet")))
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p = chunk_stats(chunks)._jdf.queryExecution().explainString(mode)
+    # one shuffle for groupBy(hash); the final single-row agg coalesces
+    assert p.count("Exchange hashpartitioning") <= 1
