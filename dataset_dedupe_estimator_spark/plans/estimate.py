@@ -134,6 +134,27 @@ def estimate_df(spark: SparkSession, paths: list[str], params: ChunkerParams = C
     )
 
 
+def chunks_export(
+    spark: SparkSession,
+    paths: list[str],
+    store_data: bool = False,
+    params: ChunkerParams = ChunkerParams(),
+) -> DataFrame:
+    """C8 (src/lib.rs:35-47, src/store.rs:145-150): every chunk occurrence
+    in stream order with its dedup-map entry (provenance + optional raw
+    bytes) — the notebook-facing export API.
+
+    Ordered by (file_idx, seq) at the edge; `data` kept only on request
+    (never shuffled — the provenance join moves hashes, then rejoins)."""
+    chunks = chunk_files(spark, paths, params=params, store_data=store_data)
+    prov = dedup_map(chunks.drop("data") if store_data else chunks)
+    join_cols = ["hash"]
+    out = chunks.join(
+        F.broadcast(prov.select("hash", "first_seen_in", "seen_in")), join_cols
+    )
+    return out.orderBy("file_idx", "seq")
+
+
 def approx_stats(chunks: DataFrame, rsd: float = 0.01) -> DataFrame:
     """100 TB-scale variant of C6/C10: approximate unique-chunk accounting.
 

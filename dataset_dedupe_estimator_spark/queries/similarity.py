@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import Column, functions as F
+from pyspark.sql.window import Window
 
 from dataset_dedupe_estimator_spark.queries.base import Q, load
 
@@ -233,6 +234,83 @@ ORDER BY vec_a, vec_b
 """
 
 
+N_CELLS = 8
+
+
+def ann_ivf_probe(spark, sf):
+    """IVF-style ANN: partition the corpus into cells around seed vectors
+    (deterministically the first {N_CELLS} vec_ids), then probe only the
+    query's cell with exact cosine.
+
+    The 100 TB shape: assignment is one broadcast of {N_CELLS} centroids +
+    a narrow shuffle on cell id (persisted once); each query scans one
+    cell (~1/{N_CELLS} of the corpus; real IVF uses trained centroids and
+    nprobe>1 — same plan, more cells)."""
+    emb = load(spark, sf, "embeddings")
+    normed = emb.select(
+        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    cents = normed.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("embedding").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    sim = _dot(F.col("embedding"), F.col("cemb")) / (F.col("nrm") * F.col("cnrm"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell_id"))
+    assigned = (
+        normed.crossJoin(F.broadcast(cents))
+        .withColumn("csim", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", "nrm", "cell_id")
+    )
+    q = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.col("cell_id").alias("qcell"),
+    )
+    cos = _dot(F.col("embedding"), F.col("qe")) / (F.col("nrm") * F.col("qn"))
+    return (
+        assigned.join(F.broadcast(q), assigned.cell_id == F.col("qcell"))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", "cell_id", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(5)
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH normed AS (
+  SELECT vec_id, label, embedding,
+         sqrt({_sql_dot("embedding", "embedding")}) AS nrm
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cell_id, embedding AS cemb, nrm AS cnrm
+  FROM normed WHERE vec_id < {N_CELLS}
+),
+assigned AS (
+  SELECT vec_id, label, embedding, nrm, cell_id
+  FROM (
+    SELECT n.*, c.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY {_sql_dot("n.embedding", "c.cemb")} / (n.nrm * c.cnrm) DESC,
+                      c.cell_id) AS rn
+    FROM normed n CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT embedding AS qe, nrm AS qn, cell_id AS qcell
+      FROM assigned WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, label, cell_id,
+       {_sql_dot("embedding", "qe")} / (nrm * qn) AS cosine
+FROM assigned, q
+WHERE cell_id = qcell AND vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id
+LIMIT 5
+"""
+
+
 def label_centroid_spread(spark, sf):
     """Per-label vector statistics via positional aggregation — integer
     counts + left-fold sums kept deterministic."""
@@ -260,6 +338,7 @@ FROM embeddings GROUP BY label ORDER BY label
 QUERIES = {
     "knn_brute_force": Q(knn_brute_force, KNN_SQL, headline=True),
     "ann_lsh_bucketed": Q(ann_lsh_bucketed, ANN_LSH_SQL),
+    "ann_ivf_probe": Q(ann_ivf_probe, ANN_IVF_SQL),
     "embedding_dedup_pairs": Q(embedding_dedup_pairs, EMB_DEDUP_SQL),
     "embedding_dedup_lsh": Q(embedding_dedup_lsh, EMB_DEDUP_LSH_SQL, headline=True),
     "label_centroid_spread": Q(label_centroid_spread, LABEL_STATS_SQL),

@@ -73,6 +73,25 @@ def test_stats_vs_approx(spark, two_identical):
     chunks.unpersist()
 
 
+def test_chunks_export(spark, two_identical):
+    from dataset_dedupe_estimator_spark.plans.estimate import chunks_export
+
+    rows = chunks_export(spark, two_identical, store_data=True).collect()
+    keys = [(r.file_idx, r.seq) for r in rows]
+    assert keys == sorted(keys)  # stream order (C8)
+    assert all(r.first_seen_in == 0 for r in rows)
+    assert all(list(r.seen_in) == [0, 1] for r in rows)
+    # raw bytes retained on request and hash-consistent
+    import hashlib
+
+    for r in rows[:5]:
+        h = int.from_bytes(
+            hashlib.blake2b(bytes(r.data), digest_size=8).digest(), "little"
+        )
+        h = h - (1 << 64) if h >= (1 << 63) else h
+        assert h == r.hash
+
+
 def test_estimate_on_testdata(spark, parquet_paths):
     res = estimate(spark, parquet_paths, with_xet=False)
     assert res["numfiles"] == len(parquet_paths)
