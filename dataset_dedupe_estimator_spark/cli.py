@@ -9,6 +9,7 @@ from __future__ import annotations
 import argparse
 import glob
 import json
+import os
 import sys
 from pathlib import Path
 
@@ -143,6 +144,16 @@ def cmd_page_chunks(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    """Ad-hoc SQL over a scale-factor directory's tables."""
+    from dataset_dedupe_estimator_spark.catalog import sql
+
+    spark = _spark(args)
+    df = sql(spark, args.query, args.sf_dir)
+    df.show(args.limit, truncate=False)
+    return 0
+
+
 def cmd_checkout(args) -> int:
     """`de checkout` (de/cli.py:148-170): materialize git revisions."""
     from dataset_dedupe_estimator_spark.sources.git_revisions import (
@@ -197,6 +208,12 @@ def build_parser() -> argparse.ArgumentParser:
     pc.add_argument("files", nargs="+")
     pc.add_argument("--bucket", type=int, default=64 * 1024)
     pc.set_defaults(fn=cmd_page_chunks)
+
+    sq = sub.add_parser("sql", help="run SQL over a testdata directory")
+    sq.add_argument("query")
+    sq.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    sq.add_argument("--limit", type=int, default=50)
+    sq.set_defaults(fn=cmd_sql)
 
     co = sub.add_parser("checkout", help="materialize git file revisions")
     co.add_argument("repo")

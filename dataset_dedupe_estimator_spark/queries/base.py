@@ -40,15 +40,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def cents(col: str | Column) -> Column:
-    """Exact integer cents from a 2-decimal double column."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * F.lit(100.0), 0).cast("long")
-
-
-def sql_cents(expr: str) -> str:
-    """DuckDB equivalent of :func:`cents`."""
-    return f"CAST(ROUND(({expr}) * 100.0) AS BIGINT)"
+# canonical implementations live in functions.money; re-exported here for
+# the query modules
+from dataset_dedupe_estimator_spark.functions.money import cents, sql_cents  # noqa: E402,F401
 
 
 def ts(lit: str) -> Column:

@@ -33,14 +33,11 @@ _PLANES = np.round(
 ).tolist()
 
 
-def _dot(a: Column, b: Column) -> Column:
-    """Left-fold dot product: bit-identical to DuckDB list_reduce."""
-    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
-    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-
-
-def _norm(a: Column) -> Column:
-    return F.sqrt(_dot(a, a))
+# canonical fold-deterministic implementations live in functions.vectors
+from dataset_dedupe_estimator_spark.functions.vectors import (  # noqa: E402
+    dot as _dot,
+    norm as _norm,
+)
 
 
 def _sql_dot(a: str, b: str) -> str:
