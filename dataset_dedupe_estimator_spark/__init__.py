@@ -19,5 +19,30 @@ Layout:
 
 from dataset_dedupe_estimator_spark.session import get_spark
 
-__all__ = ["get_spark"]
+
+def estimate(spark, paths, **kwargs):
+    """Top-level API parity with the reference package (de/__init__.py):
+    dedup-estimate a set of files → metrics dict."""
+    from dataset_dedupe_estimator_spark.plans.estimate import estimate as _estimate
+
+    return _estimate(spark, paths, **kwargs)
+
+
+def chunks(spark, paths, store_data=False, **kwargs):
+    """Ordered chunk export with provenance (reference `chunks()` API,
+    src/lib.rs:35-47)."""
+    from dataset_dedupe_estimator_spark.plans.estimate import chunks_export
+
+    return chunks_export(spark, paths, store_data=store_data, **kwargs)
+
+
+def visualize_multidoc_diff(spark, paths):
+    """HTML diff strips across file versions (de/__init__.py:83-145)."""
+    from dataset_dedupe_estimator_spark.operators.chunker import chunk_files
+    from dataset_dedupe_estimator_spark.viz import multidoc_diff_html
+
+    return multidoc_diff_html(chunk_files(spark, paths))
+
+
+__all__ = ["get_spark", "estimate", "chunks", "visualize_multidoc_diff"]
 __version__ = "0.1.0"

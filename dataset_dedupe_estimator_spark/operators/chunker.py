@@ -249,9 +249,12 @@ def chunk_files(
     file_idx is the position in ``paths`` — input-list order, not
     lexicographic (src/store.rs:117 semantics).
     """
-    files = spark.createDataFrame(
-        [(i, p) for i, p in enumerate(paths)], "file_idx long, path string"
-    ).repartition(max(len(paths), 1), "file_idx")
+    # one partition per file up front (parallelize with explicit slices) —
+    # no repartition exchange before the chunker
+    rdd = spark.sparkContext.parallelize(
+        list(enumerate(paths)), numSlices=max(len(paths), 1)
+    )
+    files = spark.createDataFrame(rdd, "file_idx long, path string")
 
     chunks = files.mapInArrow(
         make_chunk_partition_fn(params, store_data), CHUNK_DDL

@@ -1,0 +1,113 @@
+"""Custom stateful streaming operator: gap-based sessionization with
+``applyInPandasWithState`` (the engine's example of semantics Spark's
+built-in operators can't express — per-key mutable state across
+micro-batches).
+
+Semantics: events for a user belong to one session while consecutive
+timestamps are within ``gap``; a later event closes the previous session
+and emits it. Open sessions live in state across micro-batches (and
+across restarts, via the checkpoint). ``session_window`` could express the
+windowing, but not custom carry-over metrics — hence the stateful form.
+
+State per user: (session_start_us, last_ts_us, n_events, value_cents).
+Output: one row per *closed* session.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("session_start_us", LongType()),
+        StructField("last_ts_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("value_cents", LongType()),
+    ]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("session_end_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("value_cents", LongType()),
+    ]
+)
+
+
+def _sessionize_group(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    gap_us: int,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        start_us, last_us, n_events, value_cents = state.get
+    else:
+        start_us = last_us = None
+        n_events = value_cents = 0
+
+    closed: list[tuple[int, int, int, int, int]] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for ts_us, cents_ in zip(pdf["ts_us"], pdf["value_cents"]):
+            ts_us, cents_ = int(ts_us), int(cents_)
+            if last_us is not None and ts_us - last_us > gap_us:
+                closed.append((user_id, start_us, last_us, n_events, value_cents))
+                start_us, n_events, value_cents = ts_us, 0, 0
+            if start_us is None:
+                start_us = ts_us
+            last_us = ts_us
+            n_events += 1
+            value_cents += cents_
+
+    state.update((start_us, last_us, n_events, value_cents))
+    if closed:
+        yield pd.DataFrame(
+            closed,
+            columns=[
+                "user_id",
+                "session_start_us",
+                "session_end_us",
+                "n_events",
+                "value_cents",
+            ],
+        )
+
+
+def stateful_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """events (streaming: user_id long, ts timestamp, value double,
+    event_id long) → closed sessions, state carried across micro-batches."""
+    from pyspark.sql import functions as F
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    prepared = events.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
+        "event_id",
+    )
+
+    def fn(key, pdfs, state):
+        return _sessionize_group(key, pdfs, state, gap_us)
+
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,59 @@
+"""applyInPandasWithState sessionizer: state persists across micro-batches
+(separate checkpointed runs); sessions close only when a gap-exceeding
+event arrives."""
+
+from pyspark.sql import functions as F
+
+
+def _write_batch(spark, src, rows):
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s string, value double, event_id long"
+    ).select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value", "event_id"
+    )
+    df.write.mode("append").parquet(str(src))
+    return df.schema
+
+
+def _run_pass(spark, src, schema, ckpt, out_dir):
+    from dataset_dedupe_estimator_spark.streaming.sessions import stateful_sessionize
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        stateful_sessionize(stream, gap_minutes=30)
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        return spark.read.parquet(str(out_dir)).collect()
+    except Exception:
+        return []
+
+
+def test_stateful_sessionize_across_batches(spark, tmp_path):
+    src, ckpt = tmp_path / "src", tmp_path / "ckpt"
+
+    # batch 1: two close events for user 7 -> session stays OPEN (no output)
+    schema = _write_batch(
+        spark,
+        src,
+        [(7, "2026-01-01 10:00:00", 1.0, 1), (7, "2026-01-01 10:10:00", 2.0, 2)],
+    )
+    out1 = _run_pass(spark, src, schema, ckpt, tmp_path / "out")
+    assert out1 == []
+
+    # batch 2: a gap-exceeding event closes the session carried in state
+    _write_batch(spark, src, [(7, "2026-01-01 12:00:00", 5.0, 3)])
+    out2 = _run_pass(spark, src, schema, ckpt, tmp_path / "out")
+    assert len(out2) == 1
+    r = out2[0]
+    assert r.user_id == 7
+    assert r.n_events == 2
+    assert r.value_cents == 300
+    # session spanned 10:00 -> 10:10 UTC
+    assert r.session_end_us - r.session_start_us == 10 * 60 * 1_000_000
