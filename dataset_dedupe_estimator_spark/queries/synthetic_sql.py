@@ -206,6 +206,45 @@ FROM unioned GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def synthetic_update_column(spark, sf):
+    """G6: swap a single column from an 'updated' variant by physical
+    position (de/synthetic.py:76-83 set_column) — quantity is replaced at
+    the edit points, all other columns provably untouched."""
+    li = _with_pos(load(spark, sf, "lineitem"))
+    n = F.lit(li.count())
+    at_point = None
+    for pt in _points(n):
+        cond = F.col("pos") == pt
+        at_point = cond if at_point is None else (at_point | cond)
+    # the 'updated' variant's quantity column, joined back by position
+    updated = li.select(
+        "pos", F.when(at_point, F.lit(9999)).otherwise(cents("l_quantity")).alias("new_qty"),
+    )
+    swapped = li.select("pos", "l_returnflag", cents("l_extendedprice").alias("ep_cents")).join(
+        updated, "pos"
+    )
+    return (
+        swapped.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("new_qty").alias("qty_cents"),
+            F.sum("ep_cents").alias("ep_cents_sum"),  # untouched column proof
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+UPDATE_COLUMN_SQL = f"""
+WITH base AS (
+  SELECT *, {_POS_SQL} AS pos, {_N_SQL} AS n FROM lineitem
+)
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       SUM(CASE WHEN {_UPD_CONDS} THEN 9999 ELSE {sql_cents("l_quantity")} END) AS qty_cents,
+       SUM({sql_cents("l_extendedprice")}) AS ep_cents_sum
+FROM base GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def synthetic_generate_table(spark, sf):
     """G1: seeded deterministic table generation as a pure function of the
     row id (counter-based; no sequential RNG), verifiable in any engine."""
@@ -235,6 +274,7 @@ QUERIES = {
     "synthetic_delete_rows": Q(synthetic_delete_rows, DELETE_SQL),
     "synthetic_insert_rows": Q(synthetic_insert_rows, INSERT_SQL),
     "synthetic_update_rows": Q(synthetic_update_rows, UPDATE_SQL),
+    "synthetic_update_column": Q(synthetic_update_column, UPDATE_COLUMN_SQL),
     "synthetic_append_rows": Q(synthetic_append_rows, APPEND_SQL),
     "synthetic_generate_table": Q(synthetic_generate_table, GENERATE_SQL),
 }

@@ -88,6 +88,21 @@ def incremental_stats(spark: SparkSession, chunk_table_dir: str) -> DataFrame:
     return chunk_stats(spark.read.parquet(chunk_table_dir))
 
 
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop duplicate keys within the watermark
+    horizon (state is bounded — duplicates older than the watermark are
+    forgotten, the standard at-scale trade-off for unbounded streams).
+
+    The batch form is dedup_keep_first; this is its streaming sibling for
+    ingest pipelines (e.g. re-delivered documents)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates([*keys, ts_col])
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

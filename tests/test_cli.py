@@ -1,0 +1,64 @@
+"""CLI integration (reference de/tests/test_cli.py style): commands run
+in-process against real files; exit codes and output asserted."""
+
+import json
+
+import numpy as np
+import pytest
+
+from dataset_dedupe_estimator_spark.cli import main
+
+
+@pytest.fixture(scope="module")
+def data_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli-data")
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(2000)], "a bigint, b string")
+    df.write.mode("overwrite").parquet(str(d / "t1.parquet.dir"))
+    # single files for file-oriented commands
+    import glob, shutil
+
+    part = glob.glob(str(d / "t1.parquet.dir" / "part-*.parquet"))[0]
+    shutil.copy(part, d / "t1.parquet")
+    shutil.copy(part, d / "t2.parquet")  # identical copy → dedup
+    shutil.rmtree(d / "t1.parquet.dir")
+    return d
+
+
+def test_cli_dedup(capsys, data_dir, spark):
+    rc = main(["dedup", str(data_dir / "t1.parquet"), str(data_dir / "t2.parquet"), "--no-xet"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "files: 2" in out
+    assert "dedup ratio: 50.00%" in out  # identical copies halve
+
+
+def test_cli_stats(capsys, data_dir, spark, tmp_path):
+    rc = main(["stats", str(data_dir), "--out", str(tmp_path / "stats")])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "### combined" in out and "parquet-c=snappy" in out
+
+
+def test_cli_stats_missing_dir(capsys, spark):
+    rc = main(["stats", "/nonexistent-dir"])
+    assert rc == 1
+    assert "no parquet files" in capsys.readouterr().err
+
+
+def test_cli_page_chunks(capsys, data_dir, spark):
+    rc = main(["page-chunks", str(data_dir / "t1.parquet")])
+    assert rc == 0
+    assert "#" in capsys.readouterr().out
+
+
+def test_cli_sql(capsys, spark):
+    rc = main(
+        [
+            "sql",
+            "SELECT count(*) AS n FROM documents",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+        ]
+    )
+    assert rc == 0
+    assert "n" in capsys.readouterr().out

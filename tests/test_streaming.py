@@ -56,6 +56,34 @@ def test_incremental_chunker(spark, tmp_path):
     assert stats.total_len == 900_000
 
 
+def test_streaming_dedup(spark, tmp_path):
+    from dataset_dedupe_estimator_spark.streaming.incremental import streaming_dedup
+
+    src = tmp_path / "dups"
+    rows = [
+        (1, "2026-01-01 10:00:00", "doc-a"),
+        (1, "2026-01-01 10:00:00", "doc-a"),  # exact duplicate
+        (2, "2026-01-01 10:05:00", "doc-b"),
+        (1, "2026-01-01 10:20:00", "doc-a"),  # same key, later ts → kept
+    ]
+    df = spark.createDataFrame(rows, "doc_key long, ts_s string, payload string").select(
+        "doc_key", F.col("ts_s").cast("timestamp").alias("ts"), "payload"
+    )
+    df.write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        streaming_dedup(stream, ["doc_key"])
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT doc_key, ts FROM dedup_out ORDER BY ts").collect()
+    assert len(out) == 3  # exact dup dropped; later re-delivery kept
+
+
 def test_windowed_event_counts(spark, tmp_path):
     src = tmp_path / "events"
     rows = [
