@@ -1,0 +1,47 @@
+"""Trained-IVF index: assignment covers the corpus, probing returns
+descending cosine, and recall@10 against brute force is reasonable for
+nprobe=half the cells."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dataset_dedupe_estimator_spark.operators.ann import IvfIndex
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def index(emb):
+    return IvfIndex.train(emb, k=8, seed=42)
+
+
+def test_assignment_covers_corpus(index, emb):
+    assert index.assigned.count() == emb.count()
+    cells = [r.cell for r in index.assigned.select("cell").distinct().collect()]
+    assert set(cells) <= set(range(8))
+    assert index.centroids.shape == (8, 64)
+
+
+def test_search_shape_and_order(index, emb):
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    hits = index.search(list(qvec), topk=10, nprobe=2).collect()
+    assert len(hits) == 10
+    sims = [r.cosine for r in hits]
+    assert sims == sorted(sims, reverse=True)
+    assert 0 in [r.vec_id for r in hits]  # the query vector itself tops the list
+
+
+def test_recall_vs_brute_force(index, emb):
+    rows = emb.orderBy("vec_id").collect()
+    M = np.array([np.array(r.embedding, dtype=np.float64) for r in rows])
+    ids = np.array([r.vec_id for r in rows])
+    q = M[0]
+    sims = (M @ q) / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+    true_top = set(ids[np.argsort(-sims)[:10]].tolist())
+    got = {r.vec_id for r in index.search(list(rows[0].embedding), topk=10, nprobe=4).collect()}
+    # nprobe=half the cells: expect to recover most of the true top-10
+    assert len(true_top & got) >= 5
