@@ -71,13 +71,22 @@ CHUNK_DDL = (
 
 @dataclass(frozen=True)
 class ChunkerParams:
-    """CDC parameters; defaults mirror /root/reference/src/store.rs:11-13."""
+    """CDC parameters; defaults mirror /root/reference/src/store.rs:11-13.
+
+    compress_probe_bytes: optional cap on bytes fed to the zlib
+    compressibility probe per chunk; the compressed size is scaled by
+    chunk_len/probe_len. The probe is ~30% of chunker CPU at full
+    fidelity — cap it when estimating at 100 TB and exact per-chunk
+    compressed sizes don't matter (dedup_ratio is unaffected; only
+    compressed_chunk_bytes becomes an estimate).
+    """
 
     min_size: int = 8 * 1024
     max_size: int = 128 * 1024
     mask_bits: int = 16  # boundary probability 2^-mask_bits → ~64 KiB average
     window: int = 64
     seed: int = 0x9E3779B9
+    compress_probe_bytes: int | None = None
 
     @property
     def avg_size(self) -> int:
@@ -201,6 +210,14 @@ def _iter_file_chunks(path: str, params: ChunkerParams) -> Iterator[tuple[int, b
         yield base, pending
 
 
+def _compressed_size(chunk: bytes, probe: int | None) -> int:
+    """zlib-1 compressibility probe; optionally sampled (see ChunkerParams)."""
+    if probe is None or len(chunk) <= probe:
+        return len(zlib.compress(chunk, 1))
+    sampled = len(zlib.compress(chunk[:probe], 1))
+    return int(sampled * (len(chunk) / probe))
+
+
 def _hash64(data: bytes) -> int:
     """Stable 64-bit content hash (signed, to fit Spark LongType)."""
     h = int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
@@ -226,7 +243,7 @@ def make_chunk_partition_fn(p: ChunkerParams, keep_data: bool):
                     rows["offset"].append(offset)
                     rows["hash"].append(_hash64(chunk))
                     rows["size"].append(len(chunk))
-                    rows["compressed"].append(len(zlib.compress(chunk, 1)))
+                    rows["compressed"].append(_compressed_size(chunk, p.compress_probe_bytes))
                     rows["data"].append(chunk if keep_data else None)
                     if len(rows["seq"]) >= 4096:
                         yield pa.RecordBatch.from_pydict(rows, schema=CHUNK_SCHEMA)

@@ -395,8 +395,68 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q4_order_priority(spark, sf):
+    """TPC-H Q4 shape: correlated EXISTS via left-semi join."""
+    orders = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= ts("1997-01-01 00:00:00"))
+        & (F.col("o_orderdate") < ts("1997-04-01 00:00:00"))
+    )
+    late_items = load(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > ts("1997-06-01 00:00:00")
+    ).select("l_orderkey")
+    return (
+        orders.join(late_items, orders.o_orderkey == late_items.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q6_revenue_forecast(spark, sf):
+    """TPC-H Q6 shape: tight-filter scan + single exact-cents aggregate."""
+    li = load(spark, sf, "lineitem")
+    rev = cents("l_extendedprice") * cents("l_discount")  # 1e-4 units
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= ts("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < ts("1998-01-01 00:00:00"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            (F.sum(rev) / F.lit(10000.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q6_SQL = f"""
+SELECT SUM({C_EP} * {C_DISC}) / 10000.0 AS revenue, COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24.0
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": Q(q1_pricing_summary, Q1_SQL, headline=True),
+    "q4_order_priority": Q(q4_order_priority, Q4_SQL),
+    "q6_revenue_forecast": Q(q6_revenue_forecast, Q6_SQL),
     "q3_shipping_priority": Q(q3_shipping_priority, Q3_SQL, headline=True),
     "q5_local_supplier_volume": Q(q5_local_supplier_volume, Q5_SQL, headline=True),
     "top_spenders": Q(top_spenders, TOP_SPENDERS_SQL),
