@@ -335,6 +335,55 @@ FROM events GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY row_hash
 """
 
 
+KMV_K = 8
+
+
+def kmv_sketches(spark, sf):
+    """KMV (k-minimum-values) sketch per document over its shingle set —
+    the mergeable sketch behind approximate containment/Jaccard search
+    (KMV/GB-KMV family). The k smallest md5 values of a set are a uniform
+    sample of its hashed universe; distinct-count estimate is
+    (k-1) / kth_min_normalized.
+
+    Fully oracle-checkable: sketches are sorted string arrays, the
+    estimator is exact integer/double arithmetic off the k-th minimum.
+    """
+    sh = shingles_df(spark, sf)
+    h = F.md5(F.col("shingle").cast("binary"))
+    per_doc = sh.groupBy("doc_id").agg(
+        F.slice(F.array_sort(F.collect_set(h)), 1, KMV_K).alias("kmv"),
+        F.countDistinct("shingle").alias("true_distinct"),
+    )
+    kth = F.element_at(F.col("kmv"), KMV_K)
+    # first 8 hex chars → uniform in [0, 2^32)
+    kth_u32 = F.conv(F.substring(kth, 1, 8), 16, 10).cast("double")
+    est = (F.lit(float(KMV_K - 1)) / (kth_u32 / F.lit(4294967296.0)))
+    return per_doc.select(
+        "doc_id",
+        "kmv",
+        "true_distinct",
+        F.when(F.size("kmv") >= KMV_K, F.round(est, 2)).alias("est_distinct"),
+    ).orderBy("doc_id")
+
+
+KMV_SQL = f"""
+WITH {SHINGLES_CTE},
+per_doc AS (
+  SELECT doc_id,
+         list_sort(list_distinct(array_agg(md5(shingle))))[1:{KMV_K}] AS kmv,
+         COUNT(DISTINCT shingle) AS true_distinct
+  FROM shingles GROUP BY doc_id
+)
+SELECT doc_id, kmv, true_distinct,
+       CASE WHEN len(kmv) >= {KMV_K}
+            THEN ROUND({KMV_K - 1}.0 /
+                 (CAST(CAST('0x' || substr(kmv[{KMV_K}], 1, 8) AS BIGINT) AS DOUBLE)
+                  / 4294967296.0), 2)
+       END AS est_distinct
+FROM per_doc ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact_groups": Q(dedup_exact_groups, DEDUP_EXACT_SQL),
     "dedup_exact_events": Q(dedup_exact_events, DEDUP_EVENTS_SQL),
@@ -344,4 +393,5 @@ QUERIES = {
     "minhash_signatures": Q(minhash_signatures, MINHASH_SIG_SQL),
     "minhash_lsh_candidates": Q(minhash_lsh_candidates, MINHASH_LSH_SQL, headline=True),
     "simhash_signatures": Q(simhash_signatures, SIMHASH_SQL),
+    "kmv_sketches": Q(kmv_sketches, KMV_SQL),
 }
