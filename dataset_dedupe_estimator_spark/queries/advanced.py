@@ -240,8 +240,92 @@ FROM documents ORDER BY doc_id
 """
 
 
+def unpivot_part_metrics(spark, sf):
+    """Unpivot/melt: part's numeric columns to (metric, value) rows."""
+    part = load(spark, sf, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.expr(
+                "stack(2, 'size', CAST(p_size AS DOUBLE), "
+                "'retailprice', p_retailprice) AS (metric, value)"
+            ),
+        )
+        .filter(F.col("p_partkey") <= 200)
+        .orderBy("p_partkey", "metric")
+    )
+
+
+UNPIVOT_SQL = """
+SELECT p_partkey, metric, value
+FROM (SELECT p_partkey, CAST(p_size AS DOUBLE) AS "size",
+             p_retailprice AS retailprice
+      FROM part WHERE p_partkey <= 200)
+UNPIVOT (value FOR metric IN ("size", retailprice))
+ORDER BY p_partkey, metric
+"""
+
+
+def merge_upsert_orders(spark, sf):
+    """MERGE INTO emulation (SCD-style upsert without Delta): a deterministic
+    updates set (every 100th order re-priced +10%, plus 5 new orders) merged
+    into orders via anti-join + union; verified by per-status aggregates."""
+    orders = load(spark, sf, "orders")
+    updates = (
+        orders.filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            F.col("o_orderstatus"),
+            F.floor(cents("o_totalprice") * 110 / F.lit(100)).cast("long").alias("price_cents"),
+        )
+        .unionByName(
+            spark.range(5).select(
+                (F.col("id") + 90_000_000).alias("o_orderkey"),
+                F.lit("NEW").alias("o_orderstatus"),
+                F.lit(12345).alias("price_cents"),
+            )
+        )
+    )
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", cents("o_totalprice").alias("price_cents")
+    )
+    merged = base.join(
+        updates.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).unionByName(updates)
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_cents").alias("total_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+MERGE_SQL = f"""
+WITH updates AS (
+  SELECT o_orderkey, o_orderstatus,
+         {sql_cents("o_totalprice")} * 110 // 100 AS price_cents
+  FROM orders WHERE o_orderkey % 100 = 0
+  UNION ALL
+  SELECT i + 90000000 AS o_orderkey, 'NEW' AS o_orderstatus, 12345 AS price_cents
+  FROM generate_series(0, 4) AS g(i)
+),
+merged AS (
+  SELECT o_orderkey, o_orderstatus, {sql_cents("o_totalprice")} AS price_cents
+  FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+  UNION ALL
+  SELECT * FROM updates
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders, SUM(price_cents) AS total_cents
+FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "asof_prev_order": Q(asof_prev_order, ASOF_SQL),
+    "unpivot_part_metrics": Q(unpivot_part_metrics, UNPIVOT_SQL),
+    "merge_upsert_orders": Q(merge_upsert_orders, MERGE_SQL),
     "range_join_price_bands": Q(range_join_price_bands, RANGE_JOIN_SQL),
     "cube_order_stats": Q(cube_order_stats, CUBE_SQL),
     "date_part_revenue": Q(date_part_revenue, DATE_PART_SQL),
