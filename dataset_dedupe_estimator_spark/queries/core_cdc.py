@@ -83,8 +83,48 @@ def cdc_approx_estimate(spark, sf):
     return approx_stats(chunks)
 
 
+def format_compare_demo(spark, sf):
+    """O1 end-to-end through the driver contract: generate a synthetic
+    table + deleted variant, write both in two parquet configurations and
+    JSONL, estimate cross-file dedup per format (de/estimate.py:41-84
+    capability; rows-only — file bytes are environment-dependent)."""
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.operators.synthetic import (
+        DataGenerator,
+        finalize,
+    )
+    from dataset_dedupe_estimator_spark.plans.compare import (
+        compare_formats_tables,
+        results_df,
+    )
+    from dataset_dedupe_estimator_spark.sources.formats import (
+        JsonLinesFormat,
+        ParquetFormat,
+    )
+
+    gen = DataGenerator({"a": "int", "b": "str"}, seed=42)
+    tables = gen.generate_synthetic_tables(spark, 2000, [0.5], edit_size=10)
+    original = finalize(tables["original"])
+    groups = {"edit-deleted": {"original": original, "deleted": finalize(tables["deleted"])}}
+    formats = [
+        ParquetFormat(compression="snappy"),
+        ParquetFormat(compression="zstd"),
+        JsonLinesFormat(),
+    ]
+    results = compare_formats_tables(
+        spark, formats, groups, tempfile.mkdtemp(prefix="dde-fmt-")
+    )
+    return (
+        results_df(spark, results)
+        .select("group", "format", "numfiles", "dedup_ratio")
+        .orderBy("format")
+    )
+
+
 QUERIES = {
     "cdc_estimate": Q(cdc_estimate, None, headline=True),
+    "format_compare_demo": Q(format_compare_demo, None),
     "cdc_per_file_chunks": Q(cdc_per_file_chunks, None),
     "cdc_provenance": Q(cdc_provenance, None),
     "cdc_estimate_xet": Q(cdc_estimate_xet, None),
