@@ -273,10 +273,13 @@ def merge_upsert_orders(spark, sf):
     orders = load(spark, sf, "orders")
     updates = (
         orders.filter(F.col("o_orderkey") % 100 == 0)
+        .withColumn("cents110", cents("o_totalprice") * 110)
         .select(
             "o_orderkey",
             F.col("o_orderstatus"),
-            F.floor(cents("o_totalprice") * 110 / F.lit(100)).cast("long").alias("price_cents"),
+            # integer division on both engines (DuckDB `// 100`): no
+            # double-division rounding seam in the hash contract
+            F.expr("cents110 div 100").alias("price_cents"),
         )
         .unionByName(
             spark.range(5).select(
@@ -317,7 +320,8 @@ merged AS (
   UNION ALL
   SELECT * FROM updates
 )
-SELECT o_orderstatus, COUNT(*) AS n_orders, SUM(price_cents) AS total_cents
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(price_cents) AS BIGINT) AS total_cents
 FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 

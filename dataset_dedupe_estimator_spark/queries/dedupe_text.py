@@ -185,38 +185,38 @@ def minhash_signatures(spark, sf):
     """Per-doc MinHash signature: 16 seeded-permutation minima.
 
     A seeded md5 prefix induces each permutation — identical in any engine
-    with md5, no custom hash needed. The 16 hashes are computed once per
-    *distinct shingle* (corpus vocabulary), then broadcast-joined to the
-    (doc, shingle) pairs — at 100 TB the shingle vocabulary grows far
-    slower than the corpus, so hashing cost stays sublinear.
+    with md5, no custom hash needed. The 16 hashes are computed *inline* in
+    the (doc_id, shingle) projection: md5 is cheap, fully columnar, and the
+    plan has NO vocabulary table, NO broadcast, and exactly one shuffle
+    (the groupBy(doc_id) min-agg). A broadcast shingle vocabulary would
+    grow with the corpus and OOM the driver at 100 TB; this shape is
+    corpus-size-independent per row.
     """
     sh = shingles_df(spark, sf)
-    vocab = sh.select("shingle").distinct().select(
-        "shingle",
+    hashed = sh.select(
+        "doc_id",
         *[
             F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary")).alias(f"h{i}")
             for i in range(N_MINHASH)
         ],
     )
     return (
-        sh.join(F.broadcast(vocab), "shingle")
-        .groupBy("doc_id")
+        hashed.groupBy("doc_id")
         .agg(*[F.min(f"h{i}").alias(f"m{i}") for i in range(N_MINHASH)])
         .orderBy("doc_id")
     )
 
 
-_VOCAB_COLS = ", ".join(
+_HASH_COLS = ", ".join(
     f"md5('{i}:' || shingle) AS h{i}" for i in range(N_MINHASH)
 )
 _MH_COLS = ", ".join(f"MIN(h{i}) AS m{i}" for i in range(N_MINHASH))
 
 MINHASH_SIG_SQL = f"""
 WITH {SHINGLES_CTE},
-vocab AS (SELECT shingle, {_VOCAB_COLS} FROM (SELECT DISTINCT shingle FROM shingles)),
-joined AS (SELECT s.doc_id, v.* FROM shingles s JOIN vocab v USING (shingle))
+hashed AS (SELECT doc_id, {_HASH_COLS} FROM shingles)
 SELECT doc_id, {_MH_COLS}
-FROM joined GROUP BY doc_id ORDER BY doc_id
+FROM hashed GROUP BY doc_id ORDER BY doc_id
 """
 
 
@@ -257,9 +257,8 @@ _BAND_SELECTS = "\nUNION ALL\n".join(
 
 MINHASH_LSH_SQL = f"""
 WITH {SHINGLES_CTE},
-vocab AS (SELECT shingle, {_VOCAB_COLS} FROM (SELECT DISTINCT shingle FROM shingles)),
-joined AS (SELECT s.doc_id, v.* FROM shingles s JOIN vocab v USING (shingle)),
-sig AS (SELECT doc_id, {_MH_COLS} FROM joined GROUP BY doc_id),
+hashed AS (SELECT doc_id, {_HASH_COLS} FROM shingles),
+sig AS (SELECT doc_id, {_MH_COLS} FROM hashed GROUP BY doc_id),
 bands AS ({_BAND_SELECTS})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b USING (band_id, band_key)
@@ -345,24 +344,26 @@ def kmv_sketches(spark, sf):
     sample of its hashed universe; distinct-count estimate is
     (k-1) / kth_min_normalized.
 
-    Fully oracle-checkable: sketches are sorted string arrays, the
-    estimator is exact integer/double arithmetic off the k-th minimum.
+    Fully oracle-checkable: the sketch is serialized as a comma-joined
+    string (scalar column — array columns crash row-canonicalizers that
+    sort by value), the estimator is exact integer/double arithmetic off
+    the k-th minimum.
     """
     sh = shingles_df(spark, sf)
     h = F.md5(F.col("shingle").cast("binary"))
     per_doc = sh.groupBy("doc_id").agg(
-        F.slice(F.array_sort(F.collect_set(h)), 1, KMV_K).alias("kmv"),
+        F.slice(F.array_sort(F.collect_set(h)), 1, KMV_K).alias("kmv_arr"),
         F.countDistinct("shingle").alias("true_distinct"),
     )
-    kth = F.element_at(F.col("kmv"), KMV_K)
+    kth = F.element_at(F.col("kmv_arr"), KMV_K)
     # first 8 hex chars → uniform in [0, 2^32)
     kth_u32 = F.conv(F.substring(kth, 1, 8), 16, 10).cast("double")
     est = (F.lit(float(KMV_K - 1)) / (kth_u32 / F.lit(4294967296.0)))
     return per_doc.select(
         "doc_id",
-        "kmv",
+        F.array_join(F.col("kmv_arr"), ",").alias("kmv"),
         "true_distinct",
-        F.when(F.size("kmv") >= KMV_K, F.round(est, 2)).alias("est_distinct"),
+        F.when(F.size("kmv_arr") >= KMV_K, F.round(est, 2)).alias("est_distinct"),
     ).orderBy("doc_id")
 
 
@@ -374,7 +375,7 @@ per_doc AS (
          COUNT(DISTINCT shingle) AS true_distinct
   FROM shingles GROUP BY doc_id
 )
-SELECT doc_id, kmv, true_distinct,
+SELECT doc_id, array_to_string(kmv, ',') AS kmv, true_distinct,
        CASE WHEN len(kmv) >= {KMV_K}
             THEN ROUND({KMV_K - 1}.0 /
                  (CAST(CAST('0x' || substr(kmv[{KMV_K}], 1, 8) AS BIGINT) AS DOUBLE)

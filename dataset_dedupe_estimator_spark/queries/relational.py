@@ -363,9 +363,9 @@ def conditional_pivot_brands(spark, sf):
 
 PIVOT_SQL = f"""
 SELECT p_type,
-       SUM(CASE WHEN p_brand = 'Brand#1' THEN 1 ELSE 0 END) AS brand1,
-       SUM(CASE WHEN p_brand = 'Brand#2' THEN 1 ELSE 0 END) AS brand2,
-       SUM(CASE WHEN p_brand = 'Brand#3' THEN 1 ELSE 0 END) AS brand3,
+       CAST(SUM(CASE WHEN p_brand = 'Brand#1' THEN 1 ELSE 0 END) AS BIGINT) AS brand1,
+       CAST(SUM(CASE WHEN p_brand = 'Brand#2' THEN 1 ELSE 0 END) AS BIGINT) AS brand2,
+       CAST(SUM(CASE WHEN p_brand = 'Brand#3' THEN 1 ELSE 0 END) AS BIGINT) AS brand3,
        COUNT(*) AS total,
        SUM({sql_cents("p_retailprice")}) / 100.0 AS sum_price
 FROM part GROUP BY p_type ORDER BY p_type

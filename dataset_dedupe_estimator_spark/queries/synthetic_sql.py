@@ -28,8 +28,17 @@ _ORDER = ("l_orderkey", "l_linenumber")
 
 
 def _with_pos(li):
-    """0-based physical position, reference table-slice semantics."""
-    return li.withColumn("pos", F.row_number().over(Window.orderBy(*_ORDER)) - 1)
+    """0-based physical position, reference table-slice semantics.
+
+    Also attaches the total row count ``n`` via an unbounded window over the
+    same sort, so edit-point arithmetic stays inside the plan (no eager
+    ``count()`` job on the driver).
+    """
+    w = Window.orderBy(*_ORDER)
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return li.withColumn("pos", F.row_number().over(w) - 1).withColumn(
+        "n", F.count(F.lit(1)).over(w_all)
+    )
 
 
 def _points(n_col):
@@ -46,9 +55,8 @@ def synthetic_delete_rows(spark, sf):
     """G2: drop EDIT_SIZE rows immediately before each edit point; summary
     by returnflag proves exactly which rows went."""
     li = _with_pos(load(spark, sf, "lineitem"))
-    n = F.lit(li.count())
     deleted = None
-    for pt in _points(n):
+    for pt in _points(F.col("n")):
         cond = (F.col("pos") >= pt - EDIT_SIZE) & (F.col("pos") < pt)
         deleted = cond if deleted is None else (deleted | cond)
     return (
@@ -73,8 +81,8 @@ WITH base AS (
   SELECT *, {_POS_SQL} AS pos, {_N_SQL} AS n FROM lineitem
 )
 SELECT l_returnflag, COUNT(*) AS n_rows,
-       SUM({sql_cents("l_quantity")}) AS qty_cents,
-       SUM(l_orderkey) AS key_sum
+       CAST(SUM({sql_cents("l_quantity")}) AS BIGINT) AS qty_cents,
+       CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
 FROM base WHERE NOT ({_DEL_CONDS})
 GROUP BY l_returnflag ORDER BY l_returnflag
 """
@@ -126,8 +134,9 @@ WITH unioned AS (
   UNION ALL
   {_GEN_ROWS_SQL}
 )
-SELECT l_returnflag, COUNT(*) AS n_rows, SUM(qty_cents_val) AS qty_cents,
-       SUM(key_val) AS key_sum
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(SUM(qty_cents_val) AS BIGINT) AS qty_cents,
+       CAST(SUM(key_val) AS BIGINT) AS key_sum
 FROM unioned GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
@@ -136,9 +145,8 @@ def synthetic_update_rows(spark, sf):
     """G5: replace the single row at each edit point (reference uses one
     fresh row per point, de/synthetic.py:47) — quantity becomes 99.99."""
     li = _with_pos(load(spark, sf, "lineitem"))
-    n = F.lit(li.count())
     at_point = None
-    for pt in _points(n):
+    for pt in _points(F.col("n")):
         cond = F.col("pos") == pt
         at_point = cond if at_point is None else (at_point | cond)
     qty = F.when(at_point, F.lit(9999)).otherwise(cents("l_quantity"))
@@ -162,23 +170,25 @@ WITH base AS (
   SELECT *, {_POS_SQL} AS pos, {_N_SQL} AS n FROM lineitem
 )
 SELECT l_returnflag, COUNT(*) AS n_rows,
-       SUM(CASE WHEN {_UPD_CONDS} THEN 9999 ELSE {sql_cents("l_quantity")} END) AS qty_cents,
-       SUM(CASE WHEN {_UPD_CONDS} THEN 1 ELSE 0 END) AS n_updated
+       CAST(SUM(CASE WHEN {_UPD_CONDS} THEN 9999 ELSE {sql_cents("l_quantity")} END) AS BIGINT) AS qty_cents,
+       CAST(SUM(CASE WHEN {_UPD_CONDS} THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
 FROM base GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
 def synthetic_append_rows(spark, sf):
-    """G4: append floor(ratio·n) generated rows; verify via total counts."""
-    li = load(spark, sf, "lineitem")
-    n = li.count()
-    n_new = int(APPEND_RATIO * n)
-    gen = (
-        spark.range(n_new)
-        .select(
-            F.lit("GEN").alias("l_returnflag"),
-            ((F.col("id") * 2654435761) % 1000000).alias("qty_cents_val"),
-        )
+    """G4: append floor(ratio·n) generated rows; verify via total counts.
+
+    The appended rows are derived from the numbered base table itself
+    (``i < floor(ratio * n)``) so no driver-side ``count()`` job is needed —
+    the whole edit stays one declarative plan, mirroring APPEND_SQL.
+    """
+    li = _with_pos(load(spark, sf, "lineitem"))
+    gen = li.filter(
+        F.col("pos") < F.floor(F.lit(APPEND_RATIO) * F.col("n")).cast("long")
+    ).select(
+        F.lit("GEN").alias("l_returnflag"),
+        ((F.col("pos") * 2654435761) % 1000000).alias("qty_cents_val"),
     )
     orig = li.select("l_returnflag", cents("l_quantity").alias("qty_cents_val"))
     return (
@@ -201,7 +211,8 @@ unioned AS (
   SELECT 'GEN' AS l_returnflag, (i * 2654435761) % 1000000 AS qty_cents_val
   FROM numbered WHERE i < CAST(FLOOR({APPEND_RATIO} * n) AS BIGINT)
 )
-SELECT l_returnflag, COUNT(*) AS n_rows, SUM(qty_cents_val) AS qty_cents
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(SUM(qty_cents_val) AS BIGINT) AS qty_cents
 FROM unioned GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
@@ -211,9 +222,8 @@ def synthetic_update_column(spark, sf):
     position (de/synthetic.py:76-83 set_column) — quantity is replaced at
     the edit points, all other columns provably untouched."""
     li = _with_pos(load(spark, sf, "lineitem"))
-    n = F.lit(li.count())
     at_point = None
-    for pt in _points(n):
+    for pt in _points(F.col("n")):
         cond = F.col("pos") == pt
         at_point = cond if at_point is None else (at_point | cond)
     # the 'updated' variant's quantity column, joined back by position
@@ -239,8 +249,8 @@ WITH base AS (
   SELECT *, {_POS_SQL} AS pos, {_N_SQL} AS n FROM lineitem
 )
 SELECT l_returnflag, COUNT(*) AS n_rows,
-       SUM(CASE WHEN {_UPD_CONDS} THEN 9999 ELSE {sql_cents("l_quantity")} END) AS qty_cents,
-       SUM({sql_cents("l_extendedprice")}) AS ep_cents_sum
+       CAST(SUM(CASE WHEN {_UPD_CONDS} THEN 9999 ELSE {sql_cents("l_quantity")} END) AS BIGINT) AS qty_cents,
+       CAST(SUM({sql_cents("l_extendedprice")}) AS BIGINT) AS ep_cents_sum
 FROM base GROUP BY l_returnflag ORDER BY l_returnflag
 """
 

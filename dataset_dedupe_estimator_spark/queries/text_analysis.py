@@ -158,8 +158,8 @@ def source_token_stats(spark, sf):
 
 SOURCE_STATS_SQL = """
 SELECT source, COUNT(*) AS n_docs,
-       SUM(len(string_split(text, ' '))) AS total_tokens,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        COUNT(DISTINCT lang) AS n_langs
 FROM documents GROUP BY source ORDER BY source
 """

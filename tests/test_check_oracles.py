@@ -1,0 +1,44 @@
+"""The local oracle checker must predict the driver's dtype-sensitive
+hash gate (round-1 regression: coercing both sides to float let 9
+driver-side hash failures pass locally as 'ok')."""
+
+import os
+import sys
+
+import pandas as pd
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+from check_oracles import compare  # noqa: E402
+
+
+def test_int_vs_float_dtype_split_fails():
+    spark_side = pd.DataFrame({"k": ["a", "b"], "total": pd.array([1, 2], dtype="int64")})
+    oracle_side = pd.DataFrame({"k": ["a", "b"], "total": pd.array([1.0, 2.0], dtype="float64")})
+    problems = compare("t", spark_side, oracle_side)
+    assert problems and "dtype split" in problems[0]
+
+
+def test_matching_int_dtypes_pass():
+    a = pd.DataFrame({"k": ["a"], "total": pd.array([7], dtype="int64")})
+    b = pd.DataFrame({"k": ["a"], "total": pd.array([7], dtype="int64")})
+    assert compare("t", a, b) == []
+
+
+def test_matching_float_dtypes_pass():
+    a = pd.DataFrame({"x": pd.array([1.5, float("nan")], dtype="float64")})
+    b = pd.DataFrame({"x": pd.array([1.5, float("nan")], dtype="float64")})
+    assert compare("t", a, b) == []
+
+
+def test_array_column_fails():
+    a = pd.DataFrame({"kmv": [["h1", "h2"]], "doc_id": [1]})
+    b = pd.DataFrame({"kmv": [["h1", "h2"]], "doc_id": [1]})
+    problems = compare("t", a, b)
+    assert problems and "array column" in problems[0]
+
+
+def test_value_mismatch_still_caught():
+    a = pd.DataFrame({"total": pd.array([1], dtype="int64")})
+    b = pd.DataFrame({"total": pd.array([2], dtype="int64")})
+    assert compare("t", a, b)

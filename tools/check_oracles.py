@@ -4,6 +4,14 @@ Runs every ``__spark_entry__.queries()`` entry at sf0.01 and compares it to
 ``oracle_sql()`` via DuckDB: row count + schema (column names) +
 order-insensitive values (columns sorted by name, rows sorted).
 
+Dtype-faithful by design (round-1 lesson): the driver hashes *serialized*
+values, so bigint 1 vs float64 1.0 is a hash mismatch even though the
+values compare equal. DuckDB types SUM(BIGINT) as HUGEINT, which its
+pandas bridge renders float64 — any raw integer SUM in an oracle must be
+CAST(... AS BIGINT). This checker therefore FAILS on int-vs-float dtype
+splits instead of coercing both sides to float, and FAILS on array-typed
+output columns (they crash the driver's row canonicalizer).
+
 Usage: python tools/check_oracles.py [name-substring ...]
 """
 
@@ -45,10 +53,30 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     if len(sdf) != len(odf):
         problems.append(f"rowcount: spark={len(sdf)} oracle={len(odf)}")
         return problems
+    for c in sorted(sdf.columns):
+        for side, df in (("spark", sdf), ("oracle", odf)):
+            if df[c].dtype == object and df[c].map(
+                lambda v: isinstance(v, (list, np.ndarray))
+            ).any():
+                problems.append(
+                    f"col {c}: {side} side is an array column — crashes the "
+                    "driver canonicalizer; serialize (array_join) to a string"
+                )
+    if problems:
+        return problems
     s, o = canon(sdf), canon(odf)
+    numeric = set("iuf")
     for c in s.columns:
         sv, ov = s[c].to_numpy(), o[c].to_numpy()
-        if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(ov.dtype, np.floating):
+        sk, ok_ = sv.dtype.kind, ov.dtype.kind
+        if sk in numeric and ok_ in numeric and sk != ok_ and "f" in (sk, ok_):
+            problems.append(
+                f"col {c}: dtype split spark={sv.dtype} oracle={ov.dtype} — "
+                "driver hash is dtype-sensitive (1 != 1.0); "
+                "CAST the oracle expression (e.g. SUM → BIGINT)"
+            )
+            continue
+        if sk == "f" and ok_ == "f":
             svf = sv.astype(float)
             ovf = ov.astype(float)
             both_nan = np.isnan(svf) & np.isnan(ovf)
