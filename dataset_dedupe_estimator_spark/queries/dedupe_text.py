@@ -181,40 +181,65 @@ ORDER BY doc_a, doc_b
 """
 
 
-def minhash_signatures(spark, sf):
-    """Per-doc MinHash signature: 16 seeded-permutation minima.
+MH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+import numpy as _np
 
-    A seeded md5 prefix induces each permutation — identical in any engine
-    with md5, no custom hash needed. The 16 hashes are computed *inline* in
-    the (doc_id, shingle) projection: md5 is cheap, fully columnar, and the
-    plan has NO vocabulary table, NO broadcast, and exactly one shuffle
-    (the groupBy(doc_id) min-agg). A broadcast shingle vocabulary would
-    grow with the corpus and OOM the driver at 100 TB; this shape is
-    corpus-size-independent per row.
-    """
+_mh_rng = _np.random.default_rng(20260813)
+MH_A = [int(x) for x in _mh_rng.integers(1, MH_P, N_MINHASH)]
+MH_B = [int(x) for x in _mh_rng.integers(0, MH_P, N_MINHASH)]
+
+
+def _minhash_sig(spark, sf):
+    """Unsorted signature plan — composition building block (the banding
+    query must not inherit a global sort)."""
     sh = shingles_df(spark, sf)
-    hashed = sh.select(
+    base = (
+        F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % MH_P
+    )
+    based = sh.select("doc_id", base.alias("base"))
+    hashed = based.select(
         "doc_id",
         *[
-            F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary")).alias(f"h{i}")
+            ((F.lit(MH_A[i]) * F.col("base") + F.lit(MH_B[i])) % MH_P).alias(f"h{i}")
             for i in range(N_MINHASH)
         ],
     )
-    return (
-        hashed.groupBy("doc_id")
-        .agg(*[F.min(f"h{i}").alias(f"m{i}") for i in range(N_MINHASH)])
-        .orderBy("doc_id")
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(N_MINHASH)]
     )
 
 
+def minhash_signatures(spark, sf):
+    """Per-doc MinHash signature: 16 permutation minima via the classic
+    affine scheme h_i(x) = (a_i * h(x) + b_i) mod (2^31 - 1).
+
+    ONE md5 per (doc, shingle) pair provides the 32-bit base hash (md5 is
+    the cross-engine hash); the 16 permutations are integer multiply-add-mod
+    — pure int64 arithmetic, bit-identical in any engine and ~16x cheaper
+    than seeded re-hashing. The plan has NO vocabulary table, NO broadcast,
+    and exactly one shuffle (the groupBy(doc_id) min-agg); a broadcast
+    shingle vocabulary would grow with the corpus and OOM the driver at
+    100 TB.
+    """
+    return _minhash_sig(spark, sf).orderBy("doc_id")
+
+
 _HASH_COLS = ", ".join(
-    f"md5('{i}:' || shingle) AS h{i}" for i in range(N_MINHASH)
+    f"({MH_A[i]} * base + {MH_B[i]}) % {MH_P} AS h{i}" for i in range(N_MINHASH)
+)
+_BASED_CTE = (
+    "based AS (SELECT doc_id, "
+    f"CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % {MH_P} AS base "
+    "FROM shingles)"
 )
 _MH_COLS = ", ".join(f"MIN(h{i}) AS m{i}" for i in range(N_MINHASH))
 
 MINHASH_SIG_SQL = f"""
 WITH {SHINGLES_CTE},
-hashed AS (SELECT doc_id, {_HASH_COLS} FROM shingles)
+{_BASED_CTE},
+hashed AS (SELECT doc_id, {_HASH_COLS} FROM based)
 SELECT doc_id, {_MH_COLS}
 FROM hashed GROUP BY doc_id ORDER BY doc_id
 """
@@ -225,18 +250,26 @@ def minhash_lsh_candidates(spark, sf):
 
     bands of {N_MINHASH // N_BANDS} rows; pair emitted when any band key
     collides. This is the scale path: candidates-only, no quadratic scan.
+    The band keys explode from ONE pass over the signature aggregate
+    (posexplode, not a 4-way union that would re-evaluate the agg), and
+    the self-join's two sides share the signature shuffle via Spark's
+    exchange reuse.
     """
-    sig = minhash_signatures(spark, sf)
+    sig = _minhash_sig(spark, sf)
     rows = N_MINHASH // N_BANDS
-    bands = None
-    for b in range(N_BANDS):
-        cols = [F.col(f"m{b * rows + r}") for r in range(rows)]
-        band = sig.select(
-            "doc_id",
-            F.lit(b).alias("band_id"),
-            F.md5(F.concat(*cols).cast("binary")).alias("band_key"),
-        )
-        bands = band if bands is None else bands.unionByName(band)
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"m{b * rows + r}") for r in range(rows)]
+                ).cast("binary")
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band_id", "band_key")
+    )
     a = bands.alias("a")
     b_ = bands.alias("b")
     return (
@@ -249,15 +282,16 @@ def minhash_lsh_candidates(spark, sf):
 
 
 _BAND_SELECTS = "\nUNION ALL\n".join(
-    f"SELECT doc_id, {b} AS band_id, md5("
-    + " || ".join(f"m{b * (N_MINHASH // N_BANDS) + r}" for r in range(N_MINHASH // N_BANDS))
-    + ") AS band_key FROM sig"
+    f"SELECT doc_id, {b} AS band_id, md5(concat_ws('|', "
+    + ", ".join(f"m{b * (N_MINHASH // N_BANDS) + r}" for r in range(N_MINHASH // N_BANDS))
+    + ")) AS band_key FROM sig"
     for b in range(N_BANDS)
 )
 
 MINHASH_LSH_SQL = f"""
 WITH {SHINGLES_CTE},
-hashed AS (SELECT doc_id, {_HASH_COLS} FROM shingles),
+{_BASED_CTE},
+hashed AS (SELECT doc_id, {_HASH_COLS} FROM based),
 sig AS (SELECT doc_id, {_MH_COLS} FROM hashed GROUP BY doc_id),
 bands AS ({_BAND_SELECTS})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

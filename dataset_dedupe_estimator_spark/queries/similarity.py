@@ -9,10 +9,17 @@ bit-identical and need no rounding; comparisons and top-k orderings are
 therefore stable across engines.
 
 Scale notes: brute-force is one broadcast of the query vector — no
-shuffle at all; the LSH variant buckets the corpus once (narrow shuffle on
-bucket id) and scans only the query's bucket. At 100 TB you persist the
-bucketed table and the per-bucket centroid stats; IVF-style probing is the
-same plan with >1 bucket scanned.
+shuffle at all; the LSH variants bucket the corpus once (narrow shuffle on
+bucket id) and scan only within buckets. The hyperplane count is
+**data-adaptive inside the plan**: a broadcast scalar COUNT drives
+``n_planes = clamp(ceil(log2(n_vecs / TARGET_BUCKET)), 4, MAX_PLANES)``
+via a pure-integer CASE ladder (no float log2 — identical in any engine),
+so bucket count grows ∝ corpus and per-bucket pair work stays O(1) as the
+corpus scales; raise MAX_PLANES for corpora beyond ~2^MAX_PLANES *
+TARGET_BUCKET vectors. Near-dup uses N_TABLES independent hash tables
+(banding, like MinHash-LSH) so recall doesn't collapse as planes grow.
+Pair cosines join **pre-normalized unit vectors** — norms are divided out
+once per vector, never per pair.
 """
 
 from __future__ import annotations
@@ -25,11 +32,13 @@ from dataset_dedupe_estimator_spark.queries.base import Q, load
 
 DIM = 64
 QUERY_VEC_ID = 0
-N_PLANES = 4
+N_TABLES = 4  # independent hash tables for near-dup banding
+MAX_PLANES = 12  # supports ~2^12 * TARGET_BUCKET vectors; raise for more
+TARGET_BUCKET = 8  # aim for ~8 vectors per bucket
 
 # Deterministic hyperplanes, shared verbatim by both engines as literals.
 _PLANES = np.round(
-    np.random.default_rng(20260813).standard_normal((N_PLANES, DIM)), 4
+    np.random.default_rng(20260813).standard_normal((N_TABLES, MAX_PLANES, DIM)), 4
 ).tolist()
 
 
@@ -47,15 +56,64 @@ def _sql_dot(a: str, b: str) -> str:
     )
 
 
-def _sql_plane(p: int) -> str:
-    return "[" + ", ".join(repr(v) for v in _PLANES[p]) + "]"
+def _sql_plane(t: int, p: int) -> str:
+    return "[" + ", ".join(repr(v) for v in _PLANES[t][p]) + "]"
 
 
-def _sql_plane_dot(p: int, vec: str = "embedding") -> str:
-    lits = _PLANES[p]
+def _sql_plane_dot(t: int, p: int, vec: str = "embedding") -> str:
     return (
         f"list_reduce(list_transform(generate_series(1, {DIM}), "
-        f"i -> CAST({vec}[i] AS DOUBLE) * ({_sql_plane(p)})[i]), (x, y) -> x + y)"
+        f"i -> CAST({vec}[i] AS DOUBLE) * ({_sql_plane(t, p)})[i]), (x, y) -> x + y)"
+    )
+
+
+# ---- adaptive plane count: integer CASE ladder over the bucket demand ----
+# m = ceil(n_vecs / TARGET_BUCKET) buckets wanted; n_planes = smallest p
+# with 2^p >= m, clamped to [4, MAX_PLANES]. Integer comparisons only, so
+# Spark and DuckDB can never disagree (a float log2 could straddle a ulp).
+
+
+def _m_col(n_vecs: Column) -> Column:
+    return ((n_vecs + F.lit(TARGET_BUCKET - 1)) / TARGET_BUCKET).cast("long")
+
+
+def _n_planes_col(m: Column) -> Column:
+    expr = None
+    for p in range(MAX_PLANES, 4, -1):
+        cond = m > (1 << (p - 1))
+        expr = F.when(cond, p) if expr is None else expr.when(cond, p)
+    return expr.otherwise(4)
+
+
+def _sql_n_planes(m: str) -> str:
+    whens = " ".join(
+        f"WHEN {m} > {1 << (p - 1)} THEN {p}" for p in range(MAX_PLANES, 4, -1)
+    )
+    return f"CASE {whens} ELSE 4 END"
+
+
+_SQL_M = f"((n_vecs + {TARGET_BUCKET - 1}) // {TARGET_BUCKET})"
+_SQL_P = _sql_n_planes(_SQL_M)
+
+
+def _bits_col(vec: Column, table: int) -> Column:
+    """Full MAX_PLANES-char bit string for one hash table; the adaptive
+    bucket is its length-n_planes prefix."""
+    planes = [
+        F.array(*[F.lit(float(v)) for v in _PLANES[table][p]])
+        for p in range(MAX_PLANES)
+    ]
+    bits = [
+        F.when(_dot(vec, planes[p]) >= 0.0, "1").otherwise("0")
+        for p in range(MAX_PLANES)
+    ]
+    return F.concat(*bits)
+
+
+def _sql_bits(table: int, vec: str = "embedding") -> str:
+    return " || ".join(
+        f"CASE WHEN {_sql_plane_dot(table, p, vec)} >= 0.0 THEN '1' ELSE '0' END"
+        for p in range(MAX_PLANES)
     )
 
 
@@ -91,31 +149,29 @@ LIMIT 10
 """
 
 
-def _bucket_bits(vec: Column) -> Column:
-    planes = [
-        F.array(*[F.lit(float(v)) for v in _PLANES[p]]) for p in range(N_PLANES)
-    ]
-    bits = [
-        F.when(_dot(vec, planes[p]) >= 0.0, "1").otherwise("0") for p in range(N_PLANES)
-    ]
-    return F.concat(*bits)
-
-
 def ann_lsh_bucketed(spark, sf):
     """ANN via random-hyperplane LSH: scan only the query vector's bucket,
-    exact cosine within it, top-5. The 100 TB plan: bucket once, probe one
-    (or few) buckets per query."""
-    emb = load(spark, sf, "embeddings").withColumn(
-        "bucket", _bucket_bits(F.col("embedding"))
+    exact cosine within it, top-5. The 100 TB plan: bucket once with a
+    corpus-size-adaptive plane count (broadcast scalar COUNT → integer
+    ladder), probe one (or few) buckets per query."""
+    emb = load(spark, sf, "embeddings")
+    n_df = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
+    bucketed = (
+        emb.crossJoin(F.broadcast(n_df))
+        .withColumn("p", _n_planes_col(_m_col(F.col("n_vecs"))))
+        .withColumn(
+            "bucket",
+            _bits_col(F.col("embedding"), 0).substr(F.lit(1), F.col("p")),
+        )
     )
-    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+    q = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("q_embedding"), F.col("bucket").alias("q_bucket")
     )
     cos = _dot(F.col("embedding"), F.col("q_embedding")) / (
         _norm(F.col("embedding")) * _norm(F.col("q_embedding"))
     )
     return (
-        emb.join(F.broadcast(q), emb.bucket == F.col("q_bucket"))
+        bucketed.join(F.broadcast(q), bucketed.bucket == F.col("q_bucket"))
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .select("vec_id", "label", "bucket", cos.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
@@ -123,14 +179,12 @@ def ann_lsh_bucketed(spark, sf):
     )
 
 
-_BUCKET_SQL = " || ".join(
-    f"CASE WHEN {_sql_plane_dot(p)} >= 0.0 THEN '1' ELSE '0' END"
-    for p in range(N_PLANES)
-)
-
 ANN_LSH_SQL = f"""
-WITH bucketed AS (
-  SELECT vec_id, label, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+WITH n AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
+bucketed AS (
+  SELECT vec_id, label, embedding,
+         substr({_sql_bits(0)}, 1, {_SQL_P}) AS bucket
+  FROM embeddings, n
 ),
 q AS (SELECT embedding AS q_embedding, bucket AS q_bucket FROM bucketed
       WHERE vec_id = {QUERY_VEC_ID})
@@ -145,22 +199,37 @@ LIMIT 5
 """
 
 
+def _unit_col() -> Column:
+    """embedding / nrm, divided out once per vector (requires `nrm` to be a
+    materialized column in the same projection's input — referencing the
+    norm expression inside the lambda would recompute it per element)."""
+    return F.transform(
+        F.col("embedding"), lambda x: x.cast("double") / F.col("nrm")
+    )
+
+
+_SQL_UNIT = "list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm)"
+
+
+def _sql_unit_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {DIM}), "
+        f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+
+
 def embedding_dedup_pairs(spark, sf):
     """Embedding-cosine near-duplicate pairs, brute-force baseline.
-    Threshold 0.45 (corpus max pairwise cosine is ~0.51). Norms are
-    computed ONCE per vector before the pair join — the per-pair work is a
-    single dot product."""
+    Threshold 0.45 (corpus max pairwise cosine is ~0.51). Vectors are
+    pre-normalized to unit length ONCE — the per-pair work is a single dot
+    product, no norms or divisions in the join."""
     emb = load(spark, sf, "embeddings")
     normed = emb.select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
-    )
-    a = normed.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
-    )
-    b = normed.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb")
-    )
-    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    ).select("vec_id", _unit_col().alias("unit"))
+    a = normed.select(F.col("vec_id").alias("vec_a"), F.col("unit").alias("ua"))
+    b = normed.select(F.col("vec_id").alias("vec_b"), F.col("unit").alias("ub"))
+    cos = _dot(F.col("ua"), F.col("ub"))
     return (
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -170,63 +239,144 @@ def embedding_dedup_pairs(spark, sf):
     )
 
 
-EMB_DEDUP_NORMED_CTE = f"""
-normed AS (
+EMB_NORMED_CTE = f"""
+pre AS (
   SELECT vec_id, embedding, sqrt({_sql_dot("embedding", "embedding")}) AS nrm
   FROM embeddings
-)
+),
+normed AS (SELECT vec_id, {_SQL_UNIT} AS unit FROM pre)
 """
 
 EMB_DEDUP_SQL = f"""
-WITH {EMB_DEDUP_NORMED_CTE}
+WITH {EMB_NORMED_CTE}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       {_sql_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+       {_sql_unit_dot("a.unit", "b.unit")} AS cosine
 FROM normed a JOIN normed b ON a.vec_id < b.vec_id
-WHERE {_sql_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.45
+WHERE {_sql_unit_dot("a.unit", "b.unit")} >= 0.45
 ORDER BY vec_a, vec_b
 """
 
 
+def _lsh_features_fn(it):
+    """Arrow-batched unit vectors + full hyperplane bit strings.
+
+    Bit-identical to the declarative fold expressions (`_bits_col`,
+    `_unit_col`): element products are float64 IEEE multiplies in both, and
+    ``np.cumsum`` accumulates strictly left-to-right — the same addition
+    order as ``F.aggregate``'s left fold — so every dot (and thus every
+    sign bit and unit component) matches the DuckDB oracle exactly.
+    Vectorized numpy beats ~50 interpreted higher-order-function dots per
+    row by orders of magnitude; this is the 100 TB hot path.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    P = np.asarray(_PLANES, dtype=np.float64)  # (T, MAX_PLANES, DIM)
+    names_out = ["vec_id", "unit"] + [f"bits{t}" for t in range(N_TABLES)]
+    for batch in it:
+        idx = {n: i for i, n in enumerate(batch.schema.names)}
+        vec_id = batch.column(idx["vec_id"])
+        flat = batch.column(idx["embedding"]).flatten().to_numpy(zero_copy_only=False)
+        e = flat.astype(np.float64).reshape(-1, DIM)
+        nb = e.shape[0]
+        nrm = np.sqrt(np.cumsum(e * e, axis=1)[:, -1])
+        unit = e / nrm[:, None]
+        offsets = pa.array(np.arange(0, (nb + 1) * DIM, DIM, dtype=np.int32))
+        arrays = [vec_id, pa.ListArray.from_arrays(offsets, pa.array(unit.ravel()))]
+        for t in range(N_TABLES):
+            bits_mat = np.empty((nb, MAX_PLANES), dtype="<U1")
+            for p_i in range(MAX_PLANES):
+                dots = np.cumsum(e * P[t, p_i][None, :], axis=1)[:, -1]
+                bits_mat[:, p_i] = np.where(dots >= 0.0, "1", "0")
+            arrays.append(pa.array(["".join(row) for row in bits_mat], type=pa.string()))
+        yield pa.RecordBatch.from_arrays(arrays, names=names_out)
+
+
+def lsh_features(emb):
+    """(vec_id, unit, bits0..bits{N_TABLES-1}) via one Arrow-batched pass."""
+    schema = "vec_id long, unit array<double>, " + ", ".join(
+        f"bits{t} string" for t in range(N_TABLES)
+    )
+    return emb.select("vec_id", "embedding").mapInArrow(_lsh_features_fn, schema)
+
+
 def embedding_dedup_lsh(spark, sf):
-    """Scale path for embedding near-dup: hyperplane-LSH bucket the corpus
-    once, then exact cosine only within buckets — pair candidates drop by
-    ~the bucket count (16 here; more planes at larger corpora). Same
-    threshold as the brute-force baseline, so results are its subset."""
+    """Scale path for embedding near-dup: N_TABLES independent hyperplane
+    hash tables (banding — recall survives plane growth), adaptive plane
+    count (buckets ∝ corpus via the broadcast-COUNT integer ladder), exact
+    unit-vector cosine only on the deduplicated candidate pairs. Same
+    threshold as the brute-force baseline, so results are its subset.
+    Signatures come from the Arrow-batched numpy pass (`lsh_features`),
+    proven bit-identical to the fold expressions in tests."""
     emb = load(spark, sf, "embeddings")
-    normed = emb.select(
-        "vec_id",
-        "embedding",
-        _norm(F.col("embedding")).alias("nrm"),
-        _bucket_bits(F.col("embedding")).alias("bucket"),
+    n_df = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
+    feats = lsh_features(emb)
+    units = feats.select("vec_id", "unit")
+    # one posexplode pass — NOT an N_TABLES-way union that would
+    # re-evaluate the feature pass per table
+    buckets = (
+        feats.select("vec_id", *[f"bits{t}" for t in range(N_TABLES)])
+        .crossJoin(F.broadcast(n_df))
+        .withColumn("p", _n_planes_col(_m_col(F.col("n_vecs"))))
+        .select(
+            "vec_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.col(f"bits{t}").substr(F.lit(1), F.col("p"))
+                        for t in range(N_TABLES)
+                    ]
+                )
+            ).alias("table_id", "bucket"),
+        )
     )
-    a = normed.select(
-        F.col("bucket"), F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
-    )
-    b = normed.select(
-        F.col("bucket"), F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
-    )
-    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, "bucket")
+    a = buckets.select("table_id", "bucket", F.col("vec_id").alias("vec_a"))
+    b = buckets.select("table_id", "bucket", F.col("vec_id").alias("vec_b"))
+    cands = (
+        a.join(b, ["table_id", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("bucket", "vec_a", "vec_b", cos.alias("cosine"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ua = units.select(F.col("vec_id").alias("vec_a"), F.col("unit").alias("ua"))
+    ub = units.select(F.col("vec_id").alias("vec_b"), F.col("unit").alias("ub"))
+    cos = _dot(F.col("ua"), F.col("ub"))
+    return (
+        cands.join(ua, "vec_a")
+        .join(ub, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.45)
         .orderBy("vec_a", "vec_b")
     )
 
 
-EMB_DEDUP_LSH_SQL = f"""
-WITH normed AS (
-  SELECT vec_id, embedding, sqrt({_sql_dot("embedding", "embedding")}) AS nrm,
-         {_BUCKET_SQL} AS bucket
-  FROM embeddings
+_LSH_BUCKET_COLS = ", ".join(
+    f"substr({_sql_bits(t)}, 1, {_SQL_P}) AS bucket{t}" for t in range(N_TABLES)
 )
-SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
-       {_sql_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
-FROM normed a JOIN normed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE {_sql_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.45
+_LSH_BUCKET_UNION = "\nUNION ALL\n".join(
+    f"SELECT vec_id, {t} AS table_id, bucket{t} AS bucket FROM normed"
+    for t in range(N_TABLES)
+)
+
+EMB_DEDUP_LSH_SQL = f"""
+WITH n AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
+pre AS (
+  SELECT vec_id, embedding, sqrt({_sql_dot("embedding", "embedding")}) AS nrm,
+         {_LSH_BUCKET_COLS}
+  FROM embeddings, n
+),
+normed AS (SELECT vec_id, {_SQL_UNIT} AS unit, {", ".join(f"bucket{t}" for t in range(N_TABLES))} FROM pre),
+buckets AS ({_LSH_BUCKET_UNION}),
+cands AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b USING (table_id, bucket)
+  WHERE a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, {_sql_unit_dot("ua.unit", "ub.unit")} AS cosine
+FROM cands
+JOIN normed ua ON ua.vec_id = vec_a
+JOIN normed ub ON ub.vec_id = vec_b
+WHERE {_sql_unit_dot("ua.unit", "ub.unit")} >= 0.45
 ORDER BY vec_a, vec_b
 """
 

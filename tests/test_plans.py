@@ -41,7 +41,17 @@ def test_lsh_paths_avoid_cartesian(spark):
     for name in ("minhash_lsh_candidates", "embedding_dedup_lsh"):
         p = plan_of(spark, name)
         assert "CartesianProduct" not in p, name
-        assert "BroadcastNestedLoopJoin" not in p, name
+        # the candidate pair join must be hash/merge-based, never nested-loop
+        assert any(
+            j in p for j in ("ShuffledHashJoin", "SortMergeJoin", "BroadcastHashJoin")
+        ), name
+        # the only nested-loops allowed are 1-row scalar-count attaches
+        # (crossJoin(broadcast(agg(count))) feeding the adaptive plane
+        # ladder) — one per self-join side
+        import re
+
+        bnlj_ops = set(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p))
+        assert len(bnlj_ops) <= (2 if name == "embedding_dedup_lsh" else 0), name
 
 
 def test_brute_force_pair_scan_is_explicit_cross(spark):
