@@ -18,6 +18,46 @@ from dataset_dedupe_estimator_spark import get_spark  # noqa: E402
 from dataset_dedupe_estimator_spark.queries import REGISTRY  # noqa: E402
 
 
+def chunker_mb_s(n_mib: int = 48) -> float:
+    """Single-core CDC chunker throughput (MB/s) over a deterministic blob.
+
+    The Python chunker is the real 100 TB cost driver (the reference's Rust
+    core runs at GB/s); track it round-over-round so regressions are
+    visible. Measures the full per-chunk pipeline an executor core runs:
+    boundary detection + identity hash + compressibility probe.
+    """
+    import tempfile
+
+    import numpy as np
+
+    from dataset_dedupe_estimator_spark.operators.chunker import (
+        ChunkerParams,
+        _compressed_size,
+        _hash64,
+        _iter_file_chunks,
+    )
+
+    rng = np.random.default_rng(12345)
+    # half incompressible, half structured/repetitive — a realistic mix for
+    # both the boundary scan and the zlib probe
+    rand = rng.integers(0, 256, n_mib * 1024 * 512, dtype=np.uint8).tobytes()
+    text = (b"the quick brown fox jumps over the lazy dog 0123456789\n" * 256)
+    blob = rand + text * (n_mib * 1024 * 512 // len(text) + 1)
+    blob = blob[: n_mib * 1024 * 1024]
+    params = ChunkerParams()
+    with tempfile.NamedTemporaryFile() as f:
+        f.write(blob)
+        f.flush()
+        for _ in _iter_file_chunks(f.name, params):  # warm allocator/tables
+            break
+        t0 = time.perf_counter()
+        for _off, chunk in _iter_file_chunks(f.name, params):
+            _hash64(chunk)
+            _compressed_size(chunk, params.compress_probe_bytes)
+        dt = time.perf_counter() - t0
+    return round(n_mib * 1024 * 1024 / dt / 1e6, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -54,6 +94,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "chunker_mb_s": chunker_mb_s(),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -127,14 +127,15 @@ def _boundary_candidates(buf: np.ndarray, params: ChunkerParams) -> np.ndarray:
     if n <= w:
         return np.empty(0, dtype=np.int64)
     g = _gear_table(params.seed)[buf]
-    # top `mask_bits` bits == 0  <=>  value & mask == 0 (bit-identical to
-    # the unsigned formulation: (x >> (64-mask_bits)) == 0)
-    mask = np.int64(np.uint64(((1 << params.mask_bits) - 1) << (64 - params.mask_bits)).astype(np.int64))
     with np.errstate(over="ignore"):
         s = np.cumsum(g, dtype=np.int64)
-        rolled = s[w:] - s[:-w]  # window sums ending at index w..n-1
-        mixed = rolled * _MIX
-        cand = np.nonzero((mixed & mask) == 0)[0]
+        rolled = np.subtract(s[w:], s[:-w])  # window sums ending at w..n-1
+        np.multiply(rolled, _MIX, out=rolled)
+        # top `mask_bits` bits == 0  <=>  unsigned value < 2^(64-mask_bits):
+        # one SIMD comparison pass instead of and+eq (the view is free)
+        cand = np.nonzero(
+            rolled.view(np.uint64) < np.uint64(1 << (64 - params.mask_bits))
+        )[0]
     # candidate i corresponds to a cut *after* byte index i + w (cut position
     # i + w + 1 in exclusive-offset terms)
     return (cand + w + 1).astype(np.int64)

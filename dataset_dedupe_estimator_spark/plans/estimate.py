@@ -29,17 +29,36 @@ from dataset_dedupe_estimator_spark.operators.chunker import (
 )
 
 
-def dedup_map(chunks: DataFrame) -> DataFrame:
+# A chunk shared by millions of files (e.g. a zero page) must not produce a
+# multi-megabyte provenance row: keep the first K file indices plus the
+# exact cardinality (SURVEY §7.4 risk 7).
+PROVENANCE_CAP = 64
+
+# Default chunker parameterization for *estimates*: the zlib probe reads at
+# most 16 KiB per chunk and scales (ChunkerParams.compress_probe_bytes) —
+# dedup_ratio is unaffected (it never touches `compressed`), only
+# compressed_chunk_bytes becomes a sampled estimate. The probe is ~30% of
+# chunker CPU at full fidelity; at 100 TB that is fleet-sized money. Pass
+# ChunkerParams() explicitly for exact compressed accounting.
+ESTIMATE_PARAMS = ChunkerParams(compress_probe_bytes=16 * 1024)
+
+
+def dedup_map(chunks: DataFrame, provenance_cap: int = PROVENANCE_CAP) -> DataFrame:
     """Merged chunk store with provenance (C5, src/store.rs:114-130).
 
     One row per distinct hash: size/compressed (identical across
-    occurrences), first_seen_in = min file index, seen_in = set of files.
+    occurrences), first_seen_in = min file index, seen_in = the first
+    ``provenance_cap`` file indices, n_files_seen = exact distinct-file
+    count (use this, never ``size(seen_in)``, for cardinality).
     """
     return chunks.groupBy("hash").agg(
         F.first("size").alias("size"),
         F.first("compressed").alias("compressed"),
         F.min("file_idx").alias("first_seen_in"),
-        F.array_sort(F.collect_set("file_idx")).alias("seen_in"),
+        F.slice(F.array_sort(F.collect_set("file_idx")), 1, provenance_cap).alias(
+            "seen_in"
+        ),
+        F.countDistinct("file_idx").alias("n_files_seen"),
     )
 
 
@@ -81,7 +100,7 @@ def segments(chunks: DataFrame) -> DataFrame:
 def estimate(
     spark: SparkSession,
     paths: list[str],
-    params: ChunkerParams = ChunkerParams(),
+    params: ChunkerParams = ESTIMATE_PARAMS,
     xet_params: ChunkerParams = XET_PARAMS,
     with_xet: bool = True,
 ) -> dict:
@@ -117,7 +136,7 @@ def estimate(
     return out
 
 
-def estimate_df(spark: SparkSession, paths: list[str], params: ChunkerParams = ChunkerParams()) -> DataFrame:
+def estimate_df(spark: SparkSession, paths: list[str], params: ChunkerParams = ESTIMATE_PARAMS) -> DataFrame:
     """DataFrame-valued estimate (no collect): one row of dedup metrics."""
     chunks = chunk_files(spark, paths, params=params)
     return chunk_stats(chunks).select(

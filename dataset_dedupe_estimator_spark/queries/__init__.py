@@ -17,12 +17,13 @@ from dataset_dedupe_estimator_spark.queries import (  # noqa: E402
     events,
     relational,
     similarity,
+    synthetic_e2e,
     synthetic_sql,
     text_analysis,
 )
 
 REGISTRY: dict[str, Q] = {}
-for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthetic_sql, advanced, core_cdc):
+for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthetic_sql, synthetic_e2e, advanced, core_cdc):
     overlap = REGISTRY.keys() & _mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")
@@ -45,6 +46,8 @@ _FRONT = [
     "token_bpe_ish",
     "rolling_hash_fingerprint",
     "format_compare_demo",
+    # new in round 2: the real DataGenerator under the oracle gate
+    "synthetic_generator_e2e",
 ]
 _TAIL = [
     # driver-green in round 1, stable, locally re-verified each round

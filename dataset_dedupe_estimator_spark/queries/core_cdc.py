@@ -63,7 +63,7 @@ def cdc_provenance(spark, sf):
     chunks = chunk_files(spark, _paths(sf))
     return (
         dedup_map(chunks)
-        .select(F.size("seen_in").alias("n_files_sharing"))
+        .select(F.col("n_files_seen").alias("n_files_sharing"))
         .groupBy("n_files_sharing")
         .agg(F.count(F.lit(1)).alias("n_chunks"))
         .orderBy("n_files_sharing")

@@ -88,6 +88,71 @@ def _single_file_write(df: DataFrame, writer_fmt: str, options: dict, dest: Path
     return dest
 
 
+def _arrow_partition_writer(dest_dir: str, compression: str, cdc_options: dict | None):
+    """Executor-side parquet writer: each task streams its Arrow batches
+    through a pyarrow ParquetWriter (optionally content-defined-chunking)
+    and yields one (path, n_rows) row. Nothing is collected to the driver
+    except the tiny manifest — this is the 100 TB write path."""
+
+    def fn(batches):
+        import os as _os
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = _os.path.join(dest_dir, f"part-{pid:05d}.parquet")
+        kwargs = {}
+        if cdc_options is not None:
+            kwargs["use_content_defined_chunking"] = cdc_options
+        writer = None
+        n = 0
+        try:
+            for batch in batches:
+                if writer is None:
+                    writer = _pq.ParquetWriter(
+                        path, batch.schema, compression=compression, **kwargs
+                    )
+                writer.write_batch(batch)
+                n += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is not None:
+            yield _pa.RecordBatch.from_pydict({"path": [path], "n_rows": [n]})
+
+    return fn
+
+
+def write_parquet_distributed(
+    df: DataFrame,
+    dest_dir: Union[str, Path],
+    compression: str = "snappy",
+    cdc: "CdcParams | None" = None,
+) -> list[tuple[str, int]]:
+    """Write a DataFrame as one pyarrow-written parquet file per partition.
+
+    Used for writer features Spark's native sink lacks (content-defined
+    chunking, de/formats.py:84-130). Returns the (path, row_count)
+    manifest. ``dest_dir`` must be reachable from executors (local FS in
+    local mode; shared storage on a cluster)."""
+    dest_dir = str(dest_dir)
+    os.makedirs(dest_dir, exist_ok=True)
+    cdc_options = None
+    if cdc is not None:
+        cdc_options = {
+            "min_chunk_size": cdc.min_chunk_size,
+            "max_chunk_size": cdc.max_chunk_size,
+            "norm_level": cdc.norm_level,
+        }
+    manifest = df.mapInArrow(
+        _arrow_partition_writer(dest_dir, compression, cdc_options),
+        "path string, n_rows long",
+    ).collect()
+    return [(r.path, r.n_rows) for r in manifest]
+
+
 def sanity_check(spark: SparkSession, src: DataFrame, written: DataFrame) -> None:
     """Reference de/formats.py:116-129: row count + schema must survive."""
     if [f.name for f in src.schema.fields] != [f.name for f in written.schema.fields]:
@@ -198,17 +263,17 @@ class CdcParquetFormat(FileFormat):
         df = _resolve(spark, src)
         dest = self.derive_path(stem, directory)
         dest.parent.mkdir(parents=True, exist_ok=True)
-        table = df.toArrow()
-        pq.write_table(
-            table,
-            dest,
-            compression=self.compression,
-            use_content_defined_chunking={
-                "min_chunk_size": self.cdc.min_chunk_size,
-                "max_chunk_size": self.cdc.max_chunk_size,
-                "norm_level": self.cdc.norm_level,
-            },
+        # executor-side pyarrow write (write_parquet_distributed) — the
+        # table is never materialized on the driver; coalesce(1) for the
+        # estimator's single-file accounting unit
+        tmp = str(dest) + ".spark-tmp"
+        manifest = write_parquet_distributed(
+            df.coalesce(1), tmp, compression=self.compression, cdc=self.cdc
         )
+        if len(manifest) != 1:
+            raise RuntimeError(f"expected one part file in {tmp}, got {manifest}")
+        shutil.move(manifest[0][0], dest)
+        shutil.rmtree(tmp)
         sanity_check(spark, df, spark.read.parquet(str(dest)))
         return dest
 

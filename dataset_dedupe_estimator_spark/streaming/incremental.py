@@ -94,13 +94,17 @@ def streaming_dedup(
     ts_col: str = "ts",
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """Streaming exact dedup: drop duplicate keys within the watermark
+    """Streaming exact dedup: drop duplicate *keys* within the watermark
     horizon (state is bounded — duplicates older than the watermark are
     forgotten, the standard at-scale trade-off for unbounded streams).
 
+    ``dropDuplicatesWithinWatermark`` dedups on the keys alone, so a
+    re-delivered document with a different arrival timestamp is still
+    dropped (plain ``dropDuplicates([*keys, ts])`` would keep it).
+
     The batch form is dedup_keep_first; this is its streaming sibling for
     ingest pipelines (e.g. re-delivered documents)."""
-    return events.withWatermark(ts_col, watermark).dropDuplicates([*keys, ts_col])
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
 def windowed_event_counts(

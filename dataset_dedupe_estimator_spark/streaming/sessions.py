@@ -47,13 +47,37 @@ OUTPUT_SCHEMA = StructType(
 )
 
 
+_OUT_COLS = [
+    "user_id",
+    "session_start_us",
+    "session_end_us",
+    "n_events",
+    "value_cents",
+]
+
+
 def _sessionize_group(
     key: tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
     gap_us: int,
+    idle_timeout_ms: int | None,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
+
+    if state.hasTimedOut:
+        # no events for this user within the idle timeout: flush the open
+        # session so quiescent users don't hold state forever
+        if state.exists:
+            start_us, last_us, n_events, value_cents = state.get
+            state.remove()
+            if start_us is not None:
+                yield pd.DataFrame(
+                    [(user_id, start_us, last_us, n_events, value_cents)],
+                    columns=_OUT_COLS,
+                )
+        return
+
     if state.exists:
         start_us, last_us, n_events, value_cents = state.get
     else:
@@ -75,25 +99,33 @@ def _sessionize_group(
             value_cents += cents_
 
     state.update((start_us, last_us, n_events, value_cents))
+    if idle_timeout_ms is not None:
+        state.setTimeoutDuration(idle_timeout_ms)
     if closed:
-        yield pd.DataFrame(
-            closed,
-            columns=[
-                "user_id",
-                "session_start_us",
-                "session_end_us",
-                "n_events",
-                "value_cents",
-            ],
-        )
+        yield pd.DataFrame(closed, columns=_OUT_COLS)
 
 
-def stateful_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def stateful_sessionize(
+    events: DataFrame, gap_minutes: int = 30, idle_timeout_minutes: float | None = None
+) -> DataFrame:
     """events (streaming: user_id long, ts timestamp, value double,
-    event_id long) → closed sessions, state carried across micro-batches."""
+    event_id long) → closed sessions, state carried across micro-batches.
+
+    ``idle_timeout_minutes`` bounds state for continuous deployments: a
+    user idle for that much *processing time* has their open session
+    flushed via the ProcessingTimeTimeout branch, so quiescent users don't
+    hold state forever. Default ``None`` keeps NoTimeout semantics — a
+    finite run (``trigger(availableNow=True)``) must use that, because
+    Spark will not terminate an availableNow query while registered
+    processing-time timeouts are still pending."""
     from pyspark.sql import functions as F
 
     gap_us = gap_minutes * 60 * 1_000_000
+    idle_timeout_ms = (
+        int(idle_timeout_minutes * 60 * 1000)
+        if idle_timeout_minutes is not None
+        else None
+    )
     prepared = events.select(
         "user_id",
         F.unix_micros(F.col("ts")).alias("ts_us"),
@@ -102,12 +134,16 @@ def stateful_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
     def fn(key, pdfs, state):
-        return _sessionize_group(key, pdfs, state, gap_us)
+        return _sessionize_group(key, pdfs, state, gap_us, idle_timeout_ms)
 
     return prepared.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

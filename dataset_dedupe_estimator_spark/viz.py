@@ -124,7 +124,7 @@ def multidoc_diff_html(chunks: DataFrame) -> str:
     encodes shared (chunk seen in >1 file) vs unique chunks."""
     from dataset_dedupe_estimator_spark.plans.estimate import dedup_map
 
-    prov = dedup_map(chunks).select("hash", F.size("seen_in").alias("n_files"))
+    prov = dedup_map(chunks).select("hash", F.col("n_files_seen").alias("n_files"))
     rows = (
         chunks.join(F.broadcast(prov), "hash")
         .select("file_idx", "path", "seq", "size", "n_files")

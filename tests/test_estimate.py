@@ -53,6 +53,16 @@ def test_dedup_map_provenance(spark, two_identical):
     rows = dm.collect()
     assert all(r.first_seen_in == 0 for r in rows)  # file 0 wins (min file_idx)
     assert all(list(r.seen_in) == [0, 1] for r in rows)
+    assert all(r.n_files_seen == 2 for r in rows)
+
+
+def test_dedup_map_provenance_cap(spark, two_identical):
+    # seen_in row width is bounded by the cap; the exact cardinality
+    # survives in n_files_seen (SURVEY §7.4 risk 7)
+    chunks = chunk_files(spark, two_identical)
+    rows = dedup_map(chunks, provenance_cap=1).collect()
+    assert all(list(r.seen_in) == [0] for r in rows)
+    assert all(r.n_files_seen == 2 for r in rows)
 
 
 def test_segments_order(spark, two_identical):

@@ -108,6 +108,32 @@ def test_cdc_format_gated(spark, small_df, tmp_path):
             CdcParquetFormat().write(spark, "t", small_df, tmp_path)
 
 
+def test_distributed_arrow_writer_roundtrip(spark, tmp_path):
+    # the executor-side pyarrow write path the CDC format routes through
+    # (one file per partition, manifest back to the driver) — exercised
+    # without CDC options since this pyarrow lacks them
+    from dataset_dedupe_estimator_spark.sources.formats import (
+        write_parquet_distributed,
+    )
+
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v").repartition(3)
+    manifest = write_parquet_distributed(df, tmp_path / "out", compression="zstd")
+    assert len(manifest) == 3
+    assert sum(n for _, n in manifest) == 1000
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == 1000
+    assert sorted(r.v for r in back.collect()) == sorted(2 * i for i in range(1000))
+
+
+def test_cdc_write_path_has_no_driver_toarrow():
+    # the scale contract: no df.toArrow() anywhere in the write machinery
+    import inspect as _inspect
+
+    from dataset_dedupe_estimator_spark.sources import formats as m
+
+    assert "toArrow" not in _inspect.getsource(m)
+
+
 def test_default_formats():
     fmts = default_formats(with_json=True, with_sqlite=True)
     names = [f.name for f in fmts]

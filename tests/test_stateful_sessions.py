@@ -57,3 +57,37 @@ def test_stateful_sessionize_across_batches(spark, tmp_path):
     assert r.value_cents == 300
     # session spanned 10:00 -> 10:10 UTC
     assert r.session_end_us - r.session_start_us == 10 * 60 * 1_000_000
+
+
+def test_idle_timeout_flushes_open_session(spark, tmp_path):
+    """ProcessingTimeTimeout branch: a quiescent user's open session is
+    flushed without a later event. Needs a continuous trigger — Spark never
+    terminates an availableNow query while processing-time timeouts are
+    registered (documented in stateful_sessionize) — so the query is
+    stopped once the flush lands."""
+    import time
+
+    from dataset_dedupe_estimator_spark.streaming.sessions import stateful_sessionize
+
+    src = tmp_path / "src"
+    schema = _write_batch(spark, src, [(9, "2026-01-01 10:00:00", 1.5, 1)])
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        stateful_sessionize(stream, gap_minutes=30, idle_timeout_minutes=0.02)
+        .writeStream.format("memory")
+        .queryName("idle_flush_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline and not rows:
+            rows = spark.sql("SELECT * FROM idle_flush_out").collect()
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    assert rows[0].user_id == 9 and rows[0].n_events == 1
+    assert rows[0].value_cents == 150

@@ -64,7 +64,8 @@ def test_streaming_dedup(spark, tmp_path):
         (1, "2026-01-01 10:00:00", "doc-a"),
         (1, "2026-01-01 10:00:00", "doc-a"),  # exact duplicate
         (2, "2026-01-01 10:05:00", "doc-b"),
-        (1, "2026-01-01 10:20:00", "doc-a"),  # same key, later ts → kept
+        (1, "2026-01-01 10:20:00", "doc-a"),  # re-delivery, different ts →
+        #   dropped too: dedup is key-only within the watermark horizon
     ]
     df = spark.createDataFrame(rows, "doc_key long, ts_s string, payload string").select(
         "doc_key", F.col("ts_s").cast("timestamp").alias("ts"), "payload"
@@ -81,7 +82,7 @@ def test_streaming_dedup(spark, tmp_path):
     )
     q.awaitTermination()
     out = spark.sql("SELECT doc_key, ts FROM dedup_out ORDER BY ts").collect()
-    assert len(out) == 3  # exact dup dropped; later re-delivery kept
+    assert sorted(r.doc_key for r in out) == [1, 2]  # one row per key
 
 
 def test_windowed_event_counts(spark, tmp_path):
