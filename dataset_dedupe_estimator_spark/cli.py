@@ -129,15 +129,26 @@ def cmd_param_impact(args) -> int:
 
 
 def cmd_page_chunks(args) -> int:
-    """`de page-chunks` (de/cli.py:273-307): physical-layout histogram."""
+    """`de page-chunks` (de/cli.py:273-307): physical-layout histogram.
+
+    ``--pages`` switches from column-chunk to true per-data-page
+    granularity (parquet-layout parity)."""
     from dataset_dedupe_estimator_spark.sources.pagemeta import (
         chunk_size_histogram,
         page_chunk_meta,
+        page_meta,
     )
 
     paths = [p for pat in args.files for p in sorted(glob.glob(pat))] or args.files
     spark = _spark(args)
-    meta = page_chunk_meta(spark, paths)
+    if getattr(args, "pages", False):
+        from pyspark.sql import functions as F
+
+        meta = page_meta(spark, paths).withColumnRenamed(
+            "uncompressed", "total_uncompressed"
+        ).filter(F.col("page_type").isin("data", "data_v2"))
+    else:
+        meta = page_chunk_meta(spark, paths)
     for r in chunk_size_histogram(meta, args.bucket).collect():
         bar = "#" * min(int(r.n_chunks), 80)
         print(f"{_humanize(r.bucket_start):>12} | {r.n_chunks:6d} {bar}")
@@ -207,6 +218,9 @@ def build_parser() -> argparse.ArgumentParser:
     pc = sub.add_parser("page-chunks", help="parquet layout histogram")
     pc.add_argument("files", nargs="+")
     pc.add_argument("--bucket", type=int, default=64 * 1024)
+    pc.add_argument(
+        "--pages", action="store_true", help="per-data-page granularity"
+    )
     pc.set_defaults(fn=cmd_page_chunks)
 
     sq = sub.add_parser("sql", help="run SQL over a testdata directory")

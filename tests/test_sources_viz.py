@@ -59,6 +59,33 @@ def test_page_chunk_meta(spark, parquet_paths):
     assert sum(r.n_chunks for r in hist) == len(rows)
 
 
+def test_page_meta_reconciles_with_footer(spark, parquet_paths):
+    """Per-data-page scan (Thrift header walk) must account for every byte
+    and every value the footer claims per column chunk."""
+    from pyspark.sql import functions as F
+
+    from dataset_dedupe_estimator_spark.sources.pagemeta import page_meta
+
+    keys = ["path", "row_group", "column_name"]
+    pages = page_meta(spark, parquet_paths)
+    per_chunk = pages.groupBy(*keys).agg(
+        (F.sum("compressed") + F.sum("header_bytes")).alias("page_total"),
+        F.sum(
+            F.when(F.col("page_type").isin("data", "data_v2"), F.col("num_values"))
+        ).alias("data_values"),
+    )
+    footer = page_chunk_meta(spark, parquet_paths).select(
+        *keys,
+        F.col("total_compressed").alias("footer_total"),
+        F.col("num_values").alias("footer_values"),
+    )
+    j = per_chunk.join(footer, keys).collect()
+    assert len(j) > 0
+    for r in j:
+        assert r.page_total == r.footer_total, r
+        assert r.data_values == r.footer_values, r
+
+
 def _check_png(path):
     data = open(path, "rb").read()
     assert data[:8] == b"\x89PNG\r\n\x1a\n"
