@@ -73,6 +73,25 @@ CHUNK_DDL = (
 class ChunkerParams:
     """CDC parameters; defaults mirror /root/reference/src/store.rs:11-13.
 
+    scheme: boundary function.
+      * ``"window"`` (default): numpy windowed-sum scheme — fastest
+        (~70 MB/s/core boundary scan), content-defined, same boundary
+        probability as gearhash, but not bit-identical to it.
+      * ``"gear"``: *exact* gearhash (``h = (h << 1) + gear[b]`` mod 2^64,
+        boundary when the top ``mask_bits`` bits are zero — the reference's
+        algorithm, src/store.rs:65-95 via the gearhash crate), vectorized
+        by log-doubling (the 64-byte window emerges from shifts ≥64
+        vanishing mod 2^64). Cut positions are bit-identical to the
+        reference for the same 256-entry table; the crate's DEFAULT_TABLE
+        constant is not vendored in this environment, so the default table
+        is seeded — pass the real one via ``ChunkerParams.gear_table`` (a
+        tuple of 256 ints) to reproduce reference boundaries exactly.
+        ~40 MB/s/core.
+
+    enforce_max: the reference *declares* MAX_LEN but does not enforce it
+    (src/store.rs:82 TODO); True (default) force-cuts at max_size for
+    bounded memory, False reproduces reference behavior.
+
     compress_probe_bytes: optional cap on bytes fed to the zlib
     compressibility probe per chunk; the compressed size is scaled by
     chunk_len/probe_len. The probe is ~30% of chunker CPU at full
@@ -87,6 +106,9 @@ class ChunkerParams:
     window: int = 64
     seed: int = 0x9E3779B9
     compress_probe_bytes: int | None = None
+    scheme: str = "window"
+    enforce_max: bool = True
+    gear_table: tuple[int, ...] | None = None  # 256 u64s; None → seeded
 
     @property
     def avg_size(self) -> int:
@@ -116,12 +138,63 @@ def _gear_table(seed: int) -> np.ndarray:
     return tbl
 
 
+def _user_gear_table(table: tuple[int, ...]) -> np.ndarray:
+    key = hash(table)
+    tbl = _GEAR_CACHE.get(key)
+    if tbl is None:
+        if len(table) != 256:
+            raise ValueError("gear_table must have exactly 256 entries")
+        tbl = np.array(table, dtype=np.uint64).view(np.int64)
+        _GEAR_CACHE[key] = tbl
+    return tbl
+
+
+_DOUBLING_TMP: dict[int, np.ndarray] = {}  # reused scratch, keyed by capacity
+
+
+def _gearhash_candidates(buf: np.ndarray, params: ChunkerParams) -> np.ndarray:
+    """Exact gearhash cut candidates (bit-identical to the serial
+    ``h = (h << 1) + gear[b]`` rolling hash for the same table).
+
+    The serial recurrence over the whole stream equals the 64-byte-window
+    hash because contributions shifted ≥64 bits vanish mod 2^64 — so it
+    vectorizes as 6 log-doubling passes:
+    ``T^(2s)[i] = (T^(s)[i-s] << s) + T^(s)[i]``.
+    """
+    n = buf.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    table = (
+        _user_gear_table(params.gear_table)
+        if params.gear_table is not None
+        else _gear_table(params.seed)
+    )
+    t = table[buf]
+    cap = max(n, 1 << 20)
+    tmp = _DOUBLING_TMP.get(0)
+    if tmp is None or tmp.shape[0] < n:
+        tmp = np.empty(cap, dtype=np.int64)
+        _DOUBLING_TMP[0] = tmp
+    with np.errstate(over="ignore"):
+        for s in (1, 2, 4, 8, 16, 32):
+            if s >= n:
+                break
+            np.left_shift(t[: n - s], s, out=tmp[: n - s])
+            np.add(t[s:], tmp[: n - s], out=t[s:])
+        cand = np.nonzero(
+            t.view(np.uint64) < np.uint64(1 << (64 - params.mask_bits))
+        )[0]
+    return (cand + 1).astype(np.int64)  # cut *after* the matching byte
+
+
 def _boundary_candidates(buf: np.ndarray, params: ChunkerParams) -> np.ndarray:
     """Positions p (exclusive chunk-end offsets) where content says 'cut'.
 
     Vectorized: gear lookup → windowed sum via cumsum → multiplicative mix →
     top-bit test. Returns candidate cut positions relative to buf start.
     """
+    if params.scheme == "gear":
+        return _gearhash_candidates(buf, params)
     w = params.window
     n = buf.shape[0]
     if n <= w:
@@ -148,18 +221,21 @@ def _cuts_from_candidates(n: int, candidates: np.ndarray, start: int, params: Ch
     chunk begins. Returns final cut positions within [0, n].
     """
     cuts: list[int] = []
+    enforce_max = params.enforce_max
     for c in candidates.tolist():
         # No candidate fell in (start+min, start+max] → force cuts at max.
-        while c - start > params.max_size:
-            start += params.max_size
-            cuts.append(start)
+        if enforce_max:
+            while c - start > params.max_size:
+                start += params.max_size
+                cuts.append(start)
         if c - start < params.min_size:
             continue
         cuts.append(int(c))
         start = int(c)
-    while n - start > params.max_size:
-        start += params.max_size
-        cuts.append(start)
+    if enforce_max:
+        while n - start > params.max_size:
+            start += params.max_size
+            cuts.append(start)
     return cuts
 
 

@@ -73,6 +73,66 @@ def test_streaming_crosses_block_boundaries(tmp_path):
     assert sum(s for _, s in streamed) == len(big)
 
 
+GEAR_P = ChunkerParams(scheme="gear")
+
+
+def serial_gearhash_cuts(data: bytes, table, mask_bits=16, min_size=8192):
+    """Byte-at-a-time gearhash exactly as the reference's hasher loop
+    (src/store.rs:65-95): h = (h << 1) + gear[b]; candidate when the top
+    mask_bits bits are zero; a candidate closer than min_size to the last
+    cut is absorbed into the next chunk. No max enforcement."""
+    mask = ((1 << mask_bits) - 1) << (64 - mask_bits)
+    h, cuts, start = 0, [], 0
+    tl = [int(x) for x in table]
+    for i, b in enumerate(data):
+        h = ((h << 1) + tl[b]) & 0xFFFFFFFFFFFFFFFF
+        if h & mask == 0 and i + 1 - start >= min_size:
+            cuts.append(i + 1)
+            start = i + 1
+    return cuts
+
+
+def test_gearhash_bit_identical_to_serial():
+    from dataset_dedupe_estimator_spark.operators.chunker import _gear_table
+
+    p = ChunkerParams(scheme="gear", enforce_max=False)
+    table = _gear_table(p.seed).view(np.uint64)
+    data = DATA[:1_000_000]
+    expected = serial_gearhash_cuts(data, table, p.mask_bits, p.min_size)
+    got = [o + s for o, s in chunk_bytes(data, p)][:-1]  # drop the tail cut
+    assert got == expected
+
+
+def test_gearhash_user_table():
+    # pluggable table (the path a user takes to reproduce the reference's
+    # DEFAULT_TABLE boundaries exactly)
+    table = tuple(
+        int(x) for x in np.random.default_rng(99).integers(0, 2**64, 256, dtype=np.uint64)
+    )
+    p = ChunkerParams(scheme="gear", enforce_max=False, gear_table=table)
+    data = DATA[:500_000]
+    expected = serial_gearhash_cuts(data, table, p.mask_bits, p.min_size)
+    got = [o + s for o, s in chunk_bytes(data, p)][:-1]
+    assert got == expected
+
+
+def test_gearhash_streaming_matches_in_memory(tmp_path):
+    big = (DATA * 3)[: 10 * 1024 * 1024]
+    path = tmp_path / "gear.bin"
+    path.write_bytes(big)
+    streamed = [(o, len(c)) for o, c in _iter_file_chunks(str(path), GEAR_P)]
+    assert streamed == chunk_bytes(big, GEAR_P)
+    assert sum(s for _, s in streamed) == len(big)
+
+
+def test_gearhash_coverage_and_bounds():
+    chunks = chunk_bytes(DATA, GEAR_P)
+    sizes = [s for _, s in chunks]
+    assert sum(sizes) == len(DATA)
+    assert all(s <= GEAR_P.max_size for s in sizes)
+    assert all(s >= GEAR_P.min_size for s in sizes[:-1])
+
+
 def test_hash64_range():
     h = _hash64(b"hello world")
     assert -(2**63) <= h < 2**63
