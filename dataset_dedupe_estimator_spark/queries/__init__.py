@@ -46,8 +46,10 @@ _FRONT = [
     "token_bpe_ish",
     "rolling_hash_fingerprint",
     "format_compare_demo",
-    # new in round 2: the real DataGenerator under the oracle gate
+    # new in round 2: the real DataGenerator under the oracle gate, and
+    # connected-components dedup groups
     "synthetic_generator_e2e",
+    "dedup_near_groups",
 ]
 _TAIL = [
     # driver-green in round 1, stable, locally re-verified each round

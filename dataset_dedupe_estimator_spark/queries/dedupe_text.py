@@ -245,16 +245,9 @@ FROM hashed GROUP BY doc_id ORDER BY doc_id
 """
 
 
-def minhash_lsh_candidates(spark, sf):
-    """LSH banding over MinHash signatures → candidate near-dup pairs.
-
-    bands of {N_MINHASH // N_BANDS} rows; pair emitted when any band key
-    collides. This is the scale path: candidates-only, no quadratic scan.
-    The band keys explode from ONE pass over the signature aggregate
-    (posexplode, not a 4-way union that would re-evaluate the agg), and
-    the self-join's two sides share the signature shuffle via Spark's
-    exchange reuse.
-    """
+def _minhash_candidate_pairs(spark, sf):
+    """Unsorted LSH candidate-pair plan — composition building block (the
+    group-forming query must not inherit a global sort)."""
     sig = _minhash_sig(spark, sf)
     rows = N_MINHASH // N_BANDS
     band_keys = F.array(
@@ -277,8 +270,20 @@ def minhash_lsh_candidates(spark, sf):
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
+
+
+def minhash_lsh_candidates(spark, sf):
+    """LSH banding over MinHash signatures → candidate near-dup pairs.
+
+    bands of {N_MINHASH // N_BANDS} rows; pair emitted when any band key
+    collides. This is the scale path: candidates-only, no quadratic scan.
+    The band keys explode from ONE pass over the signature aggregate
+    (posexplode, not a 4-way union that would re-evaluate the agg), and
+    the self-join's two sides share the signature shuffle via Spark's
+    exchange reuse.
+    """
+    return _minhash_candidate_pairs(spark, sf).orderBy("doc_a", "doc_b")
 
 
 _BAND_SELECTS = "\nUNION ALL\n".join(
@@ -368,6 +373,54 @@ FROM events GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY row_hash
 """
 
 
+def dedup_near_groups(spark, sf):
+    """Near-duplicate *clusters*: MinHash-LSH candidate pairs → distributed
+    connected components (operators/components.py) → one row per duplicate
+    group (component = min doc_id, member count). This is the full
+    production dedup shape — pairs alone can't answer "keep one per
+    cluster" when duplicates chain (A~B, B~C but A≁C).
+
+    The Spark side runs the real iterative operator (pointer-jumping label
+    propagation); the oracle reproduces the fixpoint with a recursive CTE
+    (min label = min reachable vertex)."""
+    from dataset_dedupe_estimator_spark.operators.components import (
+        component_summary,
+        connected_components,
+    )
+
+    edges = _minhash_candidate_pairs(spark, sf)
+    labels = connected_components(edges, src="doc_a", dst="doc_b")
+    return component_summary(labels).select(
+        "component", F.col("n_members").alias("n_docs")
+    )
+
+
+DEDUP_NEAR_GROUPS_SQL = f"""
+WITH RECURSIVE {SHINGLES_CTE},
+{_BASED_CTE},
+hashed AS (SELECT doc_id, {_HASH_COLS} FROM based),
+sig AS (SELECT doc_id, {_MH_COLS} FROM hashed GROUP BY doc_id),
+bands AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_id, band_key)
+  WHERE a.doc_id < b.doc_id
+),
+und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION SELECT doc_b, doc_a FROM cand
+),
+reach(v, c) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.dst, r.c FROM und u JOIN reach r ON u.src = r.v
+),
+comp AS (SELECT v, MIN(c) AS component FROM reach GROUP BY v)
+SELECT component, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM comp GROUP BY component ORDER BY component
+"""
+
+
 KMV_K = 8
 
 
@@ -428,5 +481,6 @@ QUERIES = {
     "minhash_signatures": Q(minhash_signatures, MINHASH_SIG_SQL),
     "minhash_lsh_candidates": Q(minhash_lsh_candidates, MINHASH_LSH_SQL, headline=True),
     "simhash_signatures": Q(simhash_signatures, SIMHASH_SQL),
+    "dedup_near_groups": Q(dedup_near_groups, DEDUP_NEAR_GROUPS_SQL),
     "kmv_sketches": Q(kmv_sketches, KMV_SQL),
 }
