@@ -51,6 +51,17 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def _maybe_html(args, rdf) -> None:
+    """--html PATH: write the plot_bars-equivalent SVG chart
+    (de/display.py:91-137)."""
+    out = getattr(args, "html", None)
+    if out:
+        from dataset_dedupe_estimator_spark.plans.charts import grouped_bar_html
+
+        Path(out).write_text(grouped_bar_html(rdf))
+        print(f"chart written to {out}")
+
+
 def cmd_synthetic(args) -> int:
     """`de synthetic -s S -e E SCHEMA` (de/cli.py:65-145): generate variants,
     write them in every format, compare dedup ratios."""
@@ -82,7 +93,9 @@ def cmd_synthetic(args) -> int:
     }
     formats = default_formats(with_json=args.with_json, with_sqlite=args.with_sqlite)
     results = compare_formats_tables(spark, formats, groups, Path(args.directory))
-    print(markdown_report(spark, results_df(spark, results)))
+    rdf = results_df(spark, results)
+    print(markdown_report(spark, rdf))
+    _maybe_html(args, rdf)
     return 0
 
 
@@ -105,7 +118,9 @@ def cmd_stats(args) -> int:
     groups = {"combined": members}
     formats = default_formats(with_json=args.with_json, with_sqlite=args.with_sqlite)
     results = compare_formats_tables(spark, formats, groups, Path(args.out))
-    print(markdown_report(spark, results_df(spark, results)))
+    rdf = results_df(spark, results)
+    print(markdown_report(spark, rdf))
+    _maybe_html(args, rdf)
     return 0
 
 
@@ -198,6 +213,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--update-columns", action="store_true")
     s.add_argument("--with-json", action="store_true")
     s.add_argument("--with-sqlite", action="store_true")
+    s.add_argument("--html", help="write an SVG grouped-bar chart here")
     s.set_defaults(fn=cmd_synthetic)
 
     st = sub.add_parser("stats", help="rewrite a directory and compare formats")
@@ -205,6 +221,7 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--out", default="/tmp/dde-stats")
     st.add_argument("--with-json", action="store_true")
     st.add_argument("--with-sqlite", action="store_true")
+    st.add_argument("--html", help="write an SVG grouped-bar chart here")
     st.set_defaults(fn=cmd_stats)
 
     pi = sub.add_parser("param-impact", help="row-group size sweep")

@@ -86,6 +86,39 @@ def test_page_meta_reconciles_with_footer(spark, parquet_paths):
         assert r.data_values == r.footer_values, r
 
 
+def test_grouped_bar_html(spark):
+    from dataset_dedupe_estimator_spark.plans.charts import grouped_bar_html
+    from dataset_dedupe_estimator_spark.plans.compare import (
+        EstimationResult,
+        results_df,
+    )
+
+    res = [
+        EstimationResult("pq-snappy", 2, 1000, 600, 500, 0.60, "g1"),
+        EstimationResult("pq-zstd", 2, 1000, 420, 390, 0.42, "g1"),
+        EstimationResult("pq-snappy", 2, 1000, 550, 470, 0.55, "g2"),
+        EstimationResult("pq-zstd", 2, 1000, 480, 430, 0.48, "g2"),
+    ]
+    html = grouped_bar_html(results_df(spark, res))
+    assert html.count('class="bar"') == 4
+    assert "viz-legend" in html  # two series -> legend required
+    # best (lowest ratio) format renders first = top
+    assert html.index(">pq-zstd<") < html.index(">pq-snappy<")
+    assert "42.0%" in html and "prefers-color-scheme: dark" in html
+
+
+def test_grouped_bar_html_single_series_no_legend(spark):
+    from dataset_dedupe_estimator_spark.plans.charts import grouped_bar_html
+    from dataset_dedupe_estimator_spark.plans.compare import (
+        EstimationResult,
+        results_df,
+    )
+
+    res = [EstimationResult("pq", 2, 1000, 600, 500, 0.60, "only")]
+    html = grouped_bar_html(results_df(spark, res))
+    assert '<div class="viz-legend">' not in html
+
+
 def _check_png(path):
     data = open(path, "rb").read()
     assert data[:8] == b"\x89PNG\r\n\x1a\n"
