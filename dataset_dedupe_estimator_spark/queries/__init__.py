@@ -50,6 +50,8 @@ _FRONT = [
     # connected-components dedup groups
     "synthetic_generator_e2e",
     "dedup_near_groups",
+    "repetition_stats",
+    "contamination_check",
 ]
 _TAIL = [
     # driver-green in round 1, stable, locally re-verified each round

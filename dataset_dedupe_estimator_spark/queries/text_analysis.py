@@ -199,7 +199,106 @@ FROM documents ORDER BY doc_id
 """
 
 
+def repetition_stats(spark, sf):
+    """Gopher-style repetition signals per document: duplicate word-trigram
+    fraction and duplicate-token fraction (high values ⇒ boilerplate /
+    generated spam — a standard LLM-data filter alongside text_quality).
+
+    Entirely columnar array expressions — NO explode, NO shuffle; the plan
+    is a projection over the scan and parallelizes perfectly at any corpus
+    size. Ratios are exact integer-over-integer doubles."""
+    docs = load(spark, sf, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    t = F.col("t")
+    n = F.size(t)
+    tri = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(" ", t[i], t[i + 1], t[i + 2]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_tri = F.size(tri)
+    dup_tri = (n_tri - F.size(F.array_distinct(tri))).cast("double") / F.greatest(
+        n_tri, F.lit(1)
+    ).cast("double")
+    dup_tok = (n - F.size(F.array_distinct(t))).cast("double") / n.cast("double")
+    return toks.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        n_tri.alias("n_trigrams"),
+        dup_tri.alias("dup_trigram_frac"),
+        dup_tok.alias("dup_token_frac"),
+        ((dup_tri < 0.30) & (dup_tok < 0.70)).alias("passes_repetition"),
+    ).orderBy("doc_id")
+
+
+REPETITION_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tri AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         len(list_distinct(t)) AS n_uniq_tok,
+         list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS tg
+  FROM toks
+)
+SELECT doc_id, n_tokens, len(tg) AS n_trigrams,
+       CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)
+         / CAST(greatest(len(tg), 1) AS DOUBLE) AS dup_trigram_frac,
+       CAST(n_tokens - n_uniq_tok AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_token_frac,
+       (CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)
+         / CAST(greatest(len(tg), 1) AS DOUBLE) < 0.30)
+       AND (CAST(n_tokens - n_uniq_tok AS DOUBLE) / CAST(n_tokens AS DOUBLE) < 0.70)
+         AS passes_repetition
+FROM tri ORDER BY doc_id
+"""
+
+
+N_EVAL_DOCS = 5  # docs 0..4 play the held-out benchmark
+
+
+def contamination_check(spark, sf):
+    """Benchmark contamination scan: which training documents share
+    word-trigram shingles with a held-out eval set (docs 0..{N_EVAL_DOCS-1})?
+
+    The 100 TB plan: the eval set is tiny by construction, so its distinct
+    shingle set is BROADCAST and the scan over the training corpus is a
+    broadcast hash join (no shuffle of the corpus). Output: contaminated
+    doc → number of leaked shingles, strongest leak first."""
+    from dataset_dedupe_estimator_spark.queries.dedupe_text import shingles_df
+
+    sh = shingles_df(spark, sf)
+    eval_sh = sh.filter(F.col("doc_id") < N_EVAL_DOCS).select("shingle").distinct()
+    train = sh.filter(F.col("doc_id") >= N_EVAL_DOCS)
+    return (
+        train.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_leaked_shingles"))
+        .orderBy(F.col("n_leaked_shingles").desc(), "doc_id")
+    )
+
+
+_CONTAMINATION_SQL_TEMPLATE = """
+WITH {shingles_cte},
+eval_sh AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id < {n_eval}),
+train AS (SELECT * FROM shingles WHERE doc_id >= {n_eval})
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_leaked_shingles
+FROM train JOIN eval_sh USING (shingle)
+GROUP BY doc_id ORDER BY n_leaked_shingles DESC, doc_id
+"""
+
+
+def _contamination_sql() -> str:
+    from dataset_dedupe_estimator_spark.queries.dedupe_text import SHINGLES_CTE
+
+    return _CONTAMINATION_SQL_TEMPLATE.format(
+        shingles_cte=SHINGLES_CTE, n_eval=N_EVAL_DOCS
+    )
+
+
 QUERIES = {
+    "repetition_stats": Q(repetition_stats, REPETITION_SQL),
+    "contamination_check": Q(contamination_check, _contamination_sql()),
     "text_quality": Q(text_quality, TEXT_QUALITY_SQL, headline=True),
     "binary_digest_features": Q(binary_digest_features, BINARY_FEATURES_SQL),
     "lang_score": Q(lang_score, LANG_SCORE_SQL),
