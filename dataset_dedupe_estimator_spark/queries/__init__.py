@@ -17,13 +17,14 @@ from dataset_dedupe_estimator_spark.queries import (  # noqa: E402
     events,
     relational,
     similarity,
+    streaming_gate,
     synthetic_e2e,
     synthetic_sql,
     text_analysis,
 )
 
 REGISTRY: dict[str, Q] = {}
-for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthetic_sql, synthetic_e2e, advanced, core_cdc):
+for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthetic_sql, synthetic_e2e, streaming_gate, advanced, core_cdc):
     overlap = REGISTRY.keys() & _mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")
@@ -52,6 +53,7 @@ _FRONT = [
     "dedup_near_groups",
     "repetition_stats",
     "contamination_check",
+    "streaming_dedup_events",
 ]
 _TAIL = [
     # driver-green in round 1, stable, locally re-verified each round
