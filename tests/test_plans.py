@@ -66,6 +66,24 @@ def test_q1_aggregation_is_hash_agg(spark):
     assert "SortAggregate" not in p
 
 
+def test_repetition_stats_is_shuffle_free_projection(spark):
+    # Gopher-style repetition metrics must stay a pure projection over the
+    # scan: the only exchange allowed is the presentation-edge sort
+    p = plan_of(spark, "repetition_stats")
+    assert "Exchange hashpartitioning" not in p
+    assert "Join" not in p
+    read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_contamination_broadcasts_eval_set(spark):
+    # the eval shingle set is tiny by construction: it must broadcast, the
+    # training corpus must never shuffle for the join
+    p = plan_of(spark, "contamination_check")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
 def test_chunk_stats_single_shuffle(spark):
     from dataset_dedupe_estimator_spark.operators.chunker import chunk_files
     from dataset_dedupe_estimator_spark.plans.estimate import chunk_stats
