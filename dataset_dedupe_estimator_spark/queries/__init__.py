@@ -54,6 +54,7 @@ _FRONT = [
     "repetition_stats",
     "contamination_check",
     "streaming_dedup_events",
+    "cdc_streaming_estimate",
 ]
 _TAIL = [
     # driver-green in round 1, stable, locally re-verified each round

@@ -75,6 +75,35 @@ FROM events ORDER BY row_hash
 """
 
 
+def cdc_streaming_estimate(spark, sf):
+    """The incremental chunk estimator end-to-end: files discovered by a
+    binaryFile stream, chunked in-task (availableNow pass into a parquet
+    chunk table), then the batch dedup aggregate over the accumulated
+    table — the streaming form of cdc_estimate. Rows-only check (the
+    chunker is not SQL-expressible), but the streamed totals are asserted
+    equal to the batch chunker's in tests."""
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.streaming.incremental import (
+        incremental_stats,
+        run_incremental_chunker,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        run_incremental_chunker(
+            spark,
+            sf,
+            f"{tmp}/chunks",
+            f"{tmp}/ckpt",
+            glob_pattern="*.parquet",
+        )
+        # materialize the one-row summary before the temp chunk table is
+        # torn down (a lazy plan would read deleted files)
+        out = incremental_stats(spark, f"{tmp}/chunks").collect()
+    return spark.createDataFrame(out)
+
+
 QUERIES: dict[str, Q] = {
     "streaming_dedup_events": Q(streaming_dedup_events, STREAMING_DEDUP_SQL),
+    "cdc_streaming_estimate": Q(cdc_streaming_estimate),
 }

@@ -19,6 +19,27 @@ def _blob(n):
     return RNG.integers(0, 256, n, dtype=np.uint8).tobytes()
 
 
+def test_streamed_estimate_equals_batch(spark, tmp_path):
+    """The streamed chunk table must aggregate to exactly the batch
+    chunker's totals (same files, same params)."""
+    import glob
+
+    from dataset_dedupe_estimator_spark.operators.chunker import chunk_files
+    from dataset_dedupe_estimator_spark.plans.estimate import chunk_stats
+    from dataset_dedupe_estimator_spark.queries.streaming_gate import (
+        cdc_streaming_estimate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = cdc_streaming_estimate(spark, sf).collect()[0]
+    batch = chunk_stats(
+        chunk_files(spark, sorted(glob.glob(f"{sf}/*.parquet")))
+    ).collect()[0]
+    assert streamed.total_len == batch.total_len
+    assert streamed.unique_chunks == batch.unique_chunks
+    assert streamed.chunk_bytes == batch.chunk_bytes
+
+
 def test_incremental_chunker(spark, tmp_path):
     in_dir = tmp_path / "in"
     in_dir.mkdir()
