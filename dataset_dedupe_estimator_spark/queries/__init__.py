@@ -57,7 +57,9 @@ _FRONT = [
     "cdc_streaming_estimate",
 ]
 _TAIL = [
-    # driver-green in round 1, stable, locally re-verified each round
+    # driver-green in round 1, stable, locally re-verified each round —
+    # sized so every round-1 hash-fail (since fixed) sits INSIDE the
+    # 50-query checked window and gets driver-side green proof this round
     "filter_project_scan",
     "distinct_ship_modes",
     "set_ops_parts",
@@ -67,6 +69,12 @@ _TAIL = [
     "date_part_revenue",
     "events_hourly",
     "events_daily_users",
+    "q4_order_priority",
+    "top_spenders",
+    "asof_prev_order",
+    "unpivot_part_metrics",
+    "range_join_price_bands",
+    "synthetic_generate_table",
 ]
 _missing = (set(_FRONT) | set(_TAIL)) - REGISTRY.keys()
 if _missing:
