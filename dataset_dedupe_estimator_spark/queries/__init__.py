@@ -55,6 +55,7 @@ _FRONT = [
     "contamination_check",
     "streaming_dedup_events",
     "cdc_streaming_estimate",
+    "multimodal_pipeline_demo",
 ]
 _TAIL = [
     # driver-green in round 1, stable, locally re-verified each round —
@@ -75,6 +76,7 @@ _TAIL = [
     "unpivot_part_metrics",
     "range_join_price_bands",
     "synthetic_generate_table",
+    "q6_revenue_forecast",
 ]
 _missing = (set(_FRONT) | set(_TAIL)) - REGISTRY.keys()
 if _missing:

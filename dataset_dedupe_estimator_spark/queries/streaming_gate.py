@@ -103,7 +103,41 @@ def cdc_streaming_estimate(spark, sf):
     return spark.createDataFrame(out)
 
 
+def multimodal_pipeline_demo(spark, sf):
+    """Multimodal column plumbing end-to-end (operators/multimodal.py):
+    synth blobs → header decode → digest features → per-kind summary.
+    Deterministic (FAKE blobs are blake2b-seeded) but not SQL-expressible
+    → rows-only check; the real-codec seam is the documented stub."""
+    from dataset_dedupe_estimator_spark.operators.multimodal import (
+        decode_media,
+        extract_features,
+        synth_media,
+    )
+
+    per_kind = []
+    for kind in ("image", "audio", "video"):
+        media = decode_media(synth_media(spark, 100, kind))
+        feats = extract_features(media)
+        joined = media.select("media_id", "kind", "meta").join(
+            feats.select("media_id", F.col("feature")[0].alias("f0")), "media_id"
+        )
+        per_kind.append(
+            joined.groupBy("kind").agg(
+                F.count(F.lit(1)).alias("n_media"),
+                F.round(F.avg(F.coalesce(F.col("meta.width"), F.lit(0))), 2).alias(
+                    "avg_width"
+                ),
+                F.round(F.sum("f0"), 4).alias("sum_f0"),
+            )
+        )
+    out = per_kind[0]
+    for df in per_kind[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("kind")
+
+
 QUERIES: dict[str, Q] = {
     "streaming_dedup_events": Q(streaming_dedup_events, STREAMING_DEDUP_SQL),
     "cdc_streaming_estimate": Q(cdc_streaming_estimate),
+    "multimodal_pipeline_demo": Q(multimodal_pipeline_demo),
 }
