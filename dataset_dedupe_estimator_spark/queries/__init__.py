@@ -56,6 +56,7 @@ _FRONT = [
     "streaming_dedup_events",
     "cdc_streaming_estimate",
     "multimodal_pipeline_demo",
+    "ann_ivf_trained",
 ]
 _TAIL = [
     # driver-green in round 1, stable, locally re-verified each round —
@@ -77,6 +78,7 @@ _TAIL = [
     "range_join_price_bands",
     "synthetic_generate_table",
     "q6_revenue_forecast",
+    "events_json_extract",
 ]
 _missing = (set(_FRONT) | set(_TAIL)) - REGISTRY.keys()
 if _missing:

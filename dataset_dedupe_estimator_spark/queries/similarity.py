@@ -482,8 +482,25 @@ FROM embeddings GROUP BY label ORDER BY label
 """
 
 
+def ann_ivf_trained(spark, sf):
+    """Production IVF (operators/ann.py): pyspark.ml KMeans centroids,
+    persisted cell assignment, nprobe-cell exact rerank. Rows-only check —
+    trained centroids aren't SQL-expressible — but deterministic for a
+    fixed seed; the exact-seed-centroid variant (ann_ivf_probe) carries
+    the full oracle."""
+    from dataset_dedupe_estimator_spark.operators.ann import IvfIndex
+
+    emb = load(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == QUERY_VEC_ID).head().embedding
+    idx = IvfIndex.train(emb, k=8, seed=42)
+    return idx.search([float(v) for v in qvec], topk=10, nprobe=2).filter(
+        F.col("vec_id") != QUERY_VEC_ID
+    )
+
+
 QUERIES = {
     "knn_brute_force": Q(knn_brute_force, KNN_SQL, headline=True),
+    "ann_ivf_trained": Q(ann_ivf_trained),
     "ann_lsh_bucketed": Q(ann_lsh_bucketed, ANN_LSH_SQL),
     "ann_ivf_probe": Q(ann_ivf_probe, ANN_IVF_SQL),
     "embedding_dedup_pairs": Q(embedding_dedup_pairs, EMB_DEDUP_SQL),
