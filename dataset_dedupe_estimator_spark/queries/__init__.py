@@ -57,6 +57,7 @@ _FRONT = [
     "cdc_streaming_estimate",
     "multimodal_pipeline_demo",
     "ann_ivf_trained",
+    "corpus_survival_pipeline",
 ]
 _TAIL = [
     # driver-green in round 1, stable, locally re-verified each round —
@@ -79,6 +80,7 @@ _TAIL = [
     "synthetic_generate_table",
     "q6_revenue_forecast",
     "events_json_extract",
+    "window_top_orders_per_customer",
 ]
 _missing = (set(_FRONT) | set(_TAIL)) - REGISTRY.keys()
 if _missing:

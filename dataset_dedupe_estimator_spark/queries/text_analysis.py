@@ -296,9 +296,97 @@ def _contamination_sql() -> str:
     )
 
 
+def corpus_survival_pipeline(spark, sf):
+    """The composed training-data filter — what a real pipeline runs before
+    tokenization: exact dedup (keep first doc per text hash) ∧ quality gate
+    (length + type-token ratio) ∧ repetition gate (dup n-gram fractions),
+    reduced to per-source survival statistics.
+
+    One plan: the dedup window shuffles on text hash once; every filter is
+    a columnar expression over the same scan; the final per-source rollup
+    is a small aggregate. At 100 TB this is the shape you run nightly."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf, "documents")
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+    n_uniq = F.size(F.array_distinct(t))
+    tri = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(" ", t[i], t[i + 1], t[i + 2]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_tri = F.size(tri)
+    dup_tri = (n_tri - F.size(F.array_distinct(tri))).cast("double") / F.greatest(
+        n_tri, F.lit(1)
+    ).cast("double")
+    dup_tok = (n - n_uniq).cast("double") / n.cast("double")
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        (F.row_number().over(w) == 1).alias("is_keeper"),
+        ((n >= 20) & (n_uniq.cast("double") / n.cast("double") > 0.05)).alias(
+            "passes_quality"
+        ),
+        ((dup_tri < 0.30) & (dup_tok < 0.70)).alias("passes_repetition"),
+    )
+    survives = F.col("is_keeper") & F.col("passes_quality") & F.col("passes_repetition")
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(survives.cast("long")).alias("n_survivors"),
+            F.sum((~F.col("is_keeper")).cast("long")).alias("n_dropped_dup"),
+            F.sum(
+                (F.col("is_keeper") & ~F.col("passes_quality")).cast("long")
+            ).alias("n_dropped_quality"),
+        )
+        .withColumn(
+            "survival_rate",
+            F.col("n_survivors").cast("double") / F.col("n_docs").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
+SURVIVAL_SQL = """
+WITH scored AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS is_keeper,
+         (len(string_split(text, ' ')) >= 20 AND
+          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / CAST(len(string_split(text, ' ')) AS DOUBLE) > 0.05) AS passes_quality,
+         (CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)
+            / CAST(greatest(len(tg), 1) AS DOUBLE) < 0.30
+          AND CAST(len(t) - len(list_distinct(t)) AS DOUBLE)
+            / CAST(len(t) AS DOUBLE) < 0.70) AS passes_repetition
+  FROM (
+    SELECT doc_id, source, text, t,
+           list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS tg
+    FROM (SELECT doc_id, source, text, string_split(text, ' ') AS t FROM documents)
+  )
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN is_keeper AND passes_quality AND passes_repetition
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+       CAST(SUM(CASE WHEN NOT is_keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_dup,
+       CAST(SUM(CASE WHEN is_keeper AND NOT passes_quality THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped_quality,
+       CAST(SUM(CASE WHEN is_keeper AND passes_quality AND passes_repetition
+                THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS survival_rate
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "repetition_stats": Q(repetition_stats, REPETITION_SQL),
     "contamination_check": Q(contamination_check, _contamination_sql()),
+    "corpus_survival_pipeline": Q(corpus_survival_pipeline, SURVIVAL_SQL),
     "text_quality": Q(text_quality, TEXT_QUALITY_SQL, headline=True),
     "binary_digest_features": Q(binary_digest_features, BINARY_FEATURES_SQL),
     "lang_score": Q(lang_score, LANG_SCORE_SQL),
