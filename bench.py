@@ -18,7 +18,7 @@ from dataset_dedupe_estimator_spark import get_spark  # noqa: E402
 from dataset_dedupe_estimator_spark.queries import REGISTRY  # noqa: E402
 
 
-def chunker_mb_s(n_mib: int = 48) -> float:
+def chunker_throughput(n_mib: int = 48) -> dict:
     """Single-core CDC chunker throughput (MB/s) over a deterministic blob.
 
     The Python chunker is the real 100 TB cost driver (the reference's Rust
@@ -44,18 +44,24 @@ def chunker_mb_s(n_mib: int = 48) -> float:
     text = (b"the quick brown fox jumps over the lazy dog 0123456789\n" * 256)
     blob = rand + text * (n_mib * 1024 * 512 // len(text) + 1)
     blob = blob[: n_mib * 1024 * 1024]
-    params = ChunkerParams()
+    out = {}
     with tempfile.NamedTemporaryFile() as f:
         f.write(blob)
         f.flush()
-        for _ in _iter_file_chunks(f.name, params):  # warm allocator/tables
+        for _ in _iter_file_chunks(f.name, ChunkerParams()):  # warm
             break
-        t0 = time.perf_counter()
-        for _off, chunk in _iter_file_chunks(f.name, params):
-            _hash64(chunk)
-            _compressed_size(chunk, params.compress_probe_bytes)
-        dt = time.perf_counter() - t0
-    return round(n_mib * 1024 * 1024 / dt / 1e6, 1)
+        for label, params in (
+            ("chunker_mb_s", ChunkerParams()),
+            ("chunker_mb_s_probe16k", ChunkerParams(compress_probe_bytes=16 * 1024)),
+            ("chunker_mb_s_gear", ChunkerParams(scheme="gear")),
+        ):
+            t0 = time.perf_counter()
+            for _off, chunk in _iter_file_chunks(f.name, params):
+                _hash64(chunk)
+                _compressed_size(chunk, params.compress_probe_bytes)
+            dt = time.perf_counter() - t0
+            out[label] = round(n_mib * 1024 * 1024 / dt / 1e6, 1)
+    return out
 
 
 def main() -> None:
@@ -94,7 +100,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
-                "chunker_mb_s": chunker_mb_s(),
+                **chunker_throughput(),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
