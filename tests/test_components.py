@@ -48,3 +48,37 @@ def test_component_summary(spark):
 def test_self_and_duplicate_edges(spark):
     got = _cc(spark, [(4, 4), (4, 5), (5, 4), (4, 5)])
     assert got == {4: 4, 5: 4}
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonicalize every component label to its minimum member
+    comp_min = {}
+    for v in list(parent):
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    return {v: comp_min[find(v)] for v in parent}
+
+
+def test_random_graphs_match_union_find(spark):
+    import random
+
+    rng = random.Random(20260813)
+    for trial in range(3):
+        n = 40
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(10, 50))
+        ]
+        assert _cc(spark, pairs) == _union_find(pairs), pairs
