@@ -58,6 +58,9 @@ _FRONT = [
     "multimodal_pipeline_demo",
     "ann_ivf_trained",
     "corpus_survival_pipeline",
+    "dedup_near_survivors",
+    "vocab_coverage_score",
+    "pq_codes",
 ]
 _TAIL = [
     # driver-green in round 1, stable, locally re-verified each round —
@@ -81,6 +84,9 @@ _TAIL = [
     "q6_revenue_forecast",
     "events_json_extract",
     "window_top_orders_per_customer",
+    "lang_score",
+    "token_frequencies",
+    "binary_digest_features",
 ]
 _missing = (set(_FRONT) | set(_TAIL)) - REGISTRY.keys()
 if _missing:

@@ -421,6 +421,78 @@ FROM comp GROUP BY component ORDER BY component
 """
 
 
+def dedup_near_survivors(spark, sf):
+    """Survivor corpus after near-dup clustering: every document keeps its
+    component's min doc_id as canonical; non-members are their own
+    component. Output: per-source count of canonical (surviving) docs and
+    of docs folded into another doc's cluster — the final act of the
+    near-dedup pipeline (pairs → groups → one survivor per group).
+
+    Plan: the component labels join back to documents on doc_id (broadcast
+    — labels only exist for docs that appeared in any candidate pair, a
+    tiny set relative to the corpus)."""
+    from dataset_dedupe_estimator_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = load(spark, sf, "documents")
+    edges = _minhash_candidate_pairs(spark, sf)
+    labels = connected_components(edges, src="doc_a", dst="doc_b").select(
+        F.col("v").alias("doc_id"), "comp"
+    )
+    tagged = docs.join(F.broadcast(labels), "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.coalesce(F.col("comp"), F.col("doc_id")).alias("canonical"),
+    )
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("doc_id") == F.col("canonical")).cast("long")).alias(
+                "n_survivors"
+            ),
+            F.sum((F.col("doc_id") != F.col("canonical")).cast("long")).alias(
+                "n_folded"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+DEDUP_NEAR_SURVIVORS_SQL = f"""
+WITH RECURSIVE {SHINGLES_CTE},
+{_BASED_CTE},
+hashed AS (SELECT doc_id, {_HASH_COLS} FROM based),
+sig AS (SELECT doc_id, {_MH_COLS} FROM hashed GROUP BY doc_id),
+bands AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_id, band_key)
+  WHERE a.doc_id < b.doc_id
+),
+und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION SELECT doc_b, doc_a FROM cand
+),
+reach(v, c) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.dst, r.c FROM und u JOIN reach r ON u.src = r.v
+),
+comp AS (SELECT v AS doc_id, MIN(c) AS comp FROM reach GROUP BY v),
+tagged AS (
+  SELECT d.doc_id, d.source, COALESCE(comp.comp, d.doc_id) AS canonical
+  FROM documents d LEFT JOIN comp USING (doc_id)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id = canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+       CAST(SUM(CASE WHEN doc_id != canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_folded
+FROM tagged GROUP BY source ORDER BY source
+"""
+
+
 KMV_K = 8
 
 
@@ -482,5 +554,6 @@ QUERIES = {
     "minhash_lsh_candidates": Q(minhash_lsh_candidates, MINHASH_LSH_SQL, headline=True),
     "simhash_signatures": Q(simhash_signatures, SIMHASH_SQL),
     "dedup_near_groups": Q(dedup_near_groups, DEDUP_NEAR_GROUPS_SQL),
+    "dedup_near_survivors": Q(dedup_near_survivors, DEDUP_NEAR_SURVIVORS_SQL),
     "kmv_sketches": Q(kmv_sketches, KMV_SQL),
 }

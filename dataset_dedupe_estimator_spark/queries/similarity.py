@@ -498,9 +498,122 @@ def ann_ivf_trained(spark, sf):
     )
 
 
+PQ_M = 8  # subspaces
+PQ_SUB = DIM // PQ_M  # dims per subspace
+PQ_K = 16  # codebook entries per subspace (seed rows, like ann_ivf_probe)
+
+
+def _make_pq_fn(codebooks):
+    """Arrow-batched PQ encoding against broadcast seed codebooks.
+
+    Distances accumulate via np.cumsum (strict left-fold — same addition
+    order as the SQL list_reduce), ties take the lowest centroid id
+    (np.argmin first-min), and the per-vector error folds subspaces in
+    fixed m order, so codes and errors match the oracle exactly."""
+    import numpy as np
+    import pyarrow as pa
+
+    C = np.asarray(codebooks, dtype=np.float64)  # (M, K, SUB)
+
+    def fn(it):
+        for batch in it:
+            idx = {n: i for i, n in enumerate(batch.schema.names)}
+            vec_id = batch.column(idx["vec_id"])
+            flat = batch.column(idx["embedding"]).flatten().to_numpy(
+                zero_copy_only=False
+            )
+            e = flat.astype(np.float64).reshape(-1, DIM)
+            nb = e.shape[0]
+            codes = np.empty((nb, PQ_M), dtype=np.int64)
+            err = np.zeros(nb, dtype=np.float64)
+            for m in range(PQ_M):
+                sub = e[:, m * PQ_SUB : (m + 1) * PQ_SUB]  # (nb, SUB)
+                diff = sub[:, None, :] - C[m][None, :, :]  # (nb, K, SUB)
+                d = np.cumsum(diff * diff, axis=2)[:, :, -1]  # left-fold sums
+                codes[:, m] = np.argmin(d, axis=1)  # first-min tie-break
+                err += d[np.arange(nb), codes[:, m]]
+            code_str = ["-".join(str(c) for c in row) for row in codes]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    vec_id,
+                    pa.array(code_str, pa.string()),
+                    pa.array(err, pa.float64()),
+                ],
+                names=["vec_id", "pq_code", "recon_err"],
+            )
+
+    return fn
+
+
+def pq_codes(spark, sf):
+    """Product quantization: split each vector into {PQ_M} subspaces of
+    {PQ_SUB} dims, encode each against a {PQ_K}-entry codebook (the
+    subvectors of the first {PQ_K} vec_ids — deterministic seed rows, as in
+    ann_ivf_probe; production would train them with KMeans per subspace).
+    Output: compact code string + exact reconstruction error.
+
+    The 100 TB story: codes are {PQ_M} small ints per vector (~99% memory
+    reduction vs float64), codebooks broadcast, encoding is one
+    Arrow-batched pass — this is what makes billion-vector rerank tables
+    fit in memory."""
+    emb = load(spark, sf, "embeddings")
+    seeds = (
+        emb.filter(F.col("vec_id") < PQ_K)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    codebooks = [
+        [
+            [float(r.embedding[m * PQ_SUB + j]) for j in range(PQ_SUB)]
+            for r in seeds
+        ]
+        for m in range(PQ_M)
+    ]
+    out = emb.select("vec_id", "embedding").mapInArrow(
+        _make_pq_fn(codebooks), "vec_id long, pq_code string, recon_err double"
+    )
+    return out.select(
+        "vec_id", "pq_code", F.round("recon_err", 6).alias("recon_err")
+    ).orderBy("vec_id")
+
+
+def _pq_sql() -> str:
+    sub_dist = (
+        "list_reduce(list_transform(generate_series(1, {sub}), "
+        "i -> (CAST(e.embedding[{off} + i] AS DOUBLE) - CAST(c.embedding[{off} + i] AS DOUBLE)) "
+        "* (CAST(e.embedding[{off} + i] AS DOUBLE) - CAST(c.embedding[{off} + i] AS DOUBLE))), "
+        "(x, y) -> x + y)"
+    )
+    return f"""
+WITH cents AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < {PQ_K}),
+subdist AS (
+  SELECT e.vec_id, m.m, c.cell,
+         CASE m.m {" ".join(
+             f"WHEN {m} THEN " + sub_dist.format(sub=PQ_SUB, off=m * PQ_SUB)
+             for m in range(PQ_M)
+         )} END AS d
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m
+  CROSS JOIN cents c
+),
+best AS (
+  SELECT vec_id, m, cell, d
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cell) AS rn
+        FROM subdist)
+  WHERE rn = 1
+)
+SELECT vec_id,
+       string_agg(cell::VARCHAR, '-' ORDER BY m) AS pq_code,
+       ROUND(list_reduce(list(d ORDER BY m), (x, y) -> x + y), 6) AS recon_err
+FROM best GROUP BY vec_id ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "knn_brute_force": Q(knn_brute_force, KNN_SQL, headline=True),
     "ann_ivf_trained": Q(ann_ivf_trained),
+    "pq_codes": Q(pq_codes, _pq_sql()),
     "ann_lsh_bucketed": Q(ann_lsh_bucketed, ANN_LSH_SQL),
     "ann_ivf_probe": Q(ann_ivf_probe, ANN_IVF_SQL),
     "embedding_dedup_pairs": Q(embedding_dedup_pairs, EMB_DEDUP_SQL),

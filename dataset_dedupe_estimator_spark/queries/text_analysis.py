@@ -383,8 +383,78 @@ FROM scored GROUP BY source ORDER BY source
 """
 
 
+VOCAB_K = 24  # top-K corpus vocabulary (tiny here; 10k-100k in production)
+
+
+def vocab_coverage_score(spark, sf):
+    """LM-style frequency scoring without floats-in-aggregation: build the
+    top-{VOCAB_K} corpus vocabulary (count desc, token asc tie-break —
+    bounded, so broadcastable at ANY corpus size, unlike a full frequency
+    table), then score each document by in-vocab coverage and mean
+    corpus-frequency of its tokens. All aggregates are exact integers; the
+    two ratios are single IEEE divisions of exact integers — deterministic
+    across engines where a sum-of-logs perplexity would not be (float
+    addition order).
+
+    The 100 TB shape: one shuffle to build the vocab (then broadcast), one
+    explode+broadcast-join+groupBy(doc) pass over the corpus."""
+    docs = load(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("corpus_count"))
+        .orderBy(F.col("corpus_count").desc(), "token")
+        .limit(VOCAB_K)
+    )
+    scored = tok.join(F.broadcast(vocab), "token", "left")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("corpus_count").isNotNull().cast("long")).alias("n_in_vocab"),
+            F.sum(F.coalesce(F.col("corpus_count"), F.lit(0))).alias("freq_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_in_vocab",
+            "freq_sum",
+            (F.col("n_in_vocab").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "vocab_coverage"
+            ),
+            (F.col("freq_sum").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "avg_token_freq"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, u.token FROM documents, UNNEST(string_split(text, ' ')) AS u(token)
+),
+vocab AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS corpus_count
+  FROM tok GROUP BY token
+  ORDER BY corpus_count DESC, token LIMIT {VOCAB_K}
+),
+scored AS (SELECT t.doc_id, v.corpus_count FROM tok t LEFT JOIN vocab v USING (token))
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN corpus_count IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab,
+       CAST(SUM(COALESCE(corpus_count, 0)) AS BIGINT) AS freq_sum,
+       CAST(SUM(CASE WHEN corpus_count IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS vocab_coverage,
+       CAST(SUM(COALESCE(corpus_count, 0)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_token_freq
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "repetition_stats": Q(repetition_stats, REPETITION_SQL),
+    "vocab_coverage_score": Q(vocab_coverage_score, VOCAB_COVERAGE_SQL),
     "contamination_check": Q(contamination_check, _contamination_sql()),
     "corpus_survival_pipeline": Q(corpus_survival_pipeline, SURVIVAL_SQL),
     "text_quality": Q(text_quality, TEXT_QUALITY_SQL, headline=True),
