@@ -61,6 +61,7 @@ _FRONT = [
     "dedup_near_survivors",
     "vocab_coverage_score",
     "pq_codes",
+    "streaming_windowed_counts",
 ]
 _TAIL = [
     # driver-green in round 1, stable, locally re-verified each round —
@@ -87,6 +88,7 @@ _TAIL = [
     "lang_score",
     "token_frequencies",
     "binary_digest_features",
+    "text_quality",
 ]
 _missing = (set(_FRONT) | set(_TAIL)) - REGISTRY.keys()
 if _missing:

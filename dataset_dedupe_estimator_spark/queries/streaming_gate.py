@@ -103,6 +103,62 @@ def cdc_streaming_estimate(spark, sf):
     return spark.createDataFrame(out)
 
 
+def streaming_windowed_counts(spark, sf):
+    """The watermarked tumbling-window aggregation
+    (streaming/incremental.py:windowed_event_counts) under the full
+    oracle: in complete output mode over a finite source the final result
+    table deterministically equals the batch GROUP BY — value sums in
+    exact integer cents so no float aggregation order can split the
+    hash."""
+    import tempfile
+    import uuid
+
+    batch = load(spark, sf, "events")  # pins UTC tz + nanosAsLong confs
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    n = F.count(F.lit(1))
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(n.alias("n_events"), F.sum(cents).alias("value_cents"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+    name = f"stream_win_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    _ = batch
+    return spark.table(name).orderBy("window_start", "event_type")
+
+
+STREAMING_WINDOWED_SQL = """
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM ev GROUP BY 1, 2 ORDER BY window_start, event_type
+"""
+
+
 def multimodal_pipeline_demo(spark, sf):
     """Multimodal column plumbing end-to-end (operators/multimodal.py):
     synth blobs → header decode → digest features → per-kind summary.
@@ -138,6 +194,7 @@ def multimodal_pipeline_demo(spark, sf):
 
 QUERIES: dict[str, Q] = {
     "streaming_dedup_events": Q(streaming_dedup_events, STREAMING_DEDUP_SQL),
+    "streaming_windowed_counts": Q(streaming_windowed_counts, STREAMING_WINDOWED_SQL),
     "cdc_streaming_estimate": Q(cdc_streaming_estimate),
     "multimodal_pipeline_demo": Q(multimodal_pipeline_demo),
 }
