@@ -62,6 +62,7 @@ _FRONT = [
     "vocab_coverage_score",
     "pq_codes",
     "streaming_windowed_counts",
+    "salted_agg_lineitem",
 ]
 _TAIL = [
     # driver-green in round 1, stable, locally re-verified each round —
@@ -89,6 +90,7 @@ _TAIL = [
     "token_frequencies",
     "binary_digest_features",
     "text_quality",
+    "dedup_exact_groups",
 ]
 _missing = (set(_FRONT) | set(_TAIL)) - REGISTRY.keys()
 if _missing:

@@ -326,7 +326,42 @@ FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def salted_agg_lineitem(spark, sf):
+    """Hot-key skew mitigation under the gate: the two-phase salted
+    aggregation (operators/skew.py — aggregate on (key, salt), then
+    re-aggregate on key) must produce EXACTLY the single-phase GROUP BY
+    result for algebraic functions; the oracle is that single-phase SQL.
+    l_returnflag has only 3 values over 600k rows at sf0.1 — precisely the
+    hot-key shape salting exists for."""
+    from dataset_dedupe_estimator_spark.operators.skew import salted_agg
+
+    li = load(spark, sf, "lineitem").withColumn("qty_cents", cents("l_quantity"))
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n_rows": ("count", "*"),
+            "qty_cents_sum": ("sum", "qty_cents"),
+            "min_orderkey": ("min", "l_orderkey"),
+            "max_orderkey": ("max", "l_orderkey"),
+        },
+        n_salts=16,
+    )
+    return out.orderBy("l_returnflag")
+
+
+SALTED_AGG_SQL = f"""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM({sql_cents("l_quantity")}) AS BIGINT) AS qty_cents_sum,
+       MIN(l_orderkey) AS min_orderkey,
+       MAX(l_orderkey) AS max_orderkey
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
+    "salted_agg_lineitem": Q(salted_agg_lineitem, SALTED_AGG_SQL),
     "asof_prev_order": Q(asof_prev_order, ASOF_SQL),
     "unpivot_part_metrics": Q(unpivot_part_metrics, UNPIVOT_SQL),
     "merge_upsert_orders": Q(merge_upsert_orders, MERGE_SQL),
