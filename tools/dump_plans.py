@@ -1,0 +1,52 @@
+"""Write PLANS.md: the formatted physical plan of every headline query.
+
+The scale design rules (broadcast dims, pruned scans, single-shuffle aggs,
+TakeOrderedAndProject top-k, no cartesian LSH joins) are asserted in
+tests/test_plans.py; this artifact makes the actual plans reviewable
+without running Spark.
+
+Usage: python tools/dump_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    from dataset_dedupe_estimator_spark import get_spark
+    from dataset_dedupe_estimator_spark.queries import REGISTRY
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="dump-plans", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    lines = [
+        "# Physical plans — headline queries",
+        "",
+        f"`df.explain('formatted')` at `{sf_dir}`, `local[*]`, AQE on.",
+        "Regenerate: `python tools/dump_plans.py`.",
+        "",
+    ]
+    for name, q in REGISTRY.items():
+        if not q.headline:
+            continue
+        df = q.spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(mode)
+        lines += [f"## {name}", "", "```", plan.rstrip(), "```", ""]
+    out = os.path.join(REPO, "PLANS.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
