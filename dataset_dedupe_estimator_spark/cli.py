@@ -180,6 +180,34 @@ def cmd_sql(args) -> int:
     return 0
 
 
+def cmd_corpus(args) -> int:
+    """LLM-corpus hygiene report over a testdata directory: survival
+    pipeline (dedup ∧ quality ∧ repetition per source) and near-duplicate
+    cluster summary — the CLI face of the training-data extensions."""
+    from dataset_dedupe_estimator_spark.queries.dedupe_text import (
+        dedup_near_groups,
+    )
+    from dataset_dedupe_estimator_spark.queries.text_analysis import (
+        corpus_survival_pipeline,
+    )
+
+    spark = _spark(args)
+    print("## survival by source")
+    for r in corpus_survival_pipeline(spark, args.sf_dir).collect():
+        print(
+            f"{r.source:>8}  docs={r.n_docs:<6} survivors={r.n_survivors:<6} "
+            f"dup={r.n_dropped_dup:<4} lowq={r.n_dropped_quality:<4} "
+            f"rate={r.survival_rate:.1%}"
+        )
+    print("\n## near-duplicate clusters (MinHash-LSH + connected components)")
+    rows = dedup_near_groups(spark, args.sf_dir).collect()
+    for r in rows[: args.limit]:
+        print(f"cluster @doc {r.component:<8} size={r.n_docs}")
+    if len(rows) > args.limit:
+        print(f"... {len(rows) - args.limit} more clusters")
+    return 0
+
+
 def cmd_checkout(args) -> int:
     """`de checkout` (de/cli.py:148-170): materialize git revisions."""
     from dataset_dedupe_estimator_spark.sources.git_revisions import (
@@ -245,6 +273,14 @@ def build_parser() -> argparse.ArgumentParser:
     sq.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     sq.add_argument("--limit", type=int, default=50)
     sq.set_defaults(fn=cmd_sql)
+
+    cp = sub.add_parser("corpus", help="LLM-corpus hygiene report")
+    cp.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+    )
+    cp.add_argument("--limit", type=int, default=15)
+    cp.set_defaults(fn=cmd_corpus)
 
     co = sub.add_parser("checkout", help="materialize git file revisions")
     co.add_argument("repo")

@@ -51,6 +51,14 @@ def test_cli_page_chunks(capsys, data_dir, spark):
     assert "#" in capsys.readouterr().out
 
 
+def test_cli_corpus(capsys, spark):
+    rc = main(["corpus", "--sf-dir", "/root/testdata/sf0.001", "--limit", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "survival by source" in out
+    assert "near-duplicate clusters" in out
+
+
 def test_cli_sql(capsys, spark):
     rc = main(
         [
