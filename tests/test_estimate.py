@@ -56,6 +56,23 @@ def test_dedup_map_provenance(spark, two_identical):
     assert all(r.n_files_seen == 2 for r in rows)
 
 
+def test_empty_inputs(spark, tmp_path):
+    # no paths, zero-byte file, empty blob: no crashes, sane shapes
+    from dataset_dedupe_estimator_spark.operators.chunker import (
+        chunk_bytes,
+        chunk_files,
+    )
+    from dataset_dedupe_estimator_spark.plans.estimate import estimate, estimate_df
+
+    row = estimate_df(spark, []).collect()[0]
+    assert row.numfiles == 0 and row.unique_chunks == 0
+    assert estimate(spark, [], with_xet=False)["total_len"] == 0
+    assert chunk_bytes(b"") == []
+    empty = tmp_path / "zero.bin"
+    empty.write_bytes(b"")
+    assert chunk_files(spark, [str(empty)]).count() == 0
+
+
 def test_dedup_map_provenance_cap(spark, two_identical):
     # seen_in row width is bounded by the cap; the exact cardinality
     # survives in n_files_seen (SURVEY §7.4 risk 7)
