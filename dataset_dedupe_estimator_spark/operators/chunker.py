@@ -313,14 +313,25 @@ def make_chunk_partition_fn(p: ChunkerParams, keep_data: bool):
                 batch.column("file_idx").to_pylist(), batch.column("path").to_pylist()
             ):
                 rows: dict[str, list] = {k: [] for k in CHUNK_SCHEMA.names}
+                # identical bytes compress to the identical size, so repeat
+                # chunks within a file skip the probe (self-similar files —
+                # the dedup estimator's whole subject — are the common case).
+                # Bounded: cleared per file and capped.
+                probe_cache: dict[int, int] = {}
                 for seq, (offset, chunk) in enumerate(_iter_file_chunks(path, p)):
+                    h = _hash64(chunk)
+                    comp = probe_cache.get(h)
+                    if comp is None:
+                        comp = _compressed_size(chunk, p.compress_probe_bytes)
+                        if len(probe_cache) < 1_000_000:
+                            probe_cache[h] = comp
                     rows["file_idx"].append(file_idx)
                     rows["path"].append(path)
                     rows["seq"].append(seq)
                     rows["offset"].append(offset)
-                    rows["hash"].append(_hash64(chunk))
+                    rows["hash"].append(h)
                     rows["size"].append(len(chunk))
-                    rows["compressed"].append(_compressed_size(chunk, p.compress_probe_bytes))
+                    rows["compressed"].append(comp)
                     rows["data"].append(chunk if keep_data else None)
                     if len(rows["seq"]) >= 4096:
                         yield pa.RecordBatch.from_pydict(rows, schema=CHUNK_SCHEMA)
