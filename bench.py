@@ -80,12 +80,12 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.mode("overwrite").format("noop").save()
 
-    # min of two runs: the first pays one-time plan compilation/codegen;
-    # the second measures steady-state engine throughput.
+    # min of three runs: the first pays one-time plan compilation/codegen;
+    # the min absorbs host-noise spikes (observed ±50% on shared boxes).
     per_query: dict[str, float] = {}
     for name, q in headline.items():
         times = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = q.spark(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
