@@ -63,6 +63,7 @@ _FRONT = [
     "pq_codes",
     "streaming_windowed_counts",
     "salted_agg_lineitem",
+    "simhash_candidates",
 ]
 _TAIL = [
     # driver-green in round 1, stable, locally re-verified each round —
@@ -91,6 +92,7 @@ _TAIL = [
     "binary_digest_features",
     "text_quality",
     "dedup_exact_groups",
+    "dedup_fingerprint_groups",
 ]
 _missing = (set(_FRONT) | set(_TAIL)) - REGISTRY.keys()
 if _missing:

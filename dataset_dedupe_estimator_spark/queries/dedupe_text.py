@@ -343,6 +343,95 @@ SELECT doc_id, {_SIM_BITS} AS simhash FROM sums ORDER BY doc_id
 """
 
 
+SIMHASH_BANDS = 4  # 8 bits per band; <=3 differing bits guarantees a collision
+SIMHASH_MAX_HAMMING = 3  # classic simhash near-dup threshold (Manku et al.)
+
+
+def _simhash_sig_unsorted(spark, sf):
+    docs = load(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    h = F.md5(F.col("token").cast("binary"))
+    aggs = []
+    for j in range(SIMHASH_BITS):
+        nibble_hi = F.substring(h, j + 1, 1).isin(*"89abcdef")
+        aggs.append(F.sum(F.when(nibble_hi, 1).otherwise(-1)).alias(f"s{j}"))
+    per_doc = tok.groupBy("doc_id").agg(*aggs)
+    bits = F.concat(
+        *[F.when(F.col(f"s{j}") > 0, "1").otherwise("0") for j in range(SIMHASH_BITS)]
+    )
+    return per_doc.select("doc_id", bits.alias("simhash"))
+
+
+def simhash_candidates(spark, sf):
+    """SimHash near-dup candidates: band the {SIMHASH_BITS}-bit signature
+    into {SIMHASH_BANDS} bands (pigeonhole: two signatures within
+    {SIMHASH_BANDS - 1} differing bits always share an identical band),
+    pair on band collisions, verify with exact Hamming distance ≤
+    {SIMHASH_MAX_HAMMING}. Completes the SimHash path the way banding
+    completes MinHash — candidates only, no quadratic scan."""
+    sig = _simhash_sig_unsorted(spark, sf)
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring(F.col("simhash"), b * width + 1, width)
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_key"),
+    )
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    hamming = sum(
+        (
+            F.substring(F.col("a.simhash"), j + 1, 1)
+            != F.substring(F.col("b.simhash"), j + 1, 1)
+        ).cast("int")
+        for j in range(SIMHASH_BITS)
+    )
+    return (
+        a.join(b_, ["band_id", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _simhash_candidates_sql() -> str:
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {b} AS band_id, "
+        f"substr(simhash, {b * width + 1}, {width}) AS band_key FROM sig"
+        for b in range(SIMHASH_BANDS)
+    )
+    hamming = " + ".join(
+        f"CASE WHEN substr(a.simhash, {j + 1}, 1) != substr(b.simhash, {j + 1}, 1) "
+        "THEN 1 ELSE 0 END"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, u.token FROM documents, UNNEST(string_split(text, ' ')) AS u(token)
+),
+sums AS (SELECT doc_id, {_SIM_SUMS} FROM tok GROUP BY doc_id),
+sig AS (SELECT doc_id, {_SIM_BITS} AS simhash FROM sums),
+bands AS ({band_selects})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, ({hamming}) AS hamming
+FROM bands a JOIN bands b USING (band_id, band_key)
+WHERE a.doc_id < b.doc_id AND ({hamming}) <= {SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
 def dedup_exact_events(spark, sf):
     """Exact row-level dedup over the events stream (the test corpus has
     duplicate (user_id, event_type, value, props) rows; documents do not)."""
@@ -553,6 +642,7 @@ QUERIES = {
     "minhash_signatures": Q(minhash_signatures, MINHASH_SIG_SQL),
     "minhash_lsh_candidates": Q(minhash_lsh_candidates, MINHASH_LSH_SQL, headline=True),
     "simhash_signatures": Q(simhash_signatures, SIMHASH_SQL),
+    "simhash_candidates": Q(simhash_candidates, _simhash_candidates_sql()),
     "dedup_near_groups": Q(dedup_near_groups, DEDUP_NEAR_GROUPS_SQL),
     "dedup_near_survivors": Q(dedup_near_survivors, DEDUP_NEAR_SURVIVORS_SQL),
     "kmv_sketches": Q(kmv_sketches, KMV_SQL),
