@@ -64,6 +64,7 @@ _FRONT = [
     "streaming_windowed_counts",
     "salted_agg_lineitem",
     "simhash_candidates",
+    "streaming_sessionize_events",
 ]
 _TAIL = [
     # driver-green in round 1, stable, locally re-verified each round —
@@ -93,6 +94,7 @@ _TAIL = [
     "text_quality",
     "dedup_exact_groups",
     "dedup_fingerprint_groups",
+    "dedup_exact_events",
 ]
 _missing = (set(_FRONT) | set(_TAIL)) - REGISTRY.keys()
 if _missing:

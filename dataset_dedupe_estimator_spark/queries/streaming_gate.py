@@ -75,6 +75,83 @@ FROM events ORDER BY row_hash
 """
 
 
+def streaming_sessionize_events(spark, sf):
+    """The custom stateful operator (streaming/sessions.py,
+    applyInPandasWithState) under the full oracle. Over a finite source in
+    one micro-batch, the emitted rows are exactly the *closed* sessions —
+    every session except each user's final (still-open) one — which batch
+    SQL reproduces: gap-based sessionization minus each user's last
+    session. Timestamps in integer microseconds, values in integer cents,
+    so the hash cannot split on float or timezone formatting."""
+    import tempfile
+    import uuid
+
+    batch = load(spark, sf, "events")  # pins UTC tz + nanosAsLong confs
+    from dataset_dedupe_estimator_spark.streaming.sessions import (
+        stateful_sessionize,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    sessions = stateful_sessionize(
+        stream.select("user_id", "ts", "value", "event_id"), gap_minutes=30
+    )
+    name = f"stream_sess_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    _ = batch
+    return spark.table(name).orderBy("user_id", "session_start_us")
+
+
+STREAMING_SESSIONIZE_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         CAST(ROUND(value * 100.0) AS BIGINT) AS value_cents, event_id
+  FROM events
+),
+seq AS (
+  SELECT *,
+         CASE WHEN ts_us - LAG(ts_us) OVER w > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+tagged AS (
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM seq
+),
+sessions AS (
+  SELECT user_id, session_seq,
+         MIN(ts_us) AS session_start_us,
+         MAX(ts_us) AS session_end_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(value_cents) AS BIGINT) AS value_cents
+  FROM tagged GROUP BY user_id, session_seq
+),
+closed AS (
+  SELECT * FROM sessions
+  WHERE session_seq < (SELECT MAX(s2.session_seq) FROM sessions s2
+                       WHERE s2.user_id = sessions.user_id)
+)
+SELECT user_id, session_start_us, session_end_us, n_events, value_cents
+FROM closed ORDER BY user_id, session_start_us
+"""
+
+
 def cdc_streaming_estimate(spark, sf):
     """The incremental chunk estimator end-to-end: files discovered by a
     binaryFile stream, chunked in-task (availableNow pass into a parquet
@@ -195,6 +272,9 @@ def multimodal_pipeline_demo(spark, sf):
 QUERIES: dict[str, Q] = {
     "streaming_dedup_events": Q(streaming_dedup_events, STREAMING_DEDUP_SQL),
     "streaming_windowed_counts": Q(streaming_windowed_counts, STREAMING_WINDOWED_SQL),
+    "streaming_sessionize_events": Q(
+        streaming_sessionize_events, STREAMING_SESSIONIZE_SQL
+    ),
     "cdc_streaming_estimate": Q(cdc_streaming_estimate),
     "multimodal_pipeline_demo": Q(multimodal_pipeline_demo),
 }
