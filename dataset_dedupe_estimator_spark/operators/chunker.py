@@ -138,14 +138,19 @@ def _gear_table(seed: int) -> np.ndarray:
     return tbl
 
 
+_USER_GEAR_CACHE: dict[tuple[int, ...], np.ndarray] = {}
+
+
 def _user_gear_table(table: tuple[int, ...]) -> np.ndarray:
-    key = hash(table)
-    tbl = _GEAR_CACHE.get(key)
+    # keyed by the tuple itself (dict equality handles hash collisions);
+    # kept separate from the seed-keyed cache so an int seed can never
+    # alias a user table
+    tbl = _USER_GEAR_CACHE.get(table)
     if tbl is None:
         if len(table) != 256:
             raise ValueError("gear_table must have exactly 256 entries")
         tbl = np.array(table, dtype=np.uint64).view(np.int64)
-        _GEAR_CACHE[key] = tbl
+        _USER_GEAR_CACHE[table] = tbl
     return tbl
 
 
@@ -261,9 +266,21 @@ _BLOCK = 8 * 1024 * 1024  # streaming read block
 def _iter_file_chunks(path: str, params: ChunkerParams) -> Iterator[tuple[int, bytes]]:
     """Stream a file and yield (offset, chunk_bytes) without materializing it.
 
-    Keeps a pending tail across blocks; a chunk never exceeds
-    ``params.max_size`` so the pending buffer is bounded by max_size + BLOCK.
+    Keeps a pending tail across blocks; with max enforcement a chunk never
+    exceeds ``params.max_size`` so the pending buffer is bounded by
+    max_size + BLOCK and each block's boundary rescan is O(block).
+
+    ``enforce_max=False`` (the reference-parity mode) is refused here: a
+    candidate-free stretch would grow ``pending`` to the whole file and
+    re-run boundary detection over all of it per block — O(n²) time and
+    O(file) memory. Use ``chunk_bytes`` on in-memory data for parity
+    studies, or keep max enforcement for streaming scale.
     """
+    if not params.enforce_max:
+        raise ValueError(
+            "streaming chunking requires enforce_max=True (bounded pending "
+            "buffer); use chunk_bytes() for enforce_max=False parity analysis"
+        )
     pending = b""
     base = 0  # file offset of pending[0]
     with open(path, "rb") as f:

@@ -67,7 +67,9 @@ def grouped_bar_html(
     """EstimationResult rows → standalone HTML document with an SVG grouped
     bar chart (one bar series per ``group``)."""
     rows = results.select("format", "group", "dedup_ratio").collect()
-    groups = sorted({r.group for r in rows})[: len(_SERIES)]
+    all_groups = sorted({r.group for r in rows})
+    groups = all_groups[: len(_SERIES)]
+    n_omitted = len(all_groups) - len(groups)
     by_key = {(r.format, r.group): r.dedup_ratio for r in rows}
     best = {}
     for r in rows:
@@ -124,12 +126,18 @@ def grouped_bar_html(
             )
 
     legend = ""
-    if len(groups) > 1:
+    if len(groups) > 1 or n_omitted:
         chips = "".join(
             f'<span><span class="chip" style="background:var(--series-{i + 1})">'
             f"</span>{_html.escape(g or 'default')}</span>"
             for i, g in enumerate(groups)
         )
+        if n_omitted:
+            # never silently drop series: say what the chart is missing
+            chips += (
+                f"<span>⚠ {n_omitted} more group(s) not shown "
+                f"(8-series palette cap) — use the table view</span>"
+            )
         legend = f'<div class="viz-legend">{chips}</div>'
 
     css = _CSS % {"light_vars": light_vars, "dark_vars": dark_vars}

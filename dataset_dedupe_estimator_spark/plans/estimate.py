@@ -168,8 +168,13 @@ def chunks_export(
     chunks = chunk_files(spark, paths, params=params, store_data=store_data)
     prov = dedup_map(chunks.drop("data") if store_data else chunks)
     join_cols = ["hash"]
+    # n_files_seen travels with the capped seen_in sample: consumers must
+    # use it (never size(seen_in)) for sharing cardinality
     out = chunks.join(
-        F.broadcast(prov.select("hash", "first_seen_in", "seen_in")), join_cols
+        F.broadcast(
+            prov.select("hash", "first_seen_in", "seen_in", "n_files_seen")
+        ),
+        join_cols,
     )
     return out.orderBy("file_idx", "seq")
 

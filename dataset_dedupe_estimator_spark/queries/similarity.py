@@ -200,9 +200,12 @@ LIMIT 5
 
 
 def _unit_col() -> Column:
-    """embedding / nrm, divided out once per vector (requires `nrm` to be a
-    materialized column in the same projection's input — referencing the
-    norm expression inside the lambda would recompute it per element)."""
+    """embedding / nrm as a declarative projection. NOT used in hot paths:
+    even with `nrm` materialized in the upstream projection, Catalyst's
+    CollapseProject inlines the norm aggregate into the transform lambda
+    and re-evaluates the 64-element fold per component (verified in the
+    optimized plan). Kept as the semantic reference for `unit_features`,
+    the Arrow-batched form that is bit-identical (test_lsh_parity)."""
     return F.transform(
         F.col("embedding"), lambda x: x.cast("double") / F.col("nrm")
     )
@@ -218,15 +221,47 @@ def _sql_unit_dot(a: str, b: str) -> str:
     )
 
 
+def _unit_features_fn(it):
+    """Arrow-batched unit vectors only — the same cumsum/normalize code
+    path as lsh_features (bit-identical to the fold expressions per
+    test_lsh_parity), without paying for hyperplane signatures."""
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in it:
+        idx = {n: i for i, n in enumerate(batch.schema.names)}
+        vec_id = batch.column(idx["vec_id"])
+        flat = batch.column(idx["embedding"]).flatten().to_numpy(zero_copy_only=False)
+        e = flat.astype(np.float64).reshape(-1, DIM)
+        nrm = np.sqrt(np.cumsum(e * e, axis=1)[:, -1])
+        unit = e / nrm[:, None]
+        offsets = pa.array(
+            np.arange(0, (e.shape[0] + 1) * DIM, DIM, dtype=np.int32)
+        )
+        yield pa.RecordBatch.from_arrays(
+            [vec_id, pa.ListArray.from_arrays(offsets, pa.array(unit.ravel()))],
+            names=["vec_id", "unit"],
+        )
+
+
+def unit_features(emb):
+    """(vec_id, unit) in one Arrow pass. The declarative `_unit_col`
+    projection is NOT used in hot paths: Catalyst's CollapseProject inlines
+    the norm aggregate into the transform lambda, re-evaluating the
+    64-element fold per component (~64x work)."""
+    return emb.select("vec_id", "embedding").mapInArrow(
+        _unit_features_fn, "vec_id long, unit array<double>"
+    )
+
+
 def embedding_dedup_pairs(spark, sf):
     """Embedding-cosine near-duplicate pairs, brute-force baseline.
     Threshold 0.45 (corpus max pairwise cosine is ~0.51). Vectors are
-    pre-normalized to unit length ONCE — the per-pair work is a single dot
-    product, no norms or divisions in the join."""
+    pre-normalized to unit length ONCE (Arrow-batched pass — see
+    unit_features) — the per-pair work is a single dot product, no norms
+    or divisions in the join."""
     emb = load(spark, sf, "embeddings")
-    normed = emb.select(
-        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
-    ).select("vec_id", _unit_col().alias("unit"))
+    normed = unit_features(emb)
     a = normed.select(F.col("vec_id").alias("vec_a"), F.col("unit").alias("ua"))
     b = normed.select(F.col("vec_id").alias("vec_b"), F.col("unit").alias("ub"))
     cos = _dot(F.col("ua"), F.col("ub"))

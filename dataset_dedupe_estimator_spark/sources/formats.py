@@ -92,7 +92,13 @@ def _arrow_partition_writer(dest_dir: str, compression: str, cdc_options: dict |
     """Executor-side parquet writer: each task streams its Arrow batches
     through a pyarrow ParquetWriter (optionally content-defined-chunking)
     and yields one (path, n_rows) row. Nothing is collected to the driver
-    except the tiny manifest — this is the 100 TB write path."""
+    except the tiny manifest — this is the 100 TB write path.
+
+    Task-commit protocol: each attempt writes an attempt-unique temp file
+    and atomically renames it into the final per-partition path only after
+    a successful close — a speculative or zombie attempt can never
+    interleave bytes with the winner (Spark's native sinks make the same
+    move)."""
 
     def fn(batches):
         import os as _os
@@ -101,25 +107,37 @@ def _arrow_partition_writer(dest_dir: str, compression: str, cdc_options: dict |
         import pyarrow.parquet as _pq
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         path = _os.path.join(dest_dir, f"part-{pid:05d}.parquet")
+        tmp = f"{path}.attempt-{ctx.taskAttemptId()}.tmp"
         kwargs = {}
         if cdc_options is not None:
             kwargs["use_content_defined_chunking"] = cdc_options
         writer = None
         n = 0
+        committed = False
         try:
             for batch in batches:
                 if writer is None:
                     writer = _pq.ParquetWriter(
-                        path, batch.schema, compression=compression, **kwargs
+                        tmp, batch.schema, compression=compression, **kwargs
                     )
                 writer.write_batch(batch)
                 n += batch.num_rows
-        finally:
             if writer is not None:
                 writer.close()
-        if writer is not None:
+                writer = None
+                _os.replace(tmp, path)  # atomic commit
+                committed = True
+        finally:
+            if writer is not None:  # failure path: abandon the attempt file
+                writer.close()
+                try:
+                    _os.remove(tmp)
+                except OSError:
+                    pass
+        if committed:
             yield _pa.RecordBatch.from_pydict({"path": [path], "n_rows": [n]})
 
     return fn
@@ -270,10 +288,18 @@ class CdcParquetFormat(FileFormat):
         manifest = write_parquet_distributed(
             df.coalesce(1), tmp, compression=self.compression, cdc=self.cdc
         )
-        if len(manifest) != 1:
+        if len(manifest) > 1:
             raise RuntimeError(f"expected one part file in {tmp}, got {manifest}")
-        shutil.move(manifest[0][0], dest)
-        shutil.rmtree(tmp)
+        if manifest:
+            shutil.move(manifest[0][0], dest)
+        else:
+            # empty source: executors saw no batches, so write the valid
+            # empty file driver-side from the (data-free) schema
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            empty = to_arrow_schema(df.schema).empty_table()
+            pq.write_table(empty, dest, compression=self.compression)
+        shutil.rmtree(tmp, ignore_errors=True)
         sanity_check(spark, df, spark.read.parquet(str(dest)))
         return dest
 

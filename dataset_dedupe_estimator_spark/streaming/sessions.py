@@ -85,8 +85,15 @@ def _sessionize_group(
         n_events = value_cents = 0
 
     closed: list[tuple[int, int, int, int, int]] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts_us", "event_id"])
+    # Arrow delivers a group as MULTIPLE chunks (split at
+    # maxRecordsPerBatch) in no guaranteed timestamp order, and the plan
+    # sorts only by the grouping key — so the batch must be concatenated
+    # and sorted globally before the gap scan, or chunk boundaries would
+    # fabricate/miss session gaps. (Memory: one user's events per
+    # micro-batch; bound the trigger interval, not the group.)
+    chunks = list(pdfs)
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["ts_us", "event_id"])
         for ts_us, cents_ in zip(pdf["ts_us"], pdf["value_cents"]):
             ts_us, cents_ = int(ts_us), int(cents_)
             if last_us is not None and ts_us - last_us > gap_us:

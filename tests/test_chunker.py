@@ -125,6 +125,16 @@ def test_gearhash_streaming_matches_in_memory(tmp_path):
     assert sum(s for _, s in streamed) == len(big)
 
 
+def test_streaming_refuses_unbounded_pending(tmp_path):
+    # enforce_max=False would grow the pending buffer to the whole file
+    # and rescan it per block — the streaming path must refuse it
+    path = tmp_path / "x.bin"
+    path.write_bytes(DATA[:100_000])
+    p = ChunkerParams(scheme="gear", enforce_max=False)
+    with pytest.raises(ValueError, match="enforce_max"):
+        list(_iter_file_chunks(str(path), p))
+
+
 def test_gearhash_coverage_and_bounds():
     chunks = chunk_bytes(DATA, GEAR_P)
     sizes = [s for _, s in chunks]

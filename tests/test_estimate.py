@@ -82,6 +82,13 @@ def test_dedup_map_provenance_cap(spark, two_identical):
     assert all(r.n_files_seen == 2 for r in rows)
 
 
+def test_chunks_export_carries_exact_cardinality(spark, two_identical):
+    from dataset_dedupe_estimator_spark.plans.estimate import chunks_export
+
+    rows = chunks_export(spark, two_identical).collect()
+    assert rows and all(r.n_files_seen == 2 for r in rows)
+
+
 def test_segments_order(spark, two_identical):
     chunks = chunk_files(spark, two_identical)
     seg = segments(chunks).collect()

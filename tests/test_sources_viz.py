@@ -107,6 +107,22 @@ def test_grouped_bar_html(spark):
     assert "42.0%" in html and "prefers-color-scheme: dark" in html
 
 
+def test_grouped_bar_html_warns_on_series_overflow(spark):
+    from dataset_dedupe_estimator_spark.plans.charts import grouped_bar_html
+    from dataset_dedupe_estimator_spark.plans.compare import (
+        EstimationResult,
+        results_df,
+    )
+
+    res = [
+        EstimationResult("pq", 2, 1000, 600, 500, 0.5 + g / 100, f"g{g:02d}")
+        for g in range(10)
+    ]
+    html = grouped_bar_html(results_df(spark, res))
+    assert html.count('class="bar"') == 8  # palette cap
+    assert "2 more group(s) not shown" in html  # but never silently
+
+
 def test_grouped_bar_html_single_series_no_legend(spark):
     from dataset_dedupe_estimator_spark.plans.charts import grouped_bar_html
     from dataset_dedupe_estimator_spark.plans.compare import (

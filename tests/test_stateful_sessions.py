@@ -59,6 +59,35 @@ def test_stateful_sessionize_across_batches(spark, tmp_path):
     assert r.session_end_us - r.session_start_us == 10 * 60 * 1_000_000
 
 
+def test_sessionize_across_arrow_chunks(spark, tmp_path):
+    """A group split into multiple Arrow chunks (maxRecordsPerBatch=2) in
+    non-timestamp order must still sessionize on the globally sorted
+    stream — per-chunk sorting would fabricate session gaps."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        src, ckpt = tmp_path / "src", tmp_path / "ckpt"
+        # written ts-descending: chunk 1 holds the LATEST events
+        rows = [
+            (3, "2026-01-01 13:00:00", 6.0, 6),  # second session (gap > 30m)
+            (3, "2026-01-01 10:40:00", 5.0, 5),
+            (3, "2026-01-01 10:30:00", 4.0, 4),
+            (3, "2026-01-01 10:20:00", 3.0, 3),
+            (3, "2026-01-01 10:10:00", 2.0, 2),
+            (3, "2026-01-01 10:00:00", 1.0, 1),
+        ]
+        schema = _write_batch(spark, src, rows)
+        out = _run_pass(spark, src, schema, ckpt, tmp_path / "out")
+        # the first session (5 events, 10:00-10:40) closes when 13:00 arrives
+        assert len(out) == 1
+        r = out[0]
+        assert r.n_events == 5
+        assert r.value_cents == 1500
+        assert r.session_end_us - r.session_start_us == 40 * 60 * 1_000_000
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
 def test_idle_timeout_flushes_open_session(spark, tmp_path):
     """ProcessingTimeTimeout branch: a quiescent user's open session is
     flushed without a later event. Needs a continuous trigger — Spark never
