@@ -51,7 +51,7 @@ def connected_components(
         .withColumn("comp", F.col("v"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr_min = (
             und.join(labels.withColumnRenamed("v", "src"), "src")
             .groupBy("dst")
@@ -75,13 +75,18 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        # the convergence probe is its own Spark job — skip it on round 0,
+        # where any graph with at least one non-trivial edge still changes
+        if it > 0:
+            changed = (
+                jumped.alias("n")
+                .join(labels.alias("o"), "v")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .limit(1)
+                .count()
+            )
+        else:
+            changed = 1
         labels = jumped
         if changed == 0:
             break
