@@ -110,7 +110,10 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    spark = get_spark(app_name="oracle-check", shuffle_partitions=8)
+    spark = get_spark(
+        app_name="oracle-check",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")),
+    )
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
