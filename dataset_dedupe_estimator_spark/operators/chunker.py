@@ -38,6 +38,7 @@ the executor task.
 from __future__ import annotations
 
 import hashlib
+import os
 import zlib
 from collections.abc import Iterator
 from dataclasses import dataclass
@@ -357,6 +358,196 @@ def make_chunk_partition_fn(p: ChunkerParams, keep_data: bool):
                     yield pa.RecordBatch.from_pydict(rows, schema=CHUNK_SCHEMA)
 
     return chunk_partition
+
+
+# ---- intra-file parallel chunking (beyond reference: one task per SPLIT) --
+#
+# One-task-per-file wall-clock is bounded by the largest file (the
+# reference's rayon loop has the same limit). CDC boundaries are
+# content-local — a candidate depends only on the trailing `window` (or,
+# for gearhash, the trailing 64) bytes — so candidate detection can run
+# per byte-range split with (window-1)-byte read overlap and produce
+# BIT-IDENTICAL candidates to the sequential scan. Only the min/max
+# cut-selection pass is sequential, and it runs over the candidate list
+# (~1 per 64 KiB: a 1 TB file is ~16M ints), not the bytes. Phase 2
+# re-reads cut-aligned ranges in parallel and emits chunk rows.
+
+
+def _split_scan_fn(p: ChunkerParams):
+    """Phase 1 mapInArrow closure: (file_idx, path, start, end) rows →
+    (file_idx, pos) absolute candidate positions in (start, end]."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            fi_out: list[int] = []
+            pos_out: list[int] = []
+            for file_idx, path, start, end in zip(
+                batch.column("file_idx").to_pylist(),
+                batch.column("path").to_pylist(),
+                batch.column("start").to_pylist(),
+                batch.column("end").to_pylist(),
+            ):
+                ctx = max(0, start - p.window)
+                with open(path, "rb") as f:
+                    f.seek(ctx)
+                    data = f.read(end - ctx)
+                buf = np.frombuffer(data, dtype=np.uint8)
+                cand = _boundary_candidates(buf, p) + ctx
+                cand = cand[(cand > start) & (cand <= end)]
+                fi_out.extend([file_idx] * len(cand))
+                pos_out.extend(int(c) for c in cand)
+            yield pa.RecordBatch.from_pydict(
+                {"file_idx": fi_out, "pos": pos_out},
+                schema=pa.schema([("file_idx", pa.int64()), ("pos", pa.int64())]),
+            )
+
+    return fn
+
+
+def _emit_units_fn(p: ChunkerParams, keep_data: bool):
+    """Phase 2 mapInArrow closure: work-unit rows (file_idx, path,
+    begin_seq, ustart, uend, cuts) → chunk rows. Shares the hash/probe
+    pipeline with the per-file path (including the per-unit probe cache)."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            for file_idx, path, begin_seq, ustart, uend, unit_cuts in zip(
+                batch.column("file_idx").to_pylist(),
+                batch.column("path").to_pylist(),
+                batch.column("begin_seq").to_pylist(),
+                batch.column("ustart").to_pylist(),
+                batch.column("uend").to_pylist(),
+                batch.column("cuts").to_pylist(),
+            ):
+                with open(path, "rb") as f:
+                    f.seek(ustart)
+                    data = f.read(uend - ustart)
+                rows: dict[str, list] = {k: [] for k in CHUNK_SCHEMA.names}
+                probe_cache: dict[int, int] = {}
+                prev = ustart
+                for seq_off, c in enumerate(unit_cuts):
+                    chunk = data[prev - ustart : c - ustart]
+                    h = _hash64(chunk)
+                    comp = probe_cache.get(h)
+                    if comp is None:
+                        comp = _compressed_size(chunk, p.compress_probe_bytes)
+                        probe_cache[h] = comp
+                    rows["file_idx"].append(file_idx)
+                    rows["path"].append(path)
+                    rows["seq"].append(begin_seq + seq_off)
+                    rows["offset"].append(prev)
+                    rows["hash"].append(h)
+                    rows["size"].append(len(chunk))
+                    rows["compressed"].append(comp)
+                    rows["data"].append(chunk if keep_data else None)
+                    prev = c
+                if rows["seq"]:
+                    yield pa.RecordBatch.from_pydict(rows, schema=CHUNK_SCHEMA)
+
+    return fn
+
+
+def _parallel_chunks(
+    spark: SparkSession,
+    files: list[tuple[int, str]],
+    params: ChunkerParams,
+    split_bytes: int,
+    store_data: bool,
+) -> DataFrame:
+    """All large files in ONE phase-1 job + ONE phase-2 job (per-file
+    orchestration would serialize job barriers per file)."""
+    splits: list[tuple[int, str, int, int]] = []
+    sizes: dict[int, int] = {}
+    for idx, path in files:
+        size = os.path.getsize(path)
+        sizes[idx] = size
+        for s in range(0, size, split_bytes):
+            splits.append((idx, path, s, min(s + split_bytes, size)))
+    splits_df = spark.createDataFrame(
+        splits, "file_idx long, path string, start long, end long"
+    ).repartition(len(splits))
+    cand_rows = splits_df.mapInArrow(
+        _split_scan_fn(params), "file_idx long, pos long"
+    ).collect()
+    by_file: dict[int, list[int]] = {idx: [] for idx, _ in files}
+    for r in cand_rows:
+        by_file[r.file_idx].append(r.pos)
+    units: list[tuple[int, str, int, int, int, list[int]]] = []
+    path_of = dict(files)
+    for idx, positions in by_file.items():
+        size = sizes[idx]
+        cands = np.array(sorted(positions), dtype=np.int64)
+        cuts = _cuts_from_candidates(size, cands, 0, params)
+        if not cuts or cuts[-1] != size:
+            cuts = [*cuts, size]
+        begin_seq, ustart, ucuts = 0, 0, []
+        for c in cuts:
+            ucuts.append(c)
+            if c - ustart >= split_bytes or c == size:
+                units.append((idx, path_of[idx], begin_seq, ustart, c, ucuts))
+                begin_seq += len(ucuts)
+                ustart, ucuts = c, []
+    units_df = spark.createDataFrame(
+        units,
+        "file_idx long, path string, begin_seq long, ustart long, uend long, "
+        "cuts array<long>",
+    ).repartition(max(len(units), 1))
+    chunks = units_df.mapInArrow(_emit_units_fn(params, store_data), CHUNK_DDL)
+    if not store_data:
+        chunks = chunks.drop("data")
+    return chunks
+
+
+def chunk_file_parallel(
+    spark: SparkSession,
+    path: str,
+    params: ChunkerParams = ChunkerParams(),
+    file_idx: int = 0,
+    split_bytes: int = 256 * 1024 * 1024,
+    store_data: bool = False,
+) -> DataFrame:
+    """One large file → chunk rows, bit-identical to ``chunk_files`` but
+    with intra-file parallelism: wall time scales with cores, not file
+    size. Phase 1 scans candidate boundaries per split (overlap-corrected),
+    the driver runs the sequential min/max cut selection over the tiny
+    candidate list (~1 int per 64 KiB), phase 2 re-reads cut-aligned work
+    units in parallel.
+    """
+    if os.path.getsize(path) == 0:
+        return chunk_files(spark, [path], params=params, store_data=store_data)
+    return _parallel_chunks(
+        spark, [(file_idx, path)], params, split_bytes, store_data
+    )
+
+
+def chunk_files_auto(
+    spark: SparkSession,
+    paths: list[str],
+    params: ChunkerParams = ChunkerParams(),
+    store_data: bool = False,
+    parallel_threshold: int = 1024 * 1024 * 1024,
+    split_bytes: int = 256 * 1024 * 1024,
+) -> DataFrame:
+    """Task-per-file for ordinary files; intra-file parallel chunking for
+    files over ``parallel_threshold`` — the dispatcher ``estimate`` uses,
+    so one huge file no longer pins the whole job to a single core. All
+    large files share one phase-1 and one phase-2 job."""
+    small = [(i, p) for i, p in enumerate(paths) if os.path.getsize(p) < parallel_threshold]
+    large = [(i, p) for i, p in enumerate(paths) if os.path.getsize(p) >= parallel_threshold]
+    out = None
+    if small or not large:
+        files = spark.createDataFrame(
+            small or [], "file_idx long, path string"
+        )
+        if small:
+            files = files.repartition(len(small))
+        out = files.mapInArrow(make_chunk_partition_fn(params, store_data), CHUNK_DDL)
+        if not store_data:
+            out = out.drop("data")
+    if large:
+        part = _parallel_chunks(spark, large, params, split_bytes, store_data)
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def chunk_files(

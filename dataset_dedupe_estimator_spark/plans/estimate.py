@@ -26,6 +26,7 @@ from dataset_dedupe_estimator_spark.operators.chunker import (
     ChunkerParams,
     XET_PARAMS,
     chunk_files,
+    chunk_files_auto,
 )
 
 
@@ -110,7 +111,7 @@ def estimate(
     compressed_chunk_bytes, dedup_ratio (+ xet_bytes / xet_dedup_ratio from
     the second chunker parameterization, src/xet.rs:10-39).
     """
-    chunks = chunk_files(spark, paths, params=params)
+    chunks = chunk_files_auto(spark, paths, params=params)
     row = chunk_stats(chunks).collect()[0]
     out = {
         "numfiles": len(paths),
@@ -122,7 +123,7 @@ def estimate(
     }
     out["dedup_ratio"] = (out["chunk_bytes"] / out["total_len"]) if out["total_len"] else 0.0
     if with_xet:
-        xchunks = chunk_files(spark, paths, params=xet_params)
+        xchunks = chunk_files_auto(spark, paths, params=xet_params)
         xrow = (
             xchunks.groupBy("hash")
             .agg(F.first("size").alias("size"))
@@ -138,7 +139,7 @@ def estimate(
 
 def estimate_df(spark: SparkSession, paths: list[str], params: ChunkerParams = ESTIMATE_PARAMS) -> DataFrame:
     """DataFrame-valued estimate (no collect): one row of dedup metrics."""
-    chunks = chunk_files(spark, paths, params=params)
+    chunks = chunk_files_auto(spark, paths, params=params)
     return chunk_stats(chunks).select(
         F.lit(len(paths)).alias("numfiles"),
         "total_len",

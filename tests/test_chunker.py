@@ -125,6 +125,69 @@ def test_gearhash_streaming_matches_in_memory(tmp_path):
     assert sum(s for _, s in streamed) == len(big)
 
 
+def test_parallel_chunking_bit_identical(spark, tmp_path):
+    """Intra-file parallel chunking (split scan + global cut selection +
+    parallel emit) must reproduce the sequential per-file rows exactly —
+    same cuts, hashes, sizes, seq — for both boundary schemes."""
+    from dataset_dedupe_estimator_spark.operators.chunker import (
+        chunk_file_parallel,
+        chunk_files_auto,
+    )
+
+    big = (DATA * 7)[: 26 * 1024 * 1024]  # several 4 MiB splits
+    path = tmp_path / "big.bin"
+    path.write_bytes(big)
+
+    for p in (ChunkerParams(), ChunkerParams(scheme="gear")):
+        seq_rows = sorted(
+            (r.seq, r.offset, r.hash, r.size, r.compressed)
+            for r in chunk_files(spark, [str(path)], params=p).collect()
+        )
+        par_rows = sorted(
+            (r.seq, r.offset, r.hash, r.size, r.compressed)
+            for r in chunk_file_parallel(
+                spark, str(path), params=p, split_bytes=4 * 1024 * 1024
+            ).collect()
+        )
+        assert par_rows == seq_rows, p.scheme
+
+    # the auto dispatcher routes this file through the parallel path
+    auto_rows = sorted(
+        (r.seq, r.offset, r.hash, r.size)
+        for r in chunk_files_auto(
+            spark,
+            [str(path)],
+            parallel_threshold=8 * 1024 * 1024,
+            split_bytes=4 * 1024 * 1024,
+        ).collect()
+    )
+    assert len(auto_rows) > 0
+    assert auto_rows == sorted(
+        (r.seq, r.offset, r.hash, r.size)
+        for r in chunk_files(spark, [str(path)]).collect()
+    )
+
+
+def test_auto_dispatcher_mixed_sizes(spark, tmp_path):
+    from dataset_dedupe_estimator_spark.operators.chunker import chunk_files_auto
+
+    small = tmp_path / "small.bin"
+    small.write_bytes(DATA[:100_000])
+    big = tmp_path / "big.bin"
+    big.write_bytes((DATA * 3)[: 9 * 1024 * 1024])
+    rows = chunk_files_auto(
+        spark,
+        [str(small), str(big)],
+        parallel_threshold=1024 * 1024,
+        split_bytes=4 * 1024 * 1024,
+    ).collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r.file_idx, 0)
+        by_file[r.file_idx] += r.size
+    assert by_file == {0: 100_000, 1: 9 * 1024 * 1024}
+
+
 def test_streaming_refuses_unbounded_pending(tmp_path):
     # enforce_max=False would grow the pending buffer to the whole file
     # and rescan it per block — the streaming path must refuse it
