@@ -13,6 +13,7 @@ from dataset_dedupe_estimator_spark.queries.base import Q
 from dataset_dedupe_estimator_spark.queries import (  # noqa: E402
     advanced,
     core_cdc,
+    corpus_dedup,
     dedupe_text,
     events,
     relational,
@@ -24,7 +25,7 @@ from dataset_dedupe_estimator_spark.queries import (  # noqa: E402
 )
 
 REGISTRY: dict[str, Q] = {}
-for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthetic_sql, synthetic_e2e, streaming_gate, advanced, core_cdc):
+for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthetic_sql, synthetic_e2e, streaming_gate, advanced, core_cdc, corpus_dedup):
     overlap = REGISTRY.keys() & _mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")
@@ -95,6 +96,11 @@ _TAIL = [
     "dedup_exact_groups",
     "dedup_fingerprint_groups",
     "dedup_exact_events",
+    # new in round 3 — locally oracle-verified (tools/check_oracles.py);
+    # rotate into the driver's 50-query window next round
+    "dedup_keep_first_pruned",
+    "dedup_spans",
+    "mixture_sample",
 ]
 _missing = (set(_FRONT) | set(_TAIL)) - REGISTRY.keys()
 if _missing:

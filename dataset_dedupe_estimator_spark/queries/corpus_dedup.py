@@ -1,0 +1,204 @@
+"""Corpus-scale dedup & sampling operators over ``documents`` —
+round-3 additions to the LLM-training-data extension surface:
+
+* ``dedup_keep_first_pruned`` — same survivor set as ``dedup_keep_first``
+  but with the 100 TB plan shape: the full-width document rows never
+  enter a window sort. Only the 16-byte digest column shuffles (map-side
+  partial agg collapses to unique digests per partition), the *duplicated*
+  digests — typically a tiny fraction of the corpus — come back as a
+  keeper table, and the survivor filter is a join AQE converts to a
+  broadcast hash join when the dup set is small (runtime-Bloom-style
+  pruning: rows whose digest is not in the dup table pass through
+  untouched). Compare ``dedup_keep_first`` (dedupe_text.py:115-126),
+  which windows over every row.
+* ``dedup_spans`` — sub-document exact dedup: non-overlapping
+  ``SPAN_W``-word segments, global first-occurrence-wins (the C4/
+  RefinedWeb line-dedup move, applied to word windows because the test
+  corpus has no newlines). Per-doc summary of surviving spans.
+* ``mixture_sample`` — deterministic source-weighted resampling ("data
+  mixing"): each source gets a quota ∝ its weight, filled by a stable
+  hash-ranking of its documents, so the sample is reproducible on any
+  cluster layout and any row order.
+
+All three are fully oracle-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dataset_dedupe_estimator_spark.queries.base import Q, load
+
+SPAN_W = 8  # words per span (sub-document dedup granularity)
+MIX_FRACTION = 0.4  # overall sampling target as a fraction of the corpus
+
+
+def dedup_keep_first_pruned(spark, sf):
+    """Survivor set after exact dedup, duplicate-pruned plan (see module
+    docstring). Output is identical to ``dedup_keep_first``."""
+    docs = load(spark, sf, "documents").select(
+        F.md5(F.col("text").cast("binary")).alias("text_hash"), "doc_id"
+    )
+    dup_keepers = (
+        docs.groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_docs") > 1)
+        .select("text_hash", "keeper")
+    )
+    # No explicit F.broadcast: at petabyte scale the dup set *can* exceed
+    # broadcast limits, and AQE picks broadcast at runtime whenever it is
+    # actually small — the adaptive answer, not a hard-coded hint.
+    return (
+        docs.join(dup_keepers, "text_hash", "left")
+        .filter(F.col("keeper").isNull() | (F.col("doc_id") == F.col("keeper")))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_KEEP_FIRST_PRUNED_SQL = """
+WITH h AS (SELECT md5(text) AS text_hash, doc_id FROM documents),
+dups AS (
+  SELECT text_hash, MIN(doc_id) AS keeper
+  FROM h GROUP BY 1 HAVING COUNT(*) > 1
+)
+SELECT h.doc_id FROM h LEFT JOIN dups USING (text_hash)
+WHERE keeper IS NULL OR doc_id = keeper
+ORDER BY doc_id
+"""
+
+
+def _spans(spark, sf):
+    """(doc_id, span_idx, span_hash): md5 of each non-overlapping SPAN_W-word
+    window (trailing partial window included, so every token is covered)."""
+    docs = load(spark, sf, "documents")
+    toks = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    t = F.col("t")
+    n_spans = F.ceil(F.size(t) / F.lit(SPAN_W)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda j: F.concat_ws(" ", F.slice(t, j * SPAN_W + 1, SPAN_W)),
+    )
+    return toks.select(
+        "doc_id", F.posexplode(spans).alias("span_idx", "span_text")
+    ).select(
+        "doc_id", "span_idx", F.md5(F.col("span_text").cast("binary")).alias("span_hash")
+    )
+
+
+def dedup_spans(spark, sf):
+    """Sub-document span dedup summary: per doc, how many of its SPAN_W-word
+    spans are globally first occurrences (kept) vs repeats of a span seen
+    earlier (by (doc_id, span_idx) order) anywhere in the corpus.
+
+    Scale shape: the window shuffles only (span_hash, doc_id, span_idx)
+    triples — ~24 bytes per span regardless of document width.
+    """
+    sp = _spans(spark, sf)
+    w = Window.partitionBy("span_hash").orderBy("doc_id", "span_idx")
+    flagged = sp.withColumn("rn", F.row_number().over(w))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_SPANS_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+spans AS (
+  SELECT doc_id, j - 1 AS span_idx,
+         md5(array_to_string(t[(j-1)*{SPAN_W}+1 : j*{SPAN_W}], ' ')) AS span_hash
+  FROM toks, UNNEST(generate_series(1, CAST(ceil(len(t) / {SPAN_W}.0) AS BIGINT))) AS u(j)
+),
+flagged AS (
+  SELECT doc_id, span_idx,
+         ROW_NUMBER() OVER (PARTITION BY span_hash ORDER BY doc_id, span_idx) AS rn
+  FROM spans
+)
+SELECT doc_id, COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def mixture_sample(spark, sf):
+    """Deterministic source-weighted corpus resampling.
+
+    Source ``srcN`` gets weight 3 if N is even else 1; its quota is
+    ``floor(total * MIX_FRACTION * w / Σw)`` documents, filled by ranking
+    its documents on md5(doc_id) — a stable, layout-independent lottery.
+    Returns the sampled (source, doc_id) pairs.
+
+    Scale shape: one narrow shuffle on source for the ranking window; the
+    per-source weight/quota table is a per-group aggregate, not a
+    driver-side list.
+    """
+    docs = load(spark, sf, "documents").select("source", "doc_id")
+    weight = F.when(
+        (F.regexp_extract("source", r"(\d+)$", 1).cast("int") % 2) == 0, F.lit(3)
+    ).otherwise(F.lit(1))
+    weighted = docs.withColumn("w", weight)
+    # per-source size and weight; total corpus count + total weight-mass
+    # via an unpartitioned window over the (tiny) per-source aggregate
+    per_src = weighted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_src"), F.first("w").alias("w")
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    quotas = per_src.select(
+        "source",
+        F.floor(
+            F.sum("n_src").over(w_all) * F.lit(MIX_FRACTION) * F.col("w")
+            / F.sum("w").over(w_all)
+        ).alias("quota"),
+    )
+    rank_w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    ranked = weighted.withColumn("rk", F.row_number().over(rank_w))
+    return (
+        ranked.join(quotas, "source")
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )
+
+
+MIXTURE_SAMPLE_SQL = f"""
+WITH weighted AS (
+  SELECT source, doc_id,
+         CASE WHEN CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) % 2 = 0
+              THEN 3 ELSE 1 END AS w
+  FROM documents
+),
+quotas AS (
+  SELECT source,
+         CAST(FLOOR(SUM(COUNT(*)) OVER () * {MIX_FRACTION} * ANY_VALUE(w)
+                    / SUM(ANY_VALUE(w)) OVER ()) AS BIGINT) AS quota
+  FROM weighted GROUP BY source
+),
+ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM weighted
+)
+SELECT r.source, r.doc_id
+FROM ranked r JOIN quotas q ON r.source = q.source
+WHERE r.rk <= q.quota
+ORDER BY r.source, r.doc_id
+"""
+
+
+QUERIES = {
+    "dedup_keep_first_pruned": Q(dedup_keep_first_pruned, DEDUP_KEEP_FIRST_PRUNED_SQL),
+    "dedup_spans": Q(dedup_spans, DEDUP_SPANS_SQL),
+    "mixture_sample": Q(mixture_sample, MIXTURE_SAMPLE_SQL),
+}

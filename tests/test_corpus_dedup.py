@@ -1,0 +1,71 @@
+"""Corpus dedup & sampling operators (queries/corpus_dedup.py): the
+pruned keep-first plan must match the windowed version row-for-row while
+keeping wide rows out of any window sort; span dedup and mixture sampling
+must be deterministic and satisfy their counting invariants."""
+
+from pyspark.sql import functions as F
+
+from dataset_dedupe_estimator_spark.queries import REGISTRY
+from dataset_dedupe_estimator_spark.queries.corpus_dedup import (
+    MIX_FRACTION,
+    _spans,
+    dedup_keep_first_pruned,
+    dedup_spans,
+    mixture_sample,
+)
+
+
+def _plan(df) -> str:
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_pruned_keep_first_matches_windowed(spark, sf_dir):
+    pruned = dedup_keep_first_pruned(spark, sf_dir).collect()
+    windowed = REGISTRY["dedup_keep_first"].spark(spark, sf_dir).collect()
+    assert pruned == windowed
+    assert len(pruned) > 0
+
+
+def test_pruned_keep_first_plan_has_no_window(spark, sf_dir):
+    p = _plan(dedup_keep_first_pruned(spark, sf_dir))
+    assert "Window" not in p  # survivor filter is agg + join, never a window sort
+    assert "HashAggregate" in p
+
+
+def test_span_dedup_invariants(spark, sf_dir):
+    rows = dedup_spans(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert len(rows) == docs.count()
+    # n_kept == 0 is legitimate: every span of a fully-duplicated document
+    # already appeared in an earlier document
+    assert all(0 <= r.n_kept <= r.n_spans for r in rows)
+    # global: total kept spans == number of distinct span hashes
+    n_distinct = _spans(spark, sf_dir).select("span_hash").distinct().count()
+    assert sum(r.n_kept for r in rows) == n_distinct
+    # every token is covered: span count is ceil(len/W) per doc
+    exp = docs.select(
+        F.ceil(F.size(F.split("text", " ")) / F.lit(8)).cast("long").alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    assert sum(r.n_spans for r in rows) == exp
+
+
+def test_mixture_sample_quotas_and_determinism(spark, sf_dir):
+    sample = mixture_sample(spark, sf_dir)
+    rows = sample.collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    total = docs.count()
+    per_src = docs.groupBy("source").count().collect()
+    weights = {
+        r.source: 3 if int(r.source.lstrip("src")) % 2 == 0 else 1 for r in per_src
+    }
+    wsum = sum(weights.values())
+    got = {}
+    for r in rows:
+        got[r.source] = got.get(r.source, 0) + 1
+    for src, w in weights.items():
+        assert got.get(src, 0) == int(total * MIX_FRACTION * w / wsum)
+    # deterministic under re-evaluation (stable hash lottery, no rand())
+    assert sorted(rows) == sorted(sample.collect())
