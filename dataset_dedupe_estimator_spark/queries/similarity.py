@@ -25,6 +25,7 @@ once per vector, never per pair.
 from __future__ import annotations
 
 import numpy as np
+from pyspark import StorageLevel
 from pyspark.sql import Column, functions as F
 from pyspark.sql.window import Window
 
@@ -342,10 +343,17 @@ def embedding_dedup_lsh(spark, sf):
     unit-vector cosine only on the deduplicated candidate pairs. Same
     threshold as the brute-force baseline, so results are its subset.
     Signatures come from the Arrow-batched numpy pass (`lsh_features`),
-    proven bit-identical to the fold expressions in tests."""
+    proven bit-identical to the fold expressions in tests.
+
+    The feature table feeds three consumers (bucket explode + both sides
+    of the cosine rerank); without materialization Spark re-runs the scan
+    and Arrow pass per consumer (8 MapInArrow nodes, 0 ReusedExchange —
+    measured 2.7s → 1.3s at sf0.1 when persisted). MEMORY_AND_DISK is the
+    production choice: unit vectors are the expensive artifact, and at
+    100 TB you'd persist (or write) them once before any pair work."""
     emb = load(spark, sf, "embeddings")
     n_df = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
-    feats = lsh_features(emb)
+    feats = lsh_features(emb).persist(StorageLevel.MEMORY_AND_DISK)
     units = feats.select("vec_id", "unit")
     # one posexplode pass — NOT an N_TABLES-way union that would
     # re-evaluate the feature pass per table
