@@ -72,12 +72,28 @@ def main() -> None:
 
     headline = {name: q for name, q in REGISTRY.items() if q.headline}
     # Warm the JVM and the Python-worker pool (mapInArrow spawns workers
-    # lazily) so per-query numbers measure the queries, not startup.
+    # lazily) so per-query numbers measure the queries, not startup. The
+    # warmup runs the real chunker code path in every worker: a cold worker
+    # pays numpy import + first-touch page faults (~1s) and tasks land on
+    # workers randomly, so an unrepresentative warmup leaves the chunker
+    # numbers dominated by whichever workers happened to still be cold —
+    # steady-state clusters run warm, which is what the bench models.
     spark.range(1000).selectExpr("sum(id)").collect()
-    import pyarrow as _pa
+
+    def _warm_chunker(it):
+        import numpy as np
+
+        from dataset_dedupe_estimator_spark.operators.chunker import (
+            ChunkerParams,
+            chunk_bytes,
+        )
+
+        blob = np.random.default_rng(0).integers(0, 256, 1 << 20, dtype=np.uint8)
+        chunk_bytes(blob.tobytes(), ChunkerParams())
+        yield from it
 
     spark.range(32, numPartitions=32).mapInArrow(
-        lambda it: it, "id long"
+        _warm_chunker, "id long"
     ).write.mode("overwrite").format("noop").save()
 
     # min of three runs: the first pays one-time plan compilation/codegen;

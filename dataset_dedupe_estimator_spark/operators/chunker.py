@@ -536,11 +536,13 @@ def chunk_files_auto(
     large = [(i, p) for i, p in enumerate(paths) if os.path.getsize(p) >= parallel_threshold]
     out = None
     if small or not large:
-        files = spark.createDataFrame(
-            small or [], "file_idx long, path string"
+        # one partition per file via explicit parallelize slices — a
+        # repartition() here would add a whole exchange stage (scheduling
+        # barrier + shuffle write/read of the tiny file list) before the scan
+        rdd = spark.sparkContext.parallelize(
+            small or [], numSlices=max(len(small), 1)
         )
-        if small:
-            files = files.repartition(len(small))
+        files = spark.createDataFrame(rdd, "file_idx long, path string")
         out = files.mapInArrow(make_chunk_partition_fn(params, store_data), CHUNK_DDL)
         if not store_data:
             out = out.drop("data")
