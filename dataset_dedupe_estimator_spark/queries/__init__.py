@@ -101,6 +101,7 @@ _TAIL = [
     "dedup_keep_first_pruned",
     "dedup_spans",
     "mixture_sample",
+    "sequence_pack",
 ]
 _missing = (set(_FRONT) | set(_TAIL)) - REGISTRY.keys()
 if _missing:

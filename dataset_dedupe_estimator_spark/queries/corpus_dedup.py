@@ -197,8 +197,85 @@ ORDER BY r.source, r.doc_id
 """
 
 
+SEQ_LEN = 256  # tokens per packed training sequence
+
+
+def sequence_pack(spark, sf):
+    """GPT-style sequence packing accounting: concatenate every document's
+    tokens in doc_id order, slice the stream into fixed SEQ_LEN windows,
+    and report per sequence how many documents contribute, how many tokens
+    it holds (== SEQ_LEN except the tail), and its first/last doc — the
+    bookkeeping a pretraining dataloader needs to map sequences back to
+    provenance.
+
+    Plan: token counts are a projection; the concatenated stream position
+    is one prefix sum (window cumsum); each doc explodes into only the
+    sequences it overlaps (a doc spanning k windows emits k rows).
+
+    Scale note: the prefix sum here is a single global window for oracle
+    parity; at 100 TB packing runs per shard (range-partition by doc_id,
+    cumsum within shard + broadcast per-shard offsets — same two-phase
+    scheme ``operators/skew.py`` uses for algebraic aggs).
+    """
+    docs = load(spark, sf, "documents")
+    toks = docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    pos = toks.select(
+        "doc_id",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_pos"),
+    )
+    first_seq = F.floor(F.col("start_pos") / SEQ_LEN)
+    last_seq = F.floor((F.col("start_pos") + F.col("n_tokens") - 1) / SEQ_LEN)
+    exploded = pos.select(
+        "doc_id",
+        "n_tokens",
+        "start_pos",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    overlap = F.least(
+        F.col("start_pos") + F.col("n_tokens"), (F.col("seq_id") + 1) * SEQ_LEN
+    ) - F.greatest(F.col("start_pos"), F.col("seq_id") * SEQ_LEN)
+    return (
+        exploded.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(overlap).alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+SEQUENCE_PACK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+pos AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_pos
+  FROM toks
+),
+exploded AS (
+  SELECT doc_id, n_tokens, start_pos, u.seq_id
+  FROM pos, UNNEST(generate_series(
+    CAST(FLOOR(start_pos / {SEQ_LEN}.0) AS BIGINT),
+    CAST(FLOOR((start_pos + n_tokens - 1) / {SEQ_LEN}.0) AS BIGINT)
+  )) AS u(seq_id)
+)
+SELECT seq_id, COUNT(*) AS n_docs,
+       CAST(SUM(LEAST(start_pos + n_tokens, (seq_id + 1) * {SEQ_LEN})
+                - GREATEST(start_pos, seq_id * {SEQ_LEN})) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM exploded GROUP BY seq_id ORDER BY seq_id
+"""
+
+
 QUERIES = {
     "dedup_keep_first_pruned": Q(dedup_keep_first_pruned, DEDUP_KEEP_FIRST_PRUNED_SQL),
     "dedup_spans": Q(dedup_spans, DEDUP_SPANS_SQL),
     "mixture_sample": Q(mixture_sample, MIXTURE_SAMPLE_SQL),
+    "sequence_pack": Q(sequence_pack, SEQUENCE_PACK_SQL),
 }

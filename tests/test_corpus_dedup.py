@@ -8,10 +8,12 @@ from pyspark.sql import functions as F
 from dataset_dedupe_estimator_spark.queries import REGISTRY
 from dataset_dedupe_estimator_spark.queries.corpus_dedup import (
     MIX_FRACTION,
+    SEQ_LEN,
     _spans,
     dedup_keep_first_pruned,
     dedup_spans,
     mixture_sample,
+    sequence_pack,
 )
 
 
@@ -69,3 +71,22 @@ def test_mixture_sample_quotas_and_determinism(spark, sf_dir):
         assert got.get(src, 0) == int(total * MIX_FRACTION * w / wsum)
     # deterministic under re-evaluation (stable hash lottery, no rand())
     assert sorted(rows) == sorted(sample.collect())
+
+
+def test_sequence_pack_conservation(spark, sf_dir):
+    rows = sequence_pack(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    total_tokens = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).collect()[0].t
+    # every token lands in exactly one sequence
+    assert sum(r.n_tokens for r in rows) == total_tokens
+    # sequences are dense 0..N-1; all full except possibly the last
+    assert [r.seq_id for r in rows] == list(range(len(rows)))
+    assert all(r.n_tokens == SEQ_LEN for r in rows[:-1])
+    assert 0 < rows[-1].n_tokens <= SEQ_LEN
+    # doc ranges tile the corpus in order: consecutive sequences overlap by
+    # at most the boundary-straddling doc
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.first_doc >= prev.first_doc
+        assert cur.first_doc in (prev.last_doc, prev.last_doc + 1)
