@@ -305,6 +305,141 @@ def _iter_file_chunks(path: str, params: ChunkerParams) -> Iterator[tuple[int, b
         yield base, pending
 
 
+def boundary_compatible(a: ChunkerParams, b: ChunkerParams) -> bool:
+    """True when two parameterizations share the same boundary-candidate
+    function (scheme, seed, window, mask, table) and differ only in
+    min/max/probe — the condition under which one scan can feed both."""
+    return (
+        a.scheme == b.scheme
+        and a.seed == b.seed
+        and a.window == b.window
+        and a.mask_bits == b.mask_bits
+        and a.gear_table == b.gear_table
+        and a.enforce_max
+        and b.enforce_max
+    )
+
+
+def _iter_file_chunks_multi(
+    path: str, params_list: list[ChunkerParams]
+) -> Iterator[tuple[int, int, bytes]]:
+    """Stream a file ONCE and yield (param_idx, offset, chunk_bytes) for
+    every parameterization in ``params_list``.
+
+    The default estimate runs two chunker parameterizations (reference:
+    gearhash store + xet-core chunker, src/lib.rs:16-33 + src/xet.rs:10-39)
+    — as two sequential passes that read the corpus twice. When the
+    parameterizations share the boundary-candidate function
+    (``boundary_compatible``: same scheme/seed/window/mask, different
+    min/max), the read and the boundary scan — the memory-bandwidth costs —
+    are shared, and only the per-param cut selection + hash/probe differ.
+    At 100 TB this halves corpus I/O for `estimate(with_xet=True)`.
+
+    Equivalence to per-param ``_iter_file_chunks`` is exact: candidate
+    positions within ``min_size`` of a chunk start are discarded by cut
+    selection, and ``min_size >> window``, so the per-param context
+    differences at buffer edges can never surface in a cut (the same
+    argument behind streaming ≡ in-memory parity).
+    """
+    base_p = params_list[0]
+    for p in params_list[1:]:
+        if not boundary_compatible(base_p, p):
+            raise ValueError(
+                "shared-scan chunking requires boundary-compatible params "
+                "(same scheme/seed/window/mask_bits/gear_table, enforce_max)"
+            )
+    n_p = len(params_list)
+    pending = b""  # buffer covering [base, base + len(pending)) of the file
+    base = 0
+    starts = [0] * n_p  # per-param absolute offset of its current chunk start
+    with open(path, "rb") as f:
+        while True:
+            block = f.read(_BLOCK)
+            if not block:
+                break
+            pending += block
+            buf = np.frombuffer(pending, dtype=np.uint8)
+            cand = _boundary_candidates(buf, base_p)  # ONE scan for all params
+            for i, p in enumerate(params_list):
+                prev = starts[i] - base
+                cuts = _cuts_from_candidates(len(pending), cand, prev, p)
+                for c in cuts:
+                    yield i, base + prev, pending[prev:c]
+                    prev = c
+                starts[i] = base + prev
+            # drop bytes every param has consumed
+            keep_from = min(starts) - base
+            if keep_from:
+                pending = pending[keep_from:]
+                base += keep_from
+    if pending:
+        for i in range(n_p):
+            if starts[i] < base + len(pending):
+                yield i, starts[i], pending[starts[i] - base :]
+
+
+def make_chunk_partition_fn_multi(params_list: list[ChunkerParams], keep_data: bool):
+    """mapInArrow closure emitting CHUNK_SCHEMA rows + ``param_idx`` for
+    every parameterization from one shared file scan."""
+    schema = pa.schema([pa.field("param_idx", pa.int64()), *CHUNK_SCHEMA])
+
+    def chunk_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            for file_idx, path in zip(
+                batch.column("file_idx").to_pylist(), batch.column("path").to_pylist()
+            ):
+                rows: dict[str, list] = {k: [] for k in schema.names}
+                seqs = [0] * len(params_list)
+                probe_caches: list[dict[int, int]] = [{} for _ in params_list]
+                for pi, offset, chunk in _iter_file_chunks_multi(path, params_list):
+                    p = params_list[pi]
+                    h = _hash64(chunk)
+                    comp = probe_caches[pi].get(h)
+                    if comp is None:
+                        comp = _compressed_size(chunk, p.compress_probe_bytes)
+                        if len(probe_caches[pi]) < 1_000_000:
+                            probe_caches[pi][h] = comp
+                    rows["param_idx"].append(pi)
+                    rows["file_idx"].append(file_idx)
+                    rows["path"].append(path)
+                    rows["seq"].append(seqs[pi])
+                    rows["offset"].append(offset)
+                    rows["hash"].append(h)
+                    rows["size"].append(len(chunk))
+                    rows["compressed"].append(comp)
+                    rows["data"].append(chunk if keep_data else None)
+                    seqs[pi] += 1
+                    if len(rows["seq"]) >= 4096:
+                        yield pa.RecordBatch.from_pydict(rows, schema=schema)
+                        rows = {k: [] for k in schema.names}
+                if rows["seq"]:
+                    yield pa.RecordBatch.from_pydict(rows, schema=schema)
+
+    return chunk_partition
+
+
+def chunk_files_multi(
+    spark: SparkSession,
+    paths: list[str],
+    params_list: list[ChunkerParams],
+    store_data: bool = False,
+) -> DataFrame:
+    """files × params → chunk rows with ``param_idx``, ONE read per file
+    (see ``_iter_file_chunks_multi``). All parameterizations must be
+    ``boundary_compatible``."""
+    rdd = spark.sparkContext.parallelize(
+        list(enumerate(paths)), numSlices=max(len(paths), 1)
+    )
+    files = spark.createDataFrame(rdd, "file_idx long, path string")
+    chunks = files.mapInArrow(
+        make_chunk_partition_fn_multi(params_list, store_data),
+        "param_idx long, " + CHUNK_DDL,
+    )
+    if not store_data:
+        chunks = chunks.drop("data")
+    return chunks
+
+
 def _compressed_size(chunk: bytes, probe: int | None) -> int:
     """zlib-1 compressibility probe; optionally sampled (see ChunkerParams)."""
     if probe is None or len(chunk) <= probe:

@@ -25,8 +25,10 @@ from pyspark.sql import functions as F
 from dataset_dedupe_estimator_spark.operators.chunker import (
     ChunkerParams,
     XET_PARAMS,
+    boundary_compatible,
     chunk_files,
     chunk_files_auto,
+    chunk_files_multi,
 )
 
 
@@ -110,7 +112,60 @@ def estimate(
     Returns the reference's result shape: total_len, chunk_bytes,
     compressed_chunk_bytes, dedup_ratio (+ xet_bytes / xet_dedup_ratio from
     the second chunker parameterization, src/xet.rs:10-39).
+
+    When both parameterizations share the boundary-candidate function
+    (the default: min/max/probe differ, scheme/seed/mask identical), the
+    corpus is read and boundary-scanned ONCE for both — one Spark job,
+    half the I/O of the reference's two sequential passes. Files large
+    enough for intra-file parallel chunking keep the per-param path (the
+    split machinery is single-param); incompatible params fall back to
+    two passes.
     """
+    import os as _os
+
+    shared_scan = (
+        with_xet
+        and boundary_compatible(params, xet_params)
+        and all(_os.path.getsize(p) < 1024 * 1024 * 1024 for p in paths)
+    )
+    if shared_scan:
+        chunks = chunk_files_multi(spark, paths, [params, xet_params])
+        per = (
+            chunks.groupBy("param_idx", "hash")
+            .agg(
+                F.first("size").alias("size"),
+                F.first("compressed").alias("compressed"),
+                F.sum("size").alias("occ_bytes"),
+                F.count("*").alias("occ_count"),
+            )
+            .groupBy("param_idx")
+            .agg(
+                F.sum("occ_bytes").alias("total_len"),
+                F.sum("occ_count").alias("total_chunks"),
+                F.count("*").alias("unique_chunks"),
+                F.sum("size").alias("chunk_bytes"),
+                F.sum("compressed").alias("compressed_chunk_bytes"),
+            )
+            .collect()
+        )
+        rows = {r.param_idx: r for r in per}
+        row, xrow = rows.get(0), rows.get(1)
+        out = {
+            "numfiles": len(paths),
+            "total_len": (row.total_len if row else 0) or 0,
+            "chunk_bytes": (row.chunk_bytes if row else 0) or 0,
+            "compressed_chunk_bytes": (row.compressed_chunk_bytes if row else 0) or 0,
+            "total_chunks": (row.total_chunks if row else 0) or 0,
+            "unique_chunks": (row.unique_chunks if row else 0) or 0,
+        }
+        out["dedup_ratio"] = (
+            out["chunk_bytes"] / out["total_len"] if out["total_len"] else 0.0
+        )
+        out["xet_bytes"] = (xrow.chunk_bytes if xrow else 0) or 0
+        out["xet_dedup_ratio"] = (
+            out["xet_bytes"] / out["total_len"] if out["total_len"] else 0.0
+        )
+        return out
     chunks = chunk_files_auto(spark, paths, params=params)
     row = chunk_stats(chunks).collect()[0]
     out = {

@@ -1,0 +1,91 @@
+"""Shared-scan multi-parameterization chunking: one read must produce
+bit-identical chunks to independent per-param passes (the basis for
+estimate()'s single-job default+xet path), including across streaming
+block boundaries and for content that forces max-size cuts."""
+
+import numpy as np
+import pytest
+
+from dataset_dedupe_estimator_spark.operators.chunker import (
+    XET_PARAMS,
+    ChunkerParams,
+    _iter_file_chunks,
+    _iter_file_chunks_multi,
+    boundary_compatible,
+    chunk_files_multi,
+)
+from dataset_dedupe_estimator_spark.plans.estimate import (
+    ESTIMATE_PARAMS,
+    chunk_stats,
+    estimate,
+)
+
+
+@pytest.fixture(scope="module")
+def blob_file(tmp_path_factory):
+    """~20 MiB mixed blob (crosses two 8 MiB streaming blocks): random
+    segments (boundary-rich), a long zero run (candidate-free, forces max
+    cuts), and a repeated section (dedup)."""
+    rng = np.random.default_rng(7)
+    rand = rng.integers(0, 256, 9 * 1024 * 1024, dtype=np.uint8).tobytes()
+    zeros = bytes(2 * 1024 * 1024)
+    blob = rand + zeros + rand[: 8 * 1024 * 1024] + rand[::-1][: 1024 * 1024]
+    path = tmp_path_factory.mktemp("multi") / "blob.bin"
+    path.write_bytes(blob)
+    return str(path)
+
+
+def _collect_single(path, params):
+    return list(_iter_file_chunks(path, params))
+
+
+def test_multi_matches_singles_bitwise(blob_file):
+    params_list = [ESTIMATE_PARAMS, XET_PARAMS]
+    per_param = {i: [] for i in range(len(params_list))}
+    for pi, off, chunk in _iter_file_chunks_multi(blob_file, params_list):
+        per_param[pi].append((off, chunk))
+    for i, p in enumerate(params_list):
+        assert per_param[i] == _collect_single(blob_file, p), f"param {i}"
+
+
+def test_multi_rejects_incompatible(blob_file):
+    with pytest.raises(ValueError, match="boundary-compatible"):
+        list(
+            _iter_file_chunks_multi(
+                blob_file, [ChunkerParams(), ChunkerParams(seed=99)]
+            )
+        )
+    assert not boundary_compatible(ChunkerParams(), ChunkerParams(seed=99))
+    assert boundary_compatible(ESTIMATE_PARAMS, XET_PARAMS)
+
+
+def test_chunk_files_multi_matches_stats(spark, parquet_paths):
+    """Spark-side: per-param slices of the multi DataFrame must reproduce
+    the single-param chunk_stats exactly."""
+    from dataset_dedupe_estimator_spark.operators.chunker import chunk_files
+
+    multi = chunk_files_multi(spark, parquet_paths, [ESTIMATE_PARAMS, XET_PARAMS])
+    for i, p in enumerate([ESTIMATE_PARAMS, XET_PARAMS]):
+        got = chunk_stats(multi.filter(f"param_idx = {i}").drop("param_idx")).collect()
+        want = chunk_stats(chunk_files(spark, parquet_paths, params=p)).collect()
+        assert got == want, f"param {i}"
+
+
+def test_estimate_shared_scan_matches_two_pass(spark, parquet_paths):
+    shared = estimate(spark, parquet_paths)  # default: shared scan
+    # force the two-pass path with a boundary-incompatible xet variant that
+    # still produces the same cuts? No — compare against the components:
+    single = estimate(spark, parquet_paths, with_xet=False)
+    for k in ("total_len", "chunk_bytes", "compressed_chunk_bytes",
+              "total_chunks", "unique_chunks", "dedup_ratio"):
+        assert shared[k] == single[k], k
+    # xet side against an independent single-param pipeline
+    from dataset_dedupe_estimator_spark.operators.chunker import chunk_files
+    from pyspark.sql import functions as F
+
+    xrow = (
+        chunk_files(spark, parquet_paths, params=XET_PARAMS)
+        .groupBy("hash").agg(F.first("size").alias("size"))
+        .agg(F.sum("size").alias("xet_bytes")).collect()[0]
+    )
+    assert shared["xet_bytes"] == xrow.xet_bytes
