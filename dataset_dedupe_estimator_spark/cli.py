@@ -205,6 +205,44 @@ def cmd_corpus(args) -> int:
         print(f"cluster @doc {r.component:<8} size={r.n_docs}")
     if len(rows) > args.limit:
         print(f"... {len(rows) - args.limit} more clusters")
+
+    from dataset_dedupe_estimator_spark.queries.corpus_dedup import (
+        dedup_spans,
+        mixture_sample,
+        sequence_pack,
+    )
+    from pyspark.sql import functions as F
+
+    print("\n## sub-document span dedup (8-word spans, first-occurrence-wins)")
+    span = dedup_spans(spark, args.sf_dir).agg(
+        F.sum("n_spans").alias("spans"), F.sum("n_kept").alias("kept")
+    ).collect()[0]
+    print(
+        f"spans={span.spans}  kept={span.kept}  "
+        f"duplicated={(span.spans - span.kept) / span.spans:.1%}"
+    )
+
+    print("\n## sequence packing (256-token sequences)")
+    packed = sequence_pack(spark, args.sf_dir)
+    stats = packed.agg(
+        F.count(F.lit(1)).alias("n_seq"),
+        F.sum("n_tokens").alias("tokens"),
+        F.avg("n_docs").alias("avg_docs"),
+    ).collect()[0]
+    print(
+        f"sequences={stats.n_seq}  tokens={stats.tokens}  "
+        f"avg docs/seq={stats.avg_docs:.2f}"
+    )
+
+    print("\n## mixture sample (source-weighted)")
+    for r in (
+        mixture_sample(spark, args.sf_dir)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("source")
+        .collect()[: args.limit]
+    ):
+        print(f"{r.source:>8}  sampled={r.n}")
     return 0
 
 
