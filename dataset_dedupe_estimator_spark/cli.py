@@ -217,10 +217,13 @@ def cmd_corpus(args) -> int:
     span = dedup_spans(spark, args.sf_dir).agg(
         F.sum("n_spans").alias("spans"), F.sum("n_kept").alias("kept")
     ).collect()[0]
-    print(
-        f"spans={span.spans}  kept={span.kept}  "
-        f"duplicated={(span.spans - span.kept) / span.spans:.1%}"
-    )
+    if span.spans:  # sums are NULL over an empty documents table
+        print(
+            f"spans={span.spans}  kept={span.kept}  "
+            f"duplicated={(span.spans - span.kept) / span.spans:.1%}"
+        )
+    else:
+        print("no documents")
 
     print("\n## sequence packing (256-token sequences)")
     packed = sequence_pack(spark, args.sf_dir)
@@ -229,10 +232,13 @@ def cmd_corpus(args) -> int:
         F.sum("n_tokens").alias("tokens"),
         F.avg("n_docs").alias("avg_docs"),
     ).collect()[0]
-    print(
-        f"sequences={stats.n_seq}  tokens={stats.tokens}  "
-        f"avg docs/seq={stats.avg_docs:.2f}"
-    )
+    if stats.n_seq:
+        print(
+            f"sequences={stats.n_seq}  tokens={stats.tokens}  "
+            f"avg docs/seq={stats.avg_docs:.2f}"
+        )
+    else:
+        print("no documents")
 
     print("\n## mixture sample (source-weighted)")
     for r in (

@@ -263,6 +263,11 @@ def chunk_bytes(data: bytes, params: ChunkerParams = ChunkerParams()) -> list[tu
 
 _BLOCK = 8 * 1024 * 1024  # streaming read block
 
+# Files at or above this size switch from task-per-file to intra-file
+# parallel chunking (chunk_files_auto); estimate()'s shared-scan dispatch
+# references the same constant so the two never disagree.
+PARALLEL_THRESHOLD = 1024 * 1024 * 1024
+
 
 def _iter_file_chunks(path: str, params: ChunkerParams) -> Iterator[tuple[int, bytes]]:
     """Stream a file and yield (offset, chunk_bytes) without materializing it.
@@ -308,7 +313,15 @@ def _iter_file_chunks(path: str, params: ChunkerParams) -> Iterator[tuple[int, b
 def boundary_compatible(a: ChunkerParams, b: ChunkerParams) -> bool:
     """True when two parameterizations share the same boundary-candidate
     function (scheme, seed, window, mask, table) and differ only in
-    min/max/probe — the condition under which one scan can feed both."""
+    min/max/probe — the condition under which one scan can feed both.
+
+    ``min_size > window`` is part of the contract: the shared buffer can
+    retain context before a lagging param's chunk start, exposing
+    candidates within ``window`` bytes of the start that a per-param pass
+    (whose buffer begins AT the start) cannot see. Those candidates are
+    discarded by cut selection only when they fall below ``min_size`` —
+    so equivalence to the per-param pass needs every min_size above the
+    window length."""
     return (
         a.scheme == b.scheme
         and a.seed == b.seed
@@ -317,6 +330,8 @@ def boundary_compatible(a: ChunkerParams, b: ChunkerParams) -> bool:
         and a.gear_table == b.gear_table
         and a.enforce_max
         and b.enforce_max
+        and a.min_size > a.window
+        and b.min_size > b.window
     )
 
 
@@ -441,7 +456,13 @@ def chunk_files_multi(
 
 
 def _compressed_size(chunk: bytes, probe: int | None) -> int:
-    """zlib-1 compressibility probe; optionally sampled (see ChunkerParams)."""
+    """zlib-1 compressibility probe; optionally sampled (see ChunkerParams).
+
+    ``probe=0`` skips the probe entirely and reports the raw length — for
+    pipelines that never consume the ``compressed`` column (e.g. the xet
+    side of the shared-scan estimate, which only needs unique bytes)."""
+    if probe == 0:
+        return len(chunk)
     if probe is None or len(chunk) <= probe:
         return len(zlib.compress(chunk, 1))
     sampled = len(zlib.compress(chunk[:probe], 1))
@@ -660,7 +681,7 @@ def chunk_files_auto(
     paths: list[str],
     params: ChunkerParams = ChunkerParams(),
     store_data: bool = False,
-    parallel_threshold: int = 1024 * 1024 * 1024,
+    parallel_threshold: int = PARALLEL_THRESHOLD,
     split_bytes: int = 256 * 1024 * 1024,
 ) -> DataFrame:
     """Task-per-file for ordinary files; intra-file parallel chunking for

@@ -65,19 +65,22 @@ def dedup_map(chunks: DataFrame, provenance_cap: int = PROVENANCE_CAP) -> DataFr
     )
 
 
-def chunk_stats(chunks: DataFrame) -> DataFrame:
+def chunk_stats(chunks: DataFrame, by: tuple[str, ...] = ()) -> DataFrame:
     """(total_len, chunk_bytes, compressed_chunk_bytes) — C6, src/store.rs:132-136.
 
     total_len counts every occurrence; chunk_bytes / compressed count each
-    distinct hash once. Single job: two-level aggregate.
+    distinct hash once. Single job: two-level aggregate. ``by`` adds
+    grouping keys to BOTH levels (e.g. ``("param_idx",)`` for the
+    shared-scan estimate) so hash uniqueness is scoped per group.
     """
-    per_hash = chunks.groupBy("hash").agg(
+    keys = list(by)
+    per_hash = chunks.groupBy(*keys, "hash").agg(
         F.first("size").alias("size"),
         F.first("compressed").alias("compressed"),
         F.sum("size").alias("occ_bytes"),
         F.count("*").alias("occ_count"),
     )
-    return per_hash.agg(
+    return per_hash.groupBy(*keys).agg(
         F.sum("occ_bytes").alias("total_len"),
         F.sum("occ_count").alias("total_chunks"),
         F.count("*").alias("unique_chunks"),
@@ -118,36 +121,36 @@ def estimate(
     corpus is read and boundary-scanned ONCE for both — one Spark job,
     half the I/O of the reference's two sequential passes. Files large
     enough for intra-file parallel chunking keep the per-param path (the
-    split machinery is single-param); incompatible params fall back to
-    two passes.
+    split machinery is single-param) and union into the same aggregate;
+    incompatible params fall back to two passes. The xet side's zlib
+    probe is skipped (probe=0): its ``compressed`` column is never
+    consumed, and the probe is ~30% of chunker CPU at full fidelity.
     """
     import os as _os
+    from dataclasses import replace as _replace
 
-    shared_scan = (
-        with_xet
-        and boundary_compatible(params, xet_params)
-        and all(_os.path.getsize(p) < 1024 * 1024 * 1024 for p in paths)
-    )
-    if shared_scan:
-        chunks = chunk_files_multi(spark, paths, [params, xet_params])
-        per = (
-            chunks.groupBy("param_idx", "hash")
-            .agg(
-                F.first("size").alias("size"),
-                F.first("compressed").alias("compressed"),
-                F.sum("size").alias("occ_bytes"),
-                F.count("*").alias("occ_count"),
-            )
-            .groupBy("param_idx")
-            .agg(
-                F.sum("occ_bytes").alias("total_len"),
-                F.sum("occ_count").alias("total_chunks"),
-                F.count("*").alias("unique_chunks"),
-                F.sum("size").alias("chunk_bytes"),
-                F.sum("compressed").alias("compressed_chunk_bytes"),
-            )
-            .collect()
-        )
+    from dataset_dedupe_estimator_spark.operators.chunker import PARALLEL_THRESHOLD
+
+    if with_xet and boundary_compatible(params, xet_params):
+        xet_scan = _replace(xet_params, compress_probe_bytes=0)
+        small = [p for p in paths if _os.path.getsize(p) < PARALLEL_THRESHOLD]
+        large = [p for p in paths if _os.path.getsize(p) >= PARALLEL_THRESHOLD]
+        parts = []
+        if small or not large:
+            parts.append(chunk_files_multi(spark, small, [params, xet_scan]))
+        for i, prm in enumerate((params, xet_scan)):
+            if large:
+                # file_idx re-enumerates within `large`; the stats below
+                # never read it (only hash/size/compressed)
+                parts.append(
+                    chunk_files_auto(spark, large, params=prm).select(
+                        F.lit(i).alias("param_idx"), "*"
+                    )
+                )
+        chunks = parts[0]
+        for extra in parts[1:]:
+            chunks = chunks.unionByName(extra)
+        per = chunk_stats(chunks, by=("param_idx",)).collect()
         rows = {r.param_idx: r for r in per}
         row, xrow = rows.get(0), rows.get(1)
         out = {

@@ -141,6 +141,8 @@ def mixture_sample(spark, sf):
     driver-side list.
     """
     docs = load(spark, sf, "documents").select("source", "doc_id")
+    # sources without trailing digits: cast('') -> null -> weight 1, which
+    # the oracle mirrors with TRY_CAST (a plain CAST errors in DuckDB)
     weight = F.when(
         (F.regexp_extract("source", r"(\d+)$", 1).cast("int") % 2) == 0, F.lit(3)
     ).otherwise(F.lit(1))
@@ -173,7 +175,7 @@ def mixture_sample(spark, sf):
 MIXTURE_SAMPLE_SQL = f"""
 WITH weighted AS (
   SELECT source, doc_id,
-         CASE WHEN CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) % 2 = 0
+         CASE WHEN TRY_CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) % 2 = 0
               THEN 3 ELSE 1 END AS w
   FROM documents
 ),
