@@ -71,6 +71,20 @@ def test_chunk_files_multi_matches_stats(spark, parquet_paths):
         assert got == want, f"param {i}"
 
 
+def test_estimate_mixed_corpus_unions_large_files(spark, parquet_paths, monkeypatch):
+    """With the parallel threshold lowered so some test files count as
+    'large', the shared-scan path must union the per-param large-file
+    chunks into the same aggregate and produce identical metrics (hash
+    uniqueness is global across the small/large split)."""
+    import dataset_dedupe_estimator_spark.operators.chunker as ch
+
+    baseline = estimate(spark, parquet_paths)
+    sizes = sorted(__import__("os").path.getsize(p) for p in parquet_paths)
+    monkeypatch.setattr(ch, "PARALLEL_THRESHOLD", sizes[len(sizes) // 2] + 1)
+    mixed = estimate(spark, parquet_paths)
+    assert mixed == baseline
+
+
 def test_estimate_shared_scan_matches_two_pass(spark, parquet_paths):
     shared = estimate(spark, parquet_paths)  # default: shared scan
     # force the two-pass path with a boundary-incompatible xet variant that
