@@ -5,6 +5,7 @@ block boundaries and for content that forces max-size cuts."""
 
 import numpy as np
 import pytest
+from hypothesis import given, settings, strategies as st
 
 from dataset_dedupe_estimator_spark.operators.chunker import (
     XET_PARAMS,
@@ -57,6 +58,39 @@ def test_multi_rejects_incompatible(blob_file):
         )
     assert not boundary_compatible(ChunkerParams(), ChunkerParams(seed=99))
     assert boundary_compatible(ESTIMATE_PARAMS, XET_PARAMS)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=300_000),
+    mins=st.lists(
+        st.integers(min_value=128, max_value=8 * 1024), min_size=2, max_size=4
+    ),
+    max_mult=st.integers(min_value=2, max_value=8),
+)
+def test_multi_parity_property(data, mins, max_mult):
+    """For ANY content and ANY set of boundary-compatible params (random
+    min sizes, shared max multiplier), the shared scan must reproduce each
+    per-param pass bit-for-bit — the equivalence argument is not specific
+    to the default parameterization."""
+    import os
+    import tempfile
+
+    params_list = [
+        ChunkerParams(min_size=m, max_size=m * max_mult, mask_bits=10)
+        for m in mins
+    ]
+    fd, path = tempfile.mkstemp()
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        per_param = {i: [] for i in range(len(params_list))}
+        for pi, off, chunk in _iter_file_chunks_multi(path, params_list):
+            per_param[pi].append((off, chunk))
+        for i, p in enumerate(params_list):
+            assert per_param[i] == list(_iter_file_chunks(path, p)), f"param {i}"
+    finally:
+        os.unlink(path)
 
 
 def test_chunk_files_multi_matches_stats(spark, parquet_paths):
