@@ -29,14 +29,35 @@ def _humanize(n):
 
 
 def cmd_dedup(args) -> int:
-    """`de dedup f1 f2 ...` (de/cli.py:241-251): estimate dedup across files."""
-    from dataset_dedupe_estimator_spark.plans.estimate import estimate
+    """`de dedup f1 f2 ...` (de/cli.py:241-251): estimate dedup across files.
+
+    --scheme / --probe-bytes expose the chunker parameterization: exact
+    gearhash boundaries (bit-identical to the serial hasher) vs the
+    default windowed scheme, and the zlib compressibility-probe cap."""
+    import dataclasses
+
+    from dataset_dedupe_estimator_spark.plans.estimate import ESTIMATE_PARAMS, estimate
     from dataset_dedupe_estimator_spark.operators.chunker import chunk_files
     from dataset_dedupe_estimator_spark.viz import write_provenance_pngs
 
     paths = [p for pat in args.files for p in sorted(glob.glob(pat))] or args.files
     spark = _spark(args)
-    res = estimate(spark, paths, with_xet=not args.no_xet)
+    from dataset_dedupe_estimator_spark.operators.chunker import XET_PARAMS
+
+    params = dataclasses.replace(
+        ESTIMATE_PARAMS,
+        scheme=args.scheme,
+        compress_probe_bytes=args.probe_bytes,
+    )
+    # the xet pass shares the boundary scheme so the single-read shared
+    # scan stays engaged under --scheme gear
+    res = estimate(
+        spark,
+        paths,
+        params=params,
+        xet_params=dataclasses.replace(XET_PARAMS, scheme=args.scheme),
+        with_xet=not args.no_xet,
+    )
     if args.pngs:
         chunks = chunk_files(spark, paths)
         write_provenance_pngs(chunks, args.pngs)
@@ -273,6 +294,14 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("files", nargs="+")
     d.add_argument("--no-xet", action="store_true")
     d.add_argument("--pngs", help="directory for provenance heatmaps")
+    d.add_argument(
+        "--scheme", choices=["window", "gear"], default="window",
+        help="boundary function: windowed-sum (fast) or exact gearhash",
+    )
+    d.add_argument(
+        "--probe-bytes", type=int, default=16 * 1024,
+        help="cap on zlib probe bytes per chunk (0 skips the probe)",
+    )
     d.set_defaults(fn=cmd_dedup)
 
     s = sub.add_parser("synthetic", help="generate synthetic variants and compare formats")
