@@ -55,12 +55,16 @@ def chunker_throughput(n_mib: int = 48) -> dict:
             ("chunker_mb_s_probe16k", ChunkerParams(compress_probe_bytes=16 * 1024)),
             ("chunker_mb_s_gear", ChunkerParams(scheme="gear")),
         ):
-            t0 = time.perf_counter()
-            for _off, chunk in _iter_file_chunks(f.name, params):
-                _hash64(chunk)
-                _compressed_size(chunk, params.compress_probe_bytes)
-            dt = time.perf_counter() - t0
-            out[label] = round(n_mib * 1024 * 1024 / dt / 1e6, 1)
+            # min of two timed runs: single-shot numbers swung 30-80 MB/s
+            # on this host; the min tracks the machine, not the noise
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                for _off, chunk in _iter_file_chunks(f.name, params):
+                    _hash64(chunk)
+                    _compressed_size(chunk, params.compress_probe_bytes)
+                best = min(best, time.perf_counter() - t0)
+            out[label] = round(n_mib * 1024 * 1024 / best / 1e6, 1)
     return out
 
 
