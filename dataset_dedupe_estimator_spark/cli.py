@@ -273,6 +273,28 @@ def cmd_corpus(args) -> int:
     return 0
 
 
+def cmd_delta(args) -> int:
+    """`de delta --old ... --new ...`: chunk-level upload-delta estimate —
+    bytes each new file must transfer given the old snapshot's chunks
+    (notebooks/parquet-cdc.md:814-838 measurement as an operator)."""
+    from dataset_dedupe_estimator_spark.plans.estimate import upload_delta
+
+    old = [p for pat in args.old for p in sorted(glob.glob(pat))] or args.old
+    new = [p for pat in args.new for p in sorted(glob.glob(pat))] or args.new
+    spark = _spark(args)
+    rows = upload_delta(spark, old, new).collect()
+    total = sum(r.file_bytes for r in rows)
+    novel = sum(r.novel_bytes for r in rows)
+    for r in rows:
+        print(
+            f"{r.path}: transfer {_humanize(r.novel_bytes)} of "
+            f"{_humanize(r.file_bytes)} ({r.delta_ratio:.1%})"
+        )
+    if total:
+        print(f"total: {_humanize(novel)} of {_humanize(total)} ({novel / total:.1%})")
+    return 0
+
+
 def cmd_checkout(args) -> int:
     """`de checkout` (de/cli.py:148-170): materialize git revisions."""
     from dataset_dedupe_estimator_spark.sources.git_revisions import (
@@ -354,6 +376,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     cp.add_argument("--limit", type=int, default=15)
     cp.set_defaults(fn=cmd_corpus)
+
+    dl = sub.add_parser("delta", help="chunk-level upload-delta estimate")
+    dl.add_argument("--old", nargs="+", required=True, help="old snapshot files/globs")
+    dl.add_argument("--new", nargs="+", required=True, help="new snapshot files/globs")
+    dl.set_defaults(fn=cmd_delta)
 
     co = sub.add_parser("checkout", help="materialize git file revisions")
     co.add_argument("repo")

@@ -238,6 +238,55 @@ def chunks_export(
     return out.orderBy("file_idx", "seq")
 
 
+def upload_delta(
+    spark: SparkSession,
+    old_paths: list[str],
+    new_paths: list[str],
+    params: ChunkerParams = ESTIMATE_PARAMS,
+) -> DataFrame:
+    """Chunk-level transfer estimate between two snapshots — the
+    reference's headline use case (CDC upload deltas,
+    notebooks/parquet-cdc.md:814-838: a 1-row insert into a 99 MB file
+    transfers ~6 MB): per new file, the bytes whose chunks do not already
+    exist in the old snapshot.
+
+    Each novel hash is attributed (and counted) once, to the new file
+    that sees it first — matching a content store that uploads a chunk a
+    single time. Plan: both sides chunk at the scan edge; the old side
+    reduces to a distinct 8-byte hash set (map-side partial agg); the
+    anti-join shuffles only narrow hash rows, and AQE broadcasts the old
+    set when it is small.
+    """
+    old_hashes = (
+        chunk_files_auto(spark, old_paths, params=params).select("hash").distinct()
+    )
+    new_chunks = chunk_files_auto(spark, new_paths, params=params)
+    novel_first = (
+        new_chunks.join(old_hashes, "hash", "left_anti")
+        .groupBy("hash")
+        .agg(
+            F.min(F.struct("file_idx", "path", "size")).alias("first"),
+        )
+        .select(
+            F.col("first.path").alias("path"), F.col("first.size").alias("size")
+        )
+    )
+    per_file = new_chunks.groupBy("path").agg(F.sum("size").alias("file_bytes"))
+    delta = novel_first.groupBy("path").agg(F.sum("size").alias("novel_bytes"))
+    return (
+        per_file.join(delta, "path", "left")
+        .select(
+            "path",
+            "file_bytes",
+            F.coalesce(F.col("novel_bytes"), F.lit(0)).alias("novel_bytes"),
+            F.round(
+                F.coalesce(F.col("novel_bytes"), F.lit(0)) / F.col("file_bytes"), 6
+            ).alias("delta_ratio"),
+        )
+        .orderBy("path")
+    )
+
+
 def approx_stats(chunks: DataFrame, rsd: float = 0.01) -> DataFrame:
     """100 TB-scale variant of C6/C10: approximate unique-chunk accounting.
 

@@ -102,6 +102,7 @@ _TAIL = [
     "dedup_spans",
     "mixture_sample",
     "sequence_pack",
+    "cdc_upload_delta",
 ]
 _missing = (set(_FRONT) | set(_TAIL)) - REGISTRY.keys()
 if _missing:

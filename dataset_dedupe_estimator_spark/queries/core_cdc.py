@@ -83,6 +83,25 @@ def cdc_approx_estimate(spark, sf):
     return approx_stats(chunks)
 
 
+def cdc_upload_delta(spark, sf):
+    """Upload-delta estimate (the reference's notebook headline,
+    notebooks/parquet-cdc.md:814-838): treating ``lineitem.parquet`` as
+    the already-stored snapshot, per-file bytes every dataset file would
+    need to transfer. Rows-only (file chunking isn't SQL-expressible);
+    invariants in tests/test_multi_chunker.py."""
+    from dataset_dedupe_estimator_spark.plans.estimate import upload_delta
+
+    paths = _paths(sf)
+    old = [p for p in paths if p.endswith("lineitem.parquet")]
+    rows = upload_delta(spark, old, paths)
+    return rows.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file"),
+        "file_bytes",
+        "novel_bytes",
+        "delta_ratio",
+    ).orderBy("file")
+
+
 def format_compare_demo(spark, sf):
     """O1 end-to-end through the driver contract: generate a synthetic
     table + deleted variant, write both in two parquet configurations and
@@ -129,4 +148,5 @@ QUERIES = {
     "cdc_provenance": Q(cdc_provenance, None),
     "cdc_estimate_xet": Q(cdc_estimate_xet, None),
     "cdc_approx_estimate": Q(cdc_approx_estimate, None),
+    "cdc_upload_delta": Q(cdc_upload_delta, None),
 }

@@ -119,6 +119,32 @@ def test_estimate_mixed_corpus_unions_large_files(spark, parquet_paths, monkeypa
     assert mixed == baseline
 
 
+def test_upload_delta_edit_resync(spark, tmp_path):
+    """A small insert into a large file must transfer only the chunks the
+    edit touches (CDC resync), not the whole file; an identical file must
+    transfer nothing; a brand-new file transfers everything."""
+    from dataset_dedupe_estimator_spark.plans.estimate import upload_delta
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, 8 * 1024 * 1024, dtype=np.uint8).tobytes()
+    old = tmp_path / "old.bin"
+    old.write_bytes(base)
+    edited = tmp_path / "edited.bin"
+    edited.write_bytes(base[: 4 * 1024 * 1024] + b"xyz" + base[4 * 1024 * 1024 :])
+    same = tmp_path / "same.bin"
+    same.write_bytes(base)
+    fresh = tmp_path / "fresh.bin"
+    fresh.write_bytes(rng.integers(0, 256, 1024 * 1024, dtype=np.uint8).tobytes())
+
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in upload_delta(
+        spark, [str(old)], [str(edited), str(same), str(fresh)]
+    ).collect()}
+    assert rows["same.bin"].novel_bytes == 0
+    assert rows["fresh.bin"].novel_bytes == rows["fresh.bin"].file_bytes
+    # the edit disturbs at most a few chunks around the insertion point
+    assert 0 < rows["edited.bin"].novel_bytes <= 4 * 128 * 1024
+
+
 def test_estimate_shared_scan_matches_two_pass(spark, parquet_paths):
     shared = estimate(spark, parquet_paths)  # default: shared scan
     # force the two-pass path with a boundary-incompatible xet variant that
