@@ -61,6 +61,12 @@ def cmd_dedup(args) -> int:
     if args.pngs:
         chunks = chunk_files(spark, paths)
         write_provenance_pngs(chunks, args.pngs)
+    if args.diff_html:
+        from dataset_dedupe_estimator_spark.viz import multidoc_diff_html
+
+        chunks = chunk_files(spark, paths)
+        Path(args.diff_html).write_text(multidoc_diff_html(chunks))
+        print(f"diff written to {args.diff_html}")
     print(
         f"files: {res['numfiles']}  total: {_humanize(res['total_len'])}  "
         f"unique: {_humanize(res['chunk_bytes'])}  "
@@ -316,6 +322,9 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("files", nargs="+")
     d.add_argument("--no-xet", action="store_true")
     d.add_argument("--pngs", help="directory for provenance heatmaps")
+    d.add_argument(
+        "--diff-html", help="write the multi-doc shared/unique diff strip here"
+    )
     d.add_argument(
         "--scheme", choices=["window", "gear"], default="window",
         help="boundary function: windowed-sum (fast) or exact gearhash",
