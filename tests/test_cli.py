@@ -32,6 +32,29 @@ def test_cli_dedup(capsys, data_dir, spark):
     assert "dedup ratio: 50.00%" in out  # identical copies halve
 
 
+def test_cli_delta(capsys, data_dir, spark):
+    rc = main([
+        "delta",
+        "--old", str(data_dir / "t1.parquet"),
+        "--new", str(data_dir / "t2.parquet"),
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    # t2 is an identical copy: nothing to transfer
+    assert "transfer 0.0 B" in out
+
+
+def test_cli_dedup_diff_html(capsys, data_dir, spark, tmp_path):
+    out_html = tmp_path / "diff.html"
+    rc = main([
+        "dedup", str(data_dir / "t1.parquet"), str(data_dir / "t2.parquet"),
+        "--no-xet", "--diff-html", str(out_html),
+    ])
+    assert rc == 0
+    html = out_html.read_text()
+    assert "t1.parquet" in html and "t2.parquet" in html
+
+
 def test_cli_stats(capsys, data_dir, spark, tmp_path):
     rc = main(["stats", str(data_dir), "--out", str(tmp_path / "stats")])
     out = capsys.readouterr().out
