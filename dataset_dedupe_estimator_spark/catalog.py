@@ -44,6 +44,31 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> list[str]:
     return registered
 
 
-def sql(spark: SparkSession, query: str, sf_dir: str) -> DataFrame:
+def register_chunks(spark: SparkSession, paths: list[str]) -> list[str]:
+    """Register the chunk store as relations: ``chunks`` (one row per
+    occurrence: file_idx, path, seq, offset, hash, size, compressed) and
+    ``dedup_map`` (one row per distinct hash with provenance). The
+    reference's in-memory Rust store, exposed to ad-hoc SQL — e.g.
+
+        SELECT path, SUM(size) FILTER (WHERE n_files_seen > 1) AS shared
+        FROM chunks JOIN dedup_map USING (hash) GROUP BY path
+    """
+    from dataset_dedupe_estimator_spark.operators.chunker import chunk_files_auto
+    from dataset_dedupe_estimator_spark.plans.estimate import ESTIMATE_PARAMS, dedup_map
+
+    chunks = chunk_files_auto(spark, paths, params=ESTIMATE_PARAMS)
+    chunks.createOrReplaceTempView("chunks")
+    dedup_map(chunks).createOrReplaceTempView("dedup_map")
+    return ["chunks", "dedup_map"]
+
+
+def sql(
+    spark: SparkSession,
+    query: str,
+    sf_dir: str,
+    chunk_paths: list[str] | None = None,
+) -> DataFrame:
     register_testdata(spark, sf_dir)
+    if chunk_paths:
+        register_chunks(spark, chunk_paths)
     return spark.sql(query)

@@ -198,11 +198,16 @@ def cmd_page_chunks(args) -> int:
 
 
 def cmd_sql(args) -> int:
-    """Ad-hoc SQL over a scale-factor directory's tables."""
+    """Ad-hoc SQL over a scale-factor directory's tables; --chunks GLOB
+    additionally registers the CDC chunk store (`chunks`, `dedup_map`
+    views) so the reference's in-memory store is queryable as relations."""
     from dataset_dedupe_estimator_spark.catalog import sql
 
+    chunk_paths = None
+    if args.chunks:
+        chunk_paths = [p for pat in args.chunks for p in sorted(glob.glob(pat))] or args.chunks
     spark = _spark(args)
-    df = sql(spark, args.query, args.sf_dir)
+    df = sql(spark, args.query, args.sf_dir, chunk_paths=chunk_paths)
     df.show(args.limit, truncate=False)
     return 0
 
@@ -376,6 +381,10 @@ def build_parser() -> argparse.ArgumentParser:
     sq.add_argument("query")
     sq.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     sq.add_argument("--limit", type=int, default=50)
+    sq.add_argument(
+        "--chunks", nargs="+",
+        help="files/globs to chunk and register as `chunks` + `dedup_map` views",
+    )
     sq.set_defaults(fn=cmd_sql)
 
     cp = sub.add_parser("corpus", help="LLM-corpus hygiene report")

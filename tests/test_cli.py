@@ -55,6 +55,22 @@ def test_cli_dedup_diff_html(capsys, data_dir, spark, tmp_path):
     assert "t1.parquet" in html and "t2.parquet" in html
 
 
+def test_cli_sql_chunk_views(capsys, data_dir, spark):
+    rc = main([
+        "sql",
+        "SELECT COUNT(*) AS n, COUNT(DISTINCT hash) AS u FROM chunks",
+        "--sf-dir", str(data_dir),
+        "--chunks", str(data_dir / "t1.parquet"), str(data_dir / "t2.parquet"),
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    # t1/t2 identical: occurrences = 2x distinct hashes
+    import re
+
+    n, u = map(int, re.findall(r"\|(\d+)\s*\|(\d+)\s*\|", out)[0])
+    assert n == 2 * u > 0
+
+
 def test_cli_stats(capsys, data_dir, spark, tmp_path):
     rc = main(["stats", str(data_dir), "--out", str(tmp_path / "stats")])
     out = capsys.readouterr().out
