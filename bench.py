@@ -102,10 +102,14 @@ def main() -> None:
 
     # min of three runs: the first pays one-time plan compilation/codegen;
     # the min absorbs host-noise spikes (observed ±50% on shared boxes).
-    per_query: dict[str, float] = {}
-    for name, q in headline.items():
-        times = []
-        for _ in range(3):
+    # The passes are interleaved round-robin (A,B,...,A,B,...) rather than
+    # per-query back-to-back: observed contention windows on shared hosts
+    # last minutes, long enough to poison all three consecutive samples of
+    # one query; spreading a query's samples across the whole bench run
+    # means its min usually lands in a quiet window.
+    samples: dict[str, list[float]] = {name: [] for name in headline}
+    for _pass in range(3):
+        for name, q in headline.items():
             # queries that persist() an internal stage (embedding_dedup_lsh)
             # would otherwise be served from the CacheManager on repeat runs
             # — the min would measure warm-cache reads, not the query
@@ -113,8 +117,8 @@ def main() -> None:
             t0 = time.perf_counter()
             df = q.spark(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
-            times.append(time.perf_counter() - t0)
-        per_query[name] = round(min(times), 3)
+            samples[name].append(time.perf_counter() - t0)
+    per_query = {name: round(min(ts), 3) for name, ts in samples.items()}
 
     total = round(sum(per_query.values()), 3)
     print(

@@ -14,6 +14,7 @@ from dataset_dedupe_estimator_spark.queries import (  # noqa: E402
     advanced,
     core_cdc,
     corpus_dedup,
+    corpus_quality,
     dedupe_text,
     events,
     relational,
@@ -25,7 +26,7 @@ from dataset_dedupe_estimator_spark.queries import (  # noqa: E402
 )
 
 REGISTRY: dict[str, Q] = {}
-for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthetic_sql, synthetic_e2e, streaming_gate, advanced, core_cdc, corpus_dedup):
+for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthetic_sql, synthetic_e2e, streaming_gate, advanced, core_cdc, corpus_dedup, corpus_quality):
     overlap = REGISTRY.keys() & _mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")
@@ -103,6 +104,10 @@ _TAIL = [
     "mixture_sample",
     "sequence_pack",
     "cdc_upload_delta",
+    # new in round 2 (second continuation) — locally oracle-verified
+    "unigram_surprisal",
+    "tfidf_top_terms",
+    "bloom_incremental_dedup",
 ]
 _missing = (set(_FRONT) | set(_TAIL)) - REGISTRY.keys()
 if _missing:
