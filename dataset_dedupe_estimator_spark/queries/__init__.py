@@ -23,10 +23,11 @@ from dataset_dedupe_estimator_spark.queries import (  # noqa: E402
     synthetic_e2e,
     synthetic_sql,
     text_analysis,
+    tpch_deep,
 )
 
 REGISTRY: dict[str, Q] = {}
-for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthetic_sql, synthetic_e2e, streaming_gate, advanced, core_cdc, corpus_dedup, corpus_quality):
+for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthetic_sql, synthetic_e2e, streaming_gate, advanced, core_cdc, corpus_dedup, corpus_quality, tpch_deep):
     overlap = REGISTRY.keys() & _mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")
@@ -67,6 +68,37 @@ _FRONT = [
     "salted_agg_lineitem",
     "simhash_candidates",
     "streaming_sessionize_events",
+    # round-1 hash-fails (since fixed) — MUST sit inside the 50-query
+    # window so CORRECTNESS_r02 shows them driver-green
+    "conditional_pivot_brands",
+    "events_sessionize",
+    "kmv_sketches",
+    "source_token_stats",
+    "synthetic_delete_rows",
+    "synthetic_insert_rows",
+    "synthetic_update_rows",
+    "synthetic_update_column",
+    "synthetic_append_rows",
+    "merge_upsert_orders",
+    # rotated IN this round: locally-verified entries that have never had
+    # a driver-side row (added late in round 2's continuation)
+    "dedup_keep_first_pruned",
+    "dedup_spans",
+    "mixture_sample",
+    "sequence_pack",
+    "cdc_upload_delta",
+    "unigram_surprisal",
+    "tfidf_top_terms",
+    "bloom_incremental_dedup",
+    # new in round 3: deep TPC-H shapes (correlated subqueries, EXISTS,
+    # HAVING gates, scalar-aggregate gating, anti joins)
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q22_idle_customers",
 ]
 _TAIL = [
     # driver-green in round 1, stable, locally re-verified each round —
@@ -97,17 +129,6 @@ _TAIL = [
     "dedup_exact_groups",
     "dedup_fingerprint_groups",
     "dedup_exact_events",
-    # new in round 3 — locally oracle-verified (tools/check_oracles.py);
-    # rotate into the driver's 50-query window next round
-    "dedup_keep_first_pruned",
-    "dedup_spans",
-    "mixture_sample",
-    "sequence_pack",
-    "cdc_upload_delta",
-    # new in round 2 (second continuation) — locally oracle-verified
-    "unigram_surprisal",
-    "tfidf_top_terms",
-    "bloom_incremental_dedup",
 ]
 _missing = (set(_FRONT) | set(_TAIL)) - REGISTRY.keys()
 if _missing:

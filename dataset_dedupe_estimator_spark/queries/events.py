@@ -71,7 +71,10 @@ def events_sessionize(spark, sf):
     session_window / applyInPandasWithState."""
     ev = load(spark, sf, "events")
     by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(by_user)
+    # ts reads as TIMESTAMP_NTZ; unix_micros requires an instant. Session
+    # tz is pinned UTC by load(), so the cast is the naive-UTC epoch.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ts_us - F.lag(ts_us).over(by_user)
     is_new = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     sess = (
         ev.withColumn("is_new", is_new)

@@ -24,6 +24,19 @@ from pyspark.sql import functions as F
 from dataset_dedupe_estimator_spark.queries.base import Q, load
 
 
+def _instant_ts(df):
+    """Normalize events.ts to an instant (TIMESTAMP ltz): watermarks and
+    unix_micros reject TIMESTAMP_NTZ. Session tz is pinned UTC by load(),
+    so the cast reads the naive wall clock as the UTC instant; the bigint
+    branch covers nanos-as-long parquet (pre-regeneration testdata)."""
+    t = dict(df.dtypes).get("ts")
+    if t == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if t == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def streaming_dedup_events(spark, sf):
     """Streaming exact row-dedup of the events stream; returns the distinct
     row-hash set accumulated in the sink."""
@@ -36,8 +49,7 @@ def streaming_dedup_events(spark, sf):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = _instant_ts(stream)
     key = F.md5(
         F.concat_ws(
             "|",
@@ -97,8 +109,7 @@ def streaming_sessionize_events(spark, sf):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = _instant_ts(stream)
     sessions = stateful_sessionize(
         stream.select("user_id", "ts", "value", "event_id"), gap_minutes=30
     )
@@ -197,8 +208,7 @@ def streaming_windowed_counts(spark, sf):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = _instant_ts(stream)
     cents = F.round(F.col("value") * 100, 0).cast("long")
     n = F.count(F.lit(1))
     agg = (
