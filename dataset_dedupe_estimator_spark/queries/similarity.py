@@ -653,8 +653,100 @@ FROM best GROUP BY vec_id ORDER BY vec_id
 """
 
 
+SEM_K = 16  # clusters at test scale; grow ∝ corpus so cluster size stays O(1)
+SEM_THETA = 0.40  # within-cluster cosine above this ⇒ semantic duplicate
+
+
+def semdedup_clusters(spark, sf):
+    """SemDeDup-shaped semantic dedup (Abbas et al. 2023, public): cluster
+    the embedding space, then drop near-duplicates *within* clusters only —
+    the move that makes embedding dedup sub-quadratic at corpus scale.
+
+    Clusters here are cells around {SEM_K} deterministic seed vectors (the
+    first vec_ids), so the result is oracle-checkable; production swaps in
+    trained centroids (operators/ann.py:train_ivf) with the identical plan.
+    Drop rule: a vector is removed when an earlier (lower vec_id) vector in
+    the same cluster has unit-dot cosine ≥ {SEM_THETA} — greedy keep-first,
+    the same determinism convention as dedup_keep_first.
+
+    100 TB shape: one Arrow pass normalizes vectors, assignment is a
+    broadcast of K centroids (never a shuffle of the corpus against
+    itself), the pair scan is per-cluster quadratic with cluster size held
+    constant by K ∝ N, and the output is a K-row summary."""
+    emb = load(spark, sf, "embeddings")
+    normed = unit_features(emb)
+    cents = normed.filter(F.col("vec_id") < SEM_K).select(
+        F.col("vec_id").alias("cell_id"), F.col("unit").alias("cunit")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell_id"))
+    assigned = (
+        normed.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "unit", "cell_id", _dot(F.col("unit"), F.col("cunit")).alias("csim")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "unit", "cell_id")
+    )
+    a = assigned.select("cell_id", F.col("vec_id").alias("vec_a"), F.col("unit").alias("ua"))
+    b = assigned.select("cell_id", F.col("vec_id").alias("vec_b"), F.col("unit").alias("ub"))
+    dropped = (
+        a.join(b, "cell_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(_dot(F.col("ua"), F.col("ub")) >= SEM_THETA)
+        .select("cell_id", "vec_b")
+        .distinct()
+    )
+    return (
+        assigned.groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .join(
+            dropped.groupBy("cell_id").agg(F.count(F.lit(1)).alias("nd")),
+            "cell_id",
+            "left",
+        )
+        .select(
+            "cell_id",
+            "n_vecs",
+            F.coalesce(F.col("nd"), F.lit(0)).alias("n_dropped"),
+            (F.col("n_vecs") - F.coalesce(F.col("nd"), F.lit(0))).alias("n_kept"),
+        )
+        .orderBy("cell_id")
+    )
+
+
+SEMDEDUP_SQL = f"""
+WITH {EMB_NORMED_CTE},
+cents AS (
+  SELECT vec_id AS cell_id, unit AS cunit FROM normed WHERE vec_id < {SEM_K}
+),
+assigned AS (
+  SELECT vec_id, unit, cell_id
+  FROM (SELECT n.vec_id, n.unit, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                 ORDER BY {_sql_unit_dot("n.unit", "c.cunit")} DESC, c.cell_id) AS rn
+        FROM normed n CROSS JOIN cents c)
+  WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT a.cell_id, b.vec_id AS vec_b
+  FROM assigned a JOIN assigned b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  WHERE {_sql_unit_dot("a.unit", "b.unit")} >= {SEM_THETA}
+)
+SELECT g.cell_id, g.n_vecs,
+       CAST(COALESCE(d.nd, 0) AS BIGINT) AS n_dropped,
+       CAST(g.n_vecs - COALESCE(d.nd, 0) AS BIGINT) AS n_kept
+FROM (SELECT cell_id, COUNT(*) AS n_vecs FROM assigned GROUP BY cell_id) g
+LEFT JOIN (SELECT cell_id, COUNT(*) AS nd FROM dropped GROUP BY cell_id) d
+  USING (cell_id)
+ORDER BY cell_id
+"""
+
+
 QUERIES = {
     "knn_brute_force": Q(knn_brute_force, KNN_SQL, headline=True),
+    "semdedup_clusters": Q(semdedup_clusters, SEMDEDUP_SQL),
     "ann_ivf_trained": Q(ann_ivf_trained),
     "pq_codes": Q(pq_codes, _pq_sql()),
     "ann_lsh_bucketed": Q(ann_lsh_bucketed, ANN_LSH_SQL),

@@ -45,3 +45,18 @@ def test_recall_vs_brute_force(index, emb):
     got = {r.vec_id for r in index.search(list(rows[0].embedding), topk=10, nprobe=4).collect()}
     # nprobe=half the cells: expect to recover most of the true top-10
     assert len(true_top & got) >= 5
+
+
+def test_semdedup_partitions_corpus(spark):
+    from dataset_dedupe_estimator_spark.queries.similarity import (
+        SEM_K,
+        semdedup_clusters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = semdedup_clusters(spark, sf).collect()
+    n_vecs = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    # every vector lands in exactly one cluster; kept + dropped partition it
+    assert sum(r.n_vecs for r in rows) == n_vecs
+    assert all(r.n_kept + r.n_dropped == r.n_vecs for r in rows)
+    assert all(0 <= r.cell_id < SEM_K for r in rows)
