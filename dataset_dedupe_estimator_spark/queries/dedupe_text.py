@@ -633,6 +633,108 @@ FROM per_doc ORDER BY doc_id
 """
 
 
+CMS_D = 4  # sketch rows (independent hash functions)
+CMS_W = 64  # buckets per row — small on purpose so collisions are exercised
+
+
+def cms_token_counts(spark, sf):
+    """Count-min sketch over corpus tokens, checked against exact counts.
+
+    The CMS is THE bounded-memory frequency sketch for streaming/merge
+    settings: the whole table is D×W = {CMS_D}×{CMS_W} cells regardless of
+    corpus size, each partition's partial table merges by cell-wise sum
+    (map-side partial agg does exactly that here), and estimates only ever
+    overestimate. Output: the top-20 exact tokens with their sketch
+    estimate and the (always ≥ 0) overestimation — deterministic in both
+    engines because bucket hashing is the md5-prefix convention
+    (minhash_signatures) and the sketch arithmetic is integer-only.
+
+    100 TB shape: occurrences never shuffle — the sketch aggregate
+    collapses to ≤ D×W rows per partition before the (tiny) exchange; the
+    estimate probe joins the D-row buckets of each candidate token against
+    the broadcast 256-cell table.
+    """
+    docs = load(spark, sf, "documents")
+    occ = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+
+    def bucket(tok, d: int):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{d}:"), tok).cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        return h % CMS_W
+
+    cells = occ.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("d"), bucket(F.col("token"), d).alias("bucket"))
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.d", "cell.bucket")
+    cms = cells.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cell_count"))
+    top = (
+        occ.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .orderBy(F.col("exact").desc(), F.col("token"))
+        .limit(20)
+    )
+    probes = top.select(
+        "token",
+        "exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("d"), bucket(F.col("token"), d).alias("bucket"))
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("cell"),
+    ).select("token", "exact", "cell.d", "cell.bucket")
+    return (
+        probes.join(F.broadcast(cms), ["d", "bucket"])
+        .groupBy("token", "exact")
+        .agg(F.min("cell_count").alias("cms_estimate"))
+        .select(
+            "token",
+            "exact",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact")).alias("overestimate"),
+        )
+        .orderBy(F.col("exact").desc(), F.col("token"))
+    )
+
+
+def _cms_bucket_sql(tok: str, d: int) -> str:
+    return f"CAST('0x' || substr(md5('{d}:' || {tok}), 1, 8) AS BIGINT) % {CMS_W}"
+
+
+CMS_SQL = f"""
+WITH occ AS (
+  SELECT u.token FROM documents, UNNEST(string_split(text, ' ')) AS u(token)
+),
+cells AS (
+  {" UNION ALL ".join(f"SELECT {d} AS d, {_cms_bucket_sql('token', d)} AS bucket FROM occ" for d in range(CMS_D))}
+),
+cms AS (SELECT d, bucket, COUNT(*) AS cell_count FROM cells GROUP BY d, bucket),
+top AS (
+  SELECT token, COUNT(*) AS exact FROM occ GROUP BY token
+  ORDER BY exact DESC, token LIMIT 20
+),
+probes AS (
+  {" UNION ALL ".join(f"SELECT token, exact, {d} AS d, {_cms_bucket_sql('token', d)} AS bucket FROM top" for d in range(CMS_D))}
+)
+SELECT token, exact, MIN(cell_count) AS cms_estimate,
+       CAST(MIN(cell_count) - exact AS BIGINT) AS overestimate
+FROM probes JOIN cms USING (d, bucket)
+GROUP BY token, exact
+ORDER BY exact DESC, token
+"""
+
+
 QUERIES = {
     "dedup_exact_groups": Q(dedup_exact_groups, DEDUP_EXACT_SQL),
     "dedup_exact_events": Q(dedup_exact_events, DEDUP_EVENTS_SQL),
@@ -646,4 +748,5 @@ QUERIES = {
     "dedup_near_groups": Q(dedup_near_groups, DEDUP_NEAR_GROUPS_SQL),
     "dedup_near_survivors": Q(dedup_near_survivors, DEDUP_NEAR_SURVIVORS_SQL),
     "kmv_sketches": Q(kmv_sketches, KMV_SQL),
+    "cms_token_counts": Q(cms_token_counts, CMS_SQL),
 }

@@ -81,3 +81,13 @@ def test_vector_ops(spark):
 def test_cents_exact(spark):
     df = spark.createDataFrame([(19.99,), (0.01,), (100.0,)], "v double")
     assert [r.c for r in df.select(cents("v").alias("c")).collect()] == [1999, 1, 10000]
+
+
+def test_cms_never_underestimates(spark):
+    from dataset_dedupe_estimator_spark.queries.dedupe_text import cms_token_counts
+
+    rows = cms_token_counts(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 20
+    # the defining CMS guarantee: estimate >= exact, always
+    assert all(r.cms_estimate >= r.exact for r in rows)
+    assert all(r.overestimate == r.cms_estimate - r.exact for r in rows)
