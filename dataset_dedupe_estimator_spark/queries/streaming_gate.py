@@ -279,8 +279,88 @@ def multimodal_pipeline_demo(spark, sf):
     return out.orderBy("kind")
 
 
+def streaming_cms_counts(spark, sf):
+    """The count-min sketch (dedupe_text.cms_token_counts) built BY a
+    stream: token occurrences flow through a running groupBy(d, bucket)
+    aggregate in complete output mode, and the final sketch table equals
+    the batch sketch cell-for-cell — the defining mergeability property of
+    CMS, demonstrated on real Structured Streaming state rather than
+    asserted.
+
+    100 TB/unbounded shape: state is capped at D×W rows forever (the
+    whole point of sketching a stream); no watermark needed because the
+    aggregate keys are buckets, not time."""
+    import tempfile
+    import uuid
+
+    from dataset_dedupe_estimator_spark.queries.dedupe_text import CMS_D, CMS_W
+
+    raw_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+
+    def bucket(tok, d: int):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{d}:"), tok).cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        return h % CMS_W
+
+    occ = stream.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    cells = occ.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), bucket(F.col("token"), d).alias("bucket")
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.d", "cell.bucket")
+    sketch = cells.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cell_count"))
+    name = f"stream_cms_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            sketch.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).orderBy("d", "bucket")
+
+
+def _streaming_cms_sql() -> str:
+    from dataset_dedupe_estimator_spark.queries.dedupe_text import (
+        CMS_D,
+        _cms_bucket_sql,
+    )
+
+    cells = " UNION ALL ".join(
+        f"SELECT {d} AS d, {_cms_bucket_sql('token', d)} AS bucket FROM occ"
+        for d in range(CMS_D)
+    )
+    return f"""
+WITH occ AS (
+  SELECT u.token FROM documents, UNNEST(string_split(text, ' ')) AS u(token)
+),
+cells AS ({cells})
+SELECT d, bucket, COUNT(*) AS cell_count
+FROM cells GROUP BY d, bucket ORDER BY d, bucket
+"""
+
+
 QUERIES: dict[str, Q] = {
     "streaming_dedup_events": Q(streaming_dedup_events, STREAMING_DEDUP_SQL),
+    "streaming_cms_counts": Q(streaming_cms_counts, _streaming_cms_sql()),
     "streaming_windowed_counts": Q(streaming_windowed_counts, STREAMING_WINDOWED_SQL),
     "streaming_sessionize_events": Q(
         streaming_sessionize_events, STREAMING_SESSIONIZE_SQL
