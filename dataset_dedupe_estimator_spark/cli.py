@@ -281,6 +281,32 @@ def cmd_corpus(args) -> int:
         .collect()[: args.limit]
     ):
         print(f"{r.source:>8}  sampled={r.n}")
+
+    print("\n## semantic dedup (SemDeDup clusters over embeddings)")
+    from dataset_dedupe_estimator_spark.queries.similarity import semdedup_clusters
+
+    sem = semdedup_clusters(spark, args.sf_dir).agg(
+        F.sum("n_vecs").alias("vecs"), F.sum("n_dropped").alias("dropped")
+    ).collect()[0]
+    if sem.vecs:
+        print(
+            f"vectors={sem.vecs}  semantic dups dropped={sem.dropped} "
+            f"({sem.dropped / sem.vecs:.1%})"
+        )
+    else:
+        print("no embeddings")
+
+    print("\n## token frequency sketch (count-min, top overestimates)")
+    from dataset_dedupe_estimator_spark.queries.dedupe_text import cms_token_counts
+
+    for r in sorted(
+        cms_token_counts(spark, args.sf_dir).collect(),
+        key=lambda r: (-r.overestimate, r.token),
+    )[:5]:
+        print(
+            f"{r.token:>12}  exact={r.exact:<6} cms={r.cms_estimate:<6} "
+            f"over={r.overestimate}"
+        )
     return 0
 
 
