@@ -282,6 +282,17 @@ def cmd_corpus(args) -> int:
     ):
         print(f"{r.source:>8}  sampled={r.n}")
 
+    if getattr(args, "materialize", None):
+        from dataset_dedupe_estimator_spark.queries.text_analysis import (
+            materialize_survivors,
+        )
+
+        n_in, n_out = materialize_survivors(spark, args.sf_dir, args.materialize)
+        print(
+            f"\n## materialized cleaned corpus → {args.materialize}\n"
+            f"input docs={n_in}  written survivors={n_out}"
+        )
+
     print("\n## semantic dedup (SemDeDup clusters over embeddings)")
     from dataset_dedupe_estimator_spark.queries.similarity import semdedup_clusters
 
@@ -419,6 +430,11 @@ def build_parser() -> argparse.ArgumentParser:
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
     )
     cp.add_argument("--limit", type=int, default=15)
+    cp.add_argument(
+        "--materialize",
+        metavar="DIR",
+        help="also write the cleaned corpus (survivors) as source-partitioned parquet",
+    )
     cp.set_defaults(fn=cmd_corpus)
 
     dl = sub.add_parser("delta", help="chunk-level upload-delta estimate")

@@ -296,15 +296,12 @@ def _contamination_sql() -> str:
     )
 
 
-def corpus_survival_pipeline(spark, sf):
-    """The composed training-data filter — what a real pipeline runs before
-    tokenization: exact dedup (keep first doc per text hash) ∧ quality gate
-    (length + type-token ratio) ∧ repetition gate (dup n-gram fractions),
-    reduced to per-source survival statistics.
-
-    One plan: the dedup window shuffles on text hash once; every filter is
-    a columnar expression over the same scan; the final per-source rollup
-    is a small aggregate. At 100 TB this is the shape you run nightly."""
+def survival_scores(spark, sf):
+    """Per-document survival flags for the composed training-data filter:
+    exact dedup keeper (first doc per text hash) / quality gate (length +
+    type-token ratio) / repetition gate (dup n-gram fractions). Shared by
+    the stats rollup (corpus_survival_pipeline) and the corpus
+    materializer (materialize_survivors)."""
     from pyspark.sql.window import Window
 
     docs = load(spark, sf, "documents")
@@ -324,7 +321,7 @@ def corpus_survival_pipeline(spark, sf):
     ).cast("double")
     dup_tok = (n - n_uniq).cast("double") / n.cast("double")
     w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
-    scored = docs.select(
+    return docs.select(
         "doc_id",
         "source",
         (F.row_number().over(w) == 1).alias("is_keeper"),
@@ -333,6 +330,18 @@ def corpus_survival_pipeline(spark, sf):
         ),
         ((dup_tri < 0.30) & (dup_tok < 0.70)).alias("passes_repetition"),
     )
+
+
+def corpus_survival_pipeline(spark, sf):
+    """The composed training-data filter — what a real pipeline runs before
+    tokenization: exact dedup (keep first doc per text hash) ∧ quality gate
+    (length + type-token ratio) ∧ repetition gate (dup n-gram fractions),
+    reduced to per-source survival statistics.
+
+    One plan: the dedup window shuffles on text hash once; every filter is
+    a columnar expression over the same scan; the final per-source rollup
+    is a small aggregate. At 100 TB this is the shape you run nightly."""
+    scored = survival_scores(spark, sf)
     survives = F.col("is_keeper") & F.col("passes_quality") & F.col("passes_repetition")
     return (
         scored.groupBy("source")
@@ -381,6 +390,40 @@ SELECT source,
                 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS survival_rate
 FROM scored GROUP BY source ORDER BY source
 """
+
+
+def materialize_survivors(
+    spark, sf, dest: str, files_per_source: int = 1
+) -> tuple[int, int]:
+    """Write the cleaned corpus: every document passing the survival
+    pipeline, as parquet partitioned by source. Returns (n_input_docs,
+    n_written_docs) after an O3-style write sanity read-back.
+
+    100 TB shape: survivors are selected by a doc_id join against the
+    scored flags (same single-shuffle plan as the stats rollup), and the
+    writer repartitions on (source, doc_id mod files_per_source) so each
+    Hive partition gets ``files_per_source`` similar-sized files instead
+    of one file per upstream task — raise it with corpus size to bound
+    file sizes without a global sort."""
+    docs = load(spark, sf, "documents")
+    scored = survival_scores(spark, sf)
+    survives = (
+        F.col("is_keeper") & F.col("passes_quality") & F.col("passes_repetition")
+    )
+    survivors = docs.join(
+        scored.filter(survives).select("doc_id"), "doc_id"
+    )
+    (
+        survivors.repartition(
+            F.col("source"), F.pmod(F.col("doc_id"), F.lit(files_per_source))
+        )
+        .write.partitionBy("source")
+        .mode("overwrite")
+        .parquet(dest)
+    )
+    n_in = docs.count()
+    n_out = spark.read.parquet(dest).count()
+    return n_in, n_out
 
 
 VOCAB_K = 24  # top-K corpus vocabulary (tiny here; 10k-100k in production)

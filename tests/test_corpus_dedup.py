@@ -90,3 +90,31 @@ def test_sequence_pack_conservation(spark, sf_dir):
     for prev, cur in zip(rows, rows[1:]):
         assert cur.first_doc >= prev.first_doc
         assert cur.first_doc in (prev.last_doc, prev.last_doc + 1)
+
+
+def test_materialize_survivors_roundtrip(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dataset_dedupe_estimator_spark.queries.text_analysis import (
+        corpus_survival_pipeline,
+        materialize_survivors,
+    )
+
+    dest = str(tmp_path / "clean")
+    n_in, n_out = materialize_survivors(spark, sf_dir, dest, files_per_source=2)
+    stats = corpus_survival_pipeline(spark, sf_dir).agg(
+        F.sum("n_docs").alias("docs"), F.sum("n_survivors").alias("survivors")
+    ).collect()[0]
+    assert n_in == stats.docs
+    assert n_out == stats.survivors
+    back = spark.read.parquet(dest)
+    assert set(back.columns) >= {"doc_id", "text", "source"}
+    assert back.count() == n_out
+    # hive partition directories exist on disk, one per surviving source
+    import os
+
+    dirs = {d for d in os.listdir(dest) if d.startswith("source=")}
+    assert dirs == {
+        f"source={r.source}"
+        for r in back.select("source").distinct().collect()
+    }
