@@ -214,8 +214,152 @@ FROM flagged GROUP BY source ORDER BY source
 """
 
 
+def source_overlap_minhash(spark, sf):
+    """Dataset-overlap audit: exact shingle Jaccard vs the MinHash
+    estimate for every pair of sources — the measurement you run before
+    mixing corpora (near-identical sources = wasted epochs, and the
+    estimate column shows exactly what signature-only comparison would
+    have reported at scale, where the exact path is unaffordable).
+
+    Per-source signatures reuse the minhash permutation scheme
+    (dedupe_text.MH_A/MH_B over the md5-prefix base hash), so a source's
+    signature is the slot-wise MIN over its distinct shingles — mergeable,
+    16 ints of state per source no matter the corpus size. The exact
+    intersection is the verification baseline: one self-join shuffled on
+    shingle. est_jaccard = matching slots / 16, an integer ratio —
+    deterministic in both engines.
+    """
+    from dataset_dedupe_estimator_spark.queries.dedupe_text import (
+        MH_A,
+        MH_B,
+        MH_P,
+        N_MINHASH,
+        shingles_df,
+    )
+
+    docs = load(spark, sf, "documents").select("doc_id", "source")
+    sh = (
+        shingles_df(spark, sf)
+        .join(docs, "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    base = (
+        F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % MH_P
+    )
+    based = sh.select("source", base.alias("base"))
+    sig = based.groupBy("source").agg(
+        *[
+            F.min((F.lit(MH_A[i]) * F.col("base") + F.lit(MH_B[i])) % MH_P).alias(
+                f"m{i}"
+            )
+            for i in range(N_MINHASH)
+        ]
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    pairs = (
+        sizes.select(F.col("source").alias("src_a"), F.col("n_sh").alias("n_a"))
+        .crossJoin(
+            sizes.select(F.col("source").alias("src_b"), F.col("n_sh").alias("n_b"))
+        )
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    inter = (
+        sh.select(F.col("source").alias("src_a"), "shingle")
+        .join(sh.select(F.col("source").alias("src_b"), "shingle"), "shingle")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    siga = sig.select(
+        F.col("source").alias("src_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(N_MINHASH)],
+    )
+    sigb = sig.select(
+        F.col("source").alias("src_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(N_MINHASH)],
+    )
+    n_match = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("long") for i in range(N_MINHASH)
+    )
+    return (
+        pairs.join(inter, ["src_a", "src_b"], "left")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
+        .join(F.broadcast(siga), "src_a")
+        .join(F.broadcast(sigb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("exact_jaccard"),
+            (n_match.cast("double") / F.lit(float(N_MINHASH))).alias("est_jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def _source_overlap_sql() -> str:
+    from dataset_dedupe_estimator_spark.queries.dedupe_text import (
+        MH_A,
+        MH_B,
+        MH_P,
+        N_MINHASH,
+        SHINGLES_CTE,
+    )
+
+    mh_cols = ", ".join(
+        f"MIN(({MH_A[i]} * base + {MH_B[i]}) % {MH_P}) AS m{i}"
+        for i in range(N_MINHASH)
+    )
+    n_match = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH)
+    )
+    return f"""
+WITH {SHINGLES_CTE},
+src_sh AS (
+  SELECT DISTINCT d.source, s.shingle
+  FROM shingles s JOIN documents d USING (doc_id)
+),
+based AS (
+  SELECT source,
+         CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % {MH_P} AS base
+  FROM src_sh
+),
+sig AS (SELECT source, {mh_cols} FROM based GROUP BY source),
+sizes AS (SELECT source, COUNT(*) AS n_sh FROM src_sh GROUP BY source),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, a.n_sh AS n_a, b.n_sh AS n_b
+  FROM sizes a CROSS JOIN sizes b WHERE a.source < b.source
+),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+  FROM src_sh a JOIN src_sh b USING (shingle)
+  WHERE a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT p.src_a, p.src_b, p.n_a, p.n_b,
+       CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+       CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+         / CAST(p.n_a + p.n_b - COALESCE(i.n_inter, 0) AS DOUBLE) AS exact_jaccard,
+       CAST({n_match} AS DOUBLE) / {float(N_MINHASH)} AS est_jaccard
+FROM pairs p
+LEFT JOIN inter i ON p.src_a = i.src_a AND p.src_b = i.src_b
+JOIN sig sa ON sa.source = p.src_a
+JOIN sig sb ON sb.source = p.src_b
+ORDER BY p.src_a, p.src_b
+"""
+
+
 QUERIES = {
     "unigram_surprisal": Q(unigram_surprisal, UNIGRAM_SURPRISAL_SQL),
     "tfidf_top_terms": Q(tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
     "bloom_incremental_dedup": Q(bloom_incremental_dedup, BLOOM_INCREMENTAL_DEDUP_SQL),
+    "source_overlap_minhash": Q(source_overlap_minhash, _source_overlap_sql()),
 }

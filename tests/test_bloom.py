@@ -109,3 +109,24 @@ def test_tfidf_top_terms_shape(spark, sf_dir):
         assert scores == sorted(scores, reverse=True)
         for r in rs:
             assert r["score"] == r["tf"] / r["df"]
+
+
+def test_source_overlap_invariants(spark, sf_dir):
+    from dataset_dedupe_estimator_spark.queries.corpus_quality import (
+        source_overlap_minhash,
+    )
+    from dataset_dedupe_estimator_spark.queries.dedupe_text import N_MINHASH
+
+    rows = source_overlap_minhash(spark, sf_dir).collect()
+    n_sources = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_sources * (n_sources - 1) // 2  # every pair once
+    for r in rows:
+        assert 0 <= r.n_inter <= min(r.n_a, r.n_b)
+        assert 0.0 <= r.exact_jaccard <= 1.0
+        # the estimate is a multiple of 1/N_MINHASH by construction
+        assert abs(r.est_jaccard * N_MINHASH - round(r.est_jaccard * N_MINHASH)) < 1e-9
