@@ -653,8 +653,24 @@ FROM best GROUP BY vec_id ORDER BY vec_id
 """
 
 
-SEM_K = 16  # clusters at test scale; grow ∝ corpus so cluster size stays O(1)
+SEM_TARGET_CLUSTER = 32  # aim for ~32 vectors per cluster at any corpus size
+SEM_MAX_K = 4096  # broadcast cap; beyond ~10^6 centroids switch to trained
+#                   IVF (operators/ann.py) with hierarchical assignment
 SEM_THETA = 0.40  # within-cluster cosine above this ⇒ semantic duplicate
+
+
+def _sem_k_col(n_vecs: Column) -> Column:
+    """K = clamp(ceil(n_vecs / TARGET), 4, MAX_K) — integer-only, so Spark
+    and DuckDB can never disagree; cluster size stays ~TARGET as the
+    corpus grows (the round-1 fixed-bucket-LSH lesson applied here)."""
+    k = ((n_vecs + F.lit(SEM_TARGET_CLUSTER - 1)) / SEM_TARGET_CLUSTER).cast("long")
+    return F.least(F.greatest(k, F.lit(4)), F.lit(SEM_MAX_K))
+
+
+_SEM_K_SQL = (
+    f"LEAST(GREATEST((n_vecs + {SEM_TARGET_CLUSTER - 1}) // {SEM_TARGET_CLUSTER}, 4), "
+    f"{SEM_MAX_K})"
+)
 
 
 def semdedup_clusters(spark, sf):
@@ -662,21 +678,26 @@ def semdedup_clusters(spark, sf):
     the embedding space, then drop near-duplicates *within* clusters only —
     the move that makes embedding dedup sub-quadratic at corpus scale.
 
-    Clusters here are cells around {SEM_K} deterministic seed vectors (the
-    first vec_ids), so the result is oracle-checkable; production swaps in
-    trained centroids (operators/ann.py:train_ivf) with the identical plan.
-    Drop rule: a vector is removed when an earlier (lower vec_id) vector in
-    the same cluster has unit-dot cosine ≥ {SEM_THETA} — greedy keep-first,
-    the same determinism convention as dedup_keep_first.
+    Clusters are cells around K deterministic seed vectors (the first K
+    vec_ids) so the result is oracle-checkable; K adapts to corpus size
+    inside the plan (see _sem_k_col) so per-cluster pair work stays O(1)
+    as the corpus scales. Production swaps in trained centroids
+    (operators/ann.py) with the identical plan shape. Drop rule: a vector
+    is removed when an earlier (lower vec_id) vector in the same cluster
+    has unit-dot cosine ≥ SEM_THETA — greedy keep-first, the same
+    determinism convention as dedup_keep_first.
 
     100 TB shape: one Arrow pass normalizes vectors, assignment is a
     broadcast of K centroids (never a shuffle of the corpus against
     itself), the pair scan is per-cluster quadratic with cluster size held
-    constant by K ∝ N, and the output is a K-row summary."""
+    at ~SEM_TARGET_CLUSTER, and the output is a K-row summary."""
     emb = load(spark, sf, "embeddings")
     normed = unit_features(emb)
-    cents = normed.filter(F.col("vec_id") < SEM_K).select(
-        F.col("vec_id").alias("cell_id"), F.col("unit").alias("cunit")
+    n_row = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
+    cents = (
+        normed.crossJoin(F.broadcast(n_row))
+        .filter(F.col("vec_id") < _sem_k_col(F.col("n_vecs")))
+        .select(F.col("vec_id").alias("cell_id"), F.col("unit").alias("cunit"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell_id"))
     assigned = (
@@ -717,8 +738,10 @@ def semdedup_clusters(spark, sf):
 
 SEMDEDUP_SQL = f"""
 WITH {EMB_NORMED_CTE},
+nn AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
 cents AS (
-  SELECT vec_id AS cell_id, unit AS cunit FROM normed WHERE vec_id < {SEM_K}
+  SELECT vec_id AS cell_id, unit AS cunit FROM normed, nn
+  WHERE vec_id < {_SEM_K_SQL}
 ),
 assigned AS (
   SELECT vec_id, unit, cell_id

@@ -49,7 +49,8 @@ def test_recall_vs_brute_force(index, emb):
 
 def test_semdedup_partitions_corpus(spark):
     from dataset_dedupe_estimator_spark.queries.similarity import (
-        SEM_K,
+        SEM_MAX_K,
+        SEM_TARGET_CLUSTER,
         semdedup_clusters,
     )
 
@@ -59,4 +60,7 @@ def test_semdedup_partitions_corpus(spark):
     # every vector lands in exactly one cluster; kept + dropped partition it
     assert sum(r.n_vecs for r in rows) == n_vecs
     assert all(r.n_kept + r.n_dropped == r.n_vecs for r in rows)
-    assert all(0 <= r.cell_id < SEM_K for r in rows)
+    # K adapts to corpus size: ceil(n / TARGET) clamped to [4, MAX_K]
+    k = min(max(-(-n_vecs // SEM_TARGET_CLUSTER), 4), SEM_MAX_K)
+    assert len(rows) == k
+    assert all(0 <= r.cell_id < k for r in rows)
