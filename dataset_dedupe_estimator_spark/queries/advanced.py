@@ -360,8 +360,94 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def grouping_sets_revenue(spark, sf):
+    """Explicit GROUPING SETS (beyond rollup/cube): revenue by
+    (returnflag, linestatus), by returnflag alone, and the grand total in
+    ONE aggregation pass — Spark expands the sets into a single Expand +
+    hash aggregate, so the fact table is scanned once, not three times."""
+    li = load(spark, sf, "lineitem")
+    li.createOrReplaceTempView("li_gs")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_items,
+               SUM({sql_cents("l_extendedprice")}) / CAST(100.0 AS DOUBLE) AS revenue,
+               GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """
+    )
+
+
+GROUPING_SETS_SQL = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+       SUM({sql_cents("l_extendedprice")}) / 100.0 AS revenue,
+       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def trailing_window_revenue(spark, sf):
+    """Time-RANGE window frame: each order with the customer's trailing
+    30-day order count and spend (RANGE BETWEEN, not ROWS — frame bounds
+    are event-time offsets, so ties and gaps are handled by value).
+
+    The frame runs on integer day offsets from a fixed epoch date —
+    timezone-independent (no instant conversion) and exact in both
+    engines; spend in integer cents. One shuffle on custkey; the frame
+    scan is sorted within partition — the standard sessionless
+    trailing-metric shape."""
+    orders = load(spark, sf, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).cast(
+        "long"
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_day")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            day.alias("o_day"),
+            cents("o_totalprice").alias("price_c"),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_day",
+            F.count(F.lit(1)).over(w).alias("n_trailing_30d"),
+            (F.sum("price_c").over(w) / F.lit(100.0)).alias("spend_trailing_30d"),
+        )
+        .orderBy("o_custkey", "o_day", "o_orderkey")
+    )
+
+
+TRAILING_WINDOW_SQL = f"""
+SELECT o_orderkey, o_custkey, o_day,
+       COUNT(*) OVER w AS n_trailing_30d,
+       SUM(price_c) OVER w / 100.0 AS spend_trailing_30d
+FROM (
+  SELECT o_orderkey, o_custkey,
+         CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+           AS o_day,
+         {sql_cents("o_totalprice")} AS price_c
+  FROM orders
+)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_day
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_day, o_orderkey
+"""
+
+
 QUERIES = {
     "salted_agg_lineitem": Q(salted_agg_lineitem, SALTED_AGG_SQL),
+    "grouping_sets_revenue": Q(grouping_sets_revenue, GROUPING_SETS_SQL),
+    "trailing_window_revenue": Q(trailing_window_revenue, TRAILING_WINDOW_SQL),
     "asof_prev_order": Q(asof_prev_order, ASOF_SQL),
     "unpivot_part_metrics": Q(unpivot_part_metrics, UNPIVOT_SQL),
     "merge_upsert_orders": Q(merge_upsert_orders, MERGE_SQL),
