@@ -122,18 +122,35 @@ def format_compare_demo(spark, sf):
         ParquetFormat,
     )
 
+    from dataset_dedupe_estimator_spark.operators.chunker import ChunkerParams
+
     gen = DataGenerator({"a": "int", "b": "str"}, seed=42)
     tables = gen.generate_synthetic_tables(spark, 2000, [0.5], edit_size=10)
-    original = finalize(tables["original"])
-    groups = {"edit-deleted": {"original": original, "deleted": finalize(tables["deleted"])}}
+    # persist: every format write (and its sanity count) re-executes the
+    # lazy generator pipeline otherwise — 3 formats x 2 tables x (write +
+    # read-back) re-derivations collapse to one materialization each
+    original = finalize(tables["original"]).persist()
+    deleted = finalize(tables["deleted"]).persist()
+    groups = {"edit-deleted": {"original": original, "deleted": deleted}}
     formats = [
         ParquetFormat(compression="snappy"),
         ParquetFormat(compression="zstd"),
         JsonLinesFormat(),
     ]
-    results = compare_formats_tables(
-        spark, formats, groups, tempfile.mkdtemp(prefix="dde-fmt-")
-    )
+    # demo-scale probe cap: the compressibility probe is ~30% of chunker
+    # CPU and the rows-only check doesn't read compressed bytes — same
+    # sampling knob a 100 TB estimate run would set (survey §7.4)
+    try:
+        results = compare_formats_tables(
+            spark,
+            formats,
+            groups,
+            tempfile.mkdtemp(prefix="dde-fmt-"),
+            params=ChunkerParams(compress_probe_bytes=16 * 1024),
+        )
+    finally:
+        original.unpersist()
+        deleted.unpersist()
     return (
         results_df(spark, results)
         .select("group", "format", "numfiles", "dedup_ratio")
