@@ -262,7 +262,11 @@ def source_overlap_minhash(spark, sf):
     pairs = (
         sizes.select(F.col("source").alias("src_a"), F.col("n_sh").alias("n_a"))
         .crossJoin(
-            sizes.select(F.col("source").alias("src_b"), F.col("n_sh").alias("n_b"))
+            # broadcast: source cardinality is tiny by definition; without
+            # the hint Spark plans an unpartitioned CartesianProduct
+            F.broadcast(
+                sizes.select(F.col("source").alias("src_b"), F.col("n_sh").alias("n_b"))
+            )
         )
         .filter(F.col("src_a") < F.col("src_b"))
     )

@@ -1,0 +1,61 @@
+"""Engine-wide plan-regression guard: no registry query may plan an
+unpartitioned CartesianProduct — the silent scale-killer — and
+BroadcastNestedLoopJoin is allowed only where a tiny/scalar side is
+deliberately broadcast (query vectors, count rows, centroid tables,
+source dims). New queries that trip this either need a broadcast hint or
+an equi-join key."""
+
+import pytest
+
+from dataset_dedupe_estimator_spark.queries import REGISTRY
+
+# execute work eagerly at construction (streams, demo pipelines, trained
+# models) — their plans can't be inspected without running them; each is
+# covered by its own tests/oracle instead
+EAGER = {
+    "streaming_dedup_events",
+    "streaming_windowed_counts",
+    "streaming_sessionize_events",
+    "streaming_cms_counts",
+    "cdc_streaming_estimate",
+    "format_compare_demo",
+    "multimodal_pipeline_demo",
+    "ann_ivf_trained",
+    "synthetic_generator_e2e",
+}
+
+# deliberate tiny-side broadcasts (scalar aggregates, query vectors,
+# centroids, source dims, band constants) — reviewed one by one
+BNLJ_ALLOWED = {
+    "unigram_surprisal",  # corpus-total count row
+    "q22_idle_customers",  # global-average scalar row
+    "knn_brute_force",  # single query vector
+    "semdedup_clusters",  # corpus-count row driving adaptive K
+    "ann_lsh_bucketed",  # single query bucket row
+    "ann_ivf_probe",  # query-cell row
+    "embedding_dedup_pairs",  # brute-force baseline BY DESIGN (docstring)
+    "embedding_dedup_lsh",  # corpus-count row driving adaptive planes
+    "range_join_price_bands",  # band dim (a handful of rows)
+    "source_overlap_minhash",  # source-dim pair universe (tiny cardinality)
+}
+
+
+def _plan(df) -> str:
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+@pytest.mark.parametrize("name", [n for n in REGISTRY if n not in EAGER])
+def test_no_unbroadcast_cartesian(spark, sf_dir, name):
+    plan = _plan(REGISTRY[name].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan, (
+        f"{name} plans a CartesianProduct — broadcast the small side or "
+        "add an equi-join key"
+    )
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans a BroadcastNestedLoopJoin; if the broadcast side "
+            "is deliberately tiny, add it to BNLJ_ALLOWED with a reason"
+        )
