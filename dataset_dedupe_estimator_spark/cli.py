@@ -321,6 +321,29 @@ def cmd_corpus(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """`de compact SRC DEST`: rewrite a directory of small parquet files
+    into ~target-MB files (optionally sort-clustered on keys so row-group
+    stats prune future scans)."""
+    from dataset_dedupe_estimator_spark.sources.compact import compact_parquet
+
+    spark = _spark(args)
+    summary = compact_parquet(
+        spark,
+        args.src,
+        args.dest,
+        target_mb=args.target_mb,
+        sort_by=args.sort_by,
+        compression=args.compression,
+    )
+    print(
+        f"compacted {summary['files_in']} files ({summary['bytes_in'] / 1e6:.1f} MB) "
+        f"→ {summary['files_out']} files ({summary['bytes_out'] / 1e6:.1f} MB), "
+        f"{summary['rows']} rows"
+    )
+    return 0
+
+
 def cmd_delta(args) -> int:
     """`de delta --old ... --new ...`: chunk-level upload-delta estimate —
     bytes each new file must transfer given the old snapshot's chunks
@@ -436,6 +459,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="also write the cleaned corpus (survivors) as source-partitioned parquet",
     )
     cp.set_defaults(fn=cmd_corpus)
+
+    cm = sub.add_parser("compact", help="compact small parquet files to target size")
+    cm.add_argument("src")
+    cm.add_argument("dest")
+    cm.add_argument("--target-mb", type=int, default=128)
+    cm.add_argument("--sort-by", nargs="*", default=None, help="cluster keys")
+    cm.add_argument("--compression", default="zstd")
+    cm.set_defaults(fn=cmd_compact)
 
     dl = sub.add_parser("delta", help="chunk-level upload-delta estimate")
     dl.add_argument("--old", nargs="+", required=True, help="old snapshot files/globs")

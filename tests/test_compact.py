@@ -1,0 +1,58 @@
+"""Small-file compaction (sources/compact.py): many tiny files in, few
+target-sized files out, rows preserved; sort-clustered variant leaves
+row-group min/max stats that would prune range scans."""
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from dataset_dedupe_estimator_spark.sources.compact import (
+    compact_parquet,
+    plan_compaction,
+)
+
+
+def _make_small_files(spark, path, n_files=24):
+    (
+        spark.range(24_000)
+        .withColumn("k", F.col("id") % 97)
+        .withColumn("payload", F.md5(F.col("id").cast("string")))
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    src, dest = str(tmp_path / "small"), str(tmp_path / "compacted")
+    _make_small_files(spark, src)
+    _df, n_in, bytes_in, _n_out = plan_compaction(spark, src, target_mb=128)
+    assert n_in == 24 and bytes_in > 0
+    summary = compact_parquet(spark, src, dest, target_mb=128)
+    assert summary["files_in"] == 24
+    assert summary["files_out"] == 1  # tiny dataset fits one target file
+    assert summary["rows"] == 24_000
+    back = spark.read.parquet(dest)
+    assert back.count() == 24_000
+    assert set(back.columns) == {"id", "k", "payload"}
+
+
+def test_sorted_compaction_clusters_rowgroup_stats(spark, tmp_path):
+    import glob
+
+    src, dest = str(tmp_path / "small2"), str(tmp_path / "clustered")
+    _make_small_files(spark, src)
+    compact_parquet(spark, src, dest, target_mb=0.05, sort_by=["id"])
+    files = sorted(glob.glob(f"{dest}/*.parquet"))
+    assert len(files) > 1  # sub-MB target splits this dataset
+    # range partitioning on id ⇒ per-file id ranges are disjoint, so a
+    # range predicate prunes whole files via footer stats
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        col = list(md.schema.names).index("id")
+        mins = [md.row_group(r).column(col).statistics.min for r in range(md.num_row_groups)]
+        maxs = [md.row_group(r).column(col).statistics.max for r in range(md.num_row_groups)]
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo  # disjoint id ranges across files
