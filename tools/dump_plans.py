@@ -27,15 +27,26 @@ def main() -> int:
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
+    # plan-interesting non-headline queries worth reviewing alongside
+    EXTRA = [
+        "q7_nation_volume",
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
+        "q18_large_orders",
+        "q22_idle_customers",
+        "semdedup_clusters",
+        "source_overlap_minhash",
+        "dedup_keep_first_pruned",
+    ]
     lines = [
-        "# Physical plans — headline queries",
+        "# Physical plans — headline + selected queries",
         "",
         f"`df.explain('formatted')` at `{sf_dir}`, `local[*]`, AQE on.",
         "Regenerate: `python tools/dump_plans.py`.",
         "",
     ]
     for name, q in REGISTRY.items():
-        if not q.headline:
+        if not (q.headline or name in EXTRA):
             continue
         df = q.spark(spark, sf_dir)
         plan = df._jdf.queryExecution().explainString(mode)
