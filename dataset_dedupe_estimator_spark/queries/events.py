@@ -145,8 +145,133 @@ FROM ev GROUP BY 1 ORDER BY day
 """
 
 
+def events_funnel(spark, sf):
+    """Ordered conversion funnel (view → click → purchase): users whose
+    first click follows their first view, and first purchase follows that
+    click. Three tiny per-user aggregates chained by joins — each stage
+    is a conditional MIN over the same shuffle key (user_id), so AQE can
+    reuse the exchange; timestamps compare as naive values (no tz math).
+
+    100 TB shape: per-user state is three timestamps; stage tables shrink
+    monotonically, and every join is on the aggregation key."""
+    ev = load(spark, sf, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_click"))))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_purchase"))))
+    )
+    return counts.select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        (F.col("n_click").cast("double") / F.col("n_view").cast("double")).alias(
+            "view_to_click"
+        ),
+        (F.col("n_purchase").cast("double") / F.col("n_click").cast("double")).alias(
+            "click_to_purchase"
+        ),
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_click,
+       (SELECT COUNT(*) FROM p) AS n_purchase,
+       CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM v) AS DOUBLE) AS view_to_click,
+       CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM c) AS DOUBLE) AS click_to_purchase
+"""
+
+
+def events_retention_cohorts(spark, sf):
+    """Weekly retention cohorts: users grouped by first-seen day, counted
+    as retained in week offsets 0–3 (distinct-user count per cohort ×
+    offset). Day arithmetic on integer datediffs — timezone-independent
+    and identical in both engines.
+
+    100 TB shape: first-seen is one per-user MIN (the only full shuffle);
+    the cohort join broadcasts the per-user first-day table back onto the
+    activity stream only if small — otherwise it's a co-partitioned join
+    on user_id, which AQE picks from the actual size."""
+    ev = load(spark, sf, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = ev.join(first, "user_id").withColumn(
+        "week_offset",
+        (F.datediff(F.col("day"), F.col("cohort_day")) / 7).cast("long"),
+    )
+    cohort_size = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        act.filter(F.col("week_offset").between(0, 3))
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(cohort_size, "cohort_day")
+        .select("cohort_day", "cohort_size", "week_offset", "n_active")
+        .orderBy("cohort_day", "week_offset")
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+first AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id),
+act AS (
+  SELECT e.user_id, f.cohort_day,
+         CAST(date_diff('day', f.cohort_day, e.day) // 7 AS BIGINT) AS week_offset
+  FROM ev e JOIN first f ON e.user_id = f.user_id
+),
+sizes AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM first GROUP BY cohort_day)
+SELECT a.cohort_day, s.cohort_size, a.week_offset,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM act a JOIN sizes s ON a.cohort_day = s.cohort_day
+WHERE a.week_offset BETWEEN 0 AND 3
+GROUP BY a.cohort_day, s.cohort_size, a.week_offset
+ORDER BY a.cohort_day, a.week_offset
+"""
+
+
 QUERIES = {
     "events_hourly": Q(events_hourly, EVENTS_HOURLY_SQL),
+    "events_funnel": Q(events_funnel, EVENTS_FUNNEL_SQL),
+    "events_retention_cohorts": Q(events_retention_cohorts, EVENTS_RETENTION_SQL),
     "events_json_extract": Q(events_json_extract, EVENTS_JSON_SQL),
     "events_sessionize": Q(events_sessionize, EVENTS_SESSIONIZE_SQL, headline=True),
     "events_daily_users": Q(events_daily_users, EVENTS_DAILY_SQL),
