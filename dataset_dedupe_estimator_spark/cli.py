@@ -75,6 +75,15 @@ def cmd_dedup(args) -> int:
     print(f"dedup ratio: {res['dedup_ratio']:.2%}")
     if "xet_dedup_ratio" in res:
         print(f"xet dedup ratio: {res['xet_dedup_ratio']:.2%}")
+    if args.trend:
+        from dataset_dedupe_estimator_spark.plans.estimate import dedup_trend
+
+        print("\nfile  bytes        novel        cum ratio")
+        for r in dedup_trend(spark, paths, params=params).collect():
+            print(
+                f"{r.file_idx:>4}  {_humanize(r.file_bytes):>10}  "
+                f"{_humanize(r.novel_bytes):>10}  {r.cum_dedup_ratio:.2%}"
+            )
     return 0
 
 
@@ -386,6 +395,11 @@ def build_parser() -> argparse.ArgumentParser:
     d = sub.add_parser("dedup", help="estimate dedup across files")
     d.add_argument("files", nargs="+")
     d.add_argument("--no-xet", action="store_true")
+    d.add_argument(
+        "--trend",
+        action="store_true",
+        help="cumulative dedup ratio per file prefix (one chunk pass)",
+    )
     d.add_argument("--pngs", help="directory for provenance heatmaps")
     d.add_argument(
         "--diff-html", help="write the multi-doc shared/unique diff strip here"

@@ -212,6 +212,60 @@ def estimate_df(spark: SparkSession, paths: list[str], params: ChunkerParams = E
     )
 
 
+def dedup_trend(
+    spark: SparkSession,
+    paths: list[str],
+    params: ChunkerParams = ESTIMATE_PARAMS,
+) -> DataFrame:
+    """Cumulative dedup ratio as a revision history grows: one row per
+    file prefix 0..k, from ONE chunk pass over the corpus.
+
+    The reference's headline measurement (dedup across N dataset
+    revisions) answers "what is the ratio over ALL revisions"; the trend
+    answers "how did it evolve" — and doing it the reference's way means
+    re-running the estimator per prefix: O(N²) bytes read. Spark-first
+    observation: a chunk is novel at prefix k iff its min(file_idx) == k,
+    so  cum_unique(k) = Σ_{j≤k} novel_bytes(j)  — group distinct hashes
+    by first-seen file, then two tiny (N-row) running sums. One corpus
+    read, one narrow shuffle, regardless of N.
+
+    Output per file_idx: file_bytes (occurrence bytes), novel_bytes
+    (first-seen chunk bytes), cum_total_bytes, cum_unique_bytes,
+    cum_dedup_ratio.
+    """
+    from pyspark.sql.window import Window
+
+    chunks = chunk_files_auto(spark, paths, params=params)
+    per_file = chunks.groupBy("file_idx").agg(F.sum("size").alias("file_bytes"))
+    novel = (
+        chunks.groupBy("hash")
+        .agg(F.first("size").alias("size"), F.min("file_idx").alias("first_seen_in"))
+        .groupBy(F.col("first_seen_in").alias("file_idx"))
+        .agg(F.sum("size").alias("novel_bytes"))
+    )
+    w = Window.orderBy("file_idx").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_file.join(novel, "file_idx", "left")
+        .withColumn("novel_bytes", F.coalesce(F.col("novel_bytes"), F.lit(0)))
+        .select(
+            "file_idx",
+            "file_bytes",
+            "novel_bytes",
+            F.sum("file_bytes").over(w).alias("cum_total_bytes"),
+            F.sum("novel_bytes").over(w).alias("cum_unique_bytes"),
+        )
+        .withColumn(
+            "cum_dedup_ratio",
+            F.round(
+                F.col("cum_unique_bytes").cast("double")
+                / F.col("cum_total_bytes").cast("double"),
+                6,
+            ),
+        )
+        .orderBy("file_idx")
+    )
+
+
 def chunks_export(
     spark: SparkSession,
     paths: list[str],

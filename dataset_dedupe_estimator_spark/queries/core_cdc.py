@@ -158,8 +158,18 @@ def format_compare_demo(spark, sf):
     )
 
 
+def cdc_dedup_trend(spark, sf):
+    """Cumulative dedup ratio per file prefix over the sf parquet corpus —
+    plans/estimate.py:dedup_trend (one chunk pass for all N prefixes;
+    rows-only: the chunker is not SQL-expressible)."""
+    from dataset_dedupe_estimator_spark.plans.estimate import dedup_trend
+
+    return dedup_trend(spark, _paths(sf))
+
+
 QUERIES = {
     "cdc_estimate": Q(cdc_estimate, None, headline=True),
+    "cdc_dedup_trend": Q(cdc_dedup_trend, None),
     "format_compare_demo": Q(format_compare_demo, None),
     "cdc_per_file_chunks": Q(cdc_per_file_chunks, None),
     "cdc_provenance": Q(cdc_provenance, None),

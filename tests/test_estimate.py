@@ -131,3 +131,31 @@ def test_estimate_on_testdata(spark, parquet_paths):
     assert res["numfiles"] == len(parquet_paths)
     assert 0 < res["dedup_ratio"] <= 1.0
     assert res["chunk_bytes"] <= res["total_len"]
+
+
+def test_dedup_trend_matches_estimate(spark, parquet_paths):
+    from dataset_dedupe_estimator_spark.plans.estimate import dedup_trend, estimate
+
+    rows = dedup_trend(spark, parquet_paths).collect()
+    assert len(rows) == len(parquet_paths)
+    # cumulative columns are running sums of the per-file columns
+    assert rows[-1].cum_total_bytes == sum(r.file_bytes for r in rows)
+    assert rows[-1].cum_unique_bytes == sum(r.novel_bytes for r in rows)
+    # monotone: totals strictly grow, unique never shrinks
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_total_bytes > a.cum_total_bytes
+        assert b.cum_unique_bytes >= a.cum_unique_bytes
+    # the final prefix equals the whole-corpus estimate
+    full = estimate(spark, parquet_paths, with_xet=False)
+    assert rows[-1].cum_total_bytes == full["total_len"]
+    assert rows[-1].cum_unique_bytes == full["chunk_bytes"]
+
+
+def test_dedup_trend_halves_on_duplicate_corpus(spark, parquet_paths):
+    from dataset_dedupe_estimator_spark.plans.estimate import dedup_trend
+
+    rows = dedup_trend(spark, parquet_paths + parquet_paths).collect()
+    n = len(parquet_paths)
+    # second copy of the corpus introduces zero novel bytes
+    assert all(r.novel_bytes == 0 for r in rows[n:])
+    assert abs(rows[-1].cum_dedup_ratio - rows[n - 1].cum_dedup_ratio / 2) < 1e-6
