@@ -330,6 +330,50 @@ def cmd_corpus(args) -> int:
     return 0
 
 
+def cmd_events(args) -> int:
+    """`de events`: event-stream analytics report — conversion funnel,
+    weekly retention cohorts, and sessionization summary over the events
+    table."""
+    from dataset_dedupe_estimator_spark.queries.events import (
+        events_funnel,
+        events_retention_cohorts,
+        events_sessionize,
+    )
+    from pyspark.sql import functions as F
+
+    spark = _spark(args)
+    print("## conversion funnel (view → click → purchase)")
+    r = events_funnel(spark, args.sf_dir).collect()[0]
+    print(
+        f"view={r.n_view}  click-after-view={r.n_click} ({r.view_to_click:.1%})  "
+        f"purchase-after-click={r.n_purchase} ({r.click_to_purchase:.1%})"
+    )
+
+    print("\n## weekly retention by first-seen cohort")
+    for row in events_retention_cohorts(spark, args.sf_dir).collect():
+        print(
+            f"cohort {row.cohort_day} (n={row.cohort_size})  "
+            f"week+{row.week_offset}: {row.n_active} active "
+            f"({row.n_active / row.cohort_size:.0%})"
+        )
+
+    print("\n## sessions (30-min gap, ≥3 events)")
+    s = (
+        events_sessionize(spark, args.sf_dir)
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("events"),
+            F.avg("n_events").alias("avg_events"),
+        )
+        .collect()[0]
+    )
+    print(
+        f"sessions={s.n_sessions}  events={s.events}  "
+        f"avg events/session={s.avg_events:.1f}"
+    )
+    return 0
+
+
 def cmd_compact(args) -> int:
     """`de compact SRC DEST`: rewrite a directory of small parquet files
     into ~target-MB files (optionally sort-clustered on keys so row-group
@@ -473,6 +517,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="also write the cleaned corpus (survivors) as source-partitioned parquet",
     )
     cp.set_defaults(fn=cmd_corpus)
+
+    ev = sub.add_parser("events", help="event-stream analytics report")
+    ev.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+    )
+    ev.set_defaults(fn=cmd_events)
 
     cm = sub.add_parser("compact", help="compact small parquet files to target size")
     cm.add_argument("src")
