@@ -156,6 +156,25 @@ def cmd_stats(args) -> int:
     results = compare_formats_tables(spark, formats, groups, Path(args.out))
     rdf = results_df(spark, results)
     print(markdown_report(spark, rdf))
+    if args.page_histogram:
+        from pyspark.sql import functions as F
+
+        from dataset_dedupe_estimator_spark.sources.pagemeta import (
+            chunk_size_histogram,
+            page_meta,
+        )
+
+        written = sorted(str(p) for p in Path(args.out).rglob("*.parquet"))
+        if written:
+            print("\n### data-page size histogram (written parquet contenders)\n")
+            meta = (
+                page_meta(spark, written)
+                .withColumnRenamed("uncompressed", "total_uncompressed")
+                .filter(F.col("page_type").isin("data", "data_v2"))
+            )
+            for r in chunk_size_histogram(meta, args.bucket).collect():
+                bar = "#" * min(int(r.n_chunks), 60)
+                print(f"{_humanize(r.bucket_start):>12} | {r.n_chunks:6d} {bar}")
     _maybe_html(args, rdf)
     return 0
 
@@ -477,6 +496,12 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--with-json", action="store_true")
     st.add_argument("--with-sqlite", action="store_true")
     st.add_argument("--html", help="write an SVG grouped-bar chart here")
+    st.add_argument(
+        "--page-histogram",
+        action="store_true",
+        help="append a per-data-page size histogram of the written parquet",
+    )
+    st.add_argument("--bucket", type=int, default=16 * 1024, help="histogram bucket bytes")
     st.set_defaults(fn=cmd_stats)
 
     pi = sub.add_parser("param-impact", help="row-group size sweep")
