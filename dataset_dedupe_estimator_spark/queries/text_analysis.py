@@ -426,6 +426,72 @@ def materialize_survivors(
     return n_in, n_out
 
 
+def effective_token_budget(spark, sf):
+    """Per-source token accounting before vs after the survival pipeline —
+    the number an epoch planner actually needs: raw corpus tokens are
+    meaningless for training-budget math once dedup/quality/repetition
+    filters run. One pass: token counts are a columnar expression over the
+    same scan the survival flags come from; the rollup is per-source.
+
+    All counts exact integers; the retention ratio is one IEEE division."""
+    docs = load(spark, sf, "documents")
+    scored = survival_scores(spark, sf)
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    survives = (
+        F.col("is_keeper") & F.col("passes_quality") & F.col("passes_repetition")
+    )
+    joined = docs.select("doc_id", "source", n_tok.alias("n_tok")).join(
+        scored.select("doc_id", survives.alias("survives")), "doc_id"
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.sum("n_tok").alias("raw_tokens"),
+            F.sum(F.when(F.col("survives"), F.col("n_tok")).otherwise(F.lit(0))).alias(
+                "effective_tokens"
+            ),
+        )
+        .select(
+            "source",
+            F.col("raw_tokens").cast("long").alias("raw_tokens"),
+            F.col("effective_tokens").cast("long").alias("effective_tokens"),
+            (
+                F.col("effective_tokens").cast("double")
+                / F.col("raw_tokens").cast("double")
+            ).alias("token_retention"),
+        )
+        .orderBy("source")
+    )
+
+
+EFFECTIVE_TOKEN_SQL = """
+WITH scored AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+         (ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+          AND (len(string_split(text, ' ')) >= 20 AND
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE) > 0.05)
+          AND (CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)
+                 / CAST(greatest(len(tg), 1) AS DOUBLE) < 0.30
+               AND CAST(len(t) - len(list_distinct(t)) AS DOUBLE)
+                 / CAST(len(t) AS DOUBLE) < 0.70)) AS survives
+  FROM (
+    SELECT doc_id, source, text, t,
+           list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS tg
+    FROM (SELECT doc_id, source, text, string_split(text, ' ') AS t FROM documents)
+  )
+)
+SELECT source,
+       CAST(SUM(n_tok) AS BIGINT) AS raw_tokens,
+       CAST(SUM(CASE WHEN survives THEN n_tok ELSE 0 END) AS BIGINT)
+         AS effective_tokens,
+       CAST(SUM(CASE WHEN survives THEN n_tok ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(n_tok) AS DOUBLE) AS token_retention
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
 VOCAB_K = 24  # top-K corpus vocabulary (tiny here; 10k-100k in production)
 
 
@@ -500,6 +566,7 @@ QUERIES = {
     "vocab_coverage_score": Q(vocab_coverage_score, VOCAB_COVERAGE_SQL),
     "contamination_check": Q(contamination_check, _contamination_sql()),
     "corpus_survival_pipeline": Q(corpus_survival_pipeline, SURVIVAL_SQL),
+    "effective_token_budget": Q(effective_token_budget, EFFECTIVE_TOKEN_SQL),
     "text_quality": Q(text_quality, TEXT_QUALITY_SQL, headline=True),
     "binary_digest_features": Q(binary_digest_features, BINARY_FEATURES_SQL),
     "lang_score": Q(lang_score, LANG_SCORE_SQL),
