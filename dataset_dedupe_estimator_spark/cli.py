@@ -259,6 +259,21 @@ def cmd_corpus(args) -> int:
             f"dup={r.n_dropped_dup:<4} lowq={r.n_dropped_quality:<4} "
             f"rate={r.survival_rate:.1%}"
         )
+    from pyspark.sql import functions as F
+
+    from dataset_dedupe_estimator_spark.queries.text_analysis import (
+        effective_token_budget,
+    )
+
+    budget = effective_token_budget(spark, args.sf_dir).agg(
+        F.sum("raw_tokens").alias("raw"), F.sum("effective_tokens").alias("eff")
+    ).collect()[0]
+    if budget.raw:
+        print(
+            f"\ntoken budget: raw={budget.raw}  effective={budget.eff}  "
+            f"retention={budget.eff / budget.raw:.1%}"
+        )
+
     print("\n## near-duplicate clusters (MinHash-LSH + connected components)")
     rows = dedup_near_groups(spark, args.sf_dir).collect()
     for r in rows[: args.limit]:
