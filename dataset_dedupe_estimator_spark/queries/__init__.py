@@ -33,84 +33,54 @@ for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthet
         raise ValueError(f"duplicate query names: {overlap}")
     REGISTRY.update(_mod.QUERIES)
 
-# The driver's correctness gate records at most 50 queries, in registry
-# order (round 1 recorded exactly positions 0-49, leaving the reference's
-# core CDC pipeline with zero driver-side signal). Order the registry so
-# the never-yet-checked entries sit inside the checked window, and rotate
-# out queries that were driver-green in round 1 AND are re-verified every
-# round by the local gate (tools/check_oracles.py, dtype-faithful).
+# The external driver's correctness gate records the FIRST 50 registry
+# entries per round. Rotation scheme (also documented in COVERAGE.md):
+# every round, _FRONT = (queries never driver-checked) + (queries whose
+# last driver-side green is oldest), sized to exactly 50; _NEXT holds the
+# overflow (first in line next round); _TAIL holds the most-recently
+# driver-checked.  EVERY oracle-bearing query — front, next, and tail —
+# is additionally re-verified locally every round by
+# tools/check_oracles.py (dtype-faithful replica of the driver's gate),
+# so rotation only affects which subset gets *driver-side* attestation,
+# never whether a regression is caught.
+#
+# Round-3 window: the 13 queries added after round 2's gate ran (never
+# driver-checked) + 37 of the 40 whose only green is CORRECTNESS_r01.
 _FRONT = [
-    # round-1 unchecked: the core CDC pipeline (SURVEY §2.2) + 3 oracle-backed
-    "cdc_per_file_chunks",
-    "cdc_provenance",
-    "cdc_estimate",
-    "cdc_estimate_xet",
-    "cdc_approx_estimate",
-    "quantity_percentiles",
-    "token_bpe_ish",
-    "rolling_hash_fingerprint",
-    "format_compare_demo",
-    # new in round 2: the real DataGenerator under the oracle gate, and
-    # connected-components dedup groups
-    "synthetic_generator_e2e",
-    "dedup_near_groups",
-    "repetition_stats",
-    "contamination_check",
-    "streaming_dedup_events",
-    "cdc_streaming_estimate",
-    "multimodal_pipeline_demo",
-    "ann_ivf_trained",
-    "corpus_survival_pipeline",
-    "dedup_near_survivors",
-    "vocab_coverage_score",
-    "pq_codes",
-    "streaming_windowed_counts",
-    "salted_agg_lineitem",
-    "simhash_candidates",
-    "streaming_sessionize_events",
-    # round-1 hash-fails (since fixed) — MUST sit inside the 50-query
-    # window so CORRECTNESS_r02 shows them driver-green
-    "conditional_pivot_brands",
-    "events_sessionize",
-    "kmv_sketches",
-    "source_token_stats",
-    "synthetic_delete_rows",
-    "synthetic_insert_rows",
-    "synthetic_update_rows",
-    "synthetic_update_column",
-    "synthetic_append_rows",
-    "merge_upsert_orders",
-    # rotated IN this round: locally-verified entries that have never had
-    # a driver-side row (added late in round 2's continuation)
-    "dedup_keep_first_pruned",
-    "dedup_spans",
-    "mixture_sample",
-    "sequence_pack",
-    "cdc_upload_delta",
-    "unigram_surprisal",
-    "tfidf_top_terms",
-    "bloom_incremental_dedup",
-    # new in round 3: deep TPC-H shapes (correlated subqueries, EXISTS,
-    # HAVING gates, scalar-aggregate gating, anti joins)
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q22_idle_customers",
-]
-_TAIL = [
-    # driver-green in round 1, stable, locally re-verified each round —
-    # sized so every round-1 hash-fail (since fixed) sits INSIDE the
-    # 50-query checked window and gets driver-side green proof this round
-    "filter_project_scan",
-    "distinct_ship_modes",
+    # never driver-checked (added late in round 2)
+    "events_funnel",
+    "events_retention_cohorts",
+    "cms_token_counts",
+    "effective_token_budget",
+    "semdedup_clusters",
+    "streaming_cms_counts",
+    "grouping_sets_revenue",
+    "trailing_window_revenue",
+    "cdc_dedup_trend",
+    "source_overlap_minhash",
+    "q8_market_share",
+    "q14_promo_revenue",
+    "q19_disjunctive_revenue",
+    # last driver-green in round 1 (stale — re-attest now)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "semi_anti_customers",
+    "dedup_keep_first",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "simhash_signatures",
+    "knn_brute_force",
+    "ann_lsh_bucketed",
+    "ann_ivf_probe",
+    "embedding_dedup_pairs",
+    "embedding_dedup_lsh",
+    "label_centroid_spread",
     "set_ops_parts",
     "window_running_spend",
     "rollup_order_status",
     "cube_order_stats",
-    "date_part_revenue",
     "events_hourly",
     "events_daily_users",
     "q4_order_priority",
@@ -130,10 +100,72 @@ _TAIL = [
     "dedup_fingerprint_groups",
     "dedup_exact_events",
 ]
-_missing = (set(_FRONT) | set(_TAIL)) - REGISTRY.keys()
+# overflow: last driver-green in round 1, deferred to round 4's window
+# (trivially stable scans; locally re-verified every round)
+_NEXT = [
+    "filter_project_scan",
+    "distinct_ship_modes",
+    "date_part_revenue",
+]
+# most recent driver green: CORRECTNESS_r02 (all 50 fully green)
+_TAIL = [
+    "cdc_per_file_chunks",
+    "cdc_provenance",
+    "cdc_estimate",
+    "cdc_estimate_xet",
+    "cdc_approx_estimate",
+    "quantity_percentiles",
+    "token_bpe_ish",
+    "rolling_hash_fingerprint",
+    "format_compare_demo",
+    "synthetic_generator_e2e",
+    "dedup_near_groups",
+    "repetition_stats",
+    "contamination_check",
+    "streaming_dedup_events",
+    "cdc_streaming_estimate",
+    "multimodal_pipeline_demo",
+    "ann_ivf_trained",
+    "corpus_survival_pipeline",
+    "dedup_near_survivors",
+    "vocab_coverage_score",
+    "pq_codes",
+    "streaming_windowed_counts",
+    "salted_agg_lineitem",
+    "simhash_candidates",
+    "streaming_sessionize_events",
+    "conditional_pivot_brands",
+    "events_sessionize",
+    "kmv_sketches",
+    "source_token_stats",
+    "synthetic_delete_rows",
+    "synthetic_insert_rows",
+    "synthetic_update_rows",
+    "synthetic_update_column",
+    "synthetic_append_rows",
+    "merge_upsert_orders",
+    "dedup_keep_first_pruned",
+    "dedup_spans",
+    "mixture_sample",
+    "sequence_pack",
+    "cdc_upload_delta",
+    "unigram_surprisal",
+    "tfidf_top_terms",
+    "bloom_incremental_dedup",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q22_idle_customers",
+]
+_missing = (set(_FRONT) | set(_NEXT) | set(_TAIL)) - REGISTRY.keys()
 if _missing:
     raise ValueError(f"registry ordering references unknown queries: {_missing}")
-_middle = [n for n in REGISTRY if n not in _FRONT and n not in _TAIL]
-REGISTRY = {n: REGISTRY[n] for n in (*_FRONT, *_middle, *_TAIL)}
+if len(_FRONT) != 50:
+    raise ValueError(f"driver window must be exactly 50 queries, got {len(_FRONT)}")
+_middle = [n for n in REGISTRY if n not in _FRONT and n not in _NEXT and n not in _TAIL]
+REGISTRY = {n: REGISTRY[n] for n in (*_FRONT, *_NEXT, *_middle, *_TAIL)}
 
 __all__ = ["REGISTRY", "Q"]
