@@ -9,23 +9,26 @@ size per chunk (src/store.rs:45).
 
 Spark-first design decisions (documented deviations):
 
-* **Boundary function**: exact gearhash is byte-serial (64 dependent shifts
-  per byte) — a pure-Python loop would be ~1000× slower than the Rust core.
-  We use a numpy-vectorized CDC scheme with the same shape: a 64-byte
-  rolling window of seeded per-byte gear values, window-sum mixed by a
-  64-bit multiplicative constant, boundary when the top 16 bits are zero
-  (same 2^-16 boundary probability → same ~64 KiB average chunk size), with
-  min 8 KiB and max 128 KiB *enforced* (the reference declares but does not
-  enforce max; src/store.rs:82 TODO). Content-defined, deterministic, and
-  shift-invariant like gearhash; boundaries are not bit-identical to the
-  reference but the estimator's semantics (dedup ratio under edits) are
-  preserved. O(n) with ~4 numpy passes per buffer.
-* **Identity hash**: blake2b-64 (stdlib, C speed) instead of xxh3 — the
-  engine contract is "any stable 64-bit content hash" (SURVEY §2 C2); the
-  hash function is pluggable via ``hash_fn``.
-* **Compressed-size proxy**: ``zlib.compress(chunk, 1)`` instead of lz4
-  (lz4 is not available in this environment); same role — a cheap
-  compressibility probe per unique chunk (src/store.rs:45).
+* **Boundary function**: two schemes, both dispatched to a self-compiled
+  C kernel when a system compiler exists (operators/native.py, ~1 GB/s
+  per core, GIL released) with a bit-identical numpy fallback:
+  ``"window"`` — a 64-byte rolling window of seeded per-byte gear
+  values, window-sum mixed by a 64-bit multiplicative constant, boundary
+  when the top 16 bits are zero (same 2^-16 boundary probability → same
+  ~64 KiB average chunk size as the reference), min 8 KiB / max 128 KiB
+  *enforced* (the reference declares but does not enforce max;
+  src/store.rs:82 TODO); and ``"gear"`` — the reference's exact gearhash
+  recurrence (see ChunkerParams). ``"window"`` boundaries are
+  content-defined and shift-invariant like gearhash but not
+  bit-identical to the reference's; dedup semantics under edits are
+  preserved.
+* **Identity hash**: blake2b-64 (stdlib, C speed, ~700 MB/s/core)
+  instead of xxh3 — the engine contract is "any stable 64-bit content
+  hash" (SURVEY §2 C2); the hash function is pluggable via ``hash_fn``.
+* **Compressed-size probe**: a native LZ4-block-format size counter —
+  the reference's codec (src/store.rs:45) re-expressed as a
+  count-only greedy compressor (~420 MB/s/core); ``zlib.compress(chunk,
+  1)`` is the dependency-free fallback (ChunkerParams.compress_scheme).
 
 The operator is embarrassingly parallel per file (one Spark task per file,
 mirroring the reference's rayon task-per-file, src/store.rs:103-112). The
@@ -47,6 +50,8 @@ import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from dataset_dedupe_estimator_spark.operators import native
 
 # Arrow schema of the chunk-occurrence table — the engine's central relation.
 # (file_idx, seq) carries what the reference's ChunkStore.order carries
@@ -74,29 +79,27 @@ CHUNK_DDL = (
 class ChunkerParams:
     """CDC parameters; defaults mirror /root/reference/src/store.rs:11-13.
 
-    scheme: boundary function.
-      * ``"window"`` (default): numpy windowed-sum scheme — fastest
-        (~70 MB/s/core boundary scan), content-defined, same boundary
-        probability as gearhash, but not bit-identical to it.
+    scheme: boundary function (both native-accelerated, ~0.8-1.2 GB/s
+    per core with the C kernel; numpy fallback ~40-75 MB/s).
+      * ``"window"`` (default): windowed-sum scheme — content-defined,
+        same boundary probability as gearhash, not bit-identical to it.
       * ``"gear"``: *exact* gearhash (``h = (h << 1) + gear[b]`` mod 2^64,
         boundary when the top ``mask_bits`` bits are zero — the reference's
-        algorithm, src/store.rs:65-95 via the gearhash crate), vectorized
-        by log-doubling (the 64-byte window emerges from shifts ≥64
-        vanishing mod 2^64). Cut positions are bit-identical to the
-        reference for the same 256-entry table; the crate's DEFAULT_TABLE
-        constant is not vendored in this environment, so the default table
-        is seeded — pass the real one via ``ChunkerParams.gear_table`` (a
-        tuple of 256 ints) to reproduce reference boundaries exactly.
-        ~40 MB/s/core.
+        algorithm, src/store.rs:65-95 via the gearhash crate). Cut
+        positions are bit-identical to the reference for the same
+        256-entry table; the crate's DEFAULT_TABLE constant is not
+        vendored in this environment, so the default table is seeded —
+        pass the real one via ``ChunkerParams.gear_table`` (a tuple of
+        256 ints) to reproduce reference boundaries exactly.
 
     enforce_max: the reference *declares* MAX_LEN but does not enforce it
     (src/store.rs:82 TODO); True (default) force-cuts at max_size for
     bounded memory, False reproduces reference behavior.
 
-    compress_probe_bytes: optional cap on bytes fed to the zlib
+    compress_probe_bytes: optional cap on bytes fed to the
     compressibility probe per chunk; the compressed size is scaled by
-    chunk_len/probe_len. The probe is ~30% of chunker CPU at full
-    fidelity — cap it when estimating at 100 TB and exact per-chunk
+    chunk_len/probe_len. The probe is the largest single CPU cost at
+    full fidelity — cap it when estimating at 100 TB and exact per-chunk
     compressed sizes don't matter (dedup_ratio is unaffected; only
     compressed_chunk_bytes becomes an estimate).
     """
@@ -110,6 +113,12 @@ class ChunkerParams:
     scheme: str = "window"
     enforce_max: bool = True
     gear_table: tuple[int, ...] | None = None  # 256 u64s; None → seeded
+    # Compressibility-probe codec: "lz4" = native LZ4-block-format size
+    # (the reference's codec, src/store.rs:45; ~10x the zlib-1 probe's
+    # throughput), "zlib1" = stdlib zlib level 1, "auto" = lz4 when the
+    # native library built, else zlib1. Either way `compressed` is a
+    # probe, not a storage codec.
+    compress_scheme: str = "auto"
 
     @property
     def avg_size(self) -> int:
@@ -162,10 +171,13 @@ def _gearhash_candidates(buf: np.ndarray, params: ChunkerParams) -> np.ndarray:
     """Exact gearhash cut candidates (bit-identical to the serial
     ``h = (h << 1) + gear[b]`` rolling hash for the same table).
 
-    The serial recurrence over the whole stream equals the 64-byte-window
-    hash because contributions shifted ≥64 bits vanish mod 2^64 — so it
-    vectorizes as 6 log-doubling passes:
-    ``T^(2s)[i] = (T^(s)[i-s] << s) + T^(s)[i]``.
+    Dispatches to the native kernel (operators/native.py, ~GB/s serial C
+    loop, GIL released) when a compiler is available; otherwise the
+    numpy log-doubling vectorization below: the serial recurrence over
+    the whole stream equals the 64-byte-window hash because
+    contributions shifted ≥64 bits vanish mod 2^64, so it vectorizes as
+    6 passes of ``T^(2s)[i] = (T^(s)[i-s] << s) + T^(s)[i]``. The two
+    paths are bit-identical (tests/test_chunker.py parity).
     """
     n = buf.shape[0]
     if n == 0:
@@ -175,6 +187,9 @@ def _gearhash_candidates(buf: np.ndarray, params: ChunkerParams) -> np.ndarray:
         if params.gear_table is not None
         else _gear_table(params.seed)
     )
+    nat = native.gear_candidates(buf, table, params.mask_bits)
+    if nat is not None:
+        return nat
     t = table[buf]
     cap = max(n, 1 << 20)
     tmp = _DOUBLING_TMP.get(0)
@@ -205,6 +220,9 @@ def _boundary_candidates(buf: np.ndarray, params: ChunkerParams) -> np.ndarray:
     n = buf.shape[0]
     if n <= w:
         return np.empty(0, dtype=np.int64)
+    nat = native.window_candidates(buf, _gear_table(params.seed), int(_MIX), params.mask_bits, w)
+    if nat is not None:
+        return nat
     g = _gear_table(params.seed)[buf]
     with np.errstate(over="ignore"):
         s = np.cumsum(g, dtype=np.int64)
@@ -411,7 +429,7 @@ def make_chunk_partition_fn_multi(params_list: list[ChunkerParams], keep_data: b
                     h = _hash64(chunk)
                     comp = probe_caches[pi].get(h)
                     if comp is None:
-                        comp = _compressed_size(chunk, p.compress_probe_bytes)
+                        comp = _compressed_size(chunk, p.compress_probe_bytes, p.compress_scheme)
                         if len(probe_caches[pi]) < 1_000_000:
                             probe_caches[pi][h] = comp
                     rows["param_idx"].append(pi)
@@ -455,14 +473,28 @@ def chunk_files_multi(
     return chunks
 
 
-def _compressed_size(chunk: bytes, probe: int | None) -> int:
-    """zlib-1 compressibility probe; optionally sampled (see ChunkerParams).
+def _compressed_size(chunk: bytes, probe: int | None, scheme: str = "auto") -> int:
+    """Compressibility probe; optionally sampled (see ChunkerParams).
 
     ``probe=0`` skips the probe entirely and reports the raw length — for
     pipelines that never consume the ``compressed`` column (e.g. the xet
     side of the shared-scan estimate, which only needs unique bytes)."""
     if probe == 0:
         return len(chunk)
+    if scheme in ("auto", "lz4"):
+        if probe is None or len(chunk) <= probe:
+            sz = native.lz4_probe_size(chunk)
+            if sz is not None:
+                return sz
+        else:
+            sz = native.lz4_probe_size(chunk[:probe])
+            if sz is not None:
+                return int(sz * (len(chunk) / probe))
+        if scheme == "lz4":
+            raise RuntimeError(
+                "compress_scheme='lz4' requires the native library "
+                "(no C compiler found); use 'zlib1' or 'auto'"
+            )
     if probe is None or len(chunk) <= probe:
         return len(zlib.compress(chunk, 1))
     sampled = len(zlib.compress(chunk[:probe], 1))
@@ -496,7 +528,7 @@ def make_chunk_partition_fn(p: ChunkerParams, keep_data: bool):
                     h = _hash64(chunk)
                     comp = probe_cache.get(h)
                     if comp is None:
-                        comp = _compressed_size(chunk, p.compress_probe_bytes)
+                        comp = _compressed_size(chunk, p.compress_probe_bytes, p.compress_scheme)
                         if len(probe_cache) < 1_000_000:
                             probe_cache[h] = comp
                     rows["file_idx"].append(file_idx)
@@ -586,7 +618,7 @@ def _emit_units_fn(p: ChunkerParams, keep_data: bool):
                     h = _hash64(chunk)
                     comp = probe_cache.get(h)
                     if comp is None:
-                        comp = _compressed_size(chunk, p.compress_probe_bytes)
+                        comp = _compressed_size(chunk, p.compress_probe_bytes, p.compress_scheme)
                         probe_cache[h] = comp
                     rows["file_idx"].append(file_idx)
                     rows["path"].append(path)

@@ -1,0 +1,254 @@
+"""Optional native (C) kernels for the CDC hot loops.
+
+The chunker's boundary scan is a per-byte rolling hash — the one place in
+this engine where numpy vectorization hits a wall (~75 MB/s/core on this
+host: every pass is a memory-bound gather/cumsum over 8-byte lanes,
+measured in tools/bench_chunker.py). The reference's Rust core runs the
+same recurrence at ~GB/s/core because it compiles to a 3-instruction
+serial loop (/root/reference/src/store.rs:65-95 via the gearhash crate).
+
+This module closes that gap without adding a dependency: it carries ~60
+lines of C, compiles them with the system compiler into a cached shared
+library on first use (per machine, keyed by source hash — on a cluster
+each executor node builds once into its local tmp), and exposes the two
+boundary scans through ctypes. ctypes releases the GIL for the duration
+of each call, so executor-side threads scan concurrently.
+
+Both kernels are BIT-IDENTICAL to the numpy reference implementations in
+``operators/chunker.py`` (enforced by tests/test_chunker.py parity tests
+over random and adversarial buffers):
+
+* ``gear_scan``  — exact gearhash: ``h = (h << 1) + table[b]`` mod 2^64,
+  candidate when ``h < 2^(64-mask_bits)``.
+* ``window_scan`` — the windowed-sum scheme: 64-byte rolling sum of
+  table values, mixed by a 64-bit odd multiplier, same candidate test.
+
+No compiler, a failed compile, or ``DDES_NO_NATIVE=1`` → callers fall
+back to the numpy path transparently (``available()`` is False).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+import threading
+
+import numpy as np
+
+_C_SRC = r"""
+#include <stdint.h>
+
+/* Exact gearhash boundary scan (serial recurrence; shifts >= 64 vanish
+   mod 2^64, so this equals the 64-byte-window hash). Returns the number
+   of candidates found; writes at most `cap` cut positions (i + 1). */
+int64_t gear_scan(const uint8_t *buf, int64_t n, const uint64_t *table,
+                  uint64_t limit, int64_t *out, int64_t cap) {
+    uint64_t h = 0;
+    int64_t k = 0;
+    for (int64_t i = 0; i < n; i++) {
+        h = (h << 1) + table[buf[i]];
+        if (h < limit) {
+            if (k < cap) out[k] = i + 1;
+            k++;
+        }
+    }
+    return k;
+}
+
+/* Windowed-sum boundary scan. Window of `w` table values ending at byte
+   t covers bytes [t-w+1, t] with t in [w, n-1] (byte 0 is never inside
+   a window — matches the cumsum-difference formulation). Candidate cut
+   position is t + 1. */
+int64_t window_scan(const uint8_t *buf, int64_t n, const uint64_t *table,
+                    uint64_t mix, uint64_t limit, int64_t w,
+                    int64_t *out, int64_t cap) {
+    if (n <= w) return 0;
+    uint64_t sum = 0;
+    int64_t k = 0;
+    for (int64_t t = 1; t <= w; t++) sum += table[buf[t]];
+    for (int64_t t = w;;) {
+        if (sum * mix < limit) {
+            if (k < cap) out[k] = t + 1;
+            k++;
+        }
+        t++;
+        if (t >= n) break;
+        sum += table[buf[t]] - table[buf[t - w]];
+    }
+    return k;
+}
+
+#include <string.h>
+
+/* LZ4-block-format compressed SIZE (greedy, 13-bit hash table, 64 KiB
+   window — the lz4 fast/default match-finding shape). Counts the exact
+   byte length the block format would occupy without materializing it:
+   token + literal-length extension + literals per run, 2-byte offset +
+   match-length extension per match; matching stops 12 bytes from the
+   end and the tail is emitted as literals (the format's end-of-block
+   rule). A faithful size probe for the reference's per-chunk
+   lz4::block::compress measurement — not guaranteed byte-equal to any
+   particular lz4 build's output, but the same format and the same
+   greedy parse family. */
+int64_t lz4_size(const uint8_t *src, int64_t n) {
+    if (n <= 0) return 1;
+    static const int HB = 13;
+    uint32_t htab[1 << 13];
+    memset(htab, 0, sizeof htab);
+    int64_t size = 0, anchor = 0, i = 0;
+    int64_t mflimit = n - 12;
+    while (i < mflimit) {
+        uint32_t seq, cseq;
+        memcpy(&seq, src + i, 4);
+        uint32_t h = (seq * 2654435761u) >> (32 - HB);
+        int64_t cand = (int64_t)htab[h] - 1;
+        htab[h] = (uint32_t)(i + 1);
+        if (cand >= 0 && i - cand <= 65535) {
+            memcpy(&cseq, src + cand, 4);
+        } else {
+            cseq = ~seq;
+        }
+        if (cseq == seq) {
+            int64_t m = 4;
+            int64_t mlimit = n - 5;
+            while (i + m < mlimit && src[cand + m] == src[i + m]) m++;
+            int64_t lit = i - anchor;
+            size += 1 + lit + (lit >= 15 ? (lit - 15) / 255 + 1 : 0);
+            int64_t ml = m - 4;
+            size += 2 + (ml >= 15 ? (ml - 15) / 255 + 1 : 0);
+            i += m;
+            anchor = i;
+        } else {
+            i++;
+        }
+    }
+    int64_t lit = n - anchor;
+    size += 1 + lit + (lit >= 15 ? (lit - 15) / 255 + 1 : 0);
+    return size;
+}
+"""
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_tried = False
+
+
+def _compile() -> ctypes.CDLL | None:
+    """Build (or reuse) the cached shared library. Cache key = source
+    hash, so editing the C above invalidates cleanly."""
+    tag = hashlib.blake2b(_C_SRC.encode(), digest_size=8).hexdigest()
+    cache = os.path.join(tempfile.gettempdir(), f"ddes_native_{tag}")
+    so = os.path.join(cache, "libddes.so")
+    if not os.path.exists(so):
+        os.makedirs(cache, exist_ok=True)
+        c_path = os.path.join(cache, "kernels.c")
+        with open(c_path, "w") as f:
+            f.write(_C_SRC)
+        tmp_so = so + f".tmp{os.getpid()}"
+        for cc in ("cc", "gcc", "clang"):
+            try:
+                r = subprocess.run(
+                    [cc, "-O3", "-shared", "-fPIC", "-o", tmp_so, c_path],
+                    capture_output=True,
+                    timeout=120,
+                )
+            except (OSError, subprocess.TimeoutExpired):
+                continue
+            if r.returncode == 0:
+                os.replace(tmp_so, so)  # atomic: concurrent builders race safely
+                break
+        else:
+            return None
+    lib = ctypes.CDLL(so)
+    for fn in (lib.gear_scan, lib.window_scan, lib.lz4_size):
+        fn.restype = ctypes.c_int64
+    lib.lz4_size.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.gear_scan.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_uint64, ctypes.c_void_p, ctypes.c_int64,
+    ]
+    lib.window_scan.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64,
+    ]
+    return lib
+
+
+def _get() -> ctypes.CDLL | None:
+    global _lib, _tried
+    if _tried:
+        return _lib
+    with _lock:
+        if not _tried:
+            if os.environ.get("DDES_NO_NATIVE"):
+                _lib = None
+            else:
+                try:
+                    _lib = _compile()
+                except Exception:
+                    _lib = None
+            _tried = True
+    return _lib
+
+
+def available() -> bool:
+    return _get() is not None
+
+
+def _run_scan(call, n: int) -> np.ndarray:
+    """Invoke a scan with an output buffer sized for ~2^-16 candidate
+    density; regrow and repeat in the (adversarial-input) case where the
+    kernel reports more candidates than the buffer held."""
+    cap = max(n // 8192 + 64, 64)
+    while True:
+        out = np.empty(cap, dtype=np.int64)
+        k = call(out, cap)
+        if k <= cap:
+            return out[:k]
+        cap = k
+
+
+def gear_candidates(buf: np.ndarray, table_i64: np.ndarray, mask_bits: int) -> np.ndarray | None:
+    lib = _get()
+    if lib is None:
+        return None
+    buf = np.ascontiguousarray(buf)
+    limit = ctypes.c_uint64(1 << (64 - mask_bits))
+    return _run_scan(
+        lambda out, cap: lib.gear_scan(
+            buf.ctypes.data, buf.shape[0], table_i64.ctypes.data,
+            limit, out.ctypes.data, cap,
+        ),
+        buf.shape[0],
+    )
+
+
+def lz4_probe_size(data: bytes) -> int | None:
+    """LZ4-block-format compressed size of ``data`` (see C source); None
+    when the native library is unavailable."""
+    lib = _get()
+    if lib is None:
+        return None
+    return lib.lz4_size(data, len(data))
+
+
+def window_candidates(
+    buf: np.ndarray, table_i64: np.ndarray, mix_i64: int, mask_bits: int, window: int
+) -> np.ndarray | None:
+    lib = _get()
+    if lib is None:
+        return None
+    buf = np.ascontiguousarray(buf)
+    mix = ctypes.c_uint64(int(mix_i64) & 0xFFFFFFFFFFFFFFFF)
+    limit = ctypes.c_uint64(1 << (64 - mask_bits))
+    return _run_scan(
+        lambda out, cap: lib.window_scan(
+            buf.ctypes.data, buf.shape[0], table_i64.ctypes.data,
+            mix, limit, window, out.ctypes.data, cap,
+        ),
+        buf.shape[0],
+    )

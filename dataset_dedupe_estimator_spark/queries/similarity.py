@@ -255,13 +255,30 @@ def unit_features(emb):
     )
 
 
+BRUTE_FORCE_MAX_VECS = 100_000  # ~5e9 pairs; beyond this the all-pairs
+#                                 baseline is refused — use embedding_dedup_lsh
+
+
 def embedding_dedup_pairs(spark, sf):
     """Embedding-cosine near-duplicate pairs, brute-force baseline.
     Threshold 0.45 (corpus max pairwise cosine is ~0.51). Vectors are
     pre-normalized to unit length ONCE (Arrow-batched pass — see
     unit_features) — the per-pair work is a single dot product, no norms
-    or divisions in the join."""
+    or divisions in the join.
+
+    Deliberately quadratic: this is the verification baseline for
+    embedding_dedup_lsh, not the scale path. A row-count guard (parquet
+    footer count — no data scan) refuses corpora past
+    BRUTE_FORCE_MAX_VECS so a user reaching for it first gets pointed at
+    the sub-quadratic twin instead of a cluster-melting crossJoin."""
     emb = load(spark, sf, "embeddings")
+    n = emb.count()
+    if n > BRUTE_FORCE_MAX_VECS:
+        raise ValueError(
+            f"embedding_dedup_pairs is the all-pairs baseline (n={n} -> "
+            f"{n * (n - 1) // 2} pairs); over {BRUTE_FORCE_MAX_VECS} vectors "
+            "use embedding_dedup_lsh (same threshold, banded candidates)"
+        )
     normed = unit_features(emb)
     a = normed.select(F.col("vec_id").alias("vec_a"), F.col("unit").alias("ua"))
     b = normed.select(F.col("vec_id").alias("vec_b"), F.col("unit").alias("ub"))
@@ -678,8 +695,9 @@ def semdedup_clusters(spark, sf):
     the embedding space, then drop near-duplicates *within* clusters only —
     the move that makes embedding dedup sub-quadratic at corpus scale.
 
-    Clusters are cells around K deterministic seed vectors (the first K
-    vec_ids) so the result is oracle-checkable; K adapts to corpus size
+    Clusters are cells around K deterministic seed vectors (the K lowest
+    vec_ids, selected by rank so sparse or 1-based id spaces still yield
+    exactly K seeds) so the result is oracle-checkable; K adapts to corpus size
     inside the plan (see _sem_k_col) so per-cluster pair work stays O(1)
     as the corpus scales. Production swaps in trained centroids
     (operators/ann.py) with the identical plan shape. Drop rule: a vector
@@ -694,9 +712,20 @@ def semdedup_clusters(spark, sf):
     emb = load(spark, sf, "embeddings")
     normed = unit_features(emb)
     n_row = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
+    # Seeds = the K lowest vec_ids BY RANK, not `vec_id < K` (which assumes
+    # contiguous 0-based ids). orderBy+limit plans as TakeOrderedAndProject
+    # (per-partition top-K, then merge), so the bounded SEM_MAX_K head —
+    # never the corpus — is the only thing the single-partition row_number
+    # window ever sees.
+    head = (
+        normed.select("vec_id", "unit")
+        .orderBy("vec_id")
+        .limit(SEM_MAX_K)
+        .withColumn("rnk", F.row_number().over(Window.orderBy("vec_id")))
+    )
     cents = (
-        normed.crossJoin(F.broadcast(n_row))
-        .filter(F.col("vec_id") < _sem_k_col(F.col("n_vecs")))
+        head.crossJoin(F.broadcast(n_row))
+        .filter(F.col("rnk") <= _sem_k_col(F.col("n_vecs")))
         .select(F.col("vec_id").alias("cell_id"), F.col("unit").alias("cunit"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell_id"))
@@ -740,8 +769,11 @@ SEMDEDUP_SQL = f"""
 WITH {EMB_NORMED_CTE},
 nn AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
 cents AS (
-  SELECT vec_id AS cell_id, unit AS cunit FROM normed, nn
-  WHERE vec_id < {_SEM_K_SQL}
+  SELECT cell_id, cunit FROM (
+    SELECT vec_id AS cell_id, unit AS cunit,
+           ROW_NUMBER() OVER (ORDER BY vec_id) AS rnk
+    FROM normed) s, nn
+  WHERE rnk <= {_SEM_K_SQL}
 ),
 assigned AS (
   SELECT vec_id, unit, cell_id

@@ -11,6 +11,10 @@ exchange that yields uniformly-sized output files without any sort.
 rewrite so min/max row-group stats prune future scans (poor-man's
 Z-order on one key set).
 
+The listing goes through the Hadoop FileSystem API (not ``os.walk``), so
+sizing is correct for any URI Spark can read — ``file:``, ``s3a://``,
+``hdfs://`` — not just the local disk.
+
 The reference rewrites files one-for-one (de/formats.py:110-115 copies
 record batches per file); compaction is the many-to-few generalization
 its single-machine design never needed.
@@ -18,11 +22,37 @@ its single-machine design never needed.
 
 from __future__ import annotations
 
-import os
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _hadoop_path(spark: SparkSession, path: str):
+    """Return (qualified org.apache.hadoop.fs.Path, FileSystem) for any URI."""
+    jvm = spark._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    return fs.makeQualified(p), fs
+
+
+def list_parquet_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """Recursive (path, bytes) listing of ``*.parquet`` under ``path`` via
+    the Hadoop FileSystem API — works for local and remote stores alike."""
+    p, fs = _hadoop_path(spark, path)
+    if not fs.exists(p):
+        raise FileNotFoundError(path)
+    if fs.getFileStatus(p).isFile():
+        return [(p.toString(), fs.getFileStatus(p).getLen())]
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        fp = st.getPath().toString()
+        if fp.endswith(".parquet"):
+            out.append((fp, st.getLen()))
+    return out
 
 
 def plan_compaction(
@@ -31,18 +61,34 @@ def plan_compaction(
     """Return (df, n_files_in, bytes_in, n_files_out) without rewriting.
 
     ``n_files_out`` is ceil(bytes_in / target); byte size comes from the
-    driver-side file listing (cheap metadata, no Spark job)."""
+    filesystem listing (cheap metadata, no Spark job). Raises if the
+    listing finds no parquet bytes — silently coalescing an unsized
+    dataset to one file is exactly the failure mode this guards."""
     df = spark.read.parquet(src)
-    listing = [
-        os.path.join(root, fn)
-        for root, _dirs, files in os.walk(src)
-        for fn in files
-        if fn.endswith(".parquet")
-    ] or ([src] if os.path.isfile(src) else [])
-    bytes_in = sum(os.path.getsize(p) for p in listing)
+    listing = list_parquet_files(spark, src)
+    bytes_in = sum(sz for _p, sz in listing)
+    if not listing or bytes_in <= 0:
+        raise ValueError(
+            f"compaction: no parquet bytes found under {src!r}; "
+            "refusing to size the rewrite from an empty listing"
+        )
     target = max(1, int(target_mb * (1 << 20)))
     n_out = max(1, -(-bytes_in // target))
     return df, len(listing), bytes_in, n_out
+
+
+def _assert_disjoint(spark: SparkSession, src: str, dest: str) -> None:
+    """Refuse self-compaction: dest == src, dest under src, or src under
+    dest (overwrite would delete the source while it is still lazily
+    read)."""
+    ps, _ = _hadoop_path(spark, src)
+    pd_, _ = _hadoop_path(spark, dest)
+    s, d = ps.toUri().toString().rstrip("/"), pd_.toUri().toString().rstrip("/")
+    if s == d or d.startswith(s + "/") or s.startswith(d + "/"):
+        raise ValueError(
+            f"compaction: dest {dest!r} overlaps src {src!r}; "
+            "write to a disjoint path, then swap"
+        )
 
 
 def compact_parquet(
@@ -63,6 +109,7 @@ def compact_parquet(
     ``sort_by``, ``repartitionByRange(n, *keys)`` + ``sortWithinPartitions``
     clusters values so future range predicates prune whole files via
     row-group stats."""
+    _assert_disjoint(spark, src, dest)
     df, n_in, bytes_in, n_out = plan_compaction(spark, src, target_mb)
     if sort_by:
         out = df.repartitionByRange(n_out, *[F.col(c) for c in sort_by]).sortWithinPartitions(
@@ -75,16 +122,11 @@ def compact_parquet(
     n_dst = spark.read.parquet(dest).count()
     if n_src != n_dst:
         raise ValueError(f"compaction sanity failed: {n_src} rows in, {n_dst} out")
-    out_files = [
-        os.path.join(root, fn)
-        for root, _dirs, files in os.walk(dest)
-        for fn in files
-        if fn.endswith(".parquet")
-    ]
+    out_files = list_parquet_files(spark, dest)
     return {
         "files_in": n_in,
         "files_out": len(out_files),
         "bytes_in": bytes_in,
-        "bytes_out": sum(os.path.getsize(p) for p in out_files),
+        "bytes_out": sum(sz for _p, sz in out_files),
         "rows": n_dst,
     }

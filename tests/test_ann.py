@@ -64,3 +64,33 @@ def test_semdedup_partitions_corpus(spark):
     k = min(max(-(-n_vecs // SEM_TARGET_CLUSTER), 4), SEM_MAX_K)
     assert len(rows) == k
     assert all(0 <= r.cell_id < k for r in rows)
+
+
+def test_semdedup_sparse_vec_ids(spark, tmp_path):
+    """Rank-selected seeds: sparse / non-zero-based vec_ids still yield
+    exactly K clusters (round-2 advice: `vec_id < K` assumed contiguity)."""
+    from dataset_dedupe_estimator_spark.queries.similarity import (
+        SEM_MAX_K,
+        SEM_TARGET_CLUSTER,
+        semdedup_clusters,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sparse = src.withColumn("vec_id", F.col("vec_id") * 10 + 7)
+    sfdir = str(tmp_path / "sparse_sf")
+    sparse.write.parquet(f"{sfdir}/embeddings.parquet")
+    rows = semdedup_clusters(spark, sfdir).collect()
+    n_vecs = src.count()
+    k = min(max(-(-n_vecs // SEM_TARGET_CLUSTER), 4), SEM_MAX_K)
+    assert len(rows) == k
+    # cell ids are the K lowest (sparse) vec_ids, not 0..K-1
+    assert sorted(r.cell_id for r in rows) == [i * 10 + 7 for i in range(k)]
+    assert sum(r.n_vecs for r in rows) == n_vecs
+
+
+def test_brute_force_guard_refuses_large_corpus(spark, monkeypatch):
+    from dataset_dedupe_estimator_spark.queries import similarity
+
+    monkeypatch.setattr(similarity, "BRUTE_FORCE_MAX_VECS", 10)
+    with pytest.raises(ValueError, match="embedding_dedup_lsh"):
+        similarity.embedding_dedup_pairs(spark, "/root/testdata/sf0.001")

@@ -225,3 +225,89 @@ def test_chunk_files_dataframe(spark, tmp_path):
     assert total == 2 * len(DATA)
     uniq = df.select("hash").distinct().count()
     assert uniq == len(chunk_bytes(DATA))
+
+
+class TestNativeKernels:
+    """Native C kernels (operators/native.py) must be bit-identical to
+    the numpy reference paths for both schemes, and the LZ4-format probe
+    must behave like a compressed size."""
+
+    def _numpy_candidates(self, buf, params):
+        import importlib
+        import os
+
+        import numpy as np
+
+        from dataset_dedupe_estimator_spark.operators import chunker, native
+
+        os.environ["DDES_NO_NATIVE"] = "1"
+        # force a fresh module state so _get() re-reads the env var
+        native._lib, native._tried = None, False
+        try:
+            return chunker._boundary_candidates(np.asarray(buf), params)
+        finally:
+            del os.environ["DDES_NO_NATIVE"]
+            native._lib, native._tried = None, False
+
+    def test_boundary_parity_native_vs_numpy(self):
+        import numpy as np
+
+        from dataset_dedupe_estimator_spark.operators import native
+        from dataset_dedupe_estimator_spark.operators.chunker import (
+            ChunkerParams,
+            _boundary_candidates,
+        )
+
+        if not native.available():
+            import pytest
+
+            pytest.skip("no C compiler in environment")
+        rng = np.random.default_rng(7)
+        cases = [
+            np.empty(0, dtype=np.uint8),
+            np.zeros(1, dtype=np.uint8),
+            np.zeros(64, dtype=np.uint8),
+            np.zeros(65, dtype=np.uint8),
+            np.zeros(300_000, dtype=np.uint8),  # degenerate constant input
+            rng.integers(0, 256, 63, dtype=np.uint8),
+            rng.integers(0, 256, 1_000_000, dtype=np.uint8),
+            rng.integers(0, 4, 1_000_000, dtype=np.uint8),  # low-entropy
+        ]
+        for buf in cases:
+            for p in (ChunkerParams(), ChunkerParams(scheme="gear"), ChunkerParams(mask_bits=12)):
+                got = _boundary_candidates(buf, p)
+                ref = self._numpy_candidates(buf, p)
+                assert np.array_equal(np.sort(got), np.sort(ref)), (len(buf), p.scheme)
+
+    def test_lz4_probe_size_sane(self):
+        import numpy as np
+
+        from dataset_dedupe_estimator_spark.operators import native
+
+        if not native.available():
+            import pytest
+
+            pytest.skip("no C compiler in environment")
+        rng = np.random.default_rng(11)
+        rand = rng.integers(0, 256, 100_000, dtype=np.uint8).tobytes()
+        assert native.lz4_probe_size(b"") == 1
+        # repetitive input compresses hard; format worst case bounds expansion
+        assert native.lz4_probe_size(b"ab" * 50_000) < 1000
+        assert native.lz4_probe_size(rand) <= len(rand) + len(rand) // 255 + 16
+        # deterministic
+        assert native.lz4_probe_size(rand) == native.lz4_probe_size(rand)
+
+    def test_compress_scheme_dispatch(self):
+        import zlib
+
+        from dataset_dedupe_estimator_spark.operators import native
+        from dataset_dedupe_estimator_spark.operators.chunker import _compressed_size
+
+        data = b"hello world, hello world, hello world" * 1000
+        assert _compressed_size(data, None, "zlib1") == len(zlib.compress(data, 1))
+        assert _compressed_size(data, 0, "auto") == len(data)
+        if native.available():
+            assert _compressed_size(data, None, "lz4") == native.lz4_probe_size(data)
+            # sampled probe scales
+            capped = _compressed_size(data, 1024, "lz4")
+            assert 0 < capped < len(data)

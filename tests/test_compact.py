@@ -56,3 +56,46 @@ def test_sorted_compaction_clusters_rowgroup_stats(spark, tmp_path):
     ranges.sort()
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi <= lo  # disjoint id ranges across files
+
+
+def test_self_compaction_refused(spark, tmp_path):
+    import pytest
+
+    src = str(tmp_path / "selfc")
+    _make_small_files(spark, src, n_files=2)
+    with pytest.raises(ValueError, match="overlaps"):
+        compact_parquet(spark, src, src)
+    with pytest.raises(ValueError, match="overlaps"):
+        compact_parquet(spark, src, src + "/nested")
+    with pytest.raises(ValueError, match="overlaps"):
+        compact_parquet(spark, src + "/part", src)
+
+
+def test_empty_listing_refused(spark, tmp_path):
+    import pytest
+
+    src = str(tmp_path / "emptydir")
+    # a directory Spark can open (has _SUCCESS-like content) but holds no
+    # parquet bytes must raise, not silently plan a 1-file rewrite
+    (tmp_path / "emptydir").mkdir()
+    (tmp_path / "emptydir" / "notdata.txt").write_text("x")
+    with pytest.raises(Exception):
+        plan_compaction(spark, src)
+
+
+def test_hadoop_listing_matches_os_walk(spark, tmp_path):
+    import os
+
+    from dataset_dedupe_estimator_spark.sources.compact import list_parquet_files
+
+    src = str(tmp_path / "listing")
+    _make_small_files(spark, src, n_files=4)
+    listed = list_parquet_files(spark, src)
+    walked = {
+        os.path.join(root, fn): os.path.getsize(os.path.join(root, fn))
+        for root, _d, files in os.walk(src)
+        for fn in files
+        if fn.endswith(".parquet")
+    }
+    assert len(listed) == len(walked) == 4
+    assert sorted(sz for _p, sz in listed) == sorted(walked.values())
