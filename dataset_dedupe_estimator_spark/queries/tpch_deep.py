@@ -474,7 +474,363 @@ ORDER BY cntry
 """
 
 
+def q2_min_cost_supplier(spark, sf):
+    """TPC-H Q2 shape: for every size-15 part, the EUROPE supplier(s)
+    offering the minimum supply cost — a correlated MIN subquery over a
+    four-dim join. (No partsupp table in this schema: supply cost :=
+    the minimum observed lineitem price for the (part, supplier) pair.)
+
+    Plan: lineitem is filtered through three BROADCAST dims (size-15
+    parts, EUROPE suppliers via nation→region) before its one shuffle
+    (groupBy part+supplier). The correlated per-part MIN is a second
+    aggregation of that already-small pair table, broadcast back — the
+    fact table is scanned once and never re-shuffled."""
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part").filter(F.col("p_size") == 15)
+    supp = load(spark, sf, "supplier")
+    nat = load(spark, sf, "nation")
+    reg = load(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    eur_supp = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    )
+    costs = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(eur_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(
+            F.col("l_partkey").alias("pk"),
+            F.col("l_suppkey").alias("sk"),
+            "s_name",
+            "s_acctbal",
+            "nation",
+            "p_name",
+        )
+        .agg(F.min(cents("l_extendedprice")).alias("cost_e2"))
+    )
+    best = costs.groupBy(F.col("pk").alias("bpk")).agg(F.min("cost_e2").alias("best_e2"))
+    return (
+        costs.join(
+            F.broadcast(best),
+            (F.col("pk") == F.col("bpk")) & (F.col("cost_e2") == F.col("best_e2")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "nation",
+            F.col("pk").alias("p_partkey"),
+            "p_name",
+            (F.col("cost_e2") / F.lit(100.0)).alias("supply_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "s_name", "p_partkey")
+    )
+
+
+Q2_SQL = f"""
+WITH costs AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk, s_name, s_acctbal,
+         n_name AS nation, p_name, MIN({C_EP}) AS cost_e2
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey AND p_size = 15
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+  GROUP BY 1, 2, 3, 4, 5, 6)
+SELECT s_acctbal, s_name, nation, pk AS p_partkey, p_name,
+       cost_e2 / 100.0 AS supply_cost
+FROM costs c
+WHERE cost_e2 = (SELECT MIN(cost_e2) FROM costs c2 WHERE c2.pk = c.pk)
+ORDER BY s_acctbal DESC, s_name, p_partkey
+"""
+
+
+def q9_product_type_profit(spark, sf):
+    """TPC-H Q9 shape: profit by supplier nation and order year over a
+    part-name pattern. (No ps_supplycost: cost := retail price × qty, so
+    profit = discounted revenue − retail cost, exact in e4 integers.)
+
+    Plan: the '%red%' part filter and supplier→nation broadcast-prune
+    lineitem before its one shuffle join with orders on orderkey; the
+    group-by runs on the joined result without a further exchange of the
+    fact rows (AQE coalesces the tiny aggregate)."""
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part").filter(F.col("p_name").like("%red%"))
+    supp = load(spark, sf, "supplier")
+    nat = load(spark, sf, "nation")
+    orders = load(spark, sf, "orders")
+    profit = cents("l_extendedprice") * (F.lit(100) - cents("l_discount")) - cents(
+        "l_quantity"
+    ) * cents("p_retailprice")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg((F.sum(profit) / F.lit(10000.0)).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation, extract(year FROM o_orderdate) AS o_year,
+       SUM({C_EP} * (100 - {C_DISC})
+           - {C_QTY} * {sql_cents("p_retailprice")}) / 10000.0 AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+GROUP BY 1, 2
+ORDER BY 1, 2 DESC
+"""
+
+
+def q11_important_parts(spark, sf):
+    """TPC-H Q11 shape: parts whose inventory value through one nation's
+    suppliers exceeds a fixed fraction of the global total — HAVING
+    against a scalar subquery. (value := Σ price×qty over lineitem.)
+
+    Plan: one shuffle builds the per-part value table (lineitem is
+    broadcast-pruned to NATION_7 suppliers first); the global total is a
+    single-row broadcast; the fraction test multiplies exact integers
+    (value × 1000 > total) — no rounding on either engine."""
+    li = load(spark, sf, "lineitem")
+    supp = load(spark, sf, "supplier")
+    nat = load(spark, sf, "nation").filter(F.col("n_name") == "NATION_7")
+    vals = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(cents("l_extendedprice") * cents("l_quantity")).alias("value_e4"))
+    )
+    total = vals.agg(F.sum("value_e4").alias("total_e4"))
+    return (
+        vals.join(F.broadcast(total))
+        .filter(F.col("value_e4") * F.lit(1000) > F.col("total_e4"))
+        .select("p_partkey", (F.col("value_e4") / F.lit(10000.0)).alias("value"))
+        .orderBy(F.col("value").desc(), "p_partkey")
+    )
+
+
+Q11_SQL = f"""
+WITH vals AS (
+  SELECT l_partkey AS p_partkey,
+         SUM({C_EP} * {C_QTY}) AS value_e4
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_7'
+  GROUP BY 1)
+SELECT p_partkey, value_e4 / 10000.0 AS value
+FROM vals
+WHERE value_e4 * 1000 > (SELECT SUM(value_e4) FROM vals)
+ORDER BY value DESC, p_partkey
+"""
+
+
+def q12_late_shipment_priority(spark, sf):
+    """TPC-H Q12 shape: order-priority mix of late shipments per class —
+    a fact-fact join feeding conditional aggregation. (No shipmode or
+    commit/receipt dates: class := l_returnflag, late := shipped ≥60
+    days after the order date, window 1997.)
+
+    Plan: lineitem⋈orders is THE shuffle (both sides partitioned on
+    orderkey); the CASE WHEN counts fold map-side into a 3-row result.
+    The date-window filter pushes to the lineitem scan."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < ts("1998-01-01 00:00:00"))
+    )
+    orders = load(spark, sf, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q16_supplier_diversity(spark, sf):
+    """TPC-H Q16 shape: how many distinct suppliers serve each
+    (brand, type, size) bucket, excluding one brand, one type, and
+    suppliers flagged by complaint (stand-in: negative balance) — an
+    anti-join inside a COUNT(DISTINCT) rollup.
+
+    Plan: the part filter broadcasts; the excluded-supplier set is a
+    handful of keys → broadcast ANTI join (never a shuffle); the one
+    shuffle is the distinct-supplier aggregation itself."""
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 15, 25, 35, 45)
+    )
+    bad_supp = load(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 15, 25, 35, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_dominant_suppliers(spark, sf):
+    """TPC-H Q20 shape: suppliers in one nation who dominated supply of
+    some 'small%' part in 1997 — nested correlated aggregation feeding a
+    semi join. (No partsupp availqty: dominate := shipped more than a
+    quarter of the part's 1997 volume.)
+
+    Plan: lineitem is broadcast-pruned by part pattern + date before its
+    one fact shuffle (per part+supplier totals); per-part totals are a
+    cheap re-agg of that small table; the nation gate broadcasts. The
+    dominance test is exact-integer (qty×4 > total)."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < ts("1998-01-01 00:00:00"))
+    )
+    part = load(spark, sf, "part").filter(F.col("p_name").like("small%"))
+    shipped = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.sum(cents("l_quantity")).alias("qty_sp"))
+    )
+    tot = shipped.groupBy(F.col("pk").alias("tpk")).agg(F.sum("qty_sp").alias("qty_p"))
+    nat_supp = (
+        load(spark, sf, "supplier")
+        .join(
+            F.broadcast(
+                load(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        shipped.join(F.broadcast(tot), F.col("pk") == F.col("tpk"))
+        .filter(F.col("qty_sp") * F.lit(4) > F.col("qty_p"))
+        .join(F.broadcast(nat_supp), F.col("sk") == F.col("s_suppkey"))
+        .select("s_name")
+        .distinct()
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = f"""
+WITH shipped AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk, SUM({C_QTY}) AS qty_sp
+  FROM lineitem JOIN part ON p_partkey = l_partkey AND p_name LIKE 'small%'
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1, 2),
+tot AS (SELECT pk, SUM(qty_sp) AS qty_p FROM shipped GROUP BY 1)
+SELECT DISTINCT s_name
+FROM shipped
+JOIN tot USING (pk)
+JOIN supplier ON s_suppkey = sk
+JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_3'
+WHERE qty_sp * 4 > qty_p
+ORDER BY s_name
+"""
+
+
+def q21_waiting_suppliers(spark, sf):
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    finished multi-supplier order — the EXISTS / NOT EXISTS double
+    correlation. (late := shipped >90 days after the order date.)
+
+    Plan: lineitem⋈orders('F') is the one fact shuffle; per-(order,
+    supplier) late flags and per-order supplier counts are successive
+    aggregations of the shrinking result (the second agg exchanges only
+    order-level rows); supplier names broadcast at the end. The
+    EXISTS/NOT-EXISTS pair becomes arithmetic on the counts: n_supp > 1
+    ∧ n_late = 1 ∧ this-supplier-late."""
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), 1
+    ).otherwise(0)
+    flags = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
+        .agg(F.max(late).alias("late"))
+    )
+    per_order = flags.groupBy(F.col("ok").alias("pok")).agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    supp = load(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        flags.join(per_order, F.col("ok") == F.col("pok"))
+        .filter((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(supp), F.col("sk") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+Q21_SQL = """
+WITH flags AS (
+  SELECT l_orderkey AS ok, l_suppkey AS sk,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey AND o_orderstatus = 'F'
+  GROUP BY 1, 2),
+per_order AS (
+  SELECT ok, COUNT(*) AS n_supp, SUM(late) AS n_late FROM flags GROUP BY 1)
+SELECT s_name, COUNT(*) AS numwait
+FROM flags
+JOIN per_order USING (ok)
+JOIN supplier ON s_suppkey = sk
+WHERE late = 1 AND n_supp > 1 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
 QUERIES = {
+    "q2_min_cost_supplier": Q(q2_min_cost_supplier, Q2_SQL),
+    "q9_product_type_profit": Q(q9_product_type_profit, Q9_SQL),
+    "q11_important_parts": Q(q11_important_parts, Q11_SQL),
+    "q12_late_shipment_priority": Q(q12_late_shipment_priority, Q12_SQL),
+    "q16_supplier_diversity": Q(q16_supplier_diversity, Q16_SQL),
+    "q20_dominant_suppliers": Q(q20_dominant_suppliers, Q20_SQL),
+    "q21_waiting_suppliers": Q(q21_waiting_suppliers, Q21_SQL),
     "q7_nation_volume": Q(q7_nation_volume, Q7_SQL),
     "q8_market_share": Q(q8_market_share, Q8_SQL),
     "q10_returned_items": Q(q10_returned_items, Q10_SQL),

@@ -29,6 +29,7 @@ EAGER = {
 BNLJ_ALLOWED = {
     "unigram_surprisal",  # corpus-total count row
     "q22_idle_customers",  # global-average scalar row
+    "q11_important_parts",  # global-total scalar row (HAVING fraction gate)
     "knn_brute_force",  # single query vector
     "semdedup_clusters",  # corpus-count row driving adaptive K
     "ann_lsh_bucketed",  # single query bucket row
