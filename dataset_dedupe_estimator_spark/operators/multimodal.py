@@ -4,10 +4,14 @@ with typed metadata (north-star extension, BASELINE.json).
 Design: media rows are ``(media_id, kind, content: binary, meta: struct)``;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInArrow`` operators — the Spark-side plumbing (schema, partitioning,
-UDF signature, batch shape, 1→N fan-out) is real and tested. The actual
-codec work is STUBBED: this container has no image/audio libraries, so
-real formats raise ``NotImplementedError`` and a deterministic fake format
-(``FAKE`` header + counter-based payload) exercises every code path.
+UDF signature, batch shape, 1→N fan-out) is real and tested.
+
+Codec status: **PNG decode/resize/feature-extraction is REAL** (pure
+stdlib zlib + native un-filter kernel, operators/png_codec.py — no
+imaging library needed); JPEG and audio/video codecs are STUBBED behind
+labeled ``NotImplementedError`` seams (no codec libraries in this
+container), with a deterministic fake format (``FAKE`` header +
+counter-based payload) exercising every code path.
 
 Scale notes: media blobs never shuffle — every operator is a narrow
 map; fan-outs (frame sampling) multiply rows within a partition.
@@ -25,6 +29,8 @@ import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from dataset_dedupe_estimator_spark.operators import png_codec
 
 MAGIC = b"FAKE"
 # media schema: meta fields cover the three kinds (unused ones null)
@@ -92,20 +98,27 @@ def synth_media(spark: SparkSession, n: int, kind: str = "image") -> DataFrame:
 
 
 def decode_media(df: DataFrame) -> DataFrame:
-    """Parse headers → fill meta. Real formats (PNG/JPEG/WAV/...) would
-    decode here via PIL/soundfile; unavailable in this environment, so
-    non-FAKE content raises NotImplementedError (clearly a stub seam)."""
+    """Parse headers → fill meta. PNG is decoded for real
+    (operators/png_codec.py reads the IHDR; full pixel decode happens in
+    the operators that need pixels). JPEG/WAV/video formats would decode
+    at this same seam via PIL/soundfile — unavailable in this
+    environment, so non-PNG, non-FAKE content raises
+    NotImplementedError (clearly a stub seam)."""
 
     def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             tbl = batch.to_pydict()
             metas = []
             for content in tbl["content"]:
+                if png_codec.is_png(content):
+                    w, hgt, _ch = png_codec.png_meta(content)
+                    metas.append({"width": w, "height": hgt, "sample_rate": None, "n_frames": None, "fmt": "png"})
+                    continue
                 if not content.startswith(MAGIC):
                     raise NotImplementedError(
-                        "real media decode requires imaging/audio libraries "
-                        "not present in this environment; only the FAKE "
-                        "format is decodable (stub seam)"
+                        "real media decode beyond PNG requires imaging/audio "
+                        "libraries not present in this environment; PNG and "
+                        "the FAKE format are decodable (stub seam)"
                     )
                 k = content[4:5].decode()
                 a, b, c = struct.unpack("<iii", content[5:17])
@@ -132,10 +145,11 @@ FEATURE_DIM = 16
 
 
 def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
-    """content → float feature vector (deterministic digest-derived stub;
-    a real extractor would be a model forward pass in the same seam).
-    Output: (media_id, kind, feature array<float>) — embedding-ready for
-    the similarity operators."""
+    """content → float feature vector. PNGs get REAL pixel features
+    (mean, std, and a (dim−2)-bin luminance histogram over decoded
+    pixels); other content gets a deterministic digest-derived vector
+    (the model-forward-pass seam). Output: (media_id, kind, feature
+    array<float>) — embedding-ready for the similarity operators."""
 
     out_schema = pa.schema(
         [("media_id", pa.int64()), ("kind", pa.string()), ("feature", pa.list_(pa.float32()))]
@@ -147,6 +161,20 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
             kinds = batch.column("kind")
             vecs = []
             for content in batch.column("content").to_pylist():
+                if png_codec.is_png(content):
+                    px = png_codec.decode_png(content)
+                    if px.ndim == 3:  # luminance from the first 3 channels
+                        px = px[:, :, : min(3, px.shape[2])].mean(axis=2)
+                    flat = px.astype(np.float32).ravel()
+                    hist, _ = np.histogram(flat, bins=dim - 2, range=(0, 255))
+                    v = np.concatenate(
+                        [
+                            [flat.mean() / 255.0, flat.std() / 255.0],
+                            hist.astype(np.float32) / max(1, flat.size),
+                        ]
+                    ).astype(np.float32)
+                    vecs.append(v)
+                    continue
                 digest = hashlib.blake2b(content, digest_size=2 * dim).digest()
                 v = np.frombuffer(digest, dtype=np.uint16).astype(np.float32) / 65535.0
                 vecs.append(v)
@@ -159,9 +187,10 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stub: recomputes meta and emits a correctly-sized payload
-    (nearest-neighbor index math on the fake payload; a real implementation
-    swaps in PIL.Image.resize at the marked seam)."""
+    """Image resize. PNG: REAL — decode, nearest-neighbor resample,
+    re-encode PNG (all stdlib/numpy/native, operators/png_codec.py).
+    FAKE: the same index math on the fake payload. JPEG would swap in
+    at this seam; absent codec libraries it raises."""
 
     def resize(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -169,8 +198,14 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
             for content, meta in zip(
                 batch.column("content").to_pylist(), batch.column("meta").to_pylist()
             ):
+                if png_codec.is_png(content):
+                    px = png_codec.decode_png(content)
+                    out_px = png_codec.resize_nearest(px, width, height)
+                    contents.append(png_codec.encode_png(out_px))
+                    metas.append({**meta, "width": width, "height": height, "fmt": "png"})
+                    continue
                 if not content.startswith(MAGIC):
-                    raise NotImplementedError("real image resize requires PIL (stub seam)")
+                    raise NotImplementedError("real non-PNG image resize requires PIL (stub seam)")
                 w0, h0 = meta["width"], meta["height"]
                 payload = np.frombuffer(content[17:], dtype=np.uint8)
                 if len(payload) >= w0 * h0:

@@ -129,6 +129,51 @@ int64_t lz4_size(const uint8_t *src, int64_t n) {
     size += 1 + lit + (lit >= 15 ? (lit - 15) / 255 + 1 : 0);
     return size;
 }
+
+/* PNG scanline un-filtering (spec filters 0-4), in place over an
+   h x stride image whose per-row filter bytes were stripped into
+   `filters`. Row-serial by spec; byte ops are branch-light C. */
+int png_unfilter(uint8_t *rows, const uint8_t *filters, int64_t h,
+                 int64_t stride, int64_t ch) {
+    for (int64_t y = 0; y < h; y++) {
+        uint8_t *cur = rows + y * stride;
+        const uint8_t *prev = y ? rows + (y - 1) * stride : 0;
+        switch (filters[y]) {
+        case 0:
+            break;
+        case 1:
+            for (int64_t x = ch; x < stride; x++) cur[x] += cur[x - ch];
+            break;
+        case 2:
+            if (prev)
+                for (int64_t x = 0; x < stride; x++) cur[x] += prev[x];
+            break;
+        case 3:
+            for (int64_t x = 0; x < stride; x++) {
+                int left = x >= ch ? cur[x - ch] : 0;
+                int up = prev ? prev[x] : 0;
+                cur[x] = (uint8_t)(cur[x] + ((left + up) >> 1));
+            }
+            break;
+        case 4:
+            for (int64_t x = 0; x < stride; x++) {
+                int a = x >= ch ? cur[x - ch] : 0;
+                int b = prev ? prev[x] : 0;
+                int c = (prev && x >= ch) ? prev[x - ch] : 0;
+                int p = a + b - c;
+                int pa = p > a ? p - a : a - p;
+                int pb = p > b ? p - b : b - p;
+                int pc = p > c ? p - c : c - p;
+                int pr = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+                cur[x] = (uint8_t)(cur[x] + pr);
+            }
+            break;
+        default:
+            return -1;
+        }
+    }
+    return 0;
+}
 """
 
 _lock = threading.Lock()
@@ -166,6 +211,11 @@ def _compile() -> ctypes.CDLL | None:
     for fn in (lib.gear_scan, lib.window_scan, lib.lz4_size):
         fn.restype = ctypes.c_int64
     lib.lz4_size.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.png_unfilter.restype = ctypes.c_int
+    lib.png_unfilter.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+    ]
     lib.gear_scan.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ctypes.c_uint64, ctypes.c_void_p, ctypes.c_int64,
@@ -234,6 +284,22 @@ def lz4_probe_size(data: bytes) -> int | None:
     if lib is None:
         return None
     return lib.lz4_size(data, len(data))
+
+
+def png_unfilter(rows: np.ndarray, filters: np.ndarray, ch: int) -> bool:
+    """Un-filter PNG scanlines IN PLACE. ``rows`` is (h, stride) uint8
+    C-contiguous, ``filters`` is (h,) uint8. Returns False when the
+    native library is unavailable (caller falls back to Python)."""
+    lib = _get()
+    if lib is None:
+        return False
+    assert rows.flags["C_CONTIGUOUS"] and rows.dtype == np.uint8
+    filters = np.ascontiguousarray(filters, dtype=np.uint8)
+    h, stride = rows.shape
+    rc = lib.png_unfilter(rows.ctypes.data, filters.ctypes.data, h, stride, ch)
+    if rc != 0:
+        raise ValueError("bad PNG filter byte")
+    return True
 
 
 def window_candidates(

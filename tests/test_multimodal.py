@@ -88,3 +88,90 @@ def test_repartition_by_bytes(spark, images):
     assert out.count() == 20
     assert out.rdd.getNumPartitions() >= 2
     assert out.columns == ["media_id", "kind", "content", "meta"]
+
+
+class TestRealPngPath:
+    """PNG is a REAL codec path (operators/png_codec.py): decode, resize,
+    and pixel-feature extraction run on actual pixels through the same
+    Arrow-batched Spark operators as the fake format."""
+
+    def _png_media(self, spark, n=8):
+        import numpy as np
+        import pyarrow as pa
+
+        from dataset_dedupe_estimator_spark.operators.multimodal import MEDIA_DDL
+        from dataset_dedupe_estimator_spark.operators.png_codec import encode_png
+
+        def gen(batches):
+            for batch in batches:
+                ids = batch.column("id").to_pylist()
+                blobs, metas = [], []
+                for i in ids:
+                    rng = np.random.default_rng(i)
+                    w, h = 12 + i, 10 + 2 * i
+                    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                    blobs.append(encode_png(img))
+                    metas.append({"width": None, "height": None, "sample_rate": None, "n_frames": None, "fmt": None})
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ids, pa.int64()),
+                        pa.array(["image"] * len(ids)),
+                        pa.array(blobs, pa.binary()),
+                        pa.array(metas, pa.struct([
+                            ("width", pa.int32()), ("height", pa.int32()),
+                            ("sample_rate", pa.int32()), ("n_frames", pa.int32()),
+                            ("fmt", pa.string()),
+                        ])),
+                    ],
+                    names=["media_id", "kind", "content", "meta"],
+                )
+
+        return spark.range(n).mapInArrow(gen, MEDIA_DDL)
+
+    def test_decode_fills_real_dims(self, spark):
+        from dataset_dedupe_estimator_spark.operators.multimodal import decode_media
+
+        rows = decode_media(self._png_media(spark)).collect()
+        assert len(rows) == 8
+        for r in rows:
+            assert r.meta.fmt == "png"
+            assert r.meta.width == 12 + r.media_id
+            assert r.meta.height == 10 + 2 * r.media_id
+
+    def test_resize_real_pixels(self, spark):
+        import numpy as np
+
+        from dataset_dedupe_estimator_spark.operators.multimodal import (
+            decode_media,
+            resize_images,
+        )
+        from dataset_dedupe_estimator_spark.operators.png_codec import (
+            decode_png,
+            resize_nearest,
+        )
+
+        out = resize_images(decode_media(self._png_media(spark)), 8, 6).collect()
+        for r in out:
+            px = decode_png(bytes(r.content))
+            assert px.shape == (6, 8, 3)
+            assert r.meta.width == 8 and r.meta.height == 6
+            # pixel-exact: nearest-neighbor of the original image
+            rng = np.random.default_rng(r.media_id)
+            orig = rng.integers(
+                0, 256, (10 + 2 * r.media_id, 12 + r.media_id, 3), dtype=np.uint8
+            )
+            assert np.array_equal(px, resize_nearest(orig, 8, 6))
+
+    def test_features_are_pixel_stats(self, spark):
+        import numpy as np
+
+        from dataset_dedupe_estimator_spark.operators.multimodal import extract_features
+
+        feats = {r.media_id: r.feature for r in extract_features(self._png_media(spark)).collect()}
+        for mid, v in feats.items():
+            rng = np.random.default_rng(mid)
+            orig = rng.integers(0, 256, (10 + 2 * mid, 12 + mid, 3), dtype=np.uint8)
+            lum = orig.mean(axis=2).astype(np.float32)
+            assert abs(v[0] - lum.mean() / 255.0) < 1e-5
+            assert abs(v[1] - lum.std() / 255.0) < 1e-5
+            assert abs(sum(v[2:]) - 1.0) < 1e-5  # histogram sums to 1

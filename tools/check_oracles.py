@@ -13,6 +13,12 @@ splits instead of coercing both sides to float, and FAILS on array-typed
 output columns (they crash the driver's row canonicalizer).
 
 Usage: python tools/check_oracles.py [name-substring ...]
+       python tools/check_oracles.py --json OUT.json   # full-registry report
+
+With --json, writes a driver-format report ({name: {rows_match,
+schema_match, hash_match, spark_rows, oracle_rows, err}}) covering EVERY
+registry query — the local complement to the driver's 50-query window
+(see COVERAGE.md "Driver-gate rotation scheme").
 """
 
 from __future__ import annotations
@@ -102,7 +108,13 @@ def main() -> int:
     from dataset_dedupe_estimator_spark import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    filters = [a for a in sys.argv[1:] if not a.startswith("-")]
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    filters = [a for a in args if not a.startswith("-")]
 
     con = duckdb.connect()
     for t in TABLES:
@@ -118,6 +130,16 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
 
     n_pass = n_fail = n_weak = 0
+    report: dict[str, dict] = {}
+
+    def record(name, *, rows_match=None, schema_match=None, hash_match=None,
+               spark_rows=None, oracle_rows=None, err=None):
+        report[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err,
+        }
+
     for name, fn in queries.items():
         if filters and not any(f in name for f in filters):
             continue
@@ -126,16 +148,19 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark raised {type(e).__name__}: {str(e)[:300]}")
+            record(name, err=f"spark: {type(e).__name__}: {str(e)[:200]}")
             n_fail += 1
             continue
         if name not in oracles:
             print(f"weak  {name}: rows={len(sdf)} (no oracle, rows-only) [{time.time()-t0:.1f}s]")
+            record(name, rows_match=len(sdf) >= 0, spark_rows=len(sdf))
             n_weak += 1
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"FAIL  {name}: oracle raised {type(e).__name__}: {str(e)[:300]}")
+            record(name, spark_rows=len(sdf), err=f"oracle: {type(e).__name__}: {str(e)[:200]}")
             n_fail += 1
             continue
         problems = compare(name, sdf, odf)
@@ -143,11 +168,23 @@ def main() -> int:
             print(f"FAIL  {name} [{time.time()-t0:.1f}s]")
             for p in problems:
                 print(f"      {p}")
+            record(name, rows_match=len(sdf) == len(odf),
+                   schema_match=sorted(sdf.columns) == sorted(odf.columns),
+                   hash_match=False, spark_rows=len(sdf), oracle_rows=len(odf),
+                   err="; ".join(problems)[:300])
             n_fail += 1
         else:
             print(f"ok    {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
+            record(name, rows_match=True, schema_match=True, hash_match=True,
+                   spark_rows=len(sdf), oracle_rows=len(odf))
             n_pass += 1
     print(f"\n{n_pass} ok, {n_weak} rows-only, {n_fail} failed")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(report)} queries)")
     return 1 if n_fail else 0
 
 
