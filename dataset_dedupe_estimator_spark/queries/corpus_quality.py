@@ -361,8 +361,73 @@ ORDER BY p.src_a, p.src_b
 """
 
 
+def charlm_familiarity(spark, sf):
+    """Per-document character-trigram LM familiarity — the
+    perplexity-filter shape (CCNet/KenLM-style quality gating) at the
+    character level, in exact integer bits.
+
+    A document whose trigrams are corpus-common scores high; noise,
+    wrong-language, or mojibake text scores low. Familiarity per trigram
+    occurrence is ``floor(log2 count)`` (same integer-bits discipline as
+    unigram_surprisal — no float log, no summation-order hazard), so
+    every aggregate is hash-exact BIGINT arithmetic.
+
+    100 TB shape — and the reason this differs from the unigram plan:
+    the trigram vocabulary is bounded by |alphabet|³ (≤ ~20k for
+    lowercase text, ≤ a few million for full UTF-8 byte trigrams)
+    REGARDLESS of corpus size, so the counts table is explicitly
+    broadcast — the per-doc scoring pass is a map-only stage after one
+    bounded-key count shuffle. Trigrams come from a JVM-side
+    sequence/transform/explode — no Python in the path."""
+    docs = load(spark, sf, "documents").filter(F.length("text") >= 3)
+    tri = docs.select(
+        "doc_id",
+        F.expr(
+            "explode(transform(sequence(1, length(text) - 2),"
+            " i -> substring(text, i, 3)))"
+        ).alias("tg"),
+    )
+    counts = tri.groupBy("tg").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        tri.join(F.broadcast(counts), "tg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum(_bits(F.col("cnt"))).alias("familiarity_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "familiarity_bits",
+            (
+                F.col("familiarity_bits").cast("double")
+                / F.col("n_trigrams").cast("double")
+            ).alias("mean_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CHARLM_FAMILIARITY_SQL = """
+WITH tri AS (
+  SELECT doc_id, substr(text, i, 3) AS tg
+  FROM documents, UNNEST(range(1, length(text) - 1)) AS t(i)
+  WHERE length(text) >= 3
+),
+counts AS (SELECT tg, CAST(COUNT(*) AS BIGINT) AS cnt FROM tri GROUP BY tg)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       CAST(SUM(length(bin(cnt)) - 1) AS BIGINT) AS familiarity_bits,
+       CAST(SUM(length(bin(cnt)) - 1) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS mean_bits
+FROM tri JOIN counts USING (tg)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "unigram_surprisal": Q(unigram_surprisal, UNIGRAM_SURPRISAL_SQL),
+    "charlm_familiarity": Q(charlm_familiarity, CHARLM_FAMILIARITY_SQL),
     "tfidf_top_terms": Q(tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
     "bloom_incremental_dedup": Q(bloom_incremental_dedup, BLOOM_INCREMENTAL_DEDUP_SQL),
     "source_overlap_minhash": Q(source_overlap_minhash, _source_overlap_sql()),
