@@ -42,26 +42,27 @@ def _bits(col):
 def unigram_surprisal(spark, sf):
     """Per-doc token count and total/mean unigram surprisal in whole bits.
 
-    Plan shape: one shuffle to count tokens (map-side combine collapses
-    each partition to its vocabulary), one token-keyed join of the
-    (doc_id, token) stream against the counts (AQE broadcasts the counts
-    side when the vocabulary is small; at web scale it stays a shuffle
-    join on the token key, which is the right shape — no vocab
-    broadcast, the round-1 MinHash lesson), one groupBy(doc_id). The
-    corpus-total N joins in as a 1-row cross join, not a collect.
+    Plan shape: ONE scan/explode into the (doc, token) occurrence
+    aggregate; the global token count is a WINDOW over the token key of
+    that aggregate — never a join of a counts table back against the
+    full occurrence stream (which re-scans and re-explodes the corpus:
+    AQE exchange reuse fails across the consumers' prunings, and the
+    occurrence-stream join shuffles every token occurrence instead of
+    every distinct (doc, token) pair). No vocab broadcast — the round-1
+    MinHash lesson. The corpus-total N is one plain aggregate scan (no
+    explode, no shuffle) joined as a 1-row cross join, not a collect.
     """
     docs = load(spark, sf, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    per_doc = (
-        tok.join(counts, "token")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(_bits(F.col("cnt"))).alias("sum_cnt_bits"),
-        )
+    per = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("k"))
+    scored = per.withColumn("cnt", F.sum("k").over(Window.partitionBy("token")))
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("k").alias("n_tokens"),
+        F.sum(F.col("k") * _bits(F.col("cnt"))).alias("sum_cnt_bits"),
     )
-    total = counts.agg(_bits(F.sum("cnt")).alias("bits_n"))
+    total = docs.agg(F.sum(F.size(F.split("text", " "))).alias("n")).select(
+        _bits(F.col("n")).alias("bits_n")
+    )
     return (
         per_doc.crossJoin(total)
         .select(
@@ -107,20 +108,21 @@ ORDER BY doc_id
 def tfidf_top_terms(spark, sf):
     """Top-5 characteristic terms per source by tf/df (see module doc).
 
-    Plan shape: two hash aggregates ((source, token) then token) and one
-    token-keyed join; the ranking window partitions by source, so the
-    sort is per-source, never global. Ties break on the term itself —
-    fully deterministic on any cluster layout.
+    Plan shape: ONE scan/explode into the (source, token) aggregate;
+    the document frequency is a window over the token key of that
+    aggregate (a groupBy-and-join-back would recompute the explode
+    subtree and scan the corpus twice). The ranking window partitions
+    by source, so the sort is per-source, never global. Ties break on
+    the term itself — fully deterministic on any cluster layout.
     """
     docs = load(spark, sf, "documents")
     tok = docs.select("source", F.explode(F.split("text", " ")).alias("token")).filter(
         F.length("token") >= MIN_TERM_LEN
     )
     tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(df_, "token").withColumn(
-        "score", F.col("tf").cast("double") / F.col("df").cast("double")
-    )
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+    ).withColumn("score", F.col("tf").cast("double") / F.col("df").cast("double"))
     w = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("token"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -372,12 +374,13 @@ def charlm_familiarity(spark, sf):
     unigram_surprisal — no float log, no summation-order hazard), so
     every aggregate is hash-exact BIGINT arithmetic.
 
-    100 TB shape — and the reason this differs from the unigram plan:
-    the trigram vocabulary is bounded by |alphabet|³ (≤ ~20k for
-    lowercase text, ≤ a few million for full UTF-8 byte trigrams)
-    REGARDLESS of corpus size, so the counts table is explicitly
-    broadcast — the per-doc scoring pass is a map-only stage after one
-    bounded-key count shuffle. Trigrams come from a JVM-side
+    100 TB shape: the text column is scanned and exploded ONCE — the
+    (doc, trigram) occurrence counts aggregate in one shuffle, the
+    global trigram count arrives as a WINDOW over the trigram key of
+    that aggregate (a count-table broadcast back onto a second explode
+    would scan and explode the corpus twice: AQE exchange reuse fails
+    across the two consumers' prunings), and the per-doc rollup
+    reduces doc-cardinality rows. Trigrams come from a JVM-side
     sequence/transform/explode — no Python in the path."""
     docs = load(spark, sf, "documents").filter(F.length("text") >= 3)
     tri = docs.select(
@@ -387,13 +390,13 @@ def charlm_familiarity(spark, sf):
             " i -> substring(text, i, 3)))"
         ).alias("tg"),
     )
-    counts = tri.groupBy("tg").agg(F.count(F.lit(1)).alias("cnt"))
+    per = tri.groupBy("doc_id", "tg").agg(F.count(F.lit(1)).alias("k"))
+    scored = per.withColumn("cnt", F.sum("k").over(Window.partitionBy("tg")))
     return (
-        tri.join(F.broadcast(counts), "tg")
-        .groupBy("doc_id")
+        scored.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_trigrams"),
-            F.sum(_bits(F.col("cnt"))).alias("familiarity_bits"),
+            F.sum("k").alias("n_trigrams"),
+            F.sum(F.col("k") * _bits(F.col("cnt"))).alias("familiarity_bits"),
         )
         .select(
             "doc_id",

@@ -148,36 +148,53 @@ FROM ev GROUP BY 1 ORDER BY day
 def events_funnel(spark, sf):
     """Ordered conversion funnel (view → click → purchase): users whose
     first click follows their first view, and first purchase follows that
-    click. Three tiny per-user aggregates chained by joins — each stage
-    is a conditional MIN over the same shuffle key (user_id), so AQE can
-    reuse the exchange; timestamps compare as naive values (no tz math).
+    click. The sequential stage dependency is expressed as three STACKED
+    conditional window minima over ONE user_id partition — each stage's
+    threshold (a per-user constant from the previous window) gates the
+    next MIN, so the whole funnel is one scan and one shuffle.
+    (The join-chained alternative — stage tables v→c→p re-joined and
+    re-counted — scanned events five times; AQE could not reuse the
+    exchanges across the differently-pruned consumers.)
 
-    100 TB shape: per-user state is three timestamps; stage tables shrink
-    monotonically, and every join is on the aggregation key."""
+    100 TB shape: per-user state is three timestamps; the window
+    operators share one hash partitioning; the final rollup is a scalar
+    aggregate of user-cardinality rows; timestamps compare as naive
+    values (no tz math)."""
     ev = load(spark, sf, "events").select("user_id", "event_type", "ts")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
+    users = staged.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
     )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-    counts = (
-        v.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_click"))))
-        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_purchase"))))
+    counts = users.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
     )
     return counts.select(
         "n_view",

@@ -716,12 +716,13 @@ def semdedup_clusters(spark, sf):
     # contiguous 0-based ids). orderBy+limit plans as TakeOrderedAndProject
     # (per-partition top-K, then merge), so the bounded SEM_MAX_K head —
     # never the corpus — is the only thing the single-partition row_number
-    # window ever sees.
-    head = (
-        normed.select("vec_id", "unit")
-        .orderBy("vec_id")
-        .limit(SEM_MAX_K)
-        .withColumn("rnk", F.row_number().over(Window.orderBy("vec_id")))
+    # window ever sees. The TakeOrdered runs on the RAW embeddings and the
+    # Arrow normalization pass runs on the 4096-row head only (row-wise
+    # map commutes with the vec_id sort/limit) — normalizing before
+    # limiting would run the Python pass over the whole corpus a second
+    # time for the seed scan.
+    head = unit_features(emb.orderBy("vec_id").limit(SEM_MAX_K)).withColumn(
+        "rnk", F.row_number().over(Window.orderBy("vec_id"))
     )
     cents = (
         head.crossJoin(F.broadcast(n_row))

@@ -505,23 +505,31 @@ def vocab_coverage_score(spark, sf):
     across engines where a sum-of-logs perplexity would not be (float
     addition order).
 
-    The 100 TB shape: one shuffle to build the vocab (then broadcast), one
-    explode+broadcast-join+groupBy(doc) pass over the corpus."""
+    The 100 TB shape: the corpus explodes into the (doc, token)
+    occurrence aggregate ONCE; both the vocab top-K and the scoring pass
+    consume that aggregate, so the second traversal of the raw text that
+    a tok-level vocab build would cost is gone, and the broadcast join
+    sees distinct (doc, token) pairs instead of every occurrence."""
     docs = load(spark, sf, "documents")
     tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    per = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("k"))
     vocab = (
-        tok.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("corpus_count"))
+        per.groupBy("token")
+        .agg(F.sum("k").alias("corpus_count"))
         .orderBy(F.col("corpus_count").desc(), "token")
         .limit(VOCAB_K)
     )
-    scored = tok.join(F.broadcast(vocab), "token", "left")
+    scored = per.join(F.broadcast(vocab), "token", "left")
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.col("corpus_count").isNotNull().cast("long")).alias("n_in_vocab"),
-            F.sum(F.coalesce(F.col("corpus_count"), F.lit(0))).alias("freq_sum"),
+            F.sum("k").alias("n_tokens"),
+            F.sum(
+                F.col("corpus_count").isNotNull().cast("long") * F.col("k")
+            ).alias("n_in_vocab"),
+            F.sum(F.coalesce(F.col("corpus_count"), F.lit(0)) * F.col("k")).alias(
+                "freq_sum"
+            ),
         )
         .select(
             "doc_id",

@@ -25,6 +25,7 @@ Scale notes (100 TB discipline):
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from dataset_dedupe_estimator_spark.queries.base import Q, cents, load, sql_cents, ts
 
@@ -268,19 +269,22 @@ def q15_top_supplier(spark, sf):
     """TPC-H Q15 shape: supplier(s) whose quarterly revenue equals the
     global max — a scalar-aggregate gate.
 
-    Plan: one shuffle to build per-supplier revenue; the scalar max is a
-    single-row broadcast (cross join), never a second fact scan. Exact
-    integer comparison — ties (impossible to hash-split) included."""
+    Plan: one shuffle to build per-supplier revenue; the scalar max is an
+    unpartitioned window over that per-supplier AGGREGATE (supplier-
+    cardinality rows, never the fact table) — a broadcast-join gate here
+    would recompute the whole per_supp subtree and scan lineitem twice
+    (AQE cannot reuse the exchange because the two consumers prune
+    different columns). Exact integer comparison — ties included."""
     li = load(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= ts("1997-01-01 00:00:00"))
         & (F.col("l_shipdate") < ts("1997-04-01 00:00:00"))
     )
     rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
     per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("rev_e4"))
-    max_rev = per_supp.agg(F.max("rev_e4").alias("max_e4"))
     supp = load(spark, sf, "supplier")
     return (
-        per_supp.join(F.broadcast(max_rev), F.col("rev_e4") == F.col("max_e4"))
+        per_supp.withColumn("max_e4", F.max("rev_e4").over(Window.partitionBy()))
+        .filter(F.col("rev_e4") == F.col("max_e4"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey", "s_name", (F.col("rev_e4") / F.lit(10000.0)).alias("total_revenue")
@@ -310,19 +314,20 @@ def q17_small_quantity_revenue(spark, sf):
     """TPC-H Q17 shape: revenue from orders of less than 20% of a part's
     average order quantity (correlated scalar subquery per part).
 
-    Plan: the correlated AVG is pre-aggregated per partkey (map-side
-    partial + one shuffle over the filtered brand subset) and broadcast
-    back onto the fact rows. The avg test is cross-multiplied in exact
-    integers (qty_cents * n * 5 < qty_sum_cents) — zero rounding on
-    either engine."""
+    Plan: the correlated AVG is a WINDOW over the brand-filtered fact
+    subset partitioned by partkey — one scan, one exchange of ~1/25 of
+    lineitem. (The broadcast-back alternative recomputes the li⋈part
+    subtree and scans lineitem twice: AQE exchange reuse fails across
+    the two consumers' different column prunings.) The avg test is
+    cross-multiplied in exact integers (qty_cents * n * 5 <
+    qty_sum_cents) — zero rounding on either engine."""
     part = load(spark, sf, "part").filter(F.col("p_brand") == "Brand#3")
     li = load(spark, sf, "lineitem")
     li_p = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-    per_part = li_p.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.sum(cents("l_quantity")).alias("qty_sum"), F.count(F.lit(1)).alias("n_li")
-    )
+    w_part = Window.partitionBy("l_partkey")
     return (
-        li_p.join(F.broadcast(per_part), li_p.l_partkey == per_part.pk)
+        li_p.withColumn("qty_sum", F.sum(cents("l_quantity")).over(w_part))
+        .withColumn("n_li", F.count(F.lit(1)).over(w_part))
         # l_quantity < 0.2 * avg  ⇔  qty_cents * n * 5 < qty_sum_cents
         .filter(cents("l_quantity") * F.col("n_li") * F.lit(5) < F.col("qty_sum"))
         .agg(
@@ -482,9 +487,10 @@ def q2_min_cost_supplier(spark, sf):
 
     Plan: lineitem is filtered through three BROADCAST dims (size-15
     parts, EUROPE suppliers via nation→region) before its one shuffle
-    (groupBy part+supplier). The correlated per-part MIN is a second
-    aggregation of that already-small pair table, broadcast back — the
-    fact table is scanned once and never re-shuffled."""
+    (groupBy part+supplier). The correlated per-part MIN is a WINDOW
+    over that already-aggregated pair table — not a self-join, which
+    would make Spark compute the whole broadcast-pruned subtree (and
+    scan the fact table) twice. One fact scan, one fact shuffle."""
     li = load(spark, sf, "lineitem")
     part = load(spark, sf, "part").filter(F.col("p_size") == 15)
     supp = load(spark, sf, "supplier")
@@ -508,12 +514,10 @@ def q2_min_cost_supplier(spark, sf):
         )
         .agg(F.min(cents("l_extendedprice")).alias("cost_e2"))
     )
-    best = costs.groupBy(F.col("pk").alias("bpk")).agg(F.min("cost_e2").alias("best_e2"))
+    w_part = Window.partitionBy("pk")
     return (
-        costs.join(
-            F.broadcast(best),
-            (F.col("pk") == F.col("bpk")) & (F.col("cost_e2") == F.col("best_e2")),
-        )
+        costs.withColumn("best_e2", F.min("cost_e2").over(w_part))
+        .filter(F.col("cost_e2") == F.col("best_e2"))
         .select(
             "s_acctbal",
             "s_name",
@@ -775,11 +779,11 @@ def q21_waiting_suppliers(spark, sf):
     correlation. (late := shipped >90 days after the order date.)
 
     Plan: lineitem⋈orders('F') is the one fact shuffle; per-(order,
-    supplier) late flags and per-order supplier counts are successive
-    aggregations of the shrinking result (the second agg exchanges only
-    order-level rows); supplier names broadcast at the end. The
-    EXISTS/NOT-EXISTS pair becomes arithmetic on the counts: n_supp > 1
-    ∧ n_late = 1 ∧ this-supplier-late."""
+    supplier) late flags are one aggregation of it, and the per-order
+    supplier/late counts are a WINDOW over those flag rows — a self-join
+    here would recompute the whole fact join twice. The EXISTS /
+    NOT-EXISTS pair becomes arithmetic on the window counts: n_supp > 1
+    ∧ n_late = 1 ∧ this-supplier-late. Supplier names broadcast last."""
     li = load(spark, sf, "lineitem")
     orders = load(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
     late = F.when(
@@ -790,12 +794,11 @@ def q21_waiting_suppliers(spark, sf):
         .groupBy(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
         .agg(F.max(late).alias("late"))
     )
-    per_order = flags.groupBy(F.col("ok").alias("pok")).agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
-    )
+    w_order = Window.partitionBy("ok")
     supp = load(spark, sf, "supplier").select("s_suppkey", "s_name")
     return (
-        flags.join(per_order, F.col("ok") == F.col("pok"))
+        flags.withColumn("n_supp", F.count(F.lit(1)).over(w_order))
+        .withColumn("n_late", F.sum("late").over(w_order))
         .filter((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
         .join(F.broadcast(supp), F.col("sk") == F.col("s_suppkey"))
         .groupBy("s_name")

@@ -38,7 +38,6 @@ BNLJ_ALLOWED = {
     "embedding_dedup_lsh",  # corpus-count row driving adaptive planes
     "range_join_price_bands",  # band dim (a handful of rows)
     "source_overlap_minhash",  # source-dim pair universe (tiny cardinality)
-    "events_funnel",  # three single-row stage-count aggregates
 }
 
 

@@ -94,3 +94,33 @@ def test_chunk_stats_single_shuffle(spark):
     p = chunk_stats(chunks)._jdf.queryExecution().explainString(mode)
     # one shuffle for groupBy(hash); the final single-row agg coalesces
     assert p.count("Exchange hashpartitioning") <= 1
+
+
+# Queries rewritten in round 3 to eliminate double fact scans (the
+# broadcast-the-derived-aggregate-back pattern recomputes the whole
+# subtree when AQE exchange reuse fails across different column
+# prunings). Assert the POST-EXECUTION adaptive plan reads the fact
+# table once.
+SINGLE_SCAN = [
+    ("q15_top_supplier", "lineitem"),
+    ("q17_small_quantity_revenue", "lineitem"),
+    ("q2_min_cost_supplier", "lineitem"),
+    ("q21_waiting_suppliers", "lineitem"),
+    ("charlm_familiarity", "documents"),
+    ("tfidf_top_terms", "documents"),
+    ("vocab_coverage_score", "documents"),
+    ("events_funnel", "events"),
+]
+
+
+@pytest.mark.parametrize("name,table", SINGLE_SCAN)
+def test_single_fact_scan(spark, sf_dir, name, table):
+    from dataset_dedupe_estimator_spark.queries import REGISTRY
+
+    df = REGISTRY[name].spark(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "+- == Initial Plan ==" in plan:
+        plan = plan.split("+- == Initial Plan ==")[0]
+    n = plan.count(f"{table}.parquet")
+    assert n == 1, f"{name}: {table} scanned {n}x in the final plan"
