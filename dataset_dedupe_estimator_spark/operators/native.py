@@ -96,10 +96,15 @@ int64_t window_scan(const uint8_t *buf, int64_t n, const uint64_t *table,
 int64_t lz4_size(const uint8_t *src, int64_t n) {
     if (n <= 0) return 1;
     static const int HB = 13;
+    static const int SKIP_TRIGGER = 6; /* lz4's incompressible fast path:
+        after 1<<SKIP_TRIGGER consecutive misses, start stepping further
+        per probe — already-compressed input degrades to ~memcpy speed
+        instead of a per-byte hash-probe walk */
     uint32_t htab[1 << 13];
     memset(htab, 0, sizeof htab);
     int64_t size = 0, anchor = 0, i = 0;
     int64_t mflimit = n - 12;
+    int64_t search = 1 << SKIP_TRIGGER;
     while (i < mflimit) {
         uint32_t seq, cseq;
         memcpy(&seq, src + i, 4);
@@ -121,8 +126,10 @@ int64_t lz4_size(const uint8_t *src, int64_t n) {
             size += 2 + (ml >= 15 ? (ml - 15) / 255 + 1 : 0);
             i += m;
             anchor = i;
+            search = 1 << SKIP_TRIGGER;
         } else {
-            i++;
+            i += search >> SKIP_TRIGGER;
+            search++;
         }
     }
     int64_t lit = n - anchor;
