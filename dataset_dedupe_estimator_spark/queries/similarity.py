@@ -446,8 +446,10 @@ N_CELLS = 8
 
 def ann_ivf_probe(spark, sf):
     """IVF-style ANN: partition the corpus into cells around seed vectors
-    (deterministically the first {N_CELLS} vec_ids), then probe only the
-    query's cell with exact cosine.
+    (deterministically the {N_CELLS} LOWEST vec_ids, selected by rank —
+    TakeOrderedAndProject — so sparse or 1-based id spaces still yield
+    exactly {N_CELLS} cells), then probe only the query's cell with
+    exact cosine.
 
     The 100 TB shape: assignment is one broadcast of {N_CELLS} centroids +
     a narrow shuffle on cell id (persisted once); each query scans one
@@ -457,7 +459,7 @@ def ann_ivf_probe(spark, sf):
     normed = emb.select(
         "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
-    cents = normed.filter(F.col("vec_id") < N_CELLS).select(
+    cents = normed.orderBy("vec_id").limit(N_CELLS).select(
         F.col("vec_id").alias("cell_id"),
         F.col("embedding").alias("cemb"),
         F.col("nrm").alias("cnrm"),
@@ -493,8 +495,11 @@ WITH normed AS (
   FROM embeddings
 ),
 cents AS (
-  SELECT vec_id AS cell_id, embedding AS cemb, nrm AS cnrm
-  FROM normed WHERE vec_id < {N_CELLS}
+  SELECT cell_id, cemb, cnrm FROM (
+    SELECT vec_id AS cell_id, embedding AS cemb, nrm AS cnrm,
+           ROW_NUMBER() OVER (ORDER BY vec_id) AS rnk
+    FROM normed)
+  WHERE rnk <= {N_CELLS}
 ),
 assigned AS (
   SELECT vec_id, label, embedding, nrm, cell_id
@@ -617,12 +622,9 @@ def pq_codes(spark, sf):
     Arrow-batched pass — this is what makes billion-vector rerank tables
     fit in memory."""
     emb = load(spark, sf, "embeddings")
-    seeds = (
-        emb.filter(F.col("vec_id") < PQ_K)
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
-    )
+    # rank-selected seed rows (the PQ_K lowest vec_ids) — robust to
+    # sparse or 1-based id spaces, same convention as semdedup/ann_ivf
+    seeds = emb.orderBy("vec_id").limit(PQ_K).select("embedding").collect()
     codebooks = [
         [
             [float(r.embedding[m * PQ_SUB + j]) for j in range(PQ_SUB)]
@@ -646,7 +648,14 @@ def _pq_sql() -> str:
         "(x, y) -> x + y)"
     )
     return f"""
-WITH cents AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < {PQ_K}),
+WITH cents AS (
+  -- cell = seed position (rank-1), matching the Spark side's argmin
+  -- index into the rank-ordered codebook — NOT the raw vec_id, which
+  -- only coincides when ids are contiguous from 0
+  SELECT cell, embedding FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding
+    FROM embeddings)
+  WHERE cell < {PQ_K}),
 subdist AS (
   SELECT e.vec_id, m.m, c.cell,
          CASE m.m {" ".join(

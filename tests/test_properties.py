@@ -98,3 +98,59 @@ def test_top_hot_keys(spark):
     df = spark.createDataFrame([(1,)] * 90 + [(2,)] * 10, "k long")
     rows = top_hot_keys(df, "k", 2).collect()
     assert rows[0].k == 1 and abs(rows[0].share - 0.9) < 1e-9
+
+
+class TestNativeParityProperties:
+    """Native C kernels ≡ numpy reference on ARBITRARY buffers, including
+    the adversarial case where candidate density overflows the output
+    buffer and the kernel regrows it (low mask_bits)."""
+
+    def _numpy(self, buf, params):
+        import os
+
+        from dataset_dedupe_estimator_spark.operators import chunker, native
+
+        os.environ["DDES_NO_NATIVE"] = "1"
+        native._lib, native._tried = None, False
+        try:
+            return chunker._boundary_candidates(buf, params)
+        finally:
+            del os.environ["DDES_NO_NATIVE"]
+            native._lib, native._tried = None, False
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.binary(min_size=0, max_size=200_000),
+        st.sampled_from(["window", "gear"]),
+        st.sampled_from([4, 8, 12, 16]),  # 4 ⇒ 1/16 density ⇒ regrowth path
+    )
+    def test_boundary_parity(self, data, scheme, mask_bits):
+        from dataset_dedupe_estimator_spark.operators import native
+        from dataset_dedupe_estimator_spark.operators.chunker import (
+            ChunkerParams,
+            _boundary_candidates,
+        )
+
+        if not native.available():
+            import pytest
+
+            pytest.skip("no C compiler")
+        p = ChunkerParams(scheme=scheme, mask_bits=mask_bits)
+        buf = np.frombuffer(data, dtype=np.uint8)
+        got = _boundary_candidates(buf, p)
+        ref = self._numpy(buf, p)
+        assert np.array_equal(np.sort(got), np.sort(ref))
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.binary(min_size=0, max_size=200_000))
+    def test_lz4_probe_bounds(self, data):
+        from dataset_dedupe_estimator_spark.operators import native
+
+        if not native.available():
+            import pytest
+
+            pytest.skip("no C compiler")
+        sz = native.lz4_probe_size(data)
+        # LZ4 block format worst case: n + n/255 + 16; best: tokens only
+        assert 1 <= sz <= len(data) + len(data) // 255 + 16
+        assert sz == native.lz4_probe_size(data)  # deterministic
