@@ -248,12 +248,17 @@ FROM ev GROUP BY 1, 2 ORDER BY window_start, event_type
 
 def multimodal_pipeline_demo(spark, sf):
     """Multimodal column plumbing end-to-end (operators/multimodal.py):
-    synth blobs → header decode → digest features → per-kind summary.
-    Deterministic (FAKE blobs are blake2b-seeded) but not SQL-expressible
-    → rows-only check; the real-codec seam is the documented stub."""
+    synth blobs → header decode → features → per-kind summary, plus a
+    REAL-codec leg: deterministic PNGs (operators/png_codec.py) flow
+    through the same decode → resize → pixel-feature operators with
+    actual zlib/un-filter/resample work. Deterministic but not
+    SQL-expressible → rows-only check; JPEG/audio/video codecs remain
+    the documented stub seams."""
     from dataset_dedupe_estimator_spark.operators.multimodal import (
+        MEDIA_DDL,
         decode_media,
         extract_features,
+        resize_images,
         synth_media,
     )
 
@@ -273,8 +278,46 @@ def multimodal_pipeline_demo(spark, sf):
                 F.round(F.sum("f0"), 4).alias("sum_f0"),
             )
         )
+
+    def _png_gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from dataset_dedupe_estimator_spark.operators.multimodal import _META_PA
+        from dataset_dedupe_estimator_spark.operators.png_codec import encode_png
+
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            blobs = []
+            for i in ids:
+                rng = np.random.default_rng(i)
+                img = rng.integers(0, 256, (8 + i % 16, 8 + i % 8, 3), dtype=np.uint8)
+                blobs.append(encode_png(img))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(["png"] * len(ids)),
+                    pa.array(blobs, pa.binary()),
+                    pa.array([{"width": None, "height": None, "sample_rate": None,
+                               "n_frames": None, "fmt": None}] * len(ids), _META_PA),
+                ],
+                names=["media_id", "kind", "content", "meta"],
+            )
+
+    pngs = resize_images(decode_media(spark.range(50).mapInArrow(_png_gen, MEDIA_DDL)), 6, 6)
+    png_feats = extract_features(pngs)
+    png_row = (
+        pngs.select("media_id", "kind", "meta")
+        .join(png_feats.select("media_id", F.col("feature")[0].alias("f0")), "media_id")
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.round(F.avg(F.coalesce(F.col("meta.width"), F.lit(0))), 2).alias("avg_width"),
+            F.round(F.sum("f0"), 4).alias("sum_f0"),
+        )
+    )
     out = per_kind[0]
-    for df in per_kind[1:]:
+    for df in [*per_kind[1:], png_row]:
         out = out.unionByName(df)
     return out.orderBy("kind")
 
