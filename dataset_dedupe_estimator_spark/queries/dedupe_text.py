@@ -665,7 +665,14 @@ def cms_token_counts(spark, sf):
         ).cast("long")
         return h % CMS_W
 
-    cells = occ.select(
+    # ONE explode: the sketch aggregates from the (token, count) table
+    # (cell = Σ counts of tokens hashing there — identical to counting
+    # occurrences directly), so the corpus isn't scanned and exploded a
+    # second time for the exact-count side; the two consumers prune the
+    # same columns, so the counts exchange reuses.
+    counts = occ.groupBy("token").agg(F.count(F.lit(1)).alias("exact"))
+    cells = counts.select(
+        "exact",
         F.explode(
             F.array(
                 *[
@@ -673,15 +680,10 @@ def cms_token_counts(spark, sf):
                     for d in range(CMS_D)
                 ]
             )
-        ).alias("cell")
-    ).select("cell.d", "cell.bucket")
-    cms = cells.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cell_count"))
-    top = (
-        occ.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("exact"))
-        .orderBy(F.col("exact").desc(), F.col("token"))
-        .limit(20)
-    )
+        ).alias("cell"),
+    ).select("exact", "cell.d", "cell.bucket")
+    cms = cells.groupBy("d", "bucket").agg(F.sum("exact").alias("cell_count"))
+    top = counts.orderBy(F.col("exact").desc(), F.col("token")).limit(20)
     probes = top.select(
         "token",
         "exact",

@@ -242,26 +242,31 @@ def events_retention_cohorts(spark, sf):
     offset). Day arithmetic on integer datediffs — timezone-independent
     and identical in both engines.
 
-    100 TB shape: first-seen is one per-user MIN (the only full shuffle);
-    the cohort join broadcasts the per-user first-day table back onto the
-    activity stream only if small — otherwise it's a co-partitioned join
-    on user_id, which AQE picks from the actual size."""
+    100 TB shape: first-seen is a per-user window MIN on the one
+    user_id shuffle (a separate first-seen aggregate joined back would
+    scan events twice — the AQE exchange-reuse failure mode). The
+    cohort size rides for free: every user is active in their own first
+    week, so cohort_size == week-0 n_active, recovered by a window over
+    the final cohort×offset aggregate instead of a third traversal."""
     ev = load(spark, sf, "events").select(
         "user_id", F.col("ts").cast("date").alias("day")
     )
-    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    act = ev.join(first, "user_id").withColumn(
+    w_user = Window.partitionBy("user_id")
+    act = ev.withColumn("cohort_day", F.min("day").over(w_user)).withColumn(
         "week_offset",
         (F.datediff(F.col("day"), F.col("cohort_day")) / 7).cast("long"),
     )
-    cohort_size = first.groupBy("cohort_day").agg(
-        F.count(F.lit(1)).alias("cohort_size")
-    )
-    return (
+    base = (
         act.filter(F.col("week_offset").between(0, 3))
         .groupBy("cohort_day", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
-        .join(cohort_size, "cohort_day")
+    )
+    w_cohort = Window.partitionBy("cohort_day")
+    return (
+        base.withColumn(
+            "cohort_size",
+            F.max(F.when(F.col("week_offset") == 0, F.col("n_active"))).over(w_cohort),
+        )
         .select("cohort_day", "cohort_size", "week_offset", "n_active")
         .orderBy("cohort_day", "week_offset")
     )

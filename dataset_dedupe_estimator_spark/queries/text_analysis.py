@@ -324,6 +324,8 @@ def survival_scores(spark, sf):
     return docs.select(
         "doc_id",
         "source",
+        n.cast("long").alias("n_tokens"),  # free here; saves consumers a
+        #                                    second text scan (token budget)
         (F.row_number().over(w) == 1).alias("is_keeper"),
         ((n >= 20) & (n_uniq.cast("double") / n.cast("double") > 0.05)).alias(
             "passes_quality"
@@ -433,15 +435,15 @@ def effective_token_budget(spark, sf):
     filters run. One pass: token counts are a columnar expression over the
     same scan the survival flags come from; the rollup is per-source.
 
-    All counts exact integers; the retention ratio is one IEEE division."""
-    docs = load(spark, sf, "documents")
+    All counts exact integers; the retention ratio is one IEEE division.
+    One scan: survival_scores carries n_tokens, so no second text scan
+    and no doc_id join — the rollup consumes the scored pass directly."""
     scored = survival_scores(spark, sf)
-    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
     survives = (
         F.col("is_keeper") & F.col("passes_quality") & F.col("passes_repetition")
     )
-    joined = docs.select("doc_id", "source", n_tok.alias("n_tok")).join(
-        scored.select("doc_id", survives.alias("survives")), "doc_id"
+    joined = scored.select(
+        "source", F.col("n_tokens").alias("n_tok"), survives.alias("survives")
     )
     return (
         joined.groupBy("source")

@@ -110,6 +110,9 @@ SINGLE_SCAN = [
     ("tfidf_top_terms", "documents"),
     ("vocab_coverage_score", "documents"),
     ("events_funnel", "events"),
+    ("events_retention_cohorts", "events"),
+    ("cms_token_counts", "documents"),
+    ("effective_token_budget", "documents"),
 ]
 
 
