@@ -42,3 +42,33 @@ def test_value_mismatch_still_caught():
     a = pd.DataFrame({"total": pd.array([1], dtype="int64")})
     b = pd.DataFrame({"total": pd.array([2], dtype="int64")})
     assert compare("t", a, b)
+
+
+def test_driver_window_rotation_invariants():
+    """The first 50 registry entries (the driver's correctness window)
+    must be exactly the never-driver-checked queries plus the ones whose
+    only driver green is round 1 — the rotation contract documented in
+    COVERAGE.md. Guards against accidental reordering burying a
+    never-attested query."""
+    import json
+    import os
+
+    from dataset_dedupe_estimator_spark.queries import REGISTRY
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "CORRECTNESS_r01.json")) as f:
+        r1 = set(json.load(f))
+    with open(os.path.join(repo, "CORRECTNESS_r02.json")) as f:
+        r2 = set(json.load(f))
+    window = list(REGISTRY)[:50]
+    # nothing already green in the most recent driver round wastes a slot
+    assert not (set(window) & r2), set(window) & r2
+    # everything in the window is either never-checked or r1-stale
+    for name in window:
+        assert name not in r2
+    # every registry query has an oracle or is a documented rows-only op
+    import __spark_entry__ as entrymod
+
+    oracles = entrymod.oracle_sql()
+    rows_only = {n for n in REGISTRY if n not in oracles}
+    assert len(rows_only) == 11, sorted(rows_only)

@@ -29,14 +29,20 @@ def main() -> int:
     )
     # plan-interesting non-headline queries worth reviewing alongside
     EXTRA = [
+        "q2_min_cost_supplier",
         "q7_nation_volume",
+        "q9_product_type_profit",
         "q15_top_supplier",
         "q17_small_quantity_revenue",
         "q18_large_orders",
+        "q21_waiting_suppliers",
         "q22_idle_customers",
         "semdedup_clusters",
         "source_overlap_minhash",
         "dedup_keep_first_pruned",
+        "charlm_familiarity",
+        "events_funnel",
+        "events_retention_cohorts",
     ]
     lines = [
         "# Physical plans — headline + selected queries",
