@@ -421,6 +421,7 @@ def cmd_compact(args) -> int:
         args.dest,
         target_mb=args.target_mb,
         sort_by=args.sort_by,
+        zorder_by=args.zorder_by,
         compression=args.compression,
     )
     print(
@@ -570,6 +571,10 @@ def build_parser() -> argparse.ArgumentParser:
     cm.add_argument("dest")
     cm.add_argument("--target-mb", type=int, default=128)
     cm.add_argument("--sort-by", nargs="*", default=None, help="cluster keys")
+    cm.add_argument(
+        "--zorder-by", nargs=2, default=None, metavar=("COL_A", "COL_B"),
+        help="Z-order (Morton) cluster on two columns so either prunes",
+    )
     cm.add_argument("--compression", default="zstd")
     cm.set_defaults(fn=cmd_compact)
 

@@ -91,12 +91,58 @@ def _assert_disjoint(spark: SparkSession, src: str, dest: str) -> None:
         )
 
 
+def _spread16(c):
+    """Interleave-ready bit spread: 16-bit value → even bit positions of
+    a 32-bit value (classic magic-mask doubling)."""
+    from pyspark.sql import functions as F  # local: keep module header light
+
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        c = c.bitwiseOR(F.shiftleft(c, shift)).bitwiseAND(F.lit(mask))
+    return c
+
+
+def zorder_value(df: DataFrame, cols: Sequence[str]) -> "tuple[DataFrame, str]":
+    """Append a Z-order (Morton) key over exactly two numeric columns.
+
+    Each key is min/max-normalized to 16 bits (one column-pruned agg
+    scan, collected as a single driver row — this is a maintenance
+    operator, same budget as the file listing), then bit-interleaved
+    with JVM integer expressions (whole-stage codegen; no UDF). Returns
+    (df_with_column, column_name).
+
+    Why Z-order: sorting clusters ONE key's min/max file stats;
+    interleaving clusters BOTH, so range predicates on either column
+    prune files. More than two keys → interleave hierarchically
+    (zorder the zorder), at decreasing per-key resolution."""
+    from pyspark.sql import functions as F
+
+    if len(cols) != 2:
+        raise ValueError("zorder_value interleaves exactly two columns")
+    stats = df.agg(
+        *[f(F.col(c).cast("double")).alias(f"{n}_{i}")
+          for i, c in enumerate(cols)
+          for n, f in (("mn", F.min), ("mx", F.max))]
+    ).collect()[0]
+    spread = []
+    for i, c in enumerate(cols):
+        mn, mx = stats[f"mn_{i}"], stats[f"mx_{i}"]
+        span = (mx - mn) or 1.0
+        scaled = F.least(
+            F.lit(65535),
+            F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * 65535).cast("long"),
+        )
+        spread.append(_spread16(scaled))
+    z = spread[0].bitwiseOR(F.shiftleft(spread[1], 1))
+    return df.withColumn("_zorder", z), "_zorder"
+
+
 def compact_parquet(
     spark: SparkSession,
     src: str,
     dest: str,
     target_mb: float = 128,
     sort_by: Sequence[str] | None = None,
+    zorder_by: Sequence[str] | None = None,
     compression: str = "zstd",
 ) -> dict:
     """Rewrite ``src`` (a directory of parquet files) into ``dest`` as
@@ -108,15 +154,27 @@ def compact_parquet(
     no skew handling (rows distribute uniformly by construction). With
     ``sort_by``, ``repartitionByRange(n, *keys)`` + ``sortWithinPartitions``
     clusters values so future range predicates prune whole files via
-    row-group stats."""
+    row-group stats. With ``zorder_by`` (two columns), rows cluster on
+    the interleaved Morton key instead, so range predicates on EITHER
+    column prune files — the multi-dimensional layout a single-key sort
+    cannot give."""
     _assert_disjoint(spark, src, dest)
+    if sort_by and zorder_by:
+        raise ValueError("choose sort_by or zorder_by, not both")
     df, n_in, bytes_in, n_out = plan_compaction(spark, src, target_mb)
-    if sort_by:
+    drop_col = None
+    if zorder_by:
+        df, zcol = zorder_value(df, zorder_by)
+        out = df.repartitionByRange(n_out, F.col(zcol)).sortWithinPartitions(zcol)
+        drop_col = zcol
+    elif sort_by:
         out = df.repartitionByRange(n_out, *[F.col(c) for c in sort_by]).sortWithinPartitions(
             *sort_by
         )
     else:
         out = df.repartition(n_out)
+    if drop_col:
+        out = out.drop(drop_col)
     out.write.mode("overwrite").option("compression", compression).parquet(dest)
     n_src = df.count()
     n_dst = spark.read.parquet(dest).count()

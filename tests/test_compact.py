@@ -99,3 +99,57 @@ def test_hadoop_listing_matches_os_walk(spark, tmp_path):
     }
     assert len(listed) == len(walked) == 4
     assert sorted(sz for _p, sz in listed) == sorted(walked.values())
+
+
+def test_zorder_compaction_prunes_both_columns(spark, tmp_path):
+    """Z-order clustering: per-file min/max spans shrink on BOTH keys,
+    so range predicates on either column prune files (a single-key sort
+    only clusters its first key)."""
+    import glob
+
+    src = str(tmp_path / "zsrc")
+    (
+        spark.range(40_000)
+        .selectExpr(
+            "pmod(hash(id), 1000) AS a",
+            "pmod(hash(id + 7), 1000) AS b",
+            "md5(cast(id AS string)) AS payload",
+        )
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+
+    def spans(dest):
+        out = {"a": [], "b": []}
+        for f in sorted(glob.glob(f"{dest}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            for col in ("a", "b"):
+                ci = list(md.schema.names).index(col)
+                mins = [md.row_group(r).column(ci).statistics.min for r in range(md.num_row_groups)]
+                maxs = [md.row_group(r).column(ci).statistics.max for r in range(md.num_row_groups)]
+                out[col].append((max(maxs) - min(mins)) / 1000.0)
+        return {c: sum(v) / len(v) for c, v in out.items()}
+
+    plain, zed = str(tmp_path / "plain"), str(tmp_path / "zed")
+    compact_parquet(spark, src, plain, target_mb=0.1)
+    s = compact_parquet(spark, src, zed, target_mb=0.1, zorder_by=["a", "b"])
+    assert s["files_out"] > 4  # enough files for pruning to mean anything
+    sp, sz = spans(plain), spans(zed)
+    # round-robin files span ~the whole domain on both keys; z-ordered
+    # files span a fraction of it on both
+    assert sp["a"] > 0.9 and sp["b"] > 0.9
+    assert sz["a"] < 0.6 and sz["b"] < 0.6, sz
+    # no helper column leaks into the output
+    assert "_zorder" not in spark.read.parquet(zed).columns
+
+
+def test_zorder_rejects_bad_args(spark, tmp_path):
+    import pytest
+
+    src = str(tmp_path / "zargs")
+    _make_small_files(spark, src, n_files=2)
+    with pytest.raises(ValueError, match="not both"):
+        compact_parquet(spark, src, str(tmp_path / "o1"), sort_by=["id"], zorder_by=["id", "k"])
+    with pytest.raises(ValueError, match="exactly two"):
+        compact_parquet(spark, src, str(tmp_path / "o2"), zorder_by=["id"])
