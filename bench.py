@@ -119,6 +119,13 @@ def main() -> None:
             df.write.mode("overwrite").format("noop").save()
             samples[name].append(time.perf_counter() - t0)
     per_query = {name: round(min(ts), 3) for name, ts in samples.items()}
+    # population stddev across the 3 interleaved samples: lets readers of
+    # BENCH_r*.json tell a real regression from host noise on sub-second
+    # queries (a delta within ~2 stddev of either round is noise)
+    per_query_sd = {
+        name: round((sum((t - sum(ts) / len(ts)) ** 2 for t in ts) / len(ts)) ** 0.5, 3)
+        for name, ts in samples.items()
+    }
 
     total = round(sum(per_query.values()), 3)
     print(
@@ -128,6 +135,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "queries_stddev": per_query_sd,
                 **chunker_throughput(),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -8,10 +8,13 @@ UDF signature, batch shape, 1→N fan-out) is real and tested.
 
 Codec status: **PNG decode/resize/feature-extraction is REAL** (pure
 stdlib zlib + native un-filter kernel, operators/png_codec.py — no
-imaging library needed); JPEG and audio/video codecs are STUBBED behind
-labeled ``NotImplementedError`` seams (no codec libraries in this
-container), with a deterministic fake format (``FAKE`` header +
-counter-based payload) exercising every code path.
+imaging library needed); **JPEG and WAV header metadata is REAL**
+(marker/RIFF-chunk walks, ``jpeg_meta``/``wav_meta`` below), so
+``decode_media`` fills width/height/sample_rate on real camera/web
+bytes. Entropy-coded JPEG pixel decode and audio sample decode are
+STUBBED behind labeled ``NotImplementedError`` seams (no codec
+libraries in this container), with a deterministic fake format
+(``FAKE`` header + counter-based payload) exercising every code path.
 
 Scale notes: media blobs never shuffle — every operator is a narrow
 map; fan-outs (frame sampling) multiply rows within a partition.
@@ -33,6 +36,76 @@ from pyspark.sql import functions as F
 from dataset_dedupe_estimator_spark.operators import png_codec
 
 MAGIC = b"FAKE"
+
+
+def is_jpeg(content: bytes) -> bool:
+    return content[:2] == b"\xff\xd8"
+
+
+def jpeg_meta(content: bytes) -> tuple[int, int]:
+    """(width, height) from a JPEG's SOF segment — pure stdlib.
+
+    Walks the marker stream from SOI: each non-RST/TEM segment is
+    ``FF mm`` + big-endian u16 length (length includes itself). The
+    frame header (SOF0-SOF15, excluding DHT/JPG/DAC at C4/C8/CC) packs
+    ``precision:u8, height:u16, width:u16``. Entropy-coded pixel decode
+    would need a real codec library (stub seam); the header walk here is
+    enough for mm_meta on real camera/web JPEGs, JFIF or Exif alike.
+    """
+    i, n = 2, len(content)
+    while i + 3 < n:
+        if content[i] != 0xFF:
+            raise ValueError(f"jpeg marker sync lost at byte {i}")
+        marker = content[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0x01, *range(0xD0, 0xD8)):  # TEM / RSTn: no payload
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        seg_len = int.from_bytes(content[i + 2 : i + 4], "big")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > n:
+                break
+            height = int.from_bytes(content[i + 5 : i + 7], "big")
+            width = int.from_bytes(content[i + 7 : i + 9], "big")
+            return width, height
+        if marker == 0xDA:  # SOS: frame header must precede it
+            break
+        i += 2 + seg_len
+    raise ValueError("no SOF frame header found (truncated or not a baseline/progressive JPEG)")
+
+
+def is_wav(content: bytes) -> bool:
+    return content[:4] == b"RIFF" and content[8:12] == b"WAVE"
+
+
+def wav_meta(content: bytes) -> tuple[int, int]:
+    """(sample_rate, n_samples_per_channel) from a RIFF/WAVE header.
+
+    Walks RIFF chunks (4-byte id + LE u32 size, word-aligned); reads
+    ``fmt ``'s sample_rate/channels/bits and sizes frames from the
+    ``data`` chunk. Sample decode/resample would need an audio library
+    (stub seam) — the header is enough for mm_meta on real WAV bytes."""
+    i, n = 12, len(content)
+    rate = channels = bits = None
+    frames = None
+    while i + 8 <= n:
+        cid = content[i : i + 4]
+        size = int.from_bytes(content[i + 4 : i + 8], "little")
+        if cid == b"fmt ":
+            body = content[i + 8 : i + 8 + size]
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data" and rate is not None:
+            frames = size // max(1, channels * (bits // 8))
+        i += 8 + size + (size & 1)
+    if rate is None:
+        raise ValueError("RIFF/WAVE without fmt chunk")
+    return rate, (frames if frames is not None else 0)
 # media schema: meta fields cover the three kinds (unused ones null)
 MEDIA_DDL = (
     "media_id long, kind string, content binary, "
@@ -98,12 +171,14 @@ def synth_media(spark: SparkSession, n: int, kind: str = "image") -> DataFrame:
 
 
 def decode_media(df: DataFrame) -> DataFrame:
-    """Parse headers → fill meta. PNG is decoded for real
-    (operators/png_codec.py reads the IHDR; full pixel decode happens in
-    the operators that need pixels). JPEG/WAV/video formats would decode
-    at this same seam via PIL/soundfile — unavailable in this
-    environment, so non-PNG, non-FAKE content raises
-    NotImplementedError (clearly a stub seam)."""
+    """Parse headers → fill meta. PNG, JPEG and WAV are parsed for real
+    (PNG IHDR via operators/png_codec.py, JPEG SOF marker walk via
+    ``jpeg_meta``, RIFF/WAVE chunk walk via ``wav_meta``); full pixel /
+    sample decode happens in the operators that need it. Video and
+    other container formats would decode at this same seam via
+    PIL/soundfile/ffmpeg — unavailable in this environment, so other
+    non-FAKE content raises NotImplementedError (clearly a stub
+    seam)."""
 
     def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -114,11 +189,19 @@ def decode_media(df: DataFrame) -> DataFrame:
                     w, hgt, _ch = png_codec.png_meta(content)
                     metas.append({"width": w, "height": hgt, "sample_rate": None, "n_frames": None, "fmt": "png"})
                     continue
+                if is_jpeg(content):
+                    w, hgt = jpeg_meta(content)
+                    metas.append({"width": w, "height": hgt, "sample_rate": None, "n_frames": None, "fmt": "jpeg"})
+                    continue
+                if is_wav(content):
+                    rate, frames = wav_meta(content)
+                    metas.append({"width": None, "height": None, "sample_rate": rate, "n_frames": frames, "fmt": "wav"})
+                    continue
                 if not content.startswith(MAGIC):
                     raise NotImplementedError(
-                        "real media decode beyond PNG requires imaging/audio "
-                        "libraries not present in this environment; PNG and "
-                        "the FAKE format are decodable (stub seam)"
+                        "real media decode beyond PNG/JPEG/WAV headers "
+                        "requires imaging/audio libraries not present in "
+                        "this environment (stub seam)"
                     )
                 k = content[4:5].decode()
                 a, b, c = struct.unpack("<iii", content[5:17])

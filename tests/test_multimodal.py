@@ -44,13 +44,84 @@ def test_decode_roundtrip(spark, images):
         assert out[k].width == orig[k].width and out[k].height == orig[k].height
 
 
-def test_decode_rejects_real_formats(spark):
+def test_decode_rejects_unsupported_real_formats(spark):
+    # an MP4 ftyp box: video containers stay behind the labeled stub seam
     df = spark.createDataFrame(
-        [(1, "image", bytearray(b"\x89PNG....real"), None)],
+        [(1, "video", bytearray(b"\x00\x00\x00\x18ftypmp42....real"), None)],
         "media_id long, kind string, content binary, meta struct<width: int, height: int, sample_rate: int, n_frames: int, fmt: string>",
     )
     with pytest.raises(Exception, match="NotImplementedError|not present"):
         decode_media(df).collect()
+
+
+def _jfif_jpeg(width, height, progressive=False):
+    """Structurally-real JPEG bytes: SOI, APP0(JFIF), DQT, SOF, DHT, SOS, EOI.
+
+    The entropy-coded body is dummy bytes — header walks (the part we
+    implement) never read it."""
+    import struct as s
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + s.pack(">H", len(body) + 2) + body
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, b"\x00" + bytes(64))
+    sof_body = b"\x08" + s.pack(">HH", height, width) + b"\x01\x11\x00"
+    sof = seg(0xC2 if progressive else 0xC0, sof_body)
+    dht = seg(0xC4, b"\x00" + bytes(16) + b"\x00")
+    sos = seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    return b"\xff\xd8" + app0 + dqt + sof + dht + sos + b"\x12\x34" + b"\xff\xd9"
+
+
+def _riff_wav(rate=16000, n_frames=320, channels=1):
+    """A real WAV file via the stdlib wave module."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"\x00\x01" * n_frames * channels)
+    return buf.getvalue()
+
+
+def test_jpeg_meta_header_walk():
+    from dataset_dedupe_estimator_spark.operators.multimodal import is_jpeg, jpeg_meta
+
+    blob = _jfif_jpeg(640, 480)
+    assert is_jpeg(blob)
+    assert jpeg_meta(blob) == (640, 480)
+    # progressive (SOF2) and Exif-style APP1-led files walk the same
+    assert jpeg_meta(_jfif_jpeg(31, 17, progressive=True)) == (31, 17)
+    with pytest.raises(ValueError):
+        jpeg_meta(b"\xff\xd8\xff\xd9")  # no frame header
+
+
+def test_wav_meta_header_walk():
+    from dataset_dedupe_estimator_spark.operators.multimodal import is_wav, wav_meta
+
+    blob = _riff_wav(rate=22050, n_frames=441, channels=2)
+    assert is_wav(blob)
+    assert wav_meta(blob) == (22050, 441)
+
+
+def test_decode_media_real_jpeg_and_wav(spark):
+    ddl = (
+        "media_id long, kind string, content binary, "
+        "meta struct<width: int, height: int, sample_rate: int, n_frames: int, fmt: string>"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(_jfif_jpeg(800, 600)), None),
+            (2, "audio", bytearray(_riff_wav(rate=8000, n_frames=123)), None),
+        ],
+        ddl,
+    )
+    out = {r.media_id: r.meta for r in decode_media(df).collect()}
+    assert out[1].fmt == "jpeg" and (out[1].width, out[1].height) == (800, 600)
+    assert out[2].fmt == "wav" and out[2].sample_rate == 8000 and out[2].n_frames == 123
 
 
 def test_extract_features(spark, images):
