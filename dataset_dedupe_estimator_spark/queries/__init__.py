@@ -19,6 +19,7 @@ from dataset_dedupe_estimator_spark.queries import (  # noqa: E402
     events,
     relational,
     similarity,
+    splits,
     streaming_gate,
     synthetic_e2e,
     synthetic_sql,
@@ -27,7 +28,7 @@ from dataset_dedupe_estimator_spark.queries import (  # noqa: E402
 )
 
 REGISTRY: dict[str, Q] = {}
-for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthetic_sql, synthetic_e2e, streaming_gate, advanced, core_cdc, corpus_dedup, corpus_quality, tpch_deep):
+for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthetic_sql, synthetic_e2e, splits, streaming_gate, advanced, core_cdc, corpus_dedup, corpus_quality, tpch_deep):
     overlap = REGISTRY.keys() & _mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")
