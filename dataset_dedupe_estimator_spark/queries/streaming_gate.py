@@ -401,10 +401,94 @@ FROM cells GROUP BY d, bucket ORDER BY d, bucket
 """
 
 
+
+ATTRIB_WINDOW_MIN = 60  # click attributed to a view up to this much earlier
+
+
+def streaming_view_click_join(spark, sf):
+    """Watermarked stream-stream interval join: each click joined to the
+    same user's views from the preceding ATTRIB_WINDOW_MIN minutes — the
+    streaming form of click attribution.
+
+    Both sides carry a watermark and the join condition bounds event time
+    in BOTH directions (click after view, within the window), which is
+    what lets Spark evict view-side state once the click watermark passes
+    ``view.ts + window`` — bounded state on an unbounded stream. State per
+    user is O(views in the window), independent of stream length.
+
+    The finite availableNow run admits every row (nothing is late past
+    the watermark), so the result must equal the batch interval join the
+    oracle runs — equivalence demonstrated, not asserted.
+    """
+    import tempfile
+
+    batch = load(spark, sf, "events")  # pins UTC tz + nanosAsLong confs
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+
+    def _side(tag):
+        st = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf)
+        )
+        st = _instant_ts(st)
+        return (
+            st.filter(F.col("event_type") == tag)
+            .select(
+                F.col("event_id").alias(f"{tag}_id"),
+                F.col("user_id").alias(f"{tag}_user"),
+                F.col("ts").alias(f"{tag}_ts"),
+            )
+            .withWatermark(f"{tag}_ts", "10 minutes")
+        )
+
+    views, clicks = _side("view"), _side("click")
+    joined = views.join(
+        clicks,
+        F.expr(
+            f"""view_user = click_user
+                AND click_ts > view_ts
+                AND click_ts <= view_ts + INTERVAL {ATTRIB_WINDOW_MIN} MINUTES"""
+        ),
+    ).select(
+        F.col("view_id"),
+        F.col("click_id"),
+        F.col("view_user").alias("user_id"),
+        F.floor(
+            (F.unix_micros("click_ts") - F.unix_micros("view_ts")) / F.lit(1_000_000)
+        ).alias("delay_s"),
+    )
+    name = f"stream_attrib_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    _ = batch
+    return spark.table(name).orderBy("view_id", "click_id")
+
+
+STREAMING_VIEW_CLICK_SQL = f"""
+SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+       CAST(FLOOR(date_diff('microsecond', v.ts, c.ts) / 1000000.0) AS BIGINT) AS delay_s
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL {ATTRIB_WINDOW_MIN} MINUTES
+ORDER BY view_id, click_id
+"""
+
+
 QUERIES: dict[str, Q] = {
     "streaming_dedup_events": Q(streaming_dedup_events, STREAMING_DEDUP_SQL),
     "streaming_cms_counts": Q(streaming_cms_counts, _streaming_cms_sql()),
     "streaming_windowed_counts": Q(streaming_windowed_counts, STREAMING_WINDOWED_SQL),
+    "streaming_view_click_join": Q(streaming_view_click_join, STREAMING_VIEW_CLICK_SQL),
     "streaming_sessionize_events": Q(
         streaming_sessionize_events, STREAMING_SESSIONIZE_SQL
     ),

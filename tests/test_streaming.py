@@ -136,3 +136,37 @@ def test_windowed_event_counts(spark, tmp_path):
     assert got[("2026-01-01 10:00:00", "click")] == (2, 3.0)
     assert got[("2026-01-01 11:00:00", "view")] == (1, 3.0)
     assert got[("2026-01-01 11:00:00", "click")] == (1, 4.0)
+
+
+def test_stream_stream_join_equals_batch(spark):
+    from pyspark.sql import functions as F
+
+    from dataset_dedupe_estimator_spark.queries.streaming_gate import (
+        ATTRIB_WINDOW_MIN,
+        _instant_ts,
+        streaming_view_click_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = streaming_view_click_join(spark, sf).collect()
+    ev = _instant_ts(spark.read.parquet(f"{sf}/events.parquet"))
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("vts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    want = (
+        v.join(
+            c,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("cts") > F.col("vts"))
+            & (F.col("cts") <= F.col("vts") + F.expr(f"INTERVAL {ATTRIB_WINDOW_MIN} MINUTES")),
+        )
+        .select("view_id", "click_id")
+        .collect()
+    )
+    assert {(r.view_id, r.click_id) for r in got} == {(r.view_id, r.click_id) for r in want}
+    assert all(0 <= r.delay_s <= ATTRIB_WINDOW_MIN * 60 for r in got)
