@@ -361,6 +361,30 @@ def cmd_corpus(args) -> int:
             f"{r.token:>12}  exact={r.exact:<6} cms={r.cms_estimate:<6} "
             f"over={r.overestimate}"
         )
+
+    print("\n## train/val/test split (hash-bucket 80/10/10) + leakage")
+    from dataset_dedupe_estimator_spark.queries.splits import (
+        cross_split_leakage,
+        split_assign,
+        split_purge_eval,
+    )
+
+    census = (
+        split_assign(spark, args.sf_dir)
+        .groupBy("split")
+        .agg(F.sum("n_docs").alias("docs"), F.sum("n_tokens").alias("tokens"))
+        .orderBy("split")
+        .collect()
+    )
+    for r in census:
+        print(f"{r.split:>8}  docs={r.docs:<6} tokens={r.tokens}")
+    leaks = cross_split_leakage(spark, args.sf_dir).collect()
+    n_purge = split_purge_eval(spark, args.sf_dir).count()
+    if leaks:
+        combos = ", ".join(f"{r.splits}:{r.n_leaked_docs}" for r in leaks)
+        print(f"leakage: {combos}  → purge {n_purge} eval docs")
+    else:
+        print("leakage: none")
     return 0
 
 
