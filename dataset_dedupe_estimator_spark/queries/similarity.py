@@ -809,12 +809,133 @@ ORDER BY cell_id
 """
 
 
+
+RECALL_K = 5  # top-k depth audited
+RECALL_QMOD = 97  # probe queries: vec_id % RECALL_QMOD == 0 (~1% sample)
+
+
+def ann_recall_at_k(spark, sf):
+    """Recall@k audit of the LSH index against exact search.
+
+    For a deterministic ~1% probe sample (``vec_id % RECALL_QMOD == 0``)
+    this computes the exact cosine top-k (brute force) AND the
+    LSH-bucketed top-k, then reports per-probe hits and recall — the
+    measurement that justifies (or indicts) deploying the bucketed index
+    in place of the exact scan.
+
+    Expected result on THIS corpus: low (measured recall@5 ≈ 0-0.4,
+    mean ≈ 0.1). The synthetic embeddings are near-uniform, so exact
+    top-k neighbours sit at θ ≈ 75-90° and the hyperplane collision
+    probability (1-θ/π)^p is tiny at p ≈ 9-10 planes. That is the
+    point of the audit: hyperplane buckets serve the HIGH-cosine
+    near-dup regime (``embedding_dedup_lsh``, θ→0 ⇒ collision → 1),
+    and this query is the tool that exposes when a workload instead
+    needs brute force (``knn_brute_force``) or IVF (``ann_ivf_probe``).
+
+    Scale shape: ground truth is O(probes × corpus) by construction, so
+    the audit holds probe count at a sampled constant (the broadcast
+    probe table is tiny); the LSH side scans only matching buckets. At
+    100 TB you run this diagnostic on a corpus sample, never the full
+    corpus — the point is the recall statistic, not the neighbours.
+    """
+    emb = load(spark, sf, "embeddings")
+    n_df = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
+    bucketed = (
+        emb.crossJoin(F.broadcast(n_df))
+        .withColumn("p", _n_planes_col(_m_col(F.col("n_vecs"))))
+        .withColumn(
+            "bucket", _bits_col(F.col("embedding"), 0).substr(F.lit(1), F.col("p"))
+        )
+    )
+    probes = bucketed.filter((F.col("vec_id") % RECALL_QMOD) == 0).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cos = _dot(F.col("embedding"), F.col("q_embedding")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q_embedding"))
+    )
+    rank_w = Window.partitionBy("q_vec_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+
+    def topk(pairs):
+        return (
+            pairs.filter(F.col("vec_id") != F.col("q_vec_id"))
+            .select("q_vec_id", "vec_id", cos.alias("cosine"))
+            .withColumn("rk", F.row_number().over(rank_w))
+            .filter(F.col("rk") <= RECALL_K)
+            .select("q_vec_id", "vec_id")
+        )
+
+    exact = topk(emb.crossJoin(F.broadcast(probes)))
+    approx = topk(
+        bucketed.join(F.broadcast(probes), bucketed.bucket == F.col("q_bucket"))
+    ).withColumn("hit", F.lit(1))
+    return (
+        exact.join(approx, ["q_vec_id", "vec_id"], "left")
+        .groupBy("q_vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit"),
+        )
+        .select(
+            "q_vec_id",
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall"),
+        )
+        .orderBy("q_vec_id")
+    )
+
+
+_RECALL_COS = (
+    f"{_sql_dot('embedding', 'q_embedding')}"
+    f" / (sqrt({_sql_dot('embedding', 'embedding')})"
+    f" * sqrt({_sql_dot('q_embedding', 'q_embedding')}))"
+)
+
+ANN_RECALL_SQL = f"""
+WITH n AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
+bucketed AS (
+  SELECT vec_id, embedding, substr({_sql_bits(0)}, 1, {_SQL_P}) AS bucket
+  FROM embeddings, n
+),
+probes AS (
+  SELECT vec_id AS q_vec_id, embedding AS q_embedding, bucket AS q_bucket
+  FROM bucketed WHERE vec_id % {RECALL_QMOD} = 0
+),
+exact AS (
+  SELECT q_vec_id, vec_id FROM (
+    SELECT p.q_vec_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY p.q_vec_id ORDER BY {_RECALL_COS} DESC, e.vec_id) AS rk
+    FROM (SELECT vec_id, embedding FROM embeddings) e, probes p
+    WHERE e.vec_id != p.q_vec_id
+  ) WHERE rk <= {RECALL_K}
+),
+approx AS (
+  SELECT q_vec_id, vec_id FROM (
+    SELECT p.q_vec_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY p.q_vec_id ORDER BY {_RECALL_COS} DESC, e.vec_id) AS rk
+    FROM bucketed e JOIN probes p ON e.bucket = p.q_bucket
+    WHERE e.vec_id != p.q_vec_id
+  ) WHERE rk <= {RECALL_K}
+)
+SELECT e.q_vec_id, COUNT(*) AS n_exact,
+       CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       ROUND(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS recall
+FROM exact e LEFT JOIN approx a ON e.q_vec_id = a.q_vec_id AND e.vec_id = a.vec_id
+GROUP BY e.q_vec_id ORDER BY e.q_vec_id
+"""
+
+
 QUERIES = {
     "knn_brute_force": Q(knn_brute_force, KNN_SQL, headline=True),
     "semdedup_clusters": Q(semdedup_clusters, SEMDEDUP_SQL),
     "ann_ivf_trained": Q(ann_ivf_trained),
     "pq_codes": Q(pq_codes, _pq_sql()),
     "ann_lsh_bucketed": Q(ann_lsh_bucketed, ANN_LSH_SQL),
+    "ann_recall_at_k": Q(ann_recall_at_k, ANN_RECALL_SQL),
     "ann_ivf_probe": Q(ann_ivf_probe, ANN_IVF_SQL),
     "embedding_dedup_pairs": Q(embedding_dedup_pairs, EMB_DEDUP_SQL),
     "embedding_dedup_lsh": Q(embedding_dedup_lsh, EMB_DEDUP_LSH_SQL, headline=True),

@@ -33,6 +33,7 @@ BNLJ_ALLOWED = {
     "knn_brute_force",  # single query vector
     "semdedup_clusters",  # corpus-count row driving adaptive K
     "ann_lsh_bucketed",  # single query bucket row
+    "ann_recall_at_k",  # count row + ~1%-sample probe table (ground-truth side is brute force BY DESIGN)
     "ann_ivf_probe",  # query-cell row
     "embedding_dedup_pairs",  # brute-force baseline BY DESIGN (docstring)
     "embedding_dedup_lsh",  # corpus-count row driving adaptive planes
