@@ -106,6 +106,40 @@ def wav_meta(content: bytes) -> tuple[int, int]:
     if rate is None:
         raise ValueError("RIFF/WAVE without fmt chunk")
     return rate, (frames if frames is not None else 0)
+
+
+def wav_samples(content: bytes):
+    """Decode PCM16 WAV bytes → int16 ndarray of shape (frames, channels).
+
+    Pure stdlib/numpy: the RIFF walk of ``wav_meta`` plus a
+    ``np.frombuffer`` over the data chunk — PCM needs no codec library.
+    Compressed WAV (ADPCM, float, mu-law: fmt tag != 1 or bits != 16)
+    raises a labeled error (that seam would need an audio library)."""
+    import numpy as np
+
+    i, n = 12, len(content)
+    fmt_tag = channels = bits = None
+    data = None
+    while i + 8 <= n:
+        cid = content[i : i + 4]
+        size = int.from_bytes(content[i + 4 : i + 8], "little")
+        body = content[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)
+    if fmt_tag is None or data is None:
+        raise ValueError("RIFF/WAVE without fmt/data chunks")
+    if fmt_tag != 1 or bits != 16:
+        raise NotImplementedError(
+            f"non-PCM16 WAV (fmt_tag={fmt_tag}, bits={bits}) needs an audio "
+            "codec library not present in this environment (stub seam)"
+        )
+    arr = np.frombuffer(data[: len(data) - len(data) % (2 * channels)], dtype="<i2")
+    return arr.reshape(-1, channels)
 # media schema: meta fields cover the three kinds (unused ones null)
 MEDIA_DDL = (
     "media_id long, kind string, content binary, "
@@ -230,8 +264,11 @@ FEATURE_DIM = 16
 def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """content → float feature vector. PNGs get REAL pixel features
     (mean, std, and a (dim−2)-bin luminance histogram over decoded
-    pixels); other content gets a deterministic digest-derived vector
-    (the model-forward-pass seam). Output: (media_id, kind, feature
+    pixels); PCM16 WAVs get REAL audio features (overall RMS,
+    zero-crossing rate, and a (dim−2)-bin histogram of per-window RMS
+    over 1024-frame windows — the classic energy envelope); other
+    content gets a deterministic digest-derived vector (the
+    model-forward-pass seam). Output: (media_id, kind, feature
     array<float>) — embedding-ready for the similarity operators."""
 
     out_schema = pa.schema(
@@ -255,6 +292,24 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
                             [flat.mean() / 255.0, flat.std() / 255.0],
                             hist.astype(np.float32) / max(1, flat.size),
                         ]
+                    ).astype(np.float32)
+                    vecs.append(v)
+                    continue
+                if is_wav(content):
+                    pcm = wav_samples(content)
+                    mono = pcm.astype(np.float32).mean(axis=1) / 32768.0
+                    if mono.size == 0:
+                        vecs.append(np.zeros(dim, dtype=np.float32))
+                        continue
+                    rms = float(np.sqrt(np.mean(mono**2)))
+                    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                    n_win = max(1, mono.size // 1024)
+                    win_rms = np.sqrt(
+                        (mono[: n_win * 1024] ** 2).reshape(n_win, -1).mean(axis=1)
+                    )
+                    hist, _ = np.histogram(win_rms, bins=dim - 2, range=(0.0, 1.0))
+                    v = np.concatenate(
+                        [[rms, zcr], hist.astype(np.float32) / n_win]
                     ).astype(np.float32)
                     vecs.append(v)
                     continue

@@ -246,3 +246,54 @@ class TestRealPngPath:
             assert abs(v[0] - lum.mean() / 255.0) < 1e-5
             assert abs(v[1] - lum.std() / 255.0) < 1e-5
             assert abs(sum(v[2:]) - 1.0) < 1e-5  # histogram sums to 1
+
+
+def test_wav_samples_pcm_roundtrip():
+    import numpy as np
+
+    from dataset_dedupe_estimator_spark.operators.multimodal import wav_samples
+
+    import io
+    import wave
+
+    t = np.arange(4096, dtype=np.float64)
+    wave_data = (np.sin(2 * np.pi * 440 * t / 16000) * 20000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(wave_data.tobytes())
+    pcm = wav_samples(buf.getvalue())
+    assert pcm.shape == (4096, 1)
+    assert np.array_equal(pcm[:, 0], wave_data)
+
+
+def test_extract_features_real_wav(spark):
+    import numpy as np
+
+    ddl = (
+        "media_id long, kind string, content binary, "
+        "meta struct<width: int, height: int, sample_rate: int, n_frames: int, fmt: string>"
+    )
+    loud = _riff_wav(rate=16000, n_frames=2048)  # constant amplitude 257
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(b"\x00\x00" * 2048)  # silence
+    silent = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(loud), None), (2, "audio", bytearray(silent), None)],
+        ddl,
+    )
+    feats = {r.media_id: r.feature for r in extract_features(df).collect()}
+    # silence: zero RMS, zero ZCR; the constant-sample blob has higher RMS
+    assert feats[2][0] == 0.0 and feats[2][1] == 0.0
+    assert feats[1][0] > 0.0
+    assert len(feats[1]) == 16
+    assert not np.isnan(feats[1]).any()
