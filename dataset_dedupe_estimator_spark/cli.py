@@ -456,6 +456,44 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_index(args) -> int:
+    """`de index build|update|stats IDX [FILES...]`: persistent chunk-hash
+    index (plans/chunk_index.py) — build generation 0 from a snapshot,
+    admit later snapshots O(novel), report the accumulated store."""
+    from dataset_dedupe_estimator_spark.plans.chunk_index import (
+        build_index,
+        index_stats,
+        update_index,
+    )
+
+    spark = _spark(args)
+    if args.action in ("build", "update"):
+        files = [p for pat in args.files for p in sorted(glob.glob(pat))] or args.files
+        if not files:
+            print("no input files", file=sys.stderr)
+            return 2
+        if args.action == "build":
+            st = build_index(spark, files, args.index_dir)
+            print(
+                f"gen 0: {st['novel_chunks']} chunks, "
+                f"{_humanize(st['novel_bytes'])} admitted"
+            )
+        else:
+            st = update_index(spark, files, args.index_dir)
+            print(
+                f"gen {st['generation']}: snapshot {_humanize(st['snapshot_bytes'])} "
+                f"→ transfer {_humanize(st['novel_bytes'])} "
+                f"({st['transfer_ratio']:.1%}), {st['novel_chunks']} novel chunks"
+            )
+        return 0
+    r = index_stats(spark, args.index_dir).collect()[0]
+    print(
+        f"generations={r.generations}  unique_chunks={r.unique_chunks}  "
+        f"unique={_humanize(r.unique_bytes)}  compressed={_humanize(r.compressed_bytes)}"
+    )
+    return 0
+
+
 def cmd_delta(args) -> int:
     """`de delta --old ... --new ...`: chunk-level upload-delta estimate —
     bytes each new file must transfer given the old snapshot's chunks
@@ -606,6 +644,12 @@ def build_parser() -> argparse.ArgumentParser:
     dl.add_argument("--old", nargs="+", required=True, help="old snapshot files/globs")
     dl.add_argument("--new", nargs="+", required=True, help="new snapshot files/globs")
     dl.set_defaults(fn=cmd_delta)
+
+    ix = sub.add_parser("index", help="persistent chunk-hash dedup index")
+    ix.add_argument("action", choices=["build", "update", "stats"])
+    ix.add_argument("index_dir")
+    ix.add_argument("files", nargs="*", help="snapshot files/globs (build/update)")
+    ix.set_defaults(fn=cmd_index)
 
     co = sub.add_parser("checkout", help="materialize git file revisions")
     co.add_argument("repo")

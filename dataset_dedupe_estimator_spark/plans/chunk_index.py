@@ -1,0 +1,174 @@
+"""Persistent chunk-hash index: the content-store side of CDC dedup.
+
+The reference estimates dedup between snapshots it is handed
+(``upload_delta``, notebooks/parquet-cdc.md:814-838); a real content
+store additionally keeps a *persistent* index of every chunk it has
+ever accepted, so each incoming snapshot is measured (and admitted)
+against all history, not just the previous snapshot. This module is
+that index, log-structured on parquet:
+
+* ``build_index``   — chunk a snapshot, reduce to distinct hashes,
+  write generation 0 of the index + a params manifest.
+* ``update_index``  — chunk a new snapshot, anti-join against the
+  index, append ONLY the novel chunk rows as a new generation file,
+  and report the transfer stats (novel chunks/bytes = what a client
+  would actually upload).
+* ``index_stats``   — one-row summary of the current index.
+
+Index layout: ``<dir>/gen-<n>.parquet`` (columns hash, size, csize) +
+``<dir>/_index_meta.json`` (chunker params + generation counter). Rows
+are distinct by hash across ALL generations — ``update_index`` appends
+a generation rather than rewriting history, so an update's write cost
+is O(novel chunks), never O(index). Periodic compaction of the many
+small generation files is exactly what ``sources/compact.py`` does.
+
+Scale shape (100 TB): the index holds 24-byte rows per unique chunk
+(~1.6B rows / ~40 GB for 100 TB at 64 KiB chunks) — a narrow parquet
+table Spark reads with hash-only column pruning for the anti-join. The
+update shuffles only narrow hash rows; AQE broadcasts whichever side
+is small. Updating NEVER re-chunks history: the new snapshot is
+chunked once at the scan edge, history arrives pre-reduced.
+
+Params discipline: chunk boundaries are only comparable under the same
+``ChunkerParams``; the manifest pins them at build time and
+``update_index`` always re-chunks with the manifest's params, so a
+mismatched update (which would silently report ~0% dedup) is
+impossible by construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataset_dedupe_estimator_spark.operators.chunker import (
+    ChunkerParams,
+    chunk_files_auto,
+)
+from dataset_dedupe_estimator_spark.plans.estimate import ESTIMATE_PARAMS
+
+_META = "_index_meta.json"
+_CHUNK_COLS = ("hash", "size", "csize")  # csize = chunker "compressed"
+
+
+def _params_dict(params: ChunkerParams) -> dict:
+    d = dataclasses.asdict(params)
+    if d.get("gear_table") is not None:
+        d["gear_table"] = list(d["gear_table"])
+    return d
+
+
+def _index_files(index_dir: str | Path) -> list[str]:
+    return sorted(
+        str(p) for p in Path(index_dir).glob("gen-*.parquet")
+    )
+
+
+def _read_index(spark: SparkSession, index_dir: str | Path) -> DataFrame:
+    files = _index_files(index_dir)
+    if not files:
+        raise FileNotFoundError(f"no index generations under {index_dir}")
+    return spark.read.parquet(*files)
+
+
+def _load_meta(index_dir: str | Path) -> dict:
+    with open(Path(index_dir) / _META) as f:
+        return json.load(f)
+
+
+def build_index(
+    spark: SparkSession,
+    paths: list[str],
+    index_dir: str | Path,
+    params: ChunkerParams = ESTIMATE_PARAMS,
+) -> dict:
+    """Create generation 0 from a snapshot. Fails if the dir already
+    holds an index (use update_index to grow one)."""
+    index_dir = Path(index_dir)
+    if (index_dir / _META).exists():
+        raise FileExistsError(f"{index_dir} already holds an index")
+    index_dir.mkdir(parents=True, exist_ok=True)
+    chunks = chunk_files_auto(spark, paths, params=params)
+    distinct = (
+        chunks.groupBy("hash")
+        .agg(F.min("size").alias("size"), F.min("compressed").alias("csize"))
+    )
+    distinct.write.mode("errorifexists").parquet(str(index_dir / "gen-00000.parquet"))
+    n_chunks, n_bytes = (
+        spark.read.parquet(str(index_dir / "gen-00000.parquet"))
+        .agg(F.count(F.lit(1)), F.sum("size"))
+        .collect()[0]
+    )
+    meta = {
+        "params": _params_dict(params),
+        "generations": 1,
+        "snapshots": [{"gen": 0, "files": len(paths), "novel_chunks": n_chunks, "novel_bytes": n_bytes}],
+    }
+    with open(index_dir / _META, "w") as f:
+        json.dump(meta, f, indent=1)
+    return {"generation": 0, "novel_chunks": n_chunks, "novel_bytes": n_bytes}
+
+
+def update_index(
+    spark: SparkSession, paths: list[str], index_dir: str | Path
+) -> dict:
+    """Admit a snapshot: append its novel chunks as a new generation and
+    return the transfer stats. Write cost is O(novel), not O(index)."""
+    index_dir = Path(index_dir)
+    meta = _load_meta(index_dir)
+    params = ChunkerParams(
+        **{
+            k: (tuple(v) if k == "gear_table" and v is not None else v)
+            for k, v in meta["params"].items()
+        }
+    )
+    known = _read_index(spark, index_dir).select("hash")
+    chunks = chunk_files_auto(spark, paths, params=params)
+    snap = chunks.groupBy("hash").agg(
+        F.min("size").alias("size"),
+        F.min("compressed").alias("csize"),
+        F.count(F.lit(1)).alias("occ"),
+    )
+    gen = meta["generations"]
+    out = index_dir / f"gen-{gen:05d}.parquet"
+    novel = snap.join(known, "hash", "left_anti")
+    novel.select(*_CHUNK_COLS).write.mode("errorifexists").parquet(str(out))
+    novel_chunks, novel_bytes = (
+        spark.read.parquet(str(out)).agg(F.count(F.lit(1)), F.sum("size")).collect()[0]
+    )
+    snap_chunks, snap_bytes = (
+        snap.agg(F.sum("occ"), F.sum(F.col("occ") * F.col("size"))).collect()[0]
+    )
+    novel_bytes = novel_bytes or 0
+    meta["generations"] = gen + 1
+    meta["snapshots"].append(
+        {"gen": gen, "files": len(paths), "novel_chunks": novel_chunks, "novel_bytes": novel_bytes}
+    )
+    with open(index_dir / _META, "w") as f:
+        json.dump(meta, f, indent=1)
+    return {
+        "generation": gen,
+        "snapshot_chunks": snap_chunks,
+        "snapshot_bytes": snap_bytes,
+        "novel_chunks": novel_chunks,
+        "novel_bytes": novel_bytes,
+        # what a client uploads: the novel fraction of the snapshot
+        "transfer_ratio": (novel_bytes / snap_bytes) if snap_bytes else 0.0,
+    }
+
+
+def index_stats(spark: SparkSession, index_dir: str | Path) -> DataFrame:
+    """One row: generations, unique chunks, unique bytes, compressed bytes."""
+    meta = _load_meta(index_dir)
+    idx = _read_index(spark, index_dir)
+    return idx.agg(
+        F.lit(meta["generations"]).alias("generations"),
+        F.count(F.lit(1)).alias("unique_chunks"),
+        F.sum("size").alias("unique_bytes"),
+        F.sum("csize").alias("compressed_bytes"),
+    )

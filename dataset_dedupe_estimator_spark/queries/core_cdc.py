@@ -167,6 +167,39 @@ def cdc_dedup_trend(spark, sf):
     return dedup_trend(spark, _paths(sf))
 
 
+
+def cdc_index_incremental(spark, sf):
+    """Persistent chunk-index lifecycle end-to-end (plans/chunk_index.py):
+    build generation 0 from the first half of the corpus, admit the full
+    corpus as generation 1, re-admit it as generation 2 (must be a
+    no-op), and return the per-generation admission ledger. Rows-only:
+    the chunker and the filesystem index are not SQL-expressible."""
+    import json
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.plans.chunk_index import (
+        build_index,
+        update_index,
+    )
+
+    paths = _paths(sf)
+    half = paths[: max(1, len(paths) // 2)]
+    with tempfile.TemporaryDirectory() as d:
+        idx = f"{d}/index"
+        build_index(spark, half, idx)
+        update_index(spark, paths, idx)
+        update_index(spark, paths, idx)  # re-admit: must add nothing
+        with open(f"{idx}/_index_meta.json") as f:
+            ledger = json.load(f)["snapshots"]
+    rows = [
+        (g["gen"], g["files"], g["novel_chunks"], g["novel_bytes"])
+        for g in ledger
+    ]
+    return spark.createDataFrame(
+        rows, "gen int, files int, novel_chunks long, novel_bytes long"
+    ).orderBy("gen")
+
+
 QUERIES = {
     "cdc_estimate": Q(cdc_estimate, None, headline=True),
     "cdc_dedup_trend": Q(cdc_dedup_trend, None),
@@ -176,4 +209,5 @@ QUERIES = {
     "cdc_estimate_xet": Q(cdc_estimate_xet, None),
     "cdc_approx_estimate": Q(cdc_approx_estimate, None),
     "cdc_upload_delta": Q(cdc_upload_delta, None),
+    "cdc_index_incremental": Q(cdc_index_incremental, None),
 }

@@ -1,0 +1,73 @@
+"""Persistent chunk-index invariants (plans/chunk_index.py): incremental
+== full rebuild, update transfer == upload_delta, idempotent re-admit,
+O(novel) generation files, params pinned in the manifest."""
+
+import glob
+import json
+
+import pytest
+
+from dataset_dedupe_estimator_spark.plans.chunk_index import (
+    _read_index,
+    build_index,
+    index_stats,
+    update_index,
+)
+from dataset_dedupe_estimator_spark.plans.estimate import upload_delta
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def snapshots():
+    paths = sorted(glob.glob(f"{SF}/*.parquet"))
+    assert len(paths) >= 4
+    return paths[: len(paths) // 2], paths[len(paths) // 2 :]
+
+
+def test_incremental_equals_full_rebuild(spark, tmp_path, snapshots):
+    old, new = snapshots
+    inc_dir, full_dir = tmp_path / "inc", tmp_path / "full"
+    build_index(spark, old, inc_dir)
+    update_index(spark, new, inc_dir)
+    build_index(spark, old + new, full_dir)
+    inc = {r.hash for r in _read_index(spark, inc_dir).select("hash").collect()}
+    full = {r.hash for r in _read_index(spark, full_dir).select("hash").collect()}
+    assert inc == full
+
+
+def test_update_transfer_matches_upload_delta(spark, tmp_path, snapshots):
+    old, new = snapshots
+    idx = tmp_path / "idx"
+    build_index(spark, old, idx)
+    stats = update_index(spark, new, idx)
+    delta = upload_delta(spark, old, new)
+    total = delta.agg({"novel_bytes": "sum"}).collect()[0][0]
+    assert stats["novel_bytes"] == total
+
+
+def test_readmit_is_noop_and_o_novel(spark, tmp_path, snapshots):
+    old, _ = snapshots
+    idx = tmp_path / "idx"
+    build_index(spark, old, idx)
+    again = update_index(spark, old, idx)
+    assert again["novel_chunks"] == 0 and again["novel_bytes"] == 0
+    assert again["transfer_ratio"] == 0.0
+    # the re-admit generation holds no data rows: append cost is O(novel)
+    row = index_stats(spark, idx).collect()[0]
+    assert row.generations == 2
+    meta = json.loads((idx / "_index_meta.json").read_text())
+    assert meta["snapshots"][1]["novel_chunks"] == 0
+
+
+def test_build_refuses_existing_and_pins_params(spark, tmp_path, snapshots):
+    from dataset_dedupe_estimator_spark.operators.chunker import ChunkerParams
+
+    old, _ = snapshots
+    idx = tmp_path / "idx"
+    build_index(spark, old, idx, params=ChunkerParams(min_size=1024, mask_bits=12))
+    meta = json.loads((idx / "_index_meta.json").read_text())
+    assert meta["params"]["min_size"] == 1024
+    assert meta["params"]["mask_bits"] == 12
+    with pytest.raises(FileExistsError):
+        build_index(spark, old, idx)

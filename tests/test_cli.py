@@ -109,3 +109,16 @@ def test_cli_sql(capsys, spark):
     )
     assert rc == 0
     assert "n" in capsys.readouterr().out
+
+
+def test_cli_index_lifecycle(capsys, data_dir, spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    rc = main(["index", "build", idx, str(data_dir / "t1.parquet")])
+    assert rc == 0
+    rc = main(["index", "update", idx, str(data_dir / "t1.parquet"), str(data_dir / "t2.parquet")])
+    assert rc == 0
+    rc = main(["index", "stats", idx])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "gen 0:" in out and "gen 1:" in out and "generations=2" in out
+    assert "transfer" in out

@@ -22,6 +22,7 @@ EAGER = {
     "multimodal_pipeline_demo",
     "ann_ivf_trained",
     "synthetic_generator_e2e",
+    "cdc_index_incremental",
 }
 
 # deliberate tiny-side broadcasts (scalar aggregates, query vectors,
