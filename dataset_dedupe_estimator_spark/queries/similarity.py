@@ -441,6 +441,54 @@ ORDER BY vec_a, vec_b
 """
 
 
+
+def semantic_vs_lexical_pairs(spark, sf):
+    """Paraphrase detector: embedding near-dup pairs classified by whether
+    the documents are ALSO lexical duplicates.
+
+    Joins the LSH near-dup pairs (``embedding_dedup_lsh``, ids align with
+    ``documents.doc_id``) to each side's normalized word-set fingerprint
+    (the ``dedup_fingerprint_groups`` identity). ``lexical_dup = false``
+    rows are the semantically-close-but-lexically-different pairs — the
+    paraphrases that survive every hash-based dedup tier and only
+    embedding similarity can catch.
+
+    Scale shape: inherits the banded-LSH pair plan; the fingerprint join
+    adds two narrow digest joins on doc id (no text shuffles)."""
+    from dataset_dedupe_estimator_spark.queries.splits import _fp_col
+
+    pairs = embedding_dedup_lsh(spark, sf)
+    fp = load(spark, sf, "documents").select(
+        "doc_id", _fp_col().alias("fp")
+    )
+    fa = fp.select(F.col("doc_id").alias("vec_a"), F.col("fp").alias("fp_a"))
+    fb = fp.select(F.col("doc_id").alias("vec_b"), F.col("fp").alias("fp_b"))
+    return (
+        pairs.join(fa, "vec_a")
+        .join(fb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            "cosine",
+            (F.col("fp_a") == F.col("fp_b")).alias("lexical_dup"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+_FP_EXPR = "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))"
+
+SEMANTIC_VS_LEXICAL_SQL = f"""
+WITH pairs AS (SELECT * FROM ({EMB_DEDUP_LSH_SQL})),
+fp AS (SELECT doc_id, {_FP_EXPR} AS fp FROM documents)
+SELECT p.vec_a, p.vec_b, p.cosine, (fa.fp = fb.fp) AS lexical_dup
+FROM pairs p
+JOIN fp fa ON fa.doc_id = p.vec_a
+JOIN fp fb ON fb.doc_id = p.vec_b
+ORDER BY vec_a, vec_b
+"""
+
+
 N_CELLS = 8
 
 
@@ -939,5 +987,6 @@ QUERIES = {
     "ann_ivf_probe": Q(ann_ivf_probe, ANN_IVF_SQL),
     "embedding_dedup_pairs": Q(embedding_dedup_pairs, EMB_DEDUP_SQL),
     "embedding_dedup_lsh": Q(embedding_dedup_lsh, EMB_DEDUP_LSH_SQL, headline=True),
+    "semantic_vs_lexical_pairs": Q(semantic_vs_lexical_pairs, SEMANTIC_VS_LEXICAL_SQL),
     "label_centroid_spread": Q(label_centroid_spread, LABEL_STATS_SQL),
 }

@@ -38,6 +38,7 @@ BNLJ_ALLOWED = {
     "ann_ivf_probe",  # query-cell row
     "embedding_dedup_pairs",  # brute-force baseline BY DESIGN (docstring)
     "embedding_dedup_lsh",  # corpus-count row driving adaptive planes
+    "semantic_vs_lexical_pairs",  # inherits embedding_dedup_lsh's count row
     "range_join_price_bands",  # band dim (a handful of rows)
     "source_overlap_minhash",  # source-dim pair universe (tiny cardinality)
 }
