@@ -453,6 +453,58 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
 """
 
 
+
+def spend_quartiles(spark, sf):
+    """NTILE + PERCENT_RANK coverage: quartile customers by exact-cents
+    lifetime spend, report the per-quartile census. Ranking ties broken
+    by custkey so both engines order identically; spend stays integer
+    cents until the final projection.
+
+    Scale note: the single unpartitioned ranking window runs over the
+    per-customer aggregate (one row per customer), not raw orders; at
+    extreme customer counts the same statistic comes from percentile
+    buckets on the aggregate instead of a global NTILE sort."""
+    orders = load(spark, sf, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).alias("spent_cents")
+    )
+    w = Window.orderBy(F.col("spent_cents").desc(), F.col("o_custkey"))
+    ranked = spend.select(
+        "o_custkey",
+        "spent_cents",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pr"),
+    )
+    return (
+        ranked.groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.min("spent_cents") / F.lit(100.0)).alias("min_spent"),
+            (F.max("spent_cents") / F.lit(100.0)).alias("max_spent"),
+            F.max("pr").alias("max_pct_rank"),
+        )
+        .orderBy("quartile")
+    )
+
+
+SPEND_QUARTILES_SQL = f"""
+WITH spend AS (
+  SELECT o_custkey, SUM({C_TP}) AS spent_cents FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT o_custkey, spent_cents,
+         NTILE(4) OVER (ORDER BY spent_cents DESC, o_custkey) AS quartile,
+         ROUND(PERCENT_RANK() OVER (ORDER BY spent_cents DESC, o_custkey), 4) AS pr
+  FROM spend
+)
+SELECT quartile, COUNT(*) AS n_customers,
+       MIN(spent_cents) / 100.0 AS min_spent,
+       MAX(spent_cents) / 100.0 AS max_spent,
+       MAX(pr) AS max_pct_rank
+FROM ranked GROUP BY quartile ORDER BY quartile
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": Q(q1_pricing_summary, Q1_SQL, headline=True),
     "q4_order_priority": Q(q4_order_priority, Q4_SQL),
@@ -460,6 +512,7 @@ QUERIES = {
     "q3_shipping_priority": Q(q3_shipping_priority, Q3_SQL, headline=True),
     "q5_local_supplier_volume": Q(q5_local_supplier_volume, Q5_SQL, headline=True),
     "top_spenders": Q(top_spenders, TOP_SPENDERS_SQL),
+    "spend_quartiles": Q(spend_quartiles, SPEND_QUARTILES_SQL),
     "filter_project_scan": Q(filter_project_scan, FILTER_PROJECT_SQL),
     "window_top_orders_per_customer": Q(window_top_orders_per_customer, WINDOW_TOP_SQL),
     "window_running_spend": Q(window_running_spend, WINDOW_RUNNING_SQL),
