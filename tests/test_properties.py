@@ -154,3 +154,34 @@ class TestNativeParityProperties:
         # LZ4 block format worst case: n + n/255 + 16; best: tokens only
         assert 1 <= sz <= len(data) + len(data) // 255 + 16
         assert sz == native.lz4_probe_size(data)  # deterministic
+
+
+@given(
+    st.integers(min_value=1, max_value=65500),
+    st.integers(min_value=1, max_value=65500),
+    st.lists(
+        st.tuples(
+            st.sampled_from([0xE1, 0xE2, 0xED, 0xFE, 0xDB, 0xC4]),  # APPn/COM/DQT/DHT
+            st.binary(min_size=0, max_size=200),
+        ),
+        max_size=6,
+    ),
+    st.sampled_from([0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC9, 0xCF]),  # any SOFn
+)
+@settings(max_examples=60, deadline=None)
+def test_jpeg_meta_survives_arbitrary_marker_prefixes(width, height, segs, sof):
+    """Property: jpeg_meta recovers (width, height) from any structurally
+    valid marker stream — arbitrary APPn/COM/metadata segments (including
+    payloads full of 0xFF bytes) before any SOF variant."""
+    import struct
+
+    from dataset_dedupe_estimator_spark.operators.multimodal import jpeg_meta
+
+    out = b"\xff\xd8"
+    for marker, body in segs:
+        out += bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+    out += bytes([0xFF, sof]) + struct.pack(">H", 10) + b"\x08" + struct.pack(
+        ">HH", height, width
+    ) + b"\x01\x11\x00"
+    out += b"\xff\xd9"
+    assert jpeg_meta(out) == (width, height)
