@@ -43,6 +43,11 @@ def main() -> int:
         "charlm_familiarity",
         "events_funnel",
         "events_retention_cohorts",
+        "split_assign",
+        "split_purge_eval",
+        "ann_recall_at_k",
+        "semantic_vs_lexical_pairs",
+        "spend_quartiles",
     ]
     lines = [
         "# Physical plans — headline + selected queries",
