@@ -133,3 +133,53 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def admit_stream(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    glob_pattern: str = "*",
+):
+    """Continuous admission into the persistent chunk index: each
+    microbatch of newly-arrived files becomes ONE index generation
+    (plans/chunk_index.update_index — anti-join against all history,
+    O(novel) write). The file-source checkpoint makes admission
+    exactly-once per file across restarts: a re-listed file is never
+    re-chunked, and a crash between batches resumes at the un-admitted
+    files.
+
+    The foreachBatch body collects file *paths* only (one short row per
+    file — driver-scale metadata, the same listing the source itself
+    performs); chunking and the anti-join run distributed inside
+    update_index. Returns the per-batch admission stats, one dict per
+    generation created in this pass (availableNow: drains everything
+    pending, then stops).
+    """
+    from dataset_dedupe_estimator_spark.plans.chunk_index import update_index
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", glob_pattern)
+        .load(input_dir)
+        .select(F.regexp_replace("path", "^file:", "").alias("path"))
+    )
+    admissions: list[dict] = []
+
+    def admit(batch_df, _batch_id):
+        paths = sorted(r.path for r in batch_df.collect())
+        if paths:
+            admissions.append(update_index(spark, paths, index_dir))
+
+    q = (
+        files.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return admissions

@@ -71,3 +71,40 @@ def test_build_refuses_existing_and_pins_params(spark, tmp_path, snapshots):
     assert meta["params"]["mask_bits"] == 12
     with pytest.raises(FileExistsError):
         build_index(spark, old, idx)
+
+
+def test_streaming_admission_exactly_once(spark, tmp_path, snapshots):
+    """admit_stream: each availableNow pass admits only files the
+    checkpoint has not seen; the index ends identical to a full rebuild."""
+    from dataset_dedupe_estimator_spark.streaming.incremental import admit_stream
+
+    old, new = snapshots
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    idx, ckpt = tmp_path / "idx", str(tmp_path / "ckpt")
+    build_index(spark, old, idx)
+
+    import shutil
+
+    shutil.copy(new[0], watch / "a.parquet")
+    first = admit_stream(spark, str(watch), idx, ckpt)
+    assert len(first) == 1 and first[0]["generation"] == 1
+
+    shutil.copy(new[1], watch / "b.parquet")
+    second = admit_stream(spark, str(watch), idx, ckpt)
+    # only the unseen file is admitted; a.parquet is not re-chunked
+    import os
+
+    assert len(second) == 1
+    assert second[0]["snapshot_bytes"] == os.path.getsize(new[1])
+    assert first[0]["snapshot_bytes"] == os.path.getsize(new[0])
+
+    full_dir = tmp_path / "full"
+    build_index(spark, old + [new[0], new[1]], full_dir)
+    inc = {r.hash for r in _read_index(spark, idx).select("hash").collect()}
+    full = {r.hash for r in _read_index(spark, full_dir).select("hash").collect()}
+    assert inc == full
+
+    # drained: a third pass with nothing new creates no generation
+    third = admit_stream(spark, str(watch), idx, ckpt)
+    assert third == []
