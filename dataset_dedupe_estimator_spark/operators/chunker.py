@@ -503,6 +503,13 @@ def _compressed_size(chunk: bytes, probe: int | None, scheme: str = "auto") -> i
     return int(sampled * (len(chunk) / probe))
 
 
+# Persisted artifacts keyed by chunk hashes (plans/chunk_index.py) pin this
+# name in their manifest: changing the identity hash invalidates every such
+# artifact, and consumers must be able to detect it instead of silently
+# anti-joining incomparable hashes.
+IDENTITY_HASH = "sha1-64"
+
+
 def _hash64(data: bytes) -> int:
     """Stable 64-bit content hash (signed, to fit Spark LongType).
 

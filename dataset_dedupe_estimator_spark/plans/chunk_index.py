@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 
 from pathlib import Path
 
@@ -47,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataset_dedupe_estimator_spark.operators.chunker import (
+    IDENTITY_HASH,
     ChunkerParams,
     chunk_files_auto,
 )
@@ -81,6 +83,14 @@ def _load_meta(index_dir: str | Path) -> dict:
         return json.load(f)
 
 
+def _write_meta(index_dir: Path, meta: dict) -> None:
+    """Atomic replace: a crash mid-write never corrupts the manifest."""
+    tmp = index_dir / (_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, index_dir / _META)
+
+
 def build_index(
     spark: SparkSession,
     paths: list[str],
@@ -106,11 +116,14 @@ def build_index(
     )
     meta = {
         "params": _params_dict(params),
+        # hashes are only comparable under the same identity hash; pin it
+        # so a future engine with a different hash refuses the index
+        # instead of silently reporting ~100% novel
+        "identity_hash": IDENTITY_HASH,
         "generations": 1,
         "snapshots": [{"gen": 0, "files": len(paths), "novel_chunks": n_chunks, "novel_bytes": n_bytes}],
     }
-    with open(index_dir / _META, "w") as f:
-        json.dump(meta, f, indent=1)
+    _write_meta(index_dir, meta)
     return {"generation": 0, "novel_chunks": n_chunks, "novel_bytes": n_bytes}
 
 
@@ -121,21 +134,41 @@ def update_index(
     return the transfer stats. Write cost is O(novel), not O(index)."""
     index_dir = Path(index_dir)
     meta = _load_meta(index_dir)
+    pinned_hash = meta.get("identity_hash", IDENTITY_HASH)
+    if pinned_hash != IDENTITY_HASH:
+        raise ValueError(
+            f"index at {index_dir} was built with identity hash "
+            f"{pinned_hash!r}; this engine computes {IDENTITY_HASH!r} — "
+            "hashes are incomparable, rebuild the index"
+        )
     params = ChunkerParams(
         **{
             k: (tuple(v) if k == "gear_table" and v is not None else v)
             for k, v in meta["params"].items()
         }
     )
+    gen = meta["generations"]
+    out = index_dir / f"gen-{gen:05d}.parquet"
+    if out.exists():
+        # orphan from an attempt that crashed after writing the
+        # generation but before committing the manifest (the manifest is
+        # the commit point, so the orphan was never part of the index) —
+        # remove it BEFORE listing generations, then redo: retries are
+        # idempotent and the orphan's rows never reach the anti-join
+        import shutil
+
+        shutil.rmtree(out)
     known = _read_index(spark, index_dir).select("hash")
     chunks = chunk_files_auto(spark, paths, params=params)
+    # persist the per-hash aggregate: it feeds two actions (the novel
+    # write and the snapshot stats) and without it each action would
+    # re-chunk the entire snapshot — the rows here are ~32 bytes per
+    # unique chunk, tiny next to the bytes they describe
     snap = chunks.groupBy("hash").agg(
         F.min("size").alias("size"),
         F.min("compressed").alias("csize"),
         F.count(F.lit(1)).alias("occ"),
-    )
-    gen = meta["generations"]
-    out = index_dir / f"gen-{gen:05d}.parquet"
+    ).persist()
     novel = snap.join(known, "hash", "left_anti")
     novel.select(*_CHUNK_COLS).write.mode("errorifexists").parquet(str(out))
     novel_chunks, novel_bytes = (
@@ -149,8 +182,8 @@ def update_index(
     meta["snapshots"].append(
         {"gen": gen, "files": len(paths), "novel_chunks": novel_chunks, "novel_bytes": novel_bytes}
     )
-    with open(index_dir / _META, "w") as f:
-        json.dump(meta, f, indent=1)
+    _write_meta(index_dir, meta)
+    snap.unpersist()
     return {
         "generation": gen,
         "snapshot_chunks": snap_chunks,

@@ -126,6 +126,11 @@ def zorder_value(df: DataFrame, cols: Sequence[str]) -> "tuple[DataFrame, str]":
     spread = []
     for i, c in enumerate(cols):
         mn, mx = stats[f"mn_{i}"], stats[f"mx_{i}"]
+        if mn is None or mx is None:
+            raise ValueError(
+                f"z-order column {c!r} has no numeric values "
+                "(non-numeric or all-NULL) — pick a numeric, populated column"
+            )
         span = (mx - mn) or 1.0
         scaled = F.least(
             F.lit(65535),

@@ -108,3 +108,34 @@ def test_streaming_admission_exactly_once(spark, tmp_path, snapshots):
     # drained: a third pass with nothing new creates no generation
     third = admit_stream(spark, str(watch), idx, ckpt)
     assert third == []
+
+
+def test_update_retry_after_orphan_generation(spark, tmp_path, snapshots):
+    """A generation directory left by a crashed attempt (written but never
+    committed to the manifest) must not wedge the next update."""
+    old, new = snapshots
+    idx = tmp_path / "idx"
+    build_index(spark, old, idx)
+    # simulate the crash: gen-00001 exists on disk, manifest still says 1
+    orphan = idx / "gen-00001.parquet"
+    spark.range(0).selectExpr(
+        "id AS hash", "id AS size", "id AS csize"
+    ).write.parquet(str(orphan))
+    stats = update_index(spark, new, idx)
+    assert stats["generation"] == 1 and stats["novel_chunks"] > 0
+    full_dir = tmp_path / "full"
+    build_index(spark, old + new, full_dir)
+    inc = {r.hash for r in _read_index(spark, idx).select("hash").collect()}
+    full = {r.hash for r in _read_index(spark, full_dir).select("hash").collect()}
+    assert inc == full
+
+
+def test_update_refuses_foreign_identity_hash(spark, tmp_path, snapshots):
+    old, _ = snapshots
+    idx = tmp_path / "idx"
+    build_index(spark, old, idx)
+    meta = json.loads((idx / "_index_meta.json").read_text())
+    meta["identity_hash"] = "blake2b-64"
+    (idx / "_index_meta.json").write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="identity hash"):
+        update_index(spark, old, idx)

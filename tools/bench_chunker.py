@@ -69,7 +69,7 @@ def main() -> None:
 
     chunks = [data[o: o + s] for o, s in chunk_bytes(data)]
     print(f"chunks: {len(chunks)} (avg {n / len(chunks) / 1024:.0f} KiB)")
-    print(f"identity hash (blake2b-64): "
+    print(f"identity hash (sha1-64): "
           f"{_rate(n, lambda: [_hash64(c) for c in chunks]):.0f} MB/s")
     for label, scheme in (("lz4", "auto"), ("zlib1", "zlib1")):
         print(f"compress probe [{label}]: "
