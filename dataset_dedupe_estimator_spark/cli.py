@@ -467,6 +467,15 @@ def cmd_index(args) -> int:
     )
 
     spark = _spark(args)
+    if args.action == "compact":
+        from dataset_dedupe_estimator_spark.plans.chunk_index import compact_index
+
+        st = compact_index(spark, args.index_dir)
+        print(
+            f"compacted {st['merged_generations']} generations → "
+            f"gen {st['generation']} ({st['chunks']} chunks)"
+        )
+        return 0
     if args.action in ("build", "update"):
         files = [p for pat in args.files for p in sorted(glob.glob(pat))] or args.files
         if not files:
@@ -646,7 +655,7 @@ def build_parser() -> argparse.ArgumentParser:
     dl.set_defaults(fn=cmd_delta)
 
     ix = sub.add_parser("index", help="persistent chunk-hash dedup index")
-    ix.add_argument("action", choices=["build", "update", "stats"])
+    ix.add_argument("action", choices=["build", "update", "stats", "compact"])
     ix.add_argument("index_dir")
     ix.add_argument("files", nargs="*", help="snapshot files/globs (build/update)")
     ix.set_defaults(fn=cmd_index)

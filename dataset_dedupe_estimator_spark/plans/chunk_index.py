@@ -65,14 +65,23 @@ def _params_dict(params: ChunkerParams) -> dict:
     return d
 
 
-def _index_files(index_dir: str | Path) -> list[str]:
-    return sorted(
-        str(p) for p in Path(index_dir).glob("gen-*.parquet")
-    )
+def _index_files(index_dir: str | Path, floor: int = 0) -> list[str]:
+    """Generation dirs at or above ``floor`` (gens below a committed
+    compaction are superseded — their rows live in the compacted
+    generation — and are ignored even if a crash left them on disk)."""
+    out = []
+    for p in sorted(Path(index_dir).glob("gen-*.parquet")):
+        if int(p.name[4:9]) >= floor:
+            out.append(str(p))
+    return out
 
 
 def _read_index(spark: SparkSession, index_dir: str | Path) -> DataFrame:
-    files = _index_files(index_dir)
+    try:
+        floor = _load_meta(index_dir).get("compacted_below", 0)
+    except FileNotFoundError:
+        floor = 0
+    files = _index_files(index_dir, floor)
     if not files:
         raise FileNotFoundError(f"no index generations under {index_dir}")
     return spark.read.parquet(*files)
@@ -193,6 +202,49 @@ def update_index(
         # what a client uploads: the novel fraction of the snapshot
         "transfer_ratio": (novel_bytes / snap_bytes) if snap_bytes else 0.0,
     }
+
+
+def compact_index(spark: SparkSession, index_dir: str | Path, files_out: int | None = None) -> dict:
+    """Merge every live generation into one, reclaiming the many small
+    files a long admission history accumulates (same job as
+    sources/compact.py, specialized to the index's commit protocol).
+
+    Crash safety mirrors update_index: the merged generation is written
+    under the NEXT gen number, the manifest commit atomically records
+    both the new generation and ``compacted_below`` (superseded gens are
+    ignored by every reader from that instant), and only then are the
+    old directories deleted. A crash before the commit leaves an orphan
+    the next update/compaction removes; a crash after it leaves
+    already-superseded directories that are skipped and lazily deleted
+    on the next compaction."""
+    import shutil
+
+    index_dir = Path(index_dir)
+    meta = _load_meta(index_dir)
+    floor = meta.get("compacted_below", 0)
+    live = _index_files(index_dir, floor)
+    gen = meta["generations"]
+    out = index_dir / f"gen-{gen:05d}.parquet"
+    if out.exists():
+        shutil.rmtree(out)  # orphan from a crashed attempt (pre-commit)
+    if files_out is None:
+        # ~24-byte rows: size output files to ~128 MB (≈5M rows each)
+        bytes_live = sum(
+            f.stat().st_size for d in live for f in Path(d).glob("*.parquet")
+        )
+        files_out = max(1, bytes_live // (128 << 20))
+    spark.read.parquet(*live).coalesce(int(files_out)).write.parquet(str(out))
+    n_chunks = spark.read.parquet(str(out)).count()
+    meta["generations"] = gen + 1
+    meta["compacted_below"] = gen
+    meta.setdefault("compactions", []).append(
+        {"gen": gen, "merged_generations": len(live), "chunks": n_chunks}
+    )
+    _write_meta(index_dir, meta)  # commit point
+    for p in Path(index_dir).glob("gen-*.parquet"):
+        if int(p.name[4:9]) < gen:
+            shutil.rmtree(p)
+    return {"generation": gen, "merged_generations": len(live), "chunks": n_chunks}
 
 
 def index_stats(spark: SparkSession, index_dir: str | Path) -> DataFrame:

@@ -290,6 +290,77 @@ ORDER BY a.cohort_day, a.week_offset
 """
 
 
+
+def events_daily_anomaly(spark, sf):
+    """Volume-anomaly flags per day: z-score of the daily event count
+    against the whole series, computed from EXACT integer moments.
+
+    groupBy sums of doubles are partition-order-dependent, so the mean
+    and variance come from integer Σn and Σn² over the (tiny) per-day
+    aggregate — bit-identical in any engine — and only the final
+    mean/σ/z projection runs in floating point (one identical op
+    sequence per engine). Days with z > 2 are flagged.
+
+    Scale note: the unpartitioned moment window runs over one row per
+    day — thousands of rows for years of data — never raw events."""
+    ev = load(spark, sf, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    n_days = F.count(F.lit(1)).over(w_all)
+    sum_n = F.sum("n_events").over(w_all)
+    sum_n2 = F.sum(F.col("n_events") * F.col("n_events")).over(w_all)
+    mean = sum_n.cast("double") / n_days.cast("double")
+    var = sum_n2.cast("double") / n_days.cast("double") - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.when(std == 0.0, F.lit(0.0)).otherwise(
+        (F.col("n_events").cast("double") - mean) / std
+    )
+    return (
+        daily.select(
+            "day",
+            "n_events",
+            F.round(z, 4).alias("z_score"),
+            (z > 2.0).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
+
+
+EVENTS_ANOMALY_SQL = """
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+daily AS (
+  SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events
+  FROM ev GROUP BY 1
+),
+m AS (
+  SELECT day, n_events,
+         COUNT(*) OVER () AS n_days,
+         SUM(n_events) OVER () AS sum_n,
+         SUM(n_events * n_events) OVER () AS sum_n2
+  FROM daily
+),
+zed AS (
+  SELECT day, n_events,
+         CASE WHEN sqrt(GREATEST(
+                CAST(sum_n2 AS DOUBLE) / CAST(n_days AS DOUBLE)
+                - (CAST(sum_n AS DOUBLE) / CAST(n_days AS DOUBLE))
+                  * (CAST(sum_n AS DOUBLE) / CAST(n_days AS DOUBLE)), 0.0)) = 0.0
+              THEN 0.0
+              ELSE (CAST(n_events AS DOUBLE) - CAST(sum_n AS DOUBLE) / CAST(n_days AS DOUBLE))
+                   / sqrt(GREATEST(
+                       CAST(sum_n2 AS DOUBLE) / CAST(n_days AS DOUBLE)
+                       - (CAST(sum_n AS DOUBLE) / CAST(n_days AS DOUBLE))
+                         * (CAST(sum_n AS DOUBLE) / CAST(n_days AS DOUBLE)), 0.0))
+         END AS z
+  FROM m
+)
+SELECT day, n_events, ROUND(z, 4) AS z_score, z > 2.0 AS is_anomaly
+FROM zed ORDER BY day
+"""
+
+
 QUERIES = {
     "events_hourly": Q(events_hourly, EVENTS_HOURLY_SQL),
     "events_funnel": Q(events_funnel, EVENTS_FUNNEL_SQL),
@@ -297,4 +368,5 @@ QUERIES = {
     "events_json_extract": Q(events_json_extract, EVENTS_JSON_SQL),
     "events_sessionize": Q(events_sessionize, EVENTS_SESSIONIZE_SQL, headline=True),
     "events_daily_users": Q(events_daily_users, EVENTS_DAILY_SQL),
+    "events_daily_anomaly": Q(events_daily_anomaly, EVENTS_ANOMALY_SQL),
 }

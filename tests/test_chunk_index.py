@@ -139,3 +139,54 @@ def test_update_refuses_foreign_identity_hash(spark, tmp_path, snapshots):
     (idx / "_index_meta.json").write_text(json.dumps(meta))
     with pytest.raises(ValueError, match="identity hash"):
         update_index(spark, old, idx)
+
+
+def test_compact_index_preserves_store_and_admission(spark, tmp_path, snapshots):
+    from dataset_dedupe_estimator_spark.plans.chunk_index import compact_index
+
+    old, new = snapshots
+    idx = tmp_path / "idx"
+    build_index(spark, old, idx)
+    update_index(spark, [new[0]], idx)
+    before = {r.hash for r in _read_index(spark, idx).select("hash").collect()}
+    st = compact_index(spark, idx)
+    assert st["merged_generations"] == 2 and st["chunks"] == len(before)
+    # superseded generation dirs are gone; store unchanged
+    assert sorted(p.name for p in idx.glob("gen-*.parquet")) == ["gen-00002.parquet"]
+    after = {r.hash for r in _read_index(spark, idx).select("hash").collect()}
+    assert after == before
+    # admission continues on the compacted index with correct numbering
+    st2 = update_index(spark, [new[1]], idx)
+    assert st2["generation"] == 3
+    row = index_stats(spark, idx).collect()[0]
+    assert row.unique_chunks >= len(before)
+
+
+def test_compact_index_crash_after_commit_is_ignored(spark, tmp_path, snapshots):
+    """Superseded generations a crash failed to delete are invisible to
+    readers and cleaned by the next compaction."""
+    import json as _json
+    import shutil
+
+    from dataset_dedupe_estimator_spark.plans.chunk_index import compact_index
+
+    old, new = snapshots
+    idx = tmp_path / "idx"
+    build_index(spark, old, idx)
+    update_index(spark, [new[0]], idx)
+    # stash a copy of gen-00001, compact, then restore it = post-commit crash
+    stash = tmp_path / "stash"
+    shutil.copytree(idx / "gen-00001.parquet", stash)
+    compact_index(spark, idx)
+    shutil.copytree(stash, idx / "gen-00001.parquet")
+    meta = _json.loads((idx / "_index_meta.json").read_text())
+    assert meta["compacted_below"] == 2
+    # the leftover dir is ignored: stats count each hash once
+    n_unique = index_stats(spark, idx).collect()[0].unique_chunks
+    assert n_unique == len(
+        {r.hash for r in _read_index(spark, idx).select("hash").collect()}
+    )
+    # next compaction removes the leftover
+    compact_index(spark, idx)
+    names = sorted(p.name for p in idx.glob("gen-*.parquet"))
+    assert names == ["gen-00003.parquet"]
