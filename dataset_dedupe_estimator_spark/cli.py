@@ -127,7 +127,7 @@ def cmd_synthetic(args) -> int:
         f"edit{i}-{name}": {"original": original, name: finalize(df)}
         for i, (name, df) in enumerate(t for t in tables.items() if t[0] != "original")
     }
-    formats = default_formats(with_json=args.with_json, with_sqlite=args.with_sqlite)
+    formats = default_formats(with_json=args.with_json, with_sqlite=args.with_sqlite, with_orc=getattr(args, "with_orc", False))
     results = compare_formats_tables(spark, formats, groups, Path(args.directory))
     rdf = results_df(spark, results)
     print(markdown_report(spark, rdf))
@@ -152,7 +152,7 @@ def cmd_stats(args) -> int:
     spark = _spark(args)
     members = {Path(p).stem: p for p in paths}
     groups = {"combined": members}
-    formats = default_formats(with_json=args.with_json, with_sqlite=args.with_sqlite)
+    formats = default_formats(with_json=args.with_json, with_sqlite=args.with_sqlite, with_orc=getattr(args, "with_orc", False))
     results = compare_formats_tables(spark, formats, groups, Path(args.out))
     rdf = results_df(spark, results)
     print(markdown_report(spark, rdf))
@@ -574,6 +574,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--update-columns", action="store_true")
     s.add_argument("--with-json", action="store_true")
     s.add_argument("--with-sqlite", action="store_true")
+    s.add_argument("--with-orc", action="store_true")
     s.add_argument("--html", help="write an SVG grouped-bar chart here")
     s.set_defaults(fn=cmd_synthetic)
 
@@ -582,6 +583,7 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--out", default="/tmp/dde-stats")
     st.add_argument("--with-json", action="store_true")
     st.add_argument("--with-sqlite", action="store_true")
+    st.add_argument("--with-orc", action="store_true")
     st.add_argument("--html", help="write an SVG grouped-bar chart here")
     st.add_argument(
         "--page-histogram",

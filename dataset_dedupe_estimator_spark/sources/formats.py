@@ -330,6 +330,28 @@ class JsonLinesFormat(FileFormat):
 
 
 @dataclass(frozen=True)
+class OrcFormat(FileFormat):
+    """ORC sink via Spark's built-in writer — beyond the reference's
+    format matrix (it compares parquet/jsonl/sqlite only); included so a
+    format comparison can measure ORC's CDC-dedup behavior too."""
+
+    name: str = "orc"
+    suffix: str = ".orc"
+    compression: str = "zstd"  # none|snappy|zlib|lzo|zstd|lz4
+
+    @property
+    def params(self) -> dict:
+        return {"c": self.compression}
+
+    def write(self, spark: SparkSession, stem: str, src: Source, directory: Path) -> Path:
+        df = _resolve(spark, src)
+        dest = self.derive_path(stem, directory)
+        _single_file_write(df, "orc", {"compression": self.compression}, dest)
+        sanity_check(spark, df, spark.read.orc(str(dest)))
+        return dest
+
+
+@dataclass(frozen=True)
 class SqliteFormat(FileFormat):
     name: str = "sqlite"
     suffix: str = ".sqlite"
@@ -358,7 +380,7 @@ class SqliteFormat(FileFormat):
         return spark.createDataFrame(pdf)
 
 
-def default_formats(with_json: bool = False, with_sqlite: bool = False) -> list[FileFormat]:
+def default_formats(with_json: bool = False, with_sqlite: bool = False, with_orc: bool = False) -> list[FileFormat]:
     """The reference's default contender matrix (de/cli.py:106-132), minus
     CDC variants when pyarrow can't write them."""
     fmts: list[FileFormat] = [
@@ -374,4 +396,6 @@ def default_formats(with_json: bool = False, with_sqlite: bool = False) -> list[
         fmts += [JsonLinesFormat(), JsonLinesFormat(compression="gzip")]
     if with_sqlite:
         fmts.append(SqliteFormat())
+    if with_orc:
+        fmts.append(OrcFormat())
     return fmts

@@ -179,3 +179,16 @@ def test_cdc_option_dict_matches_pyarrow21_signature():
     src = inspect.getsource(m.write_parquet_distributed)
     for key in accepted:
         assert f'"{key}"' in src
+
+
+def test_orc_roundtrip(spark, small_df, tmp_path):
+    from dataset_dedupe_estimator_spark.sources.formats import OrcFormat
+
+    fmt = OrcFormat()
+    assert fmt.paramstem("t") == "t-c=zstd"
+    path = fmt.write(spark, "t", small_df, tmp_path)
+    assert path.suffix == ".orc"
+    back = spark.read.orc(str(path))
+    assert sorted(back.collect()) == sorted(small_df.collect())
+    names = [f.name for f in default_formats(with_orc=True)]
+    assert "orc" in names
