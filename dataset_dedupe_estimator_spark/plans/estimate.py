@@ -43,6 +43,18 @@ PROVENANCE_CAP = 64
 # compressed_chunk_bytes becomes a sampled estimate. The probe is ~30% of
 # chunker CPU at full fidelity; at 100 TB that is fleet-sized money. Pass
 # ChunkerParams() explicitly for exact compressed accounting.
+#
+# Preset guide — FAST vs REFERENCE-PARITY:
+#   * ESTIMATE_PARAMS (this, scheme="window"): the fast default. Same
+#     boundary probability and dedup-ratio behavior as gearhash, not the
+#     same cut positions.
+#   * ChunkerParams(scheme="gear", gear_table=<256 u64s>): bit-identical
+#     to the reference's gearhash recurrence (src/store.rs:65-95). The
+#     crate's DEFAULT_TABLE constants are not vendored here (offline
+#     environment — see ROADMAP "gearhash"), so parity with a reference
+#     RUN additionally requires passing the crate's table; without it the
+#     gear scheme uses a seeded table (identical algorithm, different
+#     cuts, equivalent ratios).
 ESTIMATE_PARAMS = ChunkerParams(compress_probe_bytes=16 * 1024)
 
 
