@@ -362,6 +362,15 @@ def cmd_corpus(args) -> int:
             f"over={r.overestimate}"
         )
 
+    print("\n## paraphrase pairs (embedding near-dup, lexically distinct)")
+    from dataset_dedupe_estimator_spark.queries.similarity import (
+        semantic_vs_lexical_pairs,
+    )
+
+    pp = semantic_vs_lexical_pairs(spark, args.sf_dir).collect()
+    n_para = sum(1 for r in pp if not r.lexical_dup)
+    print(f"pairs={len(pp)}  paraphrase-only={n_para}")
+
     print("\n## train/val/test split (hash-bucket 80/10/10) + leakage")
     from dataset_dedupe_estimator_spark.queries.splits import (
         cross_split_leakage,
