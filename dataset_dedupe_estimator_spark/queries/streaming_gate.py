@@ -251,9 +251,11 @@ def multimodal_pipeline_demo(spark, sf):
     synth blobs → header decode → features → per-kind summary, plus a
     REAL-codec leg: deterministic PNGs (operators/png_codec.py) flow
     through the same decode → resize → pixel-feature operators with
-    actual zlib/un-filter/resample work. Deterministic but not
-    SQL-expressible → rows-only check; JPEG/audio/video codecs remain
-    the documented stub seams."""
+    actual zlib/un-filter/resample work, and a REAL-audio leg:
+    deterministic PCM16 WAVs (stdlib wave writer) flow through the
+    RIFF-header decode and the windowed-RMS/ZCR feature extractor.
+    Deterministic but not SQL-expressible → rows-only check; JPEG
+    pixels and video codecs remain the documented stub seams."""
     from dataset_dedupe_estimator_spark.operators.multimodal import (
         MEDIA_DDL,
         decode_media,
@@ -304,6 +306,53 @@ def multimodal_pipeline_demo(spark, sf):
                 names=["media_id", "kind", "content", "meta"],
             )
 
+    def _wav_gen(batches):
+        import io
+        import wave as _wave
+
+        import numpy as np
+        import pyarrow as pa
+
+        from dataset_dedupe_estimator_spark.operators.multimodal import _META_PA
+
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            blobs = []
+            for i in ids:
+                t = np.arange(2048, dtype=np.float64)
+                freq = 200.0 + 50.0 * (i % 8)
+                pcm = (np.sin(2 * np.pi * freq * t / 8000.0) * 12000).astype("<i2")
+                buf = io.BytesIO()
+                with _wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(pcm.tobytes())
+                blobs.append(buf.getvalue())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(["wav"] * len(ids)),
+                    pa.array(blobs, pa.binary()),
+                    pa.array([{"width": None, "height": None, "sample_rate": None,
+                               "n_frames": None, "fmt": None}] * len(ids), _META_PA),
+                ],
+                names=["media_id", "kind", "content", "meta"],
+            )
+
+    wavs = decode_media(spark.range(30).mapInArrow(_wav_gen, MEDIA_DDL))
+    wav_feats = extract_features(wavs)
+    wav_row = (
+        wavs.select("media_id", "kind", "meta")
+        .join(wav_feats.select("media_id", F.col("feature")[0].alias("f0")), "media_id")
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.round(F.avg(F.coalesce(F.col("meta.width"), F.lit(0))), 2).alias("avg_width"),
+            F.round(F.sum("f0"), 4).alias("sum_f0"),
+        )
+    )
+
     pngs = resize_images(decode_media(spark.range(50).mapInArrow(_png_gen, MEDIA_DDL)), 6, 6)
     png_feats = extract_features(pngs)
     png_row = (
@@ -317,7 +366,7 @@ def multimodal_pipeline_demo(spark, sf):
         )
     )
     out = per_kind[0]
-    for df in [*per_kind[1:], png_row]:
+    for df in [*per_kind[1:], png_row, wav_row]:
         out = out.unionByName(df)
     return out.orderBy("kind")
 
