@@ -428,10 +428,76 @@ ORDER BY doc_id
 """
 
 
+
+def ngram_novelty(spark, sf):
+    """Cross-corpus novelty per source: the fraction of a source's
+    word-trigram shingles that occur in NO other document — high novelty
+    means fresh text, low means the source mostly restates the corpus
+    (complements repetition_stats, which is within-document, and
+    contamination_check, which is vs an eval set).
+
+    Exact arithmetic end-to-end: per-source totals are integer shingle
+    counts and the novelty ratio is a single division of two BIGINTs, so
+    the oracle comparison is float-stable.
+
+    Scale shape: one shuffle keyed on the shingle for the occurrence
+    count, one narrow shuffle on doc_id for the join back — the same
+    two-exchange family as tf-idf; no broadcast grows with the corpus.
+    """
+    from dataset_dedupe_estimator_spark.queries.dedupe_text import shingles_df
+
+    sh = shingles_df(spark, sf)
+    occ = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs_with"))
+    per_doc = (
+        sh.join(occ, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("n_docs_with") == 1).cast("long")).alias("n_unique"),
+        )
+    )
+    docs = load(spark, sf, "documents").select("doc_id", "source")
+    return (
+        per_doc.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_shingles").alias("total_shingles"),
+            F.sum("n_unique").alias("unique_shingles"),
+            F.round(
+                F.sum("n_unique").cast("double") / F.sum("n_shingles").cast("double"), 4
+            ).alias("novelty"),
+        )
+        .orderBy("source")
+    )
+
+
+def _ngram_novelty_sql() -> str:
+    from dataset_dedupe_estimator_spark.queries.dedupe_text import SHINGLES_CTE
+
+    return f"""
+WITH {SHINGLES_CTE},
+occ AS (SELECT shingle, COUNT(*) AS n_docs_with FROM shingles GROUP BY shingle),
+per_doc AS (
+  SELECT s.doc_id, COUNT(*) AS n_shingles,
+         CAST(SUM(CASE WHEN o.n_docs_with = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+  FROM shingles s JOIN occ o USING (shingle)
+  GROUP BY s.doc_id
+)
+SELECT d.source, COUNT(*) AS n_docs,
+       CAST(SUM(p.n_shingles) AS BIGINT) AS total_shingles,
+       CAST(SUM(p.n_unique) AS BIGINT) AS unique_shingles,
+       ROUND(CAST(SUM(p.n_unique) AS DOUBLE) / CAST(SUM(p.n_shingles) AS DOUBLE), 4) AS novelty
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
 QUERIES = {
     "unigram_surprisal": Q(unigram_surprisal, UNIGRAM_SURPRISAL_SQL),
     "charlm_familiarity": Q(charlm_familiarity, CHARLM_FAMILIARITY_SQL),
     "tfidf_top_terms": Q(tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
     "bloom_incremental_dedup": Q(bloom_incremental_dedup, BLOOM_INCREMENTAL_DEDUP_SQL),
     "source_overlap_minhash": Q(source_overlap_minhash, _source_overlap_sql()),
+    "ngram_novelty": Q(ngram_novelty, _ngram_novelty_sql()),
 }
