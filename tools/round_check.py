@@ -1,0 +1,128 @@
+"""Round-readiness battery: everything the round-end checklist runs, in
+one command, with a PASS/FAIL summary line per stage.
+
+Usage: python tools/round_check.py [--fast]
+
+Stages (``--fast`` runs only the first three):
+  1. pytest              — the full unit/integration suite
+  2. oracle gate         — tools/check_oracles.py over the whole registry
+                           (writes CORRECTNESS_LOCAL_r03.json)
+  3. driver smoke        — __spark_entry__.entry() returns rows at sf0.001
+  4. bench               — bench.py one-line JSON at sf0.1
+  5. stress battery      — estimate resync + index admission at 50 MB
+
+Exit code 0 only if every stage passes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _run(label: str, cmd: list[str], ok_fn) -> bool:
+    t0 = time.perf_counter()
+    proc = subprocess.run(
+        cmd, cwd=REPO, capture_output=True, text=True, timeout=3600
+    )
+    wall = time.perf_counter() - t0
+    ok, detail = ok_fn(proc)
+    print(f"{'PASS' if ok else 'FAIL'}  {label:<14} [{wall:6.1f}s]  {detail}")
+    if not ok and proc.stdout:
+        print(proc.stdout[-2000:])
+    if not ok and proc.stderr:
+        print(proc.stderr[-2000:])
+    return ok
+
+
+def main() -> int:
+    fast = "--fast" in sys.argv
+    results = []
+
+    def pytest_ok(p):
+        tail = (p.stdout or "").strip().splitlines()[-1:] or [""]
+        return p.returncode == 0, tail[0]
+
+    results.append(
+        _run("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"], pytest_ok)
+    )
+
+    def gate_ok(p):
+        for line in reversed((p.stdout or "").splitlines()):
+            if " ok, " in line and "failed" in line:
+                return ("0 failed" in line) and p.returncode == 0, line.strip()
+        return False, "no summary line"
+
+    results.append(
+        _run(
+            "oracle gate",
+            [
+                sys.executable,
+                "tools/check_oracles.py",
+                "--json",
+                "CORRECTNESS_LOCAL_r03.json",
+            ],
+            gate_ok,
+        )
+    )
+
+    def smoke_ok(p):
+        return p.returncode == 0, (p.stdout or "").strip().splitlines()[-1:][0] if p.stdout else ""
+
+    smoke_code = (
+        "import __spark_entry__ as e\n"
+        "from dataset_dedupe_estimator_spark import get_spark\n"
+        "s = get_spark(shuffle_partitions=8)\n"
+        "n = e.entry(s).count()\n"
+        "assert n > 0, n\n"
+        "print(f'entry rows={n}')\n"
+    )
+    results.append(
+        _run("driver smoke", [sys.executable, "-c", smoke_code], smoke_ok)
+    )
+
+    if not fast:
+
+        def bench_ok(p):
+            for line in (p.stdout or "").splitlines():
+                if line.startswith("{"):
+                    d = json.loads(line)
+                    return (
+                        p.returncode == 0 and d.get("value", 1e9) < 60,
+                        f"total={d.get('value')}s chunker={d.get('chunker_mb_s')}MB/s",
+                    )
+            return False, "no JSON line"
+
+        results.append(_run("bench", [sys.executable, "bench.py"], bench_ok))
+
+        def stress_ok(p):
+            out = p.stdout or ""
+            return p.returncode == 0, out.strip().splitlines()[-1:][0] if out else ""
+
+        results.append(
+            _run(
+                "stress estimate",
+                [sys.executable, "tools/stress_estimate.py", "50", "4"],
+                stress_ok,
+            )
+        )
+        results.append(
+            _run(
+                "stress index",
+                [sys.executable, "tools/stress_index.py", "50"],
+                stress_ok,
+            )
+        )
+
+    print("\n" + ("ALL GREEN" if all(results) else "FAILURES — see above"))
+    return 0 if all(results) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
