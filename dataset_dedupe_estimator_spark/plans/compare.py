@@ -41,6 +41,12 @@ class EstimationResult:
     group: str = ""
     xet_bytes: int = 0
     xet_dedup_ratio: float = 0.0
+    # rewrite throughput (BASELINE.md "Rewrite throughput" rows): wall
+    # seconds spent writing this (group, format)'s members and the
+    # derived files/sec. Wall time under the shared thread pool — the
+    # same measurement base as the reference's tqdm it/s logs.
+    write_seconds: float = 0.0
+    write_files_per_s: float = 0.0
 
 
 def _estimate_group(
@@ -84,16 +90,21 @@ def compare_formats_tables(
                 write_jobs.append((group, label, name, fmt, src))
 
     written: dict[tuple[str, str], list[str]] = {}
+    write_walls: dict[tuple[str, str], float] = {}
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
 
         def do_write(job):
+            import time as _time
+
             group, label, name, fmt, src = job
             out_dir = directory / group / label
+            t0 = _time.perf_counter()
             path = fmt.write(spark, name, src, out_dir)
-            return (group, label), str(path)
+            return (group, label), str(path), _time.perf_counter() - t0
 
-        for key, path in pool.map(do_write, write_jobs):
+        for key, path, wall in pool.map(do_write, write_jobs):
             written.setdefault(key, []).append(path)
+            write_walls[key] = write_walls.get(key, 0.0) + wall
 
         futures = [
             pool.submit(
@@ -101,7 +112,20 @@ def compare_formats_tables(
             )
             for (group, label), paths in sorted(written.items())
         ]
-        return [f.result() for f in futures]
+        out = []
+        for f in futures:
+            r = f.result()
+            wall = write_walls.get((r.group, r.format), 0.0)
+            from dataclasses import replace as _replace
+
+            out.append(
+                _replace(
+                    r,
+                    write_seconds=round(wall, 3),
+                    write_files_per_s=round(r.numfiles / wall, 2) if wall else 0.0,
+                )
+            )
+        return out
 
 
 def compare_formats(

@@ -70,13 +70,15 @@ def markdown_report(spark: SparkSession, results: DataFrame) -> str:
         if r.group != current_group:
             current_group = r.group
             lines.append(f"\n### {current_group or 'results'}\n")
-            lines.append("| format | files | total | unique | compressed | dedup ratio |")
-            lines.append("|---|---|---|---|---|---|")
+            lines.append("| format | files | total | unique | compressed | dedup ratio | write |")
+            lines.append("|---|---|---|---|---|---|---|")
         ratio = f"{r.dedup_ratio * 100:.0f}%"
         if r.is_best:
             ratio = f"**{ratio}**"
+        fps = getattr(r, "write_files_per_s", 0.0) or 0.0
+        write = f"{fps:.1f} files/s" if fps else "—"
         lines.append(
             f"| {r.format} | {r.numfiles} | {humanize(r.total_len)} | "
-            f"{humanize(r.chunk_bytes)} | {humanize(r.compressed_chunk_bytes)} | {ratio} |"
+            f"{humanize(r.chunk_bytes)} | {humanize(r.compressed_chunk_bytes)} | {ratio} | {write} |"
         )
     return "\n".join(lines)
