@@ -122,3 +122,34 @@ def test_cli_index_lifecycle(capsys, data_dir, spark, tmp_path):
     out = capsys.readouterr().out
     assert "gen 0:" in out and "gen 1:" in out and "generations=2" in out
     assert "transfer" in out
+
+
+def test_cli_events_report(capsys, spark):
+    rc = main(["events", "--sf-dir", "/root/testdata/sf0.001"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "conversion funnel" in out
+    assert "retention" in out
+    assert "sessions" in out
+
+
+def test_cli_compact(capsys, data_dir, spark, tmp_path):
+    src = tmp_path / "many"
+    src.mkdir()
+    df = spark.range(5000).selectExpr("id", "id * 3 AS v").repartition(8)
+    df.write.mode("overwrite").parquet(str(src))
+    rc = main(["compact", str(src), str(tmp_path / "few"), "--target-mb", "64"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "compacted" in out and "5000 rows" in out
+
+
+def test_cli_index_compact(capsys, data_dir, spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    assert main(["index", "build", idx, str(data_dir / "t1.parquet")]) == 0
+    assert main(["index", "update", idx, str(data_dir / "t2.parquet")]) == 0
+    assert main(["index", "compact", idx]) == 0
+    assert main(["index", "stats", idx]) == 0
+    out = capsys.readouterr().out
+    assert "compacted 2 generations" in out
+    assert "generations=3" in out
