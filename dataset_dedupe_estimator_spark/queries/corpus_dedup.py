@@ -275,9 +275,81 @@ FROM exploded GROUP BY seq_id ORDER BY seq_id
 """
 
 
+
+CHUNK_W = 64  # tokens per retrieval/training chunk
+CHUNK_S = 48  # stride (CHUNK_W - CHUNK_S = 16 tokens of overlap)
+
+
+def doc_chunk_windows(spark, sf):
+    """RAG/embedding-style document chunking: each document splits into
+    overlapping token windows of CHUNK_W tokens at stride CHUNK_S, the
+    unit a retrieval or long-context-training pipeline embeds. Output is
+    the chunk ledger (doc_id, chunk_idx, start/end token positions,
+    n_tokens, md5 of the chunk text for downstream chunk-level dedup).
+
+    Distinct from ``sequence_pack`` (cross-doc concatenation, no
+    overlap) and ``dedup_spans`` (disjoint spans, dedup-only).
+
+    Scale shape: map-only — tokens are split once per document and each
+    chunk is a slice() projection; the explode multiplies rows within
+    the partition, nothing shuffles (the final ORDER BY is the oracle
+    contract, not the pipeline's)."""
+    docs = load(spark, sf, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    n_chunks = F.when(
+        F.size("t") <= CHUNK_W, F.lit(1)
+    ).otherwise(
+        F.ceil((F.size("t") - F.lit(CHUNK_W)) / F.lit(CHUNK_S)).cast("int") + 1
+    )
+    chunked = toks.select(
+        "doc_id",
+        "t",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "_i"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        (F.col("chunk_idx") * CHUNK_S).alias("start_tok"),
+        F.least(F.col("chunk_idx") * CHUNK_S + CHUNK_W, F.size("t")).alias("end_tok"),
+        F.slice(F.col("t"), F.col("chunk_idx") * CHUNK_S + 1, F.lit(CHUNK_W)).alias("ctoks"),
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        "end_tok",
+        (F.col("end_tok") - F.col("start_tok")).alias("n_tokens"),
+        F.md5(F.array_join("ctoks", " ").cast("binary")).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+DOC_CHUNK_WINDOWS_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+counted AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) <= {CHUNK_W} THEN 1
+              ELSE CAST(CEIL((len(t) - {CHUNK_W}) * 1.0 / {CHUNK_S}) AS INT) + 1
+         END AS n_chunks
+  FROM toks
+),
+chunked AS (
+  SELECT doc_id,
+         CAST(u.i AS INT) AS chunk_idx,
+         CAST(u.i * {CHUNK_S} AS BIGINT) AS start_tok,
+         CAST(LEAST(u.i * {CHUNK_S} + {CHUNK_W}, len(t)) AS BIGINT) AS end_tok,
+         t[u.i * {CHUNK_S} + 1 : u.i * {CHUNK_S} + {CHUNK_W}] AS ctoks
+  FROM counted, UNNEST(range(0, n_chunks)) AS u(i)
+)
+SELECT doc_id, chunk_idx, start_tok, end_tok,
+       end_tok - start_tok AS n_tokens,
+       md5(array_to_string(ctoks, ' ')) AS chunk_hash
+FROM chunked ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERIES = {
     "dedup_keep_first_pruned": Q(dedup_keep_first_pruned, DEDUP_KEEP_FIRST_PRUNED_SQL),
     "dedup_spans": Q(dedup_spans, DEDUP_SPANS_SQL),
     "mixture_sample": Q(mixture_sample, MIXTURE_SAMPLE_SQL),
     "sequence_pack": Q(sequence_pack, SEQUENCE_PACK_SQL),
+    "doc_chunk_windows": Q(doc_chunk_windows, DOC_CHUNK_WINDOWS_SQL),
 }
