@@ -11,10 +11,12 @@ stdlib zlib + native un-filter kernel, operators/png_codec.py — no
 imaging library needed); **JPEG and WAV header metadata is REAL**
 (marker/RIFF-chunk walks, ``jpeg_meta``/``wav_meta`` below), so
 ``decode_media`` fills width/height/sample_rate on real camera/web
-bytes. Entropy-coded JPEG pixel decode and audio sample decode are
-STUBBED behind labeled ``NotImplementedError`` seams (no codec
-libraries in this container), with a deterministic fake format
-(``FAKE`` header + counter-based payload) exercising every code path.
+bytes; **PCM16 WAV decode/features/resample is REAL** (``wav_samples``,
+RMS/ZCR features, linear-interpolation ``resample_audio`` — PCM needs
+no codec library). Entropy-coded JPEG pixels, non-PCM audio, and video
+containers stay behind labeled ``NotImplementedError`` seams, with a
+deterministic fake format (``FAKE`` header + counter-based payload)
+exercising every code path.
 
 Scale notes: media blobs never shuffle — every operator is a narrow
 map; fan-outs (frame sampling) multiply rows within a partition.
@@ -114,7 +116,9 @@ def wav_samples(content: bytes):
     Pure stdlib/numpy: the RIFF walk of ``wav_meta`` plus a
     ``np.frombuffer`` over the data chunk — PCM needs no codec library.
     Compressed WAV (ADPCM, float, mu-law: fmt tag != 1 or bits != 16)
-    raises a labeled error (that seam would need an audio library)."""
+    raises a labeled error (that seam would need an audio library).
+    Downstream consumers: ``extract_features`` (RMS/ZCR/energy
+    histogram) and ``resample_audio`` (linear-interp rate change)."""
     import numpy as np
 
     i, n = 12, len(content)
@@ -367,6 +371,73 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
             )
 
     return df.mapInArrow(resize, MEDIA_DDL)
+
+
+def resample_audio(df: DataFrame, target_rate: int) -> DataFrame:
+    """Audio resample to ``target_rate`` Hz. PCM16 WAV: REAL — decode
+    (``wav_samples``), linear-interpolate each channel on the new time
+    grid, re-encode WAV (all stdlib/numpy; the audio analogue of the PNG
+    resize path). FAKE audio: metadata-only rate swap on the fake
+    payload. Other formats raise at the labeled codec seam."""
+
+    def resample(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import io
+        import wave as _wave
+
+        for batch in batches:
+            contents, metas = [], []
+            for content, meta in zip(
+                batch.column("content").to_pylist(), batch.column("meta").to_pylist()
+            ):
+                if is_wav(content):
+                    pcm = wav_samples(content)
+                    rate, _frames = wav_meta(content)
+                    n_in = pcm.shape[0]
+                    n_out = max(1, int(round(n_in * target_rate / rate)))
+                    # linear interpolation per channel on the new grid
+                    x_out = np.linspace(0.0, n_in - 1, n_out)
+                    x_in = np.arange(n_in)
+                    chans = [
+                        np.interp(x_out, x_in, pcm[:, c].astype(np.float64))
+                        for c in range(pcm.shape[1])
+                    ]
+                    out_pcm = (
+                        np.stack(chans, axis=1).round().clip(-32768, 32767).astype("<i2")
+                    )
+                    buf = io.BytesIO()
+                    with _wave.open(buf, "wb") as w:
+                        w.setnchannels(out_pcm.shape[1])
+                        w.setsampwidth(2)
+                        w.setframerate(target_rate)
+                        w.writeframes(out_pcm.tobytes())
+                    contents.append(buf.getvalue())
+                    metas.append(
+                        {**meta, "sample_rate": target_rate, "n_frames": n_out, "fmt": "wav"}
+                    )
+                    continue
+                if content.startswith(MAGIC) and content[4:5] == b"a":
+                    # fake audio packs (0, sample_rate, 0): rate-field swap
+                    k = content[:5]
+                    a, _b, c = struct.unpack("<iii", content[5:17])
+                    contents.append(
+                        k + struct.pack("<iii", a, target_rate, c) + content[17:]
+                    )
+                    metas.append({**meta, "sample_rate": target_rate})
+                    continue
+                raise NotImplementedError(
+                    "real non-WAV audio resample requires an audio library (stub seam)"
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("media_id"),
+                    batch.column("kind"),
+                    pa.array(contents, pa.binary()),
+                    pa.array(metas, _META_PA),
+                ],
+                names=["media_id", "kind", "content", "meta"],
+            )
+
+    return df.mapInArrow(resample, MEDIA_DDL)
 
 
 def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:

@@ -297,3 +297,58 @@ def test_extract_features_real_wav(spark):
     assert feats[1][0] > 0.0
     assert len(feats[1]) == 16
     assert not np.isnan(feats[1]).any()
+
+
+def test_resample_audio_real_wav(spark):
+    import io
+    import wave
+
+    import numpy as np
+
+    from dataset_dedupe_estimator_spark.operators.multimodal import (
+        resample_audio,
+        wav_meta,
+        wav_samples,
+    )
+
+    t = np.arange(8000, dtype=np.float64)
+    pcm = (np.sin(2 * np.pi * 440 * t / 16000) * 20000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+    ddl = (
+        "media_id long, kind string, content binary, "
+        "meta struct<width: int, height: int, sample_rate: int, n_frames: int, fmt: string>"
+    )
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(buf.getvalue()), (None, None, 16000, 8000, "wav"))], ddl
+    )
+    out = resample_audio(df, 8000).collect()[0]
+    blob = bytes(out.content)
+    assert wav_meta(blob) == (8000, 4000)
+    assert out.meta.sample_rate == 8000 and out.meta.n_frames == 4000
+    down = wav_samples(blob)[:, 0]
+    # a 440 Hz tone survives 2x downsampling: same dominant frequency bin
+    spec = np.abs(np.fft.rfft(down.astype(np.float64)))
+    peak_hz = np.argmax(spec[1:]) + 1  # bins are 2 Hz here (4000 samples @ 8 kHz)
+    assert abs(peak_hz * 2 - 440) <= 4
+
+
+def test_resample_audio_fake_rate_swap(spark):
+    from dataset_dedupe_estimator_spark.operators.multimodal import (
+        decode_media,
+        resample_audio,
+        synth_media,
+    )
+
+    media = decode_media(synth_media(spark, 5, "audio"))
+    out = resample_audio(media, 22050).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r.meta.sample_rate == 22050
+    # re-decoding the rewritten blob reads the new rate back
+    redecoded = decode_media(resample_audio(media, 22050)).collect()
+    assert all(r.meta.sample_rate == 22050 for r in redecoded)
