@@ -189,6 +189,72 @@ MH_A = [int(x) for x in _mh_rng.integers(1, MH_P, N_MINHASH)]
 MH_B = [int(x) for x in _mh_rng.integers(0, MH_P, N_MINHASH)]
 
 
+
+CONTAIN_T = 0.6  # report pairs where the smaller doc is ≥60% contained
+
+
+def ngram_containment_pairs(spark, sf):
+    """Asymmetric containment: |A∩B| / min(|A|, |B|) over shingle sets.
+
+    Jaccard under-scores a short document embedded in a long one (the
+    quote / excerpt / wrapped-repost case): a 50-shingle doc fully
+    inside a 1000-shingle doc has Jaccard ≈ 0.05 but containment 1.0.
+    Reports pairs whose smaller side is ≥ CONTAIN_T contained, with
+    both the containment and the Jaccard for contrast. Exact integer
+    counts → deterministic ratios; same single shingle-equi-join shape
+    as the Jaccard query (never all-pairs).
+    """
+    sh = shingles_df(spark, sf)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    containment = F.col("n_inter").cast("double") / F.least("size_a", "size_b").cast(
+        "double"
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(containment, 4).alias("containment"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= CONTAIN_T)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+NGRAM_CONTAINMENT_SQL = f"""
+WITH {SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_inter AS DOUBLE) / CAST(LEAST(sa.n_shingles, sb.n_shingles) AS DOUBLE), 4) AS containment,
+       ROUND(CAST(n_inter AS DOUBLE) / CAST(sa.n_shingles + sb.n_shingles - n_inter AS DOUBLE), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(LEAST(sa.n_shingles, sb.n_shingles) AS DOUBLE) >= {CONTAIN_T}
+ORDER BY doc_a, doc_b
+"""
+
+
 def _minhash_sig(spark, sf):
     """Unsorted signature plan — composition building block (the banding
     query must not inherit a global sort)."""
@@ -743,6 +809,7 @@ QUERIES = {
     "dedup_fingerprint_groups": Q(dedup_fingerprint_groups, DEDUP_FP_SQL),
     "dedup_keep_first": Q(dedup_keep_first, DEDUP_KEEP_FIRST_SQL, headline=True),
     "ngram_jaccard_pairs": Q(ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
+    "ngram_containment_pairs": Q(ngram_containment_pairs, NGRAM_CONTAINMENT_SQL),
     "minhash_signatures": Q(minhash_signatures, MINHASH_SIG_SQL),
     "minhash_lsh_candidates": Q(minhash_lsh_candidates, MINHASH_LSH_SQL, headline=True),
     "simhash_signatures": Q(simhash_signatures, SIMHASH_SQL),
