@@ -1,0 +1,89 @@
+"""Declarative data-quality constraints (Deequ-style) compiled to ONE
+aggregate pass per table.
+
+A training-data pipeline gates ingestion on constraints — non-null
+keys, value ranges, enum membership, uniqueness — and needs the
+violation counts, not a boolean. Each ``Check`` compiles to a
+conditional-sum expression; all checks on a table share a single scan
+and a single (tiny) aggregate row, so a 50-constraint suite costs the
+same one pass as a count(*).
+
+Scale shape: violations are SUM(CASE WHEN …) map-side partial
+aggregates — zero extra shuffles beyond the one-row agg; ``unique``
+uses COUNT - COUNT(DISTINCT), the only check that shuffles (on the
+checked column), and is flagged so callers can skip it on petabyte
+fact tables in favor of the digest-dedup operators.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """One constraint on one column. kind ∈ {not_null, min, max, in_set,
+    matches, unique}; params carries the bound / allowed set / regex."""
+
+    column: str
+    kind: str
+    params: tuple = field(default_factory=tuple)
+
+    @property
+    def check_id(self) -> str:
+        extra = f"({','.join(map(str, self.params))})" if self.params else ""
+        return f"{self.column}:{self.kind}{extra}"
+
+    def violation_expr(self) -> Column:
+        c = F.col(self.column)
+        if self.kind == "not_null":
+            cond = c.isNull()
+        elif self.kind == "min":
+            cond = c < F.lit(self.params[0])
+        elif self.kind == "max":
+            cond = c > F.lit(self.params[0])
+        elif self.kind == "in_set":
+            cond = ~c.isin(list(self.params))
+        elif self.kind == "matches":
+            cond = ~c.rlike(self.params[0])
+        elif self.kind == "unique":
+            raise ValueError("unique compiles separately (needs a distinct count)")
+        else:
+            raise ValueError(f"unknown check kind {self.kind!r}")
+        # NULL comparisons: a NULL value only violates not_null
+        if self.kind != "not_null":
+            cond = cond & c.isNotNull()
+        return F.sum(cond.cast("long"))
+
+
+def run_checks(df: DataFrame, table: str, checks: list[Check]) -> DataFrame:
+    """(table, check_id, n_rows, n_violations, passed) — one scan for all
+    non-unique checks + one distinct-agg per ``unique`` check."""
+    plain = [c for c in checks if c.kind != "unique"]
+    uniques = [c for c in checks if c.kind == "unique"]
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        c.violation_expr().alias(f"__v{i}") for i, c in enumerate(plain)
+    ]
+    for j, c in enumerate(uniques):
+        aggs.append(
+            (F.count(c.column) - F.countDistinct(c.column)).alias(f"__u{j}")
+        )
+    row = df.agg(*aggs)
+    selects = []
+    for i, c in enumerate(plain):
+        selects.append((c.check_id, f"__v{i}"))
+    for j, c in enumerate(uniques):
+        selects.append((c.check_id, f"__u{j}"))
+    out = None
+    for check_id, col in selects:
+        one = row.select(
+            F.lit(table).alias("table_name"),
+            F.lit(check_id).alias("check_id"),
+            F.col("__n").alias("n_rows"),
+            F.coalesce(F.col(col), F.lit(0)).alias("n_violations"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.withColumn("passed", F.col("n_violations") == 0)

@@ -444,8 +444,91 @@ ORDER BY o_custkey, o_day, o_orderkey
 """
 
 
+
+def data_quality_report(spark, sf):
+    """Deequ-style constraint suite over four tables, one aggregate scan
+    per table (operators/quality_checks.py). The n_chars max(300) check
+    FAILS by design on this corpus (long documents exist) — the report
+    carries violation counts, not a boolean gate.
+
+    Scale: every non-unique check is a conditional map-side partial sum
+    folded into one tiny agg row per table; the single ``unique`` check
+    (doc_id) shuffles once on that column."""
+    from dataset_dedupe_estimator_spark.operators.quality_checks import (
+        Check,
+        run_checks,
+    )
+
+    suites = [
+        (
+            "lineitem",
+            [
+                Check("l_quantity", "min", (1,)),
+                Check("l_quantity", "max", (50,)),
+                Check("l_extendedprice", "min", (0,)),
+                Check("l_orderkey", "not_null"),
+            ],
+        ),
+        (
+            "orders",
+            [Check("o_totalprice", "min", (0,)), Check("o_custkey", "not_null")],
+        ),
+        (
+            "documents",
+            [
+                Check("lang", "in_set", ("en", "de", "fr", "es", "zh")),
+                Check("lang", "matches", ("^[a-z]{2}$",)),
+                Check("n_chars", "max", (300,)),
+                Check("doc_id", "unique"),
+            ],
+        ),
+        (
+            "events",
+            [
+                Check(
+                    "event_type",
+                    "in_set",
+                    ("view", "click", "signup", "purchase", "error"),
+                ),
+                Check("value", "min", (0,)),
+            ],
+        ),
+    ]
+    out = None
+    for table, checks in suites:
+        part = run_checks(load(spark, sf, table), table, checks)
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("table_name", "check_id")
+
+
+def _dq_sql() -> str:
+    rows = [
+        ("lineitem", "l_quantity:min(1)", "SUM(CASE WHEN l_quantity < 1 AND l_quantity IS NOT NULL THEN 1 ELSE 0 END)"),
+        ("lineitem", "l_quantity:max(50)", "SUM(CASE WHEN l_quantity > 50 AND l_quantity IS NOT NULL THEN 1 ELSE 0 END)"),
+        ("lineitem", "l_extendedprice:min(0)", "SUM(CASE WHEN l_extendedprice < 0 AND l_extendedprice IS NOT NULL THEN 1 ELSE 0 END)"),
+        ("lineitem", "l_orderkey:not_null", "SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)"),
+        ("orders", "o_totalprice:min(0)", "SUM(CASE WHEN o_totalprice < 0 AND o_totalprice IS NOT NULL THEN 1 ELSE 0 END)"),
+        ("orders", "o_custkey:not_null", "SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)"),
+        ("documents", "lang:in_set(en,de,fr,es,zh)", "SUM(CASE WHEN lang NOT IN ('en','de','fr','es','zh') AND lang IS NOT NULL THEN 1 ELSE 0 END)"),
+        ("documents", "lang:matches(^[a-z]{2}$)", "SUM(CASE WHEN NOT regexp_matches(lang, '^[a-z]{2}$') AND lang IS NOT NULL THEN 1 ELSE 0 END)"),
+        ("documents", "n_chars:max(300)", "SUM(CASE WHEN n_chars > 300 AND n_chars IS NOT NULL THEN 1 ELSE 0 END)"),
+        ("documents", "doc_id:unique", "COUNT(doc_id) - COUNT(DISTINCT doc_id)"),
+        ("events", "event_type:in_set(view,click,signup,purchase,error)", "SUM(CASE WHEN event_type NOT IN ('view','click','signup','purchase','error') AND event_type IS NOT NULL THEN 1 ELSE 0 END)"),
+        ("events", "value:min(0)", "SUM(CASE WHEN value < 0 AND value IS NOT NULL THEN 1 ELSE 0 END)"),
+    ]
+    selects = [
+        f"""SELECT '{t}' AS table_name, '{cid}' AS check_id,
+       COUNT(*) AS n_rows, CAST(COALESCE({expr}, 0) AS BIGINT) AS n_violations,
+       COALESCE({expr}, 0) = 0 AS passed
+FROM {t}"""
+        for t, cid, expr in rows
+    ]
+    return "\nUNION ALL\n".join(selects) + "\nORDER BY table_name, check_id"
+
+
 QUERIES = {
     "salted_agg_lineitem": Q(salted_agg_lineitem, SALTED_AGG_SQL),
+    "data_quality_report": Q(data_quality_report, _dq_sql()),
     "grouping_sets_revenue": Q(grouping_sets_revenue, GROUPING_SETS_SQL),
     "trailing_window_revenue": Q(trailing_window_revenue, TRAILING_WINDOW_SQL),
     "asof_prev_order": Q(asof_prev_order, ASOF_SQL),
