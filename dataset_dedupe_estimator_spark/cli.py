@@ -512,6 +512,22 @@ def cmd_index(args) -> int:
     return 0
 
 
+def cmd_quality(args) -> int:
+    """`de quality`: data-quality constraint report over a testdata
+    directory (operators/quality_checks.py suite)."""
+    from dataset_dedupe_estimator_spark.queries.advanced import data_quality_report
+
+    spark = _spark(args)
+    rows = data_quality_report(spark, args.sf_dir).collect()
+    n_fail = 0
+    for r in rows:
+        mark = "ok " if r.passed else "FAIL"
+        n_fail += 0 if r.passed else 1
+        print(f"{mark}  {r.table_name:>10}.{r.check_id:<44} violations={r.n_violations}/{r.n_rows}")
+    print(f"\n{len(rows) - n_fail}/{len(rows)} constraints hold")
+    return 0 if args.allow_violations or n_fail == 0 else 1
+
+
 def cmd_delta(args) -> int:
     """`de delta --old ... --new ...`: chunk-level upload-delta estimate —
     bytes each new file must transfer given the old snapshot's chunks
@@ -664,6 +680,14 @@ def build_parser() -> argparse.ArgumentParser:
     dl.add_argument("--old", nargs="+", required=True, help="old snapshot files/globs")
     dl.add_argument("--new", nargs="+", required=True, help="new snapshot files/globs")
     dl.set_defaults(fn=cmd_delta)
+
+    qu = sub.add_parser("quality", help="data-quality constraint report")
+    qu.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+    )
+    qu.add_argument("--allow-violations", action="store_true")
+    qu.set_defaults(fn=cmd_quality)
 
     ix = sub.add_parser("index", help="persistent chunk-hash dedup index")
     ix.add_argument("action", choices=["build", "update", "stats", "compact"])

@@ -153,3 +153,12 @@ def test_cli_index_compact(capsys, data_dir, spark, tmp_path):
     out = capsys.readouterr().out
     assert "compacted 2 generations" in out
     assert "generations=3" in out
+
+
+def test_cli_quality_report(capsys, spark):
+    rc = main(["quality", "--sf-dir", "/root/testdata/sf0.001", "--allow-violations"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "constraints hold" in out and "FAIL" in out  # n_chars:max(300) fails by design
+    # without the flag the failing constraint gates the exit code
+    assert main(["quality", "--sf-dir", "/root/testdata/sf0.001"]) == 1
