@@ -87,3 +87,45 @@ def run_checks(df: DataFrame, table: str, checks: list[Check]) -> DataFrame:
         )
         out = one if out is None else out.unionByName(one)
     return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+def profile_columns(df: DataFrame, table: str) -> DataFrame:
+    """Per-column profile: nulls, exact distinct count, lexicographic
+    min/max (string-cast: binary collation, identical in Spark and
+    DuckDB), and average string length — the what-is-in-this-table scan
+    run before writing constraints.
+
+    Scale: the null/len sums fold into ONE aggregate row; each exact
+    COUNT(DISTINCT) adds a per-column shuffle — at petabyte scale swap
+    in approx_count_distinct (documented trade: ±2%, zero extra
+    shuffles, but no longer oracle-comparable)."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(df.columns):
+        col = F.col(c)
+        s = col.cast("string")
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"__null{i}"),
+            F.countDistinct(col).alias(f"__dist{i}"),
+            F.min(s).alias(f"__min{i}"),
+            F.max(s).alias(f"__max{i}"),
+            F.sum(F.coalesce(F.length(s), F.lit(0)).cast("long")).alias(f"__len{i}"),
+        ]
+    row = df.agg(*aggs)
+    out = None
+    for i, c in enumerate(df.columns):
+        one = row.select(
+            F.lit(table).alias("table_name"),
+            F.lit(c).alias("column_name"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__null{i}").alias("n_null"),
+            F.col(f"__dist{i}").alias("n_distinct"),
+            F.col(f"__min{i}").alias("min_value"),
+            F.col(f"__max{i}").alias("max_value"),
+            F.round(
+                F.col(f"__len{i}").cast("double")
+                / F.greatest(F.col("__n") - F.col(f"__null{i}"), F.lit(1)).cast("double"),
+                2,
+            ).alias("avg_len"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out

@@ -526,9 +526,42 @@ FROM {t}"""
     return "\nUNION ALL\n".join(selects) + "\nORDER BY table_name, check_id"
 
 
+
+def profile_documents(spark, sf):
+    """Column profile of ``documents`` (operators/quality_checks.py:
+    profile_columns): nulls, exact distinct counts, lexicographic
+    min/max, average value length — one agg row + one distinct-agg per
+    column."""
+    from dataset_dedupe_estimator_spark.operators.quality_checks import (
+        profile_columns,
+    )
+
+    return profile_columns(load(spark, sf, "documents"), "documents").orderBy(
+        "column_name"
+    )
+
+
+def _profile_sql() -> str:
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    selects = [
+        f"""SELECT 'documents' AS table_name, '{c}' AS column_name,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       MIN(CAST({c} AS VARCHAR)) AS min_value,
+       MAX(CAST({c} AS VARCHAR)) AS max_value,
+       ROUND(CAST(SUM(COALESCE(length(CAST({c} AS VARCHAR)), 0)) AS DOUBLE)
+             / GREATEST(COUNT(*) - SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), 1), 2) AS avg_len
+FROM documents"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(selects) + "\nORDER BY column_name"
+
+
 QUERIES = {
     "salted_agg_lineitem": Q(salted_agg_lineitem, SALTED_AGG_SQL),
     "data_quality_report": Q(data_quality_report, _dq_sql()),
+    "profile_documents": Q(profile_documents, _profile_sql()),
     "grouping_sets_revenue": Q(grouping_sets_revenue, GROUPING_SETS_SQL),
     "trailing_window_revenue": Q(trailing_window_revenue, TRAILING_WINDOW_SQL),
     "asof_prev_order": Q(asof_prev_order, ASOF_SQL),

@@ -48,3 +48,15 @@ def test_all_checks_share_one_aggregate(spark, messy):
 def test_unknown_kind_raises(spark, messy):
     with pytest.raises(ValueError, match="unknown check kind"):
         run_checks(messy, "messy", [Check("v", "median")]).collect()
+
+
+def test_profile_columns(spark, messy):
+    from dataset_dedupe_estimator_spark.operators.quality_checks import profile_columns
+
+    rows = {r.column_name: r for r in profile_columns(messy, "messy").collect()}
+    assert set(rows) == {"id", "v", "lang"}
+    assert rows["id"].n_rows == 4 and rows["id"].n_null == 0
+    assert rows["id"].n_distinct == 3  # 1, 2, 4 (2 repeats)
+    assert rows["v"].n_null == 1 and rows["v"].n_distinct == 3
+    assert rows["lang"].min_value == "en" and rows["lang"].max_value == "xx"
+    assert rows["lang"].avg_len == 2.0  # over non-null values
