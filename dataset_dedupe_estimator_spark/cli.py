@@ -367,9 +367,11 @@ def cmd_corpus(args) -> int:
         semantic_vs_lexical_pairs,
     )
 
-    pp = semantic_vs_lexical_pairs(spark, args.sf_dir).collect()
-    n_para = sum(1 for r in pp if not r.lexical_dup)
-    print(f"pairs={len(pp)}  paraphrase-only={n_para}")
+    pstats = semantic_vs_lexical_pairs(spark, args.sf_dir).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((~F.col("lexical_dup")).cast("long")).alias("n_para"),
+    ).collect()[0]
+    print(f"pairs={pstats.n}  paraphrase-only={pstats.n_para or 0}")
 
     print("\n## train/val/test split (hash-bucket 80/10/10) + leakage")
     from dataset_dedupe_estimator_spark.queries.splits import (

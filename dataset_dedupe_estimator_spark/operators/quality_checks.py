@@ -62,6 +62,8 @@ class Check:
 def run_checks(df: DataFrame, table: str, checks: list[Check]) -> DataFrame:
     """(table, check_id, n_rows, n_violations, passed) — one scan for all
     non-unique checks + one distinct-agg per ``unique`` check."""
+    if not checks:
+        raise ValueError("run_checks needs at least one Check")
     plain = [c for c in checks if c.kind != "unique"]
     uniques = [c for c in checks if c.kind == "unique"]
     aggs = [F.count(F.lit(1)).alias("__n")] + [
@@ -72,21 +74,31 @@ def run_checks(df: DataFrame, table: str, checks: list[Check]) -> DataFrame:
             (F.count(c.column) - F.countDistinct(c.column)).alias(f"__u{j}")
         )
     row = df.agg(*aggs)
-    selects = []
-    for i, c in enumerate(plain):
-        selects.append((c.check_id, f"__v{i}"))
-    for j, c in enumerate(uniques):
-        selects.append((c.check_id, f"__u{j}"))
-    out = None
-    for check_id, col in selects:
-        one = row.select(
+    selects = [(c.check_id, f"__v{i}") for i, c in enumerate(plain)] + [
+        (c.check_id, f"__u{j}") for j, c in enumerate(uniques)
+    ]
+    # one row per check via explode over the single agg row — one
+    # computed aggregate BY CONSTRUCTION (not by ReuseExchange), plan
+    # size O(1) in the number of checks
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(check_id).alias("check_id"),
+                F.coalesce(F.col(col), F.lit(0)).alias("n_violations"),
+            )
+            for check_id, col in selects
+        ]
+    )
+    return (
+        row.select(F.col("__n").alias("n_rows"), F.explode(entries).alias("e"))
+        .select(
             F.lit(table).alias("table_name"),
-            F.lit(check_id).alias("check_id"),
-            F.col("__n").alias("n_rows"),
-            F.coalesce(F.col(col), F.lit(0)).alias("n_violations"),
+            F.col("e.check_id").alias("check_id"),
+            "n_rows",
+            F.col("e.n_violations").alias("n_violations"),
         )
-        out = one if out is None else out.unionByName(one)
-    return out.withColumn("passed", F.col("n_violations") == 0)
+        .withColumn("passed", F.col("n_violations") == 0)
+    )
 
 
 def profile_columns(df: DataFrame, table: str) -> DataFrame:
@@ -110,22 +122,35 @@ def profile_columns(df: DataFrame, table: str) -> DataFrame:
             F.max(s).alias(f"__max{i}"),
             F.sum(F.coalesce(F.length(s), F.lit(0)).cast("long")).alias(f"__len{i}"),
         ]
+    if not df.columns:
+        raise ValueError("profile_columns needs at least one column")
     row = df.agg(*aggs)
-    out = None
-    for i, c in enumerate(df.columns):
-        one = row.select(
-            F.lit(table).alias("table_name"),
-            F.lit(c).alias("column_name"),
-            F.col("__n").alias("n_rows"),
-            F.col(f"__null{i}").alias("n_null"),
-            F.col(f"__dist{i}").alias("n_distinct"),
-            F.col(f"__min{i}").alias("min_value"),
-            F.col(f"__max{i}").alias("max_value"),
-            F.round(
-                F.col(f"__len{i}").cast("double")
-                / F.greatest(F.col("__n") - F.col(f"__null{i}"), F.lit(1)).cast("double"),
-                2,
-            ).alias("avg_len"),
-        )
-        out = one if out is None else out.unionByName(one)
-    return out
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"__null{i}").alias("n_null"),
+                F.col(f"__dist{i}").alias("n_distinct"),
+                F.col(f"__min{i}").alias("min_value"),
+                F.col(f"__max{i}").alias("max_value"),
+                F.round(
+                    F.col(f"__len{i}").cast("double")
+                    / F.greatest(
+                        F.col("__n") - F.col(f"__null{i}"), F.lit(1)
+                    ).cast("double"),
+                    2,
+                ).alias("avg_len"),
+            )
+            for i, c in enumerate(df.columns)
+        ]
+    )
+    return row.select(F.col("__n").alias("n_rows"), F.explode(entries).alias("e")).select(
+        F.lit(table).alias("table_name"),
+        F.col("e.column_name").alias("column_name"),
+        "n_rows",
+        F.col("e.n_null").alias("n_null"),
+        F.col("e.n_distinct").alias("n_distinct"),
+        F.col("e.min_value").alias("min_value"),
+        F.col("e.max_value").alias("max_value"),
+        F.col("e.avg_len").alias("avg_len"),
+    )

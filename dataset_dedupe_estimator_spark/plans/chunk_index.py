@@ -232,7 +232,7 @@ def compact_index(spark: SparkSession, index_dir: str | Path, files_out: int | N
         bytes_live = sum(
             f.stat().st_size for d in live for f in Path(d).glob("*.parquet")
         )
-        files_out = max(1, bytes_live // (128 << 20))
+        files_out = max(1, -(-bytes_live // (128 << 20)))
     spark.read.parquet(*live).coalesce(int(files_out)).write.parquet(str(out))
     n_chunks = spark.read.parquet(str(out)).count()
     meta["generations"] = gen + 1

@@ -41,10 +41,13 @@ class EstimationResult:
     group: str = ""
     xet_bytes: int = 0
     xet_dedup_ratio: float = 0.0
-    # rewrite throughput (BASELINE.md "Rewrite throughput" rows): wall
-    # seconds spent writing this (group, format)'s members and the
-    # derived files/sec. Wall time under the shared thread pool — the
-    # same measurement base as the reference's tqdm it/s logs.
+    # rewrite throughput (BASELINE.md "Rewrite throughput" rows):
+    # write_seconds sums each member's own write wall under the SHARED
+    # thread pool, so concurrent jobs inflate one another — files/sec is
+    # a per-writer LOWER BOUND, comparable across formats only within a
+    # single run's fixed contender set (the reference's tqdm it/s is the
+    # sequential analogue; run max_workers=1 for directly comparable
+    # numbers).
     write_seconds: float = 0.0
     write_files_per_s: float = 0.0
 

@@ -26,13 +26,25 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _last_line(text: str) -> str:
+    lines = (text or "").strip().splitlines()
+    return lines[-1] if lines else ""
+
+
 def _run(label: str, cmd: list[str], ok_fn) -> bool:
     t0 = time.perf_counter()
-    proc = subprocess.run(
-        cmd, cwd=REPO, capture_output=True, text=True, timeout=3600
-    )
+    try:
+        proc = subprocess.run(
+            cmd, cwd=REPO, capture_output=True, text=True, timeout=3600
+        )
+    except subprocess.TimeoutExpired:
+        print(f"FAIL  {label:<14} [3600.0s]  timed out")
+        return False
     wall = time.perf_counter() - t0
-    ok, detail = ok_fn(proc)
+    try:
+        ok, detail = ok_fn(proc)
+    except Exception as exc:  # a malformed stage output is a FAIL, not a crash
+        ok, detail = False, f"summary parse error: {exc!r}"
     print(f"{'PASS' if ok else 'FAIL'}  {label:<14} [{wall:6.1f}s]  {detail}")
     if not ok and proc.stdout:
         print(proc.stdout[-2000:])
@@ -46,8 +58,7 @@ def main() -> int:
     results = []
 
     def pytest_ok(p):
-        tail = (p.stdout or "").strip().splitlines()[-1:] or [""]
-        return p.returncode == 0, tail[0]
+        return p.returncode == 0, _last_line(p.stdout)
 
     results.append(
         _run("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"], pytest_ok)
@@ -73,7 +84,7 @@ def main() -> int:
     )
 
     def smoke_ok(p):
-        return p.returncode == 0, (p.stdout or "").strip().splitlines()[-1:][0] if p.stdout else ""
+        return p.returncode == 0, _last_line(p.stdout)
 
     smoke_code = (
         "import __spark_entry__ as e\n"
@@ -102,8 +113,7 @@ def main() -> int:
         results.append(_run("bench", [sys.executable, "bench.py"], bench_ok))
 
         def stress_ok(p):
-            out = p.stdout or ""
-            return p.returncode == 0, out.strip().splitlines()[-1:][0] if out else ""
+            return p.returncode == 0, _last_line(p.stdout)
 
         results.append(
             _run(
