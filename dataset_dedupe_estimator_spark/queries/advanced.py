@@ -558,8 +558,84 @@ FROM documents"""
     return "\nUNION ALL\n".join(selects) + "\nORDER BY column_name"
 
 
+def fuzzy_match_customers(spark, sf):
+    """Blocked fuzzy entity resolution: match a dirty feed of customer
+    names (deterministically corrupted in-query — the stand-in for an
+    external CRM extract) back to the master table by edit distance.
+
+    Scale shape: never all-pairs. Candidates come from an equi-join on a
+    blocking key (nationkey, name length) — a standard shuffle join whose
+    per-block fan-out is bounded — then ``levenshtein`` (JVM expression,
+    whole-stage codegen) scores candidates and a per-record window keeps
+    the best match (ties broken by custkey, so the result is
+    deterministic). Blocking recall is a documented trade-off, as in any
+    production ER pipeline: candidates outside the block are unseen by
+    construction, and the oracle applies the identical blocking."""
+    cust = load(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", F.length("c_name").alias("blk_len")
+    )
+    crm = (
+        cust.filter((F.col("c_custkey") % 10) == 3)
+        .select(
+            F.col("c_custkey").alias("crm_id"),
+            F.concat(
+                F.expr("substring(c_name, 1, length(c_name)-1)"), F.lit("X")
+            ).alias("crm_name"),
+            F.col("c_nationkey").alias("blk_nation"),
+            F.col("blk_len").alias("crm_blk_len"),
+        )
+    )
+    cand = (
+        crm.join(
+            cust,
+            (F.col("blk_nation") == F.col("c_nationkey"))
+            & (F.col("crm_blk_len") == F.col("blk_len")),
+        )
+        .withColumn("dist", F.levenshtein("crm_name", "c_name"))
+        .filter(F.col("dist") <= 2)
+    )
+    w = Window.partitionBy("crm_id").orderBy("dist", "c_custkey")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "crm_id",
+            "crm_name",
+            F.col("c_custkey").alias("matched_custkey"),
+            F.col("dist").alias("edit_distance"),
+        )
+        .orderBy("crm_id")
+    )
+
+
+FUZZY_MATCH_SQL = """
+WITH cust AS (
+  SELECT c_custkey, c_name, c_nationkey, length(c_name) AS blk_len FROM customer
+),
+crm AS (
+  SELECT c_custkey AS crm_id,
+         substr(c_name, 1, length(c_name)-1) || 'X' AS crm_name,
+         c_nationkey AS blk_nation, blk_len
+  FROM cust WHERE c_custkey % 10 = 3
+),
+cand AS (
+  SELECT crm.crm_id, crm.crm_name, c.c_custkey,
+         levenshtein(crm.crm_name, c.c_name) AS dist
+  FROM crm JOIN cust c
+    ON crm.blk_nation = c.c_nationkey AND crm.blk_len = c.blk_len
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY crm_id ORDER BY dist, c_custkey) AS rn
+  FROM cand WHERE dist <= 2
+)
+SELECT crm_id, crm_name, c_custkey AS matched_custkey, dist AS edit_distance
+FROM best WHERE rn = 1 ORDER BY crm_id
+"""
+
+
 QUERIES = {
     "salted_agg_lineitem": Q(salted_agg_lineitem, SALTED_AGG_SQL),
+    "fuzzy_match_customers": Q(fuzzy_match_customers, FUZZY_MATCH_SQL),
     "data_quality_report": Q(data_quality_report, _dq_sql()),
     "profile_documents": Q(profile_documents, _profile_sql()),
     "grouping_sets_revenue": Q(grouping_sets_revenue, GROUPING_SETS_SQL),

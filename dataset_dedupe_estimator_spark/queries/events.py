@@ -361,8 +361,76 @@ FROM zed ORDER BY day
 """
 
 
+def events_gapfill(spark, sf):
+    """Gap-filled hourly resample: every (hour, event_type) cell of the
+    observed time range, including empty hours, with ``is_gap`` flagging
+    zero-event cells.
+
+    Time-series pipelines (rate monitoring, anomaly windows, forecast
+    features) need a dense spine — a plain ``GROUP BY hour`` silently
+    drops empty buckets. The spine is built engine-side from one
+    min/max aggregate via ``sequence()`` + ``explode`` (no driver loop,
+    no Python range); its cross join with the distinct-type dim is
+    O(hours x types) — trivially small next to the event scan, which
+    stays a single shuffle for the hourly aggregate. Reference has no
+    date/time operators at all (SURVEY §2.5)."""
+    ev = load(spark, sf, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(cents("value")) / F.lit(100.0)).alias("sum_value"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine_hours = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    spine = spine_hours.crossJoin(F.broadcast(types))
+    return (
+        spine.join(F.broadcast(hourly), ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+            (F.coalesce("n_events", F.lit(0)) == 0).alias("is_gap"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+EVENTS_GAPFILL_SQL = f"""
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         COUNT(*) AS n_events,
+         SUM({sql_cents("value")}) / 100.0 AS sum_value
+  FROM ev GROUP BY 1, 2
+),
+bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM ev
+),
+spine_hours AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+spine AS (SELECT hour, event_type FROM spine_hours CROSS JOIN (SELECT DISTINCT event_type FROM ev))
+SELECT s.hour, s.event_type,
+       COALESCE(h.n_events, 0) AS n_events,
+       COALESCE(h.sum_value, 0.0) AS sum_value,
+       COALESCE(h.n_events, 0) = 0 AS is_gap
+FROM spine s LEFT JOIN hourly h USING (hour, event_type)
+ORDER BY hour, event_type
+"""
+
+
 QUERIES = {
     "events_hourly": Q(events_hourly, EVENTS_HOURLY_SQL),
+    "events_gapfill": Q(events_gapfill, EVENTS_GAPFILL_SQL),
     "events_funnel": Q(events_funnel, EVENTS_FUNNEL_SQL),
     "events_retention_cohorts": Q(events_retention_cohorts, EVENTS_RETENTION_SQL),
     "events_json_extract": Q(events_json_extract, EVENTS_JSON_SQL),

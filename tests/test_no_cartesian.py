@@ -41,6 +41,7 @@ BNLJ_ALLOWED = {
     "semantic_vs_lexical_pairs",  # inherits embedding_dedup_lsh's count row
     "range_join_price_bands",  # band dim (a handful of rows)
     "source_overlap_minhash",  # source-dim pair universe (tiny cardinality)
+    "events_gapfill",  # hour-spine x type-dim cross join (O(hours x types), both aggregate-derived)
 }
 
 

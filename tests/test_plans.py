@@ -127,3 +127,30 @@ def test_single_fact_scan(spark, sf_dir, name, table):
         plan = plan.split("+- == Initial Plan ==")[0]
     n = plan.count(f"{table}.parquet")
     assert n == 1, f"{name}: {table} scanned {n}x in the final plan"
+
+
+def test_gapfill_spine_is_dense(spark):
+    rows = REGISTRY["events_gapfill"].spark(spark, SF).collect()
+    hours = {r.hour for r in rows}
+    types = {r.event_type for r in rows}
+    # dense grid: every (hour, type) cell exactly once, gaps flagged
+    assert len(rows) == len(hours) * len(types)
+    assert all((r.n_events == 0) == r.is_gap for r in rows)
+    assert any(r.is_gap for r in rows) or len(hours) * len(types) == sum(
+        1 for r in rows if not r.is_gap
+    )
+    # plan never falls back to a shuffled cartesian: spine sides broadcast
+    plan = plan_of(spark, "events_gapfill")
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_match_blocked_hash_join(spark):
+    rows = REGISTRY["fuzzy_match_customers"].spark(spark, SF).collect()
+    assert rows, "dirty feed must produce matches"
+    # every dirty record resolves at edit distance 1 (single-char corruption)
+    assert all(r.edit_distance == 1 for r in rows)
+    assert all(r.crm_id % 10 == 3 for r in rows)
+    # candidate generation is a hash equi-join on the blocking key,
+    # never an all-pairs nested loop
+    plan = plan_of(spark, "fuzzy_match_customers")
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
