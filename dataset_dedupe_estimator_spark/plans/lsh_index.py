@@ -1,0 +1,207 @@
+"""Persistent MinHash-LSH document index: continuous-ingestion near-dup.
+
+The batch LSH queries (queries/dedupe_text.py) band a whole corpus in
+one shot. A training-data pipeline that ingests continuously needs the
+other shape: an index of every document ever admitted, so each incoming
+batch is checked against ALL history without re-shingling it. This is
+the document-level sibling of the CDC chunk index
+(plans/chunk_index.py) — same log-structured layout, same
+manifest-as-commit-point crash discipline:
+
+* ``build_lsh_index`` — band a corpus, write generation 0 of the
+  (doc_id, band_id, band_key) rows + a params manifest.
+* ``admit_docs``      — band ONLY the new batch, equi-join its band
+  rows against history to emit near-dup candidate pairs, append the
+  new rows as a new generation. Write cost is O(batch), never
+  O(index); history is NEVER re-shingled or re-hashed.
+* ``index_stats``     — one-row summary.
+
+Layout: ``<dir>/gen-<n>.parquet`` (doc_id, band_id, band_key) +
+``<dir>/_lsh_meta.json``. The manifest pins the signature parameters
+(shingle width, permutation count, band count, seed constants digest):
+band keys are only comparable under identical parameters, so a
+mismatched engine refuses instead of silently finding zero collisions.
+
+Scale shape (100 TB): band rows are ~45 bytes x N_BANDS per document
+(~4.5 GB per billion docs per band set) — a narrow table the admission
+join reads with band-column pruning. The join shuffles the NEW batch's
+band rows against the index on (band_id, band_key); AQE broadcasts the
+batch side when it is small, which is the steady state for continuous
+ingestion. Already-admitted doc_ids are skipped via a doc_id anti-join
+(idempotent re-admission), and candidate pairs are normalized
+(least, greatest) + distinct so new-vs-new collisions across several
+bands emit once. Generation sprawl is compacted with
+``sources/compact.py``, exactly as for the chunk index.
+
+Determinism contract: signatures are pure functions of (doc_id, text)
+— seeded affine permutations over a cross-engine md5 base hash — so
+incremental admission is *provably* equivalent to the single-shot
+banding query; the ``lsh_index_incremental`` registry entry checks
+exactly that against a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataset_dedupe_estimator_spark.queries.dedupe_text import (
+    MH_A,
+    MH_B,
+    MH_P,
+    N_BANDS,
+    N_MINHASH,
+    SHINGLE_W,
+    band_rows_of,
+    minhash_sig_of,
+)
+
+_META = "_lsh_meta.json"
+_BAND_COLS = ("doc_id", "band_id", "band_key")
+
+
+def _signature_params() -> dict:
+    """The parameter fingerprint band keys depend on. The permutation
+    constants are digested rather than inlined — equality is what
+    matters, and the digest keeps the manifest readable."""
+    consts = hashlib.md5(
+        json.dumps([MH_P, MH_A, MH_B]).encode()
+    ).hexdigest()
+    return {
+        "shingle_w": SHINGLE_W,
+        "n_minhash": N_MINHASH,
+        "n_bands": N_BANDS,
+        "permutation_digest": consts,
+    }
+
+
+def _gen_files(index_dir: str | Path) -> list[str]:
+    return [str(p) for p in sorted(Path(index_dir).glob("gen-*.parquet"))]
+
+
+def _load_meta(index_dir: str | Path) -> dict:
+    with open(Path(index_dir) / _META) as f:
+        return json.load(f)
+
+
+def _write_meta(index_dir: Path, meta: dict) -> None:
+    """Atomic replace: a crash mid-write never corrupts the manifest."""
+    tmp = index_dir / (_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, index_dir / _META)
+
+
+def _read_index(spark: SparkSession, index_dir: str | Path) -> DataFrame:
+    files = _gen_files(index_dir)
+    if not files:
+        raise FileNotFoundError(f"no index generations under {index_dir}")
+    return spark.read.parquet(*files)
+
+
+def _check_meta(index_dir: str | Path) -> dict:
+    meta = _load_meta(index_dir)
+    mine = _signature_params()
+    if meta["signature"] != mine:
+        raise ValueError(
+            f"LSH index at {index_dir} was built with signature params "
+            f"{meta['signature']}; this engine computes {mine} — band "
+            "keys are incomparable, rebuild the index"
+        )
+    return meta
+
+
+def build_lsh_index(
+    spark: SparkSession, docs: DataFrame, index_dir: str | Path
+) -> dict:
+    """Create generation 0 from a (doc_id, text) corpus. Fails if the
+    dir already holds an index (use admit_docs to grow one)."""
+    index_dir = Path(index_dir)
+    if (index_dir / _META).exists():
+        raise FileExistsError(f"{index_dir} already holds an LSH index")
+    index_dir.mkdir(parents=True, exist_ok=True)
+    bands = band_rows_of(minhash_sig_of(docs.select("doc_id", "text")))
+    out = index_dir / "gen-00000.parquet"
+    bands.select(*_BAND_COLS).write.mode("errorifexists").parquet(str(out))
+    n_docs = (
+        spark.read.parquet(str(out)).agg(F.countDistinct("doc_id")).collect()[0][0]
+    )
+    meta = {
+        "signature": _signature_params(),
+        "generations": 1,
+        "admissions": [{"gen": 0, "docs": n_docs, "candidate_pairs": None}],
+    }
+    _write_meta(index_dir, meta)
+    return {"generation": 0, "docs": n_docs}
+
+
+def admit_docs(
+    spark: SparkSession, docs: DataFrame, index_dir: str | Path
+) -> tuple[DataFrame, dict]:
+    """Admit a (doc_id, text) batch: return (candidate_pairs, report)
+    and append the batch's band rows as a new generation.
+
+    ``candidate_pairs`` is (doc_a, doc_b) with doc_a < doc_b — every
+    band collision between the batch and history, plus collisions
+    within the batch itself; distinct, so the union over all admissions
+    equals the single-shot banding of the full corpus. doc_ids already
+    in the index are skipped (idempotent re-admission).
+    """
+    index_dir = Path(index_dir)
+    meta = _check_meta(index_dir)
+    gen = meta["generations"]
+    out = index_dir / f"gen-{gen:05d}.parquet"
+    if out.exists():
+        # orphan from a crash after the generation write but before the
+        # manifest commit — it was never part of the index; remove it
+        # BEFORE reading generations so retries are idempotent
+        shutil.rmtree(out)
+    known = _read_index(spark, index_dir)
+    known_ids = known.select("doc_id").distinct()
+    fresh = docs.select("doc_id", "text").join(known_ids, "doc_id", "left_anti")
+    # persist: the band rows feed three actions (candidate join, the
+    # generation write, the report count); without it each would
+    # re-shingle and re-hash the batch
+    new_bands = band_rows_of(minhash_sig_of(fresh)).persist()
+    all_bands = known.unionByName(new_bands)
+    cands = (
+        new_bands.alias("a")
+        .join(all_bands.alias("b"), ["band_id", "band_key"])
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    new_bands.select(*_BAND_COLS).write.mode("errorifexists").parquet(str(out))
+    n_docs = (
+        spark.read.parquet(str(out)).agg(F.countDistinct("doc_id")).collect()[0][0]
+    )
+    n_pairs = cands.count()
+    meta["generations"] = gen + 1
+    meta["admissions"].append(
+        {"gen": gen, "docs": n_docs, "candidate_pairs": n_pairs}
+    )
+    _write_meta(index_dir, meta)
+    new_bands.unpersist()
+    return cands, {"generation": gen, "docs": n_docs, "candidate_pairs": n_pairs}
+
+
+def index_stats(spark: SparkSession, index_dir: str | Path) -> dict:
+    meta = _check_meta(index_dir)
+    idx = _read_index(spark, index_dir)
+    n_docs, n_rows = idx.agg(
+        F.countDistinct("doc_id"), F.count(F.lit(1))
+    ).collect()[0]
+    return {
+        "generations": meta["generations"],
+        "docs": n_docs,
+        "band_rows": n_rows,
+    }

@@ -34,15 +34,17 @@ def tokens_col(c="text"):
     return F.split(F.col(c), " ")
 
 
-def shingles_df(spark, sf) -> DataFrame:
-    """(doc_id, shingle) — distinct word-trigram shingles per document.
+def shingles_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — distinct word-trigram shingles from ANY
+    (doc_id, text) DataFrame (composition building block: the persistent
+    LSH index admits arbitrary batches, not just the test table).
 
     Tokens are materialized in their own projection first: referencing the
     split() expression inside the transform() lambda would re-evaluate the
     split per element access (no common-subexpression elimination across
     lambda scopes) — a ~10x slowdown measured at sf0.1.
     """
-    docs = load(spark, sf, "documents")
+    spark = docs.sparkSession
     # small input files arrive as one partition; shingling is CPU-bound, so
     # spread docs across the cluster before the expensive projection
     toks = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
@@ -58,6 +60,11 @@ def shingles_df(spark, sf) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return toks.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def shingles_df(spark, sf) -> DataFrame:
+    """(doc_id, shingle) over the test ``documents`` table."""
+    return shingles_of(load(spark, sf, "documents"))
 
 
 SHINGLES_CTE = f"""
@@ -255,10 +262,11 @@ ORDER BY doc_a, doc_b
 """
 
 
-def _minhash_sig(spark, sf):
-    """Unsorted signature plan — composition building block (the banding
-    query must not inherit a global sort)."""
-    sh = shingles_df(spark, sf)
+def minhash_sig_of(docs: DataFrame) -> DataFrame:
+    """Unsorted (doc_id, m0..m15) signature plan from ANY (doc_id, text)
+    DataFrame — composition building block for the banding query and the
+    persistent LSH index."""
+    sh = shingles_of(docs)
     base = (
         F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10)
         .cast("long")
@@ -275,6 +283,27 @@ def _minhash_sig(spark, sf):
     return hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(N_MINHASH)]
     )
+
+
+def _minhash_sig(spark, sf):
+    return minhash_sig_of(load(spark, sf, "documents"))
+
+
+def band_rows_of(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) — one posexplode over the signature
+    aggregate; a band key collides iff all its rows agree."""
+    rows = N_MINHASH // N_BANDS
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"m{b * rows + r}") for r in range(rows)]
+                ).cast("binary")
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.posexplode(band_keys).alias("band_id", "band_key"))
 
 
 def minhash_signatures(spark, sf):
@@ -314,21 +343,7 @@ FROM hashed GROUP BY doc_id ORDER BY doc_id
 def _minhash_candidate_pairs(spark, sf):
     """Unsorted LSH candidate-pair plan — composition building block (the
     group-forming query must not inherit a global sort)."""
-    sig = _minhash_sig(spark, sf)
-    rows = N_MINHASH // N_BANDS
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"m{b * rows + r}") for r in range(rows)]
-                ).cast("binary")
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    bands = sig.select(
-        "doc_id", F.posexplode(band_keys).alias("band_id", "band_key")
-    )
+    bands = band_rows_of(_minhash_sig(spark, sf))
     a = bands.alias("a")
     b_ = bands.alias("b")
     return (
@@ -370,6 +385,51 @@ FROM bands a JOIN bands b USING (band_id, band_key)
 WHERE a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b
 """
+
+def lsh_index_incremental(spark, sf):
+    """Persistent LSH index lifecycle (plans/lsh_index.py): build the
+    index from two-thirds of the corpus, admit the remaining third as a
+    batch, and return the candidate pairs that admission discovered
+    (batch-vs-history plus batch-vs-batch).
+
+    Because signatures are pure functions of (doc_id, text), incremental
+    admission is provably equivalent to single-shot banding — the oracle
+    runs the full-corpus banding SQL and keeps the pairs with at least
+    one batch-side document. History is never re-shingled: the admission
+    join reads the persisted band rows."""
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.plans.lsh_index import (
+        admit_docs,
+        build_lsh_index,
+    )
+
+    docs = load(spark, sf, "documents")
+    with tempfile.TemporaryDirectory() as d:
+        idx = f"{d}/lsh"
+        build_lsh_index(spark, docs.filter(F.col("doc_id") % 3 != 0), idx)
+        cands, _report = admit_docs(
+            spark, docs.filter(F.col("doc_id") % 3 == 0), idx
+        )
+        # materialize before the temp index dir vanishes
+        rows = [(r.doc_a, r.doc_b) for r in cands.collect()]
+    return spark.createDataFrame(rows, "doc_a long, doc_b long").orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+LSH_INDEX_INCR_SQL = f"""
+WITH {SHINGLES_CTE},
+{_BASED_CTE},
+hashed AS (SELECT doc_id, {_HASH_COLS} FROM based),
+sig AS (SELECT doc_id, {_MH_COLS} FROM hashed GROUP BY doc_id),
+bands AS ({_BAND_SELECTS})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b USING (band_id, band_key)
+WHERE a.doc_id < b.doc_id AND (a.doc_id % 3 = 0 OR b.doc_id % 3 = 0)
+ORDER BY doc_a, doc_b
+"""
+
 
 SIMHASH_BITS = 32
 
@@ -812,6 +872,7 @@ QUERIES = {
     "ngram_containment_pairs": Q(ngram_containment_pairs, NGRAM_CONTAINMENT_SQL),
     "minhash_signatures": Q(minhash_signatures, MINHASH_SIG_SQL),
     "minhash_lsh_candidates": Q(minhash_lsh_candidates, MINHASH_LSH_SQL, headline=True),
+    "lsh_index_incremental": Q(lsh_index_incremental, LSH_INDEX_INCR_SQL),
     "simhash_signatures": Q(simhash_signatures, SIMHASH_SQL),
     "simhash_candidates": Q(simhash_candidates, _simhash_candidates_sql()),
     "dedup_near_groups": Q(dedup_near_groups, DEDUP_NEAR_GROUPS_SQL),

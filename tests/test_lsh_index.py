@@ -1,0 +1,116 @@
+"""Persistent MinHash-LSH document index (plans/lsh_index.py):
+incremental admission must be provably equivalent to single-shot
+banding, idempotent on re-admission, and crash-safe around the
+generation-write / manifest-commit window."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataset_dedupe_estimator_spark.plans.lsh_index import (
+    admit_docs,
+    build_lsh_index,
+    index_stats,
+)
+from dataset_dedupe_estimator_spark.queries.dedupe_text import (
+    _minhash_candidate_pairs,
+)
+from dataset_dedupe_estimator_spark.queries.base import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return load(spark, SF, "documents").select("doc_id", "text")
+
+
+def _full_pairs(spark):
+    return {
+        (r.doc_a, r.doc_b) for r in _minhash_candidate_pairs(spark, SF).collect()
+    }
+
+
+def test_incremental_equals_single_shot(spark, tmp_path):
+    docs = _docs(spark)
+    idx = tmp_path / "lsh"
+    build_lsh_index(spark, docs.filter(F.col("doc_id") % 3 == 1), idx)
+    c2, r2 = admit_docs(spark, docs.filter(F.col("doc_id") % 3 == 2), idx)
+    got2 = {(r.doc_a, r.doc_b) for r in c2.collect()}
+    c0, r0 = admit_docs(spark, docs.filter(F.col("doc_id") % 3 == 0), idx)
+    got0 = {(r.doc_a, r.doc_b) for r in c0.collect()}
+
+    full = _full_pairs(spark)
+    # at admission 2's time the corpus is mod-1 + mod-2 only: pairs with
+    # a mod-0 partner surface later, at admission 0
+    want2 = {
+        p
+        for p in full
+        if (p[0] % 3 == 2 or p[1] % 3 == 2)
+        and p[0] % 3 != 0
+        and p[1] % 3 != 0
+    }
+    # by admission 0's time, mod-1 and mod-2 docs are both history
+    want0 = {
+        p
+        for p in full
+        if (p[0] % 3 == 0 or p[1] % 3 == 0)
+    }
+    assert got2 == want2
+    assert got0 == want0
+    assert r2["candidate_pairs"] == len(want2)
+    assert r0["generation"] == 2
+
+
+def test_readmission_is_idempotent(spark, tmp_path):
+    docs = _docs(spark)
+    idx = tmp_path / "lsh"
+    build_lsh_index(spark, docs.filter(F.col("doc_id") < 100), idx)
+    before = index_stats(spark, idx)
+    cands, rep = admit_docs(spark, docs.filter(F.col("doc_id") < 100), idx)
+    assert rep["docs"] == 0 and rep["candidate_pairs"] == 0
+    assert cands.count() == 0
+    after = index_stats(spark, idx)
+    assert after["band_rows"] == before["band_rows"]
+    assert after["generations"] == before["generations"] + 1
+
+
+def test_mismatched_signature_refused(spark, tmp_path):
+    docs = _docs(spark)
+    idx = tmp_path / "lsh"
+    build_lsh_index(spark, docs.filter(F.col("doc_id") < 50), idx)
+    meta = json.load(open(idx / "_lsh_meta.json"))
+    meta["signature"]["n_bands"] = 99
+    json.dump(meta, open(idx / "_lsh_meta.json", "w"))
+    with pytest.raises(ValueError, match="incomparable"):
+        admit_docs(spark, docs, idx)
+    with pytest.raises(ValueError, match="incomparable"):
+        index_stats(spark, idx)
+
+
+def test_orphan_generation_cleanup(spark, tmp_path):
+    """A generation dir written by a crashed attempt (manifest never
+    committed) must not poison the retry: the retry removes it and the
+    admission result is as if the crash never happened."""
+    docs = _docs(spark)
+    idx = tmp_path / "lsh"
+    build_lsh_index(spark, docs.filter(F.col("doc_id") % 3 != 0), idx)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    # simulate the crash window: gen-00001 exists, manifest still at 1
+    orphan = idx / "gen-00001.parquet"
+    batch.limit(3).selectExpr(
+        "doc_id", "0 as band_id", "'junk' as band_key"
+    ).write.parquet(str(orphan))
+    cands, rep = admit_docs(spark, batch, idx)
+    got = {(r.doc_a, r.doc_b) for r in cands.collect()}
+    want = {p for p in _full_pairs(spark) if p[0] % 3 == 0 or p[1] % 3 == 0}
+    assert got == want
+    assert rep["generation"] == 1
+
+
+def test_build_refuses_existing(spark, tmp_path):
+    docs = _docs(spark)
+    idx = tmp_path / "lsh"
+    build_lsh_index(spark, docs.limit(10), idx)
+    with pytest.raises(FileExistsError):
+        build_lsh_index(spark, docs, idx)

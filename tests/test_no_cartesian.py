@@ -23,6 +23,7 @@ EAGER = {
     "ann_ivf_trained",
     "synthetic_generator_e2e",
     "cdc_index_incremental",
+    "lsh_index_incremental",
 }
 
 # deliberate tiny-side broadcasts (scalar aggregates, query vectors,
