@@ -514,6 +514,59 @@ def cmd_index(args) -> int:
     return 0
 
 
+def cmd_lsh_index(args) -> int:
+    """`de lsh-index build|admit|stats|stream IDX ...`: persistent
+    MinHash-LSH document index (plans/lsh_index.py) — near-dup
+    candidates for every admitted batch against ALL history, O(batch)
+    per admission. `stream` drains a parquet inbox exactly-once
+    (streaming/incremental.admit_docs_stream)."""
+    from dataset_dedupe_estimator_spark.plans.lsh_index import (
+        admit_docs,
+        build_lsh_index,
+        index_stats,
+    )
+
+    spark = _spark(args)
+
+    def _docs(path):
+        return spark.read.parquet(path).select("doc_id", "text")
+
+    if args.action == "build":
+        st = build_lsh_index(spark, _docs(args.docs), args.index_dir)
+        print(f"gen 0: {st['docs']} docs indexed")
+        return 0
+    if args.action == "admit":
+        cands, st = admit_docs(spark, _docs(args.docs), args.index_dir)
+        if args.pairs_out:
+            cands.write.mode("append").parquet(args.pairs_out)
+        print(
+            f"gen {st['generation']}: {st['docs']} docs admitted, "
+            f"{st['candidate_pairs']} near-dup candidate pairs"
+        )
+        return 0
+    if args.action == "stream":
+        from dataset_dedupe_estimator_spark.streaming.incremental import (
+            admit_docs_stream,
+        )
+
+        reps = admit_docs_stream(
+            spark, args.docs, args.index_dir, args.checkpoint, args.pairs_out
+        )
+        for st in reps:
+            print(
+                f"gen {st['generation']}: {st['docs']} docs, "
+                f"{st['candidate_pairs']} pairs"
+            )
+        print(f"{len(reps)} generation(s) admitted")
+        return 0
+    st = index_stats(spark, args.index_dir)
+    print(
+        f"generations={st['generations']}  docs={st['docs']}  "
+        f"band_rows={st['band_rows']}"
+    )
+    return 0
+
+
 def cmd_quality(args) -> int:
     """`de quality`: data-quality constraint report over a testdata
     directory (operators/quality_checks.py suite)."""
@@ -696,6 +749,18 @@ def build_parser() -> argparse.ArgumentParser:
     ix.add_argument("index_dir")
     ix.add_argument("files", nargs="*", help="snapshot files/globs (build/update)")
     ix.set_defaults(fn=cmd_index)
+
+    lx = sub.add_parser("lsh-index", help="persistent LSH near-dup document index")
+    lx.add_argument("action", choices=["build", "admit", "stats", "stream"])
+    lx.add_argument("index_dir")
+    lx.add_argument(
+        "docs",
+        nargs="?",
+        help="parquet of (doc_id, text) — batch for build/admit, inbox dir for stream",
+    )
+    lx.add_argument("--pairs-out", help="parquet sink for candidate pairs")
+    lx.add_argument("--checkpoint", help="stream checkpoint dir (stream)")
+    lx.set_defaults(fn=cmd_lsh_index)
 
     co = sub.add_parser("checkout", help="materialize git file revisions")
     co.add_argument("repo")

@@ -183,3 +183,61 @@ def admit_stream(
     )
     q.awaitTermination()
     return admissions
+
+
+def admit_docs_stream(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    pairs_out: str | None = None,
+):
+    """Continuous near-dup admission into the persistent LSH document
+    index (plans/lsh_index.py): each microbatch of newly-arrived
+    document rows becomes ONE index generation, and the near-dup
+    candidate pairs it surfaces (batch-vs-ALL-history plus
+    batch-vs-batch) are appended to ``pairs_out`` — the quarantine feed
+    a continuous-ingestion dedup pipeline consumes.
+
+    The parquet file source + checkpoint make admission exactly-once
+    per input file across restarts. Everything heavy — shingling,
+    signatures, the band-key join — runs distributed inside
+    admit_docs; the foreachBatch body never collects document rows.
+
+    Delivery contract: index admission is exactly-once (re-admission of
+    an already-indexed doc_id is a no-op by construction), so the index
+    itself is always correct. The ``pairs_out`` feed is at-most-once on
+    a crash in the narrow window between the index's manifest commit
+    and the pairs append — a consumer needing the lost pairs re-derives
+    them from the index (the band rows of any generation can be
+    re-joined against history at any time).
+    availableNow: drains everything pending, then stops. Returns one
+    admission report per generation created in this pass.
+    """
+    from dataset_dedupe_estimator_spark.plans.lsh_index import admit_docs
+
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true")  # drops may be dataset dirs
+        .parquet(input_dir)
+        .select("doc_id", "text")
+    )
+    admissions: list[dict] = []
+
+    def admit(batch_df, _batch_id):
+        if not batch_df.isEmpty():
+            cands, report = admit_docs(spark, batch_df, index_dir)
+            if pairs_out is not None:
+                cands.withColumn("generation", F.lit(report["generation"])).write.mode(
+                    "append"
+                ).parquet(pairs_out)
+            admissions.append(report)
+
+    q = (
+        docs.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return admissions

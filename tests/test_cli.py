@@ -162,3 +162,47 @@ def test_cli_quality_report(capsys, spark):
     assert "constraints hold" in out and "FAIL" in out  # n_chars:max(300) fails by design
     # without the flag the failing constraint gates the exit code
     assert main(["quality", "--sf-dir", "/root/testdata/sf0.001"]) == 1
+
+
+def test_cli_lsh_index_lifecycle(capsys, spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base, batch = str(tmp_path / "base"), str(tmp_path / "batch")
+    docs.filter("doc_id % 3 != 0").select("doc_id", "text").write.parquet(base)
+    docs.filter("doc_id % 3 = 0").select("doc_id", "text").write.parquet(batch)
+    idx, pairs = str(tmp_path / "lsh"), str(tmp_path / "pairs")
+
+    assert main(["lsh-index", "build", idx, base]) == 0
+    assert main(["lsh-index", "admit", idx, batch, "--pairs-out", pairs]) == 0
+    assert main(["lsh-index", "stats", idx]) == 0
+    out = capsys.readouterr().out
+    assert "gen 0:" in out and "gen 1:" in out and "generations=2" in out
+    assert "candidate pairs" in out
+    assert spark.read.parquet(pairs).columns == ["doc_a", "doc_b"]
+
+
+def test_cli_lsh_index_stream(capsys, spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    base = str(tmp_path / "base")
+    docs.filter("doc_id % 3 != 0").select("doc_id", "text").write.parquet(base)
+    docs.filter("doc_id % 3 = 0").select("doc_id", "text").write.parquet(
+        str(inbox / "drop.parquet")
+    )
+    idx = str(tmp_path / "lsh")
+    assert main(["lsh-index", "build", idx, base]) == 0
+    rc = main(
+        [
+            "lsh-index",
+            "stream",
+            idx,
+            str(inbox),
+            "--checkpoint",
+            str(tmp_path / "ckpt"),
+            "--pairs-out",
+            str(tmp_path / "pairs"),
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "1 generation(s) admitted" in out

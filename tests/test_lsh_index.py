@@ -114,3 +114,46 @@ def test_build_refuses_existing(spark, tmp_path):
     build_lsh_index(spark, docs.limit(10), idx)
     with pytest.raises(FileExistsError):
         build_lsh_index(spark, docs, idx)
+
+
+def test_streaming_admission(spark, tmp_path):
+    """availableNow streaming admission: each drop of parquet files
+    becomes one generation; restarts never re-admit; the pairs feed
+    accumulates the same candidates the batch path would find."""
+    from dataset_dedupe_estimator_spark.streaming.incremental import (
+        admit_docs_stream,
+    )
+
+    docs = _docs(spark)
+    idx, inbox = tmp_path / "lsh", tmp_path / "inbox"
+    ckpt, pairs = tmp_path / "ckpt", tmp_path / "pairs"
+    inbox.mkdir()
+    build_lsh_index(spark, docs.filter(F.col("doc_id") % 3 == 1), idx)
+
+    docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.parquet(
+        str(inbox / "drop-a.parquet")
+    )
+    reps = admit_docs_stream(spark, str(inbox), str(idx), str(ckpt), str(pairs))
+    assert [r["generation"] for r in reps] == [1]
+
+    # nothing new pending: a re-run admits nothing (checkpoint replay)
+    assert admit_docs_stream(spark, str(inbox), str(idx), str(ckpt), str(pairs)) == []
+
+    docs.filter(F.col("doc_id") % 3 == 0).coalesce(1).write.parquet(
+        str(inbox / "drop-b.parquet")
+    )
+    reps = admit_docs_stream(spark, str(inbox), str(idx), str(ckpt), str(pairs))
+    assert [r["generation"] for r in reps] == [2]
+
+    got = {
+        (r.doc_a, r.doc_b) for r in spark.read.parquet(str(pairs)).collect()
+    }
+    full = _full_pairs(spark)
+    want2 = {
+        p
+        for p in full
+        if (p[0] % 3 == 2 or p[1] % 3 == 2) and p[0] % 3 != 0 and p[1] % 3 != 0
+    }
+    want0 = {p for p in full if p[0] % 3 == 0 or p[1] % 3 == 0}
+    assert got == want2 | want0
+    assert index_stats(spark, idx)["docs"] == docs.count()
