@@ -544,6 +544,15 @@ def cmd_lsh_index(args) -> int:
             f"{st['candidate_pairs']} near-dup candidate pairs"
         )
         return 0
+    if args.action == "compact":
+        from dataset_dedupe_estimator_spark.plans.lsh_index import compact_lsh_index
+
+        st = compact_lsh_index(spark, args.index_dir)
+        print(
+            f"compacted {st['merged_generations']} generations → "
+            f"gen {st['generation']} ({st['band_rows']} band rows)"
+        )
+        return 0
     if args.action == "stream":
         from dataset_dedupe_estimator_spark.streaming.incremental import (
             admit_docs_stream,
@@ -751,7 +760,7 @@ def build_parser() -> argparse.ArgumentParser:
     ix.set_defaults(fn=cmd_index)
 
     lx = sub.add_parser("lsh-index", help="persistent LSH near-dup document index")
-    lx.add_argument("action", choices=["build", "admit", "stats", "stream"])
+    lx.add_argument("action", choices=["build", "admit", "stats", "stream", "compact"])
     lx.add_argument("index_dir")
     lx.add_argument(
         "docs",

@@ -222,11 +222,16 @@ def compact_index(spark: SparkSession, index_dir: str | Path, files_out: int | N
     index_dir = Path(index_dir)
     meta = _load_meta(index_dir)
     floor = meta.get("compacted_below", 0)
-    live = _index_files(index_dir, floor)
     gen = meta["generations"]
     out = index_dir / f"gen-{gen:05d}.parquet"
     if out.exists():
         shutil.rmtree(out)  # orphan from a crashed attempt (pre-commit)
+    # live = committed generations only: at or above the compaction
+    # floor, strictly below the manifest's counter (anything at/above
+    # the counter is an uncommitted orphan, not part of the index)
+    live = [
+        p for p in _index_files(index_dir, floor) if int(Path(p).name[4:9]) < gen
+    ]
     if files_out is None:
         # ~24-byte rows: size output files to ~128 MB (≈5M rows each)
         bytes_live = sum(

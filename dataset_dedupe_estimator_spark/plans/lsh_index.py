@@ -30,8 +30,9 @@ batch side when it is small, which is the steady state for continuous
 ingestion. Already-admitted doc_ids are skipped via a doc_id anti-join
 (idempotent re-admission), and candidate pairs are normalized
 (least, greatest) + distinct so new-vs-new collisions across several
-bands emit once. Generation sprawl is compacted with
-``sources/compact.py``, exactly as for the chunk index.
+bands emit once. Generation sprawl is reclaimed by
+``compact_lsh_index`` (same commit protocol as the chunk index's
+compaction).
 
 Determinism contract: signatures are pure functions of (doc_id, text)
 — seeded affine permutations over a cross-engine md5 base hash — so
@@ -81,8 +82,15 @@ def _signature_params() -> dict:
     }
 
 
-def _gen_files(index_dir: str | Path) -> list[str]:
-    return [str(p) for p in sorted(Path(index_dir).glob("gen-*.parquet"))]
+def _gen_files(index_dir: str | Path, floor: int = 0) -> list[str]:
+    """Generation dirs at or above ``floor`` (gens below a committed
+    compaction are superseded — their rows live in the compacted
+    generation — and are ignored even if a crash left them on disk)."""
+    out = []
+    for p in sorted(Path(index_dir).glob("gen-*.parquet")):
+        if int(p.name[4:9]) >= floor:
+            out.append(str(p))
+    return out
 
 
 def _load_meta(index_dir: str | Path) -> dict:
@@ -99,7 +107,11 @@ def _write_meta(index_dir: Path, meta: dict) -> None:
 
 
 def _read_index(spark: SparkSession, index_dir: str | Path) -> DataFrame:
-    files = _gen_files(index_dir)
+    try:
+        floor = _load_meta(index_dir).get("compacted_below", 0)
+    except FileNotFoundError:
+        floor = 0
+    files = _gen_files(index_dir, floor)
     if not files:
         raise FileNotFoundError(f"no index generations under {index_dir}")
     return spark.read.parquet(*files)
@@ -192,6 +204,47 @@ def admit_docs(
     _write_meta(index_dir, meta)
     new_bands.unpersist()
     return cands, {"generation": gen, "docs": n_docs, "candidate_pairs": n_pairs}
+
+
+def compact_lsh_index(
+    spark: SparkSession, index_dir: str | Path, files_out: int | None = None
+) -> dict:
+    """Merge every live generation into one (same commit protocol as
+    plans/chunk_index.compact_index): the merged generation is written
+    under the NEXT gen number, the manifest commit atomically records
+    both it and ``compacted_below``, and only then are superseded
+    directories deleted. A crash before the commit leaves an orphan the
+    next admission/compaction removes; a crash after it leaves
+    already-superseded directories every reader skips."""
+    index_dir = Path(index_dir)
+    meta = _check_meta(index_dir)
+    floor = meta.get("compacted_below", 0)
+    gen = meta["generations"]
+    out = index_dir / f"gen-{gen:05d}.parquet"
+    if out.exists():
+        shutil.rmtree(out)  # orphan from a crashed attempt (pre-commit)
+    # live = committed generations only: at or above the compaction
+    # floor, strictly below the manifest's generation counter (anything
+    # at/above the counter is an uncommitted orphan)
+    live = [p for p in _gen_files(index_dir, floor) if int(Path(p).name[4:9]) < gen]
+    if files_out is None:
+        # ~45-byte band rows: size output files to ~128 MB
+        bytes_live = sum(
+            f.stat().st_size for d in live for f in Path(d).glob("*.parquet")
+        )
+        files_out = max(1, -(-bytes_live // (128 << 20)))
+    spark.read.parquet(*live).coalesce(int(files_out)).write.parquet(str(out))
+    n_rows = spark.read.parquet(str(out)).count()
+    meta["generations"] = gen + 1
+    meta["compacted_below"] = gen
+    meta.setdefault("compactions", []).append(
+        {"gen": gen, "merged_generations": len(live), "band_rows": n_rows}
+    )
+    _write_meta(index_dir, meta)  # commit point
+    for p in Path(index_dir).glob("gen-*.parquet"):
+        if int(p.name[4:9]) < gen:
+            shutil.rmtree(p)
+    return {"generation": gen, "merged_generations": len(live), "band_rows": n_rows}
 
 
 def index_stats(spark: SparkSession, index_dir: str | Path) -> dict:

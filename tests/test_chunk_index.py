@@ -190,3 +190,30 @@ def test_compact_index_crash_after_commit_is_ignored(spark, tmp_path, snapshots)
     compact_index(spark, idx)
     names = sorted(p.name for p in idx.glob("gen-*.parquet"))
     assert names == ["gen-00003.parquet"]
+
+
+def test_compact_survives_precommit_orphan(spark, tmp_path, snapshots):
+    """A compaction attempt that crashed after writing its target
+    generation but before the manifest commit must not poison the
+    retry: the orphan is removed and never read as live data."""
+    from dataset_dedupe_estimator_spark.plans.chunk_index import (
+        build_index,
+        compact_index,
+        index_stats,
+        update_index,
+    )
+
+    old, new = snapshots
+    idx = tmp_path / "idx"
+    build_index(spark, old, idx)
+    update_index(spark, new, idx)
+    before = index_stats(spark, idx).collect()[0]
+    # simulate the crash: gen-00002 written, manifest still at 2 gens
+    spark.range(3).selectExpr(
+        "id as hash", "1 as size", "1 as csize"
+    ).write.parquet(str(tmp_path / "idx" / "gen-00002.parquet"))
+    st = compact_index(spark, idx)
+    assert st["merged_generations"] == 2
+    after = index_stats(spark, idx).collect()[0]
+    assert after.unique_chunks == before.unique_chunks
+    assert after.unique_bytes == before.unique_bytes

@@ -157,3 +157,44 @@ def test_streaming_admission(spark, tmp_path):
     want0 = {p for p in full if p[0] % 3 == 0 or p[1] % 3 == 0}
     assert got == want2 | want0
     assert index_stats(spark, idx)["docs"] == docs.count()
+
+
+def test_compaction_preserves_index(spark, tmp_path):
+    """Compaction merges live generations, admissions keep working, and
+    both crash windows (orphan pre-commit, superseded dirs post-commit)
+    are survivable."""
+    from dataset_dedupe_estimator_spark.plans.lsh_index import compact_lsh_index
+
+    docs = _docs(spark)
+    idx = tmp_path / "lsh"
+    build_lsh_index(spark, docs.filter(F.col("doc_id") % 3 == 1), idx)
+    admit_docs(spark, docs.filter(F.col("doc_id") % 3 == 2), idx)
+    before = index_stats(spark, idx)
+
+    # crash window 1: a pre-commit orphan at the compaction's target gen
+    orphan = idx / "gen-00002.parquet"
+    docs.limit(2).selectExpr(
+        "doc_id", "0 as band_id", "'junk' as band_key"
+    ).write.parquet(str(orphan))
+    st = compact_lsh_index(spark, idx)
+    assert st["merged_generations"] == 2
+    after = index_stats(spark, idx)
+    assert after["docs"] == before["docs"]
+    assert after["band_rows"] == before["band_rows"]
+    # superseded dirs are gone; only the compacted generation remains
+    assert [p.name for p in sorted(idx.glob("gen-*.parquet"))] == [
+        "gen-00002.parquet"
+    ]
+
+    # crash window 2: a stale superseded dir reappearing is skipped
+    docs.limit(2).selectExpr(
+        "doc_id", "0 as band_id", "'junk' as band_key"
+    ).write.parquet(str(idx / "gen-00000.parquet"))
+    assert index_stats(spark, idx)["band_rows"] == before["band_rows"]
+
+    # admission after compaction: finds the remaining pairs exactly
+    cands, rep = admit_docs(spark, docs.filter(F.col("doc_id") % 3 == 0), idx)
+    got = {(r.doc_a, r.doc_b) for r in cands.collect()}
+    want = {p for p in _full_pairs(spark) if p[0] % 3 == 0 or p[1] % 3 == 0}
+    assert got == want
+    assert rep["generation"] == 3
