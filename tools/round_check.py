@@ -129,6 +129,13 @@ def main() -> int:
                 stress_ok,
             )
         )
+        results.append(
+            _run(
+                "stress lsh",
+                [sys.executable, "tools/stress_lsh.py", "50000", "5000", "500"],
+                stress_ok,
+            )
+        )
 
     print("\n" + ("ALL GREEN" if all(results) else "FAILURES — see above"))
     return 0 if all(results) else 1
