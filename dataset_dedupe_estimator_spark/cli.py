@@ -544,6 +544,16 @@ def cmd_lsh_index(args) -> int:
             f"{st['candidate_pairs']} near-dup candidate pairs"
         )
         return 0
+    if args.action == "query":
+        from dataset_dedupe_estimator_spark.plans.lsh_index import query_docs
+
+        hits = query_docs(spark, _docs(args.docs), args.index_dir)
+        if args.pairs_out:
+            hits.write.mode("append").parquet(args.pairs_out)
+        n = hits.count()
+        n_probes = hits.select("probe_doc_id").distinct().count()
+        print(f"{n} near-dup hits across {n_probes} probe docs (read-only)")
+        return 0
     if args.action == "compact":
         from dataset_dedupe_estimator_spark.plans.lsh_index import compact_lsh_index
 
@@ -760,7 +770,9 @@ def build_parser() -> argparse.ArgumentParser:
     ix.set_defaults(fn=cmd_index)
 
     lx = sub.add_parser("lsh-index", help="persistent LSH near-dup document index")
-    lx.add_argument("action", choices=["build", "admit", "stats", "stream", "compact"])
+    lx.add_argument(
+        "action", choices=["build", "admit", "query", "stats", "stream", "compact"]
+    )
     lx.add_argument("index_dir")
     lx.add_argument(
         "docs",

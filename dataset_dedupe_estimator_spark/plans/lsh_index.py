@@ -206,6 +206,30 @@ def admit_docs(
     return cands, {"generation": gen, "docs": n_docs, "candidate_pairs": n_pairs}
 
 
+def query_docs(
+    spark: SparkSession, docs: DataFrame, index_dir: str | Path
+) -> DataFrame:
+    """Read-only near-dup lookup: (probe_doc_id, index_doc_id) for every
+    band collision between the probe set and the index. Nothing is
+    admitted — the pre-ingest "have we seen this?" check and the
+    index-backed contamination audit. Same join shape as admission;
+    probes whose doc_id already exists in the index still match their
+    OTHER near-dups (self-matches are excluded by doc_id)."""
+    _check_meta(index_dir)
+    known = _read_index(spark, index_dir)
+    probe_bands = band_rows_of(minhash_sig_of(docs.select("doc_id", "text")))
+    return (
+        probe_bands.alias("p")
+        .join(known.alias("i"), ["band_id", "band_key"])
+        .filter(F.col("p.doc_id") != F.col("i.doc_id"))
+        .select(
+            F.col("p.doc_id").alias("probe_doc_id"),
+            F.col("i.doc_id").alias("index_doc_id"),
+        )
+        .distinct()
+    )
+
+
 def compact_lsh_index(
     spark: SparkSession, index_dir: str | Path, files_out: int | None = None
 ) -> dict:

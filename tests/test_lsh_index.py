@@ -198,3 +198,36 @@ def test_compaction_preserves_index(spark, tmp_path):
     want = {p for p in _full_pairs(spark) if p[0] % 3 == 0 or p[1] % 3 == 0}
     assert got == want
     assert rep["generation"] == 3
+
+
+def test_query_is_readonly_lookup(spark, tmp_path):
+    """query_docs finds the batch's near-dups without admitting: hits
+    equal the admission candidates, the index is unchanged, and a
+    repeated query returns the same answer."""
+    from dataset_dedupe_estimator_spark.plans.lsh_index import query_docs
+
+    docs = _docs(spark)
+    idx = tmp_path / "lsh"
+    build_lsh_index(spark, docs.filter(F.col("doc_id") % 3 != 0), idx)
+    before = index_stats(spark, idx)
+    probe = docs.filter(F.col("doc_id") % 3 == 0)
+
+    hits = {
+        (r.probe_doc_id, r.index_doc_id)
+        for r in query_docs(spark, probe, idx).collect()
+    }
+    # vs. single-shot banding: probe-side near-dups against history only
+    # (probe-vs-probe pairs are NOT in the index, so not in the answer)
+    full = _full_pairs(spark)
+    want = set()
+    for a, b in full:
+        if a % 3 == 0 and b % 3 != 0:
+            want.add((a, b))
+        elif b % 3 == 0 and a % 3 != 0:
+            want.add((b, a))
+    assert hits == want
+    assert index_stats(spark, idx) == before  # nothing admitted
+    assert {
+        (r.probe_doc_id, r.index_doc_id)
+        for r in query_docs(spark, probe, idx).collect()
+    } == hits
