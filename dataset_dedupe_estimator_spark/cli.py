@@ -526,6 +526,15 @@ def cmd_lsh_index(args) -> int:
         index_stats,
     )
 
+    if args.action in ("build", "admit", "query", "stream") and not args.docs:
+        print(f"lsh-index {args.action}: missing docs path", file=sys.stderr)
+        return 2
+    if args.action == "stream" and not args.checkpoint:
+        # a temp checkpoint would silently replay the inbox on every run,
+        # breaking the exactly-once admission contract
+        print("lsh-index stream: --checkpoint is required", file=sys.stderr)
+        return 2
+
     spark = _spark(args)
 
     def _docs(path):
@@ -547,11 +556,15 @@ def cmd_lsh_index(args) -> int:
     if args.action == "query":
         from dataset_dedupe_estimator_spark.plans.lsh_index import query_docs
 
-        hits = query_docs(spark, _docs(args.docs), args.index_dir)
+        from pyspark.sql import functions as F
+
+        hits = query_docs(spark, _docs(args.docs), args.index_dir).persist()
         if args.pairs_out:
             hits.write.mode("append").parquet(args.pairs_out)
-        n = hits.count()
-        n_probes = hits.select("probe_doc_id").distinct().count()
+        n, n_probes = hits.agg(
+            F.count(F.lit(1)), F.countDistinct("probe_doc_id")
+        ).collect()[0]
+        hits.unpersist()
         print(f"{n} near-dup hits across {n_probes} probe docs (read-only)")
         return 0
     if args.action == "compact":

@@ -65,22 +65,26 @@ def _params_dict(params: ChunkerParams) -> dict:
     return d
 
 
+def _gen_no(p: Path) -> int:
+    """Generation number from a dir name — parse the full digit run, not
+    a fixed 5-char slice: a streaming index creates one generation per
+    microbatch and crosses 99999 within weeks."""
+    return int(p.name.removeprefix("gen-").removesuffix(".parquet"))
+
+
 def _index_files(index_dir: str | Path, floor: int = 0) -> list[str]:
     """Generation dirs at or above ``floor`` (gens below a committed
     compaction are superseded — their rows live in the compacted
-    generation — and are ignored even if a crash left them on disk)."""
-    out = []
-    for p in sorted(Path(index_dir).glob("gen-*.parquet")):
-        if int(p.name[4:9]) >= floor:
-            out.append(str(p))
-    return out
+    generation — and are ignored even if a crash left them on disk),
+    in numeric generation order."""
+    gens = sorted(Path(index_dir).glob("gen-*.parquet"), key=_gen_no)
+    return [str(p) for p in gens if _gen_no(p) >= floor]
 
 
 def _read_index(spark: SparkSession, index_dir: str | Path) -> DataFrame:
-    try:
-        floor = _load_meta(index_dir).get("compacted_below", 0)
-    except FileNotFoundError:
-        floor = 0
+    # no manifest => not an index; raising beats resurrecting superseded
+    # pre-compaction generations with a silent floor=0 fallback
+    floor = _load_meta(index_dir).get("compacted_below", 0)
     files = _index_files(index_dir, floor)
     if not files:
         raise FileNotFoundError(f"no index generations under {index_dir}")
@@ -230,7 +234,7 @@ def compact_index(spark: SparkSession, index_dir: str | Path, files_out: int | N
     # floor, strictly below the manifest's counter (anything at/above
     # the counter is an uncommitted orphan, not part of the index)
     live = [
-        p for p in _index_files(index_dir, floor) if int(Path(p).name[4:9]) < gen
+        p for p in _index_files(index_dir, floor) if _gen_no(Path(p)) < gen
     ]
     if files_out is None:
         # ~24-byte rows: size output files to ~128 MB (≈5M rows each)
@@ -247,7 +251,7 @@ def compact_index(spark: SparkSession, index_dir: str | Path, files_out: int | N
     )
     _write_meta(index_dir, meta)  # commit point
     for p in Path(index_dir).glob("gen-*.parquet"):
-        if int(p.name[4:9]) < gen:
+        if _gen_no(p) < gen:
             shutil.rmtree(p)
     return {"generation": gen, "merged_generations": len(live), "chunks": n_chunks}
 

@@ -82,15 +82,20 @@ def _signature_params() -> dict:
     }
 
 
+def _gen_no(p: Path) -> int:
+    """Generation number from a dir name — parse the full digit run, not
+    a fixed 5-char slice: a streaming index creates one generation per
+    microbatch and crosses 99999 within weeks."""
+    return int(p.name.removeprefix("gen-").removesuffix(".parquet"))
+
+
 def _gen_files(index_dir: str | Path, floor: int = 0) -> list[str]:
     """Generation dirs at or above ``floor`` (gens below a committed
     compaction are superseded — their rows live in the compacted
-    generation — and are ignored even if a crash left them on disk)."""
-    out = []
-    for p in sorted(Path(index_dir).glob("gen-*.parquet")):
-        if int(p.name[4:9]) >= floor:
-            out.append(str(p))
-    return out
+    generation — and are ignored even if a crash left them on disk),
+    in numeric generation order."""
+    gens = sorted(Path(index_dir).glob("gen-*.parquet"), key=_gen_no)
+    return [str(p) for p in gens if _gen_no(p) >= floor]
 
 
 def _load_meta(index_dir: str | Path) -> dict:
@@ -107,10 +112,9 @@ def _write_meta(index_dir: Path, meta: dict) -> None:
 
 
 def _read_index(spark: SparkSession, index_dir: str | Path) -> DataFrame:
-    try:
-        floor = _load_meta(index_dir).get("compacted_below", 0)
-    except FileNotFoundError:
-        floor = 0
+    # no manifest => not an index; raising beats resurrecting superseded
+    # pre-compaction generations with a silent floor=0 fallback
+    floor = _load_meta(index_dir).get("compacted_below", 0)
     files = _gen_files(index_dir, floor)
     if not files:
         raise FileNotFoundError(f"no index generations under {index_dir}")
@@ -196,6 +200,10 @@ def admit_docs(
     n_docs = (
         spark.read.parquet(str(out)).agg(F.countDistinct("doc_id")).collect()[0][0]
     )
+    # materialize the (narrow) pair set before dropping the band cache:
+    # callers consume cands AFTER this returns, and without the
+    # checkpoint that evaluation would re-shingle and re-join the batch
+    cands = cands.localCheckpoint(eager=True)
     n_pairs = cands.count()
     meta["generations"] = gen + 1
     meta["admissions"].append(
@@ -250,7 +258,7 @@ def compact_lsh_index(
     # live = committed generations only: at or above the compaction
     # floor, strictly below the manifest's generation counter (anything
     # at/above the counter is an uncommitted orphan)
-    live = [p for p in _gen_files(index_dir, floor) if int(Path(p).name[4:9]) < gen]
+    live = [p for p in _gen_files(index_dir, floor) if _gen_no(Path(p)) < gen]
     if files_out is None:
         # ~45-byte band rows: size output files to ~128 MB
         bytes_live = sum(
@@ -266,7 +274,7 @@ def compact_lsh_index(
     )
     _write_meta(index_dir, meta)  # commit point
     for p in Path(index_dir).glob("gen-*.parquet"):
-        if int(p.name[4:9]) < gen:
+        if _gen_no(p) < gen:
             shutil.rmtree(p)
     return {"generation": gen, "merged_generations": len(live), "band_rows": n_rows}
 

@@ -231,3 +231,29 @@ def test_query_is_readonly_lookup(spark, tmp_path):
         (r.probe_doc_id, r.index_doc_id)
         for r in query_docs(spark, probe, idx).collect()
     } == hits
+
+
+def test_generation_numbers_past_five_digits(spark, tmp_path):
+    """A streaming index crosses gen 99999; the full digit run must
+    parse (a fixed 5-char slice would mis-order and, after compaction
+    raised the floor, silently drop committed generations)."""
+    import json as _json
+
+    from dataset_dedupe_estimator_spark.plans.lsh_index import _gen_files, _gen_no
+    from pathlib import Path
+
+    idx = tmp_path / "lsh"
+    docs = _docs(spark)
+    build_lsh_index(spark, docs.filter(F.col("doc_id") < 50), idx)
+    # simulate a long history: rename gen-0 to gen-100000 and bump meta
+    (idx / "gen-00000.parquet").rename(idx / "gen-100000.parquet")
+    meta = _json.load(open(idx / "_lsh_meta.json"))
+    meta["generations"] = 100001
+    meta["compacted_below"] = 99999
+    _json.dump(meta, open(idx / "_lsh_meta.json", "w"))
+    assert _gen_no(Path(str(idx / "gen-100000.parquet"))) == 100000
+    assert _gen_files(idx, 99999) == [str(idx / "gen-100000.parquet")]
+    # readers and admission still see the committed generation
+    assert index_stats(spark, idx)["docs"] > 0
+    _, rep = admit_docs(spark, docs.filter(F.col("doc_id") < 50), idx)
+    assert rep["docs"] == 0 and rep["generation"] == 100001

@@ -202,7 +202,8 @@ def main() -> int:
             }
         with open(json_out, "w") as f:
             json.dump(report, f, indent=1, sort_keys=True)
-        print(f"wrote {json_out} ({len(report)} queries)")
+        n_queries = sum(1 for k in report if not k.startswith("_"))
+        print(f"wrote {json_out} ({n_queries} queries)")
     return 1 if n_fail else 0
 
 
