@@ -127,6 +127,28 @@ def main() -> None:
         for name, ts in samples.items()
     }
 
+    # LSH index admission throughput: build over 2/3 of the documents
+    # table, admit the remaining 1/3, report admitted docs/sec (the
+    # continuous-ingestion near-dup path; not part of the headline total
+    # — tracked per round like the chunker MB/s)
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from dataset_dedupe_estimator_spark.plans.lsh_index import (
+        admit_docs,
+        build_lsh_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    with _tf.TemporaryDirectory(prefix="dde-bench-lsh-") as d:
+        build_lsh_index(spark, docs.filter(F.col("doc_id") % 3 != 0), f"{d}/lsh")
+        batch = docs.filter(F.col("doc_id") % 3 == 0)
+        t0 = time.perf_counter()
+        _cands, rep = admit_docs(spark, batch, f"{d}/lsh")
+        lsh_admit_s = time.perf_counter() - t0
+        lsh_docs_per_s = round(rep["docs"] / lsh_admit_s, 1)
+
     total = round(sum(per_query.values()), 3)
     print(
         json.dumps(
@@ -137,6 +159,7 @@ def main() -> None:
                 "queries": per_query,
                 "queries_stddev": per_query_sd,
                 **chunker_throughput(),
+                "lsh_admit_docs_per_s": lsh_docs_per_s,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -48,6 +48,8 @@ def main() -> int:
         "ann_recall_at_k",
         "semantic_vs_lexical_pairs",
         "spend_quartiles",
+        "fuzzy_match_customers",
+        "events_gapfill",
     ]
     lines = [
         "# Physical plans — headline + selected queries",
