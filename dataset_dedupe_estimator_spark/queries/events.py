@@ -428,9 +428,85 @@ ORDER BY hour, event_type
 """
 
 
+ATTRIB_WINDOW_S = 3600  # last-touch attribution horizon
+
+
+def events_attribution(spark, sf):
+    """Last-touch attribution: each purchase credited to the same
+    user's most recent strictly-earlier click within one hour.
+
+    The carry-forward (LOCF) shape: one window per user ordered by
+    event time, ``last(click, ignorenulls)`` over an
+    unbounded-preceding/-1 frame — no self-join, no per-purchase scan
+    of the click history, one shuffle on user_id. Gap is computed on
+    floored microsecond deltas (cross-engine exact; DuckDB's
+    date_diff counts boundary crossings instead)."""
+    ev = load(spark, sf, "events")
+    sub = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    attributed = (
+        sub.withColumn("click_ts", F.last(click_ts, ignorenulls=True).over(w))
+        .withColumn("click_id", F.last(click_id, ignorenulls=True).over(w))
+        .filter((F.col("event_type") == "purchase") & F.col("click_id").isNotNull())
+        .withColumn(
+            # ts reads as TIMESTAMP_NTZ; unix_micros needs an instant —
+            # session tz is pinned UTC by load(), so the cast is a
+            # relabel, not a wall-clock shift
+            "gap_s",
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("click_ts").cast("timestamp"))
+            )
+            / F.lit(1_000_000),
+        )
+        .withColumn("gap_s", F.floor("gap_s").cast("long"))
+        .filter(F.col("gap_s") <= ATTRIB_WINDOW_S)
+    )
+    return attributed.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("click_id").alias("attributed_click_id"),
+        "gap_s",
+    ).orderBy("purchase_id")
+
+
+EVENTS_ATTRIBUTION_SQL = f"""
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+sub AS (
+  SELECT event_id, user_id, ts, event_type
+  FROM ev WHERE event_type IN ('click', 'purchase')
+),
+carried AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER w AS click_ts,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER w AS click_id
+  FROM sub
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id AS purchase_id, user_id, click_id AS attributed_click_id,
+       (epoch_us(ts) - epoch_us(click_ts)) // 1000000 AS gap_s
+FROM carried
+WHERE event_type = 'purchase' AND click_id IS NOT NULL
+  AND (epoch_us(ts) - epoch_us(click_ts)) // 1000000 <= {ATTRIB_WINDOW_S}
+ORDER BY purchase_id
+"""
+
+
 QUERIES = {
     "events_hourly": Q(events_hourly, EVENTS_HOURLY_SQL),
     "events_gapfill": Q(events_gapfill, EVENTS_GAPFILL_SQL),
+    "events_attribution": Q(events_attribution, EVENTS_ATTRIBUTION_SQL),
     "events_funnel": Q(events_funnel, EVENTS_FUNNEL_SQL),
     "events_retention_cohorts": Q(events_retention_cohorts, EVENTS_RETENTION_SQL),
     "events_json_extract": Q(events_json_extract, EVENTS_JSON_SQL),
