@@ -503,10 +503,83 @@ ORDER BY purchase_id
 """
 
 
+BURST_GAP_S = 300  # retransmission horizon: bursts closer than this collapse
+
+
+def events_dedup_burst(spark, sf):
+    """Burst deduplication: within each (user, event_type), events less
+    than BURST_GAP_S apart collapse to their first occurrence — the
+    retransmission / double-click / at-least-once-delivery cleanup every
+    event pipeline runs before analytics.
+
+    Cumulative-gap sessions (not a lag-only filter): a lag filter would
+    re-admit the third event of a tight burst whenever it sits > gap
+    after the *dropped* second one but < gap after the kept first; the
+    running SUM of new-burst flags assigns every event of a chain to its
+    burst, and min-per-burst keeps exactly one. Same one-shuffle window
+    shape as events_sessionize, keyed by (user_id, event_type)."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(ts_us).over(w)
+    new_burst = (
+        prev_us.isNull() | ((ts_us - prev_us) >= F.lit(BURST_GAP_S * 1_000_000))
+    ).cast("long")
+    bursts = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum(new_burst).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("burst_id"),
+    )
+    return (
+        bursts.groupBy("user_id", "event_type", "burst_id")
+        .agg(
+            F.min_by("event_id", F.struct("ts", "event_id")).alias("keeper_event_id"),
+            F.count(F.lit(1)).alias("n_collapsed"),
+        )
+        .select("user_id", "event_type", "burst_id", "keeper_event_id", "n_collapsed")
+        .orderBy("user_id", "event_type", "burst_id")
+    )
+
+
+EVENTS_BURST_SQL = f"""
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+flagged AS (
+  SELECT event_id, user_id, event_type, ts,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {300 * 1_000_000}
+              THEN 1 ELSE 0 END AS new_burst
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+),
+bursts AS (
+  SELECT *, CAST(SUM(new_burst) OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS burst_id
+  FROM flagged
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type, burst_id
+                               ORDER BY ts, event_id) AS rn
+  FROM bursts
+)
+SELECT user_id, event_type, burst_id,
+       MAX(CASE WHEN rn = 1 THEN event_id END) AS keeper_event_id,
+       COUNT(*) AS n_collapsed
+FROM ranked
+GROUP BY user_id, event_type, burst_id
+ORDER BY user_id, event_type, burst_id
+"""
+
+
 QUERIES = {
     "events_hourly": Q(events_hourly, EVENTS_HOURLY_SQL),
     "events_gapfill": Q(events_gapfill, EVENTS_GAPFILL_SQL),
     "events_attribution": Q(events_attribution, EVENTS_ATTRIBUTION_SQL),
+    "events_dedup_burst": Q(events_dedup_burst, EVENTS_BURST_SQL),
     "events_funnel": Q(events_funnel, EVENTS_FUNNEL_SQL),
     "events_retention_cohorts": Q(events_retention_cohorts, EVENTS_RETENTION_SQL),
     "events_json_extract": Q(events_json_extract, EVENTS_JSON_SQL),
