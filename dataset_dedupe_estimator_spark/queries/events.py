@@ -381,14 +381,18 @@ def events_gapfill(spark, sf):
         F.count(F.lit(1)).alias("n_events"),
         (F.sum(cents("value")) / F.lit(100.0)).alias("sum_value"),
     )
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
-    )
+    # bounds and the type dim derive from the persisted HOURLY AGGREGATE,
+    # not the fact table: column pruning makes the consumers' subplans
+    # differ, so exchange reuse alone can't deduplicate them — the
+    # persist pins one fact scan for all three (at 100 TB the naive
+    # form's three full fact scans are the whole query cost; the cached
+    # aggregate is hours x types rows)
+    hourly = hourly.persist()
+    bounds = hourly.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
     spine_hours = bounds.select(
         F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour")
     )
-    types = ev.select("event_type").distinct()
+    types = hourly.select("event_type").distinct()
     spine = spine_hours.crossJoin(F.broadcast(types))
     return (
         spine.join(F.broadcast(hourly), ["hour", "event_type"], "left")

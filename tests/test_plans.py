@@ -113,6 +113,9 @@ SINGLE_SCAN = [
     ("events_retention_cohorts", "events"),
     ("cms_token_counts", "documents"),
     ("effective_token_budget", "documents"),
+    ("events_gapfill", "events"),
+    ("events_attribution", "events"),
+    ("events_dedup_burst", "events"),
 ]
 
 
