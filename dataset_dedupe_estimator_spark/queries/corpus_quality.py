@@ -493,7 +493,107 @@ GROUP BY d.source ORDER BY d.source
 """
 
 
+EMAIL_RE = r"[a-z0-9.]+@[a-z0-9]+\.[a-z]+"
+PHONE_RE = r"\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scan(spark, sf):
+    """PII detection + redaction audit per source: email/phone pattern
+    hits, affected-document counts, and proof the redaction pass leaves
+    zero residual matches.
+
+    The synthetic corpus contains no PII, so the query deterministically
+    injects it first (every 20th doc gets an email, every 30th a phone
+    number — both derived from doc_id), exactly like the fuzzy-match
+    query derives its dirty CRM feed: the operator under test is the
+    scan/redact expression pipeline, which is pure whole-stage-codegen
+    regex work — zero shuffles beyond the final per-source rollup, and
+    the patterns behave identically under Java regex and RE2."""
+    docs = load(spark, sf, "documents")
+    injected = docs.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 20 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 30 == 0,
+                F.concat(
+                    F.lit(" call +01-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    emails = F.regexp_count(F.col("text2"), F.lit(EMAIL_RE))
+    phones = F.regexp_count(F.col("text2"), F.lit(PHONE_RE))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text2"), EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )
+    residual = F.regexp_count(redacted, F.lit(EMAIL_RE)) + F.regexp_count(
+        redacted, F.lit(PHONE_RE)
+    )
+    scanned = injected.select(
+        "source",
+        emails.alias("n_email"),
+        phones.alias("n_phone"),
+        residual.alias("n_residual"),
+    )
+    return (
+        scanned.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_email") + F.col("n_phone") > 0).cast("long")).alias(
+                "docs_with_pii"
+            ),
+            F.sum("n_email").alias("email_hits"),
+            F.sum("n_phone").alias("phone_hits"),
+            F.sum("n_residual").alias("residual_after_redaction"),
+        )
+        .orderBy("source")
+    )
+
+
+PII_SCAN_SQL = f"""
+WITH injected AS (
+  SELECT source,
+         text
+         || CASE WHEN doc_id % 20 = 0
+                 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 30 = 0
+                 THEN ' call +01-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS text2
+  FROM documents
+),
+scanned AS (
+  SELECT source,
+         len(regexp_extract_all(text2, '{EMAIL_RE}')) AS n_email,
+         len(regexp_extract_all(text2, '{PHONE_RE}')) AS n_phone,
+         len(regexp_extract_all(
+             regexp_replace(
+                 regexp_replace(text2, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                 '{PHONE_RE}', '[PHONE]', 'g'),
+             '{EMAIL_RE}'))
+         + len(regexp_extract_all(
+             regexp_replace(
+                 regexp_replace(text2, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                 '{PHONE_RE}', '[PHONE]', 'g'),
+             '{PHONE_RE}')) AS n_residual
+  FROM injected
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_email + n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       CAST(SUM(n_email) AS BIGINT) AS email_hits,
+       CAST(SUM(n_phone) AS BIGINT) AS phone_hits,
+       CAST(SUM(n_residual) AS BIGINT) AS residual_after_redaction
+FROM scanned GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
+    "pii_scan": Q(pii_scan, PII_SCAN_SQL),
     "unigram_surprisal": Q(unigram_surprisal, UNIGRAM_SURPRISAL_SQL),
     "charlm_familiarity": Q(charlm_familiarity, CHARLM_FAMILIARITY_SQL),
     "tfidf_top_terms": Q(tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
