@@ -136,6 +136,13 @@ def main() -> int:
                 stress_ok,
             )
         )
+        results.append(
+            _run(
+                "stress events",
+                [sys.executable, "tools/stress_events.py", "10"],
+                stress_ok,
+            )
+        )
 
     print("\n" + ("ALL GREEN" if all(results) else "FAILURES — see above"))
     return 0 if all(results) else 1
