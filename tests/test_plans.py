@@ -157,3 +157,64 @@ def test_fuzzy_match_blocked_hash_join(spark):
     # never an all-pairs nested loop
     plan = plan_of(spark, "fuzzy_match_customers")
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_burst_dedup_matches_python_reference(spark):
+    """events_dedup_burst vs a brute-force per-key reference on a dense
+    synthetic timeline (including chains where every inter-event gap is
+    below the horizon but the chain itself spans more than one horizon —
+    the case a lag-only filter gets wrong)."""
+    import itertools
+
+    from dataset_dedupe_estimator_spark.queries.events import (
+        BURST_GAP_S,
+        events_dedup_burst,
+    )
+
+    # deterministic scattered events: 3 users x 2 types, bursty times
+    rows = []
+    eid = 0
+    for u, t in itertools.product([1, 2, 3], ["click", "view"]):
+        base = 1_700_000_000 + u * 7919 + len(t)
+        for k in range(40):
+            # clusters of 4 events 100 s apart, clusters 1000 s apart:
+            # within a cluster every gap (100 s) < 300 s, but the cluster
+            # spans 300 s — keep-first must still collapse it to ONE
+            ts = base + (k // 4) * 1000 + (k % 4) * 100
+            rows.append((eid, ts, u, t, 0.0, "{}"))
+            eid += 1
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts_s", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf.ts_s, unit="s")
+    sdf = spark.createDataFrame(
+        pdf[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        sdf.write.parquet(f"{d}/events.parquet")
+        got = {
+            (r.user_id, r.event_type, r.burst_id): (r.keeper_event_id, r.n_collapsed)
+            for r in events_dedup_burst(spark, d).collect()
+        }
+
+    # python reference
+    want = {}
+    for (u, t), grp in pdf.groupby(["user_id", "event_type"]):
+        grp = grp.sort_values(["ts_s", "event_id"])
+        burst, prev, keeper, n = 0, None, None, 0
+        for _, r in grp.iterrows():
+            if prev is None or r.ts_s - prev >= BURST_GAP_S:
+                if keeper is not None:
+                    want[(u, t, burst)] = (keeper, n)
+                burst += 1
+                keeper, n = r.event_id, 0
+            n += 1
+            prev = r.ts_s
+        want[(u, t, burst)] = (keeper, n)
+    assert got == want
+    # clusters of 4 collapse to one keeper each
+    assert all(n == 4 for _k, n in got.values())
