@@ -45,10 +45,101 @@ for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthet
 # so rotation only affects which subset gets *driver-side* attestation,
 # never whether a regression is caught.
 #
-# Round-3 window: the 13 queries added after round 2's gate ran (never
-# driver-checked) + 37 of the 40 whose only green is CORRECTNESS_r01.
+# Round-4 window (executes the rotation staged at r3 close): the 28
+# queries added during round 3 that have never been driver-checked, the 3
+# round-1-only stragglers deferred from r3's overflow, and the 19 oldest
+# round-2-green queries (registry tail order).
 _FRONT = [
-    # never driver-checked (added late in round 2)
+    "spend_quartiles",
+    "events_gapfill",
+    "events_attribution",
+    "events_dedup_burst",
+    "events_daily_anomaly",
+    "ngram_containment_pairs",
+    "lsh_index_incremental",
+    "ann_recall_at_k",
+    "semantic_vs_lexical_pairs",
+    "split_assign",
+    "cross_split_leakage",
+    "split_purge_eval",
+    "streaming_view_click_join",
+    "fuzzy_match_customers",
+    "data_quality_report",
+    "profile_documents",
+    "cdc_index_incremental",
+    "doc_chunk_windows",
+    "pii_scan",
+    "charlm_familiarity",
+    "ngram_novelty",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q16_supplier_diversity",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "filter_project_scan",
+    "distinct_ship_modes",
+    "date_part_revenue",
+    "cdc_per_file_chunks",
+    "cdc_provenance",
+    "cdc_estimate",
+    "cdc_estimate_xet",
+    "cdc_approx_estimate",
+    "quantity_percentiles",
+    "token_bpe_ish",
+    "rolling_hash_fingerprint",
+    "format_compare_demo",
+    "synthetic_generator_e2e",
+    "dedup_near_groups",
+    "repetition_stats",
+    "contamination_check",
+    "streaming_dedup_events",
+    "cdc_streaming_estimate",
+    "multimodal_pipeline_demo",
+    "ann_ivf_trained",
+    "corpus_survival_pipeline",
+    "dedup_near_survivors",
+]
+# overflow: the remaining 31 round-2-green queries — oldest driver
+# attestation after this round runs, first in line for round 5's window
+# (locally re-verified every round)
+_NEXT = [
+    "vocab_coverage_score",
+    "pq_codes",
+    "streaming_windowed_counts",
+    "salted_agg_lineitem",
+    "simhash_candidates",
+    "streaming_sessionize_events",
+    "conditional_pivot_brands",
+    "events_sessionize",
+    "kmv_sketches",
+    "source_token_stats",
+    "synthetic_delete_rows",
+    "synthetic_insert_rows",
+    "synthetic_update_rows",
+    "synthetic_update_column",
+    "synthetic_append_rows",
+    "merge_upsert_orders",
+    "dedup_keep_first_pruned",
+    "dedup_spans",
+    "mixture_sample",
+    "sequence_pack",
+    "cdc_upload_delta",
+    "unigram_surprisal",
+    "tfidf_top_terms",
+    "bloom_incremental_dedup",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q22_idle_customers",
+]
+# most recent driver green: CORRECTNESS_r03 (49/50 fully green; the 50th,
+# cdc_dedup_trend, is rows-only by design)
+_TAIL = [
     "events_funnel",
     "events_retention_cohorts",
     "cms_token_counts",
@@ -62,7 +153,6 @@ _FRONT = [
     "q8_market_share",
     "q14_promo_revenue",
     "q19_disjunctive_revenue",
-    # last driver-green in round 1 (stale — re-attest now)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -100,66 +190,6 @@ _FRONT = [
     "dedup_exact_groups",
     "dedup_fingerprint_groups",
     "dedup_exact_events",
-]
-# overflow: last driver-green in round 1, deferred to round 4's window
-# (trivially stable scans; locally re-verified every round)
-_NEXT = [
-    "filter_project_scan",
-    "distinct_ship_modes",
-    "date_part_revenue",
-]
-# most recent driver green: CORRECTNESS_r02 (all 50 fully green)
-_TAIL = [
-    "cdc_per_file_chunks",
-    "cdc_provenance",
-    "cdc_estimate",
-    "cdc_estimate_xet",
-    "cdc_approx_estimate",
-    "quantity_percentiles",
-    "token_bpe_ish",
-    "rolling_hash_fingerprint",
-    "format_compare_demo",
-    "synthetic_generator_e2e",
-    "dedup_near_groups",
-    "repetition_stats",
-    "contamination_check",
-    "streaming_dedup_events",
-    "cdc_streaming_estimate",
-    "multimodal_pipeline_demo",
-    "ann_ivf_trained",
-    "corpus_survival_pipeline",
-    "dedup_near_survivors",
-    "vocab_coverage_score",
-    "pq_codes",
-    "streaming_windowed_counts",
-    "salted_agg_lineitem",
-    "simhash_candidates",
-    "streaming_sessionize_events",
-    "conditional_pivot_brands",
-    "events_sessionize",
-    "kmv_sketches",
-    "source_token_stats",
-    "synthetic_delete_rows",
-    "synthetic_insert_rows",
-    "synthetic_update_rows",
-    "synthetic_update_column",
-    "synthetic_append_rows",
-    "merge_upsert_orders",
-    "dedup_keep_first_pruned",
-    "dedup_spans",
-    "mixture_sample",
-    "sequence_pack",
-    "cdc_upload_delta",
-    "unigram_surprisal",
-    "tfidf_top_terms",
-    "bloom_incremental_dedup",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q22_idle_customers",
 ]
 _missing = (set(_FRONT) | set(_NEXT) | set(_TAIL)) - REGISTRY.keys()
 if _missing:
