@@ -93,7 +93,7 @@ def wav_meta(content: bytes) -> tuple[int, int]:
     (stub seam) — the header is enough for mm_meta on real WAV bytes."""
     i, n = 12, len(content)
     rate = channels = bits = None
-    frames = None
+    data_size = None
     while i + 8 <= n:
         cid = content[i : i + 4]
         size = int.from_bytes(content[i + 4 : i + 8], "little")
@@ -102,11 +102,16 @@ def wav_meta(content: bytes) -> tuple[int, int]:
             channels = int.from_bytes(body[2:4], "little")
             rate = int.from_bytes(body[4:8], "little")
             bits = int.from_bytes(body[14:16], "little")
-        elif cid == b"data" and rate is not None:
-            frames = size // max(1, channels * (bits // 8))
+        elif cid == b"data":
+            # record the size unconditionally: RIFF permits data before
+            # fmt, so frame math waits until both chunks have been seen
+            data_size = size
         i += 8 + size + (size & 1)
     if rate is None:
         raise ValueError("RIFF/WAVE without fmt chunk")
+    frames = None
+    if data_size is not None:
+        frames = data_size // max(1, channels * (bits // 8))
     return rate, (frames if frames is not None else 0)
 
 

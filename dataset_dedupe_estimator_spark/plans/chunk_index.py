@@ -52,6 +52,7 @@ from dataset_dedupe_estimator_spark.operators.chunker import (
     ChunkerParams,
     chunk_files_auto,
 )
+from dataset_dedupe_estimator_spark.plans._index_lock import writer_lock
 from dataset_dedupe_estimator_spark.plans.estimate import ESTIMATE_PARAMS
 
 _META = "_index_meta.json"
@@ -111,32 +112,48 @@ def build_index(
     params: ChunkerParams = ESTIMATE_PARAMS,
 ) -> dict:
     """Create generation 0 from a snapshot. Fails if the dir already
-    holds an index (use update_index to grow one)."""
+    holds an index (use update_index to grow one).
+
+    Single-writer: all index mutations (build/update/compact) take the
+    index dir's exclusive writer lock — see plans/_index_lock.py."""
+    import shutil
+
     index_dir = Path(index_dir)
     if (index_dir / _META).exists():
         raise FileExistsError(f"{index_dir} already holds an index")
     index_dir.mkdir(parents=True, exist_ok=True)
-    chunks = chunk_files_auto(spark, paths, params=params)
-    distinct = (
-        chunks.groupBy("hash")
-        .agg(F.min("size").alias("size"), F.min("compressed").alias("csize"))
-    )
-    distinct.write.mode("errorifexists").parquet(str(index_dir / "gen-00000.parquet"))
-    n_chunks, n_bytes = (
-        spark.read.parquet(str(index_dir / "gen-00000.parquet"))
-        .agg(F.count(F.lit(1)), F.sum("size"))
-        .collect()[0]
-    )
-    meta = {
-        "params": _params_dict(params),
-        # hashes are only comparable under the same identity hash; pin it
-        # so a future engine with a different hash refuses the index
-        # instead of silently reporting ~100% novel
-        "identity_hash": IDENTITY_HASH,
-        "generations": 1,
-        "snapshots": [{"gen": 0, "files": len(paths), "novel_chunks": n_chunks, "novel_bytes": n_bytes}],
-    }
-    _write_meta(index_dir, meta)
+    with writer_lock(index_dir):
+        if (index_dir / _META).exists():  # re-check under the lock
+            raise FileExistsError(f"{index_dir} already holds an index")
+        gen0 = index_dir / "gen-00000.parquet"
+        if gen0.exists():
+            # no manifest but gen-00000 present: a prior build crashed
+            # between the parquet write and the manifest commit. The
+            # manifest is the commit point, so the orphan was never part
+            # of any index — remove it and redo (retry-safe, mirroring
+            # update_index's orphan protocol).
+            shutil.rmtree(gen0)
+        chunks = chunk_files_auto(spark, paths, params=params)
+        distinct = (
+            chunks.groupBy("hash")
+            .agg(F.min("size").alias("size"), F.min("compressed").alias("csize"))
+        )
+        distinct.write.mode("errorifexists").parquet(str(gen0))
+        n_chunks, n_bytes = (
+            spark.read.parquet(str(gen0))
+            .agg(F.count(F.lit(1)), F.sum("size"))
+            .collect()[0]
+        )
+        meta = {
+            "params": _params_dict(params),
+            # hashes are only comparable under the same identity hash; pin it
+            # so a future engine with a different hash refuses the index
+            # instead of silently reporting ~100% novel
+            "identity_hash": IDENTITY_HASH,
+            "generations": 1,
+            "snapshots": [{"gen": 0, "files": len(paths), "novel_chunks": n_chunks, "novel_bytes": n_bytes}],
+        }
+        _write_meta(index_dir, meta)
     return {"generation": 0, "novel_chunks": n_chunks, "novel_bytes": n_bytes}
 
 
@@ -144,8 +161,20 @@ def update_index(
     spark: SparkSession, paths: list[str], index_dir: str | Path
 ) -> dict:
     """Admit a snapshot: append its novel chunks as a new generation and
-    return the transfer stats. Write cost is O(novel), not O(index)."""
+    return the transfer stats. Write cost is O(novel), not O(index).
+
+    Single-writer: holds the index writer lock (plans/_index_lock.py)
+    for the whole read-manifest → write-generation → commit cycle; a
+    concurrent writer raises ConcurrentWriterError instead of clobbering
+    the in-flight generation."""
     index_dir = Path(index_dir)
+    with writer_lock(index_dir):
+        return _update_index_locked(spark, paths, index_dir)
+
+
+def _update_index_locked(
+    spark: SparkSession, paths: list[str], index_dir: Path
+) -> dict:
     meta = _load_meta(index_dir)
     pinned_hash = meta.get("identity_hash", IDENTITY_HASH)
     if pinned_hash != IDENTITY_HASH:
@@ -220,10 +249,19 @@ def compact_index(spark: SparkSession, index_dir: str | Path, files_out: int | N
     old directories deleted. A crash before the commit leaves an orphan
     the next update/compaction removes; a crash after it leaves
     already-superseded directories that are skipped and lazily deleted
-    on the next compaction."""
+    on the next compaction.
+
+    Single-writer: holds the index writer lock (plans/_index_lock.py)."""
+    index_dir = Path(index_dir)
+    with writer_lock(index_dir):
+        return _compact_index_locked(spark, index_dir, files_out)
+
+
+def _compact_index_locked(
+    spark: SparkSession, index_dir: Path, files_out: int | None
+) -> dict:
     import shutil
 
-    index_dir = Path(index_dir)
     meta = _load_meta(index_dir)
     floor = meta.get("compacted_below", 0)
     gen = meta["generations"]

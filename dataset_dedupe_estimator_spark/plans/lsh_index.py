@@ -52,6 +52,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dataset_dedupe_estimator_spark.plans._index_lock import writer_lock
 from dataset_dedupe_estimator_spark.queries.dedupe_text import (
     MH_A,
     MH_B,
@@ -137,23 +138,35 @@ def build_lsh_index(
     spark: SparkSession, docs: DataFrame, index_dir: str | Path
 ) -> dict:
     """Create generation 0 from a (doc_id, text) corpus. Fails if the
-    dir already holds an index (use admit_docs to grow one)."""
+    dir already holds an index (use admit_docs to grow one).
+
+    Single-writer: all index mutations (build/admit/compact) take the
+    index dir's exclusive writer lock — see plans/_index_lock.py."""
     index_dir = Path(index_dir)
     if (index_dir / _META).exists():
         raise FileExistsError(f"{index_dir} already holds an LSH index")
     index_dir.mkdir(parents=True, exist_ok=True)
-    bands = band_rows_of(minhash_sig_of(docs.select("doc_id", "text")))
-    out = index_dir / "gen-00000.parquet"
-    bands.select(*_BAND_COLS).write.mode("errorifexists").parquet(str(out))
-    n_docs = (
-        spark.read.parquet(str(out)).agg(F.countDistinct("doc_id")).collect()[0][0]
-    )
-    meta = {
-        "signature": _signature_params(),
-        "generations": 1,
-        "admissions": [{"gen": 0, "docs": n_docs, "candidate_pairs": None}],
-    }
-    _write_meta(index_dir, meta)
+    with writer_lock(index_dir):
+        if (index_dir / _META).exists():  # re-check under the lock
+            raise FileExistsError(f"{index_dir} already holds an LSH index")
+        out = index_dir / "gen-00000.parquet"
+        if out.exists():
+            # no manifest but gen-00000 present: a prior build crashed
+            # between the parquet write and the manifest commit — the
+            # orphan was never part of any index; remove and redo
+            # (retry-safe, mirroring admit_docs' orphan protocol)
+            shutil.rmtree(out)
+        bands = band_rows_of(minhash_sig_of(docs.select("doc_id", "text")))
+        bands.select(*_BAND_COLS).write.mode("errorifexists").parquet(str(out))
+        n_docs = (
+            spark.read.parquet(str(out)).agg(F.countDistinct("doc_id")).collect()[0][0]
+        )
+        meta = {
+            "signature": _signature_params(),
+            "generations": 1,
+            "admissions": [{"gen": 0, "docs": n_docs, "candidate_pairs": None}],
+        }
+        _write_meta(index_dir, meta)
     return {"generation": 0, "docs": n_docs}
 
 
@@ -168,8 +181,20 @@ def admit_docs(
     within the batch itself; distinct, so the union over all admissions
     equals the single-shot banding of the full corpus. doc_ids already
     in the index are skipped (idempotent re-admission).
+
+    Single-writer: holds the index writer lock (plans/_index_lock.py)
+    for the whole read-manifest → write-generation → commit cycle; a
+    concurrent writer raises ConcurrentWriterError instead of clobbering
+    the in-flight generation.
     """
     index_dir = Path(index_dir)
+    with writer_lock(index_dir):
+        return _admit_docs_locked(spark, docs, index_dir)
+
+
+def _admit_docs_locked(
+    spark: SparkSession, docs: DataFrame, index_dir: Path
+) -> tuple[DataFrame, dict]:
     meta = _check_meta(index_dir)
     gen = meta["generations"]
     out = index_dir / f"gen-{gen:05d}.parquet"
@@ -247,8 +272,17 @@ def compact_lsh_index(
     both it and ``compacted_below``, and only then are superseded
     directories deleted. A crash before the commit leaves an orphan the
     next admission/compaction removes; a crash after it leaves
-    already-superseded directories every reader skips."""
+    already-superseded directories every reader skips.
+
+    Single-writer: holds the index writer lock (plans/_index_lock.py)."""
     index_dir = Path(index_dir)
+    with writer_lock(index_dir):
+        return _compact_lsh_index_locked(spark, index_dir, files_out)
+
+
+def _compact_lsh_index_locked(
+    spark: SparkSession, index_dir: Path, files_out: int | None
+) -> dict:
     meta = _check_meta(index_dir)
     floor = meta.get("compacted_below", 0)
     gen = meta["generations"]

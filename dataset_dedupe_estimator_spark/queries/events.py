@@ -554,7 +554,7 @@ WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
 flagged AS (
   SELECT event_id, user_id, event_type, ts,
          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {300 * 1_000_000}
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {BURST_GAP_S * 1_000_000}
               THEN 1 ELSE 0 END AS new_burst
   FROM ev
   WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)

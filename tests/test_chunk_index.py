@@ -217,3 +217,55 @@ def test_compact_survives_precommit_orphan(spark, tmp_path, snapshots):
     after = index_stats(spark, idx).collect()[0]
     assert after.unique_chunks == before.unique_chunks
     assert after.unique_bytes == before.unique_bytes
+
+
+def test_build_retry_after_precommit_crash(spark, tmp_path, snapshots):
+    """A crash between the gen-00000 write and the manifest commit must
+    not wedge a retried build (ADVICE r3): the manifest is the commit
+    point, so a manifest-less gen-00000 is an orphan to discard."""
+    old, _ = snapshots
+    idx = tmp_path / "idx"
+    orphan = idx / "gen-00000.parquet"
+    spark.range(3).selectExpr(
+        "id AS hash", "id AS size", "id AS csize"
+    ).write.parquet(str(orphan))
+    assert not (idx / "_index_meta.json").exists()
+    stats = build_index(spark, old, idx)
+    assert stats["generation"] == 0 and stats["novel_chunks"] > 3
+    # the orphan's fake rows are gone, replaced by the real snapshot
+    hashes = {r.hash for r in _read_index(spark, idx).select("hash").collect()}
+    assert 0 not in hashes and len(hashes) == stats["novel_chunks"]
+
+
+def test_single_writer_lock_refuses_concurrent_mutation(spark, tmp_path, snapshots):
+    """Index mutations are single-writer: while one writer holds the
+    lock, a second build/update/compact raises instead of clobbering the
+    in-flight generation (ADVICE r3)."""
+    from dataset_dedupe_estimator_spark.plans._index_lock import (
+        ConcurrentWriterError,
+        writer_lock,
+    )
+    from dataset_dedupe_estimator_spark.plans.chunk_index import compact_index
+
+    old, new = snapshots
+    idx = tmp_path / "idx"
+    build_index(spark, old, idx)
+    lock = idx / "_writer.lock"
+    # a live same-host writer: lock bearing our own (alive) pid
+    import os
+    import socket
+
+    lock.write_text(f"pid={os.getpid()}\nhost={socket.gethostname()}\n")
+    with pytest.raises(ConcurrentWriterError):
+        update_index(spark, new, idx)
+    with pytest.raises(ConcurrentWriterError):
+        compact_index(spark, idx)
+    # a crashed same-host writer (dead pid) is broken automatically
+    lock.write_text(f"pid=999999999\nhost={socket.gethostname()}\n")
+    stats = update_index(spark, new, idx)
+    assert stats["generation"] == 1
+    assert not lock.exists()
+    # the lock never outlives a successful mutation
+    with writer_lock(idx):
+        assert lock.exists()
+    assert not lock.exists()

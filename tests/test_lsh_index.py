@@ -257,3 +257,39 @@ def test_generation_numbers_past_five_digits(spark, tmp_path):
     assert index_stats(spark, idx)["docs"] > 0
     _, rep = admit_docs(spark, docs.filter(F.col("doc_id") < 50), idx)
     assert rep["docs"] == 0 and rep["generation"] == 100001
+
+
+def test_build_retry_after_precommit_crash(spark, tmp_path):
+    """Manifest-less gen-00000 (crash between write and commit) must not
+    wedge a retried build (ADVICE r3)."""
+    idx = tmp_path / "idx"
+    orphan = idx / "gen-00000.parquet"
+    spark.range(3).selectExpr(
+        "CAST(id AS INT) AS band", "CAST(id AS STRING) AS band_key", "id AS doc_id"
+    ).write.parquet(str(orphan))
+    docs = _docs(spark)
+    st = build_lsh_index(spark, docs, idx)
+    assert st["generation"] == 0 and st["docs"] == docs.count()
+
+
+def test_single_writer_lock_refuses_concurrent_admission(spark, tmp_path):
+    """admit_docs/compact refuse while another writer holds the lock;
+    a dead same-host writer's lock is broken automatically (ADVICE r3)."""
+    import os
+    import socket
+
+    from dataset_dedupe_estimator_spark.plans._index_lock import ConcurrentWriterError
+    from dataset_dedupe_estimator_spark.plans.lsh_index import compact_lsh_index
+
+    idx = tmp_path / "idx"
+    docs = _docs(spark)
+    build_lsh_index(spark, docs.filter(F.col("doc_id") < 30), idx)
+    lock = idx / "_writer.lock"
+    lock.write_text(f"pid={os.getpid()}\nhost={socket.gethostname()}\n")
+    with pytest.raises(ConcurrentWriterError):
+        admit_docs(spark, docs.filter(F.col("doc_id") >= 30), idx)
+    with pytest.raises(ConcurrentWriterError):
+        compact_lsh_index(spark, idx)
+    lock.write_text(f"pid=999999999\nhost={socket.gethostname()}\n")
+    _, rep = admit_docs(spark, docs.filter(F.col("doc_id") >= 30), idx)
+    assert rep["generation"] == 1 and not lock.exists()

@@ -106,6 +106,15 @@ def test_wav_meta_header_walk():
     assert is_wav(blob)
     assert wav_meta(blob) == (22050, 441)
 
+    # spec-legal chunk order with data BEFORE fmt: frames must still be
+    # sized (ADVICE r3 — the old walk silently reported n_frames=0)
+    fmt_start = blob.index(b"fmt ")
+    fmt_chunk = blob[fmt_start : fmt_start + 8 + 16]
+    data_start = blob.index(b"data")
+    data_chunk = blob[data_start:]
+    reordered = blob[:12] + data_chunk + fmt_chunk
+    assert wav_meta(reordered) == (22050, 441)
+
 
 def test_decode_media_real_jpeg_and_wav(spark):
     ddl = (
