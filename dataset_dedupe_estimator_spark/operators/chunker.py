@@ -651,6 +651,42 @@ def _emit_units_fn(p: ChunkerParams, keep_data: bool):
     return fn
 
 
+def _units_from_candidates_fn(
+    params: ChunkerParams, split_bytes: int, meta: dict[int, tuple[str, int]]
+):
+    """Per-file applyInPandas closure: this file's candidate positions →
+    cut-aligned work-unit rows. The sequential min/max cut selection runs
+    HERE, executor-side over one file's candidate list (~1 int per
+    64 KiB — a 1 TB file is ~16M int64s ≈ 128 MB in one task), so no
+    candidate ever reaches the driver and a directory of many TB-scale
+    files selects cuts for every file in parallel. ``meta`` maps
+    file_idx → (path, size); it is O(#large files), tiny by definition."""
+    import pandas as pd
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        idx = int(pdf["file_idx"].iloc[0])
+        path, size = meta[idx]
+        pos = pdf["pos"].to_numpy(dtype=np.int64)
+        cands = np.sort(pos[pos >= 0])  # drop the no-candidate sentinel
+        cuts = _cuts_from_candidates(size, cands, 0, params)
+        if not cuts or cuts[-1] != size:
+            cuts = [*cuts, size]
+        units: list[tuple[int, str, int, int, int, list[int]]] = []
+        begin_seq, ustart, ucuts = 0, 0, []
+        for c in cuts:
+            ucuts.append(c)
+            if c - ustart >= split_bytes or c == size:
+                units.append((idx, path, begin_seq, ustart, c, ucuts))
+                begin_seq += len(ucuts)
+                ustart, ucuts = c, []
+        return pd.DataFrame(
+            units,
+            columns=["file_idx", "path", "begin_seq", "ustart", "uend", "cuts"],
+        )
+
+    return fn
+
+
 def _parallel_chunks(
     spark: SparkSession,
     files: list[tuple[int, str]],
@@ -659,43 +695,37 @@ def _parallel_chunks(
     store_data: bool,
 ) -> DataFrame:
     """All large files in ONE phase-1 job + ONE phase-2 job (per-file
-    orchestration would serialize job barriers per file)."""
+    orchestration would serialize job barriers per file). Fully
+    distributed: candidates shuffle by file to executor-side cut
+    selection (never the driver), then work units fan back out."""
     splits: list[tuple[int, str, int, int]] = []
-    sizes: dict[int, int] = {}
+    meta: dict[int, tuple[str, int]] = {}
     for idx, path in files:
         size = os.path.getsize(path)
-        sizes[idx] = size
+        meta[idx] = (path, size)
         for s in range(0, size, split_bytes):
             splits.append((idx, path, s, min(s + split_bytes, size)))
     splits_df = spark.createDataFrame(
         splits, "file_idx long, path string, start long, end long"
     ).repartition(len(splits))
-    cand_rows = splits_df.mapInArrow(
+    cand_df = splits_df.mapInArrow(
         _split_scan_fn(params), "file_idx long, pos long"
-    ).collect()
-    by_file: dict[int, list[int]] = {idx: [] for idx, _ in files}
-    for r in cand_rows:
-        by_file[r.file_idx].append(r.pos)
-    units: list[tuple[int, str, int, int, int, list[int]]] = []
-    path_of = dict(files)
-    for idx, positions in by_file.items():
-        size = sizes[idx]
-        cands = np.array(sorted(positions), dtype=np.int64)
-        cuts = _cuts_from_candidates(size, cands, 0, params)
-        if not cuts or cuts[-1] != size:
-            cuts = [*cuts, size]
-        begin_seq, ustart, ucuts = 0, 0, []
-        for c in cuts:
-            ucuts.append(c)
-            if c - ustart >= split_bytes or c == size:
-                units.append((idx, path_of[idx], begin_seq, ustart, c, ucuts))
-                begin_seq += len(ucuts)
-                ustart, ucuts = c, []
-    units_df = spark.createDataFrame(
-        units,
-        "file_idx long, path string, begin_seq long, ustart long, uend long, "
-        "cuts array<long>",
-    ).repartition(max(len(units), 1))
+    )
+    # a file whose scan found no candidate still needs its group to exist
+    # (it becomes one whole-file unit): seed a sentinel row per file
+    sentinels = spark.createDataFrame(
+        [(idx, -1) for idx, _ in files], "file_idx long, pos long"
+    )
+    units_df = (
+        cand_df.unionByName(sentinels)
+        .groupBy("file_idx")
+        .applyInPandas(
+            _units_from_candidates_fn(params, split_bytes, meta),
+            "file_idx long, path string, begin_seq long, ustart long, uend long, "
+            "cuts array<long>",
+        )
+        .repartition(max(len(splits), 1))
+    )
     chunks = units_df.mapInArrow(_emit_units_fn(params, store_data), CHUNK_DDL)
     if not store_data:
         chunks = chunks.drop("data")
@@ -712,10 +742,11 @@ def chunk_file_parallel(
 ) -> DataFrame:
     """One large file → chunk rows, bit-identical to ``chunk_files`` but
     with intra-file parallelism: wall time scales with cores, not file
-    size. Phase 1 scans candidate boundaries per split (overlap-corrected),
-    the driver runs the sequential min/max cut selection over the tiny
-    candidate list (~1 int per 64 KiB), phase 2 re-reads cut-aligned work
-    units in parallel.
+    size. Phase 1 scans candidate boundaries per split (overlap-corrected);
+    the sequential min/max cut selection runs executor-side per file
+    (candidates shuffle by file_idx, ~1 int per 64 KiB of input, so a
+    1 TB file's selection task holds ~128 MB — nothing reaches the
+    driver); phase 2 re-reads cut-aligned work units in parallel.
     """
     if os.path.getsize(path) == 0:
         return chunk_files(spark, [path], params=params, store_data=store_data)
