@@ -149,6 +149,24 @@ def main() -> None:
         lsh_admit_s = time.perf_counter() - t0
         lsh_docs_per_s = round(rep["docs"] / lsh_admit_s, 1)
 
+    # At-size tier: the same headline queries once (n=1) at sf1 — a 10x
+    # key-shifted upsample of sf0.1 (tools/gen_sf1.py, cached locally).
+    # Catches scale regressions (spills, skew, shuffle sizing) a 17 MB
+    # fixture can't surface. Disable with SPARK_GRAFT_SF1=0.
+    sf1_block = None
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from gen_sf1 import ensure_sf1
+
+        sf1_dir = ensure_sf1(spark)
+        sf1_q: dict[str, float] = {}
+        for name, q in headline.items():
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            q.spark(spark, sf1_dir).write.mode("overwrite").format("noop").save()
+            sf1_q[name] = round(time.perf_counter() - t0, 3)
+        sf1_block = {"total": round(sum(sf1_q.values()), 3), "queries": sf1_q}
+
     total = round(sum(per_query.values()), 3)
     print(
         json.dumps(
@@ -161,6 +179,7 @@ def main() -> None:
                 **chunker_throughput(),
                 "lsh_admit_docs_per_s": lsh_docs_per_s,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **({"sf1": sf1_block} if sf1_block else {}),
             }
         )
     )
