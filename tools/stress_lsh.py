@@ -112,6 +112,68 @@ def main() -> int:
             ok = False
             print("FAIL: doc count drifted across compaction")
 
+    # ---- admission component breakdown (SCALING.md §LSH) -------------
+    # Times the four stages of _admit_docs_locked separately, each forced
+    # with a noop sink so stage cost isn't hidden inside a later action.
+    # Mirrors the real stages (anti-join → signatures → candidate join →
+    # generation write); drift guard: the stage composition here is the
+    # same band_rows_of/minhash_sig_of/_read_index calls admit_docs makes.
+    from pyspark.sql import functions as F
+
+    from dataset_dedupe_estimator_spark.plans.lsh_index import _read_index
+    from dataset_dedupe_estimator_spark.queries.dedupe_text import (
+        band_rows_of,
+        minhash_sig_of,
+    )
+
+    with tempfile.TemporaryDirectory(prefix="dde-lsh-brk-") as d:
+        idx = os.path.join(d, "lsh")
+        build_lsh_index(spark, spark.createDataFrame(hist), idx)
+        batch_df = spark.createDataFrame(batch)
+        bd = {}
+
+        t0 = time.perf_counter()
+        known = _read_index(spark, idx)
+        known_ids = known.select("doc_id").distinct()
+        fresh2 = batch_df.select("doc_id", "text").join(known_ids, "doc_id", "left_anti")
+        fresh2.persist().count()
+        bd["anti_join_s"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        new_bands = band_rows_of(minhash_sig_of(fresh2)).persist()
+        new_bands.count()
+        bd["signatures_s"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        all_bands = known.unionByName(new_bands)
+        (
+            new_bands.alias("a")
+            .join(all_bands.alias("b"), ["band_id", "band_key"])
+            .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            )
+            .distinct()
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        bd["candidate_join_s"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        new_bands.write.mode("overwrite").parquet(os.path.join(d, "gen-out.parquet"))
+        bd["gen_write_s"] = round(time.perf_counter() - t0, 2)
+        new_bands.unpersist()
+        fresh2.unpersist()
+
+        comp_total = sum(bd.values())
+        print(
+            f"admit breakdown ({n_batch} docs vs {n_hist}-doc index): "
+            f"{bd} total={comp_total:.1f}s "
+            f"(~{n_batch / comp_total:.0f} docs/s/32-core-host)"
+        )
+
     print("stress_lsh:", "OK" if ok else "FAIL")
     return 0 if ok else 1
 
