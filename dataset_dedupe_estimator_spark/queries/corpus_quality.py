@@ -592,7 +592,91 @@ FROM scanned GROUP BY source ORDER BY source
 """
 
 
+# fasttext-style linear quality classifier: fixed public weights over
+# engineered features (the shape of a trained quality filter's inference
+# pass — training would fit these weights; inference is what runs at
+# 100 TB, and it's expression-only)
+QC_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+QC_BIAS = -1.5
+QC_W_DISTINCT = 2.0  # lexical diversity rewards
+QC_W_STOP = 1.2  # function-word rate ~ natural language
+QC_W_TOKLEN = -0.08  # very long average tokens ~ code/garbage
+QC_HI, QC_LO = 0.35, 0.0
+
+
+def quality_classifier(spark, sf):
+    """Linear quality-classifier inference over documents: three
+    deterministic features (distinct-token ratio, stopword rate, mean
+    token length), a fixed-weight logit, and a high/mid/low bucketing —
+    reported as a per (source, bucket) census with the logit range.
+
+    Float discipline: every feature is one IEEE division of two exact
+    integers, and the logit is a fixed-order multiply-add chain — Spark
+    and DuckDB produce bit-identical doubles (base.py discipline), so
+    min/max (order-independent) are safe to compare; no averages.
+
+    100 TB shape: pure per-row expressions (no UDF, no shuffle until
+    the 3xn_sources groupBy) — classifier inference rides the scan."""
+    docs = load(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("double")
+    r_distinct = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    stop_lit = F.array(*[F.lit(s) for s in QC_STOPWORDS])
+    r_stop = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_lit, t))).cast("double")
+        / n_tok
+    )
+    mean_len = F.length("text").cast("double") / n_tok
+    logit = (
+        F.lit(QC_BIAS)
+        + F.lit(QC_W_DISTINCT) * r_distinct
+        + F.lit(QC_W_STOP) * r_stop
+        + F.lit(QC_W_TOKLEN) * mean_len
+    )
+    bucket = (
+        F.when(logit >= QC_HI, F.lit("high"))
+        .when(logit >= QC_LO, F.lit("mid"))
+        .otherwise(F.lit("low"))
+    )
+    return (
+        docs.select("source", logit.alias("logit"), bucket.alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("logit"), 6).alias("min_logit"),
+            F.round(F.max("logit"), 6).alias("max_logit"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+_QC_STOP_SQL = "', '".join(QC_STOPWORDS)
+QUALITY_CLASSIFIER_SQL = f"""
+WITH feats AS (
+  SELECT source,
+         {QC_BIAS}
+         + {QC_W_DISTINCT} * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                              / CAST(len(string_split(text, ' ')) AS DOUBLE))
+         + {QC_W_STOP} * (CAST(len(list_filter(string_split(text, ' '),
+                                   t -> t IN ('{_QC_STOP_SQL}'))) AS DOUBLE)
+                          / CAST(len(string_split(text, ' ')) AS DOUBLE))
+         + {QC_W_TOKLEN} * (CAST(length(text) AS DOUBLE)
+                            / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS logit
+  FROM documents
+)
+SELECT source,
+       CASE WHEN logit >= {QC_HI} THEN 'high'
+            WHEN logit >= {QC_LO} THEN 'mid' ELSE 'low' END AS bucket,
+       COUNT(*) AS n_docs,
+       ROUND(MIN(logit), 6) AS min_logit,
+       ROUND(MAX(logit), 6) AS max_logit
+FROM feats
+GROUP BY 1, 2 ORDER BY source, bucket
+"""
+
+
 QUERIES = {
+    "quality_classifier": Q(quality_classifier, QUALITY_CLASSIFIER_SQL),
     "pii_scan": Q(pii_scan, PII_SCAN_SQL),
     "unigram_surprisal": Q(unigram_surprisal, UNIGRAM_SURPRISAL_SQL),
     "charlm_familiarity": Q(charlm_familiarity, CHARLM_FAMILIARITY_SQL),

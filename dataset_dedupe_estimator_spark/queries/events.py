@@ -579,8 +579,66 @@ ORDER BY user_id, event_type, burst_id
 """
 
 
+RAU_WINDOW_DAYS = 7  # trailing window (inclusive of the current day)
+
+
+def rolling_active_users(spark, sf):
+    """Trailing {RAU_WINDOW_DAYS}-day distinct active users per day (rolling
+    WAU) — the sliding-window COUNT(DISTINCT) no window frame can express
+    (frames fold rows; distinctness needs set semantics across the frame).
+
+    Plan: dedup to (user_id, day) pairs first (one exchange, tiny rows),
+    then EXPLODE each pair into the {RAU_WINDOW_DAYS} trailing days it
+    contributes to and count distinct users per contributed day — turning
+    an O(days x corpus) self-join into an O({RAU_WINDOW_DAYS} x |pairs|)
+    map-side fan-out plus one aggregation. Days with zero activity in the
+    window never appear (right-censored spine matches the oracle). The
+    fan-out factor is the window length, independent of corpus size —
+    at 100 TB the pair dedup is the only full-data shuffle.
+    """
+    ev = load(spark, sf, "events")
+    pairs = (
+        ev.select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .distinct()
+    )
+    bounds = pairs.agg(F.max("day").alias("max_day"))
+    contributed = pairs.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr(f"INTERVAL {RAU_WINDOW_DAYS - 1} DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    )
+    return (
+        contributed.join(F.broadcast(bounds), F.col("day") <= F.col("max_day"))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("day")
+    )
+
+
+ROLLING_ACTIVE_USERS_SQL = f"""
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+pairs AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM ev),
+bounds AS (SELECT MAX(day) AS max_day FROM pairs),
+contributed AS (
+  SELECT p.user_id, p.day + to_days(CAST(o.off AS INTEGER)) AS day
+  FROM pairs p
+  CROSS JOIN (SELECT unnest(generate_series(0, {RAU_WINDOW_DAYS - 1})) AS off) o
+)
+SELECT c.day, COUNT(DISTINCT c.user_id) AS active_users
+FROM contributed c, bounds b
+WHERE c.day <= b.max_day
+GROUP BY c.day ORDER BY c.day
+"""
+
+
 QUERIES = {
     "events_hourly": Q(events_hourly, EVENTS_HOURLY_SQL),
+    "rolling_active_users": Q(rolling_active_users, ROLLING_ACTIVE_USERS_SQL),
     "events_gapfill": Q(events_gapfill, EVENTS_GAPFILL_SQL),
     "events_attribution": Q(events_attribution, EVENTS_ATTRIBUTION_SQL),
     "events_dedup_burst": Q(events_dedup_burst, EVENTS_BURST_SQL),

@@ -505,7 +505,97 @@ FROM ranked GROUP BY quartile ORDER BY quartile
 """
 
 
+# SCD2 temporal dim join: a deterministic two-version customer history
+# (version 2 takes effect on a per-customer md5-bucketed date inside the
+# order-date range), orders joined to the version valid AT order time.
+SCD2_EPOCH = "1995-06-01"  # version-2 effective dates spread from here
+SCD2_SPREAD_DAYS = 2000  # ... across most of the 1995-2001 order range
+
+
+def temporal_dim_join(spark, sf):
+    """Point-in-validity (SCD2) join — the dimension-history lookup every
+    warehouse needs and plain equi joins can't express: each order must
+    see the customer attribute AS OF its order date, not the current one.
+
+    The two-version history is derived deterministically (md5-bucket of
+    the custkey picks the version-2 effective date; segment gains a
+    ``_R2`` suffix), then orders join on custkey with the validity
+    range as a residual predicate. 100 TB shape: the join stays an
+    EQUI hash join on custkey (the range is a cheap post-join filter
+    against exactly 2 candidate rows per key — never a range-only BNLJ);
+    the dim side broadcasts at real-world dim sizes."""
+    cust = load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % SCD2_SPREAD_DAYS
+    )
+    change = F.date_add(F.lit(SCD2_EPOCH).cast("date"), bucket.cast("int")).cast(
+        "timestamp_ntz"
+    )
+    lo = F.lit("1900-01-01").cast("timestamp_ntz")
+    hi = F.lit("9999-01-01").cast("timestamp_ntz")
+    dim = cust.select(
+        "c_custkey",
+        F.explode(
+            F.array(
+                F.struct(
+                    lo.alias("valid_from"),
+                    change.alias("valid_to"),
+                    F.col("c_mktsegment").alias("segment"),
+                ),
+                F.struct(
+                    change.alias("valid_from"),
+                    hi.alias("valid_to"),
+                    F.concat(F.col("c_mktsegment"), F.lit("_R2")).alias("segment"),
+                ),
+            )
+        ).alias("v"),
+    ).select("c_custkey", "v.valid_from", "v.valid_to", "v.segment")
+    orders = load(spark, sf, "orders")
+    return (
+        orders.join(
+            F.broadcast(dim),
+            (orders.o_custkey == dim.c_custkey)
+            & (orders.o_orderdate >= dim.valid_from)
+            & (orders.o_orderdate < dim.valid_to),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents("o_totalprice")) / F.lit(100.0)).alias("revenue"),
+        )
+        .orderBy("segment")
+    )
+
+
+TEMPORAL_DIM_SQL = f"""
+WITH dim AS (
+  SELECT c_custkey, v.* FROM customer,
+  LATERAL (
+    SELECT TIMESTAMP '1900-01-01' AS valid_from,
+           CAST(DATE '{SCD2_EPOCH}' + to_days(CAST(
+             CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT)
+             % {SCD2_SPREAD_DAYS} AS INTEGER)) AS TIMESTAMP) AS valid_to,
+           c_mktsegment AS segment
+    UNION ALL
+    SELECT CAST(DATE '{SCD2_EPOCH}' + to_days(CAST(
+             CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT)
+             % {SCD2_SPREAD_DAYS} AS INTEGER)) AS TIMESTAMP),
+           TIMESTAMP '9999-01-01', c_mktsegment || '_R2'
+  ) v
+)
+SELECT d.segment, COUNT(*) AS n_orders,
+       SUM({sql_cents("o.o_totalprice")}) / 100.0 AS revenue
+FROM orders o
+JOIN dim d ON o.o_custkey = d.c_custkey
+          AND o.o_orderdate >= d.valid_from AND o.o_orderdate < d.valid_to
+GROUP BY d.segment ORDER BY d.segment
+"""
+
+
 QUERIES = {
+    "temporal_dim_join": Q(temporal_dim_join, TEMPORAL_DIM_SQL),
     "q1_pricing_summary": Q(q1_pricing_summary, Q1_SQL, headline=True),
     "q4_order_priority": Q(q4_order_priority, Q4_SQL),
     "q6_revenue_forecast": Q(q6_revenue_forecast, Q6_SQL),

@@ -727,6 +727,209 @@ FROM best GROUP BY vec_id ORDER BY vec_id
 """
 
 
+IVFPQ_PROBE = 2  # coarse cells probed per query
+IVFPQ_TOPK = 10
+
+
+def _make_pq_code_fn(codebooks):
+    """Arrow-batched PQ encoding emitting the raw per-subspace code array
+    (for asymmetric-distance scoring) — same argmin/first-min/left-fold
+    discipline as ``_make_pq_fn``."""
+    import numpy as np
+    import pyarrow as pa
+
+    C = np.asarray(codebooks, dtype=np.float64)  # (M, K, SUB)
+
+    def fn(it):
+        for batch in it:
+            idx = {n: i for i, n in enumerate(batch.schema.names)}
+            vec_id = batch.column(idx["vec_id"])
+            flat = batch.column(idx["embedding"]).flatten().to_numpy(
+                zero_copy_only=False
+            )
+            e = flat.astype(np.float64).reshape(-1, DIM)
+            nb = e.shape[0]
+            codes = np.empty((nb, PQ_M), dtype=np.int64)
+            for m in range(PQ_M):
+                sub = e[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+                diff = sub[:, None, :] - C[m][None, :, :]
+                d = np.cumsum(diff * diff, axis=2)[:, :, -1]
+                codes[:, m] = np.argmin(d, axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [vec_id, pa.array([list(map(int, row)) for row in codes], pa.list_(pa.int64()))],
+                names=["vec_id", "codes"],
+            )
+
+    return fn
+
+
+def ivfpq_search(spark, sf):
+    """IVF-PQ approximate nearest neighbor — the FAISS-style composition
+    that serves billion-vector search: an IVF coarse quantizer prunes the
+    corpus to {IVFPQ_PROBE} probed cells, then candidates are scored by
+    PQ asymmetric distance (query vs each candidate's codebook cells —
+    the candidate's float vector is never touched at query time).
+
+    Both stages reuse the repo's deterministic seed conventions
+    ({N_CELLS} rank-selected IVF centroids as in ``ann_ivf_probe``,
+    {PQ_K}-entry per-subspace codebooks as in ``pq_codes``), so the whole
+    pipeline carries a full DuckDB oracle. The ADC table ({PQ_M}x{PQ_K}
+    doubles) is computed once from the query and broadcast as literals;
+    per-candidate cost is {PQ_M} array lookups + a fixed-order sum.
+
+    100 TB shape: cell assignment is persisted/partitioned once at build
+    (here: inline, same plan); a query touches ~{IVFPQ_PROBE}/{N_CELLS}
+    of the corpus, reads ONLY the {PQ_M}-byte code column (parquet column
+    pruning — no vector I/O), and the top-k is a TakeOrderedAndProject."""
+    emb = load(spark, sf, "embeddings")
+    normed = emb.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    cents = normed.orderBy("vec_id").limit(N_CELLS).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("embedding").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    sim = _dot(F.col("embedding"), F.col("cemb")) / (F.col("nrm") * F.col("cnrm"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell_id"))
+    assigned = (
+        normed.crossJoin(F.broadcast(cents))
+        .withColumn("csim", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell_id")
+    )
+    q = normed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+    )
+    qsim = _dot(F.col("cemb"), F.col("qe")) / (F.col("cnrm") * F.col("qn"))
+    qcells = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cell_id", qsim.alias("qsim"))
+        .orderBy(F.col("qsim").desc(), F.col("cell_id"))
+        .limit(IVFPQ_PROBE)
+        .select("cell_id")
+    )
+    cand = assigned.join(F.broadcast(qcells), "cell_id").filter(
+        F.col("vec_id") != QUERY_VEC_ID
+    )
+    # driver-side constants: PQ codebooks (PQ_K seed rows) + the query
+    # vector -> the ADC lookup table, left-folded in j order to match
+    # the oracle's list_reduce
+    seeds = emb.orderBy("vec_id").limit(PQ_K).select("embedding").collect()
+    codebooks = [
+        [[float(r.embedding[m * PQ_SUB + j]) for j in range(PQ_SUB)] for r in seeds]
+        for m in range(PQ_M)
+    ]
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == QUERY_VEC_ID).head().embedding]
+    table = []
+    for m in range(PQ_M):
+        row = []
+        for c in codebooks[m]:
+            acc = 0.0
+            for j in range(PQ_SUB):
+                d = qvec[m * PQ_SUB + j] - c[j]
+                acc += d * d
+            row.append(acc)
+        table.append(row)
+    codes = cand.select("vec_id", "embedding").mapInArrow(
+        _make_pq_code_fn(codebooks), "vec_id long, codes array<long>"
+    )
+    adc = None
+    for m in range(PQ_M):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in table[m]]),
+            (F.col("codes")[m] + 1).cast("int"),
+        )
+        adc = term if adc is None else adc + term
+    return (
+        codes.select("vec_id", F.round(adc, 6).alias("adc"))
+        .orderBy("adc", "vec_id")
+        .limit(IVFPQ_TOPK)
+    )
+
+
+def _ivfpq_sql() -> str:
+    sub_dist = (
+        "list_reduce(list_transform(generate_series(1, {sub}), "
+        "i -> (CAST({a}[{off} + i] AS DOUBLE) - CAST({b}[{off} + i] AS DOUBLE)) "
+        "* (CAST({a}[{off} + i] AS DOUBLE) - CAST({b}[{off} + i] AS DOUBLE))), "
+        "(x, y) -> x + y)"
+    )
+
+    def case_over_m(a: str, b: str) -> str:
+        return "CASE m.m " + " ".join(
+            f"WHEN {m} THEN "
+            + sub_dist.format(sub=PQ_SUB, off=m * PQ_SUB, a=a, b=b)
+            for m in range(PQ_M)
+        ) + " END"
+
+    return f"""
+WITH normed AS (
+  SELECT vec_id, embedding,
+         sqrt({_sql_dot("embedding", "embedding")}) AS nrm
+  FROM embeddings
+),
+cents AS (
+  SELECT cell_id, cemb, cnrm FROM (
+    SELECT vec_id AS cell_id, embedding AS cemb, nrm AS cnrm,
+           ROW_NUMBER() OVER (ORDER BY vec_id) AS rnk
+    FROM normed)
+  WHERE rnk <= {N_CELLS}
+),
+assigned AS (
+  SELECT vec_id, embedding, cell_id
+  FROM (
+    SELECT n.*, c.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY {_sql_dot("n.embedding", "c.cemb")} / (n.nrm * c.cnrm) DESC,
+                      c.cell_id) AS rn
+    FROM normed n CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT embedding AS qe, nrm AS qn FROM normed WHERE vec_id = {QUERY_VEC_ID}),
+qcells AS (
+  SELECT cell_id FROM (
+    SELECT c.cell_id,
+           ROW_NUMBER() OVER (
+             ORDER BY {_sql_dot("c.cemb", "qe")} / (c.cnrm * qn) DESC, c.cell_id) AS rn
+    FROM cents c, q
+  ) WHERE rn <= {IVFPQ_PROBE}
+),
+cand AS (
+  SELECT a.vec_id, a.embedding FROM assigned a
+  JOIN qcells u USING (cell_id)
+  WHERE a.vec_id != {QUERY_VEC_ID}
+),
+pqc AS (
+  SELECT cell, embedding FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding
+    FROM embeddings)
+  WHERE cell < {PQ_K}
+),
+ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+best AS (
+  SELECT vec_id, m, cell FROM (
+    SELECT e.vec_id, m.m, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id, m.m
+                              ORDER BY {case_over_m("e.embedding", "c.embedding")}, c.cell) AS rn
+    FROM cand e CROSS JOIN ms m CROSS JOIN pqc c
+  ) WHERE rn = 1
+),
+qd AS (
+  SELECT m.m, c.cell, {case_over_m("q.qe", "c.embedding")} AS d
+  FROM pqc c CROSS JOIN ms m CROSS JOIN q
+)
+SELECT b.vec_id,
+       ROUND(list_reduce(list(qd.d ORDER BY b.m), (x, y) -> x + y), 6) AS adc
+FROM best b JOIN qd ON qd.m = b.m AND qd.cell = b.cell
+GROUP BY b.vec_id
+ORDER BY adc, vec_id
+LIMIT {IVFPQ_TOPK}
+"""
+
+
 SEM_TARGET_CLUSTER = 32  # aim for ~32 vectors per cluster at any corpus size
 SEM_MAX_K = 4096  # broadcast cap; beyond ~10^6 centroids switch to trained
 #                   IVF (operators/ann.py) with hierarchical assignment
@@ -985,6 +1188,7 @@ QUERIES = {
     "ann_lsh_bucketed": Q(ann_lsh_bucketed, ANN_LSH_SQL),
     "ann_recall_at_k": Q(ann_recall_at_k, ANN_RECALL_SQL),
     "ann_ivf_probe": Q(ann_ivf_probe, ANN_IVF_SQL),
+    "ivfpq_search": Q(ivfpq_search, _ivfpq_sql()),
     "embedding_dedup_pairs": Q(embedding_dedup_pairs, EMB_DEDUP_SQL),
     "embedding_dedup_lsh": Q(embedding_dedup_lsh, EMB_DEDUP_LSH_SQL, headline=True),
     "semantic_vs_lexical_pairs": Q(semantic_vs_lexical_pairs, SEMANTIC_VS_LEXICAL_SQL),

@@ -571,7 +571,47 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def bpe_pair_frequencies(spark, sf):
+    """Adjacent-token pair frequencies (top 50): the merge-candidate
+    census a BPE tokenizer trainer computes each round — the corpus-wide
+    sibling of the per-token ``token_frequencies`` table.
+
+    Pairs come from zipping each document's token array with itself
+    shifted by one (``slice``+``zip_with`` — expression-only, no UDF),
+    then one explode + count. 100 TB shape: map-side fan-out is exactly
+    (tokens-1) per doc, one aggregation shuffle on the pair string, and
+    the top-50 is a TakeOrderedAndProject — the same scalable shape a
+    real BPE trainer iterates (with the winning merge applied between
+    rounds, which stays a map-only rewrite)."""
+    docs = load(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("pair"))
+        .limit(50)
+    )
+
+
+BPE_PAIR_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pairs AS (
+  SELECT t[i] || ' ' || t[i + 1] AS pair
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+)
+SELECT pair, COUNT(*) AS freq
+FROM pairs GROUP BY pair ORDER BY freq DESC, pair LIMIT 50
+"""
+
+
 QUERIES = {
+    "bpe_pair_frequencies": Q(bpe_pair_frequencies, BPE_PAIR_SQL),
     "repetition_stats": Q(repetition_stats, REPETITION_SQL),
     "vocab_coverage_score": Q(vocab_coverage_score, VOCAB_COVERAGE_SQL),
     "contamination_check": Q(contamination_check, _contamination_sql()),

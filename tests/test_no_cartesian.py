@@ -37,6 +37,8 @@ BNLJ_ALLOWED = {
     "ann_lsh_bucketed",  # single query bucket row
     "ann_recall_at_k",  # count row + ~1%-sample probe table (ground-truth side is brute force BY DESIGN)
     "ann_ivf_probe",  # query-cell row
+    "ivfpq_search",  # centroid dim + query row + probed-cell ids (all broadcast scalars/dims)
+    "rolling_active_users",  # max-day scalar row bounds the explode spine
     "embedding_dedup_pairs",  # brute-force baseline BY DESIGN (docstring)
     "embedding_dedup_lsh",  # corpus-count row driving adaptive planes
     "semantic_vs_lexical_pairs",  # inherits embedding_dedup_lsh's count row
