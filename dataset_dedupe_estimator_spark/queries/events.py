@@ -636,9 +636,62 @@ GROUP BY c.day ORDER BY c.day
 """
 
 
+LATE_S = 300  # an event this far behind its stream's high-water mark is late
+
+
+def events_late_arrivals(spark, sf):
+    """Out-of-order-data audit — the batch twin of streaming watermark
+    tuning: for each user's stream (event_id = arrival order), an event is
+    LATE when it lands more than {LATE_S}s behind the high-water mark of
+    the rows that arrived before it. The per-type late rate is exactly
+    the disorder a `withWatermark` bound must absorb; run this before
+    picking the bound instead of guessing.
+
+    Plan: one window (running max of event time over arrival order per
+    user) — same single-shuffle shape as sessionize; integer microsecond
+    math end to end."""
+    ev = load(spark, sf, "events")
+    by_arrival = Window.partitionBy("user_id").orderBy("event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    hwm = F.max(ts_us).over(
+        by_arrival.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = (hwm - ts_us) > F.lit(LATE_S * 1_000_000)
+    n = F.count(F.lit(1))
+    n_late = F.sum(F.when(F.col("late"), 1).otherwise(0))
+    return (
+        ev.select("event_type", late.alias("late"))
+        .groupBy("event_type")
+        .agg(
+            n.alias("n_events"),
+            n_late.alias("n_late"),
+            F.round(n_late.cast("double") / n.cast("double"), 6).alias("late_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_LATE_SQL = f"""
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+flagged AS (
+  SELECT event_type,
+         (MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          - epoch_us(ts)) > {LATE_S} * 1000000 AS late
+  FROM ev
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       ROUND(CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS late_rate
+FROM flagged GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_hourly": Q(events_hourly, EVENTS_HOURLY_SQL),
     "rolling_active_users": Q(rolling_active_users, ROLLING_ACTIVE_USERS_SQL),
+    "events_late_arrivals": Q(events_late_arrivals, EVENTS_LATE_SQL),
     "events_gapfill": Q(events_gapfill, EVENTS_GAPFILL_SQL),
     "events_attribution": Q(events_attribution, EVENTS_ATTRIBUTION_SQL),
     "events_dedup_burst": Q(events_dedup_burst, EVENTS_BURST_SQL),
