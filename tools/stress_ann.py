@@ -89,12 +89,24 @@ def main() -> int:
     t_q = time.time() - t0
     self_found = 4 in [r.vec_id for r in hits]
 
+    # IVF-PQ asymmetric-distance search (queries/similarity.ivfpq_search):
+    # query vec 0's TRUE nearest neighbor is planted vec 1 (~0.999
+    # cosine, so near-identical PQ codes) — it must surface in the ADC
+    # top-10 despite the 2/8-cell prune and 16-entry codebooks
+    from dataset_dedupe_estimator_spark.queries.similarity import ivfpq_search
+
+    t0 = time.time()
+    adc_hits = ivfpq_search(spark, path).collect()
+    t_pq = time.time() - t0
+    pq_found = 1 in [r.vec_id for r in adc_hits]
+
     print(
         f"vecs={n} dim={dim} lsh: pairs={len(got_set)} planted_recall={recall:.3f} "
         f"[{t_lsh:.1f}s]  ivf: train={t_train:.1f}s query={t_q:.1f}s "
-        f"self_found={self_found}  recall_ok={recall >= 0.95}"
+        f"self_found={self_found}  ivfpq: query={t_pq:.1f}s nn_found={pq_found}  "
+        f"recall_ok={recall >= 0.95}"
     )
-    return 0 if recall >= 0.95 and self_found else 1
+    return 0 if recall >= 0.95 and self_found and pq_found else 1
 
 
 if __name__ == "__main__":
