@@ -599,6 +599,46 @@ def cmd_lsh_index(args) -> int:
     return 0
 
 
+def cmd_pq_index(args) -> int:
+    """`de pq-index build|search IDX ...`: persistent IVF-PQ ANN index
+    (operators/ann.py:PqIndex) — trained coarse cells + PQ codes
+    partitioned by cell; queries scan only the probed cells' code files
+    and never read a float vector."""
+    from dataset_dedupe_estimator_spark.operators.ann import PqIndex
+
+    spark = _spark(args)
+    if args.action == "build":
+        if not args.vectors:
+            print("pq-index build: missing vectors path", file=sys.stderr)
+            return 2
+        emb = spark.read.parquet(args.vectors)
+        PqIndex.build(emb, args.index_dir, k=args.cells, ks=args.codes, seed=args.seed)
+        n = spark.read.parquet(f"{args.index_dir}/codes").count()
+        print(f"indexed {n} vectors: {args.cells} cells, 8x{args.codes} codebooks")
+        return 0
+    # search: the query vector is looked up by id from the source table
+    if not (args.vectors and args.query_id is not None):
+        print("pq-index search: need vectors path and --query-id", file=sys.stderr)
+        return 2
+    from pyspark.sql import functions as F
+
+    idx = PqIndex.load(args.index_dir)
+    qrow = (
+        spark.read.parquet(args.vectors)
+        .filter(F.col("vec_id") == args.query_id)
+        .head()
+    )
+    if qrow is None:
+        print(f"vec_id {args.query_id} not found", file=sys.stderr)
+        return 2
+    hits = idx.search(
+        spark, [float(v) for v in qrow.embedding], topk=args.topk, nprobe=args.nprobe
+    ).collect()
+    for h in hits:
+        print(f"vec_id={h.vec_id} cell={h.cell} adc={h.adc:.6f}")
+    return 0
+
+
 def cmd_quality(args) -> int:
     """`de quality`: data-quality constraint report over a testdata
     directory (operators/quality_checks.py suite)."""
@@ -795,6 +835,18 @@ def build_parser() -> argparse.ArgumentParser:
     lx.add_argument("--pairs-out", help="parquet sink for candidate pairs")
     lx.add_argument("--checkpoint", help="stream checkpoint dir (stream)")
     lx.set_defaults(fn=cmd_lsh_index)
+
+    px = sub.add_parser("pq-index", help="persistent IVF-PQ ANN index")
+    px.add_argument("action", choices=["build", "search"])
+    px.add_argument("index_dir")
+    px.add_argument("vectors", nargs="?", help="parquet of (vec_id, embedding)")
+    px.add_argument("--cells", type=int, default=16, help="IVF coarse cells")
+    px.add_argument("--codes", type=int, default=256, help="PQ codebook entries per subspace")
+    px.add_argument("--seed", type=int, default=42)
+    px.add_argument("--query-id", type=int, help="vec_id whose vector to search for")
+    px.add_argument("--topk", type=int, default=10)
+    px.add_argument("--nprobe", type=int, default=2)
+    px.set_defaults(fn=cmd_pq_index)
 
     co = sub.add_parser("checkout", help="materialize git file revisions")
     co.add_argument("repo")

@@ -64,3 +64,169 @@ class IvfIndex:
             .orderBy(F.col("cosine").desc(), F.col("vec_id"))
             .limit(topk)
         )
+
+
+class PqIndex:
+    """Persistent IVF-PQ index — the billion-vector production shape of
+    ``queries/similarity.py:ivfpq_search``: trained coarse centroids and
+    per-subspace PQ codebooks live in a JSON manifest; the corpus is
+    stored ONLY as (vec_id, codes) parquet PARTITIONED BY cell. A query
+    probes the ``nprobe`` nearest cells — Spark's partition pruning reads
+    just those directories — and scores by asymmetric distance against a
+    broadcast lookup table. No float vector is ever read at query time:
+    at 64 dims the code column is 32x smaller than the vectors, which is
+    what lets a 1B-vector index fit a small fraction of cluster memory.
+
+    Single-writer build (plans/_index_lock.py); the manifest write is the
+    atomic commit point, mirroring the chunk/LSH index protocol.
+    """
+
+    MANIFEST = "_pq_meta.json"
+
+    def __init__(self, index_dir, centroids, codebooks, m, sub):
+        self.index_dir = str(index_dir)
+        self.centroids = centroids  # (k, dim)
+        self.codebooks = codebooks  # (m, ks, sub)
+        self.m, self.sub = m, sub
+
+    @staticmethod
+    def _train_codebooks(sample: np.ndarray, m: int, ks: int, iters: int, seed: int):
+        """Per-subspace Lloyd k-means on a driver-side sample (FAISS
+        trains PQ on samples too); deterministic for a fixed seed."""
+        dim = sample.shape[1]
+        sub = dim // m
+        rng = np.random.default_rng(seed)
+        books = np.empty((m, ks, sub), dtype=np.float64)
+        for mi in range(m):
+            x = sample[:, mi * sub : (mi + 1) * sub]
+            cent = x[rng.choice(len(x), size=ks, replace=len(x) < ks)].copy()
+            for _ in range(iters):
+                d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                a = d.argmin(axis=1)
+                for c in range(ks):
+                    hit = x[a == c]
+                    if len(hit):
+                        cent[c] = hit.mean(axis=0)
+            books[mi] = cent
+        return books
+
+    @classmethod
+    def build(
+        cls,
+        emb: DataFrame,
+        index_dir,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        k: int = 16,
+        m: int = 8,
+        ks: int = 256,
+        train_sample: int = 8192,
+        kmeans_iters: int = 10,
+        seed: int = 42,
+    ) -> "PqIndex":
+        import json
+        import os
+        from pathlib import Path
+
+        from dataset_dedupe_estimator_spark.plans._index_lock import writer_lock
+
+        index_dir = Path(index_dir)
+        ivf = IvfIndex.train(emb, vec_col=vec_col, id_col=id_col, k=k, seed=seed)
+        sample = np.array(
+            [
+                [float(v) for v in r[0]]
+                for r in emb.select(vec_col).limit(train_sample).collect()
+            ],
+            dtype=np.float64,
+        )
+        dim = sample.shape[1]
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        books = cls._train_codebooks(sample, m, ks, kmeans_iters, seed)
+        sub = dim // m
+
+        def encode(batches):
+            import pyarrow as pa
+
+            C = books  # (m, ks, sub) — broadcast via closure
+            for batch in batches:
+                idx = {n: i for i, n in enumerate(batch.schema.names)}
+                flat = batch.column(idx["embedding"]).flatten().to_numpy(
+                    zero_copy_only=False
+                )
+                e = flat.astype(np.float64).reshape(-1, dim)
+                codes = np.empty((e.shape[0], m), dtype=np.int64)
+                for mi in range(m):
+                    x = e[:, mi * sub : (mi + 1) * sub]
+                    d = ((x[:, None, :] - C[mi][None, :, :]) ** 2).sum(axis=2)
+                    codes[:, mi] = d.argmin(axis=1)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        batch.column(idx["vec_id"]),
+                        batch.column(idx["cell"]),
+                        pa.array([list(map(int, r)) for r in codes], pa.list_(pa.int64())),
+                    ],
+                    names=["vec_id", "cell", "codes"],
+                )
+
+        with writer_lock(index_dir):
+            coded = ivf.assigned.select(
+                F.col("vec_id"), F.col("cell"), F.col("embedding")
+            ).mapInArrow(encode, "vec_id long, cell int, codes array<long>")
+            coded.write.mode("overwrite").partitionBy("cell").parquet(
+                str(index_dir / "codes")
+            )
+            manifest = {
+                "k": k, "m": m, "ks": ks, "dim": dim,
+                "centroids": ivf.centroids.tolist(),
+                "codebooks": books.tolist(),
+            }
+            tmp = index_dir / (cls.MANIFEST + ".tmp")
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, index_dir / cls.MANIFEST)  # commit point
+        return cls(index_dir, ivf.centroids, books, m, sub)
+
+    @classmethod
+    def load(cls, index_dir) -> "PqIndex":
+        import json
+        from pathlib import Path
+
+        with open(Path(index_dir) / cls.MANIFEST) as f:
+            mf = json.load(f)
+        books = np.asarray(mf["codebooks"], dtype=np.float64)
+        return cls(
+            index_dir,
+            np.asarray(mf["centroids"], dtype=np.float64),
+            books,
+            mf["m"],
+            mf["dim"] // mf["m"],
+        )
+
+    def search(self, spark, query_vec, topk: int = 10, nprobe: int = 2) -> DataFrame:
+        """ADC top-k over the probed cells' code partitions (smaller adc =
+        closer). Partition pruning keeps the scan to nprobe/k of the
+        code files; join vec_ids back to the source table for exact
+        rerank if needed."""
+        q = np.asarray(query_vec, dtype=np.float64)
+        d2 = ((self.centroids - q[None, :]) ** 2).sum(axis=1)
+        probe_cells = [int(c) for c in np.argsort(d2)[:nprobe]]
+        table = np.empty((self.m, self.codebooks.shape[1]), dtype=np.float64)
+        for mi in range(self.m):
+            qs = q[mi * self.sub : (mi + 1) * self.sub]
+            table[mi] = ((self.codebooks[mi] - qs[None, :]) ** 2).sum(axis=1)
+        codes = spark.read.parquet(f"{self.index_dir}/codes").filter(
+            F.col("cell").isin(probe_cells)
+        )
+        adc = None
+        for mi in range(self.m):
+            term = F.element_at(
+                F.array(*[F.lit(float(v)) for v in table[mi]]),
+                (F.col("codes")[mi] + 1).cast("int"),
+            )
+            adc = term if adc is None else adc + term
+        return (
+            codes.select("vec_id", "cell", adc.alias("adc"))
+            .orderBy("adc", "vec_id")
+            .limit(topk)
+        )

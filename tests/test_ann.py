@@ -94,3 +94,65 @@ def test_brute_force_guard_refuses_large_corpus(spark, monkeypatch):
     monkeypatch.setattr(similarity, "BRUTE_FORCE_MAX_VECS", 10)
     with pytest.raises(ValueError, match="embedding_dedup_lsh"):
         similarity.embedding_dedup_pairs(spark, "/root/testdata/sf0.001")
+
+
+# ---- PqIndex (persistent IVF-PQ) ----------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pq_index(spark, emb, tmp_path_factory):
+    from dataset_dedupe_estimator_spark.operators.ann import PqIndex
+
+    d = tmp_path_factory.mktemp("pq") / "idx"
+    return PqIndex.build(emb, d, k=8, ks=32, train_sample=512, seed=42)
+
+
+def test_pq_index_roundtrip_and_self_hit(spark, emb, pq_index):
+    from dataset_dedupe_estimator_spark.operators.ann import PqIndex
+
+    loaded = PqIndex.load(pq_index.index_dir)
+    assert np.allclose(loaded.centroids, pq_index.centroids)
+    assert np.allclose(loaded.codebooks, pq_index.codebooks)
+    qrow = emb.filter(F.col("vec_id") == 7).head()
+    hits = loaded.search(spark, [float(v) for v in qrow.embedding], topk=10, nprobe=8).collect()
+    # probing every cell, the query's own vector must rank first: its ADC
+    # is its PQ reconstruction error, minimal for its own codes
+    assert hits[0].vec_id == 7
+    assert hits[0].adc == min(h.adc for h in hits)
+
+
+def test_pq_index_partition_pruning(spark, emb, pq_index):
+    """The scan must read ONLY the probed cells' partitions — the pruning
+    that makes a 1B-vector index a small-fraction scan."""
+    qrow = emb.filter(F.col("vec_id") == 7).head()
+    df = pq_index.search(spark, [float(v) for v in qrow.embedding], topk=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # the pruned scan covers a strict subset of cells
+    cells = {r.cell for r in df.collect()}
+    all_cells = {
+        r.cell
+        for r in spark.read.parquet(f"{pq_index.index_dir}/codes").select("cell").distinct().collect()
+    }
+    assert len(cells) <= 2 < len(all_cells)
+
+
+def test_pq_index_codes_only_storage(spark, pq_index):
+    codes = spark.read.parquet(f"{pq_index.index_dir}/codes")
+    assert set(codes.columns) == {"vec_id", "cell", "codes"}  # no vectors
+    row = codes.head()
+    assert len(row.codes) == 8 and all(0 <= c < 32 for c in row.codes)
+
+
+def test_pq_index_build_is_locked(spark, emb, tmp_path):
+    import os
+    import socket
+
+    from dataset_dedupe_estimator_spark.operators.ann import PqIndex
+    from dataset_dedupe_estimator_spark.plans._index_lock import ConcurrentWriterError
+
+    d = tmp_path / "idx"
+    d.mkdir()
+    (d / "_writer.lock").write_text(f"pid={os.getpid()}\nhost={socket.gethostname()}\n")
+    with pytest.raises(ConcurrentWriterError):
+        PqIndex.build(emb, d, k=4, ks=8, train_sample=64)

@@ -206,3 +206,21 @@ def test_cli_lsh_index_stream(capsys, spark, tmp_path):
     assert rc == 0
     out = capsys.readouterr().out
     assert "1 generation(s) admitted" in out
+
+
+def test_cli_pq_index(capsys, spark, tmp_path):
+    idx = str(tmp_path / "pqidx")
+    vecs = "/root/testdata/sf0.001/embeddings.parquet"
+    rc = main(["pq-index", "build", idx, vecs, "--cells", "8", "--codes", "32"])
+    assert rc == 0
+    rc = main(
+        ["pq-index", "search", idx, vecs, "--query-id", "5", "--nprobe", "8", "--topk", "5"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "indexed 500 vectors" in out
+    # probing all cells, the query's own vector ranks first (min ADC =
+    # its own reconstruction error)
+    assert out.splitlines()[-5].startswith("vec_id=5 ")
+    rc = main(["pq-index", "search", idx, vecs, "--query-id", "999999"])
+    assert rc == 2
