@@ -50,6 +50,13 @@ def main() -> int:
         "spend_quartiles",
         "fuzzy_match_customers",
         "events_gapfill",
+        # r4 additions
+        "ivfpq_search",
+        "rolling_active_users",
+        "temporal_dim_join",
+        "quality_classifier",
+        "bpe_pair_frequencies",
+        "events_late_arrivals",
     ]
     lines = [
         "# Physical plans — headline + selected queries",
