@@ -96,6 +96,44 @@ FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY text_hash
 """
 
 
+def dup_cluster_sizes(spark, sf):
+    """Duplicate-cluster size histogram — the one-page answer to "how
+    duplicated is this corpus?": for each exact-dup group size, how many
+    groups and how many documents. Singletons (size 1) are included so
+    the doc counts sum to the corpus; the removable-docs column is what
+    keep-one dedup would delete. Two digest-only hash aggregates — the
+    second over at most |distinct sizes| rows — nothing else shuffles."""
+    docs = load(spark, sf, "documents")
+    groups = (
+        docs.select(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+    )
+    return (
+        groups.groupBy("group_size")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .select(
+            "group_size",
+            "n_groups",
+            (F.col("group_size") * F.col("n_groups")).alias("n_docs"),
+            ((F.col("group_size") - 1) * F.col("n_groups")).alias("removable_docs"),
+        )
+        .orderBy("group_size")
+    )
+
+
+DUP_CLUSTER_SIZES_SQL = """
+WITH groups AS (
+  SELECT md5(text) AS text_hash, COUNT(*) AS group_size
+  FROM documents GROUP BY 1
+)
+SELECT group_size, COUNT(*) AS n_groups,
+       group_size * COUNT(*) AS n_docs,
+       (group_size - 1) * COUNT(*) AS removable_docs
+FROM groups GROUP BY group_size ORDER BY group_size
+"""
+
+
 def dedup_fingerprint_groups(spark, sf):
     """Near-exact dedup on a normalized fingerprint: md5 of the sorted
     distinct token set (bag-of-words identity — robust to word order)."""
@@ -865,6 +903,7 @@ ORDER BY exact DESC, token
 
 QUERIES = {
     "dedup_exact_groups": Q(dedup_exact_groups, DEDUP_EXACT_SQL),
+    "dup_cluster_sizes": Q(dup_cluster_sizes, DUP_CLUSTER_SIZES_SQL),
     "dedup_exact_events": Q(dedup_exact_events, DEDUP_EVENTS_SQL),
     "dedup_fingerprint_groups": Q(dedup_fingerprint_groups, DEDUP_FP_SQL),
     "dedup_keep_first": Q(dedup_keep_first, DEDUP_KEEP_FIRST_SQL, headline=True),

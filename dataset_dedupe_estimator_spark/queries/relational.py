@@ -594,8 +594,102 @@ GROUP BY d.segment ORDER BY d.segment
 """
 
 
+def orders_rfm_segments(spark, sf):
+    """RFM segmentation — the classic warehouse census: each customer
+    bucketed by Recency (days since last order, vs the corpus max date),
+    Frequency (order count) and Monetary (exact-cents spend) into value
+    quartiles, then counted per 3-digit segment code.
+
+    Unlike NTILE (one global window partition), the quartile BOUNDARIES
+    come from one exact `percentile` aggregate — a 9-double scalar row
+    that broadcasts — and each customer buckets by comparison, so the
+    plan is two hash aggregates + a broadcast: nothing single-partition,
+    nothing that degrades at 100 TB. Bucketing is value-based (ties land
+    in the same bucket in both engines; no row-order dependence)."""
+    orders = load(spark, sf, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(cents("o_totalprice")).alias("monetary_cents"),
+    )
+    bounds = per_cust.agg(
+        F.max("last_order").alias("ref_date"),
+        F.expr("percentile(frequency, array(0.25, 0.5, 0.75))").alias("fq"),
+        F.expr("percentile(monetary_cents, array(0.25, 0.5, 0.75))").alias("mq"),
+    )
+    with_r = per_cust.join(F.broadcast(bounds)).withColumn(
+        "recency_days",
+        F.datediff(F.col("ref_date"), F.col("last_order")).cast("long"),
+    )
+    rbounds = with_r.agg(
+        F.expr("percentile(recency_days, array(0.25, 0.5, 0.75))").alias("rq")
+    )
+
+    def bucket(col, q):
+        return (
+            F.lit(1)
+            + (F.col(col) > q[0]).cast("int")
+            + (F.col(col) > q[1]).cast("int")
+            + (F.col(col) > q[2]).cast("int")
+        )
+
+    seg = with_r.join(F.broadcast(rbounds)).select(
+        "o_custkey",
+        "monetary_cents",
+        F.concat(
+            bucket("recency_days", F.col("rq")),
+            bucket("frequency", F.col("fq")),
+            bucket("monetary_cents", F.col("mq")),
+        ).alias("segment"),
+    )
+    return (
+        seg.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("monetary_cents") / F.lit(100.0)).alias("total_spend"),
+        )
+        .orderBy("segment")
+    )
+
+
+RFM_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey, MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         SUM({sql_cents("o_totalprice")}) AS monetary_cents
+  FROM orders GROUP BY o_custkey
+),
+bounds AS (
+  SELECT MAX(last_order) AS ref_date,
+         quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fq,
+         quantile_cont(monetary_cents, [0.25, 0.5, 0.75]) AS mq
+  FROM per_cust
+),
+with_r AS (
+  SELECT p.*, b.fq, b.mq,
+         date_diff('day', last_order, ref_date) AS recency_days
+  FROM per_cust p, bounds b
+),
+rbounds AS (SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rq FROM with_r),
+seg AS (
+  SELECT o_custkey, monetary_cents,
+         (1 + CAST(recency_days > rq[1] AS INT) + CAST(recency_days > rq[2] AS INT)
+            + CAST(recency_days > rq[3] AS INT)) ||
+         (1 + CAST(frequency > fq[1] AS INT) + CAST(frequency > fq[2] AS INT)
+            + CAST(frequency > fq[3] AS INT)) ||
+         (1 + CAST(monetary_cents > mq[1] AS INT) + CAST(monetary_cents > mq[2] AS INT)
+            + CAST(monetary_cents > mq[3] AS INT)) AS segment
+  FROM with_r, rbounds
+)
+SELECT segment, COUNT(*) AS n_customers,
+       SUM(monetary_cents) / 100.0 AS total_spend
+FROM seg GROUP BY segment ORDER BY segment
+"""
+
+
 QUERIES = {
     "temporal_dim_join": Q(temporal_dim_join, TEMPORAL_DIM_SQL),
+    "orders_rfm_segments": Q(orders_rfm_segments, RFM_SQL),
     "q1_pricing_summary": Q(q1_pricing_summary, Q1_SQL, headline=True),
     "q4_order_priority": Q(q4_order_priority, Q4_SQL),
     "q6_revenue_forecast": Q(q6_revenue_forecast, Q6_SQL),
