@@ -218,3 +218,29 @@ def test_burst_dedup_matches_python_reference(spark):
     assert got == want
     # clusters of 4 collapse to one keeper each
     assert all(n == 4 for _k, n in got.values())
+
+
+def test_temporal_dim_join_is_broadcast_equi(spark):
+    """SCD2 join must stay an equi hash join on custkey with the validity
+    range as residual — never a range-driven BNLJ over the fact table."""
+    p = plan_of(spark, "temporal_dim_join")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_quality_classifier_rides_the_scan(spark):
+    """Classifier inference is expression-only: exactly one exchange (the
+    final per-source rollup), no joins, no window."""
+    p = plan_of(spark, "quality_classifier")
+    # the rollup exchange + the orderBy's range exchange, nothing else
+    assert p.count(") Exchange") <= 2
+    assert "Join" not in p and "Window" not in p
+
+
+def test_rfm_has_no_global_window(spark):
+    """Quartile boundaries come from broadcast percentile aggregates, not
+    a single-partition NTILE window."""
+    p = plan_of(spark, "orders_rfm_segments")
+    assert "Window" not in p
+    assert "BroadcastExchange" in p
