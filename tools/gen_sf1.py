@@ -125,9 +125,12 @@ def _replica(df, table: str, r: int, offsets: dict[str, int]):
 
 
 def ensure_sf1(spark) -> str:
-    """Build (once) and return the sf1 cache dir."""
+    """Build (once) and return the sf1 cache dir. The marker records the
+    recipe version AND the source dir — a bench pointed at a different
+    $SPARK_GRAFT_SF_DIR rebuilds instead of reusing a mismatched cache."""
     marker = os.path.join(OUT_DIR, "_recipe.txt")
-    if os.path.exists(marker) and open(marker).read().strip() == VERSION:
+    stamp = f"{VERSION} src={SRC}"
+    if os.path.exists(marker) and open(marker).read().strip() == stamp:
         return OUT_DIR
     import glob
     import shutil
@@ -152,7 +155,7 @@ def ensure_sf1(spark) -> str:
         os.replace(part, f"{OUT_DIR}/{table}.parquet")
         shutil.rmtree(tmp)
     with open(marker, "w") as f:
-        f.write(VERSION)
+        f.write(stamp)
     return OUT_DIR
 
 
