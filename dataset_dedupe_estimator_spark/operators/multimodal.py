@@ -9,12 +9,13 @@ UDF signature, batch shape, 1→N fan-out) is real and tested.
 Codec status: **PNG decode/resize/feature-extraction is REAL** (pure
 stdlib zlib + native un-filter kernel, operators/png_codec.py — no
 imaging library needed); **JPEG and WAV header metadata is REAL**
-(marker/RIFF-chunk walks, ``jpeg_meta``/``wav_meta`` below), so
-``decode_media`` fills width/height/sample_rate on real camera/web
-bytes; **PCM16 WAV decode/features/resample is REAL** (``wav_samples``,
+(marker/RIFF-chunk walks, ``jpeg_meta``/``wav_meta`` below) and **MP4
+container metadata is REAL** (ISO-BMFF box walk, ``mp4_meta`` — track
+dimensions + duration, no codec needed), so ``decode_media`` fills
+width/height/sample_rate/duration on real camera/web bytes; **PCM16 WAV decode/features/resample is REAL** (``wav_samples``,
 RMS/ZCR features, linear-interpolation ``resample_audio`` — PCM needs
 no codec library). Entropy-coded JPEG pixels, non-PCM audio, and video
-containers stay behind labeled ``NotImplementedError`` seams, with a
+FRAME decode stay behind labeled ``NotImplementedError`` seams, with a
 deterministic fake format (``FAKE`` header + counter-based payload)
 exercising every code path.
 
@@ -149,6 +150,70 @@ def wav_samples(content: bytes):
         )
     arr = np.frombuffer(data[: len(data) - len(data) % (2 * channels)], dtype="<i2")
     return arr.reshape(-1, channels)
+def is_mp4(content: bytes) -> bool:
+    return len(content) >= 12 and content[4:8] == b"ftyp"
+
+
+def _mp4_boxes(content: bytes, start: int, end: int):
+    """Iterate (type, body_start, body_end) over ISO-BMFF boxes in
+    content[start:end] — 32-bit sizes, 64-bit largesize, size==0 means
+    to-end-of-enclosure (all per ISO/IEC 14496-12 §4.2)."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(content[i : i + 4], "big")
+        btype = content[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:
+            if i + 16 > end:
+                break
+            size = int.from_bytes(content[i + 8 : i + 16], "big")
+            body = i + 16
+        elif size == 0:
+            size = end - i
+        if size < 8 or i + size > end:
+            break
+        yield btype, body, i + size
+        i += size
+
+
+def mp4_meta(content: bytes) -> tuple[int, int, float]:
+    """(width, height, duration_seconds) from an MP4/ISO-BMFF container —
+    pure stdlib box walk, no codec: `moov/mvhd` gives timescale+duration,
+    the first `moov/trak/tkhd` with nonzero dimensions gives the video
+    track's width/height (16.16 fixed point). Frame DECODE stays a
+    labeled stub seam (needs ffmpeg-class libraries); container metadata
+    is what `mm_meta`-style audits need from real camera files."""
+    duration_s = 0.0
+    width = height = 0
+    for btype, b0, b1 in _mp4_boxes(content, 0, len(content)):
+        if btype != b"moov":
+            continue
+        for ctype, c0, c1 in _mp4_boxes(content, b0, b1):
+            if ctype == b"mvhd":
+                ver = content[c0]
+                if ver == 1:
+                    timescale = int.from_bytes(content[c0 + 20 : c0 + 24], "big")
+                    duration = int.from_bytes(content[c0 + 24 : c0 + 32], "big")
+                else:
+                    timescale = int.from_bytes(content[c0 + 12 : c0 + 16], "big")
+                    duration = int.from_bytes(content[c0 + 16 : c0 + 20], "big")
+                if timescale:
+                    duration_s = duration / timescale
+            elif ctype == b"trak" and not (width or height):
+                for ttype, t0, t1 in _mp4_boxes(content, c0, c1):
+                    if ttype != b"tkhd":
+                        continue
+                    # width/height are the last 8 bytes of tkhd, 16.16
+                    # fixed point, for both version 0 and 1 bodies
+                    w = int.from_bytes(content[t1 - 8 : t1 - 4], "big") >> 16
+                    hgt = int.from_bytes(content[t1 - 4 : t1], "big") >> 16
+                    if w and hgt:
+                        width, height = w, hgt
+    if not (duration_s or width or height):
+        raise ValueError("no moov/mvhd box found (truncated or not an MP4)")
+    return width, height, duration_s
+
+
 # media schema: meta fields cover the three kinds (unused ones null)
 MEDIA_DDL = (
     "media_id long, kind string, content binary, "
@@ -239,6 +304,13 @@ def decode_media(df: DataFrame) -> DataFrame:
                 if is_wav(content):
                     rate, frames = wav_meta(content)
                     metas.append({"width": None, "height": None, "sample_rate": rate, "n_frames": frames, "fmt": "wav"})
+                    continue
+                if is_mp4(content):
+                    w, hgt, dur = mp4_meta(content)
+                    # n_frames carries whole seconds of duration (the
+                    # container knows time, not frame count, without
+                    # parsing codec sample tables)
+                    metas.append({"width": w or None, "height": hgt or None, "sample_rate": None, "n_frames": int(dur), "fmt": "mp4"})
                     continue
                 if not content.startswith(MAGIC):
                     raise NotImplementedError(

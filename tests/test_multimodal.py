@@ -45,9 +45,10 @@ def test_decode_roundtrip(spark, images):
 
 
 def test_decode_rejects_unsupported_real_formats(spark):
-    # an MP4 ftyp box: video containers stay behind the labeled stub seam
+    # an Ogg container: formats beyond PNG/JPEG/WAV/MP4 headers stay
+    # behind the labeled stub seam (MP4 graduated to a real box walk r4)
     df = spark.createDataFrame(
-        [(1, "video", bytearray(b"\x00\x00\x00\x18ftypmp42....real"), None)],
+        [(1, "video", bytearray(b"OggS\x00\x02" + bytes(20) + b"realvideo"), None)],
         "media_id long, kind string, content binary, meta struct<width: int, height: int, sample_rate: int, n_frames: int, fmt: string>",
     )
     with pytest.raises(Exception, match="NotImplementedError|not present"):
@@ -361,3 +362,54 @@ def test_resample_audio_fake_rate_swap(spark):
     # re-decoding the rewritten blob reads the new rate back
     redecoded = decode_media(resample_audio(media, 22050)).collect()
     assert all(r.meta.sample_rate == 22050 for r in redecoded)
+
+
+def _minimal_mp4(width=640, height=360, duration=90, timescale=30):
+    """Hand-built ISO-BMFF: ftyp + moov(mvhd v0 + trak(tkhd v0))."""
+    def box(btype, body):
+        return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + (0x200).to_bytes(4, "big") + b"isomiso2")
+    mvhd = box(
+        b"mvhd",
+        bytes(4)  # version 0 + flags
+        + bytes(8)  # created/modified
+        + timescale.to_bytes(4, "big")
+        + duration.to_bytes(4, "big")
+        + bytes(80),  # rate/volume/reserved/matrix/predefined/next_track
+    )
+    tkhd = box(
+        b"tkhd",
+        bytes(4) + bytes(8) + (1).to_bytes(4, "big") + bytes(4)  # track id
+        + duration.to_bytes(4, "big") + bytes(8)  # duration + reserved
+        + bytes(8)  # layer/altgroup/volume/reserved
+        + bytes(36)  # matrix
+        + (width << 16).to_bytes(4, "big")
+        + (height << 16).to_bytes(4, "big"),
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    return ftyp + moov
+
+
+def test_mp4_meta_box_walk():
+    from dataset_dedupe_estimator_spark.operators.multimodal import is_mp4, mp4_meta
+
+    blob = _minimal_mp4(1280, 720, duration=450, timescale=30)
+    assert is_mp4(blob)
+    assert mp4_meta(blob) == (1280, 720, 15.0)
+    with pytest.raises(ValueError):
+        mp4_meta(b"\x00\x00\x00\x08ftypxxxx")  # ftyp only, no moov
+
+
+def test_decode_media_real_mp4(spark):
+    from dataset_dedupe_estimator_spark.operators.multimodal import (
+        MEDIA_DDL,
+        decode_media,
+    )
+
+    rows = [(1, "video", bytearray(_minimal_mp4(320, 240, 600, 30)), None)]
+    df = spark.createDataFrame(rows, MEDIA_DDL)
+    out = decode_media(df).collect()[0]
+    assert out.meta.fmt == "mp4"
+    assert (out.meta.width, out.meta.height) == (320, 240)
+    assert out.meta.n_frames == 20  # whole seconds of duration
