@@ -688,10 +688,70 @@ FROM flagged GROUP BY event_type ORDER BY event_type
 """
 
 
+CHURN_WINDOW_DAYS = 7  # absent this long = the return counts as resurrected
+
+
+def events_user_lifecycle(spark, sf):
+    """Growth accounting: every active (user, day) classified as NEW
+    (first day ever), RETAINED (also active within the prior
+    {CHURN_WINDOW_DAYS} days) or RESURRECTED (seen before, but not in the
+    window) — the daily new/retained/resurrected census every growth
+    dashboard opens with.
+
+    Plan: dedup to (user, day) pairs, one lag window per user, one
+    rollup — the same two-exchange shape as sessionize, state per user
+    is a single previous-day value. Integer day arithmetic only."""
+    ev = load(spark, sf, "events")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")).cast("date"),
+                F.lit("1990-01-01").cast("date"),
+            ).cast("long").alias("day_no"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day_no")
+    prev = F.lag("day_no").over(w)
+    status = (
+        F.when(prev.isNull(), F.lit("new"))
+        .when(F.col("day_no") - prev <= CHURN_WINDOW_DAYS, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+    )
+    return (
+        pairs.withColumn("status", status)
+        .groupBy("day_no", "status")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("day_no", "status")
+    )
+
+
+EVENTS_LIFECYCLE_SQL = f"""
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+pairs AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1990-01-01', CAST(date_trunc('day', ts) AS DATE)) AS day_no
+  FROM ev
+),
+flagged AS (
+  SELECT day_no,
+         CASE WHEN LAG(day_no) OVER w IS NULL THEN 'new'
+              WHEN day_no - LAG(day_no) OVER w <= {CHURN_WINDOW_DAYS} THEN 'retained'
+              ELSE 'resurrected' END AS status
+  FROM pairs
+  WINDOW w AS (PARTITION BY user_id ORDER BY day_no)
+)
+SELECT day_no, status, COUNT(*) AS n_users
+FROM flagged GROUP BY day_no, status ORDER BY day_no, status
+"""
+
+
 QUERIES = {
     "events_hourly": Q(events_hourly, EVENTS_HOURLY_SQL),
     "rolling_active_users": Q(rolling_active_users, ROLLING_ACTIVE_USERS_SQL),
     "events_late_arrivals": Q(events_late_arrivals, EVENTS_LATE_SQL),
+    "events_user_lifecycle": Q(events_user_lifecycle, EVENTS_LIFECYCLE_SQL),
     "events_gapfill": Q(events_gapfill, EVENTS_GAPFILL_SQL),
     "events_attribution": Q(events_attribution, EVENTS_ATTRIBUTION_SQL),
     "events_dedup_burst": Q(events_dedup_burst, EVENTS_BURST_SQL),

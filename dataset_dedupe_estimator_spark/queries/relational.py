@@ -687,9 +687,82 @@ FROM seg GROUP BY segment ORDER BY segment
 """
 
 
+def basket_part_pairs(spark, sf):
+    """Market-basket co-occurrence with lift: part pairs ordered together
+    in the same order, scored by lift = P(a,b) / (P(a)·P(b)) — the
+    association-rule census behind "frequently bought together".
+
+    Scale shape: the pair fan-out is a self-equi-join on l_orderkey,
+    quadratic only WITHIN an order (TPC-H baskets are ~4-7 lines, so the
+    blow-up is a bounded constant per key — the same bounded-bucket
+    argument as LSH banding); per-part counts and the order total are
+    broadcast scalar/dim aggregates. Lift is one double division chain of
+    exact integers. Top-50 by co-count is a TakeOrderedAndProject."""
+    li = (
+        load(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("co_orders"))
+    )
+    per_part = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    total = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("total_orders")
+    )
+    pa_ = per_part.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("na")
+    )
+    pb = per_part.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("nb")
+    )
+    lift = (
+        F.col("co_orders").cast("double")
+        * F.col("total_orders").cast("double")
+        / (F.col("na").cast("double") * F.col("nb").cast("double"))
+    )
+    return (
+        co.join(pa_, "part_a")
+        .join(pb, "part_b")
+        .crossJoin(F.broadcast(total))
+        .select("part_a", "part_b", "co_orders", F.round(lift, 6).alias("lift"))
+        .orderBy(F.col("co_orders").desc(), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+BASKET_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+co AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS co_orders
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+per_part AS (SELECT l_partkey, COUNT(*) AS n_orders FROM li GROUP BY 1),
+total AS (SELECT COUNT(DISTINCT l_orderkey) AS total_orders FROM li)
+SELECT c.part_a, c.part_b, c.co_orders,
+       ROUND(CAST(c.co_orders AS DOUBLE) * CAST(t.total_orders AS DOUBLE)
+             / (CAST(pa.n_orders AS DOUBLE) * CAST(pb.n_orders AS DOUBLE)), 6) AS lift
+FROM co c
+JOIN per_part pa ON pa.l_partkey = c.part_a
+JOIN per_part pb ON pb.l_partkey = c.part_b
+CROSS JOIN total t
+ORDER BY co_orders DESC, part_a, part_b
+LIMIT 50
+"""
+
+
 QUERIES = {
     "temporal_dim_join": Q(temporal_dim_join, TEMPORAL_DIM_SQL),
     "orders_rfm_segments": Q(orders_rfm_segments, RFM_SQL),
+    "basket_part_pairs": Q(basket_part_pairs, BASKET_SQL),
     "q1_pricing_summary": Q(q1_pricing_summary, Q1_SQL, headline=True),
     "q4_order_priority": Q(q4_order_priority, Q4_SQL),
     "q6_revenue_forecast": Q(q6_revenue_forecast, Q6_SQL),

@@ -40,6 +40,7 @@ BNLJ_ALLOWED = {
     "ivfpq_search",  # centroid dim + query row + probed-cell ids (all broadcast scalars/dims)
     "rolling_active_users",  # max-day scalar row bounds the explode spine
     "orders_rfm_segments",  # quartile-boundary scalar rows (two 3-double aggregates)
+    "basket_part_pairs",  # total-orders scalar row feeds the lift denominator
     "embedding_dedup_pairs",  # brute-force baseline BY DESIGN (docstring)
     "embedding_dedup_lsh",  # corpus-count row driving adaptive planes
     "semantic_vs_lexical_pairs",  # inherits embedding_dedup_lsh's count row
