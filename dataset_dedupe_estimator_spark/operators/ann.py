@@ -230,3 +230,62 @@ class PqIndex:
             .orderBy("adc", "vec_id")
             .limit(topk)
         )
+
+
+def pq_index_add(spark, index_dir, emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> dict:
+    """Admit a new vector batch into an existing PqIndex — the
+    continuous-ingestion path (same posture as the chunk/LSH indexes):
+    centroids and codebooks are FROZEN at build time (re-training would
+    silently invalidate every stored code), the batch is assigned and
+    encoded against them, and its codes append into the same
+    cell-partitioned layout. Already-present vec_ids are skipped
+    (idempotent re-admission). O(batch) cost; holds the index writer
+    lock for the append."""
+    import numpy as np
+
+    from dataset_dedupe_estimator_spark.plans._index_lock import writer_lock
+
+    idx = PqIndex.load(index_dir)
+    C = idx.centroids
+    books = idx.codebooks
+    m, sub = idx.m, idx.sub
+    dim = C.shape[1]
+
+    def assign_encode(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            bidx = {n: i for i, n in enumerate(batch.schema.names)}
+            flat = batch.column(bidx["embedding"]).flatten().to_numpy(
+                zero_copy_only=False
+            )
+            e = flat.astype(np.float64).reshape(-1, dim)
+            d2 = ((e[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            cells = d2.argmin(axis=1).astype(np.int32)
+            codes = np.empty((e.shape[0], m), dtype=np.int64)
+            for mi in range(m):
+                x = e[:, mi * sub : (mi + 1) * sub]
+                dd = ((x[:, None, :] - books[mi][None, :, :]) ** 2).sum(axis=2)
+                codes[:, mi] = dd.argmin(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(bidx["vec_id"]),
+                    pa.array(cells, pa.int32()),
+                    pa.array([list(map(int, r)) for r in codes], pa.list_(pa.int64())),
+                ],
+                names=["vec_id", "cell", "codes"],
+            )
+
+    with writer_lock(index_dir):
+        known = spark.read.parquet(f"{index_dir}/codes").select("vec_id")
+        fresh = (
+            emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+            .join(known, "vec_id", "left_anti")
+        )
+        coded = fresh.mapInArrow(
+            assign_encode, "vec_id long, cell int, codes array<long>"
+        )
+        coded.write.mode("append").partitionBy("cell").parquet(f"{index_dir}/codes")
+        n_before = known.count()
+        n_after = spark.read.parquet(f"{index_dir}/codes").count()
+    return {"admitted": n_after - n_before, "total": n_after}

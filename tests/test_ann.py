@@ -156,3 +156,24 @@ def test_pq_index_build_is_locked(spark, emb, tmp_path):
     (d / "_writer.lock").write_text(f"pid={os.getpid()}\nhost={socket.gethostname()}\n")
     with pytest.raises(ConcurrentWriterError):
         PqIndex.build(emb, d, k=4, ks=8, train_sample=64)
+
+
+def test_pq_index_incremental_add(spark, emb, tmp_path):
+    """Admission encodes against FROZEN codebooks, appends O(batch), is
+    idempotent, and admitted vectors are searchable."""
+    from dataset_dedupe_estimator_spark.operators.ann import PqIndex, pq_index_add
+
+    d = tmp_path / "idx"
+    old = emb.filter(F.col("vec_id") % 3 != 0)
+    new = emb.filter(F.col("vec_id") % 3 == 0)
+    idx = PqIndex.build(old, d, k=8, ks=32, train_sample=512, seed=42)
+    st = pq_index_add(spark, d, new)
+    assert st["admitted"] == new.count()
+    assert st["total"] == emb.count()
+    # idempotent re-admission
+    st2 = pq_index_add(spark, d, new)
+    assert st2["admitted"] == 0
+    # an admitted vector is found as its own nearest code row
+    qrow = new.head()
+    hits = idx.search(spark, [float(v) for v in qrow.embedding], topk=5, nprobe=8).collect()
+    assert hits[0].vec_id == qrow.vec_id

@@ -170,3 +170,71 @@ def test_stream_stream_join_equals_batch(spark):
     )
     assert {(r.view_id, r.click_id) for r in got} == {(r.view_id, r.click_id) for r in want}
     assert all(0 <= r.delay_s <= ATTRIB_WINDOW_MIN * 60 for r in got)
+
+
+def test_watermark_drops_what_late_audit_flags(spark, tmp_path):
+    """Coherence between the batch disorder audit (events_late_arrivals:
+    high-water-mark lag > 300s) and real streaming behavior: the event
+    the audit flags as late is exactly what a 300s withWatermark drops
+    when it arrives after the watermark has advanced. (availableNow
+    plans every batch up front with a frozen watermark, so the test
+    drives progression with processAllAvailable between file writes.)"""
+    src = tmp_path / "ev"
+    src.mkdir()
+
+    def write(name, rows):
+        spark.createDataFrame(rows, "event_id long, ts_s string, user_id long, event_type string").select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "event_type"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    # arrival 1 advances the watermark to 11:54; arrival 2's event_id=3
+    # is 114 minutes behind the stream head -> late by both definitions
+    write("b1", [(1, "2026-01-01 10:00:00", 7, "view"), (2, "2026-01-01 11:59:00", 7, "view")])
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, event_type string")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "300 seconds")
+        .groupBy(F.window("ts", "1 hour"))
+        .count()
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_coherence")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    write("b2", [(3, "2026-01-01 10:05:00", 7, "view"), (4, "2026-01-01 12:00:00", 7, "view")])
+    q.processAllAvailable()
+    q.stop()
+    dropped = sum(
+        op["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    emitted = {
+        str(r[0]): r[1]
+        for r in spark.sql(
+            "SELECT window.start, count FROM late_coherence"
+        ).collect()
+    }
+
+    # the batch audit over the same rows (arrival order = event_id)
+    from pyspark.sql.window import Window
+
+    all_rows = spark.read.option("recursiveFileLookup", "true").parquet(str(src))
+    by_arrival = Window.partitionBy("user_id").orderBy("event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    hwm = F.max(ts_us).over(by_arrival.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = {
+        r.event_id
+        for r in all_rows.withColumn("late", (hwm - ts_us) > 300 * 1_000_000)
+        .filter("late")
+        .collect()
+    }
+    assert flagged == {3}
+    assert dropped == 1  # the same single event the audit flags
+    assert emitted.get("2026-01-01 10:00:00") == 1  # late row excluded
