@@ -698,6 +698,10 @@ def basket_part_pairs(spark, sf):
     argument as LSH banding); per-part counts and the order total are
     broadcast scalar/dim aggregates. Lift is one double division chain of
     exact integers. Top-50 by co-count is a TakeOrderedAndProject."""
+    # li has three consumers (both pair-join sides, per-part counts, the
+    # order total); AQE reuses the distinct's exchange across them, and
+    # measurement at the sf1 tier showed persist() saves nothing — the
+    # cost is the pair aggregate itself, which is the workload
     li = (
         load(spark, sf, "lineitem")
         .select("l_orderkey", "l_partkey")
