@@ -747,11 +747,151 @@ FROM flagged GROUP BY day_no, status ORDER BY day_no, status
 """
 
 
+def events_markov_transitions(spark, sf):
+    """First-order behavioral flow: the event-type transition matrix over
+    each user's time-ordered stream — P(next_type | type) with exact
+    counts, the sequence-mining census behind "what do users do after a
+    view?". One lag window per user (the sessionize shuffle shape), one
+    rollup; the probability is a single integer-ratio division."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    w_from = Window.partitionBy("from_type")
+    return (
+        counts.withColumn("n_from", F.sum("n_transitions").over(w_from))
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.round(
+                F.col("n_transitions").cast("double") / F.col("n_from").cast("double"),
+                6,
+            ).alias("p_transition"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+EVENTS_MARKOV_SQL = """
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+pairs AS (
+  SELECT LAG(event_type) OVER w AS from_type, event_type AS to_type
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM pairs WHERE from_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       ROUND(CAST(n_transitions AS DOUBLE)
+             / CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p_transition
+FROM counts
+ORDER BY from_type, to_type
+"""
+
+
+PATH_LEN = 3  # journey prefix length
+PATH_TOP = 20
+
+
+def session_top_paths(spark, sf):
+    """Top user journeys: the {PATH_TOP} most common first-{PATH_LEN}
+    event-type paths across sessions (30-min gap sessionization, same
+    rule as ``events_sessionize``). Path analysis is the composition the
+    funnel can't give — it discovers the sequences instead of testing
+    one.
+
+    Ordering discipline: the path string is built from a sort_array of
+    (position, type) structs, so it is deterministic under any partition
+    or aggregation order; the heavy lifting is the same single user-
+    partition window shuffle as sessionize plus a path rollup."""
+    ev = load(spark, sf, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ts_us - F.lag(ts_us).over(by_user)
+    is_new = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn("is_new", is_new).withColumn(
+        "session_seq",
+        F.sum("is_new").over(
+            by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    by_sess = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    first_k = (
+        sess.withColumn("rn", F.row_number().over(by_sess))
+        .filter(F.col("rn") <= PATH_LEN)
+    )
+    paths = first_k.groupBy("user_id", "session_seq").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("rn"), F.col("event_type")))
+                ),
+                lambda s: s.event_type,
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(PATH_TOP)
+    )
+
+
+SESSION_PATHS_SQL = f"""
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+seq AS (
+  SELECT *,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM seq
+),
+first_k AS (
+  SELECT * FROM (
+    SELECT user_id, session_seq, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id, session_seq ORDER BY ts, event_id) AS rn
+    FROM sess)
+  WHERE rn <= {PATH_LEN}
+),
+paths AS (
+  SELECT user_id, session_seq,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM first_k GROUP BY 1, 2
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {PATH_TOP}
+"""
+
+
 QUERIES = {
     "events_hourly": Q(events_hourly, EVENTS_HOURLY_SQL),
     "rolling_active_users": Q(rolling_active_users, ROLLING_ACTIVE_USERS_SQL),
     "events_late_arrivals": Q(events_late_arrivals, EVENTS_LATE_SQL),
     "events_user_lifecycle": Q(events_user_lifecycle, EVENTS_LIFECYCLE_SQL),
+    "events_markov_transitions": Q(events_markov_transitions, EVENTS_MARKOV_SQL),
+    "session_top_paths": Q(session_top_paths, SESSION_PATHS_SQL),
     "events_gapfill": Q(events_gapfill, EVENTS_GAPFILL_SQL),
     "events_attribution": Q(events_attribution, EVENTS_ATTRIBUTION_SQL),
     "events_dedup_burst": Q(events_dedup_burst, EVENTS_BURST_SQL),
