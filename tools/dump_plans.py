@@ -57,6 +57,12 @@ def main() -> int:
         "quality_classifier",
         "bpe_pair_frequencies",
         "events_late_arrivals",
+        "orders_rfm_segments",
+        "basket_part_pairs",
+        "events_user_lifecycle",
+        "events_markov_transitions",
+        "session_top_paths",
+        "dup_cluster_sizes",
     ]
     lines = [
         "# Physical plans — headline + selected queries",
