@@ -100,13 +100,37 @@ def main() -> int:
     t_pq = time.time() - t0
     pq_found = 1 in [r.vec_id for r in adc_hits]
 
+    # persistent IVF-PQ index at size: build on 90% of the corpus, admit
+    # the rest incrementally, search for a planted pair's survivor
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.operators.ann import PqIndex, pq_index_add
+
+    with tempfile.TemporaryDirectory(prefix="stress-pq-") as d:
+        idx_dir = f"{d}/pq"
+        old = emb.filter(F.col("vec_id") % 10 != 9)
+        newb = emb.filter(F.col("vec_id") % 10 == 9)
+        t0 = time.time()
+        idx = PqIndex.build(old, idx_dir, k=64, ks=64, train_sample=4096, seed=7)
+        t_build = time.time() - t0
+        t0 = time.time()
+        st = pq_index_add(spark, idx_dir, newb)
+        t_add = time.time() - t0
+        qrow2 = emb.filter(F.col("vec_id") == 10).collect()[0]  # planted dup of 11? (11%10==1 → 11 is near 10)
+        t0 = time.time()
+        hits2 = idx.search(spark, list(qrow2.embedding), topk=10, nprobe=16).collect()
+        t_pqi = time.time() - t0
+        idx_self = 10 in [r.vec_id for r in hits2]
+
     print(
         f"vecs={n} dim={dim} lsh: pairs={len(got_set)} planted_recall={recall:.3f} "
         f"[{t_lsh:.1f}s]  ivf: train={t_train:.1f}s query={t_q:.1f}s "
         f"self_found={self_found}  ivfpq: query={t_pq:.1f}s nn_found={pq_found}  "
+        f"pq_index: build={t_build:.1f}s add={st['admitted']}@{t_add:.1f}s "
+        f"query={t_pqi:.1f}s self_found={idx_self}  "
         f"recall_ok={recall >= 0.95}"
     )
-    return 0 if recall >= 0.95 and self_found and pq_found else 1
+    return 0 if recall >= 0.95 and self_found and pq_found and idx_self else 1
 
 
 if __name__ == "__main__":
