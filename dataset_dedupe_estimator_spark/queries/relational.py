@@ -763,10 +763,81 @@ LIMIT 50
 """
 
 
+def cohort_ltv(spark, sf):
+    """Cohort lifetime-value curve — the revenue sibling of
+    ``events_retention_cohorts``: customers grouped by first-order
+    quarter, cumulative revenue tracked by quarters-since-first-order.
+    The running sum uses exact integer cents inside the window (the
+    order-dependent-double trap from base.py never arises), converting
+    to dollars only in the final projection.
+
+    Plan: per-customer first-order window shares the exchange with the
+    per-(customer, age) rollup; the cohort x age matrix is tiny, so the
+    cumulative window over it is cheap; nothing scans orders twice."""
+    orders = load(spark, sf, "orders")
+    qtr = (F.year("o_orderdate") * 4 + F.quarter("o_orderdate") - 1).cast("long")
+    w_cust = Window.partitionBy("o_custkey")
+    aged = orders.select(
+        "o_custkey",
+        qtr.alias("order_qtr"),
+        cents("o_totalprice").alias("price_cents"),
+    ).withColumn("cohort_qtr", F.min("order_qtr").over(w_cust))
+    cohort_age = (
+        aged.groupBy(
+            "cohort_qtr", (F.col("order_qtr") - F.col("cohort_qtr")).alias("age_qtrs")
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("active_customers"),
+            F.sum("price_cents").alias("rev_cents"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("cohort_qtr")
+        .orderBy("age_qtrs")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cohort_age.withColumn("cum_cents", F.sum("rev_cents").over(w_cum))
+        .select(
+            "cohort_qtr",
+            "age_qtrs",
+            "active_customers",
+            (F.col("rev_cents") / F.lit(100.0)).alias("revenue"),
+            (F.col("cum_cents") / F.lit(100.0)).alias("cumulative_ltv"),
+        )
+        .orderBy("cohort_qtr", "age_qtrs")
+    )
+
+
+COHORT_LTV_SQL = f"""
+WITH aged AS (
+  SELECT o_custkey,
+         YEAR(o_orderdate) * 4 + QUARTER(o_orderdate) - 1 AS order_qtr,
+         {sql_cents("o_totalprice")} AS price_cents,
+         MIN(YEAR(o_orderdate) * 4 + QUARTER(o_orderdate) - 1)
+           OVER (PARTITION BY o_custkey) AS cohort_qtr
+  FROM orders
+),
+cohort_age AS (
+  SELECT cohort_qtr, order_qtr - cohort_qtr AS age_qtrs,
+         COUNT(DISTINCT o_custkey) AS active_customers,
+         SUM(price_cents) AS rev_cents
+  FROM aged GROUP BY 1, 2
+)
+SELECT cohort_qtr, age_qtrs, active_customers,
+       rev_cents / 100.0 AS revenue,
+       SUM(rev_cents) OVER (PARTITION BY cohort_qtr ORDER BY age_qtrs
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS cumulative_ltv
+FROM cohort_age
+ORDER BY cohort_qtr, age_qtrs
+"""
+
+
 QUERIES = {
     "temporal_dim_join": Q(temporal_dim_join, TEMPORAL_DIM_SQL),
     "orders_rfm_segments": Q(orders_rfm_segments, RFM_SQL),
     "basket_part_pairs": Q(basket_part_pairs, BASKET_SQL),
+    "cohort_ltv": Q(cohort_ltv, COHORT_LTV_SQL),
     "q1_pricing_summary": Q(q1_pricing_summary, Q1_SQL, headline=True),
     "q4_order_priority": Q(q4_order_priority, Q4_SQL),
     "q6_revenue_forecast": Q(q6_revenue_forecast, Q6_SQL),
