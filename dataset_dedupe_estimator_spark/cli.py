@@ -616,6 +616,21 @@ def cmd_pq_index(args) -> int:
         n = spark.read.parquet(f"{args.index_dir}/codes").count()
         print(f"indexed {n} vectors: {args.cells} cells, 8x{args.codes} codebooks")
         return 0
+    if args.action == "add":
+        from dataset_dedupe_estimator_spark.operators.ann import pq_index_add
+
+        if not args.vectors:
+            print("pq-index add: missing vectors path", file=sys.stderr)
+            return 2
+        st = pq_index_add(spark, args.index_dir, spark.read.parquet(args.vectors))
+        print(f"admitted {st['admitted']} vectors ({st['total']} total)")
+        return 0
+    if args.action == "compact":
+        from dataset_dedupe_estimator_spark.operators.ann import pq_index_compact
+
+        st = pq_index_compact(spark, args.index_dir)
+        print(f"compacted {st['files_before']} -> {st['files_after']} files ({st['rows']} rows)")
+        return 0
     # search: the query vector is looked up by id from the source table
     if not (args.vectors and args.query_id is not None):
         print("pq-index search: need vectors path and --query-id", file=sys.stderr)
@@ -837,7 +852,7 @@ def build_parser() -> argparse.ArgumentParser:
     lx.set_defaults(fn=cmd_lsh_index)
 
     px = sub.add_parser("pq-index", help="persistent IVF-PQ ANN index")
-    px.add_argument("action", choices=["build", "search"])
+    px.add_argument("action", choices=["build", "add", "search", "compact"])
     px.add_argument("index_dir")
     px.add_argument("vectors", nargs="?", help="parquet of (vec_id, embedding)")
     px.add_argument("--cells", type=int, default=16, help="IVF coarse cells")

@@ -289,3 +289,52 @@ def pq_index_add(spark, index_dir, emb: DataFrame, vec_col: str = "embedding", i
         n_before = known.count()
         n_after = spark.read.parquet(f"{index_dir}/codes").count()
     return {"admitted": n_after - n_before, "total": n_after}
+
+
+def pq_index_compact(spark, index_dir, files_per_cell: int = 1) -> dict:
+    """Reclaim the small files a long admission history accumulates:
+    rewrite the cell-partitioned code store with ``files_per_cell``
+    files per cell. Runs under the writer lock; the rewrite lands in a
+    staging dir and swaps in with two renames. A crash between the
+    renames leaves ``codes`` absent and ``codes.__new__`` complete —
+    the next compact (or load via _recover) finishes the swap; a crash
+    before the swap leaves the staging dir an orphan that the next
+    compact removes."""
+    import shutil
+    from pathlib import Path
+
+    from dataset_dedupe_estimator_spark.plans._index_lock import writer_lock
+
+    index_dir = Path(index_dir)
+    codes = index_dir / "codes"
+    staged = index_dir / "codes.__new__"
+    trash = index_dir / "codes.__old__"
+    with writer_lock(index_dir):
+        _pq_recover(index_dir)
+        for p in (staged, trash):
+            if p.exists():
+                shutil.rmtree(p)  # orphan from a crashed attempt
+        df = spark.read.parquet(str(codes))
+        n_before = sum(1 for f in codes.rglob("*.parquet"))
+        (
+            df.repartition(int(files_per_cell), "cell")
+            .write.partitionBy("cell")
+            .parquet(str(staged))
+        )
+        n_rows = spark.read.parquet(str(staged)).count()
+        codes.rename(trash)
+        staged.rename(codes)  # commit point
+        shutil.rmtree(trash)
+        n_after = sum(1 for f in codes.rglob("*.parquet"))
+    return {"rows": n_rows, "files_before": n_before, "files_after": n_after}
+
+
+def _pq_recover(index_dir) -> None:
+    """Finish a compact interrupted between its two renames."""
+    from pathlib import Path
+
+    index_dir = Path(index_dir)
+    codes = index_dir / "codes"
+    staged = index_dir / "codes.__new__"
+    if not codes.exists() and staged.exists():
+        staged.rename(codes)

@@ -177,3 +177,38 @@ def test_pq_index_incremental_add(spark, emb, tmp_path):
     qrow = new.head()
     hits = idx.search(spark, [float(v) for v in qrow.embedding], topk=5, nprobe=8).collect()
     assert hits[0].vec_id == qrow.vec_id
+
+
+def test_pq_index_compact_preserves_store(spark, emb, tmp_path):
+    from dataset_dedupe_estimator_spark.operators.ann import (
+        PqIndex,
+        _pq_recover,
+        pq_index_add,
+        pq_index_compact,
+    )
+
+    d = tmp_path / "idx"
+    idx = PqIndex.build(emb.filter(F.col("vec_id") % 2 == 0), d, k=4, ks=16, train_sample=256)
+    pq_index_add(spark, d, emb.filter(F.col("vec_id") % 2 == 1))
+    before = spark.read.parquet(f"{d}/codes").orderBy("vec_id").collect()
+    st = pq_index_compact(spark, d)
+    assert st["rows"] == len(before)
+    assert st["files_after"] <= st["files_before"]
+    after = spark.read.parquet(f"{d}/codes").orderBy("vec_id").collect()
+    assert [(r.vec_id, r.cell, r.codes) for r in before] == [
+        (r.vec_id, r.cell, r.codes) for r in after
+    ]
+    # search still works on the compacted store
+    qrow = emb.head()
+    hits = idx.search(spark, [float(v) for v in qrow.embedding], topk=3, nprobe=4).collect()
+    assert hits
+
+    # crash between the two renames: codes gone, staging complete
+    import shutil
+    from pathlib import Path
+
+    codes = Path(d) / "codes"
+    codes.rename(Path(d) / "codes.__new__")
+    _pq_recover(d)
+    assert codes.exists()
+    assert spark.read.parquet(str(codes)).count() == len(before)
