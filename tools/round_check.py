@@ -6,7 +6,7 @@ Usage: python tools/round_check.py [--fast]
 Stages (``--fast`` runs only the first three):
   1. pytest              — the full unit/integration suite
   2. oracle gate         — tools/check_oracles.py over the whole registry
-                           (writes CORRECTNESS_LOCAL_r03.json)
+                           (writes CORRECTNESS_LOCAL_r{N}.json for the in-progress round)
   3. driver smoke        — __spark_entry__.entry() returns rows at sf0.001
   4. bench               — bench.py one-line JSON at sf0.1
   5. stress battery      — estimate resync + index admission at 50 MB
@@ -70,6 +70,17 @@ def main() -> int:
                 return ("0 failed" in line) and p.returncode == 0, line.strip()
         return False, "no summary line"
 
+    # local-gate artifact for the CURRENT round: one past the newest
+    # driver-written CORRECTNESS_rNN.json (the driver writes rNN at round
+    # close, so mid-round N+1 is in progress)
+    import re
+
+    driver_rounds = [
+        int(m.group(1))
+        for f in os.listdir(REPO)
+        if (m := re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f))
+    ]
+    local_name = f"CORRECTNESS_LOCAL_r{max(driver_rounds, default=0) + 1:02d}.json"
     results.append(
         _run(
             "oracle gate",
@@ -77,7 +88,7 @@ def main() -> int:
                 sys.executable,
                 "tools/check_oracles.py",
                 "--json",
-                "CORRECTNESS_LOCAL_r03.json",
+                local_name,
             ],
             gate_ok,
         )
