@@ -801,6 +801,79 @@ ORDER BY from_type, to_type
 """
 
 
+def events_funnel_ttc(spark, sf):
+    """Time-to-convert distribution — the duration census behind the
+    funnel: for users whose first purchase follows their first view, the
+    quartiles and p90 of (first purchase − first view), in exact integer
+    seconds. One conditional-min aggregate per user (single shuffle),
+    then DISCRETE (type-1) quantiles by rank over the converted-user
+    durations — Spark's `percentile()` and DuckDB's `quantile_cont`
+    interpolate differently, so the rank k = floor(p·(n−1))+1 element is
+    selected explicitly; everything stays integer-exact. The rank window
+    runs over converting users only (an aggregate, orders of magnitude
+    smaller than events — the spend_quartiles precedent)."""
+    ev = load(spark, sf, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", ts_us)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", ts_us)).alias("t_purchase"),
+    )
+    converted = per_user.filter(
+        F.col("t_view").isNotNull() & (F.col("t_purchase") > F.col("t_view"))
+    ).select(
+        # integer division end to end: double division + cast would
+        # truncate in Spark but ROUND in DuckDB's CAST(double AS BIGINT)
+        F.expr("(t_purchase - t_view) div 1000000").alias("ttc_s")
+    )
+    n_df = converted.agg(F.count(F.lit(1)).alias("n"))
+    ranked = converted.withColumn(
+        "rn", F.row_number().over(Window.orderBy("ttc_s"))
+    ).crossJoin(F.broadcast(n_df))
+
+    def q(num, den):
+        # k = floor(p*(n-1)) + 1 in PURE integer math: a double literal
+        # 0.9 times a large n crosses integer boundaries differently in
+        # the two engines (binary 0.9 > decimal 0.9)
+        k = ((F.col("n") - 1) * num - ((F.col("n") - 1) * num) % den) / den + 1
+        return F.min(F.when(F.col("rn") == k.cast("long"), F.col("ttc_s")))
+
+    return ranked.agg(
+        F.max("n").alias("n_converted"),
+        q(1, 4).alias("p25_s"),
+        q(1, 2).alias("median_s"),
+        q(3, 4).alias("p75_s"),
+        q(9, 10).alias("p90_s"),
+        F.max("ttc_s").alias("max_s"),
+    )
+
+
+EVENTS_TTC_SQL = """
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+  FROM ev GROUP BY user_id
+),
+converted AS (
+  SELECT (t_purchase - t_view) // 1000000 AS ttc_s
+  FROM per_user WHERE t_view IS NOT NULL AND t_purchase > t_view
+),
+ranked AS (
+  SELECT ttc_s, ROW_NUMBER() OVER (ORDER BY ttc_s) AS rn,
+         (SELECT COUNT(*) FROM converted) AS n
+  FROM converted
+)
+SELECT MAX(n) AS n_converted,
+       MIN(CASE WHEN rn = (n - 1) * 1 // 4 + 1 THEN ttc_s END) AS p25_s,
+       MIN(CASE WHEN rn = (n - 1) * 1 // 2 + 1 THEN ttc_s END) AS median_s,
+       MIN(CASE WHEN rn = (n - 1) * 3 // 4 + 1 THEN ttc_s END) AS p75_s,
+       MIN(CASE WHEN rn = (n - 1) * 9 // 10 + 1 THEN ttc_s END) AS p90_s,
+       MAX(ttc_s) AS max_s
+FROM ranked
+"""
+
+
 PATH_LEN = 3  # journey prefix length
 PATH_TOP = 20
 
@@ -892,6 +965,7 @@ QUERIES = {
     "events_user_lifecycle": Q(events_user_lifecycle, EVENTS_LIFECYCLE_SQL),
     "events_markov_transitions": Q(events_markov_transitions, EVENTS_MARKOV_SQL),
     "session_top_paths": Q(session_top_paths, SESSION_PATHS_SQL),
+    "events_funnel_ttc": Q(events_funnel_ttc, EVENTS_TTC_SQL),
     "events_gapfill": Q(events_gapfill, EVENTS_GAPFILL_SQL),
     "events_attribution": Q(events_attribution, EVENTS_ATTRIBUTION_SQL),
     "events_dedup_burst": Q(events_dedup_burst, EVENTS_BURST_SQL),
