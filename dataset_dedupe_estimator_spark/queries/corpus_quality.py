@@ -675,8 +675,89 @@ GROUP BY 1, 2 ORDER BY source, bucket
 """
 
 
+DRIFT_BINS = 10
+
+
+def source_drift_tvd(spark, sf):
+    """Distribution-drift audit: how far each source's document-length
+    distribution sits from the corpus-wide one, as total variation
+    distance over {DRIFT_BINS} equal-width bins — the drift check a
+    training pipeline runs when a new crawl snapshot lands.
+
+    Numeric discipline: bin edges, bin counts and the TVD numerator
+    Σ|c_sb·N − C_b·N_s| are ALL exact integers (the absolute difference
+    of cross-multiplied counts); the single division by 2·N_s·N happens
+    once per source at the end. No floating-point accumulation anywhere,
+    so the oracle matches bit-for-bit.
+
+    Scale shape: one scalar min/max row broadcast, one (source, bin)
+    aggregate over per-row integer math, and a {DRIFT_BINS}-row-per-source
+    join — nothing grows with corpus size except the first aggregate."""
+    docs = load(spark, sf, "documents").select("source", "n_chars")
+    bounds = docs.agg(
+        F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo") + DRIFT_BINS) / DRIFT_BINS
+    binned = docs.crossJoin(F.broadcast(bounds)).select(
+        "source",
+        F.floor((F.col("n_chars") - F.col("lo")) / width).cast("long").alias("bin"),
+    )
+    per_sb = binned.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("c_sb"))
+    per_b = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c_b"))
+    per_s = binned.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    n_df = binned.agg(F.count(F.lit(1)).alias("n_total"))
+    dense = (
+        per_s.crossJoin(F.broadcast(per_b))
+        .join(per_sb, ["source", "bin"], "left")
+        .withColumn("c_sb", F.coalesce(F.col("c_sb"), F.lit(0)))
+        .crossJoin(F.broadcast(n_df))
+    )
+    num = F.abs(F.col("c_sb") * F.col("n_total") - F.col("c_b") * F.col("n_s"))
+    return (
+        dense.groupBy("source", "n_s", "n_total")
+        .agg(F.sum(num).alias("tvd_num"))
+        .select(
+            "source",
+            F.col("n_s").alias("n_docs"),
+            F.round(
+                F.col("tvd_num").cast("double")
+                / (F.lit(2.0) * F.col("n_s").cast("double") * F.col("n_total").cast("double")),
+                6,
+            ).alias("tvd"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_DRIFT_SQL = f"""
+WITH bounds AS (SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM documents),
+binned AS (
+  SELECT source,
+         CAST(FLOOR((n_chars - lo) / ((hi - lo + {DRIFT_BINS}) / {DRIFT_BINS}.0)) AS BIGINT) AS bin
+  FROM documents, bounds
+),
+per_sb AS (SELECT source, bin, COUNT(*) AS c_sb FROM binned GROUP BY 1, 2),
+per_b AS (SELECT bin, COUNT(*) AS c_b FROM binned GROUP BY 1),
+per_s AS (SELECT source, COUNT(*) AS n_s FROM binned GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_total FROM binned),
+dense AS (
+  SELECT s.source, s.n_s, b.bin, b.c_b, COALESCE(sb.c_sb, 0) AS c_sb, n.n_total
+  FROM per_s s CROSS JOIN per_b b
+  LEFT JOIN per_sb sb ON sb.source = s.source AND sb.bin = b.bin
+  CROSS JOIN n
+)
+SELECT source, n_s AS n_docs,
+       ROUND(CAST(SUM(ABS(c_sb * n_total - c_b * n_s)) AS DOUBLE)
+             / (2.0 * CAST(n_s AS DOUBLE) * CAST(n_total AS DOUBLE)), 6) AS tvd
+FROM dense
+GROUP BY source, n_s, n_total
+ORDER BY source
+"""
+
+
 QUERIES = {
     "quality_classifier": Q(quality_classifier, QUALITY_CLASSIFIER_SQL),
+    "source_drift_tvd": Q(source_drift_tvd, SOURCE_DRIFT_SQL),
     "pii_scan": Q(pii_scan, PII_SCAN_SQL),
     "unigram_surprisal": Q(unigram_surprisal, UNIGRAM_SURPRISAL_SQL),
     "charlm_familiarity": Q(charlm_familiarity, CHARLM_FAMILIARITY_SQL),
