@@ -63,6 +63,9 @@ def main() -> int:
         "events_markov_transitions",
         "session_top_paths",
         "dup_cluster_sizes",
+        "cohort_ltv",
+        "events_funnel_ttc",
+        "source_drift_tvd",
     ]
     lines = [
         "# Physical plans — headline + selected queries",
