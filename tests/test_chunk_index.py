@@ -269,3 +269,32 @@ def test_single_writer_lock_refuses_concurrent_mutation(spark, tmp_path, snapsho
     with writer_lock(idx):
         assert lock.exists()
     assert not lock.exists()
+
+
+def test_lock_staleness_parser():
+    """_lock_is_stale: only a same-host dead-pid lock is breakable;
+    malformed, remote, or live locks always refuse."""
+    import os
+    import socket
+
+    from dataset_dedupe_estimator_spark.plans._index_lock import _lock_is_stale
+
+    def lock_file(tmp, text):
+        p = tmp / "_writer.lock"
+        p.write_text(text)
+        return p
+
+    import tempfile
+    from pathlib import Path
+
+    with tempfile.TemporaryDirectory() as d:
+        tmp = Path(d)
+        host = socket.gethostname()
+        assert _lock_is_stale(lock_file(tmp, f"pid=999999999\nhost={host}\n"))
+        assert not _lock_is_stale(lock_file(tmp, f"pid={os.getpid()}\nhost={host}\n"))
+        assert not _lock_is_stale(lock_file(tmp, f"pid=999999999\nhost=elsewhere\n"))
+        assert not _lock_is_stale(lock_file(tmp, "garbage"))
+        assert not _lock_is_stale(lock_file(tmp, f"host={host}\n"))  # no pid
+        assert not _lock_is_stale(lock_file(tmp, f"pid=notanint\nhost={host}\n"))
+        missing = tmp / "gone.lock"
+        assert not _lock_is_stale(missing)

@@ -28,7 +28,7 @@ sys.path.insert(0, REPO)
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(REPO, ".sf1_cache")
 REPLICAS = 10
-VERSION = "sf1-v2"  # bump to invalidate the cache
+VERSION = "sf1-v3"  # bump to invalidate the cache
 
 TABLES = [
     "region",
@@ -154,6 +154,17 @@ def ensure_sf1(spark) -> str:
         part = glob.glob(f"{tmp}/part-*.parquet")[0]
         os.replace(part, f"{OUT_DIR}/{table}.parquet")
         shutil.rmtree(tmp)
+    # post-build sanity: every replicated table is exactly REPLICASx the
+    # source, and key-shifting produced zero cross-replica collisions
+    for table, key in (("orders", "o_orderkey"), ("documents", "doc_id")):
+        src_n = spark.read.parquet(f"{SRC}/{table}.parquet").count()
+        out_df = spark.read.parquet(f"{OUT_DIR}/{table}.parquet")
+        n, nk = out_df.selectExpr("count(*)", f"count(distinct {key})").collect()[0]
+        if n != REPLICAS * src_n or nk != n:
+            raise RuntimeError(
+                f"sf1 build invariant broken for {table}: rows={n} "
+                f"(want {REPLICAS * src_n}), distinct {key}={nk}"
+            )
     with open(marker, "w") as f:
         f.write(stamp)
     return OUT_DIR
