@@ -602,19 +602,24 @@ def rolling_active_users(spark, sf):
         .distinct()
     )
     bounds = pairs.agg(F.max("day").alias("max_day"))
-    contributed = pairs.select(
+    # clamp the contribution spine INSIDE the sequence (least(day+6,
+    # max_day)) rather than exploding 7x rows and filtering: the scalar
+    # bound joins once per pair, out-of-range days are never generated
+    contributed = pairs.crossJoin(F.broadcast(bounds)).select(
         "user_id",
         F.explode(
             F.sequence(
                 F.col("day"),
-                F.col("day") + F.expr(f"INTERVAL {RAU_WINDOW_DAYS - 1} DAYS"),
+                F.least(
+                    F.col("day") + F.expr(f"INTERVAL {RAU_WINDOW_DAYS - 1} DAYS"),
+                    F.col("max_day"),
+                ),
                 F.expr("INTERVAL 1 DAY"),
             )
         ).alias("day"),
     )
     return (
-        contributed.join(F.broadcast(bounds), F.col("day") <= F.col("max_day"))
-        .groupBy("day")
+        contributed.groupBy("day")
         .agg(F.countDistinct("user_id").alias("active_users"))
         .orderBy("day")
     )
