@@ -830,10 +830,16 @@ def events_funnel_ttc(spark, sf):
         # truncate in Spark but ROUND in DuckDB's CAST(double AS BIGINT)
         F.expr("(t_purchase - t_view) div 1000000").alias("ttc_s")
     )
-    n_df = converted.agg(F.count(F.lit(1)).alias("n"))
-    ranked = converted.withColumn(
-        "rn", F.row_number().over(Window.orderBy("ttc_s"))
-    ).crossJoin(F.broadcast(n_df))
+    # n comes from a full-frame count over the SAME single-partition
+    # window as the rank: one pass over the (small, per-converting-user)
+    # aggregate instead of a second scan of events for a count row
+    w_all = Window.orderBy("ttc_s")
+    ranked = converted.withColumn("rn", F.row_number().over(w_all)).withColumn(
+        "n",
+        F.count(F.lit(1)).over(
+            w_all.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
+    )
 
     def q(num, den):
         # k = floor(p*(n-1)) + 1 in PURE integer math: a double literal

@@ -41,7 +41,6 @@ BNLJ_ALLOWED = {
     "rolling_active_users",  # max-day scalar row bounds the explode spine
     "orders_rfm_segments",  # quartile-boundary scalar rows (two 3-double aggregates)
     "basket_part_pairs",  # total-orders scalar row feeds the lift denominator
-    "events_funnel_ttc",  # converted-count scalar row feeds the quantile ranks
     "source_drift_tvd",  # min/max + corpus-count scalar rows; bin dim is DRIFT_BINS rows
     "embedding_dedup_pairs",  # brute-force baseline BY DESIGN (docstring)
     "embedding_dedup_lsh",  # corpus-count row driving adaptive planes
