@@ -601,31 +601,33 @@ def orders_rfm_segments(spark, sf):
     quartiles, then counted per 3-digit segment code.
 
     Unlike NTILE (one global window partition), the quartile BOUNDARIES
-    come from one exact `percentile` aggregate — a 9-double scalar row
-    that broadcasts — and each customer buckets by comparison, so the
-    plan is two hash aggregates + a broadcast: nothing single-partition,
-    nothing that degrades at 100 TB. Bucketing is value-based (ties land
-    in the same bucket in both engines; no row-order dependence)."""
+    come from ONE exact `percentile` aggregate — a scalar row that
+    broadcasts — and each customer buckets by comparison, so the plan is
+    two hash aggregates + a broadcast: nothing single-partition, nothing
+    that degrades at 100 TB. Recency quartiles use the monotone-reversal
+    identity (recency = ref - last_day, so recency > q_p(recency) iff
+    last_day < q_{1-p}(last_day)), letting all nine boundaries come from
+    the same single pass over the per-customer aggregate. Bucketing is
+    value-based (ties land in the same bucket in both engines; no
+    row-order dependence)."""
     orders = load(spark, sf, "orders")
+    last_day = F.datediff(F.max("o_orderdate"), F.lit("1990-01-01").cast("date")).cast(
+        "long"
+    )
     per_cust = orders.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
+        last_day.alias("last_day"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(cents("o_totalprice")).alias("monetary_cents"),
     )
     bounds = per_cust.agg(
-        F.max("last_order").alias("ref_date"),
+        F.max("last_day").alias("ref_day"),
+        # recency quartile boundaries, expressed on last_day reversed
+        F.expr("percentile(last_day, array(0.75, 0.5, 0.25))").alias("lq"),
         F.expr("percentile(frequency, array(0.25, 0.5, 0.75))").alias("fq"),
         F.expr("percentile(monetary_cents, array(0.25, 0.5, 0.75))").alias("mq"),
     )
-    with_r = per_cust.join(F.broadcast(bounds)).withColumn(
-        "recency_days",
-        F.datediff(F.col("ref_date"), F.col("last_order")).cast("long"),
-    )
-    rbounds = with_r.agg(
-        F.expr("percentile(recency_days, array(0.25, 0.5, 0.75))").alias("rq")
-    )
 
-    def bucket(col, q):
+    def bucket_gt(col, q):
         return (
             F.lit(1)
             + (F.col(col) > q[0]).cast("int")
@@ -633,13 +635,21 @@ def orders_rfm_segments(spark, sf):
             + (F.col(col) > q[2]).cast("int")
         )
 
-    seg = with_r.join(F.broadcast(rbounds)).select(
+    def bucket_lt(col, q):
+        return (
+            F.lit(1)
+            + (F.col(col) < q[0]).cast("int")
+            + (F.col(col) < q[1]).cast("int")
+            + (F.col(col) < q[2]).cast("int")
+        )
+
+    seg = per_cust.crossJoin(F.broadcast(bounds)).select(
         "o_custkey",
         "monetary_cents",
         F.concat(
-            bucket("recency_days", F.col("rq")),
-            bucket("frequency", F.col("fq")),
-            bucket("monetary_cents", F.col("mq")),
+            bucket_lt("last_day", F.col("lq")),
+            bucket_gt("frequency", F.col("fq")),
+            bucket_gt("monetary_cents", F.col("mq")),
         ).alias("segment"),
     )
     return (
@@ -654,32 +664,27 @@ def orders_rfm_segments(spark, sf):
 
 RFM_SQL = f"""
 WITH per_cust AS (
-  SELECT o_custkey, MAX(o_orderdate) AS last_order,
+  SELECT o_custkey,
+         date_diff('day', DATE '1990-01-01', CAST(MAX(o_orderdate) AS DATE)) AS last_day,
          COUNT(*) AS frequency,
          SUM({sql_cents("o_totalprice")}) AS monetary_cents
   FROM orders GROUP BY o_custkey
 ),
 bounds AS (
-  SELECT MAX(last_order) AS ref_date,
+  SELECT quantile_cont(last_day, [0.75, 0.5, 0.25]) AS lq,
          quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fq,
          quantile_cont(monetary_cents, [0.25, 0.5, 0.75]) AS mq
   FROM per_cust
 ),
-with_r AS (
-  SELECT p.*, b.fq, b.mq,
-         date_diff('day', last_order, ref_date) AS recency_days
-  FROM per_cust p, bounds b
-),
-rbounds AS (SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rq FROM with_r),
 seg AS (
   SELECT o_custkey, monetary_cents,
-         (1 + CAST(recency_days > rq[1] AS INT) + CAST(recency_days > rq[2] AS INT)
-            + CAST(recency_days > rq[3] AS INT)) ||
+         (1 + CAST(last_day < lq[1] AS INT) + CAST(last_day < lq[2] AS INT)
+            + CAST(last_day < lq[3] AS INT)) ||
          (1 + CAST(frequency > fq[1] AS INT) + CAST(frequency > fq[2] AS INT)
             + CAST(frequency > fq[3] AS INT)) ||
          (1 + CAST(monetary_cents > mq[1] AS INT) + CAST(monetary_cents > mq[2] AS INT)
             + CAST(monetary_cents > mq[3] AS INT)) AS segment
-  FROM with_r, rbounds
+  FROM per_cust, bounds
 )
 SELECT segment, COUNT(*) AS n_customers,
        SUM(monetary_cents) / 100.0 AS total_spend
