@@ -45,11 +45,116 @@ for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthet
 # so rotation only affects which subset gets *driver-side* attestation,
 # never whether a regression is caught.
 #
-# Round-4 window (executes the rotation staged at r3 close): the 28
-# queries added during round 3 that have never been driver-checked, the 3
-# round-1-only stragglers deferred from r3's overflow, and the 19 oldest
-# round-2-green queries (registry tail order).
+# Round-5 window (executes the rotation staged at r4 close, COVERAGE.md
+# ledger): the 31 round-2-green overflow queries (oldest driver
+# attestation), the 15 queries added during round 4 (never
+# driver-checked), and the 4 stalest round-3-green queries.
 _FRONT = [
+    "vocab_coverage_score",
+    "pq_codes",
+    "streaming_windowed_counts",
+    "salted_agg_lineitem",
+    "simhash_candidates",
+    "streaming_sessionize_events",
+    "conditional_pivot_brands",
+    "events_sessionize",
+    "kmv_sketches",
+    "source_token_stats",
+    "synthetic_delete_rows",
+    "synthetic_insert_rows",
+    "synthetic_update_rows",
+    "synthetic_update_column",
+    "synthetic_append_rows",
+    "merge_upsert_orders",
+    "dedup_keep_first_pruned",
+    "dedup_spans",
+    "mixture_sample",
+    "sequence_pack",
+    "cdc_upload_delta",
+    "unigram_surprisal",
+    "tfidf_top_terms",
+    "bloom_incremental_dedup",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q22_idle_customers",
+    "temporal_dim_join",
+    "orders_rfm_segments",
+    "basket_part_pairs",
+    "cohort_ltv",
+    "rolling_active_users",
+    "events_late_arrivals",
+    "events_user_lifecycle",
+    "events_markov_transitions",
+    "session_top_paths",
+    "events_funnel_ttc",
+    "dup_cluster_sizes",
+    "bpe_pair_frequencies",
+    "ivfpq_search",
+    "quality_classifier",
+    "source_drift_tvd",
+    "events_funnel",
+    "events_retention_cohorts",
+    "cms_token_counts",
+    "effective_token_budget",
+]
+# overflow: the remaining 46 round-3-green queries — oldest driver
+# attestation after this round runs, first in line for round 6's window
+# (locally re-verified every round)
+_NEXT = [
+    "semdedup_clusters",
+    "streaming_cms_counts",
+    "grouping_sets_revenue",
+    "trailing_window_revenue",
+    "cdc_dedup_trend",
+    "source_overlap_minhash",
+    "q8_market_share",
+    "q14_promo_revenue",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "semi_anti_customers",
+    "dedup_keep_first",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "simhash_signatures",
+    "knn_brute_force",
+    "ann_lsh_bucketed",
+    "ann_ivf_probe",
+    "embedding_dedup_pairs",
+    "embedding_dedup_lsh",
+    "label_centroid_spread",
+    "set_ops_parts",
+    "window_running_spend",
+    "rollup_order_status",
+    "cube_order_stats",
+    "events_hourly",
+    "events_daily_users",
+    "q4_order_priority",
+    "top_spenders",
+    "asof_prev_order",
+    "unpivot_part_metrics",
+    "range_join_price_bands",
+    "synthetic_generate_table",
+    "q6_revenue_forecast",
+    "events_json_extract",
+    "window_top_orders_per_customer",
+    "lang_score",
+    "token_frequencies",
+    "binary_digest_features",
+    "text_quality",
+    "dedup_exact_groups",
+    "dedup_fingerprint_groups",
+    "dedup_exact_events",
+]
+# most recent driver green: CORRECTNESS_r04 (50/50 green — 40 oracle,
+# 10 rows-only by design)
+_TAIL = [
     "spend_quartiles",
     "events_gapfill",
     "events_attribution",
@@ -100,96 +205,6 @@ _FRONT = [
     "ann_ivf_trained",
     "corpus_survival_pipeline",
     "dedup_near_survivors",
-]
-# overflow: the remaining 31 round-2-green queries — oldest driver
-# attestation after this round runs, first in line for round 5's window
-# (locally re-verified every round)
-_NEXT = [
-    "vocab_coverage_score",
-    "pq_codes",
-    "streaming_windowed_counts",
-    "salted_agg_lineitem",
-    "simhash_candidates",
-    "streaming_sessionize_events",
-    "conditional_pivot_brands",
-    "events_sessionize",
-    "kmv_sketches",
-    "source_token_stats",
-    "synthetic_delete_rows",
-    "synthetic_insert_rows",
-    "synthetic_update_rows",
-    "synthetic_update_column",
-    "synthetic_append_rows",
-    "merge_upsert_orders",
-    "dedup_keep_first_pruned",
-    "dedup_spans",
-    "mixture_sample",
-    "sequence_pack",
-    "cdc_upload_delta",
-    "unigram_surprisal",
-    "tfidf_top_terms",
-    "bloom_incremental_dedup",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q22_idle_customers",
-]
-# most recent driver green: CORRECTNESS_r03 (49/50 fully green; the 50th,
-# cdc_dedup_trend, is rows-only by design)
-_TAIL = [
-    "events_funnel",
-    "events_retention_cohorts",
-    "cms_token_counts",
-    "effective_token_budget",
-    "semdedup_clusters",
-    "streaming_cms_counts",
-    "grouping_sets_revenue",
-    "trailing_window_revenue",
-    "cdc_dedup_trend",
-    "source_overlap_minhash",
-    "q8_market_share",
-    "q14_promo_revenue",
-    "q19_disjunctive_revenue",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "semi_anti_customers",
-    "dedup_keep_first",
-    "ngram_jaccard_pairs",
-    "minhash_signatures",
-    "minhash_lsh_candidates",
-    "simhash_signatures",
-    "knn_brute_force",
-    "ann_lsh_bucketed",
-    "ann_ivf_probe",
-    "embedding_dedup_pairs",
-    "embedding_dedup_lsh",
-    "label_centroid_spread",
-    "set_ops_parts",
-    "window_running_spend",
-    "rollup_order_status",
-    "cube_order_stats",
-    "events_hourly",
-    "events_daily_users",
-    "q4_order_priority",
-    "top_spenders",
-    "asof_prev_order",
-    "unpivot_part_metrics",
-    "range_join_price_bands",
-    "synthetic_generate_table",
-    "q6_revenue_forecast",
-    "events_json_extract",
-    "window_top_orders_per_customer",
-    "lang_score",
-    "token_frequencies",
-    "binary_digest_features",
-    "text_quality",
-    "dedup_exact_groups",
-    "dedup_fingerprint_groups",
-    "dedup_exact_events",
 ]
 _missing = (set(_FRONT) | set(_NEXT) | set(_TAIL)) - REGISTRY.keys()
 if _missing:
