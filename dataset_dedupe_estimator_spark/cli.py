@@ -613,7 +613,9 @@ def cmd_pq_index(args) -> int:
             return 2
         emb = spark.read.parquet(args.vectors)
         PqIndex.build(emb, args.index_dir, k=args.cells, ks=args.codes, seed=args.seed)
-        n = spark.read.parquet(f"{args.index_dir}/codes").count()
+        from dataset_dedupe_estimator_spark.operators.ann import _pq_meta
+
+        n = _pq_meta(args.index_dir)["total"]
         print(f"indexed {n} vectors: {args.cells} cells, 8x{args.codes} codebooks")
         return 0
     if args.action == "add":

@@ -77,8 +77,16 @@ class PqIndex:
     at 64 dims the code column is 32x smaller than the vectors, which is
     what lets a 1B-vector index fit a small fraction of cluster memory.
 
-    Single-writer build (plans/_index_lock.py); the manifest write is the
-    atomic commit point, mirroring the chunk/LSH index protocol.
+    Storage follows the same log-structured protocol as the chunk/LSH
+    indexes (plans/chunk_index.py, plans/lsh_index.py): code rows live in
+    ``gen-NNNNN/`` directories (each cell-partitioned parquet), and the
+    JSON manifest — rewritten with an atomic ``os.replace`` — is the ONLY
+    commit point. Readers list generations ``[floor, generations)`` from
+    the manifest, so they can never observe a partial append (uncommitted
+    gen dirs are invisible) or a mid-compact rename (compaction commits a
+    merged generation and advances ``floor``; superseded dirs are removed
+    only after the commit). Writers are single-writer
+    (plans/_index_lock.py); readers never take the lock.
     """
 
     MANIFEST = "_pq_meta.json"
@@ -132,10 +140,13 @@ class PqIndex:
 
         index_dir = Path(index_dir)
         ivf = IvfIndex.train(emb, vec_col=vec_col, id_col=id_col, k=k, seed=seed)
+        # orderBy before limit: a bare limit is not stable across
+        # partition layouts, so the trained codebooks would differ
+        # between clusters/file splits for the same seed (ADVICE r4)
         sample = np.array(
             [
-                [float(v) for v in r[0]]
-                for r in emb.select(vec_col).limit(train_sample).collect()
+                [float(v) for v in r[1]]
+                for r in emb.select(id_col, vec_col).orderBy(id_col).limit(train_sample).collect()
             ],
             dtype=np.float64,
         )
@@ -170,30 +181,31 @@ class PqIndex:
                 )
 
         with writer_lock(index_dir):
+            # a crashed earlier build may have left gen dirs with no
+            # manifest (never committed) — clear them before rebuilding
+            _pq_clear_orphans(index_dir, floor=0, counter=0)
             coded = ivf.assigned.select(
                 F.col("vec_id"), F.col("cell"), F.col("embedding")
             ).mapInArrow(encode, "vec_id long, cell int, codes array<long>")
-            coded.write.mode("overwrite").partitionBy("cell").parquet(
-                str(index_dir / "codes")
+            gen0 = _pq_gen_dir(index_dir, 0)
+            coded.write.mode("overwrite").partitionBy("cell").parquet(str(gen0))
+            total = _pq_count(coded.sparkSession, [str(gen0)])
+            _pq_commit(
+                index_dir,
+                {
+                    "k": k, "m": m, "ks": ks, "dim": dim,
+                    "centroids": ivf.centroids.tolist(),
+                    "codebooks": books.tolist(),
+                    "generations": 1,
+                    "floor": 0,
+                    "total": total,
+                },
             )
-            manifest = {
-                "k": k, "m": m, "ks": ks, "dim": dim,
-                "centroids": ivf.centroids.tolist(),
-                "codebooks": books.tolist(),
-            }
-            tmp = index_dir / (cls.MANIFEST + ".tmp")
-            with open(tmp, "w") as f:
-                json.dump(manifest, f)
-            os.replace(tmp, index_dir / cls.MANIFEST)  # commit point
         return cls(index_dir, ivf.centroids, books, m, sub)
 
     @classmethod
     def load(cls, index_dir) -> "PqIndex":
-        import json
-        from pathlib import Path
-
-        with open(Path(index_dir) / cls.MANIFEST) as f:
-            mf = json.load(f)
+        mf = _pq_meta(index_dir)
         books = np.asarray(mf["codebooks"], dtype=np.float64)
         return cls(
             index_dir,
@@ -202,6 +214,19 @@ class PqIndex:
             mf["m"],
             mf["dim"] // mf["m"],
         )
+
+    def codes_df(self, spark) -> DataFrame:
+        """The committed code store: generations ``[floor, generations)``
+        per the manifest, re-read on every call so a reader sees each
+        admission as soon as its manifest commit lands — and never
+        sooner. Each generation is its own partitioned-parquet root
+        (Spark rejects multiple partitioned roots in one read), so the
+        store is a union of per-generation scans — cell partition
+        pruning applies to every scan in the union."""
+        import functools
+
+        reads = [spark.read.parquet(p) for p in _pq_live_gens(self.index_dir)]
+        return functools.reduce(DataFrame.unionByName, reads)
 
     def search(self, spark, query_vec, topk: int = 10, nprobe: int = 2) -> DataFrame:
         """ADC top-k over the probed cells' code partitions (smaller adc =
@@ -215,9 +240,7 @@ class PqIndex:
         for mi in range(self.m):
             qs = q[mi * self.sub : (mi + 1) * self.sub]
             table[mi] = ((self.codebooks[mi] - qs[None, :]) ** 2).sum(axis=1)
-        codes = spark.read.parquet(f"{self.index_dir}/codes").filter(
-            F.col("cell").isin(probe_cells)
-        )
+        codes = self.codes_df(spark).filter(F.col("cell").isin(probe_cells))
         adc = None
         for mi in range(self.m):
             term = F.element_at(
@@ -232,15 +255,81 @@ class PqIndex:
         )
 
 
+def _pq_gen_dir(index_dir, n: int):
+    from pathlib import Path
+
+    return Path(index_dir) / f"gen-{n:05d}"
+
+
+def _pq_meta(index_dir) -> dict:
+    import json
+    from pathlib import Path
+
+    with open(Path(index_dir) / PqIndex.MANIFEST) as f:
+        return json.load(f)
+
+
+def _pq_commit(index_dir, meta: dict) -> None:
+    """Atomic manifest replace — the single commit point for every
+    build/add/compact."""
+    import json
+    import os
+    from pathlib import Path
+
+    index_dir = Path(index_dir)
+    tmp = index_dir / (PqIndex.MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, index_dir / PqIndex.MANIFEST)
+
+
+def _pq_live_gens(index_dir) -> list[str]:
+    mf = _pq_meta(index_dir)
+    return [
+        str(_pq_gen_dir(index_dir, n))
+        for n in range(mf.get("floor", 0), mf["generations"])
+    ]
+
+
+def _pq_clear_orphans(index_dir, floor: int, counter: int) -> None:
+    """Remove generation dirs outside ``[floor, counter)``: dirs at or
+    above the counter are crashed uncommitted writes; dirs below the
+    floor were superseded by a committed compaction. Readers never list
+    either (they go by the manifest), so removal is safe at any time —
+    writers call this under the lock before writing."""
+    import re
+    import shutil
+    from pathlib import Path
+
+    for p in Path(index_dir).glob("gen-*"):
+        m = re.fullmatch(r"gen-(\d{5})", p.name)
+        if m and not (floor <= int(m.group(1)) < counter):
+            shutil.rmtree(p)
+
+
+def _pq_count(spark, paths: list[str]) -> int:
+    return spark.read.parquet(*paths).count()
+
+
+def _pq_has_rows(gen_dir) -> bool:
+    from pathlib import Path
+
+    return any(Path(gen_dir).rglob("*.parquet"))
+
+
 def pq_index_add(spark, index_dir, emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> dict:
     """Admit a new vector batch into an existing PqIndex — the
     continuous-ingestion path (same posture as the chunk/LSH indexes):
     centroids and codebooks are FROZEN at build time (re-training would
     silently invalidate every stored code), the batch is assigned and
-    encoded against them, and its codes append into the same
-    cell-partitioned layout. Already-present vec_ids are skipped
-    (idempotent re-admission). O(batch) cost; holds the index writer
-    lock for the append."""
+    encoded against them, and its codes land in a NEW generation dir
+    committed by the manifest replace. Already-present vec_ids are
+    skipped (idempotent re-admission; the anti-join reads only COMMITTED
+    generations, never the dir being written). O(batch) cost: the only
+    counts are over the admitted generation; the store-wide total is
+    carried in the manifest. Holds the index writer lock."""
+    import shutil
+
     import numpy as np
 
     from dataset_dedupe_estimator_spark.plans._index_lock import writer_lock
@@ -277,7 +366,10 @@ def pq_index_add(spark, index_dir, emb: DataFrame, vec_col: str = "embedding", i
             )
 
     with writer_lock(index_dir):
-        known = spark.read.parquet(f"{index_dir}/codes").select("vec_id")
+        meta = _pq_meta(index_dir)
+        gen = meta["generations"]
+        _pq_clear_orphans(index_dir, meta.get("floor", 0), gen)
+        known = idx.codes_df(spark).select("vec_id")
         fresh = (
             emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
             .join(known, "vec_id", "left_anti")
@@ -285,56 +377,54 @@ def pq_index_add(spark, index_dir, emb: DataFrame, vec_col: str = "embedding", i
         coded = fresh.mapInArrow(
             assign_encode, "vec_id long, cell int, codes array<long>"
         )
-        coded.write.mode("append").partitionBy("cell").parquet(f"{index_dir}/codes")
-        n_before = known.count()
-        n_after = spark.read.parquet(f"{index_dir}/codes").count()
-    return {"admitted": n_after - n_before, "total": n_after}
+        out = _pq_gen_dir(index_dir, gen)
+        coded.write.partitionBy("cell").parquet(str(out))
+        if not _pq_has_rows(out):
+            shutil.rmtree(out)  # nothing novel: no new generation
+            return {"admitted": 0, "total": meta["total"]}
+        admitted = _pq_count(spark, [str(out)])
+        meta["generations"] = gen + 1
+        meta["total"] = meta["total"] + admitted
+        _pq_commit(index_dir, meta)
+    return {"admitted": admitted, "total": meta["total"]}
 
 
 def pq_index_compact(spark, index_dir, files_per_cell: int = 1) -> dict:
     """Reclaim the small files a long admission history accumulates:
-    rewrite the cell-partitioned code store with ``files_per_cell``
-    files per cell. Runs under the writer lock; the rewrite lands in a
-    staging dir and swaps in with two renames. A crash between the
-    renames leaves ``codes`` absent and ``codes.__new__`` complete —
-    the next compact (or load via _recover) finishes the swap; a crash
-    before the swap leaves the staging dir an orphan that the next
-    compact removes."""
-    import shutil
-    from pathlib import Path
-
+    merge every live generation into ONE new generation with
+    ``files_per_cell`` files per cell, commit it by advancing the
+    manifest's ``floor`` past the superseded dirs, then remove them.
+    Runs under the writer lock. A crash before the manifest commit
+    leaves an uncommitted gen dir the next writer clears; a crash after
+    the commit leaves superseded dirs readers never list (the next
+    writer clears them). Readers are never blocked and never see a
+    partial state."""
     from dataset_dedupe_estimator_spark.plans._index_lock import writer_lock
 
-    index_dir = Path(index_dir)
-    codes = index_dir / "codes"
-    staged = index_dir / "codes.__new__"
-    trash = index_dir / "codes.__old__"
     with writer_lock(index_dir):
-        _pq_recover(index_dir)
-        for p in (staged, trash):
-            if p.exists():
-                shutil.rmtree(p)  # orphan from a crashed attempt
-        df = spark.read.parquet(str(codes))
-        n_before = sum(1 for f in codes.rglob("*.parquet"))
+        meta = _pq_meta(index_dir)
+        gen, floor = meta["generations"], meta.get("floor", 0)
+        _pq_clear_orphans(index_dir, floor, gen)
+        import functools
+
+        live = [str(_pq_gen_dir(index_dir, n)) for n in range(floor, gen)]
+        n_before = sum(
+            len(list(_pq_gen_dir(index_dir, n).rglob("*.parquet")))
+            for n in range(floor, gen)
+        )
+        df = functools.reduce(
+            DataFrame.unionByName, [spark.read.parquet(p) for p in live]
+        )
+        out = _pq_gen_dir(index_dir, gen)
         (
             df.repartition(int(files_per_cell), "cell")
             .write.partitionBy("cell")
-            .parquet(str(staged))
+            .parquet(str(out))
         )
-        n_rows = spark.read.parquet(str(staged)).count()
-        codes.rename(trash)
-        staged.rename(codes)  # commit point
-        shutil.rmtree(trash)
-        n_after = sum(1 for f in codes.rglob("*.parquet"))
+        n_rows = _pq_count(spark, [str(out)])
+        meta["generations"] = gen + 1
+        meta["floor"] = gen
+        _pq_commit(index_dir, meta)  # commit point
+        _pq_clear_orphans(index_dir, gen, gen + 1)
+        n_after = len(list(out.rglob("*.parquet")))
     return {"rows": n_rows, "files_before": n_before, "files_after": n_after}
-
-
-def _pq_recover(index_dir) -> None:
-    """Finish a compact interrupted between its two renames."""
-    from pathlib import Path
-
-    index_dir = Path(index_dir)
-    codes = index_dir / "codes"
-    staged = index_dir / "codes.__new__"
-    if not codes.exists() and staged.exists():
-        staged.rename(codes)

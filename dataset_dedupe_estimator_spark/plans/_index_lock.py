@@ -36,20 +36,18 @@ class ConcurrentWriterError(RuntimeError):
     """Another build/update/admit/compact holds this index's writer lock."""
 
 
-def _lock_is_stale(lock: Path) -> bool:
-    """A lock is provably stale only if it was taken on THIS host by a
-    pid that no longer exists. Anything unparseable or remote is treated
-    as live — refusing is always safe, breaking is not."""
+def _record_is_stale(text: str) -> bool:
+    """A lock record is provably stale only if it was taken on THIS host
+    by a pid that no longer exists. Anything unparseable or remote is
+    treated as live — refusing is always safe, breaking is not."""
     try:
         fields = dict(
-            line.split("=", 1)
-            for line in lock.read_text().splitlines()
-            if "=" in line
+            line.split("=", 1) for line in text.splitlines() if "=" in line
         )
         if fields.get("host") != socket.gethostname():
             return False
         pid = int(fields["pid"])
-    except (OSError, KeyError, ValueError):
+    except (KeyError, ValueError):
         return False
     try:
         os.kill(pid, 0)
@@ -57,6 +55,45 @@ def _lock_is_stale(lock: Path) -> bool:
         return True
     except PermissionError:
         return False  # exists, owned by someone else
+    return False
+
+
+def _lock_is_stale(lock: Path) -> bool:
+    try:
+        return _record_is_stale(lock.read_text())
+    except OSError:
+        return False
+
+
+def _break_stale(lock: Path, stale_text: str) -> bool:
+    """Claim the exclusive right to break a stale lock without the
+    check-then-unlink TOCTOU: rename the lockfile to a unique tombstone
+    (only one contender's rename of a given inode succeeds), then verify
+    the tombstone still holds the record we judged stale. If a new live
+    writer re-created the lockfile between our staleness check and the
+    rename, we yanked THEIR lock — restore it with O_EXCL (never
+    clobbering a third contender) and report failure."""
+    tomb = lock.with_name(
+        f"{lock.name}.stale-{os.getpid()}-{os.urandom(4).hex()}"
+    )
+    try:
+        os.rename(lock, tomb)
+    except FileNotFoundError:
+        return True  # another contender broke it first; retry the acquire
+    try:
+        captured = tomb.read_text()
+    except OSError:
+        captured = ""
+    if captured == stale_text:
+        tomb.unlink(missing_ok=True)
+        return True
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, captured.encode())
+        os.close(fd)
+    except FileExistsError:
+        pass  # a third contender already holds a fresh lock
+    tomb.unlink(missing_ok=True)
     return False
 
 
@@ -72,8 +109,16 @@ def writer_lock(index_dir: str | Path):
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             break
         except FileExistsError:
-            if attempt == 0 and _lock_is_stale(lock):
-                lock.unlink(missing_ok=True)  # crashed same-host writer
+            try:
+                txt = lock.read_text()
+            except OSError:
+                txt = None
+            if (
+                attempt == 0
+                and txt is not None
+                and _record_is_stale(txt)
+                and _break_stale(lock, txt)  # crashed same-host writer
+            ):
                 continue
             raise ConcurrentWriterError(
                 f"{index_dir} is being written by another process "

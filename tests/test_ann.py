@@ -131,14 +131,13 @@ def test_pq_index_partition_pruning(spark, emb, pq_index):
     # the pruned scan covers a strict subset of cells
     cells = {r.cell for r in df.collect()}
     all_cells = {
-        r.cell
-        for r in spark.read.parquet(f"{pq_index.index_dir}/codes").select("cell").distinct().collect()
+        r.cell for r in pq_index.codes_df(spark).select("cell").distinct().collect()
     }
     assert len(cells) <= 2 < len(all_cells)
 
 
 def test_pq_index_codes_only_storage(spark, pq_index):
-    codes = spark.read.parquet(f"{pq_index.index_dir}/codes")
+    codes = pq_index.codes_df(spark)
     assert set(codes.columns) == {"vec_id", "cell", "codes"}  # no vectors
     row = codes.head()
     assert len(row.codes) == 8 and all(0 <= c < 32 for c in row.codes)
@@ -179,10 +178,13 @@ def test_pq_index_incremental_add(spark, emb, tmp_path):
     assert hits[0].vec_id == qrow.vec_id
 
 
-def test_pq_index_compact_preserves_store(spark, emb, tmp_path):
+def test_pq_index_compact_preserves_store_and_search(spark, emb, tmp_path):
+    """Compaction must preserve both the stored rows AND the search
+    results — a byte-identical store proves the former, a collected
+    top-k comparison proves admission-then-compact never changes what a
+    query returns."""
     from dataset_dedupe_estimator_spark.operators.ann import (
         PqIndex,
-        _pq_recover,
         pq_index_add,
         pq_index_compact,
     )
@@ -190,25 +192,93 @@ def test_pq_index_compact_preserves_store(spark, emb, tmp_path):
     d = tmp_path / "idx"
     idx = PqIndex.build(emb.filter(F.col("vec_id") % 2 == 0), d, k=4, ks=16, train_sample=256)
     pq_index_add(spark, d, emb.filter(F.col("vec_id") % 2 == 1))
-    before = spark.read.parquet(f"{d}/codes").orderBy("vec_id").collect()
+    before = idx.codes_df(spark).orderBy("vec_id").collect()
+    qrows = emb.orderBy("vec_id").limit(3).collect()
+    hits_before = [
+        [
+            (h.vec_id, h.adc)
+            for h in idx.search(spark, [float(v) for v in q.embedding], topk=5, nprobe=4).collect()
+        ]
+        for q in qrows
+    ]
     st = pq_index_compact(spark, d)
     assert st["rows"] == len(before)
     assert st["files_after"] <= st["files_before"]
-    after = spark.read.parquet(f"{d}/codes").orderBy("vec_id").collect()
+    after = idx.codes_df(spark).orderBy("vec_id").collect()
     assert [(r.vec_id, r.cell, r.codes) for r in before] == [
         (r.vec_id, r.cell, r.codes) for r in after
     ]
-    # search still works on the compacted store
-    qrow = emb.head()
-    hits = idx.search(spark, [float(v) for v in qrow.embedding], topk=3, nprobe=4).collect()
-    assert hits
+    hits_after = [
+        [
+            (h.vec_id, h.adc)
+            for h in idx.search(spark, [float(v) for v in q.embedding], topk=5, nprobe=4).collect()
+        ]
+        for q in qrows
+    ]
+    assert hits_before == hits_after
 
-    # crash between the two renames: codes gone, staging complete
+
+def test_pq_index_crash_windows_are_invisible_to_readers(spark, emb, tmp_path):
+    """The manifest is the only commit point: an uncommitted generation
+    dir (crash before commit) and a superseded dir (crash after a
+    compact's commit, before cleanup) must both be invisible to readers,
+    and the next writer must clear them."""
     import shutil
     from pathlib import Path
 
-    codes = Path(d) / "codes"
-    codes.rename(Path(d) / "codes.__new__")
-    _pq_recover(d)
-    assert codes.exists()
-    assert spark.read.parquet(str(codes)).count() == len(before)
+    from dataset_dedupe_estimator_spark.operators.ann import (
+        PqIndex,
+        _pq_gen_dir,
+        _pq_meta,
+        pq_index_add,
+        pq_index_compact,
+    )
+
+    d = tmp_path / "idx"
+    old = emb.filter(F.col("vec_id") % 3 != 0)
+    idx = PqIndex.build(old, d, k=4, ks=16, train_sample=256)
+    committed = idx.codes_df(spark).orderBy("vec_id").collect()
+
+    # crash BEFORE commit: a gen dir at the manifest counter exists but
+    # the manifest never advanced — readers must not see its rows
+    meta = _pq_meta(d)
+    orphan = _pq_gen_dir(d, meta["generations"])
+    shutil.copytree(_pq_gen_dir(d, 0), orphan)
+    assert [
+        (r.vec_id, r.cell) for r in idx.codes_df(spark).orderBy("vec_id").collect()
+    ] == [(r.vec_id, r.cell) for r in committed]
+    # the next writer clears the orphan and admits cleanly
+    st = pq_index_add(spark, d, emb.filter(F.col("vec_id") % 3 == 0))
+    assert st["admitted"] == emb.count() - old.count()
+    assert st["total"] == emb.count()
+    assert idx.codes_df(spark).count() == emb.count()
+
+    # crash AFTER a compact's commit, before cleanup: resurrect a
+    # superseded dir below the floor — readers must not see it
+    pq_index_compact(spark, d)
+    meta = _pq_meta(d)
+    assert meta["floor"] >= 1
+    stale = _pq_gen_dir(d, 0)
+    assert not stale.exists()
+    shutil.copytree(_pq_gen_dir(d, meta["floor"]), stale)
+    assert idx.codes_df(spark).count() == emb.count()
+    # and the next compact removes it
+    pq_index_compact(spark, d)
+    assert not Path(stale).exists()
+
+
+def test_pq_index_add_empty_batch_is_a_noop(spark, emb, tmp_path):
+    """Re-admitting only known vectors must not create an empty
+    generation (which a reader could not even schema-infer)."""
+    from dataset_dedupe_estimator_spark.operators.ann import (
+        PqIndex,
+        _pq_meta,
+        pq_index_add,
+    )
+
+    d = tmp_path / "idx"
+    PqIndex.build(emb, d, k=4, ks=16, train_sample=256)
+    gens_before = _pq_meta(d)["generations"]
+    st = pq_index_add(spark, d, emb)
+    assert st["admitted"] == 0 and st["total"] == emb.count()
+    assert _pq_meta(d)["generations"] == gens_before

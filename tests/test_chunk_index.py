@@ -298,3 +298,33 @@ def test_lock_staleness_parser():
         assert not _lock_is_stale(lock_file(tmp, f"pid=notanint\nhost={host}\n"))
         missing = tmp / "gone.lock"
         assert not _lock_is_stale(missing)
+
+
+def test_break_stale_restores_a_yanked_live_lock(tmp_path):
+    """TOCTOU guard (ADVICE r4): if a new live writer re-created the
+    lockfile between a contender's staleness check and its rename, the
+    contender must detect the content change, put the live lock back,
+    and report failure — never leaving two writers both acquired."""
+    import os
+    import socket
+
+    from dataset_dedupe_estimator_spark.plans._index_lock import _break_stale
+
+    lock = tmp_path / "_writer.lock"
+    stale_text = f"pid=999999999\nhost={socket.gethostname()}\n"
+    live_text = f"pid={os.getpid()}\nhost={socket.gethostname()}\n"
+
+    # normal break: content still matches the stale record
+    lock.write_text(stale_text)
+    assert _break_stale(lock, stale_text)
+    assert not lock.exists()
+    assert not list(tmp_path.glob("_writer.lock.stale-*"))
+
+    # raced break: a live writer replaced the file after the check
+    lock.write_text(live_text)
+    assert not _break_stale(lock, stale_text)
+    assert lock.read_text() == live_text  # restored, not stolen
+    assert not list(tmp_path.glob("_writer.lock.stale-*"))
+
+    # lock vanished before the rename: another contender broke it first
+    assert _break_stale(lock.with_name("gone.lock"), stale_text)

@@ -28,7 +28,7 @@ sys.path.insert(0, REPO)
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(REPO, ".sf1_cache")
 REPLICAS = 10
-VERSION = "sf1-v3"  # bump to invalidate the cache
+VERSION = "sf1-v4"  # bump to invalidate the cache
 
 TABLES = [
     "region",
@@ -111,6 +111,10 @@ def _replica(df, table: str, r: int, offsets: dict[str, int]):
                 " ",
             ),
         )
+        # the splice grows the text; derived length columns must stay
+        # consistent or length-based measurements run over corrupt data
+        if "n_chars" in df.columns:
+            df = df.withColumn("n_chars", F.length("text"))
     if table == "embeddings" and r > 0:
         df = df.withColumn(
             "embedding",
