@@ -238,14 +238,20 @@ def dedup_trend(
     re-running the estimator per prefix: O(N²) bytes read. Spark-first
     observation: a chunk is novel at prefix k iff its min(file_idx) == k,
     so  cum_unique(k) = Σ_{j≤k} novel_bytes(j)  — group distinct hashes
-    by first-seen file, then two tiny (N-row) running sums. One corpus
-    read, one narrow shuffle, regardless of N.
+    by first-seen file, then two running sums over the N-row per-file
+    rollup via the distributed prefix-sum primitive
+    (``operators/ranking.with_global_cumsums``: range exchange +
+    partitioned window + broadcast offsets — a million-revision history
+    never funnels through one task). One corpus read, one narrow
+    shuffle, regardless of N.
 
     Output per file_idx: file_bytes (occurrence bytes), novel_bytes
     (first-seen chunk bytes), cum_total_bytes, cum_unique_bytes,
     cum_dedup_ratio.
     """
-    from pyspark.sql.window import Window
+    from dataset_dedupe_estimator_spark.operators.ranking import (
+        with_global_cumsums,
+    )
 
     chunks = chunk_files_auto(spark, paths, params=params)
     per_file = chunks.groupBy("file_idx").agg(F.sum("size").alias("file_bytes"))
@@ -255,16 +261,22 @@ def dedup_trend(
         .groupBy(F.col("first_seen_in").alias("file_idx"))
         .agg(F.sum("size").alias("novel_bytes"))
     )
-    w = Window.orderBy("file_idx").rowsBetween(Window.unboundedPreceding, 0)
-    return (
+    joined = (
         per_file.join(novel, "file_idx", "left")
         .withColumn("novel_bytes", F.coalesce(F.col("novel_bytes"), F.lit(0)))
-        .select(
+    )
+    cum, _ = with_global_cumsums(
+        joined,
+        [F.col("file_idx")],
+        {"cum_total_bytes": "file_bytes", "cum_unique_bytes": "novel_bytes"},
+    )
+    return (
+        cum.select(
             "file_idx",
             "file_bytes",
             "novel_bytes",
-            F.sum("file_bytes").over(w).alias("cum_total_bytes"),
-            F.sum("novel_bytes").over(w).alias("cum_unique_bytes"),
+            "cum_total_bytes",
+            "cum_unique_bytes",
         )
         .withColumn(
             "cum_dedup_ratio",

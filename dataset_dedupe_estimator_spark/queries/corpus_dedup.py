@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from dataset_dedupe_estimator_spark.operators.ranking import with_global_cumsum
 from dataset_dedupe_estimator_spark.queries.base import Q, load
 
 SPAN_W = 8  # words per span (sub-document dedup granularity)
@@ -148,16 +149,18 @@ def mixture_sample(spark, sf):
     ).otherwise(F.lit(1))
     weighted = docs.withColumn("w", weight)
     # per-source size and weight; total corpus count + total weight-mass
-    # via an unpartitioned window over the (tiny) per-source aggregate
+    # come from a scalar aggregate broadcast back over the per-source
+    # rows (no single-partition window anywhere in the plan)
     per_src = weighted.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_src"), F.first("w").alias("w")
     )
-    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    quotas = per_src.select(
+    totals = per_src.agg(
+        F.sum("n_src").alias("_tot_n"), F.sum("w").alias("_tot_w")
+    )
+    quotas = per_src.crossJoin(F.broadcast(totals)).select(
         "source",
         F.floor(
-            F.sum("n_src").over(w_all) * F.lit(MIX_FRACTION) * F.col("w")
-            / F.sum("w").over(w_all)
+            F.col("_tot_n") * F.lit(MIX_FRACTION) * F.col("w") / F.col("_tot_w")
         ).alias("quota"),
     )
     rank_w = Window.partitionBy("source").orderBy(
@@ -211,21 +214,21 @@ def sequence_pack(spark, sf):
     provenance.
 
     Plan: token counts are a projection; the concatenated stream position
-    is one prefix sum (window cumsum); each doc explodes into only the
+    is one exact distributed prefix sum
+    (``operators/ranking.with_global_cumsum``: range-partition by doc_id,
+    cumsum within each range partition + broadcast per-partition offsets
+    — no single-partition window); each doc explodes into only the
     sequences it overlaps (a doc spanning k windows emits k rows).
-
-    Scale note: the prefix sum here is a single global window for oracle
-    parity; at 100 TB packing runs per shard (range-partition by doc_id,
-    cumsum within shard + broadcast per-shard offsets — same two-phase
-    scheme ``operators/skew.py`` uses for algebraic aggs).
     """
     docs = load(spark, sf, "documents")
     toks = docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    pos = toks.select(
+    cum, _ = with_global_cumsum(
+        toks, [F.col("doc_id")], weight_col="n_tokens", out_col="_cum"
+    )
+    pos = cum.select(
         "doc_id",
         "n_tokens",
-        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_pos"),
+        (F.col("_cum") - F.col("n_tokens")).alias("start_pos"),
     )
     first_seq = F.floor(F.col("start_pos") / SEQ_LEN)
     last_seq = F.floor((F.col("start_pos") + F.col("n_tokens") - 1) / SEQ_LEN)

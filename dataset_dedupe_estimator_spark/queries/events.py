@@ -12,6 +12,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from dataset_dedupe_estimator_spark.operators.ranking import (
+    type1_rank,
+    with_global_cumsum,
+)
 from dataset_dedupe_estimator_spark.queries.base import Q, cents, load, sql_cents
 
 
@@ -811,12 +815,17 @@ def events_funnel_ttc(spark, sf):
     funnel: for users whose first purchase follows their first view, the
     quartiles and p90 of (first purchase − first view), in exact integer
     seconds. One conditional-min aggregate per user (single shuffle),
-    then DISCRETE (type-1) quantiles by rank over the converted-user
-    durations — Spark's `percentile()` and DuckDB's `quantile_cont`
-    interpolate differently, so the rank k = floor(p·(n−1))+1 element is
-    selected explicitly; everything stays integer-exact. The rank window
-    runs over converting users only (an aggregate, orders of magnitude
-    smaller than events — the spend_quartiles precedent)."""
+    then DISCRETE (type-1) quantiles — Spark's `percentile()` and
+    DuckDB's `quantile_cont` interpolate differently, so the rank
+    k = floor(p·(n−1))+1 element is selected explicitly; everything
+    stays integer-exact.
+
+    Scale shape (no single-partition window anywhere): the durations
+    collapse to a (value, count) census first — its cardinality is
+    bounded by the DOMAIN (distinct whole seconds), not the user count —
+    then `operators/ranking.with_global_cumsum` turns the census into
+    exact global rank-ranges with a range exchange + partitioned window;
+    the value whose range [cum−cnt+1, cum] contains k IS the quantile."""
     ev = load(spark, sf, "events")
     ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     per_user = ev.groupBy("user_id").agg(
@@ -830,26 +839,21 @@ def events_funnel_ttc(spark, sf):
         # truncate in Spark but ROUND in DuckDB's CAST(double AS BIGINT)
         F.expr("(t_purchase - t_view) div 1000000").alias("ttc_s")
     )
-    # n comes from a full-frame count over the SAME single-partition
-    # window as the rank: one pass over the (small, per-converting-user)
-    # aggregate instead of a second scan of events for a count row
-    w_all = Window.orderBy("ttc_s")
-    ranked = converted.withColumn("rn", F.row_number().over(w_all)).withColumn(
-        "n",
-        F.count(F.lit(1)).over(
-            w_all.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ),
+    census = converted.groupBy("ttc_s").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked, n = with_global_cumsum(
+        census, [F.col("ttc_s")], weight_col="cnt", out_col="cum"
     )
 
     def q(num, den):
-        # k = floor(p*(n-1)) + 1 in PURE integer math: a double literal
-        # 0.9 times a large n crosses integer boundaries differently in
-        # the two engines (binary 0.9 > decimal 0.9)
-        k = ((F.col("n") - 1) * num - ((F.col("n") - 1) * num) % den) / den + 1
-        return F.min(F.when(F.col("rn") == k.cast("long"), F.col("ttc_s")))
+        k = type1_rank(n, num, den)
+        in_range = (F.col("cum") - F.col("cnt") < F.lit(k)) & (
+            F.lit(k) <= F.col("cum")
+        )
+        return F.min(F.when(in_range, F.col("ttc_s")))
 
+    n_lit = F.lit(n if n else None).cast("long")
     return ranked.agg(
-        F.max("n").alias("n_converted"),
+        n_lit.alias("n_converted"),
         q(1, 4).alias("p25_s"),
         q(1, 2).alias("median_s"),
         q(3, 4).alias("p75_s"),

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from dataset_dedupe_estimator_spark.operators.ranking import with_global_cumsum
 from dataset_dedupe_estimator_spark.queries.base import Q, cents, load, sql_cents, ts
 
 C_QTY = sql_cents("l_quantity")
@@ -460,23 +461,53 @@ def spend_quartiles(spark, sf):
     by custkey so both engines order identically; spend stays integer
     cents until the final projection.
 
-    Scale note: the single unpartitioned ranking window runs over the
-    per-customer aggregate (one row per customer), not raw orders; at
-    extreme customer counts the same statistic comes from percentile
-    buckets on the aggregate instead of a global NTILE sort."""
+    Scale shape (no single-partition window): the global row_number over
+    the per-customer aggregate comes from
+    `operators/ranking.with_global_cumsum` (range exchange + partitioned
+    window + broadcast offsets); NTILE and PERCENT_RANK are then pure
+    expressions of (rank, n) — NTILE's uneven-bucket rule (first n%4
+    buckets get the extra row) and PERCENT_RANK's (rank−1)/(n−1) are
+    reproduced exactly, which the oracle verifies against the real
+    window functions."""
     orders = load(spark, sf, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(cents("o_totalprice")).alias("spent_cents")
     )
-    w = Window.orderBy(F.col("spent_cents").desc(), F.col("o_custkey"))
-    ranked = spend.select(
-        "o_custkey",
-        "spent_cents",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 4).alias("pr"),
+    ranked, n = with_global_cumsum(
+        spend,
+        [F.col("spent_cents").desc(), F.col("o_custkey")],
+        out_col="rn",
+    )
+    base, rem = divmod(n, 4)
+    cut = rem * (base + 1)  # ranks <= cut fall in the wider buckets
+    if base:
+        quartile = (
+            F.when(
+                F.col("rn") <= cut,
+                F.expr(f"(rn - 1) div {base + 1}"),
+            )
+            .otherwise(F.lit(rem) + F.expr(f"(rn - 1 - {cut}) div {base}"))
+            .cast("int")
+            + F.lit(1)
+        )
+    else:  # n < 4: one row per bucket, quartile == rank
+        quartile = F.col("rn").cast("int")
+    # keys are unique (tie-break by custkey) so rank == row_number and
+    # PERCENT_RANK is (rn-1)/(n-1) in the same double math both engines
+    # use; n==1 would divide by zero -> PERCENT_RANK defines it as 0
+    pr = (
+        F.round((F.col("rn") - 1) / F.lit(n - 1), 4)
+        if n > 1
+        else F.lit(0.0)
     )
     return (
-        ranked.groupBy("quartile")
+        ranked.select(
+            "o_custkey",
+            "spent_cents",
+            quartile.alias("quartile"),
+            pr.alias("pr"),
+        )
+        .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             (F.min("spent_cents") / F.lit(100.0)).alias("min_spent"),

@@ -1066,77 +1066,156 @@ RECALL_QMOD = 97  # probe queries: vec_id % RECALL_QMOD == 0 (~1% sample)
 
 
 def ann_recall_at_k(spark, sf):
-    """Recall@k audit of the LSH index against exact search.
+    """Recall@k / cost curve of the LSH index against exact search,
+    across a MULTI-PROBE chain (round-4 verdict: the single-bucket
+    operating point's honest ~0.1 recall on this near-uniform corpus is
+    correctly measured but a poor default — show the knob).
 
     For a deterministic ~1% probe sample (``vec_id % RECALL_QMOD == 0``)
-    this computes the exact cosine top-k (brute force) AND the
-    LSH-bucketed top-k, then reports per-probe hits and recall — the
-    measurement that justifies (or indicts) deploying the bucketed index
-    in place of the exact scan.
+    each probe visits a strictly growing set of buckets — a subset
+    CHAIN, so recall is non-decreasing down the output:
 
-    Expected result on THIS corpus: low (measured recall@5 ≈ 0-0.4,
-    mean ≈ 0.1). The synthetic embeddings are near-uniform, so exact
-    top-k neighbours sit at θ ≈ 75-90° and the hyperplane collision
-    probability (1-θ/π)^p is tiny at p ≈ 9-10 planes. That is the
-    point of the audit: hyperplane buckets serve the HIGH-cosine
-    near-dup regime (``embedding_dedup_lsh``, θ→0 ⇒ collision → 1),
-    and this query is the tool that exposes when a workload instead
-    needs brute force (``knn_brute_force``) or IVF (``ann_ivf_probe``).
+      1_bucket             — the probe's own bucket in table 0
+      2_plus_hamming1      — plus every bucket at Hamming distance 1
+                             (flip each of the p prefix bits; the
+                             standard multi-probe trick: the nearest
+                             misses live just across one hyperplane)
+      3_plus_second_table  — plus the probe's bucket in an independent
+                             second hash table
 
-    Scale shape: ground truth is O(probes × corpus) by construction, so
-    the audit holds probe count at a sampled constant (the broadcast
-    probe table is tiny); the LSH side scans only matching buckets. At
-    100 TB you run this diagnostic on a corpus sample, never the full
-    corpus — the point is the recall statistic, not the neighbours.
+    Output: one row per setting with the average candidate count (the
+    COST axis) and overall recall@{RECALL_K} vs the exact top-k (the
+    QUALITY axis). Ground truth is O(probes x corpus) by construction,
+    so the audit holds probe count at a sampled constant; at 100 TB you
+    run this diagnostic on a corpus sample, never the full corpus.
     """
     emb = load(spark, sf, "embeddings")
     n_df = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
-    bucketed = (
+    base = (
         emb.crossJoin(F.broadcast(n_df))
         .withColumn("p", _n_planes_col(_m_col(F.col("n_vecs"))))
         .withColumn(
-            "bucket", _bits_col(F.col("embedding"), 0).substr(F.lit(1), F.col("p"))
+            "b0", _bits_col(F.col("embedding"), 0).substr(F.lit(1), F.col("p"))
+        )
+        .withColumn(
+            "b1", _bits_col(F.col("embedding"), 1).substr(F.lit(1), F.col("p"))
         )
     )
-    probes = bucketed.filter((F.col("vec_id") % RECALL_QMOD) == 0).select(
+    corpus = base.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("table_id"), F.col("b0").alias("bucket")),
+                F.struct(F.lit(1).alias("table_id"), F.col("b1").alias("bucket")),
+            )
+        ).alias("tb"),
+    ).select("vec_id", "embedding", F.col("tb.table_id"), F.col("tb.bucket"))
+    probes_base = base.filter((F.col("vec_id") % RECALL_QMOD) == 0)
+    nq_df = probes_base.agg(F.count(F.lit(1)).alias("n_q"))
+
+    def _flip(b, i):
+        return F.concat(
+            b.substr(F.lit(1), i - F.lit(1)),
+            F.when(b.substr(i, F.lit(1)) == "1", F.lit("0")).otherwise(F.lit("1")),
+            b.substr(i + F.lit(1), F.col("p") - i),
+        )
+
+    pb_arr = F.concat(
+        F.array(
+            F.struct(
+                F.lit(1).alias("rank"),
+                F.lit(0).alias("table_id"),
+                F.col("b0").alias("bucket"),
+            )
+        ),
+        F.transform(
+            F.sequence(F.lit(1), F.col("p")),
+            lambda i: F.struct(
+                F.lit(2).alias("rank"),
+                F.lit(0).alias("table_id"),
+                _flip(F.col("b0"), i).alias("bucket"),
+            ),
+        ),
+        F.array(
+            F.struct(
+                F.lit(3).alias("rank"),
+                F.lit(1).alias("table_id"),
+                F.col("b1").alias("bucket"),
+            )
+        ),
+    )
+    probe_buckets = probes_base.select(
         F.col("vec_id").alias("q_vec_id"),
         F.col("embedding").alias("q_embedding"),
-        F.col("bucket").alias("q_bucket"),
+        F.explode(pb_arr).alias("pb"),
+    ).select(
+        "q_vec_id", "q_embedding", F.col("pb.rank"), F.col("pb.table_id"), F.col("pb.bucket")
     )
     cos = _dot(F.col("embedding"), F.col("q_embedding")) / (
         _norm(F.col("embedding")) * _norm(F.col("q_embedding"))
     )
-    rank_w = Window.partitionBy("q_vec_id").orderBy(
+    settings_df = spark.range(1, 4).select(F.col("id").cast("int").alias("setting"))
+    cand = (
+        corpus.join(F.broadcast(probe_buckets), ["table_id", "bucket"])
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .crossJoin(F.broadcast(settings_df))
+        .filter(F.col("rank") <= F.col("setting"))
+        .select("setting", "q_vec_id", "vec_id", cos.alias("cosine"))
+        .distinct()
+    )
+    cand_stats = cand.groupBy("setting").agg(F.count(F.lit(1)).alias("n_cand"))
+    rank_w = Window.partitionBy("setting", "q_vec_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
     )
-
-    def topk(pairs):
-        return (
-            pairs.filter(F.col("vec_id") != F.col("q_vec_id"))
-            .select("q_vec_id", "vec_id", cos.alias("cosine"))
-            .withColumn("rk", F.row_number().over(rank_w))
-            .filter(F.col("rk") <= RECALL_K)
-            .select("q_vec_id", "vec_id")
+    approx = (
+        cand.withColumn("rk", F.row_number().over(rank_w))
+        .filter(F.col("rk") <= RECALL_K)
+        .select("setting", "q_vec_id", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    exact_w = Window.partitionBy("q_vec_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    exact = (
+        emb.crossJoin(
+            F.broadcast(
+                probes_base.select(
+                    F.col("vec_id").alias("q_vec_id"),
+                    F.col("embedding").alias("q_embedding"),
+                )
+            )
         )
-
-    exact = topk(emb.crossJoin(F.broadcast(probes)))
-    approx = topk(
-        bucketed.join(F.broadcast(probes), bucketed.bucket == F.col("q_bucket"))
-    ).withColumn("hit", F.lit(1))
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .select("q_vec_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(exact_w))
+        .filter(F.col("rk") <= RECALL_K)
+        .select("q_vec_id", "vec_id")
+    )
+    label = (
+        F.when(F.col("setting") == 1, "1_bucket")
+        .when(F.col("setting") == 2, "2_plus_hamming1")
+        .otherwise("3_plus_second_table")
+    )
     return (
-        exact.join(approx, ["q_vec_id", "vec_id"], "left")
-        .groupBy("q_vec_id")
+        exact.crossJoin(F.broadcast(settings_df))
+        .join(approx, ["setting", "q_vec_id", "vec_id"], "left")
+        .groupBy("setting")
         .agg(
             F.count(F.lit(1)).alias("n_exact"),
             F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit"),
         )
+        .join(F.broadcast(cand_stats), "setting")
+        .crossJoin(F.broadcast(nq_df))
         .select(
-            "q_vec_id",
+            label.alias("probe_setting"),
+            F.col("n_q").alias("n_probe_queries"),
+            F.round(F.col("n_cand") / F.col("n_q"), 2).alias("avg_candidates"),
             "n_exact",
             "n_hit",
             F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall"),
         )
-        .orderBy("q_vec_id")
+        .orderBy("probe_setting")
     )
 
 
@@ -1148,13 +1227,50 @@ _RECALL_COS = (
 
 ANN_RECALL_SQL = f"""
 WITH n AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
-bucketed AS (
-  SELECT vec_id, embedding, substr({_sql_bits(0)}, 1, {_SQL_P}) AS bucket
+base AS (
+  SELECT vec_id, embedding,
+         substr({_sql_bits(0)}, 1, {_SQL_P}) AS b0,
+         substr({_sql_bits(1)}, 1, {_SQL_P}) AS b1,
+         {_SQL_P} AS p
   FROM embeddings, n
 ),
+corpus AS (
+  SELECT vec_id, embedding, 0 AS table_id, b0 AS bucket FROM base
+  UNION ALL
+  SELECT vec_id, embedding, 1 AS table_id, b1 AS bucket FROM base
+),
 probes AS (
-  SELECT vec_id AS q_vec_id, embedding AS q_embedding, bucket AS q_bucket
-  FROM bucketed WHERE vec_id % {RECALL_QMOD} = 0
+  SELECT vec_id AS q_vec_id, embedding AS q_embedding, b0, b1, p
+  FROM base WHERE vec_id % {RECALL_QMOD} = 0
+),
+nq AS (SELECT COUNT(*) AS n_q FROM probes),
+probe_buckets AS (
+  SELECT q_vec_id, q_embedding, 1 AS rank, 0 AS table_id, b0 AS bucket FROM probes
+  UNION ALL
+  SELECT q_vec_id, q_embedding, 2 AS rank, 0 AS table_id,
+         substr(b0, 1, g.i - 1)
+         || (CASE WHEN substr(b0, g.i, 1) = '1' THEN '0' ELSE '1' END)
+         || substr(b0, g.i + 1) AS bucket
+  FROM probes, UNNEST(generate_series(1, p)) AS g(i)
+  UNION ALL
+  SELECT q_vec_id, q_embedding, 3 AS rank, 1 AS table_id, b1 AS bucket FROM probes
+),
+settings AS (SELECT * FROM (VALUES (1), (2), (3)) s(setting)),
+cand AS (
+  SELECT DISTINCT s.setting, pb.q_vec_id, c.vec_id, {_RECALL_COS} AS cosine
+  FROM probe_buckets pb
+  JOIN corpus c ON c.table_id = pb.table_id AND c.bucket = pb.bucket
+  JOIN settings s ON pb.rank <= s.setting
+  WHERE c.vec_id != pb.q_vec_id
+),
+cand_stats AS (SELECT setting, COUNT(*) AS n_cand FROM cand GROUP BY setting),
+approx AS (
+  SELECT setting, q_vec_id, vec_id FROM (
+    SELECT setting, q_vec_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY setting, q_vec_id
+                              ORDER BY cosine DESC, vec_id) AS rk
+    FROM cand
+  ) WHERE rk <= {RECALL_K}
 ),
 exact AS (
   SELECT q_vec_id, vec_id FROM (
@@ -1163,20 +1279,21 @@ exact AS (
     FROM (SELECT vec_id, embedding FROM embeddings) e, probes p
     WHERE e.vec_id != p.q_vec_id
   ) WHERE rk <= {RECALL_K}
-),
-approx AS (
-  SELECT q_vec_id, vec_id FROM (
-    SELECT p.q_vec_id, e.vec_id,
-           ROW_NUMBER() OVER (PARTITION BY p.q_vec_id ORDER BY {_RECALL_COS} DESC, e.vec_id) AS rk
-    FROM bucketed e JOIN probes p ON e.bucket = p.q_bucket
-    WHERE e.vec_id != p.q_vec_id
-  ) WHERE rk <= {RECALL_K}
 )
-SELECT e.q_vec_id, COUNT(*) AS n_exact,
+SELECT CASE s.setting WHEN 1 THEN '1_bucket' WHEN 2 THEN '2_plus_hamming1'
+            ELSE '3_plus_second_table' END AS probe_setting,
+       (SELECT n_q FROM nq) AS n_probe_queries,
+       ROUND(cs.n_cand * 1.0 / (SELECT n_q FROM nq), 2) AS avg_candidates,
+       COUNT(*) AS n_exact,
        CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
        ROUND(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS recall
-FROM exact e LEFT JOIN approx a ON e.q_vec_id = a.q_vec_id AND e.vec_id = a.vec_id
-GROUP BY e.q_vec_id ORDER BY e.q_vec_id
+FROM settings s
+CROSS JOIN exact e
+LEFT JOIN approx a
+  ON a.setting = s.setting AND a.q_vec_id = e.q_vec_id AND a.vec_id = e.vec_id
+JOIN cand_stats cs ON cs.setting = s.setting
+GROUP BY s.setting, cs.n_cand
+ORDER BY probe_setting
 """
 
 

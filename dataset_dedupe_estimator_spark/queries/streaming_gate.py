@@ -191,6 +191,107 @@ def cdc_streaming_estimate(spark, sf):
     return spark.createDataFrame(out)
 
 
+def streaming_index_pipeline(spark, sf):
+    """BOTH persistent indexes driven end-to-end through their streaming
+    admission path under the gate: seed build → two file-arrival waves
+    (availableNow drains, checkpointed exactly-once) → read-only query
+    of the accumulated index. One pipeline, two indexes, same inbox:
+    the LSH doc index admits the parquet ROWS of each arriving file,
+    the CDC chunk index admits each file's BYTES.
+
+    Output: one row per stage. ``generation`` is the index generation an
+    admission committed (-1 for the query stages, which create none);
+    ``admitted``/``derived`` are the stage's two counts (docs &
+    candidate pairs for LSH; novel chunks & novel bytes for CDC;
+    probes & collision pairs / unique chunks & bytes for the queries).
+    Rows-only check (the chunker/MinHash signatures are not
+    SQL-expressible); stream ≡ batch equivalence is pinned by
+    tests/test_lsh_index.py::test_streaming_admission and
+    tests/test_chunk_index.py::test_streaming_admission_exactly_once.
+    """
+    import glob as globlib
+    import os
+    import shutil
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.plans.chunk_index import (
+        build_index,
+        index_stats as chunk_index_stats,
+    )
+    from dataset_dedupe_estimator_spark.plans.lsh_index import (
+        build_lsh_index,
+        query_docs,
+    )
+    from dataset_dedupe_estimator_spark.streaming.incremental import (
+        admit_docs_stream,
+        admit_stream,
+    )
+
+    docs = (
+        load(spark, sf, "documents")
+        .select("doc_id", "text")
+        .filter((F.col("doc_id") % 41) == 0)  # tiny deterministic corpus
+    )
+    rows: list[tuple] = []
+
+    def _plain_file(df, out_path):
+        """One self-contained parquet FILE (not a dataset dir), so the
+        byte-level chunk admitter sees exactly one arriving object."""
+        tmp = out_path + ".__tmp__"
+        df.coalesce(1).write.parquet(tmp)
+        shutil.move(globlib.glob(f"{tmp}/part-*.parquet")[0], out_path)
+        shutil.rmtree(tmp)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        inbox = f"{tmp}/inbox"
+        os.makedirs(inbox)
+        seed_file = f"{tmp}/seed.parquet"
+        seed = docs.filter((F.col("doc_id") % 3) == 1)
+        _plain_file(seed, seed_file)
+        build_lsh_index(spark, seed, f"{tmp}/lsh")
+        build_index(spark, [seed_file], f"{tmp}/cdc")
+        rows.append(("0_seed_build", 0, seed.count(), 0))
+
+        for wave, rem in (("a", 2), ("b", 0)):
+            _plain_file(
+                docs.filter((F.col("doc_id") % 3) == rem),
+                f"{inbox}/drop-{wave}.parquet",
+            )
+            for rep in admit_docs_stream(
+                spark, inbox, f"{tmp}/lsh", f"{tmp}/ck_lsh"
+            ):
+                rows.append(
+                    (
+                        f"1_lsh_admit_{wave}",
+                        rep["generation"],
+                        rep["docs"],
+                        rep["candidate_pairs"],
+                    )
+                )
+            for rep in admit_stream(
+                spark, inbox, f"{tmp}/cdc", f"{tmp}/ck_cdc", glob_pattern="*.parquet"
+            ):
+                rows.append(
+                    (
+                        f"2_cdc_admit_{wave}",
+                        rep["generation"],
+                        rep["novel_chunks"],
+                        rep["novel_bytes"],
+                    )
+                )
+
+        probes = seed.limit(50)
+        n_pairs = query_docs(spark, probes, f"{tmp}/lsh").count()
+        rows.append(("3_lsh_query", -1, probes.count(), n_pairs))
+        st = chunk_index_stats(spark, f"{tmp}/cdc").collect()[0]
+        rows.append(
+            ("4_cdc_stats", st["generations"], st["unique_chunks"], st["unique_bytes"])
+        )
+    return spark.createDataFrame(
+        rows, "stage string, generation long, admitted long, derived long"
+    ).orderBy("stage", "generation")
+
+
 def streaming_windowed_counts(spark, sf):
     """The watermarked tumbling-window aggregation
     (streaming/incremental.py:windowed_event_counts) under the full
@@ -542,5 +643,6 @@ QUERIES: dict[str, Q] = {
         streaming_sessionize_events, STREAMING_SESSIONIZE_SQL
     ),
     "cdc_streaming_estimate": Q(cdc_streaming_estimate),
+    "streaming_index_pipeline": Q(streaming_index_pipeline),
     "multimodal_pipeline_demo": Q(multimodal_pipeline_demo),
 }

@@ -16,8 +16,8 @@ rather than sequential RNG draws.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
+from dataset_dedupe_estimator_spark.operators.ranking import with_global_cumsum
 from dataset_dedupe_estimator_spark.queries.base import Q, cents, load, sql_cents
 
 EDIT_POINTS = (0.25, 0.5, 0.75)
@@ -30,14 +30,19 @@ _ORDER = ("l_orderkey", "l_linenumber")
 def _with_pos(li):
     """0-based physical position, reference table-slice semantics.
 
-    Also attaches the total row count ``n`` via an unbounded window over the
-    same sort, so edit-point arithmetic stays inside the plan (no eager
-    ``count()`` job on the driver).
+    The global row_number comes from the distributed ranking primitive
+    (``operators/ranking.with_global_cumsum``: range exchange +
+    partitioned window + broadcast offsets) — a 100 TB table gets exact
+    positions without a single-partition sort; the total row count ``n``
+    falls out of the same offset pass and is attached as a literal.
     """
-    w = Window.orderBy(*_ORDER)
-    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return li.withColumn("pos", F.row_number().over(w) - 1).withColumn(
-        "n", F.count(F.lit(1)).over(w_all)
+    ranked, n = with_global_cumsum(
+        li, [F.col(c) for c in _ORDER], out_col="_rn1"
+    )
+    return (
+        ranked.withColumn("pos", F.col("_rn1") - 1)
+        .drop("_rn1")
+        .withColumn("n", F.lit(n).cast("long"))
     )
 
 

@@ -29,6 +29,8 @@ from pyspark.sql.window import Window
 
 from dataset_dedupe_estimator_spark.queries.base import Q, cents, load, sql_cents, ts
 
+Q15_BUCKETS = 1024  # bounds the final scalar-max window's input
+
 C_EP = sql_cents("l_extendedprice")
 C_DISC = sql_cents("l_discount")
 C_QTY = sql_cents("l_quantity")
@@ -269,12 +271,14 @@ def q15_top_supplier(spark, sf):
     """TPC-H Q15 shape: supplier(s) whose quarterly revenue equals the
     global max — a scalar-aggregate gate.
 
-    Plan: one shuffle to build per-supplier revenue; the scalar max is an
-    unpartitioned window over that per-supplier AGGREGATE (supplier-
-    cardinality rows, never the fact table) — a broadcast-join gate here
-    would recompute the whole per_supp subtree and scan lineitem twice
-    (AQE cannot reuse the exchange because the two consumers prune
-    different columns). Exact integer comparison — ties included."""
+    Plan: one shuffle to build per-supplier revenue (a broadcast-join
+    gate would recompute the whole per_supp subtree and scan lineitem
+    twice — AQE cannot reuse the exchange across different column
+    prunings). The global max is then found in two bounded window
+    levels: a bucket-partitioned max keeps every row distributed, only
+    the ≤Q15_BUCKETS per-bucket champions (plus exact ties) reach the
+    final scalar window — its input is bounded by a CONSTANT, never
+    supplier cardinality. Exact integer comparison — ties included."""
     li = load(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= ts("1997-01-01 00:00:00"))
         & (F.col("l_shipdate") < ts("1997-04-01 00:00:00"))
@@ -282,8 +286,14 @@ def q15_top_supplier(spark, sf):
     rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
     per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("rev_e4"))
     supp = load(spark, sf, "supplier")
+    bucketed = per_supp.withColumn(
+        "_b", F.pmod(F.hash("l_suppkey"), F.lit(Q15_BUCKETS))
+    )
+    champs = bucketed.withColumn(
+        "_bmax", F.max("rev_e4").over(Window.partitionBy("_b"))
+    ).filter(F.col("rev_e4") == F.col("_bmax"))
     return (
-        per_supp.withColumn("max_e4", F.max("rev_e4").over(Window.partitionBy()))
+        champs.withColumn("max_e4", F.max("rev_e4").over(Window.partitionBy()))
         .filter(F.col("rev_e4") == F.col("max_e4"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(

@@ -24,12 +24,14 @@ EAGER = {
     "synthetic_generator_e2e",
     "cdc_index_incremental",
     "lsh_index_incremental",
+    "streaming_index_pipeline",
 }
 
 # deliberate tiny-side broadcasts (scalar aggregates, query vectors,
 # centroids, source dims, band constants) — reviewed one by one
 BNLJ_ALLOWED = {
     "unigram_surprisal",  # corpus-total count row
+    "mixture_sample",  # corpus-total + weight-mass scalar row (replaced the full-frame window)
     "q22_idle_customers",  # global-average scalar row
     "q11_important_parts",  # global-total scalar row (HAVING fraction gate)
     "knn_brute_force",  # single query vector

@@ -244,3 +244,71 @@ def test_rfm_has_no_global_window(spark):
     p = plan_of(spark, "orders_rfm_segments")
     assert "Window" not in p
     assert "BroadcastExchange" in p
+
+
+# ---- engine-wide: no single-partition window anywhere -------------------
+
+from test_no_cartesian import EAGER as _EAGER  # noqa: E402
+
+
+# Deliberate unpartitioned windows whose input is bounded by a CONSTANT
+# or the value DOMAIN (never corpus cardinality) — reviewed one by one,
+# the same posture as test_no_cartesian.BNLJ_ALLOWED.
+GLOBAL_WINDOW_ALLOWED = {
+    # row_number over a TakeOrderedAndProject head of SEM_MAX_K=4096
+    # rows — a constant; the corpus never reaches the window
+    "semdedup_clusters",
+    # scalar moment window over the per-DAY aggregate: cardinality is
+    # bounded by the calendar domain (thousands of rows per decade)
+    "events_daily_anomaly",
+    # final scalar max over the <=Q15_BUCKETS per-bucket champions —
+    # constant-bounded by construction (see q15_top_supplier docstring)
+    "q15_top_supplier",
+}
+
+
+def _unpartitioned_window_lines(plan: str) -> list[str]:
+    """Window nodes print `Window [exprs], [partSpec], [orderSpec]`;
+    either trailing spec may be absent when empty. An absent PARTITION
+    spec means every input row funnels through ONE task:
+      `Window [exprs], [x ASC ...]`  -> unpartitioned ORDERED (global sort)
+      `Window [exprs]`               -> unpartitioned full-frame scalar
+      `Window [exprs], [part]`       -> partitioned (fine)
+    The order spec is recognisable by ASC/DESC markers. WindowGroupLimit
+    prints its empty partition spec as `[]`."""
+    bad = []
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-: *")
+        if s.startswith("WindowGroupLimit []"):
+            bad.append(line.strip())
+            continue
+        if not s.startswith("Window "):
+            continue
+        groups = s.count("], [") + 1
+        last = s.rsplit("], [", 1)[-1]
+        ordered_last = " ASC" in last or " DESC" in last
+        if groups >= 3:
+            continue  # [exprs], [part], [order]
+        if groups == 2 and not ordered_last:
+            continue  # [exprs], [part] — partitioned, unordered frame
+        bad.append(line.strip())
+    return bad
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in REGISTRY if n not in _EAGER | GLOBAL_WINDOW_ALLOWED]
+)
+def test_no_unpartitioned_window(spark, sf_dir, name):
+    """The one plan shape that cannot survive a 100x scale-up: a window
+    with an empty partition spec moves its whole input through ONE task.
+    Global ranks/prefix-sums/quantiles must go through
+    operators/ranking.py (range-partition + offset broadcast) instead;
+    constant/domain-bounded exceptions live in GLOBAL_WINDOW_ALLOWED
+    with a per-entry reason."""
+    df = REGISTRY[name].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    bad = _unpartitioned_window_lines(plan)
+    assert not bad, (
+        f"{name} plans an unpartitioned window (single-partition shape):\n"
+        + "\n".join(bad[:3])
+    )

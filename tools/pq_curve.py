@@ -1,0 +1,85 @@
+"""PqIndex quality/latency curve: recall@k and per-query wall vs nprobe.
+
+The 500k stress records one end-to-end number; this tool produces the
+operating curve a deployment actually tunes: for nprobe in {1,2,4,8}
+cells, ADC search recall@K against exact cosine ground truth on a
+deterministic probe sample, plus mean per-query latency. Ground truth
+is computed once in numpy on the collected corpus — this is an offline
+audit tool, the corpus at audit scale (sf0.1: ~60k x 64 floats ~ 30 MB)
+fits the driver; the INDEX path under test stays fully distributed.
+
+Usage: python tools/pq_curve.py [sf_dir] [n_probes]
+Prints one JSON line; paste into SCALING.md §PqIndex.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+K = 10  # recall depth
+NPROBES = (1, 2, 4, 8)
+N_QUERIES = 16
+
+
+def main() -> None:
+    import tempfile
+
+    import numpy as np
+
+    from dataset_dedupe_estimator_spark import get_spark
+    from dataset_dedupe_estimator_spark.operators.ann import PqIndex
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="dde-pq-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    n = len(ids)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    probe_idx = np.linspace(0, n - 1, N_QUERIES, dtype=int)
+
+    # exact cosine ground truth (self excluded)
+    gt = {}
+    for pi in probe_idx:
+        sims = Xn @ Xn[pi]
+        sims[pi] = -2.0
+        top = np.argsort(-sims)[:K]
+        gt[int(ids[pi])] = {int(ids[t]) for t in top}
+
+    out = {"sf_dir": sf, "n_vecs": int(n), "k": K, "n_queries": N_QUERIES}
+    with tempfile.TemporaryDirectory(prefix="pq-curve-") as d:
+        t0 = time.time()
+        idx = PqIndex.build(emb, f"{d}/idx", k=64, ks=64, train_sample=4096, seed=7)
+        out["build_s"] = round(time.time() - t0, 2)
+        curve = []
+        for nprobe in NPROBES:
+            recalls, lats = [], []
+            for pi in probe_idx:
+                q = [float(v) for v in X[pi]]
+                t0 = time.time()
+                hits = idx.search(spark, q, topk=K + 1, nprobe=nprobe).collect()
+                lats.append(time.time() - t0)
+                got = {h.vec_id for h in hits if h.vec_id != int(ids[pi])}
+                recalls.append(len(got & gt[int(ids[pi])]) / K)
+            curve.append(
+                {
+                    "nprobe": nprobe,
+                    "recall_at_k": round(float(np.mean(recalls)), 4),
+                    "mean_query_s": round(float(np.mean(lats)), 3),
+                }
+            )
+        out["curve"] = curve
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
