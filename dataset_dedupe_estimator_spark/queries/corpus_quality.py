@@ -755,7 +755,81 @@ ORDER BY source
 """
 
 
+def dataset_card_stats(spark, sf):
+    """The per-source "dataset card" rollup — the one-table summary a
+    data curator publishes and a mixture designer reads: volume (docs,
+    tokens, chars), exact within-source duplicate mass, and average
+    document size. Composes the registry's primitives into one report.
+
+    Plan: one documents scan feeds a per-(source, md5) exact-dup census
+    and a per-source volume aggregate; the dup census rolls up into the
+    volume rows with a broadcast join (sources are a tiny dimension).
+    All counts integer-exact; the two averages are single rounded
+    divisions."""
+    docs = load(spark, sf, "documents")
+    t = F.split(F.col("text"), " ")
+    vol = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(t).cast("long")).alias("total_tokens"),
+        F.sum(F.length("text").cast("long")).alias("total_chars"),
+    )
+    dup_groups = (
+        docs.select("source", F.md5(F.col("text").cast("binary")).alias("h"))
+        .groupBy("source", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dups = dup_groups.groupBy("source").agg(
+        F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0)).alias(
+            "redundant_docs"
+        )
+    )
+    return (
+        vol.join(F.broadcast(dups), "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "total_chars",
+            F.round(F.col("total_tokens") / F.col("n_docs"), 2).alias(
+                "avg_doc_tokens"
+            ),
+            "redundant_docs",
+            F.round(F.col("redundant_docs") * 100.0 / F.col("n_docs"), 3).alias(
+                "dup_pct"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+DATASET_CARD_SQL = """
+WITH vol AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+         CAST(SUM(length(text)) AS BIGINT) AS total_chars
+  FROM documents GROUP BY source
+),
+dup_groups AS (
+  SELECT source, md5(text) AS h, COUNT(*) AS n
+  FROM documents GROUP BY source, h
+),
+dups AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
+             AS redundant_docs
+  FROM dup_groups GROUP BY source
+)
+SELECT vol.source AS source, n_docs, total_tokens, total_chars,
+       ROUND(total_tokens * 1.0 / n_docs, 2) AS avg_doc_tokens,
+       redundant_docs,
+       ROUND(redundant_docs * 100.0 / n_docs, 3) AS dup_pct
+FROM vol JOIN dups ON dups.source = vol.source
+ORDER BY vol.source
+"""
+
+
 QUERIES = {
+    "dataset_card_stats": Q(dataset_card_stats, DATASET_CARD_SQL),
     "quality_classifier": Q(quality_classifier, QUALITY_CLASSIFIER_SQL),
     "source_drift_tvd": Q(source_drift_tvd, SOURCE_DRIFT_SQL),
     "pii_scan": Q(pii_scan, PII_SCAN_SQL),

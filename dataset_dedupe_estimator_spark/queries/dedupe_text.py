@@ -901,7 +901,101 @@ ORDER BY exact DESC, token
 """
 
 
+def near_dup_source_matrix(spark, sf):
+    """Cross-source near-duplication matrix: for every (source, source)
+    pair, how many ≥0.5-Jaccard near-dup doc pairs link them, normalized
+    per million possible pairs — the measurement behind de-weighting a
+    mirror-heavy source mix before pretraining (a crawl source that
+    near-duplicates a curated source should not be double-counted by the
+    sampler).
+
+    Plan: the exact shingle-equi-join pair scan (`ngram_jaccard_pairs`
+    — never all-pairs), two broadcast joins to attach sources, the pair
+    ordered lexically so (a,b) and (b,a) collapse, and a tiny per-source
+    census broadcast for the denominators: same-source pairs are rated
+    against n·(n−1)/2, cross-source against n_a·n_b. Integer math into
+    one rounded rate."""
+    docs = load(spark, sf, "documents").select("doc_id", "source")
+    pairs = ngram_jaccard_pairs(spark, sf)
+    with_src = pairs.join(
+        F.broadcast(docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))),
+        "doc_a",
+    ).join(
+        F.broadcast(docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))),
+        "doc_b",
+    )
+    counts = (
+        with_src.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    census = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    ca = census.select(F.col("source").alias("source_a"), F.col("n").alias("n_docs_a"))
+    cb = census.select(F.col("source").alias("source_b"), F.col("n").alias("n_docs_b"))
+    denom = F.when(
+        F.col("source_a") == F.col("source_b"),
+        F.expr("n_docs_a * (n_docs_a - 1) div 2"),
+    ).otherwise(F.col("n_docs_a") * F.col("n_docs_b"))
+    return (
+        counts.join(F.broadcast(ca), "source_a")
+        .join(F.broadcast(cb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            "n_docs_a",
+            "n_docs_b",
+            F.round(F.col("n_pairs") * 1000000.0 / denom, 3).alias("pairs_per_1m"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+NEAR_DUP_SOURCE_SQL = f"""
+WITH {SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE)
+        / CAST(sa.n_shingles + sb.n_shingles - n_inter AS DOUBLE) >= 0.5
+),
+with_src AS (
+  SELECT LEAST(da.source, db.source) AS source_a,
+         GREATEST(da.source, db.source) AS source_b
+  FROM pairs
+  JOIN documents da ON da.doc_id = doc_a
+  JOIN documents db ON db.doc_id = doc_b
+),
+counts AS (
+  SELECT source_a, source_b, COUNT(*) AS n_pairs
+  FROM with_src GROUP BY 1, 2
+),
+census AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source)
+SELECT source_a, source_b, n_pairs,
+       ca.n AS n_docs_a, cb.n AS n_docs_b,
+       ROUND(n_pairs * 1000000.0 /
+             (CASE WHEN source_a = source_b THEN ca.n * (ca.n - 1) // 2
+                   ELSE ca.n * cb.n END), 3) AS pairs_per_1m
+FROM counts
+JOIN census ca ON ca.source = source_a
+JOIN census cb ON cb.source = source_b
+ORDER BY source_a, source_b
+"""
+
+
 QUERIES = {
+    "near_dup_source_matrix": Q(near_dup_source_matrix, NEAR_DUP_SOURCE_SQL),
     "dedup_exact_groups": Q(dedup_exact_groups, DEDUP_EXACT_SQL),
     "dup_cluster_sizes": Q(dup_cluster_sizes, DUP_CLUSTER_SIZES_SQL),
     "dedup_exact_events": Q(dedup_exact_events, DEDUP_EVENTS_SQL),

@@ -8,6 +8,7 @@ no rounding tricks needed.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from dataset_dedupe_estimator_spark.queries.base import Q, load
 
@@ -610,7 +611,90 @@ FROM pairs GROUP BY pair ORDER BY freq DESC, pair LIMIT 50
 """
 
 
+def doc_length_quantiles(spark, sf):
+    """Exact per-source token-length quantiles — the number a packing /
+    truncation / curriculum plan actually needs (``sequence_pack``'s
+    SEQ_LEN should come from p90, not a guess).
+
+    Scale shape: lengths collapse to a per-(source, n_tokens) census
+    first — cardinality bounded by the length DOMAIN per source, never
+    the doc count — then every window is PARTITIONED BY SOURCE (ordered
+    cumsum + full-frame total), so no row of any source funnels through
+    a single global task. Discrete type-1 ranks in pure integer math on
+    both engines (the spend_quartiles discipline: interpolating
+    percentile() would diverge from the oracle)."""
+    docs = load(spark, sf, "documents")
+    toks = docs.select(
+        "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    census = toks.groupBy("source", "n_tokens").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_ord = (
+        Window.partitionBy("source")
+        .orderBy("n_tokens")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    ranked = census.select(
+        "source",
+        "n_tokens",
+        "cnt",
+        F.sum("cnt").over(w_ord).alias("cum"),
+        F.sum("cnt").over(w_all).alias("tot"),
+    )
+
+    def q(num, den):
+        k = F.expr(f"(tot - 1) * {num} div {den} + 1")
+        hit = (F.col("cum") - F.col("cnt") < k) & (k <= F.col("cum"))
+        return F.min(F.when(hit, F.col("n_tokens")))
+
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.max("tot").alias("n_docs"),
+            q(1, 4).alias("p25_tokens"),
+            q(1, 2).alias("median_tokens"),
+            q(3, 4).alias("p75_tokens"),
+            q(9, 10).alias("p90_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _dlq_case(num, den):
+    k = f"(tot - 1) * {num} // {den} + 1"
+    return f"MIN(CASE WHEN cum - cnt < {k} AND {k} <= cum THEN n_tokens END)"
+
+
+DOC_LENGTH_QUANTILES_SQL = f"""
+WITH toks AS (
+  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+census AS (
+  SELECT source, n_tokens, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+),
+ranked AS (
+  SELECT source, n_tokens, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY n_tokens
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS tot
+  FROM census
+)
+SELECT source, MAX(tot) AS n_docs,
+       {_dlq_case(1, 4)} AS p25_tokens,
+       {_dlq_case(1, 2)} AS median_tokens,
+       {_dlq_case(3, 4)} AS p75_tokens,
+       {_dlq_case(9, 10)} AS p90_tokens,
+       MAX(n_tokens) AS max_tokens
+FROM ranked GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
+    "doc_length_quantiles": Q(doc_length_quantiles, DOC_LENGTH_QUANTILES_SQL),
     "bpe_pair_frequencies": Q(bpe_pair_frequencies, BPE_PAIR_SQL),
     "repetition_stats": Q(repetition_stats, REPETITION_SQL),
     "vocab_coverage_score": Q(vocab_coverage_score, VOCAB_COVERAGE_SQL),
