@@ -116,13 +116,49 @@ def wav_meta(content: bytes) -> tuple[int, int]:
     return rate, (frames if frames is not None else 0)
 
 
-def wav_samples(content: bytes):
-    """Decode PCM16 WAV bytes → int16 ndarray of shape (frames, channels).
+def _mulaw_expand(u8):
+    """G.711 mu-law byte → linear int16, the exact ITU-T expansion
+    (bit-inverted input, 8-sample bias, 3-bit exponent / 4-bit
+    mantissa). Pure numpy table-free math; validated in tests against
+    the spec's segment structure."""
+    import numpy as np
 
-    Pure stdlib/numpy: the RIFF walk of ``wav_meta`` plus a
-    ``np.frombuffer`` over the data chunk — PCM needs no codec library.
-    Compressed WAV (ADPCM, float, mu-law: fmt tag != 1 or bits != 16)
-    raises a labeled error (that seam would need an audio library).
+    u = (~u8.astype(np.uint8)) & 0xFF
+    sign = (u & 0x80) != 0
+    exp = ((u >> 4) & 0x07).astype(np.int32)
+    mant = (u & 0x0F).astype(np.int32)
+    mag = (((mant << 1) + 33) << exp) - 33
+    out = np.where(sign, -mag, mag) * 4  # 14-bit → 16-bit range
+    return out.astype(np.int16)
+
+
+def _alaw_expand(u8):
+    """G.711 A-law byte → linear int16 (even-bit inversion 0x55,
+    7 segments), per the ITU-T expansion."""
+    import numpy as np
+
+    a = (u8.astype(np.uint8) ^ 0x55).astype(np.int32)
+    positive = (a & 0x80) != 0  # A-law sign bit SET means positive
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(
+        exp == 0, (mant << 1) + 1, ((mant << 1) + 33) << (exp - 1)
+    )
+    out = np.where(positive, mag, -mag) * 8  # 13-bit → 16-bit range
+    return out.astype(np.int16)
+
+
+def wav_samples(content: bytes):
+    """Decode WAV bytes → int16 ndarray of shape (frames, channels).
+
+    Pure stdlib/numpy — no audio library. REAL decode paths:
+      * PCM (fmt 1): 16-bit direct; 8-bit unsigned (offset-binary) and
+        24/32-bit (truncated to the top 16 bits) also handled.
+      * IEEE float (fmt 3): float32/float64, clipped to [-1, 1] and
+        scaled to int16.
+      * mu-law (fmt 7) / A-law (fmt 6): exact G.711 expansions above.
+    Anything else (ADPCM, MP3-in-WAV, extensible sub-formats beyond
+    the above) raises a labeled NotImplementedError seam.
     Downstream consumers: ``extract_features`` (RMS/ZCR/energy
     histogram) and ``resample_audio`` (linear-interp rate change)."""
     import numpy as np
@@ -143,12 +179,31 @@ def wav_samples(content: bytes):
         i += 8 + size + (size & 1)
     if fmt_tag is None or data is None:
         raise ValueError("RIFF/WAVE without fmt/data chunks")
-    if fmt_tag != 1 or bits != 16:
+    channels = max(1, channels)
+    bytes_per = max(1, bits // 8)
+    data = data[: len(data) - len(data) % (bytes_per * channels)]
+    if fmt_tag == 1 and bits == 16:
+        arr = np.frombuffer(data, dtype="<i2")
+    elif fmt_tag == 1 and bits == 8:
+        arr = ((np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) << 8)
+    elif fmt_tag == 1 and bits in (24, 32):
+        raw = np.frombuffer(data, dtype=np.uint8).reshape(-1, bytes_per)
+        # keep the top two bytes (LE order: last two) → int16
+        arr = raw[:, -2:].copy().view("<i2").ravel()
+    elif fmt_tag == 3 and bits in (32, 64):
+        f = np.frombuffer(data, dtype="<f4" if bits == 32 else "<f8")
+        arr = np.clip(f, -1.0, 1.0) * 32767.0
+        arr = arr.astype(np.int16)
+    elif fmt_tag == 7 and bits == 8:
+        arr = _mulaw_expand(np.frombuffer(data, dtype=np.uint8))
+    elif fmt_tag == 6 and bits == 8:
+        arr = _alaw_expand(np.frombuffer(data, dtype=np.uint8))
+    else:
         raise NotImplementedError(
-            f"non-PCM16 WAV (fmt_tag={fmt_tag}, bits={bits}) needs an audio "
-            "codec library not present in this environment (stub seam)"
+            f"WAV fmt_tag={fmt_tag}/bits={bits} (ADPCM or other compressed "
+            "audio) needs a codec library not present in this environment "
+            "(stub seam)"
         )
-    arr = np.frombuffer(data[: len(data) - len(data) % (2 * channels)], dtype="<i2")
     return arr.reshape(-1, channels)
 def is_mp4(content: bytes) -> bool:
     return len(content) >= 12 and content[4:8] == b"ftyp"

@@ -413,3 +413,80 @@ def test_decode_media_real_mp4(spark):
     assert out.meta.fmt == "mp4"
     assert (out.meta.width, out.meta.height) == (320, 240)
     assert out.meta.n_frames == 20  # whole seconds of duration
+
+
+def _wav_bytes(fmt_tag, bits, payload: bytes, channels=1, rate=8000) -> bytes:
+    block = max(1, channels * (bits // 8))
+    fmt = (
+        fmt_tag.to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(payload).to_bytes(4, "little") + payload
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def test_wav_samples_float32():
+    import numpy as np
+
+    from dataset_dedupe_estimator_spark.operators.multimodal import wav_samples
+
+    f = np.array([0.0, 0.5, -0.5, 1.0, -1.0, 2.0, -2.0], dtype="<f4")
+    out = wav_samples(_wav_bytes(3, 32, f.tobytes()))[:, 0]
+    want = (np.clip(f.astype(np.float64), -1, 1) * 32767).astype(np.int16)
+    assert np.array_equal(out, want)  # out-of-range clipped, not wrapped
+
+
+def test_wav_samples_mulaw_alaw_g711_properties():
+    """The exact G.711 expansions: monotone in magnitude, odd-symmetric,
+    and hitting the spec's exact endpoints (mu-law 0xFF -> 0, 0x7F -> 0
+    negative branch; full-scale codes -> +-32124 / +-32256)."""
+    import numpy as np
+
+    from dataset_dedupe_estimator_spark.operators.multimodal import (
+        _alaw_expand,
+        _mulaw_expand,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    mu = _mulaw_expand(codes).astype(np.int32)
+    al = _alaw_expand(codes).astype(np.int32)
+    # mu-law: 0xFF is +0, 0x7F is -0; 0x80 is max positive, 0x00 max negative
+    assert mu[0xFF] == 0 and mu[0x7F] == 0
+    assert mu[0x80] == 32124 and mu[0x00] == -32124
+    # A-law: 0xD5 is +8 (smallest positive), full scale +-32256
+    assert al[0xD5] == 8 and al[0x55] == -8
+    assert al[0xAA] == 32256 and al[0x2A] == -32256
+    # odd symmetry: flipping the sign bit negates (mu-law sign bit is
+    # bit 7 of the COMPLEMENTED code; A-law of the 0x55-xored code)
+    assert np.array_equal(mu[0x80:0x100], -mu[0x00:0x80])
+    assert np.array_equal(al[(codes ^ 0x80)], -al[codes])
+    # magnitude monotone along each segment family
+    pos_mu = mu[np.array([0xFF - i for i in range(128)])]
+    assert np.all(np.diff(pos_mu) >= 0)
+
+
+def test_wav_samples_pcm8_and_pcm24():
+    import numpy as np
+
+    from dataset_dedupe_estimator_spark.operators.multimodal import wav_samples
+
+    out8 = wav_samples(_wav_bytes(1, 8, bytes([0, 128, 255])))[:, 0]
+    assert list(out8) == [-32768, 0, 32512]
+    # 24-bit LE: top two bytes survive
+    s24 = b"\x00\x00\x40" + b"\xff\xff\x7f" + b"\x00\x00\x80"
+    out24 = wav_samples(_wav_bytes(1, 24, s24))[:, 0]
+    assert list(out24) == [0x4000, 0x7FFF, -32768]
+
+
+def test_wav_samples_adpcm_still_a_labeled_seam():
+    import pytest
+
+    from dataset_dedupe_estimator_spark.operators.multimodal import wav_samples
+
+    with pytest.raises(NotImplementedError, match="ADPCM or other"):
+        wav_samples(_wav_bytes(2, 4, b"\x00\x01\x02\x03"))
