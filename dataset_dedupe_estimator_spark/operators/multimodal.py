@@ -8,16 +8,16 @@ UDF signature, batch shape, 1→N fan-out) is real and tested.
 
 Codec status: **PNG decode/resize/feature-extraction is REAL** (pure
 stdlib zlib + native un-filter kernel, operators/png_codec.py — no
-imaging library needed); **JPEG and WAV header metadata is REAL**
-(marker/RIFF-chunk walks, ``jpeg_meta``/``wav_meta`` below) and **MP4
-container metadata is REAL** (ISO-BMFF box walk, ``mp4_meta`` — track
-dimensions + duration, no codec needed), so ``decode_media`` fills
-width/height/sample_rate/duration on real camera/web bytes; **PCM16 WAV decode/features/resample is REAL** (``wav_samples``,
-RMS/ZCR features, linear-interpolation ``resample_audio`` — PCM needs
-no codec library). Entropy-coded JPEG pixels, non-PCM audio, and video
-FRAME decode stay behind labeled ``NotImplementedError`` seams, with a
-deterministic fake format (``FAKE`` header + counter-based payload)
-exercising every code path.
+imaging library needed); **baseline JPEG decode/encode/resize/features
+are REAL** (pure-numpy T.81 codec, operators/jpeg_codec.py — Huffman +
+DCT both directions, 4:4:4/4:2:2/4:2:0 sampling, restart markers;
+progressive/arithmetic raise labeled seams); **WAV decode/features/
+resample is REAL for PCM 8/16/24/32, IEEE float, and G.711 mu-law/A-law**
+(``wav_samples``); **MP4 container metadata is REAL** (ISO-BMFF box
+walk, ``mp4_meta`` — track dimensions + duration). ADPCM-class audio
+and video FRAME decode (H.264 entropy decode) stay behind labeled
+``NotImplementedError`` seams, with a deterministic fake format
+(``FAKE`` header + counter-based payload) exercising every code path.
 
 Scale notes: media blobs never shuffle — every operator is a narrow
 map; fan-outs (frame sampling) multiply rows within a partition.
@@ -417,8 +417,15 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
             kinds = batch.column("kind")
             vecs = []
             for content in batch.column("content").to_pylist():
-                if png_codec.is_png(content):
-                    px = png_codec.decode_png(content)
+                if png_codec.is_png(content) or is_jpeg(content):
+                    if png_codec.is_png(content):
+                        px = png_codec.decode_png(content)
+                    else:
+                        from dataset_dedupe_estimator_spark.operators.jpeg_codec import (
+                            jpeg_decode,
+                        )
+
+                        px = jpeg_decode(content)
                     if px.ndim == 3:  # luminance from the first 3 channels
                         px = px[:, :, : min(3, px.shape[2])].mean(axis=2)
                     flat = px.astype(np.float32).ravel()
@@ -463,8 +470,9 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     """Image resize. PNG: REAL — decode, nearest-neighbor resample,
     re-encode PNG (all stdlib/numpy/native, operators/png_codec.py).
-    FAKE: the same index math on the fake payload. JPEG would swap in
-    at this seam; absent codec libraries it raises."""
+    JPEG: REAL — baseline decode, nearest resample, baseline re-encode
+    (operators/jpeg_codec.py, pure numpy). FAKE: the same index math on
+    the fake payload. Other image formats raise at the codec seam."""
 
     def resize(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -478,8 +486,24 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                     contents.append(png_codec.encode_png(out_px))
                     metas.append({**meta, "width": width, "height": height, "fmt": "png"})
                     continue
+                if is_jpeg(content):
+                    from dataset_dedupe_estimator_spark.operators.jpeg_codec import (
+                        jpeg_decode,
+                        jpeg_encode,
+                    )
+
+                    px = jpeg_decode(content)
+                    yy = (np.arange(height) * px.shape[0]) // height
+                    xx = (np.arange(width) * px.shape[1]) // width
+                    out_px = px[yy][:, xx]
+                    contents.append(jpeg_encode(out_px, quality=90))
+                    metas.append({**meta, "width": width, "height": height, "fmt": "jpeg"})
+                    continue
                 if not content.startswith(MAGIC):
-                    raise NotImplementedError("real non-PNG image resize requires PIL (stub seam)")
+                    raise NotImplementedError(
+                        "image resize beyond PNG/baseline-JPEG needs an imaging "
+                        "library (stub seam)"
+                    )
                 w0, h0 = meta["width"], meta["height"]
                 payload = np.frombuffer(content[17:], dtype=np.uint8)
                 if len(payload) >= w0 * h0:

@@ -1,0 +1,136 @@
+"""operators/jpeg_codec.py — the pure-numpy baseline JPEG codec.
+
+Roundtrip accuracy bounds: at quality=100 the Annex-K tables scale to
+all-ones, so the only loss is DCT float rounding and the YCbCr
+transform (≤ a couple of codes); subsampled chroma adds bounded error
+on smooth images. The decoder is exercised on streams the encoder
+produces AND on structural variations (restart markers, 4:2:0,
+grayscale) — the marker/DHT/DQT parsing paths a third-party baseline
+JPEG would hit."""
+
+import numpy as np
+import pytest
+
+from dataset_dedupe_estimator_spark.operators.jpeg_codec import (
+    ZZ,
+    jpeg_decode,
+    jpeg_encode,
+)
+
+
+def _gradient(h=40, w=56):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(yy * 3) % 256, (xx * 2) % 256, ((yy + xx) * 2) % 256], axis=2
+    ).astype(np.uint8)
+
+
+def test_zigzag_is_the_standard_scan():
+    assert list(ZZ[:10]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert sorted(ZZ) == list(range(64))
+    assert ZZ[63] == 63
+
+
+def test_roundtrip_color_444_q100_near_lossless():
+    img = _gradient()
+    out = jpeg_decode(jpeg_encode(img, quality=100))
+    assert out.shape == img.shape
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_roundtrip_grayscale():
+    yy, xx = np.mgrid[0:24, 0:33]
+    g = ((yy * 5 + xx * 3) % 256).astype(np.uint8)
+    out = jpeg_decode(jpeg_encode(g, quality=100))
+    assert out.shape == g.shape and out.ndim == 2
+    assert int(np.abs(out.astype(int) - g.astype(int)).max()) <= 2
+
+
+def test_roundtrip_420_subsampled_smooth():
+    yy, xx = np.mgrid[0:40, 0:56]
+    smooth = np.stack([yy * 2, xx * 2, yy + xx], axis=2).astype(np.uint8)
+    out = jpeg_decode(jpeg_encode(smooth, quality=95, subsample=True))
+    assert out.shape == smooth.shape
+    assert int(np.abs(out.astype(int) - smooth.astype(int)).max()) <= 8
+
+
+def test_restart_markers_roundtrip():
+    img = _gradient()
+    for ri in (1, 3):
+        out = jpeg_decode(jpeg_encode(img, quality=100, restart_interval=ri))
+        assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2
+    out = jpeg_decode(
+        jpeg_encode(img, quality=92, subsample=True, restart_interval=2)
+    )
+    assert out.shape == img.shape
+
+
+def test_lossy_quality_tracks_error():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    errs = []
+    for q in (95, 75, 40):
+        out = jpeg_decode(jpeg_encode(img, quality=q))
+        errs.append(float(np.abs(out.astype(int) - img.astype(int)).mean()))
+    assert errs[0] < errs[1] < errs[2]  # lower quality, higher error
+
+
+def test_odd_dimensions_pad_and_crop():
+    img = _gradient(h=13, w=17)
+    out = jpeg_decode(jpeg_encode(img, quality=100))
+    assert out.shape == (13, 17, 3)
+    out2 = jpeg_decode(jpeg_encode(img, quality=95, subsample=True))
+    assert out2.shape == (13, 17, 3)
+
+
+def test_progressive_rejected_with_labeled_seam():
+    img = _gradient(16, 16)
+    data = bytearray(jpeg_encode(img))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        jpeg_decode(bytes(data))
+
+
+def test_not_a_jpeg():
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_decode(b"PNG whatever")
+
+
+def test_sof_meta_agrees_with_header_walk():
+    from dataset_dedupe_estimator_spark.operators.multimodal import jpeg_meta
+
+    img = _gradient(h=21, w=37)
+    data = jpeg_encode(img, quality=80)
+    assert jpeg_meta(data) == (37, 21)
+
+
+def test_multimodal_jpeg_features_and_resize(spark):
+    """The JPEG leg of the media pipeline end to end on REAL bytes:
+    decode_media metadata, pixel features (match the decoded luminance),
+    and resize re-encoding a decodable baseline JPEG."""
+    from dataset_dedupe_estimator_spark.operators.multimodal import (
+        MEDIA_DDL,
+        decode_media,
+        extract_features,
+        resize_images,
+    )
+
+    img = _gradient(h=32, w=48)
+    blob = jpeg_encode(img, quality=100)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(blob), None)], MEDIA_DDL
+    )
+    meta = decode_media(df).collect()[0].meta
+    assert (meta.width, meta.height, meta.fmt) == (48, 32, "jpeg")
+
+    feat = extract_features(df).collect()[0].feature
+    decoded = jpeg_decode(blob)
+    lum = decoded[:, :, :3].mean(axis=2).astype(np.float32)
+    assert abs(feat[0] - lum.mean() / 255.0) < 1e-5
+    assert abs(sum(feat[2:]) - 1.0) < 1e-5
+
+    small = resize_images(decode_media(df), 16, 8).collect()[0]
+    assert (small.meta.width, small.meta.height) == (16, 8)
+    out_px = jpeg_decode(bytes(small.content))
+    assert out_px.shape == (8, 16, 3)
