@@ -354,9 +354,12 @@ def multimodal_pipeline_demo(spark, sf):
     through the same decode → resize → pixel-feature operators with
     actual zlib/un-filter/resample work, and a REAL-audio leg:
     deterministic PCM16 WAVs (stdlib wave writer) flow through the
-    RIFF-header decode and the windowed-RMS/ZCR feature extractor.
-    Deterministic but not SQL-expressible → rows-only check; JPEG
-    pixels and video codecs remain the documented stub seams."""
+    RIFF-header decode and the windowed-RMS/ZCR feature extractor,
+    and a REAL-JPEG leg (r5): the pure-numpy baseline codec
+    (operators/jpeg_codec.py) encodes 4:4:4/4:2:0 streams that flow
+    through decode → resize (decode/resample/re-encode) → pixel
+    features. Deterministic but not SQL-expressible → rows-only check;
+    video frame codecs remain the documented stub seam."""
     from dataset_dedupe_estimator_spark.operators.multimodal import (
         MEDIA_DDL,
         decode_media,
@@ -466,8 +469,55 @@ def multimodal_pipeline_demo(spark, sf):
             F.round(F.sum("f0"), 4).alias("sum_f0"),
         )
     )
+
+    def _jpeg_gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from dataset_dedupe_estimator_spark.operators.jpeg_codec import jpeg_encode
+        from dataset_dedupe_estimator_spark.operators.multimodal import _META_PA
+
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            blobs = []
+            for i in ids:
+                h, w = 16 + i % 8, 16 + i % 16
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [(yy * (2 + i % 3)) % 256, (xx * 3) % 256, ((yy + xx + i) * 2) % 256],
+                    axis=2,
+                ).astype(np.uint8)
+                blobs.append(jpeg_encode(img, quality=90, subsample=i % 2 == 0))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(["jpeg"] * len(ids)),
+                    pa.array(blobs, pa.binary()),
+                    pa.array([{"width": None, "height": None, "sample_rate": None,
+                               "n_frames": None, "fmt": None}] * len(ids), _META_PA),
+                ],
+                names=["media_id", "kind", "content", "meta"],
+            )
+
+    # REAL-JPEG leg (r5): pure-numpy baseline codec both directions —
+    # generated 4:4:4/4:2:0 streams are header-decoded, resized (decode →
+    # resample → re-encode), and pixel-featured through the same operators
+    jpegs = resize_images(
+        decode_media(spark.range(40).mapInArrow(_jpeg_gen, MEDIA_DDL)), 8, 8
+    )
+    jpeg_feats = extract_features(jpegs)
+    jpeg_row = (
+        jpegs.select("media_id", "kind", "meta")
+        .join(jpeg_feats.select("media_id", F.col("feature")[0].alias("f0")), "media_id")
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.round(F.avg(F.coalesce(F.col("meta.width"), F.lit(0))), 2).alias("avg_width"),
+            F.round(F.sum("f0"), 4).alias("sum_f0"),
+        )
+    )
     out = per_kind[0]
-    for df in [*per_kind[1:], png_row, wav_row]:
+    for df in [*per_kind[1:], png_row, wav_row, jpeg_row]:
         out = out.unionByName(df)
     return out.orderBy("kind")
 
