@@ -205,6 +205,93 @@ def wav_samples(content: bytes):
             "(stub seam)"
         )
     return arr.reshape(-1, channels)
+def is_avi(content: bytes) -> bool:
+    return content[:4] == b"RIFF" and content[8:12] == b"AVI "
+
+
+def _riff_chunks(buf: bytes, start: int, end: int):
+    """Iterate (fourcc, body_start, body_end) over RIFF chunks (4-byte id
+    + LE u32 size, word-aligned) in buf[start:end]."""
+    i = start
+    while i + 8 <= end:
+        cid = buf[i : i + 4]
+        size = int.from_bytes(buf[i + 4 : i + 8], "little")
+        yield cid, i + 8, min(i + 8 + size, end)
+        i += 8 + size + (size & 1)
+
+
+def avi_meta(content: bytes) -> tuple[int, int, int]:
+    """(width, height, n_frames) from an AVI's avih main header — the
+    same pure RIFF walk as WAV, one more list level."""
+    for cid, s, e in _riff_chunks(content, 12, len(content)):
+        if cid == b"LIST" and content[s : s + 4] == b"hdrl":
+            for cid2, s2, e2 in _riff_chunks(content, s + 4, e):
+                if cid2 == b"avih":
+                    body = content[s2:e2]
+                    n_frames = int.from_bytes(body[16:20], "little")
+                    w = int.from_bytes(body[32:36], "little")
+                    h = int.from_bytes(body[36:40], "little")
+                    return w, h, n_frames
+    raise ValueError("AVI without hdrl/avih header")
+
+
+def avi_mjpeg_frames(content: bytes):
+    """Yield each video frame's JPEG bytes from an MJPEG AVI: walk the
+    ``movi`` list for ``##dc``/``##db`` chunks whose payload starts with
+    a JPEG SOI. Pure RIFF parsing — the frames themselves decode with
+    operators/jpeg_codec.py, making the MJPEG video path real end to
+    end; non-MJPEG payloads raise the labeled codec seam."""
+    found_movi = False
+    for cid, s, e in _riff_chunks(content, 12, len(content)):
+        if cid == b"LIST" and content[s : s + 4] == b"movi":
+            found_movi = True
+            for cid2, s2, e2 in _riff_chunks(content, s + 4, e):
+                if cid2[2:4] in (b"dc", b"db"):
+                    frame = content[s2:e2]
+                    if frame[:2] != b"\xff\xd8":
+                        raise NotImplementedError(
+                            "non-MJPEG AVI stream (compressed video codec) "
+                            "needs a codec library (stub seam)"
+                        )
+                    yield frame
+    if not found_movi:
+        raise ValueError("AVI without movi list")
+
+
+def avi_encode_mjpeg(frames, fps: int = 10) -> bytes:
+    """Minimal MJPEG AVI writer: uint8 RGB frames → RIFF/AVI bytes with
+    one ``vids``/``MJPG`` stream (frames JPEG-encoded by
+    operators/jpeg_codec.py). Test/demo companion of
+    ``avi_mjpeg_frames`` — enough structure for any MJPEG-aware reader."""
+    from dataset_dedupe_estimator_spark.operators.jpeg_codec import jpeg_encode
+
+    frames = list(frames)
+    h, w = frames[0].shape[:2]
+    blobs = [jpeg_encode(f, quality=90) for f in frames]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + len(body).to_bytes(4, "little") + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<10I4I",
+        1_000_000 // max(1, fps), 0, 0, 0x10, len(frames), 0, 1,
+        max(len(b) for b in blobs), w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), max(len(b) for b in blobs), 0xFFFFFFFF, 0)
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", b) for b in blobs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 def is_mp4(content: bytes) -> bool:
     return len(content) >= 12 and content[4:8] == b"ftyp"
 
@@ -366,6 +453,10 @@ def decode_media(df: DataFrame) -> DataFrame:
                     # container knows time, not frame count, without
                     # parsing codec sample tables)
                     metas.append({"width": w or None, "height": hgt or None, "sample_rate": None, "n_frames": int(dur), "fmt": "mp4"})
+                    continue
+                if is_avi(content):
+                    w, hgt, nf = avi_meta(content)
+                    metas.append({"width": w, "height": hgt, "sample_rate": None, "n_frames": nf, "fmt": "avi"})
                     continue
                 if not content.startswith(MAGIC):
                     raise NotImplementedError(
@@ -598,8 +689,10 @@ def resample_audio(df: DataFrame, target_rate: int) -> DataFrame:
 
 def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
     """Video frame sampling: 1→N fan-out (every ``every``-th frame as its
-    own row). Real codecs would seek/decode at the seam; fake videos carry
-    256 bytes per frame."""
+    own row). MJPEG AVI: REAL — the RIFF ``movi`` walk yields each
+    frame's JPEG bytes (decodable by operators/jpeg_codec.py downstream).
+    Compressed codecs (H.264 in MP4) stay behind the labeled seam; fake
+    videos carry 256 bytes per frame."""
 
     out_schema = pa.schema(
         [("media_id", pa.int64()), ("frame_idx", pa.int32()), ("frame", pa.binary())]
@@ -613,8 +706,18 @@ def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
                 batch.column("content").to_pylist(),
                 batch.column("meta").to_pylist(),
             ):
+                if is_avi(content):
+                    for f_idx, frame in enumerate(avi_mjpeg_frames(content)):
+                        if f_idx % every == 0:
+                            ids.append(media_id)
+                            idxs.append(f_idx)
+                            blobs.append(frame)
+                    continue
                 if not content.startswith(MAGIC):
-                    raise NotImplementedError("real frame extraction requires a video codec (stub seam)")
+                    raise NotImplementedError(
+                        "frame extraction beyond MJPEG-AVI requires a video "
+                        "codec library (stub seam)"
+                    )
                 nf = meta["n_frames"] or 0
                 payload = content[17:]
                 for f_idx in range(0, nf, every):

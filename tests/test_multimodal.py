@@ -490,3 +490,58 @@ def test_wav_samples_adpcm_still_a_labeled_seam():
 
     with pytest.raises(NotImplementedError, match="ADPCM or other"):
         wav_samples(_wav_bytes(2, 4, b"\x00\x01\x02\x03"))
+
+
+def test_avi_mjpeg_roundtrip_and_frame_sampling(spark):
+    """MJPEG video path, real end to end: encode frames → AVI container →
+    avi_meta/decode_media metadata → sample_frames yields decodable JPEG
+    frames whose pixels match the originals."""
+    import numpy as np
+
+    from dataset_dedupe_estimator_spark.operators.jpeg_codec import jpeg_decode
+    from dataset_dedupe_estimator_spark.operators.multimodal import (
+        MEDIA_DDL,
+        avi_encode_mjpeg,
+        avi_meta,
+        avi_mjpeg_frames,
+        decode_media,
+        sample_frames,
+    )
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    frames = [
+        np.stack([(yy * 2 + k * 10) % 256, (xx * 3) % 256, (yy + xx) % 256], axis=2).astype(np.uint8)
+        for k in range(6)
+    ]
+    blob = avi_encode_mjpeg(frames, fps=5)
+    assert avi_meta(blob) == (32, 24, 6)
+    got = list(avi_mjpeg_frames(blob))
+    assert len(got) == 6
+    for k, fb in enumerate(got):
+        px = jpeg_decode(fb)
+        assert px.shape == (24, 32, 3)
+        assert int(np.abs(px.astype(int) - frames[k].astype(int)).mean()) <= 6
+
+    df = spark.createDataFrame([(9, "video", bytearray(blob), None)], MEDIA_DDL)
+    meta = decode_media(df).collect()[0].meta
+    assert (meta.width, meta.height, meta.n_frames, meta.fmt) == (32, 24, 6, "avi")
+    rows = sample_frames(decode_media(df), every=2).orderBy("frame_idx").collect()
+    assert [r.frame_idx for r in rows] == [0, 2, 4]
+    px0 = jpeg_decode(bytes(rows[0].frame))
+    assert px0.shape == (24, 32, 3)
+
+
+def test_avi_non_mjpeg_is_a_labeled_seam():
+    import pytest
+
+    from dataset_dedupe_estimator_spark.operators.multimodal import (
+        avi_encode_mjpeg,
+        avi_mjpeg_frames,
+    )
+    import numpy as np
+
+    blob = bytearray(avi_encode_mjpeg([np.zeros((8, 8, 3), dtype=np.uint8)]))
+    i = blob.find(b"00dc")
+    blob[i + 8 : i + 10] = b"\x00\x00"  # corrupt SOI -> "compressed codec"
+    with pytest.raises(NotImplementedError, match="non-MJPEG"):
+        list(avi_mjpeg_frames(bytes(blob)))
