@@ -14,9 +14,11 @@ DCT both directions, 4:4:4/4:2:2/4:2:0 sampling, restart markers;
 progressive/arithmetic raise labeled seams); **WAV decode/features/
 resample is REAL for PCM 8/16/24/32, IEEE float, and G.711 mu-law/A-law**
 (``wav_samples``); **MP4 container metadata is REAL** (ISO-BMFF box
-walk, ``mp4_meta`` — track dimensions + duration). ADPCM-class audio
-and video FRAME decode (H.264 entropy decode) stay behind labeled
-``NotImplementedError`` seams, with a deterministic fake format
+walk, ``mp4_meta`` — track dimensions + duration); **MJPEG-AVI video is
+REAL** (RIFF container walk + per-frame baseline JPEG decode:
+``avi_meta``/``avi_mjpeg_frames``/``sample_frames``). ADPCM-class audio
+and compressed-codec video (H.264/H.265 entropy decode) stay behind
+labeled ``NotImplementedError`` seams, with a deterministic fake format
 (``FAKE`` header + counter-based payload) exercising every code path.
 
 Scale notes: media blobs never shuffle — every operator is a narrow

@@ -516,8 +516,63 @@ def multimodal_pipeline_demo(spark, sf):
             F.round(F.sum("f0"), 4).alias("sum_f0"),
         )
     )
+    def _avi_gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from dataset_dedupe_estimator_spark.operators.multimodal import (
+            _META_PA,
+            avi_encode_mjpeg,
+        )
+
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            blobs = []
+            for i in ids:
+                yy, xx = np.mgrid[0:16, 0:16]
+                frames = [
+                    np.stack(
+                        [(yy * 2 + k * 7 + i) % 256, (xx * 3) % 256, (yy + xx) % 256],
+                        axis=2,
+                    ).astype(np.uint8)
+                    for k in range(2 + i % 4)
+                ]
+                blobs.append(avi_encode_mjpeg(frames, fps=5))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(["avi"] * len(ids)),
+                    pa.array(blobs, pa.binary()),
+                    pa.array([{"width": None, "height": None, "sample_rate": None,
+                               "n_frames": None, "fmt": None}] * len(ids), _META_PA),
+                ],
+                names=["media_id", "kind", "content", "meta"],
+            )
+
+    # REAL-video leg (r5): MJPEG AVIs — container metadata + frame
+    # sampling yield decodable JPEG frames; summarize the 1→N fan-out
+    from dataset_dedupe_estimator_spark.operators.multimodal import sample_frames
+
+    avis = decode_media(spark.range(12).mapInArrow(_avi_gen, MEDIA_DDL))
+    avi_frames = sample_frames(avis, every=2)
+    avi_row = (
+        avis.select("media_id", "kind", "meta")
+        .join(
+            avi_frames.groupBy("media_id").agg(
+                F.count(F.lit(1)).alias("n_sampled"),
+                F.sum(F.octet_length("frame")).alias("frame_bytes"),
+            ),
+            "media_id",
+        )
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.round(F.avg(F.coalesce(F.col("meta.width"), F.lit(0))), 2).alias("avg_width"),
+            F.round(F.sum("n_sampled").cast("double"), 4).alias("sum_f0"),
+        )
+    )
     out = per_kind[0]
-    for df in [*per_kind[1:], png_row, wav_row, jpeg_row]:
+    for df in [*per_kind[1:], png_row, wav_row, jpeg_row, avi_row]:
         out = out.unionByName(df)
     return out.orderBy("kind")
 
