@@ -7,13 +7,16 @@ format — decode, resize, feature-extract, and re-encode all operate on
 actual pixels — while JPEG/audio/video remain clearly-labeled stub
 seams (operators/multimodal.py).
 
-Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
-6 (RGBA), non-interlaced. Indexed (3), 16-bit, and interlaced images
-raise ValueError with a precise reason — a seam, not a silent wrong
-answer.
+Supported (r5: the full still-image spec surface): bit depths 1/2/4/8/16,
+color types 0 (gray), 2 (RGB), 3 (indexed, PLTE + optional tRNS → RGBA),
+4 (gray+alpha), 6 (RGBA), and BOTH interlace modes (none / Adam7).
+16-bit samples decode to their high byte (8-bit output contract).
+Malformed streams raise ValueError with a precise reason — never a
+silent wrong answer.
 
-Spec: the public PNG specification (RFC 2083 / ISO 15948): IHDR/IDAT
-chunk layout, and the five scanline filters None/Sub/Up/Average/Paeth.
+Spec: the public PNG specification (RFC 2083 / ISO 15948): IHDR/PLTE/
+tRNS/IDAT chunk layout, the five scanline filters None/Sub/Up/Average/
+Paeth, and the Adam7 pass grid.
 """
 
 from __future__ import annotations
@@ -34,6 +37,53 @@ def is_png(data: bytes) -> bool:
     return data[:8] == PNG_SIG
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, in stream order
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _unfilter_pass(raw: bytes, off: int, h: int, stride: int, byte_bpp: int):
+    """Un-filter one image (or Adam7 pass): consume h*(stride+1) bytes
+    at ``off``, return ((h, stride) uint8 of reconstructed bytes, new
+    offset)."""
+    end = off + h * (stride + 1)
+    if end > len(raw):
+        raise ValueError("PNG data length mismatch")
+    arr = np.frombuffer(raw[off:end], dtype=np.uint8).reshape(h, stride + 1)
+    filters = np.ascontiguousarray(arr[:, 0])
+    if filters.max(initial=0) > 4:
+        raise ValueError(f"bad PNG filter {int(filters.max())}")
+    out = np.ascontiguousarray(arr[:, 1:])
+    if not native.png_unfilter(out, filters, byte_bpp):
+        _unfilter_python(out, filters, byte_bpp)
+    return out, end
+
+
+def _bytes_to_samples(rows: np.ndarray, w: int, ch: int, depth: int) -> np.ndarray:
+    """(h, scanline_bytes) reconstructed bytes → (h, w, ch) uint8 samples
+    (16-bit keeps the high byte; sub-byte depths unpack MSB-first)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * ch].reshape(h, w, ch)
+    if depth == 16:
+        return rows[:, : w * ch * 2].reshape(h, w, ch, 2)[..., 0]
+    # 1/2/4-bit: single-channel only (gray or palette indices)
+    bits = np.unpackbits(rows, axis=1)
+    spp = 8 // depth
+    vals = np.zeros((h, rows.shape[1] * spp), dtype=np.uint8)
+    for b in range(depth):
+        vals = (vals << 1) | bits[:, b :: depth][:, : vals.shape[1]]
+    # bits[:, b::depth] walks each sample's b-th bit in MSB-first order
+    return vals[:, :w].reshape(h, w, 1)
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → (H, W) uint8 for grayscale or (H, W, C) uint8.
 
@@ -46,6 +96,7 @@ def decode_png(data: bytes) -> np.ndarray:
     width = height = None
     bit_depth = color_type = interlace = None
     idat = bytearray()
+    plte = trns = None
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
@@ -55,33 +106,74 @@ def decode_png(data: bytes) -> np.ndarray:
             width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth != 8:
-        raise ValueError(f"unsupported PNG bit depth {bit_depth} (only 8)")
-    if color_type not in _CHANNELS:
-        raise ValueError(f"unsupported PNG color type {color_type} (indexed not supported)")
-    if interlace:
-        raise ValueError("interlaced PNG not supported")
-    ch = _CHANNELS[color_type]
+    ch = 1 if color_type == 3 else _CHANNELS.get(color_type)
+    if ch is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    valid_depths = {
+        0: (1, 2, 4, 8, 16),
+        2: (8, 16),
+        3: (1, 2, 4, 8),
+        4: (8, 16),
+        6: (8, 16),
+    }[color_type]
+    if bit_depth not in valid_depths:
+        raise ValueError(
+            f"invalid PNG bit depth {bit_depth} for color type {color_type}"
+        )
+    if color_type == 3 and plte is None:
+        raise ValueError("indexed PNG without PLTE")
     raw = zlib.decompress(bytes(idat))
-    stride = width * ch
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG data length mismatch")
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
-    filters = np.ascontiguousarray(arr[:, 0])
-    if filters.max(initial=0) > 4:
-        raise ValueError(f"bad PNG filter {int(filters.max())}")
-    out = np.ascontiguousarray(arr[:, 1:])
-    if not native.png_unfilter(out, filters, ch):
-        _unfilter_python(out, filters, ch)
+    byte_bpp = max(1, (bit_depth * ch) // 8)
+
+    def scan_bytes(w):
+        return (w * ch * bit_depth + 7) // 8
+
+    if not interlace:
+        rows, end = _unfilter_pass(raw, 0, height, scan_bytes(width), byte_bpp)
+        if end != len(raw):
+            raise ValueError("PNG data length mismatch")
+        samples = _bytes_to_samples(rows, width, ch, bit_depth)
+    elif interlace == 1:
+        samples = np.zeros((height, width, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows, off = _unfilter_pass(raw, off, ph, scan_bytes(pw), byte_bpp)
+            samples[y0::dy, x0::dx] = _bytes_to_samples(rows, pw, ch, bit_depth)
+        if off != len(raw):
+            raise ValueError("PNG data length mismatch")
+    else:
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+
+    if color_type == 3:
+        idx = samples[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    if color_type == 0 and bit_depth < 8:
+        # scale sub-byte gray to full 8-bit range (spec sample scaling)
+        samples = samples * (255 // ((1 << bit_depth) - 1))
     if ch == 1:
-        return out.reshape(height, width)
-    return out.reshape(height, width, ch)
+        return samples.reshape(height, width)
+    return samples
 
 
 def _unfilter_python(out: np.ndarray, filters: np.ndarray, ch: int) -> None:
@@ -149,7 +241,7 @@ def png_meta(data: bytes) -> tuple[int, int, int]:
     if data[12:16] != b"IHDR":
         raise ValueError("IHDR not first chunk")
     width, height, _depth, color_type, _c, _f, _i = struct.unpack(">IIBBBBB", data[16:29])
-    return width, height, _CHANNELS.get(color_type, 0)
+    return width, height, (3 if color_type == 3 else _CHANNELS.get(color_type, 0))
 
 
 def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:

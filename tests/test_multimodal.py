@@ -545,3 +545,109 @@ def test_avi_non_mjpeg_is_a_labeled_seam():
     blob[i + 8 : i + 10] = b"\x00\x00"  # corrupt SOI -> "compressed codec"
     with pytest.raises(NotImplementedError, match="non-MJPEG"):
         list(avi_mjpeg_frames(bytes(blob)))
+
+
+# ---- PNG full-spec decode (r5: indexed / sub-byte / 16-bit / Adam7) ----
+
+
+def _png_chunks(ihdr_body, extra_chunks, idat_raw):
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_body)
+    for tag, body in extra_chunks:
+        out += chunk(tag, body)
+    out += chunk(b"IDAT", zlib.compress(idat_raw)) + chunk(b"IEND", b"")
+    return out
+
+
+def _ihdr(w, h, depth, ctype, interlace=0):
+    import struct
+
+    return struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+
+
+def test_png_indexed_with_palette_and_trns():
+    import numpy as np
+
+    from dataset_dedupe_estimator_spark.operators.png_codec import decode_png, png_meta
+
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + row.tobytes() for row in idx)
+    data = _png_chunks(_ihdr(3, 2, 8, 3), [(b"PLTE", plte)], raw)
+    out = decode_png(data)
+    assert out.shape == (2, 3, 3)
+    assert list(out[0, 0]) == [255, 0, 0] and list(out[1, 0]) == [0, 0, 255]
+    assert png_meta(data) == (3, 2, 3)
+    # with tRNS: alpha channel appears
+    data_a = _png_chunks(_ihdr(3, 2, 8, 3), [(b"PLTE", plte), (b"tRNS", bytes([10]))], raw)
+    out_a = decode_png(data_a)
+    assert out_a.shape == (2, 3, 4)
+    assert out_a[0, 0, 3] == 10 and out_a[0, 1, 3] == 255
+
+
+def test_png_sub_byte_gray_depths():
+    import numpy as np
+
+    from dataset_dedupe_estimator_spark.operators.png_codec import decode_png
+
+    # 1-bit, width 10: bits 1010101010 packed MSB-first into 2 bytes/row
+    row_bits = bytes([0b10101010, 0b10000000])
+    data = _png_chunks(_ihdr(10, 2, 1, 0), [], (b"\x00" + row_bits) * 2)
+    out = decode_png(data)
+    assert out.shape == (2, 10)
+    assert list(out[0]) == [255, 0] * 5
+    # 4-bit, width 3: samples 0xF, 0x0, 0x7 -> F0 70
+    data4 = _png_chunks(_ihdr(3, 1, 4, 0), [], b"\x00" + bytes([0xF0, 0x70]))
+    assert list(decode_png(data4)[0]) == [255, 0, 7 * 17]
+
+
+def test_png_16bit_rgb_keeps_high_byte():
+    import numpy as np
+
+    from dataset_dedupe_estimator_spark.operators.png_codec import decode_png
+
+    px16 = np.array([[[65535, 0, 32768], [256, 511, 1]]], dtype=">u2")  # 1x2 RGB
+    raw = b"\x00" + px16.tobytes()
+    out = decode_png(_png_chunks(_ihdr(2, 1, 16, 2), [], raw))
+    assert out.shape == (1, 2, 3)
+    assert list(out[0, 0]) == [255, 0, 128]
+    assert list(out[0, 1]) == [1, 1, 0]
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Build an Adam7 stream by slicing a reference image with the spec
+    pass grid; the decoder must reassemble the exact image."""
+    import numpy as np
+
+    from dataset_dedupe_estimator_spark.operators.png_codec import _ADAM7, decode_png
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (13, 11, 3), dtype=np.uint8)
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw += b"\x00" + row.tobytes()
+    out = decode_png(_png_chunks(_ihdr(11, 13, 8, 2, interlace=1), [], bytes(raw)))
+    assert np.array_equal(out, img)
+
+
+def test_png_palette_index_out_of_range_raises():
+    import pytest
+
+    from dataset_dedupe_estimator_spark.operators.png_codec import decode_png
+
+    plte = bytes([1, 2, 3])  # one entry
+    raw = b"\x00" + bytes([5])  # index 5 > palette size
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(_png_chunks(_ihdr(1, 1, 8, 3), [(b"PLTE", plte)], raw))
