@@ -83,12 +83,22 @@ def test_odd_dimensions_pad_and_crop():
     assert out2.shape == (13, 17, 3)
 
 
-def test_progressive_rejected_with_labeled_seam():
+def test_arithmetic_and_hierarchical_rejected_with_labeled_seam():
+    img = _gradient(16, 16)
+    for sof_marker in (0xC9, 0xC3):  # arithmetic / hierarchical
+        data = bytearray(jpeg_encode(img))
+        sof = data.find(b"\xff\xc0")
+        data[sof + 1] = sof_marker
+        with pytest.raises(NotImplementedError, match="hierarchical/arithmetic"):
+            jpeg_decode(bytes(data))
+
+
+def test_malformed_progressive_scan_header_rejected():
     img = _gradient(16, 16)
     data = bytearray(jpeg_encode(img))
     sof = data.find(b"\xff\xc0")
-    data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    data[sof + 1] = 0xC2  # claim progressive, but the scan is Ss=0..Se=63
+    with pytest.raises(ValueError, match="Se=0"):
         jpeg_decode(bytes(data))
 
 
@@ -134,3 +144,47 @@ def test_multimodal_jpeg_features_and_resize(spark):
     assert (small.meta.width, small.meta.height) == (16, 8)
     out_px = jpeg_decode(bytes(small.content))
     assert out_px.shape == (8, 16, 3)
+
+
+# ---- progressive (SOF2) ---------------------------------------------------
+
+
+def test_progressive_decodes_bit_identical_to_baseline():
+    """Progressive reorganizes the SAME quantized coefficients, so its
+    decode must EXACTLY equal the baseline decode — across successive
+    approximation (DC+AC), spectral selection, subsampling, and the
+    EOB-run-heavy flat-image case."""
+    from dataset_dedupe_estimator_spark.operators.jpeg_codec import (
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    grad = _gradient()
+    cases = [
+        (grad, dict(quality=75, dc_al=0, ac_al=0)),  # spectral selection only
+        (grad, dict(quality=85, dc_al=1, ac_al=1)),
+        (grad, dict(quality=85, subsample=True, dc_al=1, ac_al=1)),
+        (rng.integers(0, 256, (24, 40, 3), dtype=np.uint8), dict(quality=60, dc_al=2, ac_al=2)),
+        (np.full((32, 32, 3), 130, dtype=np.uint8), dict(quality=85, dc_al=1, ac_al=1)),
+        (grad, dict(quality=85, dc_al=0, ac_al=1, bands=((1, 63),))),
+    ]
+    for img, kw in cases:
+        base = jpeg_decode(
+            jpeg_encode(img, quality=kw.get("quality", 85), subsample=kw.get("subsample", False))
+        )
+        prog_bytes = jpeg_encode_progressive(img, **kw)
+        assert b"\xff\xc2" in prog_bytes  # really SOF2
+        assert np.array_equal(base, jpeg_decode(prog_bytes)), kw
+
+
+def test_progressive_grayscale_and_meta():
+    from dataset_dedupe_estimator_spark.operators.jpeg_codec import (
+        jpeg_encode_progressive,
+    )
+    from dataset_dedupe_estimator_spark.operators.multimodal import jpeg_meta
+
+    yy, xx = np.mgrid[0:24, 0:33]
+    g = ((yy * 5 + xx * 3) % 256).astype(np.uint8)
+    data = jpeg_encode_progressive(g, quality=100, dc_al=1, ac_al=1)
+    assert np.array_equal(jpeg_decode(data), jpeg_decode(jpeg_encode(g, quality=100)))
+    assert jpeg_meta(data) == (33, 24)  # SOF walk reads SOF2 frames too
