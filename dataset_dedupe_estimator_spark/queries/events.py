@@ -973,7 +973,77 @@ LIMIT {PATH_TOP}
 """
 
 
+TWAP_MIN_EVENTS = 3  # users with fewer events have no meaningful span
+
+
+def user_value_twap(spark, sf):
+    """Time-WEIGHTED average value per user — the metric sensor/price/
+    balance streams need where the plain AVG is wrong (a value that held
+    for an hour must weigh 3600x one that held a second). Each event's
+    value is a step function until the user's next event; the TWA is
+    Σ value_i·Δt_i / Σ Δt_i over the user's span.
+
+    Exactness discipline: value in integer cents, duration in integer
+    microseconds via one `lead` window; the weighted sum is exact
+    BIGINT and only the final ratio is one rounded double division —
+    identical IEEE op in both engines. One user-partition window + one
+    aggregate: single shuffle, scales with users like sessionize."""
+    ev = load(spark, sf, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents_v = F.round(F.col("value") * 100, 0).cast("long")
+    stepped = ev.select(
+        "user_id",
+        cents_v.alias("value_cents"),
+        ts_us.alias("t"),
+        F.lead(ts_us).over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    agg = stepped.groupBy("user_id").agg(
+        (F.count(F.lit(1)) + 1).alias("n_events"),  # steps + the final event
+        F.sum(F.col("value_cents") * (F.col("t_next") - F.col("t"))).alias("wsum"),
+        F.sum(F.col("t_next") - F.col("t")).alias("span_us"),
+    )
+    return (
+        agg.filter(F.col("n_events") >= TWAP_MIN_EVENTS)
+        .filter(F.col("span_us") > 0)
+        .select(
+            "user_id",
+            "n_events",
+            "span_us",
+            F.round(
+                F.col("wsum").cast("double") / F.col("span_us").cast("double") / 100.0,
+                4,
+            ).alias("twap_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+USER_TWAP_SQL = f"""
+WITH ev AS (
+  SELECT user_id, CAST(ROUND(value * 100.0) AS BIGINT) AS value_cents,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+         LEAD(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS t_next
+  FROM events
+),
+stepped AS (SELECT * FROM ev WHERE t_next IS NOT NULL),
+agg AS (
+  SELECT user_id, COUNT(*) + 1 AS n_events,
+         CAST(SUM(value_cents * (t_next - t)) AS BIGINT) AS wsum,
+         CAST(SUM(t_next - t) AS BIGINT) AS span_us
+  FROM stepped GROUP BY user_id
+)
+SELECT user_id, n_events, span_us,
+       ROUND(CAST(wsum AS DOUBLE) / CAST(span_us AS DOUBLE) / 100.0, 4) AS twap_value
+FROM agg WHERE n_events >= {TWAP_MIN_EVENTS} AND span_us > 0
+ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "user_value_twap": Q(user_value_twap, USER_TWAP_SQL),
     "events_hourly": Q(events_hourly, EVENTS_HOURLY_SQL),
     "rolling_active_users": Q(rolling_active_users, ROLLING_ACTIVE_USERS_SQL),
     "events_late_arrivals": Q(events_late_arrivals, EVENTS_LATE_SQL),

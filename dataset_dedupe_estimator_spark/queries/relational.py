@@ -869,7 +869,208 @@ ORDER BY cohort_qtr, age_qtrs
 """
 
 
+HIER_FANOUT = 8  # deterministic parent(k) = k div HIER_FANOUT; k < FANOUT are roots
+HIER_JUMPS = 6  # pointer-jumping rounds: handles depth up to 2^6
+
+
+def customer_hierarchy_rollup(spark, sf):
+    """Hierarchy / transitive-closure rollup — the recursive-CTE query
+    class Spark has no native operator for (org charts, BOM explosion,
+    account trees), expressed scale-first: POINTER JUMPING resolves
+    every node's root and depth in O(log depth) self-joins instead of
+    O(depth) sequential steps or a driver-side loop over rows.
+
+    The hierarchy is derived deterministically from the customer table
+    (parent(k) = k div {HIER_FANOUT}; keys below {HIER_FANOUT} are
+    roots), so both engines see the identical forest without auxiliary
+    data. Each jump doubles the resolved distance: state (node → anc,
+    dist, done) self-joins on anc; {HIER_JUMPS} rounds cover depth
+    2^{HIER_JUMPS}, far beyond the key domain's log_{HIER_FANOUT}
+    depth. The rollup then aggregates each root's subtree: members,
+    max depth, exact-cents total account balance.
+
+    100 TB shape: every jump is one equi-join shuffle of the node
+    table against itself (no fan-out growth — state stays one row per
+    node); log-depth rounds total. The same plan runs connected
+    components (operators/components.py) — this query is the
+    oracle-checkable form with depths and subtree aggregates."""
+    cust = load(spark, sf, "customer").select(
+        F.col("c_custkey").alias("node"), cents("c_acctbal").alias("bal_cents")
+    )
+    parent = F.when(
+        F.col("node") >= HIER_FANOUT, F.expr(f"node div {HIER_FANOUT}")
+    )
+    state = cust.select(
+        "node",
+        F.coalesce(parent, F.col("node")).alias("anc"),
+        F.when(parent.isNull(), F.lit(0)).otherwise(F.lit(1)).cast("long").alias("dist"),
+        parent.isNull().alias("done"),
+    )
+    for _ in range(HIER_JUMPS):
+        hop = state.select(
+            F.col("node").alias("anc"),
+            F.col("anc").alias("anc2"),
+            F.col("dist").alias("d2"),
+            F.col("done").alias("done2"),
+        )
+        state = (
+            state.join(hop, "anc")
+            .select(
+                "node",
+                F.when(F.col("done"), F.col("anc")).otherwise(F.col("anc2")).alias("anc"),
+                F.when(F.col("done"), F.col("dist"))
+                .otherwise(F.col("dist") + F.col("d2"))
+                .alias("dist"),
+                (F.col("done") | F.col("done2")).alias("done"),
+            )
+        )
+    resolved = state.join(cust, "node")
+    return (
+        resolved.groupBy(F.col("anc").alias("root_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("dist").alias("max_depth"),
+            F.sum("bal_cents").alias("subtree_bal_cents"),
+        )
+        .orderBy("root_key")
+    )
+
+
+CUSTOMER_HIERARCHY_SQL = f"""
+WITH RECURSIVE up(node, cur, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer
+  UNION ALL
+  SELECT node, cur // {HIER_FANOUT}, depth + 1 FROM up WHERE cur >= {HIER_FANOUT}
+),
+resolved AS (
+  SELECT node, cur AS root_key, depth FROM up WHERE cur < {HIER_FANOUT}
+)
+SELECT root_key, COUNT(*) AS n_members,
+       CAST(MAX(depth) AS BIGINT) AS max_depth,
+       CAST(SUM({sql_cents("c_acctbal")}) AS BIGINT) AS subtree_bal_cents
+FROM resolved JOIN customer ON c_custkey = node
+GROUP BY root_key ORDER BY root_key
+"""
+
+
+PR_SCALE = 10**12  # fixed-point rank scale
+PR_ITERS = 3
+PR_TOP = 20
+PR_FROM, PR_TO = "1997-01-01 00:00:00", "1997-04-01 00:00:00"
+
+
+def supplier_pagerank(spark, sf):
+    """Iterative PageRank over the customer↔supplier trade graph — the
+    iterative-algorithm class (label propagation, embeddings lookups,
+    influence) that has no single SQL operator, run as a fixed number of
+    join+aggregate rounds with the loop UNROLLED INTO THE PLAN (no
+    driver-side data movement).
+
+    Exactness discipline: ranks live in integer fixed point
+    (SCALE=10^12); every step is integer division (`div` / `//` — both
+    truncate for the all-positive operands here), so after
+    {PR_ITERS} iterations both engines hold bit-identical BIGINT ranks
+    — an EXACT oracle for an iterative numeric algorithm. Nodes are
+    key-disambiguated (customer 2k, supplier 2k+1); edges are the
+    distinct trade pairs of one order quarter, walked in both
+    directions.
+
+    100 TB shape: per iteration one shuffle of (rank ÷ degree)
+    contributions on dst + one broadcast of the scalar node count;
+    state stays one row per node. Degrees/edges computed once and
+    reused."""
+    orders = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= ts(PR_FROM)) & (F.col("o_orderdate") < ts(PR_TO))
+    )
+    li = load(spark, sf, "lineitem")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")).unionByName(
+        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+        "node", F.expr(f"{PR_SCALE} div n").alias("rank")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            ranks.join(deg, ranks.node == deg.src)
+            .join(edges, "src")
+            .select("dst", F.expr("rank div d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inbound"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                "node",
+                (
+                    F.expr(f"({PR_SCALE} * 15) div (100 * n)")
+                    + F.expr("(85 * coalesce(inbound, 0)) div 100")
+                ).alias("rank"),
+            )
+        )
+    supp = load(spark, sf, "supplier")
+    return (
+        ranks.filter(F.col("node") % 2 == 1)
+        .select(F.expr("(node - 1) div 2").alias("s_suppkey"), "rank")
+        .join(F.broadcast(supp.select("s_suppkey", "s_name")), "s_suppkey")
+        .orderBy(F.col("rank").desc(), F.col("s_suppkey"))
+        .limit(PR_TOP)
+    )
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT n.node,
+         ({PR_SCALE} * 15) // (100 * (SELECT n FROM nn))
+         + (85 * COALESCE(inb.inbound, 0)) // 100 AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst, CAST(SUM(r.rank // dg.d) AS BIGINT) AS inbound
+    FROM {prev} r JOIN deg dg ON dg.src = r.node JOIN edges e ON e.src = r.node
+    GROUP BY e.dst
+  ) inb ON inb.dst = n.node
+)"""
+
+
+SUPPLIER_PAGERANK_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c_node, l_suppkey * 2 + 1 AS s_node
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_orderdate >= TIMESTAMP '{PR_FROM}' AND o_orderdate < TIMESTAMP '{PR_TO}'
+),
+edges AS (
+  SELECT c_node AS src, s_node AS dst FROM pairs
+  UNION ALL
+  SELECT s_node AS src, c_node AS dst FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, {PR_SCALE} // (SELECT n FROM nn) AS rank FROM nodes),
+{_pr_iter_sql("r0", "r1")},
+{_pr_iter_sql("r1", "r2")},
+{_pr_iter_sql("r2", "r3")}
+SELECT (node - 1) // 2 AS s_suppkey, CAST(rank AS BIGINT) AS rank, s_name
+FROM r3 JOIN supplier ON s_suppkey = (node - 1) // 2
+WHERE node % 2 = 1
+ORDER BY rank DESC, s_suppkey LIMIT {PR_TOP}
+"""
+
+
 QUERIES = {
+    "customer_hierarchy_rollup": Q(customer_hierarchy_rollup, CUSTOMER_HIERARCHY_SQL),
+    "supplier_pagerank": Q(supplier_pagerank, SUPPLIER_PAGERANK_SQL),
     "temporal_dim_join": Q(temporal_dim_join, TEMPORAL_DIM_SQL),
     "orders_rfm_segments": Q(orders_rfm_segments, RFM_SQL),
     "basket_part_pairs": Q(basket_part_pairs, BASKET_SQL),

@@ -32,6 +32,7 @@ EAGER = {
 BNLJ_ALLOWED = {
     "unigram_surprisal",  # corpus-total count row
     "mixture_sample",  # corpus-total + weight-mass scalar row (replaced the full-frame window)
+    "supplier_pagerank",  # node-count scalar row broadcast into each unrolled iteration
     "q22_idle_customers",  # global-average scalar row
     "q11_important_parts",  # global-total scalar row (HAVING fraction gate)
     "knn_brute_force",  # single query vector
