@@ -694,6 +694,56 @@ def cmd_delta(args) -> int:
     return 0
 
 
+def cmd_media(args) -> int:
+    """`de media DIR [--features OUT] [--glob PAT]`: scan a directory of
+    media files, decode container metadata distributed
+    (operators/multimodal.py — real PNG/JPEG/WAV/AVI/MP4 parsing), print
+    a per-format census, and optionally write pixel/audio feature
+    vectors to parquet (embedding-ready for the similarity operators)."""
+    from pyspark.sql import functions as F
+
+    from dataset_dedupe_estimator_spark.operators.multimodal import (
+        MEDIA_DDL,
+        decode_media,
+        extract_features,
+    )
+
+    spark = _spark(args)
+    meta_t = MEDIA_DDL.split("meta ", 1)[1]
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", args.glob)
+        .load(args.dir)
+        .select(
+            F.monotonically_increasing_id().alias("media_id"),
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("kind"),
+            F.col("content"),
+            F.lit(None).cast(meta_t).alias("meta"),
+        )
+    )
+    media = decode_media(raw)
+    census = (
+        media.groupBy(F.col("meta.fmt").alias("fmt"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.octet_length("content")).alias("bytes"),
+            F.avg(F.coalesce(F.col("meta.width"), F.lit(0))).alias("avg_w"),
+            F.avg(F.coalesce(F.col("meta.sample_rate"), F.lit(0))).alias("avg_rate"),
+        )
+        .orderBy("fmt")
+        .collect()
+    )
+    for r in census:
+        print(
+            f"{r.fmt or '?':8s} n={r.n_files:<6d} bytes={r.bytes:<12d} "
+            f"avg_width={r.avg_w:.0f} avg_rate={r.avg_rate:.0f}"
+        )
+    if args.features:
+        extract_features(media).write.mode("overwrite").parquet(args.features)
+        print(f"wrote features to {args.features}")
+    return 0
+
+
 def cmd_checkout(args) -> int:
     """`de checkout` (de/cli.py:148-170): materialize git revisions."""
     from dataset_dedupe_estimator_spark.sources.git_revisions import (
@@ -864,6 +914,12 @@ def build_parser() -> argparse.ArgumentParser:
     px.add_argument("--topk", type=int, default=10)
     px.add_argument("--nprobe", type=int, default=2)
     px.set_defaults(fn=cmd_pq_index)
+
+    md = sub.add_parser("media", help="scan + decode a directory of media files")
+    md.add_argument("dir")
+    md.add_argument("--glob", default="*", help="pathGlobFilter pattern")
+    md.add_argument("--features", help="write feature vectors to this parquet path")
+    md.set_defaults(fn=cmd_media)
 
     co = sub.add_parser("checkout", help="materialize git file revisions")
     co.add_argument("repo")

@@ -224,3 +224,41 @@ def test_cli_pq_index(capsys, spark, tmp_path):
     assert out.splitlines()[-5].startswith("vec_id=5 ")
     rc = main(["pq-index", "search", idx, vecs, "--query-id", "999999"])
     assert rc == 2
+
+
+def test_cli_media(capsys, spark, tmp_path):
+    """`de media`: real files of every decodable format scanned, decoded,
+    censused, and feature-extracted through the CLI."""
+    import numpy as np
+
+    from dataset_dedupe_estimator_spark.operators.jpeg_codec import jpeg_encode
+    from dataset_dedupe_estimator_spark.operators.multimodal import avi_encode_mjpeg
+    from dataset_dedupe_estimator_spark.operators.png_codec import encode_png
+
+    d = tmp_path / "media"
+    d.mkdir()
+    yy, xx = np.mgrid[0:16, 0:16]
+    img = np.stack([yy * 8, xx * 8, yy + xx], axis=2).astype(np.uint8)
+    (d / "a.png").write_bytes(encode_png(img))
+    (d / "b.jpg").write_bytes(jpeg_encode(img, quality=90))
+    (d / "c.avi").write_bytes(avi_encode_mjpeg([img, img]))
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x01" * 256)
+    (d / "d.wav").write_bytes(buf.getvalue())
+
+    feats = str(tmp_path / "feats.parquet")
+    rc = main(["media", str(d), "--features", feats])
+    out = capsys.readouterr().out
+    assert rc == 0
+    for fmt in ("png", "jpeg", "avi", "wav"):
+        assert f"{fmt:8s}n=".replace("n=", " n=").strip()[:3] in out or fmt in out
+    fdf = spark.read.parquet(feats)
+    assert fdf.count() == 4
+    assert len(fdf.head().feature) == 16
