@@ -474,7 +474,10 @@ def multimodal_pipeline_demo(spark, sf):
         import numpy as np
         import pyarrow as pa
 
-        from dataset_dedupe_estimator_spark.operators.jpeg_codec import jpeg_encode
+        from dataset_dedupe_estimator_spark.operators.jpeg_codec import (
+            jpeg_encode,
+            jpeg_encode_progressive,
+        )
         from dataset_dedupe_estimator_spark.operators.multimodal import _META_PA
 
         for batch in batches:
@@ -487,7 +490,14 @@ def multimodal_pipeline_demo(spark, sf):
                     [(yy * (2 + i % 3)) % 256, (xx * 3) % 256, ((yy + xx + i) * 2) % 256],
                     axis=2,
                 ).astype(np.uint8)
-                blobs.append(jpeg_encode(img, quality=90, subsample=i % 2 == 0))
+                # every third stream is PROGRESSIVE (SOF2) — the decoder
+                # handles both modes through the same pipeline legs
+                if i % 3 == 2:
+                    blobs.append(
+                        jpeg_encode_progressive(img, quality=90, dc_al=1, ac_al=1)
+                    )
+                else:
+                    blobs.append(jpeg_encode(img, quality=90, subsample=i % 2 == 0))
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(ids, pa.int64()),
