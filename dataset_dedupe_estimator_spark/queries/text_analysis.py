@@ -693,7 +693,28 @@ FROM ranked GROUP BY source ORDER BY source
 """
 
 
+BPE_MERGES = 12
+
+
+def bpe_train_merges(spark, sf):
+    """Distributed BPE tokenizer TRAINING (operators/bpe.py): one corpus
+    scan builds the word census, then {BPE_MERGES} greedy merge rounds
+    run over census-sized data only — the vocabulary-construction step
+    every LLM pipeline performs before token counting. Deterministic
+    (lexicographic tie-break), but the training loop is iterative and
+    not SQL-expressible → rows-only driver check; exact equivalence to
+    a pure-Python reference BPE is pinned in tests/test_bpe.py."""
+    from dataset_dedupe_estimator_spark.operators.bpe import bpe_train, word_census
+
+    docs = load(spark, sf, "documents")
+    merges = bpe_train(word_census(docs), BPE_MERGES)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count long"
+    ).orderBy("rank")
+
+
 QUERIES = {
+    "bpe_train_merges": Q(bpe_train_merges),
     "doc_length_quantiles": Q(doc_length_quantiles, DOC_LENGTH_QUANTILES_SQL),
     "bpe_pair_frequencies": Q(bpe_pair_frequencies, BPE_PAIR_SQL),
     "repetition_stats": Q(repetition_stats, REPETITION_SQL),

@@ -1,0 +1,63 @@
+"""operators/bpe.py — distributed BPE training must train the IDENTICAL
+vocabulary (same merges, same order, same counts) as the pure-Python
+reference implementation of the same greedy algorithm."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataset_dedupe_estimator_spark.operators.bpe import (
+    bpe_reference,
+    bpe_train,
+    word_census,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from dataset_dedupe_estimator_spark import get_spark
+
+    return get_spark(app_name="test-bpe", shuffle_partitions=8)
+
+
+def test_spark_bpe_equals_reference(spark):
+    docs = spark.createDataFrame(
+        [
+            ("low lower lowest low low",),
+            ("new newer newest new newer",),
+            ("wide wider widest new low",),
+        ],
+        "text string",
+    )
+    census = word_census(docs)
+    rows = [(r.word, r.n) for r in census.collect()]
+    got = bpe_train(census, 8)
+    want = bpe_reference(rows, 8)
+    assert got == want
+    # the classic example: frequent suffixes merge early
+    assert len(got) == 8
+    assert got[0]["pair_count"] >= got[-1]["pair_count"]
+
+
+def test_spark_bpe_on_real_corpus_prefix(spark):
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(50)
+    )
+    census = word_census(docs)
+    rows = [(r.word, r.n) for r in census.collect()]
+    got = bpe_train(census, 5)
+    want = bpe_reference(rows, 5)
+    assert got == want
+
+
+def test_char_split_has_no_empty_symbols(spark):
+    docs = spark.createDataFrame([("ab a",)], "text string")
+    census = word_census(docs)
+    syms = (
+        census.select(
+            F.concat(F.split(F.col("word"), ""), F.array(F.lit("</w>"))).alias("s")
+        )
+        .collect()
+    )
+    for r in syms:
+        assert "" not in r.s

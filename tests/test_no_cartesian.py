@@ -25,6 +25,7 @@ EAGER = {
     "cdc_index_incremental",
     "lsh_index_incremental",
     "streaming_index_pipeline",
+    "bpe_train_merges",  # iterative training loop runs at construction
 }
 
 # deliberate tiny-side broadcasts (scalar aggregates, query vectors,
