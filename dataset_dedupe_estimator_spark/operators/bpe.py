@@ -119,6 +119,80 @@ def bpe_train(
     return merges
 
 
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[dict],
+    text_col: str = "text",
+    end_token: str = "</w>",
+) -> DataFrame:
+    """Tokenize with a trained merge table: per document, the BPE token
+    count under the vocabulary (the number that feeds a token budget).
+    The merge table broadcasts via closure (a few dozen rows); encoding
+    is one Arrow-batched pass with a per-batch word cache — each
+    DISTINCT word is encoded once per batch, the Zipf-friendly shape.
+    Applies merges in RANK order (lowest first), the standard BPE
+    encode rule."""
+    ranks = {(m["left"], m["right"]): m["rank"] for m in merges}
+
+    def encode_word(word: str) -> int:
+        syms = [*word, end_token]
+        while len(syms) > 1:
+            best = None
+            best_rank = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = i, r
+            if best is None:
+                break
+            # merge every occurrence of THIS pair (same-rank pair merges
+            # left-to-right in one sweep, matching training's rewrite)
+            left, right = syms[best], syms[best + 1]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    def fn(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            idx = {n: i for i, n in enumerate(batch.schema.names)}
+            texts = batch.column(idx[text_col]).to_pylist()
+            others = [
+                (n, batch.column(i))
+                for n, i in idx.items()
+                if n != text_col
+            ]
+            cache: dict[str, int] = {}
+            n_ws, n_bpe = [], []
+            for t in texts:
+                words = [w for w in (t or "").split(" ") if w]
+                total = 0
+                for w in words:
+                    if w not in cache:
+                        cache[w] = encode_word(w)
+                    total += cache[w]
+                n_ws.append(len(words))
+                n_bpe.append(total)
+            yield pa.RecordBatch.from_arrays(
+                [c for _, c in others]
+                + [pa.array(n_ws, pa.int64()), pa.array(n_bpe, pa.int64())],
+                names=[n for n, _ in others] + ["ws_tokens", "bpe_tokens"],
+            )
+
+    schema = ", ".join(
+        f"{n} {t}" for n, t in docs.dtypes if n != text_col
+    ) + ", ws_tokens long, bpe_tokens long"
+    return docs.mapInArrow(fn, schema)
+
+
 def bpe_reference(census_rows: list[tuple[str, int]], n_merges: int, end_token: str = "</w>") -> list[dict]:
     """Pure-Python reference implementation (test oracle): identical
     greedy algorithm and tie-break over a collected census."""

@@ -713,8 +713,41 @@ def bpe_train_merges(spark, sf):
     ).orderBy("rank")
 
 
+def bpe_token_stats(spark, sf):
+    """Train → tokenize → budget, end to end: the {BPE_MERGES}-merge
+    vocabulary from `bpe_train_merges` applied back to the corpus
+    (operators/bpe.py:bpe_encode, one Arrow pass with a per-batch word
+    cache), rolled up per source: whitespace vs BPE token counts and
+    the chars-per-BPE-token compression the budget planner actually
+    uses. Rows-only (the train+encode loop is not SQL-expressible);
+    encode correctness is pinned against the reference implementation
+    in tests/test_bpe.py."""
+    from dataset_dedupe_estimator_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+        word_census,
+    )
+
+    docs = load(spark, sf, "documents")
+    merges = bpe_train(word_census(docs), BPE_MERGES)
+    enc = bpe_encode(docs.select("source", "text", F.length("text").alias("n_chars_c")), merges)
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").alias("ws_tokens"),
+            F.sum("bpe_tokens").alias("bpe_tokens"),
+            F.round(
+                F.sum("n_chars_c") / F.sum("bpe_tokens"), 3
+            ).alias("chars_per_bpe_token"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "bpe_train_merges": Q(bpe_train_merges),
+    "bpe_token_stats": Q(bpe_token_stats),
     "doc_length_quantiles": Q(doc_length_quantiles, DOC_LENGTH_QUANTILES_SQL),
     "bpe_pair_frequencies": Q(bpe_pair_frequencies, BPE_PAIR_SQL),
     "repetition_stats": Q(repetition_stats, REPETITION_SQL),

@@ -61,3 +61,23 @@ def test_char_split_has_no_empty_symbols(spark):
     )
     for r in syms:
         assert "" not in r.s
+
+
+def test_bpe_encode_counts(spark):
+    from dataset_dedupe_estimator_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "newest low")], "doc_id long, text string"
+    )
+    census = word_census(docs)
+    merges = bpe_train(census, 6)
+    out = {r.doc_id: (r.ws_tokens, r.bpe_tokens) for r in bpe_encode(docs, merges).collect()}
+    assert out[1][0] == 3 and out[2][0] == 2
+    # BPE tokens per word: between 1 and len(word)+1 symbols
+    assert 3 <= out[1][1] <= sum(len(w) + 1 for w in "low low lower".split())
+    # with zero merges every word is fully character-split
+    none = {r.doc_id: r.bpe_tokens for r in bpe_encode(docs, []).collect()}
+    assert none[1] == sum(len(w) + 1 for w in "low low lower".split())
+    # more merges never increase the token count
+    fewer = {r.doc_id: r.bpe_tokens for r in bpe_encode(docs, merges[:2]).collect()}
+    assert fewer[1] >= out[1][1]

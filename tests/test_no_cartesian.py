@@ -26,6 +26,7 @@ EAGER = {
     "lsh_index_incremental",
     "streaming_index_pipeline",
     "bpe_train_merges",  # iterative training loop runs at construction
+    "bpe_token_stats",  # trains then encodes at construction
 }
 
 # deliberate tiny-side broadcasts (scalar aggregates, query vectors,
