@@ -694,6 +694,38 @@ def cmd_delta(args) -> int:
     return 0
 
 
+def cmd_bpe(args) -> int:
+    """`de bpe DIR [--merges N] [--out merges.json] [--encode OUT]`:
+    train a BPE merge table on the documents table (operators/bpe.py —
+    one corpus scan, census-sized merge rounds), print it, optionally
+    save it as JSON and/or tokenize the corpus with it into a parquet
+    of per-doc token counts."""
+    import json as jsonlib
+
+    from dataset_dedupe_estimator_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+        word_census,
+    )
+
+    spark = _spark(args)
+    docs = spark.read.parquet(f"{args.dir}/documents.parquet")
+    merges = bpe_train(word_census(docs), args.merges)
+    for m in merges:
+        print(
+            f"#{m['rank']:<3d} {m['left']!r} + {m['right']!r} -> "
+            f"{m['merged']!r}  (count {m['pair_count']})"
+        )
+    if args.out:
+        with open(args.out, "w") as f:
+            jsonlib.dump(merges, f, indent=1)
+        print(f"wrote {len(merges)} merges to {args.out}")
+    if args.encode:
+        bpe_encode(docs, merges).write.mode("overwrite").parquet(args.encode)
+        print(f"wrote token counts to {args.encode}")
+    return 0
+
+
 def cmd_media(args) -> int:
     """`de media DIR [--features OUT] [--glob PAT]`: scan a directory of
     media files, decode container metadata distributed
@@ -914,6 +946,13 @@ def build_parser() -> argparse.ArgumentParser:
     px.add_argument("--topk", type=int, default=10)
     px.add_argument("--nprobe", type=int, default=2)
     px.set_defaults(fn=cmd_pq_index)
+
+    bp = sub.add_parser("bpe", help="train a BPE tokenizer on the documents table")
+    bp.add_argument("dir")
+    bp.add_argument("--merges", type=int, default=16)
+    bp.add_argument("--out", help="write the merge table as JSON")
+    bp.add_argument("--encode", help="tokenize the corpus to this parquet path")
+    bp.set_defaults(fn=cmd_bpe)
 
     md = sub.add_parser("media", help="scan + decode a directory of media files")
     md.add_argument("dir")

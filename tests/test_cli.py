@@ -262,3 +262,19 @@ def test_cli_media(capsys, spark, tmp_path):
     fdf = spark.read.parquet(feats)
     assert fdf.count() == 4
     assert len(fdf.head().feature) == 16
+
+
+def test_cli_bpe(capsys, spark, tmp_path):
+    out_json = str(tmp_path / "merges.json")
+    enc = str(tmp_path / "enc.parquet")
+    rc = main(["bpe", "/root/testdata/sf0.001", "--merges", "4", "--out", out_json, "--encode", enc])
+    assert rc == 0
+    txt = capsys.readouterr().out
+    assert "#0" in txt and "->" in txt
+    import json
+
+    merges = json.load(open(out_json))
+    assert len(merges) == 4 and merges[0]["rank"] == 0
+    df = spark.read.parquet(enc)
+    assert {"ws_tokens", "bpe_tokens"} <= set(df.columns)
+    assert df.count() > 0
