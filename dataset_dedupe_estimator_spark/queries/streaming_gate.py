@@ -292,6 +292,72 @@ def streaming_index_pipeline(spark, sf):
     ).orderBy("stage", "generation")
 
 
+def image_near_dup_demo(spark, sf):
+    """Perceptual image dedup end to end (operators/image_dedup.py):
+    deterministic structured images, each with a JPEG-re-encoded and a
+    2x-downscaled planted copy, hashed (dHash over REAL decoded
+    pixels), banded, and Hamming-verified. Returns per-image-group pair
+    counts plus the total — every planted pair must surface, no
+    cross-group pair may. Rows-only (pixel codecs aren't
+    SQL-expressible); the operator's recall/precision contract is
+    pinned in tests/test_image_dedup.py."""
+    from dataset_dedupe_estimator_spark.operators.image_dedup import (
+        near_dup_images,
+    )
+    from dataset_dedupe_estimator_spark.operators.multimodal import MEDIA_DDL
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from dataset_dedupe_estimator_spark.operators.jpeg_codec import jpeg_encode
+        from dataset_dedupe_estimator_spark.operators.multimodal import _META_PA
+        from dataset_dedupe_estimator_spark.operators.png_codec import encode_png
+
+        for batch in batches:
+            ids, blobs = [], []
+            for i in batch.column("id").to_pylist():
+                rng = np.random.default_rng(1000 + i)
+                base = rng.integers(0, 256, (8, 8, 3))
+                img = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1).astype(
+                    np.uint8
+                )
+                ids += [i * 10, i * 10 + 1, i * 10 + 2]
+                blobs += [
+                    encode_png(img),
+                    jpeg_encode(img, quality=90),
+                    encode_png(img[::2, ::2]),
+                ]
+            meta = [
+                {"width": None, "height": None, "sample_rate": None,
+                 "n_frames": None, "fmt": None}
+            ] * len(ids)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(["image"] * len(ids)),
+                    pa.array(blobs, pa.binary()),
+                    pa.array(meta, _META_PA),
+                ],
+                names=["media_id", "kind", "content", "meta"],
+            )
+
+    media = spark.range(12).mapInArrow(gen, MEDIA_DDL)
+    pairs = near_dup_images(media)
+    per_group = (
+        pairs.groupBy(F.expr("img_a div 10").alias("group_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("hamming").alias("max_hamming"),
+            F.sum(
+                F.when(F.expr("img_a div 10") != F.expr("img_b div 10"), 1).otherwise(0)
+            ).alias("cross_group_pairs"),
+        )
+        .orderBy("group_id")
+    )
+    return per_group
+
+
 def streaming_windowed_counts(spark, sf):
     """The watermarked tumbling-window aggregation
     (streaming/incremental.py:windowed_event_counts) under the full
@@ -759,5 +825,6 @@ QUERIES: dict[str, Q] = {
     ),
     "cdc_streaming_estimate": Q(cdc_streaming_estimate),
     "streaming_index_pipeline": Q(streaming_index_pipeline),
+    "image_near_dup_demo": Q(image_near_dup_demo),
     "multimodal_pipeline_demo": Q(multimodal_pipeline_demo),
 }

@@ -77,4 +77,4 @@ def test_driver_window_rotation_invariants():
 
     oracles = entrymod.oracle_sql()
     rows_only = {n for n in REGISTRY if n not in oracles}
-    assert len(rows_only) == 15, sorted(rows_only)
+    assert len(rows_only) == 16, sorted(rows_only)

@@ -27,6 +27,7 @@ EAGER = {
     "streaming_index_pipeline",
     "bpe_train_merges",  # iterative training loop runs at construction
     "bpe_token_stats",  # trains then encodes at construction
+    "image_near_dup_demo",  # generates + decodes media at construction
 }
 
 # deliberate tiny-side broadcasts (scalar aggregates, query vectors,
