@@ -101,6 +101,115 @@ def image_hashes(media: DataFrame) -> DataFrame:
     )
 
 
+def video_frame_hashes(media: DataFrame, every: int = 1) -> DataFrame:
+    """(media_id, frame_idx, hi, lo): dHash of every ``every``-th frame
+    of each MJPEG-AVI row (operators/multimodal.sample_frames semantics
+    inlined so decode+hash stay one Arrow pass — frames never leave the
+    task)."""
+
+    def fn(batches):
+        import pyarrow as pa
+
+        from dataset_dedupe_estimator_spark.operators.jpeg_codec import jpeg_decode
+        from dataset_dedupe_estimator_spark.operators.multimodal import (
+            avi_mjpeg_frames,
+            is_avi,
+        )
+
+        for batch in batches:
+            idx = {n: i for i, n in enumerate(batch.schema.names)}
+            ids = batch.column(idx["media_id"]).to_pylist()
+            contents = batch.column(idx["content"]).to_pylist()
+            out = []
+            for mid, content in zip(ids, contents):
+                if not is_avi(content):
+                    continue
+                try:
+                    for f_idx, frame in enumerate(avi_mjpeg_frames(content)):
+                        if f_idx % every:
+                            continue
+                        h = dhash_bits(jpeg_decode(frame))
+                        out.append((mid, f_idx, h >> 32, h & 0xFFFFFFFF))
+                except (ValueError, NotImplementedError):
+                    continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([m for m, _, _, _ in out], pa.int64()),
+                    pa.array([f for _, f, _, _ in out], pa.int32()),
+                    pa.array([h for _, _, h, _ in out], pa.int64()),
+                    pa.array([l for _, _, _, l in out], pa.int64()),
+                ],
+                names=["media_id", "frame_idx", "hi", "lo"],
+            )
+
+    return media.select("media_id", "content").mapInArrow(
+        fn, "media_id long, frame_idx int, hi long, lo long"
+    )
+
+
+def near_dup_videos(
+    media: DataFrame,
+    max_hamming: int = DEFAULT_MAX_HAMMING,
+    min_overlap: float = 0.5,
+) -> DataFrame:
+    """(vid_a, vid_b, n_matched_frames, overlap): video pairs where at
+    least ``min_overlap`` of the shorter video's frames have a
+    near-dup frame (banded dHash, exact Hamming verify) in the other —
+    re-encoded or trimmed copies of the same clip. Frame pairs come
+    from the same banded join as images; the rollup counts DISTINCT
+    matched frames of each side so repeated stills can't inflate the
+    overlap."""
+    fh = video_frame_hashes(media)
+    band = F.array(
+        *[
+            F.expr(f"hi div {1 << (16 * b - 32)} % 65536") if b >= 2
+            else F.expr(f"lo div {1 << (16 * b)} % 65536")
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = fh.select(
+        "media_id", "frame_idx", "hi", "lo",
+        F.posexplode(band).alias("band_id", "band_val"),
+    )
+    a = banded.select(
+        "band_id", "band_val", F.col("media_id").alias("vid_a"),
+        F.col("frame_idx").alias("fa"), F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a"),
+    )
+    b = banded.select(
+        "band_id", "band_val", F.col("media_id").alias("vid_b"),
+        F.col("frame_idx").alias("fb"), F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b"),
+    )
+    ham = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    )
+    frame_pairs = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("vid_a") < F.col("vid_b"))
+        .select("vid_a", "vid_b", "fa", "fb", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    counts = fh.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    ca = counts.select(F.col("media_id").alias("vid_a"), F.col("n_frames").alias("n_a"))
+    cb = counts.select(F.col("media_id").alias("vid_b"), F.col("n_frames").alias("n_b"))
+    matched = frame_pairs.groupBy("vid_a", "vid_b").agg(
+        F.countDistinct("fa").alias("ma"), F.countDistinct("fb").alias("mb")
+    )
+    overlap = F.least("ma", "mb") / F.least("n_a", "n_b")
+    return (
+        matched.join(F.broadcast(ca), "vid_a")
+        .join(F.broadcast(cb), "vid_b")
+        .select(
+            "vid_a", "vid_b",
+            F.least("ma", "mb").alias("n_matched_frames"),
+            F.round(overlap, 3).alias("overlap"),
+        )
+        .filter(F.col("overlap") >= min_overlap)
+        .orderBy("vid_a", "vid_b")
+    )
+
+
 def near_dup_images(
     media: DataFrame, max_hamming: int = DEFAULT_MAX_HAMMING
 ) -> DataFrame:

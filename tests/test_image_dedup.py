@@ -73,3 +73,39 @@ def test_near_dup_images_finds_planted_copies(spark):
     # no cross-image false positives between distinct base images
     for a, b in pairs:
         assert a // 10 == b // 10
+
+
+def test_near_dup_videos_finds_reencoded_and_trimmed(spark):
+    """Two MJPEG clips that are re-encodes (different quality) and a
+    trimmed prefix of one must surface; unrelated clips must not."""
+    from dataset_dedupe_estimator_spark.operators.image_dedup import (
+        near_dup_videos,
+        video_frame_hashes,
+    )
+    from dataset_dedupe_estimator_spark.operators.multimodal import (
+        avi_encode_mjpeg,
+    )
+
+    def clip(seed, n=6):
+        rng = np.random.default_rng(seed)
+        frames = []
+        for k in range(n):
+            base = rng.integers(0, 256, (8, 8, 3))
+            frames.append(
+                np.repeat(np.repeat(base, 8, axis=0), 8, axis=1).astype(np.uint8)
+            )
+        return frames
+
+    c1, c2 = clip(1), clip(2)
+    rows = [
+        (1, "video", bytearray(avi_encode_mjpeg(c1, fps=5)), None),
+        (2, "video", bytearray(avi_encode_mjpeg(c1, fps=5)), None),  # re-encode
+        (3, "video", bytearray(avi_encode_mjpeg(c1[:4], fps=5)), None),  # trim
+        (4, "video", bytearray(avi_encode_mjpeg(c2, fps=5)), None),  # unrelated
+    ]
+    media = spark.createDataFrame(rows, MEDIA_DDL)
+    assert video_frame_hashes(media).count() == 6 + 6 + 4 + 6
+    pairs = {(r.vid_a, r.vid_b): r.overlap for r in near_dup_videos(media).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.99
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.99  # trimmed prefix fully covered
+    assert all(4 not in p for p in pairs)
