@@ -773,6 +773,27 @@ def cmd_media(args) -> int:
     if args.features:
         extract_features(media).write.mode("overwrite").parquet(args.features)
         print(f"wrote features to {args.features}")
+    if args.near_dups:
+        from dataset_dedupe_estimator_spark.operators.audio_dedup import (
+            near_dup_audio,
+        )
+        from dataset_dedupe_estimator_spark.operators.image_dedup import (
+            near_dup_images,
+        )
+
+        img_pairs = near_dup_images(media)
+        aud_pairs = near_dup_audio(media).withColumnsRenamed(
+            {"clip_a": "img_a", "clip_b": "img_b"}
+        )
+        pairs = img_pairs.withColumn("modality", F.lit("image")).unionByName(
+            aud_pairs.withColumn("modality", F.lit("audio"))
+        )
+        pairs.write.mode("overwrite").parquet(args.near_dups)
+        n_img, n_aud = img_pairs.count(), aud_pairs.count()
+        print(
+            f"wrote near-dup pairs to {args.near_dups} "
+            f"(image={n_img}, audio={n_aud})"
+        )
     return 0
 
 
@@ -958,6 +979,7 @@ def build_parser() -> argparse.ArgumentParser:
     md.add_argument("dir")
     md.add_argument("--glob", default="*", help="pathGlobFilter pattern")
     md.add_argument("--features", help="write feature vectors to this parquet path")
+    md.add_argument("--near-dups", dest="near_dups", help="write perceptual near-dup pairs (image+audio) to this parquet path")
     md.set_defaults(fn=cmd_media)
 
     co = sub.add_parser("checkout", help="materialize git file revisions")

@@ -253,15 +253,20 @@ def test_cli_media(capsys, spark, tmp_path):
         w.writeframes(b"\x00\x01" * 256)
     (d / "d.wav").write_bytes(buf.getvalue())
 
+    # planted near-dup: re-encoded copy of the PNG image
+    (d / "a2.jpg").write_bytes(jpeg_encode(img, quality=95))
     feats = str(tmp_path / "feats.parquet")
-    rc = main(["media", str(d), "--features", feats])
+    dups = str(tmp_path / "dups.parquet")
+    rc = main(["media", str(d), "--features", feats, "--near-dups", dups])
     out = capsys.readouterr().out
     assert rc == 0
     for fmt in ("png", "jpeg", "avi", "wav"):
         assert f"{fmt:8s}n=".replace("n=", " n=").strip()[:3] in out or fmt in out
     fdf = spark.read.parquet(feats)
-    assert fdf.count() == 4
+    assert fdf.count() == 5
     assert len(fdf.head().feature) == 16
+    pdf = spark.read.parquet(dups)
+    assert pdf.filter(pdf.modality == "image").count() >= 1  # the planted pair
 
 
 def test_cli_bpe(capsys, spark, tmp_path):
