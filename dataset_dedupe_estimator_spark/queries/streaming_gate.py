@@ -293,26 +293,47 @@ def streaming_index_pipeline(spark, sf):
 
 
 def image_near_dup_demo(spark, sf):
-    """Perceptual image dedup end to end (operators/image_dedup.py):
-    deterministic structured images, each with a JPEG-re-encoded and a
-    2x-downscaled planted copy, hashed (dHash over REAL decoded
-    pixels), banded, and Hamming-verified. Returns per-image-group pair
-    counts plus the total — every planted pair must surface, no
-    cross-group pair may. Rows-only (pixel codecs aren't
-    SQL-expressible); the operator's recall/precision contract is
-    pinned in tests/test_image_dedup.py."""
+    """Perceptual near-dup dedup across all THREE media modalities
+    (operators/image_dedup.py, operators/audio_dedup.py): deterministic
+    structured images (+ JPEG-re-encoded and 2x-downscaled planted
+    copies), audio clips (+ gain-adjusted and resampled copies), and
+    MJPEG video clips (+ a re-encode and a trimmed prefix), each hashed
+    over REAL decoded pixels/samples/frames, banded, and verified.
+    Output: one row per (modality, group): pair counts and cross-group
+    leakage (must be 0). Rows-only (pixel/sample codecs aren't
+    SQL-expressible); recall/precision contracts pinned in
+    tests/test_image_dedup.py and tests/test_audio_dedup.py."""
+    from dataset_dedupe_estimator_spark.operators.audio_dedup import (
+        near_dup_audio,
+    )
     from dataset_dedupe_estimator_spark.operators.image_dedup import (
         near_dup_images,
+        near_dup_videos,
     )
     from dataset_dedupe_estimator_spark.operators.multimodal import MEDIA_DDL
 
     def gen(batches):
+        import io
+        import wave as wavemod
+
         import numpy as np
         import pyarrow as pa
 
         from dataset_dedupe_estimator_spark.operators.jpeg_codec import jpeg_encode
-        from dataset_dedupe_estimator_spark.operators.multimodal import _META_PA
+        from dataset_dedupe_estimator_spark.operators.multimodal import (
+            _META_PA,
+            avi_encode_mjpeg,
+        )
         from dataset_dedupe_estimator_spark.operators.png_codec import encode_png
+
+        def wav_bytes(pcm, rate=16000):
+            buf = io.BytesIO()
+            with wavemod.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(rate)
+                w.writeframes(pcm.tobytes())
+            return buf.getvalue()
 
         for batch in batches:
             ids, blobs = [], []
@@ -328,6 +349,29 @@ def image_near_dup_demo(spark, sf):
                     jpeg_encode(img, quality=90),
                     encode_png(img[::2, ::2]),
                 ]
+                # audio group: amplitude-envelope tone + gain/resample copies
+                env = np.repeat(rng.uniform(0.05, 1.0, 40), 401)[:16000]
+                t = np.arange(16000)
+                pcm = (np.sin(2 * np.pi * 440 * t / 16000) * env * 20000).astype("<i2")
+                ids += [1000 + i * 10, 1000 + i * 10 + 1, 1000 + i * 10 + 2]
+                blobs += [
+                    wav_bytes(pcm),
+                    wav_bytes(pcm // 3),
+                    wav_bytes(pcm[::2], rate=8000),
+                ]
+                # video group: 4-frame clip + re-encode + trimmed prefix
+                frames = []
+                for k in range(4):
+                    fb = rng.integers(0, 256, (8, 8, 3))
+                    frames.append(
+                        np.repeat(np.repeat(fb, 8, axis=0), 8, axis=1).astype(np.uint8)
+                    )
+                ids += [2000 + i * 10, 2000 + i * 10 + 1, 2000 + i * 10 + 2]
+                blobs += [
+                    avi_encode_mjpeg(frames, fps=5),
+                    avi_encode_mjpeg(frames, fps=5),
+                    avi_encode_mjpeg(frames[:3], fps=5),
+                ]
             meta = [
                 {"width": None, "height": None, "sample_rate": None,
                  "n_frames": None, "fmt": None}
@@ -335,27 +379,36 @@ def image_near_dup_demo(spark, sf):
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(ids, pa.int64()),
-                    pa.array(["image"] * len(ids)),
+                    pa.array(["media"] * len(ids)),
                     pa.array(blobs, pa.binary()),
                     pa.array(meta, _META_PA),
                 ],
                 names=["media_id", "kind", "content", "meta"],
             )
 
-    media = spark.range(12).mapInArrow(gen, MEDIA_DDL)
-    pairs = near_dup_images(media)
-    per_group = (
-        pairs.groupBy(F.expr("img_a div 10").alias("group_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.max("hamming").alias("max_hamming"),
-            F.sum(
-                F.when(F.expr("img_a div 10") != F.expr("img_b div 10"), 1).otherwise(0)
-            ).alias("cross_group_pairs"),
+    media = spark.range(8).mapInArrow(gen, MEDIA_DDL)
+
+    def rollup(pairs, a_col, b_col, modality):
+        return (
+            pairs.groupBy(F.expr(f"{a_col} div 10").alias("group_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum(
+                    F.when(
+                        F.expr(f"{a_col} div 10") != F.expr(f"{b_col} div 10"), 1
+                    ).otherwise(0)
+                ).alias("cross_group_pairs"),
+            )
+            .select(F.lit(modality).alias("modality"), "group_id", "n_pairs", "cross_group_pairs")
         )
-        .orderBy("group_id")
+
+    out = (
+        rollup(near_dup_images(media), "img_a", "img_b", "image")
+        .unionByName(rollup(near_dup_audio(media), "clip_a", "clip_b", "audio"))
+        .unionByName(rollup(near_dup_videos(media), "vid_a", "vid_b", "video"))
+        .orderBy("modality", "group_id")
     )
-    return per_group
+    return out
 
 
 def streaming_windowed_counts(spark, sf):
