@@ -797,6 +797,46 @@ def cmd_media(args) -> int:
     return 0
 
 
+def cmd_layout(args) -> int:
+    """`de layout TABLE OUT --by c1 --by c2 [--files N] [--band col:lo:hi ...]`:
+    rewrite a parquet table clustered on the Morton key of the --by
+    columns (operators/layout.py — one bounds broadcast + one range
+    exchange) and report footer-stat tightness per dimension plus, for
+    any conjunctive --band filters, the exact fraction of row groups a
+    min-max-pruning reader must scan, before vs after."""
+    from dataset_dedupe_estimator_spark.operators.layout import (
+        pruning_fraction,
+        rowgroup_ranges,
+        write_zordered,
+    )
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.table)
+    write_zordered(df, args.by, args.out, bits=args.bits, num_files=args.files)
+    for col in args.by:
+        ranges = rowgroup_ranges(args.out, col)
+        los = [mn for mn, _ in ranges]
+        his = [mx for _, mx in ranges]
+        domain = max(his) - min(los) + 1
+        avg_span = sum(mx - mn + 1 for mn, mx in ranges) / len(ranges)
+        print(
+            f"{col}: {len(ranges)} row groups, avg footer span "
+            f"{avg_span / domain:.1%} of domain"
+        )
+    if args.band:
+        preds = {}
+        for b in args.band:
+            col, lo, hi = b.rsplit(":", 2)
+            preds[col] = (int(lo), int(hi))
+        before = pruning_fraction(args.table, preds)
+        after = pruning_fraction(args.out, preds)
+        print(
+            f"row groups scanned for {preds}: "
+            f"{before:.1%} before -> {after:.1%} z-ordered"
+        )
+    return 0
+
+
 def cmd_checkout(args) -> int:
     """`de checkout` (de/cli.py:148-170): materialize git revisions."""
     from dataset_dedupe_estimator_spark.sources.git_revisions import (
@@ -981,6 +1021,17 @@ def build_parser() -> argparse.ArgumentParser:
     md.add_argument("--features", help="write feature vectors to this parquet path")
     md.add_argument("--near-dups", dest="near_dups", help="write perceptual near-dup pairs (image+audio) to this parquet path")
     md.set_defaults(fn=cmd_media)
+
+    ly = sub.add_parser("layout", help="z-order rewrite + data-skipping report")
+    ly.add_argument("table", help="input parquet file/directory")
+    ly.add_argument("out", help="output directory for the z-ordered copy")
+    ly.add_argument("--by", action="append", required=True, help="cluster column (repeat)")
+    ly.add_argument("--files", type=int, default=64)
+    ly.add_argument("--bits", type=int, default=10)
+    ly.add_argument(
+        "--band", action="append", default=[], help="col:lo:hi conjunctive filter band"
+    )
+    ly.set_defaults(fn=cmd_layout)
 
     co = sub.add_parser("checkout", help="materialize git file revisions")
     co.add_argument("repo")

@@ -17,6 +17,7 @@ from dataset_dedupe_estimator_spark.queries import (  # noqa: E402
     corpus_quality,
     dedupe_text,
     events,
+    maintenance,
     relational,
     similarity,
     splits,
@@ -28,7 +29,7 @@ from dataset_dedupe_estimator_spark.queries import (  # noqa: E402
 )
 
 REGISTRY: dict[str, Q] = {}
-for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthetic_sql, synthetic_e2e, splits, streaming_gate, advanced, core_cdc, corpus_dedup, corpus_quality, tpch_deep):
+for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthetic_sql, synthetic_e2e, splits, streaming_gate, advanced, core_cdc, corpus_dedup, corpus_quality, tpch_deep, maintenance):
     overlap = REGISTRY.keys() & _mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,204 @@
+"""Table-maintenance operators: incremental MV refresh, snapshot diff,
+Z-order layout.
+
+The reference engine's job ends at estimating dedup; a production corpus
+store also has to *stay correct and cheap to query as it changes*.  These
+queries cover that lifecycle layer:
+
+* ``mv_incremental_orders`` — self-maintainable aggregate view refreshed
+  from insert + retraction deltas without rescanning the base table
+  (``operators/matview.py``).
+* ``snapshot_diff_docs`` — added/removed/changed census between two
+  corpus snapshots by content digest (what changed between crawl N and
+  N+1), the input a downstream incremental dedup/train pipeline keys on.
+* ``zorder_layout`` — Morton-curve clustering quality: per-tile bounds
+  prove every participating dimension is tight inside a tile, the
+  property parquet min-max pruning converts into skipped bytes
+  (``operators/layout.py`` has the writer + measured pruning fractions).
+
+Scale shape (100 TB): the MV merge shuffles O(|delta| + |touched keys|),
+never the base; the snapshot diff is one sort-merge join keyed on doc_id
+(bucketed snapshots make it exchange-free); the z-value is pure integer
+expression work that rides the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataset_dedupe_estimator_spark.operators.layout import zvalue, zvalue_sql
+from dataset_dedupe_estimator_spark.operators.matview import (
+    additive_state,
+    merge_states,
+)
+from dataset_dedupe_estimator_spark.queries.base import Q, cents, load, sql_cents
+
+
+# --- incremental materialized view -----------------------------------------
+
+def mv_incremental_orders(spark, sf):
+    """Per-customer order count/total maintained from deltas only.
+
+    The stored view is the partial-aggregate state of the base batch
+    (orders with ``o_orderkey % 7 != 0``); a later batch inserts the
+    ``% 7 == 0`` orders and then retracts the ``% 14 == 0`` ones
+    (signed -1 state).  The refresh merges the three states with one
+    delta-sized shuffle — the base rows are aggregated exactly once.
+    The result must equal a from-scratch aggregate over the surviving
+    rows, which is what the oracle recomputes.
+    """
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    measures = {"mv_cents": cents("o_totalprice")}
+    keys = ["o_custkey"]
+    base = additive_state(
+        orders.filter(F.col("o_orderkey") % 7 != 0), keys, measures
+    )
+    inserts = additive_state(
+        orders.filter(F.col("o_orderkey") % 7 == 0), keys, measures
+    )
+    retracts = additive_state(
+        orders.filter(F.col("o_orderkey") % 14 == 0), keys, measures, sign=-1
+    )
+    mv = merge_states([base, inserts, retracts], keys)
+    return mv.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("mv_count").alias("order_cnt"),
+        (F.col("mv_cents").cast("double") / 100).alias("total_price"),
+    ).orderBy("custkey")
+
+
+MV_INCREMENTAL_ORDERS_SQL = f"""
+SELECT o_custkey AS custkey,
+       COUNT(*) AS order_cnt,
+       CAST(SUM({sql_cents('o_totalprice')}) AS DOUBLE) / 100 AS total_price
+FROM orders
+WHERE o_orderkey % 14 <> 0
+GROUP BY o_custkey
+ORDER BY custkey
+"""
+
+
+# --- snapshot diff ----------------------------------------------------------
+
+def snapshot_diff_docs(spark, sf):
+    """Added/removed/changed/unchanged census between two corpus snapshots.
+
+    Snapshot A drops ``doc_id % 11 == 3``; snapshot B drops
+    ``doc_id % 11 == 7`` and revises the text of ``doc_id % 5 == 0``.
+    The diff compares content digests after a full-outer join on doc_id
+    and reports per-(source, status) counts — the changelog an
+    incremental dedup/index pipeline consumes instead of reprocessing
+    the whole corpus.
+    """
+    docs = load(spark, sf, "documents").select("doc_id", "source", "text")
+    snap_a = docs.filter(F.col("doc_id") % 11 != 3)
+    snap_b = docs.filter(F.col("doc_id") % 11 != 7).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text")),
+    )
+    a = snap_a.select(
+        "doc_id",
+        F.col("source").alias("src_a"),
+        F.md5(F.col("text").cast("binary")).alias("dig_a"),
+    )
+    b = snap_b.select(
+        "doc_id",
+        F.col("source").alias("src_b"),
+        F.md5(F.col("text").cast("binary")).alias("dig_b"),
+    )
+    joined = a.join(b, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("dig_b").isNull(), F.lit("removed"))
+        .when(F.col("dig_a").isNull(), F.lit("added"))
+        .when(F.col("dig_a") != F.col("dig_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            F.coalesce("src_a", "src_b").alias("source"), status.alias("status")
+        )
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "status")
+    )
+
+
+SNAPSHOT_DIFF_DOCS_SQL = """
+WITH a AS (
+  SELECT doc_id, source, md5(text) AS dig
+  FROM documents WHERE doc_id % 11 <> 3
+),
+b AS (
+  SELECT doc_id, source,
+         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END) AS dig
+  FROM documents WHERE doc_id % 11 <> 7
+)
+SELECT COALESCE(a.source, b.source) AS source,
+       CASE WHEN b.dig IS NULL THEN 'removed'
+            WHEN a.dig IS NULL THEN 'added'
+            WHEN a.dig <> b.dig THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       COUNT(*) AS n_docs
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+GROUP BY 1, 2
+ORDER BY source, status
+"""
+
+
+# --- z-order layout ---------------------------------------------------------
+
+_Z_BITS = 10
+_TILE_SHIFT = 1 << 14  # keep the top 6 of 20 z-bits -> 64 Morton tiles
+
+
+def zorder_layout(spark, sf):
+    """Morton-tile locality census over lineitem (partkey x suppkey).
+
+    Interleaves the low 10 bits of ``l_partkey % 1024`` and
+    ``l_suppkey % 1024`` into a 20-bit z-value and reports, per 64th of
+    the curve, the row count and the min/max of *both* dimensions.  The
+    tight per-tile bounds on every dimension are exactly the footer
+    stats a z-ordered write ships to the scan planner
+    (``operators/layout.py::write_zordered``); the measured pruning
+    fractions live in tests/test_layout.py and SCALING.md.
+    """
+    li = load(spark, sf, "lineitem").select(
+        (F.col("l_partkey") % 1024).alias("a"),
+        (F.col("l_suppkey") % 1024).alias("b"),
+    )
+    z = zvalue([F.col("a"), F.col("b")], _Z_BITS)
+    return (
+        li.withColumn("tile", (z / F.lit(_TILE_SHIFT)).cast("long"))
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("a").alias("min_a"),
+            F.max("a").alias("max_a"),
+            F.min("b").alias("min_b"),
+            F.max("b").alias("max_b"),
+        )
+        .orderBy("tile")
+    )
+
+
+ZORDER_LAYOUT_SQL = f"""
+WITH keyed AS (
+  SELECT (l_partkey % 1024) AS a, (l_suppkey % 1024) AS b FROM lineitem
+)
+SELECT {zvalue_sql(['a', 'b'], _Z_BITS)} // {_TILE_SHIFT} AS tile,
+       COUNT(*) AS n_rows,
+       MIN(a) AS min_a, MAX(a) AS max_a,
+       MIN(b) AS min_b, MAX(b) AS max_b
+FROM keyed
+GROUP BY 1
+ORDER BY tile
+"""
+
+
+QUERIES = {
+    "mv_incremental_orders": Q(mv_incremental_orders, MV_INCREMENTAL_ORDERS_SQL),
+    "snapshot_diff_docs": Q(snapshot_diff_docs, SNAPSHOT_DIFF_DOCS_SQL),
+    "zorder_layout": Q(zorder_layout, ZORDER_LAYOUT_SQL),
+}
