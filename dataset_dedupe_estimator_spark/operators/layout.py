@@ -18,6 +18,13 @@ Pruning evidence is measured, not assumed: :func:`rowgroup_ranges`
 reads the parquet footers (pyarrow) and :func:`pruning_fraction`
 computes exactly which row groups a min-max-aware reader (Spark's
 parquet source with pushed filters, or any zone-map scan) must touch.
+
+Relation to ``sources/compact.py::zorder_value``: that is the
+compaction-time variant (exactly two columns, 16-bit shift intrinsics,
+driver-collected bounds — a maintenance-budget operator). This module
+is the general form: n dimensions, broadcast bounds, and div/mod
+arithmetic expressible in ANSI SQL so the gate's DuckDB oracle can
+recompute the identical key (:func:`zvalue_sql`).
 """
 
 from __future__ import annotations

@@ -113,7 +113,11 @@ def zorder_value(df: DataFrame, cols: Sequence[str]) -> "tuple[DataFrame, str]":
     Why Z-order: sorting clusters ONE key's min/max file stats;
     interleaving clusters BOTH, so range predicates on either column
     prune files. More than two keys → interleave hierarchically
-    (zorder the zorder), at decreasing per-key resolution."""
+    (zorder the zorder), at decreasing per-key resolution.
+
+    The n-dimensional, oracle-expressible form (with measured row-group
+    pruning fractions) lives in ``operators/layout.py``; this variant
+    stays shift-intrinsic and two-column for the compaction hot path."""
     from pyspark.sql import functions as F
 
     if len(cols) != 2:
