@@ -745,7 +745,126 @@ def bpe_token_stats(spark, sf):
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("vector", "window", "fast")  # fixed benchmark query
+BM25_TOP = 20
+
+
+def bm25_search(spark, sf):
+    """BM25 top-k keyword search over the documents table.
+
+    The inverted-index shape without materializing the index: one scan
+    computes per-doc lengths expression-side (``size(split(...))`` — no
+    explode for the length), the explode is filtered to the query terms
+    BEFORE the shuffle so the term-frequency aggregate is query-sized,
+    and df/N/avgdl are tiny broadcast scalars. Per-doc scores sum the
+    per-term components in a FIXED expression order (conditional-sum
+    pivot over the constant query terms), so no float aggregation
+    order-dependence exists anywhere — the DuckDB oracle reproduces the
+    score bit-for-bit before the shared ROUND. Top-k is orderBy+limit
+    (TakeOrdered), never a global window. At 100 TB: corpus-sized data
+    moves through exactly one query-term-filtered shuffle.
+    """
+    docs = load(spark, sf, "documents").select(
+        "doc_id", "text", F.size(F.split("text", " ")).alias("dl")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token").isin(*BM25_QUERY))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    comp = (
+        tf.join(docs.select("doc_id", "dl"), "doc_id")
+        .join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "comp",
+            F.col("idf")
+            * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(BM25_K1)
+                * (
+                    F.lit(1.0 - BM25_B)
+                    + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+                )
+            ),
+        )
+    )
+    per_term = [
+        F.sum(F.when(F.col("token") == t, F.col("comp"))).alias(f"_c{i}")
+        for i, t in enumerate(BM25_QUERY)
+    ]
+    agg = comp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"), *per_term
+    )
+    score = F.coalesce(F.col("_c0"), F.lit(0.0))
+    for i in range(1, len(BM25_QUERY)):
+        score = score + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+    return (
+        agg.select("doc_id", "n_terms", F.round(score, 4).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOP)
+    )
+
+
+def _bm25_sql() -> str:
+    comps = " + ".join(
+        f"COALESCE(SUM(CASE WHEN token = '{t}' THEN comp END), 0.0)"
+        for t in BM25_QUERY
+    )
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    return f"""
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM d
+),
+tf AS (
+  SELECT doc_id, u.token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(token)
+  WHERE u.token IN ({terms})
+  GROUP BY doc_id, u.token
+),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+comp AS (
+  SELECT tf.doc_id, tf.token,
+         ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * {BM25_K1 + 1.0})
+           / (tf.tf + {BM25_K1} * ((1.0 - {BM25_B}) + {BM25_B} * d.dl / stats.avgdl))
+           AS comp
+  FROM tf
+  JOIN d USING (doc_id)
+  JOIN df USING (token)
+  CROSS JOIN stats
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       ROUND({comps}, 4) AS score
+FROM comp
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT {BM25_TOP}
+"""
+
+
 QUERIES = {
+    "bm25_search": Q(bm25_search, _bm25_sql()),
     "bpe_train_merges": Q(bpe_train_merges),
     "bpe_token_stats": Q(bpe_token_stats),
     "doc_length_quantiles": Q(doc_length_quantiles, DOC_LENGTH_QUANTILES_SQL),

@@ -37,6 +37,7 @@ BNLJ_ALLOWED = {
     "mixture_sample",  # corpus-total + weight-mass scalar row (replaced the full-frame window)
     "supplier_pagerank",  # node-count scalar row broadcast into each unrolled iteration
     "q22_idle_customers",  # global-average scalar row
+    "bm25_search",  # N/avgdl corpus-stats scalar row broadcast into scoring
     "q11_important_parts",  # global-total scalar row (HAVING fraction gate)
     "knn_brute_force",  # single query vector
     "semdedup_clusters",  # corpus-count row driving adaptive K
