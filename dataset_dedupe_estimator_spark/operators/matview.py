@@ -36,17 +36,20 @@ def additive_state(
     df: DataFrame,
     keys: list[str],
     measures: Mapping[str, Column],
-    sign: int = 1,
+    sign: int | Column = 1,
 ) -> DataFrame:
     """Partial-aggregate state for an additive MV.
 
     ``measures`` maps output column name -> *exact* (integer/decimal)
     column expression; float sums are banned here because merged state
-    must be order-independent.  ``sign=-1`` builds retraction state.
+    must be order-independent.  ``sign=-1`` builds retraction state;
+    a Column ``sign`` supports mixed insert/retract batches (changelog
+    streams carrying a per-row +1/-1 column).
     """
-    aggs = [F.sum(F.lit(sign)).alias(COUNT_COL)]
+    s = F.lit(sign) if isinstance(sign, int) else sign
+    aggs = [F.sum(s).alias(COUNT_COL)]
     for name, col in measures.items():
-        aggs.append(F.sum(col * F.lit(sign)).alias(name))
+        aggs.append(F.sum(col * s).alias(name))
     return df.groupBy(*keys).agg(*aggs)
 
 
@@ -65,3 +68,30 @@ def merge_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
     value_cols = [c for c in merged.columns if c not in keys]
     aggs = [F.sum(c).alias(c) for c in value_cols]
     return merged.groupBy(*keys).agg(*aggs).filter(F.col(COUNT_COL) > 0)
+
+
+def refresh_mv_parquet(
+    spark,
+    mv_path: str,
+    delta: DataFrame,
+    keys: list[str],
+    measures: Mapping[str, Column],
+    sign_col: str = "mv_sign",
+) -> None:
+    """Merge one signed changelog batch into the MV stored at ``mv_path``.
+
+    The foreachBatch body for Structured-Streaming MV maintenance: the
+    batch becomes signed state, merges with the stored state (one
+    delta-sized shuffle), and the small result is materialized via
+    ``localCheckpoint`` BEFORE the overwrite — the read-modify-overwrite
+    of the same path is safe only because lineage is cut first (the
+    admit_docs pattern). The stored MV is touched-keys-sized, never
+    base-table-sized, so the checkpoint is cheap by construction.
+    """
+    states = [additive_state(delta, keys, measures, sign=F.col(sign_col))]
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(mv_path)
+    fs = jvm_path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(jvm_path):
+        states.append(spark.read.parquet(mv_path))
+    merged = merge_states(states, keys).localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(mv_path)
