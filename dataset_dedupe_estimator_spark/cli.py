@@ -797,6 +797,43 @@ def cmd_media(args) -> int:
     return 0
 
 
+def cmd_table(args) -> int:
+    """`de table {append,overwrite,history,read,vacuum} ROOT [SRC] ...`:
+    versioned parquet table — reproducible snapshots + time travel
+    (sources/versioned.py; the atomic commit point is the O_EXCL-linked
+    log entry, so crashed commits are invisible orphans)."""
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    if args.action in ("append", "overwrite"):
+        if not args.src:
+            print("append/overwrite need a SRC parquet path", file=sys.stderr)
+            return 2
+        spark = _spark(args)
+        df = spark.read.parquet(args.src)
+        fn = vt.append if args.action == "append" else vt.overwrite
+        entry = fn(args.root, df, num_files=args.files)
+        print(f"committed v{entry['version']} ({entry['action']}, dir {entry['dir']})")
+    elif args.action == "history":
+        for e in vt.history(args.root):
+            print(
+                f"v{e['version']:<4d} {e['action']:<9s} dir={e['dir']} "
+                f"cols={','.join(e['columns'])}"
+            )
+    elif args.action == "read":
+        spark = _spark(args)
+        df = vt.read_version(spark, args.root, args.version)
+        label = "latest" if args.version is None else f"v{args.version}"
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {label} to {args.out}")
+        else:
+            print(f"{label}: rows={df.count()}")
+    elif args.action == "vacuum":
+        removed = vt.vacuum(args.root, keep_versions=args.keep)
+        print(f"removed {len(removed)} data dirs: {', '.join(removed) or '-'}")
+    return 0
+
+
 def cmd_layout(args) -> int:
     """`de layout TABLE OUT --by c1 --by c2 [--files N] [--band col:lo:hi ...]`:
     rewrite a parquet table clustered on the Morton key of the --by
@@ -1021,6 +1058,16 @@ def build_parser() -> argparse.ArgumentParser:
     md.add_argument("--features", help="write feature vectors to this parquet path")
     md.add_argument("--near-dups", dest="near_dups", help="write perceptual near-dup pairs (image+audio) to this parquet path")
     md.set_defaults(fn=cmd_media)
+
+    tb = sub.add_parser("table", help="versioned parquet table: snapshots + time travel")
+    tb.add_argument("action", choices=["append", "overwrite", "history", "read", "vacuum"])
+    tb.add_argument("root")
+    tb.add_argument("src", nargs="?")
+    tb.add_argument("--version", type=int)
+    tb.add_argument("--out")
+    tb.add_argument("--files", type=int)
+    tb.add_argument("--keep", type=int, default=1)
+    tb.set_defaults(fn=cmd_table)
 
     ly = sub.add_parser("layout", help="z-order rewrite + data-skipping report")
     ly.add_argument("table", help="input parquet file/directory")

@@ -197,8 +197,71 @@ ORDER BY tile
 """
 
 
+# --- versioned table / time travel ------------------------------------------
+
+def table_time_travel(spark, sf):
+    """Reproducible-snapshot census over a real versioned table.
+
+    Builds a versioned parquet table (``sources/versioned.py``) in a
+    temp dir — v0 appends the ``% 3 == 0`` orders, v1 appends the
+    ``% 3 == 1`` slice, v2 OVERWRITES with the ``% 3 == 2`` slice — then
+    time-travel-reads every version and reports its exact census. The
+    oracle recomputes each snapshot's membership from the commit rules,
+    so a wrong live-set fold (e.g. overwrite not replacing, or a later
+    commit leaking into an earlier read) hash-mismatches. Eager by
+    construction (commits run at build); the returned frame is
+    localCheckpointed before the temp table vanishes.
+    """
+    import shutil
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    root = tempfile.mkdtemp(prefix="dde_vt_")
+    try:
+        vt.append(root, orders.filter(F.col("o_orderkey") % 3 == 0), num_files=2)
+        vt.append(root, orders.filter(F.col("o_orderkey") % 3 == 1), num_files=2)
+        vt.overwrite(root, orders.filter(F.col("o_orderkey") % 3 == 2), num_files=2)
+        parts = []
+        for v in (0, 1, 2):
+            parts.append(
+                vt.read_version(spark, root, v)
+                .agg(
+                    F.count(F.lit(1)).alias("n_orders"),
+                    F.sum(cents("o_totalprice")).alias("total_cents"),
+                )
+                .select(
+                    F.lit(v).cast("int").alias("version"),
+                    "n_orders",
+                    "total_cents",
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.orderBy("version").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+TABLE_TIME_TRAVEL_SQL = f"""
+SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS total_cents
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT 1, CAST(COUNT(*) AS BIGINT), CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT)
+FROM orders WHERE o_orderkey % 3 IN (0, 1)
+UNION ALL
+SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT)
+FROM orders WHERE o_orderkey % 3 = 2
+ORDER BY version
+"""
+
+
 QUERIES = {
     "mv_incremental_orders": Q(mv_incremental_orders, MV_INCREMENTAL_ORDERS_SQL),
+    "table_time_travel": Q(table_time_travel, TABLE_TIME_TRAVEL_SQL),
     "snapshot_diff_docs": Q(snapshot_diff_docs, SNAPSHOT_DIFF_DOCS_SQL),
     "zorder_layout": Q(zorder_layout, ZORDER_LAYOUT_SQL),
 }

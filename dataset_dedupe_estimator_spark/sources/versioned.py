@@ -1,0 +1,223 @@
+"""Versioned parquet tables: reproducible dataset snapshots + time travel.
+
+The missing lifecycle piece for a 100 TB training corpus is not another
+operator but *reproducibility*: "train on corpus@v3" must mean the same
+bytes next month, while ingestion keeps appending and compaction keeps
+rewriting. The lakehouse answer (Delta/Iceberg-style) is a transaction
+log over immutable data files, and it maps cleanly onto the primitives
+this repo already uses for its persistent indexes
+(`plans/_index_lock.py` single-writer lock; manifest-commit protocol of
+`plans/chunk_index.py`):
+
+* Every commit writes its parquet to a fresh immutable directory
+  ``data/c<version>/``, then creates ``_vlog/v<version>.json`` with
+  ``O_CREAT|O_EXCL``. **The log-entry create is the atomic commit
+  point** — a crash before it leaves an orphan data directory that no
+  reader ever resolves (and ``vacuum`` removes); a crash after it is a
+  completed commit. Nothing is ever modified in place, so readers never
+  take a lock and any historical version stays byte-stable until
+  ``vacuum`` retires versions older than the retention floor.
+* Writers hold the shared single-writer lock for the (read log →
+  write data → commit) cycle, so version numbers never race; even
+  without the lock, O_EXCL on the entry file means two racing writers
+  cannot both commit the same version.
+* ``read_version`` resolves the live set by folding the log: an
+  ``append`` adds its directory to the live set, an ``overwrite``
+  replaces it. Resolution cost is O(commits), independent of data size;
+  reads are plain parquet scans of the live directories (predicate
+  pushdown, partition pruning, and the z-order layout of
+  `operators/layout.py` all apply unchanged — commit directories are
+  just parquet).
+
+At 100 TB: the log holds one small JSON file per commit; snapshot
+isolation costs zero data movement; storage overhead is bounded by the
+overwritten-but-retained generations, which ``vacuum`` reclaims after
+their retention expires.
+
+Reference parity note: the reference engine has no table format; this
+is part of the beyond-reference lifecycle surface (SURVEY.md training-
+data-pipeline scope), like `operators/matview.py` and
+`queries/maintenance.py`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dataset_dedupe_estimator_spark.plans._index_lock import writer_lock
+
+_VLOG = "_vlog"
+_DATA = "data"
+
+
+class VersionNotFoundError(LookupError):
+    """Requested version is not committed (never existed or vacuumed)."""
+
+
+def _entry_path(root: Path, version: int) -> Path:
+    return root / _VLOG / f"v{version:08d}.json"
+
+
+def _committed_entries(root: Path) -> list[dict]:
+    """All committed log entries, oldest first. Unparseable or torn
+    entries cannot exist: the O_EXCL create writes via a temp file +
+    rename within _commit, so a visible entry is complete."""
+    vlog = root / _VLOG
+    if not vlog.is_dir():
+        return []
+    entries = []
+    for f in sorted(vlog.glob("v*.json")):
+        entries.append(json.loads(f.read_text()))
+    return entries
+
+
+def _commit(root: Path, entry: dict) -> None:
+    """Atomically publish a log entry. O_EXCL guarantees a version number
+    is committed at most once even if the writer lock were bypassed; the
+    temp-write + rename inside the same directory guarantees readers
+    never observe a partial JSON."""
+    target = _entry_path(root, entry["version"])
+    tmp = target.with_suffix(".tmp-%d" % os.getpid())
+    tmp.write_text(json.dumps(entry, sort_keys=True))
+    try:
+        # hard link = atomic claim WITH content: the entry appears fully
+        # written or not at all (an O_EXCL create + replace would expose
+        # a momentarily-empty file to readers)
+        os.link(tmp, target)
+    except FileExistsError:
+        raise RuntimeError(
+            f"version {entry['version']} already committed at {target}"
+        ) from None
+    finally:
+        tmp.unlink(missing_ok=True)
+
+
+def _write_commit(
+    root: str | Path, df: DataFrame, action: str, num_files: int | None
+) -> dict:
+    root = Path(root)
+    (root / _VLOG).mkdir(parents=True, exist_ok=True)
+    with writer_lock(root):
+        entries = _committed_entries(root)
+        if entries:
+            prior_cols = entries[-1]["columns"]
+            if sorted(df.columns) != sorted(prior_cols):
+                raise ValueError(
+                    f"schema mismatch: table has {sorted(prior_cols)}, "
+                    f"commit has {sorted(df.columns)}"
+                )
+        version = entries[-1]["version"] + 1 if entries else 0
+        data_dir = root / _DATA / f"c{version:08d}"
+        out = df.coalesce(num_files) if num_files else df
+        out.write.mode("overwrite").parquet(str(data_dir))
+        entry = {
+            "version": version,
+            "action": action,
+            "dir": f"c{version:08d}",
+            "columns": df.columns,
+            "ts": time.time(),
+        }
+        _commit(root, entry)
+        return entry
+
+
+def append(
+    root: str | Path, df: DataFrame, num_files: int | None = None
+) -> dict:
+    """Commit ``df`` as a new version that ADDS to the live set."""
+    return _write_commit(root, df, "append", num_files)
+
+
+def overwrite(
+    root: str | Path, df: DataFrame, num_files: int | None = None
+) -> dict:
+    """Commit ``df`` as a new version that REPLACES the live set.
+
+    Prior versions stay readable (time travel) until ``vacuum`` retires
+    them — overwrite never deletes data files.
+    """
+    return _write_commit(root, df, "overwrite", num_files)
+
+
+def history(root: str | Path) -> list[dict]:
+    """Committed log entries, oldest first."""
+    return _committed_entries(Path(root))
+
+
+def live_dirs(root: str | Path, version: int | None = None) -> list[str]:
+    """Data directories visible at ``version`` (default: latest)."""
+    root = Path(root)
+    entries = _committed_entries(root)
+    if not entries:
+        raise VersionNotFoundError(f"{root} has no committed versions")
+    if version is None:
+        version = entries[-1]["version"]
+    have = {e["version"] for e in entries}
+    if version not in have:
+        raise VersionNotFoundError(
+            f"version {version} not committed in {root} "
+            f"(have {sorted(have)})"
+        )
+    live: list[str] = []
+    for e in entries:
+        if e["version"] > version:
+            break
+        if e["action"] == "overwrite":
+            live = [e["dir"]]
+        else:
+            live.append(e["dir"])
+    return [str(root / _DATA / d) for d in live]
+
+
+def read_version(
+    spark: SparkSession, root: str | Path, version: int | None = None
+) -> DataFrame:
+    """Snapshot read of the table at ``version`` (default: latest).
+
+    Plain parquet scans of the live commit directories, unioned by name
+    — pushdown/pruning apply per scan (per-directory reads sidestep the
+    conflicting-partitioned-roots refusal of a multi-path read).
+    """
+    dirs = live_dirs(root, version)
+    df = spark.read.parquet(dirs[0])
+    for d in dirs[1:]:
+        df = df.unionByName(spark.read.parquet(d))
+    return df
+
+
+def vacuum(root: str | Path, keep_versions: int = 1) -> list[str]:
+    """Remove data directories unreachable from the ``keep_versions``
+    latest snapshots, plus orphans from crashed commits. Returns the
+    removed directory names. Holds the writer lock: vacuum rewrites
+    nothing but must not race a writer's not-yet-committed directory
+    (it is indistinguishable from a crash orphan).
+
+    Log entries of fully-vacuumed versions are retained — history stays
+    auditable; reading such a version raises a clear error because its
+    directory is gone (the caller sees WHICH version was retired).
+    """
+    root = Path(root)
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    with writer_lock(root):
+        entries = _committed_entries(root)
+        if not entries:
+            return []
+        keep = {e["version"] for e in entries[-keep_versions:]}
+        reachable: set[str] = set()
+        for v in keep:
+            for d in live_dirs(root, v):
+                reachable.add(Path(d).name)
+        removed = []
+        data = root / _DATA
+        for d in sorted(data.iterdir()) if data.is_dir() else []:
+            if d.is_dir() and d.name not in reachable:
+                shutil.rmtree(d)
+                removed.append(d.name)
+        return removed

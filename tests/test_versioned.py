@@ -1,0 +1,127 @@
+"""Versioned tables: time travel, commit atomicity, crash orphans, vacuum.
+
+The reproducibility contract under test: a committed version's content
+never changes — appends and overwrites after it, crashed commits, and
+vacuum (within retention) all leave historical reads byte-identical.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataset_dedupe_estimator_spark.plans._index_lock import (
+    ConcurrentWriterError,
+)
+from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+
+def _mk(spark, lo, hi):
+    return spark.range(lo, hi).select("id", (F.col("id") * 10).alias("v"))
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    root = tmp_path / "tbl"
+    vt.append(root, _mk(spark, 0, 10), num_files=1)          # v0
+    vt.append(root, _mk(spark, 10, 15), num_files=1)         # v1
+    vt.overwrite(root, _mk(spark, 100, 103), num_files=1)    # v2
+    return root
+
+
+def test_time_travel_reads(spark, table):
+    assert sorted(r.id for r in vt.read_version(spark, table, 0).collect()) == list(range(10))
+    assert sorted(r.id for r in vt.read_version(spark, table, 1).collect()) == list(range(15))
+    assert sorted(r.id for r in vt.read_version(spark, table, 2).collect()) == [100, 101, 102]
+    # default = latest
+    assert vt.read_version(spark, table).count() == 3
+
+
+def test_history_and_missing_version(spark, table):
+    h = vt.history(table)
+    assert [e["version"] for e in h] == [0, 1, 2]
+    assert [e["action"] for e in h] == ["append", "append", "overwrite"]
+    with pytest.raises(vt.VersionNotFoundError):
+        vt.read_version(spark, table, 99)
+
+
+def test_append_after_overwrite(spark, table):
+    vt.append(table, _mk(spark, 200, 202), num_files=1)      # v3
+    assert sorted(r.id for r in vt.read_version(spark, table, 3).collect()) == [
+        100, 101, 102, 200, 201,
+    ]
+    # v1 is untouched by everything after it
+    assert vt.read_version(spark, table, 1).count() == 15
+
+
+def test_schema_mismatch_rejected(spark, table):
+    bad = spark.range(5).select("id", F.lit("x").alias("other"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        vt.append(table, bad)
+    assert [e["version"] for e in vt.history(table)] == [0, 1, 2]
+
+
+def test_crash_orphan_is_invisible_and_vacuumed(spark, table):
+    # simulate a writer that crashed after writing data, before commit
+    orphan = table / "data" / "c00000099"
+    _mk(spark, 0, 3).coalesce(1).write.parquet(str(orphan))
+    assert vt.read_version(spark, table).count() == 3  # not resolved
+    removed = vt.vacuum(table, keep_versions=10)
+    assert "c00000099" in removed
+    assert vt.read_version(spark, table, 0).count() == 10  # history intact
+
+
+def test_vacuum_retires_old_versions_keeps_retained(spark, table):
+    removed = vt.vacuum(table, keep_versions=1)
+    # v2 was an overwrite: only c0/c1 are unreachable from the latest
+    assert sorted(removed) == ["c00000000", "c00000001"]
+    assert vt.read_version(spark, table, 2).count() == 3
+    # vacuumed versions stay in history but are no longer readable
+    assert [e["version"] for e in vt.history(table)] == [0, 1, 2]
+    with pytest.raises(Exception):
+        vt.read_version(spark, table, 0).collect()
+
+
+def test_cli_table_lifecycle(capsys, spark, tmp_path, sf_dir):
+    from dataset_dedupe_estimator_spark.cli import main
+
+    root = str(tmp_path / "t")
+    src = f"{sf_dir}/region.parquet"
+    assert main(["table", "append", root, src]) == 0
+    assert main(["table", "overwrite", root, src, "--files", "1"]) == 0
+    assert main(["table", "history", root]) == 0
+    assert main(["table", "read", root, "--version", "0"]) == 0
+    assert main(["table", "vacuum", root, "--keep", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "committed v0 (append" in out and "committed v1 (overwrite" in out
+    assert "v0: rows=" in out
+    assert "removed 1 data dirs: c00000000" in out
+
+
+def test_commit_is_exclusive_per_version(spark, tmp_path):
+    root = tmp_path / "tbl2"
+    vt.append(root, _mk(spark, 0, 2), num_files=1)
+    # forge a pre-existing entry for the next version: the O_EXCL-style
+    # link must refuse to double-commit even if the lock were bypassed
+    entry = vt._entry_path(root, 1)
+    entry.write_text(json.dumps({"version": 1, "action": "append",
+                                 "dir": "c00000001", "columns": ["id", "v"],
+                                 "ts": 0}))
+    with pytest.raises(RuntimeError, match="already committed"):
+        vt._commit(root, {"version": 1, "action": "append",
+                          "dir": "cX", "columns": ["id", "v"], "ts": 0})
+
+
+def test_writer_lock_held_during_commit(spark, tmp_path):
+    root = tmp_path / "tbl3"
+    vt.append(root, _mk(spark, 0, 2), num_files=1)
+    lock = root / "_writer.lock"
+    lock.write_text("pid=99999999\nhost=elsewhere\n")  # live foreign lock
+    try:
+        with pytest.raises(ConcurrentWriterError):
+            vt.append(root, _mk(spark, 2, 4), num_files=1)
+    finally:
+        os.unlink(lock)
+    vt.append(root, _mk(spark, 2, 4), num_files=1)  # recovers after release
+    assert vt.read_version(spark, root).count() == 4
