@@ -828,6 +828,14 @@ def cmd_table(args) -> int:
             print(f"wrote {label} to {args.out}")
         else:
             print(f"{label}: rows={df.count()}")
+    elif args.action == "optimize":
+        spark = _spark(args)
+        zcols = args.zorder_by.split(",") if args.zorder_by else None
+        entry = vt.optimize(
+            spark, args.root, zorder_by=zcols, num_files=args.files or 16
+        )
+        how = f"z-ordered by {zcols}" if zcols else "compacted"
+        print(f"committed v{entry['version']} (optimize: {how})")
     elif args.action == "vacuum":
         removed = vt.vacuum(args.root, keep_versions=args.keep)
         print(f"removed {len(removed)} data dirs: {', '.join(removed) or '-'}")
@@ -1060,13 +1068,17 @@ def build_parser() -> argparse.ArgumentParser:
     md.set_defaults(fn=cmd_media)
 
     tb = sub.add_parser("table", help="versioned parquet table: snapshots + time travel")
-    tb.add_argument("action", choices=["append", "overwrite", "history", "read", "vacuum"])
+    tb.add_argument(
+        "action",
+        choices=["append", "overwrite", "history", "read", "optimize", "vacuum"],
+    )
     tb.add_argument("root")
     tb.add_argument("src", nargs="?")
     tb.add_argument("--version", type=int)
     tb.add_argument("--out")
     tb.add_argument("--files", type=int)
     tb.add_argument("--keep", type=int, default=1)
+    tb.add_argument("--zorder-by", help="comma-separated cluster columns for optimize")
     tb.set_defaults(fn=cmd_table)
 
     ly = sub.add_parser("layout", help="z-order rewrite + data-skipping report")

@@ -71,21 +71,23 @@ def scale_to_bits(col: Column, lo: Column, hi: Column, bits: int = 10) -> Column
     return ((col.cast("long") - lo.cast("long")) * F.lit(1 << bits) / span).cast("long")
 
 
-def write_zordered(
+def zorder_frame(
     df: DataFrame,
     cols: list[str],
-    path: str,
     bits: int = 10,
     num_files: int = 16,
-) -> None:
-    """Write ``df`` as parquet clustered on the Morton key of ``cols``.
+) -> DataFrame:
+    """``df`` re-clustered along the Morton curve of ``cols``, unwritten.
 
     One aggregate computes per-column min/max (the normalizers), one
-    range exchange orders the data along the curve, and each output
-    file is a contiguous Morton tile whose footer min-max stats are
-    tight on *every* participating column.  The normalizer aggregate is
-    a scalar broadcast — at 100 TB it rides a footer-stats read or a
-    sampled pass; the data itself moves through exactly one exchange.
+    range exchange orders the data along the curve; each output
+    partition is a contiguous Morton tile whose footer min-max stats
+    are tight on *every* participating column once written.  The
+    normalizer aggregate is a scalar broadcast — at 100 TB it rides a
+    footer-stats read or a sampled pass; the data itself moves through
+    exactly one exchange.  Returned unwritten so callers can route the
+    clustered frame into any sink (plain parquet here; a versioned
+    `optimize` commit in ``sources/versioned.py``).
     """
     bounds = df.agg(
         *[F.min(c).alias(f"_lo_{c}") for c in cols],
@@ -95,13 +97,22 @@ def write_zordered(
         scale_to_bits(F.col(c), F.col(f"_lo_{c}"), F.col(f"_hi_{c}"), bits) for c in cols
     ]
     keyed = df.crossJoin(F.broadcast(bounds)).withColumn("_z", zvalue(scaled, bits))
-    (
+    return (
         keyed.repartitionByRange(num_files, "_z")
         .sortWithinPartitions("_z")
         .drop(*[f"_lo_{c}" for c in cols], *[f"_hi_{c}" for c in cols], "_z")
-        .write.mode("overwrite")
-        .parquet(path)
     )
+
+
+def write_zordered(
+    df: DataFrame,
+    cols: list[str],
+    path: str,
+    bits: int = 10,
+    num_files: int = 16,
+) -> None:
+    """Write ``df`` as parquet clustered on the Morton key of ``cols``."""
+    zorder_frame(df, cols, bits, num_files).write.mode("overwrite").parquet(path)
 
 
 def rowgroup_ranges(path: str, column: str) -> list[tuple[int, int]]:

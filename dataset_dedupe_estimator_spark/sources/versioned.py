@@ -191,6 +191,30 @@ def read_version(
     return df
 
 
+def optimize(
+    spark: SparkSession,
+    root: str | Path,
+    zorder_by: list[str] | None = None,
+    num_files: int = 16,
+    bits: int = 10,
+) -> dict:
+    """Rewrite the latest snapshot as ONE overwrite commit — compaction
+    of accumulated small commit directories, optionally z-order
+    clustered on ``zorder_by`` (``operators/layout.py``). History is
+    untouched: every prior version reads exactly as before, and the
+    superseded directories stay on disk until ``vacuum`` retires them.
+    The Delta-OPTIMIZE shape: data moves through one exchange (range,
+    when clustering; round-robin coalesce otherwise).
+    """
+    df = read_version(spark, root)
+    if zorder_by:
+        from dataset_dedupe_estimator_spark.operators.layout import zorder_frame
+
+        df = zorder_frame(df, zorder_by, bits=bits, num_files=num_files)
+        return _write_commit(root, df, "overwrite", num_files=None)
+    return _write_commit(root, df, "overwrite", num_files=num_files)
+
+
 def vacuum(root: str | Path, keep_versions: int = 1) -> list[str]:
     """Remove data directories unreachable from the ``keep_versions``
     latest snapshots, plus orphans from crashed commits. Returns the

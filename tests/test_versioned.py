@@ -83,6 +83,35 @@ def test_vacuum_retires_old_versions_keeps_retained(spark, table):
         vt.read_version(spark, table, 0).collect()
 
 
+def test_optimize_compacts_preserving_history(spark, table):
+    entry = vt.optimize(spark, table, num_files=1)
+    assert entry["version"] == 3 and entry["action"] == "overwrite"
+    # latest content unchanged by the rewrite
+    assert sorted(r.id for r in vt.read_version(spark, table).collect()) == [100, 101, 102]
+    assert vt.live_dirs(table) == [str(table / "data" / "c00000003")]
+    # every historical version still reads exactly as before
+    assert vt.read_version(spark, table, 1).count() == 15
+
+
+def test_optimize_zorder_tightens_footers(spark, tmp_path):
+    from dataset_dedupe_estimator_spark.operators.layout import rowgroup_ranges
+
+    root = tmp_path / "zt"
+    df = spark.range(20_000).select(
+        "id",
+        (F.xxhash64("id") % 512).alias("a"),
+        (F.xxhash64("id", F.lit(7)) % 512).alias("b"),
+    ).select("id", F.abs("a").alias("a"), F.abs("b").alias("b"))
+    vt.append(root, df, num_files=8)
+    before = rowgroup_ranges(vt.live_dirs(root)[0], "a")
+    vt.optimize(spark, root, zorder_by=["a", "b"], num_files=32)
+    after_dir = vt.live_dirs(root)[0]
+    after = rowgroup_ranges(after_dir, "a")
+    span = lambda rs: sum(mx - mn for mn, mx in rs) / len(rs)  # noqa: E731
+    assert span(after) < 0.5 * span(before)
+    assert vt.read_version(spark, root).count() == 20_000
+
+
 def test_cli_table_lifecycle(capsys, spark, tmp_path, sf_dir):
     from dataset_dedupe_estimator_spark.cli import main
 
@@ -92,11 +121,13 @@ def test_cli_table_lifecycle(capsys, spark, tmp_path, sf_dir):
     assert main(["table", "overwrite", root, src, "--files", "1"]) == 0
     assert main(["table", "history", root]) == 0
     assert main(["table", "read", root, "--version", "0"]) == 0
+    assert main(["table", "optimize", root, "--zorder-by", "r_regionkey", "--files", "1"]) == 0
     assert main(["table", "vacuum", root, "--keep", "1"]) == 0
     out = capsys.readouterr().out
     assert "committed v0 (append" in out and "committed v1 (overwrite" in out
     assert "v0: rows=" in out
-    assert "removed 1 data dirs: c00000000" in out
+    assert "optimize: z-ordered by ['r_regionkey']" in out
+    assert "removed 2 data dirs: c00000000, c00000001" in out
 
 
 def test_commit_is_exclusive_per_version(spark, tmp_path):
