@@ -259,8 +259,72 @@ ORDER BY version
 """
 
 
+# --- versioned-table diff -> MV refresh (the lifecycle loop) -----------------
+
+def mv_from_version_diff(spark, sf):
+    """Incremental MV maintained from a versioned table's commit diff.
+
+    The composed lifecycle loop: a versioned documents table commits v0
+    (drop ``doc_id % 4 == 3``) then OVERWRITES with v1 (drop
+    ``% 4 == 1``); the per-source MV built against v0 is refreshed by
+    diffing the two snapshots (two delta-sized anti-joins -> +1/-1
+    state) and merging — v1 is never re-aggregated wholesale. The
+    oracle computes the per-source rollup directly from v1's membership
+    rule, so a wrong diff (missed retraction, double-counted add)
+    hash-mismatches. Eager (commits at construction); result is
+    localCheckpointed before the temp table vanishes.
+    """
+    import shutil
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    docs = load(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    root = tempfile.mkdtemp(prefix="dde_mvd_")
+    try:
+        vt.append(root, docs.filter(F.col("doc_id") % 4 != 3), num_files=2)
+        vt.overwrite(root, docs.filter(F.col("doc_id") % 4 != 1), num_files=2)
+        v0 = vt.read_version(spark, root, 0)
+        v1 = vt.read_version(spark, root, 1)
+        added = v1.join(v0.select("doc_id"), "doc_id", "left_anti")
+        removed = v0.join(v1.select("doc_id"), "doc_id", "left_anti")
+        keys = ["source"]
+        measures = {"mv_chars": F.col("n_chars")}
+        mv = merge_states(
+            [
+                additive_state(v0, keys, measures),
+                additive_state(added, keys, measures),
+                additive_state(removed, keys, measures, sign=-1),
+            ],
+            keys,
+        )
+        return (
+            mv.select(
+                "source",
+                F.col("mv_count").alias("n_docs"),
+                F.col("mv_chars").alias("total_chars"),
+            )
+            .orderBy("source")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+MV_FROM_VERSION_DIFF_SQL = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE doc_id % 4 <> 1
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "mv_incremental_orders": Q(mv_incremental_orders, MV_INCREMENTAL_ORDERS_SQL),
+    "mv_from_version_diff": Q(mv_from_version_diff, MV_FROM_VERSION_DIFF_SQL),
     "table_time_travel": Q(table_time_travel, TABLE_TIME_TRAVEL_SQL),
     "snapshot_diff_docs": Q(snapshot_diff_docs, SNAPSHOT_DIFF_DOCS_SQL),
     "zorder_layout": Q(zorder_layout, ZORDER_LAYOUT_SQL),

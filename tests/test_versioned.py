@@ -130,6 +130,45 @@ def test_cli_table_lifecycle(capsys, spark, tmp_path, sf_dir):
     assert "removed 2 data dirs: c00000000, c00000001" in out
 
 
+def test_streaming_ingest_commits_per_batch(spark, tmp_path):
+    """foreachBatch append = one commit per microbatch: arrivals become
+    auditable versions, and a time-travel read reproduces the table as
+    of any batch. Checkpoint dedupes across restarts, so a second run
+    with no new files commits nothing."""
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    root = tmp_path / "tbl"
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, v long"
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.foreachBatch(
+                lambda batch, _id: vt.append(root, batch, num_files=1)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for lo, hi in ((0, 5), (5, 9)):
+        _mk(spark, lo, hi).coalesce(1).write.mode("append").parquet(str(src))
+    run_stream()
+    assert [e["version"] for e in vt.history(root)] == [0, 1]
+    assert vt.read_version(spark, root, 0).count() in (4, 5)  # one file each
+    assert vt.read_version(spark, root, 1).count() == 9
+    run_stream()  # no new files -> no new commits
+    assert [e["version"] for e in vt.history(root)] == [0, 1]
+    _mk(spark, 9, 12).coalesce(1).write.mode("append").parquet(str(src))
+    run_stream()
+    assert vt.read_version(spark, root).count() == 12
+    assert vt.read_version(spark, root, 1).count() == 9  # history stable
+
+
 def test_commit_is_exclusive_per_version(spark, tmp_path):
     root = tmp_path / "tbl2"
     vt.append(root, _mk(spark, 0, 2), num_files=1)
