@@ -7,6 +7,9 @@ no rounding tricks needed.
 
 from __future__ import annotations
 
+import operator
+from functools import reduce
+
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -754,110 +757,118 @@ BM25_TOP = 20
 def bm25_search(spark, sf):
     """BM25 top-k keyword search over the documents table.
 
-    The inverted-index shape without materializing the index: one scan
-    computes per-doc lengths expression-side (``size(split(...))`` — no
-    explode for the length), the explode is filtered to the query terms
-    BEFORE the shuffle so the term-frequency aggregate is query-sized,
-    and df/N/avgdl are tiny broadcast scalars. Per-doc scores sum the
-    per-term components in a FIXED expression order (conditional-sum
-    pivot over the constant query terms), so no float aggregation
-    order-dependence exists anywhere — the DuckDB oracle reproduces the
-    score bit-for-bit before the shared ROUND. Top-k is orderBy+limit
-    (TakeOrdered), never a global window. At 100 TB: corpus-sized data
-    moves through exactly one query-term-filtered shuffle.
+    The query terms are plan constants, so the inverted index
+    dissolves into expressions: per-doc term frequencies are
+    ``size(filter(split(text), x -> x = term))`` — no explode, no
+    (doc, token) shuffle at all.  ONE aggregate over that projection
+    yields N, avgdl, and every term's document frequency together; it
+    broadcasts as a scalar row and scoring is a pure per-row expression
+    on a second pass of the same narrow projection.  Per-term
+    components are added in FIXED expression order, so no float
+    aggregation order-dependence exists anywhere — the DuckDB oracle
+    reproduces the score bit-for-bit before the shared ROUND.  Top-k is
+    orderBy+limit (TakeOrdered), never a global window.  At 100 TB:
+    two column-pruned scans of ``text``, zero shuffles (cache the
+    narrow projection to make it one scan); scoring rides the scan.
     """
-    docs = load(spark, sf, "documents").select(
-        "doc_id", "text", F.size(F.split("text", " ")).alias("dl")
+    toks = F.split("text", " ")
+
+    def tf_expr(term):
+        # NB: the filter lambda must be unary — pyspark binds a second
+        # parameter to the array index, clobbering default-arg tricks
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    base = load(spark, sf, "documents").select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[tf_expr(t).alias(f"tf{i}") for i, t in enumerate(BM25_QUERY)],
     )
-    stats = docs.agg(
+    stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(BM25_QUERY))
+        ],
     )
-    tf = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-        .filter(F.col("token").isin(*BM25_QUERY))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    comp = (
-        tf.join(docs.select("doc_id", "dl"), "doc_id")
-        .join(F.broadcast(df), "token")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-            ),
+    matched = base.filter(
+        reduce(operator.or_, [F.col(f"tf{i}") > 0 for i in range(len(BM25_QUERY))])
+    ).crossJoin(F.broadcast(stats))
+
+    def comp(i):
+        tf = F.col(f"tf{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5))
         )
-        .withColumn(
-            "comp",
-            F.col("idf")
-            * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+        raw = (
+            idf
+            * (tf * F.lit(BM25_K1 + 1.0))
             / (
-                F.col("tf")
+                tf
                 + F.lit(BM25_K1)
-                * (
-                    F.lit(1.0 - BM25_B)
-                    + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
-                )
-            ),
+                * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+            )
         )
-    )
-    per_term = [
-        F.sum(F.when(F.col("token") == t, F.col("comp"))).alias(f"_c{i}")
-        for i, t in enumerate(BM25_QUERY)
-    ]
-    agg = comp.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_terms"), *per_term
-    )
-    score = F.coalesce(F.col("_c0"), F.lit(0.0))
+        return F.when(tf > 0, raw).otherwise(F.lit(0.0))
+
+    score = comp(0)
     for i in range(1, len(BM25_QUERY)):
-        score = score + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+        score = score + comp(i)
+    n_terms = reduce(
+        operator.add,
+        [(F.col(f"tf{i}") > 0).cast("long") for i in range(len(BM25_QUERY))],
+    )
     return (
-        agg.select("doc_id", "n_terms", F.round(score, 4).alias("score"))
+        matched.select(
+            "doc_id",
+            n_terms.alias("n_terms"),
+            F.round(score, 4).alias("score"),
+        )
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(BM25_TOP)
     )
 
 
 def _bm25_sql() -> str:
-    comps = " + ".join(
-        f"COALESCE(SUM(CASE WHEN token = '{t}' THEN comp END), 0.0)"
-        for t in BM25_QUERY
+    n = len(BM25_QUERY)
+    tf_exprs = ",\n         ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(BM25_QUERY)
     )
-    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    df_exprs = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(n)
+    )
+    comps = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN "
+        f"ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * {BM25_K1 + 1.0})"
+        f" / (tf{i} + {BM25_K1} * ((1.0 - {BM25_B}) + {BM25_B} * dl / avgdl))"
+        f" ELSE 0.0 END)"
+        for i in range(n)
+    )
+    n_terms = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)" for i in range(n)
+    )
+    any_tf = " OR ".join(f"tf{i} > 0" for i in range(n))
     return f"""
-WITH d AS (
-  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+WITH base AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         {tf_exprs}
+  FROM documents
 ),
 stats AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM d
-),
-tf AS (
-  SELECT doc_id, u.token, CAST(COUNT(*) AS BIGINT) AS tf
-  FROM documents, UNNEST(string_split(text, ' ')) AS u(token)
-  WHERE u.token IN ({terms})
-  GROUP BY doc_id, u.token
-),
-df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
-comp AS (
-  SELECT tf.doc_id, tf.token,
-         ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
-           * (tf.tf * {BM25_K1 + 1.0})
-           / (tf.tf + {BM25_K1} * ((1.0 - {BM25_B}) + {BM25_B} * d.dl / stats.avgdl))
-           AS comp
-  FROM tf
-  JOIN d USING (doc_id)
-  JOIN df USING (token)
-  CROSS JOIN stats
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl,
+         {df_exprs}
+  FROM base
 )
-SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+SELECT doc_id,
+       CAST({n_terms} AS BIGINT) AS n_terms,
        ROUND({comps}, 4) AS score
-FROM comp
-GROUP BY doc_id
+FROM base CROSS JOIN stats
+WHERE {any_tf}
 ORDER BY score DESC, doc_id
 LIMIT {BM25_TOP}
 """
