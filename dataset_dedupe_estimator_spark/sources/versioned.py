@@ -99,50 +99,100 @@ def _commit(root: Path, entry: dict) -> None:
 
 
 def _write_commit(
-    root: str | Path, df: DataFrame, action: str, num_files: int | None
+    root: str | Path,
+    df: DataFrame,
+    action: str,
+    num_files: int | None,
+    partition_by: list[str] | None = None,
+    allow_new_columns: bool = False,
 ) -> dict:
     root = Path(root)
     (root / _VLOG).mkdir(parents=True, exist_ok=True)
     with writer_lock(root):
         entries = _committed_entries(root)
         if entries:
-            prior_cols = entries[-1]["columns"]
-            if sorted(df.columns) != sorted(prior_cols):
+            prior_cols = set(entries[-1]["columns"])
+            cols = set(df.columns)
+            widened = cols - prior_cols
+            if (cols != prior_cols and not allow_new_columns) or not (
+                cols >= prior_cols
+            ):
                 raise ValueError(
                     f"schema mismatch: table has {sorted(prior_cols)}, "
-                    f"commit has {sorted(df.columns)}"
+                    f"commit has {sorted(cols)}"
+                    + (
+                        "" if cols >= prior_cols
+                        else " (columns may be added with allow_new_columns,"
+                        " never dropped)"
+                    )
                 )
+            prior_part = entries[-1].get("partition_by") or []
+            if partition_by is None:
+                partition_by = prior_part
+            elif list(partition_by) != prior_part:
+                raise ValueError(
+                    f"partitioning mismatch: table uses {prior_part}, "
+                    f"commit requested {list(partition_by)}"
+                )
+        else:
+            widened = set()
+            partition_by = list(partition_by or [])
         version = entries[-1]["version"] + 1 if entries else 0
         data_dir = root / _DATA / f"c{version:08d}"
         out = df.coalesce(num_files) if num_files else df
-        out.write.mode("overwrite").parquet(str(data_dir))
+        writer = out.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(data_dir))
         entry = {
             "version": version,
             "action": action,
             "dir": f"c{version:08d}",
             "columns": df.columns,
+            "partition_by": partition_by,
             "ts": time.time(),
         }
+        if widened:
+            entry["added_columns"] = sorted(widened)
         _commit(root, entry)
         return entry
 
 
 def append(
-    root: str | Path, df: DataFrame, num_files: int | None = None
+    root: str | Path,
+    df: DataFrame,
+    num_files: int | None = None,
+    partition_by: list[str] | None = None,
+    allow_new_columns: bool = False,
 ) -> dict:
-    """Commit ``df`` as a new version that ADDS to the live set."""
-    return _write_commit(root, df, "append", num_files)
+    """Commit ``df`` as a new version that ADDS to the live set.
+
+    ``partition_by`` (first commit only — later commits must match)
+    hive-partitions every commit directory, so snapshot reads prune
+    partitions per commit scan. ``allow_new_columns`` permits widening
+    the schema; older commits surface NULL for the new columns on read
+    (columns can never be dropped — history must stay interpretable).
+    """
+    return _write_commit(
+        root, df, "append", num_files, partition_by, allow_new_columns
+    )
 
 
 def overwrite(
-    root: str | Path, df: DataFrame, num_files: int | None = None
+    root: str | Path,
+    df: DataFrame,
+    num_files: int | None = None,
+    partition_by: list[str] | None = None,
+    allow_new_columns: bool = False,
 ) -> dict:
     """Commit ``df`` as a new version that REPLACES the live set.
 
     Prior versions stay readable (time travel) until ``vacuum`` retires
     them — overwrite never deletes data files.
     """
-    return _write_commit(root, df, "overwrite", num_files)
+    return _write_commit(
+        root, df, "overwrite", num_files, partition_by, allow_new_columns
+    )
 
 
 def history(root: str | Path) -> list[dict]:
@@ -181,14 +231,56 @@ def read_version(
     """Snapshot read of the table at ``version`` (default: latest).
 
     Plain parquet scans of the live commit directories, unioned by name
-    — pushdown/pruning apply per scan (per-directory reads sidestep the
-    conflicting-partitioned-roots refusal of a multi-path read).
+    — pushdown and (for partitioned tables) partition pruning apply per
+    scan; per-directory reads sidestep the conflicting-partitioned-roots
+    refusal of a multi-path read. Commits written before a schema
+    widening surface NULL for the later columns; the column order is the
+    as-of-``version`` schema.
     """
+    root = Path(root)
     dirs = live_dirs(root, version)
     df = spark.read.parquet(dirs[0])
     for d in dirs[1:]:
-        df = df.unionByName(spark.read.parquet(d))
-    return df
+        df = df.unionByName(spark.read.parquet(d), allowMissingColumns=True)
+    entries = _committed_entries(root)
+    if version is None:
+        version = entries[-1]["version"]
+    schema_cols = next(
+        e["columns"] for e in reversed(entries) if e["version"] <= version
+    )
+    return df.select(*schema_cols)
+
+
+def upsert(
+    spark: SparkSession,
+    root: str | Path,
+    updates: DataFrame,
+    key_cols: list[str],
+    num_files: int | None = None,
+) -> dict:
+    """Copy-on-write MERGE: ``updates`` rows replace live rows sharing
+    their key; new keys insert. One anti-join (update keys broadcast at
+    typical delta sizes via AQE) + one overwrite commit; every prior
+    version still time-travels. At 100 TB, bound the rewrite by
+    partition-pruning untouched partitions before the call — the commit
+    itself never rewrites history, only the live set.
+    """
+    current = read_version(spark, root)
+    kept = current.join(updates.select(*key_cols), key_cols, "left_anti")
+    return overwrite(root, kept.unionByName(updates), num_files=num_files)
+
+
+def delete_where(
+    spark: SparkSession,
+    root: str | Path,
+    predicate,
+    num_files: int | None = None,
+) -> dict:
+    """Copy-on-write DELETE: commit the live set minus matching rows.
+    Deleted rows remain visible to every earlier version (time travel /
+    audit) until vacuum retires those versions."""
+    current = read_version(spark, root)
+    return overwrite(root, current.filter(~predicate), num_files=num_files)
 
 
 def optimize(

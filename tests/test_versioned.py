@@ -130,6 +130,55 @@ def test_cli_table_lifecycle(capsys, spark, tmp_path, sf_dir):
     assert "removed 2 data dirs: c00000000, c00000001" in out
 
 
+def test_partitioned_commits_prune(spark, tmp_path):
+    root = tmp_path / "pt"
+    df = spark.range(100).select(
+        "id", (F.col("id") % 4).alias("bucket"), (F.col("id") * 2).alias("v")
+    )
+    vt.append(root, df, partition_by=["bucket"])
+    vt.append(root, df.withColumn("id", F.col("id") + 100))
+    # later commits inherit the table's partitioning
+    assert vt.history(root)[-1]["partition_by"] == ["bucket"]
+    got = vt.read_version(spark, root).filter(F.col("bucket") == 2)
+    assert got.count() == 50
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan
+    with pytest.raises(ValueError, match="partitioning mismatch"):
+        vt.append(root, df, partition_by=["v"])
+
+
+def test_schema_widening_reads_null_for_old_commits(spark, tmp_path):
+    root = tmp_path / "sw"
+    vt.append(root, _mk(spark, 0, 3), num_files=1)
+    widened = _mk(spark, 3, 5).withColumn("extra", F.lit("x"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        vt.append(root, widened, num_files=1)
+    vt.append(root, widened, num_files=1, allow_new_columns=True)
+    assert vt.history(root)[-1]["added_columns"] == ["extra"]
+    latest = vt.read_version(spark, root)
+    assert latest.columns == ["id", "v", "extra"]
+    rows = {r.id: r.extra for r in latest.collect()}
+    assert rows[0] is None and rows[4] == "x"
+    # dropping a column is never allowed
+    with pytest.raises(ValueError, match="never dropped"):
+        vt.append(root, _mk(spark, 5, 6).select("id"), allow_new_columns=True)
+    # the v0 snapshot keeps its original two-column schema
+    assert vt.read_version(spark, root, 0).columns == ["id", "v"]
+
+
+def test_upsert_and_delete(spark, tmp_path):
+    root = tmp_path / "up"
+    vt.append(root, _mk(spark, 0, 5), num_files=1)
+    updates = spark.createDataFrame([(3, 999), (7, 777)], "id: long, v: long")
+    vt.upsert(spark, root, updates, ["id"], num_files=1)
+    got = {r.id: r.v for r in vt.read_version(spark, root).collect()}
+    assert got == {0: 0, 1: 10, 2: 20, 3: 999, 4: 40, 7: 777}
+    vt.delete_where(spark, root, F.col("id") % 2 == 1, num_files=1)
+    assert sorted(r.id for r in vt.read_version(spark, root).collect()) == [0, 2, 4]
+    # time travel: the pre-upsert version is untouched
+    assert {r.id: r.v for r in vt.read_version(spark, root, 0).collect()}[3] == 30
+
+
 def test_streaming_ingest_commits_per_batch(spark, tmp_path):
     """foreachBatch append = one commit per microbatch: arrivals become
     auditable versions, and a time-travel read reproduces the table as
