@@ -251,6 +251,48 @@ def read_version(
     return df.select(*schema_cols)
 
 
+def changes_between(
+    spark: SparkSession,
+    root: str | Path,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level change feed between two versions: each output row is a
+    row of one snapshot absent from the other, tagged ``_change`` =
+    'insert' (new in ``to``) or 'delete' (gone from ``to``); an UPDATE
+    therefore appears as its delete+insert pair. The diff compares full
+    rows over the columns both schemas share (a key-only anti-join would
+    miss updates), via two anti-joins — exactly the signed changelog
+    ``operators/matview.refresh_mv_parquet`` consumes (map ``_change``
+    to a +1/-1 sign column), so downstream aggregates refresh from the
+    diff without rescanning either snapshot. NULL caveat: anti-join
+    equality treats NULL as unequal, so rows with NULL in a shared
+    column always surface as a delete+insert pair.
+    """
+    from pyspark.sql import functions as F
+
+    old = read_version(spark, root, from_version)
+    new = read_version(spark, root, to_version)
+    shared = [c for c in old.columns if c in set(new.columns)]
+    inserts = new.join(old.select(*shared), shared, "left_anti")
+    deletes = old.join(new.select(*shared), shared, "left_anti")
+    return inserts.withColumn("_change", F.lit("insert")).unionByName(
+        deletes.withColumn("_change", F.lit("delete")), allowMissingColumns=True
+    )
+
+
+def register_view(
+    spark: SparkSession,
+    root: str | Path,
+    name: str,
+    version: int | None = None,
+) -> None:
+    """Expose a snapshot to the SQL surface (``de sql`` / spark.sql) as a
+    temp view — queries against ``name`` are pinned to the version
+    resolved NOW, reproducible regardless of later commits."""
+    read_version(spark, root, version).createOrReplaceTempView(name)
+
+
 def upsert(
     spark: SparkSession,
     root: str | Path,

@@ -179,6 +179,54 @@ def test_upsert_and_delete(spark, tmp_path):
     assert {r.id: r.v for r in vt.read_version(spark, root, 0).collect()}[3] == 30
 
 
+def test_changes_between_feeds_mv_refresh(spark, tmp_path):
+    """CDF rows map 1:1 onto the MV changelog contract: refreshing the
+    v0-state MV with the diff equals aggregating v2 from scratch."""
+    from dataset_dedupe_estimator_spark.operators.matview import (
+        COUNT_COL,
+        additive_state,
+        merge_states,
+    )
+
+    root = tmp_path / "cdf"
+    vt.append(root, _mk(spark, 0, 6), num_files=1)                 # v0
+    updates = spark.createDataFrame([(2, 222), (9, 90)], "id: long, v: long")
+    vt.upsert(spark, root, updates, ["id"], num_files=1)           # v1
+    vt.delete_where(spark, root, F.col("id") == 0, num_files=1)    # v2
+
+    feed = vt.changes_between(spark, root, 0, 2)
+    got = {(r.id, r._change) for r in feed.collect()}
+    assert got == {(9, "insert"), (2, "insert"), (2, "delete"), (0, "delete")}
+
+    keys = ["grp"]
+    measures = {"s": F.col("v")}
+    grp = lambda df: df.withColumn("grp", F.col("id") % 2)  # noqa: E731
+    sign = F.when(F.col("_change") == "insert", 1).otherwise(-1)
+    mv = merge_states(
+        [
+            additive_state(grp(vt.read_version(spark, root, 0)), keys, measures),
+            additive_state(grp(feed), keys, measures, sign=sign),
+        ],
+        keys,
+    )
+    scratch = additive_state(grp(vt.read_version(spark, root, 2)), keys, measures)
+    as_dict = lambda df: {r.grp: (r[COUNT_COL], r.s) for r in df.collect()}  # noqa: E731
+    assert as_dict(mv) == as_dict(scratch)
+
+
+def test_register_view_pins_snapshot(spark, tmp_path):
+    root = tmp_path / "rv"
+    vt.append(root, _mk(spark, 0, 4), num_files=1)
+    vt.register_view(spark, root, "snap_v0")
+    vt.append(root, _mk(spark, 4, 8), num_files=1)
+    # the view still reads the version resolved at registration time
+    assert spark.sql("SELECT COUNT(*) AS n FROM snap_v0").first().n == 4
+    vt.register_view(spark, root, "snap_latest")
+    assert spark.sql("SELECT COUNT(*) AS n FROM snap_latest").first().n == 8
+    spark.catalog.dropTempView("snap_v0")
+    spark.catalog.dropTempView("snap_latest")
+
+
 def test_streaming_ingest_commits_per_batch(spark, tmp_path):
     """foreachBatch append = one commit per microbatch: arrivals become
     auditable versions, and a time-travel read reproduces the table as
