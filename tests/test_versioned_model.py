@@ -1,0 +1,77 @@
+"""Model-based property test for the versioned-table commit protocol.
+
+A random sequence of append / overwrite / upsert / delete_where ops runs
+against BOTH the real table (sources/versioned.py, parquet + log on
+disk) and a trivially-correct in-memory dict model. After the sequence,
+EVERY historical version's snapshot must equal the model's recorded
+state for that version — i.e. commits are linearizable and time travel
+is exact under any op interleaving, not just the hand-picked sequences
+in test_versioned.py. Spark actions dominate the budget, so examples
+are few but each replays a full multi-op history.
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+# an op is (kind, payload); keys/values drawn from tiny domains so
+# collisions (the interesting case) are common
+_KEYS = st.integers(min_value=0, max_value=9)
+_VALS = st.integers(min_value=0, max_value=99)
+_ROWS = st.dictionaries(_KEYS, _VALS, min_size=0, max_size=5)
+
+_OP = st.one_of(
+    st.tuples(st.just("append"), _ROWS.filter(len)),
+    st.tuples(st.just("overwrite"), _ROWS),
+    st.tuples(st.just("upsert"), _ROWS.filter(len)),
+    st.tuples(st.just("delete_mod"), st.integers(min_value=2, max_value=4)),
+)
+
+
+def _df(spark, rows: dict):
+    return spark.createDataFrame(sorted(rows.items()), "k: long, v: long")
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_OP, min_size=1, max_size=6))
+def test_random_histories_time_travel_exactly(spark, tmp_path_factory, ops):
+    root = tmp_path_factory.mktemp("vtm") / "tbl"
+    # model: multiset of (k, v) rows — append keeps duplicates, so the
+    # model is a list; upsert/delete are key-level
+    live: list[tuple[int, int]] = []
+    snapshots: list[list[tuple[int, int]]] = []
+    for kind, arg in ops:
+        if kind == "append":
+            vt.append(root, _df(spark, arg), num_files=1)
+            live = live + sorted(arg.items())
+        elif kind == "overwrite":
+            vt.overwrite(root, _df(spark, arg), num_files=1)
+            live = sorted(arg.items())
+        elif kind == "upsert":
+            if not snapshots:  # upsert needs an existing table
+                vt.append(root, _df(spark, arg), num_files=1)
+                live = sorted(arg.items())
+            else:
+                vt.upsert(spark, root, _df(spark, arg), ["k"], num_files=1)
+                live = sorted(
+                    [(k, v) for k, v in live if k not in arg] + list(arg.items())
+                )
+        elif kind == "delete_mod":
+            if not snapshots:
+                continue
+            vt.delete_where(spark, root, F.col("k") % arg == 0, num_files=1)
+            live = [(k, v) for k, v in live if k % arg != 0]
+        snapshots.append(sorted(live))
+
+    assert len(vt.history(root)) == len(snapshots)
+    for version, expect in enumerate(snapshots):
+        got = sorted(
+            (r.k, r.v) for r in vt.read_version(spark, root, version).collect()
+        )
+        assert got == expect, f"version {version}: {got} != {expect}"
