@@ -633,6 +633,69 @@ FROM best WHERE rn = 1 ORDER BY crm_id
 """
 
 
+def source_feature_corr(spark, sf):
+    """Per-source Pearson correlation between document length (chars)
+    and token count, computed from EXACT integer sums.
+
+    ``F.corr`` (and any streaming-variance formula) accumulates float
+    moments in partition order — not reproducible across engines or
+    layouts.  Here the five sufficient statistics (Σx, Σy, Σxy, Σx²,
+    Σy²) are exact BIGINT sums (the map-side-combinable shape), and the
+    single double-precision expression at the end is evaluated
+    identically in Spark and DuckDB, then rounded once.  One scan, one
+    per-source aggregate — rides the scan at any corpus size.
+    """
+    docs = load(spark, sf, "documents").select(
+        "source",
+        F.col("n_chars").alias("x"),
+        F.size(F.split("text", " ")).cast("long").alias("y"),
+    )
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return agg.select(
+        "source",
+        "n",
+        F.round(num / den, 6).alias("chars_tokens_corr"),
+    ).orderBy("source")
+
+
+SOURCE_FEATURE_CORR_SQL = """
+WITH agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM (
+    SELECT source, n_chars AS x,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+    FROM documents
+  )
+  GROUP BY source
+)
+SELECT source, n,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+           AS chars_tokens_corr
+FROM agg
+ORDER BY source
+"""
+
+
 QUERIES = {
     "salted_agg_lineitem": Q(salted_agg_lineitem, SALTED_AGG_SQL),
     "fuzzy_match_customers": Q(fuzzy_match_customers, FUZZY_MATCH_SQL),
@@ -642,6 +705,7 @@ QUERIES = {
     "trailing_window_revenue": Q(trailing_window_revenue, TRAILING_WINDOW_SQL),
     "asof_prev_order": Q(asof_prev_order, ASOF_SQL),
     "unpivot_part_metrics": Q(unpivot_part_metrics, UNPIVOT_SQL),
+    "source_feature_corr": Q(source_feature_corr, SOURCE_FEATURE_CORR_SQL),
     "merge_upsert_orders": Q(merge_upsert_orders, MERGE_SQL),
     "range_join_price_bands": Q(range_join_price_bands, RANGE_JOIN_SQL),
     "cube_order_stats": Q(cube_order_stats, CUBE_SQL),

@@ -155,8 +155,48 @@ ORDER BY h.doc_id
 """
 
 
+SAMPLE_K = 8  # docs kept per source
+
+
+def stratified_sample_docs(spark, sf):
+    """Deterministic per-source sample: the K docs with the smallest
+    md5(doc_id) rank within each source — eval-set construction that is
+    stable under any partition layout or corpus growth ordering (unlike
+    ``df.sample``, which changes with the split plan).  The rank window
+    partitions by source, so the sort is per-source and bounded; ties
+    are impossible (md5 of distinct ids).  At 100 TB this shuffles only
+    (source, hash, doc_id) triples — never text.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id"))
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= SAMPLE_K)
+        .select("source", "rnk", "doc_id", "n_chars")
+        .orderBy("source", "rnk")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rnk
+  FROM documents
+)
+SELECT source, rnk, doc_id, n_chars
+FROM ranked WHERE rnk <= {SAMPLE_K}
+ORDER BY source, rnk
+"""
+
+
 QUERIES = {
     "split_assign": Q(split_assign, SPLIT_ASSIGN_SQL),
+    "stratified_sample_docs": Q(stratified_sample_docs, STRATIFIED_SAMPLE_SQL),
     "cross_split_leakage": Q(cross_split_leakage, CROSS_SPLIT_LEAKAGE_SQL),
     "split_purge_eval": Q(split_purge_eval, SPLIT_PURGE_EVAL_SQL),
 }

@@ -378,4 +378,9 @@ def vacuum(root: str | Path, keep_versions: int = 1) -> list[str]:
             if d.is_dir() and d.name not in reachable:
                 shutil.rmtree(d)
                 removed.append(d.name)
+        # a hard-killed writer can leave a *.tmp-<pid> staging file in the
+        # log (the commit link never happened); they are invisible to
+        # readers but worth reclaiming
+        for tmp in (root / _VLOG).glob("*.tmp-*"):
+            tmp.unlink(missing_ok=True)
         return removed
