@@ -66,6 +66,13 @@ def main() -> int:
         "cohort_ltv",
         "events_funnel_ttc",
         "source_drift_tvd",
+        # r5 session-2 additions (table lifecycle + search + sampling)
+        "bm25_search",
+        "zorder_layout",
+        "mv_incremental_orders",
+        "snapshot_diff_docs",
+        "stratified_sample_docs",
+        "source_feature_corr",
     ]
     lines = [
         "# Physical plans — headline + selected queries",
