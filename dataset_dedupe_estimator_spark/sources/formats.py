@@ -352,6 +352,39 @@ class OrcFormat(FileFormat):
 
 
 @dataclass(frozen=True)
+class CsvFormat(FileFormat):
+    """CSV sink (+gzip) via Spark's built-in writer — beyond the
+    reference's format matrix, included as the lowest-common-denominator
+    baseline a format comparison is often asked to beat.  Header on,
+    read back with the source schema so the roundtrip sanity check is
+    type-faithful (CSV itself is untyped)."""
+
+    name: str = "csv"
+    suffix: str = ".csv"
+    compression: str | None = None  # None|gzip
+
+    @property
+    def params(self) -> dict:
+        return {"c": self.compression}
+
+    def derive_path(self, stem: str, directory: Path) -> Path:
+        ext = self.suffix + (".gz" if self.compression == "gzip" else "")
+        return Path(directory) / f"{self.paramstem(stem)}{ext}"
+
+    def write(self, spark: SparkSession, stem: str, src: Source, directory: Path) -> Path:
+        df = _resolve(spark, src)
+        dest = self.derive_path(stem, directory)
+        options = {"header": "true"}
+        if self.compression:
+            options["compression"] = self.compression
+        _single_file_write(df, "csv", options, dest)
+        sanity_check(
+            spark, df, spark.read.csv(str(dest), header=True, schema=df.schema)
+        )
+        return dest
+
+
+@dataclass(frozen=True)
 class SqliteFormat(FileFormat):
     name: str = "sqlite"
     suffix: str = ".sqlite"
@@ -380,7 +413,12 @@ class SqliteFormat(FileFormat):
         return spark.createDataFrame(pdf)
 
 
-def default_formats(with_json: bool = False, with_sqlite: bool = False, with_orc: bool = False) -> list[FileFormat]:
+def default_formats(
+    with_json: bool = False,
+    with_sqlite: bool = False,
+    with_orc: bool = False,
+    with_csv: bool = False,
+) -> list[FileFormat]:
     """The reference's default contender matrix (de/cli.py:106-132), minus
     CDC variants when pyarrow can't write them."""
     fmts: list[FileFormat] = [
@@ -398,4 +436,6 @@ def default_formats(with_json: bool = False, with_sqlite: bool = False, with_orc
         fmts.append(SqliteFormat())
     if with_orc:
         fmts.append(OrcFormat())
+    if with_csv:
+        fmts += [CsvFormat(), CsvFormat(compression="gzip")]
     return fmts

@@ -181,6 +181,22 @@ def test_cdc_option_dict_matches_pyarrow21_signature():
         assert f'"{key}"' in src
 
 
+def test_csv_roundtrip(spark, small_df, tmp_path):
+    from dataset_dedupe_estimator_spark.sources.formats import CsvFormat
+
+    fmt = CsvFormat()
+    path = fmt.write(spark, "t", small_df, tmp_path)  # write() sanity-checks
+    assert path.suffix == ".csv"
+    back = spark.read.csv(str(path), header=True, schema=small_df.schema)
+    assert sorted(back.collect()) == sorted(small_df.collect())
+    gz = CsvFormat(compression="gzip")
+    gz_path = gz.write(spark, "t", small_df, tmp_path)
+    assert gz_path.name.endswith(".csv.gz")
+    assert gz_path.stat().st_size > 0  # gzip overhead beats 3 rows; no size claim
+    names = [f.name for f in default_formats(with_csv=True)]
+    assert names.count("csv") == 2
+
+
 def test_orc_roundtrip(spark, small_df, tmp_path):
     from dataset_dedupe_estimator_spark.sources.formats import OrcFormat
 
