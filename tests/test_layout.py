@@ -51,6 +51,35 @@ def test_zvalue_sql_matches_spark(spark):
         assert duck == z
 
 
+def test_zvalue_property_random(spark):
+    """Random dims/bits/values: Spark zvalue == bitwise reference ==
+    DuckDB zvalue_sql. One createDataFrame per case batch (hypothesis
+    over Spark is slow, so cases are drawn once with a fixed seed)."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(20260814)
+    for _ in range(12):
+        ndims = rng.choice([1, 2, 3, 4])
+        bits = rng.randint(2, 62 // ndims)
+        vals = [
+            tuple(rng.randrange(1 << bits) for _ in range(ndims))
+            for _ in range(8)
+        ]
+        schema = ", ".join(f"c{d}: long" for d in range(ndims))
+        df = spark.createDataFrame(vals, schema)
+        cols = [F.col(f"c{d}") for d in range(ndims)]
+        got = df.select(*[f"c{d}" for d in range(ndims)], zvalue(cols, bits)).collect()
+        for r in got:
+            tup = [r[f"c{d}"] for d in range(ndims)]
+            assert r.zvalue == _morton_ref(tup, bits), (ndims, bits, tup)
+            duck = duckdb.sql(
+                f"SELECT {zvalue_sql([str(v) for v in tup], bits)}"
+            ).fetchone()[0]
+            assert duck == r.zvalue
+
+
 def test_zvalue_rejects_overflow():
     with pytest.raises(ValueError):
         zvalue([F.col("a")] * 4, bits=16)
