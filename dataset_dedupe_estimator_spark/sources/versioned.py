@@ -239,15 +239,25 @@ def read_version(
     """
     root = Path(root)
     dirs = live_dirs(root, version)
-    df = spark.read.parquet(dirs[0])
-    for d in dirs[1:]:
-        df = df.unionByName(spark.read.parquet(d), allowMissingColumns=True)
     entries = _committed_entries(root)
     if version is None:
         version = entries[-1]["version"]
-    schema_cols = next(
-        e["columns"] for e in reversed(entries) if e["version"] <= version
-    )
+    live_entries = [e for e in entries if e["version"] <= version]
+    schema_cols = live_entries[-1]["columns"]
+    partitioned = bool(live_entries[-1].get("partition_by"))
+    if not partitioned:
+        # one multi-path scan node — a 120-commit live set plans as a
+        # single FileSourceScan instead of a 120-leaf union (the
+        # conflicting-roots refusal only applies to PARTITIONED dirs);
+        # mergeSchema covers commits written before a schema widening
+        widened = any("added_columns" in e for e in live_entries)
+        reader = spark.read
+        if widened:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*dirs).select(*schema_cols)
+    df = spark.read.parquet(dirs[0])
+    for d in dirs[1:]:
+        df = df.unionByName(spark.read.parquet(d), allowMissingColumns=True)
     return df.select(*schema_cols)
 
 
