@@ -797,6 +797,45 @@ def cmd_media(args) -> int:
     return 0
 
 
+def cmd_search(args) -> int:
+    """`de search DOCS.parquet TERM [TERM...] [--top K]`: BM25 keyword
+    search over a documents parquet (queries/text_analysis.py
+    bm25_frame — zero-shuffle plan; scoring rides the scan)."""
+    from dataset_dedupe_estimator_spark.queries.text_analysis import bm25_frame
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    hits = bm25_frame(docs, tuple(args.terms), top=args.top).collect()
+    for r in hits:
+        print(f"doc {r[0]}  score={r.score:.4f}  matched {r.n_terms}/{len(args.terms)} terms")
+    if not hits:
+        print("no documents matched")
+    return 0
+
+
+def cmd_sample(args) -> int:
+    """`de sample DOCS.parquet OUT.parquet [--per-source K]`: layout-stable
+    per-source sample — the K docs with the smallest md5(doc_id) per
+    source (queries/splits.py stratified_sample_docs rationale: stable
+    under growth/partitioning, unlike df.sample)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id"))
+    picked = docs.withColumn("_rnk", F.row_number().over(w)).filter(
+        F.col("_rnk") <= args.per_source
+    ).drop("_rnk")
+    picked.write.mode("overwrite").parquet(args.out)
+    per = picked.groupBy("source").count().orderBy("source").collect()
+    for r in per:
+        print(f"{r.source}: {r['count']} docs")
+    print(f"wrote {sum(r['count'] for r in per)} docs to {args.out}")
+    return 0
+
+
 def cmd_table(args) -> int:
     """`de table {append,overwrite,history,read,vacuum} ROOT [SRC] ...`:
     versioned parquet table — reproducible snapshots + time travel
@@ -1066,6 +1105,18 @@ def build_parser() -> argparse.ArgumentParser:
     md.add_argument("--features", help="write feature vectors to this parquet path")
     md.add_argument("--near-dups", dest="near_dups", help="write perceptual near-dup pairs (image+audio) to this parquet path")
     md.set_defaults(fn=cmd_media)
+
+    se = sub.add_parser("search", help="BM25 keyword search over a documents parquet")
+    se.add_argument("docs")
+    se.add_argument("terms", nargs="+")
+    se.add_argument("--top", type=int, default=20)
+    se.set_defaults(fn=cmd_search)
+
+    sa = sub.add_parser("sample", help="layout-stable stratified per-source sample")
+    sa.add_argument("docs")
+    sa.add_argument("out")
+    sa.add_argument("--per-source", type=int, default=100)
+    sa.set_defaults(fn=cmd_sample)
 
     tb = sub.add_parser("table", help="versioned parquet table: snapshots + time travel")
     tb.add_argument(

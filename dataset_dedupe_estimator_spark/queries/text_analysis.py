@@ -754,24 +754,12 @@ BM25_QUERY = ("vector", "window", "fast")  # fixed benchmark query
 BM25_TOP = 20
 
 
-def bm25_search(spark, sf):
-    """BM25 top-k keyword search over the documents table.
-
-    The query terms are plan constants, so the inverted index
-    dissolves into expressions: per-doc term frequencies are
-    ``size(filter(split(text), x -> x = term))`` — no explode, no
-    (doc, token) shuffle at all.  ONE aggregate over that projection
-    yields N, avgdl, and every term's document frequency together; it
-    broadcasts as a scalar row and scoring is a pure per-row expression
-    on a second pass of the same narrow projection.  Per-term
-    components are added in FIXED expression order, so no float
-    aggregation order-dependence exists anywhere — the DuckDB oracle
-    reproduces the score bit-for-bit before the shared ROUND.  Top-k is
-    orderBy+limit (TakeOrdered), never a global window.  At 100 TB:
-    two column-pruned scans of ``text``, zero shuffles (cache the
-    narrow projection to make it one scan); scoring rides the scan.
-    """
-    toks = F.split("text", " ")
+def bm25_frame(docs, terms, k1=BM25_K1, b=BM25_B, top=BM25_TOP,
+               id_col="doc_id", text_col="text"):
+    """BM25 top-k over ``docs`` for constant ``terms`` — the reusable
+    core behind the ``bm25_search`` gate entry and the ``de search``
+    CLI.  See ``bm25_search`` for the plan-shape discussion."""
+    toks = F.split(text_col, " ")
 
     def tf_expr(term):
         # size - size(array_remove) == exact token count; 2x faster than a
@@ -779,21 +767,21 @@ def bm25_search(spark, sf):
         # closure per element; ArrayRemove is a plain equality scan)
         return F.size(toks) - F.size(F.array_remove(toks, term))
 
-    base = load(spark, sf, "documents").select(
-        "doc_id",
+    base = docs.select(
+        id_col,
         F.size(toks).alias("dl"),
-        *[tf_expr(t).alias(f"tf{i}") for i, t in enumerate(BM25_QUERY)],
+        *[tf_expr(t).alias(f"tf{i}") for i, t in enumerate(terms)],
     )
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),
         *[
             F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
-            for i in range(len(BM25_QUERY))
+            for i in range(len(terms))
         ],
     )
     matched = base.filter(
-        reduce(operator.or_, [F.col(f"tf{i}") > 0 for i in range(len(BM25_QUERY))])
+        reduce(operator.or_, [F.col(f"tf{i}") > 0 for i in range(len(terms))])
     ).crossJoin(F.broadcast(stats))
 
     def comp(i):
@@ -805,31 +793,52 @@ def bm25_search(spark, sf):
         )
         raw = (
             idf
-            * (tf * F.lit(BM25_K1 + 1.0))
+            * (tf * F.lit(k1 + 1.0))
             / (
                 tf
-                + F.lit(BM25_K1)
-                * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
             )
         )
         return F.when(tf > 0, raw).otherwise(F.lit(0.0))
 
     score = comp(0)
-    for i in range(1, len(BM25_QUERY)):
+    for i in range(1, len(terms)):
         score = score + comp(i)
     n_terms = reduce(
         operator.add,
-        [(F.col(f"tf{i}") > 0).cast("long") for i in range(len(BM25_QUERY))],
+        [(F.col(f"tf{i}") > 0).cast("long") for i in range(len(terms))],
     )
     return (
         matched.select(
-            "doc_id",
+            id_col,
             n_terms.alias("n_terms"),
             F.round(score, 4).alias("score"),
         )
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(BM25_TOP)
+        .orderBy(F.col("score").desc(), id_col)
+        .limit(top)
     )
+
+
+def bm25_search(spark, sf):
+    """BM25 top-k keyword search over the documents table.
+
+    The query terms are plan constants, so the inverted index
+    dissolves into expressions: per-doc term frequencies are
+    ``size(toks) - size(array_remove(toks, term))`` — no explode, no
+    (doc, token) shuffle at all.  ONE aggregate over that projection
+    yields N, avgdl, and every term's document frequency together; it
+    broadcasts as a scalar row and scoring is a pure per-row expression
+    on a second pass of the same narrow projection.  Per-term
+    components are added in FIXED expression order, so no float
+    aggregation order-dependence exists anywhere — the DuckDB oracle
+    reproduces the score bit-for-bit before the shared ROUND.  Top-k is
+    orderBy+limit (TakeOrdered), never a global window.  At 100 TB:
+    two column-pruned scans of ``text``, zero shuffles (cache the
+    narrow projection to make it one scan); scoring rides the scan.
+    """
+    docs = load(spark, sf, "documents")
+    return bm25_frame(docs, BM25_QUERY)
 
 
 def _bm25_sql() -> str:

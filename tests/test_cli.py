@@ -283,3 +283,22 @@ def test_cli_bpe(capsys, spark, tmp_path):
     df = spark.read.parquet(enc)
     assert {"ws_tokens", "bpe_tokens"} <= set(df.columns)
     assert df.count() > 0
+
+
+def test_cli_search_and_sample(capsys, spark, tmp_path):
+    import os
+
+    from dataset_dedupe_estimator_spark.cli import main
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = f"{sf}/documents.parquet"
+    assert main(["search", docs, "vector", "window", "--top", "5"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("score=") == 5 and "/2 terms" in out
+
+    dest = str(tmp_path / "sample.parquet")
+    assert main(["sample", docs, dest, "--per-source", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "wrote" in out
+    got = spark.read.parquet(dest).groupBy("source").count().collect()
+    assert got and all(r["count"] <= 3 for r in got)
