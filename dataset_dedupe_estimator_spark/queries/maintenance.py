@@ -322,9 +322,98 @@ ORDER BY source
 """
 
 
+# --- streaming MV refresh under the gate -------------------------------------
+
+def streaming_mv_refresh(spark, sf):
+    """Structured-Streaming MV maintenance end-to-end under the gate.
+
+    Two changelog waves land as files: wave 1 inserts the
+    ``o_orderkey % 3 == 0`` orders; wave 2 inserts the ``% 3 == 1``
+    slice AND retracts (sign -1) the ``% 6 == 0`` rows. A file stream
+    (``maxFilesPerTrigger=1``) drives ``refresh_mv_parquet`` through
+    foreachBatch — each microbatch merges signed state into the stored
+    parquet MV; nothing is ever recomputed from the base table. The
+    oracle aggregates the surviving membership directly, so a dropped
+    retraction or double-applied batch hash-mismatches. Eager (the
+    stream runs at construction); result localCheckpointed before the
+    temp dirs vanish.
+    """
+    import shutil
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.operators.matview import (
+        refresh_mv_parquet,
+    )
+
+    orders = load(spark, sf, "orders").select(
+        (F.col("o_custkey") % 10).alias("bucket"),
+        cents("o_totalprice").alias("price_cents"),
+        "o_orderkey",
+    )
+    root = tempfile.mkdtemp(prefix="dde_smv_")
+    src = f"{root}/changelog"
+    mv_path = f"{root}/mv"
+    try:
+        wave1 = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+            "mv_sign", F.lit(1)
+        )
+        wave2 = orders.filter(F.col("o_orderkey") % 3 == 1).withColumn(
+            "mv_sign", F.lit(1)
+        ).unionByName(
+            orders.filter(F.col("o_orderkey") % 6 == 0).withColumn(
+                "mv_sign", F.lit(-1)
+            )
+        )
+        wave1.coalesce(1).write.mode("append").parquet(src)
+        wave2.coalesce(1).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                lambda batch, _id: refresh_mv_parquet(
+                    spark,
+                    mv_path,
+                    batch,
+                    ["bucket"],
+                    {"mv_cents": F.col("price_cents")},
+                )
+            )
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return (
+            spark.read.parquet(mv_path)
+            .select(
+                "bucket",
+                F.col("mv_count").alias("n_orders"),
+                F.col("mv_cents").alias("total_cents"),
+            )
+            .orderBy("bucket")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+STREAMING_MV_REFRESH_SQL = f"""
+SELECT o_custkey % 10 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS total_cents
+FROM orders
+WHERE (o_orderkey % 3 = 0 AND o_orderkey % 6 <> 0) OR o_orderkey % 3 = 1
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
 QUERIES = {
     "mv_incremental_orders": Q(mv_incremental_orders, MV_INCREMENTAL_ORDERS_SQL),
     "mv_from_version_diff": Q(mv_from_version_diff, MV_FROM_VERSION_DIFF_SQL),
+    "streaming_mv_refresh": Q(streaming_mv_refresh, STREAMING_MV_REFRESH_SQL),
     "table_time_travel": Q(table_time_travel, TABLE_TIME_TRAVEL_SQL),
     "snapshot_diff_docs": Q(snapshot_diff_docs, SNAPSHOT_DIFF_DOCS_SQL),
     "zorder_layout": Q(zorder_layout, ZORDER_LAYOUT_SQL),
