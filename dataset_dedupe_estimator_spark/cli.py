@@ -228,13 +228,23 @@ def cmd_page_chunks(args) -> int:
 def cmd_sql(args) -> int:
     """Ad-hoc SQL over a scale-factor directory's tables; --chunks GLOB
     additionally registers the CDC chunk store (`chunks`, `dedup_map`
-    views) so the reference's in-memory store is queryable as relations."""
+    views); --table NAME=ROOT[@VERSION] registers a versioned-table
+    snapshot (sources/versioned.py) pinned at the given version."""
     from dataset_dedupe_estimator_spark.catalog import sql
 
     chunk_paths = None
     if args.chunks:
         chunk_paths = [p for pat in args.chunks for p in sorted(glob.glob(pat))] or args.chunks
     spark = _spark(args)
+    for spec in args.table or []:
+        from dataset_dedupe_estimator_spark.sources.versioned import register_view
+
+        name, _, rest = spec.partition("=")
+        if not rest:
+            print(f"--table wants NAME=ROOT[@VERSION], got {spec!r}", file=sys.stderr)
+            return 2
+        root, _, ver = rest.partition("@")
+        register_view(spark, root, name, int(ver) if ver else None)
     df = sql(spark, args.query, args.sf_dir, chunk_paths=chunk_paths)
     df.show(args.limit, truncate=False)
     return 0
@@ -1012,6 +1022,10 @@ def build_parser() -> argparse.ArgumentParser:
     sq.add_argument(
         "--chunks", nargs="+",
         help="files/globs to chunk and register as `chunks` + `dedup_map` views",
+    )
+    sq.add_argument(
+        "--table", nargs="+",
+        help="NAME=ROOT[@VERSION]: register versioned-table snapshots as views",
     )
     sq.set_defaults(fn=cmd_sql)
 

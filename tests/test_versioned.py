@@ -266,6 +266,20 @@ def test_streaming_ingest_commits_per_batch(spark, tmp_path):
     assert vt.read_version(spark, root, 1).count() == 9  # history stable
 
 
+def test_cli_sql_versioned_table_view(capsys, spark, tmp_path):
+    from dataset_dedupe_estimator_spark.cli import main
+
+    root = str(tmp_path / "t")
+    vt.append(root, _mk(spark, 0, 7), num_files=1)
+    vt.overwrite(root, _mk(spark, 0, 3), num_files=1)
+    rc = main([
+        "sql", "SELECT COUNT(*) AS n FROM snap", "--table", f"snap={root}@0",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "|7|" in out.replace(" ", "")
+    spark.catalog.dropTempView("snap")
+
+
 def test_commit_is_exclusive_per_version(spark, tmp_path):
     root = tmp_path / "tbl2"
     vt.append(root, _mk(spark, 0, 2), num_files=1)
