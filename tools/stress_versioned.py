@@ -76,8 +76,36 @@ def main() -> int:
         out["history_entries"] = len(vt.history(root))
         n2 = vt.read_version(spark, root).count()
 
+        # --- partitioned variant: pruning must hold through the log ---
+        proot = os.path.join(os.path.dirname(root), "ptbl")
+        pdf = (
+            spark.range(4_000_000)
+            .select("id", (F.col("id") % 16).alias("bucket"), (F.col("id") * 3).alias("v"))
+        )
+        vt.append(proot, pdf, partition_by=["bucket"])
+        vt.append(proot, pdf.withColumn("id", F.col("id") + 4_000_000))
+        t0 = time.time()
+        full = vt.read_version(spark, proot).count()
+        t_full = time.time() - t0
+        t0 = time.time()
+        one = vt.read_version(spark, proot).filter(F.col("bucket") == 3).count()
+        t_pruned = time.time() - t0
+        out["part_full_s"] = round(t_full, 2)
+        out["part_pruned_s"] = round(t_pruned, 2)
+        out["part_counts_ok"] = full == 8_000_000 and one == 500_000
+        plan = (
+            vt.read_version(spark, proot)
+            .filter(F.col("bucket") == 3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        out["part_filters_in_plan"] = "PartitionFilters: [isnotnull(bucket" in plan
+
         ok = (
-            n == COMMITS * ROWS_PER_COMMIT
+            out["part_counts_ok"]
+            and out["part_filters_in_plan"]
+            and n == COMMITS * ROWS_PER_COMMIT
             and n2 == n
             and out["rows_mid_exact"]
             and out["live_dirs"] == COMMITS
