@@ -230,22 +230,28 @@ def cmd_sql(args) -> int:
     additionally registers the CDC chunk store (`chunks`, `dedup_map`
     views); --table NAME=ROOT[@VERSION] registers a versioned-table
     snapshot (sources/versioned.py) pinned at the given version."""
-    from dataset_dedupe_estimator_spark.catalog import sql
+    from dataset_dedupe_estimator_spark.catalog import (
+        register_chunks,
+        register_testdata,
+    )
 
-    chunk_paths = None
+    spark = _spark(args)
+    register_testdata(spark, args.sf_dir)
     if args.chunks:
         chunk_paths = [p for pat in args.chunks for p in sorted(glob.glob(pat))] or args.chunks
-    spark = _spark(args)
+        register_chunks(spark, chunk_paths)
+    # --table snapshots register LAST: a pinned snapshot must win a name
+    # collision with a live testdata table, not be clobbered by it
     for spec in args.table or []:
         from dataset_dedupe_estimator_spark.sources.versioned import register_view
 
         name, _, rest = spec.partition("=")
-        if not rest:
+        root, _, ver = rest.partition("@")
+        if not name or not root or (ver and not ver.isdigit()):
             print(f"--table wants NAME=ROOT[@VERSION], got {spec!r}", file=sys.stderr)
             return 2
-        root, _, ver = rest.partition("@")
         register_view(spark, root, name, int(ver) if ver else None)
-    df = sql(spark, args.query, args.sf_dir, chunk_paths=chunk_paths)
+    df = spark.sql(args.query)
     df.show(args.limit, truncate=False)
     return 0
 
@@ -828,16 +834,11 @@ def cmd_sample(args) -> int:
     per-source sample — the K docs with the smallest md5(doc_id) per
     source (queries/splits.py stratified_sample_docs rationale: stable
     under growth/partitioning, unlike df.sample)."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
+    from dataset_dedupe_estimator_spark.queries.splits import pick_per_source
 
     spark = _spark(args)
     docs = spark.read.parquet(args.docs)
-    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
-    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id"))
-    picked = docs.withColumn("_rnk", F.row_number().over(w)).filter(
-        F.col("_rnk") <= args.per_source
-    ).drop("_rnk")
+    picked = pick_per_source(docs, args.per_source).drop("rnk")
     picked.write.mode("overwrite").parquet(args.out)
     per = picked.groupBy("source").count().orderBy("source").collect()
     for r in per:

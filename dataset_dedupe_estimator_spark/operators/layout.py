@@ -39,10 +39,11 @@ from pyspark.sql import functions as F
 def zvalue(cols: list[Column], bits: int = 10) -> Column:
     """Morton-interleave non-negative integer columns into one long.
 
-    Bit ``i`` of column ``d`` lands at position ``i * ndims + d``.  Uses
-    div/mod arithmetic (not shift intrinsics) so the identical expression
-    is expressible in any ANSI engine; Catalyst folds the constants and
-    the whole thing stays in codegen.
+    Bit ``i`` of column ``d`` lands at position ``i * ndims + d``.  Bit
+    extraction is ``shiftright(c, i) % 2`` — exact integer ops for the
+    full 62-bit range (a ``c / 2^i`` double division would lose bits
+    past 2^53).  The DuckDB oracle form (:func:`zvalue_sql`) uses the
+    equivalent exact integer division ``//``; both stay in codegen.
     """
     ndims = len(cols)
     if ndims * bits > 62:
@@ -51,7 +52,7 @@ def zvalue(cols: list[Column], bits: int = 10) -> Column:
     for d, col in enumerate(cols):
         c = col.cast("long")
         for i in range(bits):
-            terms.append(((c / F.lit(1 << i)).cast("long") % 2) * F.lit(1 << (i * ndims + d)))
+            terms.append((F.shiftright(c, i) % 2) * F.lit(1 << (i * ndims + d)))
     return reduce(operator.add, terms).alias("zvalue")
 
 
@@ -66,9 +67,18 @@ def zvalue_sql(exprs: list[str], bits: int = 10) -> str:
 
 
 def scale_to_bits(col: Column, lo: Column, hi: Column, bits: int = 10) -> Column:
-    """Map ``col`` in [lo, hi] onto [0, 2^bits) with integer-only math."""
-    span = (hi - lo + F.lit(1)).cast("long")
-    return ((col.cast("long") - lo.cast("long")) * F.lit(1 << bits) / span).cast("long")
+    """Map ``col`` in [lo, hi] onto [0, 2^bits) — overflow-safe.
+
+    Divides BEFORE multiplying (``(col-lo) * 2^bits`` overflows a long
+    for wide domains like epoch-nanos), and clamps: bucketing needs
+    monotonicity, not exactness, so double precision is fine here.
+    """
+    span = (hi - lo + F.lit(1)).cast("double")
+    frac = (col.cast("long") - lo.cast("long")).cast("double") / span
+    return F.least(
+        F.lit((1 << bits) - 1),
+        F.greatest(F.lit(0), F.floor(frac * F.lit(1 << bits)).cast("long")),
+    )
 
 
 def zorder_frame(
@@ -115,20 +125,28 @@ def write_zordered(
     zorder_frame(df, cols, bits, num_files).write.mode("overwrite").parquet(path)
 
 
-def rowgroup_ranges(path: str, column: str) -> list[tuple[int, int]]:
-    """(min, max) footer stats of ``column`` for every row group under ``path``."""
+def rowgroup_ranges(path: str, column: str) -> list[tuple]:
+    """(min, max) footer stats of ``column`` for every row group under
+    ``path`` (recursing into partitioned/nested layouts).  A row group
+    without usable stats yields ``(None, None)`` — a pruning reader must
+    always scan it, and :func:`pruning_fraction` counts it touched."""
     import pyarrow.parquet as pq
     from pathlib import Path
 
     p = Path(path)
-    files = [p] if p.is_file() else sorted(p.glob("*.parquet"))
+    files = [p] if p.is_file() else sorted(p.rglob("*.parquet"))
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
     ranges = []
     for f in files:
         meta = pq.ParquetFile(str(f)).metadata
         idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}[column]
         for rg in range(meta.num_row_groups):
             st = meta.row_group(rg).column(idx).statistics
-            ranges.append((st.min, st.max))
+            if st is None or not st.has_min_max:
+                ranges.append((None, None))
+            else:
+                ranges.append((st.min, st.max))
     return ranges
 
 
@@ -145,7 +163,8 @@ def pruning_fraction(path: str, predicates: dict[str, tuple[int, int]]) -> float
     touched = 0
     for rg in range(n):
         if all(
-            per_col[c][rg][0] <= hi and per_col[c][rg][1] >= lo
+            per_col[c][rg][0] is None  # no stats -> must scan
+            or (per_col[c][rg][0] <= hi and per_col[c][rg][1] >= lo)
             for c, (lo, hi) in predicates.items()
         ):
             touched += 1

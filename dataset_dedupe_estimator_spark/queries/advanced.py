@@ -659,15 +659,16 @@ def source_feature_corr(spark, sf):
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    ) * F.sqrt(
-        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    )
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    den = F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))
+    # zero-variance groups: Spark's x/0.0 is NULL but DuckDB's is
+    # NaN/inf — guard to NULL identically on both sides
+    corr = F.when((dx != 0) & (dy != 0), F.round(num / den, 6))
     return agg.select(
         "source",
         "n",
-        F.round(num / den, 6).alias("chars_tokens_corr"),
+        corr.alias("chars_tokens_corr"),
     ).orderBy("source")
 
 
@@ -687,10 +688,11 @@ WITH agg AS (
   GROUP BY source
 )
 SELECT source, n,
-       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
-           AS chars_tokens_corr
+       CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+            THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+            ELSE NULL END AS chars_tokens_corr
 FROM agg
 ORDER BY source
 """

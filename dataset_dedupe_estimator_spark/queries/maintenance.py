@@ -384,7 +384,12 @@ def streaming_mv_refresh(spark, sf):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "streaming_mv_refresh: availableNow stream did not finish "
+                "within 300s — refusing to read a partially-refreshed MV"
+            )
         return (
             spark.read.parquet(mv_path)
             .select(

@@ -158,6 +158,21 @@ ORDER BY h.doc_id
 SAMPLE_K = 8  # docs kept per source
 
 
+def pick_per_source(docs, k, id_col="doc_id", group_col="source"):
+    """The K rows with the smallest md5(id) per group, rank attached as
+    ``rnk`` — the layout-stable sampling primitive shared by the
+    ``stratified_sample_docs`` gate entry and the ``de sample`` CLI.
+    Hash discipline follows the cross-engine rule: md5 over the id's
+    decimal string."""
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col(id_col).cast("string").cast("binary"))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col))
+    return docs.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+
+
 def stratified_sample_docs(spark, sf):
     """Deterministic per-source sample: the K docs with the smallest
     md5(doc_id) rank within each source — eval-set construction that is
@@ -167,14 +182,9 @@ def stratified_sample_docs(spark, sf):
     are impossible (md5 of distinct ids).  At 100 TB this shuffles only
     (source, hash, doc_id) triples — never text.
     """
-    from pyspark.sql.window import Window
-
     docs = load(spark, sf, "documents").select("doc_id", "source", "n_chars")
-    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
-    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id"))
     return (
-        docs.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= SAMPLE_K)
+        pick_per_source(docs, SAMPLE_K)
         .select("source", "rnk", "doc_id", "n_chars")
         .orderBy("source", "rnk")
     )

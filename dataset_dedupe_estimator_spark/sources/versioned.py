@@ -200,10 +200,11 @@ def history(root: str | Path) -> list[dict]:
     return _committed_entries(Path(root))
 
 
-def live_dirs(root: str | Path, version: int | None = None) -> list[str]:
-    """Data directories visible at ``version`` (default: latest)."""
-    root = Path(root)
-    entries = _committed_entries(root)
+def _resolve(root: Path, entries: list[dict], version: int | None):
+    """(version, live data dirs, live entries ≤ version) from ONE log
+    snapshot — callers must not re-read the log afterwards, or a commit
+    landing in between makes schema and data disagree (readers are
+    lock-free by design)."""
     if not entries:
         raise VersionNotFoundError(f"{root} has no committed versions")
     if version is None:
@@ -222,7 +223,14 @@ def live_dirs(root: str | Path, version: int | None = None) -> list[str]:
             live = [e["dir"]]
         else:
             live.append(e["dir"])
-    return [str(root / _DATA / d) for d in live]
+    dirs = [str(root / _DATA / d) for d in live]
+    return version, dirs, [e for e in entries if e["version"] <= version]
+
+
+def live_dirs(root: str | Path, version: int | None = None) -> list[str]:
+    """Data directories visible at ``version`` (default: latest)."""
+    root = Path(root)
+    return _resolve(root, _committed_entries(root), version)[1]
 
 
 def read_version(
@@ -238,11 +246,7 @@ def read_version(
     as-of-``version`` schema.
     """
     root = Path(root)
-    dirs = live_dirs(root, version)
-    entries = _committed_entries(root)
-    if version is None:
-        version = entries[-1]["version"]
-    live_entries = [e for e in entries if e["version"] <= version]
+    version, dirs, live_entries = _resolve(root, _committed_entries(root), version)
     schema_cols = live_entries[-1]["columns"]
     partitioned = bool(live_entries[-1].get("partition_by"))
     if not partitioned:
@@ -268,26 +272,40 @@ def changes_between(
     to_version: int | None = None,
 ) -> DataFrame:
     """Row-level change feed between two versions: each output row is a
-    row of one snapshot absent from the other, tagged ``_change`` =
-    'insert' (new in ``to``) or 'delete' (gone from ``to``); an UPDATE
-    therefore appears as its delete+insert pair. The diff compares full
-    rows over the columns both schemas share (a key-only anti-join would
-    miss updates), via two anti-joins — exactly the signed changelog
-    ``operators/matview.refresh_mv_parquet`` consumes (map ``_change``
-    to a +1/-1 sign column), so downstream aggregates refresh from the
-    diff without rescanning either snapshot. NULL caveat: anti-join
-    equality treats NULL as unequal, so rows with NULL in a shared
-    column always surface as a delete+insert pair.
+    distinct row whose MULTIPLICITY differs between the snapshots,
+    tagged ``_change`` = 'insert'/'delete' with ``_n`` = how many copies
+    appeared/vanished (tables are multisets — appends can duplicate a
+    row, and a set-based anti-join would miss the second copy).  An
+    UPDATE appears as its delete+insert pair.  The diff compares full
+    rows over the columns both schemas share (a key-only join would
+    miss value changes): per-side row counts, one full-outer join on
+    the row, emit where the counts differ.  This is exactly the signed
+    changelog ``operators/matview.refresh_mv_parquet`` consumes — map
+    ``_change`` to ±1 and weight by ``_n``.  NULL caveat: join equality
+    treats NULL as unequal, so rows with NULL in a shared column always
+    surface as a delete+insert pair.
     """
     from pyspark.sql import functions as F
 
     old = read_version(spark, root, from_version)
     new = read_version(spark, root, to_version)
     shared = [c for c in old.columns if c in set(new.columns)]
-    inserts = new.join(old.select(*shared), shared, "left_anti")
-    deletes = old.join(new.select(*shared), shared, "left_anti")
-    return inserts.withColumn("_change", F.lit("insert")).unionByName(
-        deletes.withColumn("_change", F.lit("delete")), allowMissingColumns=True
+    oldc = old.groupBy(*shared).agg(F.count(F.lit(1)).alias("_cnt_old"))
+    newc = new.groupBy(*shared).agg(F.count(F.lit(1)).alias("_cnt_new"))
+    delta = (
+        oldc.join(newc, shared, "full_outer")
+        .withColumn(
+            "_delta",
+            F.coalesce("_cnt_new", F.lit(0)) - F.coalesce("_cnt_old", F.lit(0)),
+        )
+        .filter(F.col("_delta") != 0)
+    )
+    return delta.select(
+        *shared,
+        F.when(F.col("_delta") > 0, F.lit("insert"))
+        .otherwise(F.lit("delete"))
+        .alias("_change"),
+        F.abs("_delta").alias("_n"),
     )
 
 

@@ -80,6 +80,19 @@ def test_zvalue_property_random(spark):
             assert duck == r.zvalue
 
 
+def test_zvalue_exact_above_double_precision(spark):
+    """Values past 2^53 must interleave exactly — a double-division bit
+    extraction silently rounds there (the regression this pins)."""
+    import duckdb
+
+    vals = [(1 << 62) - 1, (1 << 61) + 1, (1 << 53) + 1]
+    df = spark.createDataFrame([(v,) for v in vals], "a: long")
+    got = {r.a: r.zvalue for r in df.select("a", zvalue([F.col("a")], 62)).collect()}
+    for v in vals:
+        assert got[v] == v  # 1-D Morton with full bits is the identity
+        assert duckdb.sql(f"SELECT {zvalue_sql([str(v)], 62)}").fetchone()[0] == v
+
+
 def test_zvalue_rejects_overflow():
     with pytest.raises(ValueError):
         zvalue([F.col("a")] * 4, bits=16)

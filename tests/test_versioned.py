@@ -195,13 +195,17 @@ def test_changes_between_feeds_mv_refresh(spark, tmp_path):
     vt.delete_where(spark, root, F.col("id") == 0, num_files=1)    # v2
 
     feed = vt.changes_between(spark, root, 0, 2)
-    got = {(r.id, r._change) for r in feed.collect()}
-    assert got == {(9, "insert"), (2, "insert"), (2, "delete"), (0, "delete")}
+    got = {(r.id, r._change, r._n) for r in feed.collect()}
+    assert got == {
+        (9, "insert", 1), (2, "insert", 1), (2, "delete", 1), (0, "delete", 1),
+    }
 
     keys = ["grp"]
     measures = {"s": F.col("v")}
     grp = lambda df: df.withColumn("grp", F.col("id") % 2)  # noqa: E731
-    sign = F.when(F.col("_change") == "insert", 1).otherwise(-1)
+    sign = (
+        F.when(F.col("_change") == "insert", 1).otherwise(-1) * F.col("_n")
+    )
     mv = merge_states(
         [
             additive_state(grp(vt.read_version(spark, root, 0)), keys, measures),
@@ -212,6 +216,18 @@ def test_changes_between_feeds_mv_refresh(spark, tmp_path):
     scratch = additive_state(grp(vt.read_version(spark, root, 2)), keys, measures)
     as_dict = lambda df: {r.grp: (r[COUNT_COL], r.s) for r in df.collect()}  # noqa: E731
     assert as_dict(mv) == as_dict(scratch)
+
+
+def test_changes_between_counts_duplicate_rows(spark, tmp_path):
+    """Tables are multisets: a second append of an identical row must
+    surface in the feed with its multiplicity (a set-based anti-join
+    would return an empty diff and silently corrupt downstream MVs)."""
+    root = tmp_path / "dup"
+    row = [(1, 10)]
+    vt.append(root, spark.createDataFrame(row, "k: long, v: long"), num_files=1)
+    vt.append(root, spark.createDataFrame(row * 2, "k: long, v: long"), num_files=1)
+    feed = vt.changes_between(spark, root, 0, 1).collect()
+    assert [(r.k, r.v, r._change, r._n) for r in feed] == [(1, 10, "insert", 2)]
 
 
 def test_register_view_pins_snapshot(spark, tmp_path):
