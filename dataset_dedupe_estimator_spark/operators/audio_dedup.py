@@ -23,8 +23,12 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 N_FRAMES = 64  # energy-gradient bits
-N_BANDS = 4
-DEFAULT_MAX_HAMMING = 10
+# band math and thresholds live in image_dedup (one candidate generator
+# for all modalities); re-exported for callers of this module
+from dataset_dedupe_estimator_spark.operators.image_dedup import (  # noqa: E402
+    DEFAULT_MAX_HAMMING,
+    N_BANDS,
+)
 
 
 def audio_hash_bits(samples: np.ndarray) -> int:
@@ -92,36 +96,15 @@ def near_dup_audio(
     media: DataFrame, max_hamming: int = DEFAULT_MAX_HAMMING
 ) -> DataFrame:
     """(clip_a, clip_b, hamming) for audio pairs within ``max_hamming``
-    contour bits that share >= 1 exact 16-bit band — the image_dedup
-    join shape over audio fingerprints."""
-    hashes = audio_hashes(media)
-    band = F.array(
-        *[
-            F.expr(f"hi div {1 << (16 * b - 32)} % 65536") if b >= 2
-            else F.expr(f"lo div {1 << (16 * b)} % 65536")
-            for b in range(N_BANDS)
-        ]
+    contour bits that share >= 1 exact 16-bit band — the SAME banded
+    join (``image_dedup.banded_hamming_pairs``) as images and video
+    frames, over audio fingerprints: one candidate generator for all
+    three modalities, hot-band cap included."""
+    from dataset_dedupe_estimator_spark.operators.image_dedup import (
+        banded_hamming_pairs,
     )
-    banded = hashes.select(
-        "media_id", "hi", "lo", F.posexplode(band).alias("band_id", "band_val")
-    )
-    a = banded.select(
-        "band_id", "band_val",
-        F.col("media_id").alias("clip_a"), F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a"),
-    )
-    b = banded.select(
-        "band_id", "band_val",
-        F.col("media_id").alias("clip_b"), F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b"),
-    )
-    ham = (
-        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-    )
-    return (
-        a.join(b, ["band_id", "band_val"])
-        .filter(F.col("clip_a") < F.col("clip_b"))
-        .select("clip_a", "clip_b", ham.alias("hamming"))
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
-        .orderBy("clip_a", "clip_b")
+
+    hashes = audio_hashes(media).localCheckpoint(eager=True)
+    return banded_hamming_pairs(hashes, "clip_a", "clip_b", max_hamming).orderBy(
+        "clip_a", "clip_b"
     )

@@ -10,7 +10,7 @@ the globally best pair, rewrite the symbol sequences. At 100 TB the
 corpus is touched ONCE; the iterative part is O(vocab) per round.
 
 Round structure (all deterministic):
-  * pair scores: posexplode over each word's adjacent symbol pairs →
+  * pair scores: explode over each word's adjacent symbol pairs →
     groupBy(pair) weighted count — one shuffle of census-sized data;
   * best pair: orderBy(count desc, pair asc) limit 1 — a sort-limit
     (TakeOrdered) plus a one-row collect, the same scalar-driver shape
@@ -86,13 +86,13 @@ def bpe_train(
     for rank in range(n_merges):
         pairs = state.select(
             "n",
-            F.posexplode(
+            F.explode(
                 F.zip_with(
                     F.slice(F.col("syms"), 1, F.size("syms") - 1),
                     F.slice(F.col("syms"), 2, F.size("syms") - 1),
                     lambda a, b: F.struct(a.alias("l"), b.alias("r")),
                 )
-            ).alias("_pos", "pair"),
+            ).alias("pair"),
         )
         best = (
             pairs.groupBy(F.col("pair.l").alias("l"), F.col("pair.r").alias("r"))
@@ -187,9 +187,8 @@ def bpe_encode(
                 names=[n for n, _ in others] + ["ws_tokens", "bpe_tokens"],
             )
 
-    schema = ", ".join(
-        f"{n} {t}" for n, t in docs.dtypes if n != text_col
-    ) + ", ws_tokens long, bpe_tokens long"
+    parts = [f"{n} {t}" for n, t in docs.dtypes if n != text_col]
+    schema = ", ".join(parts + ["ws_tokens long", "bpe_tokens long"])
     return docs.mapInArrow(fn, schema)
 
 

@@ -31,6 +31,90 @@ HASH_W = 8  # gradient bits per row
 HASH_H = 8  # rows → 64-bit hash
 N_BANDS = 4  # 16-bit bands; catches all pairs with Hamming <= 3 for sure
 DEFAULT_MAX_HAMMING = 10
+# degenerate fingerprints (blank/solid images, silence) collapse onto one
+# band value and would make the band join quadratic; values hotter than
+# this are dropped from candidate generation (see banded_hamming_pairs)
+DEFAULT_MAX_BAND_MEMBERS = 1024
+
+# what the pure-python/numpy codecs actually raise on malformed bytes —
+# struct/zlib/Index errors escape a (ValueError,) guard and would fail
+# the whole corpus scan on one corrupt row
+import struct as _struct
+import zlib as _zlib
+
+DECODE_ERRORS = (
+    ValueError,
+    NotImplementedError,
+    IndexError,
+    _struct.error,
+    _zlib.error,
+)
+
+
+def banded_hamming_pairs(
+    hashes: DataFrame,
+    id_a: str,
+    id_b: str,
+    max_hamming: int = DEFAULT_MAX_HAMMING,
+    carry: tuple = (),
+    max_band_members: int | None = DEFAULT_MAX_BAND_MEMBERS,
+) -> DataFrame:
+    """Banded 16-bit LSH self-join + exact Hamming verify over a
+    ``(media_id, hi, lo, *carry)`` fingerprint frame — the ONE candidate
+    generator behind image, video-frame, and audio near-dup (identical
+    band math everywhere; fix it here, every modality inherits it).
+
+    Hot-band cap: a band value held by more than ``max_band_members``
+    rows is dropped from candidate generation (its join contribution is
+    quadratic; such values come from degenerate fingerprints — blank
+    frames, silent clips — whose mutual near-duplicates are better
+    found with an exact hash groupBy than a pair explosion). Pass
+    ``None`` to disable. The cap table is a broadcast of hot values
+    only, so the guard costs one aggregate over 8-byte keys.
+    """
+    band = F.array(
+        *[
+            F.expr(f"hi div {1 << (16 * b - 32)} % 65536") if b >= 2
+            else F.expr(f"lo div {1 << (16 * b)} % 65536")
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = hashes.select(
+        "media_id", "hi", "lo", *carry,
+        F.posexplode(band).alias("band_id", "band_val"),
+    )
+    if max_band_members is not None:
+        hot = (
+            banded.groupBy("band_id", "band_val")
+            .agg(F.count(F.lit(1)).alias("_members"))
+            .filter(F.col("_members") > max_band_members)
+            .select("band_id", "band_val")
+        )
+        banded = banded.join(F.broadcast(hot), ["band_id", "band_val"], "left_anti")
+
+    def side(suffix, id_name):
+        cols = [
+            F.col("band_id"), F.col("band_val"),
+            F.col("media_id").alias(id_name),
+            F.col("hi").alias(f"hi_{suffix}"), F.col("lo").alias(f"lo_{suffix}"),
+        ]
+        cols += [F.col(c).alias(f"{c}_{suffix}") for c in carry]
+        return banded.select(*cols)
+
+    a, b = side("a", id_a), side("b", id_b)
+    ham = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    )
+    keep = [id_a, id_b]
+    keep += [f"{c}_a" for c in carry] + [f"{c}_b" for c in carry]
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col(id_a) < F.col(id_b))
+        .select(*keep, ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def dhash_bits(px: np.ndarray) -> int:
@@ -80,7 +164,7 @@ def image_hashes(media: DataFrame) -> DataFrame:
                         px = jpeg_decode(content)
                     else:
                         continue
-                except (ValueError, NotImplementedError):
+                except DECODE_ERRORS:
                     continue
                 out_ids.append(mid)
                 h = dhash_bits(px)
@@ -130,7 +214,7 @@ def video_frame_hashes(media: DataFrame, every: int = 1) -> DataFrame:
                             continue
                         h = dhash_bits(jpeg_decode(frame))
                         out.append((mid, f_idx, h >> 32, h & 0xFFFFFFFF))
-                except (ValueError, NotImplementedError):
+                except DECODE_ERRORS:
                     continue
             yield pa.RecordBatch.from_arrays(
                 [
@@ -159,50 +243,33 @@ def near_dup_videos(
     from the same banded join as images; the rollup counts DISTINCT
     matched frames of each side so repeated stills can't inflate the
     overlap."""
-    fh = video_frame_hashes(media)
-    band = F.array(
-        *[
-            F.expr(f"hi div {1 << (16 * b - 32)} % 65536") if b >= 2
-            else F.expr(f"lo div {1 << (16 * b)} % 65536")
-            for b in range(N_BANDS)
-        ]
-    )
-    banded = fh.select(
-        "media_id", "frame_idx", "hi", "lo",
-        F.posexplode(band).alias("band_id", "band_val"),
-    )
-    a = banded.select(
-        "band_id", "band_val", F.col("media_id").alias("vid_a"),
-        F.col("frame_idx").alias("fa"), F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a"),
-    )
-    b = banded.select(
-        "band_id", "band_val", F.col("media_id").alias("vid_b"),
-        F.col("frame_idx").alias("fb"), F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b"),
-    )
-    ham = (
-        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-    )
-    frame_pairs = (
-        a.join(b, ["band_id", "band_val"])
-        .filter(F.col("vid_a") < F.col("vid_b"))
-        .select("vid_a", "vid_b", "fa", "fb", ham.alias("hamming"))
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+    # decode + per-frame hash is the dominant cost and feeds TWO
+    # consumers (the banded join and the frame-count aggregate) with
+    # different partitionings — checkpoint so every video decodes once
+    fh = video_frame_hashes(media).localCheckpoint(eager=True)
+    frame_pairs = banded_hamming_pairs(
+        fh, "vid_a", "vid_b", max_hamming, carry=("frame_idx",)
     )
     counts = fh.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
     ca = counts.select(F.col("media_id").alias("vid_a"), F.col("n_frames").alias("n_a"))
     cb = counts.select(F.col("media_id").alias("vid_b"), F.col("n_frames").alias("n_b"))
     matched = frame_pairs.groupBy("vid_a", "vid_b").agg(
-        F.countDistinct("fa").alias("ma"), F.countDistinct("fb").alias("mb")
+        F.countDistinct("frame_idx_a").alias("ma"),
+        F.countDistinct("frame_idx_b").alias("mb"),
     )
-    overlap = F.least("ma", "mb") / F.least("n_a", "n_b")
+    # the documented metric: fraction of the SHORTER video's frames with
+    # a near-dup in the other — the numerator must be the matched count
+    # of that same shorter side (least(ma, mb) false-negatives when the
+    # short side's frames all map onto few distinct frames of the long
+    # side, e.g. a lower-effective-frame-rate copy)
+    m_short = F.when(F.col("n_a") <= F.col("n_b"), F.col("ma")).otherwise(F.col("mb"))
+    overlap = m_short / F.least("n_a", "n_b")
     return (
         matched.join(F.broadcast(ca), "vid_a")
         .join(F.broadcast(cb), "vid_b")
         .select(
             "vid_a", "vid_b",
-            F.least("ma", "mb").alias("n_matched_frames"),
+            m_short.alias("n_matched_frames"),
             F.round(overlap, 3).alias("overlap"),
         )
         .filter(F.col("overlap") >= min_overlap)
@@ -217,34 +284,9 @@ def near_dup_images(
     distance is <= max_hamming AND that collides on >= 1 exact 16-bit
     band (banding recall: certain for distance < N_BANDS, high for the
     near-dup regime). Never all-pairs."""
-    hashes = image_hashes(media)
-    band = F.array(
-        *[
-            F.expr(f"hi div {1 << (16 * b - 32)} % 65536") if b >= 2
-            else F.expr(f"lo div {1 << (16 * b)} % 65536")
-            for b in range(N_BANDS)
-        ]
-    )
-    banded = hashes.select(
-        "media_id", "hi", "lo", F.posexplode(band).alias("band_id", "band_val")
-    )
-    a = banded.select(
-        "band_id", "band_val",
-        F.col("media_id").alias("img_a"), F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a"),
-    )
-    b = banded.select(
-        "band_id", "band_val",
-        F.col("media_id").alias("img_b"), F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b"),
-    )
-    ham = (
-        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-    )
-    return (
-        a.join(b, ["band_id", "band_val"])
-        .filter(F.col("img_a") < F.col("img_b"))
-        .select("img_a", "img_b", ham.alias("hamming"))
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
-        .orderBy("img_a", "img_b")
+    # checkpoint: the hot-band guard aggregates over the banded frame,
+    # which would otherwise re-decode every image a second time
+    hashes = image_hashes(media).localCheckpoint(eager=True)
+    return banded_hamming_pairs(hashes, "img_a", "img_b", max_hamming).orderBy(
+        "img_a", "img_b"
     )

@@ -46,6 +46,16 @@ def with_global_cumsums(
     partitioned window. Returns ``(df + out_cols, grand_totals)``; the
     totals come for free from the offset job (an action — the input is
     checkpointed first, so upstream computes once)."""
+    integral = {"tinyint", "smallint", "int", "bigint", "long"}
+    dtypes = dict(df.dtypes)
+    for out, wcol in weights.items():
+        if wcol is not None and dtypes.get(wcol) not in integral:
+            raise ValueError(
+                f"weight column {wcol!r} for {out!r} has dtype "
+                f"{dtypes.get(wcol)!r}; cumsums are exact-integer only "
+                "(per-partition offsets and the output cast truncate "
+                "fractions) — pre-scale to integer units (e.g. cents)"
+            )
     parts = df.repartitionByRange(npart, *order_by).withColumn(
         _PID, F.spark_partition_id()
     )

@@ -81,3 +81,19 @@ def test_bpe_encode_counts(spark):
     # more merges never increase the token count
     fewer = {r.doc_id: r.bpe_tokens for r in bpe_encode(docs, merges[:2]).collect()}
     assert fewer[1] >= out[1][1]
+
+
+def test_bpe_encode_text_only_frame(spark):
+    """A corpus with ONLY the text column must encode (regression: the
+    DDL schema was built with a leading comma and failed to parse)."""
+    from dataset_dedupe_estimator_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+        word_census,
+    )
+
+    docs = spark.createDataFrame([("aa ab",), ("ab ab",)], "text string")
+    merges = bpe_train(word_census(docs), 2)
+    out = bpe_encode(docs, merges).collect()
+    assert [r.ws_tokens for r in out] == [2, 2]
+    assert all(r.bpe_tokens >= 2 for r in out)
