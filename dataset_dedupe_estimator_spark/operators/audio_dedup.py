@@ -20,12 +20,13 @@ shuffle (only 8-byte keys do).
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 
 N_FRAMES = 64  # energy-gradient bits
 # band math and thresholds live in image_dedup (one candidate generator
 # for all modalities); re-exported for callers of this module
 from dataset_dedupe_estimator_spark.operators.image_dedup import (  # noqa: E402
+    DECODE_ERRORS,
     DEFAULT_MAX_HAMMING,
     N_BANDS,
 )
@@ -75,7 +76,7 @@ def audio_hashes(media: DataFrame) -> DataFrame:
                     if not is_wav(content):
                         continue
                     h = audio_hash_bits(wav_samples(content))
-                except (ValueError, NotImplementedError):
+                except DECODE_ERRORS:
                     continue
                 out.append((mid, h >> 32, h & 0xFFFFFFFF))
             yield pa.RecordBatch.from_arrays(

@@ -79,7 +79,6 @@ def _zigzag():
 
 
 ZZ = _zigzag()  # block.ravel()[ZZ] = zigzag vector
-UNZZ = np.argsort(ZZ)
 
 _T = np.zeros((8, 8))
 for _k in range(8):
@@ -179,9 +178,12 @@ class _BitReader:
         d = self.data
         while self.n <= 24:
             if self.pos >= len(d):
-                self.acc = (self.acc << 8) | 0
-                self.n += 8
-                continue
+                # a well-formed stream always ends in a marker (EOI at
+                # minimum), so prefetch stops at the 0xFF branch below;
+                # running off the raw end means the entropy data was cut
+                # — zero-padding here would decode the missing MCUs as
+                # flat gray, a silent wrong answer
+                raise ValueError("truncated JPEG entropy stream")
             byte = d[self.pos]
             if byte == 0xFF:
                 nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
@@ -296,16 +298,12 @@ def _dht_segment(tc: int, th: int, bits, syms) -> bytes:
     return _marker(0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(syms))
 
 
-def jpeg_encode(
-    pixels: np.ndarray,
-    quality: int = 85,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode uint8 pixels ((h, w) gray or (h, w, 3) RGB) as baseline
-    JFIF. ``subsample=True`` → 4:2:0 chroma (box-filtered);
-    ``restart_interval=N`` emits a DRI segment and an RSTn marker every
-    N MCUs (what camera JPEGs do for error resilience)."""
+def _encode_common(pixels: np.ndarray, quality: int, subsample: bool, sof_marker: int):
+    """Shared front half of both encoders — headers (SOI/JFIF/DQT/SOF/
+    DHT, only the SOF marker byte differs) plus the quantized block
+    planes. Baseline and progressive MUST agree on everything here or
+    the bit-identical decode oracle breaks; one implementation keeps
+    them in lockstep. Returns (out, gray, comps, blocks, dims)."""
     px = np.asarray(pixels)
     gray = px.ndim == 2
     h, w = px.shape[:2]
@@ -328,22 +326,13 @@ def jpeg_encode(
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([len(comps)])
     for cid, hs, vs, tq in comps:
         sof += bytes([cid, hs << 4 | vs, tq])
-    out += _marker(0xC0, sof)
+    out += _marker(sof_marker, sof)
 
     out += _dht_segment(0, 0, _DC_BITS, _DC_SYMS)
     out += _dht_segment(1, 0, _AC_BITS, _AC_SYMS)
     if not gray:
         out += _dht_segment(0, 1, _DC_BITS, _DC_SYMS)
         out += _dht_segment(1, 1, _AC_BITS, _AC_SYMS)
-
-    if restart_interval:
-        out += _marker(0xDD, int(restart_interval).to_bytes(2, "big"))
-    sos = bytes([len(comps)])
-    for cid, _, _, _ in comps:
-        td_ta = 0x00 if cid == 1 else 0x11
-        sos += bytes([cid, td_ta])
-    sos += bytes([0, 63, 0])
-    out += _marker(0xDA, sos)
 
     if gray:
         planes = [px]
@@ -365,9 +354,33 @@ def jpeg_encode(
         bl, bh, bw = _plane_blocks(plane, qt)
         blocks.append(bl)
         dims.append((bh, bw))
+    return out, gray, comps, blocks, dims
+
+
+def jpeg_encode(
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode uint8 pixels ((h, w) gray or (h, w, 3) RGB) as baseline
+    JFIF. ``subsample=True`` → 4:2:0 chroma (box-filtered);
+    ``restart_interval=N`` emits a DRI segment and an RSTn marker every
+    N MCUs (what camera JPEGs do for error resilience)."""
+    out, gray, comps, blocks, dims = _encode_common(pixels, quality, subsample, 0xC0)
+    planes_n = len(comps)
+
+    if restart_interval:
+        out += _marker(0xDD, int(restart_interval).to_bytes(2, "big"))
+    sos = bytes([len(comps)])
+    for cid, _, _, _ in comps:
+        td_ta = 0x00 if cid == 1 else 0x11
+        sos += bytes([cid, td_ta])
+    sos += bytes([0, 63, 0])
+    out += _marker(0xDA, sos)
 
     wtr = _BitWriter()
-    preds = [0] * len(planes)
+    preds = [0] * planes_n
     rst_state = {"n": 0, "m": 0}
     if gray or not subsample:
         total_mcus = dims[0][0] * dims[0][1]
@@ -384,14 +397,14 @@ def jpeg_encode(
             wtr.flush()
             wtr.buf += bytes([0xFF, 0xD0 + rst_state["m"]])
             rst_state["m"] = (rst_state["m"] + 1) % 8
-            for ci in range(len(planes)):
+            for ci in range(planes_n):
                 preds[ci] = 0
 
     if gray or not subsample:
         n_by, n_bx = dims[0]
         for by in range(n_by):
             for bx in range(n_bx):
-                for ci in range(len(planes)):
+                for ci in range(planes_n):
                     preds[ci] = _encode_block(
                         wtr, blocks[ci][by * dims[ci][1] + bx], preds[ci]
                     )
@@ -494,10 +507,11 @@ def _encode_ac_refine(wtr, zz, ss, se, al, eob_state):
         if t == 0:
             r += 1
             continue
-        if t > 1:
-            br.append(t & 1)
-            continue
-        # t == 1: newly significant
+        # flush pending ZRLs BEFORE the correction-bit branch: a
+        # correction bit buffered across an unflushed 16-zero run would
+        # ride a later ZRL the decoder has already walked past
+        # (libjpeg's encode_mcu_AC_refine does this hoist for the same
+        # reason) — desynchronizing the entropy stream
         while r > 15:
             _emit_eobrun(wtr, eob_state)
             code, ln = AC_CODES[0xF0]
@@ -506,6 +520,10 @@ def _encode_ac_refine(wtr, zz, ss, se, al, eob_state):
             for b in br:
                 wtr.write(b, 1)
             br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        # t == 1: newly significant
         _emit_eobrun(wtr, eob_state)
         code, ln = AC_CODES[(r << 4) | 1]
         wtr.write(code, ln)
@@ -544,54 +562,8 @@ def jpeg_encode_progressive(
     ``jpeg_encode``'s, only the entropy organization differs — so
     decoding must reproduce the baseline output EXACTLY (the test
     oracle). Set ``dc_al=ac_al=0`` for spectral selection only."""
-    px = np.asarray(pixels)
-    gray = px.ndim == 2
-    h, w = px.shape[:2]
-    qt_l = _scaled_qt(QT_LUM, quality)
-    qt_c = _scaled_qt(QT_CHR, quality)
-
-    out = bytearray()
-    out += b"\xff\xd8"
-    out += _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += _marker(0xDB, bytes([0]) + bytes(int(v) for v in qt_l.ravel()[ZZ]))
-    if not gray:
-        out += _marker(0xDB, bytes([1]) + bytes(int(v) for v in qt_c.ravel()[ZZ]))
-    if gray:
-        comps = [(1, 1, 1, 0)]
-    elif subsample:
-        comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
-    else:
-        comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
-    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([len(comps)])
-    for cid, hs, vs, tq in comps:
-        sof += bytes([cid, hs << 4 | vs, tq])
-    out += _marker(0xC2, sof)  # SOF2: progressive
-    out += _dht_segment(0, 0, _DC_BITS, _DC_SYMS)
-    out += _dht_segment(1, 0, _AC_BITS, _AC_SYMS)
-    if not gray:
-        out += _dht_segment(0, 1, _DC_BITS, _DC_SYMS)
-        out += _dht_segment(1, 1, _AC_BITS, _AC_SYMS)
-
-    if gray:
-        planes = [px]
-        qts = [qt_l]
-    else:
-        y, cb, cr = _rgb_to_ycbcr(px)
-        if subsample:
-            ph, pw = -h % 2, -w % 2
-            cbp = np.pad(cb, ((0, ph), (0, pw)), mode="edge")
-            crp = np.pad(cr, ((0, ph), (0, pw)), mode="edge")
-            cb = (cbp[0::2, 0::2] + cbp[1::2, 0::2] + cbp[0::2, 1::2] + cbp[1::2, 1::2]) / 4.0
-            cr = (crp[0::2, 0::2] + crp[1::2, 0::2] + crp[0::2, 1::2] + crp[1::2, 1::2]) / 4.0
-        planes = [y, cb, cr]
-        qts = [qt_l, qt_c, qt_c]
-    blocks, dims = [], []
-    for plane, qt in zip(planes, qts):
-        bl, bh, bw = _plane_blocks(plane, qt)
-        blocks.append(bl)
-        dims.append((bh, bw))
-
-    n_comp = len(planes)
+    out, gray, comps, blocks, dims = _encode_common(pixels, quality, subsample, 0xC2)
+    n_comp = len(comps)
     cids = [c[0] for c in comps]
 
     def dc_block_iter():

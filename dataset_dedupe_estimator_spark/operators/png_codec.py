@@ -103,6 +103,8 @@ def decode_png(data: bytes) -> np.ndarray:
         body = data[pos + 8 : pos + 8 + length]
         pos += 12 + length  # length + tag + body + CRC
         if tag == b"IHDR":
+            if len(body) != 13:
+                raise ValueError(f"IHDR length {len(body)} != 13")
             width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
@@ -132,7 +134,10 @@ def decode_png(data: bytes) -> np.ndarray:
         )
     if color_type == 3 and plte is None:
         raise ValueError("indexed PNG without PLTE")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt IDAT stream: {e}") from e
     byte_bpp = max(1, (bit_depth * ch) // 8)
 
     def scan_bytes(w):
@@ -240,8 +245,33 @@ def png_meta(data: bytes) -> tuple[int, int, int]:
         raise ValueError("not a PNG")
     if data[12:16] != b"IHDR":
         raise ValueError("IHDR not first chunk")
+    if len(data) < 29:
+        raise ValueError("truncated IHDR")
     width, height, _depth, color_type, _c, _f, _i = struct.unpack(">IIBBBBB", data[16:29])
-    return width, height, (3 if color_type == 3 else _CHANNELS.get(color_type, 0))
+    if color_type == 3:
+        # indexed decodes to RGB — or RGBA when a tRNS chunk adds alpha
+        # (decode_png returns 4 channels then; report what decode yields)
+        channels = 4 if _has_chunk(data, b"tRNS") else 3
+    elif color_type in _CHANNELS:
+        channels = _CHANNELS[color_type]
+    else:
+        raise ValueError(f"unknown PNG color type {color_type}")
+    return width, height, channels
+
+
+def _has_chunk(data: bytes, name: bytes) -> bool:
+    """Walk the chunk stream for ``name`` (stops at IDAT/IEND — ancillary
+    chunks that matter for metadata precede the image data)."""
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        if ctype == name:
+            return True
+        if ctype in (b"IDAT", b"IEND"):
+            return False
+        pos += 12 + length
+    return False
 
 
 def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:

@@ -188,3 +188,41 @@ def test_progressive_grayscale_and_meta():
     data = jpeg_encode_progressive(g, quality=100, dc_al=1, ac_al=1)
     assert np.array_equal(jpeg_decode(data), jpeg_decode(jpeg_encode(g, quality=100)))
     assert jpeg_meta(data) == (33, 24)  # SOF walk reads SOF2 frames too
+
+
+def test_progressive_refinement_zrl_before_correction_bits():
+    """Regression: a 16-zero-history run BEFORE an already-significant
+    coefficient, followed by a newly-significant one, desynchronized the
+    AC refinement scan (correction bit buffered across an unflushed ZRL
+    — the libjpeg flush-ordering rule). Pixels are crafted through the
+    inverse DCT so the quantized zigzag is exactly [DC, 16 zeros, 3, 0,
+    1, ...]."""
+    from dataset_dedupe_estimator_spark.operators import jpeg_codec as J
+
+    qt = J._scaled_qt(J.QT_LUM, 85)
+    zzvec = np.zeros(64)
+    zzvec[0] = 4
+    zzvec[22] = 3  # |c| >= 2: already significant in the first AC scan
+    zzvec[24] = 1  # newly significant in the refinement scan
+    blk = np.zeros(64)
+    blk[J.ZZ] = zzvec
+    px = J._idct2((blk.reshape(8, 8) * qt)) + 128
+    img = np.clip(np.round(px), 0, 255).astype(np.uint8)
+    # confirm the crafted pattern survives the encoder's own quantizer
+    req = np.round(J._dct2(img.astype(np.float64) - 128) / qt).ravel()[J.ZZ]
+    assert req[22] == 3 and req[24] == 1 and not req[6:22].any()
+    base = jpeg_decode(jpeg_encode(img, quality=85))
+    prog = jpeg_decode(J.jpeg_encode_progressive(img, quality=85))
+    assert np.array_equal(base, prog)
+
+
+def test_truncated_entropy_stream_raises():
+    """A JPEG cut mid-scan must raise, not silently decode the missing
+    MCUs as flat gray."""
+    import pytest
+
+    g = (np.arange(32 * 32, dtype=np.uint64) * 37 % 256).astype(np.uint8).reshape(32, 32)
+    data = jpeg_encode(g, quality=85)
+    cut = data[: len(data) // 2]
+    with pytest.raises(ValueError, match="truncated"):
+        jpeg_decode(cut)

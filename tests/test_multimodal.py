@@ -591,6 +591,7 @@ def test_png_indexed_with_palette_and_trns():
     out_a = decode_png(data_a)
     assert out_a.shape == (2, 3, 4)
     assert out_a[0, 0, 3] == 10 and out_a[0, 1, 3] == 255
+    assert png_meta(data_a) == (3, 2, 4)  # meta agrees with decode
 
 
 def test_png_sub_byte_gray_depths():
@@ -651,3 +652,29 @@ def test_png_palette_index_out_of_range_raises():
     raw = b"\x00" + bytes([5])  # index 5 > palette size
     with pytest.raises(ValueError, match="palette index"):
         decode_png(_png_chunks(_ihdr(1, 1, 8, 3), [(b"PLTE", plte)], raw))
+
+
+def test_png_malformed_raises_valueerror():
+    """The documented contract: malformed streams raise ValueError (not
+    struct/zlib internals leaking through)."""
+    import pytest
+
+    from dataset_dedupe_estimator_spark.operators.png_codec import (
+        decode_png,
+        png_meta,
+    )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # IHDR chunk with a truncated (3-byte) body
+    short = sig + (3).to_bytes(4, "big") + b"IHDR" + b"\x00\x01\x02" + b"\x00" * 4
+    with pytest.raises(ValueError):
+        decode_png(short)
+    with pytest.raises(ValueError):
+        png_meta(sig + b"\x00")
+    # valid IHDR, garbage IDAT
+    ihdr_body = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 0, 0, 0, 0])
+    ihdr = (13).to_bytes(4, "big") + b"IHDR" + ihdr_body + b"\x00" * 4
+    idat = (4).to_bytes(4, "big") + b"IDAT" + b"\xde\xad\xbe\xef" + b"\x00" * 4
+    iend = (0).to_bytes(4, "big") + b"IEND" + b"\x00" * 4
+    with pytest.raises(ValueError, match="IDAT"):
+        decode_png(sig + ihdr + idat + iend)
