@@ -349,9 +349,96 @@ FROM chunked ORDER BY doc_id, chunk_idx
 """
 
 
+SUB_K = 8  # sliding-gram width for exact-substring dedup
+
+
+def dedup_substring_spans(spark, sf):
+    """Exact-substring dedup summary (operators/substring_dedup.py): every
+    *sliding* SUB_K-token window is hashed; occurrences that are not the
+    global first (min (doc_id, pos)) occurrence of their hash are
+    duplicates; per doc the duplicated [pos, pos+k) marks merge into
+    maximal spans — the span-removal dedup of Lee et al.'s "Deduplicating
+    Training Data" at fixed k (any duplicated substring of length >= k is
+    tiled exactly by duplicated k-grams). Stronger than ``dedup_spans``:
+    that one only sees repeats aligned to disjoint window boundaries;
+    this one catches a duplicated passage at ANY token offset.
+
+    Scale shape: the corpus-wide exchange carries only (md5, doc_id, pos);
+    the keeper per gram is a map-side-partial min(struct) agg (hot
+    boilerplate grams collapse before the shuffle; the dup-flag join on
+    the hash is unordered, so AQE may skew-split it); only duplicate
+    occurrences reach the per-doc interval-merge windows.
+    """
+    from dataset_dedupe_estimator_spark.operators.substring_dedup import (
+        substring_dedup_stats,
+    )
+
+    docs = load(spark, sf, "documents")
+    return (
+        substring_dedup_stats(docs, SUB_K)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_SUBSTRING_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+base AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(GREATEST(len(t) - {SUB_K - 1}, 0) AS BIGINT) AS n_grams, t
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, CAST(u.j AS INT) AS pos,
+         md5(array_to_string(t[u.j + 1 : u.j + {SUB_K}], ' ')) AS h
+  FROM base, UNNEST(range(0, n_grams)) AS u(j)
+),
+dups AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+    FROM grams
+  ) WHERE rn > 1
+),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN MAX(pos + {SUB_K}) OVER w IS NULL
+                OR pos > MAX(pos + {SUB_K}) OVER w THEN 1 ELSE 0 END AS new_island
+  FROM dups
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+islands AS (
+  SELECT doc_id, pos,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {SUB_K} AS e
+  FROM islands GROUP BY doc_id, island
+),
+span_stats AS (
+  SELECT doc_id, COUNT(*) AS n_spans, CAST(SUM(e - s) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id
+),
+dup_counts AS (SELECT doc_id, COUNT(*) AS n_dup_grams FROM dups GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens, b.n_grams,
+       COALESCE(dc.n_dup_grams, 0) AS n_dup_grams,
+       COALESCE(ss.n_spans, 0) AS n_spans,
+       COALESCE(ss.dup_tokens, 0) AS dup_tokens,
+       ROUND(COALESCE(ss.dup_tokens, 0) / b.n_tokens, 4) AS dup_ratio
+FROM base b
+LEFT JOIN dup_counts dc USING (doc_id)
+LEFT JOIN span_stats ss USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
 QUERIES = {
     "dedup_keep_first_pruned": Q(dedup_keep_first_pruned, DEDUP_KEEP_FIRST_PRUNED_SQL),
     "dedup_spans": Q(dedup_spans, DEDUP_SPANS_SQL),
+    "dedup_substring_spans": Q(dedup_substring_spans, DEDUP_SUBSTRING_SQL),
     "mixture_sample": Q(mixture_sample, MIXTURE_SAMPLE_SQL),
     "sequence_pack": Q(sequence_pack, SEQUENCE_PACK_SQL),
     "doc_chunk_windows": Q(doc_chunk_windows, DOC_CHUNK_WINDOWS_SQL),
