@@ -816,11 +816,36 @@ def cmd_media(args) -> int:
 def cmd_search(args) -> int:
     """`de search DOCS.parquet TERM [TERM...] [--top K]`: BM25 keyword
     search over a documents parquet (queries/text_analysis.py
-    bm25_frame — zero-shuffle plan; scoring rides the scan)."""
-    from dataset_dedupe_estimator_spark.queries.text_analysis import bm25_frame
+    bm25_frame — zero-shuffle plan; scoring rides the scan).
 
+    With `--vectors EMB.parquet --query-id N`: hybrid retrieval — the BM25
+    leg fuses with the cosine-neighbour leg of vector N by reciprocal rank
+    (queries/similarity.py hybrid_rrf_frame)."""
     spark = _spark(args)
     docs = spark.read.parquet(args.docs)
+    if args.vectors is not None:
+        if args.query_id is None:
+            print("search --vectors needs --query-id", file=sys.stderr)
+            return 2
+        from dataset_dedupe_estimator_spark.queries.similarity import hybrid_rrf_frame
+
+        emb = spark.read.parquet(args.vectors)
+        hits = hybrid_rrf_frame(
+            docs, emb, tuple(args.terms), query_vec_id=args.query_id,
+            pool=args.pool, top=args.top,
+        ).collect()
+        for r in hits:
+            legs = []
+            if r.lex_rank:
+                legs.append(f"bm25 #{r.lex_rank}")
+            if r.sem_rank:
+                legs.append(f"cosine #{r.sem_rank}")
+            print(f"doc {r.doc_id}  rrf={r.rrf:.6f}  ({', '.join(legs)})")
+        if not hits:
+            print("no documents matched")
+        return 0
+    from dataset_dedupe_estimator_spark.queries.text_analysis import bm25_frame
+
     hits = bm25_frame(docs, tuple(args.terms), top=args.top).collect()
     for r in hits:
         print(f"doc {r[0]}  score={r.score:.4f}  matched {r.n_terms}/{len(args.terms)} terms")
@@ -1121,10 +1146,17 @@ def build_parser() -> argparse.ArgumentParser:
     md.add_argument("--near-dups", dest="near_dups", help="write perceptual near-dup pairs (image+audio) to this parquet path")
     md.set_defaults(fn=cmd_media)
 
-    se = sub.add_parser("search", help="BM25 keyword search over a documents parquet")
+    se = sub.add_parser(
+        "search", help="BM25 keyword search (+ hybrid RRF with --vectors)"
+    )
     se.add_argument("docs")
     se.add_argument("terms", nargs="+")
     se.add_argument("--top", type=int, default=20)
+    se.add_argument("--vectors", help="embeddings parquet: fuse a cosine leg by RRF")
+    se.add_argument("--query-id", dest="query_id", type=int,
+                    help="vec_id of the hybrid query vector")
+    se.add_argument("--pool", type=int, default=50,
+                    help="per-leg candidate pool for RRF fusion")
     se.set_defaults(fn=cmd_search)
 
     sa = sub.add_parser("sample", help="layout-stable stratified per-source sample")

@@ -1304,6 +1304,168 @@ ORDER BY probe_setting
 """
 
 
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 keyword leg + cosine vector leg, fused by
+# Reciprocal Rank Fusion (RRF, Cormack et al.): score(d) = Σ 1/(K + rank_leg).
+# The modern RAG retrieval default — scores from incomparable scales fuse
+# via ranks only. r6 gate candidate (attestation budget for r5 is full);
+# oracle-checked today by tests/test_hybrid_search.py through the same
+# canon/compare machinery as tools/check_oracles.py.
+#
+# Scale shape: each leg is a TakeOrdered top-POOL (no global sort — the
+# lexical leg's BM25 is the zero-shuffle bm25_frame plan; the vector leg is
+# a broadcast-query scan). The rank windows and the fusion full-outer join
+# run over <= 2*POOL rows (domain-bounded, broadcastable); everything
+# corpus-sized stays windowless.
+
+RRF_K = 60  # standard RRF damping constant
+RRF_POOL = 50  # per-leg candidate pool feeding the fusion
+RRF_TOP = 15
+RRF_QUERY_ID = QUERY_VEC_ID  # doc_id == vec_id in the test corpus
+
+
+def hybrid_rrf_frame(docs, emb, terms, query_vec_id=RRF_QUERY_ID,
+                     k_rrf=RRF_K, pool=RRF_POOL, top=RRF_TOP):
+    """RRF fusion of bm25_frame(docs, terms) and brute-force cosine
+    neighbours of ``query_vec_id``. The query document itself (doc_id ==
+    vec_id == query_vec_id) is excluded from both legs. Returns
+    (doc_id, lex_rank, sem_rank, rrf) — null leg rank = absent from that
+    leg's pool (contributes 0 to the fusion sum, per RRF)."""
+    from dataset_dedupe_estimator_spark.queries.text_analysis import bm25_frame
+
+    lex = bm25_frame(
+        docs.filter(F.col("doc_id") != query_vec_id), terms, top=pool
+    )
+    # rank windows run over <= pool rows (post-TakeOrdered), not the corpus
+    w_lex = Window.orderBy(F.col("score").desc(), "doc_id")
+    lex = lex.select("doc_id", F.row_number().over(w_lex).alias("lex_rank"))
+
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    cos = _dot(F.col("embedding"), F.col("q_embedding")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q_embedding"))
+    )
+    sem = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "doc_id")
+        .limit(pool)
+    )
+    w_sem = Window.orderBy(F.col("cosine").desc(), "doc_id")
+    sem = sem.select("doc_id", F.row_number().over(w_sem).alias("sem_rank"))
+
+    # rank 0 = absent from that leg's pool (kept non-null so the rank
+    # columns stay integer-typed end to end); fixed two-term sum of exact
+    # reciprocals — no float order-dependence
+    def contrib(rank_col):
+        return F.when(
+            F.col(rank_col) > 0, F.lit(1.0) / (F.lit(k_rrf) + F.col(rank_col))
+        ).otherwise(F.lit(0.0))
+
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).cast("long").alias("lex_rank"),
+            F.coalesce("sem_rank", F.lit(0)).cast("long").alias("sem_rank"),
+        )
+    )
+    return (
+        fused.select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            F.round(contrib("lex_rank") + contrib("sem_rank"), 6).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(top)
+    )
+
+
+def hybrid_search_rrf(spark, sf):
+    """Hybrid BM25 + vector search fused by reciprocal rank (see
+    hybrid_rrf_frame). Uses the benchmark BM25 terms and query vector
+    {RRF_QUERY_ID}; doc_id and vec_id are 1:1 in the corpus."""
+    from dataset_dedupe_estimator_spark.queries.text_analysis import BM25_QUERY
+
+    docs = load(spark, sf, "documents")
+    emb = load(spark, sf, "embeddings")
+    return hybrid_rrf_frame(docs, emb, BM25_QUERY)
+
+
+def _hybrid_sql() -> str:
+    from dataset_dedupe_estimator_spark.queries.text_analysis import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY,
+    )
+
+    n = len(BM25_QUERY)
+    tf_exprs = ",\n         ".join(
+        f"len(t) - len(list_filter(t, x -> x != '{q}')) AS tf{i}"
+        for i, q in enumerate(BM25_QUERY)
+    )
+    df_exprs = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(n)
+    )
+    comps = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN "
+        f"ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * {BM25_K1 + 1.0})"
+        f" / (tf{i} + {BM25_K1} * ((1.0 - {BM25_B}) + {BM25_B} * dl / avgdl))"
+        f" ELSE 0.0 END)"
+        for i in range(n)
+    )
+    any_tf = " OR ".join(f"tf{i} > 0" for i in range(n))
+    return f"""
+WITH base AS (
+  SELECT doc_id, len(t) AS dl,
+         {tf_exprs}
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE doc_id != {RRF_QUERY_ID})
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl, {df_exprs}
+  FROM base
+),
+lex AS (
+  -- rank on the ROUND(.,4) score: bm25_frame emits the rounded score, and
+  -- rounding is bit-identical cross-engine, so pool membership and rank
+  -- ties agree exactly
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+  FROM (
+    SELECT doc_id, ROUND({comps}, 4) AS score
+    FROM base CROSS JOIN stats WHERE {any_tf}
+    ORDER BY score DESC, doc_id LIMIT {RRF_POOL}
+  )
+),
+qv AS (SELECT embedding AS q_embedding FROM embeddings
+       WHERE vec_id = {RRF_QUERY_ID}),
+sem AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS sem_rank
+  FROM (
+    SELECT vec_id AS doc_id,
+           {_sql_dot("embedding", "q_embedding")}
+           / (sqrt({_sql_dot("embedding", "embedding")})
+              * sqrt({_sql_dot("q_embedding", "q_embedding")})) AS cosine
+    FROM embeddings, qv WHERE vec_id != {RRF_QUERY_ID}
+    ORDER BY cosine DESC, doc_id LIMIT {RRF_POOL}
+  )
+)
+SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+       CAST(COALESCE(lex_rank, 0) AS BIGINT) AS lex_rank,
+       CAST(COALESCE(sem_rank, 0) AS BIGINT) AS sem_rank,
+       ROUND(COALESCE(1.0 / ({RRF_K} + lex_rank), 0.0)
+             + COALESCE(1.0 / ({RRF_K} + sem_rank), 0.0), 6) AS rrf
+FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT {RRF_TOP}
+"""
+
+
 QUERIES = {
     "knn_brute_force": Q(knn_brute_force, KNN_SQL, headline=True),
     "semdedup_clusters": Q(semdedup_clusters, SEMDEDUP_SQL),

@@ -296,6 +296,16 @@ def test_cli_search_and_sample(capsys, spark, tmp_path):
     out = capsys.readouterr().out
     assert out.count("score=") == 5 and "/2 terms" in out
 
+    emb = f"{sf}/embeddings.parquet"
+    assert main(
+        ["search", docs, "vector", "window",
+         "--vectors", emb, "--query-id", "0", "--top", "6"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert out.count("rrf=") == 6 and ("bm25 #" in out and "cosine #" in out)
+    # --vectors without --query-id is a usage error
+    assert main(["search", docs, "vector", "--vectors", emb]) == 2
+
     dest = str(tmp_path / "sample.parquet")
     assert main(["sample", docs, dest, "--per-source", "3"]) == 0
     out = capsys.readouterr().out
