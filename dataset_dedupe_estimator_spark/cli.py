@@ -316,6 +316,24 @@ def cmd_corpus(args) -> int:
     else:
         print("no documents")
 
+    print("\n## exact-substring spans (sliding 8-grams, interval-merged)")
+    from dataset_dedupe_estimator_spark.queries.corpus_dedup import (
+        dedup_substring_spans,
+    )
+
+    sub = dedup_substring_spans(spark, args.sf_dir).agg(
+        F.sum("n_tokens").alias("toks"),
+        F.sum("n_spans").alias("spans"),
+        F.sum("dup_tokens").alias("dup"),
+    ).collect()[0]
+    if sub.toks:
+        print(
+            f"tokens={sub.toks}  merged spans={sub.spans}  "
+            f"duplicated tokens={sub.dup} ({sub.dup / sub.toks:.1%})"
+        )
+    else:
+        print("no documents")
+
     print("\n## sequence packing (256-token sequences)")
     packed = sequence_pack(spark, args.sf_dir)
     stats = packed.agg(

@@ -96,6 +96,7 @@ def test_cli_corpus(capsys, spark):
     out = capsys.readouterr().out
     assert "survival by source" in out
     assert "near-duplicate clusters" in out
+    assert "exact-substring spans" in out and "duplicated tokens=" in out
 
 
 def test_cli_sql(capsys, spark):
