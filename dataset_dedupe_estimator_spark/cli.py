@@ -633,6 +633,99 @@ def cmd_lsh_index(args) -> int:
     return 0
 
 
+def cmd_gram_index(args) -> int:
+    """`de gram-index build|admit|query|stats|stream|compact IDX ...`:
+    persistent sliding-gram index (plans/gram_index.py) — exact-substring
+    dedup at ingest: each admitted batch's token spans that already exist
+    anywhere in history come back interval-merged, O(batch novel grams)
+    per admission. `stream` drains a parquet inbox exactly-once
+    (streaming/incremental.admit_grams_stream)."""
+    from dataset_dedupe_estimator_spark.plans.gram_index import (
+        admit_docs,
+        build_gram_index,
+        compact_gram_index,
+        index_stats,
+        query_docs,
+    )
+
+    if args.action in ("build", "admit", "query", "stream") and not args.docs:
+        print(f"gram-index {args.action}: missing docs path", file=sys.stderr)
+        return 2
+    if args.action == "stream" and not args.checkpoint:
+        # a temp checkpoint would silently replay the inbox on every run,
+        # breaking the exactly-once admission contract
+        print("gram-index stream: --checkpoint is required", file=sys.stderr)
+        return 2
+
+    spark = _spark(args)
+
+    def _docs(path):
+        return spark.read.parquet(path).select("doc_id", "text")
+
+    def _span_summary(spans):
+        from pyspark.sql import functions as F
+
+        r = spans.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("id").alias("docs"),
+            F.sum(F.col("span_end") - F.col("span_start")).alias("toks"),
+        ).collect()[0]
+        return r["n"], r["docs"], r["toks"] or 0
+
+    if args.action == "build":
+        st = build_gram_index(spark, _docs(args.docs), args.index_dir, k=args.k)
+        print(f"gen 0: {st['novel_grams']} unique {args.k}-grams indexed")
+        return 0
+    if args.action == "admit":
+        spans, st = admit_docs(spark, _docs(args.docs), args.index_dir)
+        if args.spans_out:
+            spans.write.mode("append").parquet(args.spans_out)
+        n, docs_hit, toks = _span_summary(spans)
+        print(
+            f"gen {st['generation']}: {st['docs']} docs admitted, "
+            f"{st['novel_grams']} novel grams; {n} duplicate spans "
+            f"({toks} tokens) across {docs_hit} docs"
+        )
+        return 0
+    if args.action == "query":
+        spans = query_docs(spark, _docs(args.docs), args.index_dir).persist()
+        if args.spans_out:
+            spans.write.mode("append").parquet(args.spans_out)
+        n, docs_hit, toks = _span_summary(spans)
+        spans.unpersist()
+        print(f"{n} known spans ({toks} tokens) across {docs_hit} probe docs (read-only)")
+        return 0
+    if args.action == "compact":
+        st = compact_gram_index(spark, args.index_dir)
+        print(
+            f"compacted {st['merged_generations']} generations → "
+            f"gen {st['generation']} ({st['grams']} grams)"
+        )
+        return 0
+    if args.action == "stream":
+        from dataset_dedupe_estimator_spark.streaming.incremental import (
+            admit_grams_stream,
+        )
+
+        reps = admit_grams_stream(
+            spark, args.docs, args.index_dir, args.checkpoint, args.spans_out
+        )
+        for st in reps:
+            print(
+                f"gen {st['generation']}: {st['docs']} docs, "
+                f"{st['novel_grams']} novel grams, "
+                f"{st['docs_with_dup_spans']} docs with dup spans"
+            )
+        print(f"{len(reps)} generation(s) admitted")
+        return 0
+    st = index_stats(spark, args.index_dir)
+    print(
+        f"k={st['k']}  generations={st['generations']}  "
+        f"grams={st['total_grams']}  admissions={st['admissions']}"
+    )
+    return 0
+
+
 def cmd_pq_index(args) -> int:
     """`de pq-index build|search IDX ...`: persistent IVF-PQ ANN index
     (operators/ann.py:PqIndex) — trained coarse cells + PQ codes
@@ -1137,6 +1230,23 @@ def build_parser() -> argparse.ArgumentParser:
     lx.add_argument("--pairs-out", help="parquet sink for candidate pairs")
     lx.add_argument("--checkpoint", help="stream checkpoint dir (stream)")
     lx.set_defaults(fn=cmd_lsh_index)
+
+    gx = sub.add_parser(
+        "gram-index", help="persistent sliding-gram exact-substring index"
+    )
+    gx.add_argument(
+        "action", choices=["build", "admit", "query", "stats", "stream", "compact"]
+    )
+    gx.add_argument("index_dir")
+    gx.add_argument(
+        "docs",
+        nargs="?",
+        help="parquet of (doc_id, text) — batch for build/admit/query, inbox dir for stream",
+    )
+    gx.add_argument("--k", type=int, default=8, help="gram width in tokens (build)")
+    gx.add_argument("--spans-out", help="parquet sink for duplicate spans")
+    gx.add_argument("--checkpoint", help="stream checkpoint dir (stream)")
+    gx.set_defaults(fn=cmd_gram_index)
 
     px = sub.add_parser("pq-index", help="persistent IVF-PQ ANN index")
     px.add_argument("action", choices=["build", "add", "search", "compact"])

@@ -72,7 +72,7 @@ def duplicate_occurrences(
     )
 
 
-def _merged_islands(dups: DataFrame, k: int) -> DataFrame:
+def merged_islands(dups: DataFrame, k: int) -> DataFrame:
     """(id, span_start, span_end, n_grams) from a (id, pos) duplicate set:
     overlapping/adjacent [pos, pos+k) marks coalesce into maximal spans.
     Two partitioned-by-id windows (prev-interval max end → island flag →
@@ -105,7 +105,7 @@ def duplicate_spans(
 ) -> DataFrame:
     """(id, span_start, span_end): maximal merged token intervals covered
     by duplicated k-grams."""
-    return _merged_islands(
+    return merged_islands(
         duplicate_occurrences(docs, k, id_col, text_col), k
     ).select("id", "span_start", "span_end")
 
@@ -127,7 +127,7 @@ def substring_dedup_stats(
     # aggregate (a second duplicate_occurrences branch would re-scan the
     # corpus and re-shuffle every gram).
     span_stats = (
-        _merged_islands(duplicate_occurrences(docs, k, id_col, text_col), k)
+        merged_islands(duplicate_occurrences(docs, k, id_col, text_col), k)
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),

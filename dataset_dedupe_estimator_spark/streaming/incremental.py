@@ -241,3 +241,55 @@ def admit_docs_stream(
     )
     q.awaitTermination()
     return admissions
+
+
+def admit_grams_stream(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    spans_out: str | None = None,
+):
+    """Continuous exact-substring admission into the persistent gram
+    index (plans/gram_index.py): each microbatch of newly-arrived
+    document rows becomes ONE index generation, and the duplicate
+    token spans it surfaces (batch-vs-ALL-history plus intra-batch)
+    are appended to ``spans_out`` — the span-strip feed a continuous
+    ingestion pipeline consumes before training-set materialization.
+
+    Same delivery contract as admit_docs_stream: the file source +
+    checkpoint make admission exactly-once per input file across
+    restarts, so the index store is always correct; the ``spans_out``
+    feed is at-most-once on a crash in the narrow window between the
+    manifest commit and the span append — a consumer re-derives lost
+    spans with gram_index.query_docs (read-only) at any time.
+    availableNow: drains everything pending, then stops. Returns one
+    admission report per generation created in this pass.
+    """
+    from dataset_dedupe_estimator_spark.plans.gram_index import admit_docs
+
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true")  # drops may be dataset dirs
+        .parquet(input_dir)
+        .select("doc_id", "text")
+    )
+    admissions: list[dict] = []
+
+    def admit(batch_df, _batch_id):
+        if not batch_df.isEmpty():
+            spans, report = admit_docs(spark, batch_df, index_dir)
+            if spans_out is not None:
+                spans.withColumn(
+                    "generation", F.lit(report["generation"])
+                ).write.mode("append").parquet(spans_out)
+            admissions.append(report)
+
+    q = (
+        docs.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return admissions

@@ -313,3 +313,40 @@ def test_cli_search_and_sample(capsys, spark, tmp_path):
     assert "wrote" in out
     got = spark.read.parquet(dest).groupBy("source").count().collect()
     assert got and all(r["count"] <= 3 for r in got)
+
+
+def test_cli_gram_index_lifecycle(capsys, spark, tmp_path):
+    from dataset_dedupe_estimator_spark.cli import main
+
+    idx = str(tmp_path / "gidx")
+    d0 = str(tmp_path / "d0.parquet")
+    d1 = str(tmp_path / "d1.parquet")
+    spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "g h i j k l")], "doc_id long, text string"
+    ).write.parquet(d0)
+    spark.createDataFrame(
+        [(2, "x y a b c d e f z")], "doc_id long, text string"
+    ).write.parquet(d1)
+
+    assert main(["gram-index", "build", idx, d0, "--k", "3"]) == 0
+    assert "unique 3-grams indexed" in capsys.readouterr().out
+
+    spans_out = str(tmp_path / "spans.parquet")
+    assert main(["gram-index", "admit", idx, d1, "--spans-out", spans_out]) == 0
+    out = capsys.readouterr().out
+    assert "1 duplicate spans (6 tokens) across 1 docs" in out
+    got = spark.read.parquet(spans_out).collect()
+    assert [(r.id, r.span_start, r.span_end) for r in got] == [(2, 2, 8)]
+
+    assert main(["gram-index", "query", idx, d1]) == 0
+    assert "(read-only)" in capsys.readouterr().out
+
+    assert main(["gram-index", "compact", idx]) == 0
+    assert "compacted" in capsys.readouterr().out
+
+    assert main(["gram-index", "stats", idx]) == 0
+    assert "k=3" in capsys.readouterr().out
+
+    # usage errors
+    assert main(["gram-index", "admit", idx]) == 2
+    assert main(["gram-index", "stream", idx, d1]) == 2
