@@ -138,12 +138,52 @@ def main() -> int:
         ok = False
         print(f"FAIL strip: {removed} expected ({exp_removed}, {n_copies})")
 
+    # ---- incremental leg: the persistent gram index must reproduce the
+    # batch operator at size. Build on the first quarter, admit the rest
+    # in three doc_id-ordered batches (boundaries on decade edges so a
+    # kind-9 copy always arrives with or after its source), then require
+    # EXACT span parity with the single-shot operator.
+    import shutil
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.operators.substring_dedup import (
+        duplicate_spans,
+    )
+    from dataset_dedupe_estimator_spark.plans.gram_index import (
+        admit_docs,
+        build_gram_index,
+    )
+
+    b = max(10, (n_docs // 4) // 10 * 10)
+    idx = tempfile.mkdtemp(prefix="stress-gram-idx-")
+    shutil.rmtree(idx)  # build wants to create it
+    t0 = time.perf_counter()
+    build_gram_index(spark, docs.filter(F.col("doc_id") < b), idx, k=k)
+    t_build = time.perf_counter() - t0
+    all_spans = None
+    t_admit = 0.0
+    for lo, hi in [(b, 2 * b), (2 * b, 3 * b), (3 * b, n_docs)]:
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        t0 = time.perf_counter()
+        spans, rep = admit_docs(spark, batch, idx)
+        t_admit += time.perf_counter() - t0
+        all_spans = spans if all_spans is None else all_spans.unionByName(spans)
+    expected = duplicate_spans(docs, k).filter(F.col("id") >= b).localCheckpoint()
+    missing = expected.exceptAll(all_spans).count()
+    extra = all_spans.exceptAll(expected).count()
+    if missing or extra:
+        ok = False
+        print(f"FAIL incremental parity: missing={missing} extra={extra}")
+    shutil.rmtree(idx)
+
     n_grams = n_docs * (FILLER_TOKENS - k + 1) + n_passage * PASSAGE_LEN
     print(
         f"docs={n_docs} k={k} grams~{n_grams / 1e6:.1f}M  "
         f"stats={t_stats:.1f}s ({n_docs / t_stats:,.0f} docs/s)  "
         f"strip={t_strip:.1f}s  "
-        f"planted spans verified exactly: {'OK' if ok else 'FAIL'}"
+        f"index build(quarter)={t_build:.1f}s admit(3 batches)={t_admit:.1f}s  "
+        f"incremental==single-shot and planted spans exact: "
+        f"{'OK' if ok else 'FAIL'}"
     )
     return 0 if ok else 1
 
