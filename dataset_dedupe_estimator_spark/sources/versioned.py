@@ -98,6 +98,139 @@ def _commit(root: Path, entry: dict) -> None:
         tmp.unlink(missing_ok=True)
 
 
+# Zone-map-eligible Spark dtypes: exact-integer and float columns whose
+# parquet footer min/max round-trip JSON losslessly. Strings are excluded
+# on purpose — parquet may TRUNCATE string statistics, and a truncated max
+# is a prefix that compares LOW, which would wrongly prune files (data
+# loss, not a slowdown). Dates/timestamps can join later via ISO encoding.
+_STATS_DTYPES = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+
+def _validate_stats_columns(
+    df: DataFrame, stats_columns: list[str], partition_by: list[str]
+) -> list[str]:
+    dtypes = dict(df.dtypes)
+    for c in stats_columns:
+        if c not in dtypes:
+            raise ValueError(f"stats column {c!r} not in commit schema")
+        if c in partition_by:
+            raise ValueError(
+                f"stats column {c!r} is a partition column — partition "
+                "pruning already covers it; zone maps track file contents"
+            )
+        if dtypes[c] not in _STATS_DTYPES:
+            raise ValueError(
+                f"stats column {c!r} has type {dtypes[c]} — zone maps "
+                f"support {sorted(_STATS_DTYPES)} only (string parquet "
+                "stats may be truncated, which would prune wrongly)"
+            )
+    return list(stats_columns)
+
+
+def _collect_file_stats(data_dir: Path, stats_columns: list[str]) -> dict:
+    """Per-file min/max zone maps for a just-written commit directory:
+    ``{relative_file: {col: [min, max]}}``, EVERY file listed (a file
+    whose footer lacks usable stats for a column simply omits that
+    column — readers must scan it). Cost is O(files in this commit)
+    footer reads by the committing writer — the metadata mirror of
+    Delta's per-file stats in the transaction log; at 100 TB it scales
+    with the commit, never the table."""
+    import pyarrow.parquet as pq
+
+    stats: dict[str, dict] = {}
+    for f in sorted(data_dir.rglob("*.parquet")):
+        meta = pq.ParquetFile(str(f)).metadata
+        idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        per_col: dict[str, list] = {}
+        for c in stats_columns:
+            if c not in idx:
+                continue
+            lo = hi = None
+            usable = True
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    usable = False  # e.g. float columns containing NaN
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if usable and lo is not None:
+                per_col[c] = [lo, hi]
+        stats[str(f.relative_to(data_dir))] = per_col
+    return stats
+
+
+def _commit_locked(
+    root: Path,
+    entries: list[dict],
+    df: DataFrame,
+    action: str,
+    num_files: int | None,
+    partition_by: list[str] | None,
+    allow_new_columns: bool,
+    stats_columns: list[str] | None,
+    extra_entry: dict | None = None,
+) -> dict:
+    """Write + commit under an already-held writer lock, against an
+    already-taken log snapshot (``entries``)."""
+    if entries:
+        prior_cols = set(entries[-1]["columns"])
+        cols = set(df.columns)
+        widened = cols - prior_cols
+        if (cols != prior_cols and not allow_new_columns) or not (
+            cols >= prior_cols
+        ):
+            raise ValueError(
+                f"schema mismatch: table has {sorted(prior_cols)}, "
+                f"commit has {sorted(cols)}"
+                + (
+                    "" if cols >= prior_cols
+                    else " (columns may be added with allow_new_columns,"
+                    " never dropped)"
+                )
+            )
+        prior_part = entries[-1].get("partition_by") or []
+        if partition_by is None:
+            partition_by = prior_part
+        elif list(partition_by) != prior_part:
+            raise ValueError(
+                f"partitioning mismatch: table uses {prior_part}, "
+                f"commit requested {list(partition_by)}"
+            )
+        if stats_columns is None:
+            stats_columns = entries[-1].get("stats_columns") or []
+    else:
+        widened = set()
+        partition_by = list(partition_by or [])
+        stats_columns = list(stats_columns or [])
+    if stats_columns:
+        stats_columns = _validate_stats_columns(df, stats_columns, partition_by)
+    version = entries[-1]["version"] + 1 if entries else 0
+    data_dir = root / _DATA / f"c{version:08d}"
+    out = df.coalesce(num_files) if num_files else df
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(str(data_dir))
+    entry = {
+        "version": version,
+        "action": action,
+        "dir": f"c{version:08d}",
+        "columns": df.columns,
+        "partition_by": partition_by,
+        "ts": time.time(),
+    }
+    if stats_columns:
+        entry["stats_columns"] = stats_columns
+        entry["stats"] = _collect_file_stats(data_dir, stats_columns)
+    if widened:
+        entry["added_columns"] = sorted(widened)
+    if extra_entry:
+        entry.update(extra_entry)
+    _commit(root, entry)
+    return entry
+
+
 def _write_commit(
     root: str | Path,
     df: DataFrame,
@@ -105,57 +238,16 @@ def _write_commit(
     num_files: int | None,
     partition_by: list[str] | None = None,
     allow_new_columns: bool = False,
+    stats_columns: list[str] | None = None,
 ) -> dict:
     root = Path(root)
     (root / _VLOG).mkdir(parents=True, exist_ok=True)
     with writer_lock(root):
         entries = _committed_entries(root)
-        if entries:
-            prior_cols = set(entries[-1]["columns"])
-            cols = set(df.columns)
-            widened = cols - prior_cols
-            if (cols != prior_cols and not allow_new_columns) or not (
-                cols >= prior_cols
-            ):
-                raise ValueError(
-                    f"schema mismatch: table has {sorted(prior_cols)}, "
-                    f"commit has {sorted(cols)}"
-                    + (
-                        "" if cols >= prior_cols
-                        else " (columns may be added with allow_new_columns,"
-                        " never dropped)"
-                    )
-                )
-            prior_part = entries[-1].get("partition_by") or []
-            if partition_by is None:
-                partition_by = prior_part
-            elif list(partition_by) != prior_part:
-                raise ValueError(
-                    f"partitioning mismatch: table uses {prior_part}, "
-                    f"commit requested {list(partition_by)}"
-                )
-        else:
-            widened = set()
-            partition_by = list(partition_by or [])
-        version = entries[-1]["version"] + 1 if entries else 0
-        data_dir = root / _DATA / f"c{version:08d}"
-        out = df.coalesce(num_files) if num_files else df
-        writer = out.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(str(data_dir))
-        entry = {
-            "version": version,
-            "action": action,
-            "dir": f"c{version:08d}",
-            "columns": df.columns,
-            "partition_by": partition_by,
-            "ts": time.time(),
-        }
-        if widened:
-            entry["added_columns"] = sorted(widened)
-        _commit(root, entry)
-        return entry
+        return _commit_locked(
+            root, entries, df, action, num_files,
+            partition_by, allow_new_columns, stats_columns,
+        )
 
 
 def append(
