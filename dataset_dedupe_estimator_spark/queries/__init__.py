@@ -46,11 +46,85 @@ for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthet
 # so rotation only affects which subset gets *driver-side* attestation,
 # never whether a regression is caught.
 #
-# Round-5 window (executes the rotation staged at r4 close, COVERAGE.md
-# ledger): the 31 round-2-green overflow queries (oldest driver
-# attestation), the 15 queries added during round 4 (never
-# driver-checked), and the 4 stalest round-3-green queries.
+# Round-6 window (executes the rotation staged at r5 close, COVERAGE.md
+# ledger): the 46 round-3-green overflow queries (oldest driver
+# attestation) plus 4 of the 20 round-5-added never-driver-checked
+# queries (the judge-highlighted table-lifecycle/search quartet).
 _FRONT = [
+    "bm25_search",
+    "table_time_travel",
+    "zorder_layout",
+    "dedup_substring_spans",
+    "semdedup_clusters",
+    "streaming_cms_counts",
+    "grouping_sets_revenue",
+    "trailing_window_revenue",
+    "cdc_dedup_trend",
+    "source_overlap_minhash",
+    "q8_market_share",
+    "q14_promo_revenue",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "semi_anti_customers",
+    "dedup_keep_first",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "simhash_signatures",
+    "knn_brute_force",
+    "ann_lsh_bucketed",
+    "ann_ivf_probe",
+    "embedding_dedup_pairs",
+    "embedding_dedup_lsh",
+    "label_centroid_spread",
+    "set_ops_parts",
+    "window_running_spend",
+    "rollup_order_status",
+    "cube_order_stats",
+    "events_hourly",
+    "events_daily_users",
+    "q4_order_priority",
+    "top_spenders",
+    "asof_prev_order",
+    "unpivot_part_metrics",
+    "range_join_price_bands",
+    "synthetic_generate_table",
+    "q6_revenue_forecast",
+    "events_json_extract",
+    "window_top_orders_per_customer",
+    "lang_score",
+    "token_frequencies",
+    "binary_digest_features",
+    "text_quality",
+    "dedup_exact_groups",
+    "dedup_fingerprint_groups",
+    "dedup_exact_events",
+]
+# overflow: the 16 remaining round-5-added queries, never driver-checked
+# — first in line for round 7's window (locally re-verified every round)
+_NEXT = [
+    "customer_hierarchy_rollup",
+    "supplier_pagerank",
+    "user_value_twap",
+    "near_dup_source_matrix",
+    "bpe_train_merges",
+    "bpe_token_stats",
+    "doc_length_quantiles",
+    "stratified_sample_docs",
+    "streaming_index_pipeline",
+    "image_near_dup_demo",
+    "source_feature_corr",
+    "dataset_card_stats",
+    "mv_incremental_orders",
+    "mv_from_version_diff",
+    "streaming_mv_refresh",
+    "snapshot_diff_docs",
+]
+# most recent driver green: CORRECTNESS_r05 (50/50 green — 49 oracle,
+# 1 rows-only by design)
+_TAIL = [
     "vocab_coverage_score",
     "pq_codes",
     "streaming_windowed_counts",
@@ -101,111 +175,6 @@ _FRONT = [
     "events_retention_cohorts",
     "cms_token_counts",
     "effective_token_budget",
-]
-# overflow: the remaining 46 round-3-green queries — oldest driver
-# attestation after this round runs, first in line for round 6's window
-# (locally re-verified every round)
-_NEXT = [
-    "semdedup_clusters",
-    "streaming_cms_counts",
-    "grouping_sets_revenue",
-    "trailing_window_revenue",
-    "cdc_dedup_trend",
-    "source_overlap_minhash",
-    "q8_market_share",
-    "q14_promo_revenue",
-    "q19_disjunctive_revenue",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "semi_anti_customers",
-    "dedup_keep_first",
-    "ngram_jaccard_pairs",
-    "minhash_signatures",
-    "minhash_lsh_candidates",
-    "simhash_signatures",
-    "knn_brute_force",
-    "ann_lsh_bucketed",
-    "ann_ivf_probe",
-    "embedding_dedup_pairs",
-    "embedding_dedup_lsh",
-    "label_centroid_spread",
-    "set_ops_parts",
-    "window_running_spend",
-    "rollup_order_status",
-    "cube_order_stats",
-    "events_hourly",
-    "events_daily_users",
-    "q4_order_priority",
-    "top_spenders",
-    "asof_prev_order",
-    "unpivot_part_metrics",
-    "range_join_price_bands",
-    "synthetic_generate_table",
-    "q6_revenue_forecast",
-    "events_json_extract",
-    "window_top_orders_per_customer",
-    "lang_score",
-    "token_frequencies",
-    "binary_digest_features",
-    "text_quality",
-    "dedup_exact_groups",
-    "dedup_fingerprint_groups",
-    "dedup_exact_events",
-]
-# most recent driver green: CORRECTNESS_r04 (50/50 green — 40 oracle,
-# 10 rows-only by design)
-_TAIL = [
-    "spend_quartiles",
-    "events_gapfill",
-    "events_attribution",
-    "events_dedup_burst",
-    "events_daily_anomaly",
-    "ngram_containment_pairs",
-    "lsh_index_incremental",
-    "ann_recall_at_k",
-    "semantic_vs_lexical_pairs",
-    "split_assign",
-    "cross_split_leakage",
-    "split_purge_eval",
-    "streaming_view_click_join",
-    "fuzzy_match_customers",
-    "data_quality_report",
-    "profile_documents",
-    "cdc_index_incremental",
-    "doc_chunk_windows",
-    "pii_scan",
-    "charlm_familiarity",
-    "ngram_novelty",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_parts",
-    "q12_late_shipment_priority",
-    "q16_supplier_diversity",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-    "filter_project_scan",
-    "distinct_ship_modes",
-    "date_part_revenue",
-    "cdc_per_file_chunks",
-    "cdc_provenance",
-    "cdc_estimate",
-    "cdc_estimate_xet",
-    "cdc_approx_estimate",
-    "quantity_percentiles",
-    "token_bpe_ish",
-    "rolling_hash_fingerprint",
-    "format_compare_demo",
-    "synthetic_generator_e2e",
-    "dedup_near_groups",
-    "repetition_stats",
-    "contamination_check",
-    "streaming_dedup_events",
-    "cdc_streaming_estimate",
-    "multimodal_pipeline_demo",
-    "ann_ivf_trained",
-    "corpus_survival_pipeline",
-    "dedup_near_survivors",
 ]
 _missing = (set(_FRONT) | set(_NEXT) | set(_TAIL)) - REGISTRY.keys()
 if _missing:
