@@ -256,6 +256,7 @@ def append(
     num_files: int | None = None,
     partition_by: list[str] | None = None,
     allow_new_columns: bool = False,
+    stats_columns: list[str] | None = None,
 ) -> dict:
     """Commit ``df`` as a new version that ADDS to the live set.
 
@@ -264,9 +265,14 @@ def append(
     partitions per commit scan. ``allow_new_columns`` permits widening
     the schema; older commits surface NULL for the new columns on read
     (columns can never be dropped — history must stay interpretable).
+    ``stats_columns`` records per-file min/max zone maps in the log
+    entry (Delta data-skipping shape) that ``read_where`` uses to drop
+    whole files before the scan; once set, later commits inherit it
+    unless they pass their own list.
     """
     return _write_commit(
-        root, df, "append", num_files, partition_by, allow_new_columns
+        root, df, "append", num_files, partition_by, allow_new_columns,
+        stats_columns,
     )
 
 
@@ -276,14 +282,17 @@ def overwrite(
     num_files: int | None = None,
     partition_by: list[str] | None = None,
     allow_new_columns: bool = False,
+    stats_columns: list[str] | None = None,
 ) -> dict:
     """Commit ``df`` as a new version that REPLACES the live set.
 
     Prior versions stay readable (time travel) until ``vacuum`` retires
-    them — overwrite never deletes data files.
+    them — overwrite never deletes data files. ``stats_columns`` as in
+    :func:`append`.
     """
     return _write_commit(
-        root, df, "overwrite", num_files, partition_by, allow_new_columns
+        root, df, "overwrite", num_files, partition_by, allow_new_columns,
+        stats_columns,
     )
 
 
@@ -355,6 +364,164 @@ def read_version(
     for d in dirs[1:]:
         df = df.unionByName(spark.read.parquet(d), allowMissingColumns=True)
     return df.select(*schema_cols)
+
+
+_PRUNE_OPS = {"==", "<", "<=", ">", ">=", "between"}
+
+
+def _range_may_match(lo, hi, op: str, value) -> bool:
+    """Can any row in a file whose column spans [lo, hi] satisfy the
+    predicate? Conservative by construction: only a provable miss
+    returns False. NULLs are safe to ignore — parquet min/max stats
+    exclude them and every supported operator is null-rejecting."""
+    if op == "==":
+        return lo <= value <= hi
+    if op == "<":
+        return lo < value
+    if op == "<=":
+        return lo <= value
+    if op == ">":
+        return hi > value
+    if op == ">=":
+        return hi >= value
+    a, b = value
+    return hi >= a and lo <= b
+
+
+def zone_map_prune(
+    root: str | Path,
+    predicates: list[tuple],
+    version: int | None = None,
+) -> dict:
+    """Evaluate a conjunction of ``(column, op, value)`` predicates
+    (``op`` in ``==/</<=/>/>=/between``; ``between`` takes an inclusive
+    ``(lo, hi)`` pair) against the per-file zone maps recorded in the
+    commit log, WITHOUT touching any data file. Returns::
+
+        {"files": [abs paths to scan], "dirs": [no-stats dirs to scan],
+         "total_files": N, "kept_files": K, "skipped_files": N - K,
+         "skip_fraction": (N - K) / N}
+
+    A file is dropped only when some predicate provably misses its
+    [min, max] range; files lacking stats for a predicate column — and
+    whole commits written without ``stats_columns`` — are always kept,
+    so pruning can only skip work, never rows. Cost is O(live files)
+    driver-side arithmetic over the already-parsed log: the Delta
+    data-skipping read shape — at 100 TB the decision reads zero bytes
+    of data.
+    """
+    for p in predicates:
+        if len(p) != 3 or p[1] not in _PRUNE_OPS:
+            raise ValueError(
+                f"predicate {p!r} must be (column, op, value) with op in "
+                f"{sorted(_PRUNE_OPS)}"
+            )
+    root = Path(root)
+    _, dirs, live_entries = _resolve(root, _committed_entries(root), version)
+    by_dir = {e["dir"]: e for e in live_entries}
+    files: list[str] = []
+    stats_dirs: list[str] = []  # dirs whose entry carries zone maps
+    plain_dirs: list[str] = []  # pre-stats commits: scan whole dir
+    total = kept = 0
+    for d in dirs:
+        entry = by_dir[Path(d).name]
+        stats = entry.get("stats")
+        if stats is None:
+            n = sum(1 for _ in Path(d).rglob("*.parquet"))
+            total += n
+            kept += n
+            plain_dirs.append(d)
+            continue
+        stats_dirs.append(d)
+        for rel, per_col in stats.items():
+            total += 1
+            keep = True
+            for col, op, value in predicates:
+                rng = per_col.get(col)
+                if rng is not None and not _range_may_match(rng[0], rng[1], op, value):
+                    keep = False
+                    break
+            if keep:
+                kept += 1
+                files.append(str(Path(d) / rel))
+    return {
+        "files": files,
+        "dirs": plain_dirs,
+        "total_files": total,
+        "kept_files": kept,
+        "skipped_files": total - kept,
+        "skip_fraction": (total - kept) / total if total else 0.0,
+    }
+
+
+def read_where(
+    spark: SparkSession,
+    root: str | Path,
+    predicates: list[tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read with zone-map file skipping: files whose recorded
+    [min, max] ranges provably miss the predicate conjunction never
+    enter the scan, and the predicates are ALSO applied as a real
+    filter (pruning is file-granular; surviving files still hold
+    non-matching rows). Result rows are identical to
+    ``read_version(...).filter(...)`` — pruning only changes the plan.
+
+    Partitioned tables read per surviving commit directory with
+    ``basePath`` set so hive partition columns survive the explicit
+    file list; unpartitioned tables stay one multi-path scan node.
+    """
+    from pyspark.sql import functions as F
+
+    root = Path(root)
+    # one log read for both the prune and the schema (lock-free reader
+    # TOCTOU discipline: never resolve the log twice)
+    version, live_data_dirs, live_entries = _resolve(
+        root, _committed_entries(root), version
+    )
+    report = zone_map_prune(root, predicates, version)
+    schema_cols = live_entries[-1]["columns"]
+    partitioned = bool(live_entries[-1].get("partition_by"))
+    widened = any("added_columns" in e for e in live_entries)
+
+    cond = F.lit(True)
+    for col, op, value in predicates:
+        c = F.col(col)
+        if op == "==":
+            term = c == value
+        elif op == "<":
+            term = c < value
+        elif op == "<=":
+            term = c <= value
+        elif op == ">":
+            term = c > value
+        elif op == ">=":
+            term = c >= value
+        else:
+            term = c.between(value[0], value[1])
+        cond = cond & term
+
+    paths = report["dirs"] + report["files"]
+    if not paths:
+        return (
+            read_version(spark, root, version).filter(cond).limit(0)
+        )
+    if not partitioned:
+        reader = spark.read
+        if widened:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths).filter(cond).select(*schema_cols)
+    # partitioned: group surviving files by commit dir so basePath can
+    # recover the hive partition columns per scan
+    by_base: dict[str, list[str]] = {d: [d] for d in report["dirs"]}
+    for f in report["files"]:
+        base = next(d for d in live_data_dirs if f.startswith(d + os.sep))
+        by_base.setdefault(base, []).append(f)
+    df = None
+    for base, plist in by_base.items():
+        part = spark.read.option("basePath", base).parquet(*plist)
+        df = part if df is None else df.unionByName(part, allowMissingColumns=True)
+    return df.filter(cond).select(*schema_cols)
 
 
 def changes_between(
@@ -451,6 +618,7 @@ def optimize(
     zorder_by: list[str] | None = None,
     num_files: int = 16,
     bits: int = 10,
+    stats_columns: list[str] | None = None,
 ) -> dict:
     """Rewrite the latest snapshot as ONE overwrite commit — compaction
     of accumulated small commit directories, optionally z-order
@@ -459,14 +627,23 @@ def optimize(
     superseded directories stay on disk until ``vacuum`` retires them.
     The Delta-OPTIMIZE shape: data moves through one exchange (range,
     when clustering; round-robin coalesce otherwise).
+
+    ``stats_columns`` (inherited from the table when None) pairs
+    naturally with ``zorder_by``: clustering makes per-file ranges
+    tight, so the zone maps recorded here give ``read_where`` its
+    maximum file-skip fraction.
     """
     df = read_version(spark, root)
     if zorder_by:
         from dataset_dedupe_estimator_spark.operators.layout import zorder_frame
 
         df = zorder_frame(df, zorder_by, bits=bits, num_files=num_files)
-        return _write_commit(root, df, "overwrite", num_files=None)
-    return _write_commit(root, df, "overwrite", num_files=num_files)
+        return _write_commit(
+            root, df, "overwrite", num_files=None, stats_columns=stats_columns
+        )
+    return _write_commit(
+        root, df, "overwrite", num_files=num_files, stats_columns=stats_columns
+    )
 
 
 def vacuum(root: str | Path, keep_versions: int = 1) -> list[str]:

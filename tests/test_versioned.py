@@ -322,3 +322,153 @@ def test_writer_lock_held_during_commit(spark, tmp_path):
         os.unlink(lock)
     vt.append(root, _mk(spark, 2, 4), num_files=1)  # recovers after release
     assert vt.read_version(spark, root).count() == 4
+
+
+# ---------------------------------------------------------------- zone maps
+
+
+def _ranged(spark, lo, hi, files):
+    """`files` parquet files each holding a disjoint contiguous id range
+    (repartitionByRange on id), so zone maps have real pruning power."""
+    df = spark.range(lo, hi).select(
+        "id", (F.col("id") % 7).cast("double").alias("score")
+    )
+    return df.repartitionByRange(files, "id")
+
+
+def test_stats_columns_recorded_per_file(spark, tmp_path):
+    root = tmp_path / "zt"
+    entry = vt.append(root, _ranged(spark, 0, 1000, 4), stats_columns=["id"])
+    assert entry["stats_columns"] == ["id"]
+    stats = entry["stats"]
+    assert len(stats) == 4
+    spans = sorted((v["id"][0], v["id"][1]) for v in stats.values())
+    # disjoint, covering 0..999
+    assert spans[0][0] == 0 and spans[-1][1] == 999
+    for (_, hi_a), (lo_b, _) in zip(spans, spans[1:]):
+        assert hi_a < lo_b
+
+
+def test_stats_columns_inherited_by_later_commits(spark, tmp_path):
+    root = tmp_path / "zt"
+    vt.append(root, _ranged(spark, 0, 100, 2), stats_columns=["id"])
+    e1 = vt.append(root, _ranged(spark, 100, 200, 2))  # no explicit stats
+    assert e1["stats_columns"] == ["id"]
+    assert len(e1["stats"]) == 2
+
+
+def test_stats_columns_validation(spark, tmp_path):
+    root = tmp_path / "zt"
+    df = spark.range(10).select(
+        "id", F.lit("x").alias("s"), (F.col("id") % 2).alias("p")
+    )
+    with pytest.raises(ValueError, match="not in commit schema"):
+        vt.append(root, df, stats_columns=["nope"])
+    with pytest.raises(ValueError, match="string"):
+        vt.append(root, df, stats_columns=["s"])
+    with pytest.raises(ValueError, match="partition column"):
+        vt.append(root, df, partition_by=["p"], stats_columns=["p"])
+
+
+def test_zone_map_prune_skips_files(spark, tmp_path):
+    root = tmp_path / "zt"
+    vt.append(root, _ranged(spark, 0, 1000, 8), stats_columns=["id"])
+    rep = vt.zone_map_prune(root, [("id", "between", (0, 100))])
+    assert rep["total_files"] == 8
+    assert rep["kept_files"] < 8 and rep["skipped_files"] >= 6
+    assert rep["skip_fraction"] == rep["skipped_files"] / 8
+    # equality probe touches exactly one file
+    rep1 = vt.zone_map_prune(root, [("id", "==", 500)])
+    assert rep1["kept_files"] == 1
+    # provably-empty predicate keeps nothing
+    rep0 = vt.zone_map_prune(root, [("id", ">", 10_000)])
+    assert rep0["kept_files"] == 0
+
+
+def test_zone_map_prune_keeps_statless_commits(spark, tmp_path):
+    root = tmp_path / "zt"
+    # first commit predates stats; second carries them
+    vt.append(root, _ranged(spark, 0, 100, 2))
+    vt.append(root, _ranged(spark, 1000, 2000, 4), stats_columns=["id"])
+    rep = vt.zone_map_prune(root, [("id", "<", 50)])
+    # both statless files stay (as whole dirs), all 4 stats files pruned
+    assert rep["dirs"] and rep["files"] == []
+    assert rep["total_files"] == 6 and rep["kept_files"] == 2
+
+
+def test_read_where_matches_filtered_read_version(spark, tmp_path):
+    root = tmp_path / "zt"
+    vt.append(root, _ranged(spark, 0, 500, 4), stats_columns=["id"])
+    vt.append(root, _ranged(spark, 500, 1000, 4))
+    for preds, expr in [
+        ([("id", "between", (100, 250))], F.col("id").between(100, 250)),
+        ([("id", ">=", 900)], F.col("id") >= 900),
+        ([("id", "==", 7)], F.col("id") == 7),
+        ([("id", "<", 60), ("score", ">=", 3.0)],
+         (F.col("id") < 60) & (F.col("score") >= 3.0)),
+    ]:
+        got = sorted(r.id for r in vt.read_where(spark, root, preds).collect())
+        want = sorted(
+            r.id for r in vt.read_version(spark, root).filter(expr).collect()
+        )
+        assert got == want and want, preds
+
+
+def test_read_where_empty_prune_returns_empty_with_schema(spark, tmp_path):
+    root = tmp_path / "zt"
+    vt.append(root, _ranged(spark, 0, 100, 2), stats_columns=["id"])
+    out = vt.read_where(spark, root, [("id", ">", 10_000)])
+    assert out.columns == ["id", "score"]
+    assert out.count() == 0
+
+
+def test_read_where_partitioned_keeps_partition_columns(spark, tmp_path):
+    root = tmp_path / "zt"
+    df = spark.range(400).select(
+        "id",
+        (F.col("id") % 4).cast("string").alias("src"),
+    ).repartitionByRange(4, "id")
+    vt.append(root, df, partition_by=["src"], stats_columns=["id"])
+    out = vt.read_where(spark, root, [("id", "<", 100)])
+    assert set(out.columns) == {"id", "src"}
+    rows = out.collect()
+    assert sorted(r.id for r in rows) == list(range(100))
+    assert all(r.src is not None for r in rows)
+
+
+def test_read_where_time_travel(spark, tmp_path):
+    root = tmp_path / "zt"
+    vt.append(root, _ranged(spark, 0, 100, 2), stats_columns=["id"])
+    vt.overwrite(root, _ranged(spark, 500, 600, 2))
+    got = sorted(
+        r.id for r in vt.read_where(spark, root, [("id", "<", 50)], version=0).collect()
+    )
+    assert got == list(range(50))
+    assert vt.read_where(spark, root, [("id", "<", 50)]).count() == 0
+
+
+def test_optimize_zorder_with_stats_maximizes_skip(spark, tmp_path):
+    root = tmp_path / "zt"
+    # ingest unsorted: zone maps nearly useless (every file spans ~full range)
+    df = spark.range(20_000).select(
+        (F.col("id") * 2654435761 % 20_000).alias("k"),
+        F.col("id").alias("v"),
+    )
+    vt.append(root, df.repartition(8), stats_columns=["k"])
+    before = vt.zone_map_prune(root, [("k", "between", (0, 1000))])
+    vt.optimize(spark, root, zorder_by=["k"], num_files=8)
+    after = vt.zone_map_prune(root, [("k", "between", (0, 1000))])
+    assert before["skip_fraction"] == 0.0
+    assert after["skip_fraction"] >= 0.5
+    # correctness unchanged
+    n = vt.read_where(spark, root, [("k", "between", (0, 1000))]).count()
+    assert n == spark.range(20_000).select(
+        (F.col("id") * 2654435761 % 20_000).alias("k")
+    ).filter(F.col("k").between(0, 1000)).count()
+
+
+def test_zone_map_bad_predicate_rejected(spark, tmp_path):
+    root = tmp_path / "zt"
+    vt.append(root, _ranged(spark, 0, 10, 1), stats_columns=["id"])
+    with pytest.raises(ValueError, match="predicate"):
+        vt.zone_map_prune(root, [("id", "!=", 3)])

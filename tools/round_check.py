@@ -154,6 +154,13 @@ def main() -> int:
                 stress_ok,
             )
         )
+        results.append(
+            _run(
+                "stress zonemap",
+                [sys.executable, "tools/stress_zonemap.py"],
+                stress_ok,
+            )
+        )
 
     print("\n" + ("ALL GREEN" if all(results) else "FAILURES — see above"))
     return 0 if all(results) else 1
