@@ -1479,4 +1479,5 @@ QUERIES = {
     "embedding_dedup_lsh": Q(embedding_dedup_lsh, EMB_DEDUP_LSH_SQL, headline=True),
     "semantic_vs_lexical_pairs": Q(semantic_vs_lexical_pairs, SEMANTIC_VS_LEXICAL_SQL),
     "label_centroid_spread": Q(label_centroid_spread, LABEL_STATS_SQL),
+    "hybrid_rrf": Q(hybrid_search_rrf, _hybrid_sql()),
 }

@@ -43,6 +43,7 @@ BNLJ_ALLOWED = {
     "bm25_search",  # N/avgdl corpus-stats scalar row broadcast into scoring
     "q11_important_parts",  # global-total scalar row (HAVING fraction gate)
     "knn_brute_force",  # single query vector
+    "hybrid_rrf",  # single query vector broadcast into the cosine leg (bm25 leg inherits bm25_search's stats row)
     "semdedup_clusters",  # corpus-count row driving adaptive K
     "ann_lsh_bucketed",  # single query bucket row
     "ann_recall_at_k",  # count row + ~1%-sample probe table (ground-truth side is brute force BY DESIGN)

@@ -264,6 +264,10 @@ GLOBAL_WINDOW_ALLOWED = {
     # final scalar max over the <=Q15_BUCKETS per-bucket champions —
     # constant-bounded by construction (see q15_top_supplier docstring)
     "q15_top_supplier",
+    # per-leg rank windows run over TakeOrdered heads of RRF_POOL=50
+    # rows each — constants; the corpus never reaches a window
+    # (hybrid_rrf_frame docstring)
+    "hybrid_rrf",
 }
 
 
