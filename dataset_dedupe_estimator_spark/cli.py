@@ -364,10 +364,16 @@ def cmd_corpus(args) -> int:
             materialize_survivors,
         )
 
-        n_in, n_out = materialize_survivors(spark, args.sf_dir, args.materialize)
+        n_in, n_out = materialize_survivors(
+            spark,
+            args.sf_dir,
+            args.materialize,
+            strip_spans=getattr(args, "strip_spans", False),
+        )
         print(
             f"\n## materialized cleaned corpus → {args.materialize}\n"
             f"input docs={n_in}  written survivors={n_out}"
+            + ("  (duplicate spans stripped)" if getattr(args, "strip_spans", False) else "")
         )
 
     print("\n## semantic dedup (SemDeDup clusters over embeddings)")
@@ -767,19 +773,24 @@ def cmd_pq_index(args) -> int:
     from pyspark.sql import functions as F
 
     idx = PqIndex.load(args.index_dir)
-    qrow = (
-        spark.read.parquet(args.vectors)
-        .filter(F.col("vec_id") == args.query_id)
-        .head()
-    )
+    vectors = spark.read.parquet(args.vectors)
+    qrow = vectors.filter(F.col("vec_id") == args.query_id).head()
     if qrow is None:
         print(f"vec_id {args.query_id} not found", file=sys.stderr)
         return 2
+    # the vectors table is at hand, so the default shortlist+exact-rerank
+    # path applies (ADC-only is the emb=None mode for cold vectors)
     hits = idx.search(
-        spark, [float(v) for v in qrow.embedding], topk=args.topk, nprobe=args.nprobe
+        spark,
+        [float(v) for v in qrow.embedding],
+        topk=args.topk,
+        nprobe=args.nprobe,
+        emb=vectors,
     ).collect()
     for h in hits:
-        print(f"vec_id={h.vec_id} cell={h.cell} adc={h.adc:.6f}")
+        print(
+            f"vec_id={h.vec_id} cell={h.cell} adc={h.adc:.6f} cosine={h.cosine:.6f}"
+        )
     return 0
 
 
@@ -1176,6 +1187,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--materialize",
         metavar="DIR",
         help="also write the cleaned corpus (survivors) as source-partitioned parquet",
+    )
+    cp.add_argument(
+        "--strip-spans",
+        action="store_true",
+        help="with --materialize: also remove exact-substring duplicate spans from survivor text",
     )
     cp.set_defaults(fn=cmd_corpus)
 

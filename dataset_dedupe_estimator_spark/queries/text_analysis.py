@@ -342,12 +342,36 @@ def corpus_survival_pipeline(spark, sf):
     """The composed training-data filter — what a real pipeline runs before
     tokenization: exact dedup (keep first doc per text hash) ∧ quality gate
     (length + type-token ratio) ∧ repetition gate (dup n-gram fractions),
-    reduced to per-source survival statistics.
+    reduced to per-source survival statistics — plus the span-mass
+    accounting of exact-substring dedup (operators/substring_dedup.py):
+    ``span_dup_tokens`` is each source's token mass inside merged
+    duplicate spans (sliding k-gram, global-first-occurrence rule), the
+    number span-removal dedup would strip.
 
-    One plan: the dedup window shuffles on text hash once; every filter is
-    a columnar expression over the same scan; the final per-source rollup
-    is a small aggregate. At 100 TB this is the shape you run nightly."""
+    One plan per leg: the dedup window shuffles on text hash once and
+    every filter is a columnar expression over that scan; the span leg's
+    corpus-wide exchange carries only (md5, id, pos) triples and only
+    duplicate occurrences reach the interval-merge windows; the final
+    per-source rollup is a small aggregate. At 100 TB this is the shape
+    you run nightly."""
+    from dataset_dedupe_estimator_spark.operators.substring_dedup import (
+        DEFAULT_K,
+        duplicate_spans,
+    )
+
+    docs = load(spark, sf, "documents")
     scored = survival_scores(spark, sf)
+    span_mass = (
+        duplicate_spans(docs, DEFAULT_K)
+        .groupBy("id")
+        .agg(
+            F.sum(F.col("span_end") - F.col("span_start")).alias("span_dup_tokens")
+        )
+        .withColumnRenamed("id", "doc_id")
+    )
+    scored = scored.join(span_mass, "doc_id", "left").withColumn(
+        "span_dup_tokens", F.coalesce("span_dup_tokens", F.lit(0))
+    )
     survives = F.col("is_keeper") & F.col("passes_quality") & F.col("passes_repetition")
     return (
         scored.groupBy("source")
@@ -358,16 +382,23 @@ def corpus_survival_pipeline(spark, sf):
             F.sum(
                 (F.col("is_keeper") & ~F.col("passes_quality")).cast("long")
             ).alias("n_dropped_quality"),
+            F.sum("span_dup_tokens").cast("long").alias("span_dup_tokens"),
         )
         .withColumn(
             "survival_rate",
             F.col("n_survivors").cast("double") / F.col("n_docs").cast("double"),
         )
+        .select(
+            "source", "n_docs", "n_survivors", "n_dropped_dup",
+            "n_dropped_quality", "survival_rate", "span_dup_tokens",
+        )
         .orderBy("source")
     )
 
 
-SURVIVAL_SQL = """
+_SURVIVAL_K = 8  # == operators/substring_dedup.DEFAULT_K (span-mass leg)
+
+SURVIVAL_SQL = f"""
 WITH scored AS (
   SELECT doc_id, source,
          ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS is_keeper,
@@ -384,6 +415,42 @@ WITH scored AS (
                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS tg
     FROM (SELECT doc_id, source, text, string_split(text, ' ') AS t FROM documents)
   )
+),
+sub_toks AS (
+  SELECT doc_id, t, CAST(GREATEST(len(t) - {_SURVIVAL_K - 1}, 0) AS BIGINT) AS n_grams
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+sub_grams AS (
+  SELECT doc_id, CAST(u.j AS INT) AS pos,
+         md5(array_to_string(t[u.j + 1 : u.j + {_SURVIVAL_K}], ' ')) AS h
+  FROM sub_toks, UNNEST(range(0, n_grams)) AS u(j)
+),
+sub_dups AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+    FROM sub_grams
+  ) WHERE rn > 1
+),
+sub_islands AS (
+  SELECT doc_id, pos,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM (
+    SELECT doc_id, pos,
+           CASE WHEN MAX(pos + {_SURVIVAL_K}) OVER w IS NULL
+                  OR pos > MAX(pos + {_SURVIVAL_K}) OVER w THEN 1 ELSE 0 END AS new_island
+    FROM sub_dups
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+  )
+),
+span_mass AS (
+  SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS span_dup_tokens
+  FROM (
+    SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {_SURVIVAL_K} AS e
+    FROM sub_islands GROUP BY doc_id, island
+  ) GROUP BY doc_id
 )
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -393,17 +460,25 @@ SELECT source,
        CAST(SUM(CASE WHEN is_keeper AND NOT passes_quality THEN 1 ELSE 0 END) AS BIGINT)
            AS n_dropped_quality,
        CAST(SUM(CASE WHEN is_keeper AND passes_quality AND passes_repetition
-                THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS survival_rate
-FROM scored GROUP BY source ORDER BY source
+                THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS survival_rate,
+       CAST(SUM(COALESCE(sm.span_dup_tokens, 0)) AS BIGINT) AS span_dup_tokens
+FROM scored LEFT JOIN span_mass sm USING (doc_id)
+GROUP BY source ORDER BY source
 """
 
 
 def materialize_survivors(
-    spark, sf, dest: str, files_per_source: int = 1
+    spark, sf, dest: str, files_per_source: int = 1, strip_spans: bool = False
 ) -> tuple[int, int]:
     """Write the cleaned corpus: every document passing the survival
     pipeline, as parquet partitioned by source. Returns (n_input_docs,
     n_written_docs) after an O3-style write sanity read-back.
+
+    With ``strip_spans`` the surviving documents additionally have their
+    exact-substring duplicate spans removed
+    (operators/substring_dedup.strip_duplicate_spans — first occurrences
+    survive verbatim; span removal runs on the SURVIVOR set so a
+    passage's keeper copy is whatever survivor saw it first).
 
     100 TB shape: survivors are selected by a doc_id join against the
     scored flags (same single-shuffle plan as the stats rollup), and the
@@ -419,6 +494,16 @@ def materialize_survivors(
     survivors = docs.join(
         scored.filter(survives).select("doc_id"), "doc_id"
     )
+    if strip_spans:
+        from dataset_dedupe_estimator_spark.operators.substring_dedup import (
+            DEFAULT_K,
+            strip_duplicate_spans,
+        )
+
+        cleaned = strip_duplicate_spans(survivors, DEFAULT_K).select(
+            F.col("id").alias("doc_id"), F.col("text_clean").alias("text")
+        )
+        survivors = survivors.drop("text").join(cleaned, "doc_id")
     (
         survivors.repartition(
             F.col("source"), F.pmod(F.col("doc_id"), F.lit(files_per_source))

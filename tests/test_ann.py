@@ -282,3 +282,51 @@ def test_pq_index_add_empty_batch_is_a_noop(spark, emb, tmp_path):
     st = pq_index_add(spark, d, emb)
     assert st["admitted"] == 0 and st["total"] == emb.count()
     assert _pq_meta(d)["generations"] == gens_before
+
+
+def test_pq_index_rerank_default_path(spark, emb, pq_index):
+    """With the source table at hand, search shortlists by ADC and
+    exact-reranks — recall vs brute-force cosine must be at least the
+    ADC-only mode's, and full-probe + full-shortlist rerank must equal
+    brute force exactly (the shortlist then contains every candidate)."""
+    import numpy as np
+
+    from dataset_dedupe_estimator_spark.functions.vectors import cosine, norm
+
+    qrow = emb.filter(F.col("vec_id") == 7).head()
+    qvec = [float(v) for v in qrow.embedding]
+    n = emb.count()
+
+    hits = pq_index.search(
+        spark, qvec, topk=10, nprobe=8, emb=emb, rerank=int(n)
+    ).collect()
+    assert [c for c in ("vec_id", "cell", "adc", "cosine")] == list(hits[0].asDict())
+    # reranked order is by exact cosine, descending
+    assert all(a.cosine >= b.cosine for a, b in zip(hits, hits[1:]))
+    assert hits[0].vec_id == 7  # self is the exact-cosine top hit
+
+    qcol = F.array(*[F.lit(v) for v in qvec])
+    brute = (
+        emb.select("vec_id", cosine(F.col("embedding"), qcol, norm(F.col("embedding"))).alias("c"))
+        .orderBy(F.col("c").desc(), "vec_id")
+        .limit(10)
+        .collect()
+    )
+    assert [h.vec_id for h in hits] == [b.vec_id for b in brute]
+    for h, b in zip(hits, brute):
+        assert abs(h.cosine - b.c) < 1e-9
+
+    # recall of the default reranked path >= code-only mode at the same
+    # nprobe/shortlist budget
+    gt = {b.vec_id for b in brute}
+    adc_only = {
+        h.vec_id
+        for h in pq_index.search(spark, qvec, topk=10, nprobe=8).collect()
+    }
+    rr = {
+        h.vec_id
+        for h in pq_index.search(
+            spark, qvec, topk=10, nprobe=8, emb=emb
+        ).collect()
+    }
+    assert len(rr & gt) >= len(adc_only & gt)

@@ -118,3 +118,40 @@ def test_materialize_survivors_roundtrip(spark, sf_dir, tmp_path):
         f"source={r.source}"
         for r in back.select("source").distinct().collect()
     }
+
+
+def test_materialize_survivors_strip_spans(spark, sf_dir, tmp_path):
+    """strip_spans removes exactly the survivor set's duplicate-span
+    tokens: same doc set as the plain materialization, token mass reduced
+    by the spans strip_duplicate_spans reports, text never grows."""
+    from pyspark.sql import functions as F
+
+    from dataset_dedupe_estimator_spark.operators.substring_dedup import (
+        DEFAULT_K,
+        strip_duplicate_spans,
+    )
+    from dataset_dedupe_estimator_spark.queries.text_analysis import (
+        materialize_survivors,
+    )
+
+    plain_dest = str(tmp_path / "plain")
+    strip_dest = str(tmp_path / "stripped")
+    _, n_plain = materialize_survivors(spark, sf_dir, plain_dest)
+    _, n_strip = materialize_survivors(spark, sf_dir, strip_dest, strip_spans=True)
+    assert n_strip == n_plain  # span removal edits text, never drops docs
+
+    plain = spark.read.parquet(plain_dest)
+    stripped = spark.read.parquet(strip_dest)
+    assert {r.doc_id for r in stripped.select("doc_id").collect()} == {
+        r.doc_id for r in plain.select("doc_id").collect()
+    }
+    # stripped text equals the operator's text_clean for the survivor set
+    expect = strip_duplicate_spans(plain, DEFAULT_K).select(
+        F.col("id").alias("doc_id"), "text_clean", "n_tokens", "kept_tokens"
+    )
+    joined = stripped.select("doc_id", "text").join(expect, "doc_id")
+    assert joined.filter(F.col("text") != F.col("text_clean")).count() == 0
+    tot = joined.agg(
+        F.sum("n_tokens").alias("before"), F.sum("kept_tokens").alias("after")
+    ).collect()[0]
+    assert tot.after < tot.before  # the corpus genuinely contains dup spans

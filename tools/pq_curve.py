@@ -61,26 +61,26 @@ def main() -> None:
         t0 = time.time()
         idx = PqIndex.build(emb, f"{d}/idx", k=64, ks=64, train_sample=4096, seed=7)
         out["build_s"] = round(time.time() - t0, 2)
-        id_pos = {int(v): i for i, v in enumerate(ids)}
         curve = []
         for nprobe in NPROBES:
-            recalls, rr_recalls, lats = [], [], []
+            recalls, rr_recalls, lats, rr_lats = [], [], [], []
             for pi in probe_idx:
                 q = [float(v) for v in X[pi]]
+                # code-only mode (emb=None): the archival/cold-vector path
                 t0 = time.time()
-                hits = idx.search(
-                    spark, q, topk=SHORTLIST, nprobe=nprobe
-                ).collect()
+                hits = idx.search(spark, q, topk=K + 1, nprobe=nprobe).collect()
                 lats.append(time.time() - t0)
-                got = {h.vec_id for h in hits[: K + 1] if h.vec_id != int(ids[pi])}
+                got = {h.vec_id for h in hits if h.vec_id != int(ids[pi])}
                 recalls.append(len(got & gt[int(ids[pi])]) / K)
-                # standard IVF-PQ deployment: ADC shortlist -> exact
-                # rerank against the source vectors (search never reads
-                # floats; the rerank is the consumer-side join the
-                # PqIndex.search docstring prescribes)
-                cand = [h.vec_id for h in hits if h.vec_id != int(ids[pi])]
-                sims = [float(Xn[id_pos[c]] @ Xn[pi]) for c in cand]
-                rr = {c for _, c in sorted(zip(sims, cand), reverse=True)[:K]}
+                # DEFAULT deployment path: built-in ADC shortlist ->
+                # exact rerank inside PqIndex.search (the broadcast
+                # join reads only SHORTLIST float rows)
+                t0 = time.time()
+                rr_hits = idx.search(
+                    spark, q, topk=K + 1, nprobe=nprobe, emb=emb, rerank=SHORTLIST
+                ).collect()
+                rr_lats.append(time.time() - t0)
+                rr = {h.vec_id for h in rr_hits if h.vec_id != int(ids[pi])}
                 rr_recalls.append(len(rr & gt[int(ids[pi])]) / K)
             curve.append(
                 {
@@ -88,6 +88,7 @@ def main() -> None:
                     "recall_at_k": round(float(np.mean(recalls)), 4),
                     "rerank_recall_at_k": round(float(np.mean(rr_recalls)), 4),
                     "mean_query_s": round(float(np.mean(lats)), 3),
+                    "rerank_query_s": round(float(np.mean(rr_lats)), 3),
                 }
             )
         out["curve"] = curve
