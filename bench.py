@@ -149,6 +149,81 @@ def main() -> None:
         lsh_admit_s = time.perf_counter() - t0
         lsh_docs_per_s = round(rep["docs"] / lsh_admit_s, 1)
 
+    # Lifecycle tier (r6): the table-lifecycle/search heavyweights added in
+    # r5, tracked round-over-round like the headline 10 so regressions in
+    # the storage layer are visible. Same protocol: 3 interleaved samples,
+    # min + stddev; NOT part of the headline total.
+    import shutil as _sh
+
+    from dataset_dedupe_estimator_spark.operators.layout import write_zordered
+    from dataset_dedupe_estimator_spark.plans import gram_index as gi
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    lc_dir = _tf.mkdtemp(prefix="dde-bench-lc-")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    # versioned table built once (3 commits); the tier times the reads
+    vt_root = f"{lc_dir}/vt"
+    vt.append(vt_root, orders.filter(F.col("o_orderkey") % 3 == 0), num_files=2)
+    vt.append(vt_root, orders.filter(F.col("o_orderkey") % 3 == 1), num_files=2)
+    vt.overwrite(vt_root, orders.filter(F.col("o_orderkey") % 3 == 2), num_files=2)
+
+    def _lc_bm25():
+        REGISTRY["bm25_search"].spark(spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    def _lc_zorder_write():
+        write_zordered(
+            li, ["l_partkey", "l_suppkey"], f"{lc_dir}/zorder", bits=10, num_files=16
+        )
+
+    def _lc_time_travel_read():
+        for v in (0, 1, 2):
+            vt.read_version(spark, vt_root, v).write.mode("overwrite").format(
+                "noop"
+            ).save()
+
+    lc_fns = {
+        "bm25_search": _lc_bm25,
+        "zorder_write": _lc_zorder_write,
+        "time_travel_read": _lc_time_travel_read,
+    }
+    lc_samples: dict[str, list[float]] = {n: [] for n in lc_fns}
+    gram_rates: list[float] = []
+    for _pass in range(3):
+        for name, fn in lc_fns.items():
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn()
+            lc_samples[name].append(time.perf_counter() - t0)
+        # gram-index admission: fresh index per sample (admission is novel
+        # work only against a given state; re-admitting the same batch
+        # would measure the 0-novel fast path)
+        gdir = f"{lc_dir}/gram-{_pass}"
+        gi.build_gram_index(spark, docs.filter(F.col("doc_id") % 3 != 0), gdir)
+        batch = docs.filter(F.col("doc_id") % 3 == 0)
+        t0 = time.perf_counter()
+        _spans, grep = gi.admit_docs(spark, batch, gdir)
+        _spans.write.mode("overwrite").format("noop").save()
+        gram_rates.append(grep["docs"] / (time.perf_counter() - t0))
+    _sh.rmtree(lc_dir, ignore_errors=True)
+    lifecycle = {
+        "total": round(sum(min(ts) for ts in lc_samples.values()), 3),
+        "queries": {n: round(min(ts), 3) for n, ts in lc_samples.items()},
+        "queries_stddev": {
+            n: round(
+                (sum((t - sum(ts) / len(ts)) ** 2 for t in ts) / len(ts)) ** 0.5, 3
+            )
+            for n, ts in lc_samples.items()
+        },
+        "gram_admit_docs_per_s": round(max(gram_rates), 1),
+    }
+
     # At-size tier: the same headline queries once (n=1) at sf1 — a 10x
     # key-shifted upsample of sf0.1 (tools/gen_sf1.py, cached locally).
     # Catches scale regressions (spills, skew, shuffle sizing) a 17 MB
@@ -178,6 +253,7 @@ def main() -> None:
                 "queries_stddev": per_query_sd,
                 **chunker_throughput(),
                 "lsh_admit_docs_per_s": lsh_docs_per_s,
+                "lifecycle": lifecycle,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 **({"sf1": sf1_block} if sf1_block else {}),
             }
