@@ -683,9 +683,15 @@ def cmd_gram_index(args) -> int:
         print(f"gen 0: {st['novel_grams']} unique {args.k}-grams indexed")
         return 0
     if args.action == "admit":
+        from pyspark.sql import functions as F
+
         spans, st = admit_docs(spark, _docs(args.docs), args.index_dir)
         if args.spans_out:
-            spans.write.mode("append").parquet(args.spans_out)
+            # keep the spans-sink schema uniform with the streaming path
+            # (admit_grams_stream appends the admitting generation)
+            spans.withColumn("generation", F.lit(st["generation"])).write.mode(
+                "append"
+            ).parquet(args.spans_out)
         n, docs_hit, toks = _span_summary(spans)
         print(
             f"gen {st['generation']}: {st['docs']} docs admitted, "
@@ -694,9 +700,18 @@ def cmd_gram_index(args) -> int:
         )
         return 0
     if args.action == "query":
+        from pyspark.sql import functions as F
+
+        from dataset_dedupe_estimator_spark.plans.gram_index import _load_meta
+
         spans = query_docs(spark, _docs(args.docs), args.index_dir).persist()
         if args.spans_out:
-            spans.write.mode("append").parquet(args.spans_out)
+            # read-only probe: stamp the generation the index was queried
+            # at, keeping the shared spans-sink schema uniform
+            queried_gen = _load_meta(args.index_dir)["generations"] - 1
+            spans.withColumn("generation", F.lit(queried_gen)).write.mode(
+                "append"
+            ).parquet(args.spans_out)
         n, docs_hit, toks = _span_summary(spans)
         spans.unpersist()
         print(f"{n} known spans ({toks} tokens) across {docs_hit} probe docs (read-only)")

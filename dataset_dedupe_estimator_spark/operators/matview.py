@@ -56,7 +56,14 @@ def additive_state(
 def merge_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
     """Merge MV states by summing counts and measures per key.
 
-    Keys whose merged count drops to zero vanish (fully retracted).
+    Keys whose merged count reaches exactly zero vanish (fully
+    retracted). A NEGATIVE merged count is kept as residue: in an
+    out-of-order changelog a retraction can arrive before (or without)
+    its matching insert, and dropping it would make the late insert
+    double-count — the residue survives to cancel it. Readers deriving
+    values from state should treat ``mv_count <= 0`` keys as
+    not-yet-consistent, not as members.
+
     One shuffle over the unioned states — O(|MV| + |delta|); with the
     stored MV bucketed by ``keys`` the exchange on the MV side is free.
     """
@@ -67,7 +74,15 @@ def merge_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
         merged = merged.unionByName(s)
     value_cols = [c for c in merged.columns if c not in keys]
     aggs = [F.sum(c).alias(c) for c in value_cols]
-    return merged.groupBy(*keys).agg(*aggs).filter(F.col(COUNT_COL) > 0)
+    return merged.groupBy(*keys).agg(*aggs).filter(F.col(COUNT_COL) != 0)
+
+
+def read_mv(spark, mv_path: str) -> DataFrame:
+    """Current MV state: the latest committed version of the versioned
+    table ``refresh_mv_parquet`` maintains at ``mv_path``."""
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    return vt.read_version(spark, mv_path)
 
 
 def refresh_mv_parquet(
@@ -77,21 +92,29 @@ def refresh_mv_parquet(
     keys: list[str],
     measures: Mapping[str, Column],
     sign_col: str = "mv_sign",
+    retain_versions: int = 3,
 ) -> None:
     """Merge one signed changelog batch into the MV stored at ``mv_path``.
 
     The foreachBatch body for Structured-Streaming MV maintenance: the
-    batch becomes signed state, merges with the stored state (one
-    delta-sized shuffle), and the small result is materialized via
-    ``localCheckpoint`` BEFORE the overwrite — the read-modify-overwrite
-    of the same path is safe only because lineage is cut first (the
-    admit_docs pattern). The stored MV is touched-keys-sized, never
-    base-table-sized, so the checkpoint is cheap by construction.
+    batch becomes signed state and merges with the stored state in one
+    delta-sized shuffle. The MV is a ``sources/versioned.py`` table, so
+    each refresh is an atomic OVERWRITE commit to a fresh immutable
+    directory: a crash mid-refresh leaves the previous state committed
+    and readable (an in-place ``mode('overwrite')`` on a plain path
+    deletes the old data before writing the new — a crash there loses
+    the whole MV), and because the merged state is written to a NEW
+    directory there is no read-modify-overwrite-same-path lineage
+    hazard to checkpoint around. ``retain_versions`` superseded states
+    are kept for time travel / crash audit; older ones are vacuumed
+    inline (O(retired dirs), and the MV is touched-keys-sized by
+    construction). Read the current state with :func:`read_mv`.
     """
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
     states = [additive_state(delta, keys, measures, sign=F.col(sign_col))]
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(mv_path)
-    fs = jvm_path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    if fs.exists(jvm_path):
-        states.append(spark.read.parquet(mv_path))
-    merged = merge_states(states, keys).localCheckpoint(eager=True)
-    merged.write.mode("overwrite").parquet(mv_path)
+    if vt.history(mv_path):
+        states.append(read_mv(spark, mv_path))
+    merged = merge_states(states, keys)
+    vt.overwrite(mv_path, merged, num_files=1)
+    vt.vacuum(mv_path, keep_versions=retain_versions)

@@ -58,21 +58,36 @@ def _record_is_stale(text: str) -> bool:
     return False
 
 
-def _lock_is_stale(lock: Path) -> bool:
+def _read_lock_record(lock: Path):
+    """(text, identity) read through ONE fd, so the record and the
+    identity describe the same file — a stat after a separate read could
+    describe a lockfile re-created in between. Identity is
+    (st_dev, st_ino, text): inode alone is NOT sufficient (filesystems
+    recycle a just-unlinked inode for the very next create) and content
+    alone could false-match a recycled pid — requiring both makes a
+    false match need an inode recycle AND an identical record."""
+    fd = os.open(lock, os.O_RDONLY)
     try:
-        return _record_is_stale(lock.read_text())
-    except OSError:
-        return False
+        st = os.fstat(fd)
+        text = os.read(fd, 4096).decode(errors="replace")
+    finally:
+        os.close(fd)
+    return text, (st.st_dev, st.st_ino, text)
 
 
-def _break_stale(lock: Path, stale_text: str) -> bool:
+def _break_stale(lock: Path, stale_ident: tuple) -> bool:
     """Claim the exclusive right to break a stale lock without the
     check-then-unlink TOCTOU: rename the lockfile to a unique tombstone
     (only one contender's rename of a given inode succeeds), then verify
-    the tombstone still holds the record we judged stale. If a new live
-    writer re-created the lockfile between our staleness check and the
-    rename, we yanked THEIR lock — restore it with O_EXCL (never
-    clobbering a third contender) and report failure."""
+    by (dev, inode, content) identity that the tombstone is the exact
+    file we judged stale. If a live writer re-created the lockfile
+    between the staleness read and the rename, we yanked THEIR lock —
+    restore it with O_EXCL (never clobbering a third contender). If that
+    restore loses to a third contender, the yanked writer's record is
+    preserved in a ``.yanked-`` tombstone (auditable, never silently
+    dropped) and we report failure; the yanked writer's own release is
+    identity-guarded, so it cannot take the third contender's lock down
+    with it."""
     tomb = lock.with_name(
         f"{lock.name}.stale-{os.getpid()}-{os.urandom(4).hex()}"
     )
@@ -80,20 +95,23 @@ def _break_stale(lock: Path, stale_text: str) -> bool:
         os.rename(lock, tomb)
     except FileNotFoundError:
         return True  # another contender broke it first; retry the acquire
+    st = os.stat(tomb)
     try:
         captured = tomb.read_text()
     except OSError:
         captured = ""
-    if captured == stale_text:
+    if (st.st_dev, st.st_ino, captured) == stale_ident:
         tomb.unlink(missing_ok=True)
         return True
     try:
         fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         os.write(fd, captured.encode())
         os.close(fd)
+        tomb.unlink(missing_ok=True)
     except FileExistsError:
-        pass  # a third contender already holds a fresh lock
-    tomb.unlink(missing_ok=True)
+        # a third contender already holds a fresh lock; keep the yanked
+        # record on disk as evidence instead of silently discarding it
+        os.replace(tomb, lock.with_name(f"{lock.name}.yanked-{os.urandom(4).hex()}"))
     return False
 
 
@@ -110,14 +128,14 @@ def writer_lock(index_dir: str | Path):
             break
         except FileExistsError:
             try:
-                txt = lock.read_text()
+                txt, ident = _read_lock_record(lock)
             except OSError:
                 txt = None
             if (
                 attempt == 0
                 and txt is not None
                 and _record_is_stale(txt)
-                and _break_stale(lock, txt)  # crashed same-host writer
+                and _break_stale(lock, ident)  # crashed same-host writer
             ):
                 continue
             raise ConcurrentWriterError(
@@ -127,8 +145,20 @@ def writer_lock(index_dir: str | Path):
                 "on another host"
             ) from None
     try:
-        os.write(fd, f"pid={os.getpid()}\nhost={socket.gethostname()}\n".encode())
+        record = f"pid={os.getpid()}\nhost={socket.gethostname()}\n"
+        os.write(fd, record.encode())
+        my_st = os.fstat(fd)
         os.close(fd)
+        my_ident = (my_st.st_dev, my_st.st_ino, record)
         yield
     finally:
-        lock.unlink(missing_ok=True)
+        # identity-guarded release: if this writer's lock was wrongly
+        # judged stale and yanked (and a contender since took a fresh
+        # lock), unlinking by name would destroy the CONTENDER's lock —
+        # only remove the exact file we created
+        try:
+            _txt, ident = _read_lock_record(lock)
+            if ident == my_ident:
+                lock.unlink(missing_ok=True)
+        except OSError:
+            pass

@@ -390,8 +390,10 @@ def streaming_mv_refresh(spark, sf):
                 "streaming_mv_refresh: availableNow stream did not finish "
                 "within 300s — refusing to read a partially-refreshed MV"
             )
+        from dataset_dedupe_estimator_spark.operators.matview import read_mv
+
         return (
-            spark.read.parquet(mv_path)
+            read_mv(spark, mv_path)
             .select(
                 "bucket",
                 F.col("mv_count").alias("n_orders"),
@@ -415,8 +417,78 @@ ORDER BY bucket
 """
 
 
+# --- zone-map pruned snapshot read ------------------------------------------
+
+_ZM_BAND_LO = 1200  # o_orderkey band probed through the zone-map read
+_ZM_BAND_HI = 3000
+
+
+def table_zonemap_read(spark, sf):
+    """Data-skipping snapshot read through a versioned table's zone maps
+    (``sources/versioned.py::read_where``).
+
+    Builds a versioned table from orders — two append commits written
+    range-partitioned on ``o_orderkey`` with ``stats_columns`` recording
+    per-file min/max in the commit log — then reads an orderkey band
+    back through ``read_where``: files whose recorded range provably
+    misses the band never enter the scan (the Delta data-skipping
+    shape; tools/stress_zonemap.py measures a 96.9% file skip at 20M
+    rows). The oracle filters orders directly, so a read that pruned a
+    file it needed — or leaked rows from one it should have skipped —
+    hash-mismatches. Eager by construction (commits run at build);
+    result localCheckpointed before the temp table vanishes.
+    """
+    import shutil
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", cents("o_totalprice").alias("price_cents")
+    )
+    root = tempfile.mkdtemp(prefix="dde_zm_")
+    try:
+        half = orders.filter(F.col("o_orderkey") % 2 == 0)
+        rest = orders.filter(F.col("o_orderkey") % 2 == 1)
+        vt.append(
+            root,
+            half.repartitionByRange(4, "o_orderkey"),
+            stats_columns=["o_orderkey"],
+        )
+        vt.append(root, rest.repartitionByRange(4, "o_orderkey"))
+        got = vt.read_where(
+            spark, root, [("o_orderkey", "between", (_ZM_BAND_LO, _ZM_BAND_HI))]
+        )
+        out = (
+            got.groupBy((F.col("o_custkey") % 10).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+                F.sum("price_cents").alias("total_cents"),
+            )
+            .orderBy("bucket")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+TABLE_ZONEMAP_READ_SQL = f"""
+SELECT o_custkey % 10 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS total_cents
+FROM orders
+WHERE o_orderkey BETWEEN {_ZM_BAND_LO} AND {_ZM_BAND_HI}
+GROUP BY 1 ORDER BY bucket
+"""
+
+
 QUERIES = {
     "mv_incremental_orders": Q(mv_incremental_orders, MV_INCREMENTAL_ORDERS_SQL),
+    "table_zonemap_read": Q(table_zonemap_read, TABLE_ZONEMAP_READ_SQL),
     "mv_from_version_diff": Q(mv_from_version_diff, MV_FROM_VERSION_DIFF_SQL),
     "streaming_mv_refresh": Q(streaming_mv_refresh, STREAMING_MV_REFRESH_SQL),
     "table_time_travel": Q(table_time_travel, TABLE_TIME_TRAVEL_SQL),

@@ -272,59 +272,117 @@ def test_single_writer_lock_refuses_concurrent_mutation(spark, tmp_path, snapsho
 
 
 def test_lock_staleness_parser():
-    """_lock_is_stale: only a same-host dead-pid lock is breakable;
+    """_record_is_stale: only a same-host dead-pid lock is breakable;
     malformed, remote, or live locks always refuse."""
     import os
     import socket
 
-    from dataset_dedupe_estimator_spark.plans._index_lock import _lock_is_stale
+    from dataset_dedupe_estimator_spark.plans._index_lock import _record_is_stale
 
-    def lock_file(tmp, text):
-        p = tmp / "_writer.lock"
-        p.write_text(text)
-        return p
-
-    import tempfile
-    from pathlib import Path
-
-    with tempfile.TemporaryDirectory() as d:
-        tmp = Path(d)
-        host = socket.gethostname()
-        assert _lock_is_stale(lock_file(tmp, f"pid=999999999\nhost={host}\n"))
-        assert not _lock_is_stale(lock_file(tmp, f"pid={os.getpid()}\nhost={host}\n"))
-        assert not _lock_is_stale(lock_file(tmp, f"pid=999999999\nhost=elsewhere\n"))
-        assert not _lock_is_stale(lock_file(tmp, "garbage"))
-        assert not _lock_is_stale(lock_file(tmp, f"host={host}\n"))  # no pid
-        assert not _lock_is_stale(lock_file(tmp, f"pid=notanint\nhost={host}\n"))
-        missing = tmp / "gone.lock"
-        assert not _lock_is_stale(missing)
+    host = socket.gethostname()
+    assert _record_is_stale(f"pid=999999999\nhost={host}\n")
+    assert not _record_is_stale(f"pid={os.getpid()}\nhost={host}\n")
+    assert not _record_is_stale(f"pid=999999999\nhost=elsewhere\n")
+    assert not _record_is_stale("garbage")
+    assert not _record_is_stale(f"host={host}\n")  # no pid
+    assert not _record_is_stale(f"pid=notanint\nhost={host}\n")
 
 
 def test_break_stale_restores_a_yanked_live_lock(tmp_path):
-    """TOCTOU guard (ADVICE r4): if a new live writer re-created the
+    """TOCTOU guard (ADVICE r4+r5): if a new live writer re-created the
     lockfile between a contender's staleness check and its rename, the
-    contender must detect the content change, put the live lock back,
-    and report failure — never leaving two writers both acquired."""
+    contender must detect the INODE change (content could false-match a
+    recycled pid), put the live lock back, and report failure — never
+    leaving two writers both acquired."""
     import os
     import socket
 
-    from dataset_dedupe_estimator_spark.plans._index_lock import _break_stale
+    from dataset_dedupe_estimator_spark.plans._index_lock import (
+        _break_stale,
+        _read_lock_record,
+    )
 
     lock = tmp_path / "_writer.lock"
     stale_text = f"pid=999999999\nhost={socket.gethostname()}\n"
     live_text = f"pid={os.getpid()}\nhost={socket.gethostname()}\n"
 
-    # normal break: content still matches the stale record
+    # normal break: the inode is still the one we judged stale
     lock.write_text(stale_text)
-    assert _break_stale(lock, stale_text)
+    _txt, ino = _read_lock_record(lock)
+    assert _break_stale(lock, ino)
     assert not lock.exists()
     assert not list(tmp_path.glob("_writer.lock.stale-*"))
 
-    # raced break: a live writer replaced the file after the check
-    lock.write_text(live_text)
-    assert not _break_stale(lock, stale_text)
+    # raced break: a live writer re-created the file (new inode) after
+    # the staleness read
+    lock.write_text(stale_text)
+    _txt, stale_ino = _read_lock_record(lock)
+    lock.unlink()
+    lock.write_text(live_text)  # fresh inode
+    assert not _break_stale(lock, stale_ino)
     assert lock.read_text() == live_text  # restored, not stolen
     assert not list(tmp_path.glob("_writer.lock.stale-*"))
 
     # lock vanished before the rename: another contender broke it first
-    assert _break_stale(lock.with_name("gone.lock"), stale_text)
+    assert _break_stale(lock.with_name("gone.lock"), stale_ino)
+
+
+def test_break_stale_restore_loses_keeps_yanked_evidence(tmp_path, monkeypatch):
+    """Third-contender race (ADVICE r5): if the O_EXCL restore of a
+    wrongly-yanked live lock loses to a fresh lock, the yanked record
+    must survive as a .yanked- tombstone (auditable), the fresh lock
+    must be untouched, and the break must report failure."""
+    import os
+    import socket
+
+    import dataset_dedupe_estimator_spark.plans._index_lock as il
+
+    lock = tmp_path / "_writer.lock"
+    live_text = f"pid={os.getpid()}\nhost={socket.gethostname()}\n"
+    third_text = f"pid=12345\nhost={socket.gethostname()}\n"
+
+    lock.write_text("pid=999999999\nhost=x\n")
+    _txt, stale_ino = il._read_lock_record(lock)
+    lock.unlink()
+    lock.write_text(live_text)  # the live writer we are about to yank
+
+    real_open = os.open
+
+    def racing_open(path, flags, *a, **kw):
+        # a third contender O_EXCL-creates the lock between our rename
+        # and our restore attempt
+        if str(path) == str(lock) and flags & os.O_EXCL and flags & os.O_WRONLY:
+            lock.write_text(third_text)
+        return real_open(path, flags, *a, **kw)
+
+    monkeypatch.setattr(il.os, "open", racing_open)
+    assert not il._break_stale(lock, stale_ino)
+    assert lock.read_text() == third_text  # third contender keeps the lock
+    yanked = list(tmp_path.glob("_writer.lock.yanked-*"))
+    assert len(yanked) == 1 and yanked[0].read_text() == live_text
+
+
+def test_release_is_inode_guarded(tmp_path):
+    """A writer whose lock was yanked and replaced must NOT unlink the
+    replacement at release — only the exact file it created."""
+    import os
+    import socket
+
+    from dataset_dedupe_estimator_spark.plans._index_lock import (
+        LOCK_NAME,
+        writer_lock,
+    )
+
+    lock = tmp_path / LOCK_NAME
+    other = f"pid=424242\nhost={socket.gethostname()}\n"
+    with writer_lock(tmp_path):
+        assert lock.exists()
+        # simulate the yank-and-replace: same path, fresh inode
+        lock.unlink()
+        lock.write_text(other)
+    assert lock.exists() and lock.read_text() == other  # left alone
+    lock.unlink()
+    # normal path still cleans up
+    with writer_lock(tmp_path):
+        assert lock.exists()
+    assert not lock.exists()

@@ -336,10 +336,17 @@ def test_cli_gram_index_lifecycle(capsys, spark, tmp_path):
     out = capsys.readouterr().out
     assert "1 duplicate spans (6 tokens) across 1 docs" in out
     got = spark.read.parquet(spans_out).collect()
-    assert [(r.id, r.span_start, r.span_end) for r in got] == [(2, 2, 8)]
+    # generation column matches the streaming sink schema (ADVICE r5)
+    assert [(r.id, r.span_start, r.span_end, r.generation) for r in got] == [
+        (2, 2, 8, 1)
+    ]
 
-    assert main(["gram-index", "query", idx, d1]) == 0
+    assert main(["gram-index", "query", idx, d1, "--spans-out", spans_out]) == 0
     assert "(read-only)" in capsys.readouterr().out
+    # the query append lands in the SAME sink with a uniform schema
+    regot = spark.read.parquet(spans_out)
+    assert set(regot.columns) == {"id", "span_start", "span_end", "generation"}
+    assert regot.count() == 2
 
     assert main(["gram-index", "compact", idx]) == 0
     assert "compacted" in capsys.readouterr().out

@@ -15,6 +15,7 @@ from dataset_dedupe_estimator_spark.operators.matview import (
     COUNT_COL,
     additive_state,
     merge_states,
+    read_mv,
     refresh_mv_parquet,
 )
 
@@ -111,14 +112,14 @@ def test_streaming_refresh_equals_batch(spark, tmp_path):
     wave2 = [(2, 7, 1), (1, 20, -1), (3, 4, 1)]
     write_wave("w1", wave1)
     run_stream()
-    mid = _asdict(spark.read.parquet(mv_path))
+    mid = _asdict(read_mv(spark, mv_path))
     assert mid == {1: (2, 30), 2: (1, 5)}
 
     # Second wave: the SAME checkpoint means only new files are read —
     # the refresh merges into stored state, never recomputes wave 1.
     write_wave("w2", wave2)
     run_stream()
-    got = _asdict(spark.read.parquet(mv_path))
+    got = _asdict(read_mv(spark, mv_path))
 
     scratch = (
         spark.createDataFrame(wave1 + wave2, schema)
@@ -131,3 +132,41 @@ def test_streaming_refresh_equals_batch(spark, tmp_path):
     )
     assert got == _asdict(scratch)
     assert got == {1: (1, 10), 2: (2, 12), 3: (1, 4)}
+
+
+def test_retraction_before_insert_residue_cancels(spark):
+    """Out-of-order changelog: a retraction arriving first leaves
+    negative residue that the late insert cancels — the final state
+    equals in-order application (ADVICE r5: dropping count<0 state made
+    the late insert double-count)."""
+    ret = additive_state(_mk(spark, [(5, 9)]), ["k"], _m(), sign=-1)
+    mid = merge_states([ret], ["k"])
+    assert _asdict(mid) == {5: (-1, -9)}  # residue survives
+    ins = additive_state(_mk(spark, [(5, 9), (5, 9)]), ["k"], _m())
+    final = merge_states([mid, ins], ["k"])
+    assert _asdict(final) == {5: (1, 9)}
+
+
+def test_refresh_survives_history_and_vacuums(spark, tmp_path):
+    """Each refresh is an atomic versioned commit: the previous state
+    stays readable (time travel) and old versions are vacuumed past the
+    retention floor — a crash mid-refresh can never lose the MV."""
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    mv_path = str(tmp_path / "mv")
+    for i in range(5):
+        delta = spark.createDataFrame(
+            [(1, 10 * (i + 1), 1)], "k: long, v: long, mv_sign: int"
+        )
+        refresh_mv_parquet(spark, mv_path, delta, ["k"], _m(), retain_versions=2)
+    hist = vt.history(mv_path)
+    assert len(hist) == 5  # full audit log retained
+    assert _asdict(read_mv(spark, mv_path)) == {1: (5, 150)}
+    # previous retained version still time-travels
+    prev = vt.read_version(spark, mv_path, hist[-2]["version"])
+    assert {r.k: (r[COUNT_COL], r.s) for r in prev.collect()} == {1: (4, 100)}
+    # versions past the retention floor are vacuumed (directories gone)
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        vt.read_version(spark, mv_path, 0).collect()

@@ -29,6 +29,7 @@ EAGER = {
     "bpe_token_stats",  # trains then encodes at construction
     "image_near_dup_demo",  # generates + decodes media at construction
     "table_time_travel",  # commits a real versioned table at construction
+    "table_zonemap_read",  # commits + zone-map-prunes a versioned table at construction
     "mv_from_version_diff",  # commits + diffs a versioned table at construction
     "streaming_mv_refresh",  # runs a real file stream at construction
 }
