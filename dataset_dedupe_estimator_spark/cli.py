@@ -950,6 +950,69 @@ def cmd_media(args) -> int:
     return 0
 
 
+def cmd_text_index(args) -> int:
+    """`de text-index build|admit|search|stats|compact IDX ...`:
+    persistent inverted BM25 index (plans/text_index.py) — keyword
+    search at rest, no corpus scan per query; admission is O(batch) on
+    the shared gen+manifest commit protocol."""
+    from dataset_dedupe_estimator_spark.plans.text_index import (
+        admit_docs,
+        build_text_index,
+        compact_text_index,
+        index_stats,
+        search,
+    )
+
+    if args.action in ("build", "admit") and not args.docs:
+        print(f"text-index {args.action}: missing docs path", file=sys.stderr)
+        return 2
+    if args.action == "search" and not args.terms:
+        print("text-index search: need --terms", file=sys.stderr)
+        return 2
+    spark = _spark(args)
+
+    def _docs(path):
+        return spark.read.parquet(path).select("doc_id", "text")
+
+    if args.action == "build":
+        st = build_text_index(
+            spark, _docs(args.docs), args.index_dir, n_buckets=args.buckets
+        )
+        print(f"gen 0: {st['docs']} docs indexed")
+        return 0
+    if args.action == "admit":
+        st = admit_docs(spark, _docs(args.docs), args.index_dir)
+        if st["generation"] is None:
+            print(f"nothing novel; index holds {st['n_docs']} docs")
+        else:
+            print(
+                f"gen {st['generation']}: {st['docs']} docs admitted "
+                f"({st['n_docs']} total)"
+            )
+        return 0
+    if args.action == "search":
+        hits = search(
+            spark, args.index_dir, args.terms.split(","), top=args.topk
+        ).collect()
+        for h in hits:
+            print(f"doc_id={h.doc_id} n_terms={h.n_terms} score={h.score:.4f}")
+        return 0
+    if args.action == "compact":
+        st = compact_text_index(spark, args.index_dir)
+        print(
+            f"compacted {st['merged_generations']} generations → "
+            f"gen {st['generation']} ({st['docs']} docs)"
+        )
+        return 0
+    st = index_stats(args.index_dir)
+    print(
+        f"docs={st['n_docs']} tokens={st['sum_dl']} "
+        f"generations={st['generations']} (floor {st['compacted_below']}) "
+        f"buckets={st['n_buckets']}"
+    )
+    return 0
+
+
 def cmd_search(args) -> int:
     """`de search DOCS.parquet TERM [TERM...] [--top K]`: BM25 keyword
     search over a documents parquet (queries/text_analysis.py
@@ -1290,6 +1353,15 @@ def build_parser() -> argparse.ArgumentParser:
     px.add_argument("--topk", type=int, default=10)
     px.add_argument("--nprobe", type=int, default=2)
     px.set_defaults(fn=cmd_pq_index)
+
+    tx = sub.add_parser("text-index", help="persistent inverted BM25 index")
+    tx.add_argument("action", choices=["build", "admit", "search", "stats", "compact"])
+    tx.add_argument("index_dir")
+    tx.add_argument("docs", nargs="?", help="parquet of (doc_id, text)")
+    tx.add_argument("--buckets", type=int, default=32, help="term hash buckets")
+    tx.add_argument("--terms", help="comma-separated query terms")
+    tx.add_argument("--topk", type=int, default=20)
+    tx.set_defaults(fn=cmd_text_index)
 
     bp = sub.add_parser("bpe", help="train a BPE tokenizer on the documents table")
     bp.add_argument("dir")

@@ -1,0 +1,359 @@
+"""Persistent inverted text index: BM25 keyword search without a scan.
+
+``queries/text_analysis.bm25_frame`` dissolves BM25 into expressions —
+the right shape when the query terms are known at plan time and the
+corpus is scanned anyway. A search SERVICE has the opposite access
+pattern: the corpus is at rest, queries arrive continuously, and
+re-scanning 100 TB of text per query is off the table. The classic
+answer is the inverted index, and it maps onto the exact storage
+protocol this repo's other persistent indexes use (chunk, LSH, PQ,
+gram — plans/chunk_index.py et al.): log-structured generations over
+immutable parquet, an atomically-replaced JSON manifest as the only
+commit point, a single-writer lock, O(batch) admission, compaction
+that advances a floor.
+
+Layout (``<dir>/``):
+
+* ``gen-<n>/postings/`` — (term, doc_id, tf) parquet PARTITIONED BY
+  ``bucket`` = md5(term) % n_buckets: a query with Q terms reads at
+  most Q bucket directories per generation (Spark partition pruning),
+  never the whole postings set.
+* ``gen-<n>/doclens/`` — (doc_id, dl): the per-document token length
+  BM25's length normalization needs, a 2-column narrow table.
+* ``_text_meta.json`` — n_buckets + tokenizer fingerprint (postings
+  from a different tokenizer are incomparable; a mismatched engine
+  refuses), generation counter, compaction floor, and the GLOBAL
+  corpus statistics (n_docs, sum_dl) maintained incrementally — so
+  query-time scoring needs no corpus-wide aggregate at all.
+
+Search reads only: the manifest (N, avgdl), the query terms' bucket
+partitions (df + tf per candidate), and the doclens of candidate docs
+(an AQE-broadcastable join at steady state). Scoring mirrors
+``bm25_frame`` term by term — same expression shapes, fixed-order
+fold — so the ``bm25_index_search`` gate entry shares ``bm25_search``'s
+DuckDB oracle verbatim: two completely different physical paths, one
+bit-identical answer.
+
+Scale shape (100 TB): postings are ~30 bytes/(doc, term); admission
+shuffles only the new batch's postings; df counts ride the pruned
+bucket scans; nothing corpus-sized moves at query time. At deployment
+scale the doclens store is bucketed by doc_id so the candidate join is
+exchange-free on the index side.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataset_dedupe_estimator_spark.plans._index_lock import writer_lock
+
+_META = "_text_meta.json"
+DEFAULT_BUCKETS = 32
+_TOKENIZER = "whitespace-v1"  # split(text, ' '), the corpus-wide convention
+
+
+def _gen_no(p: Path) -> int:
+    return int(p.name.removeprefix("gen-"))
+
+
+def _gen_dirs(index_dir: str | Path, floor: int = 0) -> list[Path]:
+    gens = sorted(
+        (p for p in Path(index_dir).glob("gen-*") if p.is_dir()), key=_gen_no
+    )
+    return [p for p in gens if _gen_no(p) >= floor]
+
+
+def _load_meta(index_dir: str | Path) -> dict:
+    with open(Path(index_dir) / _META) as f:
+        return json.load(f)
+
+
+def _write_meta(index_dir: Path, meta: dict) -> None:
+    """Atomic replace: a crash mid-write never corrupts the manifest."""
+    tmp = index_dir / (_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, index_dir / _META)
+
+
+def _check_meta(index_dir: str | Path) -> dict:
+    meta = _load_meta(index_dir)
+    if meta.get("tokenizer") != _TOKENIZER:
+        raise ValueError(
+            f"text index at {index_dir} was built with tokenizer "
+            f"{meta.get('tokenizer')!r}; this engine uses {_TOKENIZER!r} — "
+            "postings are incomparable, rebuild the index"
+        )
+    return meta
+
+
+def _bucket_py(term: str, n_buckets: int) -> int:
+    """Driver-side twin of the Spark bucket expression — MUST agree with
+    ``_postings_of`` or query-time pruning would read the wrong
+    directories (md5-hex-prefix arithmetic is the repo's one
+    cross-engine hash discipline)."""
+    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+def _postings_of(docs: DataFrame, n_buckets: int) -> DataFrame:
+    """(bucket, term, doc_id, tf): exact whitespace-token frequencies.
+    One explode + one (doc_id, term) aggregate — the only corpus-sized
+    shuffle in an index build, carrying ~30-byte rows."""
+    toks = F.split(F.col("text"), " ")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    ).cast("int")
+    return (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(bucket.alias("bucket"), "term", "doc_id", "tf")
+    )
+
+
+def _doclens_of(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("dl")
+    )
+
+
+def _write_generation(gen_dir: Path, postings: DataFrame, doclens: DataFrame):
+    postings.write.partitionBy("bucket").mode("errorifexists").parquet(
+        str(gen_dir / "postings")
+    )
+    doclens.write.mode("errorifexists").parquet(str(gen_dir / "doclens"))
+
+
+def _doclens_df(spark: SparkSession, index_dir: str | Path, floor: int) -> DataFrame:
+    gens = _gen_dirs(index_dir, floor)
+    if not gens:
+        raise FileNotFoundError(f"no index generations under {index_dir}")
+    return spark.read.parquet(*[str(g / "doclens") for g in gens])
+
+
+def _postings_df(spark: SparkSession, index_dir: str | Path, floor: int) -> DataFrame:
+    """Union of per-generation postings scans (each generation is its own
+    bucket-partitioned root; Spark refuses a multi-path read of several
+    partitioned roots, and per-root scans keep partition pruning)."""
+    import functools
+
+    gens = _gen_dirs(index_dir, floor)
+    if not gens:
+        raise FileNotFoundError(f"no index generations under {index_dir}")
+    reads = [spark.read.parquet(str(g / "postings")) for g in gens]
+    return functools.reduce(DataFrame.unionByName, reads)
+
+
+def build_text_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str | Path,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> dict:
+    """Create generation 0 from a (doc_id, text) corpus. Fails if the
+    dir already holds an index (use admit_docs to grow one)."""
+    index_dir = Path(index_dir)
+    if (index_dir / _META).exists():
+        raise FileExistsError(f"{index_dir} already holds a text index")
+    index_dir.mkdir(parents=True, exist_ok=True)
+    with writer_lock(index_dir):
+        if (index_dir / _META).exists():  # re-check under the lock
+            raise FileExistsError(f"{index_dir} already holds a text index")
+        gen0 = index_dir / "gen-00000"
+        if gen0.exists():
+            # crashed prior build: parquet written, manifest never
+            # committed — the orphan was never part of any index
+            shutil.rmtree(gen0)
+        _write_generation(gen0, _postings_of(docs, n_buckets), _doclens_of(docs))
+        stats = (
+            spark.read.parquet(str(gen0 / "doclens"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+            .collect()[0]
+        )
+        meta = {
+            "tokenizer": _TOKENIZER,
+            "n_buckets": n_buckets,
+            "generations": 1,
+            "compacted_below": 0,
+            "n_docs": stats["n"],
+            "sum_dl": int(stats["s"] or 0),
+            "admissions": [{"gen": 0, "docs": stats["n"]}],
+        }
+        _write_meta(index_dir, meta)
+    return {"generation": 0, "docs": stats["n"]}
+
+
+def admit_docs(
+    spark: SparkSession, docs: DataFrame, index_dir: str | Path
+) -> dict:
+    """Admit a (doc_id, text) batch as a new generation. Already-indexed
+    doc_ids are skipped (idempotent re-admission; the anti-join reads
+    only the narrow committed doclens, never the postings). O(batch):
+    the only aggregates run over the admitted generation; corpus totals
+    are carried in the manifest."""
+    index_dir = Path(index_dir)
+    with writer_lock(index_dir):
+        meta = _check_meta(index_dir)
+        gen = meta["generations"]
+        # clear crashed uncommitted generations (>= counter) — readers
+        # never list them (they go by the manifest), writers must not
+        # collide with their dirs
+        for p in _gen_dirs(index_dir):
+            if _gen_no(p) >= gen:
+                shutil.rmtree(p)
+        known = _doclens_df(spark, index_dir, meta["compacted_below"]).select(
+            "doc_id"
+        )
+        fresh = docs.select("doc_id", "text").join(known, "doc_id", "left_anti")
+        gen_dir = index_dir / f"gen-{gen:05d}"
+        _write_generation(
+            gen_dir, _postings_of(fresh, meta["n_buckets"]), _doclens_of(fresh)
+        )
+        stats = (
+            spark.read.parquet(str(gen_dir / "doclens"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+            .collect()[0]
+        )
+        if not stats["n"]:
+            shutil.rmtree(gen_dir)  # nothing novel: no new generation
+            return {"generation": None, "docs": 0, "n_docs": meta["n_docs"]}
+        meta["generations"] = gen + 1
+        meta["n_docs"] += stats["n"]
+        meta["sum_dl"] += int(stats["s"])
+        meta["admissions"].append({"gen": gen, "docs": stats["n"]})
+        _write_meta(index_dir, meta)  # commit point
+    return {"generation": gen, "docs": stats["n"], "n_docs": meta["n_docs"]}
+
+
+def search(
+    spark: SparkSession,
+    index_dir: str | Path,
+    terms: tuple[str, ...] | list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top: int = 20,
+) -> DataFrame:
+    """BM25 top-k for ``terms`` from the index alone — no corpus scan.
+
+    Reads: the manifest (N, avgdl — maintained incrementally, so no
+    corpus aggregate), then ONE pass over the query terms' bucket
+    partitions for both per-term document frequencies and the candidate
+    (doc_id, term, tf) rows, then the candidates' doclens. Scoring
+    mirrors ``bm25_frame`` expression-for-expression with the corpus
+    stats inlined as literals and a fixed term-order fold, so the
+    result is bit-identical to the scan-based path (the
+    ``bm25_index_search`` gate entry shares ``bm25_search``'s oracle).
+    Returns (doc_id, n_terms, score), ties broken by doc_id.
+    """
+    terms = list(terms)
+    meta = _check_meta(index_dir)
+    n_docs, avgdl = meta["n_docs"], meta["sum_dl"] / meta["n_docs"]
+    buckets = sorted({_bucket_py(t, meta["n_buckets"]) for t in terms})
+    floor = meta["compacted_below"]
+    hits = (
+        _postings_df(spark, index_dir, floor)
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+        .select("term", "doc_id", "tf")
+    )
+    # localCheckpoint: dfs and candidates come from ONE materialization of
+    # the pruned scan (and a concurrent admission committing between two
+    # separate reads could otherwise skew df vs tf)
+    hits = hits.localCheckpoint(eager=True)
+    dfs = {r["term"]: r["n"] for r in hits.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    cand = hits.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("tf")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    dl = _doclens_df(spark, index_dir, floor)
+    scored = cand.join(dl, "doc_id")
+
+    def comp(i):
+        tf = F.col(f"tf{i}")
+        df_i = dfs.get(terms[i], 0)
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(n_docs) - F.lit(df_i) + F.lit(0.5)) / (F.lit(df_i) + F.lit(0.5))
+        )
+        raw = (
+            idf
+            * (tf * F.lit(k1 + 1.0))
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)))
+        )
+        return F.when(tf > 0, raw).otherwise(F.lit(0.0))
+
+    score = comp(0)
+    for i in range(1, len(terms)):
+        score = score + comp(i)
+    n_terms = F.col("tf0") > 0
+    n_terms = n_terms.cast("long")
+    for i in range(1, len(terms)):
+        n_terms = n_terms + (F.col(f"tf{i}") > 0).cast("long")
+    return (
+        scored.select(
+            "doc_id",
+            n_terms.alias("n_terms"),
+            F.round(score, 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(top)
+    )
+
+
+def compact_text_index(spark: SparkSession, index_dir: str | Path) -> dict:
+    """Merge every live generation into ONE (fewer files per bucket,
+    one doclens dataset), commit by advancing ``compacted_below``, then
+    remove the superseded dirs. Totals are unchanged — compaction moves
+    rows, never changes membership."""
+    index_dir = Path(index_dir)
+    with writer_lock(index_dir):
+        meta = _check_meta(index_dir)
+        gen, floor = meta["generations"], meta["compacted_below"]
+        live = _gen_dirs(index_dir, floor)
+        merged_p = _postings_df(spark, index_dir, floor)
+        merged_d = _doclens_df(spark, index_dir, floor)
+        out = index_dir / f"gen-{gen:05d}"
+        if out.exists():
+            shutil.rmtree(out)  # crashed prior compact, never committed
+        _write_generation(
+            out,
+            merged_p.repartition(1, "bucket").select("bucket", "term", "doc_id", "tf"),
+            merged_d.coalesce(1),
+        )
+        n_rows = spark.read.parquet(str(out / "doclens")).count()
+        if n_rows != meta["n_docs"]:
+            shutil.rmtree(out)
+            raise RuntimeError(
+                f"compaction row-count mismatch: merged {n_rows} docs, "
+                f"manifest says {meta['n_docs']} — refusing to commit"
+            )
+        meta["generations"] = gen + 1
+        meta["compacted_below"] = gen
+        _write_meta(index_dir, meta)  # commit point
+        for p in live:
+            shutil.rmtree(p)
+    return {"generation": gen, "merged_generations": len(live), "docs": n_rows}
+
+
+def index_stats(index_dir: str | Path) -> dict:
+    """One-row summary from the manifest alone (no data read)."""
+    meta = _check_meta(index_dir)
+    return {
+        "n_docs": meta["n_docs"],
+        "sum_dl": meta["sum_dl"],
+        "generations": meta["generations"],
+        "compacted_below": meta["compacted_below"],
+        "n_buckets": meta["n_buckets"],
+    }

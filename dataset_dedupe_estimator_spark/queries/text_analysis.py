@@ -969,8 +969,46 @@ LIMIT {BM25_TOP}
 """
 
 
+def bm25_index_search(spark, sf):
+    """BM25 top-k served from the PERSISTENT inverted index
+    (plans/text_index.py) — the query-at-rest twin of ``bm25_search``.
+
+    Exercises the full index lifecycle end-to-end: builds generation 0
+    over the even-doc_id half of the corpus, ADMITS the odd half as a
+    second generation (O(batch), manifest-committed), then searches the
+    benchmark terms reading only the manifest, the query terms' bucket
+    partitions, and candidate doclens — no corpus scan. Shares
+    ``bm25_search``'s DuckDB oracle verbatim: two completely different
+    physical paths (inline scan expressions vs log-structured inverted
+    index) must produce the bit-identical ranked answer. Eager by
+    construction (index commits run at build); result localCheckpointed
+    before the temp index vanishes.
+    """
+    import shutil
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.plans.text_index import (
+        admit_docs,
+        build_text_index,
+        search,
+    )
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="dde_ti_")
+    try:
+        idx = f"{root}/idx"
+        build_text_index(spark, docs.filter(F.col("doc_id") % 2 == 0), idx)
+        admit_docs(spark, docs.filter(F.col("doc_id") % 2 == 1), idx)
+        return search(
+            spark, idx, BM25_QUERY, k1=BM25_K1, b=BM25_B, top=BM25_TOP
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 QUERIES = {
     "bm25_search": Q(bm25_search, _bm25_sql()),
+    "bm25_index_search": Q(bm25_index_search, _bm25_sql()),
     "bpe_train_merges": Q(bpe_train_merges),
     "bpe_token_stats": Q(bpe_token_stats),
     "doc_length_quantiles": Q(doc_length_quantiles, DOC_LENGTH_QUANTILES_SQL),

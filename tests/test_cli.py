@@ -357,3 +357,29 @@ def test_cli_gram_index_lifecycle(capsys, spark, tmp_path):
     # usage errors
     assert main(["gram-index", "admit", idx]) == 2
     assert main(["gram-index", "stream", idx, d1]) == 2
+
+
+def test_cli_text_index_lifecycle(capsys, spark, tmp_path, sf_dir):
+    from dataset_dedupe_estimator_spark.cli import main
+
+    idx = str(tmp_path / "tidx")
+    d0 = str(tmp_path / "d0.parquet")
+    d1 = str(tmp_path / "d1.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs.filter("doc_id % 2 = 0").write.parquet(d0)
+    docs.filter("doc_id % 2 = 1").write.parquet(d1)
+
+    assert main(["text-index", "build", idx, d0]) == 0
+    assert "docs indexed" in capsys.readouterr().out
+    assert main(["text-index", "admit", idx, d1]) == 0
+    assert "docs admitted" in capsys.readouterr().out
+    assert main(["text-index", "search", idx, "--terms", "vector,window,fast"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("doc_id=") == 20 and "score=" in out
+    assert main(["text-index", "stats", idx]) == 0
+    assert "generations=2" in capsys.readouterr().out
+    assert main(["text-index", "compact", idx]) == 0
+    assert "compacted 2 generations" in capsys.readouterr().out
+    # arg validation
+    assert main(["text-index", "build", idx]) == 2
+    assert main(["text-index", "search", idx]) == 2

@@ -30,6 +30,7 @@ EAGER = {
     "image_near_dup_demo",  # generates + decodes media at construction
     "table_time_travel",  # commits a real versioned table at construction
     "table_zonemap_read",  # commits + zone-map-prunes a versioned table at construction
+    "bm25_index_search",  # builds + admits a persistent inverted index at construction
     "mv_from_version_diff",  # commits + diffs a versioned table at construction
     "streaming_mv_refresh",  # runs a real file stream at construction
 }

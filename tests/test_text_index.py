@@ -1,0 +1,122 @@
+"""Persistent inverted text index (plans/text_index.py).
+
+The contracts under test: (1) index-served BM25 equals the scan-based
+bm25_frame bit-for-bit, (2) incremental admission is equivalent to a
+single-shot build, (3) admission is idempotent and O(batch) by
+membership, (4) compaction preserves search results exactly, (5) the
+bucket partitioning actually prunes at query time, (6) a crashed build
+never corrupts a later one, (7) tokenizer mismatches refuse instead of
+silently returning garbage."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataset_dedupe_estimator_spark.plans import text_index as ti
+
+TERMS = ("vector", "window", "fast")
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+
+
+def _ranked(df):
+    return [(r.doc_id, r.n_terms, r.score) for r in df.collect()]
+
+
+def test_search_equals_scan_bm25(spark, docs, tmp_path):
+    from dataset_dedupe_estimator_spark.queries.text_analysis import bm25_frame
+
+    idx = str(tmp_path / "idx")
+    st = ti.build_text_index(spark, docs, idx)
+    assert st["generation"] == 0 and st["docs"] == docs.count()
+    got = _ranked(ti.search(spark, idx, TERMS, top=20))
+    want = _ranked(bm25_frame(docs, TERMS, top=20))
+    assert got == want and len(got) == 20
+
+
+def test_incremental_equals_single_shot(spark, docs, tmp_path):
+    one = str(tmp_path / "one")
+    inc = str(tmp_path / "inc")
+    ti.build_text_index(spark, docs, one)
+    ti.build_text_index(spark, docs.filter(F.col("doc_id") % 3 == 0), inc)
+    ti.admit_docs(spark, docs.filter(F.col("doc_id") % 3 == 1), inc)
+    ti.admit_docs(spark, docs.filter(F.col("doc_id") % 3 == 2), inc)
+    assert ti.index_stats(inc)["n_docs"] == ti.index_stats(one)["n_docs"]
+    assert ti.index_stats(inc)["sum_dl"] == ti.index_stats(one)["sum_dl"]
+    assert _ranked(ti.search(spark, inc, TERMS)) == _ranked(
+        ti.search(spark, one, TERMS)
+    )
+
+
+def test_admission_is_idempotent(spark, docs, tmp_path):
+    idx = str(tmp_path / "idx")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    ti.build_text_index(spark, half, idx)
+    st = ti.admit_docs(spark, half, idx)  # nothing novel
+    assert st["docs"] == 0 and st["generation"] is None
+    assert ti.index_stats(idx)["generations"] == 1  # no empty generation
+    st2 = ti.admit_docs(spark, docs, idx)  # only the odd half is new
+    assert st2["docs"] == docs.count() - half.count()
+
+
+def test_compact_preserves_search(spark, docs, tmp_path):
+    idx = str(tmp_path / "idx")
+    ti.build_text_index(spark, docs.filter(F.col("doc_id") % 2 == 0), idx)
+    ti.admit_docs(spark, docs.filter(F.col("doc_id") % 2 == 1), idx)
+    before = _ranked(ti.search(spark, idx, TERMS))
+    st = ti.compact_text_index(spark, idx)
+    assert st["merged_generations"] == 2
+    assert ti.index_stats(idx)["compacted_below"] == 2
+    assert _ranked(ti.search(spark, idx, TERMS)) == before
+    # a later admission still works against the compacted index
+    assert ti.admit_docs(spark, docs, idx)["docs"] == 0
+
+
+def test_query_scan_is_bucket_pruned(spark, docs, tmp_path):
+    idx = tmp_path / "idx"
+    ti.build_text_index(spark, docs, idx)
+    meta = json.loads((idx / "_text_meta.json").read_text())
+    want_buckets = sorted({ti._bucket_py(t, meta["n_buckets"]) for t in TERMS})
+    pruned = (
+        ti._postings_df(spark, idx, 0)
+        .filter(F.col("bucket").isin(want_buckets) & F.col("term").isin(list(TERMS)))
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # the pruned scan sees a strict subset of bucket dirs on disk
+    n_dirs = len(list((idx / "gen-00000" / "postings").glob("bucket=*")))
+    assert len(want_buckets) < n_dirs
+
+
+def test_crashed_build_is_cleared(spark, docs, tmp_path):
+    idx = tmp_path / "idx"
+    (idx / "gen-00000").mkdir(parents=True)
+    (idx / "gen-00000" / "junk").write_text("crashed write, no manifest")
+    st = ti.build_text_index(spark, docs.limit(50), idx)
+    assert st["docs"] == 50
+    assert not (idx / "gen-00000" / "junk").exists()
+
+
+def test_tokenizer_mismatch_refuses(spark, docs, tmp_path):
+    idx = tmp_path / "idx"
+    ti.build_text_index(spark, docs.limit(10), idx)
+    meta = json.loads((idx / "_text_meta.json").read_text())
+    meta["tokenizer"] = "bpe-v9"
+    (idx / "_text_meta.json").write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="tokenizer"):
+        ti.search(spark, idx, TERMS)
+
+
+def test_build_twice_refuses(spark, docs, tmp_path):
+    idx = tmp_path / "idx"
+    ti.build_text_index(spark, docs.limit(10), idx)
+    with pytest.raises(FileExistsError):
+        ti.build_text_index(spark, docs.limit(10), idx)
