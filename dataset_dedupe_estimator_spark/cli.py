@@ -963,11 +963,16 @@ def cmd_text_index(args) -> int:
         search,
     )
 
-    if args.action in ("build", "admit") and not args.docs:
+    if args.action in ("build", "admit", "stream") and not args.docs:
         print(f"text-index {args.action}: missing docs path", file=sys.stderr)
         return 2
     if args.action == "search" and not args.terms:
         print("text-index search: need --terms", file=sys.stderr)
+        return 2
+    if args.action == "stream" and not args.checkpoint:
+        # a temp checkpoint would silently replay the inbox on every run,
+        # breaking the exactly-once admission contract
+        print("text-index stream: --checkpoint is required", file=sys.stderr)
         return 2
     spark = _spark(args)
 
@@ -1003,6 +1008,16 @@ def cmd_text_index(args) -> int:
             f"compacted {st['merged_generations']} generations → "
             f"gen {st['generation']} ({st['docs']} docs)"
         )
+        return 0
+    if args.action == "stream":
+        from dataset_dedupe_estimator_spark.streaming.incremental import (
+            admit_text_stream,
+        )
+
+        reps = admit_text_stream(spark, args.docs, args.index_dir, args.checkpoint)
+        for st in reps:
+            print(f"gen {st['generation']}: {st['docs']} docs admitted")
+        print(f"{len(reps)} generation(s) admitted")
         return 0
     st = index_stats(args.index_dir)
     print(
@@ -1355,12 +1370,15 @@ def build_parser() -> argparse.ArgumentParser:
     px.set_defaults(fn=cmd_pq_index)
 
     tx = sub.add_parser("text-index", help="persistent inverted BM25 index")
-    tx.add_argument("action", choices=["build", "admit", "search", "stats", "compact"])
+    tx.add_argument(
+        "action", choices=["build", "admit", "search", "stats", "compact", "stream"]
+    )
     tx.add_argument("index_dir")
-    tx.add_argument("docs", nargs="?", help="parquet of (doc_id, text)")
+    tx.add_argument("docs", nargs="?", help="parquet of (doc_id, text) — or the inbox dir for stream")
     tx.add_argument("--buckets", type=int, default=32, help="term hash buckets")
     tx.add_argument("--terms", help="comma-separated query terms")
     tx.add_argument("--topk", type=int, default=20)
+    tx.add_argument("--checkpoint", help="streaming checkpoint dir (stream)")
     tx.set_defaults(fn=cmd_text_index)
 
     bp = sub.add_parser("bpe", help="train a BPE tokenizer on the documents table")

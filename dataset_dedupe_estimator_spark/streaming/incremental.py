@@ -293,3 +293,49 @@ def admit_grams_stream(
     )
     q.awaitTermination()
     return admissions
+
+
+def admit_text_stream(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous admission into the persistent inverted text index
+    (plans/text_index.py): each microbatch of newly-arrived document
+    rows becomes ONE index generation, immediately searchable —
+    postings and corpus stats (N, avgdl) committed together by the
+    manifest replace, so a query between microbatches always scores
+    against a consistent snapshot.
+
+    Same delivery contract as the other index drains: the file source +
+    checkpoint make admission exactly-once per input file across
+    restarts; already-indexed doc_ids are skipped inside admit_docs, so
+    a replayed batch is a no-op generation-wise. availableNow: drains
+    everything pending, then stops. Returns one admission report per
+    generation created in this pass.
+    """
+    from dataset_dedupe_estimator_spark.plans.text_index import admit_docs
+
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true")  # drops may be dataset dirs
+        .parquet(input_dir)
+        .select("doc_id", "text")
+    )
+    admissions: list[dict] = []
+
+    def admit(batch_df, _batch_id):
+        if not batch_df.isEmpty():
+            report = admit_docs(spark, batch_df, index_dir)
+            if report["generation"] is not None:
+                admissions.append(report)
+
+    q = (
+        docs.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return admissions

@@ -120,3 +120,34 @@ def test_build_twice_refuses(spark, docs, tmp_path):
     ti.build_text_index(spark, docs.limit(10), idx)
     with pytest.raises(FileExistsError):
         ti.build_text_index(spark, docs.limit(10), idx)
+
+
+def test_streaming_admission_drain(spark, docs, tmp_path):
+    """admit_text_stream: exactly-once per input file, each microbatch a
+    searchable generation, stream-admitted index equals batch-built."""
+    from dataset_dedupe_estimator_spark.streaming.incremental import (
+        admit_text_stream,
+    )
+
+    idx = str(tmp_path / "idx")
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    ti.build_text_index(spark, docs.filter(F.col("doc_id") % 3 == 0), idx)
+    docs.filter(F.col("doc_id") % 3 == 1).coalesce(1).write.parquet(
+        str(inbox / "w1.parquet")
+    )
+    docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.parquet(
+        str(inbox / "w2.parquet")
+    )
+    reps = admit_text_stream(spark, str(inbox), idx, str(tmp_path / "ckpt"))
+    assert sum(r["docs"] for r in reps) == docs.filter(
+        F.col("doc_id") % 3 != 0
+    ).count()
+    # drained: a second pass with the same checkpoint admits nothing
+    assert admit_text_stream(spark, str(inbox), idx, str(tmp_path / "ckpt")) == []
+    # stream-admitted search == single-shot build search
+    one = str(tmp_path / "one")
+    ti.build_text_index(spark, docs, one)
+    assert _ranked(ti.search(spark, idx, TERMS)) == _ranked(
+        ti.search(spark, one, TERMS)
+    )
