@@ -73,6 +73,10 @@ def main() -> int:
         "snapshot_diff_docs",
         "stratified_sample_docs",
         "source_feature_corr",
+        # r6 additions (hybrid retrieval, substring spans in the pipeline)
+        "hybrid_rrf",
+        "dedup_substring_spans",
+        "corpus_survival_pipeline",
     ]
     lines = [
         "# Physical plans — headline + selected queries",
