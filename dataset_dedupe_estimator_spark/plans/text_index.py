@@ -132,22 +132,34 @@ def _write_generation(gen_dir: Path, postings: DataFrame, doclens: DataFrame):
     doclens.write.mode("errorifexists").parquet(str(gen_dir / "doclens"))
 
 
-def _doclens_df(spark: SparkSession, index_dir: str | Path, floor: int) -> DataFrame:
-    gens = _gen_dirs(index_dir, floor)
+def _live_gens(index_dir: str | Path, meta: dict) -> list[Path]:
+    """Committed generations ``[compacted_below, generations)`` BY THE
+    MANIFEST — never a disk listing: a dir at or above the counter is a
+    crashed uncommitted write (a writer clears it; readers must not
+    trip over its possibly-partial files), one below the floor is
+    superseded by a committed compaction."""
+    index_dir = Path(index_dir)
+    gens = [
+        index_dir / f"gen-{n:05d}"
+        for n in range(meta["compacted_below"], meta["generations"])
+    ]
     if not gens:
         raise FileNotFoundError(f"no index generations under {index_dir}")
+    return gens
+
+
+def _doclens_df(spark: SparkSession, index_dir: str | Path, meta: dict) -> DataFrame:
+    gens = _live_gens(index_dir, meta)
     return spark.read.parquet(*[str(g / "doclens") for g in gens])
 
 
-def _postings_df(spark: SparkSession, index_dir: str | Path, floor: int) -> DataFrame:
+def _postings_df(spark: SparkSession, index_dir: str | Path, meta: dict) -> DataFrame:
     """Union of per-generation postings scans (each generation is its own
     bucket-partitioned root; Spark refuses a multi-path read of several
     partitioned roots, and per-root scans keep partition pruning)."""
     import functools
 
-    gens = _gen_dirs(index_dir, floor)
-    if not gens:
-        raise FileNotFoundError(f"no index generations under {index_dir}")
+    gens = _live_gens(index_dir, meta)
     reads = [spark.read.parquet(str(g / "postings")) for g in gens]
     return functools.reduce(DataFrame.unionByName, reads)
 
@@ -209,9 +221,7 @@ def admit_docs(
         for p in _gen_dirs(index_dir):
             if _gen_no(p) >= gen:
                 shutil.rmtree(p)
-        known = _doclens_df(spark, index_dir, meta["compacted_below"]).select(
-            "doc_id"
-        )
+        known = _doclens_df(spark, index_dir, meta).select("doc_id")
         fresh = docs.select("doc_id", "text").join(known, "doc_id", "left_anti")
         gen_dir = index_dir / f"gen-{gen:05d}"
         _write_generation(
@@ -254,12 +264,13 @@ def search(
     Returns (doc_id, n_terms, score), ties broken by doc_id.
     """
     terms = list(terms)
+    if not terms:
+        raise ValueError("search needs at least one term")
     meta = _check_meta(index_dir)
     n_docs, avgdl = meta["n_docs"], meta["sum_dl"] / meta["n_docs"]
     buckets = sorted({_bucket_py(t, meta["n_buckets"]) for t in terms})
-    floor = meta["compacted_below"]
     hits = (
-        _postings_df(spark, index_dir, floor)
+        _postings_df(spark, index_dir, meta)
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
         .select("term", "doc_id", "tf")
     )
@@ -277,7 +288,7 @@ def search(
             for i, t in enumerate(terms)
         ]
     )
-    dl = _doclens_df(spark, index_dir, floor)
+    dl = _doclens_df(spark, index_dir, meta)
     scored = cand.join(dl, "doc_id")
 
     def comp(i):
@@ -321,9 +332,12 @@ def compact_text_index(spark: SparkSession, index_dir: str | Path) -> dict:
     with writer_lock(index_dir):
         meta = _check_meta(index_dir)
         gen, floor = meta["generations"], meta["compacted_below"]
-        live = _gen_dirs(index_dir, floor)
-        merged_p = _postings_df(spark, index_dir, floor)
-        merged_d = _doclens_df(spark, index_dir, floor)
+        # committed gens only — a disk listing could include a crashed
+        # uncommitted dir at >= gen, and deleting that range post-commit
+        # would take the just-written compacted generation with it
+        live = _live_gens(index_dir, meta)
+        merged_p = _postings_df(spark, index_dir, meta)
+        merged_d = _doclens_df(spark, index_dir, meta)
         out = index_dir / f"gen-{gen:05d}"
         if out.exists():
             shutil.rmtree(out)  # crashed prior compact, never committed

@@ -86,7 +86,7 @@ def test_query_scan_is_bucket_pruned(spark, docs, tmp_path):
     meta = json.loads((idx / "_text_meta.json").read_text())
     want_buckets = sorted({ti._bucket_py(t, meta["n_buckets"]) for t in TERMS})
     pruned = (
-        ti._postings_df(spark, idx, 0)
+        ti._postings_df(spark, idx, meta)
         .filter(F.col("bucket").isin(want_buckets) & F.col("term").isin(list(TERMS)))
     )
     plan = pruned._jdf.queryExecution().executedPlan().toString()
@@ -151,3 +151,33 @@ def test_streaming_admission_drain(spark, docs, tmp_path):
     assert _ranked(ti.search(spark, idx, TERMS)) == _ranked(
         ti.search(spark, one, TERMS)
     )
+
+
+def test_crashed_admit_window_is_cleared(spark, docs, tmp_path):
+    """A generation dir written by a crashed admission (manifest never
+    advanced) must be invisible to search and cleared by the next
+    writer — the commit point is the manifest replace, nothing else."""
+    idx = tmp_path / "idx"
+    ti.build_text_index(spark, docs.filter(F.col("doc_id") % 2 == 0), idx)
+    before = _ranked(ti.search(spark, idx, TERMS))
+    # simulate: admission wrote gen-00001 then died before the manifest
+    orphan = idx / "gen-00001"
+    (orphan / "postings").mkdir(parents=True)
+    (orphan / "doclens").mkdir()
+    (orphan / "postings" / "junk").write_text("crashed")
+    assert _ranked(ti.search(spark, idx, TERMS)) == before  # invisible
+    st = ti.admit_docs(spark, docs.filter(F.col("doc_id") % 2 == 1), idx)
+    assert st["generation"] == 1 and st["docs"] > 0
+    assert not (orphan / "postings" / "junk").exists()  # orphan cleared
+    one = tmp_path / "one"
+    ti.build_text_index(spark, docs, one)
+    assert _ranked(ti.search(spark, idx, TERMS)) == _ranked(
+        ti.search(spark, one, TERMS)
+    )
+
+
+def test_search_rejects_empty_terms(spark, docs, tmp_path):
+    idx = tmp_path / "idx"
+    ti.build_text_index(spark, docs.limit(10), idx)
+    with pytest.raises(ValueError, match="at least one term"):
+        ti.search(spark, idx, [])
