@@ -1094,6 +1094,15 @@ def cmd_table(args) -> int:
     log entry, so crashed commits are invisible orphans)."""
     from dataset_dedupe_estimator_spark.sources import versioned as vt
 
+    def _parse_where(specs):
+        preds = []
+        for s in specs:
+            col, op, raw = s.split(":", 2)
+            vals = [float(v) if "." in v else int(v) for v in raw.split(",")]
+            preds.append((col, op, tuple(vals) if op == "between" else vals[0]))
+        return preds
+
+    stats_cols = args.stats_columns.split(",") if args.stats_columns else None
     if args.action in ("append", "overwrite"):
         if not args.src:
             print("append/overwrite need a SRC parquet path", file=sys.stderr)
@@ -1101,8 +1110,9 @@ def cmd_table(args) -> int:
         spark = _spark(args)
         df = spark.read.parquet(args.src)
         fn = vt.append if args.action == "append" else vt.overwrite
-        entry = fn(args.root, df, num_files=args.files)
-        print(f"committed v{entry['version']} ({entry['action']}, dir {entry['dir']})")
+        entry = fn(args.root, df, num_files=args.files, stats_columns=stats_cols)
+        zm = f", zone maps on {entry['stats_columns']}" if entry.get("stats_columns") else ""
+        print(f"committed v{entry['version']} ({entry['action']}, dir {entry['dir']}{zm})")
     elif args.action == "history":
         for e in vt.history(args.root):
             print(
@@ -1111,8 +1121,18 @@ def cmd_table(args) -> int:
             )
     elif args.action == "read":
         spark = _spark(args)
-        df = vt.read_version(spark, args.root, args.version)
         label = "latest" if args.version is None else f"v{args.version}"
+        if args.where:
+            preds = _parse_where(args.where)
+            rep = vt.zone_map_prune(args.root, preds, args.version)
+            df = vt.read_where(spark, args.root, preds, args.version)
+            label += (
+                f" where {' AND '.join(args.where)} "
+                f"(zone maps: {rep['kept_files']}/{rep['total_files']} files, "
+                f"{rep['skip_fraction']:.0%} skipped)"
+            )
+        else:
+            df = vt.read_version(spark, args.root, args.version)
         if args.out:
             df.write.mode("overwrite").parquet(args.out)
             print(f"wrote {label} to {args.out}")
@@ -1122,9 +1142,12 @@ def cmd_table(args) -> int:
         spark = _spark(args)
         zcols = args.zorder_by.split(",") if args.zorder_by else None
         entry = vt.optimize(
-            spark, args.root, zorder_by=zcols, num_files=args.files or 16
+            spark, args.root, zorder_by=zcols, num_files=args.files or 16,
+            stats_columns=stats_cols,
         )
         how = f"z-ordered by {zcols}" if zcols else "compacted"
+        if entry.get("stats_columns"):
+            how += f", zone maps on {entry['stats_columns']}"
         print(f"committed v{entry['version']} (optimize: {how})")
     elif args.action == "vacuum":
         removed = vt.vacuum(args.root, keep_versions=args.keep)
@@ -1426,6 +1449,18 @@ def build_parser() -> argparse.ArgumentParser:
     tb.add_argument("--files", type=int)
     tb.add_argument("--keep", type=int, default=1)
     tb.add_argument("--zorder-by", help="comma-separated cluster columns for optimize")
+    tb.add_argument(
+        "--stats-columns",
+        help="comma-separated numeric columns to record per-file zone maps for (append/overwrite/optimize)",
+    )
+    tb.add_argument(
+        "--where",
+        action="append",
+        default=[],
+        metavar="COL:OP:VALUE",
+        help="read predicate, e.g. o_orderkey:between:100,200 or price:>=:5 "
+        "(repeatable; conjunction; zone maps skip provably-missed files)",
+    )
     tb.set_defaults(fn=cmd_table)
 
     ly = sub.add_parser("layout", help="z-order rewrite + data-skipping report")

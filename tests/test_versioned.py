@@ -472,3 +472,20 @@ def test_zone_map_bad_predicate_rejected(spark, tmp_path):
     vt.append(root, _ranged(spark, 0, 10, 1), stats_columns=["id"])
     with pytest.raises(ValueError, match="predicate"):
         vt.zone_map_prune(root, [("id", "!=", 3)])
+
+
+def test_cli_table_zone_maps(capsys, spark, tmp_path):
+    from dataset_dedupe_estimator_spark.cli import main
+
+    src = str(tmp_path / "src.parquet")
+    spark.range(1000).select("id", (F.col("id") % 5).alias("g")).repartitionByRange(
+        4, "id"
+    ).write.parquet(src)
+    root = str(tmp_path / "vt")
+    assert main(["table", "append", root, src, "--stats-columns", "id"]) == 0
+    assert "zone maps on ['id']" in capsys.readouterr().out
+    assert main(["table", "read", root, "--where", "id:between:0,100"]) == 0
+    out = capsys.readouterr().out
+    assert "rows=101" in out and "skipped" in out
+    assert main(["table", "read", root, "--where", "id:>=:990"]) == 0
+    assert "rows=10" in capsys.readouterr().out
