@@ -489,3 +489,55 @@ def test_cli_table_zone_maps(capsys, spark, tmp_path):
     assert "rows=101" in out and "skipped" in out
     assert main(["table", "read", root, "--where", "id:>=:990"]) == 0
     assert "rows=10" in capsys.readouterr().out
+
+
+def test_read_where_after_schema_widening(spark, tmp_path):
+    """Zone-map pruned reads across a widening: pre-widening files lack
+    the new column (NULL on read) and their stats omit it — the pruned
+    result must still equal the plain filtered snapshot."""
+    root = tmp_path / "zt"
+    vt.append(root, _ranged(spark, 0, 200, 2), stats_columns=["id"])
+    widened = _ranged(spark, 200, 400, 2).withColumn(
+        "extra", (F.col("id") * 2).cast("long")
+    )
+    vt.append(root, widened, allow_new_columns=True)
+    got = vt.read_where(spark, root, [("id", "between", (150, 250))])
+    want = vt.read_version(spark, root).filter(F.col("id").between(150, 250))
+    assert sorted((r.id, r.extra) for r in got.collect()) == sorted(
+        (r.id, r.extra) for r in want.collect()
+    )
+    # pre-widening rows surface NULL extra through the pruned path too
+    assert got.filter(F.col("extra").isNull()).count() == 50
+
+
+def test_zone_map_prune_property(spark, tmp_path):
+    """Property: for random committed range layouts and random
+    predicates, read_where row-sets equal read_version().filter() and
+    pruning never drops a needed file. Driven data-parametrically (one
+    table, many predicates) to keep Spark session cost sane."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    root = tmp_path / "zt"
+    vt.append(root, _ranged(spark, 0, 300, 3), stats_columns=["id"])
+    vt.append(root, _ranged(spark, 300, 700, 4))
+    vt.append(root, _ranged(spark, 650, 900, 2))  # overlapping commit
+    full = {r.id for r in vt.read_version(spark, root).collect()}
+
+    ops = st.sampled_from(["==", "<", "<=", ">", ">="])
+    val = st.integers(min_value=-50, max_value=950)
+
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(op=ops, v=val)
+    def check(op, v):
+        import operator as _op
+
+        py = {"==": _op.eq, "<": _op.lt, "<=": _op.le, ">": _op.gt, ">=": _op.ge}[op]
+        got = {r.id for r in vt.read_where(spark, root, [("id", op, v)]).collect()}
+        want = {x for x in full if py(x, v)}
+        assert got == want
+
+    check()
