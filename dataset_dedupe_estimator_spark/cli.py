@@ -960,14 +960,15 @@ def cmd_text_index(args) -> int:
         build_text_index,
         compact_text_index,
         index_stats,
+        phrase_search,
         search,
     )
 
     if args.action in ("build", "admit", "stream") and not args.docs:
         print(f"text-index {args.action}: missing docs path", file=sys.stderr)
         return 2
-    if args.action == "search" and not args.terms:
-        print("text-index search: need --terms", file=sys.stderr)
+    if args.action in ("search", "phrase") and not args.terms:
+        print(f"text-index {args.action}: need --terms", file=sys.stderr)
         return 2
     if args.action == "stream" and not args.checkpoint:
         # a temp checkpoint would silently replay the inbox on every run,
@@ -1001,6 +1002,14 @@ def cmd_text_index(args) -> int:
         ).collect()
         for h in hits:
             print(f"doc_id={h.doc_id} n_terms={h.n_terms} score={h.score:.4f}")
+        return 0
+    if args.action == "phrase":
+        hits = phrase_search(
+            spark, args.index_dir, args.terms.split(","), top=args.topk
+        ).collect()
+        for h in hits:
+            print(f"doc_id={h.doc_id} occurrences={h.n_occurrences}")
+        print(f"{len(hits)} docs contain the phrase")
         return 0
     if args.action == "compact":
         st = compact_text_index(spark, args.index_dir)
@@ -1394,7 +1403,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     tx = sub.add_parser("text-index", help="persistent inverted BM25 index")
     tx.add_argument(
-        "action", choices=["build", "admit", "search", "stats", "compact", "stream"]
+        "action",
+        choices=["build", "admit", "search", "phrase", "stats", "compact", "stream"],
     )
     tx.add_argument("index_dir")
     tx.add_argument("docs", nargs="?", help="parquet of (doc_id, text) — or the inbox dir for stream")

@@ -103,19 +103,24 @@ def _bucket_py(term: str, n_buckets: int) -> int:
 
 
 def _postings_of(docs: DataFrame, n_buckets: int) -> DataFrame:
-    """(bucket, term, doc_id, tf): exact whitespace-token frequencies.
+    """(bucket, term, doc_id, tf, positions): exact whitespace-token
+    frequencies plus the sorted 0-based token positions (what phrase
+    search consumes — sort_array makes the collect_list order-safe).
     One explode + one (doc_id, term) aggregate — the only corpus-sized
-    shuffle in an index build, carrying ~30-byte rows."""
+    shuffle in an index build."""
     toks = F.split(F.col("text"), " ")
     bucket = (
         F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
         % n_buckets
     ).cast("int")
     return (
-        docs.select("doc_id", F.explode(toks).alias("term"))
+        docs.select("doc_id", F.posexplode(toks).alias("pos", "term"))
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .select(bucket.alias("bucket"), "term", "doc_id", "tf")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+        .select(bucket.alias("bucket"), "term", "doc_id", "tf", "positions")
     )
 
 
@@ -323,6 +328,59 @@ def search(
     )
 
 
+def phrase_search(
+    spark: SparkSession,
+    index_dir: str | Path,
+    phrase: tuple[str, ...] | list[str],
+    top: int = 20,
+) -> DataFrame:
+    """Exact-phrase occurrence count from the index alone: documents
+    containing the tokens of ``phrase`` CONSECUTIVELY, ranked by
+    occurrence count (ties by doc_id). The positional twin of
+    :func:`search` — BM25 is bag-of-words; retrieving an exact quoted
+    passage (or counting how often a boilerplate sentence repeats)
+    needs token positions, which the postings carry per (term, doc).
+
+    Reads the phrase terms' bucket partitions only; per candidate doc
+    the consecutive-run count is a pure array expression over the
+    per-term position lists: |{p in pos(t0) : p+j in pos(tj) for all
+    j}| — no re-tokenization, no corpus scan, document text never read.
+    """
+    phrase = list(phrase)
+    if not phrase:
+        raise ValueError("phrase_search needs at least one term")
+    meta = _check_meta(index_dir)
+    buckets = sorted({_bucket_py(t, meta["n_buckets"]) for t in phrase})
+    hits = (
+        _postings_df(spark, index_dir, meta)
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(phrase))
+        .select("term", "doc_id", "positions")
+    )
+    cand = hits.groupBy("doc_id").agg(
+        *[
+            F.first(F.when(F.col("term") == t, F.col("positions")), ignorenulls=True)
+            .alias(f"pos{j}")
+            for j, t in enumerate(phrase)
+        ]
+    )
+    for j in range(len(phrase)):
+        cand = cand.filter(F.col(f"pos{j}").isNotNull())
+
+    def starts_run(p):
+        cond = F.lit(True)
+        for j in range(1, len(phrase)):
+            cond = cond & F.array_contains(F.col(f"pos{j}"), p + j)
+        return cond
+
+    n_occ = F.size(F.filter(F.col("pos0"), starts_run)).cast("long")
+    return (
+        cand.select("doc_id", n_occ.alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+        .orderBy(F.col("n_occurrences").desc(), "doc_id")
+        .limit(top)
+    )
+
+
 def compact_text_index(spark: SparkSession, index_dir: str | Path) -> dict:
     """Merge every live generation into ONE (fewer files per bucket,
     one doclens dataset), commit by advancing ``compacted_below``, then
@@ -343,7 +401,9 @@ def compact_text_index(spark: SparkSession, index_dir: str | Path) -> dict:
             shutil.rmtree(out)  # crashed prior compact, never committed
         _write_generation(
             out,
-            merged_p.repartition(1, "bucket").select("bucket", "term", "doc_id", "tf"),
+            merged_p.repartition(1, "bucket").select(
+                "bucket", "term", "doc_id", "tf", "positions"
+            ),
             merged_d.coalesce(1),
         )
         n_rows = spark.read.parquet(str(out / "doclens")).count()

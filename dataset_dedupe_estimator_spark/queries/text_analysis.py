@@ -1006,9 +1006,66 @@ def bm25_index_search(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+PHRASE_QUERY = ("slow", "hash", "batch")  # fixed benchmark phrase
+PHRASE_TOP = 20
+
+
+def phrase_search_index(spark, sf):
+    """Exact-phrase retrieval from the persistent inverted index
+    (plans/text_index.py::phrase_search): documents containing the
+    benchmark phrase {PHRASE_QUERY} as CONSECUTIVE tokens, ranked by
+    occurrence count — the capability BM25's bag-of-words scoring
+    cannot express (quoted-passage lookup, boilerplate-sentence
+    counting). Served entirely from per-(term, doc) position lists in
+    the phrase terms' bucket partitions; document text is never read at
+    query time. The oracle re-derives occurrences by scanning token
+    windows directly, so a positions list that lost an occurrence — or
+    a run check that matched non-consecutive tokens — hash-mismatches.
+    Eager by construction; result localCheckpointed before the temp
+    index vanishes.
+    """
+    import shutil
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.plans.text_index import (
+        build_text_index,
+        phrase_search,
+    )
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="dde_ph_")
+    try:
+        idx = f"{root}/idx"
+        build_text_index(spark, docs, idx)
+        return phrase_search(spark, idx, PHRASE_QUERY, top=PHRASE_TOP).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _phrase_sql() -> str:
+    k = len(PHRASE_QUERY)
+    run = " AND ".join(
+        f"t[i + {j}] = '{t}'" for j, t in enumerate(PHRASE_QUERY)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+occ AS (
+  SELECT doc_id, COUNT(*) AS n
+  FROM toks, UNNEST(range(1, len(t) - {k - 2})) AS u(i)
+  WHERE {run}
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_occurrences
+FROM occ ORDER BY n_occurrences DESC, doc_id LIMIT {PHRASE_TOP}
+"""
+
+
 QUERIES = {
     "bm25_search": Q(bm25_search, _bm25_sql()),
     "bm25_index_search": Q(bm25_index_search, _bm25_sql()),
+    "phrase_search_index": Q(phrase_search_index, _phrase_sql()),
     "bpe_train_merges": Q(bpe_train_merges),
     "bpe_token_stats": Q(bpe_token_stats),
     "doc_length_quantiles": Q(doc_length_quantiles, DOC_LENGTH_QUANTILES_SQL),

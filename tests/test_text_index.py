@@ -181,3 +181,58 @@ def test_search_rejects_empty_terms(spark, docs, tmp_path):
     ti.build_text_index(spark, docs.limit(10), idx)
     with pytest.raises(ValueError, match="at least one term"):
         ti.search(spark, idx, [])
+
+
+def test_phrase_search_matches_scan(spark, docs, tmp_path):
+    """Index-served phrase counts equal a direct token-window scan,
+    including multi-occurrence docs; absent phrases return empty."""
+    idx = str(tmp_path / "idx")
+    ti.build_text_index(spark, docs.filter(F.col("doc_id") % 2 == 0), idx)
+    ti.admit_docs(spark, docs.filter(F.col("doc_id") % 2 == 1), idx)
+    # derive a phrase guaranteed present: tokens 3..5 of the first doc
+    first = docs.orderBy("doc_id").head().text.split(" ")
+    phrase = tuple(first[3:6])
+    got = {
+        r.doc_id: r.n_occurrences
+        for r in ti.phrase_search(spark, idx, phrase, top=1000).collect()
+    }
+    toks = F.split("text", " ")
+    runs = F.filter(
+        F.sequence(F.lit(0), F.size(toks) - len(phrase)),
+        lambda i: F.lit(True)
+        & (F.element_at(toks, i + 1) == phrase[0])
+        & (F.element_at(toks, i + 2) == phrase[1])
+        & (F.element_at(toks, i + 3) == phrase[2]),
+    )
+    want = {
+        r.doc_id: r.n
+        for r in docs.select("doc_id", F.size(runs).cast("long").alias("n"))
+        .filter(F.col("n") > 0)
+        .collect()
+    }
+    assert got == want and want  # phrase exists in the corpus
+    # absent phrase
+    assert ti.phrase_search(spark, idx, ("no", "such", "phrasezz")).count() == 0
+    # compact preserves phrase answers (positions survive the merge)
+    ti.compact_text_index(spark, idx)
+    after = {
+        r.doc_id: r.n_occurrences
+        for r in ti.phrase_search(spark, idx, phrase, top=1000).collect()
+    }
+    assert after == want
+
+
+def test_phrase_search_repeated_term(spark, tmp_path):
+    """A phrase with a repeated term ('a a') must count overlapping
+    consecutive runs correctly from one shared positions list."""
+    df = spark.createDataFrame(
+        [(0, "a a a b"), (1, "a b a"), (2, "b a a")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    ti.build_text_index(spark, df, idx)
+    got = {
+        r.doc_id: r.n_occurrences
+        for r in ti.phrase_search(spark, idx, ("a", "a")).collect()
+    }
+    assert got == {0: 2, 2: 1}
