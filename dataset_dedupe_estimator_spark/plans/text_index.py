@@ -328,6 +328,118 @@ def search(
     )
 
 
+def search_many(
+    spark: SparkSession,
+    index_dir: str | Path,
+    queries: dict[str, tuple[str, ...] | list[str]],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top: int = 20,
+) -> DataFrame:
+    """Batch BM25: score MANY queries in one Spark job — the offline
+    shape (eval-set retrieval, distillation mining, dedup-by-query
+    sweeps) where per-query job overhead would dominate.
+
+    Returns (query_id, doc_id, n_terms, score) with each query's
+    top-``top`` rows, ranked exactly like :func:`search` (ties by
+    doc_id). One pruned pass over the union of all queries' bucket
+    partitions serves every query: term rows fan out to the queries
+    containing them via a broadcast (query_id, term) table, per-doc tf
+    vectors build per query, and the final top-k is a per-query rank
+    window over candidates only. Per-query results are IDENTICAL to
+    ``search`` (same expression shapes, same fixed term-order fold) —
+    pinned by test.
+    """
+    from pyspark.sql.window import Window
+
+    if not queries:
+        raise ValueError("search_many needs at least one query")
+    for qid, terms in queries.items():
+        if not terms:
+            raise ValueError(f"query {qid!r} has no terms")
+    meta = _check_meta(index_dir)
+    n_docs, avgdl = meta["n_docs"], meta["sum_dl"] / meta["n_docs"]
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    buckets = sorted({_bucket_py(t, meta["n_buckets"]) for t in all_terms})
+    hits = (
+        _postings_df(spark, index_dir, meta)
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(all_terms))
+        .select("term", "doc_id", "tf")
+        .localCheckpoint(eager=True)  # one materialization: df + candidates
+    )
+    dfs = {
+        r["term"]: r["n"]
+        for r in hits.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # (query_id, term, slot) — slot is the term's position in ITS query,
+    # so the fold order per query matches search()'s term order exactly
+    qrows = [
+        (qid, t, j) for qid, ts in queries.items() for j, t in enumerate(ts)
+    ]
+    qdf = spark.createDataFrame(qrows, "query_id string, term string, slot int")
+    max_slots = max(len(ts) for ts in queries.values())
+    cand = (
+        hits.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("slot") == j, F.col("tf")).otherwise(F.lit(0)))
+                .cast("long")
+                .alias(f"tf{j}")
+                for j in range(max_slots)
+            ],
+            # per-slot df of THIS query's term (constant within a group)
+            *[
+                F.max(
+                    F.when(F.col("slot") == j, F.col("term"))
+                ).alias(f"term{j}")
+                for j in range(max_slots)
+            ],
+        )
+    )
+    dl = _doclens_df(spark, index_dir, meta)
+    scored = cand.join(dl, "doc_id")
+
+    df_map = F.create_map(
+        *[x for t in all_terms for x in (F.lit(t), F.lit(dfs.get(t, 0)))]
+    )
+
+    def comp(j):
+        tf = F.col(f"tf{j}")
+        df_j = F.coalesce(df_map[F.col(f"term{j}")], F.lit(0))
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(n_docs) - df_j + F.lit(0.5)) / (df_j + F.lit(0.5))
+        )
+        raw = (
+            idf
+            * (tf * F.lit(k1 + 1.0))
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)))
+        )
+        return F.when(tf > 0, raw).otherwise(F.lit(0.0))
+
+    score = comp(0)
+    for j in range(1, max_slots):
+        score = score + comp(j)
+    n_terms = (F.col("tf0") > 0).cast("long")
+    for j in range(1, max_slots):
+        n_terms = n_terms + (F.col(f"tf{j}") > 0).cast("long")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.select(
+            "query_id",
+            "doc_id",
+            n_terms.alias("n_terms"),
+            F.round(score, 4).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top)
+        .drop("rn")
+    )
+
+
 def phrase_search(
     spark: SparkSession,
     index_dir: str | Path,

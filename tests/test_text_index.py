@@ -236,3 +236,30 @@ def test_phrase_search_repeated_term(spark, tmp_path):
         for r in ti.phrase_search(spark, idx, ("a", "a")).collect()
     }
     assert got == {0: 2, 2: 1}
+
+
+def test_search_many_equals_per_query_search(spark, docs, tmp_path):
+    """Batch search: one job serves many queries, each query's rows
+    identical to the single-query path (scores, ranks, ties)."""
+    idx = str(tmp_path / "idx")
+    ti.build_text_index(spark, docs, idx)
+    queries = {
+        "q_bench": list(TERMS),
+        "q_two": ["table", "join"],
+        "q_one": ["customer"],
+        "q_dup": ["fast", "fast"],  # repeated term
+    }
+    batch = ti.search_many(spark, idx, queries, top=15).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.query_id, []).append((r.doc_id, r.n_terms, r.score))
+    for qid, terms in queries.items():
+        want = [
+            (r.doc_id, r.n_terms, r.score)
+            for r in ti.search(spark, idx, terms, top=15).collect()
+        ]
+        assert by_q.get(qid, []) == want, qid
+    with pytest.raises(ValueError):
+        ti.search_many(spark, idx, {})
+    with pytest.raises(ValueError):
+        ti.search_many(spark, idx, {"empty": []})
