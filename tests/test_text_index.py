@@ -263,3 +263,41 @@ def test_search_many_equals_per_query_search(spark, docs, tmp_path):
         ti.search_many(spark, idx, {})
     with pytest.raises(ValueError):
         ti.search_many(spark, idx, {"empty": []})
+
+
+def test_index_equals_scan_property(spark, docs, tmp_path):
+    """Property: for RANDOM term sets (in-vocab, out-of-vocab, mixed,
+    repeated), index-served BM25 equals the scan-based bm25_frame —
+    data-parametric (one index, many term sets) to keep Spark cost sane."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from dataset_dedupe_estimator_spark.queries.text_analysis import bm25_frame
+
+    idx = str(tmp_path / "idx")
+    sample = docs.limit(200).localCheckpoint(eager=True)
+    ti.build_text_index(spark, sample, idx)
+    vocab = [
+        r.t
+        for r in sample.select(
+            F.explode(F.split("text", " ")).alias("t")
+        ).distinct().limit(30).collect()
+    ]
+
+    terms_strategy = st.lists(
+        st.one_of(st.sampled_from(vocab), st.just("zz_not_in_vocab")),
+        min_size=1,
+        max_size=4,
+    )
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(terms=terms_strategy)
+    def check(terms):
+        got = _ranked(ti.search(spark, idx, terms, top=10))
+        want = _ranked(bm25_frame(sample, terms, top=10))
+        assert got == want
+
+    check()

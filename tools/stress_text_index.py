@@ -53,6 +53,7 @@ def main() -> int:
         build_text_index,
         compact_text_index,
         index_stats,
+        phrase_search,
         search,
     )
     from dataset_dedupe_estimator_spark.queries.text_analysis import bm25_frame
@@ -121,6 +122,24 @@ def main() -> int:
         ]
         out["exact_match_vs_scan"] = got == want
 
+        # batch path at size: 64 queries in ONE job vs 64 single-query
+        # jobs would be ~64x the fixed overhead; require the batch to
+        # finish in well under what even 8 sequential queries cost
+        from dataset_dedupe_estimator_spark.plans.text_index import search_many
+
+        qs = {f"q{i}": (f"w{17 + i}", f"w{423 + i}") for i in range(64)}
+        t0 = time.time()
+        batch_rows = search_many(spark, idx, qs, top=10).count()
+        out["batch64_s"] = round(time.time() - t0, 2)
+        out["batch64_rows"] = batch_rows
+        ok_batch = out["batch64_s"] < 8 * q_big and batch_rows > 0
+
+        # phrase path at size: positions survive scale
+        t0 = time.time()
+        n_phrase = phrase_search(spark, idx, ("w1", "w2", "w1")).count()
+        out["phrase_s"] = round(time.time() - t0, 2)
+        out["phrase_docs"] = n_phrase
+
         cst = compact_text_index(spark, idx)
         got_c = [
             (r.doc_id, r.n_terms, r.score)
@@ -131,6 +150,7 @@ def main() -> int:
 
         ok = (
             ok_admit
+            and ok_batch
             and out["exact_match_vs_scan"]
             and out["compact_preserves_search"]
             and cst["docs"] == n_hist + n_batch
