@@ -501,6 +501,17 @@ def read_where(
             term = c.between(value[0], value[1])
         cond = cond & term
 
+    def _with_schema(df):
+        # a schema-widened column can be absent from EVERY surviving
+        # file (all post-widening files pruned, or the predicate names a
+        # column older commits lack entirely) — surface it as NULL, which
+        # is exactly what read_version would return for those rows, so
+        # null-rejecting predicates on it correctly drop them
+        for c in schema_cols:
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None))
+        return df.filter(cond).select(*schema_cols)
+
     paths = report["dirs"] + report["files"]
     if not paths:
         return (
@@ -510,7 +521,7 @@ def read_where(
         reader = spark.read
         if widened:
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*paths).filter(cond).select(*schema_cols)
+        return _with_schema(reader.parquet(*paths))
     # partitioned: group surviving files by commit dir so basePath can
     # recover the hive partition columns per scan
     by_base: dict[str, list[str]] = {d: [d] for d in report["dirs"]}
@@ -521,7 +532,7 @@ def read_where(
     for base, plist in by_base.items():
         part = spark.read.option("basePath", base).parquet(*plist)
         df = part if df is None else df.unionByName(part, allowMissingColumns=True)
-    return df.filter(cond).select(*schema_cols)
+    return _with_schema(df)
 
 
 def changes_between(

@@ -541,3 +541,36 @@ def test_zone_map_prune_property(spark, tmp_path):
         assert got == want
 
     check()
+
+
+def test_read_where_widened_column_fully_pruned(spark, tmp_path):
+    """Predicate on a widened column when EVERY file that carries it is
+    pruned: pre-widening files lack the column (kept — no stats for it),
+    the post-widening files all miss the range. The read must surface
+    the missing column as NULL (dropped by the null-rejecting predicate)
+    instead of failing analysis — row-equal to the plain filtered read."""
+    root = tmp_path / "zt"
+    vt.append(root, _ranged(spark, 0, 100, 2), stats_columns=["id"])
+    widened = (
+        _ranged(spark, 100, 200, 2)
+        .withColumn("extra", (F.col("id") * 2).cast("long"))
+    )
+    vt.append(root, widened, allow_new_columns=True, stats_columns=["id", "extra"])
+    # extra spans [200, 398]; predicate misses it entirely -> both
+    # post-widening files pruned, both pre-widening files kept (no stats)
+    rep = vt.zone_map_prune(root, [("extra", ">", 1000)])
+    assert rep["kept_files"] == 2 and rep["skipped_files"] == 2
+    got = vt.read_where(spark, root, [("extra", ">", 1000)])
+    assert got.columns == ["id", "score", "extra"]
+    assert got.count() == 0  # NULL extra never satisfies > 1000
+    want = vt.read_version(spark, root).filter(F.col("extra") > 1000)
+    assert want.count() == 0
+    # and a satisfiable band still matches the plain read exactly
+    got2 = sorted(
+        r.id for r in vt.read_where(spark, root, [("extra", "<=", 250)]).collect()
+    )
+    want2 = sorted(
+        r.id
+        for r in vt.read_version(spark, root).filter(F.col("extra") <= 250).collect()
+    )
+    assert got2 == want2 and got2
