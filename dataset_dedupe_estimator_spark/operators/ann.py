@@ -287,6 +287,134 @@ class PqIndex:
             .limit(topk)
         )
 
+    def search_batch(
+        self,
+        spark,
+        queries: DataFrame,
+        topk: int = 10,
+        nprobe: int = 2,
+        emb: DataFrame | None = None,
+        rerank: int = 200,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        q_id_col: str = "q_id",
+        q_vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Batch ANN: serve MANY query vectors in ONE job — the offline
+        shape (eval retrieval, all-queries-nightly mining) where
+        per-query job overhead dominates. ``queries`` is a bounded
+        (q_id, embedding) frame (≤ ``PQ_MAX_QUERY_BATCH`` rows per call
+        — the per-query ADC tables ship in the task closure at ~16 KB
+        each; shard larger sets). Returns (q_id, vec_id, cell, adc[,
+        cosine]) with each query's top-k, ranked exactly like
+        :meth:`search` (pinned by test): one partition-pruned pass over
+        the union of all queries' probe cells, rows fanned out per
+        probing query by a broadcast (q_id, cell) table, ADC scored
+        vectorized in Arrow batches, then a per-query rank window over
+        candidates only. With ``emb``, the same shortlist+exact-rerank
+        default as :meth:`search`, the rerank join reading only
+        Q x rerank float rows."""
+        return _pq_search_batch(
+            self, spark, queries, topk, nprobe, emb, rerank,
+            id_col, vec_col, q_id_col, q_vec_col,
+        )
+
+
+PQ_MAX_QUERY_BATCH = 4096  # ADC tables ship in a task closure: 16 KB/query
+
+
+def _pq_search_batch(idx: "PqIndex", spark, queries, topk, nprobe, emb,
+                     rerank, id_col, vec_col, q_id_col, q_vec_col):
+    """Implementation of :meth:`PqIndex.search_batch` (kept module-level
+    so the closure captures arrays, not the index object)."""
+    from pyspark.sql.window import Window
+
+    rows = queries.select(q_id_col, q_vec_col).collect()
+    if not rows:
+        raise ValueError("search_batch needs at least one query")
+    if len(rows) > PQ_MAX_QUERY_BATCH:
+        raise ValueError(
+            f"search_batch handles <= {PQ_MAX_QUERY_BATCH} queries per call "
+            f"(got {len(rows)}): the per-query ADC tables travel in the "
+            "task closure (~16 KB each) — shard larger sets into calls"
+        )
+    qids = [r[0] for r in rows]
+    qmat = np.array([[float(v) for v in r[1]] for r in rows], dtype=np.float64)
+    # per-query probe cells: (Q, k) distances, driver-side numpy
+    d2 = ((qmat[:, None, :] - idx.centroids[None, :, :]) ** 2).sum(axis=2)
+    probe = [
+        (int(qid), int(c))
+        for qid, dr in zip(qids, d2)
+        for c in np.argsort(dr)[:nprobe]
+    ]
+    all_cells = sorted({c for _, c in probe})
+    probe_df = spark.createDataFrame(probe, "q_id long, cell int")
+    # per-query ADC lookup tables (Q, m, ks)
+    tables = np.empty((len(qids), idx.m, idx.codebooks.shape[1]), np.float64)
+    for mi in range(idx.m):
+        sub = qmat[:, mi * idx.sub : (mi + 1) * idx.sub]
+        tables[:, mi, :] = (
+            (sub[:, None, :] - idx.codebooks[mi][None, :, :]) ** 2
+        ).sum(axis=2)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    m = idx.m
+
+    def adc_score(batches):
+        import pyarrow as pa
+
+        T, P = tables, qpos  # closure-shipped: Q x m x ks doubles
+        for batch in batches:
+            bidx = {n: i for i, n in enumerate(batch.schema.names)}
+            q = batch.column(bidx["q_id"]).to_numpy(zero_copy_only=False)
+            codes = np.stack(
+                batch.column(bidx["codes"]).to_numpy(zero_copy_only=False)
+            ).astype(np.int64)
+            rowsel = np.array([P[int(x)] for x in q])
+            acc = np.zeros(len(q), np.float64)
+            for mi in range(m):
+                acc += T[rowsel, mi, codes[:, mi]]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(bidx["q_id"]),
+                    batch.column(bidx["vec_id"]),
+                    batch.column(bidx["cell"]),
+                    pa.array(acc, pa.float64()),
+                ],
+                names=["q_id", "vec_id", "cell", "adc"],
+            )
+
+    cand = (
+        idx.codes_df(spark)
+        .filter(F.col("cell").isin(all_cells))  # static -> partition pruning
+        .join(F.broadcast(probe_df), "cell")  # fan rows out per probing query
+        .select("q_id", "vec_id", "cell", "codes")
+        .mapInArrow(adc_score, "q_id long, vec_id long, cell int, adc double")
+    )
+    w = Window.partitionBy("q_id").orderBy("adc", "vec_id")
+    shortlist = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= (topk if emb is None else max(rerank, topk)))
+        .drop("rn")
+    )
+    if emb is None:
+        return shortlist
+    # exact rerank: join shortlist ids back to the source vectors and
+    # score each row against its OWN query vector (broadcast query side)
+    qsel = queries.select(
+        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_embedding")
+    )
+    exact = cosine(F.col(vec_col), F.col("q_embedding"), norm(F.col(vec_col)))
+    w2 = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+        .join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(qsel), "q_id")
+        .select("q_id", "vec_id", "cell", "adc", exact.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= topk)
+        .drop("rn")
+    )
+
 
 def _pq_gen_dir(index_dir, n: int):
     from pathlib import Path

@@ -330,3 +330,58 @@ def test_pq_index_rerank_default_path(spark, emb, pq_index):
         ).collect()
     }
     assert len(rr & gt) >= len(adc_only & gt)
+
+
+def test_pq_search_batch_equals_per_query(spark, emb, pq_index):
+    """Batch ANN: one job serves many query vectors; per-query rows
+    identical to the single-query path in both ADC-only and reranked
+    modes; oversized batches refuse."""
+    import pytest as _pt
+
+    from dataset_dedupe_estimator_spark.operators import ann as A
+
+    qrows = emb.orderBy("vec_id").limit(5).collect()
+    queries = spark.createDataFrame(
+        [(r.vec_id, list(r.embedding)) for r in qrows],
+        "q_id long, embedding array<float>",
+    )
+    # ADC-only mode
+    got = pq_index.search_batch(spark, queries, topk=5, nprobe=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append((r.vec_id, round(r.adc, 9)))
+    for r in qrows:
+        want = [
+            (h.vec_id, round(h.adc, 9))
+            for h in pq_index.search(
+                spark, [float(v) for v in r.embedding], topk=5, nprobe=4
+            ).collect()
+        ]
+        assert by_q[r.vec_id] == want, r.vec_id
+    # reranked default mode
+    got_rr = pq_index.search_batch(
+        spark, queries, topk=5, nprobe=4, emb=emb, rerank=50
+    ).collect()
+    by_q_rr = {}
+    for r in got_rr:
+        by_q_rr.setdefault(r.q_id, []).append((r.vec_id, round(r.cosine, 9)))
+    for r in qrows:
+        want = [
+            (h.vec_id, round(h.cosine, 9))
+            for h in pq_index.search(
+                spark,
+                [float(v) for v in r.embedding],
+                topk=5,
+                nprobe=4,
+                emb=emb,
+                rerank=50,
+            ).collect()
+        ]
+        assert by_q_rr[r.vec_id] == want, r.vec_id
+    # bound enforced
+    big = spark.range(A.PQ_MAX_QUERY_BATCH + 1).select(
+        F.col("id").alias("q_id"),
+        F.array(*[F.lit(0.0)] * 4).alias("embedding"),
+    )
+    with _pt.raises(ValueError, match="per call"):
+        pq_index.search_batch(spark, big)
