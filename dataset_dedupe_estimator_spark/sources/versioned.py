@@ -99,11 +99,72 @@ def _commit(root: Path, entry: dict) -> None:
 
 
 # Zone-map-eligible Spark dtypes: exact-integer and float columns whose
-# parquet footer min/max round-trip JSON losslessly. Strings are excluded
-# on purpose — parquet may TRUNCATE string statistics, and a truncated max
-# is a prefix that compares LOW, which would wrongly prune files (data
-# loss, not a slowdown). Dates/timestamps can join later via ISO encoding.
-_STATS_DTYPES = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+# parquet footer min/max round-trip JSON losslessly, plus dates and NAIVE
+# timestamps (both encoded to integers at collect time: ordinal days /
+# epoch microseconds — one unambiguous comparison space shared by stats
+# and predicates). Strings are excluded on purpose — parquet may TRUNCATE
+# string statistics, and a truncated max is a prefix that compares LOW,
+# which would wrongly prune files (data loss, not a slowdown). Zone-aware
+# timestamps are excluded: a session-timezone-dependent comparison space
+# risks WRONG pruning — store event time as timestamp_ntz or epoch ints.
+_STATS_DTYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "date", "timestamp_ntz",
+}
+
+
+def _encode_stat(v):
+    """Collapse a parquet footer min/max value into the JSON-stable
+    integer comparison space: naive datetime -> epoch microseconds,
+    date -> ordinal day, numbers unchanged."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            raise ValueError("zone-aware timestamp stats are not supported")
+        delta = v - _dt.datetime(1970, 1, 1)
+        return (
+            delta.days * 86_400_000_000
+            + delta.seconds * 1_000_000
+            + delta.microseconds
+        )
+    if isinstance(v, _dt.date):
+        return v.toordinal()
+    return v
+
+
+def _encode_pred_value(v, kind: str):
+    """Bring a predicate value into the recorded stats' comparison
+    space. ``kind`` is the column's recorded stats type: 'date' expects
+    a date/ISO day string (ordinal-day space), 'timestamp_ntz' a naive
+    datetime/ISO string (epoch-microsecond space), anything else a
+    number."""
+    import datetime as _dt
+
+    if kind == "date":
+        if isinstance(v, str):
+            v = _dt.date.fromisoformat(v)
+        if isinstance(v, _dt.datetime):
+            raise ValueError(
+                f"predicate value {v!r} is a datetime but the column's "
+                "zone maps are DATE-typed — pass a date or 'YYYY-MM-DD'"
+            )
+        if not isinstance(v, _dt.date):
+            raise ValueError(f"date zone maps need a date value, got {v!r}")
+        return v.toordinal()
+    if kind == "timestamp_ntz":
+        if isinstance(v, str):
+            v = _dt.datetime.fromisoformat(v)
+        if not isinstance(v, _dt.datetime):
+            raise ValueError(
+                f"timestamp zone maps need a naive datetime value, got {v!r}"
+            )
+        return _encode_stat(v)
+    if isinstance(v, (int, float)):
+        return v
+    raise ValueError(
+        f"numeric zone maps need a numeric predicate value, got {v!r}"
+    )
 
 
 def _validate_stats_columns(
@@ -155,7 +216,7 @@ def _collect_file_stats(data_dir: Path, stats_columns: list[str]) -> dict:
                 lo = st.min if lo is None else min(lo, st.min)
                 hi = st.max if hi is None else max(hi, st.max)
             if usable and lo is not None:
-                per_col[c] = [lo, hi]
+                per_col[c] = [_encode_stat(lo), _encode_stat(hi)]
         stats[str(f.relative_to(data_dir))] = per_col
     return stats
 
@@ -222,6 +283,8 @@ def _commit_locked(
     }
     if stats_columns:
         entry["stats_columns"] = stats_columns
+        dtypes = dict(df.dtypes)
+        entry["stats_types"] = {c: dtypes[c] for c in stats_columns}
         entry["stats"] = _collect_file_stats(data_dir, stats_columns)
     if widened:
         entry["added_columns"] = sorted(widened)
@@ -433,10 +496,31 @@ def zone_map_prune(
             plain_dirs.append(d)
             continue
         stats_dirs.append(d)
+        # per-column stats kind; entries written before kinds were
+        # recorded hold plain numbers
+        types = entry.get("stats_types") or {
+            c: "numeric" for c in entry.get("stats_columns", [])
+        }
+        # bring predicate values into this entry's recorded comparison
+        # space once (date -> ordinal day, naive ts -> epoch micros);
+        # a predicate column this entry has no stats for can never prune
+        # here, so it is skipped rather than mis-encoded
+        enc: list[tuple] = []
+        for col, op, value in predicates:
+            if col not in types:
+                continue
+            kind = types[col]
+            if op == "between":
+                enc.append((col, op, (
+                    _encode_pred_value(value[0], kind),
+                    _encode_pred_value(value[1], kind),
+                )))
+            else:
+                enc.append((col, op, _encode_pred_value(value, kind)))
         for rel, per_col in stats.items():
             total += 1
             keep = True
-            for col, op, value in predicates:
+            for col, op, value in enc:
                 rng = per_col.get(col)
                 if rng is not None and not _range_may_match(rng[0], rng[1], op, value):
                     keep = False
@@ -484,22 +568,38 @@ def read_where(
     partitioned = bool(live_entries[-1].get("partition_by"))
     widened = any("added_columns" in e for e in live_entries)
 
-    cond = F.lit(True)
-    for col, op, value in predicates:
-        c = F.col(col)
-        if op == "==":
-            term = c == value
-        elif op == "<":
-            term = c < value
-        elif op == "<=":
-            term = c <= value
-        elif op == ">":
-            term = c > value
-        elif op == ">=":
-            term = c >= value
-        else:
-            term = c.between(value[0], value[1])
-        cond = cond & term
+    def _typed_lit(df, col, value):
+        """Literal in the COLUMN's type: naive datetimes / dates / ISO
+        strings cast via string to timestamp_ntz or date (timezone-free
+        by construction — a bare Python-datetime literal would become a
+        session-zoned TIMESTAMP and shift against an NTZ column)."""
+        import datetime as _dt
+
+        dtype = dict(df.dtypes).get(col)
+        if dtype in ("timestamp_ntz", "timestamp", "date"):
+            if isinstance(value, (_dt.datetime, _dt.date)):
+                value = value.isoformat(sep=" ") if isinstance(
+                    value, _dt.datetime
+                ) else value.isoformat()
+            return F.lit(value).cast(dtype)
+        return F.lit(value)
+
+    def _cond(df):
+        cond = F.lit(True)
+        for col, op, value in predicates:
+            c = F.col(col)
+            if op == "between":
+                term = (c >= _typed_lit(df, col, value[0])) & (
+                    c <= _typed_lit(df, col, value[1])
+                )
+            else:
+                v = _typed_lit(df, col, value)
+                term = {
+                    "==": c == v, "<": c < v, "<=": c <= v,
+                    ">": c > v, ">=": c >= v,
+                }[op]
+            cond = cond & term
+        return cond
 
     def _with_schema(df):
         # a schema-widened column can be absent from EVERY surviving
@@ -510,13 +610,12 @@ def read_where(
         for c in schema_cols:
             if c not in df.columns:
                 df = df.withColumn(c, F.lit(None))
-        return df.filter(cond).select(*schema_cols)
+        return df.filter(_cond(df)).select(*schema_cols)
 
     paths = report["dirs"] + report["files"]
     if not paths:
-        return (
-            read_version(spark, root, version).filter(cond).limit(0)
-        )
+        snap = read_version(spark, root, version)
+        return snap.filter(_cond(snap)).limit(0)
     if not partitioned:
         reader = spark.read
         if widened:

@@ -574,3 +574,65 @@ def test_read_where_widened_column_fully_pruned(spark, tmp_path):
         for r in vt.read_version(spark, root).filter(F.col("extra") <= 250).collect()
     )
     assert got2 == want2 and got2
+
+
+def test_zone_maps_on_timestamps_and_dates(spark, sf_dir, tmp_path):
+    """Temporal zone maps: naive-timestamp and date columns prune by
+    time range — the dominant predicate on event data — and the pruned
+    read is row-identical to the plain filtered snapshot."""
+    import datetime as dt
+
+    root = tmp_path / "ev"
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", F.to_date("ts").alias("day")
+    )
+    assert dict(events.dtypes)["ts"] == "timestamp_ntz"
+    vt.append(
+        root,
+        events.repartitionByRange(6, "ts"),
+        stats_columns=["ts", "day"],
+    )
+    entry = vt.history(root)[-1]
+    assert entry["stats_types"] == {"ts": "timestamp_ntz", "day": "date"}
+    # stats landed as integers (epoch micros / ordinal days), not strings
+    some = next(iter(entry["stats"].values()))
+    assert all(isinstance(b, int) for rng in some.values() for b in rng)
+
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    band = (mid, mid + dt.timedelta(hours=6))
+    rep = vt.zone_map_prune(root, [("ts", "between", band)])
+    assert rep["skipped_files"] >= 4, rep  # range layout prunes most files
+
+    got = sorted(
+        r.event_id
+        for r in vt.read_where(spark, root, [("ts", "between", band)]).collect()
+    )
+    want = sorted(
+        r.event_id
+        for r in vt.read_version(spark, root)
+        .filter(F.col("ts").between(*band))
+        .collect()
+    )
+    assert got == want and want
+
+    # date-typed predicate, passed as an ISO string
+    day = mid.date().isoformat()
+    got_d = vt.read_where(spark, root, [("day", "==", day)]).count()
+    want_d = (
+        vt.read_version(spark, root).filter(F.col("day") == day).count()
+    )
+    assert got_d == want_d > 0
+    # datetime against a DATE column is ambiguous -> refused
+    with pytest.raises(ValueError, match="DATE-typed"):
+        vt.zone_map_prune(root, [("day", "==", mid)])
+
+
+def test_zone_maps_refuse_zoned_timestamps(spark, tmp_path):
+    root = tmp_path / "tz"
+    df = spark.range(10).select(
+        "id", F.timestamp_seconds(F.col("id") * 3600).alias("zoned_ts")
+    )
+    assert dict(df.dtypes)["zoned_ts"] == "timestamp"
+    with pytest.raises(ValueError, match="zone maps support"):
+        vt.append(root, df, stats_columns=["zoned_ts"])
