@@ -1161,6 +1161,40 @@ def cmd_table(args) -> int:
     elif args.action == "vacuum":
         removed = vt.vacuum(args.root, keep_versions=args.keep)
         print(f"removed {len(removed)} data dirs: {', '.join(removed) or '-'}")
+    elif args.action == "ingest":
+        # continuous ingestion: every microbatch of newly-arrived files
+        # becomes ONE auditable commit; the checkpoint makes ingestion
+        # exactly-once per input file across restarts
+        if not args.src or not args.checkpoint:
+            print("ingest needs SRC inbox dir and --checkpoint", file=sys.stderr)
+            return 2
+        spark = _spark(args)
+        before = len(vt.history(args.root))
+        static = spark.read.option("recursiveFileLookup", "true").parquet(args.src)
+        q = (
+            spark.readStream.schema(static.schema)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(args.src)
+            .writeStream.foreachBatch(
+                lambda batch, _id: vt.append(
+                    args.root, batch, num_files=args.files or 1,
+                    stats_columns=stats_cols,
+                )
+                if not batch.isEmpty()
+                else None
+            )
+            .option("checkpointLocation", args.checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            print("ingest: stream did not drain within 600s", file=sys.stderr)
+            return 1
+        n_new = len(vt.history(args.root)) - before
+        print(f"{n_new} commit(s) ingested (v{before}..v{before + n_new - 1})"
+              if n_new else "nothing new to ingest")
     return 0
 
 
@@ -1450,7 +1484,10 @@ def build_parser() -> argparse.ArgumentParser:
     tb = sub.add_parser("table", help="versioned parquet table: snapshots + time travel")
     tb.add_argument(
         "action",
-        choices=["append", "overwrite", "history", "read", "optimize", "vacuum"],
+        choices=[
+            "append", "overwrite", "history", "read", "optimize", "vacuum",
+            "ingest",
+        ],
     )
     tb.add_argument("root")
     tb.add_argument("src", nargs="?")
@@ -1459,6 +1496,7 @@ def build_parser() -> argparse.ArgumentParser:
     tb.add_argument("--files", type=int)
     tb.add_argument("--keep", type=int, default=1)
     tb.add_argument("--zorder-by", help="comma-separated cluster columns for optimize")
+    tb.add_argument("--checkpoint", help="streaming checkpoint dir (ingest)")
     tb.add_argument(
         "--stats-columns",
         help="comma-separated numeric columns to record per-file zone maps for (append/overwrite/optimize)",

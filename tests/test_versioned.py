@@ -636,3 +636,32 @@ def test_zone_maps_refuse_zoned_timestamps(spark, tmp_path):
     assert dict(df.dtypes)["zoned_ts"] == "timestamp"
     with pytest.raises(ValueError, match="zone maps support"):
         vt.append(root, df, stats_columns=["zoned_ts"])
+
+
+def test_cli_table_ingest_stream(capsys, spark, tmp_path):
+    """de table ingest: exactly-once streaming ingestion, one commit per
+    arrived file, zone maps recorded when --stats-columns given."""
+    from dataset_dedupe_estimator_spark.cli import main
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    root = str(tmp_path / "vt")
+    ckpt = str(tmp_path / "ckpt")
+    _mk(spark, 0, 50).coalesce(1).write.parquet(str(inbox / "a.parquet"))
+    _mk(spark, 50, 90).coalesce(1).write.parquet(str(inbox / "b.parquet"))
+
+    assert main([
+        "table", "ingest", root, str(inbox),
+        "--checkpoint", ckpt, "--stats-columns", "id",
+    ]) == 0
+    assert "2 commit(s) ingested" in capsys.readouterr().out
+    hist = vt.history(root)
+    assert [e["version"] for e in hist] == [0, 1]
+    assert all(e.get("stats_columns") == ["id"] for e in hist)
+    assert vt.read_version(spark, root).count() == 90
+    # replay with the same checkpoint: nothing new
+    assert main(["table", "ingest", root, str(inbox), "--checkpoint", ckpt]) == 0
+    assert "nothing new" in capsys.readouterr().out
+    assert len(vt.history(root)) == 2
+    # missing checkpoint refused
+    assert main(["table", "ingest", root, str(inbox)]) == 2

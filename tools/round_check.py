@@ -161,6 +161,13 @@ def main() -> int:
                 stress_ok,
             )
         )
+        results.append(
+            _run(
+                "stress text index",
+                [sys.executable, "tools/stress_text_index.py", "100000", "10000"],
+                stress_ok,
+            )
+        )
 
     print("\n" + ("ALL GREEN" if all(results) else "FAILURES — see above"))
     return 0 if all(results) else 1
