@@ -39,6 +39,10 @@ shuffles only the new batch's postings; df counts ride the pruned
 bucket scans; nothing corpus-sized moves at query time. At deployment
 scale the doclens store is bucketed by doc_id so the candidate join is
 exchange-free on the index side.
+
+Reference parity note: the reference engine (dedup_estimator.rs) has no
+text-search layer; this is part of the beyond-reference training-data
+pipeline surface, like plans/lsh_index.py and sources/versioned.py.
 """
 
 from __future__ import annotations
