@@ -320,6 +320,36 @@ class PqIndex:
         )
 
 
+def pq_code_dup_groups(spark, index_dir, min_group: int = 2) -> DataFrame:
+    """Embedding near-dup membership straight from the at-rest PQ codes:
+    vectors quantized to the SAME (cell, code vector) reconstruct to the
+    same point, so identical codes mean near-identical embeddings
+    (within quantization distortion — the SemDeDup observation served
+    from the index). Returns (vec_id, keeper_vec_id, group_size) for
+    every member of a group of >= ``min_group``; ``keeper_vec_id`` is
+    the group's smallest id (deterministic keep-first rule).
+
+    Scale shape: the ONLY data read is the code column (32x smaller
+    than the vectors — float embeddings are never touched), and the
+    plan is one hash aggregate on (cell, codes) plus one equi-join of
+    the small group table back onto the codes; at 1B vectors this is a
+    narrow-table groupBy, not an ANN search, and cell partitioning
+    keeps both sides co-located."""
+    idx = PqIndex.load(index_dir)
+    codes = idx.codes_df(spark)
+    groups = (
+        codes.groupBy("cell", "codes")
+        .agg(
+            F.min("vec_id").alias("keeper_vec_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .filter(F.col("group_size") >= min_group)
+    )
+    return codes.join(groups, ["cell", "codes"]).select(
+        "vec_id", "keeper_vec_id", "group_size"
+    )
+
+
 PQ_MAX_QUERY_BATCH = 4096  # ADC tables ship in a task closure: 16 KB/query
 
 

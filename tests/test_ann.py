@@ -385,3 +385,38 @@ def test_pq_search_batch_equals_per_query(spark, emb, pq_index):
     )
     with _pt.raises(ValueError, match="per call"):
         pq_index.search_batch(spark, big)
+
+
+def test_pq_code_dup_groups_finds_planted_duplicates(spark, emb, tmp_path):
+    """Exact-duplicate vectors admitted under new ids quantize to the
+    same (cell, codes) and come back as one group with the smallest id
+    as keeper — embedding near-dup membership read from codes alone."""
+    from dataset_dedupe_estimator_spark.operators.ann import (
+        PqIndex,
+        pq_code_dup_groups,
+        pq_index_add,
+    )
+
+    d = tmp_path / "idx"
+    PqIndex.build(emb, d, k=8, ks=32, train_sample=512, seed=42)
+    base = emb.count()
+    # plant: copies of three existing vectors under fresh ids
+    copies = (
+        emb.filter(F.col("vec_id").isin([3, 7, 11]))
+        .select((F.col("vec_id") + 100_000).alias("vec_id"), "embedding")
+    )
+    pq_index_add(spark, d, copies)
+    members = pq_code_dup_groups(spark, d).collect()
+    by_keeper = {}
+    for r in members:
+        by_keeper.setdefault(r.keeper_vec_id, set()).add(r.vec_id)
+    for orig in (3, 7, 11):
+        grp = by_keeper.get(orig) or next(
+            (g for g in by_keeper.values() if orig in g), None
+        )
+        assert grp is not None and {orig, orig + 100_000} <= grp
+    # every group is self-consistent: keeper is its own smallest member
+    for keeper, grp in by_keeper.items():
+        assert keeper == min(grp)
+        assert len(grp) >= 2
+    assert base  # fixture sanity
