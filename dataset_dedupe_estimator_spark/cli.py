@@ -1103,11 +1103,29 @@ def cmd_table(args) -> int:
     log entry, so crashed commits are invisible orphans)."""
     from dataset_dedupe_estimator_spark.sources import versioned as vt
 
+    def _parse_value(v):
+        # ints, floats, else raw string (ISO dates/timestamps — versioned
+        # typechecks them against the column's recorded stats kind)
+        try:
+            return int(v)
+        except ValueError:
+            pass
+        try:
+            return float(v)
+        except ValueError:
+            return v
+
     def _parse_where(specs):
         preds = []
         for s in specs:
-            col, op, raw = s.split(":", 2)
-            vals = [float(v) if "." in v else int(v) for v in raw.split(",")]
+            parts = s.split(":", 2)
+            if len(parts) != 3:
+                raise SystemExit(
+                    f"--where {s!r}: expected COL:OP:VALUE "
+                    "(e.g. id:between:100,200 or day:>=:2024-01-01)"
+                )
+            col, op, raw = parts
+            vals = [_parse_value(v) for v in raw.split(",")]
             preds.append((col, op, tuple(vals) if op == "between" else vals[0]))
         return preds
 
@@ -1133,8 +1151,14 @@ def cmd_table(args) -> int:
         label = "latest" if args.version is None else f"v{args.version}"
         if args.where:
             preds = _parse_where(args.where)
-            rep = vt.zone_map_prune(args.root, preds, args.version)
-            df = vt.read_where(spark, args.root, preds, args.version)
+            # pin the version NOW so the printed skip report and the
+            # returned rows describe the same snapshot even if a commit
+            # lands in between
+            version = args.version
+            if version is None:
+                version = vt.history(args.root)[-1]["version"]
+            rep = vt.zone_map_prune(args.root, preds, version)
+            df = vt.read_where(spark, args.root, preds, version)
             label += (
                 f" where {' AND '.join(args.where)} "
                 f"(zone maps: {rep['kept_files']}/{rep['total_files']} files, "
@@ -1163,27 +1187,47 @@ def cmd_table(args) -> int:
         print(f"removed {len(removed)} data dirs: {', '.join(removed) or '-'}")
     elif args.action == "ingest":
         # continuous ingestion: every microbatch of newly-arrived files
-        # becomes ONE auditable commit; the checkpoint makes ingestion
-        # exactly-once per input file across restarts
+        # becomes ONE auditable commit. The checkpoint dedupes input
+        # files across restarts, and each commit is TAGGED with its
+        # (checkpoint, batch_id) so the at-least-once foreachBatch
+        # replay window (crash after commit, before checkpoint write)
+        # is a no-op instead of a silent row duplication.
         if not args.src or not args.checkpoint:
             print("ingest needs SRC inbox dir and --checkpoint", file=sys.stderr)
             return 2
         spark = _spark(args)
+        from pyspark.errors import AnalysisException
+
+        try:
+            static = spark.read.option("recursiveFileLookup", "true").parquet(
+                args.src
+            )
+        except AnalysisException:
+            print("nothing new to ingest (inbox empty)")
+            return 0
         before = len(vt.history(args.root))
-        static = spark.read.option("recursiveFileLookup", "true").parquet(args.src)
+        ckpt_tag = os.path.abspath(args.checkpoint)
+
+        def _ingest(batch, batch_id):
+            if batch.isEmpty():
+                return
+            tag = f"{ckpt_tag}#{batch_id}"
+            if any(
+                e.get("ingest_batch") == tag for e in vt.history(args.root)
+            ):
+                return  # replayed batch: already committed
+            vt.append(
+                args.root, batch, num_files=args.files or 1,
+                stats_columns=stats_cols,
+                extra_entry={"ingest_batch": tag},
+            )
+
         q = (
             spark.readStream.schema(static.schema)
             .option("recursiveFileLookup", "true")
             .option("maxFilesPerTrigger", 1)
             .parquet(args.src)
-            .writeStream.foreachBatch(
-                lambda batch, _id: vt.append(
-                    args.root, batch, num_files=args.files or 1,
-                    stats_columns=stats_cols,
-                )
-                if not batch.isEmpty()
-                else None
-            )
+            .writeStream.foreachBatch(_ingest)
             .option("checkpointLocation", args.checkpoint)
             .trigger(availableNow=True)
             .start()

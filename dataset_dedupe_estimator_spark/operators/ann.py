@@ -369,16 +369,29 @@ def _pq_search_batch(idx: "PqIndex", spark, queries, topk, nprobe, emb,
             "task closure (~16 KB each) — shard larger sets into calls"
         )
     qids = [r[0] for r in rows]
+    if len(set(qids)) != len(qids):
+        raise ValueError("search_batch query ids must be unique")
     qmat = np.array([[float(v) for v in r[1]] for r in rows], dtype=np.float64)
+    # internal DENSE POSITIONAL id (`qpos`) — query ids of any type
+    # (strings, longs, ...) map back at the end via a broadcast join
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    qmap_df = spark.createDataFrame(
+        [(i, r[0]) for i, r in enumerate(rows)],
+        StructType([
+            StructField("qpos", IntegerType(), False),
+            StructField("q_id", queries.schema[q_id_col].dataType, True),
+        ]),
+    )
     # per-query probe cells: (Q, k) distances, driver-side numpy
     d2 = ((qmat[:, None, :] - idx.centroids[None, :, :]) ** 2).sum(axis=2)
     probe = [
-        (int(qid), int(c))
-        for qid, dr in zip(qids, d2)
+        (i, int(c))
+        for i, dr in enumerate(d2)
         for c in np.argsort(dr)[:nprobe]
     ]
     all_cells = sorted({c for _, c in probe})
-    probe_df = spark.createDataFrame(probe, "q_id long, cell int")
+    probe_df = spark.createDataFrame(probe, "qpos int, cell int")
     # per-query ADC lookup tables (Q, m, ks)
     tables = np.empty((len(qids), idx.m, idx.codebooks.shape[1]), np.float64)
     for mi in range(idx.m):
@@ -386,39 +399,42 @@ def _pq_search_batch(idx: "PqIndex", spark, queries, topk, nprobe, emb,
         tables[:, mi, :] = (
             (sub[:, None, :] - idx.codebooks[mi][None, :, :]) ** 2
         ).sum(axis=2)
-    qpos = {int(q): i for i, q in enumerate(qids)}
     m = idx.m
 
     def adc_score(batches):
         import pyarrow as pa
 
-        T, P = tables, qpos  # closure-shipped: Q x m x ks doubles
+        T = tables  # closure-shipped: Q x m x ks doubles
         for batch in batches:
             bidx = {n: i for i, n in enumerate(batch.schema.names)}
-            q = batch.column(bidx["q_id"]).to_numpy(zero_copy_only=False)
+            q = batch.column(bidx["qpos"]).to_numpy(zero_copy_only=False)
+            if len(q) == 0:
+                continue  # empty Arrow batch: np.stack would raise
             codes = np.stack(
                 batch.column(bidx["codes"]).to_numpy(zero_copy_only=False)
             ).astype(np.int64)
-            rowsel = np.array([P[int(x)] for x in q])
+            rowsel = q.astype(np.int64)
             acc = np.zeros(len(q), np.float64)
             for mi in range(m):
                 acc += T[rowsel, mi, codes[:, mi]]
             yield pa.RecordBatch.from_arrays(
                 [
-                    batch.column(bidx["q_id"]),
+                    batch.column(bidx["qpos"]),
                     batch.column(bidx["vec_id"]),
                     batch.column(bidx["cell"]),
                     pa.array(acc, pa.float64()),
                 ],
-                names=["q_id", "vec_id", "cell", "adc"],
+                names=["qpos", "vec_id", "cell", "adc"],
             )
 
     cand = (
         idx.codes_df(spark)
         .filter(F.col("cell").isin(all_cells))  # static -> partition pruning
         .join(F.broadcast(probe_df), "cell")  # fan rows out per probing query
-        .select("q_id", "vec_id", "cell", "codes")
-        .mapInArrow(adc_score, "q_id long, vec_id long, cell int, adc double")
+        .select("qpos", "vec_id", "cell", "codes")
+        .mapInArrow(adc_score, "qpos int, vec_id long, cell int, adc double")
+        .join(F.broadcast(qmap_df), "qpos")
+        .drop("qpos")
     )
     w = Window.partitionBy("q_id").orderBy("adc", "vec_id")
     shortlist = (

@@ -104,9 +104,13 @@ def _break_stale(lock: Path, stale_ident: tuple) -> bool:
         tomb.unlink(missing_ok=True)
         return True
     try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        os.write(fd, captured.encode())
-        os.close(fd)
+        # restore by HARD LINK so the yanked writer's lock keeps its
+        # ORIGINAL inode — an O_EXCL re-create would give it a fresh
+        # inode, and the yanked writer's identity-guarded release would
+        # then refuse to unlink it, stranding a live-pid lock no process
+        # would ever remove; link also fails atomically (EEXIST) if a
+        # third contender already took a fresh lock, never clobbering it
+        os.link(tomb, lock)
         tomb.unlink(missing_ok=True)
     except FileExistsError:
         # a third contender already holds a fresh lock; keep the yanked

@@ -134,6 +134,16 @@ def _doclens_of(docs: DataFrame) -> DataFrame:
     )
 
 
+def _dedup_batch(docs: DataFrame) -> DataFrame:
+    """One row per doc_id WITHIN a batch (deterministic min-text keeper).
+    Without this, a duplicate doc_id in one batch — e.g. a streaming
+    microbatch spanning two inbox files that both carry the doc — would
+    double its tf/positions in _postings_of's (doc_id, term) aggregate,
+    write two doclens rows, and inflate the manifest's n_docs/sum_dl;
+    the cross-batch anti-join only guards ACROSS admissions."""
+    return docs.groupBy("doc_id").agg(F.min("text").alias("text"))
+
+
 def _write_generation(gen_dir: Path, postings: DataFrame, doclens: DataFrame):
     postings.write.partitionBy("bucket").mode("errorifexists").parquet(
         str(gen_dir / "postings")
@@ -193,6 +203,7 @@ def build_text_index(
             # crashed prior build: parquet written, manifest never
             # committed — the orphan was never part of any index
             shutil.rmtree(gen0)
+        docs = _dedup_batch(docs.select("doc_id", "text"))
         _write_generation(gen0, _postings_of(docs, n_buckets), _doclens_of(docs))
         stats = (
             spark.read.parquet(str(gen0 / "doclens"))
@@ -231,7 +242,9 @@ def admit_docs(
             if _gen_no(p) >= gen:
                 shutil.rmtree(p)
         known = _doclens_df(spark, index_dir, meta).select("doc_id")
-        fresh = docs.select("doc_id", "text").join(known, "doc_id", "left_anti")
+        fresh = _dedup_batch(docs.select("doc_id", "text")).join(
+            known, "doc_id", "left_anti"
+        )
         gen_dir = index_dir / f"gen-{gen:05d}"
         _write_generation(
             gen_dir, _postings_of(fresh, meta["n_buckets"]), _doclens_of(fresh)
@@ -283,10 +296,10 @@ def search(
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
         .select("term", "doc_id", "tf")
     )
-    # localCheckpoint: dfs and candidates come from ONE materialization of
-    # the pruned scan (and a concurrent admission committing between two
-    # separate reads could otherwise skew df vs tf)
-    hits = hits.localCheckpoint(eager=True)
+    # dfs and candidates run as two jobs over the SAME committed
+    # generation paths (meta was read once; gen dirs are immutable), so
+    # no checkpoint is needed — and a per-query localCheckpoint would
+    # leak cached blocks for the life of the session in a search service
     dfs = {r["term"]: r["n"] for r in hits.groupBy("term").agg(
         F.count(F.lit(1)).alias("n")).collect()}
     cand = hits.groupBy("doc_id").agg(
@@ -369,8 +382,9 @@ def search_many(
         _postings_df(spark, index_dir, meta)
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(all_terms))
         .select("term", "doc_id", "tf")
-        .localCheckpoint(eager=True)  # one materialization: df + candidates
     )
+    # two jobs over the same immutable generation paths (see search());
+    # no per-call checkpoint — it would leak cache in a query service
     dfs = {
         r["term"]: r["n"]
         for r in hits.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()

@@ -302,6 +302,7 @@ def _write_commit(
     partition_by: list[str] | None = None,
     allow_new_columns: bool = False,
     stats_columns: list[str] | None = None,
+    extra_entry: dict | None = None,
 ) -> dict:
     root = Path(root)
     (root / _VLOG).mkdir(parents=True, exist_ok=True)
@@ -310,6 +311,7 @@ def _write_commit(
         return _commit_locked(
             root, entries, df, action, num_files,
             partition_by, allow_new_columns, stats_columns,
+            extra_entry=extra_entry,
         )
 
 
@@ -320,6 +322,7 @@ def append(
     partition_by: list[str] | None = None,
     allow_new_columns: bool = False,
     stats_columns: list[str] | None = None,
+    extra_entry: dict | None = None,
 ) -> dict:
     """Commit ``df`` as a new version that ADDS to the live set.
 
@@ -331,11 +334,13 @@ def append(
     ``stats_columns`` records per-file min/max zone maps in the log
     entry (Delta data-skipping shape) that ``read_where`` uses to drop
     whole files before the scan; once set, later commits inherit it
-    unless they pass their own list.
+    unless they pass their own list. ``extra_entry`` merges
+    caller-supplied keys into the log entry — the hook idempotent
+    ingestion uses to tag commits with their source batch id.
     """
     return _write_commit(
         root, df, "append", num_files, partition_by, allow_new_columns,
-        stats_columns,
+        stats_columns, extra_entry,
     )
 
 

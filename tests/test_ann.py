@@ -378,6 +378,23 @@ def test_pq_search_batch_equals_per_query(spark, emb, pq_index):
             ).collect()
         ]
         assert by_q_rr[r.vec_id] == want, r.vec_id
+    # STRING query ids work (positional indirection; ids of any type)
+    squeries = spark.createDataFrame(
+        [(f"probe-{r.vec_id}", list(r.embedding)) for r in qrows[:2]],
+        "q_id string, embedding array<float>",
+    )
+    sgot = pq_index.search_batch(spark, squeries, topk=3, nprobe=4).collect()
+    sby = {}
+    for r in sgot:
+        sby.setdefault(r.q_id, []).append(r.vec_id)
+    for r in qrows[:2]:
+        want = [
+            h.vec_id
+            for h in pq_index.search(
+                spark, [float(v) for v in r.embedding], topk=3, nprobe=4
+            ).collect()
+        ]
+        assert sby[f"probe-{r.vec_id}"] == want
     # bound enforced
     big = spark.range(A.PQ_MAX_QUERY_BATCH + 1).select(
         F.col("id").alias("q_id"),

@@ -346,16 +346,16 @@ def test_break_stale_restore_loses_keeps_yanked_evidence(tmp_path, monkeypatch):
     lock.unlink()
     lock.write_text(live_text)  # the live writer we are about to yank
 
-    real_open = os.open
+    real_link = os.link
 
-    def racing_open(path, flags, *a, **kw):
+    def racing_link(src, dst, *a, **kw):
         # a third contender O_EXCL-creates the lock between our rename
-        # and our restore attempt
-        if str(path) == str(lock) and flags & os.O_EXCL and flags & os.O_WRONLY:
+        # and our hard-link restore attempt
+        if str(dst) == str(lock):
             lock.write_text(third_text)
-        return real_open(path, flags, *a, **kw)
+        return real_link(src, dst, *a, **kw)
 
-    monkeypatch.setattr(il.os, "open", racing_open)
+    monkeypatch.setattr(il.os, "link", racing_link)
     assert not il._break_stale(lock, stale_ino)
     assert lock.read_text() == third_text  # third contender keeps the lock
     yanked = list(tmp_path.glob("_writer.lock.yanked-*"))
@@ -386,3 +386,31 @@ def test_release_is_inode_guarded(tmp_path):
     with writer_lock(tmp_path):
         assert lock.exists()
     assert not lock.exists()
+
+
+def test_break_stale_restore_preserves_inode(tmp_path):
+    """A wrongly-yanked live lock must be restored with its ORIGINAL
+    inode (hard link of the tombstone), so the yanked writer's
+    identity-guarded release can still remove it — an O_EXCL re-create
+    would strand a live-pid lock forever (ADVICE-class follow-up)."""
+    import os
+    import socket
+
+    from dataset_dedupe_estimator_spark.plans._index_lock import (
+        _break_stale,
+        _read_lock_record,
+    )
+
+    lock = tmp_path / "_writer.lock"
+    # stale record captured by contender A
+    lock.write_text("pid=999999999\nhost=elsewhere-stale\n")
+    _t, stale_ident = _read_lock_record(lock)
+    lock.unlink()
+    # live writer B takes the lock (fresh inode + record)
+    live = f"pid={os.getpid()}\nhost={socket.gethostname()}\n"
+    lock.write_text(live)
+    _t, b_ident = _read_lock_record(lock)
+    # A's break yanks B's lock, detects the mismatch, restores
+    assert not _break_stale(lock, stale_ident)
+    _t, after_ident = _read_lock_record(lock)
+    assert after_ident == b_ident  # same inode AND content: B can release

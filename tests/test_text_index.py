@@ -301,3 +301,36 @@ def test_index_equals_scan_property(spark, docs, tmp_path):
         assert got == want
 
     check()
+
+
+def test_intra_batch_duplicate_doc_ids_admit_once(spark, tmp_path):
+    """A duplicate doc_id WITHIN one batch (e.g. a microbatch spanning
+    two files carrying the same doc) must index once: one doclens row,
+    un-doubled tf, exact manifest totals."""
+    df = spark.createDataFrame(
+        [(1, "a b a"), (1, "a b a"), (2, "b c d")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    st = ti.build_text_index(spark, df, idx)
+    assert st["docs"] == 2
+    stats = ti.index_stats(idx)
+    assert stats["n_docs"] == 2 and stats["sum_dl"] == 6
+    hits = ti.search(spark, idx, ["a"], top=10).collect()
+    assert len(hits) == 1 and hits[0].doc_id == 1
+    # tf for 'a' in doc 1 is 2, not 4: score matches the scan over the
+    # DEDUPED corpus
+    from dataset_dedupe_estimator_spark.queries.text_analysis import bm25_frame
+
+    want = bm25_frame(df.dropDuplicates(["doc_id"]), ["a"], top=10).collect()
+    assert [(h.doc_id, h.score) for h in hits] == [
+        (w.doc_id, w.score) for w in want
+    ]
+    # same guard on the admission path
+    st2 = ti.admit_docs(
+        spark,
+        spark.createDataFrame([(3, "e f"), (3, "e f")], "doc_id long, text string"),
+        idx,
+    )
+    assert st2["docs"] == 1
+    assert ti.index_stats(idx)["sum_dl"] == 8

@@ -665,3 +665,40 @@ def test_cli_table_ingest_stream(capsys, spark, tmp_path):
     assert len(vt.history(root)) == 2
     # missing checkpoint refused
     assert main(["table", "ingest", root, str(inbox)]) == 2
+
+
+def test_cli_table_ingest_replay_is_idempotent(capsys, spark, tmp_path):
+    """foreachBatch is at-least-once: deleting the checkpoint replays
+    every file under the SAME batch ids — the per-commit ingest_batch
+    tag must turn the replay into a no-op instead of duplicating rows."""
+    import shutil
+
+    from dataset_dedupe_estimator_spark.cli import main
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    root = str(tmp_path / "vt")
+    ckpt = str(tmp_path / "ckpt")
+    _mk(spark, 0, 40).coalesce(1).write.parquet(str(inbox / "a.parquet"))
+    assert main(["table", "ingest", root, str(inbox), "--checkpoint", ckpt]) == 0
+    capsys.readouterr()
+    assert vt.read_version(spark, root).count() == 40
+    assert vt.history(root)[-1]["ingest_batch"].endswith("#0")
+    # replay: wipe the checkpoint so Spark redelivers batch 0
+    shutil.rmtree(ckpt)
+    assert main(["table", "ingest", root, str(inbox), "--checkpoint", ckpt]) == 0
+    assert "nothing new to ingest" in capsys.readouterr().out
+    assert len(vt.history(root)) == 1
+    assert vt.read_version(spark, root).count() == 40  # no duplication
+
+
+def test_cli_table_ingest_empty_inbox(capsys, spark, tmp_path):
+    from dataset_dedupe_estimator_spark.cli import main
+
+    inbox = tmp_path / "empty"
+    inbox.mkdir()
+    assert main([
+        "table", "ingest", str(tmp_path / "vt"), str(inbox),
+        "--checkpoint", str(tmp_path / "ckpt"),
+    ]) == 0
+    assert "inbox empty" in capsys.readouterr().out
