@@ -1116,16 +1116,27 @@ def cmd_table(args) -> int:
             return v
 
     def _parse_where(specs):
+        """Predicate list, or None after printing a usage error."""
         preds = []
         for s in specs:
             parts = s.split(":", 2)
             if len(parts) != 3:
-                raise SystemExit(
+                print(
                     f"--where {s!r}: expected COL:OP:VALUE "
-                    "(e.g. id:between:100,200 or day:>=:2024-01-01)"
+                    "(e.g. id:between:100,200 or day:>=:2024-01-01)",
+                    file=sys.stderr,
                 )
+                return None
             col, op, raw = parts
             vals = [_parse_value(v) for v in raw.split(",")]
+            want = 2 if op == "between" else 1
+            if len(vals) != want:
+                print(
+                    f"--where {s!r}: op {op!r} takes {want} value(s), "
+                    f"got {len(vals)}",
+                    file=sys.stderr,
+                )
+                return None
             preds.append((col, op, tuple(vals) if op == "between" else vals[0]))
         return preds
 
@@ -1151,12 +1162,18 @@ def cmd_table(args) -> int:
         label = "latest" if args.version is None else f"v{args.version}"
         if args.where:
             preds = _parse_where(args.where)
+            if preds is None:
+                return 2
             # pin the version NOW so the printed skip report and the
             # returned rows describe the same snapshot even if a commit
             # lands in between
             version = args.version
             if version is None:
-                version = vt.history(args.root)[-1]["version"]
+                hist = vt.history(args.root)
+                if not hist:
+                    print(f"{args.root} has no committed versions", file=sys.stderr)
+                    return 2
+                version = hist[-1]["version"]
             rep = vt.zone_map_prune(args.root, preds, version)
             df = vt.read_where(spark, args.root, preds, version)
             label += (
@@ -1188,15 +1205,24 @@ def cmd_table(args) -> int:
     elif args.action == "ingest":
         # continuous ingestion: every microbatch of newly-arrived files
         # becomes ONE auditable commit. The checkpoint dedupes input
-        # files across restarts, and each commit is TAGGED with its
-        # (checkpoint, batch_id) so the at-least-once foreachBatch
-        # replay window (crash after commit, before checkpoint write)
-        # is a no-op instead of a silent row duplication.
+        # files across restarts, and each commit is additionally TAGGED
+        # with the md5 of its sorted INPUT FILE LIST, so the
+        # at-least-once foreachBatch replay window (crash after commit,
+        # before checkpoint write — or a wiped checkpoint) is a no-op
+        # instead of a silent row duplication. Content-addressing by
+        # file list (not batch ordinal) stays correct when a checkpoint
+        # wipe reassigns batch ids to different files; it relies on the
+        # standard streaming-source contract that inbox files are
+        # immutable once dropped.
         if not args.src or not args.checkpoint:
             print("ingest needs SRC inbox dir and --checkpoint", file=sys.stderr)
             return 2
+        if not os.path.isdir(args.src):
+            print(f"ingest: inbox {args.src} does not exist", file=sys.stderr)
+            return 2
         spark = _spark(args)
         from pyspark.errors import AnalysisException
+        from pyspark.sql import functions as F
 
         try:
             static = spark.read.option("recursiveFileLookup", "true").parquet(
@@ -1205,22 +1231,40 @@ def cmd_table(args) -> int:
         except AnalysisException:
             print("nothing new to ingest (inbox empty)")
             return 0
+        import hashlib as _hl
+
         before = len(vt.history(args.root))
-        ckpt_tag = os.path.abspath(args.checkpoint)
+        seen_tags = {
+            e["ingest_batch"]
+            for e in vt.history(args.root)
+            if "ingest_batch" in e
+        }
 
         def _ingest(batch, batch_id):
             if batch.isEmpty():
                 return
-            tag = f"{ckpt_tag}#{batch_id}"
-            if any(
-                e.get("ingest_batch") == tag for e in vt.history(args.root)
-            ):
-                return  # replayed batch: already committed
+            # microbatch frames report no inputFiles(); input_file_name()
+            # is populated for file sources and the batch is file-sized
+            files = sorted(
+                r[0]
+                for r in batch.select(
+                    F.input_file_name().alias("f")
+                ).distinct().collect()
+                if r[0]
+            )
+            tag = (
+                _hl.md5("\n".join(files).encode()).hexdigest()
+                if files
+                else f"{os.path.abspath(args.checkpoint)}#{batch_id}"
+            )
+            if tag in seen_tags:
+                return  # replayed batch (same input files): already committed
             vt.append(
                 args.root, batch, num_files=args.files or 1,
                 stats_columns=stats_cols,
-                extra_entry={"ingest_batch": tag},
+                extra_entry={"ingest_batch": tag, "ingest_files": len(files)},
             )
+            seen_tags.add(tag)
 
         q = (
             spark.readStream.schema(static.schema)

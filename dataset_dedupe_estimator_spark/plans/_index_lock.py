@@ -116,6 +116,22 @@ def _break_stale(lock: Path, stale_ident: tuple) -> bool:
         # a third contender already holds a fresh lock; keep the yanked
         # record on disk as evidence instead of silently discarding it
         os.replace(tomb, lock.with_name(f"{lock.name}.yanked-{os.urandom(4).hex()}"))
+    except OSError:
+        # filesystem without hard links (some FUSE/network mounts):
+        # degrade to an O_EXCL re-create. The restored lock has a fresh
+        # inode, so the yanked writer's release will leave it behind —
+        # bounded damage: the record names a live pid, and the normal
+        # stale-break clears it once that process exits. Strictly better
+        # than propagating and leaving the lock path EMPTY (two writers).
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, captured.encode())
+            os.close(fd)
+            tomb.unlink(missing_ok=True)
+        except FileExistsError:
+            os.replace(
+                tomb, lock.with_name(f"{lock.name}.yanked-{os.urandom(4).hex()}")
+            )
     return False
 
 

@@ -299,7 +299,11 @@ def search(
     # dfs and candidates run as two jobs over the SAME committed
     # generation paths (meta was read once; gen dirs are immutable), so
     # no checkpoint is needed — and a per-query localCheckpoint would
-    # leak cached blocks for the life of the session in a search service
+    # leak cached blocks for the life of the session in a search service.
+    # Reader contract (same as every index here): a query racing an
+    # administrative COMPACTION may fail loudly with a missing-file
+    # error once the superseded dirs are removed — retry the query; it
+    # can never return wrong rows
     dfs = {r["term"]: r["n"] for r in hits.groupBy("term").agg(
         F.count(F.lit(1)).alias("n")).collect()}
     cand = hits.groupBy("doc_id").agg(

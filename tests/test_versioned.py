@@ -683,13 +683,22 @@ def test_cli_table_ingest_replay_is_idempotent(capsys, spark, tmp_path):
     assert main(["table", "ingest", root, str(inbox), "--checkpoint", ckpt]) == 0
     capsys.readouterr()
     assert vt.read_version(spark, root).count() == 40
-    assert vt.history(root)[-1]["ingest_batch"].endswith("#0")
+    # content-addressed tag: md5 of the batch's sorted input-file list
+    assert len(vt.history(root)[-1]["ingest_batch"]) == 32
+    assert vt.history(root)[-1]["ingest_files"] == 1
     # replay: wipe the checkpoint so Spark redelivers batch 0
     shutil.rmtree(ckpt)
     assert main(["table", "ingest", root, str(inbox), "--checkpoint", ckpt]) == 0
     assert "nothing new to ingest" in capsys.readouterr().out
     assert len(vt.history(root)) == 1
     assert vt.read_version(spark, root).count() == 40  # no duplication
+    # a NEW file after the wipe is ingested even though it lands at the
+    # already-seen batch ordinal (content addressing, not batch ids)
+    _mk(spark, 40, 60).coalesce(1).write.parquet(str(inbox / "b.parquet"))
+    shutil.rmtree(ckpt)
+    assert main(["table", "ingest", root, str(inbox), "--checkpoint", ckpt]) == 0
+    assert vt.read_version(spark, root).count() == 60
+    assert len(vt.history(root)) == 2
 
 
 def test_cli_table_ingest_empty_inbox(capsys, spark, tmp_path):
@@ -702,3 +711,8 @@ def test_cli_table_ingest_empty_inbox(capsys, spark, tmp_path):
         "--checkpoint", str(tmp_path / "ckpt"),
     ]) == 0
     assert "inbox empty" in capsys.readouterr().out
+    # a nonexistent inbox is a usage error, NOT a silent success
+    assert main([
+        "table", "ingest", str(tmp_path / "vt"), str(tmp_path / "no-such"),
+        "--checkpoint", str(tmp_path / "ckpt2"),
+    ]) == 2
