@@ -46,11 +46,90 @@ for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthet
 # so rotation only affects which subset gets *driver-side* attestation,
 # never whether a regression is caught.
 #
-# Round-6 window (executes the rotation staged at r5 close, COVERAGE.md
-# ledger): the 46 round-3-green overflow queries (oldest driver
-# attestation) plus 4 of the 20 round-5-added never-driver-checked
-# queries (the judge-highlighted table-lifecycle/search quartet).
+# Round-7 window (executes the rotation staged at r6 close, COVERAGE.md
+# ledger): the 20 never-driver-checked queries (16 round-5-added held in
+# the r6 _NEXT + the 4 round-6-added index/search entries) plus the 30
+# stalest round-4-green queries (registry-order tiebreak — all 50
+# r4-attested entries are equally stale).
 _FRONT = [
+    "customer_hierarchy_rollup",
+    "supplier_pagerank",
+    "user_value_twap",
+    "near_dup_source_matrix",
+    "bpe_train_merges",
+    "bpe_token_stats",
+    "doc_length_quantiles",
+    "stratified_sample_docs",
+    "streaming_index_pipeline",
+    "image_near_dup_demo",
+    "source_feature_corr",
+    "dataset_card_stats",
+    "mv_incremental_orders",
+    "mv_from_version_diff",
+    "streaming_mv_refresh",
+    "snapshot_diff_docs",
+    "bm25_index_search",
+    "phrase_search_index",
+    "hybrid_rrf",
+    "table_zonemap_read",
+    "spend_quartiles",
+    "filter_project_scan",
+    "distinct_ship_modes",
+    "events_gapfill",
+    "events_attribution",
+    "events_dedup_burst",
+    "events_daily_anomaly",
+    "ngram_containment_pairs",
+    "lsh_index_incremental",
+    "dedup_near_groups",
+    "dedup_near_survivors",
+    "repetition_stats",
+    "contamination_check",
+    "corpus_survival_pipeline",
+    "ann_ivf_trained",
+    "ann_recall_at_k",
+    "semantic_vs_lexical_pairs",
+    "synthetic_generator_e2e",
+    "split_assign",
+    "cross_split_leakage",
+    "split_purge_eval",
+    "streaming_dedup_events",
+    "streaming_view_click_join",
+    "cdc_streaming_estimate",
+    "multimodal_pipeline_demo",
+    "fuzzy_match_customers",
+    "data_quality_report",
+    "profile_documents",
+    "date_part_revenue",
+    "quantity_percentiles",
+]
+# overflow: the 20 remaining round-4-green queries — first in line for
+# round 8's window (locally re-verified every round)
+_NEXT = [
+    "token_bpe_ish",
+    "rolling_hash_fingerprint",
+    "cdc_estimate",
+    "format_compare_demo",
+    "cdc_per_file_chunks",
+    "cdc_provenance",
+    "cdc_estimate_xet",
+    "cdc_approx_estimate",
+    "cdc_index_incremental",
+    "doc_chunk_windows",
+    "pii_scan",
+    "charlm_familiarity",
+    "ngram_novelty",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q16_supplier_diversity",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+]
+# most recent driver green: CORRECTNESS_r06 (50/50 green — 49 oracle,
+# 1 rows-only by design)
+_TAIL = [
     "bm25_search",
     "table_time_travel",
     "zorder_layout",
@@ -101,80 +180,6 @@ _FRONT = [
     "dedup_exact_groups",
     "dedup_fingerprint_groups",
     "dedup_exact_events",
-]
-# overflow: the 16 remaining round-5-added queries, never driver-checked
-# — first in line for round 7's window (locally re-verified every round)
-_NEXT = [
-    "customer_hierarchy_rollup",
-    "supplier_pagerank",
-    "user_value_twap",
-    "near_dup_source_matrix",
-    "bpe_train_merges",
-    "bpe_token_stats",
-    "doc_length_quantiles",
-    "stratified_sample_docs",
-    "streaming_index_pipeline",
-    "image_near_dup_demo",
-    "source_feature_corr",
-    "dataset_card_stats",
-    "mv_incremental_orders",
-    "mv_from_version_diff",
-    "streaming_mv_refresh",
-    "snapshot_diff_docs",
-]
-# most recent driver green: CORRECTNESS_r05 (50/50 green — 49 oracle,
-# 1 rows-only by design)
-_TAIL = [
-    "vocab_coverage_score",
-    "pq_codes",
-    "streaming_windowed_counts",
-    "salted_agg_lineitem",
-    "simhash_candidates",
-    "streaming_sessionize_events",
-    "conditional_pivot_brands",
-    "events_sessionize",
-    "kmv_sketches",
-    "source_token_stats",
-    "synthetic_delete_rows",
-    "synthetic_insert_rows",
-    "synthetic_update_rows",
-    "synthetic_update_column",
-    "synthetic_append_rows",
-    "merge_upsert_orders",
-    "dedup_keep_first_pruned",
-    "dedup_spans",
-    "mixture_sample",
-    "sequence_pack",
-    "cdc_upload_delta",
-    "unigram_surprisal",
-    "tfidf_top_terms",
-    "bloom_incremental_dedup",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q22_idle_customers",
-    "temporal_dim_join",
-    "orders_rfm_segments",
-    "basket_part_pairs",
-    "cohort_ltv",
-    "rolling_active_users",
-    "events_late_arrivals",
-    "events_user_lifecycle",
-    "events_markov_transitions",
-    "session_top_paths",
-    "events_funnel_ttc",
-    "dup_cluster_sizes",
-    "bpe_pair_frequencies",
-    "ivfpq_search",
-    "quality_classifier",
-    "source_drift_tvd",
-    "events_funnel",
-    "events_retention_cohorts",
-    "cms_token_counts",
-    "effective_token_budget",
 ]
 _missing = (set(_FRONT) | set(_NEXT) | set(_TAIL)) - REGISTRY.keys()
 if _missing:
