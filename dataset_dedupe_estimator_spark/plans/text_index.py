@@ -36,9 +36,18 @@ bit-identical answer.
 
 Scale shape (100 TB): postings are ~30 bytes/(doc, term); admission
 shuffles only the new batch's postings; df counts ride the pruned
-bucket scans; nothing corpus-sized moves at query time. At deployment
-scale the doclens store is bucketed by doc_id so the candidate join is
-exchange-free on the index side.
+bucket scans; nothing corpus-sized moves at query time. The candidate
+× doclens join is exchange-free ON THE INDEX SIDE because the
+candidate set (docs containing ≥1 query term) broadcasts into the
+doclens scan (AQE picks the broadcast-hash join; pinned by a plan
+test in tests/test_text_index.py) — the doclens store itself is plain
+per-generation parquet, NOT bucketed by doc_id: catalog bucketing
+(sources/bucketed.py) cannot survive this layout, since readers union
+one doclens dataset per live generation and a union of bucketed
+tables loses the bucketing guarantee. The broadcast degrades only
+when a stopword-like term makes the candidate set corpus-sized — at
+which point a sort-merge join with an exchange on both sides is the
+correct plan anyway.
 
 Reference parity note: the reference engine (dedup_estimator.rs) has no
 text-search layer; this is part of the beyond-reference training-data
@@ -61,6 +70,9 @@ from dataset_dedupe_estimator_spark.plans._index_lock import writer_lock
 _META = "_text_meta.json"
 DEFAULT_BUCKETS = 32
 _TOKENIZER = "whitespace-v1"  # split(text, ' '), the corpus-wide convention
+# compaction write sizing: one task per ~this many merged bytes (module
+# constant so tests can exercise the multi-task path at small scale)
+_COMPACT_TARGET_BYTES = 128 << 20
 
 
 def _gen_no(p: Path) -> int:
@@ -530,15 +542,38 @@ def compact_text_index(spark: SparkSession, index_dir: str | Path) -> dict:
         live = _live_gens(index_dir, meta)
         merged_p = _postings_df(spark, index_dir, meta)
         merged_d = _doclens_df(spark, index_dir, meta)
+        # Size the compacted write by merged bytes (~128 MB per task),
+        # same discipline as the other three log-structured indexes
+        # (plans/chunk_index.py _compact_index_locked). Hashing on
+        # (bucket, term) — not bucket alone — spreads a hot bucket
+        # across tasks while still landing each term's postings in one
+        # file of its bucket dir (partitionBy lays out the dirs).
+        post_bytes = sum(
+            f.stat().st_size
+            for g in live
+            for f in (g / "postings").rglob("*.parquet")
+        )
+        dl_bytes = sum(
+            f.stat().st_size
+            for g in live
+            for f in (g / "doclens").glob("*.parquet")
+        )
+        n_post = max(1, -(-post_bytes // _COMPACT_TARGET_BYTES))
+        n_dl = max(1, -(-dl_bytes // _COMPACT_TARGET_BYTES))
         out = index_dir / f"gen-{gen:05d}"
         if out.exists():
             shutil.rmtree(out)  # crashed prior compact, never committed
         _write_generation(
             out,
-            merged_p.repartition(1, "bucket").select(
+            merged_p.repartition(n_post, "bucket", "term").select(
                 "bucket", "term", "doc_id", "tf", "positions"
             ),
-            merged_d.coalesce(1),
+            # repartition, not coalesce: coalesce can only REDUCE the
+            # read's partition count, and a small multi-gen doclens
+            # union may arrive as one packed partition — the shuffle
+            # moves only the narrow (doc_id, dl) rows, negligible next
+            # to the postings rewrite it rides alongside
+            merged_d.repartition(n_dl),
         )
         n_rows = spark.read.parquet(str(out / "doclens")).count()
         if n_rows != meta["n_docs"]:
