@@ -225,8 +225,24 @@ class PqIndex:
         pruning applies to every scan in the union."""
         import functools
 
-        reads = [spark.read.parquet(p) for p in _pq_live_gens(self.index_dir)]
-        return functools.reduce(DataFrame.unionByName, reads)
+        from dataset_dedupe_estimator_spark.plans._tombstones import (
+            minus_tombstones,
+            tombstones_df,
+        )
+
+        # ONE manifest read for both the generation list and the
+        # tombstone window (a delete landing between two reads would
+        # otherwise pair new tombstones with an old generation list)
+        mf = _pq_meta(self.index_dir)
+        gens = [
+            str(_pq_gen_dir(self.index_dir, n))
+            for n in range(mf.get("floor", 0), mf["generations"])
+        ]
+        reads = [spark.read.parquet(g) for g in gens]
+        df = functools.reduce(DataFrame.unionByName, reads)
+        return minus_tombstones(
+            df, tombstones_df(spark, self.index_dir, mf, "vec_id"), "vec_id"
+        )
 
     def search(
         self,
@@ -576,7 +592,14 @@ def pq_index_add(spark, index_dir, emb: DataFrame, vec_col: str = "embedding", i
         meta = _pq_meta(index_dir)
         gen = meta["generations"]
         _pq_clear_orphans(index_dir, meta.get("floor", 0), gen)
+        from dataset_dedupe_estimator_spark.plans._tombstones import (
+            tombstones_df,
+        )
+
         known = idx.codes_df(spark).select("vec_id")
+        ts = tombstones_df(spark, index_dir, meta, "vec_id")
+        if ts is not None:  # deleted ids are denylisted until compaction
+            known = known.unionByName(ts)
         fresh = (
             emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
             .join(known, "vec_id", "left_anti")
@@ -594,6 +617,43 @@ def pq_index_add(spark, index_dir, emb: DataFrame, vec_col: str = "embedding", i
         meta["total"] = meta["total"] + admitted
         _pq_commit(index_dir, meta)
     return {"admitted": admitted, "total": meta["total"]}
+
+
+def pq_index_delete(spark, index_dir, ids) -> dict:
+    """Delete vectors (takedown): append a tombstone set — the ids
+    vanish from search/search_batch/pq_code_dup_groups immediately
+    (``codes_df`` is the one read point and anti-joins them) and are
+    denylisted from re-admission until ``pq_index_compact`` physically
+    purges the code rows and clears the sets (shared semantics:
+    plans/_tombstones.py). ``ids`` is an iterable or one-column frame.
+    The manifest's ``total`` is decremented by the ids actually live
+    (a vec_id-column-pruned semi-join count — never the float
+    vectors)."""
+    from dataset_dedupe_estimator_spark.plans._index_lock import writer_lock
+    from dataset_dedupe_estimator_spark.plans._tombstones import (
+        append_tombstone_set,
+        normalize_ids,
+    )
+
+    with writer_lock(index_dir):
+        meta = _pq_meta(index_dir)
+        idx = PqIndex.load(index_dir)
+        ids_df = normalize_ids(spark, ids, "vec_id")
+        # live membership BEFORE staging the new set (codes_df reads the
+        # committed window; fresh ids below are new by construction)
+        live = idx.codes_df(spark).select("vec_id")
+        fresh = append_tombstone_set(spark, index_dir, meta, ids_df, "vec_id")
+        if fresh is None:
+            return {"deleted": 0, "denylisted": 0, "total": meta["total"]}
+        matched = live.join(fresh, "vec_id", "left_semi").count()
+        n_new = fresh.count()
+        meta["total"] -= matched
+        meta.setdefault("deletions", []).append(
+            {"set": meta["tombstone_sets"] - 1, "vectors": matched,
+             "denylisted": n_new}
+        )
+        _pq_commit(index_dir, meta)  # commit point
+    return {"deleted": matched, "denylisted": n_new, "total": meta["total"]}
 
 
 def pq_index_compact(spark, index_dir, files_per_cell: int = 1) -> dict:
@@ -619,8 +679,18 @@ def pq_index_compact(spark, index_dir, files_per_cell: int = 1) -> dict:
             len(list(_pq_gen_dir(index_dir, n).rglob("*.parquet")))
             for n in range(floor, gen)
         )
-        df = functools.reduce(
-            DataFrame.unionByName, [spark.read.parquet(p) for p in live]
+        from dataset_dedupe_estimator_spark.plans._tombstones import (
+            clear_tombstones,
+            minus_tombstones,
+            tombstones_df,
+        )
+
+        df = minus_tombstones(  # physically purge deleted vectors
+            functools.reduce(
+                DataFrame.unionByName, [spark.read.parquet(p) for p in live]
+            ),
+            tombstones_df(spark, index_dir, meta, "vec_id"),
+            "vec_id",
         )
         out = _pq_gen_dir(index_dir, gen)
         (
@@ -631,7 +701,10 @@ def pq_index_compact(spark, index_dir, files_per_cell: int = 1) -> dict:
         n_rows = _pq_count(spark, [str(out)])
         meta["generations"] = gen + 1
         meta["floor"] = gen
+        meta["tombstone_sets"] = 0  # purge is durable with this commit
+        meta["tombstone_floor"] = 0
         _pq_commit(index_dir, meta)  # commit point
         _pq_clear_orphans(index_dir, gen, gen + 1)
+        clear_tombstones(index_dir)
         n_after = len(list(out.rglob("*.parquet")))
     return {"rows": n_rows, "files_before": n_before, "files_after": n_after}

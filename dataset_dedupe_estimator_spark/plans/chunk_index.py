@@ -53,6 +53,15 @@ from dataset_dedupe_estimator_spark.operators.chunker import (
     chunk_files_auto,
 )
 from dataset_dedupe_estimator_spark.plans._index_lock import writer_lock
+from dataset_dedupe_estimator_spark.plans._tombstones import (
+    _clear_stale_sets,
+    append_tombstone_set,
+    clear_tombstones,
+    minus_tombstones,
+    normalize_ids,
+    resurrect_keys,
+    tombstones_df,
+)
 from dataset_dedupe_estimator_spark.plans.estimate import ESTIMATE_PARAMS
 
 _META = "_index_meta.json"
@@ -200,7 +209,12 @@ def _update_index_locked(
         import shutil
 
         shutil.rmtree(out)
-    known = _read_index(spark, index_dir).select("hash")
+    ts = tombstones_df(spark, index_dir, meta, "hash")
+    # content-keyed: a deleted (reclaimed) chunk tests as ABSENT — the
+    # client re-uploads it and resurrection below makes it present again
+    known = minus_tombstones(
+        _read_index(spark, index_dir), ts, "hash"
+    ).select("hash")
     chunks = chunk_files_auto(spark, paths, params=params)
     # persist the per-hash aggregate: it feeds two actions (the novel
     # write and the snapshot stats) and without it each action would
@@ -212,6 +226,19 @@ def _update_index_locked(
         F.count(F.lit(1)).alias("occ"),
     ).persist()
     novel = snap.join(known, "hash", "left_anti")
+    resurrected_bytes = n_back = 0
+    if ts is not None:
+        # a re-uploaded tombstoned chunk: its ORIGINAL row returns to
+        # view (tombstone removed) instead of a duplicate row being
+        # written — rows stay distinct by hash across generations; the
+        # client still transfers the bytes (counted below)
+        back = snap.join(ts, "hash", "left_semi").localCheckpoint(eager=True)
+        n_back = resurrect_keys(spark, index_dir, meta, back, "hash")
+        if n_back:
+            novel = novel.join(ts, "hash", "left_anti")
+            resurrected_bytes = int(
+                back.agg(F.sum("size")).collect()[0][0] or 0
+            )
     novel.select(*_CHUNK_COLS).write.mode("errorifexists").parquet(str(out))
     novel_chunks, novel_bytes = (
         spark.read.parquet(str(out)).agg(F.count(F.lit(1)), F.sum("size")).collect()[0]
@@ -219,22 +246,49 @@ def _update_index_locked(
     snap_chunks, snap_bytes = (
         snap.agg(F.sum("occ"), F.sum(F.col("occ") * F.col("size"))).collect()[0]
     )
-    novel_bytes = novel_bytes or 0
+    novel_bytes = (novel_bytes or 0) + resurrected_bytes
     meta["generations"] = gen + 1
     meta["snapshots"].append(
-        {"gen": gen, "files": len(paths), "novel_chunks": novel_chunks, "novel_bytes": novel_bytes}
+        {"gen": gen, "files": len(paths), "novel_chunks": novel_chunks,
+         "novel_bytes": novel_bytes, "resurrected_chunks": n_back}
     )
     _write_meta(index_dir, meta)
+    _clear_stale_sets(index_dir, meta)  # superseded by a resurrection
     snap.unpersist()
     return {
         "generation": gen,
         "snapshot_chunks": snap_chunks,
         "snapshot_bytes": snap_bytes,
         "novel_chunks": novel_chunks,
+        "resurrected_chunks": n_back,
+        # novel includes re-uploaded previously-deleted bytes: both move
         "novel_bytes": novel_bytes,
         # what a client uploads: the novel fraction of the snapshot
         "transfer_ratio": (novel_bytes / snap_bytes) if snap_bytes else 0.0,
     }
+
+
+def delete_chunks(spark: SparkSession, index_dir: str | Path, hashes) -> dict:
+    """Delete chunks (store GC / takedown of content-addressed blocks):
+    append a tombstone set — the hashes test as ABSENT from the next
+    update on (a client re-uploading them transfers the bytes and the
+    original rows RETURN to view: content-keyed resurrection, unlike
+    the doc-id indexes' denylist). Compaction physically purges
+    still-tombstoned rows. ``hashes`` is an iterable or one-column
+    frame. O(tombstones) — no generation is rewritten here."""
+    index_dir = Path(index_dir)
+    with writer_lock(index_dir):
+        meta = _load_meta(index_dir)
+        ids_df = normalize_ids(spark, hashes, "hash")
+        fresh = append_tombstone_set(spark, index_dir, meta, ids_df, "hash")
+        if fresh is None:
+            return {"tombstoned": 0}
+        n_new = fresh.count()
+        meta.setdefault("deletions", []).append(
+            {"set": meta["tombstone_sets"] - 1, "chunks": n_new}
+        )
+        _write_meta(index_dir, meta)  # commit point
+    return {"tombstoned": n_new}
 
 
 def compact_index(spark: SparkSession, index_dir: str | Path, files_out: int | None = None) -> dict:
@@ -280,10 +334,17 @@ def _compact_index_locked(
             f.stat().st_size for d in live for f in Path(d).glob("*.parquet")
         )
         files_out = max(1, -(-bytes_live // (128 << 20)))
-    spark.read.parquet(*live).coalesce(int(files_out)).write.parquet(str(out))
+    merged = minus_tombstones(  # physically purge deleted chunks
+        spark.read.parquet(*live),
+        tombstones_df(spark, index_dir, meta, "hash"),
+        "hash",
+    )
+    merged.coalesce(int(files_out)).write.parquet(str(out))
     n_chunks = spark.read.parquet(str(out)).count()
     meta["generations"] = gen + 1
     meta["compacted_below"] = gen
+    meta["tombstone_sets"] = 0  # purge is durable with this commit
+    meta["tombstone_floor"] = 0
     meta.setdefault("compactions", []).append(
         {"gen": gen, "merged_generations": len(live), "chunks": n_chunks}
     )
@@ -291,13 +352,18 @@ def _compact_index_locked(
     for p in Path(index_dir).glob("gen-*.parquet"):
         if _gen_no(p) < gen:
             shutil.rmtree(p)
+    clear_tombstones(index_dir)
     return {"generation": gen, "merged_generations": len(live), "chunks": n_chunks}
 
 
 def index_stats(spark: SparkSession, index_dir: str | Path) -> DataFrame:
     """One row: generations, unique chunks, unique bytes, compressed bytes."""
     meta = _load_meta(index_dir)
-    idx = _read_index(spark, index_dir)
+    idx = minus_tombstones(  # live view: tombstoned chunks don't count
+        _read_index(spark, index_dir),
+        tombstones_df(spark, index_dir, meta, "hash"),
+        "hash",
+    )
     return idx.agg(
         F.lit(meta["generations"]).alias("generations"),
         F.count(F.lit(1)).alias("unique_chunks"),

@@ -57,6 +57,13 @@ from dataset_dedupe_estimator_spark.operators.substring_dedup import (
     gram_occurrences,
 )
 from dataset_dedupe_estimator_spark.plans._index_lock import writer_lock
+from dataset_dedupe_estimator_spark.plans._tombstones import (
+    append_tombstone_set,
+    clear_tombstones,
+    minus_tombstones,
+    normalize_ids,
+    tombstones_df,
+)
 
 _META = "_index_meta.json"
 _GRAM_COLS = ("h", "doc_id", "pos")
@@ -194,7 +201,15 @@ def _admit_docs_locked(
         # manifest commit — never part of the index; remove BEFORE
         # reading generations so retries are idempotent
         shutil.rmtree(out)
-    known = _read_index(spark, index_dir).select("h")
+    ts = tombstones_df(spark, index_dir, meta, "doc_id")
+    if ts is not None:
+        # denylist: a tombstoned doc cannot re-enter (its NEW rows would
+        # be suppressed by its own tombstone — silent re-forgetting);
+        # and deleted docs' first-occurrence rows stop anchoring dups
+        docs = docs.join(ts, "doc_id", "left_anti")
+    known = minus_tombstones(
+        _read_index(spark, index_dir), ts, "doc_id"
+    ).select("h")
     # persist: the batch grams feed the keeper agg, the dup-span flags
     # and (via firsts) the generation write — without it each action
     # re-splits and re-hashes the batch text
@@ -248,6 +263,43 @@ def _admit_docs_locked(
     }
 
 
+def delete_docs(spark: SparkSession, index_dir: str | Path, ids) -> dict:
+    """Delete documents (takedown): append a tombstone set suppressing
+    every gram row whose FIRST-OCCURRENCE provenance is a deleted doc;
+    compaction physically purges them. ``ids`` is an iterable or a
+    one-column frame. O(tombstones) — no generation is rewritten and
+    the index is not scanned (``total_grams`` therefore stays the
+    admitted running total until compaction recomputes it; the live
+    count is ``index_stats``'s ``stored_grams``).
+
+    First-occurrence semantics, documented honestly: the index stores
+    one row per unique gram hash — the first admitted occurrence. If a
+    deleted doc was first to carry content that OTHER retained docs
+    also contain, that hash is forgotten with it (those docs were
+    marked duplicate at their admission; their occurrences were never
+    stored). The content trace is gone — right-to-be-forgotten — and
+    the next admission carrying it is reported novel and re-anchors it
+    under the new doc's provenance. A rebuild without the deleted docs
+    differs exactly there (it would re-anchor eagerly); dedup
+    GUARANTEES are unaffected, first-occurrence RIGHTS move to arrival
+    order — the same rule admission already applies out-of-order
+    batches (see admit_docs). Tombstoned doc_ids are denylisted from
+    re-admission until a compaction clears the sets."""
+    index_dir = Path(index_dir)
+    with writer_lock(index_dir):
+        meta = _check_meta(index_dir)
+        ids_df = normalize_ids(spark, ids, "doc_id")
+        fresh = append_tombstone_set(spark, index_dir, meta, ids_df, "doc_id")
+        if fresh is None:
+            return {"denylisted": 0}
+        n_new = fresh.count()
+        meta.setdefault("deletions", []).append(
+            {"set": meta["tombstone_sets"] - 1, "denylisted": n_new}
+        )
+        _write_meta(index_dir, meta)  # commit point
+    return {"denylisted": n_new}
+
+
 def query_docs(
     spark: SparkSession, docs: DataFrame, index_dir: str | Path
 ) -> DataFrame:
@@ -257,7 +309,11 @@ def query_docs(
     admission, intra-probe repetition is NOT flagged (nothing is being
     admitted, so batch order confers no first-occurrence rights)."""
     meta = _check_meta(index_dir)
-    known = _read_index(spark, index_dir).select("h")
+    known = minus_tombstones(
+        _read_index(spark, index_dir),
+        tombstones_df(spark, index_dir, meta, "doc_id"),
+        "doc_id",
+    ).select("h")
     hits = (
         gram_occurrences(docs, meta["k"])
         .join(known, "h")
@@ -290,10 +346,18 @@ def compact_gram_index(
                 f.stat().st_size for d in live for f in Path(d).glob("*.parquet")
             )
             files_out = max(1, -(-bytes_live // (128 << 20)))
-        spark.read.parquet(*live).coalesce(int(files_out)).write.parquet(str(out))
+        merged = minus_tombstones(  # physically purge deleted provenance
+            spark.read.parquet(*live),
+            tombstones_df(spark, index_dir, meta, "doc_id"),
+            "doc_id",
+        )
+        merged.coalesce(int(files_out)).write.parquet(str(out))
         n_grams = spark.read.parquet(str(out)).count()
         meta["generations"] = gen + 1
         meta["compacted_below"] = gen
+        meta["tombstone_sets"] = 0  # purge is durable with this commit
+        meta["tombstone_floor"] = 0
+        meta["total_grams"] = n_grams  # deletion debt settles here
         meta.setdefault("compactions", []).append(
             {"gen": gen, "merged_generations": len(live), "grams": n_grams}
         )
@@ -301,6 +365,7 @@ def compact_gram_index(
         for p in Path(index_dir).glob("gen-*.parquet"):
             if _gen_no(p) < gen:
                 shutil.rmtree(p)
+        clear_tombstones(index_dir)
         return {"generation": gen, "merged_generations": len(live), "grams": n_grams}
 
 
@@ -308,11 +373,16 @@ def index_stats(spark: SparkSession, index_dir: str | Path) -> dict:
     """Manifest + store summary (manifest totals are authoritative; the
     store count is read for drift detection, not accounting)."""
     meta = _check_meta(index_dir)
-    stored = _read_index(spark, index_dir).count()
+    stored = minus_tombstones(
+        _read_index(spark, index_dir),
+        tombstones_df(spark, index_dir, meta, "doc_id"),
+        "doc_id",
+    ).count()
     return {
         "k": meta["k"],
         "generations": meta["generations"],
         "total_grams": meta.get("total_grams"),
         "stored_grams": stored,
         "admissions": len(meta["admissions"]),
+        "tombstone_sets": meta.get("tombstone_sets", 0),
     }

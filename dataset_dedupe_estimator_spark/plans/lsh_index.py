@@ -53,6 +53,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataset_dedupe_estimator_spark.plans._index_lock import writer_lock
+from dataset_dedupe_estimator_spark.plans._tombstones import (
+    append_tombstone_set,
+    clear_tombstones,
+    minus_tombstones,
+    normalize_ids,
+    tombstones_df,
+)
 from dataset_dedupe_estimator_spark.queries.dedupe_text import (
     MH_A,
     MH_B,
@@ -203,8 +210,12 @@ def _admit_docs_locked(
         # manifest commit — it was never part of the index; remove it
         # BEFORE reading generations so retries are idempotent
         shutil.rmtree(out)
-    known = _read_index(spark, index_dir)
+    ts = tombstones_df(spark, index_dir, meta, "doc_id")
+    # deleted docs collide with nothing (their band rows are suppressed)
+    known = minus_tombstones(_read_index(spark, index_dir), ts, "doc_id")
     known_ids = known.select("doc_id").distinct()
+    if ts is not None:  # ...but their ids stay denylisted for admission
+        known_ids = known_ids.unionByName(ts)
     fresh = docs.select("doc_id", "text").join(known_ids, "doc_id", "left_anti")
     # persist: the band rows feed three actions (candidate join, the
     # generation write, the report count); without it each would
@@ -248,8 +259,12 @@ def query_docs(
     index-backed contamination audit. Same join shape as admission;
     probes whose doc_id already exists in the index still match their
     OTHER near-dups (self-matches are excluded by doc_id)."""
-    _check_meta(index_dir)
-    known = _read_index(spark, index_dir)
+    meta = _check_meta(index_dir)
+    known = minus_tombstones(
+        _read_index(spark, index_dir),
+        tombstones_df(spark, index_dir, meta, "doc_id"),
+        "doc_id",
+    )
     probe_bands = band_rows_of(minhash_sig_of(docs.select("doc_id", "text")))
     return (
         probe_bands.alias("p")
@@ -261,6 +276,28 @@ def query_docs(
         )
         .distinct()
     )
+
+
+def delete_docs(spark: SparkSession, index_dir: str | Path, ids) -> dict:
+    """Delete documents (takedown): append a tombstone set — their band
+    rows stop matching queries and admissions immediately; compaction
+    physically purges them. Tombstoned ids are denylisted from
+    re-admission until a compaction clears the sets (shared semantics:
+    plans/_tombstones.py). ``ids`` is an iterable or one-column frame.
+    O(tombstones), never O(index) — no generation is rewritten here."""
+    index_dir = Path(index_dir)
+    with writer_lock(index_dir):
+        meta = _check_meta(index_dir)
+        ids_df = normalize_ids(spark, ids, "doc_id")
+        fresh = append_tombstone_set(spark, index_dir, meta, ids_df, "doc_id")
+        if fresh is None:
+            return {"denylisted": 0}
+        n_new = fresh.count()
+        meta.setdefault("deletions", []).append(
+            {"set": meta["tombstone_sets"] - 1, "denylisted": n_new}
+        )
+        _write_meta(index_dir, meta)  # commit point
+    return {"denylisted": n_new}
 
 
 def compact_lsh_index(
@@ -299,10 +336,17 @@ def _compact_lsh_index_locked(
             f.stat().st_size for d in live for f in Path(d).glob("*.parquet")
         )
         files_out = max(1, -(-bytes_live // (128 << 20)))
-    spark.read.parquet(*live).coalesce(int(files_out)).write.parquet(str(out))
+    merged = minus_tombstones(  # physically purge deleted docs
+        spark.read.parquet(*live),
+        tombstones_df(spark, index_dir, meta, "doc_id"),
+        "doc_id",
+    )
+    merged.coalesce(int(files_out)).write.parquet(str(out))
     n_rows = spark.read.parquet(str(out)).count()
     meta["generations"] = gen + 1
     meta["compacted_below"] = gen
+    meta["tombstone_sets"] = 0  # purge is durable with this commit
+    meta["tombstone_floor"] = 0
     meta.setdefault("compactions", []).append(
         {"gen": gen, "merged_generations": len(live), "band_rows": n_rows}
     )
@@ -310,12 +354,17 @@ def _compact_lsh_index_locked(
     for p in Path(index_dir).glob("gen-*.parquet"):
         if _gen_no(p) < gen:
             shutil.rmtree(p)
+    clear_tombstones(index_dir)
     return {"generation": gen, "merged_generations": len(live), "band_rows": n_rows}
 
 
 def index_stats(spark: SparkSession, index_dir: str | Path) -> dict:
     meta = _check_meta(index_dir)
-    idx = _read_index(spark, index_dir)
+    idx = minus_tombstones(  # live view: tombstoned docs don't count
+        _read_index(spark, index_dir),
+        tombstones_df(spark, index_dir, meta, "doc_id"),
+        "doc_id",
+    )
     n_docs, n_rows = idx.agg(
         F.countDistinct("doc_id"), F.count(F.lit(1))
     ).collect()[0]
@@ -323,4 +372,5 @@ def index_stats(spark: SparkSession, index_dir: str | Path) -> dict:
         "generations": meta["generations"],
         "docs": n_docs,
         "band_rows": n_rows,
+        "tombstone_sets": meta.get("tombstone_sets", 0),
     }

@@ -66,6 +66,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataset_dedupe_estimator_spark.plans._index_lock import writer_lock
+from dataset_dedupe_estimator_spark.plans._tombstones import (
+    append_tombstone_set,
+    clear_tombstones,
+    minus_tombstones,
+    normalize_ids,
+    tombstones_df,
+)
 
 _META = "_text_meta.json"
 DEFAULT_BUCKETS = 32
@@ -254,6 +261,9 @@ def admit_docs(
             if _gen_no(p) >= gen:
                 shutil.rmtree(p)
         known = _doclens_df(spark, index_dir, meta).select("doc_id")
+        ts = tombstones_df(spark, index_dir, meta, "doc_id")
+        if ts is not None:  # tombstoned ids are denylisted, not re-admitted
+            known = known.unionByName(ts)
         fresh = _dedup_batch(docs.select("doc_id", "text")).join(
             known, "doc_id", "left_anti"
         )
@@ -275,6 +285,51 @@ def admit_docs(
         meta["admissions"].append({"gen": gen, "docs": stats["n"]})
         _write_meta(index_dir, meta)  # commit point
     return {"generation": gen, "docs": stats["n"], "n_docs": meta["n_docs"]}
+
+
+def delete_docs(spark: SparkSession, index_dir: str | Path, ids) -> dict:
+    """Delete documents (takedown / right-to-be-forgotten): append a
+    tombstone set and decrement the manifest's corpus stats by the
+    deleted docs' doclens — so every later search scores with the
+    post-delete N and avgdl and is BIT-IDENTICAL to an index rebuilt
+    without the deleted docs (pinned by test). ``ids`` is an iterable
+    of doc_ids or a one-column DataFrame.
+
+    Tombstoned ids are denylisted: suppressed from search/phrase/batch
+    reads AND skipped by admission until a compaction physically purges
+    their postings and clears the sets (after which the id is unknown
+    and admissible again). Deleting an id the index never held just
+    denylists it; re-deleting is a no-op. O(tombstones + matched
+    doclens), never O(index): no generation is rewritten here.
+    """
+    index_dir = Path(index_dir)
+    with writer_lock(index_dir):
+        meta = _check_meta(index_dir)
+        ids_df = normalize_ids(spark, ids, "doc_id")
+        fresh = append_tombstone_set(spark, index_dir, meta, ids_df, "doc_id")
+        if fresh is None:  # everything already tombstoned — no commit
+            return {"deleted": 0, "denylisted": 0, "n_docs": meta["n_docs"]}
+        # stats of the ids actually LIVE in the index (fresh minus prior
+        # tombstones is already guaranteed; intersect with doclens)
+        matched = (
+            _doclens_df(spark, index_dir, meta)
+            .join(fresh, "doc_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+            .collect()[0]
+        )
+        n_new = fresh.count()
+        meta["n_docs"] -= matched["n"]
+        meta["sum_dl"] -= int(matched["s"] or 0)
+        meta.setdefault("deletions", []).append(
+            {"set": meta["tombstone_sets"] - 1, "docs": matched["n"],
+             "denylisted": n_new}
+        )
+        _write_meta(index_dir, meta)  # commit point
+    return {
+        "deleted": matched["n"],
+        "denylisted": n_new,
+        "n_docs": meta["n_docs"],
+    }
 
 
 def search(
@@ -303,10 +358,12 @@ def search(
     meta = _check_meta(index_dir)
     n_docs, avgdl = meta["n_docs"], meta["sum_dl"] / meta["n_docs"]
     buckets = sorted({_bucket_py(t, meta["n_buckets"]) for t in terms})
-    hits = (
+    hits = minus_tombstones(
         _postings_df(spark, index_dir, meta)
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
-        .select("term", "doc_id", "tf")
+        .select("term", "doc_id", "tf"),
+        tombstones_df(spark, index_dir, meta, "doc_id"),
+        "doc_id",
     )
     # dfs and candidates run as two jobs over the SAME committed
     # generation paths (meta was read once; gen dirs are immutable), so
@@ -394,10 +451,12 @@ def search_many(
     n_docs, avgdl = meta["n_docs"], meta["sum_dl"] / meta["n_docs"]
     all_terms = sorted({t for ts in queries.values() for t in ts})
     buckets = sorted({_bucket_py(t, meta["n_buckets"]) for t in all_terms})
-    hits = (
+    hits = minus_tombstones(
         _postings_df(spark, index_dir, meta)
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(all_terms))
-        .select("term", "doc_id", "tf")
+        .select("term", "doc_id", "tf"),
+        tombstones_df(spark, index_dir, meta, "doc_id"),
+        "doc_id",
     )
     # two jobs over the same immutable generation paths (see search());
     # no per-call checkpoint — it would leak cache in a query service
@@ -497,10 +556,12 @@ def phrase_search(
         raise ValueError("phrase_search needs at least one term")
     meta = _check_meta(index_dir)
     buckets = sorted({_bucket_py(t, meta["n_buckets"]) for t in phrase})
-    hits = (
+    hits = minus_tombstones(
         _postings_df(spark, index_dir, meta)
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(phrase))
-        .select("term", "doc_id", "positions")
+        .select("term", "doc_id", "positions"),
+        tombstones_df(spark, index_dir, meta, "doc_id"),
+        "doc_id",
     )
     cand = hits.groupBy("doc_id").agg(
         *[
@@ -529,9 +590,11 @@ def phrase_search(
 
 def compact_text_index(spark: SparkSession, index_dir: str | Path) -> dict:
     """Merge every live generation into ONE (fewer files per bucket,
-    one doclens dataset), commit by advancing ``compacted_below``, then
-    remove the superseded dirs. Totals are unchanged — compaction moves
-    rows, never changes membership."""
+    one doclens dataset), PHYSICALLY PURGING tombstoned docs, commit by
+    advancing ``compacted_below`` (the same manifest write zeroes the
+    tombstone counter), then remove the superseded dirs and the
+    tombstone sets. Live totals are unchanged — compaction moves rows
+    and drops only what deletion already removed from every read."""
     index_dir = Path(index_dir)
     with writer_lock(index_dir):
         meta = _check_meta(index_dir)
@@ -540,8 +603,13 @@ def compact_text_index(spark: SparkSession, index_dir: str | Path) -> dict:
         # uncommitted dir at >= gen, and deleting that range post-commit
         # would take the just-written compacted generation with it
         live = _live_gens(index_dir, meta)
-        merged_p = _postings_df(spark, index_dir, meta)
-        merged_d = _doclens_df(spark, index_dir, meta)
+        ts = tombstones_df(spark, index_dir, meta, "doc_id")
+        merged_p = minus_tombstones(
+            _postings_df(spark, index_dir, meta), ts, "doc_id"
+        )
+        merged_d = minus_tombstones(
+            _doclens_df(spark, index_dir, meta), ts, "doc_id"
+        )
         # Size the compacted write by merged bytes (~128 MB per task),
         # same discipline as the other three log-structured indexes
         # (plans/chunk_index.py _compact_index_locked). Hashing on
@@ -584,9 +652,12 @@ def compact_text_index(spark: SparkSession, index_dir: str | Path) -> dict:
             )
         meta["generations"] = gen + 1
         meta["compacted_below"] = gen
+        meta["tombstone_sets"] = 0  # purge is durable with this commit
+        meta["tombstone_floor"] = 0
         _write_meta(index_dir, meta)  # commit point
         for p in live:
             shutil.rmtree(p)
+        clear_tombstones(index_dir)
     return {"generation": gen, "merged_generations": len(live), "docs": n_rows}
 
 
@@ -599,4 +670,5 @@ def index_stats(index_dir: str | Path) -> dict:
         "generations": meta["generations"],
         "compacted_below": meta["compacted_below"],
         "n_buckets": meta["n_buckets"],
+        "tombstone_sets": meta.get("tombstone_sets", 0),
     }

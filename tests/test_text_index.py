@@ -372,3 +372,138 @@ def test_candidate_doclens_join_is_exchange_free_on_index_side(
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def _del_ids(docs, n=7):
+    return [r.doc_id for r in docs.select("doc_id").orderBy("doc_id").limit(n).collect()]
+
+
+def test_delete_docs_search_equals_rebuild_without_deleted(
+    spark, docs, tmp_path
+):
+    """The r7 deletion contract: after delete_docs, BM25 search, phrase
+    search, and batch search are all BIT-IDENTICAL to an index rebuilt
+    from scratch without the deleted docs — N, avgdl, and per-term df
+    all reflect the deletion (manifest stats are decremented by the
+    deleted doclens; the postings anti-join removes the df rows)."""
+    gone = _del_ids(docs)
+    idx = str(tmp_path / "idx")
+    ti.build_text_index(spark, docs, idx)
+    st = ti.delete_docs(spark, idx, gone)
+    assert st["deleted"] == len(gone)
+    rebuilt = str(tmp_path / "rebuilt")
+    survivors = docs.filter(~F.col("doc_id").isin(gone))
+    ti.build_text_index(spark, survivors, rebuilt)
+    assert ti.index_stats(idx)["n_docs"] == ti.index_stats(rebuilt)["n_docs"]
+    assert ti.index_stats(idx)["sum_dl"] == ti.index_stats(rebuilt)["sum_dl"]
+    assert _ranked(ti.search(spark, idx, TERMS)) == _ranked(
+        ti.search(spark, rebuilt, TERMS)
+    )
+    qs = {"a": TERMS, "b": ("data", "sample")}
+    left = sorted(
+        (r.query_id, r.doc_id, r.score)
+        for r in ti.search_many(spark, idx, qs).collect()
+    )
+    right = sorted(
+        (r.query_id, r.doc_id, r.score)
+        for r in ti.search_many(spark, rebuilt, qs).collect()
+    )
+    assert left == right
+    ph = ("the", "data")
+    assert [
+        (r.doc_id, r.n_occurrences)
+        for r in ti.phrase_search(spark, idx, ph).collect()
+    ] == [
+        (r.doc_id, r.n_occurrences)
+        for r in ti.phrase_search(spark, rebuilt, ph).collect()
+    ]
+
+
+def test_delete_denylists_until_compaction(spark, docs, tmp_path):
+    """A tombstoned id cannot be re-admitted (takedown sticks even if
+    the doc arrives again from a re-crawl) — until compaction purges
+    the rows and clears the set, after which it is admissible again."""
+    gone = _del_ids(docs, 3)
+    idx = str(tmp_path / "idx")
+    ti.build_text_index(spark, docs, idx)
+    ti.delete_docs(spark, idx, gone)
+    back = docs.filter(F.col("doc_id").isin(gone))
+    st = ti.admit_docs(spark, back, idx)
+    assert st["docs"] == 0  # denylisted
+    ti.compact_text_index(spark, idx)
+    assert ti.index_stats(idx)["tombstone_sets"] == 0
+    st2 = ti.admit_docs(spark, back, idx)
+    assert st2["docs"] == len(gone)  # purged → admissible again
+
+
+def test_compact_physically_purges_deleted(spark, docs, tmp_path):
+    gone = _del_ids(docs, 5)
+    idx = tmp_path / "idx"
+    ti.build_text_index(spark, docs, idx)
+    ti.delete_docs(spark, idx, gone)
+    before = _ranked(ti.search(spark, idx, TERMS))
+    st = ti.compact_text_index(spark, idx)
+    assert _ranked(ti.search(spark, idx, TERMS)) == before
+    # bytes are gone, not hidden: the compacted generation's raw parquet
+    # holds no tombstoned doc_id, and the sets are cleared
+    gen = idx / f"gen-{st['generation']:05d}"
+    raw = spark.read.parquet(str(gen / "doclens"))
+    assert raw.filter(F.col("doc_id").isin(gone)).count() == 0
+    rawp = spark.read.parquet(str(gen / "postings"))
+    assert rawp.filter(F.col("doc_id").isin(gone)).count() == 0
+    assert not (idx / "tombstones").exists()
+
+
+def test_delete_unknown_id_denylists_without_stats_change(
+    spark, docs, tmp_path
+):
+    idx = str(tmp_path / "idx")
+    ti.build_text_index(spark, docs, idx)
+    n0 = ti.index_stats(idx)["n_docs"]
+    st = ti.delete_docs(spark, idx, [10**12])  # never admitted
+    assert st["deleted"] == 0 and st["denylisted"] == 1
+    assert ti.index_stats(idx)["n_docs"] == n0
+    # the denylist still blocks a future admission of that id
+    st2 = ti.admit_docs(
+        spark,
+        spark.createDataFrame([(10**12, "x y")], "doc_id long, text string"),
+        idx,
+    )
+    assert st2["docs"] == 0
+
+
+def test_redelete_is_idempotent(spark, docs, tmp_path):
+    gone = _del_ids(docs, 4)
+    idx = tmp_path / "idx"
+    ti.build_text_index(spark, docs, idx)
+    ti.delete_docs(spark, idx, gone)
+    n1 = ti.index_stats(idx)["n_docs"]
+    st = ti.delete_docs(spark, idx, gone)  # no double-decrement
+    assert st["deleted"] == 0 and ti.index_stats(idx)["n_docs"] == n1
+    assert ti.index_stats(idx)["tombstone_sets"] == 1  # no empty set file
+
+
+def test_crashed_tombstone_write_is_cleared(spark, docs, tmp_path):
+    """A crash between the tombstone-set write and the manifest commit
+    leaves an orphan at >= the committed counter — invisible to readers
+    (they go by the manifest) and cleared by the next delete."""
+    idx = tmp_path / "idx"
+    ti.build_text_index(spark, docs, idx)
+    orphan = idx / "tombstones" / "ts-00000.parquet"
+    # fake a crashed delete: a set file exists, manifest never bumped
+    spark.createDataFrame([(docs.first().doc_id,)], ["doc_id"]).coalesce(
+        1
+    ).write.parquet(str(orphan))
+    full = _ranked(ti.search(spark, idx, TERMS))
+    assert len(full) == 20  # reader never saw the orphan
+    gone = _del_ids(docs, 2)
+    st = ti.delete_docs(spark, idx, gone)
+    assert st["deleted"] == 2
+    assert ti.index_stats(idx)["tombstone_sets"] == 1
+    rebuilt = str(tmp_path / "rebuilt")
+    ti.build_text_index(
+        spark, docs.filter(~F.col("doc_id").isin(gone)), rebuilt
+    )
+    assert _ranked(ti.search(spark, idx, TERMS)) == _ranked(
+        ti.search(spark, rebuilt, TERMS)
+    )
