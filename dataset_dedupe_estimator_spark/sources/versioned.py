@@ -390,10 +390,36 @@ def _resolve(root: Path, entries: list[dict], version: int | None):
             break
         if e["action"] == "overwrite":
             live = [e["dir"]]
-        else:
+        elif e.get("dir"):  # a delete with zero survivors commits dir=None
             live.append(e["dir"])
     dirs = [str(root / _DATA / d) for d in live]
     return version, dirs, [e for e in entries if e["version"] <= version]
+
+
+def _live_masks(live_entries: list[dict]) -> dict[str, set[str]]:
+    """dir-name -> masked dir-relative parquet paths, accumulated from
+    ``delete`` entries at or below the resolved version. Applied only
+    to dirs actually live (a later overwrite retires the dir and the
+    mask with it — dir names never repeat, so a stale mask can never
+    mis-apply). Reading a version BEFORE a delete never sees its mask:
+    the entry list is already truncated at the requested version."""
+    masks: dict[str, set[str]] = {}
+    for e in live_entries:
+        for d, rels in (e.get("removed") or {}).items():
+            masks.setdefault(d, set()).update(rels)
+    return masks
+
+
+def _surviving_files(dirs: list[str], masks: dict[str, set[str]]) -> list[str]:
+    """Explicit per-file scan list for the live dirs minus masked files
+    (only called when some live dir carries a mask)."""
+    out: list[str] = []
+    for d in dirs:
+        masked = masks.get(Path(d).name, ())
+        for f in sorted(Path(d).rglob("*.parquet")):
+            if str(f.relative_to(d)) not in masked:
+                out.append(str(f))
+    return out
 
 
 def live_dirs(root: str | Path, version: int | None = None) -> list[str]:
@@ -418,23 +444,93 @@ def read_version(
     version, dirs, live_entries = _resolve(root, _committed_entries(root), version)
     schema_cols = live_entries[-1]["columns"]
     partitioned = bool(live_entries[-1].get("partition_by"))
+    widened = any("added_columns" in e for e in live_entries)
+    masks = _live_masks(live_entries)
+    masked = any(Path(d).name in masks for d in dirs)
+
+    def _backfill(df):
+        # a widened column can be absent from every surviving file once
+        # deletes mask files out — NULL is what those rows would read
+        from pyspark.sql import functions as F
+
+        for c in schema_cols:
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None))
+        return df.select(*schema_cols)
+
     if not partitioned:
         # one multi-path scan node — a 120-commit live set plans as a
         # single FileSourceScan instead of a 120-leaf union (the
         # conflicting-roots refusal only applies to PARTITIONED dirs);
         # mergeSchema covers commits written before a schema widening
-        widened = any("added_columns" in e for e in live_entries)
         reader = spark.read
         if widened:
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*dirs).select(*schema_cols)
-    df = spark.read.parquet(dirs[0])
-    for d in dirs[1:]:
-        df = df.unionByName(spark.read.parquet(d), allowMissingColumns=True)
-    return df.select(*schema_cols)
+        if not masked:
+            return reader.parquet(*dirs).select(*schema_cols)
+        files = _surviving_files(dirs, masks)
+        if not files:
+            return reader.parquet(*dirs).select(*schema_cols).limit(0)
+        return _backfill(reader.parquet(*files))
+    df = None
+    for d in dirs:
+        if not masked:
+            part = spark.read.parquet(d)
+        else:
+            plist = _surviving_files([d], masks)
+            if not plist:
+                continue  # every file of this commit dir is masked
+            part = spark.read.option("basePath", d).parquet(*plist)
+        df = part if df is None else df.unionByName(part, allowMissingColumns=True)
+    if df is None:  # every live file masked out
+        return spark.read.parquet(dirs[0]).limit(0).select(*schema_cols)
+    return _backfill(df)
 
 
 _PRUNE_OPS = {"==", "<", "<=", ">", ">=", "between"}
+
+
+def _typed_lit(df, col, value):
+    """Literal in the COLUMN's type: naive datetimes / dates / ISO
+    strings cast via string to timestamp_ntz or date (timezone-free
+    by construction — a bare Python-datetime literal would become a
+    session-zoned TIMESTAMP and shift against an NTZ column)."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(col)
+    if dtype in ("timestamp_ntz", "timestamp", "date"):
+        if isinstance(value, (_dt.datetime, _dt.date)):
+            value = value.isoformat(sep=" ") if isinstance(
+                value, _dt.datetime
+            ) else value.isoformat()
+        return F.lit(value).cast(dtype)
+    return F.lit(value)
+
+
+def _predicate_cond(df, predicates):
+    """The (column, op, value) conjunction as a typed Column — the same
+    predicate language zone_map_prune evaluates against file stats,
+    applied as a real row filter (shared by read_where and
+    delete_where_pruned so pruning and filtering can never diverge)."""
+    from pyspark.sql import functions as F
+
+    cond = F.lit(True)
+    for col, op, value in predicates:
+        c = F.col(col)
+        if op == "between":
+            term = (c >= _typed_lit(df, col, value[0])) & (
+                c <= _typed_lit(df, col, value[1])
+            )
+        else:
+            v = _typed_lit(df, col, value)
+            term = {
+                "==": c == v, "<": c < v, "<=": c <= v,
+                ">": c > v, ">=": c >= v,
+            }[op]
+        cond = cond & term
+    return cond
 
 
 def _range_may_match(lo, hi, op: str, value) -> bool:
@@ -486,19 +582,29 @@ def zone_map_prune(
             )
     root = Path(root)
     _, dirs, live_entries = _resolve(root, _committed_entries(root), version)
-    by_dir = {e["dir"]: e for e in live_entries}
+    by_dir = {e["dir"]: e for e in live_entries if e.get("dir")}
+    masks = _live_masks(live_entries)
     files: list[str] = []
     stats_dirs: list[str] = []  # dirs whose entry carries zone maps
     plain_dirs: list[str] = []  # pre-stats commits: scan whole dir
     total = kept = 0
     for d in dirs:
         entry = by_dir[Path(d).name]
+        masked = masks.get(Path(d).name, set())
         stats = entry.get("stats")
         if stats is None:
-            n = sum(1 for _ in Path(d).rglob("*.parquet"))
-            total += n
-            kept += n
-            plain_dirs.append(d)
+            # masked files are not live — list the survivors explicitly
+            # (a fully-unmasked no-stats dir stays a whole-dir scan)
+            if masked:
+                survivors = _surviving_files([d], masks)
+                total += len(survivors)
+                kept += len(survivors)
+                files.extend(survivors)
+            else:
+                n = sum(1 for _ in Path(d).rglob("*.parquet"))
+                total += n
+                kept += n
+                plain_dirs.append(d)
             continue
         stats_dirs.append(d)
         # per-column stats kind; entries written before kinds were
@@ -523,6 +629,8 @@ def zone_map_prune(
             else:
                 enc.append((col, op, _encode_pred_value(value, kind)))
         for rel, per_col in stats.items():
+            if rel in masked:  # deleted by a later masked-file commit
+                continue
             total += 1
             keep = True
             for col, op, value in enc:
@@ -573,38 +681,8 @@ def read_where(
     partitioned = bool(live_entries[-1].get("partition_by"))
     widened = any("added_columns" in e for e in live_entries)
 
-    def _typed_lit(df, col, value):
-        """Literal in the COLUMN's type: naive datetimes / dates / ISO
-        strings cast via string to timestamp_ntz or date (timezone-free
-        by construction — a bare Python-datetime literal would become a
-        session-zoned TIMESTAMP and shift against an NTZ column)."""
-        import datetime as _dt
-
-        dtype = dict(df.dtypes).get(col)
-        if dtype in ("timestamp_ntz", "timestamp", "date"):
-            if isinstance(value, (_dt.datetime, _dt.date)):
-                value = value.isoformat(sep=" ") if isinstance(
-                    value, _dt.datetime
-                ) else value.isoformat()
-            return F.lit(value).cast(dtype)
-        return F.lit(value)
-
     def _cond(df):
-        cond = F.lit(True)
-        for col, op, value in predicates:
-            c = F.col(col)
-            if op == "between":
-                term = (c >= _typed_lit(df, col, value[0])) & (
-                    c <= _typed_lit(df, col, value[1])
-                )
-            else:
-                v = _typed_lit(df, col, value)
-                term = {
-                    "==": c == v, "<": c < v, "<=": c <= v,
-                    ">": c > v, ">=": c >= v,
-                }[op]
-            cond = cond & term
-        return cond
+        return _predicate_cond(df, predicates)
 
     def _with_schema(df):
         # a schema-widened column can be absent from EVERY surviving
@@ -720,11 +798,146 @@ def delete_where(
     predicate,
     num_files: int | None = None,
 ) -> dict:
-    """Copy-on-write DELETE: commit the live set minus matching rows.
-    Deleted rows remain visible to every earlier version (time travel /
-    audit) until vacuum retires those versions."""
+    """Copy-on-write DELETE for an ARBITRARY Column predicate: commit
+    the live set minus matching rows — a full rewrite. When the
+    predicate is expressible as (column, op, value) conjunctions,
+    prefer :func:`delete_where_pruned`, which rewrites only the files
+    whose zone maps intersect the predicate. Deleted rows remain
+    visible to every earlier version (time travel / audit) until
+    vacuum retires those versions."""
     current = read_version(spark, root)
     return overwrite(root, current.filter(~predicate), num_files=num_files)
+
+
+def delete_where_pruned(
+    spark: SparkSession,
+    root: str | Path,
+    predicates: list[tuple],
+    num_files: int | None = None,
+) -> dict:
+    """Zone-map-bounded DELETE: rewrite ONLY the files whose recorded
+    [min, max] ranges can intersect the ``(column, op, value)``
+    conjunction (the same predicate language as :func:`read_where`);
+    every provably-clean file stays untouched on disk and is carried
+    forward by reference. The commit is a new ``delete`` log entry
+    holding the surviving rows of the rewritten files in a fresh
+    directory plus a ``removed`` mask over the prior directories —
+    readers of this and later versions skip masked files, earlier
+    versions still see them (time travel / audit), and ``vacuum``
+    retires them with their versions.
+
+    At 100 TB this is the Delta DELETE shape: the rewrite cost is
+    O(files the predicate touches) — with clustered/z-ordered data and
+    a selective predicate, a fraction of a percent of the table — and
+    the decision reads zero data bytes. Rows where a predicate column
+    is NULL never match (null-rejecting ops) and always survive.
+    Returns {version, deleted_rows, rewritten_files, skipped_files,
+    carried_files}; with nothing to touch, returns without committing.
+    """
+    from pyspark.sql import functions as F
+
+    if not predicates:
+        raise ValueError(
+            "delete_where_pruned needs at least one predicate "
+            "(an unconditional delete is overwrite with an empty frame)"
+        )
+    root = Path(root)
+    (root / _VLOG).mkdir(parents=True, exist_ok=True)
+    with writer_lock(root):
+        entries = _committed_entries(root)
+        version, live_data_dirs, live_entries = _resolve(root, entries, None)
+        report = zone_map_prune(root, predicates, version)  # mask-aware
+        cand_files = list(report["files"]) + [
+            str(f)
+            for d in report["dirs"]
+            for f in sorted(Path(d).rglob("*.parquet"))
+        ]
+        if not cand_files:  # no file can hold a match: commit nothing
+            return {
+                "version": version, "deleted_rows": 0,
+                "rewritten_files": 0, "carried_files": 0,
+                "skipped_files": report["skipped_files"], "committed": False,
+            }
+        schema_cols = live_entries[-1]["columns"]
+        partition_by = live_entries[-1].get("partition_by") or []
+        stats_columns = live_entries[-1].get("stats_columns") or []
+        widened = any("added_columns" in e for e in live_entries)
+
+        def _norm(df):
+            for c in schema_cols:
+                if c not in df.columns:
+                    df = df.withColumn(c, F.lit(None))
+            return df.select(*schema_cols)
+
+        # read ONLY the candidate files (per commit dir so basePath
+        # recovers hive partition columns on partitioned tables)
+        by_base: dict[str, list[str]] = {}
+        for f in cand_files:
+            base = next(
+                d for d in live_data_dirs if f.startswith(d + os.sep)
+            )
+            by_base.setdefault(base, []).append(f)
+        cand = None
+        for base, plist in by_base.items():
+            reader = spark.read.option("basePath", base)
+            if widened:
+                reader = reader.option("mergeSchema", "true")
+            part = _norm(reader.parquet(*plist))
+            cand = part if cand is None else cand.unionByName(part)
+        n_cand = cand.count()
+        # survivors: rows the conjunction does NOT match (NULL in a
+        # predicate column -> no match -> survives; plain ~cond would
+        # wrongly drop those rows)
+        survivors = cand.filter(~F.coalesce(_predicate_cond(cand, predicates), F.lit(False)))
+        if num_files is None:
+            cand_bytes = sum(Path(f).stat().st_size for f in cand_files)
+            num_files = max(1, -(-cand_bytes // (128 << 20)))
+        new_version = version + 1
+        dir_name = f"c{new_version:08d}"
+        data_dir = root / _DATA / dir_name
+        out = survivors.coalesce(int(num_files))
+        writer = out.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(data_dir))
+        has_rows = any(data_dir.rglob("*.parquet"))
+        n_kept = (
+            spark.read.parquet(str(data_dir)).count() if has_rows else 0
+        )
+        if not n_kept:
+            # zero survivors (a row-less part file still counts as
+            # nothing): commit a dir-less entry, not an empty dir
+            has_rows = False
+            shutil.rmtree(data_dir, ignore_errors=True)
+        removed: dict[str, list[str]] = {}
+        for base, plist in by_base.items():
+            removed[Path(base).name] = sorted(
+                str(Path(f).relative_to(base)) for f in plist
+            )
+        entry = {
+            "version": new_version,
+            "action": "delete",
+            "dir": dir_name if has_rows else None,
+            "columns": schema_cols,
+            "partition_by": partition_by,
+            "removed": removed,
+            "predicates": [list(p) for p in predicates],
+            "ts": time.time(),
+        }
+        if stats_columns and has_rows:
+            entry["stats_columns"] = stats_columns
+            dtypes = dict(survivors.dtypes)
+            entry["stats_types"] = {c: dtypes[c] for c in stats_columns}
+            entry["stats"] = _collect_file_stats(data_dir, stats_columns)
+        _commit(root, entry)
+    return {
+        "version": new_version,
+        "deleted_rows": n_cand - n_kept,
+        "rewritten_files": len(cand_files),
+        "carried_files": report["skipped_files"],
+        "skipped_files": report["skipped_files"],
+        "committed": True,
+    }
 
 
 def optimize(
