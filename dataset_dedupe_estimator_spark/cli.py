@@ -507,6 +507,30 @@ def cmd_compact(args) -> int:
     return 0
 
 
+
+def _delete_keys(spark, args, key_col):
+    """Keys for an index `delete` action: --ids "1,2,3" (ints where they
+    parse, raw strings otherwise) or a positional parquet path of keys.
+    Returns a list/DataFrame for plans._tombstones.normalize_ids, or
+    None after printing a usage error."""
+    if getattr(args, "ids", None):
+        out = []
+        for v in args.ids.split(","):
+            try:
+                out.append(int(v))
+            except ValueError:
+                out.append(v)
+        return out
+    src = getattr(args, "docs", None) or getattr(args, "vectors", None)
+    if src and os.path.exists(src.split("*")[0].rstrip("/") or src):
+        return spark.read.parquet(src).select(key_col)
+    print(
+        f"delete: pass --ids K1,K2,... or a parquet path of {key_col}s",
+        file=sys.stderr,
+    )
+    return None
+
+
 def cmd_index(args) -> int:
     """`de index build|update|stats IDX [FILES...]`: persistent chunk-hash
     index (plans/chunk_index.py) — build generation 0 from a snapshot,
@@ -518,6 +542,20 @@ def cmd_index(args) -> int:
     )
 
     spark = _spark(args)
+    if args.action == "delete":
+        from dataset_dedupe_estimator_spark.plans.chunk_index import delete_chunks
+
+        if args.ids is None and not args.files:
+            print("delete: pass --ids H1,H2,... or a parquet of hashes", file=sys.stderr)
+            return 2
+        keys = (
+            [int(v) if v.lstrip("-").isdigit() else v for v in args.ids.split(",")]
+            if args.ids
+            else spark.read.parquet(*args.files).select("hash")
+        )
+        st = delete_chunks(spark, args.index_dir, keys)
+        print(f"{st['tombstoned']} chunk hash(es) tombstoned")
+        return 0
     if args.action == "compact":
         from dataset_dedupe_estimator_spark.plans.chunk_index import compact_index
 
@@ -592,6 +630,15 @@ def cmd_lsh_index(args) -> int:
             f"gen {st['generation']}: {st['docs']} docs admitted, "
             f"{st['candidate_pairs']} near-dup candidate pairs"
         )
+        return 0
+    if args.action == "delete":
+        keys = _delete_keys(spark, args, "doc_id")
+        if keys is None:
+            return 2
+        from dataset_dedupe_estimator_spark.plans.lsh_index import delete_docs
+
+        st = delete_docs(spark, args.index_dir, keys)
+        print(f"{st['denylisted']} doc id(s) tombstoned")
         return 0
     if args.action == "query":
         from dataset_dedupe_estimator_spark.plans.lsh_index import query_docs
@@ -699,6 +746,15 @@ def cmd_gram_index(args) -> int:
             f"({toks} tokens) across {docs_hit} docs"
         )
         return 0
+    if args.action == "delete":
+        keys = _delete_keys(spark, args, "doc_id")
+        if keys is None:
+            return 2
+        from dataset_dedupe_estimator_spark.plans.gram_index import delete_docs
+
+        st = delete_docs(spark, args.index_dir, keys)
+        print(f"{st['denylisted']} doc id(s) tombstoned")
+        return 0
     if args.action == "query":
         from pyspark.sql import functions as F
 
@@ -774,6 +830,15 @@ def cmd_pq_index(args) -> int:
             return 2
         st = pq_index_add(spark, args.index_dir, spark.read.parquet(args.vectors))
         print(f"admitted {st['admitted']} vectors ({st['total']} total)")
+        return 0
+    if args.action == "delete":
+        from dataset_dedupe_estimator_spark.operators.ann import pq_index_delete
+
+        keys = _delete_keys(spark, args, "vec_id")
+        if keys is None:
+            return 2
+        st = pq_index_delete(spark, args.index_dir, keys)
+        print(f"{st['deleted']} vector(s) deleted ({st['total']} remain)")
         return 0
     if args.action == "compact":
         from dataset_dedupe_estimator_spark.operators.ann import pq_index_compact
@@ -1011,6 +1076,18 @@ def cmd_text_index(args) -> int:
             print(f"doc_id={h.doc_id} occurrences={h.n_occurrences}")
         print(f"{len(hits)} docs contain the phrase")
         return 0
+    if args.action == "delete":
+        from dataset_dedupe_estimator_spark.plans.text_index import delete_docs
+
+        keys = _delete_keys(spark, args, "doc_id")
+        if keys is None:
+            return 2
+        st = delete_docs(spark, args.index_dir, keys)
+        print(
+            f"{st['deleted']} doc(s) deleted, {st['denylisted']} id(s) "
+            f"tombstoned ({st['n_docs']} remain)"
+        )
+        return 0
     if args.action == "compact":
         st = compact_text_index(spark, args.index_dir)
         print(
@@ -1199,6 +1276,26 @@ def cmd_table(args) -> int:
         if entry.get("stats_columns"):
             how += f", zone maps on {entry['stats_columns']}"
         print(f"committed v{entry['version']} (optimize: {how})")
+    elif args.action == "delete-where":
+        if not args.where:
+            print("delete-where needs at least one --where COL:OP:VALUE", file=sys.stderr)
+            return 2
+        preds = _parse_where(args.where)
+        if preds is None:
+            return 2
+        spark = _spark(args)
+        st = vt.delete_where_pruned(spark, args.root, preds, num_files=args.files)
+        if not st["committed"]:
+            print(
+                f"nothing to delete (zone maps prove no file intersects; "
+                f"{st['skipped_files']} file(s) skipped, no commit)"
+            )
+        else:
+            print(
+                f"committed v{st['version']} (delete: {st['deleted_rows']} rows, "
+                f"{st['rewritten_files']} file(s) rewritten, "
+                f"{st['carried_files']} carried untouched)"
+            )
     elif args.action == "vacuum":
         removed = vt.vacuum(args.root, keep_versions=args.keep)
         print(f"removed {len(removed)} data dirs: {', '.join(removed) or '-'}")
@@ -1475,14 +1572,16 @@ def build_parser() -> argparse.ArgumentParser:
     qu.set_defaults(fn=cmd_quality)
 
     ix = sub.add_parser("index", help="persistent chunk-hash dedup index")
-    ix.add_argument("action", choices=["build", "update", "stats", "compact"])
+    ix.add_argument("action", choices=["build", "update", "stats", "compact", "delete"])
     ix.add_argument("index_dir")
-    ix.add_argument("files", nargs="*", help="snapshot files/globs (build/update)")
+    ix.add_argument("files", nargs="*", help="snapshot files/globs (build/update) or a hash parquet (delete)")
+    ix.add_argument("--ids", help="comma-separated chunk hashes to delete")
     ix.set_defaults(fn=cmd_index)
 
     lx = sub.add_parser("lsh-index", help="persistent LSH near-dup document index")
     lx.add_argument(
-        "action", choices=["build", "admit", "query", "stats", "stream", "compact"]
+        "action",
+        choices=["build", "admit", "query", "stats", "stream", "compact", "delete"],
     )
     lx.add_argument("index_dir")
     lx.add_argument(
@@ -1491,6 +1590,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="parquet of (doc_id, text) — batch for build/admit, inbox dir for stream",
     )
     lx.add_argument("--pairs-out", help="parquet sink for candidate pairs")
+    lx.add_argument("--ids", help="comma-separated doc ids to delete")
     lx.add_argument("--checkpoint", help="stream checkpoint dir (stream)")
     lx.set_defaults(fn=cmd_lsh_index)
 
@@ -1498,7 +1598,8 @@ def build_parser() -> argparse.ArgumentParser:
         "gram-index", help="persistent sliding-gram exact-substring index"
     )
     gx.add_argument(
-        "action", choices=["build", "admit", "query", "stats", "stream", "compact"]
+        "action",
+        choices=["build", "admit", "query", "stats", "stream", "compact", "delete"],
     )
     gx.add_argument("index_dir")
     gx.add_argument(
@@ -1508,17 +1609,19 @@ def build_parser() -> argparse.ArgumentParser:
     )
     gx.add_argument("--k", type=int, default=8, help="gram width in tokens (build)")
     gx.add_argument("--spans-out", help="parquet sink for duplicate spans")
+    gx.add_argument("--ids", help="comma-separated doc ids to delete")
     gx.add_argument("--checkpoint", help="stream checkpoint dir (stream)")
     gx.set_defaults(fn=cmd_gram_index)
 
     px = sub.add_parser("pq-index", help="persistent IVF-PQ ANN index")
-    px.add_argument("action", choices=["build", "add", "search", "compact"])
+    px.add_argument("action", choices=["build", "add", "search", "compact", "delete"])
     px.add_argument("index_dir")
     px.add_argument("vectors", nargs="?", help="parquet of (vec_id, embedding)")
     px.add_argument("--cells", type=int, default=16, help="IVF coarse cells")
     px.add_argument("--codes", type=int, default=256, help="PQ codebook entries per subspace")
     px.add_argument("--seed", type=int, default=42)
     px.add_argument("--query-id", type=int, help="vec_id whose vector to search for")
+    px.add_argument("--ids", help="comma-separated vec ids to delete")
     px.add_argument("--topk", type=int, default=10)
     px.add_argument("--nprobe", type=int, default=2)
     px.set_defaults(fn=cmd_pq_index)
@@ -1526,7 +1629,10 @@ def build_parser() -> argparse.ArgumentParser:
     tx = sub.add_parser("text-index", help="persistent inverted BM25 index")
     tx.add_argument(
         "action",
-        choices=["build", "admit", "search", "phrase", "stats", "compact", "stream"],
+        choices=[
+            "build", "admit", "search", "phrase", "stats", "compact",
+            "stream", "delete",
+        ],
     )
     tx.add_argument("index_dir")
     tx.add_argument("docs", nargs="?", help="parquet of (doc_id, text) — or the inbox dir for stream")
@@ -1534,6 +1640,7 @@ def build_parser() -> argparse.ArgumentParser:
     tx.add_argument("--terms", help="comma-separated query terms")
     tx.add_argument("--topk", type=int, default=20)
     tx.add_argument("--checkpoint", help="streaming checkpoint dir (stream)")
+    tx.add_argument("--ids", help="comma-separated doc ids to delete")
     tx.set_defaults(fn=cmd_text_index)
 
     bp = sub.add_parser("bpe", help="train a BPE tokenizer on the documents table")
@@ -1574,7 +1681,7 @@ def build_parser() -> argparse.ArgumentParser:
         "action",
         choices=[
             "append", "overwrite", "history", "read", "optimize", "vacuum",
-            "ingest",
+            "ingest", "delete-where",
         ],
     )
     tb.add_argument("root")

@@ -486,8 +486,80 @@ GROUP BY 1 ORDER BY bucket
 """
 
 
+# deleted o_orderkey band for table_delete_where — inside every SF's key
+# range so the delete always touches rows
+_DW_LO = 200
+_DW_HI = 700
+
+
+def table_delete_where(spark, sf):
+    """Zone-map-bounded DELETE on a versioned table
+    (``sources/versioned.py::delete_where_pruned`` — the r7 deletion
+    surface, Delta-DELETE shape).
+
+    Builds a versioned table from orders in two range-partitioned
+    commits with per-file zone maps, DELETES an o_orderkey band — the
+    rewrite touches only the files whose recorded [min,max] intersects
+    the band, every other file is carried by reference under a
+    ``removed`` mask — then aggregates the post-delete snapshot. The
+    oracle aggregates orders WHERE the band is excluded, so a delete
+    that dropped a row it shouldn't (over-masking) or kept one it
+    should have deleted hash-mismatches. Eager by construction (commits
+    run at build); result localCheckpointed before the temp table
+    vanishes.
+    """
+    import shutil
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", cents("o_totalprice").alias("price_cents")
+    )
+    root = tempfile.mkdtemp(prefix="dde_dw_")
+    try:
+        half = orders.filter(F.col("o_orderkey") % 2 == 0)
+        rest = orders.filter(F.col("o_orderkey") % 2 == 1)
+        vt.append(
+            root,
+            half.repartitionByRange(4, "o_orderkey"),
+            stats_columns=["o_orderkey"],
+        )
+        vt.append(root, rest.repartitionByRange(4, "o_orderkey"))
+        vt.delete_where_pruned(
+            spark, root, [("o_orderkey", "between", (_DW_LO, _DW_HI))]
+        )
+        got = vt.read_version(spark, root)
+        out = (
+            got.groupBy((F.col("o_custkey") % 10).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+                F.sum("price_cents").alias("total_cents"),
+            )
+            .orderBy("bucket")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+TABLE_DELETE_WHERE_SQL = f"""
+SELECT o_custkey % 10 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS total_cents
+FROM orders
+WHERE o_orderkey NOT BETWEEN {_DW_LO} AND {_DW_HI}
+GROUP BY 1 ORDER BY bucket
+"""
+
+
 QUERIES = {
     "mv_incremental_orders": Q(mv_incremental_orders, MV_INCREMENTAL_ORDERS_SQL),
+    "table_delete_where": Q(table_delete_where, TABLE_DELETE_WHERE_SQL),
     "table_zonemap_read": Q(table_zonemap_read, TABLE_ZONEMAP_READ_SQL),
     "mv_from_version_diff": Q(mv_from_version_diff, MV_FROM_VERSION_DIFF_SQL),
     "streaming_mv_refresh": Q(streaming_mv_refresh, STREAMING_MV_REFRESH_SQL),

@@ -926,7 +926,12 @@ def bm25_search(spark, sf):
     return bm25_frame(docs, BM25_QUERY)
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(corpus_where: str = "") -> str:
+    """The shared BM25 oracle; ``corpus_where`` restricts the corpus
+    (the deletion entry scores against documents minus the deleted
+    set — N, avgdl and df all recomputed over the survivors, exactly
+    what the index's manifest decrements + postings anti-join must
+    reproduce)."""
     n = len(BM25_QUERY)
     tf_exprs = ",\n         ".join(
         f"len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS tf{i}"
@@ -952,7 +957,7 @@ def _bm25_sql() -> str:
 WITH base AS (
   SELECT doc_id, len(string_split(text, ' ')) AS dl,
          {tf_exprs}
-  FROM documents
+  FROM documents {corpus_where}
 ),
 stats AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl,
@@ -999,6 +1004,49 @@ def bm25_index_search(spark, sf):
         idx = f"{root}/idx"
         build_text_index(spark, docs.filter(F.col("doc_id") % 2 == 0), idx)
         admit_docs(spark, docs.filter(F.col("doc_id") % 2 == 1), idx)
+        return search(
+            spark, idx, BM25_QUERY, k1=BM25_K1, b=BM25_B, top=BM25_TOP
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+BM25_DELETE_MOD = 7  # deleted set: doc_id % 7 == 3 (deterministic)
+BM25_DELETE_REM = 3
+
+
+def bm25_delete_search(spark, sf):
+    """BM25 search AFTER DELETION from the persistent inverted index
+    (plans/text_index.py::delete_docs — the r7 takedown surface).
+
+    Builds the index over the full corpus, deletes every doc_id ≡ 3
+    (mod 7) via a tombstone set (no generation rewritten), then runs
+    the benchmark search. The oracle scores a corpus that NEVER
+    CONTAINED the deleted docs — N, avgdl, and every per-term df
+    recomputed over the survivors — so the index path only matches if
+    the manifest stat decrements AND the postings anti-join are both
+    exactly right: search-after-delete ≡ rebuild-without-deleted,
+    driver-attested. Eager by construction; result localCheckpointed
+    before the temp index vanishes.
+    """
+    import shutil
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.plans.text_index import (
+        build_text_index,
+        delete_docs,
+        search,
+    )
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="dde_tid_")
+    try:
+        idx = f"{root}/idx"
+        build_text_index(spark, docs, idx)
+        gone = docs.filter(
+            F.col("doc_id") % BM25_DELETE_MOD == BM25_DELETE_REM
+        ).select("doc_id")
+        delete_docs(spark, idx, gone)
         return search(
             spark, idx, BM25_QUERY, k1=BM25_K1, b=BM25_B, top=BM25_TOP
         ).localCheckpoint(eager=True)
@@ -1065,6 +1113,12 @@ FROM occ ORDER BY n_occurrences DESC, doc_id LIMIT {PHRASE_TOP}
 QUERIES = {
     "bm25_search": Q(bm25_search, _bm25_sql()),
     "bm25_index_search": Q(bm25_index_search, _bm25_sql()),
+    "bm25_delete_search": Q(
+        bm25_delete_search,
+        _bm25_sql(
+            f"WHERE doc_id % {BM25_DELETE_MOD} <> {BM25_DELETE_REM}"
+        ),
+    ),
     "phrase_search_index": Q(phrase_search_index, _phrase_sql()),
     "bpe_train_merges": Q(bpe_train_merges),
     "bpe_token_stats": Q(bpe_token_stats),

@@ -31,6 +31,8 @@ EAGER = {
     "table_time_travel",  # commits a real versioned table at construction
     "table_zonemap_read",  # commits + zone-map-prunes a versioned table at construction
     "bm25_index_search",  # builds + admits a persistent inverted index at construction
+    "table_delete_where",  # commits + pruned-deletes a versioned table at construction
+    "bm25_delete_search",  # builds + tombstone-deletes a persistent index at construction
     "phrase_search_index",  # builds a persistent inverted index at construction
     "mv_from_version_diff",  # commits + diffs a versioned table at construction
     "streaming_mv_refresh",  # runs a real file stream at construction
