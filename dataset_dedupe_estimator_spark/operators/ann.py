@@ -91,11 +91,30 @@ class PqIndex:
 
     MANIFEST = "_pq_meta.json"
 
-    def __init__(self, index_dir, centroids, codebooks, m, sub):
+    def __init__(self, index_dir, centroids, codebooks, m, sub,
+                 encoding: str = "residual"):
         self.index_dir = str(index_dir)
         self.centroids = centroids  # (k, dim)
         self.codebooks = codebooks  # (m, ks, sub)
         self.m, self.sub = m, sub
+        # "residual" (r7 default): codes quantize v - centroid[cell] —
+        # the standard IVF-PQ refinement; the residual's dynamic range
+        # is a fraction of the vector's, so the same code budget spends
+        # itself on a much smaller volume and recall rises (SCALING.md
+        # curve). "plain" reads indexes built before r7.
+        self.encoding = encoding
+
+    def _cell_table(self, q: np.ndarray, cell: int) -> np.ndarray:
+        """(m, ks) ADC lookup table for ``q`` against ``cell``'s code
+        space: residual encoding subtracts the cell centroid from the
+        query first, so table[mi][j] = ||(q - c)_mi - codebook[mi][j]||²
+        and summing over mi approximates ||q - (c + reconstructed)||²."""
+        r = q - self.centroids[cell] if self.encoding == "residual" else q
+        t = np.empty((self.m, self.codebooks.shape[1]), dtype=np.float64)
+        for mi in range(self.m):
+            rs = r[mi * self.sub : (mi + 1) * self.sub]
+            t[mi] = ((self.codebooks[mi] - rs[None, :]) ** 2).sum(axis=1)
+        return t
 
     @staticmethod
     def _train_codebooks(sample: np.ndarray, m: int, ks: int, iters: int, seed: int):
@@ -131,6 +150,7 @@ class PqIndex:
         train_sample: int = 8192,
         kmeans_iters: int = 10,
         seed: int = 42,
+        encoding: str = "residual",
     ) -> "PqIndex":
         import json
         import os
@@ -153,19 +173,41 @@ class PqIndex:
         dim = sample.shape[1]
         if dim % m:
             raise ValueError(f"dim {dim} not divisible by m={m}")
-        books = cls._train_codebooks(sample, m, ks, kmeans_iters, seed)
+        if encoding not in ("residual", "plain"):
+            raise ValueError(f"unknown encoding {encoding!r}")
+        residual = encoding == "residual"
+        if residual:
+            # RESIDUAL training (r7 default): assign the sample to its
+            # cells and train the codebooks on v - centroid[cell] —
+            # codes then spend their budget on the residual's small
+            # dynamic range instead of re-describing the cell position
+            # the IVF already encodes
+            sd2 = ((sample[:, None, :] - ivf.centroids[None, :, :]) ** 2).sum(axis=2)
+            train_on = sample - ivf.centroids[sd2.argmin(axis=1)]
+        else:  # legacy comparison mode (pre-r7 indexes read as plain)
+            train_on = sample
+        books = cls._train_codebooks(train_on, m, ks, kmeans_iters, seed)
         sub = dim // m
+
+        cent_arr = ivf.centroids  # bind OUTSIDE the closure: capturing
+        # `ivf` would drag its assigned DataFrame into the pickle
 
         def encode(batches):
             import pyarrow as pa
 
             C = books  # (m, ks, sub) — broadcast via closure
+            CENT = cent_arr
             for batch in batches:
                 idx = {n: i for i, n in enumerate(batch.schema.names)}
                 flat = batch.column(idx["embedding"]).flatten().to_numpy(
                     zero_copy_only=False
                 )
+                cells = batch.column(idx["cell"]).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
                 e = flat.astype(np.float64).reshape(-1, dim)
+                if residual:
+                    e = e - CENT[cells]  # residual per assigned cell
                 codes = np.empty((e.shape[0], m), dtype=np.int64)
                 for mi in range(m):
                     x = e[:, mi * sub : (mi + 1) * sub]
@@ -199,9 +241,10 @@ class PqIndex:
                     "generations": 1,
                     "floor": 0,
                     "total": total,
+                    "encoding": encoding,
                 },
             )
-        return cls(index_dir, ivf.centroids, books, m, sub)
+        return cls(index_dir, ivf.centroids, books, m, sub, encoding=encoding)
 
     @classmethod
     def load(cls, index_dir) -> "PqIndex":
@@ -213,6 +256,7 @@ class PqIndex:
             books,
             mf["m"],
             mf["dim"] // mf["m"],
+            encoding=mf.get("encoding", "plain"),  # pre-r7 indexes
         )
 
     def codes_df(self, spark) -> DataFrame:
@@ -274,20 +318,48 @@ class PqIndex:
         q = np.asarray(query_vec, dtype=np.float64)
         d2 = ((self.centroids - q[None, :]) ** 2).sum(axis=1)
         probe_cells = [int(c) for c in np.argsort(d2)[:nprobe]]
-        table = np.empty((self.m, self.codebooks.shape[1]), dtype=np.float64)
-        for mi in range(self.m):
-            qs = q[mi * self.sub : (mi + 1) * self.sub]
-            table[mi] = ((self.codebooks[mi] - qs[None, :]) ** 2).sum(axis=1)
+        # one (m, ks) ADC table PER PROBED CELL (residual encoding makes
+        # the table cell-dependent: the query's residual differs per
+        # cell); nprobe x m x ks doubles ship in the task closure —
+        # ~128 KB at production defaults, independent of corpus size
+        tables = {c: self._cell_table(q, c) for c in probe_cells}
+        m = self.m
+
+        def adc_map(batches):
+            import pyarrow as pa
+
+            for batch in batches:
+                bidx = {n: i for i, n in enumerate(batch.schema.names)}
+                cells = batch.column(bidx["cell"]).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                if len(cells) == 0:
+                    continue
+                codes_np = np.stack(
+                    batch.column(bidx["codes"]).to_numpy(zero_copy_only=False)
+                ).astype(np.int64)
+                acc = np.zeros(len(cells), np.float64)
+                for c in np.unique(cells):
+                    mask = cells == c
+                    T = tables[int(c)]
+                    sub_codes = codes_np[mask]
+                    a = np.zeros(mask.sum(), np.float64)
+                    for mi in range(m):
+                        a += T[mi, sub_codes[:, mi]]
+                    acc[mask] = a
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        batch.column(bidx["vec_id"]),
+                        batch.column(bidx["cell"]),
+                        pa.array(acc, pa.float64()),
+                    ],
+                    names=["vec_id", "cell", "adc"],
+                )
+
         codes = self.codes_df(spark).filter(F.col("cell").isin(probe_cells))
-        adc = None
-        for mi in range(self.m):
-            term = F.element_at(
-                F.array(*[F.lit(float(v)) for v in table[mi]]),
-                (F.col("codes")[mi] + 1).cast("int"),
-            )
-            adc = term if adc is None else adc + term
         shortlist = (
-            codes.select("vec_id", "cell", adc.alias("adc"))
+            codes.select("vec_id", "cell", "codes")
+            .mapInArrow(adc_map, "vec_id long, cell int, adc double")
             .orderBy("adc", "vec_id")
             .limit(topk if emb is None else max(rerank, topk))
         )
@@ -408,19 +480,32 @@ def _pq_search_batch(idx: "PqIndex", spark, queries, topk, nprobe, emb,
     ]
     all_cells = sorted({c for _, c in probe})
     probe_df = spark.createDataFrame(probe, "qpos int, cell int")
-    # per-query ADC lookup tables (Q, m, ks)
-    tables = np.empty((len(qids), idx.m, idx.codebooks.shape[1]), np.float64)
-    for mi in range(idx.m):
-        sub = qmat[:, mi * idx.sub : (mi + 1) * idx.sub]
-        tables[:, mi, :] = (
-            (sub[:, None, :] - idx.codebooks[mi][None, :, :]) ** 2
-        ).sum(axis=2)
-    m = idx.m
+    # the closure ships the query MATRIX (Q x dim), centroids, and
+    # codebooks; per-(query, cell) residual ADC tables are built lazily
+    # inside the task and memoized — precomputing Q x nprobe tables
+    # driver-side would ship Q x nprobe x m x ks doubles (hundreds of
+    # MB at the 4096-query cap), while Q x dim is a few MB
+    m, sub_w = idx.m, idx.sub
+    books = idx.codebooks
+    cents = idx.centroids
+    residual = idx.encoding == "residual"
 
     def adc_score(batches):
         import pyarrow as pa
 
-        T = tables  # closure-shipped: Q x m x ks doubles
+        cache: dict[tuple[int, int], np.ndarray] = {}
+
+        def table_for(qi: int, c: int) -> np.ndarray:
+            t = cache.get((qi, c))
+            if t is None:
+                r = qmat[qi] - cents[c] if residual else qmat[qi]
+                t = np.empty((m, books.shape[1]), np.float64)
+                for mi in range(m):
+                    rs = r[mi * sub_w : (mi + 1) * sub_w]
+                    t[mi] = ((books[mi] - rs[None, :]) ** 2).sum(axis=1)
+                cache[(qi, c)] = t
+            return t
+
         for batch in batches:
             bidx = {n: i for i, n in enumerate(batch.schema.names)}
             q = batch.column(bidx["qpos"]).to_numpy(zero_copy_only=False)
@@ -429,10 +514,21 @@ def _pq_search_batch(idx: "PqIndex", spark, queries, topk, nprobe, emb,
             codes = np.stack(
                 batch.column(bidx["codes"]).to_numpy(zero_copy_only=False)
             ).astype(np.int64)
+            cells = batch.column(bidx["cell"]).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
             rowsel = q.astype(np.int64)
             acc = np.zeros(len(q), np.float64)
-            for mi in range(m):
-                acc += T[rowsel, mi, codes[:, mi]]
+            keys = rowsel * (cents.shape[0] + 1) + cells
+            for key in np.unique(keys):
+                mask = keys == key
+                qi, c = divmod(int(key), cents.shape[0] + 1)
+                T = table_for(qi, c)
+                sub_codes = codes[mask]
+                a = np.zeros(mask.sum(), np.float64)
+                for mi in range(m):
+                    a += T[mi, sub_codes[:, mi]]
+                acc[mask] = a
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column(bidx["qpos"]),
@@ -562,6 +658,7 @@ def pq_index_add(spark, index_dir, emb: DataFrame, vec_col: str = "embedding", i
     books = idx.codebooks
     m, sub = idx.m, idx.sub
     dim = C.shape[1]
+    residual = idx.encoding == "residual"
 
     def assign_encode(batches):
         import pyarrow as pa
@@ -574,6 +671,8 @@ def pq_index_add(spark, index_dir, emb: DataFrame, vec_col: str = "embedding", i
             e = flat.astype(np.float64).reshape(-1, dim)
             d2 = ((e[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             cells = d2.argmin(axis=1).astype(np.int32)
+            if residual:  # admit in the INDEX's encoding, not ours
+                e = e - C[cells.astype(np.int64)]
             codes = np.empty((e.shape[0], m), dtype=np.int64)
             for mi in range(m):
                 x = e[:, mi * sub : (mi + 1) * sub]

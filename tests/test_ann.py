@@ -437,3 +437,48 @@ def test_pq_code_dup_groups_finds_planted_duplicates(spark, emb, tmp_path):
         assert keeper == min(grp)
         assert len(grp) >= 2
     assert base  # fixture sanity
+
+
+def test_pq_encoding_residual_default_and_plain_legacy(spark, emb, tmp_path):
+    """r7 residual encoding: new builds stamp encoding=residual in the
+    manifest and quantize v - centroid[cell]; encoding="plain" keeps
+    the pre-r7 behavior, and a manifest WITHOUT the key (a pre-r7
+    index) loads as plain — the two encodings produce different codes
+    for the same corpus but both self-retrieve exactly."""
+    import json
+    from pathlib import Path
+
+    from dataset_dedupe_estimator_spark.operators.ann import PqIndex
+
+    res_dir, plain_dir = str(tmp_path / "res"), str(tmp_path / "plain")
+    PqIndex.build(emb, res_dir, k=8, m=8, ks=16, seed=3)
+    PqIndex.build(emb, plain_dir, k=8, m=8, ks=16, seed=3, encoding="plain")
+    assert json.loads(
+        (Path(res_dir) / PqIndex.MANIFEST).read_text()
+    )["encoding"] == "residual"
+    r = PqIndex.load(res_dir)
+    p = PqIndex.load(plain_dir)
+    assert r.encoding == "residual" and p.encoding == "plain"
+    # same corpus, different code spaces
+    rc = {t.vec_id: tuple(t.codes) for t in r.codes_df(spark).collect()}
+    pc = {t.vec_id: tuple(t.codes) for t in p.codes_df(spark).collect()}
+    assert rc.keys() == pc.keys() and rc != pc
+    # both encodings put the query vector itself at rank 1 (rerank path)
+    probe = emb.orderBy("vec_id").limit(1).head()
+    for ix in (r, p):
+        top = ix.search(
+            spark, [float(v) for v in probe.embedding], topk=3, nprobe=8,
+            emb=emb,
+        ).head()
+        assert top.vec_id == probe.vec_id
+    # legacy manifest (no encoding key) reads as plain
+    mf_path = Path(plain_dir) / PqIndex.MANIFEST
+    mf = json.loads(mf_path.read_text())
+    del mf["encoding"]
+    mf_path.write_text(json.dumps(mf))
+    legacy = PqIndex.load(plain_dir)
+    assert legacy.encoding == "plain"
+    codes_again = {
+        t.vec_id: tuple(t.codes) for t in legacy.codes_df(spark).collect()
+    }
+    assert codes_again == pc

@@ -92,6 +92,67 @@ def main() -> None:
                 }
             )
         out["curve"] = curve
+
+        # Encoding ablation (r7): plain vs residual recall at higher
+        # query count, evaluated numpy-side with EXACTLY the search
+        # path's math (cell assignment by L2, per-cell ADC tables,
+        # shortlist SHORTLIST, exact-cosine rerank to K) — the Spark
+        # path is a deterministic function of codes + tables, so the
+        # recall numbers are the ones a cluster would serve; latency is
+        # measured above on the real path.
+        t0 = time.time()
+        idx_plain = PqIndex.build(
+            emb, f"{d}/plain", k=64, ks=64, train_sample=4096, seed=7,
+            encoding="plain",
+        )
+        out["plain_build_s"] = round(time.time() - t0, 2)
+        abl_q = np.linspace(0, n - 1, 64, dtype=int)
+        abl_gt = {}
+        for pi in abl_q:
+            sims = Xn @ Xn[pi]
+            sims[pi] = -2.0
+            abl_gt[int(pi)] = {int(t) for t in np.argsort(-sims)[:K]}
+        pos = {int(v): i for i, v in enumerate(ids)}
+        abl = {}
+        for name, ix in (("plain", idx_plain), ("residual", idx)):
+            codes_pdf = ix.codes_df(spark).toPandas()
+            cvec = codes_pdf["cell"].to_numpy()
+            cid = codes_pdf["vec_id"].to_numpy()
+            cmat = np.stack(codes_pdf["codes"].to_numpy()).astype(np.int64)
+            per_np = {}
+            for nprobe in (8, 64):
+                recs = []
+                for pi in abl_q:
+                    q = X[pi]
+                    d2 = ((ix.centroids - q[None, :]) ** 2).sum(axis=1)
+                    cells = [int(c) for c in np.argsort(d2)[:nprobe]]
+                    mask = np.isin(cvec, cells)
+                    sub_cells = cvec[mask]
+                    sub_codes = cmat[mask]
+                    adc = np.zeros(mask.sum())
+                    for c in cells:
+                        m2 = sub_cells == c
+                        if not m2.any():
+                            continue
+                        T = ix._cell_table(q, c)
+                        a = np.zeros(m2.sum())
+                        for mi in range(ix.m):
+                            a += T[mi, sub_codes[m2][:, mi]]
+                        adc[m2] = a
+                    short = cid[mask][np.argsort(adc, kind="stable")[:SHORTLIST]]
+                    sel = np.array([pos[int(v)] for v in short])
+                    sims = Xn[sel] @ Xn[pi]
+                    ranked = [
+                        int(sel[t])
+                        for t in np.argsort(-sims, kind="stable")
+                        if int(sel[t]) != int(pi)
+                    ][:K]
+                    recs.append(len(set(ranked) & abl_gt[int(pi)]) / K)
+                per_np[f"rerank_recall_nprobe{nprobe}"] = round(
+                    float(np.mean(recs)), 4
+                )
+            abl[name] = per_np
+        out["encoding_ablation_64q"] = abl
     print(json.dumps(out))
 
 
