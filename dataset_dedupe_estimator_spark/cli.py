@@ -1296,6 +1296,29 @@ def cmd_table(args) -> int:
                 f"{st['rewritten_files']} file(s) rewritten, "
                 f"{st['carried_files']} carried untouched)"
             )
+    elif args.action == "upsert":
+        if not args.src or not args.keys:
+            print(
+                "upsert needs an updates parquet (src) and --keys COL[,COL...]",
+                file=sys.stderr,
+            )
+            return 2
+        spark = _spark(args)
+        updates = spark.read.parquet(args.src)
+        st = vt.upsert_pruned(
+            spark, args.root, updates,
+            [c for c in args.keys.split(",") if c],
+            num_files=args.files,
+        )
+        if not st["committed"]:
+            print("no update rows — nothing to merge, no commit")
+        else:
+            print(
+                f"committed v{st['version']} (upsert: {st['upsert_rows']} rows "
+                f"merged, {st['replaced_rows']} replaced, "
+                f"{st['rewritten_files']} file(s) rewritten, "
+                f"{st['carried_files']} carried untouched)"
+            )
     elif args.action == "vacuum":
         removed = vt.vacuum(args.root, keep_versions=args.keep)
         print(f"removed {len(removed)} data dirs: {', '.join(removed) or '-'}")
@@ -1681,7 +1704,7 @@ def build_parser() -> argparse.ArgumentParser:
         "action",
         choices=[
             "append", "overwrite", "history", "read", "optimize", "vacuum",
-            "ingest", "delete-where",
+            "ingest", "delete-where", "upsert",
         ],
     )
     tb.add_argument("root")
@@ -1703,6 +1726,12 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="COL:OP:VALUE",
         help="read predicate, e.g. o_orderkey:between:100,200 or price:>=:5 "
         "(repeatable; conjunction; zone maps skip provably-missed files)",
+    )
+    tb.add_argument(
+        "--keys",
+        help="comma-separated merge key columns (upsert): update rows "
+        "replace live rows sharing the key, new keys insert; only files "
+        "whose zone maps can hold an update key are rewritten",
     )
     tb.set_defaults(fn=cmd_table)
 

@@ -557,9 +557,105 @@ GROUP BY 1 ORDER BY bucket
 """
 
 
+# upsert bands for table_upsert_merge — inside every SF's key range
+_UP_LO = 200   # keys whose rows the MERGE replaces (price bumped)
+_UP_HI = 700
+_INS_HI = 260  # keys [200, 260] also spawn an INSERT at key + 10M
+_INS_SHIFT = 10_000_000
+
+
+def table_upsert_merge(spark, sf):
+    """Zone-map-bounded MERGE on a versioned table
+    (``sources/versioned.py::upsert_pruned`` — the r7 upsert surface,
+    Delta-MERGE shape).
+
+    Builds a versioned table from orders in two range-partitioned
+    commits with per-file zone maps, then MERGEs an update set: rows in
+    an o_orderkey band replace their originals with a bumped price, and
+    a second slice inserts under keys shifted beyond every file's
+    recorded range. Only files whose [min, max] can contain SOME update
+    key are rewritten (per-key bisect, not a span test — the shifted
+    insert keys alone would otherwise force a full rewrite); every
+    other file is carried by reference. The oracle recomputes the
+    post-merge table from orders directly (CASE for the replaced band,
+    UNION ALL for the inserts), so a merge that dropped a row, kept a
+    replaced original, or missed an insert hash-mismatches. Eager by
+    construction; result localCheckpointed before the temp table
+    vanishes.
+    """
+    import shutil
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", cents("o_totalprice").alias("price_cents")
+    )
+    root = tempfile.mkdtemp(prefix="dde_um_")
+    try:
+        half = orders.filter(F.col("o_orderkey") % 2 == 0)
+        rest = orders.filter(F.col("o_orderkey") % 2 == 1)
+        vt.append(
+            root,
+            half.repartitionByRange(4, "o_orderkey"),
+            stats_columns=["o_orderkey"],
+        )
+        vt.append(root, rest.repartitionByRange(4, "o_orderkey"))
+        band = orders.filter(
+            F.col("o_orderkey").between(_UP_LO, _UP_HI)
+        )
+        replaced = band.withColumn(
+            "price_cents", F.col("price_cents") + F.lit(1000)
+        )
+        inserts = band.filter(F.col("o_orderkey") <= _INS_HI).select(
+            (F.col("o_orderkey") + F.lit(_INS_SHIFT)).alias("o_orderkey"),
+            "o_custkey",
+            F.col("o_orderkey").cast("long").alias("price_cents"),
+        )
+        vt.upsert_pruned(
+            spark, root, replaced.unionByName(inserts), ["o_orderkey"]
+        )
+        got = vt.read_version(spark, root)
+        out = (
+            got.groupBy((F.col("o_custkey") % 10).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+                F.sum("price_cents").alias("total_cents"),
+            )
+            .orderBy("bucket")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+TABLE_UPSERT_MERGE_SQL = f"""
+SELECT o_custkey % 10 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       CAST(SUM(price_cents) AS BIGINT) AS total_cents
+FROM (
+    SELECT o_custkey, o_orderkey,
+           CASE WHEN o_orderkey BETWEEN {_UP_LO} AND {_UP_HI}
+                THEN {sql_cents('o_totalprice')} + 1000
+                ELSE {sql_cents('o_totalprice')} END AS price_cents
+    FROM orders
+    UNION ALL
+    SELECT o_custkey, o_orderkey + {_INS_SHIFT} AS o_orderkey,
+           o_orderkey AS price_cents
+    FROM orders WHERE o_orderkey BETWEEN {_UP_LO} AND {_INS_HI}
+)
+GROUP BY 1 ORDER BY bucket
+"""
+
+
 QUERIES = {
     "mv_incremental_orders": Q(mv_incremental_orders, MV_INCREMENTAL_ORDERS_SQL),
     "table_delete_where": Q(table_delete_where, TABLE_DELETE_WHERE_SQL),
+    "table_upsert_merge": Q(table_upsert_merge, TABLE_UPSERT_MERGE_SQL),
     "table_zonemap_read": Q(table_zonemap_read, TABLE_ZONEMAP_READ_SQL),
     "mv_from_version_diff": Q(mv_from_version_diff, MV_FROM_VERSION_DIFF_SQL),
     "streaming_mv_refresh": Q(streaming_mv_refresh, STREAMING_MV_REFRESH_SQL),

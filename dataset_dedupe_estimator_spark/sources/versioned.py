@@ -780,16 +780,243 @@ def upsert(
     key_cols: list[str],
     num_files: int | None = None,
 ) -> dict:
-    """Copy-on-write MERGE: ``updates`` rows replace live rows sharing
-    their key; new keys insert. One anti-join (update keys broadcast at
-    typical delta sizes via AQE) + one overwrite commit; every prior
-    version still time-travels. At 100 TB, bound the rewrite by
-    partition-pruning untouched partitions before the call — the commit
-    itself never rewrites history, only the live set.
+    """Copy-on-write MERGE as a FULL rewrite: ``updates`` rows replace
+    live rows sharing their key; new keys insert. One anti-join + one
+    overwrite commit; every prior version still time-travels. Prefer
+    :func:`upsert_pruned`, which rewrites only the files whose zone
+    maps can contain an update key — this full form remains the
+    reference semantics (the two are pinned row-equal by test) and the
+    fallback for tables committed without ``stats_columns``.
     """
     current = read_version(spark, root)
     kept = current.join(updates.select(*key_cols), key_cols, "left_anti")
     return overwrite(root, kept.unionByName(updates), num_files=num_files)
+
+
+def upsert_pruned(
+    spark: SparkSession,
+    root: str | Path,
+    updates: DataFrame,
+    key_cols: list[str],
+    num_files: int | None = None,
+    max_distinct_keys: int = 1_000_000,
+) -> dict:
+    """Zone-map-bounded MERGE (the Delta MERGE shape): ``updates`` rows
+    replace live rows sharing their key, new keys insert, and ONLY the
+    files whose recorded [min, max] on a key column can contain SOME
+    update key are rewritten — every provably-clean file is carried
+    forward by reference, byte-identical on disk.
+
+    The pruning test is per-file, per-key-column against the SET of
+    distinct update key values (binary search of the sorted values
+    against the file's range), not against the span [min_key, max_key]:
+    a delta of scattered keys touches exactly the files that hold them,
+    while a span test would rewrite everything between the smallest and
+    largest key. Above ``max_distinct_keys`` distinct keys the test
+    degrades to the per-column [min, max] range (still correct, just
+    coarser); files lacking stats for every key column are always
+    rewritten-candidates, so pruning can only skip work, never rows.
+
+    The commit is an ``upsert`` log entry: a fresh directory holding
+    (survivors of the rewritten files) ∪ (all update rows), plus a
+    ``removed`` mask over the rewritten originals — the same
+    dir+mask shape as ``delete``, so readers, time travel, the change
+    feed, and vacuum need no new cases. Update rows are taken as-is
+    (multiset semantics): callers wanting MERGE semantics supply
+    key-unique updates. Rows whose key is NULL never match (equality is
+    null-rejecting): NULL-key table rows always survive, NULL-key
+    update rows are pure inserts. ``updates`` must carry every table
+    column — an upsert is a whole-row replacement.
+
+    At 100 TB: the decision reads zero data bytes (driver-side
+    arithmetic over the commit log), the rewrite is O(files the keys
+    actually hit) — with clustered/z-ordered data a fraction of a
+    percent of the table — and the update keys are collected driver-
+    side only up to ``max_distinct_keys`` (8 MB/10⁶ long keys).
+    """
+    import bisect
+
+    from pyspark.sql import functions as F
+
+    if not key_cols:
+        raise ValueError("upsert_pruned needs at least one key column")
+    root = Path(root)
+    with writer_lock(root):
+        entries = _committed_entries(root)
+        version, live_data_dirs, live_entries = _resolve(root, entries, None)
+        schema_cols = live_entries[-1]["columns"]
+        for k in key_cols:
+            if k not in schema_cols:
+                raise ValueError(f"key column {k!r} not in table schema")
+        missing = [c for c in schema_cols if c not in updates.columns]
+        if missing:
+            raise ValueError(
+                f"updates missing table columns {missing} — an upsert "
+                "replaces whole rows"
+            )
+        partition_by = live_entries[-1].get("partition_by") or []
+        stats_columns = live_entries[-1].get("stats_columns") or []
+        widened = any("added_columns" in e for e in live_entries)
+
+        # distinct update keys, collected driver-side up to the cap;
+        # beyond it fall back to per-column [min, max] ranges
+        kdf = updates.select(*key_cols).distinct()
+        key_rows = kdf.limit(max_distinct_keys + 1).collect()
+        if not key_rows:
+            return {
+                "version": version, "rewritten_files": 0,
+                "carried_files": 0, "upsert_rows": 0, "replaced_rows": 0,
+                "committed": False,
+            }
+        exact = len(key_rows) <= max_distinct_keys
+        if exact:
+            key_vals = {
+                c: sorted({r[c] for r in key_rows if r[c] is not None})
+                for c in key_cols
+            }
+        else:
+            bounds = updates.agg(
+                *[f for c in key_cols
+                  for f in (F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}"))]
+            ).head()
+            key_vals = {
+                c: [bounds[f"lo_{c}"], bounds[f"hi_{c}"]]
+                for c in key_cols
+                if bounds[f"lo_{c}"] is not None
+            }
+
+        def _norm(df):
+            for c in schema_cols:
+                if c not in df.columns:
+                    df = df.withColumn(c, F.lit(None))
+            return df.select(*schema_cols)
+
+        # candidate files: a file is carried iff SOME key column's
+        # recorded range provably contains NO update value of that
+        # column (a matching row must equal the update key on EVERY
+        # column, so one provably-clean column clears the file)
+        by_dir = {e["dir"]: e for e in live_entries if e.get("dir")}
+        masks = _live_masks(live_entries)
+        enc_cache: dict[tuple, list] = {}
+
+        def _enc_vals(col: str, kind: str) -> list:
+            ck = (col, kind)
+            if ck not in enc_cache:
+                enc_cache[ck] = [
+                    _encode_pred_value(v, kind) for v in key_vals.get(col, [])
+                ]
+            return enc_cache[ck]
+
+        def _any_key_in(vals: list, lo, hi) -> bool:
+            if not vals:  # every update NULL on this column: no match
+                return False
+            if not exact:  # [min, max] fallback: range intersection
+                return vals[0] <= hi and vals[1] >= lo
+            i = bisect.bisect_left(vals, lo)
+            return i < len(vals) and vals[i] <= hi
+
+        cand_files: list[str] = []
+        carried = 0
+        for d in live_data_dirs:
+            entry = by_dir[Path(d).name]
+            masked = masks.get(Path(d).name, set())
+            stats = entry.get("stats")
+            if stats is None:  # no zone maps: every surviving file may match
+                if masked:
+                    cand_files.extend(_surviving_files([d], masks))
+                else:
+                    cand_files.extend(
+                        str(f) for f in sorted(Path(d).rglob("*.parquet"))
+                    )
+                continue
+            types = entry.get("stats_types") or {
+                c: "numeric" for c in entry.get("stats_columns", [])
+            }
+            for rel, per_col in stats.items():
+                if rel in masked:
+                    continue
+                may = True
+                for c in key_cols:
+                    if c not in types:
+                        continue
+                    rng = per_col.get(c)
+                    if rng is not None and not _any_key_in(
+                        _enc_vals(c, types[c]), rng[0], rng[1]
+                    ):
+                        may = False
+                        break
+                if may:
+                    cand_files.append(str(Path(d) / rel))
+                else:
+                    carried += 1
+
+        updates_n = _norm(updates)
+        n_up = updates_n.count()
+        if cand_files:
+            # read ONLY the candidate files (per commit dir so basePath
+            # recovers hive partition columns on partitioned tables)
+            by_base: dict[str, list[str]] = {}
+            for f in cand_files:
+                base = next(
+                    d for d in live_data_dirs if f.startswith(d + os.sep)
+                )
+                by_base.setdefault(base, []).append(f)
+            cand = None
+            for base, plist in by_base.items():
+                reader = spark.read.option("basePath", base)
+                if widened:
+                    reader = reader.option("mergeSchema", "true")
+                part = _norm(reader.parquet(*plist))
+                cand = part if cand is None else cand.unionByName(part)
+            n_cand = cand.count()
+            keys_side = F.broadcast(kdf) if exact else kdf
+            survivors = cand.join(keys_side, key_cols, "left_anti")
+            out = survivors.unionByName(updates_n)
+        else:  # pure insert: no live file can hold an update key
+            n_cand = 0
+            out = updates_n
+        if num_files is None:
+            cand_bytes = sum(Path(f).stat().st_size for f in cand_files)
+            num_files = max(1, -(-cand_bytes // (128 << 20)))
+        new_version = version + 1
+        dir_name = f"c{new_version:08d}"
+        data_dir = root / _DATA / dir_name
+        writer = out.coalesce(int(num_files)).write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(data_dir))
+        n_out = spark.read.parquet(str(data_dir)).count()
+        removed: dict[str, list[str]] = {}
+        for f in cand_files:
+            base = next(d for d in live_data_dirs if f.startswith(d + os.sep))
+            removed.setdefault(Path(base).name, []).append(
+                str(Path(f).relative_to(base))
+            )
+        removed = {k: sorted(v) for k, v in removed.items()}
+        entry = {
+            "version": new_version,
+            "action": "upsert",
+            "dir": dir_name,
+            "columns": schema_cols,
+            "partition_by": partition_by,
+            "removed": removed,
+            "key_cols": list(key_cols),
+            "ts": time.time(),
+        }
+        if stats_columns:
+            entry["stats_columns"] = stats_columns
+            dtypes = dict(out.dtypes)
+            entry["stats_types"] = {c: dtypes[c] for c in stats_columns}
+            entry["stats"] = _collect_file_stats(data_dir, stats_columns)
+        _commit(root, entry)
+    return {
+        "version": new_version,
+        "rewritten_files": len(cand_files),
+        "carried_files": carried,
+        "upsert_rows": n_up,
+        "replaced_rows": n_cand - (n_out - n_up),
+        "committed": True,
+    }
 
 
 def delete_where(
