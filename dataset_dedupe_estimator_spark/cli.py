@@ -1319,6 +1319,40 @@ def cmd_table(args) -> int:
                 f"{st['rewritten_files']} file(s) rewritten, "
                 f"{st['carried_files']} carried untouched)"
             )
+    elif args.action == "tail":
+        if not args.out or not args.checkpoint:
+            print(
+                "tail needs --out SINK_DIR and --checkpoint CK_DIR",
+                file=sys.stderr,
+            )
+            return 2
+        from dataset_dedupe_estimator_spark.sources.table_stream import (
+            VersionedTableStreamSource,
+        )
+
+        spark = _spark(args)
+        spark.dataSource.register(VersionedTableStreamSource)
+        reader = (
+            spark.readStream.format("versioned_table")
+            .option("startingVersion", str(args.starting_version))
+        )
+        if args.ignore_changes:
+            reader = reader.option("ignoreChanges", "true")
+        q = (
+            reader.load(args.root)
+            .writeStream.format("parquet")
+            .option("path", args.out)
+            .option("checkpointLocation", args.checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n = spark.read.parquet(args.out).count()
+        print(
+            f"tailed {args.root} -> {args.out} (availableNow drain; "
+            f"sink now holds {n} rows; re-run with the same --checkpoint "
+            "to pick up new commits exactly-once)"
+        )
     elif args.action == "vacuum":
         removed = vt.vacuum(args.root, keep_versions=args.keep)
         print(f"removed {len(removed)} data dirs: {', '.join(removed) or '-'}")
@@ -1704,7 +1738,7 @@ def build_parser() -> argparse.ArgumentParser:
         "action",
         choices=[
             "append", "overwrite", "history", "read", "optimize", "vacuum",
-            "ingest", "delete-where", "upsert",
+            "ingest", "delete-where", "upsert", "tail",
         ],
     )
     tb.add_argument("root")
@@ -1732,6 +1766,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="comma-separated merge key columns (upsert): update rows "
         "replace live rows sharing the key, new keys insert; only files "
         "whose zone maps can hold an update key are rewritten",
+    )
+    tb.add_argument(
+        "--ignore-changes", action="store_true",
+        help="tail: emit rewriting commits' own directories instead of "
+        "stopping (downstream must tolerate re-delivered rows)",
+    )
+    tb.add_argument(
+        "--starting-version", type=int, default=0,
+        help="tail: first commit version to stream (default 0)",
     )
     tb.set_defaults(fn=cmd_table)
 

@@ -652,10 +652,91 @@ GROUP BY 1 ORDER BY bucket
 """
 
 
+def table_stream_read(spark, sf):
+    """Versioned table as a Structured Streaming SOURCE
+    (``sources/table_stream.py`` — Spark 4 Python DataSource API;
+    offsets are commit versions, one input partition per data file,
+    exactly-once from the checkpointed offset alone).
+
+    Builds a versioned table from orders in two append commits, drains
+    the stream (availableNow) into a parquet sink, appends a THIRD
+    commit, and drains again with the SAME checkpoint — the second
+    drain must emit exactly the unseen commit: a source that replayed
+    an already-consumed version (dupes) or skipped one (gaps) breaks
+    the aggregate. The oracle aggregates orders directly, so the sink
+    must hold every order exactly once across the two incremental
+    drains. Eager by construction; result localCheckpointed before the
+    temp dirs vanish.
+    """
+    import shutil
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+    from dataset_dedupe_estimator_spark.sources.table_stream import (
+        VersionedTableStreamSource,
+    )
+
+    spark.dataSource.register(VersionedTableStreamSource)
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", cents("o_totalprice").alias("price_cents")
+    )
+    work = tempfile.mkdtemp(prefix="dde_ts_")
+    root, ckpt, sink = f"{work}/tbl", f"{work}/ck", f"{work}/sink"
+
+    def drain():
+        q = (
+            spark.readStream.format("versioned_table")
+            .load(root)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "table_stream_read: availableNow drain did not finish"
+            )
+
+    try:
+        vt.append(root, orders.filter(F.col("o_orderkey") % 3 == 0))
+        vt.append(root, orders.filter(F.col("o_orderkey") % 3 == 1))
+        drain()
+        vt.append(root, orders.filter(F.col("o_orderkey") % 3 == 2))
+        drain()  # same checkpoint: emits ONLY the third commit
+        got = spark.read.parquet(sink)
+        out = (
+            got.groupBy((F.col("o_custkey") % 10).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+                F.sum("price_cents").alias("total_cents"),
+            )
+            .orderBy("bucket")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+TABLE_STREAM_READ_SQL = f"""
+SELECT o_custkey % 10 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY 1 ORDER BY bucket
+"""
+
+
 QUERIES = {
     "mv_incremental_orders": Q(mv_incremental_orders, MV_INCREMENTAL_ORDERS_SQL),
     "table_delete_where": Q(table_delete_where, TABLE_DELETE_WHERE_SQL),
     "table_upsert_merge": Q(table_upsert_merge, TABLE_UPSERT_MERGE_SQL),
+    "table_stream_read": Q(table_stream_read, TABLE_STREAM_READ_SQL),
     "table_zonemap_read": Q(table_zonemap_read, TABLE_ZONEMAP_READ_SQL),
     "mv_from_version_diff": Q(mv_from_version_diff, MV_FROM_VERSION_DIFF_SQL),
     "streaming_mv_refresh": Q(streaming_mv_refresh, STREAMING_MV_REFRESH_SQL),

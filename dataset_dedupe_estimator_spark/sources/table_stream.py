@@ -1,0 +1,233 @@
+"""Versioned tables as a Structured Streaming SOURCE (Spark 4 Python
+DataSource API) — the read-side twin of ``de table ingest``.
+
+``spark.readStream.format("versioned_table").load(root)`` tails the
+table's commit log: offsets are commit VERSIONS, each micro-batch is
+the rows of the commits in ``(start, end]``, and every data file of
+those commits becomes one input partition (reads scale with files, not
+with a single driver loop). Commits are immutable and the log is
+append-only, so replaying an offset range after a crash re-lists
+exactly the same files — exactly-once composes from offset semantics
+alone, nothing else is stateful.
+
+Semantics follow the Delta streaming-source contract:
+
+- ``append`` commits stream their directory's rows.
+- Rewriting commits (``overwrite`` / ``delete`` / ``upsert`` /
+  optimize) STOP the stream with a clear error by default — a
+  rewritten history cannot be replayed as an append stream. With
+  ``.option("ignoreChanges", "true")`` the stream instead emits the
+  commit's OWN directory (survivors ∪ updates for upsert, the full
+  rewrite for overwrite) and emits nothing for a dir-less delete;
+  downstream consumers must tolerate re-delivered rows — exactly
+  Delta's documented ``ignoreChanges`` behavior.
+- ``.option("startingVersion", N)`` begins at commit N (default 0:
+  replay the whole log).
+
+Masks (``removed`` file lists) never apply retroactively: each commit
+streams as it was written, at its own version — a later delete cannot
+reach into batches already emitted.
+
+Schema is self-describing: the latest commit entry names the columns;
+types come from a live parquet footer (arrow -> Spark, timestamps kept
+NTZ like the batch reader) plus hive-style partition directories
+(values inferred long/double/string, the narrow inference the batch
+scan would make on these tables). Files written before a schema
+widening backfill NULL for the later columns, matching
+``read_version``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from dataset_dedupe_estimator_spark.sources.versioned import (
+    _DATA,
+    _committed_entries,
+)
+
+# actions that rewrite rather than add — streamable only with
+# ignoreChanges (Delta's contract for its streaming source)
+_REWRITE_ACTIONS = frozenset({"overwrite", "delete", "upsert"})
+
+
+def _infer_part_value(raw: str):
+    """Hive partition-dir value with the narrow long/double/string
+    inference; '__HIVE_DEFAULT_PARTITION__' is NULL."""
+    from urllib.parse import unquote
+
+    raw = unquote(raw)
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    try:
+        return int(raw)
+    except ValueError:
+        pass
+    try:
+        return float(raw)
+    except ValueError:
+        return raw
+
+
+def _partition_values(rel_path: Path) -> dict:
+    vals = {}
+    for part in rel_path.parts[:-1]:
+        if "=" in part:
+            k, _, v = part.partition("=")
+            vals[k] = _infer_part_value(v)
+    return vals
+
+
+class _CommitFile(InputPartition):
+    """One parquet file of one commit directory."""
+
+    def __init__(self, path: str, base: str):
+        self.path = path
+        self.base = base
+
+
+class VersionedTableStreamReader(DataSourceStreamReader):
+    def __init__(self, schema, options):
+        self.root = options.get("path") or options.get("root")
+        if not self.root:
+            raise ValueError(
+                "versioned_table stream needs the table root: "
+                ".load('/path/to/table') or .option('root', ...)"
+            )
+        self.ignore_changes = (
+            str(options.get("ignorechanges", "false")).lower() == "true"
+        )
+        self.starting_version = int(options.get("startingversion", 0))
+        self.spark_schema = schema
+
+    # -- offsets ---------------------------------------------------------
+    def initialOffset(self) -> dict:
+        return {"version": self.starting_version - 1}
+
+    def latestOffset(self) -> dict:
+        entries = _committed_entries(Path(self.root))
+        latest = entries[-1]["version"] if entries else self.starting_version - 1
+        return {"version": latest}
+
+    # -- planning (driver-side) ------------------------------------------
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        lo, hi = start["version"], end["version"]
+        root = Path(self.root)
+        parts: list[InputPartition] = []
+        for e in _committed_entries(root):
+            v = e["version"]
+            if not (lo < v <= hi):
+                continue
+            if e["action"] in _REWRITE_ACTIONS and not self.ignore_changes:
+                raise ValueError(
+                    f"versioned_table stream hit a {e['action']!r} commit "
+                    f"(v{v}): a rewrite cannot replay as an append stream. "
+                    "Restart from a later startingVersion, or set "
+                    ".option('ignoreChanges', 'true') to emit rewritten "
+                    "rows (downstream must tolerate re-delivery)."
+                )
+            if not e.get("dir"):  # zero-survivor delete: nothing to emit
+                continue
+            base = root / _DATA / e["dir"]
+            for f in sorted(base.rglob("*.parquet")):
+                parts.append(_CommitFile(str(f), str(base)))
+        return parts
+
+    # -- execution (one task per file) -----------------------------------
+    def read(self, partition: _CommitFile):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self.spark_schema)
+        part_vals = _partition_values(
+            Path(partition.path).relative_to(partition.base)
+        )
+        pf = pq.ParquetFile(partition.path)
+        file_cols = set(pf.schema_arrow.names)
+        read_cols = [f.name for f in target if f.name in file_cols]
+        for batch in pf.iter_batches(columns=read_cols):
+            n = batch.num_rows
+            by_name = {
+                name: batch.column(i)
+                for i, name in enumerate(batch.schema.names)
+            }
+            cols = []
+            for field in target:
+                if field.name in by_name:
+                    cols.append(by_name[field.name].cast(field.type))
+                elif field.name in part_vals:
+                    cols.append(
+                        pa.array([part_vals[field.name]] * n).cast(field.type)
+                    )
+                else:  # written before a schema widening: NULL backfill
+                    cols.append(pa.nulls(n, field.type))
+            yield pa.RecordBatch.from_arrays(cols, schema=target)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are the only state; the checkpoint holds them
+
+
+class VersionedTableStreamSource(DataSource):
+    """``spark.dataSource.register(VersionedTableStreamSource)`` then
+    ``spark.readStream.format("versioned_table").load(root)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "versioned_table"
+
+    def schema(self):
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+        from pyspark.sql.types import (
+            DoubleType, LongType, StringType, StructField, StructType,
+        )
+
+        root = Path(self.options.get("path") or self.options.get("root") or "")
+        entries = _committed_entries(root)
+        if not entries:
+            raise ValueError(f"{root} has no committed versions")
+        columns = entries[-1]["columns"]
+        # types from the newest live footer that carries each column
+        # (widening means older files may lack the latest columns)
+        fields: dict[str, StructField] = {}
+        for e in reversed(entries):
+            if not e.get("dir"):
+                continue
+            for f in sorted((root / _DATA / e["dir"]).rglob("*.parquet")):
+                sub = from_arrow_schema(
+                    pq.read_schema(str(f)), prefer_timestamp_ntz=True
+                )
+                for sf in sub.fields:
+                    # always nullable: commits before a widening
+                    # backfill NULL even for REQUIRED parquet columns
+                    fields.setdefault(
+                        sf.name, StructField(sf.name, sf.dataType, True)
+                    )
+                vals = _partition_values(f.relative_to(root / _DATA / e["dir"]))
+                for k, v in vals.items():
+                    t = (
+                        LongType() if isinstance(v, int)
+                        else DoubleType() if isinstance(v, float)
+                        else StringType()
+                    )
+                    fields.setdefault(k, StructField(k, t))
+                break  # one footer per commit dir is enough
+            if all(c in fields for c in columns):
+                break
+        missing = [c for c in columns if c not in fields]
+        if missing:
+            raise ValueError(
+                f"could not derive types for columns {missing} from any "
+                "live parquet footer or partition directory"
+            )
+        return StructType([fields[c] for c in columns])
+
+    def streamReader(self, schema) -> VersionedTableStreamReader:
+        return VersionedTableStreamReader(schema, self.options)

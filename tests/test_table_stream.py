@@ -1,0 +1,193 @@
+"""Versioned table as a Structured Streaming SOURCE (r7, Spark 4
+Python DataSource API): offsets are commit versions; each micro-batch
+is the commits in (start, end], one input partition per data file;
+exactly-once across restarts from the checkpointed offset alone;
+rewriting commits stop the stream unless ignoreChanges (the Delta
+streaming-source contract)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataset_dedupe_estimator_spark.sources import versioned as vt
+from dataset_dedupe_estimator_spark.sources.table_stream import (
+    VersionedTableStreamSource,
+)
+
+
+@pytest.fixture()
+def registered(spark):
+    spark.dataSource.register(VersionedTableStreamSource)
+    return spark
+
+
+def _drain(spark, root, ckpt, out, **opts):
+    r = spark.readStream.format("versioned_table")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    q = (
+        r.load(str(root))
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "availableNow drain did not finish"
+
+
+def _mk(spark, lo, hi):
+    return spark.range(lo, hi).select("id", (F.col("id") * 10).alias("v"))
+
+
+def test_appends_stream_exactly_once_across_restarts(
+    registered, tmp_path
+):
+    spark = registered
+    root, ckpt, out = tmp_path / "t", tmp_path / "ck", tmp_path / "out"
+    vt.append(root, _mk(spark, 0, 10), num_files=2)
+    _drain(spark, root, ckpt, out)
+    assert sorted(r.id for r in spark.read.parquet(str(out)).collect()) == list(
+        range(10)
+    )
+    # two more commits land; a NEW query resumes from the checkpoint
+    # and emits exactly the unseen commits — no dupes, no gaps
+    vt.append(root, _mk(spark, 10, 15), num_files=1)
+    vt.append(root, _mk(spark, 15, 18), num_files=1)
+    _drain(spark, root, ckpt, out)
+    got = sorted(r.id for r in spark.read.parquet(str(out)).collect())
+    assert got == list(range(18))
+    # nothing new: a third drain emits nothing
+    _drain(spark, root, ckpt, out)
+    assert spark.read.parquet(str(out)).count() == 18
+
+
+def test_schema_is_self_describing(registered, tmp_path):
+    spark = registered
+    root = tmp_path / "t"
+    vt.append(root, _mk(spark, 0, 5), num_files=1)
+    sdf = spark.readStream.format("versioned_table").load(str(root))
+    assert sdf.schema.simpleString() == "struct<id:bigint,v:bigint>"
+
+
+def test_starting_version_skips_earlier_commits(registered, tmp_path):
+    spark = registered
+    root, ckpt, out = tmp_path / "t", tmp_path / "ck", tmp_path / "out"
+    vt.append(root, _mk(spark, 0, 10), num_files=1)   # v0
+    vt.append(root, _mk(spark, 10, 15), num_files=1)  # v1
+    _drain(spark, root, ckpt, out, startingVersion="1")
+    got = sorted(r.id for r in spark.read.parquet(str(out)).collect())
+    assert got == list(range(10, 15))
+
+
+def test_rewrite_commit_stops_stream_by_default(registered, tmp_path):
+    spark = registered
+    root, ckpt, out = tmp_path / "t", tmp_path / "ck", tmp_path / "out"
+    vt.append(root, _mk(spark, 0, 10), num_files=1)
+    _drain(spark, root, ckpt, out)
+    vt.upsert_pruned(
+        spark, root,
+        spark.createDataFrame([(3, -1)], "id long, v long"), ["id"],
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="upsert"):
+        _drain(spark, root, ckpt, out)
+    # ignoreChanges resumes, re-delivering the rewritten directory
+    _drain(spark, root, ckpt, out, ignoreChanges="true")
+    rows = {(r.id, r.v) for r in spark.read.parquet(str(out)).collect()}
+    assert (3, -1) in rows and (3, 30) in rows  # old batch + re-delivery
+    # every live row is present at its latest value among duplicates
+    assert {i for i, _ in rows} == set(range(10))
+
+
+def test_dirless_delete_emits_nothing(registered, tmp_path):
+    spark = registered
+    root, ckpt, out = tmp_path / "t", tmp_path / "ck", tmp_path / "out"
+    vt.append(root, _mk(spark, 0, 10), num_files=1, stats_columns=["id"])
+    vt.append(root, _mk(spark, 10, 20), num_files=1)
+    # wipes EVERY row of the touched file: commits dir=None
+    vt.delete_where_pruned(spark, root, [("id", "<", 10)])
+    _drain(spark, root, ckpt, out, ignoreChanges="true")
+    got = sorted(r.id for r in spark.read.parquet(str(out)).collect())
+    assert got == list(range(20))  # both appends, nothing for the delete
+
+
+def test_partitioned_table_reconstructs_partition_columns(
+    registered, tmp_path
+):
+    spark = registered
+    root, ckpt, out = tmp_path / "t", tmp_path / "ck", tmp_path / "out"
+    df = spark.range(0, 12).select(
+        "id", (F.col("id") % 3).alias("p"), (F.col("id") * 2).alias("v")
+    )
+    vt.append(root, df, partition_by=["p"])
+    sdf = spark.readStream.format("versioned_table").load(str(root))
+    assert dict(sdf.dtypes)["p"] == "bigint"
+    _drain(spark, root, ckpt, out)
+    got = spark.read.parquet(str(out))
+    assert got.count() == 12
+    assert sorted(
+        tuple(r) for r in got.filter("id in (4, 5)").select("id", "p").collect()
+    ) == [(4, 1), (5, 2)]
+
+
+def test_widened_schema_backfills_null_for_old_commits(
+    registered, tmp_path
+):
+    spark = registered
+    root, ckpt, out = tmp_path / "t", tmp_path / "ck", tmp_path / "out"
+    vt.append(root, spark.range(0, 5).select("id"), num_files=1)
+    vt.append(
+        root,
+        spark.range(5, 8).select("id", F.lit("x").alias("tag")),
+        num_files=1, allow_new_columns=True,
+    )
+    sdf = spark.readStream.format("versioned_table").load(str(root))
+    assert sdf.schema.simpleString() == "struct<id:bigint,tag:string>"
+    _drain(spark, root, ckpt, out)
+    got = spark.read.parquet(str(out))
+    assert got.filter("tag IS NULL").count() == 5
+    assert got.filter("tag = 'x'").count() == 3
+
+
+def test_stream_matches_batch_read(registered, tmp_path):
+    """The drained stream over an append-only table is row-identical
+    to the batch snapshot read."""
+    spark = registered
+    root, ckpt, out = tmp_path / "t", tmp_path / "ck", tmp_path / "out"
+    for lo in range(0, 40, 10):
+        vt.append(root, _mk(spark, lo, lo + 10), num_files=2)
+    _drain(spark, root, ckpt, out)
+    want = sorted(tuple(r) for r in vt.read_version(spark, root).collect())
+    got = sorted(tuple(r) for r in spark.read.parquet(str(out)).collect())
+    assert got == want
+
+
+def test_missing_root_and_empty_table_rejected(registered, tmp_path):
+    spark = registered
+    with pytest.raises(Exception, match="no committed versions"):
+        spark.readStream.format("versioned_table").load(
+            str(tmp_path / "nope")
+        ).schema
+
+
+def test_cli_table_tail(capsys, registered, tmp_path):
+    from dataset_dedupe_estimator_spark.cli import main
+
+    spark = registered
+    src = str(tmp_path / "src.parquet")
+    _mk(spark, 0, 10).repartition(2).write.parquet(src)
+    root = str(tmp_path / "vt")
+    assert main(["table", "append", root, src]) == 0
+    capsys.readouterr()
+    out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ck")
+    assert main(["table", "tail", root, "--out", out, "--checkpoint", ckpt]) == 0
+    assert "sink now holds 10 rows" in capsys.readouterr().out
+    # second commit, same checkpoint: exactly the delta
+    src2 = str(tmp_path / "src2.parquet")
+    _mk(spark, 10, 13).write.parquet(src2)
+    assert main(["table", "append", root, src2]) == 0
+    capsys.readouterr()
+    assert main(["table", "tail", root, "--out", out, "--checkpoint", ckpt]) == 0
+    assert "sink now holds 13 rows" in capsys.readouterr().out
+    assert main(["table", "tail", root]) == 2  # missing --out/--checkpoint
