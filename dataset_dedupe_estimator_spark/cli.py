@@ -1319,6 +1319,23 @@ def cmd_table(args) -> int:
                 f"{st['rewritten_files']} file(s) rewritten, "
                 f"{st['carried_files']} carried untouched)"
             )
+    elif args.action == "compact-small":
+        spark = _spark(args)
+        st = vt.compact_small(
+            spark, args.root,
+            small_bytes=args.small_bytes, target_bytes=args.target_bytes,
+        )
+        if not st["committed"]:
+            print(
+                f"nothing to compact ({st['carried_files']} live file(s), "
+                "fewer than 2 below --small-bytes)"
+            )
+        else:
+            print(
+                f"committed v{st['version']} (compact: {st['compacted_files']} "
+                f"small file(s) folded, {st['carried_files']} carried, "
+                f"{st['rows']} rows, dataChange=false — streams skip it)"
+            )
     elif args.action == "tail":
         if not args.out or not args.checkpoint:
             print(
@@ -1738,7 +1755,7 @@ def build_parser() -> argparse.ArgumentParser:
         "action",
         choices=[
             "append", "overwrite", "history", "read", "optimize", "vacuum",
-            "ingest", "delete-where", "upsert", "tail",
+            "ingest", "delete-where", "upsert", "tail", "compact-small",
         ],
     )
     tb.add_argument("root")
@@ -1775,6 +1792,14 @@ def build_parser() -> argparse.ArgumentParser:
     tb.add_argument(
         "--starting-version", type=int, default=0,
         help="tail: first commit version to stream (default 0)",
+    )
+    tb.add_argument(
+        "--small-bytes", type=int, default=32 << 20,
+        help="compact-small: fold live files smaller than this (default 32 MiB)",
+    )
+    tb.add_argument(
+        "--target-bytes", type=int, default=128 << 20,
+        help="compact-small: size the folded outputs to this (default 128 MiB)",
     )
     tb.set_defaults(fn=cmd_table)
 

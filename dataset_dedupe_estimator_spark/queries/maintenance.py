@@ -652,6 +652,63 @@ GROUP BY 1 ORDER BY bucket
 """
 
 
+def table_compact_read(spark, sf):
+    """Small-file compaction with dataChange=false
+    (``sources/versioned.py::compact_small`` — the Delta OPTIMIZE
+    shape) layered over a pruned DELETE.
+
+    Builds a versioned table from orders in FOUR small range-
+    partitioned commits, deletes an o_orderkey band (masking files),
+    then folds the small surviving files into right-sized outputs —
+    the compaction must carry the delete's effect (masked rows stay
+    gone) while changing no live row. The oracle aggregates orders
+    with the band excluded, so a compaction that resurrected a masked
+    row, dropped a live one, or double-folded a file hash-mismatches.
+    Eager by construction; result localCheckpointed before the temp
+    table vanishes.
+    """
+    import shutil
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", cents("o_totalprice").alias("price_cents")
+    )
+    root = tempfile.mkdtemp(prefix="dde_cs_")
+    try:
+        for m in range(4):
+            vt.append(
+                root,
+                orders.filter(F.col("o_orderkey") % 4 == m)
+                .repartitionByRange(2, "o_orderkey"),
+                stats_columns=["o_orderkey"] if m == 0 else None,
+            )
+        vt.delete_where_pruned(
+            spark, root, [("o_orderkey", "between", (_DW_LO, _DW_HI))]
+        )
+        st = vt.compact_small(spark, root)
+        assert st["committed"], "fixture guarantees >=2 small files"
+        got = vt.read_version(spark, root)
+        out = (
+            got.groupBy((F.col("o_custkey") % 10).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+                F.sum("price_cents").alias("total_cents"),
+            )
+            .orderBy("bucket")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# same post-state as table_delete_where: compaction must not change rows
+TABLE_COMPACT_READ_SQL = TABLE_DELETE_WHERE_SQL
+
+
 def table_stream_read(spark, sf):
     """Versioned table as a Structured Streaming SOURCE
     (``sources/table_stream.py`` — Spark 4 Python DataSource API;
@@ -737,6 +794,7 @@ QUERIES = {
     "table_delete_where": Q(table_delete_where, TABLE_DELETE_WHERE_SQL),
     "table_upsert_merge": Q(table_upsert_merge, TABLE_UPSERT_MERGE_SQL),
     "table_stream_read": Q(table_stream_read, TABLE_STREAM_READ_SQL),
+    "table_compact_read": Q(table_compact_read, TABLE_COMPACT_READ_SQL),
     "table_zonemap_read": Q(table_zonemap_read, TABLE_ZONEMAP_READ_SQL),
     "mv_from_version_diff": Q(mv_from_version_diff, MV_FROM_VERSION_DIFF_SQL),
     "streaming_mv_refresh": Q(streaming_mv_refresh, STREAMING_MV_REFRESH_SQL),

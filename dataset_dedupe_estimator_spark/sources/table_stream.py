@@ -124,6 +124,11 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             v = e["version"]
             if not (lo < v <= hi):
                 continue
+            if e.get("data_change") is False:
+                # layout-only commit (compact_small): the live rows are
+                # identical before and after — nothing to emit, never
+                # an error (the Delta dataChange=false contract)
+                continue
             if e["action"] in _REWRITE_ACTIONS and not self.ignore_changes:
                 raise ValueError(
                     f"versioned_table stream hit a {e['action']!r} commit "

@@ -1175,13 +1175,16 @@ def optimize(
     bits: int = 10,
     stats_columns: list[str] | None = None,
 ) -> dict:
-    """Rewrite the latest snapshot as ONE overwrite commit — compaction
-    of accumulated small commit directories, optionally z-order
-    clustered on ``zorder_by`` (``operators/layout.py``). History is
-    untouched: every prior version reads exactly as before, and the
-    superseded directories stay on disk until ``vacuum`` retires them.
-    The Delta-OPTIMIZE shape: data moves through one exchange (range,
-    when clustering; round-robin coalesce otherwise).
+    """Rewrite the latest snapshot as ONE overwrite commit — full
+    compaction, optionally z-order clustered on ``zorder_by``
+    (``operators/layout.py``). History is untouched: every prior
+    version reads exactly as before, and the superseded directories
+    stay on disk until ``vacuum`` retires them. For routine small-file
+    folding prefer :func:`compact_small`, which rewrites only the
+    small files (O(small), dataChange=false — streams skip it); this
+    full rewrite is the tool when re-clustering. Data moves through
+    one exchange (range, when clustering; round-robin coalesce
+    otherwise).
 
     ``stats_columns`` (inherited from the table when None) pairs
     naturally with ``zorder_by``: clustering makes per-file ranges
@@ -1199,6 +1202,126 @@ def optimize(
     return _write_commit(
         root, df, "overwrite", num_files=num_files, stats_columns=stats_columns
     )
+
+
+def compact_small(
+    spark: SparkSession,
+    root: str | Path,
+    small_bytes: int = 32 << 20,
+    target_bytes: int = 128 << 20,
+) -> dict:
+    """Delta-OPTIMIZE-shaped small-file compaction: rewrite ONLY the
+    live files smaller than ``small_bytes`` into ~``target_bytes``
+    outputs; every larger file is carried by reference, byte-identical
+    on disk. Contrast :func:`optimize`, which rewrites the whole
+    snapshot (the right tool when re-clustering with ``zorder_by``);
+    this is the maintenance pass a streaming-ingested table needs —
+    thousands of per-batch commits fold into a few right-sized files
+    at O(small files) cost, not O(table).
+
+    The commit is a ``compact`` entry with the same dir + ``removed``
+    mask shape as delete/upsert but stamped ``data_change: false``:
+    the live ROWS are identical before and after, so the streaming
+    source skips the commit entirely (the Delta dataChange=false
+    contract — incremental consumers see nothing), the change feed
+    between surrounding versions is empty, and every prior version
+    still time-travels. A row-count guard verifies the rewrite before
+    the commit link; a crash before commit leaves only an orphan dir
+    for vacuum.
+    """
+    root = Path(root)
+    with writer_lock(root):
+        entries = _committed_entries(root)
+        version, live_data_dirs, live_entries = _resolve(root, entries, None)
+        masks = _live_masks(live_entries)
+        schema_cols = live_entries[-1]["columns"]
+        partition_by = live_entries[-1].get("partition_by") or []
+        stats_columns = live_entries[-1].get("stats_columns") or []
+        widened = any("added_columns" in e for e in live_entries)
+        small: list[str] = []
+        n_large = 0
+        for d in live_data_dirs:
+            masked = masks.get(Path(d).name, set())
+            for f in sorted(Path(d).rglob("*.parquet")):
+                if str(f.relative_to(d)) in masked:
+                    continue
+                if f.stat().st_size < small_bytes:
+                    small.append(str(f))
+                else:
+                    n_large += 1
+        if len(small) < 2:  # nothing to fold together
+            return {
+                "version": version, "compacted_files": 0,
+                "carried_files": n_large + len(small), "committed": False,
+            }
+
+        def _norm(df):
+            for c in schema_cols:
+                if c not in df.columns:
+                    df = df.withColumn(c, F.lit(None))
+            return df.select(*schema_cols)
+
+        by_base: dict[str, list[str]] = {}
+        for f in small:
+            base = next(d for d in live_data_dirs if f.startswith(d + os.sep))
+            by_base.setdefault(base, []).append(f)
+        src = None
+        for base, plist in by_base.items():
+            reader = spark.read.option("basePath", base)
+            if widened:
+                reader = reader.option("mergeSchema", "true")
+            part = _norm(reader.parquet(*plist))
+            src = part if src is None else src.unionByName(part)
+        n_in = src.count()
+        small_total = sum(Path(f).stat().st_size for f in small)
+        num_files = max(1, -(-small_total // target_bytes))
+        new_version = version + 1
+        dir_name = f"c{new_version:08d}"
+        data_dir = root / _DATA / dir_name
+        writer = src.coalesce(int(num_files)).write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(data_dir))
+        has_rows = any(data_dir.rglob("*.parquet"))
+        n_out = spark.read.parquet(str(data_dir)).count() if has_rows else 0
+        if n_out != n_in:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise RuntimeError(
+                f"compact_small row-count guard: read {n_in} rows from "
+                f"{len(small)} small files but rewrote {n_out}; "
+                "nothing committed"
+            )
+        if not n_out:  # only empty part files were folded
+            has_rows = False
+            shutil.rmtree(data_dir, ignore_errors=True)
+        removed: dict[str, list[str]] = {}
+        for base, plist in by_base.items():
+            removed[Path(base).name] = sorted(
+                str(Path(f).relative_to(base)) for f in plist
+            )
+        entry = {
+            "version": new_version,
+            "action": "compact",
+            "data_change": False,
+            "dir": dir_name if has_rows else None,
+            "columns": schema_cols,
+            "partition_by": partition_by,
+            "removed": removed,
+            "ts": time.time(),
+        }
+        if stats_columns and has_rows:
+            entry["stats_columns"] = stats_columns
+            dtypes = dict(src.dtypes)
+            entry["stats_types"] = {c: dtypes[c] for c in stats_columns}
+            entry["stats"] = _collect_file_stats(data_dir, stats_columns)
+        _commit(root, entry)
+    return {
+        "version": new_version,
+        "compacted_files": len(small),
+        "carried_files": n_large,
+        "rows": n_out,
+        "committed": True,
+    }
 
 
 def vacuum(root: str | Path, keep_versions: int = 1) -> list[str]:
