@@ -1224,9 +1224,18 @@ def cmd_table(args) -> int:
             return 2
         spark = _spark(args)
         df = spark.read.parquet(args.src)
-        fn = vt.append if args.action == "append" else vt.overwrite
-        entry = fn(args.root, df, num_files=args.files, stats_columns=stats_cols)
+        if args.action == "append":
+            entry = vt.append(
+                args.root, df, num_files=args.files, stats_columns=stats_cols,
+                change_feed=args.change_feed,
+            )
+        else:
+            entry = vt.overwrite(
+                args.root, df, num_files=args.files, stats_columns=stats_cols
+            )
         zm = f", zone maps on {entry['stats_columns']}" if entry.get("stats_columns") else ""
+        if entry.get("change_feed"):
+            zm += ", change feed ON"
         print(f"committed v{entry['version']} ({entry['action']}, dir {entry['dir']}{zm})")
     elif args.action == "history":
         for e in vt.history(args.root):
@@ -1355,6 +1364,8 @@ def cmd_table(args) -> int:
         )
         if args.ignore_changes:
             reader = reader.option("ignoreChanges", "true")
+        if args.read_change_feed:
+            reader = reader.option("readChangeFeed", "true")
         q = (
             reader.load(args.root)
             .writeStream.format("parquet")
@@ -1792,6 +1803,17 @@ def build_parser() -> argparse.ArgumentParser:
     tb.add_argument(
         "--starting-version", type=int, default=0,
         help="tail: first commit version to stream (default 0)",
+    )
+    tb.add_argument(
+        "--change-feed", action="store_true",
+        help="append: enable row-level change tracking from this commit "
+        "onward (deletes/upserts then write O(changed rows) change-data "
+        "files served by read_change_feed and tail --read-change-feed)",
+    )
+    tb.add_argument(
+        "--read-change-feed", action="store_true",
+        help="tail: stream row-level changes (_change, _commit_version) "
+        "instead of appended rows",
     )
     tb.add_argument(
         "--small-bytes", type=int, default=32 << 20,

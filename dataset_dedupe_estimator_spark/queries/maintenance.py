@@ -652,6 +652,107 @@ GROUP BY 1 ORDER BY bucket
 """
 
 
+# change-feed bands for table_cdf_read — inside every SF's key range
+_CF_UP_LO, _CF_UP_HI = 1000, 1200   # upsert-replaced band (price bumped)
+_CF_INS_HI = 1050                   # [1000, 1050] also insert at key + 10M
+
+
+def table_cdf_read(spark, sf):
+    """At-rest change data feed (``sources/versioned.py::
+    read_change_feed`` — the Delta CDF shape; O(changed rows), never a
+    snapshot diff).
+
+    Builds a change-feed-enabled versioned table from orders (two
+    appends), DELETEs one band, then MERGEs another (replacements +
+    shifted inserts) — the delete and the upsert each write a
+    change-data file at commit time. The feed over the whole history is
+    then aggregated per (_change, _commit_version). The oracle
+    reconstructs every change from orders directly (inserts per append
+    parity, the deleted band at original prices, the upsert as its
+    delete+insert pairs), so a feed that missed a change, re-stated an
+    unchanged row, or stamped the wrong commit hash-mismatches. Eager
+    by construction; result localCheckpointed before the temp table
+    vanishes.
+    """
+    import shutil
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", cents("o_totalprice").alias("price_cents")
+    )
+    root = tempfile.mkdtemp(prefix="dde_cf_")
+    try:
+        vt.append(
+            root,
+            orders.filter(F.col("o_orderkey") % 2 == 0)
+            .repartitionByRange(4, "o_orderkey"),
+            stats_columns=["o_orderkey"], change_feed=True,
+        )
+        vt.append(root, orders.filter(F.col("o_orderkey") % 2 == 1))
+        vt.delete_where_pruned(
+            spark, root, [("o_orderkey", "between", (_DW_LO, _DW_HI))]
+        )
+        band = orders.filter(
+            F.col("o_orderkey").between(_CF_UP_LO, _CF_UP_HI)
+        )
+        updates = band.withColumn(
+            "price_cents", F.col("price_cents") + F.lit(1000)
+        ).unionByName(
+            band.filter(F.col("o_orderkey") <= _CF_INS_HI).select(
+                (F.col("o_orderkey") + F.lit(_INS_SHIFT)).alias("o_orderkey"),
+                "o_custkey",
+                F.col("o_orderkey").cast("long").alias("price_cents"),
+            )
+        )
+        vt.upsert_pruned(spark, root, updates, ["o_orderkey"])
+        feed = vt.read_change_feed(spark, root, -1)
+        out = (
+            feed.groupBy(
+                F.col("_change").alias("change"),
+                F.col("_commit_version").alias("commit_version"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+                F.sum("price_cents").alias("total_cents"),
+            )
+            .orderBy("change", "commit_version")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+TABLE_CDF_READ_SQL = f"""
+WITH changes AS (
+    SELECT o_orderkey, {sql_cents('o_totalprice')} AS price_cents,
+           'insert' AS change, o_orderkey % 2 AS commit_version
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, {sql_cents('o_totalprice')}, 'delete', 2
+    FROM orders WHERE o_orderkey BETWEEN {_DW_LO} AND {_DW_HI}
+    UNION ALL
+    SELECT o_orderkey, {sql_cents('o_totalprice')}, 'delete', 3
+    FROM orders WHERE o_orderkey BETWEEN {_CF_UP_LO} AND {_CF_UP_HI}
+    UNION ALL
+    SELECT o_orderkey, {sql_cents('o_totalprice')} + 1000, 'insert', 3
+    FROM orders WHERE o_orderkey BETWEEN {_CF_UP_LO} AND {_CF_UP_HI}
+    UNION ALL
+    SELECT o_orderkey + {_INS_SHIFT}, o_orderkey, 'insert', 3
+    FROM orders WHERE o_orderkey BETWEEN {_CF_UP_LO} AND {_CF_INS_HI}
+)
+SELECT change, CAST(commit_version AS BIGINT) AS commit_version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       CAST(SUM(price_cents) AS BIGINT) AS total_cents
+FROM changes GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def table_compact_read(spark, sf):
     """Small-file compaction with dataChange=false
     (``sources/versioned.py::compact_small`` — the Delta OPTIMIZE
@@ -795,6 +896,7 @@ QUERIES = {
     "table_upsert_merge": Q(table_upsert_merge, TABLE_UPSERT_MERGE_SQL),
     "table_stream_read": Q(table_stream_read, TABLE_STREAM_READ_SQL),
     "table_compact_read": Q(table_compact_read, TABLE_COMPACT_READ_SQL),
+    "table_cdf_read": Q(table_cdf_read, TABLE_CDF_READ_SQL),
     "table_zonemap_read": Q(table_zonemap_read, TABLE_ZONEMAP_READ_SQL),
     "mv_from_version_diff": Q(mv_from_version_diff, MV_FROM_VERSION_DIFF_SQL),
     "streaming_mv_refresh": Q(streaming_mv_refresh, STREAMING_MV_REFRESH_SQL),

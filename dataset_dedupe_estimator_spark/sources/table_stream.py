@@ -23,6 +23,13 @@ Semantics follow the Delta streaming-source contract:
   Delta's documented ``ignoreChanges`` behavior.
 - ``.option("startingVersion", N)`` begins at commit N (default 0:
   replay the whole log).
+- ``.option("readChangeFeed", "true")`` streams ROW-LEVEL changes
+  instead: appends emit their rows as ``_change='insert'``;
+  deletes/upserts emit the change-data file their commit wrote
+  (``change_feed=True`` on the table — O(changed rows), an UPDATE is
+  its delete+insert pair), every row stamped ``_commit_version``;
+  dataChange=false compaction emits nothing. The Delta CDF-stream
+  shape.
 
 Masks (``removed`` file lists) never apply retroactively: each commit
 streams as it was written, at its own version — a later delete cannot
@@ -48,6 +55,7 @@ from pyspark.sql.datasource import (
 )
 
 from dataset_dedupe_estimator_spark.sources.versioned import (
+    _CDF,
     _DATA,
     _committed_entries,
 )
@@ -85,11 +93,17 @@ def _partition_values(rel_path: Path) -> dict:
 
 
 class _CommitFile(InputPartition):
-    """One parquet file of one commit directory."""
+    """One parquet file of one commit (data or change-data directory).
+    ``change`` is the constant ``_change`` value for files that don't
+    carry the column (append dirs in CDF mode); ``version`` stamps
+    ``_commit_version`` in CDF mode."""
 
-    def __init__(self, path: str, base: str):
+    def __init__(self, path: str, base: str, change: str | None = None,
+                 version: int | None = None):
         self.path = path
         self.base = base
+        self.change = change
+        self.version = version
 
 
 class VersionedTableStreamReader(DataSourceStreamReader):
@@ -102,6 +116,9 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             )
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
+        )
+        self.read_change_feed = (
+            str(options.get("readchangefeed", "false")).lower() == "true"
         )
         self.starting_version = int(options.get("startingversion", 0))
         self.spark_schema = schema
@@ -129,13 +146,37 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 # identical before and after — nothing to emit, never
                 # an error (the Delta dataChange=false contract)
                 continue
+            if self.read_change_feed:
+                # CDF mode: appends are inserts from their own dir;
+                # deletes/upserts read the change-data file their
+                # commit wrote (O(changed rows))
+                if e["action"] == "append":
+                    if not e.get("dir"):
+                        continue
+                    base, change = root / _DATA / e["dir"], "insert"
+                elif e.get("change_data"):
+                    # the cdf dir is named by VERSION — it exists even
+                    # when a zero-survivor delete commits dir=None
+                    base, change = root / _CDF / f"c{v:08d}", None
+                else:
+                    raise ValueError(
+                        f"readChangeFeed: version {v} ({e['action']!r}) "
+                        "has no change data — the feed was not enabled "
+                        "when it committed, or the action rewrites "
+                        "history. Restart from a later startingVersion."
+                    )
+                for f in sorted(base.rglob("*.parquet")):
+                    parts.append(_CommitFile(str(f), str(base), change, v))
+                continue
             if e["action"] in _REWRITE_ACTIONS and not self.ignore_changes:
                 raise ValueError(
                     f"versioned_table stream hit a {e['action']!r} commit "
                     f"(v{v}): a rewrite cannot replay as an append stream. "
                     "Restart from a later startingVersion, or set "
                     ".option('ignoreChanges', 'true') to emit rewritten "
-                    "rows (downstream must tolerate re-delivery)."
+                    "rows (downstream must tolerate re-delivery), or "
+                    ".option('readChangeFeed', 'true') for row-level "
+                    "changes (needs change_feed enabled on the table)."
                 )
             if not e.get("dir"):  # zero-survivor delete: nothing to emit
                 continue
@@ -165,7 +206,13 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             }
             cols = []
             for field in target:
-                if field.name in by_name:
+                if field.name == "_commit_version" and partition.version is not None:
+                    cols.append(
+                        pa.array([partition.version] * n, pa.int64())
+                    )
+                elif field.name == "_change" and partition.change is not None:
+                    cols.append(pa.array([partition.change] * n, pa.string()))
+                elif field.name in by_name:
                     cols.append(by_name[field.name].cast(field.type))
                 elif field.name in part_vals:
                     cols.append(
@@ -232,7 +279,11 @@ class VersionedTableStreamSource(DataSource):
                 f"could not derive types for columns {missing} from any "
                 "live parquet footer or partition directory"
             )
-        return StructType([fields[c] for c in columns])
+        out = [fields[c] for c in columns]
+        if str(self.options.get("readchangefeed", "false")).lower() == "true":
+            out.append(StructField("_change", StringType(), True))
+            out.append(StructField("_commit_version", LongType(), True))
+        return StructType(out)
 
     def streamReader(self, schema) -> VersionedTableStreamReader:
         return VersionedTableStreamReader(schema, self.options)

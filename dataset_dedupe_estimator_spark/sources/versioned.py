@@ -54,6 +54,13 @@ from dataset_dedupe_estimator_spark.plans._index_lock import writer_lock
 
 _VLOG = "_vlog"
 _DATA = "data"
+_CDF = "_cdf"  # per-commit change-data files (row-level CDC at rest)
+
+
+def _cf_active(live_entries: list[dict]) -> bool:
+    """Change feed is ENABLE-ONLY (the Delta property shape): active
+    from the first commit that sets ``change_feed`` onward."""
+    return any(e.get("change_feed") for e in live_entries)
 
 
 class VersionNotFoundError(LookupError):
@@ -231,6 +238,7 @@ def _commit_locked(
     allow_new_columns: bool,
     stats_columns: list[str] | None,
     extra_entry: dict | None = None,
+    change_feed: bool = False,
 ) -> dict:
     """Write + commit under an already-held writer lock, against an
     already-taken log snapshot (``entries``)."""
@@ -288,6 +296,8 @@ def _commit_locked(
         entry["stats"] = _collect_file_stats(data_dir, stats_columns)
     if widened:
         entry["added_columns"] = sorted(widened)
+    if change_feed:
+        entry["change_feed"] = True
     if extra_entry:
         entry.update(extra_entry)
     _commit(root, entry)
@@ -303,6 +313,7 @@ def _write_commit(
     allow_new_columns: bool = False,
     stats_columns: list[str] | None = None,
     extra_entry: dict | None = None,
+    change_feed: bool = False,
 ) -> dict:
     root = Path(root)
     (root / _VLOG).mkdir(parents=True, exist_ok=True)
@@ -311,7 +322,7 @@ def _write_commit(
         return _commit_locked(
             root, entries, df, action, num_files,
             partition_by, allow_new_columns, stats_columns,
-            extra_entry=extra_entry,
+            extra_entry=extra_entry, change_feed=change_feed,
         )
 
 
@@ -323,6 +334,7 @@ def append(
     allow_new_columns: bool = False,
     stats_columns: list[str] | None = None,
     extra_entry: dict | None = None,
+    change_feed: bool = False,
 ) -> dict:
     """Commit ``df`` as a new version that ADDS to the live set.
 
@@ -337,10 +349,15 @@ def append(
     unless they pass their own list. ``extra_entry`` merges
     caller-supplied keys into the log entry — the hook idempotent
     ingestion uses to tag commits with their source batch id.
+    ``change_feed=True`` turns on row-level change tracking from this
+    commit onward (ENABLE-ONLY, the Delta property shape): later
+    deletes/upserts write per-commit change-data files that
+    :func:`read_change_feed` and the streaming source's
+    ``readChangeFeed`` mode serve at O(changed rows) cost.
     """
     return _write_commit(
         root, df, "append", num_files, partition_by, allow_new_columns,
-        stats_columns, extra_entry,
+        stats_columns, extra_entry, change_feed=change_feed,
     )
 
 
@@ -761,6 +778,76 @@ def changes_between(
     )
 
 
+def read_change_feed(
+    spark: SparkSession,
+    root: str | Path,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level change feed from the AT-REST change data (Delta CDF
+    shape), for commits in ``(from_version, to_version]``: appends read
+    their own commit directory as inserts; deletes/upserts read the
+    change-data file their commit wrote (requires ``change_feed=True``
+    enabled at or before that commit); dataChange=false commits
+    (compaction) contribute nothing. Output columns are the table's
+    as-of-``to_version`` schema plus ``_change`` ('insert'/'delete')
+    and ``_commit_version``.
+
+    Contrast :func:`changes_between`, which DIFFS two snapshots —
+    O(both snapshots) but works on any table; this is O(changed rows)
+    and serves incremental consumers. An UPDATE appears as its
+    delete+insert pair in both. Raises on a rewriting commit without
+    change data (overwrite, or a delete/upsert from before the feed
+    was enabled) — restart from a later ``from_version``.
+    """
+    from pyspark.sql import functions as F
+
+    root = Path(root)
+    entries = _committed_entries(root)
+    version, _, live_entries = _resolve(root, entries, to_version)
+    schema_cols = live_entries[-1]["columns"]
+    parts: list[DataFrame] = []
+    for e in live_entries:
+        v = e["version"]
+        if not (from_version < v <= version):
+            continue
+        if e.get("data_change") is False:
+            continue  # layout-only: no row changed
+        if e["action"] == "append":
+            if not e.get("dir"):
+                continue
+            df = spark.read.parquet(str(root / _DATA / e["dir"]))
+            df = df.withColumn("_change", F.lit("insert"))
+        elif e.get("change_data"):
+            # the cdf dir is named by VERSION — it exists even when a
+            # zero-survivor delete commits dir=None
+            df = spark.read.parquet(str(root / _CDF / f"c{v:08d}"))
+        else:
+            raise ValueError(
+                f"version {v} ({e['action']}) has no change data — "
+                "the change feed was not enabled when it committed, or "
+                "the action rewrites history (overwrite/optimize). "
+                "Read from a later from_version."
+            )
+        parts.append(df.withColumn("_commit_version", F.lit(v)))
+    if not parts:
+        base = read_version(spark, root, version).limit(0)
+        return base.select(
+            *schema_cols,
+            F.lit("").alias("_change"),
+            F.lit(0).cast("long").alias("_commit_version"),
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    for c in schema_cols:  # pre-widening change files backfill NULL
+        if c not in out.columns:
+            out = out.withColumn(c, F.lit(None))
+    return out.select(
+        *schema_cols, "_change", F.col("_commit_version").cast("long")
+    )
+
+
 def register_view(
     spark: SparkSession,
     root: str | Path,
@@ -1003,6 +1090,20 @@ def upsert_pruned(
             "key_cols": list(key_cols),
             "ts": time.time(),
         }
+        if _cf_active(live_entries):
+            # change-data file: replaced rows as deletes + every update
+            # row as an insert (an UPDATE is its delete+insert pair,
+            # matching changes_between) — O(changed rows)
+            changes = updates_n.withColumn("_change", F.lit("insert"))
+            if cand_files:
+                replaced = cand.join(keys_side, key_cols, "left_semi")
+                changes = replaced.withColumn(
+                    "_change", F.lit("delete")
+                ).unionByName(changes)
+            changes.coalesce(int(num_files)).write.mode("overwrite").parquet(
+                str(root / _CDF / dir_name)
+            )
+            entry["change_data"] = True
         if stats_columns:
             entry["stats_columns"] = stats_columns
             dtypes = dict(out.dtypes)
@@ -1151,6 +1252,17 @@ def delete_where_pruned(
             "predicates": [list(p) for p in predicates],
             "ts": time.time(),
         }
+        if _cf_active(live_entries):
+            # change-data file: exactly the deleted rows, written
+            # BEFORE the commit link (crash leaves an orphan for
+            # vacuum) — O(deleted rows), never O(table)
+            deleted = cand.filter(
+                F.coalesce(_predicate_cond(cand, predicates), F.lit(False))
+            )
+            deleted.withColumn("_change", F.lit("delete")).coalesce(
+                int(num_files)
+            ).write.mode("overwrite").parquet(str(root / _CDF / dir_name))
+            entry["change_data"] = True
         if stats_columns and has_rows:
             entry["stats_columns"] = stats_columns
             dtypes = dict(survivors.dtypes)
@@ -1353,6 +1465,22 @@ def vacuum(root: str | Path, keep_versions: int = 1) -> list[str]:
             if d.is_dir() and d.name not in reachable:
                 shutil.rmtree(d)
                 removed.append(d.name)
+        # change-data files: keep the feed for the retained version
+        # window; drop older ones and crash orphans (cdf written,
+        # commit link never happened)
+        committed = {e["version"] for e in entries}
+        min_keep = min(keep)
+        cdf = root / _CDF
+        for d in sorted(cdf.iterdir()) if cdf.is_dir() else []:
+            if not d.is_dir():
+                continue
+            try:
+                v = int(d.name.lstrip("c"))
+            except ValueError:
+                continue
+            if v < min_keep or v not in committed:
+                shutil.rmtree(d)
+                removed.append(f"{_CDF}/{d.name}")
         # a hard-killed writer can leave a *.tmp-<pid> staging file in the
         # log (the commit link never happened); they are invisible to
         # readers but worth reclaiming
