@@ -1441,11 +1441,21 @@ def cmd_table(args) -> int:
             )
             if tag in seen_tags:
                 return  # replayed batch (same input files): already committed
-            vt.append(
-                args.root, batch, num_files=args.files or 1,
-                stats_columns=stats_cols,
-                extra_entry={"ingest_batch": tag, "ingest_files": len(files)},
-            )
+            tag_entry = {"ingest_batch": tag, "ingest_files": len(files)}
+            if args.keys and vt.history(args.root):
+                # CDC-apply mode: each batch MERGEs by key (replacements
+                # + inserts) through the zone-map-bounded upsert; replay
+                # dedup above keeps the non-idempotent merge exactly-once
+                vt.upsert_pruned(
+                    spark, args.root, batch,
+                    [c for c in args.keys.split(",") if c],
+                    num_files=args.files, extra_entry=tag_entry,
+                )
+            else:  # plain append (also the first commit in merge mode)
+                vt.append(
+                    args.root, batch, num_files=args.files or 1,
+                    stats_columns=stats_cols, extra_entry=tag_entry,
+                )
             seen_tags.add(tag)
 
         q = (
@@ -1791,9 +1801,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     tb.add_argument(
         "--keys",
-        help="comma-separated merge key columns (upsert): update rows "
-        "replace live rows sharing the key, new keys insert; only files "
-        "whose zone maps can hold an update key are rewritten",
+        help="comma-separated merge key columns (upsert, or ingest for "
+        "CDC-apply mode): update rows replace live rows sharing the key, "
+        "new keys insert; only files whose zone maps can hold an update "
+        "key are rewritten",
     )
     tb.add_argument(
         "--ignore-changes", action="store_true",

@@ -887,6 +887,7 @@ def upsert_pruned(
     key_cols: list[str],
     num_files: int | None = None,
     max_distinct_keys: int = 1_000_000,
+    extra_entry: dict | None = None,
 ) -> dict:
     """Zone-map-bounded MERGE (the Delta MERGE shape): ``updates`` rows
     replace live rows sharing their key, new keys insert, and ONLY the
@@ -1109,6 +1110,8 @@ def upsert_pruned(
             dtypes = dict(out.dtypes)
             entry["stats_types"] = {c: dtypes[c] for c in stats_columns}
             entry["stats"] = _collect_file_stats(data_dir, stats_columns)
+        if extra_entry:
+            entry.update(extra_entry)
         _commit(root, entry)
     return {
         "version": new_version,
@@ -1304,15 +1307,22 @@ def optimize(
     maximum file-skip fraction.
     """
     df = read_version(spark, root)
+    # optimize is row-preserving (same rows, new layout): stamped
+    # data_change=false so streams and the change feed skip it — the
+    # Delta OPTIMIZE contract. Snapshot readers are unaffected (the
+    # overwrite action still resets the live set).
+    no_change = {"data_change": False}
     if zorder_by:
         from dataset_dedupe_estimator_spark.operators.layout import zorder_frame
 
         df = zorder_frame(df, zorder_by, bits=bits, num_files=num_files)
         return _write_commit(
-            root, df, "overwrite", num_files=None, stats_columns=stats_columns
+            root, df, "overwrite", num_files=None,
+            stats_columns=stats_columns, extra_entry=no_change,
         )
     return _write_commit(
-        root, df, "overwrite", num_files=num_files, stats_columns=stats_columns
+        root, df, "overwrite", num_files=num_files,
+        stats_columns=stats_columns, extra_entry=no_change,
     )
 
 

@@ -200,3 +200,74 @@ def test_partitioned_table_change_data(spark, tmp_path):
     assert sorted((r.id, r.p, r.v, r._change) for r in feed) == [
         (4, 1, -4, "insert"), (4, 1, 8, "delete"),
     ]
+
+
+def test_optimize_is_data_change_false(spark, cf_table, tmp_path):
+    """optimize is row-preserving: streams and the change feed skip it
+    (Delta OPTIMIZE contract) while snapshot reads see the new layout."""
+    spark.dataSource.register(VersionedTableStreamSource)
+    ckpt, out = tmp_path / "ck", tmp_path / "out"
+
+    def drain():
+        q = (
+            spark.readStream.format("versioned_table").load(str(cf_table))
+            .writeStream.format("parquet").option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(180)
+
+    drain()
+    assert spark.read.parquet(str(out)).count() == 10
+    before = _feed(spark, cf_table)
+    vt.optimize(spark, cf_table, num_files=1)
+    vt.append(cf_table, _mk(spark, 10, 12), num_files=1)
+    drain()  # no error at the optimize, only the append emitted
+    assert spark.read.parquet(str(out)).count() == 12
+    assert len(_feed(spark, cf_table)) == len(before) + 2
+    assert vt.history(cf_table)[-2]["data_change"] is False
+
+
+def test_cli_ingest_merge_mode(capsys, spark, tmp_path):
+    """'de table ingest --keys' applies each microbatch as a zone-map-
+    bounded MERGE (CDC apply): later batches replace rows by key."""
+    import os
+
+    from dataset_dedupe_estimator_spark.cli import main
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    root = str(tmp_path / "vt")
+    ckpt = str(tmp_path / "ck")
+    _mk(spark, 0, 10).coalesce(1).write.parquet(str(inbox / "b0.parquet"))
+    assert main([
+        "table", "ingest", root, str(inbox), "--checkpoint", ckpt,
+        "--keys", "id", "--stats-columns", "id",
+    ]) == 0
+    capsys.readouterr()
+    # second drop: keys 7..9 replaced with negatives, 10..11 insert
+    spark.createDataFrame(
+        [(i, -i) for i in range(7, 12)], "id long, v long"
+    ).coalesce(1).write.parquet(str(inbox / "b1.parquet"))
+    assert main([
+        "table", "ingest", root, str(inbox), "--checkpoint", ckpt,
+        "--keys", "id",
+    ]) == 0
+    capsys.readouterr()
+    got = {
+        (r.id, r.v) for r in vt.read_version(spark, root).collect()
+    }
+    want = {(i, i * 10) for i in range(7)} | {(i, -i) for i in range(7, 12)}
+    assert got == want
+    assert vt.history(root)[-1]["action"] == "upsert"
+    # checkpoint-wipe replay is a no-op (batch tags dedupe)
+    import shutil as _sh
+
+    _sh.rmtree(ckpt)
+    assert main([
+        "table", "ingest", root, str(inbox), "--checkpoint", ckpt,
+        "--keys", "id",
+    ]) == 0
+    assert {
+        (r.id, r.v) for r in vt.read_version(spark, root).collect()
+    } == want
