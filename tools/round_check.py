@@ -168,6 +168,13 @@ def main() -> int:
                 stress_ok,
             )
         )
+        results.append(
+            _run(
+                "stress table stream",
+                [sys.executable, "tools/stress_table_stream.py"],
+                stress_ok,
+            )
+        )
 
     print("\n" + ("ALL GREEN" if all(results) else "FAILURES — see above"))
     return 0 if all(results) else 1
