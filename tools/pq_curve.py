@@ -106,55 +106,118 @@ def main() -> None:
             encoding="plain",
         )
         out["plain_build_s"] = round(time.time() - t0, 2)
-        abl_q = np.linspace(0, n - 1, 64, dtype=int)
-        abl_gt = {}
-        for pi in abl_q:
-            sims = Xn @ Xn[pi]
-            sims[pi] = -2.0
-            abl_gt[int(pi)] = {int(t) for t in np.argsort(-sims)[:K]}
-        pos = {int(v): i for i, v in enumerate(ids)}
-        abl = {}
-        for name, ix in (("plain", idx_plain), ("residual", idx)):
-            codes_pdf = ix.codes_df(spark).toPandas()
-            cvec = codes_pdf["cell"].to_numpy()
-            cid = codes_pdf["vec_id"].to_numpy()
-            cmat = np.stack(codes_pdf["codes"].to_numpy()).astype(np.int64)
-            per_np = {}
-            for nprobe in (8, 64):
-                recs = []
-                for pi in abl_q:
-                    q = X[pi]
-                    d2 = ((ix.centroids - q[None, :]) ** 2).sum(axis=1)
-                    cells = [int(c) for c in np.argsort(d2)[:nprobe]]
-                    mask = np.isin(cvec, cells)
-                    sub_cells = cvec[mask]
-                    sub_codes = cmat[mask]
-                    adc = np.zeros(mask.sum())
-                    for c in cells:
-                        m2 = sub_cells == c
-                        if not m2.any():
-                            continue
-                        T = ix._cell_table(q, c)
-                        a = np.zeros(m2.sum())
-                        for mi in range(ix.m):
-                            a += T[mi, sub_codes[m2][:, mi]]
-                        adc[m2] = a
-                    short = cid[mask][np.argsort(adc, kind="stable")[:SHORTLIST]]
-                    sel = np.array([pos[int(v)] for v in short])
-                    sims = Xn[sel] @ Xn[pi]
-                    ranked = [
-                        int(sel[t])
-                        for t in np.argsort(-sims, kind="stable")
-                        if int(sel[t]) != int(pi)
-                    ][:K]
-                    recs.append(len(set(ranked) & abl_gt[int(pi)]) / K)
-                per_np[f"rerank_recall_nprobe{nprobe}"] = round(
-                    float(np.mean(recs)), 4
-                )
-            abl[name] = per_np
-        out["encoding_ablation_64q"] = abl
+        out["encoding_ablation_64q"] = _ablation(
+            spark, X, ids, (("plain", idx_plain), ("residual", idx))
+        )
+    print(json.dumps(out))
+
+
+def _ablation(spark, X, ids, indexes) -> dict:
+    """Reranked recall@K of each (name, PqIndex) over 64 queries,
+    numpy twin of the search math (see comment at the call site)."""
+    import numpy as np
+
+    n = len(ids)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    abl_q = np.linspace(0, n - 1, 64, dtype=int)
+    abl_gt = {}
+    for pi in abl_q:
+        sims = Xn @ Xn[pi]
+        sims[pi] = -2.0
+        abl_gt[int(pi)] = {int(t) for t in np.argsort(-sims)[:K]}
+    pos = {int(v): i for i, v in enumerate(ids)}
+    abl = {}
+    for name, ix in indexes:
+        codes_pdf = ix.codes_df(spark).toPandas()
+        cvec = codes_pdf["cell"].to_numpy()
+        cid = codes_pdf["vec_id"].to_numpy()
+        cmat = np.stack(codes_pdf["codes"].to_numpy()).astype(np.int64)
+        per_np = {}
+        for nprobe in (8, 64):
+            recs = []
+            for pi in abl_q:
+                q = X[pi]
+                d2 = ((ix.centroids - q[None, :]) ** 2).sum(axis=1)
+                cells = [int(c) for c in np.argsort(d2)[:nprobe]]
+                mask = np.isin(cvec, cells)
+                sub_cells = cvec[mask]
+                sub_codes = cmat[mask]
+                adc = np.zeros(mask.sum())
+                for c in cells:
+                    m2 = sub_cells == c
+                    if not m2.any():
+                        continue
+                    T = ix._cell_table(q, c)
+                    a = np.zeros(m2.sum())
+                    for mi in range(ix.m):
+                        a += T[mi, sub_codes[m2][:, mi]]
+                    adc[m2] = a
+                short = cid[mask][np.argsort(adc, kind="stable")[:SHORTLIST]]
+                sel = np.array([pos[int(v)] for v in short])
+                sims = Xn[sel] @ Xn[pi]
+                ranked = [
+                    int(sel[t])
+                    for t in np.argsort(-sims, kind="stable")
+                    if int(sel[t]) != int(pi)
+                ][:K]
+                recs.append(len(set(ranked) & abl_gt[int(pi)]) / K)
+            per_np[f"rerank_recall_nprobe{nprobe}"] = round(
+                float(np.mean(recs)), 4
+            )
+        abl[name] = per_np
+    return abl
+
+
+def clustered() -> None:
+    """--clustered: the ablation on a CLUSTERED corpus (mixture of 64
+    Gaussians, within-cluster sigma a fraction of the centroid
+    spread — the shape real embedding corpora have, where residual
+    encoding is the standard win; the testdata embeddings are
+    near-uniform, the adversarial case documented in SCALING.md)."""
+    import tempfile
+
+    import numpy as np
+
+    from dataset_dedupe_estimator_spark import get_spark
+    from dataset_dedupe_estimator_spark.operators.ann import PqIndex
+
+    n, dim, n_clusters, sigma = 20_000, 64, 64, 0.15
+    rng = np.random.default_rng(11)
+    cents = rng.normal(0.0, 1.0, (n_clusters, dim))
+    assign = rng.integers(0, n_clusters, n)
+    X = cents[assign] + rng.normal(0.0, sigma, (n, dim))
+    ids = np.arange(n)
+
+    spark = get_spark(app_name="dde-pq-curve-clustered")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.createDataFrame(
+        [(int(i), [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    # float32 storage like the real table: evaluate on what was stored
+    Xf = np.array(
+        [r.embedding for r in emb.orderBy("vec_id").collect()], np.float64
+    )
+    out = {
+        "corpus": "clustered-mog", "n_vecs": n, "dim": dim,
+        "clusters": n_clusters, "sigma": sigma, "k": K,
+    }
+    with tempfile.TemporaryDirectory(prefix="pq-clu-") as d:
+        res = PqIndex.build(
+            emb, f"{d}/res", k=64, ks=64, train_sample=4096, seed=7
+        )
+        plain = PqIndex.build(
+            emb, f"{d}/plain", k=64, ks=64, train_sample=4096, seed=7,
+            encoding="plain",
+        )
+        out["encoding_ablation_64q"] = _ablation(
+            spark, Xf, ids, (("plain", plain), ("residual", res))
+        )
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    if "--clustered" in sys.argv:
+        clustered()
+    else:
+        main()
