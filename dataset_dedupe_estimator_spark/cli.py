@@ -1328,6 +1328,22 @@ def cmd_table(args) -> int:
                 f"{st['rewritten_files']} file(s) rewritten, "
                 f"{st['carried_files']} carried untouched)"
             )
+    elif args.action == "set-constraints":
+        checks = None
+        if args.where:
+            checks = _parse_where(args.where)
+            if checks is None:
+                return 2
+        nn = [c for c in (args.not_null or "").split(",") if c]
+        entry = vt.set_constraints(args.root, not_null=nn, checks=checks)
+        if not nn and not checks:
+            print(f"committed v{entry['version']} (all constraints dropped)")
+        else:
+            print(
+                f"committed v{entry['version']} (constraints: "
+                f"not_null={entry['not_null']} checks={entry['checks']} — "
+                "future commits validate incoming rows)"
+            )
     elif args.action == "compact-small":
         spark = _spark(args)
         st = vt.compact_small(
@@ -1777,6 +1793,7 @@ def build_parser() -> argparse.ArgumentParser:
         choices=[
             "append", "overwrite", "history", "read", "optimize", "vacuum",
             "ingest", "delete-where", "upsert", "tail", "compact-small",
+            "set-constraints",
         ],
     )
     tb.add_argument("root")
@@ -1814,6 +1831,12 @@ def build_parser() -> argparse.ArgumentParser:
     tb.add_argument(
         "--starting-version", type=int, default=0,
         help="tail: first commit version to stream (default 0)",
+    )
+    tb.add_argument(
+        "--not-null",
+        help="set-constraints: comma-separated columns that must be "
+        "non-null in every future commit (checks come from --where; "
+        "replace semantics — run with neither to drop all constraints)",
     )
     tb.add_argument(
         "--change-feed", action="store_true",

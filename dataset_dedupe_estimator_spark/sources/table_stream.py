@@ -146,6 +146,8 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 # identical before and after — nothing to emit, never
                 # an error (the Delta dataChange=false contract)
                 continue
+            if e["action"] == "set_constraints":
+                continue  # property commit: no rows in either mode
             if self.read_change_feed:
                 # CDF mode: appends are inserts from their own dir;
                 # deletes/upserts read the change-data file their

@@ -63,6 +63,102 @@ def _cf_active(live_entries: list[dict]) -> bool:
     return any(e.get("change_feed") for e in live_entries)
 
 
+def _active_constraints(live_entries: list[dict]) -> dict | None:
+    """The LATEST ``set_constraints`` entry wins (replace semantics);
+    None when no constraints were ever set or the latest set is empty."""
+    for e in reversed(live_entries):
+        if e["action"] == "set_constraints":
+            cons = {
+                "not_null": e.get("not_null") or [],
+                "checks": [tuple(c) for c in (e.get("checks") or [])],
+            }
+            return cons if (cons["not_null"] or cons["checks"]) else None
+    return None
+
+
+def _enforce_constraints(df: DataFrame, cons: dict | None) -> None:
+    """Raise if any incoming row violates the active constraints —
+    one O(batch) filter+limit job, never a table scan. CHECK uses the
+    same null-rejecting (column, op, value) language as zone maps: a
+    NULL in a check column VIOLATES (use not_null-less checks plus an
+    explicit coalesce upstream if NULLs should pass)."""
+    from pyspark.sql import functions as F
+
+    if not cons:
+        return
+    viol = F.lit(False)
+    for c in cons["not_null"]:
+        viol = viol | F.col(c).isNull()
+    if cons["checks"]:
+        ok = _predicate_cond(df, cons["checks"])
+        viol = viol | ~F.coalesce(ok, F.lit(False))
+    bad = df.filter(viol).limit(3).collect()
+    if bad:
+        raise ValueError(
+            "constraint violation: commit rejected "
+            f"(not_null={cons['not_null']}, checks={cons['checks']}); "
+            f"example rows: {[tuple(r) for r in bad]}"
+        )
+
+
+def set_constraints(
+    root: str | Path,
+    not_null: list[str] | None = None,
+    checks: list[tuple] | None = None,
+) -> dict:
+    """Declare table constraints (the Delta CHECK / NOT NULL shape) as
+    a dir-less property commit — REPLACE semantics: the latest
+    ``set_constraints`` entry defines the active set, and
+    ``set_constraints(root)`` with no arguments drops all constraints.
+
+    From the next commit onward, ``append`` / ``overwrite`` /
+    ``upsert_pruned`` validate INCOMING rows with one O(batch)
+    filter-and-limit job and refuse the whole commit on the first
+    violation (atomic: nothing lands). ``checks`` use the zone-map
+    predicate language — ``(column, op, value)`` conjunctions, op in
+    ==/</<=/>/>=/between — and are null-rejecting: a NULL in a check
+    column violates. Deletes, compaction, and other row-preserving
+    commits are exempt (they add no rows). Existing rows are NOT
+    retro-validated (declare before first ingest, or validate a
+    snapshot read yourself).
+    """
+    root = Path(root)
+    (root / _VLOG).mkdir(parents=True, exist_ok=True)
+    for p in checks or []:
+        if len(p) != 3 or p[1] not in _PRUNE_OPS:
+            raise ValueError(
+                f"check {p!r} must be (column, op, value) with op in "
+                f"{sorted(_PRUNE_OPS)}"
+            )
+    with writer_lock(root):
+        entries = _committed_entries(root)
+        if not entries:
+            raise VersionNotFoundError(
+                f"{root} has no committed versions — constraints attach "
+                "to an existing table (commit an empty append first if "
+                "you need declare-before-ingest)"
+            )
+        last = entries[-1]
+        entry = {
+            "version": last["version"] + 1,
+            "action": "set_constraints",
+            "dir": None,
+            # property commits must replicate the inheritable table
+            # metadata: the next data commit reads it from entries[-1]
+            "columns": last["columns"],
+            "partition_by": last.get("partition_by") or [],
+            "not_null": sorted(not_null or []),
+            "checks": [list(c) for c in (checks or [])],
+            "ts": time.time(),
+        }
+        if last.get("stats_columns"):
+            entry["stats_columns"] = last["stats_columns"]
+        if last.get("change_feed"):
+            entry["change_feed"] = True
+        _commit(root, entry)
+    return entry
+
+
 class VersionNotFoundError(LookupError):
     """Requested version is not committed (never existed or vacuumed)."""
 
@@ -274,6 +370,9 @@ def _commit_locked(
         stats_columns = list(stats_columns or [])
     if stats_columns:
         stats_columns = _validate_stats_columns(df, stats_columns, partition_by)
+    if entries and (extra_entry or {}).get("data_change") is not False:
+        # row-preserving commits (optimize) are exempt: no new rows
+        _enforce_constraints(df, _active_constraints(entries))
     version = entries[-1]["version"] + 1 if entries else 0
     data_dir = root / _DATA / f"c{version:08d}"
     out = df.coalesce(num_files) if num_files else df
@@ -813,6 +912,8 @@ def read_change_feed(
             continue
         if e.get("data_change") is False:
             continue  # layout-only: no row changed
+        if e["action"] == "set_constraints":
+            continue  # property commit: no rows
         if e["action"] == "append":
             if not e.get("dir"):
                 continue
@@ -1039,6 +1140,7 @@ def upsert_pruned(
                     carried += 1
 
         updates_n = _norm(updates)
+        _enforce_constraints(updates_n, _active_constraints(live_entries))
         n_up = updates_n.count()
         if cand_files:
             # read ONLY the candidate files (per commit dir so basePath
@@ -1064,12 +1166,18 @@ def upsert_pruned(
             n_cand = 0
             out = updates_n
         if num_files is None:
-            cand_bytes = sum(Path(f).stat().st_size for f in cand_files)
-            num_files = max(1, -(-cand_bytes // (128 << 20)))
+            if cand_files:
+                cand_bytes = sum(Path(f).stat().st_size for f in cand_files)
+                num_files = max(1, -(-cand_bytes // (128 << 20)))
+            else:
+                # pure insert: keep the updates' own partitioning — a
+                # large batch must not funnel through one task
+                num_files = 0
         new_version = version + 1
         dir_name = f"c{new_version:08d}"
         data_dir = root / _DATA / dir_name
-        writer = out.coalesce(int(num_files)).write.mode("overwrite")
+        out = out.coalesce(int(num_files)) if num_files else out
+        writer = out.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(str(data_dir))
@@ -1101,7 +1209,9 @@ def upsert_pruned(
                 changes = replaced.withColumn(
                     "_change", F.lit("delete")
                 ).unionByName(changes)
-            changes.coalesce(int(num_files)).write.mode("overwrite").parquet(
+            if num_files:
+                changes = changes.coalesce(int(num_files))
+            changes.write.mode("overwrite").parquet(
                 str(root / _CDF / dir_name)
             )
             entry["change_data"] = True
