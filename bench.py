@@ -240,12 +240,64 @@ def main() -> None:
             spark, qvecs, topk=10, nprobe=8, emb=emb
         ).write.mode("overwrite").format("noop").save()
 
+    # r7 table legs: zone-map-bounded MERGE, full stream drain, CDF
+    # read. A second versioned table with zone maps + change feed,
+    # built ONCE; the merge leg commits once per sample (consistent
+    # work — the key set is fixed, the table grows only by versions)
+    mt_root = f"{lc_dir}/mt"
+    vt.append(
+        mt_root,
+        orders.repartitionByRange(8, "o_orderkey"),
+        stats_columns=["o_orderkey"], change_feed=True,
+    )
+    merge_keys = spark.createDataFrame(
+        [(k * 97, -1.0) for k in range(100)],
+        "o_orderkey long, o_totalprice double",
+    ).localCheckpoint(eager=True)
+
+    def _lc_table_merge():
+        vt.upsert_pruned(spark, mt_root, merge_keys, ["o_orderkey"])
+
+    from dataset_dedupe_estimator_spark.sources.table_stream import (
+        VersionedTableStreamSource,
+    )
+
+    spark.dataSource.register(VersionedTableStreamSource)
+    _drain_n = [0]
+
+    def _lc_table_stream_drain():
+        # fresh checkpoint per sample: times a FULL drain of the
+        # 3-commit orders table (ignoreChanges covers its overwrite)
+        _drain_n[0] += 1
+        (
+            spark.readStream.format("versioned_table")
+            .option("ignoreChanges", "true")
+            .load(vt_root)
+            .writeStream.format("noop")
+            .option(
+                "checkpointLocation", f"{lc_dir}/ck{_drain_n[0]}"
+            )
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    def _lc_cdf_read():
+        # pinned to the FIRST merge's change file (version 1): constant
+        # work even though the merge leg commits once per sample
+        vt.read_change_feed(spark, mt_root, 0, 1).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
     lc_fns = {
         "bm25_search": _lc_bm25,
         "zorder_write": _lc_zorder_write,
         "time_travel_read": _lc_time_travel_read,
         "bm25_search_many64": _lc_search_many,
         "ann_search_batch64": _lc_search_batch,
+        "table_merge100": _lc_table_merge,
+        "table_stream_drain": _lc_table_stream_drain,
+        "cdf_read": _lc_cdf_read,
     }
     lc_samples: dict[str, list[float]] = {n: [] for n in lc_fns}
     gram_rates: list[float] = []
