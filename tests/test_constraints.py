@@ -162,3 +162,23 @@ def test_cli_set_constraints(capsys, spark, tmp_path):
     assert main(["table", "set-constraints", root]) == 0
     assert "dropped" in capsys.readouterr().out
     assert main(["table", "append", root, bad]) == 0
+
+
+def test_between_check_survives_json_roundtrip(spark, tmp_path):
+    """checks serialize to JSON lists in the log entry; the between
+    op's (lo, hi) pair must still enforce after the round-trip."""
+    root = tmp_path / "tbl"
+    vt.append(root, _mk(spark, 0, 5), num_files=1)
+    vt.set_constraints(root, checks=[("v", "between", (0, 100))])
+    with pytest.raises(ValueError, match="constraint violation"):
+        vt.append(
+            root,
+            spark.createDataFrame([(9, 200)], "id long, v long"),
+            num_files=1,
+        )
+    vt.append(
+        root,
+        spark.createDataFrame([(9, 50)], "id long, v long"),
+        num_files=1,
+    )
+    assert vt.read_version(spark, root).count() == 6
