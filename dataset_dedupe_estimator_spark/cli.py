@@ -1224,16 +1224,23 @@ def cmd_table(args) -> int:
             return 2
         spark = _spark(args)
         df = spark.read.parquet(args.src)
+        bloom_cols = (
+            [c for c in args.bloom_columns.split(",") if c]
+            if args.bloom_columns else None
+        )
         if args.action == "append":
             entry = vt.append(
                 args.root, df, num_files=args.files, stats_columns=stats_cols,
-                change_feed=args.change_feed,
+                change_feed=args.change_feed, bloom_columns=bloom_cols,
             )
         else:
             entry = vt.overwrite(
-                args.root, df, num_files=args.files, stats_columns=stats_cols
+                args.root, df, num_files=args.files, stats_columns=stats_cols,
+                bloom_columns=bloom_cols,
             )
         zm = f", zone maps on {entry['stats_columns']}" if entry.get("stats_columns") else ""
+        if entry.get("bloom_columns"):
+            zm += f", blooms on {entry['bloom_columns']}"
         if entry.get("change_feed"):
             zm += ", change feed ON"
         print(f"committed v{entry['version']} ({entry['action']}, dir {entry['dir']}{zm})")
@@ -1831,6 +1838,13 @@ def build_parser() -> argparse.ArgumentParser:
     tb.add_argument(
         "--starting-version", type=int, default=0,
         help="tail: first commit version to stream (default 0)",
+    )
+    tb.add_argument(
+        "--bloom-columns",
+        help="comma-separated string/integer columns to record per-file "
+        "Bloom bitmaps for (append/overwrite): equality reads and merge "
+        "keys then skip files the value provably isn't in — the pruning "
+        "zone maps can't offer for strings",
     )
     tb.add_argument(
         "--not-null",

@@ -652,6 +652,66 @@ GROUP BY 1 ORDER BY bucket
 """
 
 
+# string keys probed through the bloom-pruned read — inside every SF
+_BLOOM_KEYS = (42, 777, 1234)
+
+
+def table_bloom_read(spark, sf):
+    """Bloom-filter data skipping on a STRING key
+    (``sources/versioned.py`` — per-file Bloom bitmaps in the commit
+    log, the Delta/Iceberg bloom shape; zone maps refuse strings
+    because parquet may truncate their min/max).
+
+    Builds a versioned table from orders with a synthesized string key
+    (two commits, ``bloom_columns=["o_key"]``), then answers three
+    point lookups through ``read_where``: each equality probe consults
+    the per-file bitmaps driver-side (md5 positions derived identically
+    JVM-side at build and pure-Python at read — zero data bytes for the
+    decision) and scans only files that may hold the key. The oracle
+    recomputes the same rows from orders, so a bloom that pruned a file
+    it needed — a false NEGATIVE, the one failure a Bloom filter must
+    never have — hash-mismatches. Eager by construction; result
+    localCheckpointed before the temp table vanishes.
+    """
+    import shutil
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    orders = load(spark, sf, "orders").select(
+        F.format_string("key-%08d", F.col("o_orderkey")).alias("o_key"),
+        "o_custkey",
+        cents("o_totalprice").alias("price_cents"),
+    )
+    root = tempfile.mkdtemp(prefix="dde_bl_")
+    try:
+        vt.append(
+            root, orders.filter(F.col("o_custkey") % 2 == 0).repartition(4),
+            bloom_columns=["o_key"],
+        )
+        vt.append(root, orders.filter(F.col("o_custkey") % 2 == 1).repartition(4))
+        got = None
+        for k in _BLOOM_KEYS:
+            part = vt.read_where(
+                spark, root, [("o_key", "==", f"key-{k:08d}")]
+            )
+            got = part if got is None else got.unionByName(part)
+        out = got.orderBy("o_key").select("o_key", "o_custkey", "price_cents")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+TABLE_BLOOM_READ_SQL = f"""
+SELECT printf('key-%08d', o_orderkey) AS o_key,
+       o_custkey,
+       CAST({sql_cents('o_totalprice')} AS BIGINT) AS price_cents
+FROM orders
+WHERE o_orderkey IN ({", ".join(str(k) for k in _BLOOM_KEYS)})
+ORDER BY o_key
+"""
+
+
 # change-feed bands for table_cdf_read — inside every SF's key range
 _CF_UP_LO, _CF_UP_HI = 1000, 1200   # upsert-replaced band (price bumped)
 _CF_INS_HI = 1050                   # [1000, 1050] also insert at key + 10M
@@ -897,6 +957,7 @@ QUERIES = {
     "table_stream_read": Q(table_stream_read, TABLE_STREAM_READ_SQL),
     "table_compact_read": Q(table_compact_read, TABLE_COMPACT_READ_SQL),
     "table_cdf_read": Q(table_cdf_read, TABLE_CDF_READ_SQL),
+    "table_bloom_read": Q(table_bloom_read, TABLE_BLOOM_READ_SQL),
     "table_zonemap_read": Q(table_zonemap_read, TABLE_ZONEMAP_READ_SQL),
     "mv_from_version_diff": Q(mv_from_version_diff, MV_FROM_VERSION_DIFF_SQL),
     "streaming_mv_refresh": Q(streaming_mv_refresh, STREAMING_MV_REFRESH_SQL),

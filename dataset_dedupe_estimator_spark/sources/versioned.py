@@ -153,6 +153,9 @@ def set_constraints(
         }
         if last.get("stats_columns"):
             entry["stats_columns"] = last["stats_columns"]
+        if last.get("bloom_columns"):
+            entry["bloom_columns"] = last["bloom_columns"]
+            entry["bloom_bits"] = last.get("bloom_bits") or 65_536
         if last.get("change_feed"):
             entry["change_feed"] = True
         _commit(root, entry)
@@ -270,6 +273,129 @@ def _encode_pred_value(v, kind: str):
     )
 
 
+_BLOOM_K = 4  # four 32-bit slices of one md5: both sides derive them
+_BLOOM_DTYPES = {"string", "bigint", "int", "smallint", "tinyint"}
+
+
+def _bloom_positions_py(value, bits: int) -> list[int]:
+    """The k bit positions for ``value`` — md5 over Spark's string cast
+    (str(int) == CAST(long AS STRING), strings are identity), four
+    big-endian 32-bit slices mod ``bits``. MUST stay in lockstep with
+    the Spark-side expression in :func:`_collect_file_blooms`: the
+    build hashes JVM-side, membership tests run pure-Python driver-side
+    (zero Spark jobs, preserving zone_map_prune's zero-byte contract)."""
+    import hashlib
+
+    digest = hashlib.md5(str(value).encode()).digest()
+    return [
+        int.from_bytes(digest[4 * i : 4 * (i + 1)], "big") % bits
+        for i in range(_BLOOM_K)
+    ]
+
+
+def _bloom_may_contain(bloom: dict, positions: list[int]) -> bool:
+    import base64
+
+    data = base64.b64decode(bloom["b64"])
+    for p in positions:
+        lane, bit = divmod(p, 64)
+        word = int.from_bytes(data[8 * lane : 8 * lane + 8], "little")
+        if not (word >> bit) & 1:
+            return False
+    return True
+
+
+def _collect_file_blooms(
+    spark, data_dir: Path, cols: list[str], bits: int
+) -> dict:
+    """Per-file Bloom bitmaps for a just-written commit directory:
+    ``{rel_file: {col: {"bits": m, "k": 4, "b64": ...}}}``. Built
+    DISTRIBUTED in one pass over the new files only (O(commit), never
+    O(table)): md5 each value JVM-side, explode the k positions, fold
+    64-bit lanes with bit_or, collect ≤ files × bits/64 lane rows.
+    A file absent for a column had NO non-null value there — readers
+    may prune it for equality outright."""
+    import base64
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(str(data_dir))
+    exploded = None
+    for c in cols:
+        hexcol = F.md5(F.col(c).cast("string"))
+        pos = F.array(
+            *[
+                (
+                    F.conv(F.substring(hexcol, 1 + 8 * i, 8), 16, 10)
+                    .cast("long") % bits
+                )
+                for i in range(_BLOOM_K)
+            ]
+        )
+        e = (
+            df.where(F.col(c).isNotNull())
+            .select(
+                F.input_file_name().alias("_f"),
+                F.explode(pos).alias("_p"),
+            )
+            .withColumn("_c", F.lit(c))
+        )
+        exploded = e if exploded is None else exploded.unionByName(e)
+    lanes = (
+        exploded.select(
+            "_f",
+            "_c",
+            (F.col("_p") / 64).cast("long").alias("_lane"),
+            # shiftleft's bit count must be column-valued here: SQL form
+            F.expr("shiftleft(1L, cast(_p % 64 as int))").alias("_bit"),
+        )
+        .groupBy("_f", "_c", "_lane")
+        .agg(F.bit_or("_bit").alias("_m"))
+        .collect()
+    )
+    base = str(data_dir)
+    maps: dict[tuple, bytearray] = {}
+    n_lanes = bits // 64
+    for r in lanes:
+        f = r._f
+        if f.startswith("file:"):
+            f = f[len("file:"):]
+        rel = str(Path(f).relative_to(base))
+        buf = maps.setdefault((rel, r._c), bytearray(8 * n_lanes))
+        word = int(r._m) & 0xFFFFFFFFFFFFFFFF
+        buf[8 * int(r._lane) : 8 * int(r._lane) + 8] = word.to_bytes(
+            8, "little"
+        )
+    out: dict = {}
+    for (rel, c), buf in maps.items():
+        out.setdefault(rel, {})[c] = {
+            "bits": bits,
+            "k": _BLOOM_K,
+            "b64": base64.b64encode(bytes(buf)).decode(),
+        }
+    return out
+
+
+def _validate_bloom_columns(
+    df: DataFrame, bloom_columns: list[str], partition_by: list[str]
+) -> list[str]:
+    dtypes = dict(df.dtypes)
+    for c in bloom_columns:
+        if c not in dtypes:
+            raise ValueError(f"bloom column {c!r} not in commit schema")
+        if c in partition_by:
+            raise ValueError(
+                f"bloom column {c!r} is a partition column — partition "
+                "pruning already covers it"
+            )
+        if dtypes[c] not in _BLOOM_DTYPES:
+            raise ValueError(
+                f"bloom column {c!r} has type {dtypes[c]} — blooms need "
+                f"a cast-stable string form, supported: {sorted(_BLOOM_DTYPES)}"
+            )
+    return list(bloom_columns)
+
+
 def _validate_stats_columns(
     df: DataFrame, stats_columns: list[str], partition_by: list[str]
 ) -> list[str]:
@@ -335,6 +461,8 @@ def _commit_locked(
     stats_columns: list[str] | None,
     extra_entry: dict | None = None,
     change_feed: bool = False,
+    bloom_columns: list[str] | None = None,
+    bloom_bits: int = 65_536,
 ) -> dict:
     """Write + commit under an already-held writer lock, against an
     already-taken log snapshot (``entries``)."""
@@ -364,12 +492,18 @@ def _commit_locked(
             )
         if stats_columns is None:
             stats_columns = entries[-1].get("stats_columns") or []
+        if bloom_columns is None:
+            bloom_columns = entries[-1].get("bloom_columns") or []
+            bloom_bits = entries[-1].get("bloom_bits") or bloom_bits
     else:
         widened = set()
         partition_by = list(partition_by or [])
         stats_columns = list(stats_columns or [])
+        bloom_columns = list(bloom_columns or [])
     if stats_columns:
         stats_columns = _validate_stats_columns(df, stats_columns, partition_by)
+    if bloom_columns:
+        bloom_columns = _validate_bloom_columns(df, bloom_columns, partition_by)
     if entries and (extra_entry or {}).get("data_change") is not False:
         # row-preserving commits (optimize) are exempt: no new rows
         _enforce_constraints(df, _active_constraints(entries))
@@ -393,6 +527,12 @@ def _commit_locked(
         dtypes = dict(df.dtypes)
         entry["stats_types"] = {c: dtypes[c] for c in stats_columns}
         entry["stats"] = _collect_file_stats(data_dir, stats_columns)
+    if bloom_columns:
+        entry["bloom_columns"] = bloom_columns
+        entry["bloom_bits"] = bloom_bits
+        entry["blooms"] = _collect_file_blooms(
+            df.sparkSession, data_dir, bloom_columns, bloom_bits
+        )
     if widened:
         entry["added_columns"] = sorted(widened)
     if change_feed:
@@ -413,6 +553,8 @@ def _write_commit(
     stats_columns: list[str] | None = None,
     extra_entry: dict | None = None,
     change_feed: bool = False,
+    bloom_columns: list[str] | None = None,
+    bloom_bits: int = 65_536,
 ) -> dict:
     root = Path(root)
     (root / _VLOG).mkdir(parents=True, exist_ok=True)
@@ -422,6 +564,7 @@ def _write_commit(
             root, entries, df, action, num_files,
             partition_by, allow_new_columns, stats_columns,
             extra_entry=extra_entry, change_feed=change_feed,
+            bloom_columns=bloom_columns, bloom_bits=bloom_bits,
         )
 
 
@@ -434,6 +577,8 @@ def append(
     stats_columns: list[str] | None = None,
     extra_entry: dict | None = None,
     change_feed: bool = False,
+    bloom_columns: list[str] | None = None,
+    bloom_bits: int = 65_536,
 ) -> dict:
     """Commit ``df`` as a new version that ADDS to the live set.
 
@@ -453,10 +598,18 @@ def append(
     deletes/upserts write per-commit change-data files that
     :func:`read_change_feed` and the streaming source's
     ``readChangeFeed`` mode serve at O(changed rows) cost.
+    ``bloom_columns`` records a per-file Bloom bitmap (``bloom_bits``
+    bits, default 64 Ki ≈ 8 KB/file/column — size ≈ 10× the expected
+    distinct values per file) for string/integer columns in the log
+    entry: equality predicates and merge/delete keys then prune files
+    the value provably isn't in — the pruning zone maps can't offer
+    for STRINGS (parquet may truncate string min/max). Inherited by
+    later commits like ``stats_columns``.
     """
     return _write_commit(
         root, df, "append", num_files, partition_by, allow_new_columns,
         stats_columns, extra_entry, change_feed=change_feed,
+        bloom_columns=bloom_columns, bloom_bits=bloom_bits,
     )
 
 
@@ -467,16 +620,18 @@ def overwrite(
     partition_by: list[str] | None = None,
     allow_new_columns: bool = False,
     stats_columns: list[str] | None = None,
+    bloom_columns: list[str] | None = None,
+    bloom_bits: int = 65_536,
 ) -> dict:
     """Commit ``df`` as a new version that REPLACES the live set.
 
     Prior versions stay readable (time travel) until ``vacuum`` retires
-    them — overwrite never deletes data files. ``stats_columns`` as in
-    :func:`append`.
+    them — overwrite never deletes data files. ``stats_columns`` and
+    ``bloom_columns`` as in :func:`append`.
     """
     return _write_commit(
         root, df, "overwrite", num_files, partition_by, allow_new_columns,
-        stats_columns,
+        stats_columns, bloom_columns=bloom_columns, bloom_bits=bloom_bits,
     )
 
 
@@ -701,14 +856,23 @@ def zone_map_prune(
     by_dir = {e["dir"]: e for e in live_entries if e.get("dir")}
     masks = _live_masks(live_entries)
     files: list[str] = []
-    stats_dirs: list[str] = []  # dirs whose entry carries zone maps
     plain_dirs: list[str] = []  # pre-stats commits: scan whole dir
     total = kept = 0
+    bloom_pos_cache: dict[tuple, list[int]] = {}
     for d in dirs:
         entry = by_dir[Path(d).name]
         masked = masks.get(Path(d).name, set())
         stats = entry.get("stats")
-        if stats is None:
+        bloom_cols = set(entry.get("bloom_columns") or [])
+        blooms = entry.get("blooms") or {}
+        # equality predicates this entry's blooms can answer (blooms
+        # cover strings, which zone maps refuse)
+        eq = [
+            (col, value)
+            for col, op, value in predicates
+            if op == "==" and col in bloom_cols
+        ]
+        if stats is None and not eq:
             # masked files are not live — list the survivors explicitly
             # (a fully-unmasked no-stats dir stays a whole-dir scan)
             if masked:
@@ -722,7 +886,6 @@ def zone_map_prune(
                 kept += n
                 plain_dirs.append(d)
             continue
-        stats_dirs.append(d)
         # per-column stats kind; entries written before kinds were
         # recorded hold plain numbers
         types = entry.get("stats_types") or {
@@ -744,16 +907,42 @@ def zone_map_prune(
                 )))
             else:
                 enc.append((col, op, _encode_pred_value(value, kind)))
-        for rel, per_col in stats.items():
+        # file universe: stats keys when recorded, else the dir listing
+        # (blooms-only commits still need per-file decisions)
+        if stats is not None:
+            universe = list(stats.keys())
+        else:
+            universe = [
+                str(f.relative_to(d))
+                for f in sorted(Path(d).rglob("*.parquet"))
+            ]
+        for rel in universe:
             if rel in masked:  # deleted by a later masked-file commit
                 continue
             total += 1
             keep = True
+            per_col = (stats or {}).get(rel, {})
             for col, op, value in enc:
                 rng = per_col.get(col)
                 if rng is not None and not _range_may_match(rng[0], rng[1], op, value):
                     keep = False
                     break
+            if keep:
+                for col, value in eq:
+                    b = blooms.get(rel, {}).get(col)
+                    if b is None:
+                        # bloom was computed for this commit and the file
+                        # has NO non-null value of col: provable miss
+                        keep = False
+                        break
+                    ck = (col, str(value), b["bits"])
+                    pos = bloom_pos_cache.get(ck)
+                    if pos is None:
+                        pos = _bloom_positions_py(value, b["bits"])
+                        bloom_pos_cache[ck] = pos
+                    if not _bloom_may_contain(b, pos):
+                        keep = False
+                        break
             if keep:
                 kept += 1
                 files.append(str(Path(d) / rel))
@@ -1045,6 +1234,8 @@ def upsert_pruned(
             )
         partition_by = live_entries[-1].get("partition_by") or []
         stats_columns = live_entries[-1].get("stats_columns") or []
+        bloom_columns = live_entries[-1].get("bloom_columns") or []
+        bloom_bits = live_entries[-1].get("bloom_bits") or 65_536
         widened = any("added_columns" in e for e in live_entries)
 
         # distinct update keys, collected driver-side up to the cap;
@@ -1104,13 +1295,35 @@ def upsert_pruned(
             i = bisect.bisect_left(vals, lo)
             return i < len(vals) and vals[i] <= hi
 
+        # bloom probing: with the distinct keys in hand (exact mode,
+        # bounded count) a per-file Bloom bitmap answers "could ANY key
+        # be in this file?" for STRING keys too — the case zone maps
+        # refuse. Probe cost is keys x files x k bit reads, so it is
+        # capped; above the cap string keys simply don't prune (range
+        # stats still apply to numeric ones)
+        bloom_probe = exact and len(key_rows) <= 10_000
+        bpos_cache: dict[tuple, list[list[int]]] = {}
+
+        def _key_positions(col: str, bits: int) -> list[list[int]]:
+            ck = (col, bits)
+            if ck not in bpos_cache:
+                bpos_cache[ck] = [
+                    _bloom_positions_py(v, bits)
+                    for v in key_vals.get(col, [])
+                ]
+            return bpos_cache[ck]
+
         cand_files: list[str] = []
         carried = 0
         for d in live_data_dirs:
             entry = by_dir[Path(d).name]
             masked = masks.get(Path(d).name, set())
             stats = entry.get("stats")
-            if stats is None:  # no zone maps: every surviving file may match
+            bloom_cols = set(entry.get("bloom_columns") or [])
+            blooms = entry.get("blooms") or {}
+            use_blooms = bloom_probe and bool(bloom_cols & set(key_cols))
+            if stats is None and not use_blooms:
+                # no pruning metadata: every surviving file may match
                 if masked:
                     cand_files.extend(_surviving_files([d], masks))
                 else:
@@ -1121,19 +1334,36 @@ def upsert_pruned(
             types = entry.get("stats_types") or {
                 c: "numeric" for c in entry.get("stats_columns", [])
             }
-            for rel, per_col in stats.items():
+            if stats is not None:
+                universe = list(stats.keys())
+            else:
+                universe = [
+                    str(f.relative_to(d))
+                    for f in sorted(Path(d).rglob("*.parquet"))
+                ]
+            for rel in universe:
                 if rel in masked:
                     continue
+                per_col = (stats or {}).get(rel, {})
                 may = True
                 for c in key_cols:
-                    if c not in types:
-                        continue
-                    rng = per_col.get(c)
+                    rng = per_col.get(c) if c in types else None
                     if rng is not None and not _any_key_in(
                         _enc_vals(c, types[c]), rng[0], rng[1]
                     ):
                         may = False
                         break
+                    if use_blooms and c in bloom_cols:
+                        b = blooms.get(rel, {}).get(c)
+                        if b is None:  # no non-null value of c: no match
+                            may = False
+                            break
+                        if not any(
+                            _bloom_may_contain(b, pos)
+                            for pos in _key_positions(c, b["bits"])
+                        ):
+                            may = False
+                            break
                 if may:
                     cand_files.append(str(Path(d) / rel))
                 else:
@@ -1220,6 +1450,12 @@ def upsert_pruned(
             dtypes = dict(out.dtypes)
             entry["stats_types"] = {c: dtypes[c] for c in stats_columns}
             entry["stats"] = _collect_file_stats(data_dir, stats_columns)
+        if bloom_columns:
+            entry["bloom_columns"] = bloom_columns
+            entry["bloom_bits"] = bloom_bits
+            entry["blooms"] = _collect_file_blooms(
+                spark, data_dir, bloom_columns, bloom_bits
+            )
         if extra_entry:
             entry.update(extra_entry)
         _commit(root, entry)
@@ -1302,6 +1538,8 @@ def delete_where_pruned(
         schema_cols = live_entries[-1]["columns"]
         partition_by = live_entries[-1].get("partition_by") or []
         stats_columns = live_entries[-1].get("stats_columns") or []
+        bloom_columns = live_entries[-1].get("bloom_columns") or []
+        bloom_bits = live_entries[-1].get("bloom_bits") or 65_536
         widened = any("added_columns" in e for e in live_entries)
 
         def _norm(df):
@@ -1376,11 +1614,23 @@ def delete_where_pruned(
                 int(num_files)
             ).write.mode("overwrite").parquet(str(root / _CDF / dir_name))
             entry["change_data"] = True
-        if stats_columns and has_rows:
+        if stats_columns:
+            # the DECLARATION always rides the entry (entries[-1] is the
+            # inheritance source — a dir-less commit must not silently
+            # drop zone maps for every later commit); per-file payloads
+            # only when a directory exists
             entry["stats_columns"] = stats_columns
-            dtypes = dict(survivors.dtypes)
-            entry["stats_types"] = {c: dtypes[c] for c in stats_columns}
-            entry["stats"] = _collect_file_stats(data_dir, stats_columns)
+            if has_rows:
+                dtypes = dict(survivors.dtypes)
+                entry["stats_types"] = {c: dtypes[c] for c in stats_columns}
+                entry["stats"] = _collect_file_stats(data_dir, stats_columns)
+        if bloom_columns:
+            entry["bloom_columns"] = bloom_columns  # declaration always
+            entry["bloom_bits"] = bloom_bits
+            if has_rows:
+                entry["blooms"] = _collect_file_blooms(
+                    spark, data_dir, bloom_columns, bloom_bits
+                )
         _commit(root, entry)
     return {
         "version": new_version,
@@ -1469,6 +1719,8 @@ def compact_small(
         schema_cols = live_entries[-1]["columns"]
         partition_by = live_entries[-1].get("partition_by") or []
         stats_columns = live_entries[-1].get("stats_columns") or []
+        bloom_columns = live_entries[-1].get("bloom_columns") or []
+        bloom_bits = live_entries[-1].get("bloom_bits") or 65_536
         widened = any("added_columns" in e for e in live_entries)
         small: list[str] = []
         n_large = 0
@@ -1541,11 +1793,19 @@ def compact_small(
             "removed": removed,
             "ts": time.time(),
         }
-        if stats_columns and has_rows:
-            entry["stats_columns"] = stats_columns
-            dtypes = dict(src.dtypes)
-            entry["stats_types"] = {c: dtypes[c] for c in stats_columns}
-            entry["stats"] = _collect_file_stats(data_dir, stats_columns)
+        if stats_columns:
+            entry["stats_columns"] = stats_columns  # declaration always
+            if has_rows:
+                dtypes = dict(src.dtypes)
+                entry["stats_types"] = {c: dtypes[c] for c in stats_columns}
+                entry["stats"] = _collect_file_stats(data_dir, stats_columns)
+        if bloom_columns:
+            entry["bloom_columns"] = bloom_columns  # declaration always
+            entry["bloom_bits"] = bloom_bits
+            if has_rows:
+                entry["blooms"] = _collect_file_blooms(
+                    spark, data_dir, bloom_columns, bloom_bits
+                )
         _commit(root, entry)
     return {
         "version": new_version,

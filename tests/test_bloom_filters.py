@@ -1,0 +1,213 @@
+"""Per-file Bloom filters in the commit log (r7, the Delta/Iceberg
+bloom shape): equality predicates and merge keys prune files the value
+provably isn't in — including STRING columns, which zone maps refuse
+(parquet may truncate string min/max). The hash is md5 over Spark's
+string cast, derived identically JVM-side (build) and pure-Python
+driver-side (membership) — zone_map_prune keeps its zero-byte,
+zero-Spark contract."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+
+def _docs(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.format_string("doc-%08d", F.col("id")).alias("doc_id"),
+        (F.col("id") * 3).alias("v"),
+    )
+
+
+def _md5(path):
+    from pathlib import Path
+
+    return {
+        str(f): hashlib.md5(f.read_bytes()).hexdigest()
+        for f in sorted(Path(path).rglob("*.parquet"))
+    }
+
+
+@pytest.fixture()
+def bloomed(spark, tmp_path):
+    """4 commits x 2 files, string-keyed, blooms on doc_id."""
+    root = tmp_path / "tbl"
+    for m in range(4):
+        vt.append(
+            root, _docs(spark, m * 500, (m + 1) * 500), num_files=2,
+            bloom_columns=["doc_id"],
+        )
+    return root
+
+
+def test_jvm_and_python_positions_agree(spark):
+    bits = 65_536
+    vals = ["doc-12345", "", "Ünïcødé", "a b c"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    hexcol = F.md5(F.col("s").cast("string"))
+    pos = F.array(
+        *[
+            (
+                F.conv(F.substring(hexcol, 1 + 8 * i, 8), 16, 10)
+                .cast("long") % bits
+            )
+            for i in range(4)
+        ]
+    )
+    got = {r.s: list(r.p) for r in df.select("s", pos.alias("p")).collect()}
+    for v in vals:
+        assert got[v] == vt._bloom_positions_py(v, bits)
+    ints = spark.createDataFrame([(7,), (2**61,), (-3,)], "k long")
+    hexcol = F.md5(F.col("k").cast("string"))
+    pos = F.array(
+        *[
+            (
+                F.conv(F.substring(hexcol, 1 + 8 * i, 8), 16, 10)
+                .cast("long") % bits
+            )
+            for i in range(4)
+        ]
+    )
+    goti = {r.k: list(r.p) for r in ints.select("k", pos.alias("p")).collect()}
+    for k in (7, 2**61, -3):
+        assert goti[k] == vt._bloom_positions_py(k, bits)
+
+
+def test_equality_read_prunes_string_files(spark, bloomed):
+    rep = vt.zone_map_prune(bloomed, [("doc_id", "==", "doc-00000042")])
+    assert rep["total_files"] == 8
+    assert rep["skipped_files"] >= 6  # the key lives in ONE file (+FPs)
+    got = vt.read_where(
+        spark, bloomed, [("doc_id", "==", "doc-00000042")]
+    ).collect()
+    assert [(r.doc_id, r.v) for r in got] == [("doc-00000042", 126)]
+    # absent key: every file provably clean, result empty
+    rep2 = vt.zone_map_prune(bloomed, [("doc_id", "==", "nope")])
+    assert rep2["kept_files"] == 0
+    assert vt.read_where(spark, bloomed, [("doc_id", "==", "nope")]).count() == 0
+
+
+def test_bloom_never_prunes_a_present_key(spark, bloomed):
+    """Conservativeness: every present key must survive pruning (false
+    positives allowed, false negatives never)."""
+    for i in range(0, 2000, 97):
+        key = f"doc-{i:08d}"
+        got = vt.read_where(spark, bloomed, [("doc_id", "==", key)])
+        assert got.count() == 1, key
+
+
+def test_string_keyed_merge_prunes(spark, bloomed, tmp_path):
+    before = _md5(bloomed / "data")
+    ups = spark.createDataFrame(
+        [("doc-00000007", -1), ("doc-00001999", -2), ("doc-xxxx", -3)],
+        "doc_id string, v long",
+    )
+    st = vt.upsert_pruned(spark, bloomed, ups, ["doc_id"])
+    # 2 present keys live in <=2 files; the insert key hits none
+    assert st["rewritten_files"] <= 2 + 1  # +1 slack for a bloom FP
+    assert st["carried_files"] >= 5
+    assert st["replaced_rows"] == 2
+    after = _md5(bloomed / "data")
+    for f, h in before.items():
+        assert after[f] == h  # originals untouched
+    got = vt.read_version(spark, bloomed)
+    assert got.count() == 2001
+    assert {
+        (r.doc_id, r.v)
+        for r in got.filter(
+            F.col("doc_id").isin("doc-00000007", "doc-00001999", "doc-xxxx")
+        ).collect()
+    } == {("doc-00000007", -1), ("doc-00001999", -2), ("doc-xxxx", -3)}
+
+
+def test_rewrite_commits_keep_blooms(spark, bloomed):
+    """Blooms survive maintenance: the upsert/compact survivor dirs
+    record fresh blooms, so later merges still prune."""
+    ups = spark.createDataFrame([("doc-00000007", -1)], "doc_id string, v long")
+    vt.upsert_pruned(spark, bloomed, ups, ["doc_id"])
+    st = vt.compact_small(spark, bloomed)
+    assert st["committed"]
+    entry = vt.history(bloomed)[-1]
+    assert entry["bloom_columns"] == ["doc_id"] and entry.get("blooms")
+    rep = vt.zone_map_prune(bloomed, [("doc_id", "==", "doc-00000007")])
+    assert rep["skipped_files"] >= 0  # still decidable post-compact
+    got = vt.read_where(spark, bloomed, [("doc_id", "==", "doc-00000007")])
+    assert [(r.doc_id, r.v) for r in got.collect()] == [("doc-00000007", -1)]
+
+
+def test_bloom_respects_delete_masks(spark, bloomed):
+    vt.delete_where_pruned(spark, bloomed, [("v", "<", 30)])  # no stats: full
+    got = vt.read_where(spark, bloomed, [("doc_id", "==", "doc-00000003")])
+    assert got.count() == 0  # deleted (v=9): masked file never resurfaces
+
+
+def test_blooms_and_zone_maps_compose(spark, tmp_path):
+    root = tmp_path / "tbl"
+    df = spark.range(0, 1000).select(
+        "id",
+        F.format_string("k-%04d", F.col("id")).alias("key"),
+    )
+    vt.append(
+        root, df.repartitionByRange(4, "id"),
+        stats_columns=["id"], bloom_columns=["key"],
+    )
+    # range prunes on id AND bloom prunes on key
+    rep = vt.zone_map_prune(
+        root, [("id", "between", (0, 100)), ("key", "==", "k-0050")]
+    )
+    assert rep["kept_files"] == 1
+    got = vt.read_where(
+        spark, root, [("id", "between", (0, 100)), ("key", "==", "k-0050")]
+    )
+    assert [r.id for r in got.collect()] == [50]
+
+
+def test_declarations_survive_dirless_delete(spark, tmp_path):
+    """A zero-survivor delete must not silently drop the stats/bloom
+    declarations from the inheritance chain (entries[-1])."""
+    root = tmp_path / "tbl"
+    vt.append(
+        root, _docs(spark, 0, 100), num_files=1,
+        stats_columns=["v"], bloom_columns=["doc_id"],
+    )
+    vt.delete_where_pruned(spark, root, [("v", "<", 1000)])  # wipes all
+    assert vt.history(root)[-1]["dir"] is None
+    assert vt.history(root)[-1]["stats_columns"] == ["v"]
+    assert vt.history(root)[-1]["bloom_columns"] == ["doc_id"]
+    vt.append(root, _docs(spark, 100, 200), num_files=1)
+    entry = vt.history(root)[-1]
+    assert entry.get("stats") and entry.get("blooms")  # inherited
+
+
+def test_bloom_validation(spark, tmp_path):
+    root = tmp_path / "tbl"
+    df = spark.range(5).select(
+        "id", (F.col("id") * 0.5).alias("f"), (F.col("id") % 2).alias("p")
+    )
+    with pytest.raises(ValueError, match="cast-stable"):
+        vt.append(root, df, bloom_columns=["f"])  # double: refused
+    with pytest.raises(ValueError, match="not in commit schema"):
+        vt.append(root, df, bloom_columns=["nope"])
+    with pytest.raises(ValueError, match="partition column"):
+        vt.append(root, df, partition_by=["p"], bloom_columns=["p"])
+
+
+def test_null_only_files_prune_for_equality(spark, tmp_path):
+    root = tmp_path / "tbl"
+    vt.append(
+        root,
+        spark.createDataFrame([(None, 1), (None, 2)], "key string, v long"),
+        num_files=1, bloom_columns=["key"],
+    )
+    vt.append(
+        root,
+        spark.createDataFrame([("a", 3)], "key string, v long"),
+        num_files=1,
+    )
+    rep = vt.zone_map_prune(root, [("key", "==", "a")])
+    # the all-NULL file is provably clean for equality
+    assert rep["skipped_files"] == 1 and rep["kept_files"] == 1
+    got = vt.read_where(spark, root, [("key", "==", "a")])
+    assert [(r.key, r.v) for r in got.collect()] == [("a", 3)]
