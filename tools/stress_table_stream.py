@@ -55,11 +55,16 @@ def main() -> int:
         for c in range(commits):
             df = spark.range(c * per, (c + 1) * per).select(
                 F.col("id"),
+                F.format_string("doc-%012d", F.col("id")).alias("doc_id"),
                 (F.col("id") * 7 % 1000).alias("v"),
                 F.sha1(F.col("id").cast("string")).alias("payload"),
             ).repartitionByRange(files_per_commit, "id")
             vt.append(root, df, stats_columns=["id"],
+                      bloom_columns=["doc_id"], bloom_bits=1 << 20,
                       change_feed=(c == 0))
+            # ~31k distinct values/file and a MULTI-key probe: size the
+            # bloom so FPR x keys x files << 1 (1 Mi bits -> ~1.6e-4
+            # per probe; the default 64 Ki saturates at this density)
         out["build_s"] = round(time.time() - t0, 2)
         n_files = commits * files_per_commit
         table_bytes = sum(
@@ -73,7 +78,8 @@ def main() -> int:
         step = rows // k
         keys = [i * step + step // 2 for i in range(k)]
         ups = spark.createDataFrame(
-            [(x, -1, "upd") for x in keys], "id long, v long, payload string"
+            [(x, f"doc-{x:012d}", -1, "upd") for x in keys],
+            "id long, doc_id string, v long, payload string",
         )
         t0 = time.time()
         st = vt.upsert_pruned(spark, root, ups, ["id"])
@@ -92,6 +98,21 @@ def main() -> int:
             ok = False
             out["fail"] = "merge changed row count"
 
+        # --- STRING-key merge: blooms prune where zone maps can't ----
+        # keyed on the STRING column only: no integer range available
+        ups2 = spark.createDataFrame(
+            [(x + 1, f"doc-{x + 1:012d}", -2, "upd2") for x in keys],
+            "id long, doc_id string, v long, payload string",
+        )
+        t0 = time.time()
+        st2 = vt.upsert_pruned(spark, root, ups2, ["doc_id"])
+        out["bloom_merge_s"] = round(time.time() - t0, 2)
+        out["bloom_merge_rewritten"] = st2["rewritten_files"]
+        out["bloom_merge_carried"] = st2["carried_files"]
+        if st2["rewritten_files"] > len(keys) + 2 or st2["replaced_rows"] != k:
+            ok = False
+            out["fail"] = "string-key bloom merge did not prune"
+
         # --- change data is O(changed rows) --------------------------
         cdf_bytes = sum(
             f.stat().st_size for f in Path(root, "_cdf").rglob("*.parquet")
@@ -103,9 +124,9 @@ def main() -> int:
             ok = False
             out["fail"] = "cdf not O(changed rows)"
         feed_n = vt.read_change_feed(spark, root, commits - 1).count()
-        if feed_n != 2 * k:  # k deletes + k inserts
+        if feed_n != 4 * k:  # 2 merges x (k deletes + k inserts)
             ok = False
-            out["fail"] = f"cdf feed rows {feed_n} != {2 * k}"
+            out["fail"] = f"cdf feed rows {feed_n} != {4 * k}"
 
         # --- streaming drain: exactly the snapshot, once -------------
         sink, ckpt = f"{work}/sink", f"{work}/ck"
