@@ -211,3 +211,17 @@ def test_null_only_files_prune_for_equality(spark, tmp_path):
     assert rep["skipped_files"] == 1 and rep["kept_files"] == 1
     got = vt.read_where(spark, root, [("key", "==", "a")])
     assert [(r.key, r.v) for r in got.collect()] == [("a", 3)]
+
+
+def test_cli_append_bloom_columns(capsys, spark, tmp_path):
+    from dataset_dedupe_estimator_spark.cli import main
+
+    src = str(tmp_path / "src.parquet")
+    _docs(spark, 0, 100).coalesce(1).write.parquet(src)
+    root = str(tmp_path / "vt")
+    assert main([
+        "table", "append", root, src, "--bloom-columns", "doc_id",
+    ]) == 0
+    assert "blooms on ['doc_id']" in capsys.readouterr().out
+    entry = vt.history(root)[-1]
+    assert entry["bloom_columns"] == ["doc_id"] and entry.get("blooms")

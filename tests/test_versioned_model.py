@@ -75,3 +75,116 @@ def test_random_histories_time_travel_exactly(spark, tmp_path_factory, ops):
             (r.k, r.v) for r in vt.read_version(spark, root, version).collect()
         )
         assert got == expect, f"version {version}: {got} != {expect}"
+
+
+# --- r7 surface: PRUNED mutations + compaction under random histories --------
+#
+# Same linearizability contract, now over the zone-map/bloom-bounded
+# paths: delete_where_pruned / upsert_pruned / compact_small against a
+# table whose first commit declares stats+bloom columns on k, so every
+# op exercises pruning, file carrying, and removed-masks — and a
+# "nothing to touch" no-commit from the pruning metadata is asserted to
+# imply the model also had nothing to touch (conservativeness).
+
+_OP_PRUNED = st.one_of(
+    st.tuples(st.just("append"), _ROWS.filter(len)),
+    st.tuples(st.just("overwrite"), _ROWS.filter(len)),
+    st.tuples(st.just("upsert_pruned"), _ROWS.filter(len)),
+    st.tuples(st.just("delete_eq"), _KEYS),
+    st.tuples(st.just("delete_band"), st.tuples(_KEYS, _KEYS)),
+    st.tuples(st.just("compact"), st.none()),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_OP_PRUNED, min_size=1, max_size=6))
+def test_pruned_mutations_time_travel_exactly(spark, tmp_path_factory, ops):
+    root = tmp_path_factory.mktemp("vtm2") / "tbl"
+    live: list[tuple[int, int]] = []
+    snapshots: list[list[tuple[int, int]]] = []
+
+    def _first_append(rows):
+        vt.append(
+            root, _df(spark, rows), num_files=1,
+            stats_columns=["k"], bloom_columns=["k"], bloom_bits=4096,
+        )
+
+    for kind, arg in ops:
+        if kind == "append":
+            if not snapshots:
+                _first_append(arg)
+            else:
+                vt.append(root, _df(spark, arg), num_files=1)
+            live = live + sorted(arg.items())
+        elif kind == "overwrite":
+            if not snapshots:
+                _first_append(arg)
+            else:
+                vt.overwrite(root, _df(spark, arg), num_files=1)
+            live = sorted(arg.items())
+        elif kind == "upsert_pruned":
+            if not snapshots:
+                _first_append(arg)
+                live = sorted(arg.items())
+            else:
+                vt.upsert_pruned(spark, root, _df(spark, arg), ["k"])
+                live = sorted(
+                    [(k, v) for k, v in live if k not in arg]
+                    + list(arg.items())
+                )
+        elif kind == "delete_eq":
+            if not snapshots:
+                continue
+            stt = vt.delete_where_pruned(spark, root, [("k", "==", arg)])
+            want_gone = [(k, v) for k, v in live if k == arg]
+            if not stt["committed"]:
+                # pruning said "no file can hold it": the model must
+                # agree nothing matched (conservativeness)
+                assert not want_gone
+                continue
+            live = [(k, v) for k, v in live if k != arg]
+        elif kind == "delete_band":
+            if not snapshots:
+                continue
+            lo, hi = sorted(arg)
+            stt = vt.delete_where_pruned(
+                spark, root, [("k", "between", (lo, hi))]
+            )
+            if not stt["committed"]:
+                assert not [(k, v) for k, v in live if lo <= k <= hi]
+                continue
+            live = [(k, v) for k, v in live if not (lo <= k <= hi)]
+        elif kind == "compact":
+            if not snapshots:
+                continue
+            stt = vt.compact_small(spark, root)
+            if not stt["committed"]:
+                continue
+            # rows identical by contract
+        snapshots.append(sorted(live))
+
+    assert len(vt.history(root)) == len(snapshots)
+    for version, expect in enumerate(snapshots):
+        got = sorted(
+            (r.k, r.v)
+            for r in vt.read_version(spark, root, version).collect()
+        )
+        assert got == expect, f"version {version}: {got} != {expect}"
+    if snapshots:
+        # bloom/zone-map pruned point reads agree with the model on the
+        # final snapshot for EVERY key in the domain (tables are
+        # multisets: compare row lists, not last-write-wins dicts)
+        for key in range(10):
+            got = sorted(
+                (r.k, r.v)
+                for r in vt.read_where(
+                    spark, root, [("k", "==", key)]
+                ).collect()
+            )
+            assert got == sorted(
+                (k, v) for k, v in snapshots[-1] if k == key
+            ), f"pruned point read for k={key}"
