@@ -1206,6 +1206,13 @@ def cmd_table(args) -> int:
                 return None
             col, op, raw = parts
             vals = [_parse_value(v) for v in raw.split(",")]
+            if op == "in":
+                if not vals:
+                    print(f"--where {s!r}: op 'in' needs >=1 value",
+                          file=sys.stderr)
+                    return None
+                preds.append((col, op, tuple(vals)))
+                continue
             want = 2 if op == "between" else 1
             if len(vals) != want:
                 print(

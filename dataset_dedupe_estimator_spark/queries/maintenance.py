@@ -663,11 +663,11 @@ def table_bloom_read(spark, sf):
     because parquet may truncate their min/max).
 
     Builds a versioned table from orders with a synthesized string key
-    (two commits, ``bloom_columns=["o_key"]``), then answers three
-    point lookups through ``read_where``: each equality probe consults
+    (two commits, ``bloom_columns=["o_key"]``), then answers a
+    three-key IN lookup through ONE ``read_where``: the probe consults
     the per-file bitmaps driver-side (md5 positions derived identically
     JVM-side at build and pure-Python at read — zero data bytes for the
-    decision) and scans only files that may hold the key. The oracle
+    decision) and scans only files that may hold SOME key. The oracle
     recomputes the same rows from orders, so a bloom that pruned a file
     it needed — a false NEGATIVE, the one failure a Bloom filter must
     never have — hash-mismatches. Eager by construction; result
@@ -690,12 +690,10 @@ def table_bloom_read(spark, sf):
             bloom_columns=["o_key"],
         )
         vt.append(root, orders.filter(F.col("o_custkey") % 2 == 1).repartition(4))
-        got = None
-        for k in _BLOOM_KEYS:
-            part = vt.read_where(
-                spark, root, [("o_key", "==", f"key-{k:08d}")]
-            )
-            got = part if got is None else got.unionByName(part)
+        got = vt.read_where(
+            spark, root,
+            [("o_key", "in", [f"key-{k:08d}" for k in _BLOOM_KEYS])],
+        )
         out = got.orderBy("o_key").select("o_key", "o_custkey", "price_cents")
         return out.localCheckpoint(eager=True)
     finally:

@@ -758,7 +758,7 @@ def read_version(
     return _backfill(df)
 
 
-_PRUNE_OPS = {"==", "<", "<=", ">", ">=", "between"}
+_PRUNE_OPS = {"==", "<", "<=", ">", ">=", "between", "in"}
 
 
 def _typed_lit(df, col, value):
@@ -794,6 +794,8 @@ def _predicate_cond(df, predicates):
             term = (c >= _typed_lit(df, col, value[0])) & (
                 c <= _typed_lit(df, col, value[1])
             )
+        elif op == "in":
+            term = c.isin(*[_typed_lit(df, col, v) for v in value])
         else:
             v = _typed_lit(df, col, value)
             term = {
@@ -811,6 +813,8 @@ def _range_may_match(lo, hi, op: str, value) -> bool:
     exclude them and every supported operator is null-rejecting."""
     if op == "==":
         return lo <= value <= hi
+    if op == "in":
+        return any(lo <= v <= hi for v in value)
     if op == "<":
         return lo < value
     if op == "<=":
@@ -829,8 +833,10 @@ def zone_map_prune(
     version: int | None = None,
 ) -> dict:
     """Evaluate a conjunction of ``(column, op, value)`` predicates
-    (``op`` in ``==/</<=/>/>=/between``; ``between`` takes an inclusive
-    ``(lo, hi)`` pair) against the per-file zone maps recorded in the
+    (``op`` in ``==/</<=/>/>=/between/in``; ``between`` takes an
+    inclusive ``(lo, hi)`` pair, ``in`` a value collection) against the
+    per-file zone maps — and, for ``==``/``in``, the per-file Bloom
+    bitmaps — recorded in the
     commit log, WITHOUT touching any data file. Returns::
 
         {"files": [abs paths to scan], "dirs": [no-stats dirs to scan],
@@ -866,11 +872,12 @@ def zone_map_prune(
         bloom_cols = set(entry.get("bloom_columns") or [])
         blooms = entry.get("blooms") or {}
         # equality predicates this entry's blooms can answer (blooms
-        # cover strings, which zone maps refuse)
+        # cover strings, which zone maps refuse); IN is a value set —
+        # the file may match if ANY member may be present
         eq = [
-            (col, value)
+            (col, [value] if op == "==" else list(value))
             for col, op, value in predicates
-            if op == "==" and col in bloom_cols
+            if op in ("==", "in") and col in bloom_cols
         ]
         if stats is None and not eq:
             # masked files are not live — list the survivors explicitly
@@ -905,6 +912,10 @@ def zone_map_prune(
                     _encode_pred_value(value[0], kind),
                     _encode_pred_value(value[1], kind),
                 )))
+            elif op == "in":
+                enc.append((col, op, [
+                    _encode_pred_value(v, kind) for v in value
+                ]))
             else:
                 enc.append((col, op, _encode_pred_value(value, kind)))
         # file universe: stats keys when recorded, else the dir listing
@@ -928,19 +939,24 @@ def zone_map_prune(
                     keep = False
                     break
             if keep:
-                for col, value in eq:
+                for col, values in eq:
                     b = blooms.get(rel, {}).get(col)
                     if b is None:
                         # bloom was computed for this commit and the file
                         # has NO non-null value of col: provable miss
                         keep = False
                         break
-                    ck = (col, str(value), b["bits"])
-                    pos = bloom_pos_cache.get(ck)
-                    if pos is None:
-                        pos = _bloom_positions_py(value, b["bits"])
-                        bloom_pos_cache[ck] = pos
-                    if not _bloom_may_contain(b, pos):
+                    hit = False
+                    for value in values:
+                        ck = (col, str(value), b["bits"])
+                        pos = bloom_pos_cache.get(ck)
+                        if pos is None:
+                            pos = _bloom_positions_py(value, b["bits"])
+                            bloom_pos_cache[ck] = pos
+                        if _bloom_may_contain(b, pos):
+                            hit = True
+                            break
+                    if not hit:
                         keep = False
                         break
             if keep:

@@ -225,3 +225,51 @@ def test_cli_append_bloom_columns(capsys, spark, tmp_path):
     assert "blooms on ['doc_id']" in capsys.readouterr().out
     entry = vt.history(root)[-1]
     assert entry["bloom_columns"] == ["doc_id"] and entry.get("blooms")
+
+
+def test_in_predicate_blooms_and_reads(spark, bloomed):
+    """IN over a bloom column: a file survives iff ANY member may be
+    present; the residual filter returns exactly the members' rows."""
+    keys = ["doc-00000042", "doc-00001500", "nope"]
+    rep = vt.zone_map_prune(bloomed, [("doc_id", "in", keys)])
+    assert rep["kept_files"] <= 3  # two real files + FP slack
+    got = sorted(
+        (r.doc_id, r.v)
+        for r in vt.read_where(
+            spark, bloomed, [("doc_id", "in", keys)]
+        ).collect()
+    )
+    assert got == [("doc-00000042", 126), ("doc-00001500", 4500)]
+
+
+def test_in_predicate_zone_maps_numeric(spark, tmp_path):
+    root = tmp_path / "tbl"
+    vt.append(
+        root,
+        spark.range(0, 1000).select("id", (F.col("id") * 2).alias("v"))
+        .repartitionByRange(4, "id"),
+        stats_columns=["id"],
+    )
+    rep = vt.zone_map_prune(root, [("id", "in", [5, 7])])
+    assert rep["kept_files"] == 1  # both ids in the first range file
+    got = vt.read_where(spark, root, [("id", "in", [5, 7, 5000])])
+    assert sorted(r.id for r in got.collect()) == [5, 7]
+    # delete by IN rides the same language
+    st = vt.delete_where_pruned(spark, root, [("id", "in", [5, 7])])
+    assert st["committed"] and st["deleted_rows"] == 2
+    assert st["rewritten_files"] == 1 and st["carried_files"] == 3
+    assert vt.read_version(spark, root).count() == 998
+
+
+def test_cli_where_in(capsys, spark, tmp_path):
+    from dataset_dedupe_estimator_spark.cli import main
+
+    src = str(tmp_path / "src.parquet")
+    spark.range(100).select("id", (F.col("id") * 2).alias("v")).coalesce(
+        1
+    ).write.parquet(src)
+    root = str(tmp_path / "vt")
+    assert main(["table", "append", root, src, "--stats-columns", "id"]) == 0
+    capsys.readouterr()
+    assert main(["table", "read", root, "--where", "id:in:3,5,7"]) == 0
+    assert "rows=3" in capsys.readouterr().out
