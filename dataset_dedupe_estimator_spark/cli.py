@@ -1827,7 +1827,7 @@ def build_parser() -> argparse.ArgumentParser:
         action="append",
         default=[],
         metavar="COL:OP:VALUE",
-        help="read predicate, e.g. o_orderkey:between:100,200 or price:>=:5 "
+        help="read predicate, e.g. o_orderkey:between:100,200, price:>=:5, or k:in:a,b,c "
         "(repeatable; conjunction; zone maps skip provably-missed files)",
     )
     tb.add_argument(
