@@ -273,3 +273,92 @@ def test_cli_where_in(capsys, spark, tmp_path):
     capsys.readouterr()
     assert main(["table", "read", root, "--where", "id:in:3,5,7"]) == 0
     assert "rows=3" in capsys.readouterr().out
+
+
+def test_in_and_bloom_prune_property(spark, tmp_path):
+    """Property: for random IN value sets over a table carrying BOTH
+    zone maps (numeric) and blooms (string), read_where equals the
+    model filter exactly — pruning (range OR bloom, any-member
+    semantics) never drops a needed file for any random key mix of
+    present, absent, and out-of-range values."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    root = tmp_path / "pt"
+    df = spark.range(0, 600).select(
+        "id", F.format_string("doc-%05d", F.col("id")).alias("doc_id")
+    )
+    vt.append(root, df.repartitionByRange(6, "id"),
+              stats_columns=["id"], bloom_columns=["doc_id"])
+    present = set(range(600))
+
+    ids = st.lists(
+        st.integers(min_value=-100, max_value=900), min_size=1, max_size=6
+    )
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(vals=ids)
+    def check(vals):
+        # numeric IN via zone maps
+        got = {
+            r.id
+            for r in vt.read_where(
+                spark, root, [("id", "in", vals)]
+            ).collect()
+        }
+        assert got == (set(vals) & present)
+        # string IN via blooms (same value set rendered as keys)
+        keys = [f"doc-{v:05d}" for v in vals]
+        got2 = {
+            r.id
+            for r in vt.read_where(
+                spark, root, [("doc_id", "in", keys)]
+            ).collect()
+        }
+        assert got2 == (set(vals) & present)
+
+    check()
+
+
+def test_bloom_position_lockstep_property(spark):
+    """Property: JVM md5/conv positions equal the pure-Python positions
+    for arbitrary text (unicode, controls, long strings) and arbitrary
+    longs — the invariant the whole bloom design rests on."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    # surrogates can't round-trip through Spark; everything else may
+    texts = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=64
+    )
+    longs = st.integers(min_value=-(2**62), max_value=2**62)
+
+    @settings(
+        max_examples=30,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(s=texts, k=longs)
+    def check(s, k):
+        bits = 65_536
+        df = spark.createDataFrame([(s, k)], "s string, k long")
+        row = df.select(
+            *[
+                (
+                    F.conv(
+                        F.substring(F.md5(F.col(c).cast("string")), 1 + 8 * i, 8),
+                        16, 10,
+                    ).cast("long") % bits
+                ).alias(f"{c}{i}")
+                for c in ("s", "k")
+                for i in range(4)
+            ]
+        ).head()
+        assert [row[f"s{i}"] for i in range(4)] == vt._bloom_positions_py(s, bits)
+        assert [row[f"k{i}"] for i in range(4)] == vt._bloom_positions_py(k, bits)
+
+    check()
