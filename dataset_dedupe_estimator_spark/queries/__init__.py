@@ -46,12 +46,97 @@ for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthet
 # so rotation only affects which subset gets *driver-side* attestation,
 # never whether a regression is caught.
 #
-# Round-7 window (executes the rotation staged at r6 close, COVERAGE.md
-# ledger): the 20 never-driver-checked queries (16 round-5-added held in
-# the r6 _NEXT + the 4 round-6-added index/search entries) plus the 30
-# stalest round-4-green queries (registry-order tiebreak — all 50
-# r4-attested entries are equally stale).
+# Round-8 window (executes the rotation staged at r7 close, COVERAGE.md
+# ledger): the 20 round-4-green queries held in the r7 _NEXT, the 7
+# round-7-added never-driver-checked entries (deletion/table wave), and
+# the 23 stalest round-5-green queries (registry-order tiebreak — all 50
+# r5-attested entries are equally stale).
 _FRONT = [
+    "token_bpe_ish",
+    "rolling_hash_fingerprint",
+    "cdc_estimate",
+    "format_compare_demo",
+    "cdc_per_file_chunks",
+    "cdc_provenance",
+    "cdc_estimate_xet",
+    "cdc_approx_estimate",
+    "cdc_index_incremental",
+    "doc_chunk_windows",
+    "pii_scan",
+    "charlm_familiarity",
+    "ngram_novelty",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q16_supplier_diversity",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "bm25_delete_search",
+    "table_delete_where",
+    "table_upsert_merge",
+    "table_stream_read",
+    "table_compact_read",
+    "table_cdf_read",
+    "table_bloom_read",
+    "temporal_dim_join",
+    "orders_rfm_segments",
+    "basket_part_pairs",
+    "cohort_ltv",
+    "conditional_pivot_brands",
+    "rolling_active_users",
+    "events_late_arrivals",
+    "events_user_lifecycle",
+    "events_markov_transitions",
+    "session_top_paths",
+    "events_funnel_ttc",
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_sessionize",
+    "dup_cluster_sizes",
+    "simhash_candidates",
+    "kmv_sketches",
+    "cms_token_counts",
+    "bpe_pair_frequencies",
+    "vocab_coverage_score",
+    "effective_token_budget",
+    "source_token_stats",
+    "pq_codes",
+]
+# overflow: the 27 remaining round-5-green queries — first in line for
+# round 9's window (locally re-verified every round)
+_NEXT = [
+    "ivfpq_search",
+    "synthetic_delete_rows",
+    "synthetic_insert_rows",
+    "synthetic_update_rows",
+    "synthetic_update_column",
+    "synthetic_append_rows",
+    "streaming_windowed_counts",
+    "streaming_sessionize_events",
+    "salted_agg_lineitem",
+    "merge_upsert_orders",
+    "cdc_upload_delta",
+    "dedup_keep_first_pruned",
+    "dedup_spans",
+    "mixture_sample",
+    "sequence_pack",
+    "quality_classifier",
+    "source_drift_tvd",
+    "unigram_surprisal",
+    "tfidf_top_terms",
+    "bloom_incremental_dedup",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q22_idle_customers",
+]
+# most recent driver green: CORRECTNESS_r07 (50/50 green — 43 oracle,
+# 7 rows-only by design)
+_TAIL = [
     "customer_hierarchy_rollup",
     "supplier_pagerank",
     "user_value_twap",
@@ -102,84 +187,6 @@ _FRONT = [
     "profile_documents",
     "date_part_revenue",
     "quantity_percentiles",
-]
-# overflow: the 20 remaining round-4-green queries — first in line for
-# round 8's window (locally re-verified every round)
-_NEXT = [
-    "token_bpe_ish",
-    "rolling_hash_fingerprint",
-    "cdc_estimate",
-    "format_compare_demo",
-    "cdc_per_file_chunks",
-    "cdc_provenance",
-    "cdc_estimate_xet",
-    "cdc_approx_estimate",
-    "cdc_index_incremental",
-    "doc_chunk_windows",
-    "pii_scan",
-    "charlm_familiarity",
-    "ngram_novelty",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_parts",
-    "q12_late_shipment_priority",
-    "q16_supplier_diversity",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-]
-# most recent driver green: CORRECTNESS_r06 (50/50 green — 49 oracle,
-# 1 rows-only by design)
-_TAIL = [
-    "bm25_search",
-    "table_time_travel",
-    "zorder_layout",
-    "dedup_substring_spans",
-    "semdedup_clusters",
-    "streaming_cms_counts",
-    "grouping_sets_revenue",
-    "trailing_window_revenue",
-    "cdc_dedup_trend",
-    "source_overlap_minhash",
-    "q8_market_share",
-    "q14_promo_revenue",
-    "q19_disjunctive_revenue",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "semi_anti_customers",
-    "dedup_keep_first",
-    "ngram_jaccard_pairs",
-    "minhash_signatures",
-    "minhash_lsh_candidates",
-    "simhash_signatures",
-    "knn_brute_force",
-    "ann_lsh_bucketed",
-    "ann_ivf_probe",
-    "embedding_dedup_pairs",
-    "embedding_dedup_lsh",
-    "label_centroid_spread",
-    "set_ops_parts",
-    "window_running_spend",
-    "rollup_order_status",
-    "cube_order_stats",
-    "events_hourly",
-    "events_daily_users",
-    "q4_order_priority",
-    "top_spenders",
-    "asof_prev_order",
-    "unpivot_part_metrics",
-    "range_join_price_bands",
-    "synthetic_generate_table",
-    "q6_revenue_forecast",
-    "events_json_extract",
-    "window_top_orders_per_customer",
-    "lang_score",
-    "token_frequencies",
-    "binary_digest_features",
-    "text_quality",
-    "dedup_exact_groups",
-    "dedup_fingerprint_groups",
-    "dedup_exact_events",
 ]
 _missing = (set(_FRONT) | set(_NEXT) | set(_TAIL)) - REGISTRY.keys()
 if _missing:
