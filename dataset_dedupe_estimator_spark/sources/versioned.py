@@ -55,6 +55,7 @@ from dataset_dedupe_estimator_spark.plans._index_lock import writer_lock
 _VLOG = "_vlog"
 _DATA = "data"
 _CDF = "_cdf"  # per-commit change-data files (row-level CDC at rest)
+_BLOOMS = "_blooms"  # per-commit bloom-bitmap parquet sidecars
 
 
 def _cf_active(live_entries: list[dict]) -> bool:
@@ -293,10 +294,42 @@ def _bloom_positions_py(value, bits: int) -> list[int]:
     ]
 
 
+_BLOOM_INT_DTYPES = {"bigint", "int", "smallint", "tinyint"}
+
+
+def _bloom_probe_value(value, dtype: str | None):
+    """Normalize a probe literal into the column's string-cast space
+    (the build hashes ``CAST(col AS STRING)``), or return None when the
+    literal's type can't be brought there EXACTLY — callers must then
+    SKIP bloom pruning for that value (keep the file): a mis-typed
+    literal (``3.0`` or ``True`` probing a bigint column would hash
+    ``"3.0"``/``"True"`` while the build hashed ``"3"``/``"1"``) must
+    degrade to a scan, never become a false-negative prune. ``dtype``
+    is the column dtype recorded at build time (``bloom_types``); a
+    legacy entry without it only trusts same-type probes."""
+    if dtype is None:
+        if isinstance(value, bool):
+            return None
+        return value if isinstance(value, (str, int)) else None
+    if dtype == "string":
+        return value if isinstance(value, str) else None
+    if dtype in _BLOOM_INT_DTYPES:
+        if isinstance(value, bool):
+            return int(value)  # Spark compares BOOLEAN to ints numerically
+        if isinstance(value, int):
+            return value
+        if isinstance(value, float) and value.is_integer():
+            return int(value)
+        return None
+    return None
+
+
 def _bloom_may_contain(bloom: dict, positions: list[int]) -> bool:
     import base64
 
-    data = base64.b64decode(bloom["b64"])
+    data = bloom.get("raw")
+    if data is None:
+        data = base64.b64decode(bloom["b64"])
     for p in positions:
         lane, bit = divmod(p, 64)
         word = int.from_bytes(data[8 * lane : 8 * lane + 8], "little")
@@ -353,6 +386,8 @@ def _collect_file_blooms(
         .agg(F.bit_or("_bit").alias("_m"))
         .collect()
     )
+    import urllib.parse
+
     base = str(data_dir)
     maps: dict[tuple, bytearray] = {}
     n_lanes = bits // 64
@@ -360,6 +395,13 @@ def _collect_file_blooms(
         f = r._f
         if f.startswith("file:"):
             f = f[len("file:"):]
+        # input_file_name() is a URI: percent-decode it so the key
+        # matches the FILESYSTEM listing that stats, removed-masks and
+        # readers use (a partition value with a space/%/non-ASCII char
+        # would otherwise record 'region=North%20America/...' here and
+        # 'region=North America/...' everywhere else — and the missing
+        # bloom reads as a provable miss, silently pruning a live file)
+        f = urllib.parse.unquote(f)
         rel = str(Path(f).relative_to(base))
         buf = maps.setdefault((rel, r._c), bytearray(8 * n_lanes))
         word = int(r._m) & 0xFFFFFFFFFFFFFFFF
@@ -373,6 +415,76 @@ def _collect_file_blooms(
             "k": _BLOOM_K,
             "b64": base64.b64encode(bytes(buf)).decode(),
         }
+    return out
+
+
+def _write_bloom_sidecar(root: Path, dir_name: str, blooms: dict) -> str:
+    """Write a commit's per-file bloom bitmaps to a parquet SIDECAR
+    (``_blooms/<dir>.parquet``, one row per (file, column)) and return
+    its relative name for the log entry's ``blooms_file`` pointer.
+    Bitmaps must never ride the JSON log entry itself: at 64 Ki bits
+    they are ~10.7 KB of base64 per file per column, and every table
+    operation parses the log — inlining them makes the METADATA path
+    O(history x files x bits), the one scale-killer the data path
+    doesn't have. The sidecar is written before the commit link
+    (file-first/commit-second — a crash leaves an orphan for vacuum)
+    and loaded lazily, only when an equality/IN probe or a key-bounded
+    merge actually touches a bloom column."""
+    import base64
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        (rel, col, b["bits"], b["k"], base64.b64decode(b["b64"]))
+        for rel, per_col in sorted(blooms.items())
+        for col, b in sorted(per_col.items())
+    ]
+    table = pa.table(
+        {
+            "file": pa.array([r[0] for r in rows], pa.string()),
+            "col": pa.array([r[1] for r in rows], pa.string()),
+            "bits": pa.array([r[2] for r in rows], pa.int64()),
+            "k": pa.array([r[3] for r in rows], pa.int64()),
+            "bitmap": pa.array([r[4] for r in rows], pa.binary()),
+        }
+    )
+    side = root / _BLOOMS
+    side.mkdir(parents=True, exist_ok=True)
+    name = f"{dir_name}.parquet"
+    pq.write_table(table, str(side / name))
+    return name
+
+
+def _entry_blooms(root: Path, entry: dict) -> dict | None:
+    """The per-file bloom bitmaps for a commit entry: the parquet
+    sidecar named by ``blooms_file`` (normal), or the legacy inlined
+    ``blooms`` dict (pre-sidecar tables keep reading). Returns None
+    when the entry declares bloom columns but the payload is
+    UNAVAILABLE (sidecar vacuumed/lost) — callers must then disable
+    bloom pruning for this commit entirely: an absent per-file bitmap
+    normally means "no non-null value in this file" (a provable miss),
+    so an empty dict here would wrongly prune every file."""
+    if "blooms" in entry:
+        return entry["blooms"] or {}
+    ref = entry.get("blooms_file")
+    if not ref:
+        return None
+    path = root / _BLOOMS / ref
+    if not path.is_file():
+        return None
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(str(path))
+    out: dict = {}
+    for rel, col, bits, k, raw in zip(
+        table["file"].to_pylist(),
+        table["col"].to_pylist(),
+        table["bits"].to_pylist(),
+        table["k"].to_pylist(),
+        table["bitmap"].to_pylist(),
+    ):
+        out.setdefault(rel, {})[col] = {"bits": bits, "k": k, "raw": raw}
     return out
 
 
@@ -530,8 +642,12 @@ def _commit_locked(
     if bloom_columns:
         entry["bloom_columns"] = bloom_columns
         entry["bloom_bits"] = bloom_bits
-        entry["blooms"] = _collect_file_blooms(
-            df.sparkSession, data_dir, bloom_columns, bloom_bits
+        dtypes = dict(df.dtypes)
+        entry["bloom_types"] = {c: dtypes[c] for c in bloom_columns}
+        entry["blooms_file"] = _write_bloom_sidecar(
+            root, entry["dir"], _collect_file_blooms(
+                df.sparkSession, data_dir, bloom_columns, bloom_bits
+            ),
         )
     if widened:
         entry["added_columns"] = sorted(widened)
@@ -870,15 +986,25 @@ def zone_map_prune(
         masked = masks.get(Path(d).name, set())
         stats = entry.get("stats")
         bloom_cols = set(entry.get("bloom_columns") or [])
-        blooms = entry.get("blooms") or {}
+        btypes = entry.get("bloom_types") or {}
         # equality predicates this entry's blooms can answer (blooms
         # cover strings, which zone maps refuse); IN is a value set —
-        # the file may match if ANY member may be present
-        eq = [
-            (col, [value] if op == "==" else list(value))
-            for col, op, value in predicates
-            if op in ("==", "in") and col in bloom_cols
-        ]
+        # the file may match if ANY member may be present. Probe
+        # values are normalized to the column's recorded dtype; a
+        # value that can't be normalized exactly COULD be present
+        # (hash space mismatch), so its whole column probe is dropped
+        # for this entry — degrade to scan, never a wrong prune.
+        eq = []
+        for col, op, value in predicates:
+            if op not in ("==", "in") or col not in bloom_cols:
+                continue
+            vals = [value] if op == "==" else list(value)
+            norm = [_bloom_probe_value(v, btypes.get(col)) for v in vals]
+            if all(v is not None for v in norm):
+                eq.append((col, norm))
+        blooms = _entry_blooms(root, entry) if eq else None
+        if blooms is None:
+            eq = []  # sidecar unavailable: bloom pruning off here
         if stats is None and not eq:
             # masked files are not live — list the survivors explicitly
             # (a fully-unmasked no-stats dir stays a whole-dir scan)
@@ -1318,15 +1444,23 @@ def upsert_pruned(
         # capped; above the cap string keys simply don't prune (range
         # stats still apply to numeric ones)
         bloom_probe = exact and len(key_rows) <= 10_000
-        bpos_cache: dict[tuple, list[list[int]]] = {}
+        bpos_cache: dict[tuple, list | None] = {}
 
-        def _key_positions(col: str, bits: int) -> list[list[int]]:
-            ck = (col, bits)
+        def _key_positions(col: str, bits: int, dtype) -> list | None:
+            """Bit positions per update key, normalized to the entry's
+            recorded column dtype; None when SOME key can't be brought
+            into the bloom's hash space exactly — that key may then be
+            anywhere, so the column probe can't prune at all."""
+            ck = (col, bits, dtype)
             if ck not in bpos_cache:
-                bpos_cache[ck] = [
-                    _bloom_positions_py(v, bits)
-                    for v in key_vals.get(col, [])
-                ]
+                pos: list | None = []
+                for v in key_vals.get(col, []):
+                    nv = _bloom_probe_value(v, dtype)
+                    if nv is None:
+                        pos = None
+                        break
+                    pos.append(_bloom_positions_py(nv, bits))
+                bpos_cache[ck] = pos
             return bpos_cache[ck]
 
         cand_files: list[str] = []
@@ -1336,8 +1470,11 @@ def upsert_pruned(
             masked = masks.get(Path(d).name, set())
             stats = entry.get("stats")
             bloom_cols = set(entry.get("bloom_columns") or [])
-            blooms = entry.get("blooms") or {}
+            btypes = entry.get("bloom_types") or {}
             use_blooms = bloom_probe and bool(bloom_cols & set(key_cols))
+            blooms = _entry_blooms(root, entry) if use_blooms else None
+            if blooms is None:  # sidecar unavailable: degrade to scan
+                use_blooms = False
             if stats is None and not use_blooms:
                 # no pruning metadata: every surviving file may match
                 if masked:
@@ -1374,9 +1511,9 @@ def upsert_pruned(
                         if b is None:  # no non-null value of c: no match
                             may = False
                             break
-                        if not any(
-                            _bloom_may_contain(b, pos)
-                            for pos in _key_positions(c, b["bits"])
+                        kpos = _key_positions(c, b["bits"], btypes.get(c))
+                        if kpos is not None and not any(
+                            _bloom_may_contain(b, pos) for pos in kpos
                         ):
                             may = False
                             break
@@ -1469,8 +1606,12 @@ def upsert_pruned(
         if bloom_columns:
             entry["bloom_columns"] = bloom_columns
             entry["bloom_bits"] = bloom_bits
-            entry["blooms"] = _collect_file_blooms(
-                spark, data_dir, bloom_columns, bloom_bits
+            dtypes = dict(out.dtypes)
+            entry["bloom_types"] = {c: dtypes[c] for c in bloom_columns}
+            entry["blooms_file"] = _write_bloom_sidecar(
+                root, dir_name, _collect_file_blooms(
+                    spark, data_dir, bloom_columns, bloom_bits
+                ),
             )
         if extra_entry:
             entry.update(extra_entry)
@@ -1644,8 +1785,12 @@ def delete_where_pruned(
             entry["bloom_columns"] = bloom_columns  # declaration always
             entry["bloom_bits"] = bloom_bits
             if has_rows:
-                entry["blooms"] = _collect_file_blooms(
-                    spark, data_dir, bloom_columns, bloom_bits
+                dtypes = dict(survivors.dtypes)
+                entry["bloom_types"] = {c: dtypes[c] for c in bloom_columns}
+                entry["blooms_file"] = _write_bloom_sidecar(
+                    root, dir_name, _collect_file_blooms(
+                        spark, data_dir, bloom_columns, bloom_bits
+                    ),
                 )
         _commit(root, entry)
     return {
@@ -1819,8 +1964,12 @@ def compact_small(
             entry["bloom_columns"] = bloom_columns  # declaration always
             entry["bloom_bits"] = bloom_bits
             if has_rows:
-                entry["blooms"] = _collect_file_blooms(
-                    spark, data_dir, bloom_columns, bloom_bits
+                dtypes = dict(src.dtypes)
+                entry["bloom_types"] = {c: dtypes[c] for c in bloom_columns}
+                entry["blooms_file"] = _write_bloom_sidecar(
+                    root, dir_name, _collect_file_blooms(
+                        spark, data_dir, bloom_columns, bloom_bits
+                    ),
                 )
         _commit(root, entry)
     return {
@@ -1877,6 +2026,19 @@ def vacuum(root: str | Path, keep_versions: int = 1) -> list[str]:
             if v < min_keep or v not in committed:
                 shutil.rmtree(d)
                 removed.append(f"{_CDF}/{d.name}")
+        # bloom sidecars live and die with their commit directory: once
+        # the data dir is unreachable (or was never committed — crash
+        # orphan) the bitmaps index nothing
+        side = root / _BLOOMS
+        for f in sorted(side.iterdir()) if side.is_dir() else []:
+            stem = f.name[: -len(".parquet")] if f.name.endswith(".parquet") else ""
+            try:
+                v = int(stem.lstrip("c"))
+            except ValueError:
+                continue
+            if stem not in reachable or v not in committed:
+                f.unlink()
+                removed.append(f"{_BLOOMS}/{f.name}")
         # a hard-killed writer can leave a *.tmp-<pid> staging file in the
         # log (the commit link never happened); they are invisible to
         # readers but worth reclaiming

@@ -130,7 +130,8 @@ def test_rewrite_commits_keep_blooms(spark, bloomed):
     st = vt.compact_small(spark, bloomed)
     assert st["committed"]
     entry = vt.history(bloomed)[-1]
-    assert entry["bloom_columns"] == ["doc_id"] and entry.get("blooms")
+    assert entry["bloom_columns"] == ["doc_id"] and entry.get("blooms_file")
+    assert vt._entry_blooms(bloomed, entry)  # sidecar present and readable
     rep = vt.zone_map_prune(bloomed, [("doc_id", "==", "doc-00000007")])
     assert rep["skipped_files"] >= 0  # still decidable post-compact
     got = vt.read_where(spark, bloomed, [("doc_id", "==", "doc-00000007")])
@@ -178,7 +179,7 @@ def test_declarations_survive_dirless_delete(spark, tmp_path):
     assert vt.history(root)[-1]["bloom_columns"] == ["doc_id"]
     vt.append(root, _docs(spark, 100, 200), num_files=1)
     entry = vt.history(root)[-1]
-    assert entry.get("stats") and entry.get("blooms")  # inherited
+    assert entry.get("stats") and entry.get("blooms_file")  # inherited
 
 
 def test_bloom_validation(spark, tmp_path):
@@ -224,7 +225,7 @@ def test_cli_append_bloom_columns(capsys, spark, tmp_path):
     ]) == 0
     assert "blooms on ['doc_id']" in capsys.readouterr().out
     entry = vt.history(root)[-1]
-    assert entry["bloom_columns"] == ["doc_id"] and entry.get("blooms")
+    assert entry["bloom_columns"] == ["doc_id"] and entry.get("blooms_file")
 
 
 def test_in_predicate_blooms_and_reads(spark, bloomed):
@@ -362,3 +363,135 @@ def test_bloom_position_lockstep_property(spark):
         assert [row[f"k{i}"] for i in range(4)] == vt._bloom_positions_py(k, bits)
 
     check()
+
+
+def test_partitioned_table_blooms_with_escapable_partition_value(spark, tmp_path):
+    """Blooms on a PARTITIONED table whose partition values need URI
+    escaping (space, %, non-ASCII): input_file_name() returns a
+    percent-encoded URI, while stats/masks/readers key files by the
+    filesystem listing — the keys must agree or a live file's missing
+    bloom reads as a provable miss and the file is silently pruned."""
+    root = tmp_path / "pt"
+    df = spark.createDataFrame(
+        [("doc-a", "North America", 1), ("doc-b", "50% off", 2),
+         ("doc-c", "Königsberg", 3), ("doc-d", "North America", 4)],
+        "doc_id string, region string, v long",
+    )
+    vt.append(root, df, num_files=1, partition_by=["region"],
+              bloom_columns=["doc_id"])
+    # every live row must stay reachable through a bloom-probed read
+    for doc, v in [("doc-a", 1), ("doc-b", 2), ("doc-c", 3), ("doc-d", 4)]:
+        got = vt.read_where(spark, root, [("doc_id", "==", doc)])
+        assert [(r.doc_id, r.v) for r in got.collect()] == [(doc, v)]
+    # bloom keys coincide with the stats/mask key space: a pruned
+    # DELETE against one partition's doc must remove exactly that row
+    vt.delete_where_pruned(spark, root, [("doc_id", "==", "doc-b")])
+    left = {r.doc_id for r in vt.read_version(spark, root).collect()}
+    assert left == {"doc-a", "doc-c", "doc-d"}
+    # absent key still prunes everything (zero files scanned)
+    rep = vt.zone_map_prune(root, [("doc_id", "==", "doc-zz")])
+    assert rep["kept_files"] == 0
+
+
+def test_mistyped_probe_literal_never_false_negative_prunes(spark, tmp_path):
+    """A probe literal whose Python type differs from the column (3.0
+    or True against a bigint column) must not hash into a different
+    string space and prune a live file: integral floats/bools are
+    normalized to the column dtype, non-normalizable literals skip
+    bloom pruning (keep the file) — results always equal the row
+    filter's."""
+    root = tmp_path / "ints"
+    df = spark.range(0, 10).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    vt.append(root, df, num_files=1, bloom_columns=["k"])
+    # float literal 3.0 equals bigint 3 in the row filter: the read
+    # must return the row, not bloom-prune the file hashing "3.0"
+    got = vt.read_where(spark, root, [("k", "==", 3.0)])
+    assert [r.v for r in got.collect()] == [6]
+    rep = vt.zone_map_prune(root, [("k", "==", 3.0)])
+    assert rep["kept_files"] == 1  # normalized probe still prunes-capable
+    # True normalizes to 1 in the zero-byte prune report (the row
+    # filter itself refuses BIGINT==BOOLEAN, so no read can go wrong)
+    rep = vt.zone_map_prune(root, [("k", "==", True)])
+    assert rep["kept_files"] == 1
+    # non-integral float can't match any bigint: empty, with or
+    # without pruning (keeping the file is fine; wrong rows are not)
+    got = vt.read_where(spark, root, [("k", "==", 3.5)])
+    assert got.count() == 0
+
+
+def test_mistyped_merge_keys_never_skip_live_files(spark, tmp_path):
+    """upsert_pruned with update keys arriving as DOUBLE against a
+    bigint-bloomed table: normalization (or conservative keep) must
+    rewrite the files that hold the matching integer keys."""
+    root = tmp_path / "m"
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+    )
+    vt.append(root, df, num_files=4, bloom_columns=["k"])
+    ups = spark.createDataFrame([(7.0, 1), (55.0, 1)], "k double, v long")
+    ups = ups.select(F.col("k").cast("long").alias("k"), "v")  # typed MERGE
+    st = vt.upsert_pruned(spark, root, ups, ["k"])
+    assert st["committed"] and st["rewritten_files"] >= 1
+    got = {r.k: r.v for r in vt.read_version(spark, root).collect()}
+    assert got[7] == 1 and got[55] == 1 and got[8] == 0
+
+
+def test_missing_sidecar_degrades_to_scan_never_wrong(spark, bloomed):
+    """A lost/vacuumed bloom sidecar must turn bloom pruning OFF for
+    that commit (an absent per-file bitmap normally proves a miss —
+    an empty fallback dict would prune every live file)."""
+    import shutil
+
+    shutil.rmtree(bloomed / "_blooms")
+    rep = vt.zone_map_prune(bloomed, [("doc_id", "==", "doc-00000042")])
+    assert rep["kept_files"] == rep["total_files"]  # no pruning, no loss
+    got = vt.read_where(spark, bloomed, [("doc_id", "==", "doc-00000042")])
+    assert [(r.doc_id, r.v) for r in got.collect()] == [("doc-00000042", 126)]
+    # merges likewise rewrite conservatively instead of skipping files
+    ups = spark.createDataFrame([("doc-00000042", -5)], "doc_id string, v long")
+    st = vt.upsert_pruned(spark, bloomed, ups, ["doc_id"])
+    assert st["committed"]
+    got = vt.read_where(spark, bloomed, [("doc_id", "==", "doc-00000042")])
+    assert [(r.doc_id, r.v) for r in got.collect()] == [("doc-00000042", -5)]
+
+
+def test_legacy_inline_blooms_still_read(spark, bloomed):
+    """Tables committed before the sidecar change carry base64 bitmaps
+    INLINE in the log entry — they must keep pruning identically."""
+    import base64
+    import json
+    from pathlib import Path
+
+    for f in sorted((bloomed / "_vlog").glob("v*.json")):
+        e = json.loads(f.read_text())
+        side = vt._entry_blooms(bloomed, e)
+        if not e.get("blooms_file"):
+            continue
+        e["blooms"] = {
+            rel: {
+                c: {"bits": b["bits"], "k": b["k"],
+                    "b64": base64.b64encode(b["raw"]).decode()}
+                for c, b in per.items()
+            }
+            for rel, per in side.items()
+        }
+        del e["blooms_file"]
+        e.pop("bloom_types", None)  # pre-r8 entries had no dtype record
+        f.unlink()
+        Path(f).write_text(json.dumps(e, sort_keys=True))
+    import shutil
+
+    shutil.rmtree(bloomed / "_blooms")
+    rep = vt.zone_map_prune(bloomed, [("doc_id", "==", "doc-00000042")])
+    assert rep["skipped_files"] >= 6
+    got = vt.read_where(spark, bloomed, [("doc_id", "==", "doc-00000042")])
+    assert [(r.doc_id, r.v) for r in got.collect()] == [("doc-00000042", 126)]
+
+
+def test_vacuum_retires_bloom_sidecars(spark, bloomed):
+    vt.optimize(spark, bloomed, num_files=1)
+    removed = vt.vacuum(bloomed)
+    gone = {r for r in removed if r.startswith("_blooms/")}
+    assert gone  # superseded commits' sidecars reclaimed
+    live = vt.history(bloomed)[-1]
+    assert (bloomed / "_blooms" / live["blooms_file"]).is_file()
