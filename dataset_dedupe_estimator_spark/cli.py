@@ -511,9 +511,14 @@ def cmd_compact(args) -> int:
 def _delete_keys(spark, args, key_col):
     """Keys for an index `delete` action: --ids "1,2,3" (ints where they
     parse, raw strings otherwise) or a positional parquet path of keys.
-    Returns a list/DataFrame for plans._tombstones.normalize_ids, or
-    None after printing a usage error."""
+    An index whose key column is a STRING of digits must pass
+    --string-ids (or the parquet form): the int guess would coerce
+    '0123' to 123, tombstone the wrong key, and report success while
+    suppressing nothing. Returns a list/DataFrame for
+    plans._tombstones.normalize_ids, or None after a usage error."""
     if getattr(args, "ids", None):
+        if getattr(args, "string_ids", False):
+            return args.ids.split(",")
         out = []
         for v in args.ids.split(","):
             try:
@@ -1701,6 +1706,11 @@ def build_parser() -> argparse.ArgumentParser:
     ix.add_argument("index_dir")
     ix.add_argument("files", nargs="*", help="snapshot files/globs (build/update) or a hash parquet (delete)")
     ix.add_argument("--ids", help="comma-separated chunk hashes to delete")
+    ix.add_argument(
+        "--string-ids", action="store_true",
+        help="keep --ids values as strings (digit-string keys like '0123' "
+        "would otherwise be int-coerced and tombstone the wrong key)",
+    )
     ix.set_defaults(fn=cmd_index)
 
     lx = sub.add_parser("lsh-index", help="persistent LSH near-dup document index")
@@ -1716,6 +1726,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     lx.add_argument("--pairs-out", help="parquet sink for candidate pairs")
     lx.add_argument("--ids", help="comma-separated doc ids to delete")
+    lx.add_argument(
+        "--string-ids", action="store_true",
+        help="keep --ids values as strings (digit-string keys like '0123' "
+        "would otherwise be int-coerced and tombstone the wrong key)",
+    )
     lx.add_argument("--checkpoint", help="stream checkpoint dir (stream)")
     lx.set_defaults(fn=cmd_lsh_index)
 
@@ -1735,6 +1750,11 @@ def build_parser() -> argparse.ArgumentParser:
     gx.add_argument("--k", type=int, default=8, help="gram width in tokens (build)")
     gx.add_argument("--spans-out", help="parquet sink for duplicate spans")
     gx.add_argument("--ids", help="comma-separated doc ids to delete")
+    gx.add_argument(
+        "--string-ids", action="store_true",
+        help="keep --ids values as strings (digit-string keys like '0123' "
+        "would otherwise be int-coerced and tombstone the wrong key)",
+    )
     gx.add_argument("--checkpoint", help="stream checkpoint dir (stream)")
     gx.set_defaults(fn=cmd_gram_index)
 
@@ -1747,6 +1767,11 @@ def build_parser() -> argparse.ArgumentParser:
     px.add_argument("--seed", type=int, default=42)
     px.add_argument("--query-id", type=int, help="vec_id whose vector to search for")
     px.add_argument("--ids", help="comma-separated vec ids to delete")
+    px.add_argument(
+        "--string-ids", action="store_true",
+        help="keep --ids values as strings (digit-string keys like '0123' "
+        "would otherwise be int-coerced and tombstone the wrong key)",
+    )
     px.add_argument("--topk", type=int, default=10)
     px.add_argument("--nprobe", type=int, default=2)
     px.set_defaults(fn=cmd_pq_index)
@@ -1766,6 +1791,11 @@ def build_parser() -> argparse.ArgumentParser:
     tx.add_argument("--topk", type=int, default=20)
     tx.add_argument("--checkpoint", help="streaming checkpoint dir (stream)")
     tx.add_argument("--ids", help="comma-separated doc ids to delete")
+    tx.add_argument(
+        "--string-ids", action="store_true",
+        help="keep --ids values as strings (digit-string keys like '0123' "
+        "would otherwise be int-coerced and tombstone the wrong key)",
+    )
     tx.set_defaults(fn=cmd_text_index)
 
     bp = sub.add_parser("bpe", help="train a BPE tokenizer on the documents table")

@@ -106,6 +106,20 @@ def _write_meta(index_dir: Path, meta: dict) -> None:
     os.replace(tmp, index_dir / _META)
 
 
+
+def _corpus_stats(meta: dict) -> tuple[int, float]:
+    """(n_docs, avgdl) for BM25 scoring. delete_docs can legitimately
+    drive n_docs to 0 (every document tombstoned) — raise a clear
+    empty-index error instead of a ZeroDivisionError from avgdl."""
+    n = meta["n_docs"]
+    if n <= 0:
+        raise ValueError(
+            "text index holds no live documents (all deleted) — nothing "
+            "to score against; admit documents or rebuild the index"
+        )
+    return n, meta["sum_dl"] / n
+
+
 def _check_meta(index_dir: str | Path) -> dict:
     meta = _load_meta(index_dir)
     if meta.get("tokenizer") != _TOKENIZER:
@@ -332,6 +346,28 @@ def delete_docs(spark: SparkSession, index_dir: str | Path, ids) -> dict:
     }
 
 
+
+# Above this bound the candidate set is pinned to a sort-merge join
+# against the doclens store instead of the steady-state broadcast
+# (~50 bytes/candidate row: 200k candidates ~ Spark's default 10 MB
+# autoBroadcastJoinThreshold).
+_SMJ_CANDIDATE_BOUND = 200_000
+
+
+def _join_doclens(cand: DataFrame, dl: DataFrame, cand_bound: int) -> DataFrame:
+    """candidates x doclens. At steady state the candidate side is tiny
+    and AQE turns the join into a broadcast (pinned by plan test). A
+    stopword-like term makes the candidate set corpus-sized, where a
+    broadcast would ship ~the whole doc universe to every task; the
+    per-term dfs ALREADY collected for scoring bound the candidate
+    count at zero extra cost, so above the threshold the sort-merge
+    plan is pinned up front instead of betting on a runtime estimate.
+    Result rows are identical either way (pinned by test)."""
+    if cand_bound > _SMJ_CANDIDATE_BOUND:
+        return cand.hint("merge").join(dl, "doc_id")
+    return cand.join(dl, "doc_id")
+
+
 def search(
     spark: SparkSession,
     index_dir: str | Path,
@@ -356,7 +392,7 @@ def search(
     if not terms:
         raise ValueError("search needs at least one term")
     meta = _check_meta(index_dir)
-    n_docs, avgdl = meta["n_docs"], meta["sum_dl"] / meta["n_docs"]
+    n_docs, avgdl = _corpus_stats(meta)
     buckets = sorted({_bucket_py(t, meta["n_buckets"]) for t in terms})
     hits = minus_tombstones(
         _postings_df(spark, index_dir, meta)
@@ -384,7 +420,7 @@ def search(
         ]
     )
     dl = _doclens_df(spark, index_dir, meta)
-    scored = cand.join(dl, "doc_id")
+    scored = _join_doclens(cand, dl, sum(dfs.values()))
 
     def comp(i):
         tf = F.col(f"tf{i}")
@@ -448,7 +484,7 @@ def search_many(
         if not terms:
             raise ValueError(f"query {qid!r} has no terms")
     meta = _check_meta(index_dir)
-    n_docs, avgdl = meta["n_docs"], meta["sum_dl"] / meta["n_docs"]
+    n_docs, avgdl = _corpus_stats(meta)
     all_terms = sorted({t for ts in queries.values() for t in ts})
     buckets = sorted({_bucket_py(t, meta["n_buckets"]) for t in all_terms})
     hits = minus_tombstones(
@@ -491,7 +527,7 @@ def search_many(
         )
     )
     dl = _doclens_df(spark, index_dir, meta)
-    scored = cand.join(dl, "doc_id")
+    scored = _join_doclens(cand, dl, sum(dfs.values()))
 
     df_map = F.create_map(
         *[x for t in all_terms for x in (F.lit(t), F.lit(dfs.get(t, 0)))]

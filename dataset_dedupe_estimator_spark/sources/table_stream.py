@@ -42,6 +42,18 @@ NTZ like the batch reader) plus hive-style partition directories
 scan would make on these tables). Files written before a schema
 widening backfill NULL for the later columns, matching
 ``read_version``.
+
+``Trigger.AvailableNow`` limitation (investigated r8, pinned): Spark
+wraps EVERY Python DataSource stream in
+``PythonMicroBatchStream`` (spark-sql 4.1.2), which implements only
+``MicroBatchStream`` + ``AcceptsLatestSeenOffset`` — not
+``SupportsTriggerAvailableNow`` — so ``trigger(availableNow=True)``
+logs the engine's "falling back to a single batch" warning for ANY
+Python source; no hook exists Python-side to change that. The fallback
+drains everything committed at start time in one batch, which is
+correct for bounded drains (what the gate and bench do); rate-limited
+catch-up needs the JVM-native source shape this API doesn't expose.
+Do not retry until the DataSource API grows the capability.
 """
 
 from __future__ import annotations

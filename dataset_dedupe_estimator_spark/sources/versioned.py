@@ -23,16 +23,27 @@ this repo already uses for its persistent indexes
   cannot both commit the same version.
 * ``read_version`` resolves the live set by folding the log: an
   ``append`` adds its directory to the live set, an ``overwrite``
-  replaces it. Resolution cost is O(commits), independent of data size;
-  reads are plain parquet scans of the live directories (predicate
-  pushdown, partition pruning, and the z-order layout of
+  replaces it. Reads are plain parquet scans of the live directories
+  (predicate pushdown, partition pruning, and the z-order layout of
   `operators/layout.py` all apply unchanged — commit directories are
   just parquet).
+* The METADATA path is kept O(live set + tail), never O(all history)
+  (r8): every ``_CKPT_EVERY`` commits the writer folds the log into a
+  parquet checkpoint (``_vlog/ckpt-v*.parquet``) holding only the
+  entries a latest-version reader needs — live-dir entries (dead,
+  fully-masked dirs dropped), accumulated masks, active constraints,
+  inherited declarations — and hot-path readers load checkpoint + JSON
+  tail. Bloom bitmaps live in per-commit parquet SIDECARS
+  (``_blooms/``), loaded lazily per probed commit, never inlined in
+  the JSON entries. Raw entries remain the source of truth: explicit
+  time travel, ``history``, the change feed, and vacuum read them, and
+  deleting every checkpoint/sidecar only slows or disables an
+  optimization (pinned by test).
 
-At 100 TB: the log holds one small JSON file per commit; snapshot
-isolation costs zero data movement; storage overhead is bounded by the
-overwritten-but-retained generations, which ``vacuum`` reclaims after
-their retention expires.
+At 100 TB: the log holds one small JSON file per commit plus a folded
+checkpoint; snapshot isolation costs zero data movement; storage
+overhead is bounded by the overwritten-but-retained generations, which
+``vacuum`` reclaims after their retention expires.
 
 Reference parity note: the reference engine has no table format; this
 is part of the beyond-reference lifecycle surface (SURVEY.md training-
@@ -132,7 +143,7 @@ def set_constraints(
                 f"{sorted(_PRUNE_OPS)}"
             )
     with writer_lock(root):
-        entries = _committed_entries(root)
+        entries = _snapshot_entries(root)
         if not entries:
             raise VersionNotFoundError(
                 f"{root} has no committed versions — constraints attach "
@@ -203,6 +214,181 @@ def _commit(root: Path, entry: dict) -> None:
         ) from None
     finally:
         tmp.unlink(missing_ok=True)
+    if entry["version"] and entry["version"] % _CKPT_EVERY == 0:
+        # checkpoint cadence (the Delta shape): fold the log so far into
+        # one parquet file, so the hot latest-version path reads
+        # checkpoint + JSON tail — O(live set + tail), never O(history).
+        # The commit above already succeeded: a checkpoint failure must
+        # degrade to the slower raw-log path, not fail the commit.
+        try:
+            _write_checkpoint(root)
+        except Exception:  # pragma: no cover - fs-level races only
+            pass
+
+
+# Checkpoint cadence: every N commits the writer folds the log into
+# `_vlog/ckpt-v<version>.parquet`. 20 keeps the JSON tail short while
+# amortizing the fold; tests shrink it to exercise the machinery.
+_CKPT_EVERY = 20
+
+
+def _fold_entries(root: Path, entries: list[dict]) -> list[dict]:
+    """Compact a full entry list into the MINIMAL list that resolves
+    the LATEST version identically: the live-directory entries (their
+    per-file stats / bloom pointers intact, folding to the same live
+    set), the latest ``set_constraints`` entry, and the true last entry
+    carrying the accumulated ``removed`` masks (live dirs only), the
+    change-feed flag, and the union of ``added_columns``. Consumers of
+    the latest snapshot — _resolve, _live_masks, _cf_active,
+    _active_constraints, schema/metadata inheritance from entries[-1] —
+    see exactly what the raw log gives them. Intermediate-version time
+    travel MUST keep using the raw log: a truncated fold is not the
+    historical live set."""
+    if not entries:
+        return []
+    last = entries[-1]
+    live: list[dict] = []
+    for e in entries:
+        if e["action"] == "overwrite":
+            live = [e]
+        elif e.get("dir"):
+            live.append(e)
+    live_names = {e["dir"] for e in live}
+    masks: dict[str, set] = {}
+    for e in entries:
+        for d, rels in (e.get("removed") or {}).items():
+            if d in live_names:  # a retired dir's mask can never apply
+                masks.setdefault(d, set()).update(rels)
+
+    # FULLY-masked dirs are dead forever (masks only accumulate): a
+    # compaction/delete that consumed every file of a commit leaves the
+    # dir contributing nothing to any read at or after this version —
+    # folding it away is what keeps the checkpoint O(live data), not
+    # O(ingest commits), under the append+compact maintenance loop
+    def _dead(e: dict) -> bool:
+        m = masks.get(e["dir"])
+        if not m:
+            return False
+        stats = e.get("stats")
+        if stats is not None:  # stats list EVERY file of the commit
+            universe = set(stats)
+        else:
+            d = root / _DATA / e["dir"]
+            universe = {str(f.relative_to(d)) for f in d.rglob("*.parquet")}
+        return universe <= m
+
+    live = [e for e in live if not _dead(e)]
+    live_names = {e["dir"] for e in live}
+    masks = {d: v for d, v in masks.items() if d in live_names}
+    cons = next(
+        (e for e in reversed(entries) if e["action"] == "set_constraints"),
+        None,
+    )
+    widened = sorted(
+        {c for e in entries for c in (e.get("added_columns") or [])}
+    )
+    by_version: dict[int, dict] = {}
+    for e in live:
+        c = dict(e)
+        c.pop("removed", None)
+        by_version[c["version"]] = c
+    if cons is not None:
+        by_version.setdefault(cons["version"], dict(cons))
+    lastc = by_version.get(last["version"])
+    if lastc is None:
+        lastc = dict(last)
+        lastc.pop("removed", None)
+        by_version[last["version"]] = lastc
+    if masks:
+        lastc["removed"] = {d: sorted(v) for d, v in masks.items()}
+    if widened:
+        lastc["added_columns"] = widened
+    if _cf_active(entries):
+        lastc["change_feed"] = True
+    return [by_version[v] for v in sorted(by_version)]
+
+
+def _ckpt_version(path: Path) -> int:
+    return int(path.name[len("ckpt-v"): -len(".parquet")])
+
+
+def _latest_checkpoint(root: Path) -> Path | None:
+    vlog = root / _VLOG
+    if not vlog.is_dir():
+        return None
+    cks = sorted(vlog.glob("ckpt-v*.parquet"))
+    return cks[-1] if cks else None
+
+
+def _write_checkpoint(root: Path) -> None:
+    """Fold the committed log into ``ckpt-v<latest>.parquet`` (one row
+    per compacted entry). Built from the PREVIOUS checkpoint + tail —
+    folding is idempotent, so the cost of each checkpoint is O(live
+    set + tail), keeping the amortized metadata cost per commit O(1).
+    Published with the same tmp + hard-link discipline as log entries:
+    readers never see a torn file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    entries = _snapshot_entries(root)
+    if not entries:
+        return
+    folded = _fold_entries(root, entries)
+    table = pa.table(
+        {
+            "version": pa.array([e["version"] for e in folded], pa.int64()),
+            "entry": pa.array(
+                [json.dumps(e, sort_keys=True) for e in folded], pa.string()
+            ),
+        }
+    )
+    target = root / _VLOG / f"ckpt-v{entries[-1]['version']:08d}.parquet"
+    if target.exists():
+        return
+    tmp = target.with_suffix(".tmp-%d" % os.getpid())
+    pq.write_table(table, str(tmp))
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        pass  # another writer raced the same fold: identical content
+    finally:
+        tmp.unlink(missing_ok=True)
+
+
+def _snapshot_entries(root: Path) -> list[dict]:
+    """Log entries sufficient to resolve the LATEST version: the newest
+    checkpoint's folded entries + the JSON tail committed after it.
+    Cost is O(live set + tail) — with no checkpoint yet it degrades to
+    the raw log. Listing order is race-safe for lock-free readers: a
+    commit landing mid-read only extends the tail; a checkpoint landing
+    mid-read is simply not used until the next call."""
+    ck = _latest_checkpoint(root)
+    if ck is None:
+        return _committed_entries(root)
+    floor = f"v{_ckpt_version(ck):08d}.json"
+    base = _read_checkpoint(ck)
+    vlog = root / _VLOG
+    for f in sorted(vlog.glob("v*.json")):
+        if f.name > floor:
+            base.append(json.loads(f.read_text()))
+    return base
+
+
+def _read_checkpoint(path: Path) -> list[dict]:
+    import pyarrow.parquet as pq
+
+    return [
+        json.loads(s) for s in pq.read_table(str(path))["entry"].to_pylist()
+    ]
+
+
+def _entries_for(root: Path, version: int | None) -> list[dict]:
+    """The hot path (``version is None``, i.e. latest) reads checkpoint
+    + tail; explicit time travel reads the raw log — a fold truncated
+    at an intermediate version would not be that version's live set."""
+    if version is None:
+        return _snapshot_entries(root)
+    return _committed_entries(root)
 
 
 # Zone-map-eligible Spark dtypes: exact-integer and float columns whose
@@ -456,6 +642,15 @@ def _write_bloom_sidecar(root: Path, dir_name: str, blooms: dict) -> str:
     return name
 
 
+# Sidecars are immutable once linked (named by their commit dir), so a
+# small process-level cache keyed by (path, stat identity) is safe: a
+# vacuumed-then-recreated path can never alias a live entry's key. This
+# keeps a point-read service's probe cost O(tail) instead of re-opening
+# every live commit's sidecar per query.
+_BLOOM_CACHE: dict[tuple, dict] = {}
+_BLOOM_CACHE_MAX = 256
+
+
 def _entry_blooms(root: Path, entry: dict) -> dict | None:
     """The per-file bloom bitmaps for a commit entry: the parquet
     sidecar named by ``blooms_file`` (normal), or the legacy inlined
@@ -471,8 +666,14 @@ def _entry_blooms(root: Path, entry: dict) -> dict | None:
     if not ref:
         return None
     path = root / _BLOOMS / ref
-    if not path.is_file():
+    try:
+        st = path.stat()
+    except OSError:
         return None
+    key = (str(path), st.st_ino, st.st_mtime_ns, st.st_size)
+    hit = _BLOOM_CACHE.get(key)
+    if hit is not None:
+        return hit
     import pyarrow.parquet as pq
 
     table = pq.read_table(str(path))
@@ -485,6 +686,9 @@ def _entry_blooms(root: Path, entry: dict) -> dict | None:
         table["bitmap"].to_pylist(),
     ):
         out.setdefault(rel, {})[col] = {"bits": bits, "k": k, "raw": raw}
+    if len(_BLOOM_CACHE) >= _BLOOM_CACHE_MAX:
+        _BLOOM_CACHE.pop(next(iter(_BLOOM_CACHE)))
+    _BLOOM_CACHE[key] = out
     return out
 
 
@@ -675,7 +879,7 @@ def _write_commit(
     root = Path(root)
     (root / _VLOG).mkdir(parents=True, exist_ok=True)
     with writer_lock(root):
-        entries = _committed_entries(root)
+        entries = _snapshot_entries(root)
         return _commit_locked(
             root, entries, df, action, num_files,
             partition_by, allow_new_columns, stats_columns,
@@ -812,7 +1016,7 @@ def _surviving_files(dirs: list[str], masks: dict[str, set[str]]) -> list[str]:
 def live_dirs(root: str | Path, version: int | None = None) -> list[str]:
     """Data directories visible at ``version`` (default: latest)."""
     root = Path(root)
-    return _resolve(root, _committed_entries(root), version)[1]
+    return _resolve(root, _entries_for(root, version), version)[1]
 
 
 def read_version(
@@ -828,7 +1032,7 @@ def read_version(
     as-of-``version`` schema.
     """
     root = Path(root)
-    version, dirs, live_entries = _resolve(root, _committed_entries(root), version)
+    version, dirs, live_entries = _resolve(root, _entries_for(root, version), version)
     schema_cols = live_entries[-1]["columns"]
     partitioned = bool(live_entries[-1].get("partition_by"))
     widened = any("added_columns" in e for e in live_entries)
@@ -974,7 +1178,7 @@ def zone_map_prune(
                 f"{sorted(_PRUNE_OPS)}"
             )
     root = Path(root)
-    _, dirs, live_entries = _resolve(root, _committed_entries(root), version)
+    _, dirs, live_entries = _resolve(root, _entries_for(root, version), version)
     by_dir = {e["dir"]: e for e in live_entries if e.get("dir")}
     masks = _live_masks(live_entries)
     files: list[str] = []
@@ -1002,9 +1206,6 @@ def zone_map_prune(
             norm = [_bloom_probe_value(v, btypes.get(col)) for v in vals]
             if all(v is not None for v in norm):
                 eq.append((col, norm))
-        blooms = _entry_blooms(root, entry) if eq else None
-        if blooms is None:
-            eq = []  # sidecar unavailable: bloom pruning off here
         if stats is None and not eq:
             # masked files are not live — list the survivors explicitly
             # (a fully-unmasked no-stats dir stays a whole-dir scan)
@@ -1053,9 +1254,18 @@ def zone_map_prune(
                 str(f.relative_to(d))
                 for f in sorted(Path(d).rglob("*.parquet"))
             ]
-        for rel in universe:
-            if rel in masked:  # deleted by a later masked-file commit
-                continue
+        live_rels = [rel for rel in universe if rel not in masked]
+        if eq and live_rels:
+            # sidecar loaded lazily, and only for dirs with a surviving
+            # file: a fully-masked commit dir must cost nothing here
+            blooms = _entry_blooms(root, entry)
+            if blooms is None:
+                eq_d = []  # sidecar unavailable: bloom pruning off here
+            else:
+                eq_d = eq
+        else:
+            blooms, eq_d = {}, []
+        for rel in live_rels:
             total += 1
             keep = True
             per_col = (stats or {}).get(rel, {})
@@ -1065,7 +1275,7 @@ def zone_map_prune(
                     keep = False
                     break
             if keep:
-                for col, values in eq:
+                for col, values in eq_d:
                     b = blooms.get(rel, {}).get(col)
                     if b is None:
                         # bloom was computed for this commit and the file
@@ -1121,7 +1331,7 @@ def read_where(
     # one log read for both the prune and the schema (lock-free reader
     # TOCTOU discipline: never resolve the log twice)
     version, live_data_dirs, live_entries = _resolve(
-        root, _committed_entries(root), version
+        root, _entries_for(root, version), version
     )
     report = zone_map_prune(root, predicates, version)
     schema_cols = live_entries[-1]["columns"]
@@ -1362,7 +1572,7 @@ def upsert_pruned(
         raise ValueError("upsert_pruned needs at least one key column")
     root = Path(root)
     with writer_lock(root):
-        entries = _committed_entries(root)
+        entries = _snapshot_entries(root)
         version, live_data_dirs, live_entries = _resolve(root, entries, None)
         schema_cols = live_entries[-1]["columns"]
         for k in key_cols:
@@ -1472,9 +1682,6 @@ def upsert_pruned(
             bloom_cols = set(entry.get("bloom_columns") or [])
             btypes = entry.get("bloom_types") or {}
             use_blooms = bloom_probe and bool(bloom_cols & set(key_cols))
-            blooms = _entry_blooms(root, entry) if use_blooms else None
-            if blooms is None:  # sidecar unavailable: degrade to scan
-                use_blooms = False
             if stats is None and not use_blooms:
                 # no pruning metadata: every surviving file may match
                 if masked:
@@ -1494,9 +1701,13 @@ def upsert_pruned(
                     str(f.relative_to(d))
                     for f in sorted(Path(d).rglob("*.parquet"))
                 ]
-            for rel in universe:
-                if rel in masked:
-                    continue
+            live_rels = [rel for rel in universe if rel not in masked]
+            blooms = None
+            if use_blooms and live_rels:
+                # lazy, per dir with survivors only (see zone_map_prune)
+                blooms = _entry_blooms(root, entry)
+            probe_blooms = use_blooms and blooms is not None
+            for rel in live_rels:
                 per_col = (stats or {}).get(rel, {})
                 may = True
                 for c in key_cols:
@@ -1506,7 +1717,7 @@ def upsert_pruned(
                     ):
                         may = False
                         break
-                    if use_blooms and c in bloom_cols:
+                    if probe_blooms and c in bloom_cols:
                         b = blooms.get(rel, {}).get(c)
                         if b is None:  # no non-null value of c: no match
                             may = False
@@ -1678,7 +1889,7 @@ def delete_where_pruned(
     root = Path(root)
     (root / _VLOG).mkdir(parents=True, exist_ok=True)
     with writer_lock(root):
-        entries = _committed_entries(root)
+        entries = _snapshot_entries(root)
         version, live_data_dirs, live_entries = _resolve(root, entries, None)
         report = zone_map_prune(root, predicates, version)  # mask-aware
         cand_files = list(report["files"]) + [
@@ -1874,7 +2085,7 @@ def compact_small(
     """
     root = Path(root)
     with writer_lock(root):
-        entries = _committed_entries(root)
+        entries = _snapshot_entries(root)
         version, live_data_dirs, live_entries = _resolve(root, entries, None)
         masks = _live_masks(live_entries)
         schema_cols = live_entries[-1]["columns"]
@@ -2039,6 +2250,13 @@ def vacuum(root: str | Path, keep_versions: int = 1) -> list[str]:
             if stem not in reachable or v not in committed:
                 f.unlink()
                 removed.append(f"{_BLOOMS}/{f.name}")
+        # superseded checkpoints: readers only ever load the newest, and
+        # every entry it folds is still present as raw JSON (checkpoints
+        # are an optimization, never the source of truth)
+        cks = sorted((root / _VLOG).glob("ckpt-v*.parquet"))
+        for ck in cks[:-1]:
+            ck.unlink()
+            removed.append(f"{_VLOG}/{ck.name}")
         # a hard-killed writer can leave a *.tmp-<pid> staging file in the
         # log (the commit link never happened); they are invisible to
         # readers but worth reclaiming

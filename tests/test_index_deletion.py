@@ -232,3 +232,47 @@ def test_pq_delete_total_accounting(spark, tmp_path):
     # idempotent re-delete: no double decrement, no new set
     st2 = pq_index_delete(spark, idx_dir, ids)
     assert st2["deleted"] == 0 and st2["total"] == total0 - 5
+
+
+def test_text_index_empty_after_total_delete_raises_clear_error(spark, tmp_path):
+    """Deleting EVERY document legitimately drives n_docs to 0; a later
+    search must raise a clear empty-index error, not ZeroDivisionError
+    from avgdl (= sum_dl / n_docs)."""
+    import pytest
+
+    from dataset_dedupe_estimator_spark.plans import text_index as ti
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "tix")
+    ti.build_text_index(spark, docs, idx, n_buckets=2)
+    ti.delete_docs(spark, idx, [1, 2])
+    with pytest.raises(ValueError, match="no live documents"):
+        ti.search(spark, idx, ["alpha"])
+    with pytest.raises(ValueError, match="no live documents"):
+        ti.search_many(spark, idx, {"q0": ["alpha"]})
+
+
+def test_cli_string_ids_keeps_digit_string_keys(capsys, spark, tmp_path):
+    """An index keyed by DIGIT STRINGS ('0123'): --ids int-coerces by
+    default (documented), so --string-ids must keep the raw form and
+    actually suppress the right doc."""
+    from dataset_dedupe_estimator_spark.cli import main
+    from dataset_dedupe_estimator_spark.plans import lsh_index as li
+
+    docs = spark.createDataFrame(
+        [("0123", "the quick brown fox jumps over the lazy dog"),
+         ("777", "an entirely different document about spark tables")],
+        "doc_id string, text string",
+    )
+    idx = str(tmp_path / "lsh")
+    li.build_lsh_index(spark, docs, idx)
+    assert main(["lsh-index", "delete", idx, "--ids", "0123", "--string-ids"]) == 0
+    out = capsys.readouterr().out
+    assert "tombstoned" in out
+    from dataset_dedupe_estimator_spark.plans._tombstones import tombstones_df
+
+    meta = li._check_meta(idx)
+    stones = {r.doc_id for r in tombstones_df(spark, idx, meta, "doc_id").collect()}
+    assert stones == {"0123"}  # not 123

@@ -507,3 +507,36 @@ def test_crashed_tombstone_write_is_cleared(spark, docs, tmp_path):
     assert _ranked(ti.search(spark, idx, TERMS)) == _ranked(
         ti.search(spark, rebuilt, TERMS)
     )
+
+
+def test_stopword_candidates_flip_doclens_join_to_sort_merge(spark, tmp_path, monkeypatch):
+    """A corpus-df term must not broadcast a corpus-sized candidate set:
+    when the per-term dfs (already collected for scoring) bound the
+    candidates above _SMJ_CANDIDATE_BOUND, the doclens join plans as a
+    SortMergeJoin — and the rows are identical to the broadcast path."""
+    docs = spark.range(400).selectExpr(
+        "id as doc_id",
+        # 'the' in EVERY doc (df = corpus); 'rare7' in one
+        "concat('the word w', cast(id as string), "
+        "case when id = 7 then ' rare7' else '' end) as text",
+    )
+    idx = str(tmp_path / "tix")
+    ti.build_text_index(spark, docs, idx, n_buckets=4)
+
+    res_bc = ti.search(spark, idx, ["the", "rare7"], top=10)
+    rows_bc = [(r.doc_id, r.n_terms, r.score) for r in res_bc.collect()]
+    plan_bc = res_bc._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan_bc, plan_bc
+
+    monkeypatch.setattr(ti, "_SMJ_CANDIDATE_BOUND", 100)  # df('the')=400
+    res_smj = ti.search(spark, idx, ["the", "rare7"], top=10)
+    rows_smj = [(r.doc_id, r.n_terms, r.score) for r in res_smj.collect()]
+    plan_smj = res_smj._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan_smj, plan_smj
+    assert rows_smj == rows_bc  # plan flip, identical answer
+    # search_many flips off the same bound
+    many = ti.search_many(spark, idx, {"q0": ["the", "rare7"]}, top=10)
+    rows_many = [(r.doc_id, r.n_terms, r.score) for r in many.collect()]
+    plan_many = many._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan_many, plan_many
+    assert rows_many == rows_bc

@@ -134,6 +134,35 @@ def main() -> int:
         out["batch64_rows"] = batch_rows
         ok_batch = out["batch64_s"] < 8 * q_big and batch_rows > 0
 
+        # stopword leg (r8): a term in ~every doc makes the candidate
+        # set corpus-sized; with the bound set at 50% of the corpus the
+        # df-bounded fallback must pin a sort-merge doclens join — and
+        # the answer must still equal the scan path exactly. (The
+        # absolute production bound is pinned by the unit plan test;
+        # here the MECHANISM is exercised at whatever size we run.)
+        from dataset_dedupe_estimator_spark.plans import text_index as ti_mod
+
+        stop_terms = ("w1", "w9001")
+        saved_bound = ti_mod._SMJ_CANDIDATE_BOUND
+        try:
+            ti_mod._SMJ_CANDIDATE_BOUND = (n_hist + n_batch) // 2
+            res_stop = search(spark, idx, stop_terms, top=20)
+            t0 = time.time()
+            got_stop = [
+                (r.doc_id, r.n_terms, r.score) for r in res_stop.collect()
+            ]
+            out["stopword_s"] = round(time.time() - t0, 2)
+            plan_stop = res_stop._jdf.queryExecution().executedPlan().toString()
+            out["stopword_smj"] = "SortMergeJoin" in plan_stop
+        finally:
+            ti_mod._SMJ_CANDIDATE_BOUND = saved_bound
+        want_stop = [
+            (r.doc_id, r.n_terms, r.score)
+            for r in bm25_frame(full, stop_terms, top=20).collect()
+        ]
+        ok_stop = out["stopword_smj"] and got_stop == want_stop
+        out["stopword_exact"] = got_stop == want_stop
+
         # phrase path at size: positions survive scale
         t0 = time.time()
         n_phrase = phrase_search(spark, idx, ("w1", "w2", "w1")).count()
@@ -179,6 +208,7 @@ def main() -> int:
         ok = (
             ok_admit
             and ok_batch
+            and ok_stop
             and ok_compact
             and out["exact_match_vs_scan"]
             and out["compact_preserves_search"]
