@@ -710,6 +710,84 @@ ORDER BY o_key
 """
 
 
+# checkpointed-log read: delete band inside every SF's key range
+_CKR_LO, _CKR_HI = 500, 1500
+
+
+def table_checkpoint_read(spark, sf):
+    """Commit-log checkpointing (r8, ``sources/versioned.py`` — the
+    Delta checkpoint shape): every ``_CKPT_EVERY`` commits the writer
+    folds the log into ``_vlog/ckpt-v*.parquet`` and latest-version
+    readers load checkpoint + JSON tail, O(live set + tail) instead of
+    O(all history).
+
+    Builds a table through 7 appends, a zone-map-bounded DELETE, a
+    dataChange=false compaction, and one post-checkpoint tail append —
+    with the cadence tightened to 4 so the read genuinely resolves
+    through a FOLDED checkpoint (asserted: the query raises if no
+    checkpoint file exists, so a silently-disabled fold can never pass
+    as green). The final aggregate reads the checkpointed snapshot; the
+    oracle recomputes it from orders minus the deleted band, so a fold
+    that lost a live file, resurrected a masked one, or dropped the
+    delete hash-mismatches. Eager by construction; result
+    localCheckpointed before the temp table vanishes.
+    """
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", cents("o_totalprice").alias("price_cents")
+    )
+    root = tempfile.mkdtemp(prefix="dde_ck_")
+    saved = vt._CKPT_EVERY
+    try:
+        vt._CKPT_EVERY = 4
+        for m in range(6):
+            vt.append(
+                root, orders.filter(F.col("o_custkey") % 6 == m),
+                num_files=1, stats_columns=["o_orderkey"],
+            )
+        vt.delete_where_pruned(
+            spark, root, [("o_orderkey", "between", (_CKR_LO, _CKR_HI))]
+        )
+        vt.compact_small(spark, root)  # folds debris; masks -> dead dirs
+        vt.append(  # JSON tail on top of the checkpoint
+            root, orders.filter(F.col("o_orderkey") < 0), num_files=1
+        )
+        if not list((Path(root) / "_vlog").glob("ckpt-v*.parquet")):
+            raise RuntimeError("checkpoint never materialized")
+        got = vt.read_version(spark, root)
+        out = (
+            got.groupBy((F.col("o_custkey") % 10).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+                F.sum("price_cents").alias("total_cents"),
+            )
+            .orderBy("bucket")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        vt._CKPT_EVERY = saved
+        shutil.rmtree(root, ignore_errors=True)
+
+
+TABLE_CHECKPOINT_READ_SQL = f"""
+SELECT o_custkey % 10 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS total_cents
+FROM orders
+WHERE o_orderkey NOT BETWEEN {_CKR_LO} AND {_CKR_HI}
+GROUP BY 1 ORDER BY bucket
+"""
+
+
 # change-feed bands for table_cdf_read — inside every SF's key range
 _CF_UP_LO, _CF_UP_HI = 1000, 1200   # upsert-replaced band (price bumped)
 _CF_INS_HI = 1050                   # [1000, 1050] also insert at key + 10M
@@ -956,6 +1034,9 @@ QUERIES = {
     "table_compact_read": Q(table_compact_read, TABLE_COMPACT_READ_SQL),
     "table_cdf_read": Q(table_cdf_read, TABLE_CDF_READ_SQL),
     "table_bloom_read": Q(table_bloom_read, TABLE_BLOOM_READ_SQL),
+    "table_checkpoint_read": Q(
+        table_checkpoint_read, TABLE_CHECKPOINT_READ_SQL
+    ),
     "table_zonemap_read": Q(table_zonemap_read, TABLE_ZONEMAP_READ_SQL),
     "mv_from_version_diff": Q(mv_from_version_diff, MV_FROM_VERSION_DIFF_SQL),
     "streaming_mv_refresh": Q(streaming_mv_refresh, STREAMING_MV_REFRESH_SQL),
