@@ -1419,6 +1419,19 @@ def cmd_table(args) -> int:
     elif args.action == "vacuum":
         removed = vt.vacuum(args.root, keep_versions=args.keep)
         print(f"removed {len(removed)} data dirs: {', '.join(removed) or '-'}")
+    elif args.action == "restore":
+        if args.version is None:
+            print("restore: pass --version N (the target)", file=sys.stderr)
+            return 2
+        st = vt.restore(_spark(args), args.root, args.version)
+        if not st["committed"]:
+            print(f"already at version {args.version}; nothing committed")
+        else:
+            print(
+                f"restored to v{args.version} as commit v{st['version']} "
+                f"({len(st['dirs'])} live dirs re-referenced, zero data "
+                "bytes moved)"
+            )
     elif args.action == "ingest":
         # continuous ingestion: every microbatch of newly-arrived files
         # becomes ONE auditable commit. The checkpoint dedupes input
@@ -1837,7 +1850,7 @@ def build_parser() -> argparse.ArgumentParser:
         choices=[
             "append", "overwrite", "history", "read", "optimize", "vacuum",
             "ingest", "delete-where", "upsert", "tail", "compact-small",
-            "set-constraints",
+            "set-constraints", "restore",
         ],
     )
     tb.add_argument("root")

@@ -788,6 +788,96 @@ GROUP BY 1 ORDER BY bucket
 """
 
 
+# restore bands — inside every SF's key range
+_RS_LO, _RS_HI = 800, 2200
+_RS_INS_HI = 120
+_RS_SHIFT = 20_000_000
+
+
+def table_restore_read(spark, sf):
+    """RESTORE — rollback-as-a-commit (r8, ``sources/versioned.py::
+    restore``, the Delta RESTORE shape): a wrong DELETE is undone by
+    re-referencing the target version's live set (zero data bytes
+    moved), history stays intact above the target, and the table keeps
+    moving forward afterwards.
+
+    Two appends build the table, a zone-map-bounded DELETE wipes a key
+    band (the accident), ``restore`` rolls back to the pre-delete
+    version, and one more append lands ON TOP of the rollback. The
+    final aggregate must equal orders-with-the-band-RESURRECTED plus
+    the post-restore rows — the oracle recomputes exactly that, so a
+    rollback that lost the deleted band, leaked the delete's masks
+    into the restored files, or dropped the post-restore append
+    hash-mismatches. Eager by construction; result localCheckpointed
+    before the temp table vanishes.
+    """
+    import shutil
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", cents("o_totalprice").alias("price_cents")
+    )
+    root = tempfile.mkdtemp(prefix="dde_rs_")
+    try:
+        vt.append(
+            root,
+            orders.filter(F.col("o_custkey") % 2 == 0)
+            .repartitionByRange(4, "o_orderkey"),
+            stats_columns=["o_orderkey"],
+        )
+        vt.append(
+            root,
+            orders.filter(F.col("o_custkey") % 2 == 1)
+            .repartitionByRange(4, "o_orderkey"),
+        )
+        vt.delete_where_pruned(  # the accident
+            spark, root, [("o_orderkey", "between", (_RS_LO, _RS_HI))]
+        )
+        st = vt.restore(spark, root, 1)
+        if not st["committed"]:
+            raise RuntimeError("restore did not commit")
+        extra = orders.filter(F.col("o_orderkey") <= _RS_INS_HI).select(
+            (F.col("o_orderkey") + F.lit(_RS_SHIFT)).alias("o_orderkey"),
+            "o_custkey",
+            "price_cents",
+        )
+        vt.append(root, extra, num_files=1)
+        got = vt.read_version(spark, root)
+        out = (
+            got.groupBy((F.col("o_custkey") % 10).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+                F.sum("price_cents").alias("total_cents"),
+            )
+            .orderBy("bucket")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+TABLE_RESTORE_READ_SQL = f"""
+SELECT o_custkey % 10 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       CAST(SUM(price_cents) AS BIGINT) AS total_cents
+FROM (
+    SELECT o_custkey, o_orderkey, {sql_cents('o_totalprice')} AS price_cents
+    FROM orders
+    UNION ALL
+    SELECT o_custkey, o_orderkey + {_RS_SHIFT} AS o_orderkey,
+           {sql_cents('o_totalprice')} AS price_cents
+    FROM orders WHERE o_orderkey <= {_RS_INS_HI}
+)
+GROUP BY 1 ORDER BY bucket
+"""
+
+
 # change-feed bands for table_cdf_read — inside every SF's key range
 _CF_UP_LO, _CF_UP_HI = 1000, 1200   # upsert-replaced band (price bumped)
 _CF_INS_HI = 1050                   # [1000, 1050] also insert at key + 10M
@@ -1037,6 +1127,7 @@ QUERIES = {
     "table_checkpoint_read": Q(
         table_checkpoint_read, TABLE_CHECKPOINT_READ_SQL
     ),
+    "table_restore_read": Q(table_restore_read, TABLE_RESTORE_READ_SQL),
     "table_zonemap_read": Q(table_zonemap_read, TABLE_ZONEMAP_READ_SQL),
     "mv_from_version_diff": Q(mv_from_version_diff, MV_FROM_VERSION_DIFF_SQL),
     "streaming_mv_refresh": Q(streaming_mv_refresh, STREAMING_MV_REFRESH_SQL),

@@ -74,7 +74,7 @@ from dataset_dedupe_estimator_spark.sources.versioned import (
 
 # actions that rewrite rather than add — streamable only with
 # ignoreChanges (Delta's contract for its streaming source)
-_REWRITE_ACTIONS = frozenset({"overwrite", "delete", "upsert"})
+_REWRITE_ACTIONS = frozenset({"overwrite", "delete", "upsert", "restore"})
 
 
 def _infer_part_value(raw: str):
@@ -192,6 +192,20 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                     ".option('readChangeFeed', 'true') for row-level "
                     "changes (needs change_feed enabled on the table)."
                 )
+            if e["action"] == "restore":
+                # ignoreChanges: re-deliver the live set this rollback
+                # made current again (its dirs minus its recorded masks)
+                # — downstream tolerates re-delivery by contract
+                rmasks = {
+                    d: set(r) for d, r in (e.get("removed") or {}).items()
+                }
+                for dname in e["dirs"]:
+                    base = root / _DATA / dname
+                    skip = rmasks.get(dname, set())
+                    for f in sorted(base.rglob("*.parquet")):
+                        if str(f.relative_to(base)) not in skip:
+                            parts.append(_CommitFile(str(f), str(base)))
+                continue
             if not e.get("dir"):  # zero-survivor delete: nothing to emit
                 continue
             base = root / _DATA / e["dir"]

@@ -247,15 +247,25 @@ def _fold_entries(root: Path, entries: list[dict]) -> list[dict]:
     if not entries:
         return []
     last = entries[-1]
+    by_dir_all = {e["dir"]: e for e in entries if e.get("dir")}
     live: list[dict] = []
     for e in entries:
         if e["action"] == "overwrite":
             live = [e]
+        elif e["action"] == "restore":
+            live = [by_dir_all[d] for d in e["dirs"]]
         elif e.get("dir"):
             live.append(e)
     live_names = {e["dir"] for e in live}
     masks: dict[str, set] = {}
     for e in entries:
+        if e["action"] == "restore":  # reset, mirroring _live_masks
+            masks = {
+                d: set(rels)
+                for d, rels in (e.get("removed") or {}).items()
+                if d in live_names
+            }
+            continue
         for d, rels in (e.get("removed") or {}).items():
             if d in live_names:  # a retired dir's mask can never apply
                 masks.setdefault(d, set()).update(rels)
@@ -981,6 +991,8 @@ def _resolve(root: Path, entries: list[dict], version: int | None):
             break
         if e["action"] == "overwrite":
             live = [e["dir"]]
+        elif e["action"] == "restore":
+            live = list(e["dirs"])  # rollback: the target's live set
         elif e.get("dir"):  # a delete with zero survivors commits dir=None
             live.append(e["dir"])
     dirs = [str(root / _DATA / d) for d in live]
@@ -996,6 +1008,14 @@ def _live_masks(live_entries: list[dict]) -> dict[str, set[str]]:
     the entry list is already truncated at the requested version."""
     masks: dict[str, set[str]] = {}
     for e in live_entries:
+        if e["action"] == "restore":
+            # rollback RESETS the masks to the target version's set
+            # (recorded in the entry) — deletes committed between the
+            # target and the restore must not reach restored files
+            masks = {
+                d: set(rels) for d, rels in (e.get("removed") or {}).items()
+            }
+            continue
         for d, rels in (e.get("removed") or {}).items():
             masks.setdefault(d, set()).update(rels)
     return masks
@@ -1057,11 +1077,14 @@ def read_version(
         reader = spark.read
         if widened:
             reader = reader.option("mergeSchema", "true")
+        # _backfill, not a bare select: a restore can make a live set
+        # that predates a schema widening current again — the widened
+        # column then exists in NO live file and must read as NULL
         if not masked:
-            return reader.parquet(*dirs).select(*schema_cols)
+            return _backfill(reader.parquet(*dirs))
         files = _surviving_files(dirs, masks)
         if not files:
-            return reader.parquet(*dirs).select(*schema_cols).limit(0)
+            return _backfill(reader.parquet(*dirs)).limit(0)
         return _backfill(reader.parquet(*files))
     df = None
     for d in dirs:
@@ -1074,7 +1097,7 @@ def read_version(
             part = spark.read.option("basePath", d).parquet(*plist)
         df = part if df is None else df.unionByName(part, allowMissingColumns=True)
     if df is None:  # every live file masked out
-        return spark.read.parquet(dirs[0]).limit(0).select(*schema_cols)
+        return _backfill(spark.read.parquet(dirs[0]).limit(0))
     return _backfill(df)
 
 
@@ -2010,6 +2033,105 @@ def delete_where_pruned(
         "rewritten_files": len(cand_files),
         "carried_files": report["skipped_files"],
         "skipped_files": report["skipped_files"],
+        "committed": True,
+    }
+
+
+def restore(
+    spark: SparkSession,
+    root: str | Path,
+    version: int,
+) -> dict:
+    """ROLL BACK the table to ``version`` as a NEW commit (the Delta
+    RESTORE shape): a bad ingest, a wrong DELETE, or a botched MERGE is
+    undone by making the target version's live set current again —
+    zero data bytes move (the entry references the target's directories
+    and records its masks), history stays intact (the bad commits
+    remain time-travelable above the target), and the table keeps
+    moving forward (a later append lands on top of the rollback).
+
+    The restored state is EXACT: readers at or after this commit see
+    the target's files minus the target's masks — deletes committed
+    between the target and the restore are reset along with the data
+    (``_live_masks`` treats a restore as a mask reset). The schema
+    stays the LATEST schema (columns never narrow; restored files
+    backfill NULL for columns widened after the target, exactly as
+    time travel reads them). Requires the target's directories to
+    still exist — a vacuumed version cannot be restored (clear error).
+
+    Streams treat a restore like any rewrite: stop without
+    ``ignoreChanges``, re-deliver the restored live set with it. With
+    the change feed active, the commit writes change data = the
+    INVERSE of every row change since the target (computed as one
+    multiset diff, the only data-bytes cost), so incremental consumers
+    roll back too. Restoring to the current version is a no-op
+    (``committed: False``).
+    """
+    from pyspark.sql import functions as F
+
+    root = Path(root)
+    with writer_lock(root):
+        entries = _committed_entries(root)  # raw: target is explicit
+        cur_version, _, live_entries = _resolve(root, entries, None)
+        if version == cur_version:
+            return {"version": cur_version, "committed": False}
+        t_version, t_dirs, t_entries = _resolve(root, entries, version)
+        missing = [d for d in t_dirs if not Path(d).is_dir()]
+        if missing:
+            raise VersionNotFoundError(
+                f"cannot restore {root} to version {version}: its data "
+                f"was vacuumed ({[Path(m).name for m in missing]})"
+            )
+        dir_names = [Path(d).name for d in t_dirs]
+        t_masks = {
+            d: sorted(v)
+            for d, v in _live_masks(t_entries).items()
+            if d in set(dir_names)
+        }
+        last = entries[-1]
+        new_version = cur_version + 1
+        entry = {
+            "version": new_version,
+            "action": "restore",
+            "restore_of": version,
+            "dir": None,
+            "dirs": dir_names,
+            "removed": t_masks,
+            "columns": last["columns"],  # schema never narrows
+            "partition_by": last.get("partition_by") or [],
+            "ts": time.time(),
+        }
+        # inheritable declarations ride every entry (entries[-1] chain)
+        if last.get("stats_columns"):
+            entry["stats_columns"] = last["stats_columns"]
+        if last.get("bloom_columns"):
+            entry["bloom_columns"] = last["bloom_columns"]
+            entry["bloom_bits"] = last.get("bloom_bits") or 65_536
+        if _cf_active(live_entries):
+            # change data = the inverse of everything since the target,
+            # one multiset diff (the only data cost of a restore),
+            # written file-first/commit-second like every cdf
+            delta = changes_between(spark, root, version, cur_version)
+            inverted = delta.withColumn(
+                "_change",
+                F.when(F.col("_change") == F.lit("insert"), F.lit("delete"))
+                .otherwise(F.lit("insert")),
+            )
+            rows = (
+                inverted.withColumn(
+                    "_r", F.explode(F.expr("sequence(1, _n)"))
+                )
+                .drop("_r", "_n")
+            )
+            rows.write.mode("overwrite").parquet(
+                str(root / _CDF / f"c{new_version:08d}")
+            )
+            entry["change_data"] = True
+        _commit(root, entry)
+    return {
+        "version": new_version,
+        "restore_of": version,
+        "dirs": dir_names,
         "committed": True,
     }
 

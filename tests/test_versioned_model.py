@@ -93,6 +93,7 @@ _OP_PRUNED = st.one_of(
     st.tuples(st.just("delete_eq"), _KEYS),
     st.tuples(st.just("delete_band"), st.tuples(_KEYS, _KEYS)),
     st.tuples(st.just("compact"), st.none()),
+    st.tuples(st.just("restore"), st.integers(min_value=0, max_value=11)),
 )
 
 
@@ -165,6 +166,14 @@ def test_pruned_mutations_time_travel_exactly(spark, tmp_path_factory, ops):
             if not stt["committed"]:
                 continue
             # rows identical by contract
+        elif kind == "restore":
+            if not snapshots:
+                continue
+            target = arg % len(snapshots)
+            stt = vt.restore(spark, root, target)
+            if not stt["committed"]:  # target == current: no-op
+                continue
+            live = list(snapshots[target])
         snapshots.append(sorted(live))
 
     assert len(vt.history(root)) == len(snapshots)
