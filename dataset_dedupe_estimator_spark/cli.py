@@ -1417,7 +1417,10 @@ def cmd_table(args) -> int:
             "to pick up new commits exactly-once)"
         )
     elif args.action == "vacuum":
-        removed = vt.vacuum(args.root, keep_versions=args.keep)
+        removed = vt.vacuum(
+            args.root, keep_versions=args.keep,
+            keep_last_hours=args.keep_hours,
+        )
         print(f"removed {len(removed)} data dirs: {', '.join(removed) or '-'}")
     elif args.action == "restore":
         if args.version is None:
@@ -1859,6 +1862,12 @@ def build_parser() -> argparse.ArgumentParser:
     tb.add_argument("--out")
     tb.add_argument("--files", type=int)
     tb.add_argument("--keep", type=int, default=1)
+    tb.add_argument(
+        "--keep-hours", type=float,
+        help="vacuum: additionally retain every version committed "
+        "within the last N hours (time travel / restore stay possible "
+        "for the whole audit window)",
+    )
     tb.add_argument("--zorder-by", help="comma-separated cluster columns for optimize")
     tb.add_argument("--checkpoint", help="streaming checkpoint dir (ingest)")
     tb.add_argument(

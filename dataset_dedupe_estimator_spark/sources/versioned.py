@@ -2314,10 +2314,19 @@ def compact_small(
     }
 
 
-def vacuum(root: str | Path, keep_versions: int = 1) -> list[str]:
-    """Remove data directories unreachable from the ``keep_versions``
-    latest snapshots, plus orphans from crashed commits. Returns the
-    removed directory names. Holds the writer lock: vacuum rewrites
+def vacuum(
+    root: str | Path,
+    keep_versions: int = 1,
+    keep_last_hours: float | None = None,
+) -> list[str]:
+    """Remove data directories unreachable from every RETAINED snapshot,
+    plus orphans from crashed commits. Returns the removed directory
+    names. Retention is the union of two knobs: the ``keep_versions``
+    latest snapshots (structural floor, >= 1) and — when
+    ``keep_last_hours`` is set — every version committed within that
+    window (the Delta ``RETAIN N HOURS`` shape: time travel and
+    restore stay possible for the whole audit window regardless of how
+    many commits landed in it). Holds the writer lock: vacuum rewrites
     nothing but must not race a writer's not-yet-committed directory
     (it is indistinguishable from a crash orphan).
 
@@ -2333,6 +2342,9 @@ def vacuum(root: str | Path, keep_versions: int = 1) -> list[str]:
         if not entries:
             return []
         keep = {e["version"] for e in entries[-keep_versions:]}
+        if keep_last_hours is not None:
+            cutoff = time.time() - 3600.0 * keep_last_hours
+            keep |= {e["version"] for e in entries if e["ts"] >= cutoff}
         reachable: set[str] = set()
         for v in keep:
             for d in live_dirs(root, v):

@@ -183,3 +183,19 @@ def test_cli_table_restore(capsys, spark, tmp_path):
     out = capsys.readouterr().out
     assert "restored to v0" in out and "zero data" in out
     assert sorted(r.k for r in vt.read_version(spark, root).collect()) == [0, 1, 2, 3, 4]
+
+
+def test_vacuum_time_retention_protects_restore_targets(spark, tmp_path):
+    """keep_last_hours retains every version in the audit window, so a
+    rollback to any of them stays possible after vacuum."""
+    root = tmp_path / "tbl"
+    vt.append(root, _rows(spark, [(0, 0)]), num_files=1)
+    vt.overwrite(root, _rows(spark, [(1, 1)]), num_files=1)
+    vt.overwrite(root, _rows(spark, [(2, 2)]), num_files=1)
+    # all commits are seconds old: the 1-hour window retains them all
+    assert vt.vacuum(root, keep_versions=1, keep_last_hours=1.0) == []
+    assert vt.restore(spark, root, 0)["committed"]
+    assert _snap(spark, root) == [(0, 0)]
+    # with no window, only the latest snapshot's dirs survive
+    removed = vt.vacuum(root, keep_versions=1)
+    assert removed  # superseded overwrite dirs reclaimed
