@@ -340,6 +340,11 @@ def main() -> None:
         "table_delete_where2k": _lc_table_delete_where,
         "index_delete100": _lc_index_delete,
     }
+    # one untimed stream drain first: the initial drain pays Python
+    # DataSource registration + worker spin-up (observed 1.0 s stddev
+    # on a 1.5 s median without it); every timed sample is steady-state
+    _lc_table_stream_drain()
+
     lc_samples: dict[str, list[float]] = {n: [] for n in lc_fns}
     gram_rates: list[float] = []
     for _pass in range(3):

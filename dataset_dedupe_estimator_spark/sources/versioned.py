@@ -343,7 +343,13 @@ def _write_checkpoint(root: Path) -> None:
     entries = _snapshot_entries(root)
     if not entries:
         return
-    folded = _fold_entries(root, entries)
+    try:
+        folded = _fold_entries(root, entries)
+    except KeyError:
+        # a tail restore resurrected a dir the previous checkpoint had
+        # folded away as dead — refold from the raw log, which holds
+        # every entry (rare: only the first checkpoint after that)
+        folded = _fold_entries(root, _committed_entries(root))
     table = pa.table(
         {
             "version": pa.array([e["version"] for e in folded], pa.int64()),
@@ -1209,7 +1215,11 @@ def zone_map_prune(
     total = kept = 0
     bloom_pos_cache: dict[tuple, list[int]] = {}
     for d in dirs:
-        entry = by_dir[Path(d).name]
+        # .get: a dir can be live yet have no entry in a CHECKPOINTED
+        # snapshot — the fold drops fully-masked dead dirs, and a later
+        # restore can resurrect exactly those. Degrade to a stats-less
+        # whole scan (conservative: keeps files, never loses rows).
+        entry = by_dir.get(Path(d).name) or {}
         masked = masks.get(Path(d).name, set())
         stats = entry.get("stats")
         bloom_cols = set(entry.get("bloom_columns") or [])
@@ -1699,7 +1709,9 @@ def upsert_pruned(
         cand_files: list[str] = []
         carried = 0
         for d in live_data_dirs:
-            entry = by_dir[Path(d).name]
+            # .get: a restore can resurrect a dir a checkpoint fold had
+            # dropped as dead — stats-less = rewrite-candidate (safe)
+            entry = by_dir.get(Path(d).name) or {}
             masked = masks.get(Path(d).name, set())
             stats = entry.get("stats")
             bloom_cols = set(entry.get("bloom_columns") or [])

@@ -199,3 +199,46 @@ def test_vacuum_time_retention_protects_restore_targets(spark, tmp_path):
     # with no window, only the latest snapshot's dirs survive
     removed = vt.vacuum(root, keep_versions=1)
     assert removed  # superseded overwrite dirs reclaimed
+
+
+def test_restore_resurrects_a_dir_the_checkpoint_folded_away(spark, tmp_path, monkeypatch):
+    """A checkpoint drops FULLY-masked dirs as dead; a later restore can
+    make exactly those dirs live again. Snapshot-path readers must then
+    degrade to a stats-less scan for the resurrected dir (never KeyError,
+    never a wrong prune), and the next checkpoint must refold from the
+    raw log."""
+    monkeypatch.setattr(vt, "_CKPT_EVERY", 1)
+    root = tmp_path / "tbl"
+    vt.append(root, _rows(spark, [(i, 0) for i in range(10)]), num_files=1,
+              stats_columns=["k"])                       # v0: dir A
+    vt.append(root, _rows(spark, [(i, 1) for i in range(10, 20)]),
+              num_files=1)                               # v1: dir B
+    vt.delete_where_pruned(spark, root, [("k", "<=", 9)])  # v2: A fully masked
+    # checkpoint at v2 folded A away as dead
+    vt.restore(spark, root, 1)                           # v3: A live again
+    # drop the post-restore checkpoint so the snapshot path resolves
+    # ckpt@v2 (A folded away) + tail(restore) — the exact shape where
+    # by_dir has no entry for the resurrected dir
+    for ck in (root / "_vlog").glob("ckpt-v*.parquet"):
+        if vt._ckpt_version(ck) > 2:
+            ck.unlink()
+    # snapshot-path reads and prunes on the resurrected dir
+    assert _snap(spark, root) == [(i, 0) for i in range(10)] + [
+        (i, 1) for i in range(10, 20)
+    ]
+    rep = vt.zone_map_prune(root, [("k", "==", 3)])
+    got = vt.read_where(spark, root, [("k", "==", 3)])
+    assert [(r.k, r.v) for r in got.collect()] == [(3, 0)]
+    assert rep["kept_files"] >= 1
+    # a merge touching the resurrected dir rewrites it (stats-less =
+    # candidate), result exact
+    st = vt.upsert_pruned(spark, root, _rows(spark, [(3, 99)]), ["k"])
+    assert st["committed"]
+    got = {r.k: r.v for r in vt.read_version(spark, root).collect()}
+    assert got[3] == 99 and got[4] == 0
+    # the post-restore checkpoint refolded from the raw log: wiping
+    # checkpoints changes nothing
+    with_ck = _snap(spark, root)
+    for ck in (root / "_vlog").glob("ckpt-v*.parquet"):
+        ck.unlink()
+    assert _snap(spark, root) == with_ck
