@@ -721,7 +721,7 @@ def table_checkpoint_read(spark, sf):
     readers load checkpoint + JSON tail, O(live set + tail) instead of
     O(all history).
 
-    Builds a table through 7 appends, a zone-map-bounded DELETE, a
+    Builds a table through 5 appends, a zone-map-bounded DELETE, a
     dataChange=false compaction, and one post-checkpoint tail append —
     with the cadence tightened to 4 so the read genuinely resolves
     through a FOLDED checkpoint (asserted: the query raises if no
@@ -745,9 +745,9 @@ def table_checkpoint_read(spark, sf):
     saved = vt._CKPT_EVERY
     try:
         vt._CKPT_EVERY = 4
-        for m in range(6):
+        for m in range(4):
             vt.append(
-                root, orders.filter(F.col("o_custkey") % 6 == m),
+                root, orders.filter(F.col("o_custkey") % 4 == m),
                 num_files=1, stats_columns=["o_orderkey"],
             )
         vt.delete_where_pruned(
