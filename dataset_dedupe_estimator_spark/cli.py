@@ -1368,6 +1368,7 @@ def cmd_table(args) -> int:
         st = vt.compact_small(
             spark, args.root,
             small_bytes=args.small_bytes, target_bytes=args.target_bytes,
+            zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
         )
         if not st["committed"]:
             print(

@@ -2197,15 +2197,26 @@ def compact_small(
     root: str | Path,
     small_bytes: int = 32 << 20,
     target_bytes: int = 128 << 20,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 10,
 ) -> dict:
     """Delta-OPTIMIZE-shaped small-file compaction: rewrite ONLY the
     live files smaller than ``small_bytes`` into ~``target_bytes``
     outputs; every larger file is carried by reference, byte-identical
     on disk. Contrast :func:`optimize`, which rewrites the whole
-    snapshot (the right tool when re-clustering with ``zorder_by``);
-    this is the maintenance pass a streaming-ingested table needs —
-    thousands of per-batch commits fold into a few right-sized files
-    at O(small files) cost, not O(table).
+    snapshot (the right tool when re-clustering everything); this is
+    the maintenance pass a streaming-ingested table needs — thousands
+    of per-batch commits fold into a few right-sized files at O(small
+    files) cost, not O(table).
+
+    ``zorder_by`` clusters the folded rows on a Morton key while
+    they're being rewritten anyway (the liquid-clustering idea:
+    incremental maintenance keeps the table queryable without ever
+    paying a full re-cluster) — the freshly-ingested debris comes out
+    clustered and its recorded zone maps tight, at the same O(small
+    files) cost; files already large (and presumably already
+    clustered by a previous pass) are untouched. Row set identical
+    either way, so the commit stays ``data_change: false``.
 
     The commit is a ``compact`` entry with the same dir + ``removed``
     mask shape as delete/upsert but stamped ``data_change: false``:
@@ -2268,7 +2279,18 @@ def compact_small(
         new_version = version + 1
         dir_name = f"c{new_version:08d}"
         data_dir = root / _DATA / dir_name
-        writer = src.coalesce(int(num_files)).write.mode("overwrite")
+        if zorder_by:
+            from dataset_dedupe_estimator_spark.operators.layout import (
+                zorder_frame,
+            )
+
+            out = zorder_frame(
+                src, list(zorder_by), bits=zorder_bits,
+                num_files=int(num_files),
+            )
+            writer = out.write.mode("overwrite")
+        else:
+            writer = src.coalesce(int(num_files)).write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(str(data_dir))

@@ -173,3 +173,64 @@ def test_cli_compact_small(capsys, spark, tmp_path):
     assert "small file(s) folded" in out and "dataChange=false" in out
     assert main(["table", "compact-small", root]) == 0
     assert "nothing to compact" in capsys.readouterr().out
+
+
+def test_compact_small_zorder_clusters_while_folding(spark, tmp_path):
+    """compact_small(zorder_by=...) folds the ingest debris CLUSTERED:
+    identical rows (still dataChange=false), but the folded files'
+    recorded zone maps become tight enough to prune — the liquid-
+    clustering maintenance shape."""
+    from pyspark.sql import functions as F
+
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    root = tmp_path / "tbl"
+    # 8 unclustered commits: each carries the FULL key range, so no
+    # per-file pruning is possible before compaction
+    for m in range(8):
+        df = spark.range(4000).filter(F.col("id") % 8 == m).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        vt.append(root, df, num_files=1, stats_columns=["k"])
+    before = vt.zone_map_prune(root, [("k", "between", (100, 200))])
+    assert before["skipped_files"] == 0  # every file spans everything
+    rows_before = sorted(
+        (r.k, r.v) for r in vt.read_version(spark, root).collect()
+    )
+    st = vt.compact_small(spark, root, zorder_by=["k"])
+    assert st["committed"] and st["compacted_files"] == 8
+    # rows identical, commit is layout-only
+    assert vt.history(root)[-1]["data_change"] is False
+    rows_after = sorted(
+        (r.k, r.v) for r in vt.read_version(spark, root).collect()
+    )
+    assert rows_after == rows_before
+    # the folded output is clustered: a narrow band now prunes files
+    # (force multiple outputs so there is something to skip)
+    st2 = vt.compact_small(spark, root)  # no-op: one file left
+    after = vt.zone_map_prune(root, [("k", "between", (100, 200))])
+    assert after["total_files"] >= 1
+    del st2
+
+
+def test_compact_small_zorder_multifile_prunes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    root = tmp_path / "tbl"
+    for m in range(6):
+        df = spark.range(60_000).filter(F.col("id") % 6 == m).select(
+            F.col("id").alias("k"), F.sha1(F.col("id").cast("string")).alias("pad")
+        )
+        vt.append(root, df, num_files=1, stats_columns=["k"])
+    # target sized so the fold produces ~4 files -> tiles prune
+    total = sum(
+        f.stat().st_size for f in (root / "data").rglob("*.parquet")
+    )
+    vt.compact_small(spark, root, zorder_by=["k"], target_bytes=total // 4)
+    rep = vt.zone_map_prune(root, [("k", "between", (0, 5_000))])
+    assert rep["total_files"] >= 3
+    assert rep["skipped_files"] >= 1  # clustered tiles: band prunes
+    got = vt.read_where(spark, root, [("k", "between", (0, 5_000))])
+    assert got.count() == 5_001
