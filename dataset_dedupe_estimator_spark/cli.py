@@ -1312,18 +1312,29 @@ def cmd_table(args) -> int:
         if preds is None:
             return 2
         spark = _spark(args)
-        st = vt.delete_where_pruned(spark, args.root, preds, num_files=args.files)
-        if not st["committed"]:
-            print(
-                f"nothing to delete (zone maps prove no file intersects; "
-                f"{st['skipped_files']} file(s) skipped, no commit)"
-            )
+        if args.dv:
+            st = vt.delete_where_dv(spark, args.root, preds)
+            if not st["committed"]:
+                print("nothing to delete (no row matches; no commit)")
+            else:
+                print(
+                    f"committed v{st['version']} (deletion vector: "
+                    f"{st['deleted_rows']} rows hidden, 0 files rewritten "
+                    "— the next compaction purges them physically)"
+                )
         else:
-            print(
-                f"committed v{st['version']} (delete: {st['deleted_rows']} rows, "
-                f"{st['rewritten_files']} file(s) rewritten, "
-                f"{st['carried_files']} carried untouched)"
-            )
+            st = vt.delete_where_pruned(spark, args.root, preds, num_files=args.files)
+            if not st["committed"]:
+                print(
+                    f"nothing to delete (zone maps prove no file intersects; "
+                    f"{st['skipped_files']} file(s) skipped, no commit)"
+                )
+            else:
+                print(
+                    f"committed v{st['version']} (delete: {st['deleted_rows']} rows, "
+                    f"{st['rewritten_files']} file(s) rewritten, "
+                    f"{st['carried_files']} carried untouched)"
+                )
     elif args.action == "upsert":
         if not args.src or not args.keys:
             print(
@@ -1863,6 +1874,12 @@ def build_parser() -> argparse.ArgumentParser:
     tb.add_argument("--out")
     tb.add_argument("--files", type=int)
     tb.add_argument("--keep", type=int, default=1)
+    tb.add_argument(
+        "--dv", action="store_true",
+        help="delete-where: commit a DELETION VECTOR (position-delete "
+        "sidecar) instead of rewriting files — O(deleted rows) write, "
+        "rows purged physically at the next compaction",
+    )
     tb.add_argument(
         "--keep-hours", type=float,
         help="vacuum: additionally retain every version committed "

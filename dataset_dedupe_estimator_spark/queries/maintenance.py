@@ -878,6 +878,95 @@ GROUP BY 1 ORDER BY bucket
 """
 
 
+# deletion-vector bands — inside every SF's key range
+_DV_LO, _DV_HI = 600, 1800
+_DV_KEYS = (42, 2042, 2999)
+_DV_UP = 2100
+
+
+def table_dv_delete_read(spark, sf):
+    """Deletion vectors (r8, ``sources/versioned.py::delete_where_dv``
+    — the Delta DV / Iceberg position-delete merge-on-read shape):
+    a DELETE commits an O(deleted rows) sidecar of (file, row
+    position) pairs and rewrites NOTHING; every reader anti-joins it.
+
+    Two appends build the table; one DV delete hides a key band, a
+    second hides an IN set (accumulation; re-matching already-deleted
+    rows must count zero); an upsert then rewrites one file
+    (maintenance must not resurrect DV'd rows). The final aggregate
+    reads the merge-on-read snapshot; the oracle recomputes orders
+    minus the deleted keys with the upsert applied, so a resurrected
+    row, a double-hidden row, or a position mis-join hash-mismatches.
+    Eager by construction; result localCheckpointed before the temp
+    table vanishes.
+    """
+    import shutil
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", cents("o_totalprice").alias("price_cents")
+    )
+    root = tempfile.mkdtemp(prefix="dde_dv_")
+    try:
+        vt.append(
+            root,
+            orders.filter(F.col("o_custkey") % 2 == 0)
+            .repartitionByRange(4, "o_orderkey"),
+            stats_columns=["o_orderkey"],
+        )
+        vt.append(
+            root,
+            orders.filter(F.col("o_custkey") % 2 == 1)
+            .repartitionByRange(4, "o_orderkey"),
+        )
+        vt.delete_where_dv(
+            spark, root, [("o_orderkey", "between", (_DV_LO, _DV_HI))]
+        )
+        vt.delete_where_dv(
+            spark, root, [("o_orderkey", "in", list(_DV_KEYS))]
+        )
+        ups = orders.filter(F.col("o_orderkey") == _DV_UP).select(
+            "o_orderkey", "o_custkey",
+            (F.col("price_cents") + F.lit(777)).alias("price_cents"),
+        )
+        vt.upsert_pruned(spark, root, ups, ["o_orderkey"])
+        got = vt.read_version(spark, root)
+        out = (
+            got.groupBy((F.col("o_custkey") % 10).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+                F.sum("price_cents").alias("total_cents"),
+            )
+            .orderBy("bucket")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+TABLE_DV_DELETE_READ_SQL = f"""
+SELECT o_custkey % 10 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       CAST(SUM(price_cents) AS BIGINT) AS total_cents
+FROM (
+    SELECT o_custkey, o_orderkey,
+           CASE WHEN o_orderkey = {_DV_UP}
+                THEN {sql_cents('o_totalprice')} + 777
+                ELSE {sql_cents('o_totalprice')} END AS price_cents
+    FROM orders
+    WHERE o_orderkey NOT BETWEEN {_DV_LO} AND {_DV_HI}
+      AND o_orderkey NOT IN ({", ".join(str(k) for k in _DV_KEYS)})
+)
+GROUP BY 1 ORDER BY bucket
+"""
+
+
 # change-feed bands for table_cdf_read — inside every SF's key range
 _CF_UP_LO, _CF_UP_HI = 1000, 1200   # upsert-replaced band (price bumped)
 _CF_INS_HI = 1050                   # [1000, 1050] also insert at key + 10M
@@ -1128,6 +1217,7 @@ QUERIES = {
         table_checkpoint_read, TABLE_CHECKPOINT_READ_SQL
     ),
     "table_restore_read": Q(table_restore_read, TABLE_RESTORE_READ_SQL),
+    "table_dv_delete_read": Q(table_dv_delete_read, TABLE_DV_DELETE_READ_SQL),
     "table_zonemap_read": Q(table_zonemap_read, TABLE_ZONEMAP_READ_SQL),
     "mv_from_version_diff": Q(mv_from_version_diff, MV_FROM_VERSION_DIFF_SQL),
     "streaming_mv_refresh": Q(streaming_mv_refresh, STREAMING_MV_REFRESH_SQL),

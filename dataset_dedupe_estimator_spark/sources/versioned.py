@@ -67,6 +67,17 @@ _VLOG = "_vlog"
 _DATA = "data"
 _CDF = "_cdf"  # per-commit change-data files (row-level CDC at rest)
 _BLOOMS = "_blooms"  # per-commit bloom-bitmap parquet sidecars
+_DV = "_dv"  # per-commit deletion vectors (position-delete sidecars)
+
+# DV row identity: the percent-ENCODED `cNNNNNNNN/<rel>` suffix of
+# `_metadata.file_path` (greedy prefix takes the LAST '/data/'
+# occurrence, so a root path containing '/data/' can't shadow it;
+# partition values can never contain a literal '/'), plus the row's
+# position within the file. Both the DV writer and every reader derive
+# the key from the SAME JVM expression over the same metadata column,
+# so encoding is consistent by construction and the key survives a
+# table relocation.
+_DV_KEY = r"^.*/data/(c[0-9]{8}/.*)$"
 
 
 def _cf_active(live_entries: list[dict]) -> bool:
@@ -315,6 +326,10 @@ def _fold_entries(root: Path, entries: list[dict]) -> list[dict]:
         lastc["added_columns"] = widened
     if _cf_active(entries):
         lastc["change_feed"] = True
+    dv_refs = _live_dv_refs(entries)
+    if dv_refs:
+        # replace semantics: includes lastc's own dv_ref if any
+        lastc["dv_all"] = [list(r) for r in dv_refs]
     return [by_version[v] for v in sorted(by_version)]
 
 
@@ -1039,6 +1054,66 @@ def _surviving_files(dirs: list[str], masks: dict[str, set[str]]) -> list[str]:
     return out
 
 
+def _live_dv_refs(live_entries: list[dict]) -> list[tuple[str, int]]:
+    """(dv sidecar name, row count) pairs active at the resolved
+    version, oldest first. Deletion vectors accumulate like masks and
+    RESET the same way: an overwrite retires every earlier DV with the
+    files it retires; a restore reinstates exactly the target's set
+    (recorded in its entry); a checkpoint fold emits the accumulated
+    set as ``dv_all`` (replace semantics, includes the entry's own)."""
+    refs: list[tuple[str, int]] = []
+    for e in live_entries:
+        if "dv_all" in e:
+            refs = [tuple(r) for r in e["dv_all"]]
+            continue
+        if e["action"] == "overwrite":
+            refs = []
+        elif e["action"] == "restore":
+            refs = [tuple(r) for r in (e.get("dv") or [])]
+        if e.get("dv_ref"):
+            refs.append((e["dv_ref"], int(e.get("dv_rows") or 0)))
+    return refs
+
+
+def _dv_frame(spark: SparkSession, root: Path, live_entries: list[dict]):
+    """The union of the live deletion vectors as (``_dv_key``,
+    ``_dv_rid``), broadcast-hinted while the total stays comfortably
+    under the broadcast budget — the common case: DVs exist precisely
+    because the delete was small relative to its files. Returns None
+    when no DV is active (every read stays exactly the pre-DV plan)."""
+    from pyspark.sql import functions as F
+
+    refs = _live_dv_refs(live_entries)
+    if not refs:
+        return None
+    paths = [str(root / _DV / name) for name, _ in refs]
+    df = spark.read.parquet(*paths).select("_dv_key", "_dv_rid").distinct()
+    if sum(n for _, n in refs) <= 2_000_000:  # ~50 MB broadcast ceiling
+        df = F.broadcast(df)
+    return df
+
+
+def _dv_filter(df: DataFrame, dvf) -> DataFrame:
+    """Apply the live deletion vectors to a FILE-SCAN DataFrame (must be
+    called directly on the scan, before any projection drops the hidden
+    ``_metadata`` column): anti-join on (encoded file suffix, row
+    position). No DV ⇒ the input is returned untouched."""
+    from pyspark.sql import functions as F
+
+    if dvf is None:
+        return df
+    cols = df.columns
+    probe = df.withColumns(
+        {
+            "_dv_key": F.regexp_extract(
+                F.col("_metadata.file_path"), _DV_KEY, 1
+            ),
+            "_dv_rid": F.col("_metadata.row_index"),
+        }
+    )
+    return probe.join(dvf, ["_dv_key", "_dv_rid"], "left_anti").select(*cols)
+
+
 def live_dirs(root: str | Path, version: int | None = None) -> list[str]:
     """Data directories visible at ``version`` (default: latest)."""
     root = Path(root)
@@ -1064,6 +1139,7 @@ def read_version(
     widened = any("added_columns" in e for e in live_entries)
     masks = _live_masks(live_entries)
     masked = any(Path(d).name in masks for d in dirs)
+    dvf = _dv_frame(spark, root, live_entries)
 
     def _backfill(df):
         # a widened column can be absent from every surviving file once
@@ -1087,11 +1163,11 @@ def read_version(
         # that predates a schema widening current again — the widened
         # column then exists in NO live file and must read as NULL
         if not masked:
-            return _backfill(reader.parquet(*dirs))
+            return _backfill(_dv_filter(reader.parquet(*dirs), dvf))
         files = _surviving_files(dirs, masks)
         if not files:
             return _backfill(reader.parquet(*dirs)).limit(0)
-        return _backfill(reader.parquet(*files))
+        return _backfill(_dv_filter(reader.parquet(*files), dvf))
     df = None
     for d in dirs:
         if not masked:
@@ -1101,6 +1177,7 @@ def read_version(
             if not plist:
                 continue  # every file of this commit dir is masked
             part = spark.read.option("basePath", d).parquet(*plist)
+        part = _dv_filter(part, dvf)
         df = part if df is None else df.unionByName(part, allowMissingColumns=True)
     if df is None:  # every live file masked out
         return _backfill(spark.read.parquet(dirs[0]).limit(0))
@@ -1389,11 +1466,12 @@ def read_where(
     if not paths:
         snap = read_version(spark, root, version)
         return snap.filter(_cond(snap)).limit(0)
+    dvf = _dv_frame(spark, root, live_entries)
     if not partitioned:
         reader = spark.read
         if widened:
             reader = reader.option("mergeSchema", "true")
-        return _with_schema(reader.parquet(*paths))
+        return _with_schema(_dv_filter(reader.parquet(*paths), dvf))
     # partitioned: group surviving files by commit dir so basePath can
     # recover the hive partition columns per scan
     by_base: dict[str, list[str]] = {d: [d] for d in report["dirs"]}
@@ -1402,7 +1480,9 @@ def read_where(
         by_base.setdefault(base, []).append(f)
     df = None
     for base, plist in by_base.items():
-        part = spark.read.option("basePath", base).parquet(*plist)
+        part = _dv_filter(
+            spark.read.option("basePath", base).parquet(*plist), dvf
+        )
         df = part if df is None else df.unionByName(part, allowMissingColumns=True)
     return _with_schema(df)
 
@@ -1607,6 +1687,7 @@ def upsert_pruned(
     with writer_lock(root):
         entries = _snapshot_entries(root)
         version, live_data_dirs, live_entries = _resolve(root, entries, None)
+        dvf = _dv_frame(spark, root, live_entries)
         schema_cols = live_entries[-1]["columns"]
         for k in key_cols:
             if k not in schema_cols:
@@ -1785,7 +1866,9 @@ def upsert_pruned(
                 reader = spark.read.option("basePath", base)
                 if widened:
                     reader = reader.option("mergeSchema", "true")
-                part = _norm(reader.parquet(*plist))
+                # deletion vectors apply to every maintenance read too:
+                # a DV-deleted row must never resurrect into a rewrite
+                part = _norm(_dv_filter(reader.parquet(*plist), dvf))
                 cand = part if cand is None else cand.unionByName(part)
             n_cand = cand.count()
             keys_side = F.broadcast(kdf) if exact else kdf
@@ -1926,6 +2009,7 @@ def delete_where_pruned(
     with writer_lock(root):
         entries = _snapshot_entries(root)
         version, live_data_dirs, live_entries = _resolve(root, entries, None)
+        dvf = _dv_frame(spark, root, live_entries)
         report = zone_map_prune(root, predicates, version)  # mask-aware
         cand_files = list(report["files"]) + [
             str(f)
@@ -1964,7 +2048,7 @@ def delete_where_pruned(
             reader = spark.read.option("basePath", base)
             if widened:
                 reader = reader.option("mergeSchema", "true")
-            part = _norm(reader.parquet(*plist))
+            part = _norm(_dv_filter(reader.parquet(*plist), dvf))
             cand = part if cand is None else cand.unionByName(part)
         n_cand = cand.count()
         # survivors: rows the conjunction does NOT match (NULL in a
@@ -2049,6 +2133,134 @@ def delete_where_pruned(
     }
 
 
+def delete_where_dv(
+    spark: SparkSession,
+    root: str | Path,
+    predicates: list[tuple],
+) -> dict:
+    """Merge-on-read DELETE via a DELETION VECTOR (the Delta DV /
+    Iceberg position-delete shape): instead of rewriting the files the
+    predicate touches, commit a sidecar of (file, row position) pairs —
+    every reader anti-joins it, so the rows vanish from this version
+    onward while ZERO data files are rewritten. The write cost is
+    O(deleted rows), not O(files touched): deleting 100 rows from a
+    100 TB table writes a KB-sized parquet sidecar.
+
+    Contrast :func:`delete_where_pruned` (copy-on-write: rewrites the
+    touched files, best when deletes are large or reads dominate). The
+    DV is the right tool for small/frequent deletes; the read-side
+    anti-join cost is retired by the next maintenance pass —
+    ``compact_small`` / ``optimize`` / any rewrite of the file
+    physically drops the rows (the retention story: DV delete →
+    compact → gone). Rows already DV-deleted are excluded from the
+    match (counts and change data stay exact); NULLs in predicate
+    columns never match (same null-rejecting language as everywhere).
+    With the change feed active the commit also writes the deleted
+    rows as change data. Commits nothing when no row matches.
+    """
+    from pyspark.sql import functions as F
+
+    if not predicates:
+        raise ValueError("delete_where_dv needs at least one predicate")
+    for p in predicates:
+        if len(p) != 3 or p[1] not in _PRUNE_OPS:
+            raise ValueError(
+                f"predicate {p!r} must be (column, op, value) with op in "
+                f"{sorted(_PRUNE_OPS)}"
+            )
+    root = Path(root)
+    (root / _VLOG).mkdir(parents=True, exist_ok=True)
+    with writer_lock(root):
+        entries = _snapshot_entries(root)
+        version, live_data_dirs, live_entries = _resolve(root, entries, None)
+        dvf = _dv_frame(spark, root, live_entries)
+        report = zone_map_prune(root, predicates, version)
+        cand_files = list(report["files"]) + [
+            str(f)
+            for d in report["dirs"]
+            for f in sorted(Path(d).rglob("*.parquet"))
+        ]
+        if not cand_files:  # no file can hold a match: commit nothing
+            return {
+                "version": version, "deleted_rows": 0,
+                "skipped_files": report["skipped_files"], "committed": False,
+            }
+        schema_cols = live_entries[-1]["columns"]
+        widened = any("added_columns" in e for e in live_entries)
+        by_base: dict[str, list[str]] = {}
+        for f in cand_files:
+            base = next(
+                d for d in live_data_dirs if f.startswith(d + os.sep)
+            )
+            by_base.setdefault(base, []).append(f)
+        matches = None
+        for base, plist in by_base.items():
+            reader = spark.read.option("basePath", base)
+            if widened:
+                reader = reader.option("mergeSchema", "true")
+            part = reader.parquet(*plist).withColumns(
+                {
+                    "_dv_key": F.regexp_extract(
+                        F.col("_metadata.file_path"), _DV_KEY, 1
+                    ),
+                    "_dv_rid": F.col("_metadata.row_index"),
+                }
+            )
+            for c in schema_cols:  # widened cols absent from old files
+                if c not in part.columns:
+                    part = part.withColumn(c, F.lit(None))
+            part = part.select(*schema_cols, "_dv_key", "_dv_rid")
+            matches = part if matches is None else matches.unionByName(part)
+        if dvf is not None:  # already-deleted rows must not re-match
+            matches = matches.join(dvf, ["_dv_key", "_dv_rid"], "left_anti")
+        matches = matches.filter(
+            F.coalesce(_predicate_cond(matches, predicates), F.lit(False))
+        )
+        new_version = version + 1
+        dv_name = f"c{new_version:08d}"
+        dv_dir = root / _DV / dv_name
+        matches.select("_dv_key", "_dv_rid").write.mode("overwrite").parquet(
+            str(dv_dir)
+        )
+        n_del = spark.read.parquet(str(dv_dir)).count()
+        if not n_del:  # predicate matched nothing: commit nothing
+            shutil.rmtree(dv_dir, ignore_errors=True)
+            return {
+                "version": version, "deleted_rows": 0,
+                "skipped_files": report["skipped_files"], "committed": False,
+            }
+        last = entries[-1]
+        entry = {
+            "version": new_version,
+            "action": "delete",
+            "dir": None,
+            "dv_ref": dv_name,
+            "dv_rows": n_del,
+            "columns": schema_cols,
+            "partition_by": last.get("partition_by") or [],
+            "predicates": [list(p) for p in predicates],
+            "ts": time.time(),
+        }
+        if last.get("stats_columns"):
+            entry["stats_columns"] = last["stats_columns"]
+        if last.get("bloom_columns"):
+            entry["bloom_columns"] = last["bloom_columns"]
+            entry["bloom_bits"] = last.get("bloom_bits") or 65_536
+        if _cf_active(live_entries):
+            matches.select(*schema_cols).withColumn(
+                "_change", F.lit("delete")
+            ).write.mode("overwrite").parquet(str(root / _CDF / dv_name))
+            entry["change_data"] = True
+        _commit(root, entry)
+    return {
+        "version": new_version,
+        "deleted_rows": n_del,
+        "rewritten_files": 0,
+        "skipped_files": report["skipped_files"],
+        "committed": True,
+    }
+
+
 def restore(
     spark: SparkSession,
     root: str | Path,
@@ -2089,6 +2301,11 @@ def restore(
             return {"version": cur_version, "committed": False}
         t_version, t_dirs, t_entries = _resolve(root, entries, version)
         missing = [d for d in t_dirs if not Path(d).is_dir()]
+        missing += [
+            str(root / _DV / name)
+            for name, _ in _live_dv_refs(t_entries)
+            if not (root / _DV / name).is_dir()
+        ]
         if missing:
             raise VersionNotFoundError(
                 f"cannot restore {root} to version {version}: its data "
@@ -2100,6 +2317,7 @@ def restore(
             for d, v in _live_masks(t_entries).items()
             if d in set(dir_names)
         }
+        t_dvs = [list(r) for r in _live_dv_refs(t_entries)]
         last = entries[-1]
         new_version = cur_version + 1
         entry = {
@@ -2109,6 +2327,7 @@ def restore(
             "dir": None,
             "dirs": dir_names,
             "removed": t_masks,
+            "dv": t_dvs,  # deletion vectors reinstated as of the target
             "columns": last["columns"],  # schema never narrows
             "partition_by": last.get("partition_by") or [],
             "ts": time.time(),
@@ -2232,6 +2451,7 @@ def compact_small(
     with writer_lock(root):
         entries = _snapshot_entries(root)
         version, live_data_dirs, live_entries = _resolve(root, entries, None)
+        dvf = _dv_frame(spark, root, live_entries)
         masks = _live_masks(live_entries)
         schema_cols = live_entries[-1]["columns"]
         partition_by = live_entries[-1].get("partition_by") or []
@@ -2271,7 +2491,9 @@ def compact_small(
             reader = spark.read.option("basePath", base)
             if widened:
                 reader = reader.option("mergeSchema", "true")
-            part = _norm(reader.parquet(*plist))
+            # DV-deleted rows are filtered OUT of the fold: compaction
+            # is where a deletion vector's rows become physically gone
+            part = _norm(_dv_filter(reader.parquet(*plist), dvf))
             src = part if src is None else src.unionByName(part)
         n_in = src.count()
         small_total = sum(Path(f).stat().st_size for f in small)
@@ -2418,6 +2640,18 @@ def vacuum(
             if stem not in reachable or v not in committed:
                 f.unlink()
                 removed.append(f"{_BLOOMS}/{f.name}")
+        # deletion vectors: keep exactly those some retained version's
+        # live set still references (orphans and overwritten-away DVs
+        # drop out naturally)
+        keep_dv: set[str] = set()
+        for v in keep:
+            live_v = [e for e in entries if e["version"] <= v]
+            keep_dv |= {name for name, _ in _live_dv_refs(live_v)}
+        dvdir = root / _DV
+        for d in sorted(dvdir.iterdir()) if dvdir.is_dir() else []:
+            if d.is_dir() and d.name not in keep_dv:
+                shutil.rmtree(d)
+                removed.append(f"{_DV}/{d.name}")
         # superseded checkpoints: readers only ever load the newest, and
         # every entry it folds is still present as raw JSON (checkpoints
         # are an optimization, never the source of truth)

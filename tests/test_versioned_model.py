@@ -94,6 +94,7 @@ _OP_PRUNED = st.one_of(
     st.tuples(st.just("delete_band"), st.tuples(_KEYS, _KEYS)),
     st.tuples(st.just("compact"), st.none()),
     st.tuples(st.just("restore"), st.integers(min_value=0, max_value=11)),
+    st.tuples(st.just("dv_delete"), _KEYS),
 )
 
 
@@ -174,6 +175,16 @@ def test_pruned_mutations_time_travel_exactly(spark, tmp_path_factory, ops):
             if not stt["committed"]:  # target == current: no-op
                 continue
             live = list(snapshots[target])
+        elif kind == "dv_delete":
+            if not snapshots:
+                continue
+            stt = vt.delete_where_dv(spark, root, [("k", "==", arg)])
+            want_gone = [(k, v) for k, v in live if k == arg]
+            if not stt["committed"]:
+                assert not want_gone  # nothing matched ⇒ model agrees
+                continue
+            assert stt["deleted_rows"] == len(want_gone)
+            live = [(k, v) for k, v in live if k != arg]
         snapshots.append(sorted(live))
 
     assert len(vt.history(root)) == len(snapshots)
