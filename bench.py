@@ -319,6 +319,17 @@ def main() -> None:
             spark, dt_root, [("o_orderkey", "between", (lo, lo + 1999))]
         )
 
+    _dv_n = [0]
+
+    def _lc_table_dv_delete():
+        # same band width as the copy-on-write leg, disjoint schedule:
+        # the pair reads as "merge-on-read sidecar vs file rewrite"
+        lo = 200_001 + _dv_n[0] * 4000
+        _dv_n[0] += 1
+        vt.delete_where_dv(
+            spark, dt_root, [("o_orderkey", "between", (lo, lo + 1999))]
+        )
+
     _idel_n = [0]
 
     def _lc_index_delete():
@@ -338,6 +349,7 @@ def main() -> None:
         "table_stream_drain": _lc_table_stream_drain,
         "cdf_read": _lc_cdf_read,
         "table_delete_where2k": _lc_table_delete_where,
+        "table_dv_delete2k": _lc_table_dv_delete,
         "index_delete100": _lc_index_delete,
     }
     # one untimed stream drain first: the initial drain pays Python
