@@ -128,6 +128,36 @@ def main() -> int:
             ok = False
             out["fail"] = f"cdf feed rows {feed_n} != {4 * k}"
 
+        # --- deletion vector at size: zero rewrites, exact reads -----
+        import hashlib as _hl
+
+        def _file_md5s():
+            return {
+                str(f): _hl.md5(f.read_bytes()).hexdigest()
+                for f in sorted(Path(root, "data").rglob("*.parquet"))
+            }
+
+        before_dv = _file_md5s()
+        dv_keys = [k * 131 for k in range(1, 11)]
+        t0 = time.time()
+        st3 = vt.delete_where_dv(spark, root, [("id", "in", dv_keys)])
+        out["dv_delete_s"] = round(time.time() - t0, 2)
+        out["dv_deleted_rows"] = st3["deleted_rows"]
+        if _file_md5s() != before_dv:
+            ok = False
+            out["fail"] = "dv delete touched a data file"
+        left = vt.read_where(spark, root, [("id", "in", dv_keys)]).count()
+        if left != 0 or st3["deleted_rows"] != len(dv_keys):
+            ok = False
+            out["fail"] = f"dv rows still visible ({left}) or count off"
+        dv_bytes = sum(
+            f.stat().st_size for f in Path(root, "_dv").rglob("*.parquet")
+        )
+        out["dv_kb"] = round(dv_bytes / 1e3, 1)
+        if dv_bytes > table_bytes * 0.001:  # KB sidecar vs ~100 MB table
+            ok = False
+            out["fail"] = "dv sidecar not O(deleted rows)"
+
         # --- streaming drain: exactly the snapshot, once -------------
         sink, ckpt = f"{work}/sink", f"{work}/ck"
         t0 = time.time()
