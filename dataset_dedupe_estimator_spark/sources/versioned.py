@@ -813,6 +813,14 @@ def _commit_locked(
 ) -> dict:
     """Write + commit under an already-held writer lock, against an
     already-taken log snapshot (``entries``)."""
+    reserved = {"_dv_key", "_dv_rid", "_change", "_commit_version"} & set(
+        df.columns
+    )
+    if reserved:
+        raise ValueError(
+            f"column names {sorted(reserved)} are reserved by the table "
+            "protocol (deletion vectors / change feed) — rename them"
+        )
     if entries:
         prior_cols = set(entries[-1]["columns"])
         cols = set(df.columns)

@@ -195,3 +195,34 @@ def test_cli_delete_where_dv(capsys, spark, tmp_path):
     assert sorted(
         r.k for r in vt.read_version(spark, root).collect()
     ) == [0, 1, 5, 6, 7, 8, 9]
+
+
+def test_reserved_column_names_refused(spark, tmp_path):
+    df = spark.range(3).selectExpr("id as k", "id as _dv_rid")
+    with pytest.raises(ValueError, match="reserved"):
+        vt.append(tmp_path / "t", df)
+    df2 = spark.range(3).selectExpr("id as k", "id as _change")
+    with pytest.raises(ValueError, match="reserved"):
+        vt.overwrite(tmp_path / "t2", df2)
+
+
+def test_dv_predicate_on_widened_column(spark, tmp_path):
+    """A DV delete whose predicate names a column older files LACK must
+    treat those rows as NULL (no match) instead of failing, and the
+    declarations must keep riding the entry chain."""
+    root = tmp_path / "tbl"
+    vt.append(root, _rows(spark, [(i, 0) for i in range(5)]), num_files=1,
+              stats_columns=["k"], bloom_columns=["k"], bloom_bits=4096)
+    wide = spark.createDataFrame(
+        [(10, 1, 7), (11, 1, 8)], "k: long, v: long, w: long"
+    )
+    vt.append(root, wide, num_files=1, allow_new_columns=True)
+    st = vt.delete_where_dv(spark, root, [("w", "==", 7)])
+    assert st["committed"] and st["deleted_rows"] == 1
+    got = sorted(k for k, _ in _snap(spark, root))
+    assert got == [0, 1, 2, 3, 4, 11]
+    # stats/bloom declarations survived the dir-less DV entry
+    vt.append(root, spark.createDataFrame(
+        [(20, 2, None)], "k: long, v: long, w: long"), num_files=1)
+    e = vt.history(root)[-1]
+    assert e.get("stats") and e.get("blooms_file")
