@@ -1256,6 +1256,10 @@ def cmd_table(args) -> int:
         if entry.get("change_feed"):
             zm += ", change feed ON"
         print(f"committed v{entry['version']} ({entry['action']}, dir {entry['dir']}{zm})")
+    elif args.action == "detail":
+        import json as _json
+
+        print(_json.dumps(vt.describe_detail(args.root, args.version)))
     elif args.action == "history":
         for e in vt.history(args.root):
             print(
@@ -1865,7 +1869,7 @@ def build_parser() -> argparse.ArgumentParser:
         choices=[
             "append", "overwrite", "history", "read", "optimize", "vacuum",
             "ingest", "delete-where", "upsert", "tail", "compact-small",
-            "set-constraints", "restore",
+            "set-constraints", "restore", "detail",
         ],
     )
     tb.add_argument("root")

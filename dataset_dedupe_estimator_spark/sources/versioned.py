@@ -1611,6 +1611,53 @@ def read_change_feed(
     )
 
 
+def describe_detail(root: str | Path, version: int | None = None) -> dict:
+    """One metadata-only call answering "what IS this table right now"
+    (the Delta DESCRIBE DETAIL shape): live files/bytes after masks,
+    deletion-vector exposure, declarations, constraints, checkpoint
+    state, and history length — zero data bytes read, zero Spark jobs.
+    The operational questions this serves at 100 TB: is compaction due
+    (num_files vs bytes), are deletes piling up un-purged (dv_rows),
+    is the log checkpointed (checkpoint_version vs version)."""
+    root = Path(root)
+    entries = _entries_for(root, version)
+    version, dirs, live_entries = _resolve(root, entries, version)
+    last = live_entries[-1]
+    masks = _live_masks(live_entries)
+    n_files = 0
+    n_bytes = 0
+    n_masked = 0
+    for d in dirs:
+        masked = masks.get(Path(d).name, ())
+        for f in Path(d).rglob("*.parquet"):
+            if str(f.relative_to(d)) in masked:
+                n_masked += 1
+            else:
+                n_files += 1
+                n_bytes += f.stat().st_size
+    dv_refs = _live_dv_refs(live_entries)
+    ck = _latest_checkpoint(root)
+    cons = _active_constraints(live_entries)
+    raw_commits = len(list((root / _VLOG).glob("v*.json")))
+    return {
+        "version": version,
+        "num_commits": raw_commits,
+        "num_live_dirs": len(dirs),
+        "num_files": n_files,
+        "size_bytes": n_bytes,
+        "num_masked_files": n_masked,
+        "dv_count": len(dv_refs),
+        "dv_rows": sum(n for _, n in dv_refs),
+        "columns": last["columns"],
+        "partition_by": last.get("partition_by") or [],
+        "stats_columns": last.get("stats_columns") or [],
+        "bloom_columns": last.get("bloom_columns") or [],
+        "change_feed": _cf_active(live_entries),
+        "constraints": cons,
+        "checkpoint_version": _ckpt_version(ck) if ck else None,
+    }
+
+
 def register_view(
     spark: SparkSession,
     root: str | Path,

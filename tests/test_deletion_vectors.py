@@ -226,3 +226,28 @@ def test_dv_predicate_on_widened_column(spark, tmp_path):
         [(20, 2, None)], "k: long, v: long, w: long"), num_files=1)
     e = vt.history(root)[-1]
     assert e.get("stats") and e.get("blooms_file")
+
+
+def test_describe_detail(capsys, spark, table):
+    vt.delete_where_dv(spark, table, [("k", "==", 1)])
+    d = vt.describe_detail(table)
+    assert d["version"] == 2 and d["num_commits"] == 3
+    assert d["num_files"] == 8 and d["num_masked_files"] == 0
+    assert d["dv_count"] == 1 and d["dv_rows"] == 1
+    assert d["stats_columns"] == ["k"] and d["change_feed"] is True
+    assert d["checkpoint_version"] is None  # cadence 20 not reached
+    # masked accounting after a pruned delete
+    vt.delete_where_pruned(spark, table, [("k", "==", 30)])
+    d2 = vt.describe_detail(table)
+    # 1 original masked, 1 survivor file added: live count stays 8
+    assert d2["num_masked_files"] == 1 and d2["num_files"] == 8
+    # historical detail reads the raw log
+    d0 = vt.describe_detail(table, version=0)
+    assert d0["num_files"] == 4 and d0["dv_count"] == 0
+    from dataset_dedupe_estimator_spark.cli import main
+
+    assert main(["table", "detail", str(table)]) == 0
+    import json
+
+    out = json.loads(capsys.readouterr().out)
+    assert out["version"] == 3 and out["dv_rows"] == 1
