@@ -46,12 +46,100 @@ for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthet
 # so rotation only affects which subset gets *driver-side* attestation,
 # never whether a regression is caught.
 #
-# Round-8 window (executes the rotation staged at r7 close, COVERAGE.md
-# ledger): the 20 round-4-green queries held in the r7 _NEXT, the 7
-# round-7-added never-driver-checked entries (deletion/table wave), and
-# the 23 stalest round-5-green queries (registry-order tiebreak — all 50
-# r5-attested entries are equally stale).
+# Round-9 window (executes the rotation staged at r8 close, COVERAGE.md
+# ledger): the 27 round-5-green queries held in the r8 _NEXT, the 3
+# round-8-added never-driver-checked entries (checkpoint/restore/DV), and
+# the 20 stalest round-6-green queries (registry-order tiebreak — all 50
+# r6-attested entries are equally stale).
 _FRONT = [
+    "ivfpq_search",
+    "synthetic_delete_rows",
+    "synthetic_insert_rows",
+    "synthetic_update_rows",
+    "synthetic_update_column",
+    "synthetic_append_rows",
+    "streaming_windowed_counts",
+    "streaming_sessionize_events",
+    "salted_agg_lineitem",
+    "merge_upsert_orders",
+    "cdc_upload_delta",
+    "dedup_keep_first_pruned",
+    "dedup_spans",
+    "mixture_sample",
+    "sequence_pack",
+    "quality_classifier",
+    "source_drift_tvd",
+    "unigram_surprisal",
+    "tfidf_top_terms",
+    "bloom_incremental_dedup",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q22_idle_customers",
+    "table_checkpoint_read",
+    "table_restore_read",
+    "table_dv_delete_read",
+    "q1_pricing_summary",
+    "q4_order_priority",
+    "q6_revenue_forecast",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_spenders",
+    "window_top_orders_per_customer",
+    "window_running_spend",
+    "rollup_order_status",
+    "semi_anti_customers",
+    "set_ops_parts",
+    "events_hourly",
+    "events_json_extract",
+    "events_daily_users",
+    "dedup_exact_groups",
+    "dedup_exact_events",
+    "dedup_fingerprint_groups",
+    "dedup_keep_first",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+]
+# overflow: the 30 remaining round-6-green queries — first in line for
+# round 10's window (locally re-verified every round)
+_NEXT = [
+    "minhash_lsh_candidates",
+    "simhash_signatures",
+    "bm25_search",
+    "text_quality",
+    "binary_digest_features",
+    "lang_score",
+    "token_frequencies",
+    "knn_brute_force",
+    "semdedup_clusters",
+    "ann_lsh_bucketed",
+    "ann_ivf_probe",
+    "embedding_dedup_pairs",
+    "embedding_dedup_lsh",
+    "label_centroid_spread",
+    "synthetic_generate_table",
+    "streaming_cms_counts",
+    "grouping_sets_revenue",
+    "trailing_window_revenue",
+    "asof_prev_order",
+    "unpivot_part_metrics",
+    "range_join_price_bands",
+    "cube_order_stats",
+    "cdc_dedup_trend",
+    "dedup_substring_spans",
+    "source_overlap_minhash",
+    "q8_market_share",
+    "q14_promo_revenue",
+    "q19_disjunctive_revenue",
+    "table_time_travel",
+    "zorder_layout",
+]
+# most recent driver green: CORRECTNESS_r08 (50/50 green — 43 oracle,
+# 7 rows-only by design)
+_TAIL = [
     "token_bpe_ish",
     "rolling_hash_fingerprint",
     "cdc_estimate",
@@ -102,91 +190,6 @@ _FRONT = [
     "effective_token_budget",
     "source_token_stats",
     "pq_codes",
-]
-# overflow: the 27 remaining round-5-green queries — first in line for
-# round 9's window (locally re-verified every round)
-_NEXT = [
-    "ivfpq_search",
-    "synthetic_delete_rows",
-    "synthetic_insert_rows",
-    "synthetic_update_rows",
-    "synthetic_update_column",
-    "synthetic_append_rows",
-    "streaming_windowed_counts",
-    "streaming_sessionize_events",
-    "salted_agg_lineitem",
-    "merge_upsert_orders",
-    "cdc_upload_delta",
-    "dedup_keep_first_pruned",
-    "dedup_spans",
-    "mixture_sample",
-    "sequence_pack",
-    "quality_classifier",
-    "source_drift_tvd",
-    "unigram_surprisal",
-    "tfidf_top_terms",
-    "bloom_incremental_dedup",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q22_idle_customers",
-]
-# most recent driver green: CORRECTNESS_r07 (50/50 green — 43 oracle,
-# 7 rows-only by design)
-_TAIL = [
-    "customer_hierarchy_rollup",
-    "supplier_pagerank",
-    "user_value_twap",
-    "near_dup_source_matrix",
-    "bpe_train_merges",
-    "bpe_token_stats",
-    "doc_length_quantiles",
-    "stratified_sample_docs",
-    "streaming_index_pipeline",
-    "image_near_dup_demo",
-    "source_feature_corr",
-    "dataset_card_stats",
-    "mv_incremental_orders",
-    "mv_from_version_diff",
-    "streaming_mv_refresh",
-    "snapshot_diff_docs",
-    "bm25_index_search",
-    "phrase_search_index",
-    "hybrid_rrf",
-    "table_zonemap_read",
-    "spend_quartiles",
-    "filter_project_scan",
-    "distinct_ship_modes",
-    "events_gapfill",
-    "events_attribution",
-    "events_dedup_burst",
-    "events_daily_anomaly",
-    "ngram_containment_pairs",
-    "lsh_index_incremental",
-    "dedup_near_groups",
-    "dedup_near_survivors",
-    "repetition_stats",
-    "contamination_check",
-    "corpus_survival_pipeline",
-    "ann_ivf_trained",
-    "ann_recall_at_k",
-    "semantic_vs_lexical_pairs",
-    "synthetic_generator_e2e",
-    "split_assign",
-    "cross_split_leakage",
-    "split_purge_eval",
-    "streaming_dedup_events",
-    "streaming_view_click_join",
-    "cdc_streaming_estimate",
-    "multimodal_pipeline_demo",
-    "fuzzy_match_customers",
-    "data_quality_report",
-    "profile_documents",
-    "date_part_revenue",
-    "quantity_percentiles",
 ]
 _missing = (set(_FRONT) | set(_NEXT) | set(_TAIL)) - REGISTRY.keys()
 if _missing:
