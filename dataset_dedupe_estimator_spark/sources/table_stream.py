@@ -69,6 +69,7 @@ from pyspark.sql.datasource import (
 from dataset_dedupe_estimator_spark.sources.versioned import (
     _CDF,
     _DATA,
+    _DV,
     _committed_entries,
 )
 
@@ -108,14 +109,39 @@ class _CommitFile(InputPartition):
     """One parquet file of one commit (data or change-data directory).
     ``change`` is the constant ``_change`` value for files that don't
     carry the column (append dirs in CDF mode); ``version`` stamps
-    ``_commit_version`` in CDF mode."""
+    ``_commit_version`` in CDF mode; ``skip_rids`` are file row
+    positions hidden by a deletion vector at the emitted version
+    (restore re-delivery only — KB-sized by design)."""
 
     def __init__(self, path: str, base: str, change: str | None = None,
-                 version: int | None = None):
+                 version: int | None = None,
+                 skip_rids: tuple[int, ...] | None = None):
         self.path = path
         self.base = base
         self.change = change
         self.version = version
+        self.skip_rids = skip_rids
+
+
+def _dv_exclusions(root: Path, refs) -> dict:
+    """'<dir>/<rel>' (filesystem form) -> tuple of deleted row indices,
+    from a restore entry's reinstated DV sidecars. Sidecar keys are the
+    URI-encoded ``_metadata.file_path`` suffix the JVM writes;
+    ``unquote`` maps them back to the filesystem paths the planner
+    walks (percent-escapes are standard, so the decode is exact)."""
+    if not refs:
+        return {}
+    import pyarrow.parquet as pq
+    from urllib.parse import unquote
+
+    out: dict[str, set] = {}
+    for name, _ in refs:
+        t = pq.read_table(
+            str(root / _DV / name), columns=["_dv_key", "_dv_rid"]
+        )
+        for k, r in zip(t["_dv_key"].to_pylist(), t["_dv_rid"].to_pylist()):
+            out.setdefault(unquote(k), set()).add(int(r))
+    return {k: tuple(sorted(v)) for k, v in out.items()}
 
 
 class VersionedTableStreamReader(DataSourceStreamReader):
@@ -194,17 +220,25 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 )
             if e["action"] == "restore":
                 # ignoreChanges: re-deliver the live set this rollback
-                # made current again (its dirs minus its recorded masks)
-                # — downstream tolerates re-delivery by contract
+                # made current again — its dirs minus its recorded file
+                # masks AND minus the rows its reinstated deletion
+                # vectors hide, so the emission equals the restored
+                # live set the batch reader resolves
                 rmasks = {
                     d: set(r) for d, r in (e.get("removed") or {}).items()
                 }
+                dv_skip = _dv_exclusions(root, e.get("dv") or [])
                 for dname in e["dirs"]:
                     base = root / _DATA / dname
                     skip = rmasks.get(dname, set())
                     for f in sorted(base.rglob("*.parquet")):
-                        if str(f.relative_to(base)) not in skip:
-                            parts.append(_CommitFile(str(f), str(base)))
+                        rel = str(f.relative_to(base))
+                        if rel in skip:
+                            continue
+                        rids = dv_skip.get(f"{dname}/{rel}")
+                        parts.append(
+                            _CommitFile(str(f), str(base), skip_rids=rids)
+                        )
                 continue
             if not e.get("dir"):  # zero-survivor delete: nothing to emit
                 continue
@@ -226,7 +260,17 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         pf = pq.ParquetFile(partition.path)
         file_cols = set(pf.schema_arrow.names)
         read_cols = [f.name for f in target if f.name in file_cols]
+        skip_rids = set(getattr(partition, "skip_rids", None) or ())
+        row_pos = 0
         for batch in pf.iter_batches(columns=read_cols):
+            if skip_rids:
+                keep = pa.array(
+                    [row_pos + i not in skip_rids
+                     for i in range(batch.num_rows)],
+                    pa.bool_(),
+                )
+                row_pos += batch.num_rows
+                batch = batch.filter(keep)
             n = batch.num_rows
             by_name = {
                 name: batch.column(i)

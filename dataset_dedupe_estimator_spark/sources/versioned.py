@@ -233,8 +233,18 @@ def _commit(root: Path, entry: dict) -> None:
         # degrade to the slower raw-log path, not fail the commit.
         try:
             _write_checkpoint(root)
-        except Exception:  # pragma: no cover - fs-level races only
+        except OSError:  # pragma: no cover - fs-level races only
             pass
+        except Exception as exc:  # pragma: no cover - fold logic bugs
+            # Never fail the already-committed write, but a persistent
+            # fold failure silently disables checkpointing — surface it.
+            import warnings
+
+            warnings.warn(
+                "checkpoint fold failed (raw log remains authoritative): "
+                f"{exc!r}",
+                stacklevel=2,
+            )
 
 
 # Checkpoint cadence: every N commits the writer folds the log into
@@ -298,7 +308,14 @@ def _fold_entries(root: Path, entries: list[dict]) -> list[dict]:
             universe = {str(f.relative_to(d)) for f in d.rglob("*.parquet")}
         return universe <= m
 
-    live = [e for e in live if not _dead(e)]
+    # When the retained last entry is a restore, its replay RESETS the
+    # live set to e["dirs"] and the masks to lastc["removed"] — so every
+    # dir it names must keep its entry AND its mask in the fold, even if
+    # fully masked (dead). Dropping one would make checkpoint+tail
+    # readers resolve the dir live and unmasked: deleted rows would
+    # silently resurrect (raw log and fold must always agree).
+    protected: set = set(last["dirs"]) if last["action"] == "restore" else set()
+    live = [e for e in live if e["dir"] in protected or not _dead(e)]
     live_names = {e["dir"] for e in live}
     masks = {d: v for d, v in masks.items() if d in live_names}
     cons = next(

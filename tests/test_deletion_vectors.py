@@ -251,3 +251,36 @@ def test_describe_detail(capsys, spark, table):
 
     out = json.loads(capsys.readouterr().out)
     assert out["version"] == 3 and out["dv_rows"] == 1
+
+
+def test_stream_restore_emission_skips_dv_hidden_rows(spark, table, tmp_path):
+    """ADVICE r8: the ignoreChanges restore re-delivery must equal the
+    restored LIVE set — rows hidden by a deletion vector reinstated at
+    the restored version must not stream out (the batch reader
+    anti-joins them; the stream now excludes them by row position)."""
+    from dataset_dedupe_estimator_spark.sources.table_stream import (
+        VersionedTableStreamSource,
+    )
+
+    vt.delete_where_dv(spark, table, [("k", "between", (5, 8))])   # v2
+    vt.append(table, _rows(spark, [(50, 5)]), num_files=1)         # v3
+    vt.restore(spark, table, 2)                                    # v4
+    spark.dataSource.register(VersionedTableStreamSource)
+    sink = tmp_path / "sink"
+    (
+        spark.readStream.format("versioned_table")
+        .option("ignoreChanges", "true")
+        .option("startingVersion", 4)  # only the restore emission
+        .load(str(table))
+        .writeStream.format("parquet")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = sorted(
+        (r.k, r.v) for r in spark.read.parquet(str(sink)).collect()
+    )
+    assert got == _snap(spark, table, 4)  # == restored live set
+    assert not any(5 <= k <= 8 for k, _ in got)

@@ -242,3 +242,34 @@ def test_restore_resurrects_a_dir_the_checkpoint_folded_away(spark, tmp_path, mo
     for ck in (root / "_vlog").glob("ckpt-v*.parquet"):
         ck.unlink()
     assert _snap(spark, root) == with_ck
+
+
+def test_fold_keeps_dead_dirs_named_by_restore_last_entry(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r8 (high): when the fold's LAST entry is a restore whose
+    target live set contains a fully-masked dir, the dead-dir drop must
+    exempt that dir (entry AND mask) — its replay resets live from
+    e["dirs"] and masks from lastc["removed"], so dropping either makes
+    checkpoint+tail readers resurrect the deleted rows."""
+    monkeypatch.setattr(vt, "_CKPT_EVERY", 1)
+    root = tmp_path / "tbl"
+    vt.append(root, _rows(spark, [(i, 0) for i in range(5)]), num_files=1,
+              stats_columns=["k"])                        # v0: dir A
+    vt.append(root, _rows(spark, [(i, 1) for i in range(10, 15)]),
+              num_files=1)                                # v1: dir B
+    vt.delete_where_pruned(spark, root, [("k", ">=", 10)])  # v2: B dead
+    vt.append(root, _rows(spark, [(20, 2)]), num_files=1)  # v3: dir C
+    vt.restore(spark, root, 2)  # v4: live=[A, B] with B fully masked
+    # a checkpoint landed ON the restore commit (cadence 1): the fold's
+    # last entry is the restore naming the dead dir B
+    cks = sorted((root / "_vlog").glob("ckpt-v*.parquet"))
+    assert cks and vt._ckpt_version(cks[-1]) == 4
+    want = [(i, 0) for i in range(5)]  # B's rows stay deleted
+    assert _snap(spark, root) == want  # checkpoint+tail read
+    for ck in (root / "_vlog").glob("ckpt-v*.parquet"):
+        ck.unlink()
+    assert _snap(spark, root) == want  # raw log agrees
+    # and the table keeps working on top of the folded restore
+    vt.append(root, _rows(spark, [(30, 3)]), num_files=1)
+    assert _snap(spark, root) == sorted(want + [(30, 3)])
