@@ -354,10 +354,40 @@ def _ckpt_version(path: Path) -> int:
     return int(path.name[len("ckpt-v"): -len(".parquet")])
 
 
+# Pointer file naming the newest checkpoint (Delta's `_last_checkpoint`
+# shape): readers resolve the snapshot with O(1) stats — pointer +
+# probe-the-tail — instead of LISTING `_vlog/` (O(all commits), and a
+# paginated LIST on object stores). Purely an optimization: missing,
+# stale, or corrupt pointers fall back to the directory glob.
+_LAST_CKPT = "_last_checkpoint"
+
+
+def _advance_last_checkpoint(root: Path, version: int) -> None:
+    vlog = root / _VLOG
+    ptr = vlog / _LAST_CKPT
+    try:
+        cur = json.loads(ptr.read_text())["version"]
+        if cur >= version:  # never regress under racing folders
+            return
+    except (OSError, ValueError, KeyError):
+        pass
+    tmp = vlog / f".{_LAST_CKPT}.tmp-{os.getpid()}"
+    tmp.write_text(json.dumps({"version": version}))
+    os.replace(tmp, ptr)  # atomic, never visible torn
+
+
 def _latest_checkpoint(root: Path) -> Path | None:
     vlog = root / _VLOG
     if not vlog.is_dir():
         return None
+    ptr = vlog / _LAST_CKPT
+    try:
+        v = int(json.loads(ptr.read_text())["version"])
+        cand = vlog / f"ckpt-v{v:08d}.parquet"
+        if cand.exists():
+            return cand
+    except (OSError, ValueError, KeyError, TypeError):
+        pass
     cks = sorted(vlog.glob("ckpt-v*.parquet"))
     return cks[-1] if cks else None
 
@@ -390,8 +420,10 @@ def _write_checkpoint(root: Path) -> None:
             ),
         }
     )
-    target = root / _VLOG / f"ckpt-v{entries[-1]['version']:08d}.parquet"
+    ck_version = entries[-1]["version"]
+    target = root / _VLOG / f"ckpt-v{ck_version:08d}.parquet"
     if target.exists():
+        _advance_last_checkpoint(root, ck_version)
         return
     tmp = target.with_suffix(".tmp-%d" % os.getpid())
     pq.write_table(table, str(tmp))
@@ -401,6 +433,7 @@ def _write_checkpoint(root: Path) -> None:
         pass  # another writer raced the same fold: identical content
     finally:
         tmp.unlink(missing_ok=True)
+    _advance_last_checkpoint(root, ck_version)
 
 
 def _snapshot_entries(root: Path) -> list[dict]:
@@ -413,12 +446,19 @@ def _snapshot_entries(root: Path) -> list[dict]:
     ck = _latest_checkpoint(root)
     if ck is None:
         return _committed_entries(root)
-    floor = f"v{_ckpt_version(ck):08d}.json"
     base = _read_checkpoint(ck)
-    vlog = root / _VLOG
-    for f in sorted(vlog.glob("v*.json")):
-        if f.name > floor:
+    # versions are gapless (O_EXCL claims last+1), so the tail is
+    # discoverable by PROBING v{N+1}, v{N+2}, … until absent — O(tail)
+    # stats, no directory listing (which is O(all commits), and a
+    # paginated LIST per table op on object stores)
+    v = _ckpt_version(ck)
+    while True:
+        f = _entry_path(root, v + 1)
+        try:
             base.append(json.loads(f.read_text()))
+        except FileNotFoundError:
+            break
+        v += 1
     return base
 
 

@@ -202,14 +202,27 @@ def test_snapshot_entries_parse_only_the_tail(spark, tmp_path, fast_ckpt, monkey
             parsed.append(obj["version"])
         return obj
 
+    import pathlib
+
+    globs = []
+    real_glob = pathlib.Path.glob
+
+    def glob_spy(self, pattern):
+        globs.append(str(pattern))
+        return real_glob(self, pattern)
+
+    monkeypatch.setattr(pathlib.Path, "glob", glob_spy)
     monkeypatch.setattr(vt.json, "loads", spy)
     entries = vt._snapshot_entries(root)
     assert [e["version"] for e in entries] == list(range(7))
     # ckpt at v6: the JSON tail is empty; only the checkpoint rows
-    # (folded entries) were parsed, never the 7 raw files
-    assert all(v <= 6 for v in parsed) and len(parsed) <= 7
-    raw_tail = [v for v in parsed if False]  # placeholder clarity
-    del raw_tail
+    # (folded entries) were parsed, never the 7 raw files (+1 parse for
+    # the _last_checkpoint pointer, which also carries 'version')
+    assert all(v <= 6 for v in parsed) and len(parsed) <= 8
+    # and the pointer + probe-the-tail path never LISTS the log
+    # directory — O(tail) stat calls, no O(all commits) glob
+    assert globs == [], globs
+    monkeypatch.setattr(pathlib.Path, "glob", real_glob)
     # tighter: commit one more and re-read — exactly one raw parse
     monkeypatch.setattr(vt.json, "loads", real)
     vt.append(root, _rows(spark, [(7, 7)]), num_files=1)
@@ -221,3 +234,32 @@ def test_snapshot_entries_parse_only_the_tail(spark, tmp_path, fast_ckpt, monkey
     # the raw path would re-parse all 8 JSON files EVERY read and grow
     # with history — the folded read is bounded by the LIVE set
     assert parsed.count(7) == 1
+
+
+def test_last_checkpoint_pointer_is_pure_optimization(spark, tmp_path, fast_ckpt):
+    """The `_last_checkpoint` pointer (Delta's shape) only short-cuts
+    discovery: a missing, stale, or corrupt pointer falls back to the
+    directory glob and resolves identically."""
+    root = tmp_path / "tbl"
+    for i in range(7):  # checkpoints at v3 and v6
+        vt.append(root, _rows(spark, [(i, i)]), num_files=1)
+    ptr = root / "_vlog" / "_last_checkpoint"
+    assert json.loads(ptr.read_text())["version"] == 6
+    want = vt._snapshot_entries(root)
+    # stale pointer: longer tail, same result
+    ptr.write_text(json.dumps({"version": 3}))
+    assert vt._snapshot_entries(root) == want
+    # corrupt pointer: glob fallback, same result
+    ptr.write_text("not json{")
+    assert vt._snapshot_entries(root) == want
+    assert vt._latest_checkpoint(root).name == "ckpt-v00000006.parquet"
+    # missing pointer: glob fallback, same result
+    ptr.unlink()
+    assert vt._snapshot_entries(root) == want
+    # the next checkpoint rewrites it
+    for i in range(7, 10):
+        vt.append(root, _rows(spark, [(i, i)]), num_files=1)
+    assert json.loads(ptr.read_text())["version"] == 9
+    # pointer never regresses
+    vt._advance_last_checkpoint(root, 3)
+    assert json.loads(ptr.read_text())["version"] == 9
