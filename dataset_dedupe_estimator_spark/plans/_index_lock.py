@@ -136,13 +136,23 @@ def _break_stale(lock: Path, stale_ident: tuple) -> bool:
 
 
 @contextlib.contextmanager
-def writer_lock(index_dir: str | Path):
+def writer_lock(index_dir: str | Path, wait_seconds: float = 0.0):
     """Hold the index's exclusive writer lock for the duration of a
-    mutation. Raises `ConcurrentWriterError` if another writer holds it."""
+    mutation. Raises `ConcurrentWriterError` if another writer holds it.
+
+    ``wait_seconds > 0`` polls for the lock instead of failing fast —
+    the mode the versioned TABLE layer uses so concurrent writers
+    QUEUE on the short commit critical section rather than erroring
+    (indexes keep the fail-fast default: their mutations hold the lock
+    for the whole build, so waiting would usually be a user mistake)."""
+    import time as _time
+
     index_dir = Path(index_dir)
     index_dir.mkdir(parents=True, exist_ok=True)
     lock = index_dir / LOCK_NAME
-    for attempt in (0, 1):
+    deadline = _time.monotonic() + wait_seconds
+    stale_broken = False
+    while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             break
@@ -152,11 +162,16 @@ def writer_lock(index_dir: str | Path):
             except OSError:
                 txt = None
             if (
-                attempt == 0
+                not stale_broken
                 and txt is not None
                 and _record_is_stale(txt)
                 and _break_stale(lock, ident)  # crashed same-host writer
             ):
+                stale_broken = True
+                continue
+            if _time.monotonic() < deadline:
+                _time.sleep(0.02)
+                stale_broken = False  # a new holder may crash too
                 continue
             raise ConcurrentWriterError(
                 f"{index_dir} is being written by another process "

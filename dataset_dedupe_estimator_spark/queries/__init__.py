@@ -48,8 +48,9 @@ for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthet
 #
 # Round-9 window (executes the rotation staged at r8 close, COVERAGE.md
 # ledger): the 27 round-5-green queries held in the r8 _NEXT, the 3
-# round-8-added never-driver-checked entries (checkpoint/restore/DV), and
-# the 20 stalest round-6-green queries (registry-order tiebreak — all 50
+# round-8-added never-driver-checked entries (checkpoint/restore/DV),
+# the r9-added table_concurrent_append_read, and the 19 stalest
+# round-6-green queries (registry-order tiebreak — all 50
 # r6-attested entries are equally stale).
 _FRONT = [
     "ivfpq_search",
@@ -101,11 +102,12 @@ _FRONT = [
     "dedup_fingerprint_groups",
     "dedup_keep_first",
     "ngram_jaccard_pairs",
-    "minhash_signatures",
+    "table_concurrent_append_read",
 ]
-# overflow: the 30 remaining round-6-green queries — first in line for
+# overflow: the 31 remaining round-6-green queries — first in line for
 # round 10's window (locally re-verified every round)
 _NEXT = [
+    "minhash_signatures",
     "minhash_lsh_candidates",
     "simhash_signatures",
     "bm25_search",

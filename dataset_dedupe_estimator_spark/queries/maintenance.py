@@ -967,6 +967,121 @@ GROUP BY 1 ORDER BY bucket
 """
 
 
+# concurrent-writer fixture: initial commit owns keys <= _CC_SPLIT; the
+# DV band sits inside it, so concurrent appends (keys > _CC_SPLIT) can
+# never race the delete's predicate — the final multiset is
+# deterministic whatever the interleaving
+_CC_SPLIT = 1000
+_CC_DEL_LO, _CC_DEL_HI = 100, 300
+
+
+def table_concurrent_append_read(spark, sf):
+    """Multi-writer optimistic concurrency (r9,
+    ``sources/versioned.py::_publish_staged`` / ``_check_rebase`` —
+    the Delta rebase-and-retry shape): data writes run lock-free into
+    staging directories; the short publish critical section conflict-
+    checks the entries landed since each writer's snapshot and rebases
+    commuting commits (blind appends, disjoint-file DV deletes) onto
+    the moving tip.
+
+    Three appender THREADS (two commits each) and one DV-deleter
+    thread hit the same table concurrently from a shared barrier.
+    Every writer must land exactly once: the query RAISES unless the
+    commit log is gapless with all 8 commits (1 seed + 6 appends + 1
+    DV delete). The final aggregate reads the merged snapshot; the
+    oracle recomputes orders minus the deleted band, so a lost append,
+    a lost delete, or a double-applied rebase hash-mismatches.
+    """
+    import shutil
+    import tempfile
+    import threading
+
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", cents("o_totalprice").alias("price_cents")
+    )
+    root = tempfile.mkdtemp(prefix="dde_conc_")
+    try:
+        vt.append(
+            root,
+            orders.filter(F.col("o_orderkey") <= _CC_SPLIT)
+            .repartitionByRange(2, "o_orderkey"),
+            stats_columns=["o_orderkey"],
+        )
+        barrier = threading.Barrier(4)
+        errors = []
+
+        def appender(w):
+            try:
+                barrier.wait(timeout=120)
+                for parity in (0, 1):
+                    vt.append(
+                        root,
+                        orders.filter(
+                            (F.col("o_orderkey") > _CC_SPLIT)
+                            & (F.col("o_custkey") % 3 == w)
+                            & (F.col("o_orderkey") % 2 == parity)
+                        ),
+                        num_files=1,
+                    )
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+
+        def deleter():
+            try:
+                barrier.wait(timeout=120)
+                st = vt.delete_where_dv(
+                    spark, root,
+                    [("o_orderkey", "between", (_CC_DEL_LO, _CC_DEL_HI))],
+                )
+                if not st["committed"]:
+                    raise AssertionError(f"DV delete did not land: {st}")
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+
+        threads = [
+            threading.Thread(target=appender, args=(w,)) for w in range(3)
+        ] + [threading.Thread(target=deleter)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        if errors:
+            raise AssertionError(f"concurrent writer failed: {errors[0]!r}")
+        versions = [e["version"] for e in vt.history(root)]
+        if versions != list(range(8)):
+            raise AssertionError(
+                f"commit log not gapless with all writers landed: {versions}"
+            )
+        got = vt.read_version(spark, root)
+        out = (
+            got.groupBy((F.col("o_custkey") % 10).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+                F.sum("price_cents").alias("total_cents"),
+            )
+            .orderBy("bucket")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+TABLE_CONCURRENT_APPEND_READ_SQL = f"""
+SELECT o_custkey % 10 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS total_cents
+FROM orders
+WHERE o_orderkey NOT BETWEEN {_CC_DEL_LO} AND {_CC_DEL_HI}
+GROUP BY 1 ORDER BY bucket
+"""
+
+
 # change-feed bands for table_cdf_read — inside every SF's key range
 _CF_UP_LO, _CF_UP_HI = 1000, 1200   # upsert-replaced band (price bumped)
 _CF_INS_HI = 1050                   # [1000, 1050] also insert at key + 10M
@@ -1218,6 +1333,9 @@ QUERIES = {
     ),
     "table_restore_read": Q(table_restore_read, TABLE_RESTORE_READ_SQL),
     "table_dv_delete_read": Q(table_dv_delete_read, TABLE_DV_DELETE_READ_SQL),
+    "table_concurrent_append_read": Q(
+        table_concurrent_append_read, TABLE_CONCURRENT_APPEND_READ_SQL
+    ),
     "table_zonemap_read": Q(table_zonemap_read, TABLE_ZONEMAP_READ_SQL),
     "mv_from_version_diff": Q(mv_from_version_diff, MV_FROM_VERSION_DIFF_SQL),
     "streaming_mv_refresh": Q(streaming_mv_refresh, STREAMING_MV_REFRESH_SQL),

@@ -153,7 +153,7 @@ def set_constraints(
                 f"check {p!r} must be (column, op, value) with op in "
                 f"{sorted(_PRUNE_OPS)}"
             )
-    with writer_lock(root):
+    with writer_lock(root, wait_seconds=_LOCK_WAIT):
         entries = _snapshot_entries(root)
         if not entries:
             raise VersionNotFoundError(
@@ -251,6 +251,124 @@ def _commit(root: Path, entry: dict) -> None:
 # `_vlog/ckpt-v<version>.parquet`. 20 keeps the JSON tail short while
 # amortizing the fold; tests shrink it to exercise the machinery.
 _CKPT_EVERY = 20
+
+
+class ConcurrentModificationError(RuntimeError):
+    """A concurrent commit landed that this write cannot be rebased
+    over — overlapping files, a table-wide rewrite, or a metadata
+    change. Delta-style: re-run the operation on the new snapshot."""
+
+
+# How long a writer waits for the commit critical section. Data writes
+# happen OUTSIDE the lock (staged + renamed at publish), so holders keep
+# it for milliseconds; the generous budget only matters when a whole-op
+# holder (restore / vacuum / pruned rewrite) is mid-flight.
+_LOCK_WAIT = 120.0
+
+
+def _tail_after(root: Path, version: int) -> list[dict]:
+    """Entries committed after ``version`` — O(tail) probes, no
+    directory listing (versions are gapless)."""
+    out: list[dict] = []
+    v = version
+    while True:
+        f = _entry_path(root, v + 1)
+        try:
+            out.append(json.loads(f.read_text()))
+        except FileNotFoundError:
+            return out
+        v += 1
+
+
+def _touched_files(root: Path, e: dict) -> set:
+    """The live files a commit rewrites, masks, or hides — the unit of
+    Delta-style conflict detection — as ``<dir>/<rel>`` in filesystem
+    form. Blind appends touch nothing."""
+    out: set = set()
+    for d, rels in (e.get("removed") or {}).items():
+        out.update(f"{d}/{r}" for r in rels)
+    if e.get("dv_files"):
+        out.update(e["dv_files"])
+    elif e.get("dv_ref"):
+        # entry predates the dv_files summary: read the KB-sized sidecar
+        from urllib.parse import unquote
+
+        import pyarrow.parquet as pq
+
+        p = root / _DV / e["dv_ref"]
+        if p.exists():
+            t = pq.read_table(str(p), columns=["_dv_key"])
+            out.update(unquote(k) for k in set(t["_dv_key"].to_pylist()))
+    return out
+
+
+def _meta_signature(e: dict) -> tuple:
+    """The inheritable table metadata a commit carries forward. Any
+    concurrent change to it conflicts with every in-flight write: the
+    in-flight commit validated and staged against the OLD metadata."""
+    return (
+        list(e.get("partition_by") or []),
+        list(e.get("stats_columns") or []),
+        list(e.get("bloom_columns") or []),
+        e.get("bloom_bits"),
+        sorted(e.get("columns") or []),
+    )
+
+
+def _check_rebase(
+    root: Path,
+    mine_action: str,
+    mine_touched: set,
+    base_last: dict | None,
+    landed: list[dict],
+) -> None:
+    """Semantic conflict detection (the Delta WriteSerializable shape):
+    decide whether an in-flight commit can be REBASED on top of the
+    entries that landed since its snapshot. Returning means every
+    landed commit commutes with it: blind appends commute with
+    everything; file-rewriting commits (delete / upsert / DV delete /
+    compaction) commute when their touched-file sets are disjoint;
+    overwrite / restore are table-wide and commute with nothing; any
+    metadata change (schema, partitioning, declarations, constraints,
+    change-feed enablement) conflicts with every in-flight write."""
+    if base_last is None and landed:
+        raise ConcurrentModificationError(
+            "the table was created concurrently by another writer "
+            f"(v{landed[0]['version']} landed first) — re-run against "
+            "the existing table"
+        )
+    base_sig = _meta_signature(base_last) if base_last else None
+    for L in landed:
+        why = None
+        if L["action"] == "set_constraints":
+            why = "constraints changed"
+        elif L.get("change_feed"):
+            why = "change feed was enabled"
+        elif L.get("columns") and _meta_signature(L) != base_sig:
+            why = "table metadata changed (schema/partitioning/declarations)"
+        elif mine_action in ("overwrite", "restore"):
+            # a table-wide rewrite rebased over ANY landed data commit
+            # would silently drop that commit's effect
+            why = f"this {mine_action} rewrites the whole table"
+        elif L["action"] == "append":
+            pass  # blind appends commute (rows can't be in my read set)
+        elif mine_action == "append":
+            pass  # and everything else commutes with a blind append
+        elif L["action"] in ("overwrite", "restore"):
+            why = f"a concurrent {L['action']} rewrote the whole table"
+        else:
+            overlap = _touched_files(root, L) & mine_touched
+            if overlap:
+                why = (
+                    "overlapping files "
+                    f"{sorted(overlap)[:3]}{'…' if len(overlap) > 3 else ''}"
+                )
+        if why:
+            raise ConcurrentModificationError(
+                f"concurrent commit v{L['version']} ({L['action']!r}) "
+                f"conflicts with this {mine_action}: {why}. Re-run the "
+                "operation on the new snapshot."
+            )
 
 
 def _fold_entries(root: Path, entries: list[dict]) -> list[dict]:
@@ -451,14 +569,7 @@ def _snapshot_entries(root: Path) -> list[dict]:
     # discoverable by PROBING v{N+1}, v{N+2}, … until absent — O(tail)
     # stats, no directory listing (which is O(all commits), and a
     # paginated LIST per table op on object stores)
-    v = _ckpt_version(ck)
-    while True:
-        f = _entry_path(root, v + 1)
-        try:
-            base.append(json.loads(f.read_text()))
-        except FileNotFoundError:
-            break
-        v += 1
+    base.extend(_tail_after(root, _ckpt_version(ck)))
     return base
 
 
@@ -854,7 +965,15 @@ def _collect_file_stats(data_dir: Path, stats_columns: list[str]) -> dict:
     return stats
 
 
-def _commit_locked(
+def _stage_dir(root: Path) -> Path:
+    """A unique staging directory under the data root. Invisible to
+    readers (only dirs named by log entries are ever read) and to
+    vacuum within its retention window; renamed to its final
+    ``c<version>`` name inside the commit critical section."""
+    return root / _DATA / f"stage-{os.getpid()}-{os.urandom(4).hex()}"
+
+
+def _stage_commit(
     root: Path,
     entries: list[dict],
     df: DataFrame,
@@ -868,8 +987,12 @@ def _commit_locked(
     bloom_columns: list[str] | None = None,
     bloom_bits: int = 65_536,
 ) -> dict:
-    """Write + commit under an already-held writer lock, against an
-    already-taken log snapshot (``entries``)."""
+    """The EXPENSIVE half of a commit, run lock-free against a base
+    snapshot (``entries``): validate, write the data files into a
+    staging directory, collect per-file stats and bloom bitmaps (both
+    keyed by file paths RELATIVE to the directory, so the later rename
+    to the final version name invalidates nothing). Returns the
+    prepared state for :func:`_publish_staged`."""
     reserved = {"_dv_key", "_dv_rid", "_change", "_commit_version"} & set(
         df.columns
     )
@@ -919,35 +1042,30 @@ def _commit_locked(
     if entries and (extra_entry or {}).get("data_change") is not False:
         # row-preserving commits (optimize) are exempt: no new rows
         _enforce_constraints(df, _active_constraints(entries))
-    version = entries[-1]["version"] + 1 if entries else 0
-    data_dir = root / _DATA / f"c{version:08d}"
+    stage = _stage_dir(root)
     out = df.coalesce(num_files) if num_files else df
     writer = out.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(str(data_dir))
+    writer.parquet(str(stage))
     entry = {
-        "version": version,
         "action": action,
-        "dir": f"c{version:08d}",
         "columns": df.columns,
         "partition_by": partition_by,
-        "ts": time.time(),
     }
+    stats = blooms = None
     if stats_columns:
         entry["stats_columns"] = stats_columns
         dtypes = dict(df.dtypes)
         entry["stats_types"] = {c: dtypes[c] for c in stats_columns}
-        entry["stats"] = _collect_file_stats(data_dir, stats_columns)
+        stats = _collect_file_stats(stage, stats_columns)
     if bloom_columns:
         entry["bloom_columns"] = bloom_columns
         entry["bloom_bits"] = bloom_bits
         dtypes = dict(df.dtypes)
         entry["bloom_types"] = {c: dtypes[c] for c in bloom_columns}
-        entry["blooms_file"] = _write_bloom_sidecar(
-            root, entry["dir"], _collect_file_blooms(
-                df.sparkSession, data_dir, bloom_columns, bloom_bits
-            ),
+        blooms = _collect_file_blooms(
+            df.sparkSession, stage, bloom_columns, bloom_bits
         )
     if widened:
         entry["added_columns"] = sorted(widened)
@@ -955,8 +1073,66 @@ def _commit_locked(
         entry["change_feed"] = True
     if extra_entry:
         entry.update(extra_entry)
-    _commit(root, entry)
-    return entry
+    return {"stage": stage, "entry": entry, "stats": stats, "blooms": blooms}
+
+
+def _publish_staged(
+    root: Path,
+    base: list[dict],
+    prep: dict,
+    max_attempts: int = 50,
+) -> dict:
+    """The CHEAP half of a commit, run inside the writer-lock critical
+    section: semantic conflict check against every entry that landed
+    since the base snapshot (rebase-and-retry, the Delta optimistic-
+    concurrency shape), rename the stage directory to its final
+    ``c<version>`` name, write the bloom sidecar, O_EXCL-commit the
+    log entry. The O_EXCL retry loop also covers writers that bypass
+    the advisory lock (another host): a collision re-reads the tail,
+    re-checks conflicts, and re-stamps the version-derived names."""
+    base_last = base[-1] if base else None
+    base_v = base_last["version"] if base_last else -1
+    action = prep["entry"]["action"]
+    for _ in range(max_attempts):
+        landed = _tail_after(root, base_v)
+        _check_rebase(root, action, set(), base_last, landed)
+        v = (landed[-1]["version"] if landed else base_v) + 1
+        dir_name = f"c{v:08d}"
+        data_dir = root / _DATA / dir_name
+        try:
+            os.rename(prep["stage"], data_dir)
+        except OSError:
+            # a foreign (cross-host, lock-bypassing) writer staged this
+            # name and hasn't committed yet: wait for its entry to land,
+            # then rebase past it
+            time.sleep(0.05)
+            continue
+        entry = dict(prep["entry"])
+        entry["version"] = v
+        entry["dir"] = dir_name
+        if prep["stats"] is not None:
+            entry["stats"] = prep["stats"]
+        if prep["blooms"] is not None:
+            entry["blooms_file"] = _write_bloom_sidecar(
+                root, dir_name, prep["blooms"]
+            )
+        entry["ts"] = time.time()
+        try:
+            _commit(root, entry)
+            return entry
+        except RuntimeError:
+            # a dir-less commit (set_constraints / DV delete) claimed v
+            # between our tail read and the link: undo the rename and
+            # rebase past it
+            os.rename(data_dir, prep["stage"])
+            if entry.get("blooms_file"):
+                (root / _BLOOMS / f"{dir_name}.parquet").unlink(
+                    missing_ok=True
+                )
+    raise ConcurrentModificationError(
+        f"commit to {root} did not land after {max_attempts} rebase "
+        "attempts — a foreign writer is monopolizing the log"
+    )
 
 
 def _write_commit(
@@ -972,16 +1148,27 @@ def _write_commit(
     bloom_columns: list[str] | None = None,
     bloom_bits: int = 65_536,
 ) -> dict:
+    """Optimistic commit (the Delta shape): the expensive Spark write
+    runs LOCK-FREE against a base snapshot into a staging directory;
+    only the rename + conflict check + log link take the writer lock —
+    milliseconds, so concurrent writers queue on the critical section
+    instead of serializing their data writes. Conflicting concurrent
+    commits raise :class:`ConcurrentModificationError`; commuting ones
+    (blind appends, disjoint-file rewrites) are rebased and land."""
     root = Path(root)
     (root / _VLOG).mkdir(parents=True, exist_ok=True)
-    with writer_lock(root):
-        entries = _snapshot_entries(root)
-        return _commit_locked(
-            root, entries, df, action, num_files,
-            partition_by, allow_new_columns, stats_columns,
-            extra_entry=extra_entry, change_feed=change_feed,
-            bloom_columns=bloom_columns, bloom_bits=bloom_bits,
-        )
+    base = _snapshot_entries(root)
+    prep = _stage_commit(
+        root, base, df, action, num_files,
+        partition_by, allow_new_columns, stats_columns,
+        extra_entry=extra_entry, change_feed=change_feed,
+        bloom_columns=bloom_columns, bloom_bits=bloom_bits,
+    )
+    try:
+        with writer_lock(root, wait_seconds=_LOCK_WAIT):
+            return _publish_staged(root, base, prep)
+    finally:
+        shutil.rmtree(prep["stage"], ignore_errors=True)
 
 
 def append(
@@ -1796,7 +1983,7 @@ def upsert_pruned(
     if not key_cols:
         raise ValueError("upsert_pruned needs at least one key column")
     root = Path(root)
-    with writer_lock(root):
+    with writer_lock(root, wait_seconds=_LOCK_WAIT):
         entries = _snapshot_entries(root)
         version, live_data_dirs, live_entries = _resolve(root, entries, None)
         dvf = _dv_frame(spark, root, live_entries)
@@ -2118,7 +2305,7 @@ def delete_where_pruned(
         )
     root = Path(root)
     (root / _VLOG).mkdir(parents=True, exist_ok=True)
-    with writer_lock(root):
+    with writer_lock(root, wait_seconds=_LOCK_WAIT):
         entries = _snapshot_entries(root)
         version, live_data_dirs, live_entries = _resolve(root, entries, None)
         dvf = _dv_frame(spark, root, live_entries)
@@ -2282,88 +2469,136 @@ def delete_where_dv(
             )
     root = Path(root)
     (root / _VLOG).mkdir(parents=True, exist_ok=True)
-    with writer_lock(root):
-        entries = _snapshot_entries(root)
-        version, live_data_dirs, live_entries = _resolve(root, entries, None)
-        dvf = _dv_frame(spark, root, live_entries)
-        report = zone_map_prune(root, predicates, version)
-        cand_files = list(report["files"]) + [
-            str(f)
-            for d in report["dirs"]
-            for f in sorted(Path(d).rglob("*.parquet"))
-        ]
-        if not cand_files:  # no file can hold a match: commit nothing
-            return {
-                "version": version, "deleted_rows": 0,
-                "skipped_files": report["skipped_files"], "committed": False,
-            }
-        schema_cols = live_entries[-1]["columns"]
-        widened = any("added_columns" in e for e in live_entries)
-        by_base: dict[str, list[str]] = {}
-        for f in cand_files:
-            base = next(
-                d for d in live_data_dirs if f.startswith(d + os.sep)
-            )
-            by_base.setdefault(base, []).append(f)
-        matches = None
-        for base, plist in by_base.items():
-            reader = spark.read.option("basePath", base)
-            if widened:
-                reader = reader.option("mergeSchema", "true")
-            part = reader.parquet(*plist).withColumns(
-                {
-                    "_dv_key": F.regexp_extract(
-                        F.col("_metadata.file_path"), _DV_KEY, 1
-                    ),
-                    "_dv_rid": F.col("_metadata.row_index"),
-                }
-            )
-            for c in schema_cols:  # widened cols absent from old files
-                if c not in part.columns:
-                    part = part.withColumn(c, F.lit(None))
-            part = part.select(*schema_cols, "_dv_key", "_dv_rid")
-            matches = part if matches is None else matches.unionByName(part)
-        if dvf is not None:  # already-deleted rows must not re-match
-            matches = matches.join(dvf, ["_dv_key", "_dv_rid"], "left_anti")
-        matches = matches.filter(
-            F.coalesce(_predicate_cond(matches, predicates), F.lit(False))
-        )
-        new_version = version + 1
-        dv_name = f"c{new_version:08d}"
-        dv_dir = root / _DV / dv_name
-        matches.select("_dv_key", "_dv_rid").write.mode("overwrite").parquet(
-            str(dv_dir)
-        )
-        n_del = spark.read.parquet(str(dv_dir)).count()
-        if not n_del:  # predicate matched nothing: commit nothing
-            shutil.rmtree(dv_dir, ignore_errors=True)
-            return {
-                "version": version, "deleted_rows": 0,
-                "skipped_files": report["skipped_files"], "committed": False,
-            }
-        last = entries[-1]
-        entry = {
-            "version": new_version,
-            "action": "delete",
-            "dir": None,
-            "dv_ref": dv_name,
-            "dv_rows": n_del,
-            "columns": schema_cols,
-            "partition_by": last.get("partition_by") or [],
-            "predicates": [list(p) for p in predicates],
-            "ts": time.time(),
+    entries = _snapshot_entries(root)  # lock-free base snapshot
+    version, live_data_dirs, live_entries = _resolve(root, entries, None)
+    dvf = _dv_frame(spark, root, live_entries)
+    report = zone_map_prune(root, predicates, version)
+    cand_files = list(report["files"]) + [
+        str(f)
+        for d in report["dirs"]
+        for f in sorted(Path(d).rglob("*.parquet"))
+    ]
+    if not cand_files:  # no file can hold a match: commit nothing
+        return {
+            "version": version, "deleted_rows": 0,
+            "skipped_files": report["skipped_files"], "committed": False,
         }
-        if last.get("stats_columns"):
-            entry["stats_columns"] = last["stats_columns"]
-        if last.get("bloom_columns"):
-            entry["bloom_columns"] = last["bloom_columns"]
-            entry["bloom_bits"] = last.get("bloom_bits") or 65_536
-        if _cf_active(live_entries):
-            matches.select(*schema_cols).withColumn(
-                "_change", F.lit("delete")
-            ).write.mode("overwrite").parquet(str(root / _CDF / dv_name))
-            entry["change_data"] = True
-        _commit(root, entry)
+    schema_cols = live_entries[-1]["columns"]
+    widened = any("added_columns" in e for e in live_entries)
+    by_base: dict[str, list[str]] = {}
+    for f in cand_files:
+        base = next(
+            d for d in live_data_dirs if f.startswith(d + os.sep)
+        )
+        by_base.setdefault(base, []).append(f)
+    matches = None
+    for base, plist in by_base.items():
+        reader = spark.read.option("basePath", base)
+        if widened:
+            reader = reader.option("mergeSchema", "true")
+        part = reader.parquet(*plist).withColumns(
+            {
+                "_dv_key": F.regexp_extract(
+                    F.col("_metadata.file_path"), _DV_KEY, 1
+                ),
+                "_dv_rid": F.col("_metadata.row_index"),
+            }
+        )
+        for c in schema_cols:  # widened cols absent from old files
+            if c not in part.columns:
+                part = part.withColumn(c, F.lit(None))
+        part = part.select(*schema_cols, "_dv_key", "_dv_rid")
+        matches = part if matches is None else matches.unionByName(part)
+    if dvf is not None:  # already-deleted rows must not re-match
+        matches = matches.join(dvf, ["_dv_key", "_dv_rid"], "left_anti")
+    matches = matches.filter(
+        F.coalesce(_predicate_cond(matches, predicates), F.lit(False))
+    )
+    # stage the sidecar (and change data) OUTSIDE the lock — the
+    # expensive Spark work; only the rename + conflict check + log
+    # link serialize on the commit critical section
+    stage_dv = root / _DV / f"stage-{os.getpid()}-{os.urandom(4).hex()}"
+    matches.select("_dv_key", "_dv_rid").write.mode("overwrite").parquet(
+        str(stage_dv)
+    )
+    n_del = spark.read.parquet(str(stage_dv)).count()
+    if not n_del:  # predicate matched nothing: commit nothing
+        shutil.rmtree(stage_dv, ignore_errors=True)
+        return {
+            "version": version, "deleted_rows": 0,
+            "skipped_files": report["skipped_files"], "committed": False,
+        }
+    from urllib.parse import unquote
+
+    # the files this DV hides, in filesystem form — recorded on the
+    # entry so future writers' conflict detection never has to open
+    # the sidecar (bounded by the candidate file count)
+    dv_files = sorted(
+        {
+            unquote(r._dv_key)
+            for r in spark.read.parquet(str(stage_dv))
+            .select("_dv_key").distinct().collect()
+        }
+    )
+    stage_cdf = None
+    if _cf_active(live_entries):
+        stage_cdf = root / _CDF / stage_dv.name
+        matches.select(*schema_cols).withColumn(
+            "_change", F.lit("delete")
+        ).write.mode("overwrite").parquet(str(stage_cdf))
+    last = entries[-1]
+    template = {
+        "action": "delete",
+        "dir": None,
+        "dv_rows": n_del,
+        "dv_files": dv_files,
+        "columns": schema_cols,
+        "partition_by": last.get("partition_by") or [],
+        "predicates": [list(p) for p in predicates],
+    }
+    if last.get("stats_columns"):
+        template["stats_columns"] = last["stats_columns"]
+    if last.get("bloom_columns"):
+        template["bloom_columns"] = last["bloom_columns"]
+        template["bloom_bits"] = last.get("bloom_bits") or 65_536
+    try:
+        with writer_lock(root, wait_seconds=_LOCK_WAIT):
+            for _ in range(50):
+                landed = _tail_after(root, version)
+                _check_rebase(root, "delete", set(dv_files), last, landed)
+                new_version = (
+                    landed[-1]["version"] if landed else version
+                ) + 1
+                dv_name = f"c{new_version:08d}"
+                entry = dict(template)
+                entry["version"] = new_version
+                entry["dv_ref"] = dv_name
+                try:
+                    os.rename(stage_dv, root / _DV / dv_name)
+                except OSError:
+                    time.sleep(0.05)  # foreign in-flight writer: rebase
+                    continue
+                if stage_cdf is not None:
+                    os.rename(stage_cdf, root / _CDF / dv_name)
+                    entry["change_data"] = True
+                entry["ts"] = time.time()
+                try:
+                    _commit(root, entry)
+                    break
+                except RuntimeError:
+                    # a racing commit claimed the version: undo, rebase
+                    os.rename(root / _DV / dv_name, stage_dv)
+                    if stage_cdf is not None:
+                        os.rename(root / _CDF / dv_name, stage_cdf)
+            else:
+                raise ConcurrentModificationError(
+                    f"DV delete on {root} did not land after 50 rebase "
+                    "attempts — a foreign writer is monopolizing the log"
+                )
+    finally:
+        shutil.rmtree(stage_dv, ignore_errors=True)
+        if stage_cdf is not None:
+            shutil.rmtree(stage_cdf, ignore_errors=True)
     return {
         "version": new_version,
         "deleted_rows": n_del,
@@ -2406,7 +2641,7 @@ def restore(
     from pyspark.sql import functions as F
 
     root = Path(root)
-    with writer_lock(root):
+    with writer_lock(root, wait_seconds=_LOCK_WAIT):
         entries = _committed_entries(root)  # raw: target is explicit
         cur_version, _, live_entries = _resolve(root, entries, None)
         if version == cur_version:
@@ -2560,7 +2795,7 @@ def compact_small(
     for vacuum.
     """
     root = Path(root)
-    with writer_lock(root):
+    with writer_lock(root, wait_seconds=_LOCK_WAIT):
         entries = _snapshot_entries(root)
         version, live_data_dirs, live_entries = _resolve(root, entries, None)
         dvf = _dv_frame(spark, root, live_entries)
@@ -2705,7 +2940,7 @@ def vacuum(
     root = Path(root)
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
-    with writer_lock(root):
+    with writer_lock(root, wait_seconds=_LOCK_WAIT):
         entries = _committed_entries(root)
         if not entries:
             return []
@@ -2720,6 +2955,15 @@ def vacuum(
         removed = []
         data = root / _DATA
         for d in sorted(data.iterdir()) if data.is_dir() else []:
+            if d.name.startswith("stage-"):
+                # an optimistic writer's in-flight staging directory
+                # (its data write runs OUTSIDE the lock vacuum holds):
+                # only a stale one — a crashed writer's orphan — may be
+                # reclaimed
+                if time.time() - d.stat().st_mtime > 24 * 3600.0:
+                    shutil.rmtree(d)
+                    removed.append(d.name)
+                continue
             if d.is_dir() and d.name not in reachable:
                 shutil.rmtree(d)
                 removed.append(d.name)
@@ -2761,6 +3005,11 @@ def vacuum(
             keep_dv |= {name for name, _ in _live_dv_refs(live_v)}
         dvdir = root / _DV
         for d in sorted(dvdir.iterdir()) if dvdir.is_dir() else []:
+            if d.name.startswith("stage-"):
+                if time.time() - d.stat().st_mtime > 24 * 3600.0:
+                    shutil.rmtree(d)
+                    removed.append(f"{_DV}/{d.name}")
+                continue
             if d.is_dir() and d.name not in keep_dv:
                 shutil.rmtree(d)
                 removed.append(f"{_DV}/{d.name}")

@@ -95,6 +95,10 @@ _OP_PRUNED = st.one_of(
     st.tuples(st.just("compact"), st.none()),
     st.tuples(st.just("restore"), st.integers(min_value=0, max_value=11)),
     st.tuples(st.just("dv_delete"), _KEYS),
+    st.tuples(
+        st.just("concurrent_append"),
+        st.tuples(_ROWS.filter(len), _ROWS.filter(len)),
+    ),
 )
 
 
@@ -185,6 +189,49 @@ def test_pruned_mutations_time_travel_exactly(spark, tmp_path_factory, ops):
                 continue
             assert stt["deleted_rows"] == len(want_gone)
             live = [(k, v) for k, v in live if k != arg]
+        elif kind == "concurrent_append":
+            # r9 optimistic concurrency: two appends race from a shared
+            # barrier; BOTH must land (blind appends always commute),
+            # committing two versions whose ORDER the races decide —
+            # recovered post-hoc from the first landed version's rows
+            import threading
+            from collections import Counter
+
+            if not snapshots:
+                continue
+            rows_a, rows_b = arg
+            errors = []
+            barrier = threading.Barrier(2)
+
+            def _race(rows):
+                try:
+                    barrier.wait(timeout=60)
+                    vt.append(root, _df(spark, rows), num_files=1)
+                except Exception as exc:  # noqa: BLE001
+                    errors.append(exc)
+
+            ts = [
+                threading.Thread(target=_race, args=(r,))
+                for r in (rows_a, rows_b)
+            ]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join(timeout=300)
+            assert not errors, errors
+            v_first = len(snapshots)
+            got_first = Counter(
+                (r.k, r.v)
+                for r in vt.read_version(spark, root, v_first).collect()
+            ) - Counter(live)
+            order = (
+                (rows_a, rows_b)
+                if got_first == Counter(rows_a.items())
+                else (rows_b, rows_a)
+            )
+            live = live + sorted(order[0].items())
+            snapshots.append(sorted(live))
+            live = live + sorted(order[1].items())
         snapshots.append(sorted(live))
 
     assert len(vt.history(root)) == len(snapshots)
