@@ -1384,6 +1384,7 @@ def cmd_table(args) -> int:
             spark, args.root,
             small_bytes=args.small_bytes, target_bytes=args.target_bytes,
             zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
+            max_dv_fraction=args.max_dv_fraction,
         )
         if not st["committed"]:
             print(
@@ -1951,6 +1952,12 @@ def build_parser() -> argparse.ArgumentParser:
     tb.add_argument(
         "--target-bytes", type=int, default=128 << 20,
         help="compact-small: size the folded outputs to this (default 128 MiB)",
+    )
+    tb.add_argument(
+        "--max-dv-fraction", type=float, default=None,
+        help="compact-small: also rewrite files whose deletion-vector-"
+        "hidden row fraction exceeds this (retires the read-side "
+        "anti-join for those files)",
     )
     tb.set_defaults(fn=cmd_table)
 

@@ -2765,6 +2765,7 @@ def compact_small(
     target_bytes: int = 128 << 20,
     zorder_by: list[str] | None = None,
     zorder_bits: int = 10,
+    max_dv_fraction: float | None = None,
 ) -> dict:
     """Delta-OPTIMIZE-shaped small-file compaction: rewrite ONLY the
     live files smaller than ``small_bytes`` into ~``target_bytes``
@@ -2793,6 +2794,17 @@ def compact_small(
     still time-travels. A row-count guard verifies the rewrite before
     the commit link; a crash before commit leaves only an orphan dir
     for vacuum.
+
+    ``max_dv_fraction`` is the DV-maintenance trigger (the Delta
+    OPTIMIZE-over-DV shape): files whose DELETION-VECTOR-hidden row
+    fraction exceeds it are rewritten too — regardless of size — which
+    physically drops their deleted rows and retires their share of the
+    read-side anti-join before it grows. Untouched files are carried
+    byte-identical. Every committing compaction (with or without the
+    knob) also REWRITES the live DV set down to the rows that still
+    reference unmasked files and carries it with replace semantics
+    (``dv_all``): the anti-join shrinks as maintenance progresses and
+    disappears entirely at zero surviving DV rows.
     """
     root = Path(root)
     with writer_lock(root, wait_seconds=_LOCK_WAIT):
@@ -2817,7 +2829,38 @@ def compact_small(
                     small.append(str(f))
                 else:
                     n_large += 1
-        if len(small) < 2:  # nothing to fold together
+        dv_heavy: list[str] = []
+        if max_dv_fraction is not None and dvf is not None:
+            # per-file deleted-row counts from the live DV sidecars
+            # (KB-sized by design; (key, rid) pairs are unique because
+            # already-deleted rows never re-match at delete time)
+            from collections import Counter
+            from urllib.parse import unquote
+
+            import pyarrow.parquet as pq
+
+            counts: Counter = Counter()
+            for name, _ in _live_dv_refs(live_entries):
+                t = pq.read_table(
+                    str(root / _DV / name), columns=["_dv_key"]
+                )
+                counts.update(unquote(k) for k in t["_dv_key"].to_pylist())
+            chosen = set(small)
+            for d in live_data_dirs:
+                masked = masks.get(Path(d).name, set())
+                for f in sorted(Path(d).rglob("*.parquet")):
+                    rel = str(f.relative_to(d))
+                    if rel in masked or str(f) in chosen:
+                        continue
+                    n_dv = counts.get(f"{Path(d).name}/{rel}", 0)
+                    if not n_dv:
+                        continue
+                    n_rows = pq.ParquetFile(str(f)).metadata.num_rows
+                    if n_rows and n_dv / n_rows > max_dv_fraction:
+                        dv_heavy.append(str(f))
+                        n_large -= 1
+            small.extend(dv_heavy)
+        if len(small) < 2 and not dv_heavy:  # nothing to fold together
             return {
                 "version": version, "compacted_files": 0,
                 "carried_files": n_large + len(small), "committed": False,
@@ -2890,6 +2933,50 @@ def compact_small(
             "removed": removed,
             "ts": time.time(),
         }
+        dv_retired = 0
+        if dvf is not None:
+            # retire DV rows whose files are masked after this fold:
+            # rewrite the survivors into one fresh sidecar, carried
+            # with replace semantics — the read-side anti-join shrinks
+            # with maintenance and disappears at zero
+            from urllib.parse import unquote
+
+            import pyarrow as pa
+            import pyarrow.parquet as _pq
+
+            all_masked = {
+                f"{d}/{r}" for d, rels in masks.items() for r in rels
+            }
+            for d, rels in removed.items():
+                all_masked.update(f"{d}/{r}" for r in rels)
+            keys: list[str] = []
+            rids: list[int] = []
+            n_total = 0
+            for name, _ in _live_dv_refs(live_entries):
+                t = _pq.read_table(str(root / _DV / name))
+                for k, r in zip(
+                    t["_dv_key"].to_pylist(), t["_dv_rid"].to_pylist()
+                ):
+                    n_total += 1
+                    if unquote(k) not in all_masked:
+                        keys.append(k)
+                        rids.append(int(r))
+            dv_retired = n_total - len(keys)
+            if keys:
+                surv_dir = root / _DV / dir_name
+                surv_dir.mkdir(parents=True, exist_ok=True)
+                _pq.write_table(
+                    pa.table(
+                        {
+                            "_dv_key": pa.array(keys, pa.string()),
+                            "_dv_rid": pa.array(rids, pa.int64()),
+                        }
+                    ),
+                    str(surv_dir / "part-00000.parquet"),
+                )
+                entry["dv_all"] = [[dir_name, len(keys)]]
+            else:
+                entry["dv_all"] = []
         if stats_columns:
             entry["stats_columns"] = stats_columns  # declaration always
             if has_rows:
@@ -2911,6 +2998,8 @@ def compact_small(
     return {
         "version": new_version,
         "compacted_files": len(small),
+        "dv_heavy_files": len(dv_heavy),
+        "dv_retired_rows": dv_retired,
         "carried_files": n_large,
         "rows": n_out,
         "committed": True,

@@ -234,3 +234,86 @@ def test_compact_small_zorder_multifile_prunes(spark, tmp_path):
     assert rep["skipped_files"] >= 1  # clustered tiles: band prunes
     got = vt.read_where(spark, root, [("k", "between", (0, 5_000))])
     assert got.count() == 5_001
+
+
+def _md5s_of(root):
+    import hashlib
+    from pathlib import Path
+
+    return {
+        str(f): hashlib.md5(f.read_bytes()).hexdigest()
+        for f in sorted(Path(root, "data").rglob("*.parquet"))
+    }
+
+
+def test_max_dv_fraction_rewrites_only_dv_heavy_files(spark, tmp_path):
+    """The DV-maintenance trigger (r9): a file whose DV-deleted row
+    fraction exceeds the threshold is rewritten (its deleted rows
+    physically gone, its DV rows retired from the live refs); DV-light
+    and DV-free files are carried byte-identical."""
+    from pyspark.sql import functions as F
+
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    root = tmp_path / "tbl"
+    # 4 files of 250 rows each, range-partitioned so keys are bounded
+    vt.append(
+        root,
+        spark.range(1000).selectExpr("id as k", "id * 2 as v")
+        .repartitionByRange(4, "k"),
+        stats_columns=["k"],
+    )
+    # heavy: 60% of file 1's band deleted; light: 2% of file 3's band
+    vt.delete_where_dv(spark, root, [("k", "between", (250, 399))])
+    vt.delete_where_dv(spark, root, [("k", "between", (750, 754))])
+    before = _md5s_of(root)
+    assert len(vt._live_dv_refs(vt._snapshot_entries(root))) == 2
+    st = vt.compact_small(
+        spark, root, small_bytes=1, max_dv_fraction=0.3
+    )
+    assert st["committed"] and st["dv_heavy_files"] == 1
+    assert st["compacted_files"] == 1 and st["dv_retired_rows"] == 150
+    after = _md5s_of(root)
+    # every pre-existing file byte-identical except none removed from
+    # disk (masking is logical); exactly one new dir appeared
+    for p, h in before.items():
+        assert after.get(p) == h, p
+    # rows exact through the rewrite
+    got = sorted(r.k for r in vt.read_version(spark, root).collect())
+    want = [k for k in range(1000) if not (250 <= k <= 399 or 750 <= k <= 754)]
+    assert got == want
+    # the light file's DV rows survived in the rewritten ref set
+    refs = vt._live_dv_refs(vt._snapshot_entries(root))
+    assert len(refs) == 1 and refs[0][1] == 5
+    # a second pass with the same threshold finds nothing DV-heavy
+    st2 = vt.compact_small(spark, root, small_bytes=1, max_dv_fraction=0.3)
+    assert not st2["committed"]
+
+
+def test_plain_compact_retires_folded_files_dv_rows(spark, tmp_path):
+    """Every committing compaction rewrites the live DV set down to
+    rows referencing still-unmasked files — at zero survivors the
+    read-side anti-join disappears entirely."""
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    root = tmp_path / "tbl"
+    for i in range(3):
+        vt.append(
+            root,
+            spark.range(100 * i, 100 * i + 100).selectExpr(
+                "id as k", "id as v"
+            ),
+            num_files=1, stats_columns=["k"],
+        )
+    vt.delete_where_dv(spark, root, [("k", "between", (10, 19))])
+    assert vt._dv_frame(spark, root, vt._snapshot_entries(root)) is not None
+    st = vt.compact_small(spark, root)  # folds all three small files
+    assert st["committed"] and st["dv_retired_rows"] == 10
+    snap = vt._snapshot_entries(root)
+    assert vt._live_dv_refs(snap) == []  # anti-join gone
+    assert vt._dv_frame(spark, root, snap) is None
+    got = sorted(r.k for r in vt.read_version(spark, root).collect())
+    assert got == [k for k in range(300) if not 10 <= k <= 19]
+    # time travel to the pre-compact version still applies the old DV
+    pre = sorted(r.k for r in vt.read_version(spark, root, 3).collect())
+    assert pre == got
