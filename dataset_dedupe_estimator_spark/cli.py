@@ -1452,6 +1452,19 @@ def cmd_table(args) -> int:
                 f"({len(st['dirs'])} live dirs re-referenced, zero data "
                 "bytes moved)"
             )
+    elif args.action == "rename-column":
+        if not args.src or not args.out:
+            print(
+                "rename-column: de table rename-column ROOT OLD --out NEW",
+                file=sys.stderr,
+            )
+            return 2
+        st = vt.rename_column(args.root, args.src, args.out)
+        print(
+            f"committed v{st['version']} (rename {args.src!r} -> "
+            f"{args.out!r}, metadata only — zero data bytes moved; "
+            f"mapping: {st['column_mapping']})"
+        )
     elif args.action == "ingest":
         # continuous ingestion: every microbatch of newly-arrived files
         # becomes ONE auditable commit. The checkpoint dedupes input
@@ -1870,7 +1883,7 @@ def build_parser() -> argparse.ArgumentParser:
         choices=[
             "append", "overwrite", "history", "read", "optimize", "vacuum",
             "ingest", "delete-where", "upsert", "tail", "compact-small",
-            "set-constraints", "restore", "detail",
+            "set-constraints", "restore", "detail", "rename-column",
         ],
     )
     tb.add_argument("root")

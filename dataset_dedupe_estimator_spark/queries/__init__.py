@@ -49,8 +49,8 @@ for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthet
 # Round-9 window (executes the rotation staged at r8 close, COVERAGE.md
 # ledger): the 27 round-5-green queries held in the r8 _NEXT, the 3
 # round-8-added never-driver-checked entries (checkpoint/restore/DV),
-# the r9-added table_concurrent_append_read, and the 19 stalest
-# round-6-green queries (registry-order tiebreak — all 50
+# the r9-added table_concurrent_append_read + table_rename_read, and
+# the 18 stalest round-6-green queries (registry-order tiebreak — all 50
 # r6-attested entries are equally stale).
 _FRONT = [
     "ivfpq_search",
@@ -101,12 +101,13 @@ _FRONT = [
     "dedup_exact_events",
     "dedup_fingerprint_groups",
     "dedup_keep_first",
-    "ngram_jaccard_pairs",
     "table_concurrent_append_read",
+    "table_rename_read",
 ]
-# overflow: the 31 remaining round-6-green queries — first in line for
+# overflow: the 32 remaining round-6-green queries — first in line for
 # round 10's window (locally re-verified every round)
 _NEXT = [
+    "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_candidates",
     "simhash_signatures",

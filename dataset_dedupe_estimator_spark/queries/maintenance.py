@@ -1082,6 +1082,99 @@ GROUP BY 1 ORDER BY bucket
 """
 
 
+def table_rename_read(spark, sf):
+    """Column RENAME via column mapping (r9,
+    ``sources/versioned.py::rename_column`` — the Delta column-mapping
+    shape, minus field IDs): physical names freeze at column creation;
+    a rename is a metadata-only commit carrying the accumulated
+    logical->physical mapping, and every boundary (reads, predicates,
+    incoming frames, CDF) projects through it.
+
+    The table is built under original names, BOTH non-key columns are
+    renamed (zero data bytes move — the query RAISES if any data file
+    changes), then a pruned delete, an upsert, and the final read all
+    speak the NEW names. The oracle recomputes the same state from
+    orders with plain aliases, so a mapping slip anywhere on the
+    read or write path (wrong column matched, stale name surfacing,
+    stats misapplied) hash-mismatches.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", cents("o_totalprice").alias("price_cents")
+    )
+    root = tempfile.mkdtemp(prefix="dde_ren_")
+    try:
+        vt.append(
+            root, orders.repartitionByRange(4, "o_orderkey"),
+            stats_columns=["o_orderkey"],
+        )
+
+        def _md5s():
+            return {
+                str(f): hashlib.md5(f.read_bytes()).hexdigest()
+                for f in sorted(Path(root, "data").rglob("*.parquet"))
+            }
+
+        before = _md5s()
+        vt.rename_column(root, "o_custkey", "customer_id")
+        vt.rename_column(root, "price_cents", "amount_cents")
+        if _md5s() != before:
+            raise AssertionError("rename moved data bytes")
+        got = vt.read_version(spark, root)
+        if got.columns != ["o_orderkey", "customer_id", "amount_cents"]:
+            raise AssertionError(f"mapping not projected: {got.columns}")
+        # mutate under the NEW names (predicates + incoming frames)
+        vt.delete_where_pruned(
+            spark, root, [("o_orderkey", "between", (_RN_DEL_LO, _RN_DEL_HI))]
+        )
+        ups = orders.filter(F.col("o_orderkey") == _RN_UP).select(
+            "o_orderkey",
+            F.col("o_custkey").alias("customer_id"),
+            (F.col("price_cents") + F.lit(555)).alias("amount_cents"),
+        )
+        vt.upsert_pruned(spark, root, ups, ["o_orderkey"])
+        out = (
+            vt.read_version(spark, root)
+            .groupBy((F.col("customer_id") % 10).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.max("o_orderkey").alias("max_key"),
+                F.sum("amount_cents").alias("total_cents"),
+            )
+            .orderBy("bucket")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_RN_DEL_LO, _RN_DEL_HI = 400, 600
+_RN_UP = 7
+
+
+TABLE_RENAME_READ_SQL = f"""
+SELECT o_custkey % 10 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MAX(o_orderkey) AS max_key,
+       CAST(SUM(amount_cents) AS BIGINT) AS total_cents
+FROM (
+    SELECT o_custkey, o_orderkey,
+           CASE WHEN o_orderkey = {_RN_UP}
+                THEN {sql_cents('o_totalprice')} + 555
+                ELSE {sql_cents('o_totalprice')} END AS amount_cents
+    FROM orders
+    WHERE o_orderkey NOT BETWEEN {_RN_DEL_LO} AND {_RN_DEL_HI}
+)
+GROUP BY 1 ORDER BY bucket
+"""
+
+
 # change-feed bands for table_cdf_read — inside every SF's key range
 _CF_UP_LO, _CF_UP_HI = 1000, 1200   # upsert-replaced band (price bumped)
 _CF_INS_HI = 1050                   # [1000, 1050] also insert at key + 10M
@@ -1336,6 +1429,7 @@ QUERIES = {
     "table_concurrent_append_read": Q(
         table_concurrent_append_read, TABLE_CONCURRENT_APPEND_READ_SQL
     ),
+    "table_rename_read": Q(table_rename_read, TABLE_RENAME_READ_SQL),
     "table_zonemap_read": Q(table_zonemap_read, TABLE_ZONEMAP_READ_SQL),
     "mv_from_version_diff": Q(mv_from_version_diff, MV_FROM_VERSION_DIFF_SQL),
     "streaming_mv_refresh": Q(streaming_mv_refresh, STREAMING_MV_REFRESH_SQL),

@@ -70,6 +70,7 @@ from dataset_dedupe_estimator_spark.sources.versioned import (
     _CDF,
     _DATA,
     _DV,
+    _column_mapping,
     _committed_entries,
 )
 
@@ -160,6 +161,9 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         )
         self.starting_version = int(options.get("startingversion", 0))
         self.spark_schema = schema
+        # renamed columns: the schema speaks LOGICAL names, data files
+        # (all of them — physical names are frozen) speak physical
+        self._phys = _column_mapping(_committed_entries(Path(self.root)))
 
     # -- offsets ---------------------------------------------------------
     def initialOffset(self) -> dict:
@@ -184,8 +188,8 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 # identical before and after — nothing to emit, never
                 # an error (the Delta dataChange=false contract)
                 continue
-            if e["action"] == "set_constraints":
-                continue  # property commit: no rows in either mode
+            if e["action"] in ("set_constraints", "rename_column"):
+                continue  # property commits: no rows in either mode
             if self.read_change_feed:
                 # CDF mode: appends are inserts from their own dir;
                 # deletes/upserts read the change-data file their
@@ -259,7 +263,11 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         )
         pf = pq.ParquetFile(partition.path)
         file_cols = set(pf.schema_arrow.names)
-        read_cols = [f.name for f in target if f.name in file_cols]
+        phys = getattr(self, "_phys", {})
+        src_of = {f.name: phys.get(f.name, f.name) for f in target}
+        read_cols = [
+            src_of[f.name] for f in target if src_of[f.name] in file_cols
+        ]
         skip_rids = set(getattr(partition, "skip_rids", None) or ())
         row_pos = 0
         for batch in pf.iter_batches(columns=read_cols):
@@ -284,11 +292,13 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                     )
                 elif field.name == "_change" and partition.change is not None:
                     cols.append(pa.array([partition.change] * n, pa.string()))
-                elif field.name in by_name:
-                    cols.append(by_name[field.name].cast(field.type))
-                elif field.name in part_vals:
+                elif src_of[field.name] in by_name:
+                    cols.append(by_name[src_of[field.name]].cast(field.type))
+                elif src_of[field.name] in part_vals:
                     cols.append(
-                        pa.array([part_vals[field.name]] * n).cast(field.type)
+                        pa.array(
+                            [part_vals[src_of[field.name]]] * n
+                        ).cast(field.type)
                     )
                 else:  # written before a schema widening: NULL backfill
                     cols.append(pa.nulls(n, field.type))
@@ -351,7 +361,11 @@ class VersionedTableStreamSource(DataSource):
                 f"could not derive types for columns {missing} from any "
                 "live parquet footer or partition directory"
             )
-        out = [fields[c] for c in columns]
+        inv = {p: l for l, p in _column_mapping(entries).items()}
+        out = [
+            StructField(inv.get(c, c), fields[c].dataType, fields[c].nullable)
+            for c in columns
+        ]
         if str(self.options.get("readchangefeed", "false")).lower() == "true":
             out.append(StructField("_change", StringType(), True))
             out.append(StructField("_commit_version", LongType(), True))

@@ -162,6 +162,7 @@ def set_constraints(
                 "you need declare-before-ingest)"
             )
         last = entries[-1]
+        mapping = _column_mapping(entries)
         entry = {
             "version": last["version"] + 1,
             "action": "set_constraints",
@@ -170,8 +171,11 @@ def set_constraints(
             # metadata: the next data commit reads it from entries[-1]
             "columns": last["columns"],
             "partition_by": last.get("partition_by") or [],
-            "not_null": sorted(not_null or []),
-            "checks": [list(c) for c in (checks or [])],
+            # callers speak logical; enforcement runs on physical frames
+            "not_null": sorted(_names_to_physical(not_null or [], mapping)),
+            "checks": [
+                [mapping.get(c, c), op, v] for c, op, v in (checks or [])
+            ],
             "ts": time.time(),
         }
         if last.get("stats_columns"):
@@ -342,6 +346,8 @@ def _check_rebase(
         why = None
         if L["action"] == "set_constraints":
             why = "constraints changed"
+        elif L["action"] == "rename_column":
+            why = "columns were renamed"
         elif L.get("change_feed"):
             why = "change feed was enabled"
         elif L.get("columns") and _meta_signature(L) != base_sig:
@@ -369,6 +375,126 @@ def _check_rebase(
                 f"conflicts with this {mine_action}: {why}. Re-run the "
                 "operation on the new snapshot."
             )
+
+
+
+def _column_mapping(entries: list[dict]) -> dict:
+    """logical -> PHYSICAL column names at the snapshot's version (the
+    Delta column-mapping shape, minus field IDs). Physical names are
+    frozen at column creation — data files, per-file stats, blooms,
+    masks, DV keys and change-data files all speak physical forever —
+    and a ``rename_column`` commit is pure metadata: it re-publishes
+    the full accumulated mapping. Identity (no renames) is ``{}``.
+    Time travel below the rename naturally sees the old names; a
+    restore never resets the mapping (names are table metadata, not
+    live-set state)."""
+    for e in reversed(entries):
+        if "column_mapping" in e:
+            return dict(e["column_mapping"])
+    return {}
+
+
+def _to_logical(df: DataFrame, mapping: dict) -> DataFrame:
+    """Surface a physical-schema DataFrame under its logical names."""
+    if not mapping:
+        return df
+    return df.withColumnsRenamed({p: l for l, p in mapping.items()})
+
+
+def _names_to_physical(names, mapping: dict) -> list:
+    return [mapping.get(c, c) for c in names]
+
+
+def _names_to_logical(names, mapping: dict) -> list:
+    inv = {p: l for l, p in mapping.items()}
+    return [inv.get(c, c) for c in names]
+
+
+def _preds_to_physical(predicates, mapping: dict) -> list:
+    if not mapping or not predicates:
+        return predicates
+    return [(mapping.get(c, c), op, v) for c, op, v in predicates]
+
+
+def rename_column(root: str | Path, old: str, new: str) -> dict:
+    """RENAME a column as a METADATA-ONLY commit (the Delta
+    column-mapping shape): zero data bytes move — the commit
+    re-publishes the logical->physical mapping and every reader
+    projects through it. Readers at or above this version (including
+    time travel INTO older data and post-restore reads) see ``new``;
+    reads pinned below it see the names of their own version.
+
+    Limits of the non-UUID simplification (physical names are the
+    creation-time names, not field IDs): partition columns can't be
+    renamed (their physical names are baked into directory paths), and
+    a later ``allow_new_columns`` append may not reuse a renamed-away
+    physical name (it would collide with the old column's data in
+    pre-rename files — the writer refuses with a clear error).
+    """
+    root = Path(root)
+    with writer_lock(root, wait_seconds=_LOCK_WAIT):
+        entries = _snapshot_entries(root)
+        if not entries:
+            raise VersionNotFoundError(
+                f"{root} has no committed versions — rename needs an "
+                "existing table"
+            )
+        last = entries[-1]
+        mapping = _column_mapping(entries)
+        physical_cols = last["columns"]
+        logical_cols = [
+            next((l for l, p in mapping.items() if p == c), c)
+            for c in physical_cols
+        ]
+        if old not in logical_cols:
+            raise ValueError(
+                f"column {old!r} not in table schema {logical_cols}"
+            )
+        if new in logical_cols:
+            raise ValueError(f"column {new!r} already exists")
+        reserved = {"_dv_key", "_dv_rid", "_change", "_commit_version"}
+        if new in reserved:
+            raise ValueError(
+                f"column name {new!r} is reserved by the table protocol"
+            )
+        physical = mapping.get(old, old)
+        if physical in (last.get("partition_by") or []):
+            raise ValueError(
+                f"column {old!r} is a partition column — its physical "
+                "name is baked into directory paths and cannot be "
+                "renamed under this mapping scheme"
+            )
+        if new != physical and new in physical_cols:
+            raise ValueError(
+                f"column name {new!r} is the PHYSICAL name of another "
+                "column — pre-rename files would become ambiguous"
+            )
+        new_mapping = {
+            l: p for l, p in mapping.items() if l != old
+        }
+        if new != physical:  # renaming back to the original drops it
+            new_mapping[new] = physical
+        entry = {
+            "version": last["version"] + 1,
+            "action": "rename_column",
+            "dir": None,
+            # property commits replicate the inheritable metadata: the
+            # next data commit reads it from entries[-1]
+            "columns": physical_cols,
+            "partition_by": last.get("partition_by") or [],
+            "column_mapping": new_mapping,
+            "renamed": [old, new],
+            "ts": time.time(),
+        }
+        if last.get("stats_columns"):
+            entry["stats_columns"] = last["stats_columns"]
+        if last.get("bloom_columns"):
+            entry["bloom_columns"] = last["bloom_columns"]
+            entry["bloom_bits"] = last.get("bloom_bits") or 65_536
+        if last.get("change_feed"):
+            entry["change_feed"] = True
+        _commit(root, entry)
+    return entry
 
 
 def _fold_entries(root: Path, entries: list[dict]) -> list[dict]:
@@ -465,6 +591,11 @@ def _fold_entries(root: Path, entries: list[dict]) -> list[dict]:
     if dv_refs:
         # replace semantics: includes lastc's own dv_ref if any
         lastc["dv_all"] = [list(r) for r in dv_refs]
+    mapping = _column_mapping(entries)
+    if mapping:
+        # rename commits are dir-less and fold away: the accumulated
+        # logical->physical mapping must ride the retained last entry
+        lastc["column_mapping"] = mapping
     return [by_version[v] for v in sorted(by_version)]
 
 
@@ -1001,6 +1132,27 @@ def _stage_commit(
             f"column names {sorted(reserved)} are reserved by the table "
             "protocol (deletion vectors / change feed) — rename them"
         )
+    mapping = _column_mapping(entries)
+    if mapping:
+        # callers speak LOGICAL names; storage (files, stats, blooms,
+        # masks) speaks the frozen physical names
+        taken = set(mapping.values())
+        clash = [
+            c for c in df.columns if c not in mapping and c in taken
+        ]
+        if clash:
+            raise ValueError(
+                f"column names {clash} are the PHYSICAL names of renamed "
+                "columns — reusing them would make pre-rename files "
+                "ambiguous; pick different names"
+            )
+        df = df.withColumnsRenamed(dict(mapping))
+        if partition_by:
+            partition_by = _names_to_physical(partition_by, mapping)
+        if stats_columns:
+            stats_columns = _names_to_physical(stats_columns, mapping)
+        if bloom_columns:
+            bloom_columns = _names_to_physical(bloom_columns, mapping)
     if entries:
         prior_cols = set(entries[-1]["columns"])
         cols = set(df.columns)
@@ -1387,6 +1539,7 @@ def read_version(
     root = Path(root)
     version, dirs, live_entries = _resolve(root, _entries_for(root, version), version)
     schema_cols = live_entries[-1]["columns"]
+    mapping = _column_mapping(live_entries)
     partitioned = bool(live_entries[-1].get("partition_by"))
     widened = any("added_columns" in e for e in live_entries)
     masks = _live_masks(live_entries)
@@ -1401,7 +1554,8 @@ def read_version(
         for c in schema_cols:
             if c not in df.columns:
                 df = df.withColumn(c, F.lit(None))
-        return df.select(*schema_cols)
+        # files/stats speak PHYSICAL names; the caller sees LOGICAL
+        return _to_logical(df.select(*schema_cols), mapping)
 
     if not partitioned:
         # one multi-path scan node — a 120-commit live set plans as a
@@ -1537,6 +1691,8 @@ def zone_map_prune(
             )
     root = Path(root)
     _, dirs, live_entries = _resolve(root, _entries_for(root, version), version)
+    # predicates arrive in LOGICAL names; stats/blooms speak physical
+    predicates = _preds_to_physical(predicates, _column_mapping(live_entries))
     by_dir = {e["dir"]: e for e in live_entries if e.get("dir")}
     masks = _live_masks(live_entries)
     files: list[str] = []
@@ -1695,13 +1851,15 @@ def read_where(
     version, live_data_dirs, live_entries = _resolve(
         root, _entries_for(root, version), version
     )
-    report = zone_map_prune(root, predicates, version)
+    mapping = _column_mapping(live_entries)
+    phys_preds = _preds_to_physical(predicates, mapping)
+    report = zone_map_prune(root, phys_preds, version)
     schema_cols = live_entries[-1]["columns"]
     partitioned = bool(live_entries[-1].get("partition_by"))
     widened = any("added_columns" in e for e in live_entries)
 
     def _cond(df):
-        return _predicate_cond(df, predicates)
+        return _predicate_cond(df, phys_preds)
 
     def _with_schema(df):
         # a schema-widened column can be absent from EVERY surviving
@@ -1712,12 +1870,16 @@ def read_where(
         for c in schema_cols:
             if c not in df.columns:
                 df = df.withColumn(c, F.lit(None))
-        return df.filter(_cond(df)).select(*schema_cols)
+        return _to_logical(
+            df.filter(_cond(df)).select(*schema_cols), mapping
+        )
 
     paths = report["dirs"] + report["files"]
     if not paths:
-        snap = read_version(spark, root, version)
-        return snap.filter(_cond(snap)).limit(0)
+        snap = read_version(spark, root, version)  # already logical
+        return snap.filter(
+            _predicate_cond(snap, predicates)
+        ).limit(0)
     dvf = _dv_frame(spark, root, live_entries)
     if not partitioned:
         reader = spark.read
@@ -1761,8 +1923,27 @@ def changes_between(
     """
     from pyspark.sql import functions as F
 
+    root = Path(root)
     old = read_version(spark, root, from_version)
     new = read_version(spark, root, to_version)
+    mo = _column_mapping(
+        _resolve(root, _entries_for(root, from_version), from_version)[2]
+    )
+    mn = _column_mapping(
+        _resolve(root, _entries_for(root, to_version), to_version)[2]
+    )
+    if mo != mn:
+        # a rename landed between the versions: both sides share the
+        # frozen PHYSICAL names — align the old side to the new side's
+        # logical namespace so the diff compares column-for-column
+        inv_n = {p: l for l, p in mn.items()}
+        ren = {}
+        for l_old in old.columns:
+            p = mo.get(l_old, l_old)
+            l_new = inv_n.get(p, p)
+            if l_new != l_old:
+                ren[l_old] = l_new
+        old = old.withColumnsRenamed(ren)
     shared = [c for c in old.columns if c in set(new.columns)]
     oldc = old.groupBy(*shared).agg(F.count(F.lit(1)).alias("_cnt_old"))
     newc = new.groupBy(*shared).agg(F.count(F.lit(1)).alias("_cnt_new"))
@@ -1818,8 +1999,8 @@ def read_change_feed(
             continue
         if e.get("data_change") is False:
             continue  # layout-only: no row changed
-        if e["action"] == "set_constraints":
-            continue  # property commit: no rows
+        if e["action"] in ("set_constraints", "rename_column"):
+            continue  # property commits: no rows
         if e["action"] == "append":
             if not e.get("dir"):
                 continue
@@ -1837,10 +2018,11 @@ def read_change_feed(
                 "Read from a later from_version."
             )
         parts.append(df.withColumn("_commit_version", F.lit(v)))
+    mapping = _column_mapping(live_entries)
     if not parts:
-        base = read_version(spark, root, version).limit(0)
+        base = read_version(spark, root, version).limit(0)  # logical
         return base.select(
-            *schema_cols,
+            *_names_to_logical(schema_cols, mapping),
             F.lit("").alias("_change"),
             F.lit(0).cast("long").alias("_commit_version"),
         )
@@ -1850,8 +2032,11 @@ def read_change_feed(
     for c in schema_cols:  # pre-widening change files backfill NULL
         if c not in out.columns:
             out = out.withColumn(c, F.lit(None))
-    return out.select(
-        *schema_cols, "_change", F.col("_commit_version").cast("long")
+    return _to_logical(
+        out.select(
+            *schema_cols, "_change", F.col("_commit_version").cast("long")
+        ),
+        mapping,
     )
 
 
@@ -1892,7 +2077,8 @@ def describe_detail(root: str | Path, version: int | None = None) -> dict:
         "num_masked_files": n_masked,
         "dv_count": len(dv_refs),
         "dv_rows": sum(n for _, n in dv_refs),
-        "columns": last["columns"],
+        "columns": _names_to_logical(last["columns"], _column_mapping(live_entries)),
+        "column_mapping": _column_mapping(live_entries),
         "partition_by": last.get("partition_by") or [],
         "stats_columns": last.get("stats_columns") or [],
         "bloom_columns": last.get("bloom_columns") or [],
@@ -1988,6 +2174,10 @@ def upsert_pruned(
         version, live_data_dirs, live_entries = _resolve(root, entries, None)
         dvf = _dv_frame(spark, root, live_entries)
         schema_cols = live_entries[-1]["columns"]
+        mapping = _column_mapping(live_entries)
+        if mapping:  # callers speak logical; storage speaks physical
+            updates = updates.withColumnsRenamed(dict(mapping))
+            key_cols = _names_to_physical(key_cols, mapping)
         for k in key_cols:
             if k not in schema_cols:
                 raise ValueError(f"key column {k!r} not in table schema")
@@ -2308,6 +2498,9 @@ def delete_where_pruned(
     with writer_lock(root, wait_seconds=_LOCK_WAIT):
         entries = _snapshot_entries(root)
         version, live_data_dirs, live_entries = _resolve(root, entries, None)
+        predicates = _preds_to_physical(
+            predicates, _column_mapping(live_entries)
+        )
         dvf = _dv_frame(spark, root, live_entries)
         report = zone_map_prune(root, predicates, version)  # mask-aware
         cand_files = list(report["files"]) + [
@@ -2471,6 +2664,9 @@ def delete_where_dv(
     (root / _VLOG).mkdir(parents=True, exist_ok=True)
     entries = _snapshot_entries(root)  # lock-free base snapshot
     version, live_data_dirs, live_entries = _resolve(root, entries, None)
+    predicates = _preds_to_physical(
+        predicates, _column_mapping(live_entries)
+    )
     dvf = _dv_frame(spark, root, live_entries)
     report = zone_map_prune(root, predicates, version)
     cand_files = list(report["files"]) + [

@@ -99,6 +99,7 @@ _OP_PRUNED = st.one_of(
         st.just("concurrent_append"),
         st.tuples(_ROWS.filter(len), _ROWS.filter(len)),
     ),
+    st.tuples(st.just("rename"), st.none()),
 )
 
 
@@ -112,10 +113,18 @@ def test_pruned_mutations_time_travel_exactly(spark, tmp_path_factory, ops):
     root = tmp_path_factory.mktemp("vtm2") / "tbl"
     live: list[tuple[int, int]] = []
     snapshots: list[list[tuple[int, int]]] = []
+    # the value column's CURRENT logical name per committed version
+    # (rename ops toggle it; reads at version i must see vnames[i])
+    vnames: list[str] = []
+    vname = "v"
+
+    def _df_named(rows):
+        out = _df(spark, rows)
+        return out.withColumnRenamed("v", vname) if vname != "v" else out
 
     def _first_append(rows):
         vt.append(
-            root, _df(spark, rows), num_files=1,
+            root, _df_named(rows), num_files=1,
             stats_columns=["k"], bloom_columns=["k"], bloom_bits=4096,
         )
 
@@ -130,14 +139,14 @@ def test_pruned_mutations_time_travel_exactly(spark, tmp_path_factory, ops):
             if not snapshots:
                 _first_append(arg)
             else:
-                vt.overwrite(root, _df(spark, arg), num_files=1)
+                vt.overwrite(root, _df_named(arg), num_files=1)
             live = sorted(arg.items())
         elif kind == "upsert_pruned":
             if not snapshots:
                 _first_append(arg)
                 live = sorted(arg.items())
             else:
-                vt.upsert_pruned(spark, root, _df(spark, arg), ["k"])
+                vt.upsert_pruned(spark, root, _df_named(arg), ["k"])
                 live = sorted(
                     [(k, v) for k, v in live if k not in arg]
                     + list(arg.items())
@@ -189,6 +198,13 @@ def test_pruned_mutations_time_travel_exactly(spark, tmp_path_factory, ops):
                 continue
             assert stt["deleted_rows"] == len(want_gone)
             live = [(k, v) for k, v in live if k != arg]
+        elif kind == "rename":
+            if not snapshots:
+                continue
+            new_name = "v2" if vname == "v" else "v"
+            stt = vt.rename_column(root, vname, new_name)
+            assert stt["action"] == "rename_column"
+            vname = new_name
         elif kind == "concurrent_append":
             # r9 optimistic concurrency: two appends race from a shared
             # barrier; BOTH must land (blind appends always commute),
@@ -206,7 +222,7 @@ def test_pruned_mutations_time_travel_exactly(spark, tmp_path_factory, ops):
             def _race(rows):
                 try:
                     barrier.wait(timeout=60)
-                    vt.append(root, _df(spark, rows), num_files=1)
+                    vt.append(root, _df_named(rows), num_files=1)
                 except Exception as exc:  # noqa: BLE001
                     errors.append(exc)
 
@@ -231,14 +247,17 @@ def test_pruned_mutations_time_travel_exactly(spark, tmp_path_factory, ops):
             )
             live = live + sorted(order[0].items())
             snapshots.append(sorted(live))
+            vnames.append(vname)
             live = live + sorted(order[1].items())
         snapshots.append(sorted(live))
+        vnames.append(vname)
 
     assert len(vt.history(root)) == len(snapshots)
     for version, expect in enumerate(snapshots):
+        df = vt.read_version(spark, root, version)
+        assert df.columns == ["k", vnames[version]], f"v{version} schema"
         got = sorted(
-            (r.k, r.v)
-            for r in vt.read_version(spark, root, version).collect()
+            (r.k, r[vnames[version]]) for r in df.collect()
         )
         assert got == expect, f"version {version}: {got} != {expect}"
     if snapshots:
@@ -247,7 +266,7 @@ def test_pruned_mutations_time_travel_exactly(spark, tmp_path_factory, ops):
         # multisets: compare row lists, not last-write-wins dicts)
         for key in range(10):
             got = sorted(
-                (r.k, r.v)
+                (r.k, r[vname])
                 for r in vt.read_where(
                     spark, root, [("k", "==", key)]
                 ).collect()
