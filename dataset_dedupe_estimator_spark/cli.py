@@ -1465,6 +1465,20 @@ def cmd_table(args) -> int:
             f"{args.out!r}, metadata only — zero data bytes moved; "
             f"mapping: {st['column_mapping']})"
         )
+    elif args.action == "drop-column":
+        if not args.src:
+            print(
+                "drop-column: de table drop-column ROOT COLUMN",
+                file=sys.stderr,
+            )
+            return 2
+        st = vt.drop_column(args.root, args.src)
+        print(
+            f"committed v{st['version']} (drop {args.src!r}, metadata "
+            "only — pre-drop files keep the physical bytes until the "
+            "next rewrite; time travel below this version still reads "
+            "the column)"
+        )
     elif args.action == "ingest":
         # continuous ingestion: every microbatch of newly-arrived files
         # becomes ONE auditable commit. The checkpoint dedupes input
@@ -1884,6 +1898,7 @@ def build_parser() -> argparse.ArgumentParser:
             "append", "overwrite", "history", "read", "optimize", "vacuum",
             "ingest", "delete-where", "upsert", "tail", "compact-small",
             "set-constraints", "restore", "detail", "rename-column",
+            "drop-column",
         ],
     )
     tb.add_argument("root")

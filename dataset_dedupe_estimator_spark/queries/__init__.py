@@ -49,9 +49,10 @@ for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthet
 # Round-9 window (executes the rotation staged at r8 close, COVERAGE.md
 # ledger): the 27 round-5-green queries held in the r8 _NEXT, the 3
 # round-8-added never-driver-checked entries (checkpoint/restore/DV),
-# the r9-added table_concurrent_append_read + table_rename_read, and
-# the 18 stalest round-6-green queries (registry-order tiebreak — all 50
-# r6-attested entries are equally stale).
+# the r9-added table_concurrent_append_read + table_rename_read +
+# table_drop_read, and the 17 stalest round-6-green queries
+# (registry-order tiebreak — all 50 r6-attested entries are equally
+# stale; dedup_keep_first displaced into _NEXT by table_drop_read).
 _FRONT = [
     "ivfpq_search",
     "synthetic_delete_rows",
@@ -100,13 +101,15 @@ _FRONT = [
     "dedup_exact_groups",
     "dedup_exact_events",
     "dedup_fingerprint_groups",
-    "dedup_keep_first",
     "table_concurrent_append_read",
     "table_rename_read",
+    "table_drop_read",
 ]
-# overflow: the 32 remaining round-6-green queries — first in line for
+# overflow: the remaining round-6-green queries (plus the r6-green
+# fill displaced by the r9-added table_drop_read) — first in line for
 # round 10's window (locally re-verified every round)
 _NEXT = [
+    "dedup_keep_first",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_candidates",

@@ -1158,6 +1158,109 @@ _RN_DEL_LO, _RN_DEL_HI = 400, 600
 _RN_UP = 7
 
 
+def table_drop_read(spark, sf):
+    """Column DROP via column mapping (r9,
+    ``sources/versioned.py::drop_column`` — the Delta DROP COLUMN
+    shape): a metadata-only commit retires the column from the schema;
+    pre-drop data files keep the physical bytes (time travel below the
+    drop still reads them), and the retired physical name may never be
+    re-used by a later widening (resurrection hazard — the query
+    asserts the refusal).
+
+    The table is built with an extra ``clerk_len`` column (priority-string length), the column
+    is dropped (the query RAISES if any data file changes — a drop
+    must move zero data bytes), a band is deleted under the reduced
+    schema, and the final read aggregates the surviving rows. The
+    dropped column's pre-drop values are still recovered by TIME
+    TRAVEL below the drop and folded into the output as a constant
+    column, so both sides of the drop boundary are value-checked
+    against the oracle.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey",
+        cents("o_totalprice").alias("price_cents"),
+        F.length("o_orderpriority").cast("long").alias("clerk_len"),
+    )
+    root = tempfile.mkdtemp(prefix="dde_drop_")
+    try:
+        vt.append(
+            root, orders.repartitionByRange(4, "o_orderkey"),
+            stats_columns=["o_orderkey"],
+        )
+
+        def _md5s():
+            return {
+                str(f): hashlib.md5(f.read_bytes()).hexdigest()
+                for f in sorted(Path(root, "data").rglob("*.parquet"))
+            }
+
+        before = _md5s()
+        vt.drop_column(root, "clerk_len")
+        if _md5s() != before:
+            raise AssertionError("drop moved data bytes")
+        got = vt.read_version(spark, root)
+        if got.columns != ["o_orderkey", "o_custkey", "price_cents"]:
+            raise AssertionError(f"drop not projected: {got.columns}")
+        # the retired physical name may never return
+        try:
+            vt.append(
+                root,
+                orders.limit(1),
+                allow_new_columns=True,
+            )
+            raise AssertionError("retired column name was re-admitted")
+        except ValueError:
+            pass
+        # mutate under the reduced schema
+        vt.delete_where_pruned(
+            spark, root, [("o_orderkey", "between", (_DC_DEL_LO, _DC_DEL_HI))]
+        )
+        # time travel BELOW the drop still reads the column
+        v0 = vt.read_version(spark, root, 0)
+        if "clerk_len" not in v0.columns:
+            raise AssertionError("time travel lost the dropped column")
+        junk_total = v0.agg(
+            F.sum("clerk_len").cast("long").alias("s")
+        ).collect()[0]["s"]
+        out = (
+            vt.read_version(spark, root)
+            .groupBy((F.col("o_custkey") % 10).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.max("o_orderkey").alias("max_key"),
+                F.sum("price_cents").alias("total_cents"),
+            )
+            .withColumn("v0_clerk_len_total", F.lit(junk_total).cast("long"))
+            .orderBy("bucket")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_DC_DEL_LO, _DC_DEL_HI = 700, 900
+
+
+TABLE_DROP_READ_SQL = f"""
+SELECT o_custkey % 10 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MAX(o_orderkey) AS max_key,
+       CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS total_cents,
+       (SELECT CAST(SUM(LENGTH(o_orderpriority)) AS BIGINT) FROM orders)
+           AS v0_clerk_len_total
+FROM orders
+WHERE o_orderkey NOT BETWEEN {_DC_DEL_LO} AND {_DC_DEL_HI}
+GROUP BY 1 ORDER BY bucket
+"""
+
+
 TABLE_RENAME_READ_SQL = f"""
 SELECT o_custkey % 10 AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -1430,6 +1533,7 @@ QUERIES = {
         table_concurrent_append_read, TABLE_CONCURRENT_APPEND_READ_SQL
     ),
     "table_rename_read": Q(table_rename_read, TABLE_RENAME_READ_SQL),
+    "table_drop_read": Q(table_drop_read, TABLE_DROP_READ_SQL),
     "table_zonemap_read": Q(table_zonemap_read, TABLE_ZONEMAP_READ_SQL),
     "mv_from_version_diff": Q(mv_from_version_diff, MV_FROM_VERSION_DIFF_SQL),
     "streaming_mv_refresh": Q(streaming_mv_refresh, STREAMING_MV_REFRESH_SQL),

@@ -188,7 +188,9 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 # identical before and after — nothing to emit, never
                 # an error (the Delta dataChange=false contract)
                 continue
-            if e["action"] in ("set_constraints", "rename_column"):
+            if e["action"] in (
+                "set_constraints", "rename_column", "drop_column"
+            ):
                 continue  # property commits: no rows in either mode
             if self.read_change_feed:
                 # CDF mode: appends are inserts from their own dir;

@@ -348,6 +348,8 @@ def _check_rebase(
             why = "constraints changed"
         elif L["action"] == "rename_column":
             why = "columns were renamed"
+        elif L["action"] == "drop_column":
+            why = "columns were dropped"
         elif L.get("change_feed"):
             why = "change feed was enabled"
         elif L.get("columns") and _meta_signature(L) != base_sig:
@@ -392,6 +394,20 @@ def _column_mapping(entries: list[dict]) -> dict:
         if "column_mapping" in e:
             return dict(e["column_mapping"])
     return {}
+
+
+def _dropped_columns(entries: list[dict]) -> set:
+    """PHYSICAL names of every column ever dropped, at the snapshot's
+    version. Like ``column_mapping``, the accumulated set is
+    re-published whole by each ``drop_column`` commit (latest entry
+    carrying the key wins), so lookup never walks below the newest
+    drop. The set only grows: a dropped physical name is retired
+    FOREVER — pre-drop data files still hold its values, so a later
+    widening re-using the name would silently resurrect them."""
+    for e in reversed(entries):
+        if "dropped_columns" in e:
+            return set(e["dropped_columns"])
+    return set()
 
 
 def _to_logical(df: DataFrame, mapping: dict) -> DataFrame:
@@ -490,6 +506,96 @@ def rename_column(root: str | Path, old: str, new: str) -> dict:
             entry["stats_columns"] = last["stats_columns"]
         if last.get("bloom_columns"):
             entry["bloom_columns"] = last["bloom_columns"]
+            entry["bloom_bits"] = last.get("bloom_bits") or 65_536
+        if last.get("change_feed"):
+            entry["change_feed"] = True
+        _commit(root, entry)
+    return entry
+
+
+def drop_column(root: str | Path, name: str) -> dict:
+    """DROP a column as a METADATA-ONLY commit (the Delta DROP COLUMN
+    shape under column mapping): zero data bytes move — the commit
+    re-publishes the schema without the column, and every reader stops
+    projecting it. Pre-drop data files keep the physical column (time
+    travel below the drop still reads it); the physical bytes are
+    purged only when a rewrite (``optimize`` / ``compact_small`` /
+    ``delete_where``) re-materializes the live set, which selects the
+    current schema.
+
+    The dropped PHYSICAL name is retired forever (recorded in the
+    accumulated ``dropped_columns`` set): a later ``allow_new_columns``
+    append may not re-use it — pre-drop files still hold the old
+    values, and a mergeSchema read would silently resurrect them. Drop
+    refuses on: the last remaining column, a partition column
+    (directory paths bake the name), and a column referenced by an
+    active constraint (drop or replace the constraint first).
+    Stats / bloom declarations shed the column automatically.
+    """
+    root = Path(root)
+    with writer_lock(root, wait_seconds=_LOCK_WAIT):
+        entries = _snapshot_entries(root)
+        if not entries:
+            raise VersionNotFoundError(
+                f"{root} has no committed versions — drop needs an "
+                "existing table"
+            )
+        last = entries[-1]
+        mapping = _column_mapping(entries)
+        physical_cols = last["columns"]
+        logical_cols = [
+            next((l for l, p in mapping.items() if p == c), c)
+            for c in physical_cols
+        ]
+        if name not in logical_cols:
+            raise ValueError(
+                f"column {name!r} not in table schema {logical_cols}"
+            )
+        if len(physical_cols) == 1:
+            raise ValueError("cannot drop the only column of a table")
+        physical = mapping.get(name, name)
+        if physical in (last.get("partition_by") or []):
+            raise ValueError(
+                f"column {name!r} is a partition column — its physical "
+                "name is baked into directory paths and cannot be "
+                "dropped under this mapping scheme"
+            )
+        cons = _active_constraints(entries)
+        if cons is not None:
+            used = set(cons["not_null"]) | {c for c, _, _ in cons["checks"]}
+            if physical in used:
+                raise ValueError(
+                    f"column {name!r} is referenced by an active "
+                    "constraint — drop or replace the constraints first "
+                    "(set_constraints)"
+                )
+        entry = {
+            "version": last["version"] + 1,
+            "action": "drop_column",
+            "dir": None,
+            # property commits replicate the inheritable metadata: the
+            # next data commit reads it from entries[-1]
+            "columns": [c for c in physical_cols if c != physical],
+            "partition_by": last.get("partition_by") or [],
+            "column_mapping": {
+                l: p for l, p in mapping.items() if l != name
+            },
+            "dropped_columns": sorted(
+                _dropped_columns(entries) | {physical}
+            ),
+            "dropped": [name, physical],
+            "ts": time.time(),
+        }
+        stats_cols = [
+            c for c in (last.get("stats_columns") or []) if c != physical
+        ]
+        if stats_cols:
+            entry["stats_columns"] = stats_cols
+        bloom_cols = [
+            c for c in (last.get("bloom_columns") or []) if c != physical
+        ]
+        if bloom_cols:
+            entry["bloom_columns"] = bloom_cols
             entry["bloom_bits"] = last.get("bloom_bits") or 65_536
         if last.get("change_feed"):
             entry["change_feed"] = True
@@ -596,6 +702,11 @@ def _fold_entries(root: Path, entries: list[dict]) -> list[dict]:
         # rename commits are dir-less and fold away: the accumulated
         # logical->physical mapping must ride the retained last entry
         lastc["column_mapping"] = mapping
+    dropped = _dropped_columns(entries)
+    if dropped:
+        # same for drop commits: the retired-physical-name set must
+        # survive the fold or a checkpoint+tail writer could re-use one
+        lastc["dropped_columns"] = sorted(dropped)
     return [by_version[v] for v in sorted(by_version)]
 
 
@@ -1153,6 +1264,14 @@ def _stage_commit(
             stats_columns = _names_to_physical(stats_columns, mapping)
         if bloom_columns:
             bloom_columns = _names_to_physical(bloom_columns, mapping)
+    retired = _dropped_columns(entries) & set(df.columns)
+    if retired:
+        raise ValueError(
+            f"column names {sorted(retired)} were DROPPED from this "
+            "table — their physical names are retired forever (pre-drop "
+            "files still hold the old values; re-using the name would "
+            "resurrect them); pick different names"
+        )
     if entries:
         prior_cols = set(entries[-1]["columns"])
         cols = set(df.columns)
@@ -1693,6 +1812,15 @@ def zone_map_prune(
     _, dirs, live_entries = _resolve(root, _entries_for(root, version), version)
     # predicates arrive in LOGICAL names; stats/blooms speak physical
     predicates = _preds_to_physical(predicates, _column_mapping(live_entries))
+    known = set(live_entries[-1]["columns"])
+    unknown = sorted({c for c, _, _ in predicates if c not in known})
+    if unknown:
+        # a dropped column's data still sits in pre-drop files — a
+        # silent filter over it would resurrect retired values
+        raise ValueError(
+            f"predicate columns {unknown} are not in the table schema "
+            f"at this version"
+        )
     by_dir = {e["dir"]: e for e in live_entries if e.get("dir")}
     masks = _live_masks(live_entries)
     files: list[str] = []
@@ -1999,7 +2127,7 @@ def read_change_feed(
             continue
         if e.get("data_change") is False:
             continue  # layout-only: no row changed
-        if e["action"] in ("set_constraints", "rename_column"):
+        if e["action"] in ("set_constraints", "rename_column", "drop_column"):
             continue  # property commits: no rows
         if e["action"] == "append":
             if not e.get("dir"):
@@ -2079,6 +2207,7 @@ def describe_detail(root: str | Path, version: int | None = None) -> dict:
         "dv_rows": sum(n for _, n in dv_refs),
         "columns": _names_to_logical(last["columns"], _column_mapping(live_entries)),
         "column_mapping": _column_mapping(live_entries),
+        "dropped_columns": sorted(_dropped_columns(live_entries)),
         "partition_by": last.get("partition_by") or [],
         "stats_columns": last.get("stats_columns") or [],
         "bloom_columns": last.get("bloom_columns") or [],

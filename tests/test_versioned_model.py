@@ -100,6 +100,7 @@ _OP_PRUNED = st.one_of(
         st.tuples(_ROWS.filter(len), _ROWS.filter(len)),
     ),
     st.tuples(st.just("rename"), st.none()),
+    st.tuples(st.just("widen_drop"), _ROWS.filter(len)),
 )
 
 
@@ -113,10 +114,12 @@ def test_pruned_mutations_time_travel_exactly(spark, tmp_path_factory, ops):
     root = tmp_path_factory.mktemp("vtm2") / "tbl"
     live: list[tuple[int, int]] = []
     snapshots: list[list[tuple[int, int]]] = []
-    # the value column's CURRENT logical name per committed version
-    # (rename ops toggle it; reads at version i must see vnames[i])
-    vnames: list[str] = []
+    # the expected LOGICAL schema per committed version (rename ops
+    # toggle the value column's name; widen_drop ops add a transient
+    # extra column for exactly one version)
+    schemas: list[list[str]] = []
     vname = "v"
+    n_widened = 0
 
     def _df_named(rows):
         out = _df(spark, rows)
@@ -133,7 +136,7 @@ def test_pruned_mutations_time_travel_exactly(spark, tmp_path_factory, ops):
             if not snapshots:
                 _first_append(arg)
             else:
-                vt.append(root, _df(spark, arg), num_files=1)
+                vt.append(root, _df_named(arg), num_files=1)
             live = live + sorted(arg.items())
         elif kind == "overwrite":
             if not snapshots:
@@ -205,6 +208,26 @@ def test_pruned_mutations_time_travel_exactly(spark, tmp_path_factory, ops):
             stt = vt.rename_column(root, vname, new_name)
             assert stt["action"] == "rename_column"
             vname = new_name
+        elif kind == "widen_drop":
+            # r9 DROP COLUMN: widen with a fresh throwaway column (its
+            # physical name is retired forever after the drop, so each
+            # op mints a new one), then drop it — the widened schema is
+            # visible for exactly one version and time travel must keep
+            # showing it there
+            if not snapshots:
+                continue
+            xcol = f"x{n_widened}"
+            n_widened += 1
+            vt.append(
+                root,
+                _df_named(arg).withColumn(xcol, F.lit(1)),
+                num_files=1, allow_new_columns=True,
+            )
+            live = live + sorted(arg.items())
+            snapshots.append(sorted(live))
+            schemas.append(["k", vname, xcol])
+            stt = vt.drop_column(root, xcol)
+            assert stt["action"] == "drop_column"
         elif kind == "concurrent_append":
             # r9 optimistic concurrency: two appends race from a shared
             # barrier; BOTH must land (blind appends always commute),
@@ -237,7 +260,7 @@ def test_pruned_mutations_time_travel_exactly(spark, tmp_path_factory, ops):
             assert not errors, errors
             v_first = len(snapshots)
             got_first = Counter(
-                (r.k, r.v)
+                (r.k, r[vname])
                 for r in vt.read_version(spark, root, v_first).collect()
             ) - Counter(live)
             order = (
@@ -247,17 +270,18 @@ def test_pruned_mutations_time_travel_exactly(spark, tmp_path_factory, ops):
             )
             live = live + sorted(order[0].items())
             snapshots.append(sorted(live))
-            vnames.append(vname)
+            schemas.append(["k", vname])
             live = live + sorted(order[1].items())
         snapshots.append(sorted(live))
-        vnames.append(vname)
+        schemas.append(["k", vname])
 
     assert len(vt.history(root)) == len(snapshots)
     for version, expect in enumerate(snapshots):
         df = vt.read_version(spark, root, version)
-        assert df.columns == ["k", vnames[version]], f"v{version} schema"
+        assert df.columns == schemas[version], f"v{version} schema"
+        val = schemas[version][1]
         got = sorted(
-            (r.k, r[vnames[version]]) for r in df.collect()
+            (r.k, r[val]) for r in df.collect()
         )
         assert got == expect, f"version {version}: {got} != {expect}"
     if snapshots:
