@@ -1268,6 +1268,13 @@ def cmd_table(args) -> int:
             )
     elif args.action == "read":
         spark = _spark(args)
+        if args.as_of is not None:
+            if args.version is not None:
+                print("read: pass --version or --as-of, not both",
+                      file=sys.stderr)
+                return 2
+            args.version = vt.version_at(args.root, args.as_of)
+            print(f"-- as of {args.as_of!r} = version {args.version}")
         label = "latest" if args.version is None else f"v{args.version}"
         if args.where:
             preds = _parse_where(args.where)
@@ -1440,9 +1447,17 @@ def cmd_table(args) -> int:
         )
         print(f"removed {len(removed)} data dirs: {', '.join(removed) or '-'}")
     elif args.action == "restore":
-        if args.version is None:
-            print("restore: pass --version N (the target)", file=sys.stderr)
+        if args.version is None and args.as_of is None:
+            print("restore: pass --version N or --as-of TS (the target)",
+                  file=sys.stderr)
             return 2
+        if args.as_of is not None:
+            if args.version is not None:
+                print("restore: pass --version or --as-of, not both",
+                      file=sys.stderr)
+                return 2
+            args.version = vt.version_at(args.root, args.as_of)
+            print(f"-- as of {args.as_of!r} = version {args.version}")
         st = vt.restore(_spark(args), args.root, args.version)
         if not st["committed"]:
             print(f"already at version {args.version}; nothing committed")
@@ -1904,6 +1919,12 @@ def build_parser() -> argparse.ArgumentParser:
     tb.add_argument("root")
     tb.add_argument("src", nargs="?")
     tb.add_argument("--version", type=int)
+    tb.add_argument(
+        "--as-of", dest="as_of",
+        help="read/restore: resolve the target version by TIMESTAMP "
+        "AS OF (ISO-8601 like '2026-08-16T12:30:00', or epoch seconds) "
+        "— the newest commit at or before that time",
+    )
     tb.add_argument("--out")
     tb.add_argument("--files", type=int)
     tb.add_argument("--keep", type=int, default=1)

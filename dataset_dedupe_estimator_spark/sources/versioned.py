@@ -1643,10 +1643,82 @@ def live_dirs(root: str | Path, version: int | None = None) -> list[str]:
     return _resolve(root, _entries_for(root, version), version)[1]
 
 
+def _to_epoch(timestamp) -> float:
+    """Normalize a user timestamp — epoch seconds, ``datetime``, or an
+    ISO-8601 string — to epoch seconds. A naive datetime / ISO string
+    is interpreted in LOCAL time (what ``datetime.timestamp()`` does),
+    matching how a user reads their own wall clock; pass an offset
+    (``...+00:00``) or an epoch float for timezone-exact queries."""
+    import datetime as _dt
+
+    if isinstance(timestamp, bool):
+        raise TypeError("timestamp must be epoch seconds, datetime or str")
+    if isinstance(timestamp, (int, float)):
+        return float(timestamp)
+    if isinstance(timestamp, _dt.datetime):
+        return timestamp.timestamp()
+    if isinstance(timestamp, str):
+        try:
+            return float(timestamp)  # "1755300000.5": epoch passthrough
+        except ValueError:
+            pass
+        try:
+            return _dt.datetime.fromisoformat(timestamp).timestamp()
+        except ValueError:
+            raise ValueError(
+                f"timestamp string {timestamp!r} is neither epoch "
+                "seconds nor ISO-8601 (e.g. '2026-08-16T12:30:00' or "
+                "'...+00:00')"
+            ) from None
+    raise TypeError(
+        f"timestamp must be epoch seconds, datetime or ISO string, "
+        f"got {type(timestamp).__name__}"
+    )
+
+
+def version_at(root: str | Path, timestamp) -> int:
+    """The version a reader at ``timestamp`` would have seen: the
+    NEWEST commit whose commit time is <= the requested time (the
+    Delta/Iceberg TIMESTAMP AS OF shape). Commit times are the
+    writers' clocks recorded at commit (``entry['ts']``) — monotone
+    with version on a single log in practice, but resolution is
+    defined as max(version | ts <= t) so a small clock skew between
+    writers can never make the answer ambiguous. Raises if the table
+    had no committed version yet at that time."""
+    root = Path(root)
+    ts = _to_epoch(timestamp)
+    entries = _committed_entries(root)  # raw log: audit path, like history
+    cand = [e["version"] for e in entries if e.get("ts", 0.0) <= ts]
+    if not cand:
+        raise VersionNotFoundError(
+            f"{root} had no committed version at timestamp {timestamp!r}"
+            + (
+                f" (first commit at epoch {entries[0].get('ts')})"
+                if entries else " (no commits at all)"
+            )
+        )
+    return max(cand)
+
+
+def _resolve_as_of(root: Path, version, timestamp):
+    """Shared version/timestamp argument handling for the AS OF
+    surfaces: exactly one of the two may be given."""
+    if timestamp is None:
+        return version
+    if version is not None:
+        raise ValueError("pass either version or timestamp, not both")
+    return version_at(root, timestamp)
+
+
 def read_version(
-    spark: SparkSession, root: str | Path, version: int | None = None
+    spark: SparkSession,
+    root: str | Path,
+    version: int | None = None,
+    timestamp=None,
 ) -> DataFrame:
-    """Snapshot read of the table at ``version`` (default: latest).
+    """Snapshot read of the table at ``version`` (default: latest), or
+    AS OF ``timestamp`` (epoch seconds, datetime, or ISO string — the
+    newest commit at or before that time; see :func:`version_at`).
 
     Plain parquet scans of the live commit directories, unioned by name
     — pushdown and (for partitioned tables) partition pruning apply per
@@ -1656,6 +1728,7 @@ def read_version(
     as-of-``version`` schema.
     """
     root = Path(root)
+    version = _resolve_as_of(root, version, timestamp)
     version, dirs, live_entries = _resolve(root, _entries_for(root, version), version)
     schema_cols = live_entries[-1]["columns"]
     mapping = _column_mapping(live_entries)
@@ -1959,6 +2032,7 @@ def read_where(
     root: str | Path,
     predicates: list[tuple],
     version: int | None = None,
+    timestamp=None,
 ) -> DataFrame:
     """Snapshot read with zone-map file skipping: files whose recorded
     [min, max] ranges provably miss the predicate conjunction never
@@ -1974,6 +2048,7 @@ def read_where(
     from pyspark.sql import functions as F
 
     root = Path(root)
+    version = _resolve_as_of(root, version, timestamp)
     # one log read for both the prune and the schema (lock-free reader
     # TOCTOU discipline: never resolve the log twice)
     version, live_data_dirs, live_entries = _resolve(
@@ -2222,11 +2297,12 @@ def register_view(
     root: str | Path,
     name: str,
     version: int | None = None,
+    timestamp=None,
 ) -> None:
     """Expose a snapshot to the SQL surface (``de sql`` / spark.sql) as a
     temp view — queries against ``name`` are pinned to the version
     resolved NOW, reproducible regardless of later commits."""
-    read_version(spark, root, version).createOrReplaceTempView(name)
+    read_version(spark, root, version, timestamp).createOrReplaceTempView(name)
 
 
 def upsert(
@@ -2936,7 +3012,8 @@ def delete_where_dv(
 def restore(
     spark: SparkSession,
     root: str | Path,
-    version: int,
+    version: int | None = None,
+    timestamp=None,
 ) -> dict:
     """ROLL BACK the table to ``version`` as a NEW commit (the Delta
     RESTORE shape): a bad ingest, a wrong DELETE, or a botched MERGE is
@@ -2961,11 +3038,16 @@ def restore(
     INVERSE of every row change since the target (computed as one
     multiset diff, the only data-bytes cost), so incremental consumers
     roll back too. Restoring to the current version is a no-op
-    (``committed: False``).
+    (``committed: False``). The target may be named by ``version`` or
+    by ``timestamp`` (TO TIMESTAMP AS OF — the newest commit at or
+    before that time; see :func:`version_at`).
     """
     from pyspark.sql import functions as F
 
     root = Path(root)
+    version = _resolve_as_of(root, version, timestamp)
+    if version is None:
+        raise ValueError("restore needs a target: pass version or timestamp")
     with writer_lock(root, wait_seconds=_LOCK_WAIT):
         entries = _committed_entries(root)  # raw: target is explicit
         cur_version, _, live_entries = _resolve(root, entries, None)

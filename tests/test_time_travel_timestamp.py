@@ -1,0 +1,91 @@
+"""TIMESTAMP AS OF time travel (sources/versioned.py::version_at and
+the timestamp= kwarg on read_version / read_where / restore /
+register_view): the newest commit at or before the requested time wins,
+resolved from the commit times the writers recorded in the log."""
+
+import datetime as dt
+
+import pytest
+
+from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(sorted(pairs), "k: long, v: long")
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    """Three commits with recorded (real) commit times."""
+    root = tmp_path / "tbl"
+    vt.append(root, _df(spark, [(1, 10)]), num_files=1,
+              stats_columns=["k"])
+    vt.append(root, _df(spark, [(2, 20)]), num_files=1)
+    vt.overwrite(root, _df(spark, [(3, 30)]), num_files=1)
+    return root
+
+
+def test_version_at_boundaries(table):
+    hist = vt.history(table)
+    assert [e["version"] for e in hist] == [0, 1, 2]
+    # exactly at a commit time: that commit is visible
+    for e in hist:
+        assert vt.version_at(table, e["ts"]) == e["version"]
+    # between two commits: the earlier one
+    mid = (hist[0]["ts"] + hist[1]["ts"]) / 2
+    assert vt.version_at(table, mid) == 0
+    # far future: latest
+    assert vt.version_at(table, hist[-1]["ts"] + 3600) == 2
+    # before the first commit: no table yet
+    with pytest.raises(vt.VersionNotFoundError, match="no committed"):
+        vt.version_at(table, hist[0]["ts"] - 1)
+
+
+def test_timestamp_formats(table):
+    hist = vt.history(table)
+    t1 = hist[1]["ts"]
+    # epoch float, epoch string, datetime, ISO string (local time)
+    assert vt.version_at(table, t1) == 1
+    assert vt.version_at(table, str(t1)) == 1
+    local = dt.datetime.fromtimestamp(t1)
+    assert vt.version_at(table, local) == 1
+    assert vt.version_at(table, local.isoformat()) == 1
+    # timezone-aware round trip
+    aware = dt.datetime.fromtimestamp(t1, tz=dt.timezone.utc)
+    assert vt.version_at(table, aware) == 1
+    assert vt.version_at(table, aware.isoformat()) == 1
+    with pytest.raises(ValueError, match="neither epoch"):
+        vt.version_at(table, "not-a-time")
+    with pytest.raises(TypeError):
+        vt.version_at(table, [1, 2])
+
+
+def test_read_as_of_timestamp(spark, table):
+    hist = vt.history(table)
+    got = vt.read_version(spark, table, timestamp=hist[1]["ts"])
+    assert sorted((r.k, r.v) for r in got.collect()) == [(1, 10), (2, 20)]
+    got = vt.read_version(spark, table, timestamp=hist[2]["ts"] + 10)
+    assert sorted((r.k, r.v) for r in got.collect()) == [(3, 30)]
+    # read_where as-of prunes and filters the historical snapshot
+    rows = vt.read_where(
+        spark, table, [("k", "==", 1)], timestamp=hist[1]["ts"]
+    )
+    assert [(r.k, r.v) for r in rows.collect()] == [(1, 10)]
+    with pytest.raises(ValueError, match="not both"):
+        vt.read_version(spark, table, version=1, timestamp=hist[1]["ts"])
+
+
+def test_restore_to_timestamp(spark, table):
+    hist = vt.history(table)
+    st = vt.restore(spark, table, timestamp=hist[1]["ts"])
+    assert st["committed"] and st["restore_of"] == 1
+    got = vt.read_version(spark, table)
+    assert sorted((r.k, r.v) for r in got.collect()) == [(1, 10), (2, 20)]
+    with pytest.raises(ValueError, match="needs a target"):
+        vt.restore(spark, table)
+
+
+def test_register_view_as_of(spark, table):
+    hist = vt.history(table)
+    vt.register_view(spark, table, "t_asof", timestamp=hist[0]["ts"])
+    assert spark.sql("SELECT COUNT(*) AS n FROM t_asof").collect()[0].n == 1
