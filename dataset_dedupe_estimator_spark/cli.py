@@ -1480,6 +1480,24 @@ def cmd_table(args) -> int:
             f"{args.out!r}, metadata only — zero data bytes moved; "
             f"mapping: {st['column_mapping']})"
         )
+    elif args.action == "clone":
+        if not args.out:
+            print(
+                "clone: de table clone SRC_ROOT --out DST_ROOT "
+                "[--version N | --as-of TS]",
+                file=sys.stderr,
+            )
+            return 2
+        st = vt.clone_table(
+            args.root, args.out, version=args.version,
+            timestamp=args.as_of,
+        )
+        print(
+            f"cloned {args.root}@v{st['src_version']} -> {args.out} "
+            f"({st['versions']} commits, {st['linked_files']} files "
+            f"hard-linked, {st['copied_files']} copied, "
+            f"{st['dv_rows']} DV rows re-keyed — zero data bytes moved)"
+        )
     elif args.action == "drop-column":
         if not args.src:
             print(
@@ -1913,7 +1931,7 @@ def build_parser() -> argparse.ArgumentParser:
             "append", "overwrite", "history", "read", "optimize", "vacuum",
             "ingest", "delete-where", "upsert", "tail", "compact-small",
             "set-constraints", "restore", "detail", "rename-column",
-            "drop-column",
+            "drop-column", "clone",
         ],
     )
     tb.add_argument("root")

@@ -1248,6 +1248,90 @@ def table_drop_read(spark, sf):
 _DC_DEL_LO, _DC_DEL_HI = 700, 900
 
 
+def table_clone_read(spark, sf):
+    """Zero-copy CLONE (r9, ``sources/versioned.py::clone_table`` —
+    the Delta SHALLOW CLONE use case via hard links, immune to source
+    vacuum): the resolved state (masks folded in, deletion vectors
+    re-keyed) materializes into a fresh independent log with zero data
+    bytes moved.
+
+    A versioned orders table takes a copy-on-write band delete (file
+    masks) and a merge-on-read band delete (a DV sidecar), is CLONED —
+    the query RAISES if any file was physically copied — and then the
+    SOURCE takes a further delete. The clone must still read the
+    at-clone state (both delete mechanisms honored, the post-clone
+    delete invisible), and the source's current row count rides along
+    as a constant column so divergence in either direction
+    hash-mismatches against the oracle.
+    """
+    import shutil
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", cents("o_totalprice").alias("price_cents")
+    )
+    root = tempfile.mkdtemp(prefix="dde_clsrc_")
+    root2 = tempfile.mkdtemp(prefix="dde_cldst_") + "/t"
+    try:
+        vt.append(
+            root, orders.repartitionByRange(4, "o_orderkey"),
+            stats_columns=["o_orderkey"],
+        )
+        vt.delete_where_pruned(
+            spark, root, [("o_orderkey", "between", (_CL_MASK_LO, _CL_MASK_HI))]
+        )
+        vt.delete_where_dv(
+            spark, root, [("o_orderkey", "between", (_CL_DV_LO, _CL_DV_HI))]
+        )
+        st = vt.clone_table(root, root2)
+        if st["copied_files"] or not st["linked_files"]:
+            raise AssertionError(f"clone moved data bytes: {st}")
+        # the source moves on; the clone must not
+        vt.delete_where_pruned(
+            spark, root, [("o_orderkey", "between", (_CL_POST_LO, _CL_POST_HI))]
+        )
+        src_n = vt.read_version(spark, root).count()
+        out = (
+            vt.read_version(spark, root2)
+            .groupBy((F.col("o_custkey") % 10).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.max("o_orderkey").alias("max_key"),
+                F.sum("price_cents").alias("total_cents"),
+            )
+            .withColumn("src_n_after", F.lit(src_n).cast("long"))
+            .orderBy("bucket")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(root2, ignore_errors=True)
+
+
+_CL_MASK_LO, _CL_MASK_HI = 300, 500    # copy-on-write delete (masks)
+_CL_DV_LO, _CL_DV_HI = 600, 650        # merge-on-read delete (DV)
+_CL_POST_LO, _CL_POST_HI = 2000, 2200  # lands AFTER the clone
+
+
+TABLE_CLONE_READ_SQL = f"""
+SELECT o_custkey % 10 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MAX(o_orderkey) AS max_key,
+       CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS total_cents,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        WHERE o_orderkey NOT BETWEEN {_CL_MASK_LO} AND {_CL_MASK_HI}
+          AND o_orderkey NOT BETWEEN {_CL_DV_LO} AND {_CL_DV_HI}
+          AND o_orderkey NOT BETWEEN {_CL_POST_LO} AND {_CL_POST_HI})
+           AS src_n_after
+FROM orders
+WHERE o_orderkey NOT BETWEEN {_CL_MASK_LO} AND {_CL_MASK_HI}
+  AND o_orderkey NOT BETWEEN {_CL_DV_LO} AND {_CL_DV_HI}
+GROUP BY 1 ORDER BY bucket
+"""
+
+
 TABLE_DROP_READ_SQL = f"""
 SELECT o_custkey % 10 AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -1534,6 +1618,7 @@ QUERIES = {
     ),
     "table_rename_read": Q(table_rename_read, TABLE_RENAME_READ_SQL),
     "table_drop_read": Q(table_drop_read, TABLE_DROP_READ_SQL),
+    "table_clone_read": Q(table_clone_read, TABLE_CLONE_READ_SQL),
     "table_zonemap_read": Q(table_zonemap_read, TABLE_ZONEMAP_READ_SQL),
     "mv_from_version_diff": Q(mv_from_version_diff, MV_FROM_VERSION_DIFF_SQL),
     "streaming_mv_refresh": Q(streaming_mv_refresh, STREAMING_MV_REFRESH_SQL),

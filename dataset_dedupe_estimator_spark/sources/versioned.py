@@ -1643,6 +1643,223 @@ def live_dirs(root: str | Path, version: int | None = None) -> list[str]:
     return _resolve(root, _entries_for(root, version), version)[1]
 
 
+def clone_table(
+    src: str | Path,
+    dst: str | Path,
+    version: int | None = None,
+    timestamp=None,
+) -> dict:
+    """ZERO-COPY CLONE of the table at ``version`` / ``timestamp``
+    (default: latest) into a fresh, fully independent table at ``dst``
+    — the Delta SHALLOW CLONE use case (dev/test forks, experiment
+    branches, blue/green migrations) without its dangling-reference
+    hazard: data files are HARD-LINKED (O(files) metadata ops, zero
+    data bytes; same-filesystem), so vacuuming the source can never
+    break the clone — the inodes stay alive until both sides retire
+    them. Cross-device targets degrade to per-file copies
+    (``copied_files`` in the result says how many).
+
+    The clone materializes the RESOLVED state, not the history: masks
+    are folded in by not linking masked files, live deletion vectors
+    are re-keyed to the clone's directory names and carried (the KB
+    sidecars are the only rewritten bytes), per-file zone-map stats and
+    bloom sidecars ride along, and schema metadata (column mapping,
+    dropped names, declarations, constraints, change-feed flag) is
+    replicated. The clone's log starts at v0 — writes to either side
+    never affect the other. Source time travel below the cloned
+    version is not carried (clone the older version instead)."""
+    import shutil as _sh
+    from urllib.parse import quote, unquote
+
+    src, dst = Path(src), Path(dst)
+    version = _resolve_as_of(src, version, timestamp)
+    entries = _entries_for(src, version)
+    version, dirs, live_entries = _resolve(src, entries, version)
+    if _committed_entries(dst):
+        raise ValueError(f"{dst} already has committed versions")
+    last = live_entries[-1]
+    masks = _live_masks(live_entries)
+    dv_refs = _live_dv_refs(live_entries)
+    by_dir = {e["dir"]: e for e in live_entries if e.get("dir")}
+    widened = sorted(
+        {c for e in live_entries for c in (e.get("added_columns") or [])}
+    )
+    mapping = _column_mapping(live_entries)
+    dropped = _dropped_columns(live_entries)
+    cons = _active_constraints(live_entries)
+    (dst / _VLOG).mkdir(parents=True, exist_ok=True)
+    (dst / _DATA).mkdir(parents=True, exist_ok=True)
+
+    linked = copied = 0
+    name_map: dict[str, str] = {}
+    clone_entries: list[dict] = []
+    for i, d in enumerate(dirs):
+        sname = Path(d).name
+        dname = f"c{i:08d}"
+        name_map[sname] = dname
+        src_e = by_dir[sname]
+        masked = masks.get(sname, set())
+        ddir = dst / _DATA / dname
+        stats = src_e.get("stats")
+        new_stats: dict = {}
+        for f in sorted(Path(d).rglob("*.parquet")):
+            rel = str(f.relative_to(d))
+            if rel in masked:
+                continue
+            tgt = ddir / rel
+            tgt.parent.mkdir(parents=True, exist_ok=True)
+            try:
+                os.link(f, tgt)
+                linked += 1
+            except OSError:  # cross-device (or FS without links): copy
+                _sh.copy2(f, tgt)
+                copied += 1
+            if stats and rel in stats:
+                new_stats[rel] = stats[rel]
+        entry = {
+            "version": i,
+            "action": "append",
+            "clone_of": str(src),
+            "clone_src_dir": sname,
+            "dir": dname,
+            "columns": src_e["columns"],
+            "partition_by": last.get("partition_by") or [],
+        }
+        if new_stats:
+            entry["stats"] = new_stats
+            entry["stats_columns"] = src_e.get("stats_columns") or []
+            if src_e.get("stats_types"):
+                entry["stats_types"] = src_e["stats_types"]
+        side = src / _BLOOMS / (src_e.get("blooms_file") or "")
+        if src_e.get("blooms_file") and side.is_file():
+            dside = dst / _BLOOMS / f"{dname}.parquet"
+            dside.parent.mkdir(parents=True, exist_ok=True)
+            try:
+                os.link(side, dside)
+            except OSError:
+                _sh.copy2(side, dside)
+            entry["blooms_file"] = f"{dname}.parquet"
+            entry["bloom_columns"] = src_e.get("bloom_columns") or []
+            entry["bloom_bits"] = src_e.get("bloom_bits") or 65_536
+            if src_e.get("bloom_types"):
+                entry["bloom_types"] = src_e["bloom_types"]
+        clone_entries.append(entry)
+
+    # live deletion vectors: re-key the (KB-sized) sidecars to the
+    # clone's directory names; sidecar dir names deliberately do NOT
+    # look like c<version> so a future DV delete in the clone can never
+    # collide with them
+    dv_all: list[list] = []
+    for j, (name, _rows) in enumerate(dv_refs):
+        sdir = src / _DV / name
+        if not sdir.is_dir():
+            raise VersionNotFoundError(
+                f"cannot clone {src} at v{version}: deletion vector "
+                f"{name} was vacuumed"
+            )
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        parts = [
+            pq.read_table(str(f)) for f in sorted(sdir.rglob("*.parquet"))
+        ]
+        tbl = pa.concat_tables(parts)
+        keys, rids = [], []
+        for key, rid in zip(
+            tbl["_dv_key"].to_pylist(), tbl["_dv_rid"].to_pylist()
+        ):
+            decoded = unquote(key)
+            sdir_name, _, rel = decoded.partition("/")
+            nname = name_map.get(sdir_name)
+            if nname is None:  # its dir is not live here: stale row
+                continue
+            keys.append(quote(f"{nname}/{rel}", safe="/"))
+            rids.append(rid)
+        if not keys:
+            continue
+        ddv = dst / _DV / f"clone{j:04d}"
+        ddv.mkdir(parents=True, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "_dv_key": pa.array(keys, pa.string()),
+                    "_dv_rid": pa.array(rids, pa.int64()),
+                }
+            ),
+            str(ddv / "part-0.parquet"),
+        )
+        dv_all.append([f"clone{j:04d}", len(keys)])
+
+    if not clone_entries:  # empty live set: one dir-less schema carrier
+        clone_entries.append(
+            {
+                "version": 0,
+                "action": "append",
+                "clone_of": str(src),
+                "dir": None,
+                "columns": last["columns"],
+                "partition_by": last.get("partition_by") or [],
+            }
+        )
+    final = clone_entries[-1]
+    final["columns"] = last["columns"]  # current schema rides the tail
+    if last.get("stats_columns"):
+        final["stats_columns"] = last["stats_columns"]
+    if last.get("bloom_columns"):
+        final["bloom_columns"] = last["bloom_columns"]
+        final["bloom_bits"] = last.get("bloom_bits") or 65_536
+    if widened:
+        final["added_columns"] = widened
+    if mapping:
+        final["column_mapping"] = mapping
+    if dropped:
+        final["dropped_columns"] = sorted(dropped)
+    if dv_all:
+        final["dv_all"] = dv_all
+    if _cf_active(live_entries):
+        final["change_feed"] = True
+    for e in clone_entries:
+        e["ts"] = time.time()
+        _commit(dst, e)
+    if cons is not None:
+        _commit(
+            dst,
+            {
+                "version": len(clone_entries),
+                "action": "set_constraints",
+                "dir": None,
+                "columns": final["columns"],
+                "partition_by": final.get("partition_by") or [],
+                "not_null": cons["not_null"],
+                "checks": [list(c) for c in cons["checks"]],
+                **(
+                    {"stats_columns": final["stats_columns"]}
+                    if final.get("stats_columns") else {}
+                ),
+                **(
+                    {
+                        "bloom_columns": final["bloom_columns"],
+                        "bloom_bits": final["bloom_bits"],
+                    }
+                    if final.get("bloom_columns") else {}
+                ),
+                **(
+                    {"change_feed": True}
+                    if final.get("change_feed") else {}
+                ),
+                "ts": time.time(),
+            },
+        )
+    return {
+        "src_version": version,
+        "versions": len(clone_entries) + (cons is not None),
+        "linked_files": linked,
+        "copied_files": copied,
+        "dv_sidecars": len(dv_all),
+        "dv_rows": sum(n for _, n in dv_all),
+    }
+
+
 def _to_epoch(timestamp) -> float:
     """Normalize a user timestamp — epoch seconds, ``datetime``, or an
     ISO-8601 string — to epoch seconds. A naive datetime / ISO string
