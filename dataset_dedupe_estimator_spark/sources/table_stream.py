@@ -23,6 +23,11 @@ Semantics follow the Delta streaming-source contract:
   Delta's documented ``ignoreChanges`` behavior.
 - ``.option("startingVersion", N)`` begins at commit N (default 0:
   replay the whole log).
+- ``.option("maxFilesPerTrigger", N)`` rate-limits catch-up: each
+  micro-batch admits whole commits until their input-file count would
+  exceed N (always >= 1 commit) — the Delta option of the same name.
+  Don't combine with ``trigger(availableNow=True)``: its single-batch
+  fallback (below) would stop after the first bounded slice.
 - ``.option("readChangeFeed", "true")`` streams ROW-LEVEL changes
   instead: appends emit their rows as ``_change='insert'``;
   deletes/upserts emit the change-data file their commit wrote
@@ -160,6 +165,18 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             str(options.get("readchangefeed", "false")).lower() == "true"
         )
         self.starting_version = int(options.get("startingversion", 0))
+        # Delta's maxFilesPerTrigger shape: admit whole COMMITS into a
+        # micro-batch until their file count would exceed the cap
+        # (always at least one commit, so a single over-sized commit
+        # still drains). 0/absent = unlimited. The reader self-tracks
+        # its high-water mark because the Python DataSource API has no
+        # latest-seen-offset hook: offsets never regress (monotone
+        # _hwm, resynced from every partitions() call), and the one
+        # blind spot — a RESTART whose first planning call is
+        # latestOffset, not a replay — deliberately emits one
+        # unbounded catch-up batch rather than risk re-delivery.
+        self.max_files = int(options.get("maxfilespertrigger", 0) or 0)
+        self._hwm: int | None = None
         self.spark_schema = schema
         # renamed columns: the schema speaks LOGICAL names, data files
         # (all of them — physical names are frozen) speak physical
@@ -167,16 +184,71 @@ class VersionedTableStreamReader(DataSourceStreamReader):
 
     # -- offsets ---------------------------------------------------------
     def initialOffset(self) -> dict:
+        if self._hwm is None:
+            self._hwm = self.starting_version - 1
         return {"version": self.starting_version - 1}
 
+    def _commit_file_count(self, root: Path, e: dict) -> int:
+        """Input files this commit would contribute to a batch, mirroring
+        partitions(): property/dir-less/dataChange=false commits are 0;
+        CDF mode counts the change-data files of rewriting commits."""
+        if e.get("data_change") is False:
+            return 0
+        if e["action"] in ("set_constraints", "rename_column", "drop_column"):
+            return 0
+        if self.read_change_feed and e.get("change_data"):
+            base = root / _CDF / f"c{e['version']:08d}"
+        elif e["action"] == "restore":
+            return sum(
+                len(list((root / _DATA / d).rglob("*.parquet")))
+                for d in e["dirs"]
+            )
+        elif e.get("dir"):
+            base = root / _DATA / e["dir"]
+        else:
+            return 0
+        return len(list(base.rglob("*.parquet")))
+
     def latestOffset(self) -> dict:
-        entries = _committed_entries(Path(self.root))
+        root = Path(self.root)
+        entries = _committed_entries(root)
         latest = entries[-1]["version"] if entries else self.starting_version - 1
-        return {"version": latest}
+        if not self.max_files:
+            return {"version": latest}
+        if self._hwm is None:
+            # first planning call of a run. A FRESH stream bounds its
+            # catch-up from startingVersion-1 (this is the whole point
+            # of the option); a RESTARTED stream never reaches here
+            # with stale state, because the engine re-plans the last
+            # checkpointed batch — a partitions() call that resyncs
+            # _hwm — before its first latestOffset (verified against
+            # spark 4.1's MicroBatchExecution restart path).
+            self._hwm = self.starting_version - 1
+        n = admitted = 0
+        end = self._hwm
+        for e in entries:
+            if e["version"] <= self._hwm:
+                continue
+            c = self._commit_file_count(root, e)
+            if admitted and n + c > self.max_files:
+                break
+            n += c
+            admitted += 1
+            end = e["version"]
+        self._hwm = max(self._hwm, end)
+        return {"version": self._hwm}
 
     # -- planning (driver-side) ------------------------------------------
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         lo, hi = start["version"], end["version"]
+        # resync the rate-limit high-water mark from the engine's own
+        # range: on restart the engine re-plans the last checkpointed
+        # batch from the offset log before any latestOffset call —
+        # without this, the next bounded step could fall below the
+        # replayed end and re-deliver committed rows
+        resync = max(lo, hi)
+        if self._hwm is None or resync > self._hwm:
+            self._hwm = resync
         root = Path(self.root)
         parts: list[InputPartition] = []
         for e in _committed_entries(root):

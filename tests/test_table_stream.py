@@ -191,3 +191,127 @@ def test_cli_table_tail(capsys, registered, tmp_path):
     assert main(["table", "tail", root, "--out", out, "--checkpoint", ckpt]) == 0
     assert "sink now holds 13 rows" in capsys.readouterr().out
     assert main(["table", "tail", root]) == 2  # missing --out/--checkpoint
+
+
+# -- r9: maxFilesPerTrigger rate limiting -------------------------------------
+
+
+def test_max_files_per_trigger_offset_stepping(registered, spark, tmp_path):
+    """Unit-drive the reader's offset protocol: bounded monotone steps,
+    whole commits only, >=1 commit per step, property commits free."""
+    from dataset_dedupe_estimator_spark.sources.table_stream import (
+        VersionedTableStreamReader,
+    )
+
+    root = tmp_path / "tbl"
+    for i in range(5):
+        vt.append(root, _mk(spark, i * 10, i * 10 + 10), num_files=2)
+    vt.rename_column(root, "v", "val")            # v5: 0 files
+    vt.append(
+        root,
+        _mk(spark, 100, 140).withColumnRenamed("v", "val").repartition(4),
+    )                                             # v6: 4 files
+
+    rd = VersionedTableStreamReader(None, {"path": str(root),
+                                           "maxfilespertrigger": "4"})
+    assert rd.initialOffset() == {"version": -1}
+    # 2 files per commit, cap 4 -> two commits per step
+    assert rd.latestOffset() == {"version": 1}
+    assert rd.latestOffset() == {"version": 3}
+    # v4 (2 files) + v5 (property, 0 files); v6 alone would overflow
+    assert rd.latestOffset() == {"version": 5}
+    # v6 admitted alone even though it exactly hits the cap
+    assert rd.latestOffset() == {"version": 6}
+    # caught up: offset is stable
+    assert rd.latestOffset() == {"version": 6}
+
+    # restart mid-catchup, engine replays (1, 3] first: hwm resyncs and
+    # the next step continues from the replayed end, never regressing
+    rd2 = VersionedTableStreamReader(None, {"path": str(root),
+                                            "maxfilespertrigger": "4"})
+    rd2.partitions({"version": 1}, {"version": 3})
+    assert rd2.latestOffset() == {"version": 5}
+
+    # a fresh reader's FIRST planning call is already bounded (the
+    # engine calls latestOffset before initialOffset on fresh streams;
+    # restarts resync via the replayed partitions() call first)
+    rd3 = VersionedTableStreamReader(None, {"path": str(root),
+                                            "maxfilespertrigger": "4"})
+    assert rd3.latestOffset() == {"version": 1}
+
+    # a single commit larger than the cap still drains (>=1 commit)
+    rd4 = VersionedTableStreamReader(None, {"path": str(root),
+                                            "maxfilespertrigger": "1"})
+    rd4.initialOffset()
+    got = []
+    for _ in range(7):
+        got.append(rd4.latestOffset()["version"])
+    assert got == [0, 1, 2, 3, 4, 5, 6]  # one 2-file commit per step
+
+
+def test_max_files_per_trigger_end_to_end(registered, spark, tmp_path):
+    """Rows delivered under rate limiting == rows in the table, across
+    several bounded micro-batches."""
+    root = tmp_path / "tbl"
+    for i in range(4):
+        vt.append(root, _mk(spark, i * 10, i * 10 + 10), num_files=2)
+    batches = []
+
+    def sink(df, epoch_id):
+        batches.append(df.count())
+
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("maxFilesPerTrigger", "2")
+        .load(str(root))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import time as _t
+    deadline = _t.time() + 120
+    while sum(batches) < 40 and _t.time() < deadline:
+        _t.sleep(0.5)
+    q.stop()
+    assert sum(batches) == 40
+    # the cap held: one 2-file commit (10 rows) per micro-batch
+    assert all(b <= 10 for b in batches if b)
+    assert len([b for b in batches if b]) == 4
+
+
+def test_max_files_per_trigger_restart_no_dupes(registered, spark, tmp_path):
+    """Restarting a rate-limited stream from its checkpoint delivers
+    exactly the unseen commits — the resynced high-water mark can
+    neither regress nor skip."""
+    import time as _t
+
+    root, ck = tmp_path / "tbl", tmp_path / "ck"
+    for i in range(3):
+        vt.append(root, _mk(spark, i * 10, i * 10 + 10), num_files=2)
+    seen = []
+
+    def sink(df, eid):
+        seen.extend(r.id for r in df.collect())
+
+    def run(expect_total):
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("maxFilesPerTrigger", "2")
+            .load(str(root))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(ck))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = _t.time() + 120
+        while len(seen) < expect_total and _t.time() < deadline:
+            _t.sleep(0.5)
+        q.stop()
+
+    run(30)
+    assert sorted(seen) == list(range(30))
+    for i in range(3, 5):
+        vt.append(root, _mk(spark, i * 10, i * 10 + 10), num_files=2)
+    run(50)
+    assert sorted(seen) == list(range(50))  # no dupes, no gaps
