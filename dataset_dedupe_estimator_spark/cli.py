@@ -1261,10 +1261,23 @@ def cmd_table(args) -> int:
 
         print(_json.dumps(vt.describe_detail(args.root, args.version)))
     elif args.action == "history":
+        import datetime as _dt
+
         for e in vt.history(args.root):
+            when = (
+                _dt.datetime.fromtimestamp(e["ts"]).isoformat(
+                    sep=" ", timespec="seconds"
+                )
+                if e.get("ts") else "-"
+            )
+            metrics = ""
+            if "num_files" in e:
+                metrics = f" files={e['num_files']} bytes={e['bytes']}"
+            if e.get("dv_rows"):
+                metrics += f" dv_rows={e['dv_rows']}"
             print(
-                f"v{e['version']:<4d} {e['action']:<9s} dir={e['dir']} "
-                f"cols={','.join(e['columns'])}"
+                f"v{e['version']:<4d} {e['action']:<9s} {when} "
+                f"dir={e['dir']} cols={','.join(e['columns'])}{metrics}"
             )
     elif args.action == "read":
         spark = _spark(args)
@@ -1443,9 +1456,10 @@ def cmd_table(args) -> int:
     elif args.action == "vacuum":
         removed = vt.vacuum(
             args.root, keep_versions=args.keep,
-            keep_last_hours=args.keep_hours,
+            keep_last_hours=args.keep_hours, dry_run=args.dry_run,
         )
-        print(f"removed {len(removed)} data dirs: {', '.join(removed) or '-'}")
+        verb = "would remove" if args.dry_run else "removed"
+        print(f"{verb} {len(removed)} data dirs: {', '.join(removed) or '-'}")
     elif args.action == "restore":
         if args.version is None and args.as_of is None:
             print("restore: pass --version N or --as-of TS (the target)",
@@ -1937,6 +1951,10 @@ def build_parser() -> argparse.ArgumentParser:
     tb.add_argument("root")
     tb.add_argument("src", nargs="?")
     tb.add_argument("--version", type=int)
+    tb.add_argument(
+        "--dry-run", dest="dry_run", action="store_true",
+        help="vacuum: report what would be removed without removing",
+    )
     tb.add_argument(
         "--as-of", dest="as_of",
         help="read/restore: resolve the target version by TIMESTAMP "

@@ -1381,6 +1381,15 @@ def _publish_staged(
         entry = dict(prep["entry"])
         entry["version"] = v
         entry["dir"] = dir_name
+        # operation metrics (the Delta DESCRIBE HISTORY shape): an
+        # O(this commit's files) walk of the just-renamed directory —
+        # never a table scan
+        nf = nb = 0
+        for f in data_dir.rglob("*.parquet"):
+            nf += 1
+            nb += f.stat().st_size
+        entry["num_files"] = nf
+        entry["bytes"] = nb
         if prep["stats"] is not None:
             entry["stats"] = prep["stats"]
         if prep["blooms"] is not None:
@@ -3634,6 +3643,7 @@ def vacuum(
     root: str | Path,
     keep_versions: int = 1,
     keep_last_hours: float | None = None,
+    dry_run: bool = False,
 ) -> list[str]:
     """Remove data directories unreachable from every RETAINED snapshot,
     plus orphans from crashed commits. Returns the removed directory
@@ -3649,10 +3659,24 @@ def vacuum(
     Log entries of fully-vacuumed versions are retained — history stays
     auditable; reading such a version raises a clear error because its
     directory is gone (the caller sees WHICH version was retired).
+
+    ``dry_run=True`` returns exactly what a real run would remove
+    without touching anything — the answer to "how much does this
+    retention policy reclaim, and does it eat a version I still need"
+    BEFORE the irreversible step (the Delta VACUUM DRY RUN shape).
     """
     root = Path(root)
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
+
+    def _rmtree(p):
+        if not dry_run:
+            shutil.rmtree(p)
+
+    def _unlink(p):
+        if not dry_run:
+            Path(p).unlink(missing_ok=True)
+
     with writer_lock(root, wait_seconds=_LOCK_WAIT):
         entries = _committed_entries(root)
         if not entries:
@@ -3674,11 +3698,11 @@ def vacuum(
                 # only a stale one — a crashed writer's orphan — may be
                 # reclaimed
                 if time.time() - d.stat().st_mtime > 24 * 3600.0:
-                    shutil.rmtree(d)
+                    _rmtree(d)
                     removed.append(d.name)
                 continue
             if d.is_dir() and d.name not in reachable:
-                shutil.rmtree(d)
+                _rmtree(d)
                 removed.append(d.name)
         # change-data files: keep the feed for the retained version
         # window; drop older ones and crash orphans (cdf written,
@@ -3694,7 +3718,7 @@ def vacuum(
             except ValueError:
                 continue
             if v < min_keep or v not in committed:
-                shutil.rmtree(d)
+                _rmtree(d)
                 removed.append(f"{_CDF}/{d.name}")
         # bloom sidecars live and die with their commit directory: once
         # the data dir is unreachable (or was never committed — crash
@@ -3707,7 +3731,7 @@ def vacuum(
             except ValueError:
                 continue
             if stem not in reachable or v not in committed:
-                f.unlink()
+                _unlink(f)
                 removed.append(f"{_BLOOMS}/{f.name}")
         # deletion vectors: keep exactly those some retained version's
         # live set still references (orphans and overwritten-away DVs
@@ -3720,22 +3744,22 @@ def vacuum(
         for d in sorted(dvdir.iterdir()) if dvdir.is_dir() else []:
             if d.name.startswith("stage-"):
                 if time.time() - d.stat().st_mtime > 24 * 3600.0:
-                    shutil.rmtree(d)
+                    _rmtree(d)
                     removed.append(f"{_DV}/{d.name}")
                 continue
             if d.is_dir() and d.name not in keep_dv:
-                shutil.rmtree(d)
+                _rmtree(d)
                 removed.append(f"{_DV}/{d.name}")
         # superseded checkpoints: readers only ever load the newest, and
         # every entry it folds is still present as raw JSON (checkpoints
         # are an optimization, never the source of truth)
         cks = sorted((root / _VLOG).glob("ckpt-v*.parquet"))
         for ck in cks[:-1]:
-            ck.unlink()
+            _unlink(ck)
             removed.append(f"{_VLOG}/{ck.name}")
         # a hard-killed writer can leave a *.tmp-<pid> staging file in the
         # log (the commit link never happened); they are invisible to
         # readers but worth reclaiming
         for tmp in (root / _VLOG).glob("*.tmp-*"):
-            tmp.unlink(missing_ok=True)
+            _unlink(tmp)
         return removed
