@@ -221,3 +221,30 @@ def test_vacuum_spares_fresh_stage_dirs(spark, table, tmp_path):
     os.utime(stage, (old, old))
     vt.vacuum(table)
     assert not stage.exists()  # crashed-writer orphan reclaimed
+
+
+def test_append_conflicts_with_landed_rename_and_drop(spark, table):
+    """Schema changes (rename/drop, r9) conflict with every in-flight
+    write: the staged frame was validated against the OLD names."""
+    import shutil
+
+    base = vt._snapshot_entries(table)
+    prep = vt._stage_commit(
+        table, base, _rows(spark, [(100, 1)]), "append", 1, None, False, None
+    )
+    vt.rename_column(table, "v", "val")
+    with pytest.raises(vt.ConcurrentModificationError, match="renamed"):
+        vt._publish_staged(table, base, prep)
+    shutil.rmtree(prep["stage"], ignore_errors=True)
+
+    base = vt._snapshot_entries(table)
+    prep = vt._stage_commit(
+        table,
+        base,
+        _rows(spark, [(101, 1)]).withColumnRenamed("v", "val"),
+        "append", 1, None, False, None,
+    )
+    vt.drop_column(table, "val")
+    with pytest.raises(vt.ConcurrentModificationError, match="dropped"):
+        vt._publish_staged(table, base, prep)
+    shutil.rmtree(prep["stage"], ignore_errors=True)
