@@ -1494,6 +1494,17 @@ def cmd_table(args) -> int:
             f"{args.out!r}, metadata only — zero data bytes moved; "
             f"mapping: {st['column_mapping']})"
         )
+    elif args.action == "set-partitioning":
+        cols = [c for c in (args.by or "").split(",") if c]
+        st = vt.set_partitioning(args.root, cols)
+        if not st.get("committed", True):
+            print(f"already partitioned by {cols or '(none)'}; no commit")
+        else:
+            print(
+                f"committed v{st['version']} (future commits write "
+                f"partition_by={st['partition_by'] or '(none)'}; existing "
+                "directories keep their layout — rewrites migrate them)"
+            )
     elif args.action == "clone":
         if not args.out:
             print(
@@ -1945,7 +1956,7 @@ def build_parser() -> argparse.ArgumentParser:
             "append", "overwrite", "history", "read", "optimize", "vacuum",
             "ingest", "delete-where", "upsert", "tail", "compact-small",
             "set-constraints", "restore", "detail", "rename-column",
-            "drop-column", "clone",
+            "drop-column", "clone", "set-partitioning",
         ],
     )
     tb.add_argument("root")
@@ -1954,6 +1965,12 @@ def build_parser() -> argparse.ArgumentParser:
     tb.add_argument(
         "--dry-run", dest="dry_run", action="store_true",
         help="vacuum: report what would be removed without removing",
+    )
+    tb.add_argument(
+        "--by",
+        help="set-partitioning: comma-separated partition columns for "
+        "FUTURE commits (empty to unpartition); existing directories "
+        "keep their layout",
     )
     tb.add_argument(
         "--as-of", dest="as_of",

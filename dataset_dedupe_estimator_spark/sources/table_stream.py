@@ -194,7 +194,10 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         CDF mode counts the change-data files of rewriting commits."""
         if e.get("data_change") is False:
             return 0
-        if e["action"] in ("set_constraints", "rename_column", "drop_column"):
+        if e["action"] in (
+            "set_constraints", "rename_column", "drop_column",
+            "set_partitioning",
+        ):
             return 0
         if self.read_change_feed and e.get("change_data"):
             base = root / _CDF / f"c{e['version']:08d}"
@@ -261,7 +264,8 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 # an error (the Delta dataChange=false contract)
                 continue
             if e["action"] in (
-                "set_constraints", "rename_column", "drop_column"
+                "set_constraints", "rename_column", "drop_column",
+                "set_partitioning",
             ):
                 continue  # property commits: no rows in either mode
             if self.read_change_feed:

@@ -603,6 +603,71 @@ def drop_column(root: str | Path, name: str) -> dict:
     return entry
 
 
+def set_partitioning(root: str | Path, partition_by: list[str]) -> dict:
+    """PARTITION EVOLUTION as a metadata-only property commit (the
+    Iceberg shape — Delta cannot do this): FUTURE data commits write
+    under the new layout; existing commit directories keep theirs, and
+    every reader already resolves layout PER DIRECTORY (each entry
+    records its own ``partition_by``), so mixed-layout tables read,
+    prune, delete, upsert and compact without rewrites. Old-layout
+    directories migrate organically: any rewrite that touches them
+    (``optimize`` / ``compact_small`` / copy-on-write delete) re-emits
+    survivors under the current layout.
+
+    ``partition_by=[]`` unpartitions future commits. Columns are
+    logical names; a former partition column becomes an ordinary
+    stored column for new data (old directories keep serving it from
+    their hive paths)."""
+    root = Path(root)
+    with writer_lock(root, wait_seconds=_LOCK_WAIT):
+        entries = _snapshot_entries(root)
+        if not entries:
+            raise VersionNotFoundError(
+                f"{root} has no committed versions — partitioning "
+                "attaches to an existing table"
+            )
+        last = entries[-1]
+        mapping = _column_mapping(entries)
+        physical = _names_to_physical(list(partition_by), mapping)
+        known = set(last["columns"])
+        unknown = [
+            p for l, p in zip(partition_by, physical) if p not in known
+        ]
+        if unknown:
+            raise ValueError(
+                f"partition columns {unknown} not in table schema"
+            )
+        if physical == (last.get("partition_by") or []):
+            return {"version": last["version"], "committed": False}
+        entry = {
+            "version": last["version"] + 1,
+            "action": "set_partitioning",
+            "dir": None,
+            # property commits replicate the inheritable metadata: the
+            # next data commit reads it from entries[-1]
+            "columns": last["columns"],
+            "partition_by": physical,
+            "ts": time.time(),
+        }
+        # stats/bloom declarations may not cover partition columns —
+        # the new layout sheds any that just became partition columns
+        stats_cols = [
+            c for c in (last.get("stats_columns") or []) if c not in physical
+        ]
+        if stats_cols:
+            entry["stats_columns"] = stats_cols
+        bloom_cols = [
+            c for c in (last.get("bloom_columns") or []) if c not in physical
+        ]
+        if bloom_cols:
+            entry["bloom_columns"] = bloom_cols
+            entry["bloom_bits"] = last.get("bloom_bits") or 65_536
+        if last.get("change_feed"):
+            entry["change_feed"] = True
+        _commit(root, entry)
+    return entry
+
+
 def _fold_entries(root: Path, entries: list[dict]) -> list[dict]:
     """Compact a full entry list into the MINIMAL list that resolves
     the LATEST version identically: the live-directory entries (their
@@ -1732,7 +1797,9 @@ def clone_table(
             "clone_src_dir": sname,
             "dir": dname,
             "columns": src_e["columns"],
-            "partition_by": last.get("partition_by") or [],
+            # layout is per directory (partition evolution): each
+            # cloned dir keeps ITS OWN source layout
+            "partition_by": src_e.get("partition_by") or [],
         }
         if new_stats:
             entry["stats"] = new_stats
@@ -1827,6 +1894,35 @@ def clone_table(
         final["dv_all"] = dv_all
     if _cf_active(live_entries):
         final["change_feed"] = True
+    declared_part = last.get("partition_by") or []
+    if declared_part != (final.get("partition_by") or []):
+        # the source declared a NEW layout (partition evolution) that
+        # its newest live dir predates: replicate the declaration as a
+        # property commit so future clone commits write the new layout
+        clone_entries.append(
+            {
+                "version": len(clone_entries),
+                "action": "set_partitioning",
+                "dir": None,
+                "columns": final["columns"],
+                "partition_by": declared_part,
+                **(
+                    {"stats_columns": final["stats_columns"]}
+                    if final.get("stats_columns") else {}
+                ),
+                **(
+                    {
+                        "bloom_columns": final["bloom_columns"],
+                        "bloom_bits": final["bloom_bits"],
+                    }
+                    if final.get("bloom_columns") else {}
+                ),
+                **(
+                    {"change_feed": True}
+                    if final.get("change_feed") else {}
+                ),
+            }
+        )
     for e in clone_entries:
         e["ts"] = time.time()
         _commit(dst, e)
@@ -1838,7 +1934,7 @@ def clone_table(
                 "action": "set_constraints",
                 "dir": None,
                 "columns": final["columns"],
-                "partition_by": final.get("partition_by") or [],
+                "partition_by": declared_part,
                 "not_null": cons["not_null"],
                 "checks": [list(c) for c in cons["checks"]],
                 **(
@@ -1958,7 +2054,15 @@ def read_version(
     version, dirs, live_entries = _resolve(root, _entries_for(root, version), version)
     schema_cols = live_entries[-1]["columns"]
     mapping = _column_mapping(live_entries)
-    partitioned = bool(live_entries[-1].get("partition_by"))
+    # layout is PER DIRECTORY (partition evolution): any live dir with
+    # a hive layout forces the per-dir union path; a table whose live
+    # dirs are all unpartitioned keeps the single multi-path scan even
+    # if the DECLARED (future-commit) layout is partitioned
+    _per_dir = {
+        e["dir"]: bool(e.get("partition_by"))
+        for e in live_entries if e.get("dir")
+    }
+    partitioned = any(_per_dir.get(Path(d).name, False) for d in dirs)
     widened = any("added_columns" in e for e in live_entries)
     masks = _live_masks(live_entries)
     masked = any(Path(d).name in masks for d in dirs)
@@ -2284,7 +2388,13 @@ def read_where(
     phys_preds = _preds_to_physical(predicates, mapping)
     report = zone_map_prune(root, phys_preds, version)
     schema_cols = live_entries[-1]["columns"]
-    partitioned = bool(live_entries[-1].get("partition_by"))
+    _per_dir = {
+        e["dir"]: bool(e.get("partition_by"))
+        for e in live_entries if e.get("dir")
+    }
+    partitioned = any(
+        _per_dir.get(Path(d).name, False) for d in live_data_dirs
+    )
     widened = any("added_columns" in e for e in live_entries)
 
     def _cond(df):
@@ -2428,7 +2538,10 @@ def read_change_feed(
             continue
         if e.get("data_change") is False:
             continue  # layout-only: no row changed
-        if e["action"] in ("set_constraints", "rename_column", "drop_column"):
+        if e["action"] in (
+            "set_constraints", "rename_column", "drop_column",
+            "set_partitioning",
+        ):
             continue  # property commits: no rows
         if e["action"] == "append":
             if not e.get("dir"):
