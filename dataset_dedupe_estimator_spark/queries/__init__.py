@@ -49,11 +49,14 @@ for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthet
 # Round-9 window (executes the rotation staged at r8 close, COVERAGE.md
 # ledger): the 27 round-5-green queries held in the r8 _NEXT, the 3
 # round-8-added never-driver-checked entries (checkpoint/restore/DV),
-# the r9-added table_concurrent_append_read + table_rename_read +
-# table_drop_read + table_clone_read, and the 16 stalest round-6-green
-# queries (registry-order tiebreak — all 50 r6-attested entries are
-# equally stale; dedup_keep_first and dedup_fingerprint_groups
-# displaced into _NEXT by the last two r9 additions).
+# the 5 queries added DURING r9 (table_concurrent_append_read,
+# table_rename_read, table_drop_read, table_clone_read,
+# table_partition_evolution_read — placed directly in the window so
+# they carry driver attestation the same round they land), and the 15
+# stalest round-6-green queries (registry-order tiebreak — all 50
+# r6-attested entries are equally stale; dedup_keep_first,
+# dedup_fingerprint_groups and dedup_exact_events displaced into
+# _NEXT by the last three r9 additions).
 _FRONT = [
     "ivfpq_search",
     "synthetic_delete_rows",
@@ -100,16 +103,17 @@ _FRONT = [
     "events_json_extract",
     "events_daily_users",
     "dedup_exact_groups",
-    "dedup_exact_events",
     "table_concurrent_append_read",
     "table_rename_read",
     "table_drop_read",
     "table_clone_read",
+    "table_partition_evolution_read",
 ]
 # overflow: the remaining round-6-green queries (plus the r6-green
 # fill displaced by the r9-added table_drop_read) — first in line for
 # round 10's window (locally re-verified every round)
 _NEXT = [
+    "dedup_exact_events",
     "dedup_fingerprint_groups",
     "dedup_keep_first",
     "ngram_jaccard_pairs",

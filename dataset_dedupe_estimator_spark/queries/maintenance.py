@@ -1315,6 +1315,93 @@ _CL_DV_LO, _CL_DV_HI = 600, 650        # merge-on-read delete (DV)
 _CL_POST_LO, _CL_POST_HI = 2000, 2200  # lands AFTER the clone
 
 
+def table_partition_evolution_read(spark, sf):
+    """Partition evolution (r9, ``sources/versioned.py::
+    set_partitioning`` — the Iceberg shape, which Delta lacks): a
+    metadata-only property commit changes the layout FUTURE commits
+    write; readers resolve layout PER DIRECTORY, so the mixed-layout
+    live set reads and mutates without any rewrite.
+
+    Odd-key orders land UNPARTITIONED, the table then declares
+    hive partitioning by order status (the query RAISES if the
+    property commit moves data bytes, if the new commit directory
+    lacks hive dirs, or if the old one has them), even-key orders land
+    PARTITIONED, a band delete crosses both layouts, and the final
+    aggregate groups by the partition column itself — so a partition
+    value lost or misread on either side of the evolution boundary
+    hash-mismatches against the oracle.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        cents("o_totalprice").alias("price_cents"),
+    )
+    root = tempfile.mkdtemp(prefix="dde_pev_")
+    try:
+        vt.append(
+            root,
+            orders.filter(F.col("o_orderkey") % 2 == 1)
+            .repartitionByRange(4, "o_orderkey"),
+            stats_columns=["o_orderkey"],
+        )
+
+        def _md5s():
+            return {
+                str(f): hashlib.md5(f.read_bytes()).hexdigest()
+                for f in sorted(Path(root, "data").rglob("*.parquet"))
+            }
+
+        before = _md5s()
+        vt.set_partitioning(root, ["o_orderstatus"])
+        if _md5s() != before:
+            raise AssertionError("partition evolution moved data bytes")
+        vt.append(
+            root, orders.filter(F.col("o_orderkey") % 2 == 0)
+        )
+        dirs = sorted(p.name for p in Path(root, "data").iterdir())
+        if list(Path(root, "data", dirs[0]).glob("o_orderstatus=*")):
+            raise AssertionError("old dir gained hive layout")
+        if not list(Path(root, "data", dirs[-1]).glob("o_orderstatus=*")):
+            raise AssertionError("new dir is not hive-partitioned")
+        # a delete spanning both layouts
+        vt.delete_where_pruned(
+            spark, root, [("o_orderkey", "between", (_PE_DEL_LO, _PE_DEL_HI))]
+        )
+        out = (
+            vt.read_version(spark, root)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.max("o_orderkey").alias("max_key"),
+                F.sum("price_cents").alias("total_cents"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_PE_DEL_LO, _PE_DEL_HI = 1500, 1800
+
+
+TABLE_PARTITION_EVOLUTION_READ_SQL = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MAX(o_orderkey) AS max_key,
+       CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS total_cents
+FROM orders
+WHERE o_orderkey NOT BETWEEN {_PE_DEL_LO} AND {_PE_DEL_HI}
+GROUP BY 1 ORDER BY o_orderstatus
+"""
+
+
 TABLE_CLONE_READ_SQL = f"""
 SELECT o_custkey % 10 AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -1619,6 +1706,9 @@ QUERIES = {
     "table_rename_read": Q(table_rename_read, TABLE_RENAME_READ_SQL),
     "table_drop_read": Q(table_drop_read, TABLE_DROP_READ_SQL),
     "table_clone_read": Q(table_clone_read, TABLE_CLONE_READ_SQL),
+    "table_partition_evolution_read": Q(
+        table_partition_evolution_read, TABLE_PARTITION_EVOLUTION_READ_SQL
+    ),
     "table_zonemap_read": Q(table_zonemap_read, TABLE_ZONEMAP_READ_SQL),
     "mv_from_version_diff": Q(mv_from_version_diff, MV_FROM_VERSION_DIFF_SQL),
     "streaming_mv_refresh": Q(streaming_mv_refresh, STREAMING_MV_REFRESH_SQL),
