@@ -870,13 +870,16 @@ def _snapshot_entries(root: Path) -> list[dict]:
     mid-read is simply not used until the next call."""
     ck = _latest_checkpoint(root)
     if ck is None:
-        return _committed_entries(root)
+        entries = _committed_entries(root)
+        _check_reader_features(root, entries)  # writers snapshot here too
+        return entries
     base = _read_checkpoint(ck)
     # versions are gapless (O_EXCL claims last+1), so the tail is
     # discoverable by PROBING v{N+1}, v{N+2}, … until absent — O(tail)
     # stats, no directory listing (which is O(all commits), and a
     # paginated LIST per table op on object stores)
     base.extend(_tail_after(root, _ckpt_version(ck)))
+    _check_reader_features(root, base)
     return base
 
 
@@ -1588,6 +1591,36 @@ def history(root: str | Path) -> list[dict]:
     return _committed_entries(Path(root))
 
 
+# Reader feature flags (the Delta protocol shape): a FUTURE writer that
+# introduces a format capability this code cannot read correctly must
+# stamp it in its entries' ``reader_features``; every reader below then
+# fails LOUDLY instead of silently returning wrong rows. Capabilities
+# this codebase reads are listed here; everything the current writers
+# produce is implied (pre-flag tables carry no key).
+_READER_FEATURES = frozenset(
+    {
+        "deletion_vectors",
+        "column_mapping",
+        "dropped_columns",
+        "partition_evolution",
+        "checkpoint_v1",
+        "restore",
+    }
+)
+
+
+def _check_reader_features(root, entries: list[dict]) -> None:
+    for e in entries:
+        unknown = set(e.get("reader_features") or ()) - _READER_FEATURES
+        if unknown:
+            raise ValueError(
+                f"table {root} requires reader features {sorted(unknown)} "
+                f"(introduced at v{e['version']}) that this version of "
+                "the library does not support — upgrade to read it; "
+                "time travel BELOW that version still works"
+            )
+
+
 def _resolve(root: Path, entries: list[dict], version: int | None):
     """(version, live data dirs, live entries ≤ version) from ONE log
     snapshot — callers must not re-read the log afterwards, or a commit
@@ -1603,6 +1636,11 @@ def _resolve(root: Path, entries: list[dict], version: int | None):
             f"version {version} not committed in {root} "
             f"(have {sorted(have)})"
         )
+    # feature gate scoped to the entries this read actually resolves:
+    # time travel below a future feature's introduction keeps working
+    _check_reader_features(
+        root, [e for e in entries if e["version"] <= version]
+    )
     live: list[str] = []
     for e in entries:
         if e["version"] > version:
@@ -2629,6 +2667,62 @@ def describe_detail(root: str | Path, version: int | None = None) -> dict:
         "constraints": cons,
         "checkpoint_version": _ckpt_version(ck) if ck else None,
     }
+
+
+def files(root: str | Path, version: int | None = None,
+          timestamp=None) -> list[dict]:
+    """Live-file inventory at a snapshot (the Iceberg ``.files`` /
+    Delta ``DESCRIBE DETAIL``-per-file shape): one dict per live data
+    file with its commit, size, layout, recorded zone-map stats and
+    deletion-vector exposure — zero data bytes read, zero Spark jobs.
+    The operational questions this serves at 100 TB: which files does
+    a predicate touch, where do the small files live (compaction
+    targets), which files carry DV'd rows (purge targets)."""
+    root = Path(root)
+    version = _resolve_as_of(root, version, timestamp)
+    version, dirs, live_entries = _resolve(
+        root, _entries_for(root, version), version
+    )
+    masks = _live_masks(live_entries)
+    by_dir = {e["dir"]: e for e in live_entries if e.get("dir")}
+    # DV rows per encoded file key, from the recorded per-sidecar rows
+    dv_by_file: dict[str, int] = {}
+    refs = _live_dv_refs(live_entries)
+    if refs:
+        from urllib.parse import unquote
+
+        import pyarrow.parquet as pq
+
+        for name, _ in refs:
+            d = root / _DV / name
+            if not d.is_dir():
+                continue
+            for f in sorted(d.rglob("*.parquet")):
+                t = pq.read_table(str(f), columns=["_dv_key"])
+                for k in t["_dv_key"].to_pylist():
+                    kk = unquote(k)
+                    dv_by_file[kk] = dv_by_file.get(kk, 0) + 1
+    out: list[dict] = []
+    for d in dirs:
+        dname = Path(d).name
+        e = by_dir[dname]
+        masked = masks.get(dname, ())
+        stats = e.get("stats") or {}
+        for f in sorted(Path(d).rglob("*.parquet")):
+            rel = str(f.relative_to(d))
+            if rel in masked:
+                continue
+            out.append(
+                {
+                    "file": f"{dname}/{rel}",
+                    "commit_version": e["version"],
+                    "bytes": f.stat().st_size,
+                    "partition_by": e.get("partition_by") or [],
+                    "stats": stats.get(rel),
+                    "dv_rows": dv_by_file.get(f"{dname}/{rel}", 0),
+                }
+            )
+    return out
 
 
 def register_view(

@@ -44,14 +44,17 @@ def test_version_at_boundaries(table):
 def test_timestamp_formats(table):
     hist = vt.history(table)
     t1 = hist[1]["ts"]
-    # epoch float, epoch string, datetime, ISO string (local time)
+    # epoch float, epoch string, datetime, ISO string (local time).
+    # datetime truncates to microseconds, which can round a float a
+    # hair BELOW the recorded commit time — probe 1 ms after it (still
+    # strictly before the next commit by construction)
     assert vt.version_at(table, t1) == 1
     assert vt.version_at(table, str(t1)) == 1
-    local = dt.datetime.fromtimestamp(t1)
+    local = dt.datetime.fromtimestamp(t1 + 0.001)
     assert vt.version_at(table, local) == 1
     assert vt.version_at(table, local.isoformat()) == 1
     # timezone-aware round trip
-    aware = dt.datetime.fromtimestamp(t1, tz=dt.timezone.utc)
+    aware = dt.datetime.fromtimestamp(t1 + 0.001, tz=dt.timezone.utc)
     assert vt.version_at(table, aware) == 1
     assert vt.version_at(table, aware.isoformat()) == 1
     with pytest.raises(ValueError, match="neither epoch"):
@@ -122,3 +125,50 @@ def test_commit_records_operation_metrics(spark, table):
         files = list(d.rglob("*.parquet"))
         assert e["num_files"] == len(files)
         assert e["bytes"] == sum(f.stat().st_size for f in files)
+
+
+def test_files_metadata_inventory(spark, table):
+    """files() lists exactly the live files with commit/layout/stats/DV
+    exposure — zero Spark jobs (pure log + listing)."""
+    vt.delete_where_dv(spark, table, [("k", "==", 3)])
+    inv = vt.files(table)
+    on_disk = {
+        f"{d.name}/{p.relative_to(d)}"
+        for d in (table / "data").iterdir() if d.is_dir()
+        for p in d.rglob("*.parquet")
+    }
+    live = {f["file"] for f in inv}
+    assert live <= on_disk
+    assert sum(f["dv_rows"] for f in inv) == 1
+    for f in inv:
+        assert f["bytes"] > 0 and f["commit_version"] in (0, 1, 2)
+        if f["commit_version"] == 0:
+            assert f["stats"] and "k" in f["stats"]
+    # snapshot inventory: the overwrite-era files only at that version
+    past = vt.files(table, version=1)
+    assert {f["commit_version"] for f in past} == {0, 1}
+
+
+def test_unknown_reader_features_refuse_loudly(spark, table):
+    """A future writer's feature flag makes THIS reader fail with a
+    clear upgrade error instead of silently mis-reading (the Delta
+    protocol shape); time travel below the flag keeps working."""
+    import json
+
+    hist = vt.history(table)
+    v = hist[-1]["version"] + 1
+    entry = {
+        "version": v, "action": "append", "dir": None,
+        "columns": hist[-1]["columns"],
+        "partition_by": [],
+        "reader_features": ["quantum_encoding_v7"],
+        "ts": hist[-1]["ts"] + 1,
+    }
+    (table / "_vlog" / f"v{v:08d}.json").write_text(json.dumps(entry))
+    with pytest.raises(ValueError, match="quantum_encoding_v7"):
+        vt.read_version(spark, table).collect()
+    with pytest.raises(ValueError, match="upgrade"):
+        vt.append(table, _df(spark, [(70, 7)]), num_files=1)
+    # below the feature's introduction: still readable
+    got = vt.read_version(spark, table, version=v - 1)
+    assert got.count() == 1  # the overwrite-era snapshot
