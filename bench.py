@@ -354,6 +354,17 @@ def main() -> None:
             spark, f"{lc_dir}/tidx-del", list(range(lo, lo + 100))
         )
 
+    _cl_n = [0]
+
+    def _lc_table_clone():
+        # zero-copy CLONE of the (orders-sized) delete-leg table: pure
+        # metadata + hard links; tracks the O(live files) constant
+        # round-over-round — any data byte moved would show immediately
+        st = vt.clone_table(dt_root, f"{lc_dir}/clone-{_cl_n[0]}")
+        _cl_n[0] += 1
+        if st["copied_files"]:
+            raise AssertionError("bench clone copied data bytes")
+
     lc_fns = {
         "bm25_search": _lc_bm25,
         "zorder_write": _lc_zorder_write,
@@ -366,6 +377,7 @@ def main() -> None:
         "table_delete_where2k": _lc_table_delete_where,
         "table_dv_delete2k": _lc_table_dv_delete,
         "index_delete100": _lc_index_delete,
+        "table_clone": _lc_table_clone,
     }
     # one untimed stream drain first: the initial drain pays Python
     # DataSource registration + worker spin-up (observed 1.0 s stddev

@@ -1494,6 +1494,21 @@ def cmd_table(args) -> int:
             f"{args.out!r}, metadata only — zero data bytes moved; "
             f"mapping: {st['column_mapping']})"
         )
+    elif args.action == "files":
+        import json as _json
+
+        inv = vt.files(
+            args.root, version=args.version, timestamp=args.as_of
+        )
+        for f in inv:
+            print(_json.dumps(f, sort_keys=True))
+        total = sum(f["bytes"] for f in inv)
+        dvd = sum(f["dv_rows"] for f in inv)
+        print(
+            f"-- {len(inv)} live files, {total} bytes"
+            + (f", {dvd} DV-hidden rows" if dvd else ""),
+            file=sys.stderr,
+        )
     elif args.action == "set-partitioning":
         cols = [c for c in (args.by or "").split(",") if c]
         st = vt.set_partitioning(args.root, cols)
@@ -1956,7 +1971,7 @@ def build_parser() -> argparse.ArgumentParser:
             "append", "overwrite", "history", "read", "optimize", "vacuum",
             "ingest", "delete-where", "upsert", "tail", "compact-small",
             "set-constraints", "restore", "detail", "rename-column",
-            "drop-column", "clone", "set-partitioning",
+            "drop-column", "clone", "set-partitioning", "files",
         ],
     )
     tb.add_argument("root")
