@@ -1781,7 +1781,6 @@ def clone_table(
     never affect the other. Source time travel below the cloned
     version is not carried (clone the older version instead)."""
     import shutil as _sh
-    from urllib.parse import quote, unquote
 
     src, dst = Path(src), Path(dst)
     version = _resolve_as_of(src, version, timestamp)
@@ -1802,62 +1801,77 @@ def clone_table(
     (dst / _VLOG).mkdir(parents=True, exist_ok=True)
     (dst / _DATA).mkdir(parents=True, exist_ok=True)
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _link_one(pair):
+        f, tgt = pair
+        try:
+            os.link(f, tgt)
+            return 0
+        except OSError:  # cross-device (or FS without links): copy
+            _sh.copy2(f, tgt)
+            return 1
+
     linked = copied = 0
     name_map: dict[str, str] = {}
     clone_entries: list[dict] = []
-    for i, d in enumerate(dirs):
-        sname = Path(d).name
-        dname = f"c{i:08d}"
-        name_map[sname] = dname
-        src_e = by_dir[sname]
-        masked = masks.get(sname, set())
-        ddir = dst / _DATA / dname
-        stats = src_e.get("stats")
-        new_stats: dict = {}
-        for f in sorted(Path(d).rglob("*.parquet")):
-            rel = str(f.relative_to(d))
-            if rel in masked:
-                continue
-            tgt = ddir / rel
-            tgt.parent.mkdir(parents=True, exist_ok=True)
-            try:
-                os.link(f, tgt)
-                linked += 1
-            except OSError:  # cross-device (or FS without links): copy
-                _sh.copy2(f, tgt)
-                copied += 1
-            if stats and rel in stats:
-                new_stats[rel] = stats[rel]
-        entry = {
-            "version": i,
-            "action": "append",
-            "clone_of": str(src),
-            "clone_src_dir": sname,
-            "dir": dname,
-            "columns": src_e["columns"],
-            # layout is per directory (partition evolution): each
-            # cloned dir keeps ITS OWN source layout
-            "partition_by": src_e.get("partition_by") or [],
-        }
-        if new_stats:
-            entry["stats"] = new_stats
-            entry["stats_columns"] = src_e.get("stats_columns") or []
-            if src_e.get("stats_types"):
-                entry["stats_types"] = src_e["stats_types"]
-        side = src / _BLOOMS / (src_e.get("blooms_file") or "")
-        if src_e.get("blooms_file") and side.is_file():
-            dside = dst / _BLOOMS / f"{dname}.parquet"
-            dside.parent.mkdir(parents=True, exist_ok=True)
-            try:
-                os.link(side, dside)
-            except OSError:
-                _sh.copy2(side, dside)
-            entry["blooms_file"] = f"{dname}.parquet"
-            entry["bloom_columns"] = src_e.get("bloom_columns") or []
-            entry["bloom_bits"] = src_e.get("bloom_bits") or 65_536
-            if src_e.get("bloom_types"):
-                entry["bloom_types"] = src_e["bloom_types"]
-        clone_entries.append(entry)
+    pool = ThreadPoolExecutor(max_workers=32)  # links are tiny syscalls:
+    # a serial driver loop is the bottleneck at millions of live files
+    try:
+        for i, d in enumerate(dirs):
+            sname = Path(d).name
+            dname = f"c{i:08d}"
+            name_map[sname] = dname
+            src_e = by_dir[sname]
+            masked = masks.get(sname, set())
+            ddir = dst / _DATA / dname
+            stats = src_e.get("stats")
+            new_stats: dict = {}
+            jobs = []
+            for f in sorted(Path(d).rglob("*.parquet")):
+                rel = str(f.relative_to(d))
+                if rel in masked:
+                    continue
+                tgt = ddir / rel
+                tgt.parent.mkdir(parents=True, exist_ok=True)
+                jobs.append((f, tgt))
+                if stats and rel in stats:
+                    new_stats[rel] = stats[rel]
+            for r in pool.map(_link_one, jobs):
+                copied += r
+                linked += 1 - r
+            entry = {
+                "version": i,
+                "action": "append",
+                "clone_of": str(src),
+                "clone_src_dir": sname,
+                "dir": dname,
+                "columns": src_e["columns"],
+                # layout is per directory (partition evolution): each
+                # cloned dir keeps ITS OWN source layout
+                "partition_by": src_e.get("partition_by") or [],
+            }
+            if new_stats:
+                entry["stats"] = new_stats
+                entry["stats_columns"] = src_e.get("stats_columns") or []
+                if src_e.get("stats_types"):
+                    entry["stats_types"] = src_e["stats_types"]
+            side = src / _BLOOMS / (src_e.get("blooms_file") or "")
+            if src_e.get("blooms_file") and side.is_file():
+                dside = dst / _BLOOMS / f"{dname}.parquet"
+                dside.parent.mkdir(parents=True, exist_ok=True)
+                try:
+                    os.link(side, dside)
+                except OSError:
+                    _sh.copy2(side, dside)
+                entry["blooms_file"] = f"{dname}.parquet"
+                entry["bloom_columns"] = src_e.get("bloom_columns") or []
+                entry["bloom_bits"] = src_e.get("bloom_bits") or 65_536
+                if src_e.get("bloom_types"):
+                    entry["bloom_types"] = src_e["bloom_types"]
+            clone_entries.append(entry)
+    finally:
+        pool.shutdown(wait=True)
 
     # live deletion vectors: re-key the (KB-sized) sidecars to the
     # clone's directory names; sidecar dir names deliberately do NOT
@@ -1872,37 +1886,43 @@ def clone_table(
                 f"{name} was vacuumed"
             )
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         parts = [
             pq.read_table(str(f)) for f in sorted(sdir.rglob("*.parquet"))
         ]
         tbl = pa.concat_tables(parts)
-        keys, rids = [], []
-        for key, rid in zip(
-            tbl["_dv_key"].to_pylist(), tbl["_dv_rid"].to_pylist()
-        ):
-            decoded = unquote(key)
-            sdir_name, _, rel = decoded.partition("/")
-            nname = name_map.get(sdir_name)
-            if nname is None:  # its dir is not live here: stale row
-                continue
-            keys.append(quote(f"{nname}/{rel}", safe="/"))
-            rids.append(rid)
-        if not keys:
+        # vectorized re-key: the dir-name prefix of a key is plain
+        # [c0-9]+ (never percent-encoded), so a string prefix rewrite
+        # on the ENCODED keys is exact; one pass per live source dir
+        # (bounded by live-dir count), arrow-side throughout — DV
+        # sidecars can be millions of rows, a Python row loop would be
+        # the clone's only non-O(files) cost
+        keys = tbl["_dv_key"]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        keep = pa.array([False] * len(tbl))
+        out_keys = keys
+        for sname_dv, nname in name_map.items():
+            m = pc.starts_with(keys, f"{sname_dv}/")
+            keep = pc.or_(keep, m)
+            out_keys = pc.if_else(
+                m,
+                pc.replace_substring_regex(
+                    out_keys, f"^{sname_dv}/", f"{nname}/"
+                ),
+                out_keys,
+            )
+        rekeyed = pa.table(
+            {"_dv_key": out_keys, "_dv_rid": tbl["_dv_rid"]}
+        ).filter(keep)  # rows of non-live dirs are stale here
+        if not len(rekeyed):
             continue
         ddv = dst / _DV / f"clone{j:04d}"
         ddv.mkdir(parents=True, exist_ok=True)
-        pq.write_table(
-            pa.table(
-                {
-                    "_dv_key": pa.array(keys, pa.string()),
-                    "_dv_rid": pa.array(rids, pa.int64()),
-                }
-            ),
-            str(ddv / "part-0.parquet"),
-        )
-        dv_all.append([f"clone{j:04d}", len(keys)])
+        pq.write_table(rekeyed, str(ddv / "part-0.parquet"))
+        dv_all.append([f"clone{j:04d}", len(rekeyed)])
 
     if not clone_entries:  # empty live set: one dir-less schema carrier
         clone_entries.append(
