@@ -22,7 +22,10 @@ Semantics follow the Delta streaming-source contract:
   downstream consumers must tolerate re-delivered rows — exactly
   Delta's documented ``ignoreChanges`` behavior.
 - ``.option("startingVersion", N)`` begins at commit N (default 0:
-  replay the whole log).
+  replay the whole log); ``.option("startingTimestamp", TS)`` begins
+  at the first commit AT or AFTER the timestamp (epoch seconds or
+  ISO-8601; the Delta option — a future timestamp tails new commits
+  only).
 - ``.option("maxFilesPerTrigger", N)`` rate-limits catch-up: each
   micro-batch admits whole commits until their input-file count would
   exceed N (always >= 1 commit) — the Delta option of the same name.
@@ -165,6 +168,28 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             str(options.get("readchangefeed", "false")).lower() == "true"
         )
         self.starting_version = int(options.get("startingversion", 0))
+        if options.get("startingtimestamp") is not None:
+            if "startingversion" in options:
+                raise ValueError(
+                    "pass startingVersion or startingTimestamp, not both"
+                )
+            # the Delta option: deliver the commits AT or AFTER the
+            # timestamp (resolved once, when the stream starts); a
+            # future timestamp starts an empty tail-following stream
+            from dataset_dedupe_estimator_spark.sources.versioned import (
+                _to_epoch,
+            )
+
+            t = _to_epoch(options["startingtimestamp"])
+            entries = _committed_entries(Path(self.root))
+            at_or_after = [
+                e["version"] for e in entries if e.get("ts", 0.0) >= t
+            ]
+            self.starting_version = (
+                min(at_or_after)
+                if at_or_after
+                else (entries[-1]["version"] + 1 if entries else 0)
+            )
         # Delta's maxFilesPerTrigger shape: admit whole COMMITS into a
         # micro-batch until their file count would exceed the cap
         # (always at least one commit, so a single over-sized commit

@@ -315,3 +315,44 @@ def test_max_files_per_trigger_restart_no_dupes(registered, spark, tmp_path):
         vt.append(root, _mk(spark, i * 10, i * 10 + 10), num_files=2)
     run(50)
     assert sorted(seen) == list(range(50))  # no dupes, no gaps
+
+
+def test_starting_timestamp_option(registered, tmp_path):
+    """startingTimestamp (the Delta option): commits at or after the
+    timestamp stream; earlier history is skipped; a future timestamp
+    tails only new commits."""
+    spark = registered
+    root = tmp_path / "t"
+    vt.append(root, _mk(spark, 0, 10), num_files=1)   # v0
+    vt.append(root, _mk(spark, 10, 15), num_files=1)  # v1
+    hist = vt.history(root)
+    _drain(spark, root, tmp_path / "ck1", tmp_path / "o1",
+           startingTimestamp=str(hist[1]["ts"]))
+    got = sorted(r.id for r in spark.read.parquet(
+        str(tmp_path / "o1")).collect())
+    assert got == list(range(10, 15))
+    # future timestamp: nothing yet; a new commit streams
+    _drain(spark, root, tmp_path / "ck2", tmp_path / "o2",
+           startingTimestamp=str(hist[-1]["ts"] + 3600))
+    import os
+    files = [f for f in os.listdir(tmp_path / "o2")
+             if f.endswith(".parquet")]
+    total = (spark.read.parquet(str(tmp_path / "o2")).count()
+             if files else 0)
+    assert total == 0
+    vt.append(root, _mk(spark, 15, 18), num_files=1)
+    _drain(spark, root, tmp_path / "ck2", tmp_path / "o2",
+           startingTimestamp=str(hist[-1]["ts"] + 3600))
+    got = sorted(r.id for r in spark.read.parquet(
+        str(tmp_path / "o2")).collect())
+    assert got == list(range(15, 18))
+    from dataset_dedupe_estimator_spark.sources.table_stream import (
+        VersionedTableStreamReader,
+    )
+
+    with pytest.raises(ValueError, match="not both"):
+        VersionedTableStreamReader(
+            None,
+            {"path": str(root), "startingversion": "1",
+             "startingtimestamp": "2026-01-01"},
+        )
