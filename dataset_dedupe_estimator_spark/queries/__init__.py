@@ -109,9 +109,9 @@ _FRONT = [
     "table_clone_read",
     "table_partition_evolution_read",
 ]
-# overflow: the remaining round-6-green queries (plus the r6-green
-# fill displaced by the r9-added table_drop_read) — first in line for
-# round 10's window (locally re-verified every round)
+# overflow: the remaining round-6-green queries (incl. the three
+# r6-green fills displaced by r9-added gate entries) — first in line
+# for round 10's window (locally re-verified every round)
 _NEXT = [
     "dedup_exact_events",
     "dedup_fingerprint_groups",
