@@ -72,7 +72,12 @@ def main() -> int:
         out["live_dirs_after_optimize"] = len(vt.live_dirs(root))
 
         removed = vt.vacuum(root, keep_versions=1)
-        out["vacuumed_dirs"] = len(removed)
+        # vacuum also reports retired sidecars/checkpoints (prefixed
+        # "<kind>/"); the data-directory count is the structural claim
+        out["vacuumed_dirs"] = len([r for r in removed if "/" not in r])
+        out["vacuumed_ckpts"] = len(
+            [r for r in removed if r.startswith("_vlog/")]
+        )
         out["history_entries"] = len(vt.history(root))
         n2 = vt.read_version(spark, root).count()
 
