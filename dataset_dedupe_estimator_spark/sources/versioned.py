@@ -1535,9 +1535,13 @@ def append(
 
     ``partition_by`` (first commit only — later commits must match)
     hive-partitions every commit directory, so snapshot reads prune
-    partitions per commit scan. ``allow_new_columns`` permits widening
-    the schema; older commits surface NULL for the new columns on read
-    (columns can never be dropped — history must stay interpretable).
+    partitions per commit scan (evolve later with
+    :func:`set_partitioning`). ``allow_new_columns`` permits widening
+    the schema; older commits surface NULL for the new columns on read.
+    An incoming frame may never silently narrow the schema — dropping
+    a column is its own auditable commit (:func:`drop_column`).
+    ``extra_entry`` attaches custom keys (e.g. a ``user_metadata``
+    string) to the log entry; ``history`` surfaces them.
     ``stats_columns`` records per-file min/max zone maps in the log
     entry (Delta data-skipping shape) that ``read_where`` uses to drop
     whole files before the scan; once set, later commits inherit it
