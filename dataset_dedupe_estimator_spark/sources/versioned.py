@@ -1352,8 +1352,8 @@ def _stage_commit(
                 f"commit has {sorted(cols)}"
                 + (
                     "" if cols >= prior_cols
-                    else " (columns may be added with allow_new_columns,"
-                    " never dropped)"
+                    else " (columns may be added with allow_new_columns;"
+                    " dropping one is its own commit: drop_column)"
                 )
             )
         prior_part = entries[-1].get("partition_by") or []

@@ -159,8 +159,9 @@ def test_schema_widening_reads_null_for_old_commits(spark, tmp_path):
     assert latest.columns == ["id", "v", "extra"]
     rows = {r.id: r.extra for r in latest.collect()}
     assert rows[0] is None and rows[4] == "x"
-    # dropping a column is never allowed
-    with pytest.raises(ValueError, match="never dropped"):
+    # an incoming frame may never silently narrow the schema
+    # (dropping a column is its own auditable commit: drop_column)
+    with pytest.raises(ValueError, match="drop_column"):
         vt.append(root, _mk(spark, 5, 6).select("id"), allow_new_columns=True)
     # the v0 snapshot keeps its original two-column schema
     assert vt.read_version(spark, root, 0).columns == ["id", "v"]
