@@ -135,3 +135,39 @@ def test_clone_partitioned_table(spark, tmp_path):
     assert sorted((r.k, r.part) for r in got.collect()) == [
         (i, f"p{i % 2}") for i in range(8)
     ]
+
+
+def test_clone_from_checkpointed_source(spark, tmp_path, monkeypatch):
+    """clone_table resolves through the checkpoint+tail path: folded
+    entries carry the masks/DV set/mapping on their retained last
+    entry, and the clone must come out identical to a raw-log clone."""
+    monkeypatch.setattr(vt, "_CKPT_EVERY", 2)
+    root = tmp_path / "src"
+    vt.append(root, _df(spark, [(i, i * 10) for i in range(10)]),
+              num_files=2, stats_columns=["k"])
+    vt.append(root, _df(spark, [(i, i * 10) for i in range(10, 20)]),
+              num_files=2)
+    vt.rename_column(root, "v", "val")
+    vt.delete_where_pruned(spark, root, [("k", "between", (0, 4))])
+    vt.delete_where_dv(spark, root, [("k", "==", 17)])
+    vt.append(root, spark.createDataFrame([(30, 300)], "k: long, val: long"),
+              num_files=1)
+    assert list((root / "_vlog").glob("ckpt-v*.parquet"))
+    want = sorted(
+        (r.k, r.val) for r in vt.read_version(spark, root).collect()
+    )
+    d1 = tmp_path / "via_ckpt"
+    vt.clone_table(root, d1)
+    got = sorted((r.k, r.val) for r in vt.read_version(spark, d1).collect())
+    assert got == want
+    assert vt.describe_detail(d1)["column_mapping"] == {"val": "v"}
+    # identical clone with every checkpoint deleted (raw-log path)
+    for ck in (root / "_vlog").glob("ckpt-v*.parquet"):
+        ck.unlink()
+    (root / "_vlog" / "_last_checkpoint").unlink(missing_ok=True)
+    d2 = tmp_path / "via_raw"
+    vt.clone_table(root, d2)
+    got2 = sorted(
+        (r.k, r.val) for r in vt.read_version(spark, d2).collect()
+    )
+    assert got2 == want
