@@ -1259,7 +1259,13 @@ def cmd_table(args) -> int:
     elif args.action == "detail":
         import json as _json
 
-        print(_json.dumps(vt.describe_detail(args.root, args.version)))
+        print(
+            _json.dumps(
+                vt.describe_detail(
+                    args.root, args.version, timestamp=args.as_of
+                )
+            )
+        )
     elif args.action == "history":
         import datetime as _dt
 

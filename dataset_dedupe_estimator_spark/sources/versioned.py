@@ -2644,7 +2644,9 @@ def read_change_feed(
     )
 
 
-def describe_detail(root: str | Path, version: int | None = None) -> dict:
+def describe_detail(
+    root: str | Path, version: int | None = None, timestamp=None
+) -> dict:
     """One metadata-only call answering "what IS this table right now"
     (the Delta DESCRIBE DETAIL shape): live files/bytes after masks,
     deletion-vector exposure, declarations, constraints, checkpoint
@@ -2653,6 +2655,7 @@ def describe_detail(root: str | Path, version: int | None = None) -> dict:
     (num_files vs bytes), are deletes piling up un-purged (dv_rows),
     is the log checkpointed (checkpoint_version vs version)."""
     root = Path(root)
+    version = _resolve_as_of(root, version, timestamp)
     entries = _entries_for(root, version)
     version, dirs, live_entries = _resolve(root, entries, version)
     last = live_entries[-1]

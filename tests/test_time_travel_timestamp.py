@@ -172,3 +172,11 @@ def test_unknown_reader_features_refuse_loudly(spark, table):
     # below the feature's introduction: still readable
     got = vt.read_version(spark, table, version=v - 1)
     assert got.count() == 1  # the overwrite-era snapshot
+
+
+def test_describe_detail_as_of(spark, table):
+    hist = vt.history(table)
+    det = vt.describe_detail(table, timestamp=hist[1]["ts"])
+    assert det["version"] == 1 and det["num_live_dirs"] == 2
+    det2 = vt.describe_detail(table)  # latest: post-overwrite
+    assert det2["version"] == 2 and det2["num_live_dirs"] == 1
