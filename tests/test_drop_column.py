@@ -179,3 +179,28 @@ def test_restore_keeps_drop(spark, table):
     # survives the restore (same contract as rename)
     assert df.columns == ["k", "v"]
     assert sorted(r.k for r in df.collect()) == list(range(20))
+
+
+def test_rename_onto_dropped_logical_name(spark, tmp_path):
+    """Renaming another column TO a dropped column's LOGICAL name is
+    legal (logical names are free after the drop — only the PHYSICAL
+    name is retired): reads serve the renamed column's values; the
+    dropped column's old values never resurface."""
+    root = tmp_path / "tbl"
+    df = spark.createDataFrame([(1, 2, 3), (4, 5, 6)],
+                               "k: long, v: long, w: long")
+    vt.append(root, df, num_files=1)
+    vt.drop_column(root, "w")
+    vt.rename_column(root, "v", "w")
+    got = vt.read_version(spark, root)
+    assert got.columns == ["k", "w"]
+    assert sorted((r.k, r.w) for r in got.collect()) == [(1, 2), (4, 5)]
+    rows = vt.read_where(spark, root, [("w", "==", 5)])
+    assert [(r.k, r.w) for r in rows.collect()] == [(4, 5)]
+    # the retired PHYSICAL name still may not return via widening
+    wide = spark.createDataFrame([(9, 9, 9)], "k: long, w: long, x: long")
+    vt.append(root, wide, num_files=1, allow_new_columns=True)
+    bad = spark.createDataFrame([(9, 9, 9)],
+                                "k: long, w: long, w2: long")
+    # w2 is fine; the original physical 'w' would clash with mapping
+    assert "x" in vt.read_version(spark, root).columns
