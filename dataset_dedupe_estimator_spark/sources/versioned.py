@@ -396,6 +396,17 @@ def _column_mapping(entries: list[dict]) -> dict:
     return {}
 
 
+def _prior_types(entries: list[dict]) -> dict | None:
+    """PHYSICAL column name -> Spark dtype string, from the newest
+    entry that recorded types (staged data commits do; property
+    commits don't and legacy tables never did — None then, and the
+    commit-time type guard is skipped)."""
+    for e in reversed(entries):
+        if "types" in e:
+            return dict(e["types"])
+    return None
+
+
 def _dropped_columns(entries: list[dict]) -> set:
     """PHYSICAL names of every column ever dropped, at the snapshot's
     version. Like ``column_mapping``, the accumulated set is
@@ -1340,6 +1351,24 @@ def _stage_commit(
             "files still hold the old values; re-using the name would "
             "resurrect them); pick different names"
         )
+    # type guard: the same physical column may never change its type
+    # across live commits (mixed footers make every multi-file scan a
+    # late read-time failure). An overwrite replaces ALL live data, so
+    # it may re-type freely — only it.
+    types = dict(df.dtypes)
+    prior_t = _prior_types(entries) if action != "overwrite" else None
+    if prior_t:
+        mismatch = {
+            c: (prior_t[c], types[c])
+            for c in types
+            if c in prior_t and types[c] != prior_t[c]
+        }
+        if mismatch:
+            raise ValueError(
+                "column type mismatch vs the table's recorded types "
+                f"{mismatch} — cast the incoming frame, or use "
+                "overwrite (which replaces all live data) to re-type"
+            )
     if entries:
         prior_cols = set(entries[-1]["columns"])
         cols = set(df.columns)
@@ -1391,6 +1420,7 @@ def _stage_commit(
         "action": action,
         "columns": df.columns,
         "partition_by": partition_by,
+        "types": types,
     }
     stats = blooms = None
     if stats_columns:
@@ -1941,6 +1971,9 @@ def clone_table(
         )
     final = clone_entries[-1]
     final["columns"] = last["columns"]  # current schema rides the tail
+    src_types = _prior_types(live_entries)
+    if src_types:
+        final["types"] = src_types  # commit-time type guard carries over
     if last.get("stats_columns"):
         final["stats_columns"] = last["stats_columns"]
     if last.get("bloom_columns"):

@@ -717,3 +717,38 @@ def test_cli_table_ingest_empty_inbox(capsys, spark, tmp_path):
         "table", "ingest", str(tmp_path / "vt"), str(tmp_path / "no-such"),
         "--checkpoint", str(tmp_path / "ckpt2"),
     ]) == 2
+
+
+def test_commit_type_guard(spark, tmp_path):
+    """A physical column may never change type across live commits
+    (mixed parquet footers fail at READ time, far from the bad write
+    — r9 guard fails the WRITE instead); overwrite replaces all live
+    data and may re-type."""
+    root = tmp_path / "tg"
+    vt.append(root, _mk(spark, 0, 5), num_files=1)  # v: long
+    bad = spark.createDataFrame([(9, 9)], "id: long, v: int")
+    with pytest.raises(ValueError, match="type mismatch"):
+        vt.append(root, bad, num_files=1)
+    # nothing landed
+    assert [e["version"] for e in vt.history(root)] == [0]
+    # widening adds a NEW column freely; its type is then pinned too
+    wide = _mk(spark, 5, 6).withColumn("tag", F.lit(1).cast("int"))
+    vt.append(root, wide, num_files=1, allow_new_columns=True)
+    bad2 = wide.withColumn("tag", F.col("tag").cast("long"))
+    with pytest.raises(ValueError, match="type mismatch"):
+        vt.append(root, bad2, num_files=1)
+    # overwrite may re-type (it replaces every live file; the full
+    # schema is still required — narrowing stays drop_column's job)
+    retyped = _mk(spark, 0, 3).select(
+        "id", F.col("v").cast("int").alias("v"),
+        F.lit(1).cast("int").alias("tag"),
+    )
+    vt.overwrite(root, retyped, num_files=1)
+    assert dict(vt.read_version(spark, root).dtypes)["v"] == "int"
+    # and the new type is pinned from there on
+    with pytest.raises(ValueError, match="type mismatch"):
+        vt.append(
+            root,
+            _mk(spark, 0, 1).withColumn("tag", F.lit(1).cast("int")),
+            num_files=1,
+        )
