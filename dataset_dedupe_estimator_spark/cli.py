@@ -1293,7 +1293,8 @@ def cmd_table(args) -> int:
                       file=sys.stderr)
                 return 2
             args.version = vt.version_at(args.root, args.as_of)
-            print(f"-- as of {args.as_of!r} = version {args.version}")
+            print(f"-- as of {args.as_of!r} = version {args.version}",
+                  file=sys.stderr)
         label = "latest" if args.version is None else f"v{args.version}"
         if args.where:
             preds = _parse_where(args.where)
@@ -1477,7 +1478,8 @@ def cmd_table(args) -> int:
                       file=sys.stderr)
                 return 2
             args.version = vt.version_at(args.root, args.as_of)
-            print(f"-- as of {args.as_of!r} = version {args.version}")
+            print(f"-- as of {args.as_of!r} = version {args.version}",
+                  file=sys.stderr)
         st = vt.restore(_spark(args), args.root, args.version)
         if not st["committed"]:
             print(f"already at version {args.version}; nothing committed")
@@ -1995,9 +1997,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     tb.add_argument(
         "--as-of", dest="as_of",
-        help="read/restore: resolve the target version by TIMESTAMP "
-        "AS OF (ISO-8601 like '2026-08-16T12:30:00', or epoch seconds) "
-        "— the newest commit at or before that time",
+        help="read/restore/detail/files/clone: resolve the target "
+        "version by TIMESTAMP AS OF (ISO-8601 like "
+        "'2026-08-16T12:30:00', or epoch seconds) — the newest commit "
+        "at or before that time",
     )
     tb.add_argument("--out")
     tb.add_argument("--files", type=int)

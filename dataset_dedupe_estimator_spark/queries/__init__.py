@@ -46,18 +46,108 @@ for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthet
 # so rotation only affects which subset gets *driver-side* attestation,
 # never whether a regression is caught.
 #
-# Round-9 window (executes the rotation staged at r8 close, COVERAGE.md
-# ledger): the 27 round-5-green queries held in the r8 _NEXT, the 3
-# round-8-added never-driver-checked entries (checkpoint/restore/DV),
-# the 5 queries added DURING r9 (table_concurrent_append_read,
-# table_rename_read, table_drop_read, table_clone_read,
-# table_partition_evolution_read — placed directly in the window so
-# they carry driver attestation the same round they land), and the 15
-# stalest round-6-green queries (registry-order tiebreak — all 50
-# r6-attested entries are equally stale; dedup_keep_first,
-# dedup_fingerprint_groups and dedup_exact_events displaced into
-# _NEXT by the last three r9 additions).
+# Round-10 window (executes the rotation staged at r9 close, COVERAGE.md
+# ledger): the 35 round-6-green queries held in the r9 _NEXT
+# (dedup_exact_events ... zorder_layout) plus the 15 stalest
+# round-7-green queries (registry-order tiebreak — all 50 r7-attested
+# entries are equally stale: customer_hierarchy_rollup ...
+# dedup_near_survivors). Queries added DURING r10 displace the tail of
+# the r7-green fill into _NEXT so they carry driver attestation the
+# same round they land (the r9 pattern).
 _FRONT = [
+    "dedup_exact_events",
+    "dedup_fingerprint_groups",
+    "dedup_keep_first",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "simhash_signatures",
+    "bm25_search",
+    "text_quality",
+    "binary_digest_features",
+    "lang_score",
+    "token_frequencies",
+    "knn_brute_force",
+    "semdedup_clusters",
+    "ann_lsh_bucketed",
+    "ann_ivf_probe",
+    "embedding_dedup_pairs",
+    "embedding_dedup_lsh",
+    "label_centroid_spread",
+    "synthetic_generate_table",
+    "streaming_cms_counts",
+    "grouping_sets_revenue",
+    "trailing_window_revenue",
+    "asof_prev_order",
+    "unpivot_part_metrics",
+    "range_join_price_bands",
+    "cube_order_stats",
+    "cdc_dedup_trend",
+    "dedup_substring_spans",
+    "source_overlap_minhash",
+    "q8_market_share",
+    "q14_promo_revenue",
+    "q19_disjunctive_revenue",
+    "table_time_travel",
+    "zorder_layout",
+    "customer_hierarchy_rollup",
+    "supplier_pagerank",
+    "spend_quartiles",
+    "filter_project_scan",
+    "distinct_ship_modes",
+    "user_value_twap",
+    "events_gapfill",
+    "events_attribution",
+    "events_dedup_burst",
+    "events_daily_anomaly",
+    "near_dup_source_matrix",
+    "ngram_containment_pairs",
+    "lsh_index_incremental",
+    "dedup_near_groups",
+    "dedup_near_survivors",
+]
+# overflow: the remaining round-7-green queries — first in line for
+# round 11's window (locally re-verified every round)
+_NEXT = [
+    "bm25_index_search",
+    "phrase_search_index",
+    "bpe_train_merges",
+    "bpe_token_stats",
+    "doc_length_quantiles",
+    "repetition_stats",
+    "contamination_check",
+    "corpus_survival_pipeline",
+    "ann_ivf_trained",
+    "ann_recall_at_k",
+    "semantic_vs_lexical_pairs",
+    "hybrid_rrf",
+    "synthetic_generator_e2e",
+    "split_assign",
+    "stratified_sample_docs",
+    "cross_split_leakage",
+    "split_purge_eval",
+    "streaming_dedup_events",
+    "streaming_view_click_join",
+    "cdc_streaming_estimate",
+    "streaming_index_pipeline",
+    "image_near_dup_demo",
+    "multimodal_pipeline_demo",
+    "fuzzy_match_customers",
+    "data_quality_report",
+    "profile_documents",
+    "source_feature_corr",
+    "date_part_revenue",
+    "quantity_percentiles",
+    "dataset_card_stats",
+    "mv_incremental_orders",
+    "table_zonemap_read",
+    "mv_from_version_diff",
+    "streaming_mv_refresh",
+    "snapshot_diff_docs",
+]
+# most recent driver green: CORRECTNESS_r09 (49 oracle-green + 1
+# rows-only by design)
+_TAIL = [
     "ivfpq_search",
     "synthetic_delete_rows",
     "synthetic_insert_rows",
@@ -108,100 +198,6 @@ _FRONT = [
     "table_drop_read",
     "table_clone_read",
     "table_partition_evolution_read",
-]
-# overflow: the remaining round-6-green queries (incl. the three
-# r6-green fills displaced by r9-added gate entries) — first in line
-# for round 10's window (locally re-verified every round)
-_NEXT = [
-    "dedup_exact_events",
-    "dedup_fingerprint_groups",
-    "dedup_keep_first",
-    "ngram_jaccard_pairs",
-    "minhash_signatures",
-    "minhash_lsh_candidates",
-    "simhash_signatures",
-    "bm25_search",
-    "text_quality",
-    "binary_digest_features",
-    "lang_score",
-    "token_frequencies",
-    "knn_brute_force",
-    "semdedup_clusters",
-    "ann_lsh_bucketed",
-    "ann_ivf_probe",
-    "embedding_dedup_pairs",
-    "embedding_dedup_lsh",
-    "label_centroid_spread",
-    "synthetic_generate_table",
-    "streaming_cms_counts",
-    "grouping_sets_revenue",
-    "trailing_window_revenue",
-    "asof_prev_order",
-    "unpivot_part_metrics",
-    "range_join_price_bands",
-    "cube_order_stats",
-    "cdc_dedup_trend",
-    "dedup_substring_spans",
-    "source_overlap_minhash",
-    "q8_market_share",
-    "q14_promo_revenue",
-    "q19_disjunctive_revenue",
-    "table_time_travel",
-    "zorder_layout",
-]
-# most recent driver green: CORRECTNESS_r08 (50/50 green — 43 oracle,
-# 7 rows-only by design)
-_TAIL = [
-    "token_bpe_ish",
-    "rolling_hash_fingerprint",
-    "cdc_estimate",
-    "format_compare_demo",
-    "cdc_per_file_chunks",
-    "cdc_provenance",
-    "cdc_estimate_xet",
-    "cdc_approx_estimate",
-    "cdc_index_incremental",
-    "doc_chunk_windows",
-    "pii_scan",
-    "charlm_familiarity",
-    "ngram_novelty",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_parts",
-    "q12_late_shipment_priority",
-    "q16_supplier_diversity",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-    "bm25_delete_search",
-    "table_delete_where",
-    "table_upsert_merge",
-    "table_stream_read",
-    "table_compact_read",
-    "table_cdf_read",
-    "table_bloom_read",
-    "temporal_dim_join",
-    "orders_rfm_segments",
-    "basket_part_pairs",
-    "cohort_ltv",
-    "conditional_pivot_brands",
-    "rolling_active_users",
-    "events_late_arrivals",
-    "events_user_lifecycle",
-    "events_markov_transitions",
-    "session_top_paths",
-    "events_funnel_ttc",
-    "events_funnel",
-    "events_retention_cohorts",
-    "events_sessionize",
-    "dup_cluster_sizes",
-    "simhash_candidates",
-    "kmv_sketches",
-    "cms_token_counts",
-    "bpe_pair_frequencies",
-    "vocab_coverage_score",
-    "effective_token_budget",
-    "source_token_stats",
-    "pq_codes",
 ]
 _missing = (set(_FRONT) | set(_NEXT) | set(_TAIL)) - REGISTRY.keys()
 if _missing:

@@ -177,14 +177,16 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             # timestamp (resolved once, when the stream starts); a
             # future timestamp starts an empty tail-following stream
             from dataset_dedupe_estimator_spark.sources.versioned import (
+                _effective_ts,
                 _to_epoch,
             )
 
             t = _to_epoch(options["startingtimestamp"])
             entries = _committed_entries(Path(self.root))
-            at_or_after = [
-                e["version"] for e in entries if e.get("ts", 0.0) >= t
-            ]
+            # mtime-backfilled, monotone — a legacy no-ts commit is
+            # placed by when it landed instead of silently skipped
+            eff = _effective_ts(Path(self.root), entries)
+            at_or_after = [v for v, ts in eff.items() if ts >= t]
             self.starting_version = (
                 min(at_or_after)
                 if at_or_after

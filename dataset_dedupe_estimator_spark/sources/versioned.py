@@ -2093,6 +2093,32 @@ def _to_epoch(timestamp) -> float:
     )
 
 
+def _effective_ts(root: Path, entries: list[dict]) -> dict[int, float]:
+    """version -> commit time for the AS OF / startingTimestamp
+    surfaces. Prefers the writer clock recorded at commit
+    (``entry['ts']``); an entry that predates ts recording falls back
+    to its ``_vlog/v*.json`` mtime (a real record of when the commit
+    landed) and, when the file was folded into a checkpoint, to the
+    previous entry's time. The series is then forced monotone
+    non-decreasing by running max, so neither clock skew nor mtime
+    weirdness can make a LATER version resolve for an EARLIER time —
+    without this, a missing ts defaulted to epoch 0 and a legacy
+    commit newer than the request would satisfy ``ts <= t``."""
+    eff: dict[int, float] = {}
+    run = 0.0
+    for e in entries:
+        ts = e.get("ts")
+        if ts is None:
+            p = _entry_path(root, e["version"])
+            try:
+                ts = p.stat().st_mtime
+            except OSError:
+                ts = run  # folded into a checkpoint: carry forward
+        run = max(run, float(ts))
+        eff[e["version"]] = run
+    return eff
+
+
 def version_at(root: str | Path, timestamp) -> int:
     """The version a reader at ``timestamp`` would have seen: the
     NEWEST commit whose commit time is <= the requested time (the
@@ -2105,7 +2131,8 @@ def version_at(root: str | Path, timestamp) -> int:
     root = Path(root)
     ts = _to_epoch(timestamp)
     entries = _committed_entries(root)  # raw log: audit path, like history
-    cand = [e["version"] for e in entries if e.get("ts", 0.0) <= ts]
+    eff = _effective_ts(root, entries)
+    cand = [v for v, t in eff.items() if t <= ts]
     if not cand:
         raise VersionNotFoundError(
             f"{root} had no committed version at timestamp {timestamp!r}"
@@ -3579,6 +3606,21 @@ def restore(
             "partition_by": last.get("partition_by") or [],
             "ts": time.time(),
         }
+        # The commit-time type guard must track the files actually
+        # live after the rollback, not the newest (possibly re-typing)
+        # overwrite this restore supersedes: the TARGET's recorded
+        # types win for every column the restored data carries, while
+        # columns added after the target (schema never narrows — the
+        # restored files backfill NULL for them) keep their post-target
+        # declared type so the next append still matches.
+        t_types = _prior_types(t_entries)
+        cur_types = _prior_types(entries)
+        if t_types is not None or cur_types is not None:
+            merged = dict(cur_types or {})
+            merged.update(t_types or {})
+            entry["types"] = {
+                c: t for c, t in merged.items() if c in set(last["columns"])
+            }
         # inheritable declarations ride every entry (entries[-1] chain)
         if last.get("stats_columns"):
             entry["stats_columns"] = last["stats_columns"]

@@ -273,3 +273,69 @@ def test_fold_keeps_dead_dirs_named_by_restore_last_entry(
     # and the table keeps working on top of the folded restore
     vt.append(root, _rows(spark, [(30, 3)]), num_files=1)
     assert _snap(spark, root) == sorted(want + [(30, 3)])
+
+
+def test_restore_records_types_of_restored_live_data(spark, tmp_path):
+    """ADVICE r9 (medium): restore commits no 'types' key, so after a
+    re-typing overwrite is rolled back the commit-time type guard still
+    reflects the SUPERSEDED overwrite — rejecting appends that match the
+    restored data and accepting the wrong-typed frame, producing mixed
+    parquet footers that fail every multi-file read."""
+    root = tmp_path / "tbl"
+    vt.append(root, spark.createDataFrame([(1, 10)], "k: long, v: long"),
+              num_files=1)                                      # v0 bigint
+    vt.overwrite(root, spark.createDataFrame([(2, "x")], "k: long, v: string"),
+                 num_files=1)                                   # v1 re-types v
+    vt.restore(spark, root, 0)                                  # v2 rollback
+    # the restored live data is bigint: a matching append must commit
+    vt.append(root, spark.createDataFrame([(3, 30)], "k: long, v: long"),
+              num_files=1)
+    # ... and the superseded overwrite's string type must now REFUSE
+    with pytest.raises(ValueError, match="type mismatch"):
+        vt.append(root, spark.createDataFrame([(4, "y")], "k: long, v: string"),
+                  num_files=1)
+    # the multi-file scan stays healthy (the bug's symptom was
+    # PARQUET_COLUMN_DATA_TYPE_MISMATCH here)
+    assert _snap(spark, root) == [(1, 10), (3, 30)]
+
+
+def test_restore_types_keep_post_target_widened_columns(spark, tmp_path):
+    """Columns added AFTER the restore target stay in the schema (it
+    never narrows) and keep their post-target declared type in the
+    guard, so the next append still type-checks on them."""
+    root = tmp_path / "tbl"
+    vt.append(root, spark.createDataFrame([(1, 10)], "k: long, v: long"),
+              num_files=1)                                      # v0
+    vt.append(root, spark.createDataFrame([(2, 20, 0.5)],
+              "k: long, v: long, w: double"),
+              num_files=1, allow_new_columns=True)              # v1 widens
+    vt.restore(spark, root, 0)                                  # v2
+    # w survives the rollback in the schema; its declared type is double
+    with pytest.raises(ValueError, match="type mismatch"):
+        vt.append(root, spark.createDataFrame([(3, 30, "no")],
+                  "k: long, v: long, w: string"), num_files=1)
+    vt.append(root, spark.createDataFrame([(3, 30, 1.5)],
+              "k: long, v: long, w: double"), num_files=1)
+    got = sorted((r.k, r.v, r.w) for r in
+                 vt.read_version(spark, root).collect())
+    assert got == [(1, 10, None), (3, 30, 1.5)]
+
+
+def test_clone_of_restored_snapshot_carries_restored_types(spark, tmp_path):
+    """ADVICE r9 (low): clone seeds its guard from the newest typed
+    entry of the resolved live set — after the restore fix, cloning a
+    restored snapshot must inherit the RESTORED types, not the rolled-
+    back overwrite's."""
+    root, dst = tmp_path / "src", tmp_path / "dst"
+    vt.append(root, spark.createDataFrame([(1, 10)], "k: long, v: long"),
+              num_files=1)
+    vt.overwrite(root, spark.createDataFrame([(2, "x")], "k: long, v: string"),
+                 num_files=1)
+    vt.restore(spark, root, 0)
+    vt.clone_table(root, dst)
+    vt.append(dst, spark.createDataFrame([(5, 50)], "k: long, v: long"),
+              num_files=1)
+    with pytest.raises(ValueError, match="type mismatch"):
+        vt.append(dst, spark.createDataFrame([(6, "z")],
+                  "k: long, v: string"), num_files=1)
+    assert _snap(spark, dst) == [(1, 10), (5, 50)]

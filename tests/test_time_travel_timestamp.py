@@ -180,3 +180,59 @@ def test_describe_detail_as_of(spark, table):
     assert det["version"] == 1 and det["num_live_dirs"] == 2
     det2 = vt.describe_detail(table)  # latest: post-overwrite
     assert det2["version"] == 2 and det2["num_live_dirs"] == 1
+
+
+def _strip_ts(root, version):
+    """Simulate a legacy commit written before ts recording."""
+    import json
+
+    p = vt._entry_path(root, version)
+    e = json.loads(p.read_text())
+    e.pop("ts", None)
+    p.write_text(json.dumps(e))
+
+
+def test_no_ts_commit_backfills_from_mtime(spark, table):
+    """ADVICE r9 (low): an entry missing 'ts' defaulted to epoch 0 —
+    always a candidate — so on a log whose NEWER commits are
+    untimestamped, TIMESTAMP AS OF resolved to a commit made AFTER the
+    requested time. Backfilled from the entry file's mtime, the newer
+    commit must stay invisible to an earlier request."""
+    hist = vt.history(table)
+    _strip_ts(table, 2)  # the newest commit loses its ts
+    # a request between v0 and v1 must NOT see the (newer) v2
+    mid = (hist[0]["ts"] + hist[1]["ts"]) / 2
+    assert vt.version_at(table, mid) == 0
+    # a far-future request still resolves to the newest commit
+    assert vt.version_at(table, hist[1]["ts"] + 3600) == 2
+
+
+def test_effective_ts_is_monotone(table):
+    """Clock skew between writers (or stripped legacy entries) can't
+    make the effective series decrease."""
+    import json
+
+    # give v1 a ts NEWER than v2's (skewed writer clock)
+    p = vt._entry_path(table, 1)
+    e = json.loads(p.read_text())
+    e["ts"] = e["ts"] + 10_000
+    p.write_text(json.dumps(e))
+    eff = vt._effective_ts(table, vt._committed_entries(table))
+    vals = [eff[v] for v in sorted(eff)]
+    assert vals == sorted(vals)
+
+
+def test_stream_starting_timestamp_includes_no_ts_commits(spark, table):
+    """The stream's startingTimestamp counterpart: a legacy no-ts
+    commit must be placed by when it landed, not silently skipped."""
+    from dataset_dedupe_estimator_spark.sources.table_stream import (
+        VersionedTableStreamReader,
+    )
+
+    _strip_ts(table, 0)
+    r = VersionedTableStreamReader(
+        None, {"path": str(table), "startingtimestamp": "1.0"}
+    )
+    # epoch 1.0 is before every commit's landing time: start at v0
+    # (the old code compared 0.0 >= 1.0 and skipped it)
+    assert r.starting_version == 0
