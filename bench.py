@@ -415,23 +415,44 @@ def main() -> None:
         "gram_admit_docs_per_s": round(max(gram_rates), 1),
     }
 
-    # At-size tier: the same headline queries once (n=1) at sf1 — a 10x
+    # At-size tier: the same headline queries at sf1 — a 10x
     # key-shifted upsample of sf0.1 (tools/gen_sf1.py, cached locally).
     # Catches scale regressions (spills, skew, shuffle sizing) a 17 MB
-    # fixture can't surface. Disable with SPARK_GRAFT_SF1=0.
+    # fixture can't surface. One untimed warmup pass (JIT, shuffle-file
+    # page cache, codegen) then n=3 timed passes, report per-query
+    # MEDIAN + stddev — the r9 n=1/no-warmup methodology produced a
+    # phantom 25->31.5 s "regression" that was pure run-to-run noise
+    # (the same query varied 42.4->9.3 s under load). Disable with
+    # SPARK_GRAFT_SF1=0.
     sf1_block = None
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
         from gen_sf1 import ensure_sf1
+        from statistics import median, pstdev
 
         sf1_dir = ensure_sf1(spark)
-        sf1_q: dict[str, float] = {}
-        for name, q in headline.items():
+
+        def _run_sf1(q):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             q.spark(spark, sf1_dir).write.mode("overwrite").format("noop").save()
-            sf1_q[name] = round(time.perf_counter() - t0, 3)
-        sf1_block = {"total": round(sum(sf1_q.values()), 3), "queries": sf1_q}
+            return time.perf_counter() - t0
+
+        for q in headline.values():  # untimed warmup
+            _run_sf1(q)
+        sf1_s: dict[str, list[float]] = {n: [] for n in headline}
+        for _pass in range(3):
+            for name, q in headline.items():
+                sf1_s[name].append(_run_sf1(q))
+        sf1_block = {
+            "total": round(sum(median(ts) for ts in sf1_s.values()), 3),
+            "queries": {n: round(median(ts), 3) for n, ts in sf1_s.items()},
+            "queries_stddev": {
+                n: round(pstdev(ts), 3) for n, ts in sf1_s.items()
+            },
+            "n": 3,
+            "warmup": 1,
+        }
 
     total = round(sum(per_query.values()), 3)
     print(
