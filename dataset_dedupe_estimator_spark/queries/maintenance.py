@@ -1687,8 +1687,193 @@ GROUP BY 1 ORDER BY bucket
 """
 
 
+def table_type_widening_read(spark, sf):
+    """Type widening on append (r10, ``sources/versioned.py::append``
+    with ``allow_type_widening=True`` — the Delta type-widening
+    feature's int->bigint / float->double promotions): the declared
+    type widens, existing files stay in place, and every multi-file
+    scan upcasts the old footers in the parquet reader.
+
+    Even-key orders land at v0 with NARROW types (int key/cust/cents),
+    odd-key orders land at v1 with BIGINT types under the widening
+    flag. The query RAISES if a narrow append is still accepted
+    afterwards (the declaration must have widened), if the full scan's
+    dtypes are not the widened ones, or if time travel below the
+    widening stops reading the narrow v0 dtype. A zone-map-pruned
+    ``read_where`` across the mixed-width footers rides along as a
+    constant column, so a wrong-count prune hash-mismatches the
+    oracle."""
+    import shutil
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", cents("o_totalprice").alias("price_cents")
+    )
+    narrow = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").cast("int").alias("o_orderkey"),
+        F.col("o_custkey").cast("int").alias("o_custkey"),
+        F.col("price_cents").cast("int").alias("price_cents"),
+    )
+    wide = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+        F.col("price_cents").cast("bigint").alias("price_cents"),
+    )
+    root = tempfile.mkdtemp(prefix="dde_twide_")
+    try:
+        vt.append(
+            root, narrow.repartitionByRange(2, "o_orderkey"),
+            stats_columns=["o_orderkey"],
+        )
+        vt.append(
+            root, wide.repartitionByRange(2, "o_orderkey"),
+            allow_type_widening=True,
+        )
+        # the declaration widened: a narrow append must now refuse
+        try:
+            vt.append(root, narrow.limit(1))
+        except ValueError:
+            pass
+        else:
+            raise AssertionError("narrow append accepted after widening")
+        snap = vt.read_version(spark, root)
+        if dict(snap.dtypes)["o_orderkey"] != "bigint":
+            raise AssertionError(f"scan did not widen: {snap.dtypes}")
+        v0 = vt.read_version(spark, root, 0)
+        if dict(v0.dtypes)["o_orderkey"] != "int":
+            raise AssertionError(
+                f"time travel below the widening re-typed: {v0.dtypes}"
+            )
+        n_low = vt.read_where(
+            spark, root, [("o_orderkey", "<=", _TW_LOW_KEY)]
+        ).count()
+        out = (
+            snap.groupBy((F.col("o_custkey") % 10).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.max("o_orderkey").alias("max_key"),
+                F.sum("price_cents").alias("total_cents"),
+            )
+            .withColumn("n_low", F.lit(n_low).cast("long"))
+            .orderBy("bucket")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_TW_LOW_KEY = 5_000  # read_where probe across mixed-width footers
+
+
+def table_nested_read(spark, sf):
+    """Nested fields in the versioned table layer (r10,
+    ``sources/versioned.py`` path-based column mapping — the realistic
+    subset of Delta's field-ID scheme; the reference's synthetic
+    generator emits struct and list columns, de/synthetic.py:118-128):
+    struct/array columns ingest and read as-is, ONE level of struct
+    paths gets per-file zone maps and read_where pruning, and leaves
+    rename as metadata-only commits.
+
+    Documents ingest with a ``meta`` struct (length + source) and a
+    ``tags`` list, range-laid-out on the NESTED length so a
+    ``read_where`` on ``meta.length`` can prune files (the query
+    RAISES if it prunes nothing, if the leaf rename moves data bytes,
+    or if time travel below the rename stops showing the old leaf
+    name). The final aggregate groups by the RENAMED leaf path; the
+    nested-pruned count and the summed list sizes ride along, so a
+    wrong prune, a broken rename projection, or a mangled list column
+    all hash-mismatch the oracle."""
+    import shutil
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id",
+        F.struct(
+            F.length("text").alias("length"),
+            F.col("source").alias("src"),
+        ).alias("meta"),
+        F.array_repeat(
+            F.col("source"), (F.col("doc_id") % 3).cast("int")
+        ).alias("tags"),
+    )
+    root = tempfile.mkdtemp(prefix="dde_nest_")
+    try:
+        vt.append(
+            root,
+            docs.repartitionByRange(4, F.col("meta.length")),
+            stats_columns=["meta.length"],
+        )
+        st = vt.rename_column(root, "meta.src", "meta.origin")
+        if st.get("dir") is not None:
+            raise AssertionError("leaf rename moved data bytes")
+        v0 = vt.read_version(spark, root, 0)
+        if "src" not in dict(v0.dtypes)["meta"]:
+            raise AssertionError(
+                f"time travel below the rename re-typed: {v0.dtypes}"
+            )
+        rep = vt.zone_map_prune(
+            root, [("meta.length", "<=", _NEST_LEN_CUT)]
+        )
+        if not rep["skipped_files"]:
+            raise AssertionError(
+                f"nested zone maps pruned nothing: {rep}"
+            )
+        n_short = vt.read_where(
+            spark, root, [("meta.length", "<=", _NEST_LEN_CUT)]
+        ).count()
+        snap = vt.read_version(spark, root)
+        out = (
+            snap.groupBy(F.col("meta.origin").alias("origin"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col("meta.length")).alias("sum_length"),
+                F.sum(F.size("tags")).alias("sum_tags"),
+            )
+            .withColumn("n_short", F.lit(n_short).cast("long"))
+            .orderBy("origin")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_NEST_LEN_CUT = 120  # nested zone-map probe on meta.length
+
+
+TABLE_NESTED_READ_SQL = f"""
+SELECT source AS origin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_length,
+       CAST(SUM(doc_id % 3) AS BIGINT) AS sum_tags,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        WHERE LENGTH(text) <= {_NEST_LEN_CUT}) AS n_short
+FROM documents
+GROUP BY 1 ORDER BY origin
+"""
+
+
+TABLE_TYPE_WIDENING_READ_SQL = f"""
+SELECT o_custkey % 10 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+       CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS total_cents,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        WHERE o_orderkey <= {_TW_LOW_KEY}) AS n_low
+FROM orders
+GROUP BY 1 ORDER BY bucket
+"""
+
+
 QUERIES = {
     "mv_incremental_orders": Q(mv_incremental_orders, MV_INCREMENTAL_ORDERS_SQL),
+    "table_type_widening_read": Q(
+        table_type_widening_read, TABLE_TYPE_WIDENING_READ_SQL
+    ),
+    "table_nested_read": Q(table_nested_read, TABLE_NESTED_READ_SQL),
     "table_delete_where": Q(table_delete_where, TABLE_DELETE_WHERE_SQL),
     "table_upsert_merge": Q(table_upsert_merge, TABLE_UPSERT_MERGE_SQL),
     "table_stream_read": Q(table_stream_read, TABLE_STREAM_READ_SQL),

@@ -352,6 +352,11 @@ def _check_rebase(
             why = "columns were dropped"
         elif L.get("change_feed"):
             why = "change feed was enabled"
+        elif L.get("type_widened"):
+            # my staged entry re-publishes the types I validated
+            # against — landing it on top would NARROW the widened
+            # declaration back while the files stay mixed
+            why = "column types were widened"
         elif L.get("columns") and _meta_signature(L) != base_sig:
             why = "table metadata changed (schema/partitioning/declarations)"
         elif mine_action in ("overwrite", "restore"):
@@ -407,6 +412,47 @@ def _prior_types(entries: list[dict]) -> dict | None:
     return None
 
 
+# Safe type-widening lattice (the Delta type-widening feature's
+# integer/float promotions): every pair is losslessly readable by
+# scanning the OLD files under the NEW type — Spark 4.x's vectorized
+# parquet reader upcasts INT32->long / FLOAT->double in the scan when
+# the requested schema is wider. Anything off-lattice (narrowing,
+# int->string, ...) keeps refusing: mixed footers a scan can't
+# reconcile are a late read-time failure on every multi-file read.
+_SAFE_WIDENINGS = frozenset(
+    {
+        ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+        ("smallint", "int"), ("smallint", "bigint"),
+        ("int", "bigint"),
+        ("float", "double"),
+    }
+)
+
+
+def _types_vary(entries: list[dict]) -> bool:
+    """True when two live commits recorded DIFFERENT types for the
+    same physical column (possible only via a type-widening append) —
+    the signal that a multi-file scan needs an explicit read schema
+    instead of trusting uniform footers."""
+    seen: dict[str, str] = {}
+    for e in entries:
+        for c, t in (e.get("types") or {}).items():
+            if seen.setdefault(c, t) != t:
+                return True
+    return False
+
+
+def _read_schema_ddl(entries: list[dict], schema_cols: list[str]) -> str | None:
+    """DDL read schema (declared = widest types) for a multi-path scan
+    over footers of mixed width. None when any column's type was never
+    recorded (legacy log) — callers then fall back to footer inference,
+    which is correct for tables that never widened."""
+    t = _prior_types(entries) or {}
+    if not all(c in t for c in schema_cols):
+        return None
+    return ", ".join(f"`{c}` {t[c]}" for c in schema_cols)
+
+
 def _dropped_columns(entries: list[dict]) -> set:
     """PHYSICAL names of every column ever dropped, at the snapshot's
     version. Like ``column_mapping``, the accumulated set is
@@ -422,25 +468,298 @@ def _dropped_columns(entries: list[dict]) -> set:
 
 
 def _to_logical(df: DataFrame, mapping: dict) -> DataFrame:
-    """Surface a physical-schema DataFrame under its logical names."""
+    """Surface a physical-schema DataFrame under its logical names
+    (top-level renames plus one-level struct leaf renames)."""
     if not mapping:
         return df
-    return df.withColumnsRenamed({p: l for l, p in mapping.items()})
+    df = _apply_nested_renames_to_logical(df, mapping)
+    flat = {p: l for l, p in mapping.items() if "." not in l}
+    return df.withColumnsRenamed(flat) if flat else df
+
+
+def _name_to_physical(c: str, mapping: dict) -> str:
+    if c in mapping:
+        return mapping[c]
+    top, leaf = _split_path(c)
+    if leaf is not None and top in mapping:  # renamed parent, same leaf
+        return f"{mapping[top]}.{leaf}"
+    return c
 
 
 def _names_to_physical(names, mapping: dict) -> list:
-    return [mapping.get(c, c) for c in names]
+    return [_name_to_physical(c, mapping) for c in names]
 
 
 def _names_to_logical(names, mapping: dict) -> list:
     inv = {p: l for l, p in mapping.items()}
-    return [inv.get(c, c) for c in names]
+
+    def one(c):
+        if c in inv:
+            return inv[c]
+        top, leaf = _split_path(c)
+        if leaf is not None and top in inv:
+            return f"{inv[top]}.{leaf}"
+        return c
+    return [one(c) for c in names]
 
 
 def _preds_to_physical(predicates, mapping: dict) -> list:
     if not mapping or not predicates:
         return predicates
-    return [(mapping.get(c, c), op, v) for c, op, v in predicates]
+    return [(_name_to_physical(c, mapping), op, v) for c, op, v in predicates]
+
+
+# --- nested fields (one level: "top.leaf" paths into struct columns) --------
+#
+# The table layer treats struct/array columns as first-class payloads:
+# they append/read as-is, and ONE level of struct paths ("a.b")
+# participates in per-file zone maps, read_where predicates, and
+# path-based rename/drop (the realistic subset of Delta's field-ID
+# scheme — parquet footers already record leaf stats under the dotted
+# path, and Spark resolves `F.col("a.b")` natively).
+
+
+def _split_path(name: str):
+    """("top", "leaf") for a one-level path, ("name", None) for flat."""
+    top, dot, leaf = name.partition(".")
+    return (top, leaf) if dot else (name, None)
+
+
+def _struct_leaves(schema) -> set:
+    """Every one-level "top.leaf" path of the schema's struct columns."""
+    from pyspark.sql.types import StructType
+
+    out = set()
+    for f in schema.fields:
+        if isinstance(f.dataType, StructType):
+            out.update(f"{f.name}.{sub.name}" for sub in f.dataType.fields)
+    return out
+
+
+def _dtype_of_path(df: DataFrame, name: str) -> str | None:
+    """Spark dtype string for a flat column or a one-level struct
+    path; None when the path doesn't resolve."""
+    from pyspark.sql.types import StructType
+
+    top, leaf = _split_path(name)
+    if leaf is None:
+        return dict(df.dtypes).get(name)
+    for f in df.schema.fields:
+        if f.name == top and isinstance(f.dataType, StructType):
+            for sub in f.dataType.fields:
+                if sub.name == leaf:
+                    return sub.dataType.simpleString()
+    return None
+
+
+def _rename_struct_field(df: DataFrame, top: str, old: str, new: str):
+    """Order-preserving leaf rename: rebuild the struct with the one
+    field aliased (``withField`` would append instead)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    for f in df.schema.fields:
+        if f.name == top and isinstance(f.dataType, StructType):
+            parts = [
+                F.col(f"{top}.{sub.name}").alias(
+                    new if sub.name == old else sub.name
+                )
+                for sub in f.dataType.fields
+            ]
+            struct = F.struct(*parts)
+            if f.nullable:  # a NULL struct must stay NULL, not {}
+                struct = F.when(F.col(top).isNotNull(), struct)
+            return df.withColumn(top, struct)
+    return df
+
+
+def _drop_struct_field(df: DataFrame, top: str, leaf: str):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    for f in df.schema.fields:
+        if f.name == top and isinstance(f.dataType, StructType):
+            if any(sub.name == leaf for sub in f.dataType.fields):
+                return df.withColumn(top, F.col(top).dropFields(leaf))
+    return df
+
+
+def _apply_nested_renames_to_logical(df: DataFrame, mapping: dict):
+    """Surface physical leaf names under their logical names (the
+    nested counterpart of :func:`_to_logical`'s top-level renames)."""
+    for logical, physical in mapping.items():
+        ltop, lleaf = _split_path(logical)
+        ptop, pleaf = _split_path(physical)
+        if lleaf is not None and ptop in df.columns:
+            df = _rename_struct_field(df, ptop, pleaf, lleaf)
+    return df
+
+
+def _apply_nested_renames_to_physical(df: DataFrame, mapping: dict):
+    """Inverse: incoming frames speak logical leaf names; storage
+    speaks the frozen physical ones. Call AFTER the flat top-level
+    renames — the frame's top names are physical by then, so a leaf
+    rename composes with a rename of its parent in either order."""
+    for logical, physical in mapping.items():
+        _, lleaf = _split_path(logical)
+        ptop, pleaf = _split_path(physical)
+        if lleaf is not None and ptop in df.columns:
+            df = _rename_struct_field(df, ptop, lleaf, pleaf)
+    return df
+
+
+def _split_struct_items(inner: str) -> list[str]:
+    """Top-level comma split of a struct simpleString's field list,
+    depth-aware so nested ``struct<...>`` / ``array<...>`` value types
+    don't break the parse."""
+    parts, depth, cur = [], 0, []
+    for ch in inner:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
+def _strip_dropped_leaves(col: str, dtype: str, dropped) -> str:
+    """A struct column's recorded type signature minus its dropped
+    leaves — what the NEXT append's frame legitimately carries (the
+    retired fields may never reappear, so the guard must compare
+    against the post-drop shape)."""
+    leaves = {
+        _split_path(p)[1]
+        for p in dropped
+        if "." in p and _split_path(p)[0] == col
+    }
+    if not leaves or not dtype.startswith("struct<"):
+        return dtype
+    items = [
+        it for it in _split_struct_items(dtype[len("struct<"):-1])
+        if it.split(":", 1)[0] not in leaves
+    ]
+    return "struct<" + ",".join(items) + ">"
+
+
+def _apply_nested_drops(df: DataFrame, dropped) -> DataFrame:
+    """Hide dropped struct leaves from a reader-facing frame (the
+    physical bytes stay in pre-drop files until a rewrite)."""
+    for name in dropped:
+        top, leaf = _split_path(name)
+        if leaf is not None and top in df.columns:
+            df = _drop_struct_field(df, top, leaf)
+    return df
+
+
+def _physical_struct_fields(
+    root: Path, entries: list[dict], ptop: str
+) -> list[str] | None:
+    """Physical field names of struct column ``ptop``, read from the
+    newest live data file that carries it (one footer read — property
+    commits stay metadata-only otherwise). None if ``ptop`` is not a
+    struct or no live file carries it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    seen_dirs = set()
+    for e in reversed(entries):
+        d = e.get("dir")
+        if not d or d in seen_dirs:
+            continue
+        seen_dirs.add(d)
+        for f in sorted((root / _DATA / d).rglob("*.parquet")):
+            sch = pq.read_schema(str(f))
+            if ptop in sch.names:
+                t = sch.field(ptop).type
+                if pa.types.is_struct(t):
+                    return [t.field(i).name for i in range(t.num_fields)]
+                return None
+            break  # one footer per dir is enough (uniform within)
+    return None
+
+
+def _rename_nested_leaf(root: Path, old: str, new: str) -> dict:
+    """Leaf rename under the path-based column mapping: a metadata-only
+    commit re-publishing the mapping with ``top.new -> ptop.pleaf``.
+    Composes with a rename of the parent in either order (the write
+    path applies flat renames first, then leaf renames keyed by the
+    physical top)."""
+    with writer_lock(root, wait_seconds=_LOCK_WAIT):
+        entries = _snapshot_entries(root)
+        if not entries:
+            raise VersionNotFoundError(
+                f"{root} has no committed versions — rename needs an "
+                "existing table"
+            )
+        last = entries[-1]
+        mapping = _column_mapping(entries)
+        top, oleaf = _split_path(old)
+        ntop, nleaf = _split_path(new)
+        if ntop != top or nleaf is None:
+            raise ValueError(
+                f"nested rename must stay inside its struct: "
+                f"{old!r} -> {new!r}"
+            )
+        ptop = mapping.get(top, top)
+        if ptop not in last["columns"]:
+            raise ValueError(f"column {top!r} not in table schema")
+        pfields = _physical_struct_fields(root, entries, ptop)
+        if pfields is None:
+            raise ValueError(
+                f"column {top!r} is not a struct column with live data "
+                "— nested rename needs a materialized struct field"
+            )
+        dropped = _dropped_columns(entries)
+        inv = {p: l for l, p in mapping.items()}
+        logical_leaves = {
+            _split_path(inv.get(f"{ptop}.{pf}", f"{ptop}.{pf}"))[1]: pf
+            for pf in pfields
+            if f"{ptop}.{pf}" not in dropped
+        }
+        if oleaf not in logical_leaves:
+            raise ValueError(
+                f"struct field {old!r} not in table schema "
+                f"(fields: {sorted(logical_leaves)})"
+            )
+        if nleaf in logical_leaves and logical_leaves[nleaf] != logical_leaves[oleaf]:
+            raise ValueError(f"struct field {new!r} already exists")
+        pleaf = logical_leaves[oleaf]
+        physical = f"{ptop}.{pleaf}"
+        if nleaf != pleaf and nleaf in pfields:
+            raise ValueError(
+                f"field name {nleaf!r} is the PHYSICAL name of another "
+                "leaf — pre-rename files would become ambiguous"
+            )
+        new_mapping = {
+            l: p for l, p in mapping.items() if p != physical or "." not in l
+        }
+        if nleaf != pleaf:  # renaming back to the original drops it
+            new_mapping[f"{top}.{nleaf}"] = physical
+        entry = {
+            "version": last["version"] + 1,
+            "action": "rename_column",
+            "dir": None,
+            "columns": last["columns"],
+            "partition_by": last.get("partition_by") or [],
+            "column_mapping": new_mapping,
+            "renamed": [old, new],
+            "ts": time.time(),
+        }
+        for k in ("stats_columns", "bloom_columns"):
+            if last.get(k):
+                entry[k] = last[k]
+        if last.get("bloom_columns"):
+            entry["bloom_bits"] = last.get("bloom_bits") or 65_536
+        if last.get("change_feed"):
+            entry["change_feed"] = True
+        _commit(root, entry)
+    return entry
 
 
 def rename_column(root: str | Path, old: str, new: str) -> dict:
@@ -457,8 +776,19 @@ def rename_column(root: str | Path, old: str, new: str) -> dict:
     a later ``allow_new_columns`` append may not reuse a renamed-away
     physical name (it would collide with the old column's data in
     pre-rename files — the writer refuses with a clear error).
+
+    A one-level struct path (``rename_column(root, "a.b", "a.c")``)
+    renames a LEAF under the same path-based mapping — equally
+    metadata-only, composing with a rename of the parent column in
+    either order.
     """
     root = Path(root)
+    if "." in old:
+        return _rename_nested_leaf(root, old, new)
+    if "." in new:
+        raise ValueError(
+            f"cannot rename flat column {old!r} to a nested path {new!r}"
+        )
     with writer_lock(root, wait_seconds=_LOCK_WAIT):
         entries = _snapshot_entries(root)
         if not entries:
@@ -496,9 +826,17 @@ def rename_column(root: str | Path, old: str, new: str) -> dict:
                 f"column name {new!r} is the PHYSICAL name of another "
                 "column — pre-rename files would become ambiguous"
             )
-        new_mapping = {
-            l: p for l, p in mapping.items() if l != old
-        }
+        new_mapping = {}
+        for l, p in mapping.items():
+            if l == old:
+                continue
+            ltop, lleaf = _split_path(l)
+            if lleaf is not None and ltop == old:
+                # leaf renames under this column follow the new top
+                # name on their logical side (physical side is frozen)
+                new_mapping[f"{new}.{lleaf}"] = p
+            else:
+                new_mapping[l] = p
         if new != physical:  # renaming back to the original drops it
             new_mapping[new] = physical
         entry = {
@@ -515,6 +853,73 @@ def rename_column(root: str | Path, old: str, new: str) -> dict:
         }
         if last.get("stats_columns"):
             entry["stats_columns"] = last["stats_columns"]
+        if last.get("bloom_columns"):
+            entry["bloom_columns"] = last["bloom_columns"]
+            entry["bloom_bits"] = last.get("bloom_bits") or 65_536
+        if last.get("change_feed"):
+            entry["change_feed"] = True
+        _commit(root, entry)
+    return entry
+
+
+def _drop_nested_leaf(root: Path, name: str) -> dict:
+    """Leaf drop: metadata-only — retires the PHYSICAL path forever
+    (pre-drop files keep the bytes; re-using the field name would
+    resurrect them) and sheds stats declarations on it."""
+    with writer_lock(root, wait_seconds=_LOCK_WAIT):
+        entries = _snapshot_entries(root)
+        if not entries:
+            raise VersionNotFoundError(
+                f"{root} has no committed versions — drop needs an "
+                "existing table"
+            )
+        last = entries[-1]
+        mapping = _column_mapping(entries)
+        top, leaf = _split_path(name)
+        ptop = mapping.get(top, top)
+        if ptop not in last["columns"]:
+            raise ValueError(f"column {top!r} not in table schema")
+        pfields = _physical_struct_fields(root, entries, ptop)
+        if pfields is None:
+            raise ValueError(
+                f"column {top!r} is not a struct column with live data"
+            )
+        dropped = _dropped_columns(entries)
+        inv = {p: l for l, p in mapping.items()}
+        logical_leaves = {
+            _split_path(inv.get(f"{ptop}.{pf}", f"{ptop}.{pf}"))[1]: pf
+            for pf in pfields
+            if f"{ptop}.{pf}" not in dropped
+        }
+        if leaf not in logical_leaves:
+            raise ValueError(
+                f"struct field {name!r} not in table schema "
+                f"(fields: {sorted(logical_leaves)})"
+            )
+        if len(logical_leaves) == 1:
+            raise ValueError(
+                f"cannot drop the only field of struct {top!r} — drop "
+                "the whole column instead"
+            )
+        physical = f"{ptop}.{logical_leaves[leaf]}"
+        entry = {
+            "version": last["version"] + 1,
+            "action": "drop_column",
+            "dir": None,
+            "columns": last["columns"],  # the struct column stays
+            "partition_by": last.get("partition_by") or [],
+            "column_mapping": {
+                l: p for l, p in mapping.items() if p != physical
+            },
+            "dropped_columns": sorted(dropped | {physical}),
+            "dropped": [name, physical],
+            "ts": time.time(),
+        }
+        stats_cols = [
+            c for c in (last.get("stats_columns") or []) if c != physical
+        ]
+        if stats_cols:
+            entry["stats_columns"] = stats_cols
         if last.get("bloom_columns"):
             entry["bloom_columns"] = last["bloom_columns"]
             entry["bloom_bits"] = last.get("bloom_bits") or 65_536
@@ -542,8 +947,15 @@ def drop_column(root: str | Path, name: str) -> dict:
     (directory paths bake the name), and a column referenced by an
     active constraint (drop or replace the constraint first).
     Stats / bloom declarations shed the column automatically.
+
+    A one-level struct path (``drop_column(root, "a.b")``) drops a
+    LEAF: the struct column stays, readers stop projecting the field
+    (``dropFields``), its physical path is retired forever, and the
+    bytes persist in pre-drop files until a rewrite.
     """
     root = Path(root)
+    if "." in name:
+        return _drop_nested_leaf(root, name)
     with writer_lock(root, wait_seconds=_LOCK_WAIT):
         entries = _snapshot_entries(root)
         if not entries:
@@ -588,8 +1000,10 @@ def drop_column(root: str | Path, name: str) -> dict:
             # next data commit reads it from entries[-1]
             "columns": [c for c in physical_cols if c != physical],
             "partition_by": last.get("partition_by") or [],
+            # leaf mappings under the dropped column go with it
             "column_mapping": {
-                l: p for l, p in mapping.items() if l != name
+                l: p for l, p in mapping.items()
+                if l != name and _split_path(p)[0] != physical
             },
             "dropped_columns": sorted(
                 _dropped_columns(entries) | {physical}
@@ -598,7 +1012,8 @@ def drop_column(root: str | Path, name: str) -> dict:
             "ts": time.time(),
         }
         stats_cols = [
-            c for c in (last.get("stats_columns") or []) if c != physical
+            c for c in (last.get("stats_columns") or [])
+            if c != physical and _split_path(c)[0] != physical
         ]
         if stats_cols:
             entry["stats_columns"] = stats_cols
@@ -1235,18 +1650,18 @@ def _validate_bloom_columns(
 def _validate_stats_columns(
     df: DataFrame, stats_columns: list[str], partition_by: list[str]
 ) -> list[str]:
-    dtypes = dict(df.dtypes)
     for c in stats_columns:
-        if c not in dtypes:
+        dt = _dtype_of_path(df, c)  # flat column or one-level "a.b"
+        if dt is None:
             raise ValueError(f"stats column {c!r} not in commit schema")
         if c in partition_by:
             raise ValueError(
                 f"stats column {c!r} is a partition column — partition "
                 "pruning already covers it; zone maps track file contents"
             )
-        if dtypes[c] not in _STATS_DTYPES:
+        if dt not in _STATS_DTYPES:
             raise ValueError(
-                f"stats column {c!r} has type {dtypes[c]} — zone maps "
+                f"stats column {c!r} has type {dt} — zone maps "
                 f"support {sorted(_STATS_DTYPES)} only (string parquet "
                 "stats may be truncated, which would prune wrongly)"
             )
@@ -1266,7 +1681,9 @@ def _collect_file_stats(data_dir: Path, stats_columns: list[str]) -> dict:
     stats: dict[str, dict] = {}
     for f in sorted(data_dir.rglob("*.parquet")):
         meta = pq.ParquetFile(str(f)).metadata
-        idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        # dotted leaf path — equals the name for flat columns, and
+        # uniquely addresses one-level struct paths ('a.b')
+        idx = {meta.schema.column(i).path: i for i in range(meta.num_columns)}
         per_col: dict[str, list] = {}
         for c in stats_columns:
             if c not in idx:
@@ -1307,6 +1724,7 @@ def _stage_commit(
     change_feed: bool = False,
     bloom_columns: list[str] | None = None,
     bloom_bits: int = 65_536,
+    allow_type_widening: bool = False,
 ) -> dict:
     """The EXPENSIVE half of a commit, run lock-free against a base
     snapshot (``entries``): validate, write the data files into a
@@ -1336,14 +1754,32 @@ def _stage_commit(
                 "columns — reusing them would make pre-rename files "
                 "ambiguous; pick different names"
             )
-        df = df.withColumnsRenamed(dict(mapping))
+        for logical, physical in mapping.items():
+            ltop, lleaf = _split_path(logical)
+            if lleaf is None:
+                continue
+            _, pleaf = _split_path(physical)
+            if ltop in df.columns and _dtype_of_path(
+                df, f"{ltop}.{pleaf}"
+            ) is not None and _dtype_of_path(df, logical) is not None:
+                raise ValueError(
+                    f"struct field {ltop}.{pleaf!r} is the PHYSICAL name "
+                    f"of renamed leaf {logical!r} — reusing it would make "
+                    "pre-rename files ambiguous; pick a different name"
+                )
+        df = df.withColumnsRenamed(
+            {l: p for l, p in mapping.items() if "." not in l}
+        )
+        df = _apply_nested_renames_to_physical(df, mapping)
         if partition_by:
             partition_by = _names_to_physical(partition_by, mapping)
         if stats_columns:
             stats_columns = _names_to_physical(stats_columns, mapping)
         if bloom_columns:
             bloom_columns = _names_to_physical(bloom_columns, mapping)
-    retired = _dropped_columns(entries) & set(df.columns)
+    retired = _dropped_columns(entries) & (
+        set(df.columns) | _struct_leaves(df.schema)
+    )
     if retired:
         raise ValueError(
             f"column names {sorted(retired)} were DROPPED from this "
@@ -1357,16 +1793,34 @@ def _stage_commit(
     # it may re-type freely — only it.
     types = dict(df.dtypes)
     prior_t = _prior_types(entries) if action != "overwrite" else None
+    widened_types: dict[str, tuple] = {}
     if prior_t:
+        # recorded struct signatures still carry dropped leaves (drop
+        # commits are metadata-only); the incoming frame legitimately
+        # lacks them — compare against the post-drop shape
+        dropped_now = _dropped_columns(entries)
+        prior_t = {
+            c: _strip_dropped_leaves(c, t, dropped_now)
+            for c, t in prior_t.items()
+        }
         mismatch = {
             c: (prior_t[c], types[c])
             for c in types
             if c in prior_t and types[c] != prior_t[c]
         }
+        if mismatch and allow_type_widening:
+            widened_types = {
+                c: m for c, m in mismatch.items() if m in _SAFE_WIDENINGS
+            }
+            mismatch = {
+                c: m for c, m in mismatch.items() if c not in widened_types
+            }
         if mismatch:
             raise ValueError(
                 "column type mismatch vs the table's recorded types "
-                f"{mismatch} — cast the incoming frame, or use "
+                f"{mismatch} — cast the incoming frame; safe widenings "
+                "(int->bigint, float->double) need "
+                "allow_type_widening=True; anything else needs "
                 "overwrite (which replaces all live data) to re-type"
             )
     if entries:
@@ -1422,11 +1876,20 @@ def _stage_commit(
         "partition_by": partition_by,
         "types": types,
     }
+    if widened_types:
+        # audit trail + reader gate: pre-widening library versions
+        # would hand the mixed footers to a plain multi-path scan and
+        # crash mid-read — fail them loudly at resolve time instead
+        entry["type_widened"] = {c: list(m) for c, m in widened_types.items()}
+        entry["reader_features"] = sorted(
+            set(entry.get("reader_features") or ()) | {"type_widening"}
+        )
     stats = blooms = None
     if stats_columns:
         entry["stats_columns"] = stats_columns
-        dtypes = dict(df.dtypes)
-        entry["stats_types"] = {c: dtypes[c] for c in stats_columns}
+        entry["stats_types"] = {
+            c: _dtype_of_path(df, c) for c in stats_columns
+        }
         stats = _collect_file_stats(stage, stats_columns)
     if bloom_columns:
         entry["bloom_columns"] = bloom_columns
@@ -1525,6 +1988,7 @@ def _write_commit(
     change_feed: bool = False,
     bloom_columns: list[str] | None = None,
     bloom_bits: int = 65_536,
+    allow_type_widening: bool = False,
 ) -> dict:
     """Optimistic commit (the Delta shape): the expensive Spark write
     runs LOCK-FREE against a base snapshot into a staging directory;
@@ -1541,6 +2005,7 @@ def _write_commit(
         partition_by, allow_new_columns, stats_columns,
         extra_entry=extra_entry, change_feed=change_feed,
         bloom_columns=bloom_columns, bloom_bits=bloom_bits,
+        allow_type_widening=allow_type_widening,
     )
     try:
         with writer_lock(root, wait_seconds=_LOCK_WAIT):
@@ -1560,6 +2025,7 @@ def append(
     change_feed: bool = False,
     bloom_columns: list[str] | None = None,
     bloom_bits: int = 65_536,
+    allow_type_widening: bool = False,
 ) -> dict:
     """Commit ``df`` as a new version that ADDS to the live set.
 
@@ -1590,11 +2056,20 @@ def append(
     the value provably isn't in — the pruning zone maps can't offer
     for STRINGS (parquet may truncate string min/max). Inherited by
     later commits like ``stats_columns``.
+    ``allow_type_widening=True`` permits an append whose columns WIDEN
+    the recorded types along the safe lattice (int->bigint,
+    float->double and the smaller-integer promotions): the table's
+    declared type becomes the wider one, existing files stay in place,
+    and scans upcast them in the parquet reader. Narrowing — and any
+    off-lattice re-typing — still refuses; a widening commit stamps
+    the ``type_widening`` reader feature and conflicts with every
+    concurrent in-flight write (it changes table metadata).
     """
     return _write_commit(
         root, df, "append", num_files, partition_by, allow_new_columns,
         stats_columns, extra_entry, change_feed=change_feed,
         bloom_columns=bloom_columns, bloom_bits=bloom_bits,
+        allow_type_widening=allow_type_widening,
     )
 
 
@@ -1639,6 +2114,7 @@ _READER_FEATURES = frozenset(
         "partition_evolution",
         "checkpoint_v1",
         "restore",
+        "type_widening",
     }
 )
 
@@ -1885,6 +2361,17 @@ def clone_table(
                 # cloned dir keeps ITS OWN source layout
                 "partition_by": src_e.get("partition_by") or [],
             }
+            if src_e.get("types"):
+                # per-dir footer types ride along so _types_vary (and
+                # with it the explicit-schema read path a type-widened
+                # live set needs) keeps working inside the clone
+                entry["types"] = src_e["types"]
+            if src_e.get("type_widened"):
+                entry["type_widened"] = src_e["type_widened"]
+                entry["reader_features"] = sorted(
+                    set(src_e.get("reader_features") or ())
+                    | {"type_widening"}
+                )
             if new_stats:
                 entry["stats"] = new_stats
                 entry["stats_columns"] = src_e.get("stats_columns") or []
@@ -2190,6 +2677,8 @@ def read_version(
     masked = any(Path(d).name in masks for d in dirs)
     dvf = _dv_frame(spark, root, live_entries)
 
+    dropped_paths = {c for c in _dropped_columns(live_entries) if "." in c}
+
     def _backfill(df):
         # a widened column can be absent from every surviving file once
         # deletes mask files out — NULL is what those rows would read
@@ -2198,6 +2687,9 @@ def read_version(
         for c in schema_cols:
             if c not in df.columns:
                 df = df.withColumn(c, F.lit(None))
+        # dropped struct leaves are hidden (their bytes persist in
+        # pre-drop files until a rewrite re-materializes the live set)
+        df = _apply_nested_drops(df, dropped_paths)
         # files/stats speak PHYSICAL names; the caller sees LOGICAL
         return _to_logical(df.select(*schema_cols), mapping)
 
@@ -2207,7 +2699,17 @@ def read_version(
         # conflicting-roots refusal only applies to PARTITIONED dirs);
         # mergeSchema covers commits written before a schema widening
         reader = spark.read
-        if widened:
+        # type widening leaves footers of mixed width: an explicit
+        # declared-types schema makes the vectorized reader upcast old
+        # files in the scan (a plain or mergeSchema read fails) — and
+        # covers pre-widening files' missing columns with NULL too
+        ddl = (
+            _read_schema_ddl(live_entries, schema_cols)
+            if _types_vary(live_entries) else None
+        )
+        if ddl:
+            reader = reader.schema(ddl)
+        elif widened:
             reader = reader.option("mergeSchema", "true")
         # _backfill, not a bare select: a restore can make a live set
         # that predates a schema widening current again — the widened
@@ -2246,7 +2748,7 @@ def _typed_lit(df, col, value):
 
     from pyspark.sql import functions as F
 
-    dtype = dict(df.dtypes).get(col)
+    dtype = _dtype_of_path(df, col)
     if dtype in ("timestamp_ntz", "timestamp", "date"):
         if isinstance(value, (_dt.datetime, _dt.date)):
             value = value.isoformat(sep=" ") if isinstance(
@@ -2338,7 +2840,12 @@ def zone_map_prune(
     # predicates arrive in LOGICAL names; stats/blooms speak physical
     predicates = _preds_to_physical(predicates, _column_mapping(live_entries))
     known = set(live_entries[-1]["columns"])
-    unknown = sorted({c for c, _, _ in predicates if c not in known})
+    gone = _dropped_columns(live_entries)
+
+    def _in_schema(c):
+        top, leaf = _split_path(c)
+        return top in known and c not in gone
+    unknown = sorted({c for c, _, _ in predicates if not _in_schema(c)})
     if unknown:
         # a dropped column's data still sits in pre-drop files — a
         # silent filter over it would resurrect retired values
@@ -2522,6 +3029,8 @@ def read_where(
     def _cond(df):
         return _predicate_cond(df, phys_preds)
 
+    dropped_paths = {c for c in _dropped_columns(live_entries) if "." in c}
+
     def _with_schema(df):
         # a schema-widened column can be absent from EVERY surviving
         # file (all post-widening files pruned, or the predicate names a
@@ -2531,9 +3040,9 @@ def read_where(
         for c in schema_cols:
             if c not in df.columns:
                 df = df.withColumn(c, F.lit(None))
-        return _to_logical(
-            df.filter(_cond(df)).select(*schema_cols), mapping
-        )
+        df = df.filter(_cond(df))
+        df = _apply_nested_drops(df, dropped_paths)
+        return _to_logical(df.select(*schema_cols), mapping)
 
     paths = report["dirs"] + report["files"]
     if not paths:
@@ -2544,7 +3053,15 @@ def read_where(
     dvf = _dv_frame(spark, root, live_entries)
     if not partitioned:
         reader = spark.read
-        if widened:
+        # mixed-width footers after type widening: explicit declared
+        # schema (see read_version) instead of footer inference
+        ddl = (
+            _read_schema_ddl(live_entries, schema_cols)
+            if _types_vary(live_entries) else None
+        )
+        if ddl:
+            reader = reader.schema(ddl)
+        elif widened:
             reader = reader.option("mergeSchema", "true")
         return _with_schema(_dv_filter(reader.parquet(*paths), dvf))
     # partitioned: group surviving files by commit dir so basePath can

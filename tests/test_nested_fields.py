@@ -1,0 +1,189 @@
+"""Nested-field support in the versioned table layer (r10): struct and
+list columns are first-class payloads (the reference's synthetic
+generator produces them — de/synthetic.py:118-128); ONE level of
+struct paths ("a.b") participates in per-file zone maps, read_where
+predicates, and path-based rename/drop (the realistic subset of
+Delta's field-ID column mapping)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+_DDL = "k: long, meta: struct<score: long, lang: string>, tags: array<string>"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, _DDL)
+
+
+def _row(k, score, lang, tags):
+    return (k, {"score": score, "lang": lang}, tags)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    """Two commits, nested stats on meta.score: v0 scores 0..9,
+    v1 scores 100..109."""
+    root = tmp_path / "tbl"
+    vt.append(
+        root,
+        _df(spark, [_row(i, i, "en", ["a", "b"]) for i in range(10)]),
+        num_files=2, stats_columns=["meta.score"],
+    )
+    vt.append(
+        root,
+        _df(spark, [_row(100 + i, 100 + i, "de", ["c"]) for i in range(10)]),
+        num_files=2,
+    )
+    return root
+
+
+def test_struct_and_list_passthrough(spark, table):
+    df = vt.read_version(spark, table)
+    assert df.count() == 20
+    got = df.filter(F.col("k") == 3).collect()[0]
+    assert got.meta.score == 3 and got.meta.lang == "en"
+    assert got.tags == ["a", "b"]
+    assert dict(df.dtypes)["meta"] == "struct<score:bigint,lang:string>"
+    assert dict(df.dtypes)["tags"] == "array<string>"
+
+
+def test_nested_zone_maps_prune_files(spark, table):
+    rep = vt.zone_map_prune(table, [("meta.score", ">=", 100)])
+    # all of v0's files provably miss — only v1's survive
+    assert rep["skipped_files"] == 2 and rep["kept_files"] == 2
+    got = vt.read_where(spark, table, [("meta.score", ">=", 100)])
+    assert got.count() == 10
+    assert sorted(r.k for r in got.collect()) == list(range(100, 110))
+
+
+def test_rename_leaf_metadata_only(spark, table):
+    st = vt.rename_column(table, "meta.lang", "meta.language")
+    assert st["action"] == "rename_column"
+    df = vt.read_version(spark, table)
+    assert dict(df.dtypes)["meta"] == "struct<score:bigint,language:string>"
+    assert df.filter(F.col("meta.language") == "de").count() == 10
+    # time travel below the rename sees the old leaf name
+    v1 = vt.read_version(spark, table, 1)
+    assert dict(v1.dtypes)["meta"] == "struct<score:bigint,lang:string>"
+    # appends speak the NEW leaf name and round-trip through physical
+    vt.append(
+        table,
+        spark.createDataFrame(
+            [(500, {"score": 500, "language": "fr"}, [])],
+            "k: long, meta: struct<score: long, language: string>, "
+            "tags: array<string>",
+        ),
+        num_files=1,
+    )
+    df = vt.read_version(spark, table)
+    assert df.filter(F.col("meta.language") == "fr").count() == 1
+    assert df.count() == 21
+    # renaming back to the physical name drops the mapping
+    vt.rename_column(table, "meta.language", "meta.lang")
+    assert not vt._column_mapping(vt._committed_entries(table))
+
+
+def test_rename_leaf_composes_with_parent_rename(spark, table):
+    vt.rename_column(table, "meta", "info")
+    vt.rename_column(table, "info.lang", "info.language")
+    df = vt.read_version(spark, table)
+    assert dict(df.dtypes)["info"] == "struct<score:bigint,language:string>"
+    assert df.filter(F.col("info.language") == "en").count() == 10
+    vt.append(
+        table,
+        spark.createDataFrame(
+            [(600, {"score": 600, "language": "it"}, [])],
+            "k: long, info: struct<score: long, language: string>, "
+            "tags: array<string>",
+        ),
+        num_files=1,
+    )
+    assert vt.read_version(spark, table).filter(
+        F.col("info.language") == "it"
+    ).count() == 1
+    # and the reverse order: leaf first, then the parent
+    vt.rename_column(table, "info.score", "info.points")
+    vt.rename_column(table, "info", "detail")
+    df = vt.read_version(spark, table)
+    assert dict(df.dtypes)["detail"] == (
+        "struct<points:bigint,language:string>"
+    )
+    assert df.filter(F.col("detail.points") >= 100).count() == 11
+    # nested stats keep pruning through both renames (logical path)
+    rep = vt.zone_map_prune(table, [("detail.points", ">=", 100)])
+    assert rep["skipped_files"] >= 2
+
+
+def test_drop_leaf_hides_and_retires(spark, table):
+    vt.drop_column(table, "meta.lang")
+    df = vt.read_version(spark, table)
+    assert dict(df.dtypes)["meta"] == "struct<score:bigint>"
+    # time travel below the drop still reads it
+    v1 = vt.read_version(spark, table, 1)
+    assert "lang" in dict(v1.dtypes)["meta"]
+    # appends without the dropped leaf pass the type guard
+    vt.append(
+        table,
+        spark.createDataFrame(
+            [(700, {"score": 700}, ["z"])],
+            "k: long, meta: struct<score: long>, tags: array<string>",
+        ),
+        num_files=1,
+    )
+    assert vt.read_version(spark, table).count() == 21
+    # ... and frames still carrying the retired field are refused
+    with pytest.raises(ValueError, match="DROPPED"):
+        vt.append(
+            table,
+            _df(spark, [_row(701, 701, "xx", [])]),
+            num_files=1,
+        )
+    # predicates on the dropped path are refused (no resurrection)
+    with pytest.raises(ValueError, match="not in the table schema"):
+        vt.zone_map_prune(table, [("meta.lang", "==", "en")])
+
+
+def test_drop_leaf_refusals(spark, table):
+    with pytest.raises(ValueError, match="not in table schema"):
+        vt.drop_column(table, "nosuch.leaf")
+    with pytest.raises(ValueError, match="not in table schema"):
+        vt.drop_column(table, "meta.nosuch")
+    vt.drop_column(table, "meta.lang")
+    with pytest.raises(ValueError, match="only field"):
+        vt.drop_column(table, "meta.score")
+    with pytest.raises(ValueError, match="not a struct"):
+        vt.drop_column(table, "k.x")
+
+
+def test_rename_leaf_refusals(spark, table):
+    with pytest.raises(ValueError, match="inside its struct"):
+        vt.rename_column(table, "meta.lang", "other.lang")
+    with pytest.raises(ValueError, match="already exists"):
+        vt.rename_column(table, "meta.lang", "meta.score")
+    with pytest.raises(ValueError, match="not in table schema"):
+        vt.rename_column(table, "meta.nosuch", "meta.x")
+    vt.rename_column(table, "meta.lang", "meta.language")
+    # the retired physical name may not be re-taken by another leaf
+    with pytest.raises(ValueError, match="PHYSICAL"):
+        vt.rename_column(table, "meta.score", "meta.lang")
+
+
+def test_nested_rename_then_restore_and_clone(spark, tmp_path):
+    """Names are table metadata, not live-set state: a restore keeps
+    the rename; a clone carries the mapping."""
+    root, dst = tmp_path / "src", tmp_path / "dst"
+    vt.append(
+        root, _df(spark, [_row(1, 1, "en", [])]), num_files=1,
+    )
+    vt.append(root, _df(spark, [_row(2, 2, "de", [])]), num_files=1)
+    vt.rename_column(root, "meta.lang", "meta.language")
+    vt.restore(spark, root, 0)
+    df = vt.read_version(spark, root)
+    assert dict(df.dtypes)["meta"] == "struct<score:bigint,language:string>"
+    assert df.count() == 1
+    vt.clone_table(root, dst)
+    dfc = vt.read_version(spark, dst)
+    assert dict(dfc.dtypes)["meta"] == "struct<score:bigint,language:string>"
+    assert dfc.count() == 1
