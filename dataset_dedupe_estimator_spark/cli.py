@@ -1467,6 +1467,14 @@ def cmd_table(args) -> int:
         )
         verb = "would remove" if args.dry_run else "removed"
         print(f"{verb} {len(removed)} data dirs: {', '.join(removed) or '-'}")
+    elif args.action == "archive-log":
+        st = vt.archive_log(args.root)
+        print(
+            f"archived {st['archived']} entries (floor v{st['floor']}), "
+            f"removed {st['removed_json']} raw JSON files"
+            if st["floor"] is not None
+            else "nothing to archive (no checkpoint yet)"
+        )
     elif args.action == "restore":
         if args.version is None and args.as_of is None:
             print("restore: pass --version N or --as-of TS (the target)",
@@ -1980,6 +1988,7 @@ def build_parser() -> argparse.ArgumentParser:
             "ingest", "delete-where", "upsert", "tail", "compact-small",
             "set-constraints", "restore", "detail", "rename-column",
             "drop-column", "clone", "set-partitioning", "files",
+            "archive-log",
         ],
     )
     tb.add_argument("root")

@@ -200,14 +200,36 @@ def _entry_path(root: Path, version: int) -> Path:
 def _committed_entries(root: Path) -> list[dict]:
     """All committed log entries, oldest first. Unparseable or torn
     entries cannot exist: the O_EXCL create writes via a temp file +
-    rename within _commit, so a visible entry is complete."""
+    rename within _commit, so a visible entry is complete. Entries
+    below the archive floor (see :func:`archive_log`) come from the
+    newest ``archive-v*.parquet`` bundle; the JSON tail rides on top —
+    a reader racing an archive rotation merges by version (identical
+    content on both sides), so full history stays exact while the
+    ``v*.json`` file count stays bounded."""
     vlog = root / _VLOG
     if not vlog.is_dir():
         return []
-    entries = []
+    by_version: dict[int, dict] = {}
+    for _attempt in range(3):
+        arcs = sorted(vlog.glob("archive-v*.parquet"))
+        if not arcs:
+            break
+        try:
+            import pyarrow.parquet as pq
+
+            for s in pq.read_table(str(arcs[-1]))["entry"].to_pylist():
+                e = json.loads(s)
+                by_version[e["version"]] = e
+            break
+        except (FileNotFoundError, OSError):
+            continue  # the newest archive rotated away mid-read: re-glob
     for f in sorted(vlog.glob("v*.json")):
-        entries.append(json.loads(f.read_text()))
-    return entries
+        try:
+            e = json.loads(f.read_text())
+        except FileNotFoundError:  # archived + unlinked mid-glob
+            continue
+        by_version[e["version"]] = e
+    return [by_version[v] for v in sorted(by_version)]
 
 
 def _commit(root: Path, entry: dict) -> None:
@@ -3959,25 +3981,26 @@ def delete_where_dv(
     matches.select("_dv_key", "_dv_rid").write.mode("overwrite").parquet(
         str(stage_dv)
     )
-    n_del = spark.read.parquet(str(stage_dv)).count()
+    from urllib.parse import unquote
+
+    # ONE read-back job answers both post-write questions: the row
+    # count (commit-or-not) and the per-file key set (recorded on the
+    # entry so future writers' conflict detection never has to open
+    # the sidecar). r9 ran these as two jobs — count, then
+    # distinct+collect — and the second job's fixed setup cost showed
+    # up as a +0.2 s bench regression on a KB-sized sidecar.
+    per_file = (
+        spark.read.parquet(str(stage_dv))
+        .groupBy("_dv_key").count().collect()
+    )
+    n_del = sum(r["count"] for r in per_file)
     if not n_del:  # predicate matched nothing: commit nothing
         shutil.rmtree(stage_dv, ignore_errors=True)
         return {
             "version": version, "deleted_rows": 0,
             "skipped_files": report["skipped_files"], "committed": False,
         }
-    from urllib.parse import unquote
-
-    # the files this DV hides, in filesystem form — recorded on the
-    # entry so future writers' conflict detection never has to open
-    # the sidecar (bounded by the candidate file count)
-    dv_files = sorted(
-        {
-            unquote(r._dv_key)
-            for r in spark.read.parquet(str(stage_dv))
-            .select("_dv_key").distinct().collect()
-        }
-    )
+    dv_files = sorted({unquote(r["_dv_key"]) for r in per_file})
     stage_cdf = None
     if _cf_active(live_entries):
         stage_cdf = root / _CDF / stage_dv.name
@@ -4465,6 +4488,79 @@ def compact_small(
     }
 
 
+def archive_log(root: str | Path, keep_tail: int = 0) -> dict:
+    """Bound the ``_vlog/`` JSON file count (the inode-bloat fix for
+    10^5-10^6-commit tables): bundle every raw entry at or below the
+    newest CHECKPOINT's version (minus ``keep_tail`` extra raw
+    entries, if requested) into ``archive-v<floor>.parquet`` — the
+    RAW entries, not the folded state, so full history (time travel,
+    ``history``, ``version_at``, restore targets) stays exact — then
+    unlink the bundled ``v*.json`` files.
+
+    Entries ABOVE the last checkpoint always stay as JSON: the hot
+    read path discovers them by O(tail) existence probes
+    (:func:`_tail_after`), which archive bundling must never break.
+    The archive is rewritten whole on each call (O(history) strings —
+    a few MB at 10^5 commits) and the previous bundle is retained as a
+    rotation cushion for lock-free readers mid-glob; older bundles are
+    retired. Lossless by construction: nothing is unlinked until the
+    new bundle is durably linked. No-op (``archived: 0``) until a
+    checkpoint exists."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = Path(root)
+    with writer_lock(root, wait_seconds=_LOCK_WAIT):
+        ck = _latest_checkpoint(root)
+        if ck is None:
+            return {"archived": 0, "floor": None, "removed_json": 0}
+        floor = _ckpt_version(ck) - max(0, int(keep_tail))
+        if floor < 0:
+            return {"archived": 0, "floor": None, "removed_json": 0}
+        entries = _committed_entries(root)  # archive + raw, full history
+        to_store = [e for e in entries if e["version"] <= floor]
+        if not to_store:
+            return {"archived": 0, "floor": floor, "removed_json": 0}
+        vlog = root / _VLOG
+        target = vlog / f"archive-v{floor:08d}.parquet"
+        if not target.exists():
+            table = pa.table(
+                {
+                    "version": pa.array(
+                        [e["version"] for e in to_store], pa.int64()
+                    ),
+                    "entry": pa.array(
+                        [json.dumps(e, sort_keys=True) for e in to_store],
+                        pa.string(),
+                    ),
+                }
+            )
+            tmp = target.with_suffix(".tmp-%d" % os.getpid())
+            pq.write_table(table, str(tmp))
+            try:
+                os.link(tmp, target)
+            except FileExistsError:
+                pass  # same floor, same content
+            finally:
+                tmp.unlink(missing_ok=True)
+        removed = 0
+        for e in to_store:
+            p = _entry_path(root, e["version"])
+            if p.exists():
+                p.unlink()
+                removed += 1
+        # keep the newest TWO bundles (rotation cushion for lock-free
+        # readers whose glob raced this call); retire the rest
+        arcs = sorted(vlog.glob("archive-v*.parquet"))
+        for old in arcs[:-2]:
+            old.unlink(missing_ok=True)
+        return {
+            "archived": len(to_store),
+            "floor": floor,
+            "removed_json": removed,
+        }
+
+
 def vacuum(
     root: str | Path,
     keep_versions: int = 1,
@@ -4577,8 +4673,9 @@ def vacuum(
                 _rmtree(d)
                 removed.append(f"{_DV}/{d.name}")
         # superseded checkpoints: readers only ever load the newest, and
-        # every entry it folds is still present as raw JSON (checkpoints
-        # are an optimization, never the source of truth)
+        # every entry it folds is still present raw (as tail JSON or in
+        # the archive bundle — checkpoints are an optimization, never
+        # the source of truth)
         cks = sorted((root / _VLOG).glob("ckpt-v*.parquet"))
         for ck in cks[:-1]:
             _unlink(ck)
@@ -4588,4 +4685,8 @@ def vacuum(
         # readers but worth reclaiming
         for tmp in (root / _VLOG).glob("*.tmp-*"):
             _unlink(tmp)
-        return removed
+    if not dry_run:
+        # bound the raw-JSON log alongside the data retention sweep
+        # (lossless — full history moves into the archive bundle)
+        archive_log(root)
+    return removed

@@ -100,6 +100,10 @@ def main() -> int:
                 ms, rep = prune_ms(root, 7)
                 out["probe_ms"][str(depth)] = round(ms, 2)
                 out["live_files"][str(depth)] = rep["total_files"]
+            if depth % 100 == 0:
+                # the log-bounding maintenance sweep (r10): bundle the
+                # pre-checkpoint raw JSONs into the archive parquet
+                vt.archive_log(root)
         # log resolution: checkpoint+tail vs raw full parse (median of 5)
         snaps, raws = [], []
         for _ in range(5):
@@ -124,6 +128,20 @@ def main() -> int:
         rep = vt.zone_map_prune(root, [("doc", "==", f"d{key:07d}")])
         out["skip_fraction"] = round(rep["skip_fraction"], 4)
 
+        # r10: the archive must BOUND the raw-JSON file count while
+        # keeping full history exact — time travel below the archive
+        # floor included
+        st = vt.archive_log(root)
+        out["archive_floor"] = st["floor"]
+        out["vlog_json_files"] = len(list((root / vt._VLOG).glob("v*.json")))
+        ok_bounded = out["vlog_json_files"] <= vt._CKPT_EVERY + 1
+        hist = vt.history(root)
+        ok_history = hist[-1]["version"] + 1 == len(hist)
+        ok_below_floor = (
+            vt.read_version(spark, root, 0).count() == 2048
+            if (st["floor"] or 0) > 0 else True
+        )
+
         probes = sorted(((int(k), v) for k, v in out["probe_ms"].items()))
         first_ms = probes[0][1]
         last_ms = probes[-1][1]
@@ -131,7 +149,13 @@ def main() -> int:
         ok_flat = last_ms <= max(3 * first_ms, 50.0) and last_ms <= 500.0
         ok_ckpt = out["log_snapshot_ms"] <= out["log_raw_ms"] * 1.1
         ok_prune = rep["skip_fraction"] >= 0.8
-        out["ok"] = bool(ok_flat and ok_ckpt and ok_read and ok_prune)
+        out["ok"] = bool(
+            ok_flat and ok_ckpt and ok_read and ok_prune
+            and ok_bounded and ok_history and ok_below_floor
+        )
+        out["ok_log_bounded"] = bool(ok_bounded)
+        out["ok_full_history"] = bool(ok_history)
+        out["ok_below_floor_read"] = bool(ok_below_floor)
         out["ok_flat"] = bool(ok_flat)
         out["ok_ckpt"] = bool(ok_ckpt)
         out["ok_point_read"] = bool(ok_read)
