@@ -22,10 +22,12 @@ Spark-first design decisions (documented deviations):
   content-defined and shift-invariant like gearhash but not
   bit-identical to the reference's; dedup semantics under edits are
   preserved.
-* **Identity hash**: sha1-64 (stdlib; ~1.4 GB/s/core with hardware SHA
-  extensions) instead of xxh3 — the engine contract is "any stable
-  64-bit content hash" (SURVEY §2 C2); the hash function is pluggable
-  via ``hash_fn``.
+* **Identity hash**: XXH64 seed 42 (native C kernel; same bits as
+  Spark's JVM ``xxhash64`` on binary — cross-checked in tests) — the
+  same xxhash family the reference uses (xxh3, src/store.rs:44); the
+  engine contract is "any stable 64-bit content hash" (SURVEY §2 C2).
+  Falls back to sha1-64 without a C compiler; the scheme is decided on
+  the driver and ENFORCED on executors (no silent mixing).
 * **Compressed-size probe**: a native LZ4-block-format size counter —
   the reference's codec (src/store.rs:45) re-expressed as a count-only
   greedy compressor with lz4's incompressible-skip acceleration
@@ -418,7 +420,10 @@ def make_chunk_partition_fn_multi(params_list: list[ChunkerParams], keep_data: b
     every parameterization from one shared file scan."""
     schema = pa.schema([pa.field("param_idx", pa.int64()), *CHUNK_SCHEMA])
 
+    hash_scheme = IDENTITY_HASH  # driver's choice, enforced executor-side
+
     def chunk_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        _hash64 = _hash64_fn(hash_scheme)
         for batch in batches:
             for file_idx, path in zip(
                 batch.column("file_idx").to_pylist(), batch.column("path").to_pylist()
@@ -507,20 +512,49 @@ def _compressed_size(chunk: bytes, probe: int | None, scheme: str = "auto") -> i
 # name in their manifest: changing the identity hash invalidates every such
 # artifact, and consumers must be able to detect it instead of silently
 # anti-joining incomparable hashes.
-IDENTITY_HASH = "sha1-64"
+#
+# The engine contract is "any stable 64-bit content hash" (SURVEY §2.2
+# C2; the reference uses xxh3-64, src/store.rs:44). With the native lib
+# the hash is XXH64 seed 42 — the SAME bits Spark's JVM `xxhash64`
+# expression produces for a binary column (cross-checked in tests), and
+# ~6x faster than the sha1 stand-in, which was the chunker pipeline's
+# second-largest stage. Without a compiler the sha1-64 stand-in remains.
+IDENTITY_HASH = "xxh64" if native.available() else "sha1-64"
 
 
-def _hash64(data: bytes) -> int:
-    """Stable 64-bit content hash (signed, to fit Spark LongType).
+def _hash64_fn(scheme: str):
+    """Identity-hash callable for ``scheme``, resolved on THIS process.
 
-    sha1-truncated: with hardware SHA extensions (this host: ~1.4 GB/s
-    vs blake2b's ~0.7) the identity hash stops being the chunker's
-    bottleneck stage. The engine contract is "any stable 64-bit content
-    hash" (SURVEY §2.2 C2) — the reference's xxh3 (src/store.rs:44) is
-    role-equivalent and unavailable here; collision behavior of a
-    truncated cryptographic hash is strictly stronger."""
-    h = int.from_bytes(hashlib.sha1(data).digest()[:8], "little")
-    return h - (1 << 64) if h >= (1 << 63) else h
+    Chunking closures capture the DRIVER's scheme string and resolve it
+    executor-side through here, so a heterogeneous cluster (an executor
+    node without a C compiler) fails LOUDLY instead of silently mixing
+    xxh64 and sha1 hashes in one table — which would corrupt every
+    dedup count downstream."""
+    if scheme == "xxh64":
+        xx = native.xxh64_bytes
+        if not native.available():
+            raise RuntimeError(
+                "identity hash 'xxh64' needs the native kernels, which "
+                "this node could not build — install a C compiler or "
+                "run the whole cluster with DDES_NO_NATIVE=1 (sha1-64)"
+            )
+
+        def h(data: bytes) -> int:
+            v = xx(data, 42)
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        return h
+    if scheme == "sha1-64":
+
+        def h(data: bytes) -> int:
+            v = int.from_bytes(hashlib.sha1(data).digest()[:8], "little")
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        return h
+    raise ValueError(f"unknown identity hash scheme {scheme!r}")
+
+
+_hash64 = _hash64_fn(IDENTITY_HASH)
 
 
 def make_chunk_partition_fn(p: ChunkerParams, keep_data: bool):
@@ -529,7 +563,10 @@ def make_chunk_partition_fn(p: ChunkerParams, keep_data: bool):
     Shared by the batch scan (chunk_files) and the streaming source
     (streaming/incremental.py) — the operator itself is stateless."""
 
+    hash_scheme = IDENTITY_HASH  # driver's choice, enforced executor-side
+
     def chunk_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        _hash64 = _hash64_fn(hash_scheme)
         for batch in batches:
             for file_idx, path in zip(
                 batch.column("file_idx").to_pylist(), batch.column("path").to_pylist()
@@ -612,8 +649,10 @@ def _emit_units_fn(p: ChunkerParams, keep_data: bool):
     """Phase 2 mapInArrow closure: work-unit rows (file_idx, path,
     begin_seq, ustart, uend, cuts) → chunk rows. Shares the hash/probe
     pipeline with the per-file path (including the per-unit probe cache)."""
+    hash_scheme = IDENTITY_HASH  # driver's choice, enforced executor-side
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        _hash64 = _hash64_fn(hash_scheme)
         for batch in batches:
             for file_idx, path, begin_seq, ustart, uend, unit_cuts in zip(
                 batch.column("file_idx").to_pylist(),

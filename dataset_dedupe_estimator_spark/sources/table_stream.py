@@ -80,6 +80,8 @@ from dataset_dedupe_estimator_spark.sources.versioned import (
     _DV,
     _column_mapping,
     _committed_entries,
+    _dropped_columns,
+    _split_path,
 )
 
 # actions that rewrite rather than add — streamable only with
@@ -207,7 +209,20 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         self.spark_schema = schema
         # renamed columns: the schema speaks LOGICAL names, data files
         # (all of them — physical names are frozen) speak physical
-        self._phys = _column_mapping(_committed_entries(Path(self.root)))
+        entries0 = _committed_entries(Path(self.root))
+        self._phys = _column_mapping(entries0)
+        # one-level struct paths: leaf renames/drops per physical top
+        self._nested: dict = {}
+        for l, p in self._phys.items():
+            ltop, lleaf = _split_path(l)
+            if lleaf is not None:
+                ptop, pleaf = _split_path(p)
+                self._nested.setdefault(ptop, {})[lleaf] = pleaf
+        self._ndropped: dict = {}
+        for p in _dropped_columns(entries0):
+            ptop, pleaf = _split_path(p)
+            if pleaf is not None:
+                self._ndropped.setdefault(ptop, set()).add(pleaf)
 
     # -- offsets ---------------------------------------------------------
     def initialOffset(self) -> dict:
@@ -356,6 +371,40 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 parts.append(_CommitFile(str(f), str(base)))
         return parts
 
+    def _project(self, arr, target_type, ptop: str):
+        """Cast ``arr`` to ``target_type``; for a struct column whose
+        leaves were renamed or dropped (path-based column mapping), the
+        target's LOGICAL leaf names differ from the file's physical
+        children — rebuild the StructArray from the physical children
+        in target order (leaves renamed after a file was written read
+        under their new name; dropped leaves disappear; leaves widened
+        in later commits backfill NULL here like top-level columns)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        import pyarrow.types as pt
+
+        if not pt.is_struct(target_type) or (
+            ptop not in self._nested and ptop not in self._ndropped
+        ):
+            return arr.cast(target_type)
+        leafmap = self._nested.get(ptop, {})
+        have = {arr.type.field(i).name for i in range(arr.type.num_fields)}
+        children = []
+        n = len(arr)
+        for i in range(target_type.num_fields):
+            f = target_type.field(i)
+            src_leaf = leafmap.get(f.name, f.name)
+            if src_leaf in have:
+                children.append(arr.field(src_leaf).cast(f.type))
+            else:
+                children.append(pa.nulls(n, f.type))
+        return pa.StructArray.from_arrays(
+            children,
+            fields=list(target_type),
+            mask=pc.is_null(arr),
+        )
+
     # -- execution (one task per file) -----------------------------------
     def read(self, partition: _CommitFile):
         import pyarrow as pa
@@ -398,7 +447,12 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 elif field.name == "_change" and partition.change is not None:
                     cols.append(pa.array([partition.change] * n, pa.string()))
                 elif src_of[field.name] in by_name:
-                    cols.append(by_name[src_of[field.name]].cast(field.type))
+                    cols.append(
+                        self._project(
+                            by_name[src_of[field.name]], field.type,
+                            src_of[field.name],
+                        )
+                    )
                 elif src_of[field.name] in part_vals:
                     cols.append(
                         pa.array(
@@ -466,9 +520,41 @@ class VersionedTableStreamSource(DataSource):
                 f"could not derive types for columns {missing} from any "
                 "live parquet footer or partition directory"
             )
-        inv = {p: l for l, p in _column_mapping(entries).items()}
+        mapping = _column_mapping(entries)
+        inv = {p: l for l, p in mapping.items() if "." not in l}
+        # one-level struct paths: leaf renames / drops project here too
+        nested: dict[str, dict] = {}
+        for l, p in mapping.items():
+            ltop, lleaf = _split_path(l)
+            if lleaf is not None:
+                ptop, pleaf = _split_path(p)
+                nested.setdefault(ptop, {})[pleaf] = lleaf
+        ndropped: dict[str, set] = {}
+        for p in _dropped_columns(entries):
+            ptop, pleaf = _split_path(p)
+            if pleaf is not None:
+                ndropped.setdefault(ptop, set()).add(pleaf)
+
+        def _leafed(c, dt):
+            if not isinstance(dt, StructType) or (
+                c not in nested and c not in ndropped
+            ):
+                return dt
+            ren = nested.get(c, {})
+            gone = ndropped.get(c, set())
+            return StructType(
+                [
+                    StructField(ren.get(sf.name, sf.name), sf.dataType, True)
+                    for sf in dt.fields
+                    if sf.name not in gone
+                ]
+            )
+
         out = [
-            StructField(inv.get(c, c), fields[c].dataType, fields[c].nullable)
+            StructField(
+                inv.get(c, c), _leafed(c, fields[c].dataType),
+                fields[c].nullable,
+            )
             for c in columns
         ]
         if str(self.options.get("readchangefeed", "false")).lower() == "true":

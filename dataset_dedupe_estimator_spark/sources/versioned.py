@@ -792,12 +792,13 @@ def rename_column(root: str | Path, old: str, new: str) -> dict:
     time travel INTO older data and post-restore reads) see ``new``;
     reads pinned below it see the names of their own version.
 
-    Limits of the non-UUID simplification (physical names are the
-    creation-time names, not field IDs): partition columns can't be
-    renamed (their physical names are baked into directory paths), and
-    a later ``allow_new_columns`` append may not reuse a renamed-away
-    physical name (it would collide with the old column's data in
-    pre-rename files — the writer refuses with a clear error).
+    Partition columns rename too: the frozen PHYSICAL name stays the
+    hive directory key (no directory moves), and readers project it to
+    the logical name like any other column. Limit of the non-UUID
+    simplification (physical names are the creation-time names, not
+    field IDs): a later ``allow_new_columns`` append may not reuse a
+    renamed-away physical name (it would collide with the old column's
+    data in pre-rename files — the writer refuses with a clear error).
 
     A one-level struct path (``rename_column(root, "a.b", "a.c")``)
     renames a LEAF under the same path-based mapping — equally
@@ -837,12 +838,14 @@ def rename_column(root: str | Path, old: str, new: str) -> dict:
                 f"column name {new!r} is reserved by the table protocol"
             )
         physical = mapping.get(old, old)
-        if physical in (last.get("partition_by") or []):
-            raise ValueError(
-                f"column {old!r} is a partition column — its physical "
-                "name is baked into directory paths and cannot be "
-                "renamed under this mapping scheme"
-            )
+        # Partition columns rename fine under the mapping: their
+        # PHYSICAL name stays the hive directory key (existing dirs
+        # untouched, future commits keep writing it), and every
+        # surface — snapshot reads, read_where partition pruning,
+        # appends, pruned rewrites, the stream's dir-value inference —
+        # already projects physical -> logical. Only DROP stays
+        # refused (a partitioned live set can't lose its layout
+        # column without a rewrite).
         if new != physical and new in physical_cols:
             raise ValueError(
                 f"column name {new!r} is the PHYSICAL name of another "
@@ -3273,10 +3276,13 @@ def describe_detail(
     dv_refs = _live_dv_refs(live_entries)
     ck = _latest_checkpoint(root)
     cons = _active_constraints(live_entries)
-    raw_commits = len(list((root / _VLOG).glob("v*.json")))
+    # total commit count (archived + raw JSON tail), plus the raw file
+    # count so operators can see how well archive_log is bounding inodes
+    raw_json = len(list((root / _VLOG).glob("v*.json")))
     return {
         "version": version,
-        "num_commits": raw_commits,
+        "num_commits": entries[-1]["version"] + 1,
+        "num_raw_json_entries": raw_json,
         "num_live_dirs": len(dirs),
         "num_files": n_files,
         "size_bytes": n_bytes,

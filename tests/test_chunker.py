@@ -46,11 +46,8 @@ def test_coverage_and_bounds():
 def test_content_defined_resync():
     """Inserting bytes near the start must not re-chunk the whole stream."""
     edited = DATA[:100_000] + os.urandom(50) + DATA[100_000:]
-    orig = {hashlib.sha1(DATA[o : o + s]).digest()[:8] for o, s in chunk_bytes(DATA)}
-    edit = {
-        hashlib.sha1(edited[o : o + s]).digest()[:8]
-        for o, s in chunk_bytes(edited)
-    }
+    orig = {_hash64(DATA[o : o + s]) for o, s in chunk_bytes(DATA)}
+    edit = {_hash64(edited[o : o + s]) for o, s in chunk_bytes(edited)}
     shared = len(orig & edit)
     # Most chunks after the edit point re-align (content-defined, not fixed).
     assert shared / len(orig) > 0.8
@@ -311,3 +308,47 @@ class TestNativeKernels:
             # sampled probe scales
             capped = _compressed_size(data, 1024, "lz4")
             assert 0 < capped < len(data)
+
+
+def test_xxh64_known_vectors_and_jvm_parity(spark):
+    """The native XXH64 must match the PUBLISHED test vectors and —
+    independently — Spark's own JVM xxhash64 expression (seed 42) on
+    binary input, so a transcription error in the C cannot hide."""
+    from pyspark.sql import functions as F
+
+    from dataset_dedupe_estimator_spark.operators import native
+
+    if not native.available():
+        pytest.skip("no C compiler")
+    assert native.xxh64_bytes(b"", 0) == 0xEF46DB3751D8E999
+    assert native.xxh64_bytes(b"a", 0) == 0xD24EC4F1A98C6E5B
+    assert native.xxh64_bytes(b"abc", 0) == 0x44BC2CF5AD770999
+    # every tail path: 0/partial-word/word/4-byte/stripe boundaries
+    datas = [os.urandom(n) for n in (0, 1, 3, 4, 7, 8, 15, 31, 32, 33, 1000)]
+    jvm = [
+        r.h
+        for r in spark.createDataFrame(
+            [(d,) for d in datas], "b: binary"
+        ).select(F.xxhash64("b").alias("h")).collect()
+    ]
+    for d, want in zip(datas, jvm):
+        u = native.xxh64_bytes(d, 42)
+        assert (u - (1 << 64) if u >= (1 << 63) else u) == want
+
+
+def test_identity_hash_scheme_guard():
+    """An executor that cannot honor the driver's xxh64 choice must
+    fail loudly, never silently mix hash schemes in one table."""
+    from dataset_dedupe_estimator_spark.operators import chunker, native
+
+    if native.available():
+        assert chunker.IDENTITY_HASH == "xxh64"
+        h = chunker._hash64_fn("xxh64")(b"hello")
+        assert -(1 << 63) <= h < (1 << 63)
+    # sha1-64 resolves everywhere
+    h2 = chunker._hash64_fn("sha1-64")(b"hello")
+    assert h2 == int.from_bytes(
+        hashlib.sha1(b"hello").digest()[:8], "little"
+    ) - ((1 << 64) if hashlib.sha1(b"hello").digest()[7] >= 0x80 else 0)
+    with pytest.raises(ValueError, match="unknown identity hash"):
+        chunker._hash64_fn("nope")

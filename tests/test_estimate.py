@@ -116,14 +116,10 @@ def test_chunks_export(spark, two_identical):
     assert all(r.first_seen_in == 0 for r in rows)
     assert all(list(r.seen_in) == [0, 1] for r in rows)
     # raw bytes retained on request and hash-consistent
-    import hashlib
+    from dataset_dedupe_estimator_spark.operators.chunker import _hash64
 
     for r in rows[:5]:
-        h = int.from_bytes(
-            hashlib.sha1(bytes(r.data)).digest()[:8], "little"
-        )
-        h = h - (1 << 64) if h >= (1 << 63) else h
-        assert h == r.hash
+        assert _hash64(bytes(r.data)) == r.hash
 
 
 def test_estimate_on_testdata(spark, parquet_paths):

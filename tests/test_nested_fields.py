@@ -187,3 +187,31 @@ def test_nested_rename_then_restore_and_clone(spark, tmp_path):
     dfc = vt.read_version(spark, dst)
     assert dict(dfc.dtypes)["meta"] == "struct<score:bigint,language:string>"
     assert dfc.count() == 1
+
+
+def test_stream_projects_nested_rename_and_drop(spark, table, tmp_path):
+    """The streaming source serves LOGICAL leaf names and hides dropped
+    leaves, matching read_version (parity for the stream surface)."""
+    from dataset_dedupe_estimator_spark.sources.table_stream import (
+        VersionedTableStreamSource,
+    )
+
+    spark.dataSource.register(VersionedTableStreamSource)
+    vt.rename_column(table, "meta.lang", "meta.language")
+    vt.drop_column(table, "meta.score")
+    out = tmp_path / "out"
+
+    q = (
+        spark.readStream.format("versioned_table")
+        .load(str(table))
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(str(out))
+    assert dict(got.dtypes)["meta"] == "struct<language:string>"
+    assert got.count() == 20
+    assert got.filter(F.col("meta.language") == "de").count() == 10

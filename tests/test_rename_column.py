@@ -116,15 +116,6 @@ def test_rename_refusals(spark, tmp_path, table):
         vt.rename_column(table, "v", "k")
     with pytest.raises(ValueError, match="reserved"):
         vt.rename_column(table, "v", "_dv_key")
-    # partition columns can't be renamed (paths bake the name)
-    proot = tmp_path / "ptbl"
-    vt.append(
-        proot,
-        spark.createDataFrame([(1, 2, "a")], "k: long, v: long, p: string"),
-        num_files=1, partition_by=["p"],
-    )
-    with pytest.raises(ValueError, match="partition column"):
-        vt.rename_column(proot, "p", "q")
     # a renamed-away physical name can't be reused by widening
     vt.rename_column(table, "v", "value")
     wide = spark.createDataFrame(
@@ -198,3 +189,48 @@ def test_landed_rename_conflicts_with_inflight_append(spark, table):
     import shutil
 
     shutil.rmtree(prep["stage"], ignore_errors=True)
+
+
+def test_partition_column_rename(spark, tmp_path):
+    """Partition columns rename under the mapping (r10 — the r9
+    refusal was overly conservative): the physical name stays the hive
+    dir key, every surface projects it to the logical name, and
+    pruned mutations keep working through the rename."""
+    from pyspark.sql import functions as F
+
+    root = tmp_path / "t"
+    vt.append(
+        root,
+        spark.createDataFrame(
+            [(i, i % 3, i * 10) for i in range(30)],
+            "k: long, region: long, v: long",
+        ),
+        num_files=1, partition_by=["region"], stats_columns=["k"],
+    )
+    vt.rename_column(root, "region", "zone")
+    snap = vt.read_version(spark, root)
+    assert "zone" in snap.columns and "region" not in snap.columns
+    assert snap.count() == 30
+    # partition pruning through the logical name
+    assert vt.read_where(spark, root, [("zone", "==", 1)]).count() == 10
+    # appends speak the logical name; the dir key stays physical
+    vt.append(
+        root,
+        spark.createDataFrame([(100, 1, 5)], "k: long, zone: long, v: long"),
+        num_files=1,
+    )
+    newest = vt.history(root)[-1]
+    hive = sorted(
+        p.name
+        for p in (root / "data" / newest["dir"]).iterdir()
+        if p.is_dir()
+    )
+    assert hive == ["region=1"]  # physical name frozen in the layout
+    # copy-on-write delete through the renamed partition column
+    st = vt.delete_where_pruned(spark, root, [("zone", "==", 2)])
+    assert st["committed"] and st["deleted_rows"] == 10
+    out = vt.read_version(spark, root)
+    assert out.count() == 21
+    assert out.filter(F.col("zone") == 2).count() == 0
+    # time travel below the rename shows the old name
+    assert "region" in vt.read_version(spark, root, 0).columns
