@@ -3238,6 +3238,9 @@ def read_change_feed(
     for c in schema_cols:  # pre-widening change files backfill NULL
         if c not in out.columns:
             out = out.withColumn(c, F.lit(None))
+    out = _apply_nested_drops(
+        out, {c for c in _dropped_columns(live_entries) if "." in c}
+    )
     return _to_logical(
         out.select(
             *schema_cols, "_change", F.col("_commit_version").cast("long")

@@ -215,3 +215,21 @@ def test_stream_projects_nested_rename_and_drop(spark, table, tmp_path):
     assert dict(got.dtypes)["meta"] == "struct<language:string>"
     assert got.count() == 20
     assert got.filter(F.col("meta.language") == "de").count() == 10
+
+
+def test_change_feed_projects_nested_rename_and_drop(spark, tmp_path):
+    """read_change_feed serves logical leaf names and hides dropped
+    leaves like every other read surface."""
+    root = tmp_path / "t"
+    vt.append(
+        root, _df(spark, [_row(i, i, "en", []) for i in range(6)]),
+        num_files=1, stats_columns=["k"], change_feed=True,
+    )
+    vt.rename_column(root, "meta.lang", "meta.language")
+    vt.delete_where_pruned(spark, root, [("k", "==", 2)])
+    vt.drop_column(root, "meta.score")
+    vt.delete_where_pruned(spark, root, [("k", "==", 4)])
+    feed = vt.read_change_feed(spark, root, 1)
+    assert dict(feed.dtypes)["meta"] == "struct<language:string>"
+    got = sorted((r.k, r.meta.language, r._change) for r in feed.collect())
+    assert got == [(2, "en", "delete"), (4, "en", "delete")]
