@@ -451,6 +451,32 @@ _SAFE_WIDENINGS = frozenset(
 )
 
 
+def _is_safe_widening(prior: str, new: str) -> bool:
+    """True when re-typing ``prior`` -> ``new`` is on the safe lattice,
+    descending into struct fields and array elements (same field names,
+    same order — only leaf types may widen). The parquet reader's
+    schema-driven upcast handles nested promotions the same way it
+    handles top-level ones (probed on Spark 4.1)."""
+    if (prior, new) in _SAFE_WIDENINGS:
+        return True
+    if prior.startswith("struct<") and new.startswith("struct<"):
+        pi = _split_struct_items(prior[len("struct<"):-1])
+        ni = _split_struct_items(new[len("struct<"):-1])
+        if len(pi) != len(ni):
+            return False
+        for a, b in zip(pi, ni):
+            an, _, at = a.partition(":")
+            bn, _, bt = b.partition(":")
+            if an != bn or (at != bt and not _is_safe_widening(at, bt)):
+                return False
+        return True
+    if prior.startswith("array<") and new.startswith("array<"):
+        return _is_safe_widening(
+            prior[len("array<"):-1], new[len("array<"):-1]
+        )
+    return False
+
+
 def _types_vary(entries: list[dict]) -> bool:
     """True when two live commits recorded DIFFERENT types for the
     same physical column (possible only via a type-widening append) —
@@ -1835,7 +1861,7 @@ def _stage_commit(
         }
         if mismatch and allow_type_widening:
             widened_types = {
-                c: m for c, m in mismatch.items() if m in _SAFE_WIDENINGS
+                c: m for c, m in mismatch.items() if _is_safe_widening(*m)
             }
             mismatch = {
                 c: m for c, m in mismatch.items() if c not in widened_types
@@ -2083,7 +2109,8 @@ def append(
     later commits like ``stats_columns``.
     ``allow_type_widening=True`` permits an append whose columns WIDEN
     the recorded types along the safe lattice (int->bigint,
-    float->double and the smaller-integer promotions): the table's
+    float->double and the smaller-integer promotions — descending into
+    struct fields and array elements): the table's
     declared type becomes the wider one, existing files stay in place,
     and scans upcast them in the parquet reader. Narrowing — and any
     off-lattice re-typing — still refuses; a widening commit stamps

@@ -151,3 +151,52 @@ def test_pre_widening_reader_fails_loudly(spark, tmp_path):
         vt.read_version(spark, root)
     # time travel BELOW the unknown feature still works
     assert vt.read_version(spark, root, 0).count() == 1
+
+
+def test_struct_leaf_and_array_element_widening(spark, tmp_path):
+    """The lattice descends into struct fields and array elements:
+    int->bigint inside a struct and float->double inside an array widen
+    under the flag; a struct whose FIELD NAMES change stays refused."""
+    root = tmp_path / "t"
+    vt.append(
+        root,
+        spark.createDataFrame(
+            [(1, {"a": 10, "b": 1.5}, [1.5])],
+            "k: long, m: struct<a: int, b: float>, xs: array<float>",
+        ),
+        num_files=1,
+    )
+    vt.append(
+        root,
+        spark.createDataFrame(
+            [(2, {"a": 2**40, "b": 2.5}, [2.5])],
+            "k: long, m: struct<a: bigint, b: double>, xs: array<double>",
+        ),
+        num_files=1, allow_type_widening=True,
+    )
+    df = vt.read_version(spark, root)
+    assert dict(df.dtypes)["m"] == "struct<a:bigint,b:double>"
+    assert dict(df.dtypes)["xs"] == "array<double>"
+    got = sorted((r.k, r.m.a, r.m.b, tuple(r.xs)) for r in df.collect())
+    assert got == [(1, 10, 1.5, (1.5,)), (2, 2**40, 2.5, (2.5,))]
+    # renaming a field by appending differently-shaped structs refuses
+    with pytest.raises(ValueError, match="type mismatch"):
+        vt.append(
+            root,
+            spark.createDataFrame(
+                [(3, {"a": 1, "c": 1.0}, [0.0])],
+                "k: long, m: struct<a: bigint, c: double>, "
+                "xs: array<double>",
+            ),
+            num_files=1, allow_type_widening=True,
+        )
+    # narrowing a leaf refuses even under the flag
+    with pytest.raises(ValueError, match="type mismatch"):
+        vt.append(
+            root,
+            spark.createDataFrame(
+                [(4, {"a": 1, "b": 1.0}, [0.0])],
+                "k: long, m: struct<a: int, b: double>, xs: array<double>",
+            ),
+            num_files=1, allow_type_widening=True,
+        )
