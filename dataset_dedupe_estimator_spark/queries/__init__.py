@@ -102,13 +102,14 @@ _FRONT = [
     "events_daily_anomaly",
     "near_dup_source_matrix",
     "ngram_containment_pairs",
-    "lsh_index_incremental",
+    "table_archive_read",
     "table_nested_read",
     "table_type_widening_read",
 ]
 # overflow: the remaining round-7-green queries — first in line for
 # round 11's window (locally re-verified every round)
 _NEXT = [
+    "lsh_index_incremental",
     "dedup_near_groups",
     "dedup_near_survivors",
     "bm25_index_search",

@@ -1844,6 +1844,88 @@ def table_nested_read(spark, sf):
 _NEST_LEN_CUT = 120  # nested zone-map probe on meta.length
 
 
+def table_archive_read(spark, sf):
+    """Bounded commit log (r10, ``sources/versioned.py::archive_log``):
+    raw ``v*.json`` entries at or below the newest checkpoint bundle
+    into ``archive-v*.parquet`` — the RAW entries, so full history
+    stays exact — and the JSON file count stays at the tail length.
+
+    Orders ingest as many small appends to build commit history, the
+    log checkpoints and archives (the query RAISES if the raw-JSON
+    count is not bounded by the post-checkpoint tail, if any history
+    entry goes missing through the bundle, or if a snapshot read BELOW
+    the archive floor stops returning its exact rows), then a band
+    delete lands ON TOP of the archived log. The final aggregate reads
+    the post-delete table; the below-floor row count and the bounded
+    file count ride along as columns, so a lost archived entry or an
+    unbounded log hash-mismatches the oracle."""
+    import shutil
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", cents("o_totalprice").alias("price_cents")
+    )
+    root = tempfile.mkdtemp(prefix="dde_arch_")
+    try:
+        # 25 appends of one key-band each: v0..v24 (checkpoint at v20)
+        for i in range(25):
+            vt.append(
+                root,
+                orders.filter(
+                    (F.col("o_orderkey") % 25) == i
+                ).repartition(1),
+                stats_columns=["o_orderkey"],
+            )
+        st = vt.archive_log(root)
+        if st["floor"] is None or not st["archived"]:
+            raise AssertionError(f"archive did not run: {st}")
+        njson = len(list((vt.Path(root) / vt._VLOG).glob("v*.json")))
+        if njson > vt._CKPT_EVERY:
+            raise AssertionError(f"log not bounded: {njson} raw JSONs")
+        hist = vt.history(root)
+        if [e["version"] for e in hist] != list(range(25)):
+            raise AssertionError("history lost entries through the bundle")
+        below = vt.read_version(spark, root, 0).count()
+        # the table keeps moving on top of the archived log
+        vt.delete_where_pruned(
+            spark, root, [("o_orderkey", "between", (_AR_DEL_LO, _AR_DEL_HI))]
+        )
+        out = (
+            vt.read_version(spark, root)
+            .groupBy((F.col("o_custkey") % 10).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.max("o_orderkey").alias("max_key"),
+                F.sum("price_cents").alias("total_cents"),
+            )
+            .withColumn("below_floor_n", F.lit(below).cast("long"))
+            .withColumn("raw_json_bounded", F.lit(njson).cast("long") <= 20)
+            .orderBy("bucket")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_AR_DEL_LO, _AR_DEL_HI = 400, 900  # delete lands above the archive
+
+
+TABLE_ARCHIVE_READ_SQL = f"""
+SELECT o_custkey % 10 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MAX(o_orderkey) AS max_key,
+       CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS total_cents,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        WHERE o_orderkey % 25 = 0) AS below_floor_n,
+       TRUE AS raw_json_bounded
+FROM orders
+WHERE o_orderkey NOT BETWEEN {_AR_DEL_LO} AND {_AR_DEL_HI}
+GROUP BY 1 ORDER BY bucket
+"""
+
+
 TABLE_NESTED_READ_SQL = f"""
 SELECT source AS origin,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1874,6 +1956,7 @@ QUERIES = {
         table_type_widening_read, TABLE_TYPE_WIDENING_READ_SQL
     ),
     "table_nested_read": Q(table_nested_read, TABLE_NESTED_READ_SQL),
+    "table_archive_read": Q(table_archive_read, TABLE_ARCHIVE_READ_SQL),
     "table_delete_where": Q(table_delete_where, TABLE_DELETE_WHERE_SQL),
     "table_upsert_merge": Q(table_upsert_merge, TABLE_UPSERT_MERGE_SQL),
     "table_stream_read": Q(table_stream_read, TABLE_STREAM_READ_SQL),
