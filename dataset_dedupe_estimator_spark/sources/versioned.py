@@ -174,7 +174,8 @@ def set_constraints(
             # callers speak logical; enforcement runs on physical frames
             "not_null": sorted(_names_to_physical(not_null or [], mapping)),
             "checks": [
-                [mapping.get(c, c), op, v] for c, op, v in (checks or [])
+                [_name_to_physical(c, mapping), op, v]
+                for c, op, v in (checks or [])
             ],
             "ts": time.time(),
         }
@@ -953,6 +954,15 @@ def _drop_nested_leaf(root: Path, name: str) -> dict:
                 "the whole column instead"
             )
         physical = f"{ptop}.{logical_leaves[leaf]}"
+        cons = _active_constraints(entries)
+        if cons is not None:
+            used = set(cons["not_null"]) | {c for c, _, _ in cons["checks"]}
+            if physical in used:
+                raise ValueError(
+                    f"struct field {name!r} is referenced by an active "
+                    "constraint — drop or replace the constraints first "
+                    "(set_constraints)"
+                )
         entry = {
             "version": last["version"] + 1,
             "action": "drop_column",

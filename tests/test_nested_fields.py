@@ -233,3 +233,34 @@ def test_change_feed_projects_nested_rename_and_drop(spark, tmp_path):
     assert dict(feed.dtypes)["meta"] == "struct<language:string>"
     got = sorted((r.k, r.meta.language, r._change) for r in feed.collect())
     assert got == [(2, "en", "delete"), (4, "en", "delete")]
+
+
+def test_nested_constraints(spark, table):
+    """CHECK / NOT NULL constraints accept one-level struct paths: the
+    predicate language and enforcement already speak F.col('a.b');
+    dropping a constrained leaf refuses first."""
+    vt.set_constraints(
+        table, not_null=["meta.lang"], checks=[("meta.score", ">=", 0)],
+    )
+    with pytest.raises(ValueError, match="constraint violation"):
+        vt.append(table, _df(spark, [_row(900, -1, "en", [])]), num_files=1)
+    with pytest.raises(ValueError, match="constraint violation"):
+        vt.append(table, _df(spark, [(901, {"score": 1, "lang": None}, [])]),
+                  num_files=1)
+    vt.append(table, _df(spark, [_row(902, 5, "fr", [])]), num_files=1)
+    assert vt.read_version(spark, table).count() == 21
+    with pytest.raises(ValueError, match="referenced by an active"):
+        vt.drop_column(table, "meta.lang")
+    # constraints on a RENAMED leaf path translate to physical
+    vt.rename_column(table, "meta.score", "meta.points")
+    vt.set_constraints(table, checks=[("meta.points", "<=", 1000)])
+    with pytest.raises(ValueError, match="constraint violation"):
+        vt.append(
+            table,
+            spark.createDataFrame(
+                [(903, {"points": 2000, "lang": "de"}, [])],
+                "k: long, meta: struct<points: long, lang: string>, "
+                "tags: array<string>",
+            ),
+            num_files=1,
+        )
