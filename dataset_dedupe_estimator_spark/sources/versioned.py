@@ -1691,18 +1691,18 @@ def _entry_blooms(root: Path, entry: dict) -> dict | None:
 def _validate_bloom_columns(
     df: DataFrame, bloom_columns: list[str], partition_by: list[str]
 ) -> list[str]:
-    dtypes = dict(df.dtypes)
     for c in bloom_columns:
-        if c not in dtypes:
+        dt = _dtype_of_path(df, c)  # flat column or one-level "a.b"
+        if dt is None:
             raise ValueError(f"bloom column {c!r} not in commit schema")
         if c in partition_by:
             raise ValueError(
                 f"bloom column {c!r} is a partition column — partition "
                 "pruning already covers it"
             )
-        if dtypes[c] not in _BLOOM_DTYPES:
+        if dt not in _BLOOM_DTYPES:
             raise ValueError(
-                f"bloom column {c!r} has type {dtypes[c]} — blooms need "
+                f"bloom column {c!r} has type {dt} — blooms need "
                 f"a cast-stable string form, supported: {sorted(_BLOOM_DTYPES)}"
             )
     return list(bloom_columns)
@@ -1955,8 +1955,9 @@ def _stage_commit(
     if bloom_columns:
         entry["bloom_columns"] = bloom_columns
         entry["bloom_bits"] = bloom_bits
-        dtypes = dict(df.dtypes)
-        entry["bloom_types"] = {c: dtypes[c] for c in bloom_columns}
+        entry["bloom_types"] = {
+            c: _dtype_of_path(df, c) for c in bloom_columns
+        }
         blooms = _collect_file_blooms(
             df.sparkSession, stage, bloom_columns, bloom_bits
         )

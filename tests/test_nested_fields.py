@@ -264,3 +264,22 @@ def test_nested_constraints(spark, table):
             ),
             num_files=1,
         )
+
+
+def test_nested_bloom_pruning(spark, tmp_path):
+    """Per-file Bloom bitmaps accept one-level struct paths too: a
+    string leaf gets point-lookup pruning that zone maps refuse for
+    strings."""
+    root = tmp_path / "t"
+    vt.append(
+        root,
+        _df(spark, [_row(i, i, f"lang{i}", []) for i in range(8)]),
+        num_files=4, bloom_columns=["meta.lang"], bloom_bits=4096,
+    )
+    rep = vt.zone_map_prune(root, [("meta.lang", "==", "lang3")])
+    assert rep["skipped_files"] >= 2  # bloom-pruned, not full-scanned
+    got = vt.read_where(spark, root, [("meta.lang", "==", "lang3")])
+    assert [(r.k, r.meta.lang) for r in got.collect()] == [(3, "lang3")]
+    # a value provably in no file prunes everything
+    rep2 = vt.zone_map_prune(root, [("meta.lang", "==", "nope")])
+    assert rep2["kept_files"] == 0
