@@ -1244,6 +1244,7 @@ def cmd_table(args) -> int:
             entry = vt.append(
                 args.root, df, num_files=args.files, stats_columns=stats_cols,
                 change_feed=args.change_feed, bloom_columns=bloom_cols,
+                allow_type_widening=args.allow_type_widening,
             )
         else:
             entry = vt.overwrite(
@@ -2003,6 +2004,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="set-partitioning: comma-separated partition columns for "
         "FUTURE commits (empty to unpartition); existing directories "
         "keep their layout",
+    )
+    tb.add_argument(
+        "--allow-type-widening", dest="allow_type_widening",
+        action="store_true",
+        help="append: permit safe type widening (int->bigint, "
+        "float->double, incl. struct fields/array elements) — the "
+        "declared type widens, existing files upcast in the scan",
     )
     tb.add_argument(
         "--as-of", dest="as_of",

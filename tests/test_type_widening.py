@@ -200,3 +200,19 @@ def test_struct_leaf_and_array_element_widening(spark, tmp_path):
             ),
             num_files=1, allow_type_widening=True,
         )
+
+
+def test_cli_append_allow_type_widening(spark, tmp_path):
+    from dataset_dedupe_estimator_spark.cli import main
+
+    root = str(tmp_path / "t")
+    src1, src2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    _ik(spark, [(1, 10)], "k: int, v: int").write.parquet(src1)
+    _ik(spark, [(2, 2**40)], "k: int, v: bigint").write.parquet(src2)
+    assert main(["table", "append", root, src1]) == 0
+    # refused without the flag (exit via exception -> nonzero/raise)
+    with pytest.raises(ValueError, match="allow_type_widening"):
+        main(["table", "append", root, src2])
+    assert main(["table", "append", root, src2,
+                 "--allow-type-widening"]) == 0
+    assert vt.read_version(spark, root).count() == 2
