@@ -4653,7 +4653,10 @@ def vacuum(
         keep = {e["version"] for e in entries[-keep_versions:]}
         if keep_last_hours is not None:
             cutoff = time.time() - 3600.0 * keep_last_hours
-            keep |= {e["version"] for e in entries if e["ts"] >= cutoff}
+            # mtime-backfilled, monotone: a legacy no-ts entry neither
+            # crashes retention nor silently falls out of the window
+            eff = _effective_ts(root, entries)
+            keep |= {v for v, ts in eff.items() if ts >= cutoff}
         reachable: set[str] = set()
         for v in keep:
             for d in live_dirs(root, v):
