@@ -283,3 +283,44 @@ def test_nested_bloom_pruning(spark, tmp_path):
     # a value provably in no file prunes everything
     rep2 = vt.zone_map_prune(root, [("meta.lang", "==", "nope")])
     assert rep2["kept_files"] == 0
+
+
+def test_deeper_nesting_refuses_clearly(spark, tmp_path):
+    """Two-level paths ('a.b.c') are out of the supported subset —
+    every surface refuses with a clear error instead of mis-resolving."""
+    root = tmp_path / "t"
+    vt.append(
+        root,
+        spark.createDataFrame(
+            [(1, {"inner": {"x": 1}})],
+            "k: long, outer: struct<inner: struct<x: long>>",
+        ),
+        num_files=1,
+    )
+    with pytest.raises(ValueError, match="not in commit schema"):
+        vt.append(
+            root,
+            spark.createDataFrame(
+                [(2, {"inner": {"x": 2}})],
+                "k: long, outer: struct<inner: struct<x: long>>",
+            ),
+            num_files=1, stats_columns=["outer.inner.x"],
+        )
+    with pytest.raises(ValueError, match="not in table schema"):
+        vt.rename_column(root, "outer.inner.x", "outer.inner.y")
+    with pytest.raises(ValueError, match="not in table schema"):
+        vt.drop_column(root, "outer.inner.x")
+    # deeper PREDICATES degrade gracefully: no zone maps exist for the
+    # path so nothing prunes, and the row filter still applies exactly
+    rep = vt.zone_map_prune(root, [("outer.inner.x", "==", 1)])
+    assert rep["skipped_files"] == 0
+    got = vt.read_where(spark, root, [("outer.inner.x", "==", 1)])
+    assert [r.k for r in got.collect()] == [1]
+    assert vt.read_where(
+        spark, root, [("outer.inner.x", "==", 99)]
+    ).count() == 0
+    # one-level rename of the INNER STRUCT leaf itself works (the leaf
+    # is 'inner', a struct-typed field of 'outer')
+    vt.rename_column(root, "outer.inner", "outer.nested")
+    df = vt.read_version(spark, root)
+    assert dict(df.dtypes)["outer"] == "struct<nested:struct<x:bigint>>"
