@@ -46,15 +46,111 @@ for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthet
 # so rotation only affects which subset gets *driver-side* attestation,
 # never whether a regression is caught.
 #
-# Round-10 window (executes the rotation staged at r9 close, COVERAGE.md
-# ledger): the 35 round-6-green queries held in the r9 _NEXT
-# (dedup_exact_events ... zorder_layout) plus the 15 stalest
-# round-7-green queries (registry-order tiebreak — all 50 r7-attested
-# entries are equally stale: customer_hierarchy_rollup ...
-# dedup_near_survivors). Queries added DURING r10 displace the tail of
-# the r7-green fill into _NEXT so they carry driver attestation the
-# same round they land (the r9 pattern).
+# Round-11 window (executes the rotation staged at r10 close, COVERAGE.md
+# ledger): the 38 round-7-green queries held in the r10 _NEXT
+# (lsh_index_incremental ... snapshot_diff_docs) plus the 12 stalest
+# round-8-green queries (registry-order tiebreak — all 50 r8-attested
+# entries are equally stale: temporal_dim_join ... events_funnel).
+# Queries added DURING r11 displace the tail of the r8-green fill into
+# _NEXT so they carry driver attestation the same round they land (the
+# r9/r10 pattern).
 _FRONT = [
+    "lsh_index_incremental",
+    "dedup_near_groups",
+    "dedup_near_survivors",
+    "bm25_index_search",
+    "phrase_search_index",
+    "bpe_train_merges",
+    "bpe_token_stats",
+    "doc_length_quantiles",
+    "repetition_stats",
+    "contamination_check",
+    "corpus_survival_pipeline",
+    "ann_ivf_trained",
+    "ann_recall_at_k",
+    "semantic_vs_lexical_pairs",
+    "hybrid_rrf",
+    "synthetic_generator_e2e",
+    "split_assign",
+    "stratified_sample_docs",
+    "cross_split_leakage",
+    "split_purge_eval",
+    "streaming_dedup_events",
+    "streaming_view_click_join",
+    "cdc_streaming_estimate",
+    "streaming_index_pipeline",
+    "image_near_dup_demo",
+    "multimodal_pipeline_demo",
+    "fuzzy_match_customers",
+    "data_quality_report",
+    "profile_documents",
+    "source_feature_corr",
+    "date_part_revenue",
+    "quantity_percentiles",
+    "dataset_card_stats",
+    "mv_incremental_orders",
+    "table_zonemap_read",
+    "mv_from_version_diff",
+    "streaming_mv_refresh",
+    "snapshot_diff_docs",
+    "temporal_dim_join",
+    "orders_rfm_segments",
+    "basket_part_pairs",
+    "cohort_ltv",
+    "conditional_pivot_brands",
+    "rolling_active_users",
+    "events_late_arrivals",
+    "events_user_lifecycle",
+    "events_markov_transitions",
+    "session_top_paths",
+    "events_funnel_ttc",
+    "events_funnel",
+]
+# overflow: the remaining round-8-green queries — first in line for
+# round 12's window (locally re-verified every round)
+_NEXT = [
+    "events_retention_cohorts",
+    "events_sessionize",
+    "dup_cluster_sizes",
+    "simhash_candidates",
+    "kmv_sketches",
+    "cms_token_counts",
+    "bm25_delete_search",
+    "bpe_pair_frequencies",
+    "vocab_coverage_score",
+    "effective_token_budget",
+    "source_token_stats",
+    "pq_codes",
+    "token_bpe_ish",
+    "rolling_hash_fingerprint",
+    "cdc_estimate",
+    "format_compare_demo",
+    "cdc_per_file_chunks",
+    "cdc_provenance",
+    "cdc_estimate_xet",
+    "cdc_approx_estimate",
+    "cdc_index_incremental",
+    "doc_chunk_windows",
+    "pii_scan",
+    "charlm_familiarity",
+    "ngram_novelty",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q16_supplier_diversity",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "table_delete_where",
+    "table_upsert_merge",
+    "table_stream_read",
+    "table_compact_read",
+    "table_cdf_read",
+    "table_bloom_read",
+]
+# most recent driver green: CORRECTNESS_r10 (49 oracle-green + 1
+# rows-only by design)
+_TAIL = [
     "dedup_exact_events",
     "dedup_fingerprint_groups",
     "dedup_keep_first",
@@ -105,102 +201,6 @@ _FRONT = [
     "table_archive_read",
     "table_nested_read",
     "table_type_widening_read",
-]
-# overflow: the remaining round-7-green queries — first in line for
-# round 11's window (locally re-verified every round)
-_NEXT = [
-    "lsh_index_incremental",
-    "dedup_near_groups",
-    "dedup_near_survivors",
-    "bm25_index_search",
-    "phrase_search_index",
-    "bpe_train_merges",
-    "bpe_token_stats",
-    "doc_length_quantiles",
-    "repetition_stats",
-    "contamination_check",
-    "corpus_survival_pipeline",
-    "ann_ivf_trained",
-    "ann_recall_at_k",
-    "semantic_vs_lexical_pairs",
-    "hybrid_rrf",
-    "synthetic_generator_e2e",
-    "split_assign",
-    "stratified_sample_docs",
-    "cross_split_leakage",
-    "split_purge_eval",
-    "streaming_dedup_events",
-    "streaming_view_click_join",
-    "cdc_streaming_estimate",
-    "streaming_index_pipeline",
-    "image_near_dup_demo",
-    "multimodal_pipeline_demo",
-    "fuzzy_match_customers",
-    "data_quality_report",
-    "profile_documents",
-    "source_feature_corr",
-    "date_part_revenue",
-    "quantity_percentiles",
-    "dataset_card_stats",
-    "mv_incremental_orders",
-    "table_zonemap_read",
-    "mv_from_version_diff",
-    "streaming_mv_refresh",
-    "snapshot_diff_docs",
-]
-# most recent driver green: CORRECTNESS_r09 (49 oracle-green + 1
-# rows-only by design)
-_TAIL = [
-    "ivfpq_search",
-    "synthetic_delete_rows",
-    "synthetic_insert_rows",
-    "synthetic_update_rows",
-    "synthetic_update_column",
-    "synthetic_append_rows",
-    "streaming_windowed_counts",
-    "streaming_sessionize_events",
-    "salted_agg_lineitem",
-    "merge_upsert_orders",
-    "cdc_upload_delta",
-    "dedup_keep_first_pruned",
-    "dedup_spans",
-    "mixture_sample",
-    "sequence_pack",
-    "quality_classifier",
-    "source_drift_tvd",
-    "unigram_surprisal",
-    "tfidf_top_terms",
-    "bloom_incremental_dedup",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q22_idle_customers",
-    "table_checkpoint_read",
-    "table_restore_read",
-    "table_dv_delete_read",
-    "q1_pricing_summary",
-    "q4_order_priority",
-    "q6_revenue_forecast",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "top_spenders",
-    "window_top_orders_per_customer",
-    "window_running_spend",
-    "rollup_order_status",
-    "semi_anti_customers",
-    "set_ops_parts",
-    "events_hourly",
-    "events_json_extract",
-    "events_daily_users",
-    "dedup_exact_groups",
-    "table_concurrent_append_read",
-    "table_rename_read",
-    "table_drop_read",
-    "table_clone_read",
-    "table_partition_evolution_read",
 ]
 _missing = (set(_FRONT) | set(_NEXT) | set(_TAIL)) - REGISTRY.keys()
 if _missing:
