@@ -249,11 +249,19 @@ def dedup_trend(
     (first-seen chunk bytes), cum_total_bytes, cum_unique_bytes,
     cum_dedup_ratio.
     """
+    chunks = chunk_files_auto(spark, paths, params=params)
+    return trend_from_chunks(chunks)
+
+
+def trend_from_chunks(chunks: DataFrame) -> DataFrame:
+    """The trend aggregation alone, over an already-materialized chunk
+    table (``cdc_trend_oracle`` re-aggregates an EXPORTED chunk table
+    so DuckDB can reproduce the running ratios row-for-row — only chunk
+    EMISSION stays rows-only)."""
     from dataset_dedupe_estimator_spark.operators.ranking import (
         with_global_cumsums,
     )
 
-    chunks = chunk_files_auto(spark, paths, params=params)
     per_file = chunks.groupBy("file_idx").agg(F.sum("size").alias("file_bytes"))
     novel = (
         chunks.groupBy("hash")

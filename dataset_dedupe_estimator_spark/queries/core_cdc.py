@@ -168,6 +168,123 @@ def cdc_dedup_trend(spark, sf):
 
 
 
+def _export_chunks(spark, sf: str, out_dir: str):
+    """Chunk the sf corpus once, EXPORT the chunk table to parquet, and
+    read it back: both engines (Spark and the DuckDB oracle) aggregate
+    the identical exported rows, so the oracle checks the whole CDC
+    aggregation layer (C4-C6/C11) — only chunk EMISSION stays
+    rows-only. The export path is deterministic so the static oracle
+    SQL can address it (the gate runs the Spark side first)."""
+    import shutil
+
+    chunks = chunk_files(spark, _paths(sf)).select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file"),
+        "file_idx", "seq", "hash", "size", "compressed",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    chunks.coalesce(1).write.mode("overwrite").parquet(out_dir)
+    return spark.read.parquet(out_dir)
+
+
+_STATS_EXPORT = "/tmp/dde_oracle_chunks_stats"
+_TREND_EXPORT = "/tmp/dde_oracle_chunks_trend"
+
+
+def cdc_stats_oracle(spark, sf):
+    """Oracle-bearing CDC accounting (r11): per-file AND global
+    occurrence-vs-distinct stats (C4/C6) with the dedup ratio (C11)
+    over an exported chunk table — DuckDB re-aggregates the same rows
+    to the same tuple, so a wrong two-level aggregate, a lost
+    occurrence, or a mis-scoped distinct all hash-mismatch."""
+    exported = _export_chunks(spark, sf, _STATS_EXPORT)
+    per_file = chunk_stats(exported, by=("file",))
+    total = chunk_stats(exported).select(
+        F.lit("*total*").alias("file"),
+        "total_len", "total_chunks", "unique_chunks",
+        "chunk_bytes", "compressed_chunk_bytes",
+    )
+    return (
+        per_file.unionByName(total)
+        .withColumn(
+            "dedup_ratio",
+            F.round(
+                F.col("chunk_bytes").cast("double")
+                / F.col("total_len").cast("double"),
+                6,
+            ),
+        )
+        .orderBy("file")
+    )
+
+
+CDC_STATS_ORACLE_SQL = f"""
+WITH c AS (SELECT * FROM read_parquet('{_STATS_EXPORT}/*.parquet')),
+ph AS (SELECT file, hash, MIN(size) AS size, MIN(compressed) AS compressed,
+              SUM(size) AS occ_bytes, COUNT(*) AS occ_count
+       FROM c GROUP BY file, hash),
+pf AS (SELECT file,
+              CAST(SUM(occ_bytes) AS BIGINT) AS total_len,
+              CAST(SUM(occ_count) AS BIGINT) AS total_chunks,
+              CAST(COUNT(*) AS BIGINT) AS unique_chunks,
+              CAST(SUM(size) AS BIGINT) AS chunk_bytes,
+              CAST(SUM(compressed) AS BIGINT) AS compressed_chunk_bytes
+       FROM ph GROUP BY file),
+gh AS (SELECT hash, MIN(size) AS size, MIN(compressed) AS compressed,
+              SUM(size) AS occ_bytes, COUNT(*) AS occ_count
+       FROM c GROUP BY hash),
+g AS (SELECT '*total*' AS file,
+             CAST(SUM(occ_bytes) AS BIGINT) AS total_len,
+             CAST(SUM(occ_count) AS BIGINT) AS total_chunks,
+             CAST(COUNT(*) AS BIGINT) AS unique_chunks,
+             CAST(SUM(size) AS BIGINT) AS chunk_bytes,
+             CAST(SUM(compressed) AS BIGINT) AS compressed_chunk_bytes
+      FROM gh)
+SELECT file, total_len, total_chunks, unique_chunks, chunk_bytes,
+       compressed_chunk_bytes,
+       ROUND(CAST(chunk_bytes AS DOUBLE) / CAST(total_len AS DOUBLE), 6)
+           AS dedup_ratio
+FROM (SELECT * FROM pf UNION ALL SELECT * FROM g)
+ORDER BY file
+"""
+
+
+def cdc_trend_oracle(spark, sf):
+    """Oracle-bearing dedup TREND (r11): the cumulative-ratio rollup
+    (``cdc_dedup_trend``'s aggregation — first-seen novelty + two
+    distributed prefix sums) over an exported chunk table; DuckDB
+    reproduces every running total and ratio with window functions."""
+    from dataset_dedupe_estimator_spark.plans.estimate import (
+        trend_from_chunks,
+    )
+
+    exported = _export_chunks(spark, sf, _TREND_EXPORT)
+    return trend_from_chunks(exported)
+
+
+CDC_TREND_ORACLE_SQL = f"""
+WITH c AS (SELECT * FROM read_parquet('{_TREND_EXPORT}/*.parquet')),
+pf AS (SELECT file_idx, SUM(size) AS file_bytes FROM c GROUP BY 1),
+ph AS (SELECT hash, MIN(size) AS size, MIN(file_idx) AS first_seen
+       FROM c GROUP BY 1),
+nv AS (SELECT first_seen AS file_idx, SUM(size) AS novel_bytes
+       FROM ph GROUP BY 1)
+SELECT p.file_idx,
+       CAST(p.file_bytes AS BIGINT) AS file_bytes,
+       CAST(COALESCE(n.novel_bytes, 0) AS BIGINT) AS novel_bytes,
+       CAST(SUM(p.file_bytes) OVER (ORDER BY p.file_idx)
+            AS BIGINT) AS cum_total_bytes,
+       CAST(SUM(COALESCE(n.novel_bytes, 0)) OVER (ORDER BY p.file_idx)
+            AS BIGINT) AS cum_unique_bytes,
+       ROUND(
+           CAST(SUM(COALESCE(n.novel_bytes, 0))
+                OVER (ORDER BY p.file_idx) AS DOUBLE)
+           / CAST(SUM(p.file_bytes) OVER (ORDER BY p.file_idx) AS DOUBLE),
+           6) AS cum_dedup_ratio
+FROM pf p LEFT JOIN nv n USING (file_idx)
+ORDER BY p.file_idx
+"""
+
+
 def cdc_index_incremental(spark, sf):
     """Persistent chunk-index lifecycle end-to-end (plans/chunk_index.py):
     build generation 0 from the first half of the corpus, admit the full
@@ -202,6 +319,8 @@ def cdc_index_incremental(spark, sf):
 
 QUERIES = {
     "cdc_estimate": Q(cdc_estimate, None, headline=True),
+    "cdc_stats_oracle": Q(cdc_stats_oracle, CDC_STATS_ORACLE_SQL),
+    "cdc_trend_oracle": Q(cdc_trend_oracle, CDC_TREND_ORACLE_SQL),
     "cdc_dedup_trend": Q(cdc_dedup_trend, None),
     "format_compare_demo": Q(format_compare_demo, None),
     "cdc_per_file_chunks": Q(cdc_per_file_chunks, None),

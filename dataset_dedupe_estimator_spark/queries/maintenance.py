@@ -1844,6 +1844,100 @@ def table_nested_read(spark, sf):
 _NEST_LEN_CUT = 120  # nested zone-map probe on meta.length
 
 
+def table_deep_nested_read(spark, sf):
+    """ARBITRARY-DEPTH nested schema evolution (r11,
+    ``sources/versioned.py`` recursive path mapping — the reference's
+    synthetic schema recursion is unbounded, de/synthetic.py:118-128):
+    a depth-2 struct-of-struct with a list-of-struct payload ingests
+    as-is; the depth-2 path ``meta.inner.length`` gets per-file zone
+    maps and pruned ``read_where``; a DEEP leaf rename
+    (``meta.inner.src`` -> ``origin``) and an INTERMEDIATE struct
+    rename (``meta.inner`` -> ``meta.core``) are both metadata-only
+    and compose — pruning follows the twice-renamed logical path.
+
+    The query RAISES if the depth-2 zone maps prune nothing, if either
+    rename moves data bytes, or if time travel below the renames stops
+    showing the original deep names. The final aggregate groups by the
+    renamed deep leaf path; the deep-pruned count and the summed
+    list-of-struct sizes ride along, so a wrong prune, a broken deep
+    projection, or a mangled nested list all hash-mismatch the
+    oracle."""
+    import shutil
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id",
+        F.struct(
+            F.struct(
+                F.length("text").alias("length"),
+                F.col("source").alias("src"),
+            ).alias("inner"),
+            F.transform(
+                F.sequence(
+                    F.lit(0), (F.col("doc_id") % 2).cast("int")
+                ),
+                lambda i: F.struct((F.col("doc_id") + i).alias("v")),
+            ).alias("items"),
+        ).alias("meta"),
+    )
+    root = tempfile.mkdtemp(prefix="dde_deep_")
+    try:
+        vt.append(
+            root,
+            docs.repartitionByRange(4, F.col("meta.inner.length")),
+            stats_columns=["meta.inner.length"],
+        )
+        st = vt.rename_column(root, "meta.inner.src", "meta.inner.origin")
+        if st.get("dir") is not None:
+            raise AssertionError("deep leaf rename moved data bytes")
+        st2 = vt.rename_column(root, "meta.inner", "meta.core")
+        if st2.get("dir") is not None:
+            raise AssertionError("intermediate rename moved data bytes")
+        v0 = vt.read_version(spark, root, 0)
+        if "inner:struct<length:" not in dict(v0.dtypes)["meta"]:
+            raise AssertionError(
+                f"time travel below the renames re-typed: {v0.dtypes}"
+            )
+        rep = vt.zone_map_prune(
+            root, [("meta.core.length", "<=", _NEST_LEN_CUT)]
+        )
+        if not rep["skipped_files"]:
+            raise AssertionError(
+                f"depth-2 zone maps pruned nothing: {rep}"
+            )
+        n_short = vt.read_where(
+            spark, root, [("meta.core.length", "<=", _NEST_LEN_CUT)]
+        ).count()
+        snap = vt.read_version(spark, root)
+        out = (
+            snap.groupBy(F.col("meta.core.origin").alias("origin"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col("meta.core.length")).alias("sum_length"),
+                F.sum(F.size(F.col("meta.items"))).alias("sum_items"),
+            )
+            .withColumn("n_short", F.lit(n_short).cast("long"))
+            .orderBy("origin")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+TABLE_DEEP_NESTED_READ_SQL = f"""
+SELECT source AS origin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_length,
+       CAST(SUM(doc_id % 2 + 1) AS BIGINT) AS sum_items,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        WHERE LENGTH(text) <= {_NEST_LEN_CUT}) AS n_short
+FROM documents
+GROUP BY 1 ORDER BY origin
+"""
+
+
 def table_archive_read(spark, sf):
     """Bounded commit log (r10, ``sources/versioned.py::archive_log``):
     raw ``v*.json`` entries at or below the newest checkpoint bundle
@@ -1956,6 +2050,9 @@ QUERIES = {
         table_type_widening_read, TABLE_TYPE_WIDENING_READ_SQL
     ),
     "table_nested_read": Q(table_nested_read, TABLE_NESTED_READ_SQL),
+    "table_deep_nested_read": Q(
+        table_deep_nested_read, TABLE_DEEP_NESTED_READ_SQL
+    ),
     "table_archive_read": Q(table_archive_read, TABLE_ARCHIVE_READ_SQL),
     "table_delete_where": Q(table_delete_where, TABLE_DELETE_WHERE_SQL),
     "table_upsert_merge": Q(table_upsert_merge, TABLE_UPSERT_MERGE_SQL),

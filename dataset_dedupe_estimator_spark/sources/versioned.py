@@ -527,11 +527,14 @@ def _to_logical(df: DataFrame, mapping: dict) -> DataFrame:
 
 
 def _name_to_physical(c: str, mapping: dict) -> str:
+    """Longest-suffix recursion: an exact mapping entry wins; otherwise
+    the parent path translates and the leaf rides along unchanged —
+    composing renames of any ancestor at any depth."""
     if c in mapping:
         return mapping[c]
-    top, leaf = _split_path(c)
-    if leaf is not None and top in mapping:  # renamed parent, same leaf
-        return f"{mapping[top]}.{leaf}"
+    parent, _, leaf = c.rpartition(".")
+    if parent:
+        return f"{_name_to_physical(parent, mapping)}.{leaf}"
     return c
 
 
@@ -545,9 +548,9 @@ def _names_to_logical(names, mapping: dict) -> list:
     def one(c):
         if c in inv:
             return inv[c]
-        top, leaf = _split_path(c)
-        if leaf is not None and top in inv:
-            return f"{inv[top]}.{leaf}"
+        parent, _, leaf = c.rpartition(".")
+        if parent:
+            return f"{one(parent)}.{leaf}"
         return c
     return [one(c) for c in names]
 
@@ -558,14 +561,17 @@ def _preds_to_physical(predicates, mapping: dict) -> list:
     return [(_name_to_physical(c, mapping), op, v) for c, op, v in predicates]
 
 
-# --- nested fields (one level: "top.leaf" paths into struct columns) --------
+# --- nested fields (dotted paths into struct columns, any depth) ------------
 #
 # The table layer treats struct/array columns as first-class payloads:
-# they append/read as-is, and ONE level of struct paths ("a.b")
-# participates in per-file zone maps, read_where predicates, and
-# path-based rename/drop (the realistic subset of Delta's field-ID
-# scheme — parquet footers already record leaf stats under the dotted
-# path, and Spark resolves `F.col("a.b")` natively).
+# they append/read as-is, and dotted struct paths of ANY depth
+# ("a.b", "a.b.c", ...) participate in per-file zone maps, read_where
+# predicates, and path-based rename/drop (the realistic subset of
+# Delta's field-ID scheme — parquet footers already record leaf stats
+# under the dotted path, and Spark resolves `F.col("a.b.c")` natively).
+# Paths never descend through arrays or maps: an array<struct<...>>
+# element is an opaque payload (no per-element zone maps exist in a
+# footer's dotted-path namespace Spark predicates can address).
 
 
 def _split_path(name: str):
@@ -575,85 +581,146 @@ def _split_path(name: str):
 
 
 def _struct_leaves(schema) -> set:
-    """Every one-level "top.leaf" path of the schema's struct columns."""
+    """Every dotted struct path of the schema at EVERY depth —
+    intermediate struct-typed fields included (each is itself a
+    nameable path for rename/drop)."""
     from pyspark.sql.types import StructType
 
     out = set()
+
+    def walk(prefix: str, st) -> None:
+        for f in st.fields:
+            p = f"{prefix}.{f.name}"
+            out.add(p)
+            if isinstance(f.dataType, StructType):
+                walk(p, f.dataType)
+
     for f in schema.fields:
         if isinstance(f.dataType, StructType):
-            out.update(f"{f.name}.{sub.name}" for sub in f.dataType.fields)
+            walk(f.name, f.dataType)
     return out
 
 
+def _field_at_path(schema, name: str):
+    """The StructField a dotted path resolves to (descending structs
+    only — never arrays/maps); None when the path doesn't resolve."""
+    from pyspark.sql.types import StructType
+
+    fields = schema.fields
+    f = None
+    for i, seg in enumerate(name.split(".")):
+        if i > 0:
+            if not isinstance(f.dataType, StructType):
+                return None
+            fields = f.dataType.fields
+        f = next((x for x in fields if x.name == seg), None)
+        if f is None:
+            return None
+    return f
+
+
 def _dtype_of_path(df: DataFrame, name: str) -> str | None:
-    """Spark dtype string for a flat column or a one-level struct
-    path; None when the path doesn't resolve."""
-    from pyspark.sql.types import StructType
-
-    top, leaf = _split_path(name)
-    if leaf is None:
-        return dict(df.dtypes).get(name)
-    for f in df.schema.fields:
-        if f.name == top and isinstance(f.dataType, StructType):
-            for sub in f.dataType.fields:
-                if sub.name == leaf:
-                    return sub.dataType.simpleString()
-    return None
+    """Spark dtype string for a flat column or a dotted struct path of
+    any depth; None when the path doesn't resolve."""
+    f = _field_at_path(df.schema, name)
+    return f.dataType.simpleString() if f is not None else None
 
 
-def _rename_struct_field(df: DataFrame, top: str, old: str, new: str):
-    """Order-preserving leaf rename: rebuild the struct with the one
-    field aliased (``withField`` would append instead)."""
+def _rename_struct_field(df: DataFrame, parent: str, old: str, new: str):
+    """Order-preserving rename of field ``old`` -> ``new`` inside the
+    struct at dotted path ``parent`` (any depth): rebuild each struct
+    level with the one field aliased (``withField`` would append
+    instead), keeping NULL structs NULL at every level. No-op when the
+    path or the field doesn't resolve (frames that don't carry the
+    column pass through unchanged)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
-    for f in df.schema.fields:
-        if f.name == top and isinstance(f.dataType, StructType):
-            parts = [
-                F.col(f"{top}.{sub.name}").alias(
-                    new if sub.name == old else sub.name
-                )
-                for sub in f.dataType.fields
-            ]
-            struct = F.struct(*parts)
-            if f.nullable:  # a NULL struct must stay NULL, not {}
-                struct = F.when(F.col(top).isNotNull(), struct)
-            return df.withColumn(top, struct)
-    return df
+    segs = parent.split(".")
+    f0 = _field_at_path(df.schema, segs[0])
+    if f0 is None or not isinstance(f0.dataType, StructType):
+        return df
+
+    def rebuild(expr, st, rest):
+        # rest: path segments still to descend; [] = rename at this level
+        if not rest and not any(s.name == old for s in st.fields):
+            return None
+        parts = []
+        for sub in st.fields:
+            sube = expr.getField(sub.name)
+            if not rest:
+                parts.append(sube.alias(new if sub.name == old else sub.name))
+            elif sub.name == rest[0]:
+                if not isinstance(sub.dataType, StructType):
+                    return None
+                inner = rebuild(sube, sub.dataType, rest[1:])
+                if inner is None:
+                    return None
+                if sub.nullable:  # a NULL struct must stay NULL, not {}
+                    inner = F.when(sube.isNotNull(), inner)
+                parts.append(inner.alias(sub.name))
+            else:
+                parts.append(sube.alias(sub.name))
+        if rest and not any(s.name == rest[0] for s in st.fields):
+            return None
+        return F.struct(*parts)
+
+    built = rebuild(F.col(segs[0]), f0.dataType, segs[1:])
+    if built is None:
+        return df
+    if f0.nullable:
+        built = F.when(F.col(segs[0]).isNotNull(), built)
+    return df.withColumn(segs[0], built)
 
 
-def _drop_struct_field(df: DataFrame, top: str, leaf: str):
+def _drop_struct_field(df: DataFrame, parent: str, leaf: str):
+    """Drop field ``leaf`` from the struct at dotted path ``parent``
+    (any depth); no-op when the path or field doesn't resolve."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
-    for f in df.schema.fields:
-        if f.name == top and isinstance(f.dataType, StructType):
-            if any(sub.name == leaf for sub in f.dataType.fields):
-                return df.withColumn(top, F.col(top).dropFields(leaf))
-    return df
+    f = _field_at_path(df.schema, parent)
+    if f is None or not isinstance(f.dataType, StructType):
+        return df
+    if not any(sub.name == leaf for sub in f.dataType.fields):
+        return df
+    top, _, below = parent.partition(".")
+    rel = f"{below}.{leaf}" if below else leaf
+    return df.withColumn(top, F.col(top).dropFields(rel))
 
 
 def _apply_nested_renames_to_logical(df: DataFrame, mapping: dict):
     """Surface physical leaf names under their logical names (the
-    nested counterpart of :func:`_to_logical`'s top-level renames)."""
-    for logical, physical in mapping.items():
-        ltop, lleaf = _split_path(logical)
-        ptop, pleaf = _split_path(physical)
-        if lleaf is not None and ptop in df.columns:
-            df = _rename_struct_field(df, ptop, pleaf, lleaf)
+    nested counterpart of :func:`_to_logical`'s top-level renames).
+    Deepest entries first: while a deeper rename runs, every ancestor
+    still carries its physical name, so the entry's physical parent
+    path addresses the frame directly."""
+    for logical, physical in sorted(
+        mapping.items(), key=lambda kv: -kv[1].count(".")
+    ):
+        if "." not in logical:
+            continue
+        pparent, _, pleaf = physical.rpartition(".")
+        lleaf = logical.rsplit(".", 1)[1]
+        df = _rename_struct_field(df, pparent, pleaf, lleaf)
     return df
 
 
 def _apply_nested_renames_to_physical(df: DataFrame, mapping: dict):
     """Inverse: incoming frames speak logical leaf names; storage
     speaks the frozen physical ones. Call AFTER the flat top-level
-    renames — the frame's top names are physical by then, so a leaf
-    rename composes with a rename of its parent in either order."""
-    for logical, physical in mapping.items():
-        _, lleaf = _split_path(logical)
-        ptop, pleaf = _split_path(physical)
-        if lleaf is not None and ptop in df.columns:
-            df = _rename_struct_field(df, ptop, lleaf, pleaf)
+    renames — the frame's top names are physical by then. Shallowest
+    entries first: once an ancestor's rename has been applied, the
+    frame addresses it by its PHYSICAL name, which is exactly how a
+    deeper entry's physical parent path spells it."""
+    for logical, physical in sorted(
+        mapping.items(), key=lambda kv: kv[0].count(".")
+    ):
+        if "." not in logical:
+            continue
+        pparent, _, pleaf = physical.rpartition(".")
+        lleaf = logical.rsplit(".", 1)[1]
+        df = _rename_struct_field(df, pparent, lleaf, pleaf)
     return df
 
 
@@ -679,43 +746,59 @@ def _split_struct_items(inner: str) -> list[str]:
 
 def _strip_dropped_leaves(col: str, dtype: str, dropped) -> str:
     """A struct column's recorded type signature minus its dropped
-    leaves — what the NEXT append's frame legitimately carries (the
-    retired fields may never reappear, so the guard must compare
-    against the post-drop shape)."""
-    leaves = {
-        _split_path(p)[1]
-        for p in dropped
-        if "." in p and _split_path(p)[0] == col
-    }
-    if not leaves or not dtype.startswith("struct<"):
+    leaves — at any nesting depth — what the NEXT append's frame
+    legitimately carries (the retired fields may never reappear, so
+    the guard must compare against the post-drop shape)."""
+    rel = {p[len(col) + 1:] for p in dropped if p.startswith(col + ".")}
+    if not rel or not dtype.startswith("struct<"):
         return dtype
-    items = [
-        it for it in _split_struct_items(dtype[len("struct<"):-1])
-        if it.split(":", 1)[0] not in leaves
-    ]
-    return "struct<" + ",".join(items) + ">"
+
+    def strip(sig: str, paths: set) -> str:
+        if not sig.startswith("struct<"):
+            return sig
+        here = {p for p in paths if "." not in p}
+        deeper: dict[str, set] = {}
+        for p in paths:
+            if "." in p:
+                h, _, rest = p.partition(".")
+                deeper.setdefault(h, set()).add(rest)
+        items = []
+        for it in _split_struct_items(sig[len("struct<"):-1]):
+            n, _, t = it.partition(":")
+            if n in here:
+                continue
+            if n in deeper:
+                t = strip(t, deeper[n])
+            items.append(f"{n}:{t}")
+        return "struct<" + ",".join(items) + ">"
+
+    return strip(dtype, rel)
 
 
 def _apply_nested_drops(df: DataFrame, dropped) -> DataFrame:
-    """Hide dropped struct leaves from a reader-facing frame (the
-    physical bytes stay in pre-drop files until a rewrite)."""
+    """Hide dropped struct leaves — at any depth — from a
+    reader-facing frame (the physical bytes stay in pre-drop files
+    until a rewrite). A path under an already-dropped subtree resolves
+    to nothing and no-ops, so iteration order doesn't matter."""
     for name in dropped:
-        top, leaf = _split_path(name)
-        if leaf is not None and top in df.columns:
-            df = _drop_struct_field(df, top, leaf)
+        parent, _, leaf = name.rpartition(".")
+        if parent:
+            df = _drop_struct_field(df, parent, leaf)
     return df
 
 
 def _physical_struct_fields(
-    root: Path, entries: list[dict], ptop: str
+    root: Path, entries: list[dict], ppath: str
 ) -> list[str] | None:
-    """Physical field names of struct column ``ptop``, read from the
-    newest live data file that carries it (one footer read — property
-    commits stay metadata-only otherwise). None if ``ptop`` is not a
-    struct or no live file carries it."""
+    """Physical field names of the struct at dotted physical path
+    ``ppath`` (any depth), read from the newest live data file that
+    carries it (one footer read — property commits stay metadata-only
+    otherwise). None if the path is not a struct (or descends through
+    a non-struct) or no live file carries it."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    segs = ppath.split(".")
     seen_dirs = set()
     for e in reversed(entries):
         d = e.get("dir")
@@ -724,8 +807,22 @@ def _physical_struct_fields(
         seen_dirs.add(d)
         for f in sorted((root / _DATA / d).rglob("*.parquet")):
             sch = pq.read_schema(str(f))
-            if ptop in sch.names:
-                t = sch.field(ptop).type
+            if segs[0] in sch.names:
+                t = sch.field(segs[0]).type
+                for seg in segs[1:]:
+                    if not pa.types.is_struct(t):
+                        return None
+                    sub = next(
+                        (
+                            t.field(i)
+                            for i in range(t.num_fields)
+                            if t.field(i).name == seg
+                        ),
+                        None,
+                    )
+                    if sub is None:
+                        return None
+                    t = sub.type
                 if pa.types.is_struct(t):
                     return [t.field(i).name for i in range(t.num_fields)]
                 return None
@@ -733,12 +830,43 @@ def _physical_struct_fields(
     return None
 
 
+def _resolve_struct_parent(
+    root: Path, entries: list[dict], mapping: dict, parent: str
+):
+    """Shared rename/drop validation for a nested path's PARENT: the
+    logical parent path (any depth) must resolve — through the mapping
+    and outside every dropped subtree — to a materialized struct.
+    Returns ``(pparent, logical_leaves)`` where ``logical_leaves`` maps
+    each live leaf's LOGICAL name to its physical field name."""
+    pparent = _name_to_physical(parent, mapping)
+    segs = pparent.split(".")
+    dropped = _dropped_columns(entries)
+    if segs[0] not in entries[-1]["columns"] or any(
+        ".".join(segs[: i + 1]) in dropped for i in range(len(segs))
+    ):
+        raise ValueError(f"column {parent!r} not in table schema")
+    pfields = _physical_struct_fields(root, entries, pparent)
+    if pfields is None:
+        raise ValueError(
+            f"column {parent!r} is not a struct column with live data "
+            "— nested rename/drop needs a materialized struct field"
+        )
+    logical_leaves = {
+        _names_to_logical([f"{pparent}.{pf}"], mapping)[0].rsplit(".", 1)[1]: pf
+        for pf in pfields
+        if f"{pparent}.{pf}" not in dropped
+    }
+    return pparent, pfields, logical_leaves
+
+
 def _rename_nested_leaf(root: Path, old: str, new: str) -> dict:
-    """Leaf rename under the path-based column mapping: a metadata-only
-    commit re-publishing the mapping with ``top.new -> ptop.pleaf``.
-    Composes with a rename of the parent in either order (the write
-    path applies flat renames first, then leaf renames keyed by the
-    physical top)."""
+    """Nested-path rename under the path-based column mapping (any
+    depth): a metadata-only commit re-publishing the mapping with
+    ``parent.new -> pparent.pleaf``. Composes with renames of any
+    ancestor in either order (the write path applies flat renames
+    first, then nested renames shallowest-first, each keyed by its
+    physical parent path); renaming an intermediate STRUCT field
+    re-keys the mapping entries of everything beneath it."""
     with writer_lock(root, wait_seconds=_LOCK_WAIT):
         entries = _snapshot_entries(root)
         if not entries:
@@ -748,29 +876,16 @@ def _rename_nested_leaf(root: Path, old: str, new: str) -> dict:
             )
         last = entries[-1]
         mapping = _column_mapping(entries)
-        top, oleaf = _split_path(old)
-        ntop, nleaf = _split_path(new)
-        if ntop != top or nleaf is None:
+        parent, _, oleaf = old.rpartition(".")
+        nparent, _, nleaf = new.rpartition(".")
+        if nparent != parent or not nleaf:
             raise ValueError(
                 f"nested rename must stay inside its struct: "
                 f"{old!r} -> {new!r}"
             )
-        ptop = mapping.get(top, top)
-        if ptop not in last["columns"]:
-            raise ValueError(f"column {top!r} not in table schema")
-        pfields = _physical_struct_fields(root, entries, ptop)
-        if pfields is None:
-            raise ValueError(
-                f"column {top!r} is not a struct column with live data "
-                "— nested rename needs a materialized struct field"
-            )
-        dropped = _dropped_columns(entries)
-        inv = {p: l for l, p in mapping.items()}
-        logical_leaves = {
-            _split_path(inv.get(f"{ptop}.{pf}", f"{ptop}.{pf}"))[1]: pf
-            for pf in pfields
-            if f"{ptop}.{pf}" not in dropped
-        }
+        pparent, pfields, logical_leaves = _resolve_struct_parent(
+            root, entries, mapping, parent
+        )
         if oleaf not in logical_leaves:
             raise ValueError(
                 f"struct field {old!r} not in table schema "
@@ -779,17 +894,25 @@ def _rename_nested_leaf(root: Path, old: str, new: str) -> dict:
         if nleaf in logical_leaves and logical_leaves[nleaf] != logical_leaves[oleaf]:
             raise ValueError(f"struct field {new!r} already exists")
         pleaf = logical_leaves[oleaf]
-        physical = f"{ptop}.{pleaf}"
+        physical = f"{pparent}.{pleaf}"
         if nleaf != pleaf and nleaf in pfields:
             raise ValueError(
                 f"field name {nleaf!r} is the PHYSICAL name of another "
                 "leaf — pre-rename files would become ambiguous"
             )
-        new_mapping = {
-            l: p for l, p in mapping.items() if p != physical or "." not in l
-        }
+        # drop this leaf's own entry; re-key everything BENEATH the
+        # renamed path (an intermediate struct rename moves the logical
+        # prefix of its descendants, physical side frozen)
+        new_mapping = {}
+        for l, p in mapping.items():
+            if p == physical and "." in l:
+                continue
+            if l == old or l.startswith(old + "."):
+                new_mapping[new + l[len(old):]] = p
+            else:
+                new_mapping[l] = p
         if nleaf != pleaf:  # renaming back to the original drops it
-            new_mapping[f"{top}.{nleaf}"] = physical
+            new_mapping[new] = physical
         entry = {
             "version": last["version"] + 1,
             "action": "rename_column",
@@ -827,10 +950,11 @@ def rename_column(root: str | Path, old: str, new: str) -> dict:
     renamed-away physical name (it would collide with the old column's
     data in pre-rename files — the writer refuses with a clear error).
 
-    A one-level struct path (``rename_column(root, "a.b", "a.c")``)
-    renames a LEAF under the same path-based mapping — equally
-    metadata-only, composing with a rename of the parent column in
-    either order.
+    A dotted struct path of any depth (``rename_column(root, "a.b.c",
+    "a.b.d")``) renames a nested FIELD under the same path-based
+    mapping — equally metadata-only, composing with renames of any
+    ancestor in either order; renaming an intermediate struct field
+    re-keys the mapping of everything beneath it.
     """
     root = Path(root)
     if "." in old:
@@ -915,9 +1039,11 @@ def rename_column(root: str | Path, old: str, new: str) -> dict:
 
 
 def _drop_nested_leaf(root: Path, name: str) -> dict:
-    """Leaf drop: metadata-only — retires the PHYSICAL path forever
-    (pre-drop files keep the bytes; re-using the field name would
-    resurrect them) and sheds stats declarations on it."""
+    """Nested-path drop (any depth): metadata-only — retires the
+    PHYSICAL path forever (pre-drop files keep the bytes; re-using the
+    field name would resurrect them) and sheds stats declarations and
+    mapping entries on it AND on everything beneath it (dropping an
+    intermediate STRUCT field drops its whole subtree)."""
     with writer_lock(root, wait_seconds=_LOCK_WAIT):
         entries = _snapshot_entries(root)
         if not entries:
@@ -927,22 +1053,11 @@ def _drop_nested_leaf(root: Path, name: str) -> dict:
             )
         last = entries[-1]
         mapping = _column_mapping(entries)
-        top, leaf = _split_path(name)
-        ptop = mapping.get(top, top)
-        if ptop not in last["columns"]:
-            raise ValueError(f"column {top!r} not in table schema")
-        pfields = _physical_struct_fields(root, entries, ptop)
-        if pfields is None:
-            raise ValueError(
-                f"column {top!r} is not a struct column with live data"
-            )
+        parent, _, leaf = name.rpartition(".")
+        pparent, _pfields, logical_leaves = _resolve_struct_parent(
+            root, entries, mapping, parent
+        )
         dropped = _dropped_columns(entries)
-        inv = {p: l for l, p in mapping.items()}
-        logical_leaves = {
-            _split_path(inv.get(f"{ptop}.{pf}", f"{ptop}.{pf}"))[1]: pf
-            for pf in pfields
-            if f"{ptop}.{pf}" not in dropped
-        }
         if leaf not in logical_leaves:
             raise ValueError(
                 f"struct field {name!r} not in table schema "
@@ -950,14 +1065,18 @@ def _drop_nested_leaf(root: Path, name: str) -> dict:
             )
         if len(logical_leaves) == 1:
             raise ValueError(
-                f"cannot drop the only field of struct {top!r} — drop "
+                f"cannot drop the only field of struct {parent!r} — drop "
                 "the whole column instead"
             )
-        physical = f"{ptop}.{logical_leaves[leaf]}"
+        physical = f"{pparent}.{logical_leaves[leaf]}"
+
+        def under(p: str) -> bool:
+            return p == physical or p.startswith(physical + ".")
+
         cons = _active_constraints(entries)
         if cons is not None:
             used = set(cons["not_null"]) | {c for c, _, _ in cons["checks"]}
-            if physical in used:
+            if any(under(c) for c in used):
                 raise ValueError(
                     f"struct field {name!r} is referenced by an active "
                     "constraint — drop or replace the constraints first "
@@ -969,20 +1088,24 @@ def _drop_nested_leaf(root: Path, name: str) -> dict:
             "dir": None,
             "columns": last["columns"],  # the struct column stays
             "partition_by": last.get("partition_by") or [],
+            # the subtree's mapping entries go with it
             "column_mapping": {
-                l: p for l, p in mapping.items() if p != physical
+                l: p for l, p in mapping.items() if not under(p)
             },
             "dropped_columns": sorted(dropped | {physical}),
             "dropped": [name, physical],
             "ts": time.time(),
         }
         stats_cols = [
-            c for c in (last.get("stats_columns") or []) if c != physical
+            c for c in (last.get("stats_columns") or []) if not under(c)
         ]
         if stats_cols:
             entry["stats_columns"] = stats_cols
-        if last.get("bloom_columns"):
-            entry["bloom_columns"] = last["bloom_columns"]
+        bloom_cols = [
+            c for c in (last.get("bloom_columns") or []) if not under(c)
+        ]
+        if bloom_cols:
+            entry["bloom_columns"] = bloom_cols
             entry["bloom_bits"] = last.get("bloom_bits") or 65_536
         if last.get("change_feed"):
             entry["change_feed"] = True
@@ -1009,10 +1132,11 @@ def drop_column(root: str | Path, name: str) -> dict:
     active constraint (drop or replace the constraint first).
     Stats / bloom declarations shed the column automatically.
 
-    A one-level struct path (``drop_column(root, "a.b")``) drops a
-    LEAF: the struct column stays, readers stop projecting the field
-    (``dropFields``), its physical path is retired forever, and the
-    bytes persist in pre-drop files until a rewrite.
+    A dotted struct path of any depth (``drop_column(root, "a.b.c")``)
+    drops a nested FIELD: the struct column stays, readers stop
+    projecting the field (``dropFields``), its physical path is
+    retired forever (subtree included when the field is itself a
+    struct), and the bytes persist in pre-drop files until a rewrite.
     """
     root = Path(root)
     if "." in name:
@@ -1079,7 +1203,8 @@ def drop_column(root: str | Path, name: str) -> dict:
         if stats_cols:
             entry["stats_columns"] = stats_cols
         bloom_cols = [
-            c for c in (last.get("bloom_columns") or []) if c != physical
+            c for c in (last.get("bloom_columns") or [])
+            if c != physical and _split_path(c)[0] != physical
         ]
         if bloom_cols:
             entry["bloom_columns"] = bloom_cols
@@ -1692,7 +1817,7 @@ def _validate_bloom_columns(
     df: DataFrame, bloom_columns: list[str], partition_by: list[str]
 ) -> list[str]:
     for c in bloom_columns:
-        dt = _dtype_of_path(df, c)  # flat column or one-level "a.b"
+        dt = _dtype_of_path(df, c)  # flat column or dotted struct path
         if dt is None:
             raise ValueError(f"bloom column {c!r} not in commit schema")
         if c in partition_by:
@@ -1712,7 +1837,7 @@ def _validate_stats_columns(
     df: DataFrame, stats_columns: list[str], partition_by: list[str]
 ) -> list[str]:
     for c in stats_columns:
-        dt = _dtype_of_path(df, c)  # flat column or one-level "a.b"
+        dt = _dtype_of_path(df, c)  # flat column or dotted struct path
         if dt is None:
             raise ValueError(f"stats column {c!r} not in commit schema")
         if c in partition_by:
@@ -1816,17 +1941,17 @@ def _stage_commit(
                 "ambiguous; pick different names"
             )
         for logical, physical in mapping.items():
-            ltop, lleaf = _split_path(logical)
-            if lleaf is None:
+            if "." not in logical:
                 continue
-            _, pleaf = _split_path(physical)
-            if ltop in df.columns and _dtype_of_path(
-                df, f"{ltop}.{pleaf}"
+            lparent, _, lleaf = logical.rpartition(".")
+            pleaf = physical.rsplit(".", 1)[1]
+            if pleaf != lleaf and _dtype_of_path(
+                df, f"{lparent}.{pleaf}"
             ) is not None and _dtype_of_path(df, logical) is not None:
                 raise ValueError(
-                    f"struct field {ltop}.{pleaf!r} is the PHYSICAL name "
-                    f"of renamed leaf {logical!r} — reusing it would make "
-                    "pre-rename files ambiguous; pick a different name"
+                    f"struct field {lparent}.{pleaf!r} is the PHYSICAL "
+                    f"name of renamed leaf {logical!r} — reusing it would "
+                    "make pre-rename files ambiguous; pick a different name"
                 )
         df = df.withColumnsRenamed(
             {l: p for l, p in mapping.items() if "." not in l}
@@ -2906,8 +3031,14 @@ def zone_map_prune(
     gone = _dropped_columns(live_entries)
 
     def _in_schema(c):
-        top, leaf = _split_path(c)
-        return top in known and c not in gone
+        segs = c.split(".")
+        if segs[0] not in known:
+            return False
+        # neither the path nor any ancestor may be dropped (a dropped
+        # subtree's data still sits in pre-drop files)
+        return not any(
+            ".".join(segs[: i + 1]) in gone for i in range(len(segs))
+        )
     unknown = sorted({c for c, _, _ in predicates if not _in_schema(c)})
     if unknown:
         # a dropped column's data still sits in pre-drop files — a

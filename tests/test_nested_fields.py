@@ -285,15 +285,191 @@ def test_nested_bloom_pruning(spark, tmp_path):
     assert rep2["kept_files"] == 0
 
 
-def test_deeper_nesting_refuses_clearly(spark, tmp_path):
-    """Two-level paths ('a.b.c') are out of the supported subset —
-    every surface refuses with a clear error instead of mis-resolving."""
+_DEEP_DDL = (
+    "k: long, outer: struct<inner: struct<x: long, s: string>, w: long>, "
+    "items: array<struct<v: long>>"
+)
+
+
+def _deep_df(spark, rows):
+    """rows: (k, x, s, w) -> depth-2 struct-of-struct + list-of-struct."""
+    return spark.createDataFrame(
+        [(k, {"inner": {"x": x, "s": s}, "w": w}, [{"v": k}, {"v": k + 1}])
+         for k, x, s, w in rows],
+        _DEEP_DDL,
+    )
+
+
+@pytest.fixture()
+def deep_table(spark, tmp_path):
+    """Two commits with depth-2 zone maps on outer.inner.x: v0 x 0..9,
+    v1 x 100..109."""
+    root = tmp_path / "deep"
+    vt.append(
+        root,
+        _deep_df(spark, [(i, i, "en", i * 10) for i in range(10)]),
+        num_files=2, stats_columns=["outer.inner.x"],
+    )
+    vt.append(
+        root,
+        _deep_df(spark, [(100 + i, 100 + i, "de", i) for i in range(10)]),
+        num_files=2,
+    )
+    return root
+
+
+def test_deep_nested_zone_maps_prune(spark, deep_table):
+    """Depth-2 struct paths carry per-file zone maps and prune files
+    exactly like one-level paths (r11; the reference's synthetic schema
+    recursion is unbounded — de/synthetic.py:118-128)."""
+    rep = vt.zone_map_prune(deep_table, [("outer.inner.x", ">=", 100)])
+    assert rep["skipped_files"] == 2 and rep["kept_files"] == 2
+    got = vt.read_where(spark, deep_table, [("outer.inner.x", ">=", 100)])
+    assert sorted(r.k for r in got.collect()) == list(range(100, 110))
+    # list-of-struct rides along as an opaque payload
+    row = got.filter(F.col("k") == 105).collect()[0]
+    assert [e.v for e in row.items] == [105, 106]
+
+
+def test_deep_rename_and_drop(spark, deep_table):
+    """Deep rename is metadata-only and composes with ancestor
+    renames; deep drop hides the leaf and keeps pruning the rest."""
+    vt.rename_column(deep_table, "outer.inner.x", "outer.inner.score")
+    df = vt.read_version(spark, deep_table)
+    assert dict(df.dtypes)["outer"] == (
+        "struct<inner:struct<score:bigint,s:string>,w:bigint>"
+    )
+    assert df.filter(F.col("outer.inner.score") >= 100).count() == 10
+    # time travel below the rename sees the old leaf name
+    assert "x:" in dict(vt.read_version(spark, deep_table, 1).dtypes)["outer"]
+    # renamed path keeps pruning (logical -> physical through the map)
+    rep = vt.zone_map_prune(deep_table, [("outer.inner.score", ">=", 100)])
+    assert rep["skipped_files"] == 2
+    # appends speak the NEW deep name and round-trip through physical
+    vt.append(
+        deep_table,
+        spark.createDataFrame(
+            [(500, {"inner": {"score": 500, "s": "fr"}, "w": 1}, [])],
+            "k: long, outer: struct<inner: struct<score: long, s: string>, "
+            "w: long>, items: array<struct<v: long>>",
+        ),
+        num_files=1,
+    )
+    snap = vt.read_version(spark, deep_table)
+    assert snap.filter(F.col("outer.inner.score") == 500).count() == 1
+    # drop the OTHER deep leaf: hidden from reads, predicates refused
+    vt.drop_column(deep_table, "outer.inner.s")
+    df2 = vt.read_version(spark, deep_table)
+    assert dict(df2.dtypes)["outer"] == (
+        "struct<inner:struct<score:bigint>,w:bigint>"
+    )
+    with pytest.raises(ValueError, match="not in the table schema"):
+        vt.zone_map_prune(deep_table, [("outer.inner.s", "==", "en")])
+    # time travel below the drop still reads it
+    assert "s:string" in dict(
+        vt.read_version(spark, deep_table, 1).dtypes
+    )["outer"]
+
+
+def test_deep_rename_of_intermediate_rekeys_descendants(spark, deep_table):
+    """Renaming an intermediate struct field moves the logical prefix
+    of everything beneath it (mapping re-key), composing in any
+    order with leaf renames above and below."""
+    vt.rename_column(deep_table, "outer.inner.x", "outer.inner.score")
+    vt.rename_column(deep_table, "outer.inner", "outer.detail")
+    df = vt.read_version(spark, deep_table)
+    assert dict(df.dtypes)["outer"] == (
+        "struct<detail:struct<score:bigint,s:string>,w:bigint>"
+    )
+    assert df.filter(F.col("outer.detail.score") >= 100).count() == 10
+    # pruning follows the twice-renamed path
+    rep = vt.zone_map_prune(deep_table, [("outer.detail.score", ">=", 100)])
+    assert rep["skipped_files"] == 2
+    # and the top-level parent rename composes on top
+    vt.rename_column(deep_table, "outer", "o2")
+    df2 = vt.read_version(spark, deep_table)
+    assert df2.filter(F.col("o2.detail.score") >= 100).count() == 10
+    rep2 = vt.zone_map_prune(deep_table, [("o2.detail.score", ">=", 100)])
+    assert rep2["skipped_files"] == 2
+    # appends under the fully-renamed deep path round-trip
+    vt.append(
+        deep_table,
+        spark.createDataFrame(
+            [(600, {"detail": {"score": 600, "s": "it"}, "w": 2}, [])],
+            "k: long, o2: struct<detail: struct<score: long, s: string>, "
+            "w: long>, items: array<struct<v: long>>",
+        ),
+        num_files=1,
+    )
+    assert vt.read_version(spark, deep_table).filter(
+        F.col("o2.detail.score") == 600
+    ).count() == 1
+
+
+def test_drop_intermediate_struct_drops_subtree(spark, deep_table):
+    """Dropping an intermediate struct field retires its whole
+    subtree: reads hide it, predicates beneath it refuse, stats shed."""
+    vt.rename_column(deep_table, "outer.inner.x", "outer.inner.score")
+    vt.drop_column(deep_table, "outer.inner")
+    df = vt.read_version(spark, deep_table)
+    assert dict(df.dtypes)["outer"] == "struct<w:bigint>"
+    with pytest.raises(ValueError, match="not in the table schema"):
+        vt.zone_map_prune(deep_table, [("outer.inner.score", ">=", 100)])
+    # appends without the dropped subtree pass the type guard
+    vt.append(
+        deep_table,
+        spark.createDataFrame(
+            [(700, {"w": 7}, [])],
+            "k: long, outer: struct<w: long>, "
+            "items: array<struct<v: long>>",
+        ),
+        num_files=1,
+    )
+    assert vt.read_version(spark, deep_table).count() == 21
+    # frames still carrying the retired subtree are refused
+    with pytest.raises(ValueError, match="DROPPED"):
+        vt.append(
+            deep_table,
+            _deep_df(spark, [(701, 1, "xx", 0)]),
+            num_files=1,
+        )
+
+
+def test_deep_type_widening(spark, tmp_path):
+    """allow_type_widening promotes leaves at depth 2 (int -> bigint
+    inside struct-of-struct) like top-level columns."""
+    root = tmp_path / "w"
+    ddl_narrow = "k: long, outer: struct<inner: struct<x: int>>"
+    ddl_wide = "k: long, outer: struct<inner: struct<x: long>>"
+    vt.append(
+        root,
+        spark.createDataFrame([(1, {"inner": {"x": 1}})], ddl_narrow),
+        num_files=1,
+    )
+    with pytest.raises(ValueError, match="type mismatch"):
+        vt.append(
+            root,
+            spark.createDataFrame([(2, {"inner": {"x": 2}})], ddl_wide),
+            num_files=1,
+        )
+    vt.append(
+        root,
+        spark.createDataFrame([(2, {"inner": {"x": 2}})], ddl_wide),
+        num_files=1, allow_type_widening=True,
+    )
+    snap = vt.read_version(spark, root)
+    assert dict(snap.dtypes)["outer"] == "struct<inner:struct<x:bigint>>"
+    assert sorted(r.outer.inner.x for r in snap.collect()) == [1, 2]
+
+
+def test_array_element_paths_refuse(spark, tmp_path):
+    """Paths never descend through arrays: an array<struct<...>>
+    element is an opaque payload — stats/rename/drop on it refuse."""
     root = tmp_path / "t"
     vt.append(
         root,
         spark.createDataFrame(
-            [(1, {"inner": {"x": 1}})],
-            "k: long, outer: struct<inner: struct<x: long>>",
+            [(1, [{"v": 1}])], "k: long, items: array<struct<v: long>>"
         ),
         num_files=1,
     )
@@ -301,26 +477,11 @@ def test_deeper_nesting_refuses_clearly(spark, tmp_path):
         vt.append(
             root,
             spark.createDataFrame(
-                [(2, {"inner": {"x": 2}})],
-                "k: long, outer: struct<inner: struct<x: long>>",
+                [(2, [{"v": 2}])], "k: long, items: array<struct<v: long>>"
             ),
-            num_files=1, stats_columns=["outer.inner.x"],
+            num_files=1, stats_columns=["items.v"],
         )
-    with pytest.raises(ValueError, match="not in table schema"):
-        vt.rename_column(root, "outer.inner.x", "outer.inner.y")
-    with pytest.raises(ValueError, match="not in table schema"):
-        vt.drop_column(root, "outer.inner.x")
-    # deeper PREDICATES degrade gracefully: no zone maps exist for the
-    # path so nothing prunes, and the row filter still applies exactly
-    rep = vt.zone_map_prune(root, [("outer.inner.x", "==", 1)])
-    assert rep["skipped_files"] == 0
-    got = vt.read_where(spark, root, [("outer.inner.x", "==", 1)])
-    assert [r.k for r in got.collect()] == [1]
-    assert vt.read_where(
-        spark, root, [("outer.inner.x", "==", 99)]
-    ).count() == 0
-    # one-level rename of the INNER STRUCT leaf itself works (the leaf
-    # is 'inner', a struct-typed field of 'outer')
-    vt.rename_column(root, "outer.inner", "outer.nested")
-    df = vt.read_version(spark, root)
-    assert dict(df.dtypes)["outer"] == "struct<nested:struct<x:bigint>>"
+    with pytest.raises(ValueError, match="not a struct"):
+        vt.rename_column(root, "items.v", "items.w")
+    with pytest.raises(ValueError, match="not a struct"):
+        vt.drop_column(root, "items.v")

@@ -112,3 +112,113 @@ def test_random_nested_histories_time_travel_exactly(
             for r in df.collect()
         )
         assert got == want_rows, f"version {version}: {got} != {want_rows}"
+
+
+# --- depth-2 variant (r11): struct-of-struct with deep ops ------------------
+
+_OP2 = st.one_of(
+    st.tuples(st.just("append"), _ROWS),
+    st.tuples(st.just("rename_x"), st.none()),     # deep leaf x <-> xx
+    st.tuples(st.just("rename_inner"), st.none()),  # intermediate in <-> inn
+    st.tuples(st.just("drop_y"), st.none()),       # deep leaf, at most once
+    st.tuples(st.just("widen_x"), _ROWS),          # deep int leaf -> bigint
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_OP2, min_size=2, max_size=6))
+def test_random_deep_nested_histories_time_travel_exactly(
+    spark, tmp_path_factory, ops
+):
+    """Depth-2 counterpart: random append / deep-leaf rename /
+    intermediate-struct rename / deep drop / deep widen sequences —
+    every historical snapshot must reproduce the model's rows and the
+    full recursive struct shape (arbitrary-depth path mapping is
+    linearizable; the reference's synthetic schema recursion is
+    unbounded, de/synthetic.py:118-128)."""
+    root = tmp_path_factory.mktemp("nvm2") / "tbl"
+    inner, xleaf = "in", "x"     # current LOGICAL names (depth 1 and 2)
+    y_alive = True
+    x_wide = False
+    live: list[tuple] = []       # (k, x, y|None) logical rows
+    snapshots: list[tuple] = []
+
+    def _ddl():
+        fields = [f"{xleaf}: {'bigint' if x_wide else 'int'}"]
+        if y_alive:
+            fields.append("y: long")
+        return (
+            f"k: long, o: struct<`{inner}`: "
+            f"struct<{', '.join(fields)}>, w: long>"
+        )
+
+    def _frame(rows):
+        data = [
+            (k, {inner: ({xleaf: x, "y": y} if y_alive else {xleaf: x}),
+                 "w": k})
+            for k, x, y in rows
+        ]
+        return spark.createDataFrame(data, _ddl())
+
+    def _shape():
+        leaves = [xleaf] + (["y"] if y_alive else [])
+        return (inner, tuple(leaves))
+
+    for kind, arg in ops:
+        if kind == "append":
+            if not snapshots and x_wide:
+                x_wide = False
+            vt.append(root, _frame(arg), num_files=1)
+            live = live + [(k, x, y if y_alive else None) for k, x, y in arg]
+        elif kind == "rename_x":
+            if not snapshots:
+                continue
+            new = "xx" if xleaf == "x" else "x"
+            vt.rename_column(root, f"o.{inner}.{xleaf}", f"o.{inner}.{new}")
+            xleaf = new
+        elif kind == "rename_inner":
+            if not snapshots:
+                continue
+            new = "inn" if inner == "in" else "in"
+            vt.rename_column(root, f"o.{inner}", f"o.{new}")
+            inner = new
+        elif kind == "drop_y":
+            if not snapshots or not y_alive:
+                continue
+            vt.drop_column(root, f"o.{inner}.y")
+            y_alive = False
+            live = [(k, x, None) for k, x, _y in live]
+        elif kind == "widen_x":
+            if not snapshots or x_wide:
+                continue
+            x_wide = True
+            vt.append(root, _frame(arg), num_files=1,
+                      allow_type_widening=True)
+            live = live + [(k, x, y if y_alive else None) for k, x, y in arg]
+        snapshots.append((sorted(live), _shape()))
+
+    assert len(vt.history(root)) == len(snapshots)
+    for version, (want_rows, (want_inner, want_leaves)) in enumerate(
+        snapshots
+    ):
+        df = vt.read_version(spark, root, version)
+        assert set(df.columns) == {"k", "o"}, (version, df.columns)
+        ost = df.schema["o"].dataType
+        assert tuple(f.name for f in ost.fields) == (want_inner, "w")
+        got_fields = tuple(
+            f.name for f in ost[want_inner].dataType.fields
+        )
+        assert got_fields == want_leaves, (version, got_fields, want_leaves)
+        got = sorted(
+            (
+                r["k"],
+                r["o"][want_inner][want_leaves[0]],
+                r["o"][want_inner]["y"] if "y" in want_leaves else None,
+            )
+            for r in df.collect()
+        )
+        assert got == want_rows, f"version {version}: {got} != {want_rows}"
