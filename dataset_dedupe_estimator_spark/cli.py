@@ -98,6 +98,54 @@ def _maybe_html(args, rdf) -> None:
         print(f"chart written to {out}")
 
 
+def cmd_rewrite(args) -> int:
+    """`de rewrite FILES...` (de/cli.py:253-259): rewrite each named
+    parquet to ``<stem>-dedup.parquet`` NEXT TO the input (the
+    reference's ParquetCpp(use_cdc=True) one-off). CDC-chunked when
+    pyarrow supports ``use_content_defined_chunking`` (>= 21); in
+    older environments the CDC format raises its labeled seam — pass
+    ``--plain`` to rewrite with the vanilla parquet writer (same
+    naming, same single-file accounting unit)."""
+    from dataset_dedupe_estimator_spark.sources.formats import (
+        CdcParams,
+        CdcParquetFormat,
+        ParquetFormat,
+    )
+
+    spark = _spark(args)
+    if args.plain:
+        fmt = ParquetFormat(compression=args.compression)
+    else:
+        fmt = CdcParquetFormat(
+            compression=args.compression,
+            cdc=CdcParams(
+                min_chunk_size=args.cdc_min, max_chunk_size=args.cdc_max
+            ),
+        )
+    import shutil
+
+    for path in args.files:
+        p = Path(path)
+        try:
+            dest = fmt.write(spark, p.stem + "-dedup", p, p.parent)
+        except NotImplementedError as e:
+            print(f"rewrite: {e}", file=sys.stderr)
+            print(
+                "rewrite: pass --plain to rewrite with the vanilla "
+                "parquet writer",
+                file=sys.stderr,
+            )
+            return 2
+        # exact reference naming (de/cli.py:253-259): <stem>-dedup.parquet
+        # — derive_path embeds format params for comparison runs; the
+        # one-off rewrite doesn't want them
+        final = p.parent / f"{p.stem}-dedup.parquet"
+        if dest != final:
+            shutil.move(dest, final)
+        print(final)
+    return 0
+
+
 def cmd_synthetic(args) -> int:
     """`de synthetic -s S -e E SCHEMA` (de/cli.py:65-145): generate variants,
     write them in every format, compare dedup ratios."""
@@ -1741,6 +1789,20 @@ def build_parser() -> argparse.ArgumentParser:
         help="cap on zlib probe bytes per chunk (0 skips the probe)",
     )
     d.set_defaults(fn=cmd_dedup)
+
+    rw = sub.add_parser(
+        "rewrite",
+        help="rewrite named parquet files to <stem>-dedup.parquet in place",
+    )
+    rw.add_argument("files", nargs="+")
+    rw.add_argument("--compression", default="snappy")
+    rw.add_argument(
+        "--plain", action="store_true",
+        help="vanilla parquet writer (CDC needs pyarrow >= 21)",
+    )
+    rw.add_argument("--cdc-min", type=int, default=256 * 1024)
+    rw.add_argument("--cdc-max", type=int, default=1024 * 1024)
+    rw.set_defaults(fn=cmd_rewrite)
 
     s = sub.add_parser("synthetic", help="generate synthetic variants and compare formats")
     s.add_argument("schema", help='JSON schema, e.g. {"a": "int", "b": "str"}')

@@ -383,3 +383,31 @@ def test_cli_text_index_lifecycle(capsys, spark, tmp_path, sf_dir):
     # arg validation
     assert main(["text-index", "build", idx]) == 2
     assert main(["text-index", "search", idx]) == 2
+
+
+def test_cli_rewrite_plain_and_cdc_gate(capsys, data_dir, spark, tmp_path):
+    """`de rewrite` parity (reference de/cli.py:253-259): writes
+    <stem>-dedup.parquet NEXT TO each input. Default is the CDC format
+    (env-gated: pyarrow < 21 raises the labeled seam, exit 2 with a
+    --plain hint); --plain rewrites with the vanilla writer."""
+    import shutil
+
+    from dataset_dedupe_estimator_spark.sources.formats import (
+        _PYARROW_HAS_CDC,
+    )
+
+    src = tmp_path / "in.parquet"
+    shutil.copy(data_dir / "t1.parquet", src)
+    rc = main(["rewrite", str(src), "--plain"])
+    out = capsys.readouterr().out
+    dest = tmp_path / "in-dedup.parquet"
+    assert rc == 0 and str(dest) in out
+    assert dest.is_file()
+    assert spark.read.parquet(str(dest)).count() == spark.read.parquet(
+        str(src)
+    ).count()
+    if not _PYARROW_HAS_CDC:
+        rc = main(["rewrite", str(src)])
+        err = capsys.readouterr().err
+        assert rc == 2
+        assert "pyarrow" in err and "--plain" in err
