@@ -33,8 +33,10 @@ def chunker_throughput(n_mib: int = 48) -> dict:
     from dataset_dedupe_estimator_spark.operators.chunker import (
         ChunkerParams,
         _compressed_size,
+        _fast_arrays_ok,
         _hash64,
         _iter_file_chunks,
+        file_chunk_arrays,
     )
 
     rng = np.random.default_rng(12345)
@@ -60,9 +62,15 @@ def chunker_throughput(n_mib: int = 48) -> dict:
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
-                for _off, chunk in _iter_file_chunks(f.name, params):
-                    _hash64(chunk)
-                    _compressed_size(chunk, params.compress_probe_bytes)
+                if _fast_arrays_ok(params):
+                    # the executor hot path (r11): fused native block
+                    # pipeline — boundary scan + cut selection + hash +
+                    # probe emit arrays, zero per-chunk Python objects
+                    file_chunk_arrays(f.name, params)
+                else:
+                    for _off, chunk in _iter_file_chunks(f.name, params):
+                        _hash64(chunk)
+                        _compressed_size(chunk, params.compress_probe_bytes)
                 best = min(best, time.perf_counter() - t0)
             out[label] = round(n_mib * 1024 * 1024 / best / 1e6, 1)
     return out

@@ -332,6 +332,154 @@ def _iter_file_chunks(path: str, params: ChunkerParams) -> Iterator[tuple[int, b
         yield base, pending
 
 
+def _fast_arrays_ok(p: ChunkerParams) -> bool:
+    """True when the fused native block pipeline can serve this
+    parameterization: native kernels present (xxh64 + lz4 probe) and
+    an lz4-family probe scheme ('zlib1' stays on the per-chunk path)."""
+    return (
+        native.available()
+        and IDENTITY_HASH == "xxh64"
+        and p.compress_scheme in ("auto", "lz4")
+        and p.enforce_max
+    )
+
+
+def _iter_block_arrays(
+    path: str, p: ChunkerParams
+) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+    """Stream a file and yield per-block chunk COLUMNS — (absolute
+    offsets, sizes, hashes, compressed sizes), all int64 — with zero
+    per-chunk Python objects: boundary scan, cut slicing, identity hash
+    and compressibility probe all run as native passes over the block
+    (operators/native.py ``chunk_hash_scan`` / ``chunk_probe_scan``).
+
+    Bit-identical to ``_iter_file_chunks`` + ``_hash64`` +
+    ``_compressed_size`` per chunk (pinned by tests): same cuts (same
+    candidate scan and selection), same xxh64 seed-42 signed hashes,
+    same lz4 probe with the same sampled-extrapolation truncation, and
+    the same within-file repeat-chunk probe reuse (first occurrence
+    wins — here via a per-file hash->size dict over the block's
+    np.unique, instead of a per-chunk dict lookup)."""
+    if not _fast_arrays_ok(p):
+        raise RuntimeError(
+            "fused chunk pipeline needs the native kernels and an "
+            "lz4-family probe scheme"
+        )
+    probe = p.compress_probe_bytes
+    cap = -1 if probe is None else int(probe)
+    seed = 42
+    probe_cache: dict[int, int] = {}
+    # fused boundary-scan + cut-selection kernel with min_size
+    # skip-ahead (FastCDC shape): eligible when min_size clears the
+    # warm-up window (gear's effective window is 64); identical cuts
+    # to candidates + _cuts_from_candidates (hypothesis-pinned)
+    eff_w = 64 if p.scheme == "gear" else p.window
+    use_fused_cuts = p.min_size > eff_w
+    if p.scheme == "gear":
+        table = (
+            _user_gear_table(p.gear_table)
+            if p.gear_table is not None
+            else _gear_table(p.seed)
+        )
+    else:
+        table = _gear_table(p.seed)
+
+    def final_cuts(buf: np.ndarray, n: int) -> list[int]:
+        if use_fused_cuts:
+            fc = native.fused_cuts(
+                buf, table, p.mask_bits, p.min_size, p.max_size,
+                p.scheme, p.window, int(_MIX),
+            )
+            if fc is not None:
+                return fc.tolist()
+        return _cuts_from_candidates(n, _boundary_candidates(buf, p), 0, p)
+
+    def emit(buf: np.ndarray, start0: int, cuts: list[int], base: int):
+        cuts_a = np.asarray(cuts, dtype=np.int64)
+        n = cuts_a.shape[0]
+        rel = np.empty(n, dtype=np.int64)
+        rel[0] = start0
+        rel[1:] = cuts_a[:-1]
+        sizes = cuts_a - rel
+        hashes = native.chunk_hashes(buf, cuts_a, start0, seed)
+        if cap == 0:
+            comps = sizes.copy()
+        else:
+            uniq, first, inv = np.unique(
+                hashes, return_index=True, return_inverse=True
+            )
+            uniq_l = uniq.tolist()
+            comps_u = np.empty(uniq.shape[0], dtype=np.int64)
+            need: list[int] = []
+            for j, h in enumerate(uniq_l):
+                c = probe_cache.get(h)
+                if c is None:
+                    need.append(j)
+                else:
+                    comps_u[j] = c
+            if need:
+                need_a = np.asarray(need, dtype=np.int64)
+                idx = first[need_a].astype(np.int64)
+                probed = native.chunk_probes(buf, rel, sizes, idx, cap)
+                comps_u[need_a] = probed
+                if len(probe_cache) < 1_000_000:
+                    for j, c in zip(need, probed.tolist()):
+                        probe_cache[uniq_l[j]] = c
+            comps = comps_u[inv]
+        return rel + base, sizes, hashes, comps
+
+    # preallocated carry buffer: readinto appends after the carried
+    # tail — no per-block bytes concatenation. With enforce_max the
+    # post-cut remainder is <= max_size, so capacity is bounded.
+    cap_bytes = p.max_size + _BLOCK
+    ring = bytearray(cap_bytes)
+    view = memoryview(ring)
+    filled = 0  # valid bytes in ring[0:filled]
+    base = 0  # file offset of ring[0]
+    with open(path, "rb") as f:
+        while True:
+            nread = f.readinto(view[filled : filled + _BLOCK])
+            if not nread:
+                break
+            filled += nread
+            buf = np.frombuffer(view[:filled], dtype=np.uint8)
+            cuts = final_cuts(buf, filled)
+            if cuts:
+                yield emit(buf, 0, cuts, base)
+                prev = cuts[-1]
+                rest = filled - prev
+                if rest:
+                    view[:rest] = bytes(view[prev:filled])
+                filled = rest
+                base += prev
+    if filled:
+        buf = np.frombuffer(view[:filled], dtype=np.uint8)
+        yield emit(buf, 0, [filled], base)
+
+
+def file_chunk_arrays(
+    path: str, p: ChunkerParams
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Whole-file chunk columns (offsets, sizes, hashes, compressed) via
+    the fused native pipeline — the executor hot path as one call (what
+    bench.py's chunker metric measures)."""
+    offs, sizes, hashes, comps = [], [], [], []
+    for o, s, h, c in _iter_block_arrays(path, p):
+        offs.append(o)
+        sizes.append(s)
+        hashes.append(h)
+        comps.append(c)
+    if not offs:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy(), z.copy()
+    return (
+        np.concatenate(offs),
+        np.concatenate(sizes),
+        np.concatenate(hashes),
+        np.concatenate(comps),
+    )
+
+
 def boundary_compatible(a: ChunkerParams, b: ChunkerParams) -> bool:
     """True when two parameterizations share the same boundary-candidate
     function (scheme, seed, window, mask, table) and differ only in
@@ -557,6 +705,31 @@ def _hash64_fn(scheme: str):
 _hash64 = _hash64_fn(IDENTITY_HASH)
 
 
+def _arrays_batch(
+    file_idx: int, path: str, seq0: int, acc: list[tuple]
+) -> pa.RecordBatch:
+    """CHUNK_SCHEMA RecordBatch straight from accumulated block
+    columns — int64 arrays are handed to Arrow zero-copy."""
+    offs = np.concatenate([a[0] for a in acc])
+    sizes = np.concatenate([a[1] for a in acc])
+    hashes = np.concatenate([a[2] for a in acc])
+    comps = np.concatenate([a[3] for a in acc])
+    n = offs.shape[0]
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(np.full(n, file_idx, dtype=np.int64)),
+            pa.repeat(path, n),
+            pa.array(np.arange(seq0, seq0 + n, dtype=np.int64)),
+            pa.array(offs),
+            pa.array(hashes),
+            pa.array(sizes),
+            pa.array(comps),
+            pa.nulls(n, pa.binary()),
+        ],
+        schema=CHUNK_SCHEMA,
+    )
+
+
 def make_chunk_partition_fn(p: ChunkerParams, keep_data: bool):
     """mapInArrow closure: (file_idx, path) batches → chunk-row batches.
 
@@ -567,10 +740,32 @@ def make_chunk_partition_fn(p: ChunkerParams, keep_data: bool):
 
     def chunk_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         _hash64 = _hash64_fn(hash_scheme)
+        # fused native path: boundary scan + cut slicing + hash + probe
+        # all emit preallocated arrays per block — no per-chunk Python
+        # objects (bit-identical to the per-chunk path; tests pin it).
+        # hash_scheme is the DRIVER's cluster-wide choice: an executor
+        # may only take the xxh64 fast path when the driver chose xxh64
+        # (mixing fast-path xxh64 with a sha1-64 cluster scheme would
+        # corrupt every dedup count downstream)
+        fast = not keep_data and hash_scheme == "xxh64" and _fast_arrays_ok(p)
         for batch in batches:
             for file_idx, path in zip(
                 batch.column("file_idx").to_pylist(), batch.column("path").to_pylist()
             ):
+                if fast:
+                    seq0 = 0
+                    acc: list[tuple] = []
+                    nacc = 0
+                    for cols in _iter_block_arrays(path, p):
+                        acc.append(cols)
+                        nacc += cols[0].shape[0]
+                        if nacc >= 4096:
+                            yield _arrays_batch(file_idx, path, seq0, acc)
+                            seq0 += nacc
+                            acc, nacc = [], 0
+                    if nacc:
+                        yield _arrays_batch(file_idx, path, seq0, acc)
+                    continue
                 rows: dict[str, list] = {k: [] for k in CHUNK_SCHEMA.names}
                 # identical bytes compress to the identical size, so repeat
                 # chunks within a file skip the probe (self-similar files —

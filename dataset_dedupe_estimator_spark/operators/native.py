@@ -150,6 +150,104 @@ uint64_t xxh64(const uint8_t *p, int64_t len, uint64_t seed) {
     return h;
 }
 
+/* Fused boundary scan + min/max cut selection with min_size SKIP-AHEAD
+   (the FastCDC acceleration): after each cut, the next acceptable cut
+   is >= start+min_size, so the scan warms the w-byte window just
+   before that position and never evaluates the skipped bytes.
+   Emits FINAL cut positions identical to window_scan followed by
+   _cuts_from_candidates (candidates below min are discarded there
+   anyway; forced cuts at start+max_size replicate the enforce_max
+   rule, including the trailing rule for a candidate-free tail).
+   Requires min_size > w (warm-up must not cross the previous cut's
+   evaluation window — callers gate on this). */
+int64_t window_cuts(const uint8_t *buf, int64_t n, const uint64_t *tab,
+                    uint64_t mix, uint64_t limit, int64_t w,
+                    int64_t min_size, int64_t max_size,
+                    int64_t *out, int64_t cap) {
+    int64_t k = 0, start = 0;
+    for (;;) {
+        int64_t lo = start + min_size; /* first acceptable cut position */
+        int64_t hi = start + max_size; /* forced cut position */
+        int64_t c = lo > w + 1 ? lo : w + 1;
+        int64_t end = hi < n ? hi : n;
+        int64_t found = -1;
+        if (c <= end) {
+            uint64_t sum = 0; /* window for cut c covers bytes [c-w, c-1] */
+            for (int64_t b = c - w; b < c; b++) sum += tab[buf[b]];
+            for (;;) {
+                if (sum * mix < limit) { found = c; break; }
+                if (c >= end) break;
+                c++;
+                sum += tab[buf[c - 1]] - tab[buf[c - 1 - w]];
+            }
+        }
+        if (found >= 0) {
+            if (k < cap) out[k] = found;
+            k++;
+            start = found;
+        } else if (n - start > max_size) {
+            if (k < cap) out[k] = hi;
+            k++;
+            start = hi;
+        } else {
+            return k;
+        }
+    }
+}
+
+/* Gearhash twin: h_t = sum_{j<=t} tab[buf_j] << (t-j) mod 2^64 — terms
+   64+ positions back vanish, so warming h over the 64 bytes before the
+   evaluation point reproduces the full-scan value exactly for every
+   position the min_size > 64 gate can accept. Cut position c tests the
+   hash AT byte c-1 (gear_scan emits i+1). */
+int64_t gear_cuts(const uint8_t *buf, int64_t n, const uint64_t *tab,
+                  uint64_t limit, int64_t min_size, int64_t max_size,
+                  int64_t *out, int64_t cap) {
+    int64_t k = 0, start = 0;
+    for (;;) {
+        int64_t lo = start + min_size;
+        int64_t hi = start + max_size;
+        int64_t c = lo > 65 ? lo : 65; /* byte c-1 needs 64 warm bytes */
+        int64_t end = hi < n ? hi : n;
+        int64_t found = -1;
+        if (c <= end) {
+            uint64_t h = 0;
+            for (int64_t b = c - 65; b < c; b++) h = (h << 1) + tab[buf[b]];
+            /* h is now the full-scan hash at byte c-1 */
+            for (;;) {
+                if (h < limit) { found = c; break; }
+                if (c >= end) break;
+                c++;
+                h = (h << 1) + tab[buf[c - 1]];
+            }
+        }
+        if (found >= 0) {
+            if (k < cap) out[k] = found;
+            k++;
+            start = found;
+        } else if (n - start > max_size) {
+            if (k < cap) out[k] = hi;
+            k++;
+            start = hi;
+        } else {
+            return k;
+        }
+    }
+}
+
+/* Per-chunk identity hashes for a cut list in ONE C pass (no per-chunk
+   Python objects or ctypes calls): chunk i spans [prev_i, cuts[i]) where
+   prev_0 = start0 and prev_{i+1} = cuts[i]. Writes xxh64(seed) of each
+   chunk. */
+void chunk_hash_scan(const uint8_t *buf, const int64_t *cuts, int64_t ncuts,
+                     int64_t start0, uint64_t seed, uint64_t *hashes) {
+    int64_t prev = start0;
+    for (int64_t i = 0; i < ncuts; i++) {
+        hashes[i] = xxh64(buf + prev, cuts[i] - prev, seed);
+        prev = cuts[i];
+    }
+}
+
 #include <string.h>
 
 /* LZ4-block-format compressed SIZE (greedy, 13-bit hash table, 64 KiB
@@ -188,7 +286,19 @@ int64_t lz4_size(const uint8_t *src, int64_t n) {
         if (cseq == seq) {
             int64_t m = 4;
             int64_t mlimit = n - 5;
+            /* 8-byte match extension (lz4's own shape): XOR + ctz finds
+               the first differing byte — identical match lengths to the
+               per-byte walk, ~2x the probe throughput on mixed data */
+            while (i + m + 8 <= mlimit) {
+                uint64_t a, b;
+                __builtin_memcpy(&a, src + cand + m, 8);
+                __builtin_memcpy(&b, src + i + m, 8);
+                uint64_t x = a ^ b;
+                if (x) { m += __builtin_ctzll(x) >> 3; goto matched; }
+                m += 8;
+            }
             while (i + m < mlimit && src[cand + m] == src[i + m]) m++;
+matched:;
             int64_t lit = i - anchor;
             size += 1 + lit + (lit >= 15 ? (lit - 15) / 255 + 1 : 0);
             int64_t ml = m - 4;
@@ -204,6 +314,26 @@ int64_t lz4_size(const uint8_t *src, int64_t n) {
     int64_t lit = n - anchor;
     size += 1 + lit + (lit >= 15 ? (lit - 15) / 255 + 1 : 0);
     return size;
+}
+
+/* Compressibility probes for SELECTED chunks in one C pass. offs/lens
+   address chunks within buf; idx picks which chunks to probe (the
+   first occurrence of each distinct hash — repeats reuse the result).
+   cap > 0 probes only the chunk's first `cap` bytes and extrapolates
+   linearly, truncating like Python's int() (bit-compatible with
+   _compressed_size's sampled path); cap <= 0 probes whole chunks. */
+void chunk_probe_scan(const uint8_t *buf, const int64_t *offs,
+                      const int64_t *lens, const int64_t *idx, int64_t nidx,
+                      int64_t cap, int64_t *out) {
+    for (int64_t j = 0; j < nidx; j++) {
+        int64_t i = idx[j];
+        int64_t len = lens[i];
+        int64_t plen = (cap > 0 && len > cap) ? cap : len;
+        int64_t sz = lz4_size(buf + offs[i], plen);
+        out[j] = (plen < len)
+            ? (int64_t)((double)sz * ((double)len / (double)plen))
+            : sz;
+    }
 }
 
 /* PNG scanline un-filtering (spec filters 0-4), in place over an
@@ -287,6 +417,28 @@ def _compile() -> ctypes.CDLL | None:
     for fn in (lib.gear_scan, lib.window_scan, lib.lz4_size):
         fn.restype = ctypes.c_int64
     lib.lz4_size.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.window_cuts.restype = ctypes.c_int64
+    lib.window_cuts.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+    ]
+    lib.gear_cuts.restype = ctypes.c_int64
+    lib.gear_cuts.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_uint64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64,
+    ]
+    lib.chunk_hash_scan.restype = None
+    lib.chunk_hash_scan.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_uint64, ctypes.c_void_p,
+    ]
+    lib.chunk_probe_scan.restype = None
+    lib.chunk_probe_scan.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+    ]
     lib.xxh64.restype = ctypes.c_uint64
     lib.xxh64.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_uint64]
     lib.png_unfilter.restype = ctypes.c_int
@@ -371,6 +523,80 @@ def xxh64_bytes(data: bytes, seed: int = 0) -> int | None:
     if lib is None:
         return None
     return lib.xxh64(data, len(data), seed)
+
+
+def fused_cuts(
+    buf: np.ndarray,
+    table_i64: np.ndarray,
+    mask_bits: int,
+    min_size: int,
+    max_size: int,
+    scheme: str,
+    window: int = 64,
+    mix_i64: int | None = None,
+) -> np.ndarray | None:
+    """FINAL cut positions (boundary scan + min/max selection fused,
+    min_size skip-ahead) — identical to the candidates +
+    _cuts_from_candidates pipeline; None without the native lib.
+    Callers must ensure min_size > window (gear: > 64)."""
+    lib = _get()
+    if lib is None:
+        return None
+    buf = np.ascontiguousarray(buf)
+    n = buf.shape[0]
+    cap = n // max(min(min_size, max_size), 1) + 2
+    out = np.empty(cap, dtype=np.int64)
+    limit = ctypes.c_uint64(1 << (64 - mask_bits))
+    if scheme == "gear":
+        k = lib.gear_cuts(
+            buf.ctypes.data, n, table_i64.ctypes.data, limit,
+            min_size, max_size, out.ctypes.data, cap,
+        )
+    else:
+        mix = ctypes.c_uint64(int(mix_i64) & 0xFFFFFFFFFFFFFFFF)
+        k = lib.window_cuts(
+            buf.ctypes.data, n, table_i64.ctypes.data, mix, limit,
+            window, min_size, max_size, out.ctypes.data, cap,
+        )
+    return out[:k]
+
+
+def chunk_hashes(
+    buf: np.ndarray, cuts: np.ndarray, start0: int, seed: int
+) -> np.ndarray | None:
+    """xxh64(seed) of every chunk [prev, cut) in ONE native pass —
+    signed int64 view (Spark's hash convention), or None without the
+    native lib. ``cuts`` must be contiguous int64."""
+    lib = _get()
+    if lib is None:
+        return None
+    out = np.empty(cuts.shape[0], dtype=np.uint64)
+    lib.chunk_hash_scan(
+        buf.ctypes.data, cuts.ctypes.data, cuts.shape[0],
+        start0, seed, out.ctypes.data,
+    )
+    return out.view(np.int64)
+
+
+def chunk_probes(
+    buf: np.ndarray,
+    offs: np.ndarray,
+    lens: np.ndarray,
+    idx: np.ndarray,
+    cap: int,
+) -> np.ndarray | None:
+    """LZ4 size probes for the chunks selected by ``idx`` in one native
+    pass (cap>0: sampled + linear extrapolation, truncating like
+    Python's int()); None without the native lib."""
+    lib = _get()
+    if lib is None:
+        return None
+    out = np.empty(idx.shape[0], dtype=np.int64)
+    lib.chunk_probe_scan(
+        buf.ctypes.data, offs.ctypes.data, lens.ctypes.data,
+        idx.ctypes.data, idx.shape[0], cap, out.ctypes.data,
+    )
+    return out
 
 
 def png_unfilter(rows: np.ndarray, filters: np.ndarray, ch: int) -> bool:

@@ -352,3 +352,144 @@ def test_identity_hash_scheme_guard():
     ) - ((1 << 64) if hashlib.sha1(b"hello").digest()[7] >= 0x80 else 0)
     with pytest.raises(ValueError, match="unknown identity hash"):
         chunker._hash64_fn("nope")
+
+
+def _native_available() -> bool:
+    from dataset_dedupe_estimator_spark.operators import native
+
+    return native.available()
+
+
+class TestFusedArrayPipeline:
+    """The r11 fused native block pipeline (`_iter_block_arrays` /
+    `file_chunk_arrays`: boundary scan + min/max cut selection with
+    min_size skip-ahead + xxh64 + lz4 probe, all emitting arrays) must
+    be BIT-IDENTICAL to the per-chunk reference pipeline
+    (`_iter_file_chunks` + `_hash64` + `_compressed_size`) — offsets,
+    sizes, hashes, compressed sizes, in order."""
+
+    def _slow(self, path, p):
+        from dataset_dedupe_estimator_spark.operators.chunker import (
+            _compressed_size,
+            _hash64,
+            _iter_file_chunks,
+        )
+
+        return [
+            (off, len(ch), _hash64(ch),
+             _compressed_size(ch, p.compress_probe_bytes, p.compress_scheme))
+            for off, ch in _iter_file_chunks(path, p)
+        ]
+
+    def _fast(self, path, p):
+        from dataset_dedupe_estimator_spark.operators.chunker import (
+            file_chunk_arrays,
+        )
+
+        offs, sizes, hashes, comps = file_chunk_arrays(path, p)
+        return list(zip(
+            offs.tolist(), sizes.tolist(), hashes.tolist(), comps.tolist()
+        ))
+
+    @pytest.mark.skipif(not _native_available(), reason="no C compiler")
+    def test_bit_parity_param_matrix(self, tmp_path):
+        import numpy as np
+
+        from dataset_dedupe_estimator_spark.operators.chunker import (
+            XET_PARAMS,
+            ChunkerParams,
+        )
+
+        rng = np.random.default_rng(7)
+        blk = rng.integers(0, 256, 1 << 20, dtype=np.uint8).tobytes()
+        blob = (
+            blk + b"abcdef" * 100_000 + blk
+            + rng.integers(0, 256, 3 << 20, dtype=np.uint8).tobytes() + blk
+        )
+        f = tmp_path / "blob.bin"
+        f.write_bytes(blob)
+        cases = [
+            ChunkerParams(),
+            ChunkerParams(compress_probe_bytes=16 * 1024),
+            ChunkerParams(compress_probe_bytes=0),
+            ChunkerParams(scheme="gear"),
+            ChunkerParams(scheme="gear", min_size=16 * 1024,
+                          max_size=64 * 1024, mask_bits=14),
+            XET_PARAMS,
+            # min_size <= window: fused-cuts ineligible, still exact
+            ChunkerParams(min_size=60, max_size=1000, mask_bits=8),
+            ChunkerParams(min_size=100, max_size=1000, mask_bits=8),
+        ]
+        for p in cases:
+            assert self._slow(str(f), p) == self._fast(str(f), p), p
+
+    @pytest.mark.skipif(not _native_available(), reason="no C compiler")
+    def test_bit_parity_hypothesis(self, tmp_path):
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from dataset_dedupe_estimator_spark.operators.chunker import (
+            ChunkerParams,
+        )
+
+        @settings(max_examples=20, deadline=None)
+        @given(
+            seed=st.integers(0, 2**16),
+            nblocks=st.integers(1, 40),
+            mask_bits=st.sampled_from([6, 8, 10]),
+            min_size=st.sampled_from([65, 128, 400]),
+            max_mult=st.integers(2, 6),
+            scheme=st.sampled_from(["window", "gear"]),
+            probe=st.sampled_from([None, 0, 128]),
+        )
+        def check(seed, nblocks, mask_bits, min_size, max_mult, scheme,
+                  probe):
+            rng = np.random.default_rng(seed)
+            parts = []
+            for i in range(nblocks):
+                b = rng.integers(
+                    0, rng.integers(2, 256), rng.integers(1, 4096),
+                    dtype=np.uint8,
+                ).tobytes()
+                parts.append(b)
+                if i % 3 == 0:
+                    parts.append(b)  # repeats exercise the probe cache
+            f = tmp_path / f"h{seed}.bin"
+            f.write_bytes(b"".join(parts))
+            p = ChunkerParams(
+                min_size=min_size, max_size=min_size * max_mult,
+                mask_bits=mask_bits, scheme=scheme,
+                compress_probe_bytes=probe,
+            )
+            assert self._slow(str(f), p) == self._fast(str(f), p)
+
+        check()
+
+    @pytest.mark.skipif(not _native_available(), reason="no C compiler")
+    def test_chunk_files_uses_fast_path_same_rows(self, spark, tmp_path):
+        """End-to-end through Spark: chunk_files (fast path) equals a
+        store_data=True run (slow path) row-for-row."""
+        import numpy as np
+
+        from dataset_dedupe_estimator_spark.operators.chunker import (
+            ChunkerParams,
+            chunk_files,
+        )
+
+        rng = np.random.default_rng(3)
+        pths = []
+        for i in range(3):
+            f = tmp_path / f"f{i}.bin"
+            f.write_bytes(
+                rng.integers(0, 256, 200_000 + i, dtype=np.uint8).tobytes()
+            )
+            pths.append(str(f))
+        p = ChunkerParams(min_size=1000, max_size=8000, mask_bits=10)
+        fast = chunk_files(spark, pths, params=p).orderBy(
+            "file_idx", "seq"
+        ).collect()
+        slow = chunk_files(spark, pths, params=p, store_data=True).drop(
+            "data"
+        ).orderBy("file_idx", "seq").collect()
+        assert fast == slow
