@@ -563,6 +563,125 @@ def _iter_file_chunks_multi(
                 yield i, starts[i], pending[starts[i] - base :]
 
 
+def _iter_block_arrays_multi(
+    path: str, params_list: list[ChunkerParams]
+) -> Iterator[tuple[int, np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+    """Shared-scan twin of :func:`_iter_block_arrays`: stream the file
+    ONCE, boundary-scan each block ONCE, and yield per-param chunk
+    COLUMNS ``(param_idx, offsets, sizes, hashes, comps)`` — the fused
+    native emit (hash + probe as single C passes) applied to every
+    parameterization of the shared candidate scan. Bit-identical to
+    ``_iter_file_chunks_multi`` + per-chunk hash/probe (tests pin it).
+    """
+    base_p = params_list[0]
+    for p in params_list[1:]:
+        if not boundary_compatible(base_p, p):
+            raise ValueError(
+                "shared-scan chunking requires boundary-compatible params "
+                "(same scheme/seed/window/mask_bits/gear_table, enforce_max)"
+            )
+    n_p = len(params_list)
+    caps = [
+        -1 if p.compress_probe_bytes is None else int(p.compress_probe_bytes)
+        for p in params_list
+    ]
+    probe_caches: list[dict[int, int]] = [{} for _ in params_list]
+
+    def emit(pi: int, buf: np.ndarray, start0: int, cuts: list[int], base: int):
+        cuts_a = np.asarray(cuts, dtype=np.int64)
+        n = cuts_a.shape[0]
+        rel = np.empty(n, dtype=np.int64)
+        rel[0] = start0
+        rel[1:] = cuts_a[:-1]
+        sizes = cuts_a - rel
+        hashes = native.chunk_hashes(buf, cuts_a, start0, 42)
+        cap = caps[pi]
+        if cap == 0:
+            comps = sizes.copy()
+        else:
+            cache = probe_caches[pi]
+            uniq, first, inv = np.unique(
+                hashes, return_index=True, return_inverse=True
+            )
+            uniq_l = uniq.tolist()
+            comps_u = np.empty(uniq.shape[0], dtype=np.int64)
+            need: list[int] = []
+            for j, h in enumerate(uniq_l):
+                c = cache.get(h)
+                if c is None:
+                    need.append(j)
+                else:
+                    comps_u[j] = c
+            if need:
+                need_a = np.asarray(need, dtype=np.int64)
+                idx = first[need_a].astype(np.int64)
+                probed = native.chunk_probes(buf, rel, sizes, idx, cap)
+                comps_u[need_a] = probed
+                if len(cache) < 1_000_000:
+                    for j, c in zip(need, probed.tolist()):
+                        cache[uniq_l[j]] = c
+            comps = comps_u[inv]
+        return pi, rel + base, sizes, hashes, comps
+
+    cap_bytes = max(p.max_size for p in params_list) + _BLOCK
+    ring = bytearray(cap_bytes)
+    view = memoryview(ring)
+    filled = 0
+    base = 0  # file offset of ring[0]
+    starts = [0] * n_p  # per-param absolute offset of current chunk start
+    with open(path, "rb") as f:
+        while True:
+            nread = f.readinto(view[filled : filled + _BLOCK])
+            if not nread:
+                break
+            filled += nread
+            buf = np.frombuffer(view[:filled], dtype=np.uint8)
+            cand = _boundary_candidates(buf, base_p)  # ONE scan, all params
+            for i, p in enumerate(params_list):
+                prev = starts[i] - base
+                cuts = _cuts_from_candidates(filled, cand, prev, p)
+                if cuts:
+                    yield emit(i, buf, prev, cuts, base)
+                    starts[i] = base + cuts[-1]
+            keep_from = min(starts) - base
+            if keep_from:
+                rest = filled - keep_from
+                if rest:
+                    view[:rest] = bytes(view[keep_from:filled])
+                filled = rest
+                base += keep_from
+    if filled:
+        buf = np.frombuffer(view[:filled], dtype=np.uint8)
+        for i in range(n_p):
+            if starts[i] < base + filled:
+                yield emit(i, buf, starts[i] - base, [filled], base)
+
+
+def _arrays_batch_multi(
+    pi: int, file_idx: int, path: str, seq0: int, acc: list[tuple],
+    schema: pa.Schema,
+) -> pa.RecordBatch:
+    offs = np.concatenate([a[0] for a in acc])
+    sizes = np.concatenate([a[1] for a in acc])
+    hashes = np.concatenate([a[2] for a in acc])
+    comps = np.concatenate([a[3] for a in acc])
+    n = offs.shape[0]
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(np.full(n, pi, dtype=np.int64)),
+            pa.array(np.full(n, file_idx, dtype=np.int64)),
+            pa.repeat(path, n),
+            pa.array(np.arange(seq0, seq0 + n, dtype=np.int64)),
+            pa.array(offs),
+            pa.array(hashes),
+            pa.array(sizes),
+            pa.array(comps),
+            pa.nulls(n, pa.binary()),
+        ],
+        schema=schema,
+    )
+
+
 def make_chunk_partition_fn_multi(params_list: list[ChunkerParams], keep_data: bool):
     """mapInArrow closure emitting CHUNK_SCHEMA rows + ``param_idx`` for
     every parameterization from one shared file scan."""
@@ -572,10 +691,43 @@ def make_chunk_partition_fn_multi(params_list: list[ChunkerParams], keep_data: b
 
     def chunk_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         _hash64 = _hash64_fn(hash_scheme)
+        # fused native path (see make_chunk_partition_fn): per-param
+        # probe schemes must all be lz4-family (probe=0 sides qualify
+        # via cap==0 short-circuit, scheme string notwithstanding)
+        fast = (
+            not keep_data
+            and hash_scheme == "xxh64"
+            and all(
+                _fast_arrays_ok(p) or p.compress_probe_bytes == 0
+                for p in params_list
+            )
+            and native.available()
+        )
         for batch in batches:
             for file_idx, path in zip(
                 batch.column("file_idx").to_pylist(), batch.column("path").to_pylist()
             ):
+                if fast:
+                    seqs = [0] * len(params_list)
+                    accs: list[list] = [[] for _ in params_list]
+                    naccs = [0] * len(params_list)
+                    for pi, offs, sizes, hashes, comps in (
+                        _iter_block_arrays_multi(path, params_list)
+                    ):
+                        accs[pi].append((offs, sizes, hashes, comps))
+                        naccs[pi] += offs.shape[0]
+                        if naccs[pi] >= 4096:
+                            yield _arrays_batch_multi(
+                                pi, file_idx, path, seqs[pi], accs[pi], schema
+                            )
+                            seqs[pi] += naccs[pi]
+                            accs[pi], naccs[pi] = [], 0
+                    for pi in range(len(params_list)):
+                        if naccs[pi]:
+                            yield _arrays_batch_multi(
+                                pi, file_idx, path, seqs[pi], accs[pi], schema
+                            )
+                    continue
                 rows: dict[str, list] = {k: [] for k in schema.names}
                 seqs = [0] * len(params_list)
                 probe_caches: list[dict[int, int]] = [{} for _ in params_list]

@@ -163,3 +163,60 @@ def test_estimate_shared_scan_matches_two_pass(spark, parquet_paths):
         .agg(F.sum("size").alias("xet_bytes")).collect()[0]
     )
     assert shared["xet_bytes"] == xrow.xet_bytes
+
+
+def test_fused_multi_arrays_bit_parity(tmp_path):
+    """r11: the shared-scan fused array pipeline
+    (`_iter_block_arrays_multi`) must equal the per-chunk multi path
+    (`_iter_file_chunks_multi` + `_hash64` + `_compressed_size`)
+    bit-for-bit per param — offsets, sizes, hashes, compressed."""
+    from dataclasses import replace
+
+    import numpy as np
+
+    from dataset_dedupe_estimator_spark.operators import native
+    from dataset_dedupe_estimator_spark.operators import chunker as C
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no C compiler in environment")
+    rng = np.random.default_rng(11)
+    blk = rng.integers(0, 256, 1 << 20, dtype=np.uint8).tobytes()
+    blob = (
+        blk + b"abcdef" * 50_000 + blk
+        + rng.integers(0, 256, 2 << 20, dtype=np.uint8).tobytes()
+    )
+    f = tmp_path / "blob.bin"
+    f.write_bytes(blob)
+    plist = [
+        C.ChunkerParams(),
+        replace(C.XET_PARAMS, compress_probe_bytes=0),
+    ]
+    slow, caches = [], [{}, {}]
+    for pi, off, ch in C._iter_file_chunks_multi(str(f), plist):
+        p = plist[pi]
+        h = C._hash64(ch)
+        comp = caches[pi].get(h)
+        if comp is None:
+            comp = C._compressed_size(
+                ch, p.compress_probe_bytes, p.compress_scheme
+            )
+            caches[pi][h] = comp
+        slow.append((pi, off, len(ch), h, comp))
+    fast = []
+    for pi, offs, sizes, hashes, comps in C._iter_block_arrays_multi(
+        str(f), plist
+    ):
+        fast.extend(zip(
+            [pi] * len(offs), offs.tolist(), sizes.tolist(),
+            hashes.tolist(), comps.tolist(),
+        ))
+    from collections import defaultdict
+
+    s_by, f_by = defaultdict(list), defaultdict(list)
+    for r in slow:
+        s_by[r[0]].append(r[1:])
+    for r in fast:
+        f_by[r[0]].append(r[1:])
+    assert s_by == f_by
