@@ -146,6 +146,49 @@ def cmd_rewrite(args) -> int:
     return 0
 
 
+def cmd_render_readme(args) -> int:
+    """`de render-readme TEMPLATE` (de/cli.py:262-270): render a
+    jinja2 README template and write it NEXT TO the template with the
+    final suffix stripped (README.md.j2 -> README.md). The reference
+    renders with an EMPTY context, so only self-contained expressions
+    ever resolve (jinja2 renders undefined names as empty strings).
+
+    jinja2 is not in this environment, so the fallback renders the
+    same no-context subset: ``{{ expression }}`` evaluated as a Python
+    expression (undefined names -> empty string, like jinja2's default
+    Undefined); ``{%`` statement blocks refuse with a labeled seam
+    (install jinja2 for full template semantics)."""
+    import re
+
+    src = Path(args.template)
+    text = src.read_text()
+    try:
+        from jinja2 import Template  # pragma: no cover - not in env
+
+        rendered = Template(text).render()
+    except ImportError:
+        if re.search(r"{%", text):
+            print(
+                "render-readme: template uses {% statement %} blocks — "
+                "full jinja2 semantics need the jinja2 package (labeled "
+                "environment seam; the {{ expression }} subset renders "
+                "without it)",
+                file=sys.stderr,
+            )
+            return 2
+
+        def _expr(m: "re.Match[str]") -> str:
+            try:
+                return str(eval(m.group(1).strip(), {"__builtins__": {}}, {}))
+            except NameError:
+                return ""  # jinja2 renders undefined names as ''
+
+        rendered = re.sub(r"{{(.*?)}}", _expr, text, flags=re.S)
+    src.with_suffix("").write_text(rendered)
+    print(src.with_suffix(""))
+    return 0
+
+
 def cmd_synthetic(args) -> int:
     """`de synthetic -s S -e E SCHEMA` (de/cli.py:65-145): generate variants,
     write them in every format, compare dedup ratios."""
@@ -1803,6 +1846,13 @@ def build_parser() -> argparse.ArgumentParser:
     rw.add_argument("--cdc-min", type=int, default=256 * 1024)
     rw.add_argument("--cdc-max", type=int, default=1024 * 1024)
     rw.set_defaults(fn=cmd_rewrite)
+
+    rr = sub.add_parser(
+        "render-readme",
+        help="render a jinja2-style README template (suffix stripped)",
+    )
+    rr.add_argument("template")
+    rr.set_defaults(fn=cmd_render_readme)
 
     s = sub.add_parser("synthetic", help="generate synthetic variants and compare formats")
     s.add_argument("schema", help='JSON schema, e.g. {"a": "int", "b": "str"}')

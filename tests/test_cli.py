@@ -411,3 +411,31 @@ def test_cli_rewrite_plain_and_cdc_gate(capsys, data_dir, spark, tmp_path):
         err = capsys.readouterr().err
         assert rc == 2
         assert "pyarrow" in err and "--plain" in err
+
+
+def test_cli_render_readme(capsys, tmp_path):
+    """`de render-readme` parity (reference de/cli.py:262-270): renders
+    the template with an empty context and writes it next to the
+    template with the final suffix stripped. Without jinja2 the
+    {{ expression }} subset renders (undefined names -> '' like
+    jinja2's default Undefined); {% statements %} refuse clearly."""
+    t = tmp_path / "README.md.j2"
+    t.write_text("# T\n\nsum: {{ 2 + 2 }}\nmissing: [{{ nope }}]\n")
+    rc = main(["render-readme", str(t)])
+    out = capsys.readouterr().out
+    dest = tmp_path / "README.md"
+    assert rc == 0 and str(dest) in out
+    body = dest.read_text()
+    assert "sum: 4" in body and "missing: []" in body
+    try:
+        import jinja2  # noqa: F401
+
+        has_jinja = True
+    except ImportError:
+        has_jinja = False
+    if not has_jinja:
+        t2 = tmp_path / "S.md.j2"
+        t2.write_text("{% for i in x %}{{ i }}{% endfor %}")
+        rc = main(["render-readme", str(t2)])
+        err = capsys.readouterr().err
+        assert rc == 2 and "jinja2" in err
