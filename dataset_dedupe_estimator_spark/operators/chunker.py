@@ -1000,6 +1000,12 @@ def _emit_units_fn(p: ChunkerParams, keep_data: bool):
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         _hash64 = _hash64_fn(hash_scheme)
+        fast = not keep_data and hash_scheme == "xxh64" and _fast_arrays_ok(p)
+        cap = (
+            -1
+            if p.compress_probe_bytes is None
+            else int(p.compress_probe_bytes)
+        )
         for batch in batches:
             for file_idx, path, begin_seq, ustart, uend, unit_cuts in zip(
                 batch.column("file_idx").to_pylist(),
@@ -1012,6 +1018,34 @@ def _emit_units_fn(p: ChunkerParams, keep_data: bool):
                 with open(path, "rb") as f:
                     f.seek(ustart)
                     data = f.read(uend - ustart)
+                if fast:
+                    # fused emit over the unit's explicit cut list (cuts
+                    # are file-absolute; rebase to the unit buffer)
+                    buf = np.frombuffer(data, dtype=np.uint8)
+                    cuts_a = (
+                        np.asarray(unit_cuts, dtype=np.int64) - ustart
+                    )
+                    n = cuts_a.shape[0]
+                    rel = np.empty(n, dtype=np.int64)
+                    rel[0] = 0
+                    rel[1:] = cuts_a[:-1]
+                    sizes = cuts_a - rel
+                    hashes = native.chunk_hashes(buf, cuts_a, 0, 42)
+                    if cap == 0:
+                        comps = sizes.copy()
+                    else:
+                        uniq, first, inv = np.unique(
+                            hashes, return_index=True, return_inverse=True
+                        )
+                        probed = native.chunk_probes(
+                            buf, rel, sizes, first.astype(np.int64), cap
+                        )
+                        comps = probed[inv]
+                    yield _arrays_batch(
+                        file_idx, path, begin_seq,
+                        [(rel + ustart, sizes, hashes, comps)],
+                    )
+                    continue
                 rows: dict[str, list] = {k: [] for k in CHUNK_SCHEMA.names}
                 probe_cache: dict[int, int] = {}
                 prev = ustart
