@@ -153,17 +153,28 @@ def cmd_render_readme(args) -> int:
     renders with an EMPTY context, so only self-contained expressions
     ever resolve (jinja2 renders undefined names as empty strings).
 
-    jinja2 is not in this environment, so the fallback renders the
-    same no-context subset: ``{{ expression }}`` evaluated as a Python
-    expression (undefined names -> empty string, like jinja2's default
-    Undefined); ``{%`` statement blocks refuse with a labeled seam
-    (install jinja2 for full template semantics)."""
+    jinja2 is used when importable; without it the fallback renders
+    the same no-context subset: ``{{ expression }}`` evaluated as a
+    Python expression (undefined names -> empty string, like jinja2's
+    default Undefined); ``{%`` statement blocks and non-Python
+    expression syntax refuse with a labeled seam (install jinja2 for
+    full template semantics). A suffix-less template would render onto
+    itself — refused instead of silently destroying the template."""
     import re
 
     src = Path(args.template)
+    dest = src.with_suffix("")
+    if dest == src:
+        print(
+            f"render-readme: {src} has no suffix to strip — rendering "
+            "would overwrite the template itself; rename it (e.g. "
+            "README.md.j2)",
+            file=sys.stderr,
+        )
+        return 2
     text = src.read_text()
     try:
-        from jinja2 import Template  # pragma: no cover - not in env
+        from jinja2 import Template
 
         rendered = Template(text).render()
     except ImportError:
@@ -177,15 +188,30 @@ def cmd_render_readme(args) -> int:
             )
             return 2
 
+        class _Refuse(Exception):
+            pass
+
         def _expr(m: "re.Match[str]") -> str:
+            expr = m.group(1).strip()
             try:
-                return str(eval(m.group(1).strip(), {"__builtins__": {}}, {}))
+                return str(eval(expr, {"__builtins__": {}}, {}))
             except NameError:
                 return ""  # jinja2 renders undefined names as ''
+            except Exception as e:  # jinja-only syntax / runtime error
+                raise _Refuse(f"{expr!r}: {type(e).__name__}: {e}") from e
 
-        rendered = re.sub(r"{{(.*?)}}", _expr, text, flags=re.S)
-    src.with_suffix("").write_text(rendered)
-    print(src.with_suffix(""))
+        try:
+            rendered = re.sub(r"{{(.*?)}}", _expr, text, flags=re.S)
+        except _Refuse as e:
+            print(
+                f"render-readme: expression outside the Python-evaluable "
+                f"subset ({e}) — full jinja2 semantics need the jinja2 "
+                "package (labeled environment seam)",
+                file=sys.stderr,
+            )
+            return 2
+    dest.write_text(rendered)
+    print(dest)
     return 0
 
 

@@ -344,6 +344,59 @@ def _fast_arrays_ok(p: ChunkerParams) -> bool:
     )
 
 
+def _emit_chunk_cols(
+    buf: np.ndarray,
+    start0: int,
+    cuts,
+    cap: int,
+    probe_cache: dict[int, int] | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(buf-relative offsets, sizes, hashes, compressed) for a FINAL cut
+    list over ``buf`` via the native passes — the single fused-emit
+    implementation shared by the per-file, shared-scan and intra-file
+    parallel paths (one copy to keep bit-identical to the per-chunk
+    reference pipeline). ``cap``: -1 = full probe, 0 = skip (comps =
+    sizes), >0 = sampled with linear extrapolation. ``probe_cache``
+    (optional, per file): hash -> size reuse across blocks — first
+    occurrence wins, capped at 1M entries, identical results either way
+    (identical bytes probe to identical sizes)."""
+    cuts_a = np.asarray(cuts, dtype=np.int64)
+    n = cuts_a.shape[0]
+    rel = np.empty(n, dtype=np.int64)
+    rel[0] = start0
+    rel[1:] = cuts_a[:-1]
+    sizes = cuts_a - rel
+    hashes = native.chunk_hashes(buf, cuts_a, start0, 42)
+    if cap == 0:
+        return rel, sizes, hashes, sizes.copy()
+    uniq, first, inv = np.unique(
+        hashes, return_index=True, return_inverse=True
+    )
+    if probe_cache is None:
+        probed = native.chunk_probes(
+            buf, rel, sizes, first.astype(np.int64), cap
+        )
+        return rel, sizes, hashes, probed[inv]
+    uniq_l = uniq.tolist()
+    comps_u = np.empty(uniq.shape[0], dtype=np.int64)
+    need: list[int] = []
+    for j, h in enumerate(uniq_l):
+        c = probe_cache.get(h)
+        if c is None:
+            need.append(j)
+        else:
+            comps_u[j] = c
+    if need:
+        need_a = np.asarray(need, dtype=np.int64)
+        idx = first[need_a].astype(np.int64)
+        probed = native.chunk_probes(buf, rel, sizes, idx, cap)
+        comps_u[need_a] = probed
+        if len(probe_cache) < 1_000_000:
+            for j, c in zip(need, probed.tolist()):
+                probe_cache[uniq_l[j]] = c
+    return rel, sizes, hashes, comps_u[inv]
+
+
 def _iter_block_arrays(
     path: str, p: ChunkerParams
 ) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
@@ -367,7 +420,6 @@ def _iter_block_arrays(
         )
     probe = p.compress_probe_bytes
     cap = -1 if probe is None else int(probe)
-    seed = 42
     probe_cache: dict[int, int] = {}
     # fused boundary-scan + cut-selection kernel with min_size
     # skip-ahead (FastCDC shape): eligible when min_size clears the
@@ -395,37 +447,9 @@ def _iter_block_arrays(
         return _cuts_from_candidates(n, _boundary_candidates(buf, p), 0, p)
 
     def emit(buf: np.ndarray, start0: int, cuts: list[int], base: int):
-        cuts_a = np.asarray(cuts, dtype=np.int64)
-        n = cuts_a.shape[0]
-        rel = np.empty(n, dtype=np.int64)
-        rel[0] = start0
-        rel[1:] = cuts_a[:-1]
-        sizes = cuts_a - rel
-        hashes = native.chunk_hashes(buf, cuts_a, start0, seed)
-        if cap == 0:
-            comps = sizes.copy()
-        else:
-            uniq, first, inv = np.unique(
-                hashes, return_index=True, return_inverse=True
-            )
-            uniq_l = uniq.tolist()
-            comps_u = np.empty(uniq.shape[0], dtype=np.int64)
-            need: list[int] = []
-            for j, h in enumerate(uniq_l):
-                c = probe_cache.get(h)
-                if c is None:
-                    need.append(j)
-                else:
-                    comps_u[j] = c
-            if need:
-                need_a = np.asarray(need, dtype=np.int64)
-                idx = first[need_a].astype(np.int64)
-                probed = native.chunk_probes(buf, rel, sizes, idx, cap)
-                comps_u[need_a] = probed
-                if len(probe_cache) < 1_000_000:
-                    for j, c in zip(need, probed.tolist()):
-                        probe_cache[uniq_l[j]] = c
-            comps = comps_u[inv]
+        rel, sizes, hashes, comps = _emit_chunk_cols(
+            buf, start0, cuts, cap, probe_cache
+        )
         return rel + base, sizes, hashes, comps
 
     # preallocated carry buffer: readinto appends after the carried
@@ -580,6 +604,13 @@ def _iter_block_arrays_multi(
                 "shared-scan chunking requires boundary-compatible params "
                 "(same scheme/seed/window/mask_bits/gear_table, enforce_max)"
             )
+    if not all(p.enforce_max for p in params_list):
+        # the carry buffer is sized max_size + block: an unbounded
+        # pending region would overflow it and truncate silently
+        raise ValueError(
+            "fused shared-scan chunking requires enforce_max=True on "
+            "every parameterization (bounded carry buffer)"
+        )
     n_p = len(params_list)
     caps = [
         -1 if p.compress_probe_bytes is None else int(p.compress_probe_bytes)
@@ -588,39 +619,9 @@ def _iter_block_arrays_multi(
     probe_caches: list[dict[int, int]] = [{} for _ in params_list]
 
     def emit(pi: int, buf: np.ndarray, start0: int, cuts: list[int], base: int):
-        cuts_a = np.asarray(cuts, dtype=np.int64)
-        n = cuts_a.shape[0]
-        rel = np.empty(n, dtype=np.int64)
-        rel[0] = start0
-        rel[1:] = cuts_a[:-1]
-        sizes = cuts_a - rel
-        hashes = native.chunk_hashes(buf, cuts_a, start0, 42)
-        cap = caps[pi]
-        if cap == 0:
-            comps = sizes.copy()
-        else:
-            cache = probe_caches[pi]
-            uniq, first, inv = np.unique(
-                hashes, return_index=True, return_inverse=True
-            )
-            uniq_l = uniq.tolist()
-            comps_u = np.empty(uniq.shape[0], dtype=np.int64)
-            need: list[int] = []
-            for j, h in enumerate(uniq_l):
-                c = cache.get(h)
-                if c is None:
-                    need.append(j)
-                else:
-                    comps_u[j] = c
-            if need:
-                need_a = np.asarray(need, dtype=np.int64)
-                idx = first[need_a].astype(np.int64)
-                probed = native.chunk_probes(buf, rel, sizes, idx, cap)
-                comps_u[need_a] = probed
-                if len(cache) < 1_000_000:
-                    for j, c in zip(need, probed.tolist()):
-                        cache[uniq_l[j]] = c
-            comps = comps_u[inv]
+        rel, sizes, hashes, comps = _emit_chunk_cols(
+            buf, start0, cuts, caps[pi], probe_caches[pi]
+        )
         return pi, rel + base, sizes, hashes, comps
 
     cap_bytes = max(p.max_size for p in params_list) + _BLOCK
@@ -693,15 +694,22 @@ def make_chunk_partition_fn_multi(params_list: list[ChunkerParams], keep_data: b
         _hash64 = _hash64_fn(hash_scheme)
         # fused native path (see make_chunk_partition_fn): per-param
         # probe schemes must all be lz4-family (probe=0 sides qualify
-        # via cap==0 short-circuit, scheme string notwithstanding)
+        # via cap==0 short-circuit, scheme string notwithstanding).
+        # EVERY param needs enforce_max — the array iterator's carry
+        # buffer is sized max_size + block, so an unbounded pending
+        # region would silently truncate (reviewed bug, r11)
         fast = (
             not keep_data
             and hash_scheme == "xxh64"
+            and native.available()
             and all(
-                _fast_arrays_ok(p) or p.compress_probe_bytes == 0
+                p.enforce_max
+                and (
+                    p.compress_probe_bytes == 0
+                    or p.compress_scheme in ("auto", "lz4")
+                )
                 for p in params_list
             )
-            and native.available()
         )
         for batch in batches:
             for file_idx, path in zip(
@@ -1025,22 +1033,9 @@ def _emit_units_fn(p: ChunkerParams, keep_data: bool):
                     cuts_a = (
                         np.asarray(unit_cuts, dtype=np.int64) - ustart
                     )
-                    n = cuts_a.shape[0]
-                    rel = np.empty(n, dtype=np.int64)
-                    rel[0] = 0
-                    rel[1:] = cuts_a[:-1]
-                    sizes = cuts_a - rel
-                    hashes = native.chunk_hashes(buf, cuts_a, 0, 42)
-                    if cap == 0:
-                        comps = sizes.copy()
-                    else:
-                        uniq, first, inv = np.unique(
-                            hashes, return_index=True, return_inverse=True
-                        )
-                        probed = native.chunk_probes(
-                            buf, rel, sizes, first.astype(np.int64), cap
-                        )
-                        comps = probed[inv]
+                    rel, sizes, hashes, comps = _emit_chunk_cols(
+                        buf, 0, cuts_a, cap
+                    )
                     yield _arrays_batch(
                         file_idx, path, begin_seq,
                         [(rel + ustart, sizes, hashes, comps)],

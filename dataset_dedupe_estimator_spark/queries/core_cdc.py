@@ -186,8 +186,17 @@ def _export_chunks(spark, sf: str, out_dir: str):
     return spark.read.parquet(out_dir)
 
 
-_STATS_EXPORT = "/tmp/dde_oracle_chunks_stats"
-_TREND_EXPORT = "/tmp/dde_oracle_chunks_trend"
+# Deterministic (static oracle SQL must address them) but per-user:
+# concurrent gates from different users can't race each other's export,
+# and the rmtree never touches another user's path. Same-user overlap
+# is out of scope — the gate runs queries sequentially.
+import tempfile as _tempfile
+
+_EXPORT_BASE = os.path.join(
+    _tempfile.gettempdir(), f"dde_oracle_u{os.getuid()}"
+)
+_STATS_EXPORT = f"{_EXPORT_BASE}_chunks_stats"
+_TREND_EXPORT = f"{_EXPORT_BASE}_chunks_trend"
 
 
 def cdc_stats_oracle(spark, sf):

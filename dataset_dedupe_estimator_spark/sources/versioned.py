@@ -836,8 +836,10 @@ def _resolve_struct_parent(
     """Shared rename/drop validation for a nested path's PARENT: the
     logical parent path (any depth) must resolve — through the mapping
     and outside every dropped subtree — to a materialized struct.
-    Returns ``(pparent, logical_leaves)`` where ``logical_leaves`` maps
-    each live leaf's LOGICAL name to its physical field name."""
+    Returns ``(pparent, pfields, logical_leaves)``: the physical parent
+    path, ALL physical field names (dropped included — retired names may
+    not be re-taken), and a map of each live leaf's LOGICAL name to its
+    physical field name."""
     pparent = _name_to_physical(parent, mapping)
     segs = pparent.split(".")
     dropped = _dropped_columns(entries)

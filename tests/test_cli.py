@@ -439,3 +439,16 @@ def test_cli_render_readme(capsys, tmp_path):
         rc = main(["render-readme", str(t2)])
         err = capsys.readouterr().err
         assert rc == 2 and "jinja2" in err
+        # jinja-only expression syntax / runtime errors refuse cleanly
+        t3 = tmp_path / "U.md.j2"
+        t3.write_text('x: {{ "a" ~ user }}')
+        rc = main(["render-readme", str(t3)])
+        err = capsys.readouterr().err
+        assert rc == 2 and "subset" in err
+    # a suffix-less template would render onto itself: refused
+    t4 = tmp_path / "README"
+    t4.write_text("hello {{ 1 + 1 }}")
+    rc = main(["render-readme", str(t4)])
+    err = capsys.readouterr().err
+    assert rc == 2 and "overwrite" in err
+    assert t4.read_text() == "hello {{ 1 + 1 }}"

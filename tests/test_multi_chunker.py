@@ -220,3 +220,38 @@ def test_fused_multi_arrays_bit_parity(tmp_path):
     for r in fast:
         f_by[r[0]].append(r[1:])
     assert s_by == f_by
+
+
+def test_multi_fast_gate_requires_enforce_max(spark, tmp_path):
+    """Reviewed r11 bug: an enforce_max=False param with probe=0 used to
+    slip past the fused-path gate, overflow the bounded carry buffer on
+    a candidate-free region and silently truncate the file. The gate
+    now requires enforce_max on EVERY param; full byte coverage is the
+    regression pin."""
+    import numpy as np
+
+    from dataset_dedupe_estimator_spark.operators import chunker as C
+
+    f = tmp_path / "z.bin"
+    # 12 MB candidate-free (zero-filled) region: no window-sum boundary
+    # fires, so an unbounded pending region grows past max_size + block
+    rng = np.random.default_rng(5)
+    blob = (
+        rng.integers(0, 256, 1 << 20, dtype=np.uint8).tobytes()
+        + b"\x00" * (12 << 20)
+        + rng.integers(0, 256, 1 << 20, dtype=np.uint8).tobytes()
+    )
+    f.write_bytes(blob)
+    p = C.ChunkerParams(compress_probe_bytes=0, enforce_max=False)
+    total = (
+        C.chunk_files_multi(spark, [str(f)], [p])
+        .groupBy("param_idx")
+        .sum("size")
+        .collect()
+    )
+    assert total[0]["sum(size)"] == len(blob)
+    # and the fused iterator itself refuses the unbounded mode outright
+    import pytest
+
+    with pytest.raises(ValueError, match="enforce_max"):
+        list(C._iter_block_arrays_multi(str(f), [p]))
