@@ -75,21 +75,68 @@ def main() -> None:
         print(f"compress probe [{label}]: "
               f"{_rate(n, lambda: [_compressed_size(c, None, scheme) for c in chunks], reps=1):.0f} MB/s")
 
+    # r11 fused-path stages (the real executor hot path; the per-chunk
+    # stages above are the legacy/fallback pipeline)
+    if native.available():
+        from dataset_dedupe_estimator_spark.operators.chunker import (
+            _MIX,
+            _cuts_from_candidates,
+            _gear_table,
+        )
+
+        p0 = ChunkerParams()
+        table = _gear_table(p0.seed)
+        fc = native.fused_cuts(
+            buf, table, p0.mask_bits, p0.min_size, p0.max_size,
+            "window", p0.window, int(_MIX),
+        )
+        print(
+            f"fused cuts [window, min-skip]: "
+            f"{_rate(n, lambda: native.fused_cuts(buf, table, p0.mask_bits, p0.min_size, p0.max_size, 'window', p0.window, int(_MIX))):.0f} MB/s"
+        )
+        cand = _boundary_candidates(buf, p0)
+        cuts = np.asarray(
+            _cuts_from_candidates(n, cand, 0, p0), dtype=np.int64
+        )
+        assert np.array_equal(fc, cuts), "fused cuts diverged from reference"
+        rel = np.empty(len(cuts), dtype=np.int64)
+        rel[0] = 0
+        rel[1:] = cuts[:-1]
+        sizes = cuts - rel
+        idx = np.arange(len(cuts), dtype=np.int64)
+        print(f"hash scan (xxh64): "
+              f"{_rate(n, lambda: native.chunk_hashes(buf, cuts, 0, 42)):.0f} MB/s")
+        print(f"probe scan (lz4, full): "
+              f"{_rate(n, lambda: native.chunk_probes(buf, rel, sizes, idx, -1)):.0f} MB/s")
+        print(f"probe scan (lz4, 16k): "
+              f"{_rate(n, lambda: native.chunk_probes(buf, rel, sizes, idx, 16384)):.0f} MB/s")
+
     with tempfile.NamedTemporaryFile(delete=False) as f:
         f.write(data)
         path = f.name
     try:
+        from dataset_dedupe_estimator_spark.operators.chunker import (
+            _fast_arrays_ok,
+            file_chunk_arrays,
+        )
+
         for label, p in (
             ("window/full-probe", ChunkerParams()),
             ("window/probe16k", ChunkerParams(compress_probe_bytes=16 * 1024)),
             ("gear/full-probe", ChunkerParams(scheme="gear")),
         ):
+            if _fast_arrays_ok(p):
+                print(
+                    f"end-to-end fused [{label}]: "
+                    f"{_rate(n, lambda p=p: file_chunk_arrays(path, p), reps=3):.0f} MB/s/core"
+                )
+
             def run(p=p):
                 for _off, ch in _iter_file_chunks(path, p):
                     _hash64(ch)
                     _compressed_size(ch, p.compress_probe_bytes, p.compress_scheme)
 
-            print(f"end-to-end [{label}]: {_rate(n, run, reps=2):.0f} MB/s/core")
+            print(f"end-to-end per-chunk [{label}]: {_rate(n, run, reps=2):.0f} MB/s/core")
     finally:
         os.unlink(path)
 
