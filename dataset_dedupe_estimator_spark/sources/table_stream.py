@@ -81,7 +81,6 @@ from dataset_dedupe_estimator_spark.sources.versioned import (
     _column_mapping,
     _committed_entries,
     _dropped_columns,
-    _split_path,
 )
 
 # actions that rewrite rather than add — streamable only with
@@ -211,18 +210,24 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         # (all of them — physical names are frozen) speak physical
         entries0 = _committed_entries(Path(self.root))
         self._phys = _column_mapping(entries0)
-        # one-level struct paths: leaf renames/drops per physical top
+        # nested struct paths (any depth): renames/drops keyed by the
+        # PHYSICAL parent path — the reader projects recursively
         self._nested: dict = {}
         for l, p in self._phys.items():
-            ltop, lleaf = _split_path(l)
-            if lleaf is not None:
-                ptop, pleaf = _split_path(p)
-                self._nested.setdefault(ptop, {})[lleaf] = pleaf
+            if "." not in l:
+                continue
+            pparent, _, pleaf = p.rpartition(".")
+            lleaf = l.rsplit(".", 1)[1]
+            self._nested.setdefault(pparent, {})[lleaf] = pleaf
         self._ndropped: dict = {}
         for p in _dropped_columns(entries0):
-            ptop, pleaf = _split_path(p)
-            if pleaf is not None:
-                self._ndropped.setdefault(ptop, set()).add(pleaf)
+            if "." not in p:
+                continue
+            pparent, _, pleaf = p.rpartition(".")
+            self._ndropped.setdefault(pparent, set()).add(pleaf)
+        # physical parent paths with ANY rename/drop beneath them: the
+        # projector recurses only where needed (plain cast elsewhere)
+        self._affected = set(self._nested) | set(self._ndropped)
 
     # -- offsets ---------------------------------------------------------
     def initialOffset(self) -> dict:
@@ -371,24 +376,27 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 parts.append(_CommitFile(str(f), str(base)))
         return parts
 
-    def _project(self, arr, target_type, ptop: str):
-        """Cast ``arr`` to ``target_type``; for a struct column whose
-        leaves were renamed or dropped (path-based column mapping), the
-        target's LOGICAL leaf names differ from the file's physical
-        children — rebuild the StructArray from the physical children
-        in target order (leaves renamed after a file was written read
-        under their new name; dropped leaves disappear; leaves widened
-        in later commits backfill NULL here like top-level columns)."""
+    def _project(self, arr, target_type, ppath: str):
+        """Cast ``arr`` to ``target_type``; for a struct whose fields
+        (at ANY depth) were renamed or dropped under the path-based
+        column mapping, the target's LOGICAL field names differ from
+        the file's physical children — rebuild the StructArray from
+        the physical children in target order, RECURSING into struct
+        children that still have renames/drops beneath them (fields
+        renamed after a file was written read under their new name;
+        dropped fields disappear; fields widened in later commits
+        backfill NULL here like top-level columns). ``ppath`` is the
+        PHYSICAL dotted path of this array."""
         import pyarrow as pa
         import pyarrow.compute as pc
 
         import pyarrow.types as pt
 
-        if not pt.is_struct(target_type) or (
-            ptop not in self._nested and ptop not in self._ndropped
+        if not pt.is_struct(target_type) or not any(
+            a == ppath or a.startswith(ppath + ".") for a in self._affected
         ):
             return arr.cast(target_type)
-        leafmap = self._nested.get(ptop, {})
+        leafmap = self._nested.get(ppath, {})
         have = {arr.type.field(i).name for i in range(arr.type.num_fields)}
         children = []
         n = len(arr)
@@ -396,7 +404,11 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             f = target_type.field(i)
             src_leaf = leafmap.get(f.name, f.name)
             if src_leaf in have:
-                children.append(arr.field(src_leaf).cast(f.type))
+                children.append(
+                    self._project(
+                        arr.field(src_leaf), f.type, f"{ppath}.{src_leaf}"
+                    )
+                )
             else:
                 children.append(pa.nulls(n, f.type))
         return pa.StructArray.from_arrays(
@@ -522,37 +534,36 @@ class VersionedTableStreamSource(DataSource):
             )
         mapping = _column_mapping(entries)
         inv = {p: l for l, p in mapping.items() if "." not in l}
-        # one-level struct paths: leaf renames / drops project here too
-        nested: dict[str, dict] = {}
-        for l, p in mapping.items():
-            ltop, lleaf = _split_path(l)
-            if lleaf is not None:
-                ptop, pleaf = _split_path(p)
-                nested.setdefault(ptop, {})[pleaf] = lleaf
-        ndropped: dict[str, set] = {}
-        for p in _dropped_columns(entries):
-            ptop, pleaf = _split_path(p)
-            if pleaf is not None:
-                ndropped.setdefault(ptop, set()).add(pleaf)
+        # nested struct paths (any depth): renames/drops project into
+        # the derived schema recursively — PHYSICAL full path keys
+        ren = {
+            p: l.rsplit(".", 1)[1]
+            for l, p in mapping.items()
+            if "." in l
+        }
+        gone = {p for p in _dropped_columns(entries) if "." in p}
+        affected = set(ren) | gone
 
-        def _leafed(c, dt):
-            if not isinstance(dt, StructType) or (
-                c not in nested and c not in ndropped
+        def _leafed(dt, prefix):
+            if not isinstance(dt, StructType) or not any(
+                a.startswith(prefix + ".") for a in affected
             ):
                 return dt
-            ren = nested.get(c, {})
-            gone = ndropped.get(c, set())
             return StructType(
                 [
-                    StructField(ren.get(sf.name, sf.name), sf.dataType, True)
+                    StructField(
+                        ren.get(f"{prefix}.{sf.name}", sf.name),
+                        _leafed(sf.dataType, f"{prefix}.{sf.name}"),
+                        True,
+                    )
                     for sf in dt.fields
-                    if sf.name not in gone
+                    if f"{prefix}.{sf.name}" not in gone
                 ]
             )
 
         out = [
             StructField(
-                inv.get(c, c), _leafed(c, fields[c].dataType),
+                inv.get(c, c), _leafed(fields[c].dataType, c),
                 fields[c].nullable,
             )
             for c in columns

@@ -1,9 +1,9 @@
-"""Nested-field support in the versioned table layer (r10): struct and
-list columns are first-class payloads (the reference's synthetic
-generator produces them — de/synthetic.py:118-128); ONE level of
-struct paths ("a.b") participates in per-file zone maps, read_where
-predicates, and path-based rename/drop (the realistic subset of
-Delta's field-ID column mapping)."""
+"""Nested-field support in the versioned table layer: struct and list
+columns are first-class payloads (the reference's synthetic generator
+produces them — de/synthetic.py:118-128); dotted struct paths of ANY
+depth (r10: one level; r11: recursive) participate in per-file zone
+maps, read_where predicates, and path-based rename/drop (the realistic
+subset of Delta's field-ID column mapping)."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -485,3 +485,40 @@ def test_array_element_paths_refuse(spark, tmp_path):
         vt.rename_column(root, "items.v", "items.w")
     with pytest.raises(ValueError, match="not a struct"):
         vt.drop_column(root, "items.v")
+
+
+def test_stream_projects_deep_nested_rename_and_drop(spark, deep_table, tmp_path):
+    """The streaming source serves LOGICAL names and hides dropped
+    fields at ANY depth, matching read_version (r11: the projector and
+    the derived schema both recurse)."""
+    from dataset_dedupe_estimator_spark.sources.table_stream import (
+        VersionedTableStreamSource,
+    )
+
+    spark.dataSource.register(VersionedTableStreamSource)
+    vt.rename_column(deep_table, "outer.inner.x", "outer.inner.score")
+    vt.rename_column(deep_table, "outer.inner", "outer.core")
+    vt.drop_column(deep_table, "outer.core.s")
+    out = tmp_path / "out"
+    q = (
+        spark.readStream.format("versioned_table")
+        .load(str(deep_table))
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(str(out))
+    assert dict(got.dtypes)["outer"] == (
+        "struct<core:struct<score:bigint>,w:bigint>"
+    )
+    assert got.count() == 20
+    assert got.filter(F.col("outer.core.score") >= 100).count() == 10
+    # parity with the batch surface
+    snap = vt.read_version(spark, deep_table)
+    assert dict(snap.dtypes)["outer"] == dict(got.dtypes)["outer"]
+    assert sorted(r.k for r in got.collect()) == sorted(
+        r.k for r in snap.collect()
+    )
