@@ -522,3 +522,75 @@ def test_stream_projects_deep_nested_rename_and_drop(spark, deep_table, tmp_path
     assert sorted(r.k for r in got.collect()) == sorted(
         r.k for r in snap.collect()
     )
+
+
+def test_deep_delete_constraints_and_drop_guard(spark, tmp_path):
+    """Depth-2 paths work across the WRITE surfaces too (r11): pruned
+    DELETE on a deep predicate, CHECK/NOT NULL constraints on deep
+    leaves (enforced through a later deep rename — physical
+    translation), and the constrained-leaf drop guard at depth."""
+    root = tmp_path / "t"
+    ddl = "k: long, o: struct<inner: struct<x: long, s: string>>"
+    df = spark.createDataFrame(
+        [(i, {"inner": {"x": i, "s": "en"}}) for i in range(20)], ddl
+    )
+    vt.append(
+        root, df.repartitionByRange(4, F.col("o.inner.x")),
+        stats_columns=["o.inner.x"],
+    )
+    st = vt.delete_where_pruned(spark, root, [("o.inner.x", ">=", 15)])
+    assert st["deleted_rows"] == 5
+    snap = vt.read_version(spark, root)
+    assert snap.count() == 15
+    assert snap.agg(F.max("o.inner.x")).collect()[0][0] == 14
+    vt.set_constraints(
+        root, checks=[("o.inner.x", ">=", 0)], not_null=["o.inner.s"],
+    )
+    with pytest.raises(ValueError, match="constraint violation"):
+        vt.append(
+            root,
+            spark.createDataFrame([(99, {"inner": {"x": -1, "s": "d"}})], ddl),
+            num_files=1,
+        )
+    vt.append(
+        root,
+        spark.createDataFrame([(99, {"inner": {"x": 5, "s": "d"}})], ddl),
+        num_files=1,
+    )
+    assert vt.read_version(spark, root).count() == 16
+    # constraints keep firing through a deep rename (logical -> frozen
+    # physical translation)
+    vt.rename_column(root, "o.inner.x", "o.inner.score")
+    with pytest.raises(ValueError, match="constraint violation"):
+        vt.append(
+            root,
+            spark.createDataFrame(
+                [(100, {"inner": {"score": -2, "s": "d"}})],
+                "k: long, o: struct<inner: struct<score: long, s: string>>",
+            ),
+            num_files=1,
+        )
+    with pytest.raises(ValueError, match="active"):
+        vt.drop_column(root, "o.inner.score")
+
+
+def test_deep_cdf_projects_renames(spark, tmp_path):
+    """read_change_feed serves logical DEEP names and hides dropped
+    deep leaves like every other read surface."""
+    root = tmp_path / "t"
+    ddl = "k: long, o: struct<inner: struct<x: long, s: string>>"
+    vt.append(
+        root,
+        spark.createDataFrame(
+            [(i, {"inner": {"x": i, "s": "en"}}) for i in range(6)], ddl
+        ),
+        num_files=1, stats_columns=["k"], change_feed=True,
+    )
+    vt.rename_column(root, "o.inner.x", "o.inner.score")
+    vt.delete_where_pruned(spark, root, [("k", "==", 2)])
+    vt.drop_column(root, "o.inner.s")
+    vt.delete_where_pruned(spark, root, [("k", "==", 4)])
+    feed = vt.read_change_feed(spark, root, 1)
+    assert dict(feed.dtypes)["o"] == "struct<inner:struct<score:bigint>>"
+    got = sorted((r.k, r.o.inner.score, r._change) for r in feed.collect())
+    assert got == [(2, 2, "delete"), (4, 4, "delete")]
