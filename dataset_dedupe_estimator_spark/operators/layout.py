@@ -99,18 +99,26 @@ def zorder_frame(
     clustered frame into any sink (plain parquet here; a versioned
     `optimize` commit in ``sources/versioned.py``).
     """
+    # index-keyed normalizer aliases: a dotted NESTED path ("a.b.c")
+    # in the alias name would read back as struct access — positional
+    # names keep the clustering columns free to be any depth
     bounds = df.agg(
-        *[F.min(c).alias(f"_lo_{c}") for c in cols],
-        *[F.max(c).alias(f"_hi_{c}") for c in cols],
+        *[F.min(c).alias(f"_lo_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"_hi_{i}") for i, c in enumerate(cols)],
     )
     scaled = [
-        scale_to_bits(F.col(c), F.col(f"_lo_{c}"), F.col(f"_hi_{c}"), bits) for c in cols
+        scale_to_bits(F.col(c), F.col(f"_lo_{i}"), F.col(f"_hi_{i}"), bits)
+        for i, c in enumerate(cols)
     ]
     keyed = df.crossJoin(F.broadcast(bounds)).withColumn("_z", zvalue(scaled, bits))
     return (
         keyed.repartitionByRange(num_files, "_z")
         .sortWithinPartitions("_z")
-        .drop(*[f"_lo_{c}" for c in cols], *[f"_hi_{c}" for c in cols], "_z")
+        .drop(
+            *[f"_lo_{i}" for i in range(len(cols))],
+            *[f"_hi_{i}" for i in range(len(cols))],
+            "_z",
+        )
     )
 
 

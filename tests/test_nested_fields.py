@@ -594,3 +594,19 @@ def test_deep_cdf_projects_renames(spark, tmp_path):
     assert dict(feed.dtypes)["o"] == "struct<inner:struct<score:bigint>>"
     got = sorted((r.k, r.o.inner.score, r._change) for r in feed.collect())
     assert got == [(2, 2, "delete"), (4, 4, "delete")]
+
+
+def test_optimize_zorders_on_deep_nested_path(spark, deep_table):
+    """optimize(zorder_by=[deep path]) re-clusters on a depth-2 leaf
+    and the re-collected zone maps prune on it (r11: positional
+    normalizer aliases — dotted paths used to collide with struct
+    access)."""
+    # scatter the rows first so clustering has work to do
+    vt.optimize(
+        spark, deep_table, zorder_by=["outer.inner.x"], num_files=4,
+        stats_columns=["outer.inner.x"],
+    )
+    rep = vt.zone_map_prune(deep_table, [("outer.inner.x", ">=", 100)])
+    assert rep["skipped_files"] >= 2, rep
+    got = vt.read_where(spark, deep_table, [("outer.inner.x", ">=", 100)])
+    assert sorted(r.k for r in got.collect()) == list(range(100, 110))
