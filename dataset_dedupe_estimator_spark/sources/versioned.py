@@ -3862,14 +3862,16 @@ def upsert_pruned(
             entry["change_data"] = True
         if stats_columns:
             entry["stats_columns"] = stats_columns
-            dtypes = dict(out.dtypes)
-            entry["stats_types"] = {c: dtypes[c] for c in stats_columns}
+            entry["stats_types"] = {
+                c: _dtype_of_path(out, c) for c in stats_columns
+            }
             entry["stats"] = _collect_file_stats(data_dir, stats_columns)
         if bloom_columns:
             entry["bloom_columns"] = bloom_columns
             entry["bloom_bits"] = bloom_bits
-            dtypes = dict(out.dtypes)
-            entry["bloom_types"] = {c: dtypes[c] for c in bloom_columns}
+            entry["bloom_types"] = {
+                c: _dtype_of_path(out, c) for c in bloom_columns
+            }
             entry["blooms_file"] = _write_bloom_sidecar(
                 root, dir_name, _collect_file_blooms(
                     spark, data_dir, bloom_columns, bloom_bits
@@ -4044,15 +4046,17 @@ def delete_where_pruned(
             # only when a directory exists
             entry["stats_columns"] = stats_columns
             if has_rows:
-                dtypes = dict(survivors.dtypes)
-                entry["stats_types"] = {c: dtypes[c] for c in stats_columns}
+                entry["stats_types"] = {
+                    c: _dtype_of_path(survivors, c) for c in stats_columns
+                }
                 entry["stats"] = _collect_file_stats(data_dir, stats_columns)
         if bloom_columns:
             entry["bloom_columns"] = bloom_columns  # declaration always
             entry["bloom_bits"] = bloom_bits
             if has_rows:
-                dtypes = dict(survivors.dtypes)
-                entry["bloom_types"] = {c: dtypes[c] for c in bloom_columns}
+                entry["bloom_types"] = {
+                    c: _dtype_of_path(survivors, c) for c in bloom_columns
+                }
                 entry["blooms_file"] = _write_bloom_sidecar(
                     root, dir_name, _collect_file_blooms(
                         spark, data_dir, bloom_columns, bloom_bits
@@ -4642,15 +4646,17 @@ def compact_small(
         if stats_columns:
             entry["stats_columns"] = stats_columns  # declaration always
             if has_rows:
-                dtypes = dict(src.dtypes)
-                entry["stats_types"] = {c: dtypes[c] for c in stats_columns}
+                entry["stats_types"] = {
+                    c: _dtype_of_path(src, c) for c in stats_columns
+                }
                 entry["stats"] = _collect_file_stats(data_dir, stats_columns)
         if bloom_columns:
             entry["bloom_columns"] = bloom_columns  # declaration always
             entry["bloom_bits"] = bloom_bits
             if has_rows:
-                dtypes = dict(src.dtypes)
-                entry["bloom_types"] = {c: dtypes[c] for c in bloom_columns}
+                entry["bloom_types"] = {
+                    c: _dtype_of_path(src, c) for c in bloom_columns
+                }
                 entry["blooms_file"] = _write_bloom_sidecar(
                     root, dir_name, _collect_file_blooms(
                         spark, data_dir, bloom_columns, bloom_bits

@@ -610,3 +610,29 @@ def test_optimize_zorders_on_deep_nested_path(spark, deep_table):
     assert rep["skipped_files"] >= 2, rep
     got = vt.read_where(spark, deep_table, [("outer.inner.x", ">=", 100)])
     assert sorted(r.k for r in got.collect()) == list(range(100, 110))
+
+
+def test_delete_with_survivors_keeps_nested_stats(spark, tmp_path):
+    """r11 fix: a pruned DELETE whose rewritten files have SURVIVORS
+    used to KeyError recording stats_types for a nested stats column
+    (flat dtypes dict lookup); the rewritten directory now records the
+    nested zone maps and post-delete pruning still works."""
+    root = tmp_path / "t"
+    ddl = "k: long, o: struct<inner: struct<x: long>>"
+    df = spark.createDataFrame(
+        [(i, {"inner": {"x": i}}) for i in range(20)], ddl
+    )
+    vt.append(
+        root, df.repartitionByRange(4, F.col("o.inner.x")),
+        stats_columns=["o.inner.x"],
+    )
+    st = vt.delete_where_pruned(
+        spark, root, [("o.inner.x", "between", (14, 16))]
+    )
+    assert st["deleted_rows"] == 3
+    last = vt._committed_entries(root)[-1]
+    assert last.get("stats_types") == {"o.inner.x": "bigint"}
+    assert "stats" in last  # per-file zone maps on the rewritten dir
+    assert vt.read_version(spark, root).count() == 17
+    rep = vt.zone_map_prune(root, [("o.inner.x", "<=", 3)])
+    assert rep["skipped_files"] >= 1
