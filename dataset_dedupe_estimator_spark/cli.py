@@ -1453,6 +1453,41 @@ def cmd_table(args) -> int:
         if entry.get("stats_columns"):
             how += f", zone maps on {entry['stats_columns']}"
         print(f"committed v{entry['version']} (optimize: {how})")
+    elif args.action == "update-where":
+        if not args.where:
+            print("update-where needs at least one --where COL:OP:VALUE",
+                  file=sys.stderr)
+            return 2
+        if not args.set:
+            print("update-where needs at least one --set COL=VALUE",
+                  file=sys.stderr)
+            return 2
+        preds = _parse_where(args.where)
+        if preds is None:
+            return 2
+        set_values = {}
+        for item in args.set:
+            col, eq, raw = item.partition("=")
+            if not eq or not col:
+                print(f"--set {item!r}: expected COL=VALUE", file=sys.stderr)
+                return 2
+            set_values[col] = _parse_value(raw)
+        spark = _spark(args)
+        st = vt.update_where_pruned(
+            spark, args.root, preds, set_values, num_files=args.files
+        )
+        if not st["committed"]:
+            print(
+                "nothing to update (no row matches; "
+                f"{st['skipped_files']} file(s) provably skipped, no commit)"
+            )
+        else:
+            print(
+                f"committed v{st['version']} (update: "
+                f"{st['updated_rows']} rows updated, "
+                f"{st['rewritten_files']} file(s) rewritten, "
+                f"{st['carried_files']} carried untouched)"
+            )
     elif args.action == "delete-where":
         if not args.where:
             print("delete-where needs at least one --where COL:OP:VALUE", file=sys.stderr)
@@ -2124,7 +2159,7 @@ def build_parser() -> argparse.ArgumentParser:
         "action",
         choices=[
             "append", "overwrite", "history", "read", "optimize", "vacuum",
-            "ingest", "delete-where", "upsert", "tail", "compact-small",
+            "ingest", "delete-where", "update-where", "upsert", "tail", "compact-small",
             "set-constraints", "restore", "detail", "rename-column",
             "drop-column", "clone", "set-partitioning", "files",
             "archive-log",
@@ -2185,6 +2220,14 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="COL:OP:VALUE",
         help="read predicate, e.g. o_orderkey:between:100,200, price:>=:5, or k:in:a,b,c "
         "(repeatable; conjunction; zone maps skip provably-missed files)",
+    )
+    tb.add_argument(
+        "--set",
+        action="append",
+        default=[],
+        metavar="COL=VALUE",
+        help="update-where: set COL to VALUE on matching rows "
+        "(repeatable; VALUE parsed as int/float/string)",
     )
     tb.add_argument(
         "--keys",

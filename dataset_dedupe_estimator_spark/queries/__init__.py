@@ -101,15 +101,16 @@ _FRONT = [
     "rolling_active_users",
     "events_late_arrivals",
     "events_user_lifecycle",
-    "events_markov_transitions",
     "table_deep_nested_read",
     "cdc_stats_oracle",
     "cdc_trend_oracle",
+    "table_update_read",
 ]
 # overflow: the remaining round-8-green queries (head: the r8-green
 # fill displaced by the query added during r11) — first in line for
 # round 12's window (locally re-verified every round)
 _NEXT = [
+    "events_markov_transitions",
     "session_top_paths",
     "events_funnel_ttc",
     "events_funnel",

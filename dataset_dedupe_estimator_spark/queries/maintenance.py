@@ -545,6 +545,104 @@ def table_delete_where(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def table_update_read(spark, sf):
+    """Zone-map-bounded UPDATE on a versioned table (r11,
+    ``sources/versioned.py::update_where_pruned`` — the Delta
+    ``UPDATE ... SET ... WHERE`` shape).
+
+    Orders ingest in two range-partitioned commits with per-file zone
+    maps; an o_orderkey band gets its price DOUBLED and its priority
+    re-tagged (SET expressions over the pre-update row) — only the
+    files whose recorded [min,max] intersects the band are rewritten
+    (the query RAISES if nothing was carried by reference, if time
+    travel below the update stops showing the pre-update prices, or if
+    the change feed's delete+insert pair count is wrong). The final
+    aggregate reads the post-update snapshot; the oracle applies the
+    same conditional arithmetic to raw orders, so an update that
+    touched a row it shouldn't (or missed one, or doubled twice)
+    hash-mismatches."""
+    import shutil
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", cents("o_totalprice").alias("price_cents"),
+        "o_orderpriority",
+    )
+    root = tempfile.mkdtemp(prefix="dde_uw_")
+    try:
+        half = orders.filter(F.col("o_orderkey") % 2 == 0)
+        rest = orders.filter(F.col("o_orderkey") % 2 == 1)
+        vt.append(
+            root,
+            half.repartitionByRange(4, "o_orderkey"),
+            stats_columns=["o_orderkey"], change_feed=True,
+        )
+        vt.append(root, rest.repartitionByRange(4, "o_orderkey"))
+        st = vt.update_where_pruned(
+            spark, root,
+            [("o_orderkey", "between", (_UW_LO, _UW_HI))],
+            {
+                "price_cents": F.col("price_cents") * 2,
+                "o_orderpriority": "9-UPDATED",
+            },
+        )
+        if not st["carried_files"]:
+            raise AssertionError(f"update carried nothing: {st}")
+        # time travel below the update must read pre-update prices
+        pre = vt.read_version(spark, root, 1).filter(
+            F.col("o_orderkey").between(_UW_LO, _UW_HI)
+        )
+        post = vt.read_version(spark, root).filter(
+            F.col("o_orderkey").between(_UW_LO, _UW_HI)
+        )
+        if pre.agg(F.sum("price_cents")).collect()[0][0] * 2 != (
+            post.agg(F.sum("price_cents")).collect()[0][0]
+        ):
+            raise AssertionError("time travel below the update broke")
+        # change feed: a delete+insert pair per updated row
+        n_changes = vt.read_change_feed(spark, root, 1).count()
+        if n_changes != 2 * st["updated_rows"]:
+            raise AssertionError(
+                f"CDF pairs wrong: {n_changes} != 2x{st['updated_rows']}"
+            )
+        out = (
+            vt.read_version(spark, root)
+            .groupBy((F.col("o_custkey") % 10).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("price_cents").alias("total_cents"),
+                F.sum(
+                    F.when(
+                        F.col("o_orderpriority") == "9-UPDATED", 1
+                    ).otherwise(0)
+                ).alias("n_updated"),
+            )
+            .orderBy("bucket")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_UW_LO, _UW_HI = 100, 400  # updated band (exists at every sf tier)
+
+
+TABLE_UPDATE_READ_SQL = f"""
+SELECT o_custkey % 10 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN o_orderkey BETWEEN {_UW_LO} AND {_UW_HI}
+                THEN {sql_cents('o_totalprice')} * 2
+                ELSE {sql_cents('o_totalprice')} END) AS BIGINT)
+           AS total_cents,
+       CAST(SUM(CASE WHEN o_orderkey BETWEEN {_UW_LO} AND {_UW_HI}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
+FROM orders
+GROUP BY 1 ORDER BY bucket
+"""
+
+
 TABLE_DELETE_WHERE_SQL = f"""
 SELECT o_custkey % 10 AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -2055,6 +2153,7 @@ QUERIES = {
     ),
     "table_archive_read": Q(table_archive_read, TABLE_ARCHIVE_READ_SQL),
     "table_delete_where": Q(table_delete_where, TABLE_DELETE_WHERE_SQL),
+    "table_update_read": Q(table_update_read, TABLE_UPDATE_READ_SQL),
     "table_upsert_merge": Q(table_upsert_merge, TABLE_UPSERT_MERGE_SQL),
     "table_stream_read": Q(table_stream_read, TABLE_STREAM_READ_SQL),
     "table_compact_read": Q(table_compact_read, TABLE_COMPACT_READ_SQL),

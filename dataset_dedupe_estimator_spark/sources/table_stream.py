@@ -85,7 +85,7 @@ from dataset_dedupe_estimator_spark.sources.versioned import (
 
 # actions that rewrite rather than add — streamable only with
 # ignoreChanges (Delta's contract for its streaming source)
-_REWRITE_ACTIONS = frozenset({"overwrite", "delete", "upsert", "restore"})
+_REWRITE_ACTIONS = frozenset({"overwrite", "delete", "upsert", "update", "restore"})
 
 
 def _infer_part_value(raw: str):

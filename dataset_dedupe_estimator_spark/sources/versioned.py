@@ -4073,6 +4073,257 @@ def delete_where_pruned(
     }
 
 
+def update_where_pruned(
+    spark: SparkSession,
+    root: str | Path,
+    predicates: list[tuple],
+    set_values: dict,
+    num_files: int | None = None,
+) -> dict:
+    """Zone-map-bounded UPDATE (the Delta ``UPDATE ... SET ... WHERE``
+    shape): rewrite ONLY the files whose recorded [min, max] ranges can
+    intersect the ``(column, op, value)`` conjunction; matching rows
+    get ``set_values`` applied, non-matching rows of the touched files
+    are carried verbatim into the rewrite, and every provably-clean
+    file stays untouched on disk, carried forward by reference. The
+    commit is an ``update`` log entry with the same dir+``removed``
+    mask shape as DELETE — earlier versions still read the pre-update
+    rows (time travel), and ``vacuum`` retires the superseded files.
+
+    ``set_values`` maps LOGICAL top-level column names to either a
+    literal or a pyspark ``Column`` expression evaluated over the
+    PRE-UPDATE row under its logical names (e.g.
+    ``{"price": F.col("price") * 2}``). Nested set targets are refused
+    (reshape structs via upsert/overwrite); predicates may be nested
+    paths of any depth. NULL in a predicate column never matches — the
+    row survives unchanged (the null-rejecting language everywhere).
+    An update may never RE-TYPE a column (refused before any write:
+    mixed footers fail at read time far from the bad commit); active
+    CHECK / NOT NULL constraints validate the POST-update rows and
+    refuse the whole commit atomically. With the change feed active
+    the commit writes pre-image rows as deletes and post-image rows
+    as inserts (an UPDATE is its delete+insert pair, matching
+    ``changes_between``). Commits nothing when no file can match.
+
+    At 100 TB this is the Delta UPDATE shape: rewrite cost is O(files
+    the predicate touches) — the pruning decision reads zero data
+    bytes."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    if not predicates:
+        raise ValueError("update_where_pruned needs at least one predicate")
+    if not set_values:
+        raise ValueError(
+            "update_where_pruned needs at least one SET column"
+        )
+    for p in predicates:
+        if len(p) != 3 or p[1] not in _PRUNE_OPS:
+            raise ValueError(
+                f"predicate {p!r} must be (column, op, value) with op in "
+                f"{sorted(_PRUNE_OPS)}"
+            )
+    for c in set_values:
+        if "." in c:
+            raise ValueError(
+                f"SET target {c!r} is a nested path — updates reshape "
+                "whole top-level columns (use upsert/overwrite for "
+                "struct surgery)"
+            )
+    root = Path(root)
+    (root / _VLOG).mkdir(parents=True, exist_ok=True)
+    with writer_lock(root, wait_seconds=_LOCK_WAIT):
+        entries = _snapshot_entries(root)
+        version, live_data_dirs, live_entries = _resolve(root, entries, None)
+        mapping = _column_mapping(live_entries)
+        phys_preds = _preds_to_physical(predicates, mapping)
+        schema_cols = live_entries[-1]["columns"]
+        logical_cols = _names_to_logical(schema_cols, mapping)
+        unknown = sorted(set(set_values) - set(logical_cols))
+        if unknown:
+            raise ValueError(
+                f"SET columns {unknown} not in table schema {logical_cols}"
+            )
+        dvf = _dv_frame(spark, root, live_entries)
+        report = zone_map_prune(root, phys_preds, version)
+        cand_files = list(report["files"]) + [
+            str(f)
+            for d in report["dirs"]
+            for f in sorted(Path(d).rglob("*.parquet"))
+        ]
+        if not cand_files:  # no file can hold a match: commit nothing
+            return {
+                "version": version, "updated_rows": 0,
+                "rewritten_files": 0, "carried_files": 0,
+                "skipped_files": report["skipped_files"], "committed": False,
+            }
+        partition_by = live_entries[-1].get("partition_by") or []
+        stats_columns = live_entries[-1].get("stats_columns") or []
+        bloom_columns = live_entries[-1].get("bloom_columns") or []
+        bloom_bits = live_entries[-1].get("bloom_bits") or 65_536
+        widened = any("added_columns" in e for e in live_entries)
+
+        def _norm(df):
+            for c in schema_cols:
+                if c not in df.columns:
+                    df = df.withColumn(c, F.lit(None))
+            return df.select(*schema_cols)
+
+        by_base: dict[str, list[str]] = {}
+        for f in cand_files:
+            base = next(
+                d for d in live_data_dirs if f.startswith(d + os.sep)
+            )
+            by_base.setdefault(base, []).append(f)
+        cand = None
+        for base, plist in by_base.items():
+            reader = spark.read.option("basePath", base)
+            if widened:
+                reader = reader.option("mergeSchema", "true")
+            part = _norm(_dv_filter(reader.parquet(*plist), dvf))
+            cand = part if cand is None else cand.unionByName(part)
+        # match on the PHYSICAL frame (pruning's language), then apply
+        # SET expressions under LOGICAL names (the user's language) —
+        # the flag column rides through the projection
+        matched = F.coalesce(
+            _predicate_cond(cand, phys_preds), F.lit(False)
+        )
+        flagged = cand.withColumn("_upd", matched)
+        logical = _to_logical(flagged, mapping)
+        prior_dtypes = dict(logical.dtypes)
+        # each SET expression must already BE the column's type — checked
+        # on the raw expression, before Spark's implicit WHEN-branch
+        # coercion can hide a re-type behind a runtime cast ('oops' into
+        # a BIGINT column type-checks as bigint and then fails mid-write)
+        vexprs = {
+            lc: (v if isinstance(v, Column) else F.lit(v))
+            for lc, v in set_values.items()
+        }
+        raw_types = dict(
+            logical.select(
+                *[e.alias(f"_c{i}") for i, e in enumerate(vexprs.values())]
+            ).dtypes
+        )
+        mismatch = {}
+        for i, lc in enumerate(vexprs):
+            raw, want = raw_types[f"_c{i}"], prior_dtypes[lc]
+            if raw == want:
+                continue
+            if _is_safe_widening(raw, want):
+                # a NARROWER expression (lit(0) is int, the column
+                # bigint) upcasts losslessly — cast it explicitly so
+                # the stored type never moves
+                vexprs[lc] = vexprs[lc].cast(want)
+            else:
+                mismatch[lc] = (want, raw)
+        if mismatch:
+            raise ValueError(
+                "UPDATE would re-type columns "
+                f"{{col: (table_type, expr_type)}} = {mismatch} — cast "
+                "the SET expression to the column's type (mixed parquet "
+                "footers fail at read time; re-typing needs overwrite)"
+            )
+        exprs = []
+        for lc in logical_cols:
+            if lc in vexprs:
+                exprs.append(
+                    F.when(F.col("_upd"), vexprs[lc])
+                    .otherwise(F.col(f"`{lc}`"))
+                    .alias(lc)
+                )
+            else:
+                exprs.append(F.col(f"`{lc}`").alias(lc))
+        updated_l = logical.select(*exprs, "_upd")
+        # back to frozen physical storage names (the append path's
+        # sequence: flat renames first, then nested renames)
+        updated_p = updated_l.withColumnsRenamed(
+            {l: p for l, p in mapping.items() if "." not in l}
+        )
+        updated_p = _apply_nested_renames_to_physical(updated_p, mapping)
+        post = updated_p.filter(F.col("_upd"))
+        _enforce_constraints(post, _active_constraints(live_entries))
+        out = updated_p.drop("_upd").select(*schema_cols)
+        n_updated = post.count()
+        if not n_updated:
+            # predicate matched no ROW (files were only possibly
+            # matching): nothing changes — don't rewrite
+            return {
+                "version": version, "updated_rows": 0,
+                "rewritten_files": 0, "carried_files": 0,
+                "skipped_files": report["skipped_files"], "committed": False,
+            }
+        if num_files is None:
+            cand_bytes = sum(Path(f).stat().st_size for f in cand_files)
+            num_files = max(1, -(-cand_bytes // (128 << 20)))
+        new_version = version + 1
+        dir_name = f"c{new_version:08d}"
+        data_dir = root / _DATA / dir_name
+        writer = out.coalesce(int(num_files)).write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(data_dir))
+        removed: dict[str, list[str]] = {}
+        for base, plist in by_base.items():
+            removed[Path(base).name] = sorted(
+                str(Path(f).relative_to(base)) for f in plist
+            )
+        entry = {
+            "version": new_version,
+            "action": "update",
+            "dir": dir_name,
+            "columns": schema_cols,
+            "partition_by": partition_by,
+            "removed": removed,
+            "predicates": [list(p) for p in phys_preds],
+            "set_columns": sorted(
+                _names_to_physical(list(set_values), mapping)
+            ),
+            "ts": time.time(),
+        }
+        if _cf_active(live_entries):
+            # pre-image rows as deletes + post-image rows as inserts
+            # (an UPDATE is its delete+insert pair — changes_between's
+            # representation); written BEFORE the commit link
+            pre = cand.filter(matched).withColumn(
+                "_change", F.lit("delete")
+            )
+            changes = pre.unionByName(
+                post.drop("_upd").select(*schema_cols).withColumn(
+                    "_change", F.lit("insert")
+                )
+            ).coalesce(int(num_files))
+            changes.write.mode("overwrite").parquet(
+                str(root / _CDF / dir_name)
+            )
+            entry["change_data"] = True
+        if stats_columns:
+            entry["stats_columns"] = stats_columns
+            entry["stats_types"] = {
+                c: _dtype_of_path(out, c) for c in stats_columns
+            }
+            entry["stats"] = _collect_file_stats(data_dir, stats_columns)
+        if bloom_columns:
+            entry["bloom_columns"] = bloom_columns
+            entry["bloom_bits"] = bloom_bits
+            entry["bloom_types"] = {
+                c: _dtype_of_path(out, c) for c in bloom_columns
+            }
+            entry["blooms_file"] = _write_bloom_sidecar(
+                root, dir_name, _collect_file_blooms(
+                    spark, data_dir, bloom_columns, bloom_bits
+                ),
+            )
+        _commit(root, entry)
+    return {
+        "version": new_version,
+        "updated_rows": n_updated,
+        "rewritten_files": len(cand_files),
+        "carried_files": report["skipped_files"],
+        "skipped_files": report["skipped_files"],
+        "committed": True,
+    }
+
+
 def delete_where_dv(
     spark: SparkSession,
     root: str | Path,

@@ -452,3 +452,28 @@ def test_cli_render_readme(capsys, tmp_path):
     err = capsys.readouterr().err
     assert rc == 2 and "overwrite" in err
     assert t4.read_text() == "hello {{ 1 + 1 }}"
+
+
+def test_cli_table_update_where(capsys, spark, tmp_path):
+    """`de table update-where ROOT --where k:between:2,4 --set lang=de`:
+    zone-map-bounded UPDATE from the CLI."""
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    root = tmp_path / "t"
+    df = spark.createDataFrame(
+        [(i, i * 10, "en") for i in range(10)], "k long, price long, lang string"
+    )
+    vt.append(root, df.repartitionByRange(2, "k"), stats_columns=["k"])
+    rc = main([
+        "table", "update-where", str(root),
+        "--where", "k:between:2,4", "--set", "lang=de", "--set", "price=0",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "3 rows updated" in out
+    got = {r.k: (r.price, r.lang) for r in vt.read_version(spark, root).collect()}
+    assert got[3] == (0, "de") and got[7] == (70, "en")
+    # refusals surface as exit 2
+    rc = main(["table", "update-where", str(root), "--set", "lang=x"])
+    assert rc == 2
+    rc = main(["table", "update-where", str(root), "--where", "k:==:1"])
+    assert rc == 2
