@@ -1473,21 +1473,33 @@ def cmd_table(args) -> int:
                 return 2
             set_values[col] = _parse_value(raw)
         spark = _spark(args)
-        st = vt.update_where_pruned(
-            spark, args.root, preds, set_values, num_files=args.files
-        )
-        if not st["committed"]:
-            print(
-                "nothing to update (no row matches; "
-                f"{st['skipped_files']} file(s) provably skipped, no commit)"
-            )
+        if args.dv:
+            st = vt.update_where_dv(spark, args.root, preds, set_values)
+            if not st["committed"]:
+                print("nothing to update (no row matches; no commit)")
+            else:
+                print(
+                    f"committed v{st['version']} (DV update: "
+                    f"{st['updated_rows']} rows — pre-images hidden by a "
+                    "position sidecar, post-images appended, 0 files "
+                    "rewritten; the next compaction purges physically)"
+                )
         else:
-            print(
-                f"committed v{st['version']} (update: "
-                f"{st['updated_rows']} rows updated, "
-                f"{st['rewritten_files']} file(s) rewritten, "
-                f"{st['carried_files']} carried untouched)"
+            st = vt.update_where_pruned(
+                spark, args.root, preds, set_values, num_files=args.files
             )
+            if not st["committed"]:
+                print(
+                    "nothing to update (no row matches; "
+                    f"{st['skipped_files']} file(s) provably skipped, no commit)"
+                )
+            else:
+                print(
+                    f"committed v{st['version']} (update: "
+                    f"{st['updated_rows']} rows updated, "
+                    f"{st['rewritten_files']} file(s) rewritten, "
+                    f"{st['carried_files']} carried untouched)"
+                )
     elif args.action == "delete-where":
         if not args.where:
             print("delete-where needs at least one --where COL:OP:VALUE", file=sys.stderr)
@@ -2197,9 +2209,10 @@ def build_parser() -> argparse.ArgumentParser:
     tb.add_argument("--keep", type=int, default=1)
     tb.add_argument(
         "--dv", action="store_true",
-        help="delete-where: commit a DELETION VECTOR (position-delete "
-        "sidecar) instead of rewriting files — O(deleted rows) write, "
-        "rows purged physically at the next compaction",
+        help="delete-where/update-where: merge-on-read via a DELETION "
+        "VECTOR (position-delete sidecar; update also appends the "
+        "post-image rows) instead of rewriting files — O(changed rows) "
+        "write, purged physically at the next compaction",
     )
     tb.add_argument(
         "--keep-hours", type=float,

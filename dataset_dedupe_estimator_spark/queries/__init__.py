@@ -100,16 +100,17 @@ _FRONT = [
     "conditional_pivot_brands",
     "rolling_active_users",
     "events_late_arrivals",
-    "events_user_lifecycle",
     "table_deep_nested_read",
     "cdc_stats_oracle",
     "cdc_trend_oracle",
     "table_update_read",
+    "table_dv_update_read",
 ]
 # overflow: the remaining round-8-green queries (head: the r8-green
 # fill displaced by the query added during r11) — first in line for
 # round 12's window (locally re-verified every round)
 _NEXT = [
+    "events_user_lifecycle",
     "events_markov_transitions",
     "session_top_paths",
     "events_funnel_ttc",

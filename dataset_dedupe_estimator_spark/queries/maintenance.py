@@ -643,6 +643,81 @@ GROUP BY 1 ORDER BY bucket
 """
 
 
+def table_dv_update_read(spark, sf):
+    """MERGE-ON-READ UPDATE via deletion vector (r11,
+    ``sources/versioned.py::update_where_dv`` — the Delta DV-update
+    shape): the pre-image positions go into a KB-sized sidecar and the
+    post-image rows land as a small new directory; ZERO existing files
+    are rewritten (the query RAISES otherwise), every reader
+    anti-joins the DV. A second DV update over an already-updated row
+    must compose (the post-image row itself gets hidden and
+    re-emitted), and ``optimize`` must purge the hidden pre-images
+    WITHOUT resurrecting them. The final aggregate reads the
+    post-maintenance snapshot; the oracle applies the same two-step
+    conditional arithmetic to raw orders."""
+    import shutil
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", cents("o_totalprice").alias("price_cents")
+    )
+    root = tempfile.mkdtemp(prefix="dde_dvu_")
+    try:
+        vt.append(
+            root,
+            orders.repartitionByRange(8, "o_orderkey"),
+            stats_columns=["o_orderkey"],
+        )
+        st = vt.update_where_dv(
+            spark, root,
+            [("o_orderkey", "between", (_DVU_LO, _DVU_HI))],
+            {"price_cents": F.col("price_cents") * 2},
+        )
+        if st["rewritten_files"] != 0:
+            raise AssertionError(f"DV update rewrote files: {st}")
+        # second update over a sub-band composes on top (those rows
+        # end at x2 + 1, exercising post-image re-hiding)
+        vt.update_where_dv(
+            spark, root,
+            [("o_orderkey", "between", (_DVU_LO, _DVU_MID))],
+            {"price_cents": F.col("price_cents") + 1},
+        )
+        # maintenance purges hidden pre-images without resurrection
+        vt.optimize(spark, root, num_files=4)
+        out = (
+            vt.read_version(spark, root)
+            .groupBy((F.col("o_custkey") % 10).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("price_cents").alias("total_cents"),
+            )
+            .orderBy("bucket")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_DVU_LO, _DVU_MID, _DVU_HI = 500, 700, 900  # DV-updated bands
+
+
+TABLE_DV_UPDATE_READ_SQL = f"""
+SELECT o_custkey % 10 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE
+            WHEN o_orderkey BETWEEN {_DVU_LO} AND {_DVU_MID}
+                THEN {sql_cents('o_totalprice')} * 2 + 1
+            WHEN o_orderkey BETWEEN {_DVU_LO} AND {_DVU_HI}
+                THEN {sql_cents('o_totalprice')} * 2
+            ELSE {sql_cents('o_totalprice')} END) AS BIGINT)
+           AS total_cents
+FROM orders
+GROUP BY 1 ORDER BY bucket
+"""
+
+
 TABLE_DELETE_WHERE_SQL = f"""
 SELECT o_custkey % 10 AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -2154,6 +2229,7 @@ QUERIES = {
     "table_archive_read": Q(table_archive_read, TABLE_ARCHIVE_READ_SQL),
     "table_delete_where": Q(table_delete_where, TABLE_DELETE_WHERE_SQL),
     "table_update_read": Q(table_update_read, TABLE_UPDATE_READ_SQL),
+    "table_dv_update_read": Q(table_dv_update_read, TABLE_DV_UPDATE_READ_SQL),
     "table_upsert_merge": Q(table_upsert_merge, TABLE_UPSERT_MERGE_SQL),
     "table_stream_read": Q(table_stream_read, TABLE_STREAM_READ_SQL),
     "table_compact_read": Q(table_compact_read, TABLE_COMPACT_READ_SQL),

@@ -4073,6 +4073,58 @@ def delete_where_pruned(
     }
 
 
+def _validate_set_values(set_values: dict) -> None:
+    if not set_values:
+        raise ValueError("UPDATE needs at least one SET column")
+    for c in set_values:
+        if "." in c:
+            raise ValueError(
+                f"SET target {c!r} is a nested path — updates reshape "
+                "whole top-level columns (use upsert/overwrite for "
+                "struct surgery)"
+            )
+
+
+def _checked_set_exprs(logical: DataFrame, set_values: dict) -> dict:
+    """LOGICAL-name SET expressions as type-checked Columns: each raw
+    expression must already BE the column's type — checked BEFORE
+    Spark's implicit WHEN-branch coercion can hide a re-type behind a
+    runtime cast ('oops' into a BIGINT column type-checks as bigint
+    and then fails mid-write). A NARROWER expression (lit(0) is int,
+    the column bigint) upcasts losslessly via an explicit cast so the
+    stored type never moves."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    prior_dtypes = dict(logical.dtypes)
+    vexprs = {
+        lc: (v if isinstance(v, Column) else F.lit(v))
+        for lc, v in set_values.items()
+    }
+    raw_types = dict(
+        logical.select(
+            *[e.alias(f"_c{i}") for i, e in enumerate(vexprs.values())]
+        ).dtypes
+    )
+    mismatch = {}
+    for i, lc in enumerate(vexprs):
+        raw, want = raw_types[f"_c{i}"], prior_dtypes[lc]
+        if raw == want:
+            continue
+        if _is_safe_widening(raw, want):
+            vexprs[lc] = vexprs[lc].cast(want)
+        else:
+            mismatch[lc] = (want, raw)
+    if mismatch:
+        raise ValueError(
+            "UPDATE would re-type columns "
+            f"{{col: (table_type, expr_type)}} = {mismatch} — cast "
+            "the SET expression to the column's type (mixed parquet "
+            "footers fail at read time; re-typing needs overwrite)"
+        )
+    return vexprs
+
+
 def update_where_pruned(
     spark: SparkSession,
     root: str | Path,
@@ -4113,22 +4165,12 @@ def update_where_pruned(
 
     if not predicates:
         raise ValueError("update_where_pruned needs at least one predicate")
-    if not set_values:
-        raise ValueError(
-            "update_where_pruned needs at least one SET column"
-        )
+    _validate_set_values(set_values)
     for p in predicates:
         if len(p) != 3 or p[1] not in _PRUNE_OPS:
             raise ValueError(
                 f"predicate {p!r} must be (column, op, value) with op in "
                 f"{sorted(_PRUNE_OPS)}"
-            )
-    for c in set_values:
-        if "." in c:
-            raise ValueError(
-                f"SET target {c!r} is a nested path — updates reshape "
-                "whole top-level columns (use upsert/overwrite for "
-                "struct surgery)"
             )
     root = Path(root)
     (root / _VLOG).mkdir(parents=True, exist_ok=True)
@@ -4190,39 +4232,7 @@ def update_where_pruned(
         )
         flagged = cand.withColumn("_upd", matched)
         logical = _to_logical(flagged, mapping)
-        prior_dtypes = dict(logical.dtypes)
-        # each SET expression must already BE the column's type — checked
-        # on the raw expression, before Spark's implicit WHEN-branch
-        # coercion can hide a re-type behind a runtime cast ('oops' into
-        # a BIGINT column type-checks as bigint and then fails mid-write)
-        vexprs = {
-            lc: (v if isinstance(v, Column) else F.lit(v))
-            for lc, v in set_values.items()
-        }
-        raw_types = dict(
-            logical.select(
-                *[e.alias(f"_c{i}") for i, e in enumerate(vexprs.values())]
-            ).dtypes
-        )
-        mismatch = {}
-        for i, lc in enumerate(vexprs):
-            raw, want = raw_types[f"_c{i}"], prior_dtypes[lc]
-            if raw == want:
-                continue
-            if _is_safe_widening(raw, want):
-                # a NARROWER expression (lit(0) is int, the column
-                # bigint) upcasts losslessly — cast it explicitly so
-                # the stored type never moves
-                vexprs[lc] = vexprs[lc].cast(want)
-            else:
-                mismatch[lc] = (want, raw)
-        if mismatch:
-            raise ValueError(
-                "UPDATE would re-type columns "
-                f"{{col: (table_type, expr_type)}} = {mismatch} — cast "
-                "the SET expression to the column's type (mixed parquet "
-                "footers fail at read time; re-typing needs overwrite)"
-            )
+        vexprs = _checked_set_exprs(logical, set_values)
         exprs = []
         for lc in logical_cols:
             if lc in vexprs:
@@ -4498,6 +4508,238 @@ def delete_where_dv(
     return {
         "version": new_version,
         "deleted_rows": n_del,
+        "rewritten_files": 0,
+        "skipped_files": report["skipped_files"],
+        "committed": True,
+    }
+
+
+def update_where_dv(
+    spark: SparkSession,
+    root: str | Path,
+    predicates: list[tuple],
+    set_values: dict,
+) -> dict:
+    """Merge-on-read UPDATE via a DELETION VECTOR (the Delta DV-update
+    shape): the pre-image row positions go into a DV sidecar and the
+    POST-image rows (SET applied) land as a small new data directory —
+    ONE commit, ZERO existing files rewritten. Readers see the union
+    of live directories minus the DV positions, so the update is
+    exact at O(updated rows) write cost: updating 100 rows of a
+    100 TB table writes a KB-sized sidecar plus 100 rows of parquet.
+
+    Contrast :func:`update_where_pruned` (copy-on-write: rewrites the
+    touched files — best for large updates or read-dominated tables).
+    The DV shape is the tool for small/frequent updates; the read-side
+    anti-join is retired by the next maintenance pass (compact /
+    optimize physically drops the hidden pre-images and keeps the
+    post-images). SET semantics are identical to the pruned variant:
+    logical names, Column expressions over the pre-update row,
+    commit-time re-type refusal, safe-widening literal casts,
+    constraint validation of post-update rows, NULL predicate rows
+    never match. With the change feed active the commit writes the
+    delete+insert pair per updated row. Commits nothing when no row
+    matches."""
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+
+    if not predicates:
+        raise ValueError("update_where_dv needs at least one predicate")
+    _validate_set_values(set_values)
+    for p in predicates:
+        if len(p) != 3 or p[1] not in _PRUNE_OPS:
+            raise ValueError(
+                f"predicate {p!r} must be (column, op, value) with op in "
+                f"{sorted(_PRUNE_OPS)}"
+            )
+    root = Path(root)
+    (root / _VLOG).mkdir(parents=True, exist_ok=True)
+    entries = _snapshot_entries(root)  # lock-free base snapshot
+    version, live_data_dirs, live_entries = _resolve(root, entries, None)
+    mapping = _column_mapping(live_entries)
+    phys_preds = _preds_to_physical(predicates, mapping)
+    schema_cols = live_entries[-1]["columns"]
+    logical_cols = _names_to_logical(schema_cols, mapping)
+    unknown = sorted(set(set_values) - set(logical_cols))
+    if unknown:
+        raise ValueError(
+            f"SET columns {unknown} not in table schema {logical_cols}"
+        )
+    dvf = _dv_frame(spark, root, live_entries)
+    report = zone_map_prune(root, phys_preds, version)
+    cand_files = list(report["files"]) + [
+        str(f)
+        for d in report["dirs"]
+        for f in sorted(Path(d).rglob("*.parquet"))
+    ]
+    if not cand_files:
+        return {
+            "version": version, "updated_rows": 0,
+            "skipped_files": report["skipped_files"], "committed": False,
+        }
+    widened = any("added_columns" in e for e in live_entries)
+    by_base: dict[str, list[str]] = {}
+    for f in cand_files:
+        base = next(d for d in live_data_dirs if f.startswith(d + os.sep))
+        by_base.setdefault(base, []).append(f)
+    matches = None
+    for base, plist in by_base.items():
+        reader = spark.read.option("basePath", base)
+        if widened:
+            reader = reader.option("mergeSchema", "true")
+        part = reader.parquet(*plist).withColumns(
+            {
+                "_dv_key": F.regexp_extract(
+                    F.col("_metadata.file_path"), _DV_KEY, 1
+                ),
+                "_dv_rid": F.col("_metadata.row_index"),
+            }
+        )
+        for c in schema_cols:
+            if c not in part.columns:
+                part = part.withColumn(c, F.lit(None))
+        part = part.select(*schema_cols, "_dv_key", "_dv_rid")
+        matches = part if matches is None else matches.unionByName(part)
+    if dvf is not None:  # already-hidden rows must not re-match
+        matches = matches.join(dvf, ["_dv_key", "_dv_rid"], "left_anti")
+    matches = matches.filter(
+        F.coalesce(_predicate_cond(matches, phys_preds), F.lit(False))
+    )
+    # POST-image rows: SET under logical names, back to physical
+    logical = _to_logical(matches, mapping)
+    vexprs = _checked_set_exprs(
+        logical.drop("_dv_key", "_dv_rid"), set_values
+    )
+    post_l = logical.select(
+        *[
+            (vexprs[lc].alias(lc) if lc in vexprs else F.col(f"`{lc}`").alias(lc))
+            for lc in logical_cols
+        ]
+    )
+    post = _apply_nested_renames_to_physical(
+        post_l.withColumnsRenamed(
+            {l: p for l, p in mapping.items() if "." not in l}
+        ),
+        mapping,
+    ).select(*schema_cols)
+    _enforce_constraints(post, _active_constraints(live_entries))
+    # stage sidecar + post-image dir + change data OUTSIDE the lock
+    stage_dv = root / _DV / f"stage-{os.getpid()}-{os.urandom(4).hex()}"
+    matches.select("_dv_key", "_dv_rid").write.mode("overwrite").parquet(
+        str(stage_dv)
+    )
+    per_file = (
+        spark.read.parquet(str(stage_dv))
+        .groupBy("_dv_key").count().collect()
+    )
+    n_upd = sum(r["count"] for r in per_file)
+    if not n_upd:
+        shutil.rmtree(stage_dv, ignore_errors=True)
+        return {
+            "version": version, "updated_rows": 0,
+            "skipped_files": report["skipped_files"], "committed": False,
+        }
+    dv_files = sorted({unquote(r["_dv_key"]) for r in per_file})
+    last = entries[-1]
+    partition_by = last.get("partition_by") or []
+    stage_data = _stage_dir(root)
+    writer = post.coalesce(1).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(str(stage_data))
+    stage_cdf = None
+    if _cf_active(live_entries):
+        pre = matches.select(*schema_cols).withColumn(
+            "_change", F.lit("delete")
+        )
+        stage_cdf = root / _CDF / stage_dv.name
+        pre.unionByName(
+            post.withColumn("_change", F.lit("insert"))
+        ).coalesce(1).write.mode("overwrite").parquet(str(stage_cdf))
+    template = {
+        "action": "update",
+        "dv_rows": n_upd,
+        "dv_files": dv_files,
+        "columns": schema_cols,
+        "partition_by": partition_by,
+        "predicates": [list(p) for p in phys_preds],
+        "set_columns": sorted(
+            _names_to_physical(list(set_values), mapping)
+        ),
+    }
+    stats_columns = last.get("stats_columns") or []
+    bloom_columns = last.get("bloom_columns") or []
+    if stats_columns:
+        template["stats_columns"] = stats_columns
+        template["stats_types"] = {
+            c: _dtype_of_path(post, c) for c in stats_columns
+        }
+        template["stats"] = _collect_file_stats(stage_data, stats_columns)
+    blooms = None
+    if bloom_columns:
+        template["bloom_columns"] = bloom_columns
+        template["bloom_bits"] = last.get("bloom_bits") or 65_536
+        template["bloom_types"] = {
+            c: _dtype_of_path(post, c) for c in bloom_columns
+        }
+        blooms = _collect_file_blooms(
+            spark, stage_data, bloom_columns, template["bloom_bits"]
+        )
+    try:
+        with writer_lock(root, wait_seconds=_LOCK_WAIT):
+            for _ in range(50):
+                landed = _tail_after(root, version)
+                _check_rebase(root, "update", set(dv_files), last, landed)
+                new_version = (
+                    landed[-1]["version"] if landed else version
+                ) + 1
+                name = f"c{new_version:08d}"
+                entry = dict(template)
+                entry["version"] = new_version
+                entry["dv_ref"] = name
+                entry["dir"] = name
+                try:
+                    os.rename(stage_dv, root / _DV / name)
+                except OSError:
+                    time.sleep(0.05)  # foreign in-flight writer: rebase
+                    continue
+                try:
+                    os.rename(stage_data, root / _DATA / name)
+                except OSError:
+                    os.rename(root / _DV / name, stage_dv)
+                    time.sleep(0.05)
+                    continue
+                if stage_cdf is not None:
+                    os.rename(stage_cdf, root / _CDF / name)
+                    entry["change_data"] = True
+                if blooms is not None:
+                    entry["blooms_file"] = _write_bloom_sidecar(
+                        root, name, blooms
+                    )
+                entry["ts"] = time.time()
+                try:
+                    _commit(root, entry)
+                    break
+                except RuntimeError:
+                    # a racing commit claimed the version: undo, rebase
+                    os.rename(root / _DV / name, stage_dv)
+                    os.rename(root / _DATA / name, stage_data)
+                    if stage_cdf is not None:
+                        os.rename(root / _CDF / name, stage_cdf)
+            else:
+                raise ConcurrentModificationError(
+                    f"DV update on {root} did not land after 50 rebase "
+                    "attempts — a foreign writer is monopolizing the log"
+                )
+    finally:
+        shutil.rmtree(stage_dv, ignore_errors=True)
+        shutil.rmtree(stage_data, ignore_errors=True)
+        if stage_cdf is not None:
+            shutil.rmtree(stage_cdf, ignore_errors=True)
+    return {
+        "version": new_version,
+        "updated_rows": n_upd,
         "rewritten_files": 0,
         "skipped_files": report["skipped_files"],
         "committed": True,

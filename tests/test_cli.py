@@ -477,3 +477,12 @@ def test_cli_table_update_where(capsys, spark, tmp_path):
     assert rc == 2
     rc = main(["table", "update-where", str(root), "--where", "k:==:1"])
     assert rc == 2
+    # merge-on-read variant: --dv hides pre-images, appends post-images
+    rc = main([
+        "table", "update-where", str(root), "--dv",
+        "--where", "k:==:7", "--set", "lang=fr",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "DV update: 1 rows" in out
+    got = {r.k: r.lang for r in vt.read_version(spark, root).collect()}
+    assert got[7] == "fr" and got[8] == "en"

@@ -185,3 +185,117 @@ def test_update_then_vacuum_and_restore(spark, table):
     vt.restore(spark, table, 0)
     got = {r.k: r.price for r in vt.read_version(spark, table).collect()}
     assert got[5] == 50  # pre-update value restored
+
+
+class TestUpdateWhereDV:
+    """Merge-on-read UPDATE (r11, `update_where_dv`): pre-image
+    positions into a DV sidecar + post-image rows as a small new
+    directory — one commit, zero files rewritten."""
+
+    def test_dv_update_exact_and_composes(self, spark, tmp_path):
+        root = tmp_path / "t"
+        df = spark.createDataFrame(
+            [(i, i * 10, "en") for i in range(40)],
+            "k long, price long, lang string",
+        )
+        vt.append(
+            root, df.repartitionByRange(4, "k"),
+            stats_columns=["k"], change_feed=True,
+        )
+        st = vt.update_where_dv(
+            spark, root, [("k", "between", (10, 14))],
+            {"price": F.col("price") * 2, "lang": "de"},
+        )
+        assert st["committed"] and st["updated_rows"] == 5
+        assert st["rewritten_files"] == 0
+        snap = vt.read_version(spark, root)
+        assert snap.count() == 40
+        got = {r.k: (r.price, r.lang) for r in snap.collect()}
+        for k in range(40):
+            want = (k * 20, "de") if 10 <= k <= 14 else (k * 10, "en")
+            assert got[k] == want
+        # time travel below the update reads pre-images
+        assert {
+            r.k: r.price for r in vt.read_version(spark, root, 0).collect()
+        }[12] == 120
+        # CDF: delete+insert pair per row
+        feed = vt.read_change_feed(spark, root, 0)
+        rows = sorted((r.k, r._change, r.price) for r in feed.collect())
+        assert len(rows) == 10
+        assert (12, "delete", 120) in rows and (12, "insert", 240) in rows
+        # a second DV update over an already-updated row composes (the
+        # post-image row itself gets DV'd and re-emitted)
+        vt.update_where_dv(spark, root, [("k", "==", 12)], {"price": 1})
+        snap2 = {r.k: r.price for r in vt.read_version(spark, root).collect()}
+        assert snap2[12] == 1 and snap2[11] == 220
+        # pruned reads stay exact across the DV layers
+        rw = vt.read_where(spark, root, [("k", "between", (10, 14))])
+        assert sorted((r.k, r.price) for r in rw.collect()) == [
+            (10, 200), (11, 220), (12, 1), (13, 260), (14, 280),
+        ]
+
+    def test_dv_update_maintenance_and_restore(self, spark, tmp_path):
+        """optimize physically retires the hidden pre-images without
+        resurrecting them; restore below the update rolls back."""
+        root = tmp_path / "t"
+        vt.append(
+            root,
+            spark.createDataFrame(
+                [(i, i) for i in range(20)], "k long, v long"
+            ).repartitionByRange(2, "k"),
+            stats_columns=["k"],
+        )
+        vt.update_where_dv(spark, root, [("k", "<=", 4)], {"v": -1})
+        vt.optimize(spark, root)
+        got = {r.k: r.v for r in vt.read_version(spark, root).collect()}
+        assert got[2] == -1 and got[10] == 10 and len(got) == 20
+        vt.restore(spark, root, 0)
+        assert {
+            r.k: r.v for r in vt.read_version(spark, root).collect()
+        }[2] == 2
+
+    def test_dv_update_refusals_and_no_match(self, spark, tmp_path):
+        root = tmp_path / "t"
+        vt.append(
+            root,
+            spark.createDataFrame([(1, 10)], "k long, v long"),
+            num_files=1, stats_columns=["k"],
+        )
+        with pytest.raises(ValueError, match="re-type"):
+            vt.update_where_dv(spark, root, [("k", "==", 1)], {"v": "oops"})
+        st = vt.update_where_dv(spark, root, [("k", "==", 99)], {"v": 0})
+        assert st["committed"] is False
+        assert len(vt.history(root)) == 1
+
+    def test_dv_update_stream_contract(self, spark, tmp_path):
+        """A DV update is a rewrite action: plain streams stop;
+        ignoreChanges emits the post-image directory only."""
+        from dataset_dedupe_estimator_spark.sources.table_stream import (
+            VersionedTableStreamSource,
+        )
+
+        spark.dataSource.register(VersionedTableStreamSource)
+        root = tmp_path / "t"
+        vt.append(
+            root,
+            spark.createDataFrame(
+                [(i, "en") for i in range(10)], "k long, lang string"
+            ),
+            num_files=1, stats_columns=["k"],
+        )
+        vt.update_where_dv(spark, root, [("k", "==", 3)], {"lang": "xx"})
+        out = tmp_path / "out"
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("ignoreChanges", "true")
+            .load(str(root))
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.read.parquet(str(out))
+        assert got.count() == 11  # 10 appends + 1 post-image
+        assert got.filter(F.col("lang") == "xx").count() == 1
