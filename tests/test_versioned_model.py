@@ -95,6 +95,8 @@ _OP_PRUNED = st.one_of(
     st.tuples(st.just("compact"), st.none()),
     st.tuples(st.just("restore"), st.integers(min_value=0, max_value=11)),
     st.tuples(st.just("dv_delete"), _KEYS),
+    st.tuples(st.just("update_eq"), st.tuples(_KEYS, _VALS)),
+    st.tuples(st.just("dv_update"), st.tuples(_KEYS, _VALS)),
     st.tuples(
         st.just("concurrent_append"),
         st.tuples(_ROWS.filter(len), _ROWS.filter(len)),
@@ -201,6 +203,25 @@ def test_pruned_mutations_time_travel_exactly(spark, tmp_path_factory, ops):
                 continue
             assert stt["deleted_rows"] == len(want_gone)
             live = [(k, v) for k, v in live if k != arg]
+        elif kind in ("update_eq", "dv_update"):
+            # r11 UPDATE verbs — copy-on-write (pruned) and
+            # merge-on-read (DV): SET the value column for one key,
+            # speaking the CURRENT logical value-column name
+            if not snapshots:
+                continue
+            key, nv = arg
+            fn = (
+                vt.update_where_pruned
+                if kind == "update_eq"
+                else vt.update_where_dv
+            )
+            stt = fn(spark, root, [("k", "==", key)], {vname: nv})
+            touched = [(k, v) for k, v in live if k == key]
+            if not stt["committed"]:
+                assert not touched  # nothing matched ⇒ model agrees
+                continue
+            assert stt["updated_rows"] == len(touched)
+            live = [(k, nv if k == key else v) for k, v in live]
         elif kind == "rename":
             if not snapshots:
                 continue
