@@ -3667,7 +3667,9 @@ def upsert_pruned(
         def _norm(df):
             for c in schema_cols:
                 if c not in df.columns:
-                    df = df.withColumn(c, F.lit(None))
+                    # TYPED null: survivors/post-images get WRITTEN — an
+                    # untyped (void) backfill crashes the parquet write
+                    df = df.withColumn(c, _typed_null(c, live_entries))
             return df.select(*schema_cols)
 
         # candidate files: a file is carried iff SOME key column's
@@ -3970,7 +3972,9 @@ def delete_where_pruned(
         def _norm(df):
             for c in schema_cols:
                 if c not in df.columns:
-                    df = df.withColumn(c, F.lit(None))
+                    # TYPED null: survivors/post-images get WRITTEN — an
+                    # untyped (void) backfill crashes the parquet write
+                    df = df.withColumn(c, _typed_null(c, live_entries))
             return df.select(*schema_cols)
 
         # read ONLY the candidate files (per commit dir so basePath
@@ -4208,7 +4212,9 @@ def update_where_pruned(
         def _norm(df):
             for c in schema_cols:
                 if c not in df.columns:
-                    df = df.withColumn(c, F.lit(None))
+                    # TYPED null: survivors/post-images get WRITTEN — an
+                    # untyped (void) backfill crashes the parquet write
+                    df = df.withColumn(c, _typed_null(c, live_entries))
             return df.select(*schema_cols)
 
         by_base: dict[str, list[str]] = {}
@@ -4334,6 +4340,68 @@ def update_where_pruned(
     }
 
 
+def _typed_null(c: str, live_entries: list[dict]):
+    """NULL literal CAST to the column's recorded type — an untyped
+    ``lit(None)`` backfill is void-typed, which reads fine but CRASHES
+    any parquet write of the frame (post-images, survivors, change
+    data) when every candidate file predates the column's widening.
+    Legacy logs without recorded types keep the untyped literal (those
+    tables never widened, so the column always exists in the files)."""
+    from pyspark.sql import functions as F
+
+    t = _prior_types(live_entries) or {}
+    lit = F.lit(None)
+    return lit.cast(t[c]) if c in t else lit
+
+
+def _dv_candidate_matches(
+    spark: SparkSession,
+    live_data_dirs: list[str],
+    live_entries: list[dict],
+    cand_files: list[str],
+    phys_preds: list[tuple],
+    dvf,
+):
+    """The rows a DV operation touches, position-addressed: read ONLY
+    the candidate files (per commit dir so basePath recovers hive
+    partition columns), tag each row with its (file, row-index) DV
+    key, backfill widened columns as TYPED nulls, drop rows already
+    hidden by a live DV, and keep the predicate matches. Shared by the
+    DV delete and the DV update (one implementation to keep their
+    semantics identical). Returns the matches DataFrame."""
+    from pyspark.sql import functions as F
+
+    schema_cols = live_entries[-1]["columns"]
+    widened = any("added_columns" in e for e in live_entries)
+    by_base: dict[str, list[str]] = {}
+    for f in cand_files:
+        base = next(d for d in live_data_dirs if f.startswith(d + os.sep))
+        by_base.setdefault(base, []).append(f)
+    matches = None
+    for base, plist in by_base.items():
+        reader = spark.read.option("basePath", base)
+        if widened:
+            reader = reader.option("mergeSchema", "true")
+        part = reader.parquet(*plist).withColumns(
+            {
+                "_dv_key": F.regexp_extract(
+                    F.col("_metadata.file_path"), _DV_KEY, 1
+                ),
+                "_dv_rid": F.col("_metadata.row_index"),
+            }
+        )
+        for c in schema_cols:  # widened cols absent from old files
+            if c not in part.columns:
+                part = part.withColumn(c, _typed_null(c, live_entries))
+        part = part.select(*schema_cols, "_dv_key", "_dv_rid")
+        matches = part if matches is None else matches.unionByName(part)
+    if dvf is not None:  # already-hidden rows must not re-match
+        matches = matches.join(dvf, ["_dv_key", "_dv_rid"], "left_anti")
+    return matches.filter(
+        F.coalesce(_predicate_cond(matches, phys_preds), F.lit(False))
+    )
+
+
 def delete_where_dv(
     spark: SparkSession,
     root: str | Path,
@@ -4389,35 +4457,8 @@ def delete_where_dv(
             "skipped_files": report["skipped_files"], "committed": False,
         }
     schema_cols = live_entries[-1]["columns"]
-    widened = any("added_columns" in e for e in live_entries)
-    by_base: dict[str, list[str]] = {}
-    for f in cand_files:
-        base = next(
-            d for d in live_data_dirs if f.startswith(d + os.sep)
-        )
-        by_base.setdefault(base, []).append(f)
-    matches = None
-    for base, plist in by_base.items():
-        reader = spark.read.option("basePath", base)
-        if widened:
-            reader = reader.option("mergeSchema", "true")
-        part = reader.parquet(*plist).withColumns(
-            {
-                "_dv_key": F.regexp_extract(
-                    F.col("_metadata.file_path"), _DV_KEY, 1
-                ),
-                "_dv_rid": F.col("_metadata.row_index"),
-            }
-        )
-        for c in schema_cols:  # widened cols absent from old files
-            if c not in part.columns:
-                part = part.withColumn(c, F.lit(None))
-        part = part.select(*schema_cols, "_dv_key", "_dv_rid")
-        matches = part if matches is None else matches.unionByName(part)
-    if dvf is not None:  # already-deleted rows must not re-match
-        matches = matches.join(dvf, ["_dv_key", "_dv_rid"], "left_anti")
-    matches = matches.filter(
-        F.coalesce(_predicate_cond(matches, predicates), F.lit(False))
+    matches = _dv_candidate_matches(
+        spark, live_data_dirs, live_entries, cand_files, predicates, dvf
     )
     # stage the sidecar (and change data) OUTSIDE the lock — the
     # expensive Spark work; only the rename + conflict check + log
@@ -4576,36 +4617,17 @@ def update_where_dv(
     if not cand_files:
         return {
             "version": version, "updated_rows": 0,
+            "rewritten_files": 0, "carried_files": report["skipped_files"],
             "skipped_files": report["skipped_files"], "committed": False,
         }
-    widened = any("added_columns" in e for e in live_entries)
-    by_base: dict[str, list[str]] = {}
-    for f in cand_files:
-        base = next(d for d in live_data_dirs if f.startswith(d + os.sep))
-        by_base.setdefault(base, []).append(f)
-    matches = None
-    for base, plist in by_base.items():
-        reader = spark.read.option("basePath", base)
-        if widened:
-            reader = reader.option("mergeSchema", "true")
-        part = reader.parquet(*plist).withColumns(
-            {
-                "_dv_key": F.regexp_extract(
-                    F.col("_metadata.file_path"), _DV_KEY, 1
-                ),
-                "_dv_rid": F.col("_metadata.row_index"),
-            }
-        )
-        for c in schema_cols:
-            if c not in part.columns:
-                part = part.withColumn(c, F.lit(None))
-        part = part.select(*schema_cols, "_dv_key", "_dv_rid")
-        matches = part if matches is None else matches.unionByName(part)
-    if dvf is not None:  # already-hidden rows must not re-match
-        matches = matches.join(dvf, ["_dv_key", "_dv_rid"], "left_anti")
-    matches = matches.filter(
-        F.coalesce(_predicate_cond(matches, phys_preds), F.lit(False))
-    )
+    # matches is consumed by FIVE jobs (type probe, sidecar, post-image
+    # write, constraint check, change data): materialize the matched
+    # rows ONCE — they are exactly the updated rows, small by the DV
+    # shape's contract — instead of re-scanning the candidate files
+    # per consumer
+    matches = _dv_candidate_matches(
+        spark, live_data_dirs, live_entries, cand_files, phys_preds, dvf
+    ).localCheckpoint(eager=True)
     # POST-image rows: SET under logical names, back to physical
     logical = _to_logical(matches, mapping)
     vexprs = _checked_set_exprs(
@@ -4638,6 +4660,7 @@ def update_where_dv(
         shutil.rmtree(stage_dv, ignore_errors=True)
         return {
             "version": version, "updated_rows": 0,
+            "rewritten_files": 0, "carried_files": report["skipped_files"],
             "skipped_files": report["skipped_files"], "committed": False,
         }
     dv_files = sorted({unquote(r["_dv_key"]) for r in per_file})
@@ -4741,6 +4764,7 @@ def update_where_dv(
         "version": new_version,
         "updated_rows": n_upd,
         "rewritten_files": 0,
+        "carried_files": report["skipped_files"],
         "skipped_files": report["skipped_files"],
         "committed": True,
     }
@@ -5028,7 +5052,9 @@ def compact_small(
         def _norm(df):
             for c in schema_cols:
                 if c not in df.columns:
-                    df = df.withColumn(c, F.lit(None))
+                    # TYPED null: survivors/post-images get WRITTEN — an
+                    # untyped (void) backfill crashes the parquet write
+                    df = df.withColumn(c, _typed_null(c, live_entries))
             return df.select(*schema_cols)
 
         by_base: dict[str, list[str]] = {}

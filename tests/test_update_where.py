@@ -299,3 +299,32 @@ class TestUpdateWhereDV:
         got = spark.read.parquet(str(out))
         assert got.count() == 11  # 10 appends + 1 post-image
         assert got.filter(F.col("lang") == "xx").count() == 1
+
+
+def test_dv_update_after_widening_backfills_typed_nulls(spark, tmp_path):
+    """Reviewed r11 bug: when every candidate file predates a schema
+    widening, the widened column's backfill used to be an untyped
+    (void) NULL — and the DV update's post-image parquet write crashed.
+    Typed backfill writes real NULLs; the pruned variant and the DV
+    delete's change-data write share the fix."""
+    root = tmp_path / "t"
+    vt.append(
+        root,
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        num_files=1, stats_columns=["k"],
+    )
+    vt.append(
+        root,
+        spark.createDataFrame([(3, 30, "x")], "k long, v long, extra string"),
+        num_files=1, allow_new_columns=True,
+    )
+    # candidates live entirely in the PRE-widening commit
+    st = vt.update_where_dv(spark, root, [("k", "==", 1)], {"v": -1})
+    assert st["committed"] and st["updated_rows"] == 1
+    got = {r.k: (r.v, r.extra) for r in vt.read_version(spark, root).collect()}
+    assert got == {1: (-1, None), 2: (20, None), 3: (30, "x")}
+    # the copy-on-write twin too
+    st2 = vt.update_where_pruned(spark, root, [("k", "==", 2)], {"v": -2})
+    assert st2["committed"] and st2["updated_rows"] == 1
+    got2 = {r.k: r.v for r in vt.read_version(spark, root).collect()}
+    assert got2 == {1: -1, 2: -2, 3: 30}

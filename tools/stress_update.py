@@ -29,6 +29,8 @@ sys.path.insert(0, REPO)
 
 def main() -> int:
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    if rows < 80:
+        raise SystemExit("ROWS must be >= 80 (8 commits, 10 probe keys)")
     from pyspark.sql import functions as F
 
     from dataset_dedupe_estimator_spark import get_spark
@@ -43,8 +45,9 @@ def main() -> int:
         per = rows // n_commits
         t0 = time.perf_counter()
         for i in range(n_commits):
+            hi = (i + 1) * per if i < n_commits - 1 else rows
             df = (
-                spark.range(i * per, (i + 1) * per)
+                spark.range(i * per, hi)
                 .select(
                     F.col("id").alias("k"),
                     (F.col("id") % 1000).alias("price"),
