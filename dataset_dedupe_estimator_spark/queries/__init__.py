@@ -46,15 +46,116 @@ for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthet
 # so rotation only affects which subset gets *driver-side* attestation,
 # never whether a regression is caught.
 #
-# Round-11 window (executes the rotation staged at r10 close, COVERAGE.md
-# ledger): the 38 round-7-green queries held in the r10 _NEXT
-# (lsh_index_incremental ... snapshot_diff_docs) plus the 12 stalest
-# round-8-green queries (registry-order tiebreak — all 50 r8-attested
-# entries are equally stale: temporal_dim_join ... events_funnel).
-# Queries added DURING r11 displace the tail of the r8-green fill into
-# _NEXT so they carry driver attestation the same round they land (the
-# r9/r10 pattern).
+# Round-12 window (executes the rotation staged at r11 close, COVERAGE.md
+# ledger): the 43 round-8-green queries held in the r11 _NEXT
+# (events_user_lifecycle ... table_bloom_read) plus the 7 stalest
+# round-9-green queries (registry-order tiebreak — all 50 r9-attested
+# entries are equally stale: q1_pricing_summary ...
+# window_top_orders_per_customer).  Queries added DURING r12 displace the
+# tail of the r9-green fill into _NEXT so they carry driver attestation
+# the same round they land (the r9/r10/r11 pattern).
 _FRONT = [
+    "events_user_lifecycle",
+    "events_markov_transitions",
+    "session_top_paths",
+    "events_funnel_ttc",
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_sessionize",
+    "dup_cluster_sizes",
+    "simhash_candidates",
+    "kmv_sketches",
+    "cms_token_counts",
+    "bm25_delete_search",
+    "bpe_pair_frequencies",
+    "vocab_coverage_score",
+    "effective_token_budget",
+    "source_token_stats",
+    "pq_codes",
+    "token_bpe_ish",
+    "rolling_hash_fingerprint",
+    "cdc_estimate",
+    "format_compare_demo",
+    "cdc_per_file_chunks",
+    "cdc_provenance",
+    "cdc_estimate_xet",
+    "cdc_approx_estimate",
+    "cdc_index_incremental",
+    "doc_chunk_windows",
+    "pii_scan",
+    "charlm_familiarity",
+    "ngram_novelty",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q16_supplier_diversity",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "table_delete_where",
+    "table_upsert_merge",
+    "table_stream_read",
+    "table_compact_read",
+    "table_cdf_read",
+    "table_bloom_read",
+    "q1_pricing_summary",
+    "q4_order_priority",
+    "q6_revenue_forecast",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_spenders",
+    "window_top_orders_per_customer",
+]
+# overflow: the remaining round-9-green queries — first in line for
+# round 13's window (locally re-verified every round)
+_NEXT = [
+    "window_running_spend",
+    "rollup_order_status",
+    "semi_anti_customers",
+    "set_ops_parts",
+    "events_hourly",
+    "events_json_extract",
+    "events_daily_users",
+    "dedup_exact_groups",
+    "ivfpq_search",
+    "synthetic_delete_rows",
+    "synthetic_insert_rows",
+    "synthetic_update_rows",
+    "synthetic_update_column",
+    "synthetic_append_rows",
+    "streaming_windowed_counts",
+    "streaming_sessionize_events",
+    "salted_agg_lineitem",
+    "merge_upsert_orders",
+    "cdc_upload_delta",
+    "dedup_keep_first_pruned",
+    "dedup_spans",
+    "mixture_sample",
+    "sequence_pack",
+    "quality_classifier",
+    "source_drift_tvd",
+    "unigram_surprisal",
+    "tfidf_top_terms",
+    "bloom_incremental_dedup",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q22_idle_customers",
+    "table_checkpoint_read",
+    "table_restore_read",
+    "table_dv_delete_read",
+    "table_concurrent_append_read",
+    "table_rename_read",
+    "table_drop_read",
+    "table_clone_read",
+    "table_partition_evolution_read",
+]
+# most recent driver green: CORRECTNESS_r11 (43 oracle-green + 7
+# rows-only by design)
+_TAIL = [
     "lsh_index_incremental",
     "dedup_near_groups",
     "dedup_near_survivors",
@@ -105,108 +206,6 @@ _FRONT = [
     "cdc_trend_oracle",
     "table_update_read",
     "table_dv_update_read",
-]
-# overflow: the remaining round-8-green queries (head: the r8-green
-# fill displaced by the query added during r11) — first in line for
-# round 12's window (locally re-verified every round)
-_NEXT = [
-    "events_user_lifecycle",
-    "events_markov_transitions",
-    "session_top_paths",
-    "events_funnel_ttc",
-    "events_funnel",
-    "events_retention_cohorts",
-    "events_sessionize",
-    "dup_cluster_sizes",
-    "simhash_candidates",
-    "kmv_sketches",
-    "cms_token_counts",
-    "bm25_delete_search",
-    "bpe_pair_frequencies",
-    "vocab_coverage_score",
-    "effective_token_budget",
-    "source_token_stats",
-    "pq_codes",
-    "token_bpe_ish",
-    "rolling_hash_fingerprint",
-    "cdc_estimate",
-    "format_compare_demo",
-    "cdc_per_file_chunks",
-    "cdc_provenance",
-    "cdc_estimate_xet",
-    "cdc_approx_estimate",
-    "cdc_index_incremental",
-    "doc_chunk_windows",
-    "pii_scan",
-    "charlm_familiarity",
-    "ngram_novelty",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_parts",
-    "q12_late_shipment_priority",
-    "q16_supplier_diversity",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-    "table_delete_where",
-    "table_upsert_merge",
-    "table_stream_read",
-    "table_compact_read",
-    "table_cdf_read",
-    "table_bloom_read",
-]
-# most recent driver green: CORRECTNESS_r10 (49 oracle-green + 1
-# rows-only by design)
-_TAIL = [
-    "dedup_exact_events",
-    "dedup_fingerprint_groups",
-    "dedup_keep_first",
-    "ngram_jaccard_pairs",
-    "minhash_signatures",
-    "minhash_lsh_candidates",
-    "simhash_signatures",
-    "bm25_search",
-    "text_quality",
-    "binary_digest_features",
-    "lang_score",
-    "token_frequencies",
-    "knn_brute_force",
-    "semdedup_clusters",
-    "ann_lsh_bucketed",
-    "ann_ivf_probe",
-    "embedding_dedup_pairs",
-    "embedding_dedup_lsh",
-    "label_centroid_spread",
-    "synthetic_generate_table",
-    "streaming_cms_counts",
-    "grouping_sets_revenue",
-    "trailing_window_revenue",
-    "asof_prev_order",
-    "unpivot_part_metrics",
-    "range_join_price_bands",
-    "cube_order_stats",
-    "cdc_dedup_trend",
-    "dedup_substring_spans",
-    "source_overlap_minhash",
-    "q8_market_share",
-    "q14_promo_revenue",
-    "q19_disjunctive_revenue",
-    "table_time_travel",
-    "zorder_layout",
-    "customer_hierarchy_rollup",
-    "supplier_pagerank",
-    "spend_quartiles",
-    "filter_project_scan",
-    "distinct_ship_modes",
-    "user_value_twap",
-    "events_gapfill",
-    "events_attribution",
-    "events_dedup_burst",
-    "events_daily_anomaly",
-    "near_dup_source_matrix",
-    "ngram_containment_pairs",
-    "table_archive_read",
-    "table_nested_read",
-    "table_type_widening_read",
 ]
 _missing = (set(_FRONT) | set(_NEXT) | set(_TAIL)) - REGISTRY.keys()
 if _missing:
