@@ -104,11 +104,12 @@ _FRONT = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "top_spenders",
-    "window_top_orders_per_customer",
+    "table_stream_sink_read",
 ]
 # overflow: the remaining round-9-green queries — first in line for
 # round 13's window (locally re-verified every round)
 _NEXT = [
+    "window_top_orders_per_customer",
     "window_running_spend",
     "rollup_order_status",
     "semi_anti_customers",

@@ -1860,6 +1860,105 @@ GROUP BY 1 ORDER BY bucket
 """
 
 
+def table_stream_sink_read(spark, sf):
+    """Versioned table as a Structured Streaming SINK
+    (``sources/table_sink.py`` — r12, the write half of the r9
+    streaming source): ``writeStream.format("versioned_table")`` with
+    EXACTLY-ONCE commits keyed by (queryId, batchId) in the table's
+    commit log (the Delta txnAppId/txnVersion SetTransaction shape).
+
+    Streams orders into a versioned table in two checkpointed
+    availableNow drains (one microbatch commit each), then SIMULATES A
+    CRASH: the checkpoint is cloned minus its newest commit marker —
+    exactly the at-least-once window Spark leaves a sink in — and the
+    query restarted, which re-runs the last microbatch with the same
+    (queryId, batchId). The table's txn watermark must refuse the
+    replay: the oracle aggregates orders directly, so a single
+    duplicated row doubles a bucket's counts and hash-mismatches.
+    Eager by construction; result localCheckpointed before the temp
+    dirs vanish."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+    from dataset_dedupe_estimator_spark.sources.table_stream import (
+        VersionedTableStreamSource,
+    )
+
+    spark.dataSource.register(VersionedTableStreamSource)
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", cents("o_totalprice").alias("price_cents")
+    )
+    work = tempfile.mkdtemp(prefix="dde_tsk_")
+    src, root, ck = f"{work}/src", f"{work}/tbl", f"{work}/ck"
+
+    def drain(ckpt):
+        q = (
+            spark.readStream.schema(
+                "o_orderkey bigint, o_custkey bigint, price_cents bigint"
+            )
+            .parquet(src)
+            .writeStream.format("versioned_table")
+            .option("path", root)
+            .option("checkpointLocation", ckpt)
+            .option("statsColumns", "o_orderkey")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "table_stream_sink_read: availableNow drain did not finish"
+            )
+
+    try:
+        orders.filter(F.col("o_orderkey") % 2 == 0).write.parquet(src)
+        drain(ck)
+        orders.filter(F.col("o_orderkey") % 2 == 1).write.mode(
+            "append"
+        ).parquet(src)
+        drain(ck)  # same checkpoint: commits ONLY the second batch
+        # crash-replay: restart from a checkpoint clone whose newest
+        # commit marker is gone -> Spark re-runs that microbatch
+        ck2 = f"{work}/ck_replay"
+        shutil.copytree(ck, ck2)
+        last = max(
+            int(os.path.basename(p))
+            for p in glob.glob(f"{ck2}/commits/[0-9]*")
+        )
+        os.remove(f"{ck2}/commits/{last}")
+        for crc in glob.glob(f"{ck2}/commits/.{last}.crc"):
+            os.remove(crc)
+        drain(ck2)
+        h = vt.history(root)
+        if [e.get("txn", {}).get("batch") for e in h] != [0, 1]:
+            raise AssertionError(
+                "replayed microbatch must not produce a third commit: "
+                f"{[(e['version'], e.get('txn')) for e in h]}"
+            )
+        got = vt.read_version(spark, root)
+        out = (
+            got.groupBy((F.col("o_custkey") % 10).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+                F.sum("price_cents").alias("total_cents"),
+            )
+            .orderBy("bucket")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# duplicates double a bucket's counts; gaps drop them — same oracle as
+# the source-side gate: every order exactly once
+TABLE_STREAM_SINK_READ_SQL = TABLE_STREAM_READ_SQL
+
+
 def table_type_widening_read(spark, sf):
     """Type widening on append (r10, ``sources/versioned.py::append``
     with ``allow_type_widening=True`` — the Delta type-widening
@@ -2232,6 +2331,9 @@ QUERIES = {
     "table_dv_update_read": Q(table_dv_update_read, TABLE_DV_UPDATE_READ_SQL),
     "table_upsert_merge": Q(table_upsert_merge, TABLE_UPSERT_MERGE_SQL),
     "table_stream_read": Q(table_stream_read, TABLE_STREAM_READ_SQL),
+    "table_stream_sink_read": Q(
+        table_stream_sink_read, TABLE_STREAM_SINK_READ_SQL
+    ),
     "table_compact_read": Q(table_compact_read, TABLE_COMPACT_READ_SQL),
     "table_cdf_read": Q(table_cdf_read, TABLE_CDF_READ_SQL),
     "table_bloom_read": Q(table_bloom_read, TABLE_BLOOM_READ_SQL),

@@ -575,3 +575,18 @@ class VersionedTableStreamSource(DataSource):
 
     def streamReader(self, schema) -> VersionedTableStreamReader:
         return VersionedTableStreamReader(schema, self.options)
+
+    def streamWriter(self, schema, overwrite: bool):
+        # the write half: df.writeStream.format("versioned_table") —
+        # one versioned commit per microbatch, exactly-once keyed by
+        # (queryId, batchId) in the table's commit log (table_sink.py)
+        if overwrite:
+            raise ValueError(
+                "versioned_table sink appends only — complete-mode "
+                "overwrite would retire history on every microbatch"
+            )
+        from dataset_dedupe_estimator_spark.sources.table_sink import (
+            VersionedTableStreamWriter,
+        )
+
+        return VersionedTableStreamWriter(schema, self.options)

@@ -1386,6 +1386,12 @@ def _fold_entries(root: Path, entries: list[dict]) -> list[dict]:
         # same for drop commits: the retired-physical-name set must
         # survive the fold or a checkpoint+tail writer could re-use one
         lastc["dropped_columns"] = sorted(dropped)
+    txns = _latest_txns(entries)
+    if txns:
+        # idempotent-ingestion watermarks (Delta SetTransaction shape)
+        # must survive the fold: a compacted-away append may be the
+        # only record that its source batch was already committed
+        lastc["txns"] = txns
     return [by_version[v] for v in sorted(by_version)]
 
 
@@ -2097,12 +2103,30 @@ def _stage_commit(
     return {"stage": stage, "entry": entry, "stats": stats, "blooms": blooms}
 
 
+def _latest_txns(entries: list[dict]) -> dict[str, int]:
+    """Highest committed batch id per idempotent-writer app id (the
+    Delta ``SetTransaction`` shape). Reads both the per-commit ``txn``
+    stamps and the accumulated ``txns`` map a checkpoint fold carries
+    on its retained last entry — so dedup state survives compaction of
+    the very commits that recorded it. Accumulate-only: RESTORE undoes
+    data, not the fact that a source batch was already ingested."""
+    out: dict[str, int] = {}
+    for e in entries:
+        for app, b in (e.get("txns") or {}).items():
+            if b > out.get(app, -1):
+                out[app] = b
+        t = e.get("txn")
+        if t and t["batch"] > out.get(t["app"], -1):
+            out[t["app"]] = t["batch"]
+    return out
+
+
 def _publish_staged(
     root: Path,
     base: list[dict],
     prep: dict,
     max_attempts: int = 50,
-) -> dict:
+) -> dict | None:
     """The CHEAP half of a commit, run inside the writer-lock critical
     section: semantic conflict check against every entry that landed
     since the base snapshot (rebase-and-retry, the Delta optimistic-
@@ -2114,8 +2138,17 @@ def _publish_staged(
     base_last = base[-1] if base else None
     base_v = base_last["version"] if base_last else -1
     action = prep["entry"]["action"]
+    txn = prep["entry"].get("txn")
     for _ in range(max_attempts):
         landed = _tail_after(root, base_v)
+        if txn is not None:
+            # exactly-once ingestion (the Delta txnAppId/txnVersion
+            # shape), decided INSIDE the critical section so a racing
+            # duplicate of the same source batch cannot double-commit:
+            # if this (app, batch) already landed, publish nothing
+            seen = _latest_txns(base + landed)
+            if txn["batch"] <= seen.get(txn["app"], -1):
+                return None
         _check_rebase(root, action, set(), base_last, landed)
         v = (landed[-1]["version"] if landed else base_v) + 1
         dir_name = f"c{v:08d}"
@@ -2178,17 +2211,29 @@ def _write_commit(
     bloom_columns: list[str] | None = None,
     bloom_bits: int = 65_536,
     allow_type_widening: bool = False,
-) -> dict:
+    txn: tuple[str, int] | None = None,
+) -> dict | None:
     """Optimistic commit (the Delta shape): the expensive Spark write
     runs LOCK-FREE against a base snapshot into a staging directory;
     only the rename + conflict check + log link take the writer lock —
     milliseconds, so concurrent writers queue on the critical section
     instead of serializing their data writes. Conflicting concurrent
     commits raise :class:`ConcurrentModificationError`; commuting ones
-    (blind appends, disjoint-file rewrites) are rebased and land."""
+    (blind appends, disjoint-file rewrites) are rebased and land.
+
+    ``txn=(app_id, batch_id)`` makes the commit IDEMPOTENT per app
+    (the Delta txnAppId/txnVersion shape): if a commit stamped with
+    the same app and a batch id >= this one is already in the log,
+    nothing is written and ``None`` is returned — the streaming sink's
+    exactly-once contract. Checked cheaply against the base snapshot
+    before the data write, and authoritatively under the writer lock."""
     root = Path(root)
     (root / _VLOG).mkdir(parents=True, exist_ok=True)
     base = _snapshot_entries(root)
+    if txn is not None:
+        app, batch = str(txn[0]), int(txn[1])
+        if batch <= _latest_txns(base).get(app, -1):
+            return None  # replayed batch: skip the write entirely
     prep = _stage_commit(
         root, base, df, action, num_files,
         partition_by, allow_new_columns, stats_columns,
@@ -2196,6 +2241,8 @@ def _write_commit(
         bloom_columns=bloom_columns, bloom_bits=bloom_bits,
         allow_type_widening=allow_type_widening,
     )
+    if txn is not None:
+        prep["entry"]["txn"] = {"app": app, "batch": batch}
     try:
         with writer_lock(root, wait_seconds=_LOCK_WAIT):
             return _publish_staged(root, base, prep)
@@ -2215,8 +2262,15 @@ def append(
     bloom_columns: list[str] | None = None,
     bloom_bits: int = 65_536,
     allow_type_widening: bool = False,
-) -> dict:
+    txn: tuple[str, int] | None = None,
+) -> dict | None:
     """Commit ``df`` as a new version that ADDS to the live set.
+
+    ``txn=(app_id, batch_id)`` makes the append IDEMPOTENT per app id
+    (the Delta txnAppId/txnVersion shape): a batch id at or below the
+    app's highest committed batch is skipped and ``None`` returned —
+    the exactly-once hook the streaming sink
+    (``sources/table_sink.py``) keys on (queryId, batchId).
 
     ``partition_by`` (first commit only — later commits must match)
     hive-partitions every commit directory, so snapshot reads prune
@@ -2259,7 +2313,7 @@ def append(
         root, df, "append", num_files, partition_by, allow_new_columns,
         stats_columns, extra_entry, change_feed=change_feed,
         bloom_columns=bloom_columns, bloom_bits=bloom_bits,
-        allow_type_widening=allow_type_widening,
+        allow_type_widening=allow_type_widening, txn=txn,
     )
 
 

@@ -1,0 +1,252 @@
+"""Versioned table as a Structured Streaming SINK (r12):
+exactly-once appends keyed by (queryId, batchId) in the commit log —
+the write half of the r9 streaming source (sources/table_sink.py).
+
+Covers: the txn (app, batch) watermark on append (skip-at-or-below,
+accept-above), watermark survival across a commit-log checkpoint fold
+that compacts away the very commit that recorded it, the native
+``writeStream.format("versioned_table")`` path end-to-end, the
+kill-and-restart replay proof (a cloned checkpoint missing its last
+commit marker makes Spark re-run the batch; the table must NOT grow),
+the foreachBatch helper, and the labeled refusals for table features
+whose enforcement needs a Spark plan inside the gateway-less sink
+commit hook.
+"""
+
+import glob
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataset_dedupe_estimator_spark.sources import table_sink as ts
+from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+
+@pytest.fixture()
+def registered(spark):
+    from dataset_dedupe_estimator_spark.sources.table_stream import (
+        VersionedTableStreamSource,
+    )
+
+    spark.dataSource.register(VersionedTableStreamSource)
+    return spark
+
+
+def _frame(spark, n=10, shift=0):
+    return spark.range(n).select(
+        (F.col("id") + shift).alias("k"), (F.col("id") * 2).alias("v")
+    )
+
+
+# ---------------------------------------------------------------- txn core
+
+
+def test_txn_append_is_idempotent(spark, tmp_path):
+    root = tmp_path / "tbl"
+    df = _frame(spark)
+    e0 = vt.append(root, df, txn=("app", 0))
+    assert e0["version"] == 0 and e0["txn"] == {"app": "app", "batch": 0}
+    assert vt.append(root, df, txn=("app", 0)) is None  # replay
+    assert vt.append(root, df, txn=("app", 1))["version"] == 1
+    # at-or-BELOW the watermark skips (a late replay of an old batch)
+    assert vt.append(root, df, txn=("app", 0)) is None
+    assert vt.read_version(spark, root).count() == 20
+    # a different app id is independent
+    assert vt.append(root, df, txn=("other", 0))["version"] == 2
+    assert vt.read_version(spark, root).count() == 30
+
+
+def test_txn_without_stamp_never_dedupes(spark, tmp_path):
+    root = tmp_path / "tbl"
+    df = _frame(spark)
+    vt.append(root, df, txn=("app", 0))
+    vt.append(root, df)  # unstamped append: always lands
+    assert vt.read_version(spark, root).count() == 20
+
+
+def test_txn_survives_checkpoint_fold_and_compaction(
+    spark, tmp_path, monkeypatch
+):
+    """The Delta SetTransaction property: the watermark must outlive
+    the commit that recorded it. Fold the log into a checkpoint AND
+    compact the stamped commit's files away — the replay must still be
+    refused when the snapshot is served from checkpoint + tail."""
+    monkeypatch.setattr(vt, "_CKPT_EVERY", 2)
+    root = tmp_path / "tbl"
+    for b in range(4):
+        vt.append(
+            root, _frame(spark, n=5, shift=100 * b), num_files=1,
+            txn=("ingest", b),
+        )
+    vt.compact_small(spark, root)  # folds the small stamped commits
+    assert (root / vt._VLOG / "ckpt-v00000004.parquet").exists()
+    folded = vt._snapshot_entries(root)
+    assert vt._latest_txns(folded) == {"ingest": 3}
+    for b in range(4):  # full replay of history: every batch refused
+        assert vt.append(root, _frame(spark, n=5), txn=("ingest", b)) is None
+    assert vt.read_version(spark, root).count() == 20
+
+
+def test_txn_checked_under_writer_lock(spark, tmp_path):
+    """The authoritative check runs inside _publish_staged: a txn that
+    lands BETWEEN the base snapshot and the lock is seen."""
+    root = tmp_path / "tbl"
+    df = _frame(spark)
+    base = vt._snapshot_entries  # force a stale base for the 2nd call
+    vt.append(root, df, txn=("app", 0))
+    stale = vt._snapshot_entries(root)
+
+    calls = {"n": 0}
+
+    def snap(r):
+        calls["n"] += 1
+        return list(stale) if calls["n"] == 1 else base(r)
+
+    orig = vt._snapshot_entries
+    vt._snapshot_entries = snap
+    try:
+        vt.append(root, df, txn=("app", 1))  # lands normally
+        vt._snapshot_entries = orig
+        # replay of batch 1 with a base snapshot that predates it:
+        # the pre-check passes, the in-lock check must refuse
+        calls["n"] = 0
+        vt._snapshot_entries = snap
+        assert vt.append(root, df, txn=("app", 1)) is None
+    finally:
+        vt._snapshot_entries = orig
+    assert vt.read_version(spark, root).count() == 20
+
+
+# ------------------------------------------------------- native sink path
+
+
+def _drain(spark, src, root, ckpt, **opts):
+    w = (
+        spark.readStream.schema("k bigint, v bigint").json(str(src))
+        .writeStream.format("versioned_table")
+        .option("path", str(root))
+        .option("checkpointLocation", str(ckpt))
+    )
+    for k, v in opts.items():
+        w = w.option(k, v)
+    q = w.trigger(availableNow=True).start()
+    assert q.awaitTermination(300), "sink drain did not finish"
+
+
+def test_stream_sink_commits_batches(registered, tmp_path):
+    spark = registered
+    src, root, ck = tmp_path / "src", tmp_path / "tbl", tmp_path / "ck"
+    _frame(spark).write.json(str(src))
+    _drain(spark, src, root, ck, statsColumns="k")
+    assert vt.read_version(spark, root).count() == 10
+    _frame(spark, shift=100).write.mode("append").json(str(src))
+    _drain(spark, src, root, ck)
+    got = vt.read_version(spark, root)
+    assert got.count() == 20
+    h = vt.history(root)
+    qid = json.loads((ck / "metadata").read_text())["id"]
+    assert [(e["version"], e["txn"]) for e in h] == [
+        (0, {"app": qid, "batch": 0}),
+        (1, {"app": qid, "batch": 1}),
+    ]
+    # inherited zone maps: the sink's stats flow into read_where pruning
+    assert h[0]["stats_columns"] == ["k"]
+    pruned = vt.read_where(spark, root, [("k", "between", (100, 104))])
+    assert pruned.count() == 5
+    # staging fully drained
+    assert not list((root / ts._STAGE_DIR).glob("*")) or not (
+        root / ts._STAGE_DIR
+    ).exists()
+
+
+def test_stream_sink_replay_after_restart_is_exactly_once(
+    registered, tmp_path
+):
+    """THE kill-and-restart proof: clone the checkpoint, delete its
+    newest commit marker (crash between sink commit and checkpoint
+    commit — Spark's at-least-once window), restart. Spark re-runs the
+    batch with the same (queryId, batchId); the table log must refuse
+    the duplicate and the restarted query must still complete."""
+    spark = registered
+    src, root, ck = tmp_path / "src", tmp_path / "tbl", tmp_path / "ck"
+    _frame(spark).write.json(str(src))
+    _drain(spark, src, root, ck)
+    _frame(spark, shift=100).write.mode("append").json(str(src))
+    _drain(spark, src, root, ck)
+    assert vt.read_version(spark, root).count() == 20
+
+    ck2 = tmp_path / "ck_replay"  # the "restarted process" checkpoint
+    shutil.copytree(ck, ck2)
+    last = max(
+        int(os.path.basename(p))
+        for p in glob.glob(str(ck2 / "commits" / "[0-9]*"))
+    )
+    os.remove(ck2 / "commits" / str(last))
+    crc = ck2 / "commits" / f".{last}.crc"
+    if crc.exists():
+        os.remove(crc)
+    _drain(spark, src, root, ck2)  # replays batch `last`
+    assert vt.read_version(spark, root).count() == 20  # no duplicates
+    assert [e["txn"]["batch"] for e in vt.history(root)] == [0, 1]
+
+
+def test_stream_sink_refusals(registered, tmp_path):
+    spark = registered
+    src = tmp_path / "src"
+    _frame(spark).write.json(str(src))
+    # no appId and no checkpoint -> no exactly-once key -> refuse
+    with pytest.raises(Exception, match="appId|checkpointLocation"):
+        (
+            spark.readStream.schema("k bigint, v bigint").json(str(src))
+            .writeStream.format("versioned_table")
+            .option("path", str(tmp_path / "t1"))
+            .trigger(availableNow=True)
+            .start()
+        )
+    # constraints need a Spark plan: the gateway-less commit hook refuses
+    root = tmp_path / "t2"
+    vt.append(root, _frame(spark))
+    vt.set_constraints(root, checks=[("k", "<", 1_000_000)])
+    with pytest.raises(ValueError, match="constraints"):
+        ts.publish_staged_files(root, ["unused"], txn=("a", 0))
+    # schema mismatch is caught before any file moves
+    root3 = tmp_path / "t3"
+    vt.append(root3, _frame(spark))
+    staged = tmp_path / "stage.parquet"
+    _frame(spark).withColumnRenamed("v", "w").coalesce(1).write.parquet(
+        str(tmp_path / "stg")
+    )
+    part = glob.glob(str(tmp_path / "stg" / "*.parquet"))[0]
+    with pytest.raises(ValueError, match="schema mismatch"):
+        ts.publish_staged_files(root3, [part], txn=("a", 0))
+    assert staged.exists() is False
+
+
+# ------------------------------------------------------ foreachBatch path
+
+
+def test_exactly_once_appender_helper(spark, tmp_path):
+    root = tmp_path / "tbl"
+    fn = ts.exactly_once_appender(root, app_id="pipe", stats_columns=["k"])
+    df = _frame(spark)
+    fn(df, 0)
+    fn(df, 0)  # replayed microbatch
+    fn(df, 1)
+    assert vt.read_version(spark, root).count() == 20
+    assert vt.history(root)[0]["stats_columns"] == ["k"]
+
+
+def test_exactly_once_appender_resolves_query_id(spark, tmp_path):
+    ck = tmp_path / "ck"
+    ck.mkdir()
+    (ck / "metadata").write_text(json.dumps({"id": "qid-123"}))
+    fn = ts.exactly_once_appender(tmp_path / "tbl", checkpoint=ck)
+    fn(_frame(spark), 7)
+    assert vt.history(tmp_path / "tbl")[0]["txn"] == {
+        "app": "qid-123", "batch": 7,
+    }
+    with pytest.raises(ValueError, match="app_id or checkpoint"):
+        ts.exactly_once_appender(tmp_path / "tbl")
