@@ -103,12 +103,13 @@ _FRONT = [
     "q6_revenue_forecast",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "top_spenders",
+    "cdc_upload_delta",
     "table_stream_sink_read",
 ]
 # overflow: the remaining round-9-green queries — first in line for
 # round 13's window (locally re-verified every round)
 _NEXT = [
+    "top_spenders",
     "window_top_orders_per_customer",
     "window_running_spend",
     "rollup_order_status",
@@ -128,7 +129,6 @@ _NEXT = [
     "streaming_sessionize_events",
     "salted_agg_lineitem",
     "merge_upsert_orders",
-    "cdc_upload_delta",
     "dedup_keep_first_pruned",
     "dedup_spans",
     "mixture_sample",

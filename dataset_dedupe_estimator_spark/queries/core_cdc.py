@@ -1,9 +1,13 @@
 """Chunk-level dedup estimation queries — the reference's core surface
 (de dedup / de stats), exposed through the driver contract.
 
-CDC chunking of raw file bytes is not SQL-expressible, so these entries
-have no DuckDB oracle (rows-only checks); their invariants are covered by
-tests/test_chunker.py and tests/test_estimate.py instead.
+CDC chunking of raw file bytes is not SQL-expressible, so chunk
+EMISSION stays rows-only (invariants in tests/test_chunker.py and
+tests/test_estimate.py). Everything DOWNSTREAM of emission is oracle-
+bearing via the export trick (r11 ``cdc_stats_oracle``, extended in
+r12 to provenance / upload-delta / index-ledger): the chunk table is
+exported to parquet and DuckDB re-derives the same aggregation from
+the same rows.
 """
 
 from __future__ import annotations
@@ -58,16 +62,29 @@ def cdc_per_file_chunks(spark, sf):
 
 
 def cdc_provenance(spark, sf):
-    """Merged-store provenance distribution: how many files share each
-    chunk (seen_in cardinality histogram; C5)."""
-    chunks = chunk_files(spark, _paths(sf))
+    """Merged-store provenance distribution (C5): how many files share
+    each chunk, plus where those shared chunks were FIRST seen and how
+    many bytes each sharing tier holds. Oracle-bearing since r12 via
+    the export trick (the r11 ``cdc_stats_oracle`` pattern): the chunk
+    table is exported and both engines re-derive the per-hash
+    provenance — DuckDB recomputes ``min(file_idx)`` /
+    ``count(distinct file_idx)`` per hash, so a lost occurrence, a
+    mis-scoped distinct, or a wrong first-seen attribution
+    hash-mismatches. Only chunk EMISSION stays rows-only."""
+    exported = _export_chunks(spark, sf, _PROV_EXPORT)
     return (
-        dedup_map(chunks)
-        .select(F.col("n_files_seen").alias("n_files_sharing"))
-        .groupBy("n_files_sharing")
-        .agg(F.count(F.lit(1)).alias("n_chunks"))
+        dedup_map(exported)
+        .groupBy(F.col("n_files_seen").alias("n_files_sharing"))
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("first_seen_in").alias("n_first_files"),
+            F.sum("size").alias("group_bytes"),
+        )
         .orderBy("n_files_sharing")
     )
+
+
+CDC_PROVENANCE_SQL: str  # defined below _EXPORT_BASE (needs the path)
 
 
 def cdc_estimate_xet(spark, sf):
@@ -86,20 +103,49 @@ def cdc_approx_estimate(spark, sf):
 def cdc_upload_delta(spark, sf):
     """Upload-delta estimate (the reference's notebook headline,
     notebooks/parquet-cdc.md:814-838): treating ``lineitem.parquet`` as
-    the already-stored snapshot, per-file bytes every dataset file would
-    need to transfer. Rows-only (file chunking isn't SQL-expressible);
-    invariants in tests/test_multi_chunker.py."""
-    from dataset_dedupe_estimator_spark.plans.estimate import upload_delta
-
-    paths = _paths(sf)
-    old = [p for p in paths if p.endswith("lineitem.parquet")]
-    rows = upload_delta(spark, old, paths)
-    return rows.select(
-        F.element_at(F.split(F.col("path"), "/"), -1).alias("file"),
-        "file_bytes",
-        "novel_bytes",
-        "delta_ratio",
-    ).orderBy("file")
+    the already-stored snapshot, per-file bytes every dataset file
+    would need to transfer. Oracle-bearing since r12 via the export
+    trick: the corpus chunk table is exported once; both engines then
+    run the SAME store semantics — old hashes = the stored file's
+    distinct set, each novel hash attributed (and counted) once to the
+    file that sees it first (``plans/estimate.py::upload_delta``'s
+    anti-join + first-attribution, which DuckDB reproduces as plain
+    SQL). Only chunk EMISSION stays rows-only."""
+    exported = _export_chunks(spark, sf, _DELTA_EXPORT)
+    old_hashes = (
+        exported.filter(F.col("file") == "lineitem.parquet")
+        .select("hash")
+        .distinct()
+    )
+    novel_first = (
+        exported.join(old_hashes, "hash", "left_anti")
+        .groupBy("hash")
+        .agg(F.min(F.struct("file_idx", "file", "size")).alias("first"))
+        .select(
+            F.col("first.file").alias("file"),
+            F.col("first.size").alias("size"),
+        )
+    )
+    per_file = exported.groupBy("file").agg(
+        F.sum("size").alias("file_bytes")
+    )
+    delta = novel_first.groupBy("file").agg(
+        F.sum("size").alias("novel_bytes")
+    )
+    return (
+        per_file.join(delta, "file", "left")
+        .select(
+            "file",
+            "file_bytes",
+            F.coalesce(F.col("novel_bytes"), F.lit(0)).alias("novel_bytes"),
+            F.round(
+                F.coalesce(F.col("novel_bytes"), F.lit(0))
+                / F.col("file_bytes"),
+                6,
+            ).alias("delta_ratio"),
+        )
+        .orderBy("file")
+    )
 
 
 def format_compare_demo(spark, sf):
@@ -197,6 +243,65 @@ _EXPORT_BASE = os.path.join(
 )
 _STATS_EXPORT = f"{_EXPORT_BASE}_chunks_stats"
 _TREND_EXPORT = f"{_EXPORT_BASE}_chunks_trend"
+_PROV_EXPORT = f"{_EXPORT_BASE}_chunks_prov"
+_DELTA_EXPORT = f"{_EXPORT_BASE}_chunks_delta"
+_IDX_EXPORT = f"{_EXPORT_BASE}_chunks_idx"
+
+
+CDC_PROVENANCE_SQL = f"""
+WITH c AS (SELECT * FROM read_parquet('{_PROV_EXPORT}/*.parquet')),
+h AS (SELECT hash, MIN(size) AS size, MIN(file_idx) AS first_seen_in,
+             COUNT(DISTINCT file_idx) AS n_files_sharing
+      FROM c GROUP BY hash)
+SELECT CAST(n_files_sharing AS BIGINT) AS n_files_sharing,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT first_seen_in) AS BIGINT) AS n_first_files,
+       CAST(SUM(size) AS BIGINT) AS group_bytes
+FROM h GROUP BY 1 ORDER BY 1
+"""
+
+
+CDC_UPLOAD_DELTA_SQL = f"""
+WITH c AS (SELECT * FROM read_parquet('{_DELTA_EXPORT}/*.parquet')),
+old AS (SELECT DISTINCT hash FROM c WHERE file = 'lineitem.parquet'),
+novel AS (SELECT c.hash, MIN(c.file_idx) AS first_idx,
+                 MIN(c.size) AS size
+          FROM c LEFT JOIN old o ON c.hash = o.hash
+          WHERE o.hash IS NULL GROUP BY c.hash),
+delta AS (SELECT first_idx AS file_idx, SUM(size) AS novel_bytes
+          FROM novel GROUP BY 1),
+pf AS (SELECT file, MIN(file_idx) AS file_idx,
+              CAST(SUM(size) AS BIGINT) AS file_bytes
+       FROM c GROUP BY file)
+SELECT pf.file, pf.file_bytes,
+       CAST(COALESCE(d.novel_bytes, 0) AS BIGINT) AS novel_bytes,
+       ROUND(CAST(COALESCE(d.novel_bytes, 0) AS DOUBLE)
+             / CAST(pf.file_bytes AS DOUBLE), 6) AS delta_ratio
+FROM pf LEFT JOIN delta d USING (file_idx)
+ORDER BY pf.file
+"""
+
+
+CDC_INDEX_INCREMENTAL_SQL = f"""
+WITH c AS (SELECT * FROM read_parquet('{_IDX_EXPORT}/*.parquet')),
+h0 AS (SELECT hash, MIN(size) AS size FROM c WHERE gen0 GROUP BY hash),
+hall AS (SELECT hash, MIN(size) AS size FROM c GROUP BY hash),
+n_half AS (SELECT COUNT(DISTINCT file) AS f FROM c WHERE gen0),
+n_all AS (SELECT COUNT(DISTINCT file) AS f FROM c)
+SELECT CAST(0 AS BIGINT) AS gen,
+       CAST((SELECT f FROM n_half) AS BIGINT) AS files,
+       CAST(COUNT(*) AS BIGINT) AS novel_chunks,
+       CAST(COALESCE(SUM(size), 0) AS BIGINT) AS novel_bytes
+FROM h0
+UNION ALL
+SELECT 1, CAST((SELECT f FROM n_all) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(size), 0) AS BIGINT)
+FROM hall WHERE hash NOT IN (SELECT hash FROM h0)
+UNION ALL
+SELECT 2, CAST((SELECT f FROM n_all) AS BIGINT), 0, 0
+ORDER BY gen
+"""
 
 
 def cdc_stats_oracle(spark, sf):
@@ -298,8 +403,16 @@ def cdc_index_incremental(spark, sf):
     """Persistent chunk-index lifecycle end-to-end (plans/chunk_index.py):
     build generation 0 from the first half of the corpus, admit the full
     corpus as generation 1, re-admit it as generation 2 (must be a
-    no-op), and return the per-generation admission ledger. Rows-only:
-    the chunker and the filesystem index are not SQL-expressible."""
+    no-op), and return the per-generation admission ledger. Oracle-
+    bearing since r12 via the export trick: the corpus chunk table is
+    exported with a ``gen0`` membership flag, and DuckDB re-derives the
+    ENTIRE ledger from first principles — gen 0 novel = the half
+    corpus's distinct hashes, gen 1 novel = an anti-join of the full
+    corpus's distinct set against gen 0 (exactly what ``update_index``
+    executes against the on-disk index), gen 2 novel = 0 — while the
+    Spark side returns the REAL index's persisted ledger. A wrong
+    anti-join, a double-admitted hash, or a non-idempotent re-admission
+    hash-mismatches. Only chunk EMISSION stays rows-only."""
     import json
     import tempfile
 
@@ -310,6 +423,25 @@ def cdc_index_incremental(spark, sf):
 
     paths = _paths(sf)
     half = paths[: max(1, len(paths) // 2)]
+    half_names = sorted(os.path.basename(p) for p in half)
+    # the export must agree with what the index chunked: same corpus,
+    # same chunk rows (params differ only in the compression probe,
+    # which the ledger never reads)
+    import shutil
+
+    shutil.rmtree(_IDX_EXPORT, ignore_errors=True)
+    (
+        chunk_files(spark, paths)
+        .select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("file"),
+            "hash",
+            "size",
+        )
+        .withColumn("gen0", F.col("file").isin(half_names))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(_IDX_EXPORT)
+    )
     with tempfile.TemporaryDirectory() as d:
         idx = f"{d}/index"
         build_index(spark, half, idx)
@@ -322,7 +454,8 @@ def cdc_index_incremental(spark, sf):
         for g in ledger
     ]
     return spark.createDataFrame(
-        rows, "gen int, files int, novel_chunks long, novel_bytes long"
+        rows, "gen bigint, files bigint, novel_chunks bigint, "
+        "novel_bytes bigint"
     ).orderBy("gen")
 
 
@@ -333,9 +466,11 @@ QUERIES = {
     "cdc_dedup_trend": Q(cdc_dedup_trend, None),
     "format_compare_demo": Q(format_compare_demo, None),
     "cdc_per_file_chunks": Q(cdc_per_file_chunks, None),
-    "cdc_provenance": Q(cdc_provenance, None),
+    "cdc_provenance": Q(cdc_provenance, CDC_PROVENANCE_SQL),
     "cdc_estimate_xet": Q(cdc_estimate_xet, None),
     "cdc_approx_estimate": Q(cdc_approx_estimate, None),
-    "cdc_upload_delta": Q(cdc_upload_delta, None),
-    "cdc_index_incremental": Q(cdc_index_incremental, None),
+    "cdc_upload_delta": Q(cdc_upload_delta, CDC_UPLOAD_DELTA_SQL),
+    "cdc_index_incremental": Q(
+        cdc_index_incremental, CDC_INDEX_INCREMENTAL_SQL
+    ),
 }
