@@ -22,12 +22,15 @@ Spark-first design decisions (documented deviations):
   content-defined and shift-invariant like gearhash but not
   bit-identical to the reference's; dedup semantics under edits are
   preserved.
-* **Identity hash**: XXH64 seed 42 (native C kernel; same bits as
-  Spark's JVM ``xxhash64`` on binary — cross-checked in tests) — the
-  same xxhash family the reference uses (xxh3, src/store.rs:44); the
-  engine contract is "any stable 64-bit content hash" (SURVEY §2 C2).
-  Falls back to sha1-64 without a C compiler; the scheme is decided on
-  the driver and ENFORCED on executors (no silent mixing).
+* **Identity hash**: XXH3-64 (native C kernel; BIT-PARITY with the
+  reference's ``xxh3_64``, src/store.rs:44 — validated against the
+  upstream sanity vectors and an independent pure-Python
+  implementation in tests/test_xxh3.py). XXH64 seed 42 stays available
+  (same bits as Spark's JVM ``xxhash64`` on binary — cross-checked in
+  tests) for artifacts that pinned it; the engine contract is "any
+  stable 64-bit content hash" (SURVEY §2 C2). Falls back to sha1-64
+  without a C compiler; the scheme is decided on the driver and
+  ENFORCED on executors (no silent mixing).
 * **Compressed-size probe**: a native LZ4-block-format size counter —
   the reference's codec (src/store.rs:45) re-expressed as a count-only
   greedy compressor with lz4's incompressible-skip acceleration
@@ -334,11 +337,12 @@ def _iter_file_chunks(path: str, params: ChunkerParams) -> Iterator[tuple[int, b
 
 def _fast_arrays_ok(p: ChunkerParams) -> bool:
     """True when the fused native block pipeline can serve this
-    parameterization: native kernels present (xxh64 + lz4 probe) and
-    an lz4-family probe scheme ('zlib1' stays on the per-chunk path)."""
+    parameterization: native kernels present (xxh3-64/xxh64 + lz4
+    probe) and an lz4-family probe scheme ('zlib1' stays on the
+    per-chunk path)."""
     return (
         native.available()
-        and IDENTITY_HASH == "xxh64"
+        and IDENTITY_HASH in _NATIVE_SCHEMES
         and p.compress_scheme in ("auto", "lz4")
         and p.enforce_max
     )
@@ -366,7 +370,13 @@ def _emit_chunk_cols(
     rel[0] = start0
     rel[1:] = cuts_a[:-1]
     sizes = cuts_a - rel
-    hashes = native.chunk_hashes(buf, cuts_a, start0, 42)
+    # executor-local scheme: callers gate the fused path on the driver's
+    # scheme matching this process's IDENTITY_HASH, so this dispatch is
+    # always the cluster-wide choice
+    if IDENTITY_HASH == "xxh3-64":
+        hashes = native.chunk_hashes3(buf, cuts_a, start0)
+    else:
+        hashes = native.chunk_hashes(buf, cuts_a, start0, 42)
     if cap == 0:
         return rel, sizes, hashes, sizes.copy()
     uniq, first, inv = np.unique(
@@ -408,7 +418,8 @@ def _iter_block_arrays(
 
     Bit-identical to ``_iter_file_chunks`` + ``_hash64`` +
     ``_compressed_size`` per chunk (pinned by tests): same cuts (same
-    candidate scan and selection), same xxh64 seed-42 signed hashes,
+    candidate scan and selection), same identity-hash signed values
+    (xxh3-64 by default; xxh64 seed-42 when that scheme is pinned),
     same lz4 probe with the same sampled-extrapolation truncation, and
     the same within-file repeat-chunk probe reuse (first occurrence
     wins — here via a per-file hash->size dict over the block's
@@ -700,7 +711,8 @@ def make_chunk_partition_fn_multi(params_list: list[ChunkerParams], keep_data: b
         # region would silently truncate (reviewed bug, r11)
         fast = (
             not keep_data
-            and hash_scheme == "xxh64"
+            and hash_scheme == IDENTITY_HASH
+            and hash_scheme in _NATIVE_SCHEMES
             and native.available()
             and all(
                 p.enforce_max
@@ -822,12 +834,19 @@ def _compressed_size(chunk: bytes, probe: int | None, scheme: str = "auto") -> i
 # anti-joining incomparable hashes.
 #
 # The engine contract is "any stable 64-bit content hash" (SURVEY §2.2
-# C2; the reference uses xxh3-64, src/store.rs:44). With the native lib
-# the hash is XXH64 seed 42 — the SAME bits Spark's JVM `xxhash64`
-# expression produces for a binary column (cross-checked in tests), and
-# ~6x faster than the sha1 stand-in, which was the chunker pipeline's
-# second-largest stage. Without a compiler the sha1-64 stand-in remains.
-IDENTITY_HASH = "xxh64" if native.available() else "sha1-64"
+# C2). With the native lib the DEFAULT is XXH3-64 (r12) — BIT-PARITY
+# with the reference's identity hash (src/store.rs:44,
+# xxhash_rust::xxh3::xxh3_64): the C kernel is validated against the
+# upstream sanity vectors and an independent pure-Python implementation
+# (tests/test_xxh3.py). The XXH64-seed-42 scheme stays available (same
+# bits as Spark's JVM `xxhash64`, cross-checked in tests) for indexes
+# that pinned it; without a compiler the sha1-64 stand-in remains.
+# Persistent artifacts record their scheme and refuse mixed use
+# (plans/chunk_index.py manifest pin).
+IDENTITY_HASH = "xxh3-64" if native.available() else "sha1-64"
+
+# schemes the fused native array pipeline can compute
+_NATIVE_SCHEMES = ("xxh3-64", "xxh64")
 
 
 def _hash64_fn(scheme: str):
@@ -838,14 +857,22 @@ def _hash64_fn(scheme: str):
     node without a C compiler) fails LOUDLY instead of silently mixing
     xxh64 and sha1 hashes in one table — which would corrupt every
     dedup count downstream."""
-    if scheme == "xxh64":
-        xx = native.xxh64_bytes
+    if scheme in _NATIVE_SCHEMES:
         if not native.available():
             raise RuntimeError(
-                "identity hash 'xxh64' needs the native kernels, which "
-                "this node could not build — install a C compiler or "
-                "run the whole cluster with DDES_NO_NATIVE=1 (sha1-64)"
+                f"identity hash {scheme!r} needs the native kernels, "
+                "which this node could not build — install a C compiler "
+                "or run the whole cluster with DDES_NO_NATIVE=1 (sha1-64)"
             )
+        if scheme == "xxh3-64":
+            x3 = native.xxh3_bytes
+
+            def h3(data: bytes) -> int:
+                v = x3(data)
+                return v - (1 << 64) if v >= (1 << 63) else v
+
+            return h3
+        xx = native.xxh64_bytes
 
         def h(data: bytes) -> int:
             v = xx(data, 42)
@@ -904,10 +931,14 @@ def make_chunk_partition_fn(p: ChunkerParams, keep_data: bool):
         # all emit preallocated arrays per block — no per-chunk Python
         # objects (bit-identical to the per-chunk path; tests pin it).
         # hash_scheme is the DRIVER's cluster-wide choice: an executor
-        # may only take the xxh64 fast path when the driver chose xxh64
-        # (mixing fast-path xxh64 with a sha1-64 cluster scheme would
-        # corrupt every dedup count downstream)
-        fast = not keep_data and hash_scheme == "xxh64" and _fast_arrays_ok(p)
+        # may only take the fused fast path when its own scheme matches
+        # the driver's (mixing fast-path xxh3-64 with a sha1-64 cluster
+        # scheme would corrupt every dedup count downstream)
+        fast = (
+            not keep_data
+            and hash_scheme == IDENTITY_HASH
+            and _fast_arrays_ok(p)
+        )
         for batch in batches:
             for file_idx, path in zip(
                 batch.column("file_idx").to_pylist(), batch.column("path").to_pylist()

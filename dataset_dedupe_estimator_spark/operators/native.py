@@ -235,6 +235,150 @@ int64_t gear_cuts(const uint8_t *buf, int64_t n, const uint64_t *tab,
     }
 }
 
+/* XXH3-64 (seedless one-shot, default secret) — BIT-PARITY with the
+   reference's identity hash (src/store.rs:44, xxhash_rust::xxh3::xxh3_64,
+   itself a port of Yann Collet's public-domain upstream). Implemented
+   from the published algorithm spec; cross-checked in tests against an
+   INDEPENDENT pure-Python implementation plus the upstream sanity
+   vectors (xsum_sanity_check buffer). Little-endian hosts only, like
+   xxh64 above. */
+static const uint8_t XK[192] = {
+    0xb8, 0xfe, 0x6c, 0x39, 0x23, 0xa4, 0x4b, 0xbe,
+    0x7c, 0x01, 0x81, 0x2c, 0xf7, 0x21, 0xad, 0x1c,
+    0xde, 0xd4, 0x6d, 0xe9, 0x83, 0x90, 0x97, 0xdb,
+    0x72, 0x40, 0xa4, 0xa4, 0xb7, 0xb3, 0x67, 0x1f,
+    0xcb, 0x79, 0xe6, 0x4e, 0xcc, 0xc0, 0xe5, 0x78,
+    0x82, 0x5a, 0xd0, 0x7d, 0xcc, 0xff, 0x72, 0x21,
+    0xb8, 0x08, 0x46, 0x74, 0xf7, 0x43, 0x24, 0x8e,
+    0xe0, 0x35, 0x90, 0xe6, 0x81, 0x3a, 0x26, 0x4c,
+    0x3c, 0x28, 0x52, 0xbb, 0x91, 0xc3, 0x00, 0xcb,
+    0x88, 0xd0, 0x65, 0x8b, 0x1b, 0x53, 0x2e, 0xa3,
+    0x71, 0x64, 0x48, 0x97, 0xa2, 0x0d, 0xf9, 0x4e,
+    0x38, 0x19, 0xef, 0x46, 0xa9, 0xde, 0xac, 0xd8,
+    0xa8, 0xfa, 0x76, 0x3f, 0xe3, 0x9c, 0x34, 0x3f,
+    0xf9, 0xdc, 0xbb, 0xc7, 0xc7, 0x0b, 0x4f, 0x1d,
+    0x8a, 0x51, 0xe0, 0x4b, 0xcd, 0xb4, 0x59, 0x31,
+    0xc8, 0x9f, 0x7e, 0xc9, 0xd9, 0x78, 0x73, 0x64,
+    0xea, 0xc5, 0xac, 0x83, 0x34, 0xd3, 0xeb, 0xc3,
+    0xc5, 0x81, 0xa0, 0xff, 0xfa, 0x13, 0x63, 0xeb,
+    0x17, 0x0d, 0xdd, 0x51, 0xb7, 0xf0, 0xda, 0x49,
+    0xd3, 0x16, 0x55, 0x26, 0x29, 0xd4, 0x68, 0x9e,
+    0x2b, 0x16, 0xbe, 0x58, 0x7d, 0x47, 0xa1, 0xfc,
+    0x8f, 0xf8, 0xb8, 0xd1, 0x7a, 0xd0, 0x31, 0xce,
+    0x45, 0xcb, 0x3a, 0x8f, 0x95, 0x16, 0x04, 0x28,
+    0xaf, 0xd7, 0xfb, 0xca, 0xbb, 0x4b, 0x40, 0x7e,
+};
+#define XP32_1 2654435761U
+#define XP32_2 2246822519U
+#define XP32_3 3266489917U
+static uint64_t x3r64(const uint8_t *p) {
+    uint64_t v; __builtin_memcpy(&v, p, 8); return v;
+}
+static uint32_t x3r32(const uint8_t *p) {
+    uint32_t v; __builtin_memcpy(&v, p, 4); return v;
+}
+static uint64_t x3_avalanche(uint64_t h) {
+    h ^= h >> 37; h *= 0x165667919E3779F9ULL; h ^= h >> 32; return h;
+}
+static uint64_t x64_avalanche(uint64_t h) {
+    h ^= h >> 33; h *= XP2; h ^= h >> 29; h *= XP3; h ^= h >> 32; return h;
+}
+static uint64_t x3_fold128(uint64_t a, uint64_t b) {
+    __uint128_t p = (__uint128_t)a * b;
+    return (uint64_t)p ^ (uint64_t)(p >> 64);
+}
+static uint64_t x3_mix16(const uint8_t *in, const uint8_t *sec) {
+    return x3_fold128(x3r64(in) ^ x3r64(sec), x3r64(in + 8) ^ x3r64(sec + 8));
+}
+static uint64_t x3_rrmxmx(uint64_t h, uint64_t len) {
+    h ^= rotl64(h, 49) ^ rotl64(h, 24);
+    h *= 0x9FB21C651E98DF25ULL;
+    h ^= (h >> 35) + len;
+    h *= 0x9FB21C651E98DF25ULL;
+    return h ^ (h >> 28);
+}
+static void x3_acc512(uint64_t *acc, const uint8_t *in, const uint8_t *sec) {
+    for (int i = 0; i < 8; i++) {
+        uint64_t dv = x3r64(in + 8 * i);
+        uint64_t dk = dv ^ x3r64(sec + 8 * i);
+        acc[i ^ 1] += dv;
+        acc[i] += (uint64_t)(uint32_t)dk * (dk >> 32);
+    }
+}
+uint64_t xxh3_64(const uint8_t *in, int64_t len) {
+    if (len == 0)
+        return x64_avalanche(x3r64(XK + 56) ^ x3r64(XK + 64));
+    if (len <= 3) {
+        uint32_t combined = ((uint32_t)in[0] << 16)
+            | ((uint32_t)in[len >> 1] << 24)
+            | (uint32_t)in[len - 1] | ((uint32_t)len << 8);
+        return x64_avalanche((uint64_t)(combined ^ (x3r32(XK) ^ x3r32(XK + 4))));
+    }
+    if (len <= 8) {
+        uint64_t bitflip = x3r64(XK + 8) ^ x3r64(XK + 16);
+        uint64_t input64 =
+            (uint64_t)x3r32(in + len - 4) + ((uint64_t)x3r32(in) << 32);
+        return x3_rrmxmx(input64 ^ bitflip, (uint64_t)len);
+    }
+    if (len <= 16) {
+        uint64_t lo = x3r64(in) ^ (x3r64(XK + 24) ^ x3r64(XK + 32));
+        uint64_t hi = x3r64(in + len - 8) ^ (x3r64(XK + 40) ^ x3r64(XK + 48));
+        uint64_t acc = (uint64_t)len + __builtin_bswap64(lo) + hi
+            + x3_fold128(lo, hi);
+        return x3_avalanche(acc);
+    }
+    if (len <= 128) {
+        uint64_t acc = (uint64_t)len * XP1;
+        if (len > 32) {
+            if (len > 64) {
+                if (len > 96) {
+                    acc += x3_mix16(in + 48, XK + 96);
+                    acc += x3_mix16(in + len - 64, XK + 112);
+                }
+                acc += x3_mix16(in + 32, XK + 64);
+                acc += x3_mix16(in + len - 48, XK + 80);
+            }
+            acc += x3_mix16(in + 16, XK + 32);
+            acc += x3_mix16(in + len - 32, XK + 48);
+        }
+        acc += x3_mix16(in, XK);
+        acc += x3_mix16(in + len - 16, XK + 16);
+        return x3_avalanche(acc);
+    }
+    if (len <= 240) {
+        uint64_t acc = (uint64_t)len * XP1;
+        int64_t nb = len / 16;
+        for (int i = 0; i < 8; i++) acc += x3_mix16(in + 16 * i, XK + 16 * i);
+        acc = x3_avalanche(acc);
+        for (int64_t i = 8; i < nb; i++)
+            acc += x3_mix16(in + 16 * i, XK + 16 * (i - 8) + 3);
+        acc += x3_mix16(in + len - 16, XK + 136 - 17);
+        return x3_avalanche(acc);
+    }
+    /* long path: 64-byte stripes, 1024-byte blocks, default secret */
+    uint64_t acc[8] = { XP32_3, XP1, XP2, XP3, XP4, XP32_2, XP5, XP32_1 };
+    const int64_t block_len = 64 * 16; /* (192 - 64) / 8 stripes */
+    int64_t nb_blocks = (len - 1) / block_len;
+    for (int64_t n = 0; n < nb_blocks; n++) {
+        for (int s = 0; s < 16; s++)
+            x3_acc512(acc, in + n * block_len + s * 64, XK + s * 8);
+        for (int i = 0; i < 8; i++) { /* scramble */
+            acc[i] ^= acc[i] >> 47;
+            acc[i] ^= x3r64(XK + 192 - 64 + 8 * i);
+            acc[i] *= XP32_1;
+        }
+    }
+    int64_t nb_stripes = ((len - 1) - block_len * nb_blocks) / 64;
+    for (int64_t s = 0; s < nb_stripes; s++)
+        x3_acc512(acc, in + nb_blocks * block_len + s * 64, XK + s * 8);
+    x3_acc512(acc, in + len - 64, XK + 192 - 64 - 7);
+    uint64_t r = (uint64_t)len * XP1;
+    for (int i = 0; i < 4; i++)
+        r += x3_fold128(acc[2 * i] ^ x3r64(XK + 11 + 16 * i),
+                        acc[2 * i + 1] ^ x3r64(XK + 11 + 16 * i + 8));
+    return x3_avalanche(r);
+}
+
 /* Per-chunk identity hashes for a cut list in ONE C pass (no per-chunk
    Python objects or ctypes calls): chunk i spans [prev_i, cuts[i]) where
    prev_0 = start0 and prev_{i+1} = cuts[i]. Writes xxh64(seed) of each
@@ -244,6 +388,16 @@ void chunk_hash_scan(const uint8_t *buf, const int64_t *cuts, int64_t ncuts,
     int64_t prev = start0;
     for (int64_t i = 0; i < ncuts; i++) {
         hashes[i] = xxh64(buf + prev, cuts[i] - prev, seed);
+        prev = cuts[i];
+    }
+}
+
+/* xxh3-64 twin of chunk_hash_scan (the reference-parity scheme). */
+void chunk_hash3_scan(const uint8_t *buf, const int64_t *cuts, int64_t ncuts,
+                      int64_t start0, uint64_t *hashes) {
+    int64_t prev = start0;
+    for (int64_t i = 0; i < ncuts; i++) {
+        hashes[i] = xxh3_64(buf + prev, cuts[i] - prev);
         prev = cuts[i];
     }
 }
@@ -441,6 +595,13 @@ def _compile() -> ctypes.CDLL | None:
     ]
     lib.xxh64.restype = ctypes.c_uint64
     lib.xxh64.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_uint64]
+    lib.xxh3_64.restype = ctypes.c_uint64
+    lib.xxh3_64.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.chunk_hash3_scan.restype = None
+    lib.chunk_hash3_scan.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_void_p,
+    ]
     lib.png_unfilter.restype = ctypes.c_int
     lib.png_unfilter.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p,
@@ -523,6 +684,34 @@ def xxh64_bytes(data: bytes, seed: int = 0) -> int | None:
     if lib is None:
         return None
     return lib.xxh64(data, len(data), seed)
+
+
+def xxh3_bytes(data: bytes) -> int | None:
+    """XXH3-64 of ``data`` (unsigned, seedless — the reference's
+    identity hash, src/store.rs:44), or None without the native lib.
+    Cross-checked in tests against an independent pure-Python
+    implementation and upstream sanity vectors."""
+    lib = _get()
+    if lib is None:
+        return None
+    return lib.xxh3_64(data, len(data))
+
+
+def chunk_hashes3(
+    buf: np.ndarray, cuts: np.ndarray, start0: int
+) -> np.ndarray | None:
+    """xxh3-64 of every chunk [prev, cut) in ONE native pass — signed
+    int64 view, or None without the native lib. The xxh3 twin of
+    :func:`chunk_hashes`."""
+    lib = _get()
+    if lib is None:
+        return None
+    out = np.empty(cuts.shape[0], dtype=np.uint64)
+    lib.chunk_hash3_scan(
+        buf.ctypes.data, cuts.ctypes.data, cuts.shape[0],
+        start0, out.ctypes.data,
+    )
+    return out.view(np.int64)
 
 
 def fused_cuts(

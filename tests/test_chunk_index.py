@@ -139,6 +139,18 @@ def test_update_refuses_foreign_identity_hash(spark, tmp_path, snapshots):
     (idx / "_index_meta.json").write_text(json.dumps(meta))
     with pytest.raises(ValueError, match="identity hash"):
         update_index(spark, old, idx)
+    # the realistic migration case (r12): an index built under the old
+    # xxh64 default refuses updates from the xxh3-64 engine — its hashes
+    # are incomparable, so a silent update would report ~100% novel
+    meta["identity_hash"] = "xxh64"
+    (idx / "_index_meta.json").write_text(json.dumps(meta))
+    from dataset_dedupe_estimator_spark.operators.chunker import (
+        IDENTITY_HASH,
+    )
+
+    if IDENTITY_HASH == "xxh3-64":
+        with pytest.raises(ValueError, match="identity hash"):
+            update_index(spark, old, idx)
 
 
 def test_compact_index_preserves_store_and_admission(spark, tmp_path, snapshots):

@@ -342,9 +342,13 @@ def test_identity_hash_scheme_guard():
     from dataset_dedupe_estimator_spark.operators import chunker, native
 
     if native.available():
-        assert chunker.IDENTITY_HASH == "xxh64"
-        h = chunker._hash64_fn("xxh64")(b"hello")
-        assert -(1 << 63) <= h < (1 << 63)
+        assert chunker.IDENTITY_HASH == "xxh3-64"  # reference parity (r12)
+        for scheme in ("xxh3-64", "xxh64"):
+            h = chunker._hash64_fn(scheme)(b"hello")
+            assert -(1 << 63) <= h < (1 << 63)
+        assert chunker._hash64_fn("xxh3-64")(b"hello") != chunker._hash64_fn(
+            "xxh64"
+        )(b"hello")
     # sha1-64 resolves everywhere
     h2 = chunker._hash64_fn("sha1-64")(b"hello")
     assert h2 == int.from_bytes(
