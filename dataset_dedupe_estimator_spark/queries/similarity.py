@@ -34,12 +34,28 @@ from dataset_dedupe_estimator_spark.queries.base import Q, load
 DIM = 64
 QUERY_VEC_ID = 0
 N_TABLES = 4  # independent hash tables for near-dup banding
-MAX_PLANES = 12  # supports ~2^12 * TARGET_BUCKET vectors; raise for more
+MAX_PLANES = 16  # supports ~2^16 * TARGET_BUCKET ≈ 524k vectors (r12; was
+# 12 — a genuine 100×-scale config wall once a corpus passes ~33k vectors)
 TARGET_BUCKET = 8  # aim for ~8 vectors per bucket
 
 # Deterministic hyperplanes, shared verbatim by both engines as literals.
+# Planes 0-11 are the r5-r11 set, generated with the SAME rng stream, so
+# every bucket PREFIX at p <= 12 — every corpus up to 2^12*TARGET_BUCKET
+# vectors — is bit-identical to previous rounds; the r12 extension
+# planes (12-15) only engage when the adaptive ladder demands p > 12.
 _PLANES = np.round(
-    np.random.default_rng(20260813).standard_normal((N_TABLES, MAX_PLANES, DIM)), 4
+    np.concatenate(
+        [
+            np.random.default_rng(20260813).standard_normal(
+                (N_TABLES, 12, DIM)
+            ),
+            np.random.default_rng(20260905).standard_normal(
+                (N_TABLES, MAX_PLANES - 12, DIM)
+            ),
+        ],
+        axis=1,
+    ),
+    4,
 ).tolist()
 
 

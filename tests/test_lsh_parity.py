@@ -37,3 +37,104 @@ def test_lsh_features_match_fold_expressions(spark, sf_dir):
             assert len(act[f"bits{t}"]) == MAX_PLANES
         # exact float equality, not approx — the contract is bit-identity
         assert list(exp["unit"]) == list(act["unit"]), f"vec {vid} unit"
+
+
+def test_plane_ladder_engages_past_2pow12(spark):
+    """r12 scale-ceiling lift: MAX_PLANES=16. The integer CASE ladder
+    must pick p>12 once the corpus passes 2^12*TARGET_BUCKET vectors
+    (the old config wall), p=16 at/beyond 2^16 buckets, and keep every
+    p<=12 choice identical to the r11 ladder."""
+    import math
+
+    from dataset_dedupe_estimator_spark.queries.similarity import (
+        TARGET_BUCKET,
+        _m_col,
+        _n_planes_col,
+    )
+
+    assert MAX_PLANES == 16
+    cases = [1, 8, 100, 1000, 10_000, 8 * (1 << 12), 8 * (1 << 12) + 1,
+             40_000, 8 * (1 << 14), 8 * (1 << 16), 8 * (1 << 16) + 1,
+             10_000_000]
+    df = spark.createDataFrame([(n,) for n in cases], "n_vecs long").select(
+        "n_vecs", _n_planes_col(_m_col(F.col("n_vecs"))).alias("p")
+    )
+    got = {r["n_vecs"]: r["p"] for r in df.collect()}
+    for n in cases:
+        m = -(-n // TARGET_BUCKET)
+        want = min(max(math.ceil(math.log2(m)) if m > 1 else 4, 4), MAX_PLANES)
+        assert got[n] == want, (n, got[n], want)
+    assert got[8 * (1 << 12) + 1] == 13  # past the old wall: p>12 engages
+    assert got[10_000_000] == 16  # clamp at the new ceiling
+
+
+def test_r11_plane_prefix_unchanged():
+    """Planes 0-11 must be bit-identical to the r11 generation, so every
+    bucket prefix at p<=12 (all current corpora) is unchanged by the
+    ceiling lift."""
+    import numpy as np
+
+    from dataset_dedupe_estimator_spark.queries.similarity import (
+        DIM,
+        _PLANES,
+    )
+
+    old = np.round(
+        np.random.default_rng(20260813).standard_normal((N_TABLES, 12, DIM)),
+        4,
+    ).tolist()
+    for t in range(N_TABLES):
+        assert _PLANES[t][:12] == old[t]
+        assert len(_PLANES[t]) == MAX_PLANES
+
+
+def test_big_corpus_bucketing_recall_at_p13(spark):
+    """End-to-end at n past the old wall: 40k synthetic vectors force
+    p=13, the bucket keys really are 13-char prefixes, and exact
+    duplicates (cosine 1.0) collide in EVERY table — the banding
+    plumbing works with the extension planes engaged."""
+    import numpy as np
+
+    from dataset_dedupe_estimator_spark.queries.similarity import (
+        DIM,
+        _m_col,
+        _n_planes_col,
+        lsh_features,
+    )
+
+    rng = np.random.default_rng(99)
+    n = 40_000
+    base = rng.standard_normal((n, DIM))
+    base[n - 100:] = base[: 100]  # 100 planted exact duplicates
+    rows = [(i, base[i].tolist()) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    feats = lsh_features(emb)
+    bucketed = (
+        feats.crossJoin(
+            F.broadcast(
+                emb.agg(F.count(F.lit(1)).alias("n_vecs")).select(
+                    _n_planes_col(_m_col(F.col("n_vecs"))).alias("p")
+                )
+            )
+        )
+        .select(
+            "vec_id",
+            "p",
+            *[
+                F.col(f"bits{t}").substr(F.lit(1), F.col("p")).alias(f"b{t}")
+                for t in range(N_TABLES)
+            ],
+        )
+    )
+    sample = bucketed.limit(5).collect()
+    assert all(r["p"] == 13 and len(r["b0"]) == 13 for r in sample)
+    dup = {
+        r["vec_id"]: r
+        for r in bucketed.filter(
+            (F.col("vec_id") < 100) | (F.col("vec_id") >= n - 100)
+        ).collect()
+    }
+    for i in range(100):
+        a, b = dup[i], dup[n - 100 + i]
+        for t in range(N_TABLES):
+            assert a[f"b{t}"] == b[f"b{t}"], (i, t)
