@@ -38,24 +38,18 @@ def cdc_estimate(spark, sf):
 
 
 def cdc_per_file_chunks(spark, sf):
-    """Per-file chunk accounting (ChunkStore per file, src/store.rs:97-101)."""
-    chunks = chunk_files(spark, _paths(sf))
+    """Per-file chunk accounting (ChunkStore per file, src/store.rs:97-101).
+    Oracle-bearing since r12 via the export trick: DuckDB re-aggregates
+    the exported chunk table to the same per-file tuple."""
+    exported = _export_chunks(spark, sf, _PFC_EXPORT)
     return (
-        chunks.groupBy("path")
+        exported.groupBy("file")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
             F.countDistinct("hash").alias("n_unique_chunks"),
             F.sum("size").alias("total_bytes"),
             F.max("size").alias("max_chunk"),
             F.min("size").alias("min_chunk"),
-        )
-        .select(
-            F.element_at(F.split(F.col("path"), "/"), -1).alias("file"),
-            "n_chunks",
-            "n_unique_chunks",
-            "total_bytes",
-            "max_chunk",
-            "min_chunk",
         )
         .orderBy("file")
     )
@@ -88,9 +82,11 @@ CDC_PROVENANCE_SQL: str  # defined below _EXPORT_BASE (needs the path)
 
 
 def cdc_estimate_xet(spark, sf):
-    """Alternate chunker parameterization (src/xet.rs:10-39 role)."""
-    chunks = chunk_files(spark, _paths(sf), params=XET_PARAMS)
-    return chunk_stats(chunks)
+    """Alternate chunker parameterization (src/xet.rs:10-39 role).
+    Oracle-bearing since r12: the XET-parameterized chunk table is
+    exported and DuckDB re-derives the occurrence-vs-distinct stats."""
+    exported = _export_chunks(spark, sf, _XET_EXPORT, params=XET_PARAMS)
+    return chunk_stats(exported)
 
 
 def cdc_approx_estimate(spark, sf):
@@ -214,7 +210,7 @@ def cdc_dedup_trend(spark, sf):
 
 
 
-def _export_chunks(spark, sf: str, out_dir: str):
+def _export_chunks(spark, sf: str, out_dir: str, params=None):
     """Chunk the sf corpus once, EXPORT the chunk table to parquet, and
     read it back: both engines (Spark and the DuckDB oracle) aggregate
     the identical exported rows, so the oracle checks the whole CDC
@@ -223,7 +219,8 @@ def _export_chunks(spark, sf: str, out_dir: str):
     SQL can address it (the gate runs the Spark side first)."""
     import shutil
 
-    chunks = chunk_files(spark, _paths(sf)).select(
+    kw = {"params": params} if params is not None else {}
+    chunks = chunk_files(spark, _paths(sf), **kw).select(
         F.element_at(F.split(F.col("path"), "/"), -1).alias("file"),
         "file_idx", "seq", "hash", "size", "compressed",
     )
@@ -246,6 +243,34 @@ _TREND_EXPORT = f"{_EXPORT_BASE}_chunks_trend"
 _PROV_EXPORT = f"{_EXPORT_BASE}_chunks_prov"
 _DELTA_EXPORT = f"{_EXPORT_BASE}_chunks_delta"
 _IDX_EXPORT = f"{_EXPORT_BASE}_chunks_idx"
+_PFC_EXPORT = f"{_EXPORT_BASE}_chunks_pfc"
+_XET_EXPORT = f"{_EXPORT_BASE}_chunks_xet"
+
+
+CDC_PER_FILE_CHUNKS_SQL = f"""
+SELECT file,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT hash) AS BIGINT) AS n_unique_chunks,
+       CAST(SUM(size) AS BIGINT) AS total_bytes,
+       CAST(MAX(size) AS BIGINT) AS max_chunk,
+       CAST(MIN(size) AS BIGINT) AS min_chunk
+FROM read_parquet('{_PFC_EXPORT}/*.parquet')
+GROUP BY file ORDER BY file
+"""
+
+
+CDC_ESTIMATE_XET_SQL = f"""
+WITH c AS (SELECT * FROM read_parquet('{_XET_EXPORT}/*.parquet')),
+ph AS (SELECT hash, MIN(size) AS size, MIN(compressed) AS compressed,
+              SUM(size) AS occ_bytes, COUNT(*) AS occ_count
+       FROM c GROUP BY hash)
+SELECT CAST(SUM(occ_bytes) AS BIGINT) AS total_len,
+       CAST(SUM(occ_count) AS BIGINT) AS total_chunks,
+       CAST(COUNT(*) AS BIGINT) AS unique_chunks,
+       CAST(SUM(size) AS BIGINT) AS chunk_bytes,
+       CAST(SUM(compressed) AS BIGINT) AS compressed_chunk_bytes
+FROM ph
+"""
 
 
 CDC_PROVENANCE_SQL = f"""
@@ -465,9 +490,9 @@ QUERIES = {
     "cdc_trend_oracle": Q(cdc_trend_oracle, CDC_TREND_ORACLE_SQL),
     "cdc_dedup_trend": Q(cdc_dedup_trend, None),
     "format_compare_demo": Q(format_compare_demo, None),
-    "cdc_per_file_chunks": Q(cdc_per_file_chunks, None),
+    "cdc_per_file_chunks": Q(cdc_per_file_chunks, CDC_PER_FILE_CHUNKS_SQL),
     "cdc_provenance": Q(cdc_provenance, CDC_PROVENANCE_SQL),
-    "cdc_estimate_xet": Q(cdc_estimate_xet, None),
+    "cdc_estimate_xet": Q(cdc_estimate_xet, CDC_ESTIMATE_XET_SQL),
     "cdc_approx_estimate": Q(cdc_approx_estimate, None),
     "cdc_upload_delta": Q(cdc_upload_delta, CDC_UPLOAD_DELTA_SQL),
     "cdc_index_incremental": Q(
