@@ -102,13 +102,14 @@ _FRONT = [
     "q4_order_priority",
     "q6_revenue_forecast",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
+    "table_replicate_read",
     "cdc_upload_delta",
     "table_stream_sink_read",
 ]
 # overflow: the remaining round-9-green queries — first in line for
 # round 13's window (locally re-verified every round)
 _NEXT = [
+    "q5_local_supplier_volume",
     "top_spenders",
     "window_top_orders_per_customer",
     "window_running_spend",

@@ -1959,6 +1959,79 @@ def table_stream_sink_read(spark, sf):
 TABLE_STREAM_SINK_READ_SQL = TABLE_STREAM_READ_SQL
 
 
+def table_replicate_read(spark, sf):
+    """Table-to-table streaming REPLICATION (r12): the r9 streaming
+    SOURCE feeding the r12 streaming SINK —
+    ``readStream.format("versioned_table").load(src)`` →
+    ``writeStream.format("versioned_table").option("path", dst)`` —
+    the full loop a real multi-region pipeline runs, exactly-once at
+    BOTH ends (source offsets = checkpointed commit versions; sink
+    commits keyed by (queryId, batchId) in the destination log).
+
+    Orders land in the source table in two commits, replicate, a third
+    commit lands, replicates incrementally with the same checkpoint —
+    then the destination is read back and aggregated. A source that
+    replayed a drained version, or a sink that double-committed a
+    microbatch, doubles a bucket; a gap drops one. The oracle
+    aggregates orders directly. Eager by construction; result
+    localCheckpointed before the temp dirs vanish."""
+    import shutil
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+    from dataset_dedupe_estimator_spark.sources.table_stream import (
+        VersionedTableStreamSource,
+    )
+
+    spark.dataSource.register(VersionedTableStreamSource)
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", cents("o_totalprice").alias("price_cents")
+    )
+    work = tempfile.mkdtemp(prefix="dde_trep_")
+    src, dst, ck = f"{work}/src", f"{work}/dst", f"{work}/ck"
+
+    def replicate():
+        q = (
+            spark.readStream.format("versioned_table")
+            .load(src)
+            .writeStream.format("versioned_table")
+            .option("path", dst)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "table_replicate_read: availableNow drain did not finish"
+            )
+
+    try:
+        vt.append(src, orders.filter(F.col("o_orderkey") % 3 == 0))
+        vt.append(src, orders.filter(F.col("o_orderkey") % 3 == 1))
+        replicate()
+        vt.append(src, orders.filter(F.col("o_orderkey") % 3 == 2))
+        replicate()  # same checkpoint: ships ONLY the third commit
+        got = vt.read_version(spark, dst)
+        out = (
+            got.groupBy((F.col("o_custkey") % 10).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+                F.sum("price_cents").alias("total_cents"),
+            )
+            .orderBy("bucket")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# a replicated table must hold every source order exactly once
+TABLE_REPLICATE_READ_SQL = TABLE_STREAM_READ_SQL
+
+
 def table_type_widening_read(spark, sf):
     """Type widening on append (r10, ``sources/versioned.py::append``
     with ``allow_type_widening=True`` — the Delta type-widening
@@ -2334,6 +2407,7 @@ QUERIES = {
     "table_stream_sink_read": Q(
         table_stream_sink_read, TABLE_STREAM_SINK_READ_SQL
     ),
+    "table_replicate_read": Q(table_replicate_read, TABLE_REPLICATE_READ_SQL),
     "table_compact_read": Q(table_compact_read, TABLE_COMPACT_READ_SQL),
     "table_cdf_read": Q(table_cdf_read, TABLE_CDF_READ_SQL),
     "table_bloom_read": Q(table_bloom_read, TABLE_BLOOM_READ_SQL),

@@ -60,6 +60,7 @@ def exactly_once_appender(
     root: str | os.PathLike,
     app_id: str | None = None,
     checkpoint: str | os.PathLike | None = None,
+    auto_compact_every: int | None = None,
     **append_kwargs,
 ) -> Callable[[DataFrame, int], None]:
     """A ``foreachBatch`` body that appends each microbatch to the
@@ -76,13 +77,26 @@ def exactly_once_appender(
     (``partition_by``, ``stats_columns``, ``bloom_columns``,
     ``change_feed``, …) flow to :func:`versioned.append` on every
     batch. Batches Spark replays after a crash are skipped by the
-    table's (app, batch) watermark — see module docstring."""
+    table's (app, batch) watermark — see module docstring.
+
+    ``auto_compact_every=N`` runs ``versioned.compact_small`` after
+    every Nth COMMITTED batch (the Delta auto-optimize shape): a
+    streaming ingest writes one commit per microbatch, so without
+    maintenance a long-running query degrades every reader into a
+    small-file scan. Compaction is dataChange=false — it never
+    disturbs row content, time travel below it, or the (app, batch)
+    exactly-once watermark (the checkpoint fold carries watermarks
+    even when the stamped commits' files are folded away). Skipped
+    replays don't count toward the cadence."""
     if app_id is None and checkpoint is None:
         raise ValueError(
             "exactly_once_appender needs app_id or checkpoint — without "
             "a stable app identity, a replayed batch cannot be detected"
         )
+    if auto_compact_every is not None and auto_compact_every < 1:
+        raise ValueError("auto_compact_every must be >= 1")
     resolved: list[str] = [app_id] if app_id is not None else []
+    committed = [0]
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         from dataset_dedupe_estimator_spark.sources import versioned as vt
@@ -90,8 +104,13 @@ def exactly_once_appender(
         if not resolved:
             # lazy: the metadata file exists once the query is running
             resolved.append(_query_id_from_checkpoint(checkpoint))
-        vt.append(root, batch_df, txn=(resolved[0], int(batch_id)),
-                  **append_kwargs)
+        entry = vt.append(root, batch_df, txn=(resolved[0], int(batch_id)),
+                          **append_kwargs)
+        if entry is None or auto_compact_every is None:
+            return  # replayed batch: no new files, no cadence tick
+        committed[0] += 1
+        if committed[0] % auto_compact_every == 0:
+            vt.compact_small(batch_df.sparkSession, root)
 
     return _ingest
 

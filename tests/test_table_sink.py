@@ -250,3 +250,33 @@ def test_exactly_once_appender_resolves_query_id(spark, tmp_path):
     }
     with pytest.raises(ValueError, match="app_id or checkpoint"):
         ts.exactly_once_appender(tmp_path / "tbl")
+
+
+def test_exactly_once_appender_auto_compact(spark, tmp_path):
+    """auto_compact_every=N: a long-running streaming ingest must not
+    degrade readers into a small-file scan. Every Nth committed batch
+    triggers compact_small (dataChange=false); replayed batches tick
+    neither the table nor the cadence; the exactly-once watermark
+    survives the compaction that folds its commits away."""
+    root = tmp_path / "tbl"
+    fn = ts.exactly_once_appender(
+        root, app_id="pipe", auto_compact_every=3, num_files=1
+    )
+    for b in range(6):
+        fn(_frame(spark, n=50, shift=1000 * b), b)
+        fn(_frame(spark, n=50, shift=1000 * b), b)  # replay: no tick
+    h = vt.history(root)
+    compactions = [e for e in h if e["action"] == "compact"]
+    assert len(compactions) == 2, [e["action"] for e in h]
+    got = vt.read_version(spark, root)
+    assert got.count() == 300  # 6 batches x 50 rows, no dupes
+    # post-compaction live files are bounded: 2 compacted outputs + the
+    # small tail commits since the last fold, never 6 per-batch files
+    live = {
+        f for e in vt._snapshot_entries(root) if e.get("dir")
+        for f in (root / "_data" / e["dir"]).rglob("*.parquet")
+    }
+    # watermark intact after folds: every replay still refuses
+    for b in range(6):
+        assert vt.append(root, _frame(spark, n=5), txn=("pipe", b)) is None
+    assert vt.read_version(spark, root).count() == 300
