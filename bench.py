@@ -301,6 +301,29 @@ def main() -> None:
             .awaitTermination()
         )
 
+    _sink_n = [0]
+
+    def _lc_table_sink_drain():
+        # the r12 streaming SINK benched round-over-round: fresh
+        # checkpoint + fresh destination table per sample — a FULL
+        # replication drain of the 3-commit orders table through the
+        # versioned source AND sink (Arrow stage + pyarrow-only
+        # publish, exactly-once txn stamping included)
+        _sink_n[0] += 1
+        (
+            spark.readStream.format("versioned_table")
+            .option("ignoreChanges", "true")
+            .load(vt_root)
+            .writeStream.format("versioned_table")
+            .option("path", f"{lc_dir}/sink{_sink_n[0]}")
+            .option(
+                "checkpointLocation", f"{lc_dir}/sck{_sink_n[0]}"
+            )
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
     def _lc_cdf_read():
         # pinned to the FIRST merge's change file (version 1): constant
         # work even though the merge leg commits once per sample
@@ -409,6 +432,7 @@ def main() -> None:
         "ann_search_batch64": _lc_search_batch,
         "table_merge100": _lc_table_merge,
         "table_stream_drain": _lc_table_stream_drain,
+        "table_sink_drain": _lc_table_sink_drain,
         "cdf_read": _lc_cdf_read,
         "table_delete_where2k": _lc_table_delete_where,
         "table_dv_delete2k": _lc_table_dv_delete,

@@ -101,7 +101,7 @@ _FRONT = [
     "q1_pricing_summary",
     "q4_order_priority",
     "q6_revenue_forecast",
-    "q3_shipping_priority",
+    "table_cdc_apply_read",
     "table_replicate_read",
     "cdc_upload_delta",
     "table_stream_sink_read",
@@ -109,6 +109,7 @@ _FRONT = [
 # overflow: the remaining round-9-green queries — first in line for
 # round 13's window (locally re-verified every round)
 _NEXT = [
+    "q3_shipping_priority",
     "q5_local_supplier_volume",
     "top_spenders",
     "window_top_orders_per_customer",

@@ -2032,6 +2032,110 @@ def table_replicate_read(spark, sf):
 TABLE_REPLICATE_READ_SQL = TABLE_STREAM_READ_SQL
 
 
+def table_cdc_apply_read(spark, sf):
+    """Row-level CDC replication (r12, the Delta Live Tables APPLY
+    CHANGES INTO shape): the change-feed STREAM of a mutating source
+    table is applied to a destination table —
+    ``readStream.option("readChangeFeed", "true")`` →
+    ``foreachBatch(table_sink.apply_changes(dst, ["o_orderkey"]))`` —
+    so deletes and updates replicate, not just appends, exactly-once
+    across the two-phase (merge, delete) apply via one monotonic
+    (queryId, 2*batchId / 2*batchId+1) watermark.
+
+    Source recipe: orders land with the change feed on, replicate;
+    then a pruned DELETE of one key band and an UPSERT price-bump of
+    another land, and replicate INCREMENTALLY (same checkpoint). The
+    destination must equal the source's final live rows: the oracle
+    aggregates orders with the delete band excluded and the bump
+    applied — a missed delete resurrects a bucket's rows, a missed
+    update loses cents, a replayed batch doubles inserts. Eager by
+    construction; result localCheckpointed before the temp dirs
+    vanish."""
+    import shutil
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.sources import table_sink as tsk
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+    from dataset_dedupe_estimator_spark.sources.table_stream import (
+        VersionedTableStreamSource,
+    )
+
+    spark.dataSource.register(VersionedTableStreamSource)
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", cents("o_totalprice").alias("price_cents")
+    )
+    work = tempfile.mkdtemp(prefix="dde_tca_")
+    src, dst, ck = f"{work}/src", f"{work}/dst", f"{work}/ck"
+
+    def drain():
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("readChangeFeed", "true")
+            .load(src)
+            .writeStream.foreachBatch(
+                tsk.apply_changes(dst, ["o_orderkey"], checkpoint=ck)
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "table_cdc_apply_read: availableNow drain did not finish"
+            )
+
+    try:
+        vt.append(src, orders, change_feed=True,
+                  stats_columns=["o_orderkey"])
+        vt.append(dst, orders.limit(0), stats_columns=["o_orderkey"])
+        drain()  # initial snapshot replicates as inserts
+        vt.delete_where_pruned(
+            spark, src, [("o_orderkey", "between", (_DW_LO, _DW_HI))]
+        )
+        bump = (
+            vt.read_where(
+                spark, src,
+                [("o_orderkey", "between", (_CF_UP_LO, _CF_UP_HI))],
+            )
+            .withColumn("price_cents", F.col("price_cents") + 1000)
+        )
+        vt.upsert_pruned(spark, src, bump, ["o_orderkey"])
+        drain()  # incremental: ships ONLY the delete + the bump
+        got = vt.read_version(spark, dst)
+        out = (
+            got.groupBy((F.col("o_custkey") % 10).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+                F.sum("price_cents").alias("total_cents"),
+            )
+            .orderBy("bucket")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+TABLE_CDC_APPLY_READ_SQL = f"""
+WITH live AS (
+    SELECT o_orderkey, o_custkey,
+           {sql_cents('o_totalprice')}
+           + CASE WHEN o_orderkey BETWEEN {_CF_UP_LO} AND {_CF_UP_HI}
+                  THEN 1000 ELSE 0 END AS price_cents
+    FROM orders
+    WHERE o_orderkey NOT BETWEEN {_DW_LO} AND {_DW_HI}
+)
+SELECT o_custkey % 10 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       CAST(SUM(price_cents) AS BIGINT) AS total_cents
+FROM live GROUP BY 1 ORDER BY bucket
+"""
+
+
 def table_type_widening_read(spark, sf):
     """Type widening on append (r10, ``sources/versioned.py::append``
     with ``allow_type_widening=True`` — the Delta type-widening
@@ -2408,6 +2512,7 @@ QUERIES = {
         table_stream_sink_read, TABLE_STREAM_SINK_READ_SQL
     ),
     "table_replicate_read": Q(table_replicate_read, TABLE_REPLICATE_READ_SQL),
+    "table_cdc_apply_read": Q(table_cdc_apply_read, TABLE_CDC_APPLY_READ_SQL),
     "table_compact_read": Q(table_compact_read, TABLE_COMPACT_READ_SQL),
     "table_cdf_read": Q(table_cdf_read, TABLE_CDF_READ_SQL),
     "table_bloom_read": Q(table_bloom_read, TABLE_BLOOM_READ_SQL),

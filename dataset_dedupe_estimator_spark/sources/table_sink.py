@@ -118,6 +118,101 @@ def exactly_once_appender(
     return _ingest
 
 
+def apply_changes(
+    root: str | os.PathLike,
+    key_cols: list[str],
+    app_id: str | None = None,
+    checkpoint: str | os.PathLike | None = None,
+    max_delete_keys: int = 1_000_000,
+    **upsert_kwargs,
+) -> Callable[[DataFrame, int], None]:
+    """A ``foreachBatch`` body that APPLIES a change-feed stream to a
+    destination table (the Delta Live Tables APPLY CHANGES INTO shape):
+    row-level replication of deletes and updates, not just appends::
+
+        q = (spark.readStream.format("versioned_table")
+             .option("readChangeFeed", "true").load(src)
+             .writeStream
+             .foreachBatch(apply_changes(dst, ["id"], checkpoint=ck))
+             .option("checkpointLocation", ck).start())
+
+    Per batch the NET effect per key is computed first (the newest
+    ``_commit_version`` wins; within one version an update's
+    delete+insert pair nets to the insert), then applied in two
+    zone-map-bounded commits: a MERGE of the net upserts
+    (``versioned.upsert_pruned``) and a pruned DELETE of the net-deleted
+    keys. Exactly-once across a crash between the two phases comes from
+    ONE monotonic (app, batch) watermark: the merge is stamped
+    ``2*batch_id``, the delete ``2*batch_id + 1`` — a replay skips
+    exactly the phases that already committed (skip-at-or-below), and
+    re-runs exactly the ones that didn't.
+
+    ``key_cols`` must be one column for the delete phase (a pruned
+    key-set delete is single-column); ``max_delete_keys`` bounds the
+    driver-side key list per batch. Extra kwargs flow to
+    ``upsert_pruned``."""
+    if len(key_cols) != 1:
+        raise ValueError(
+            "apply_changes needs exactly one key column (the pruned "
+            "key-set delete phase is single-column)"
+        )
+    if app_id is None and checkpoint is None:
+        raise ValueError(
+            "apply_changes needs app_id or checkpoint — without a "
+            "stable app identity, a replayed batch cannot be detected"
+        )
+    resolved: list[str] = [app_id] if app_id is not None else []
+    key = key_cols[0]
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+        if not resolved:
+            resolved.append(_query_id_from_checkpoint(checkpoint))
+        app = resolved[0]
+        spark = batch_df.sparkSession
+        # net effect per key: newest commit version wins; an update's
+        # same-version delete+insert pair resolves to the insert
+        w = Window.partitionBy(key).orderBy(
+            F.col("_commit_version").desc(),
+            (F.col("_change") == "insert").cast("int").desc(),
+        )
+        final = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint(eager=True)  # two consumers, one reduction
+        )
+        upserts = final.filter(F.col("_change") == "insert").drop(
+            "_change", "_commit_version"
+        )
+        vt.upsert_pruned(
+            spark, root, upserts, key_cols,
+            txn=(app, 2 * int(batch_id)), **upsert_kwargs,
+        )
+        del_rows = (
+            final.filter(F.col("_change") == "delete")
+            .select(key)
+            .limit(max_delete_keys + 1)
+            .collect()
+        )
+        if len(del_rows) > max_delete_keys:
+            raise ValueError(
+                f"batch {batch_id} nets > {max_delete_keys} deleted keys "
+                "— raise max_delete_keys or split the source batches"
+            )
+        if del_rows:
+            vt.delete_where_pruned(
+                spark, root, [(key, "in", [r[key] for r in del_rows])],
+                txn=(app, 2 * int(batch_id) + 1),
+            )
+
+    return _apply
+
+
 @dataclass
 class _StagedFiles(WriterCommitMessage):
     paths: list[str]

@@ -3626,6 +3626,7 @@ def upsert_pruned(
     num_files: int | None = None,
     max_distinct_keys: int = 1_000_000,
     extra_entry: dict | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Zone-map-bounded MERGE (the Delta MERGE shape): ``updates`` rows
     replace live rows sharing their key, new keys insert, and ONLY the
@@ -3670,6 +3671,16 @@ def upsert_pruned(
     with writer_lock(root, wait_seconds=_LOCK_WAIT):
         entries = _snapshot_entries(root)
         version, live_data_dirs, live_entries = _resolve(root, entries, None)
+        if txn is not None and int(txn[1]) <= _latest_txns(entries).get(
+            str(txn[0]), -1
+        ):
+            # replayed source batch (the streaming CDC-apply contract):
+            # the whole op is under the lock, so one check suffices
+            return {
+                "version": version, "rewritten_files": 0,
+                "carried_files": 0, "upsert_rows": 0, "replaced_rows": 0,
+                "committed": False, "skipped_duplicate_txn": True,
+            }
         dvf = _dv_frame(spark, root, live_entries)
         schema_cols = live_entries[-1]["columns"]
         mapping = _column_mapping(live_entries)
@@ -3935,6 +3946,8 @@ def upsert_pruned(
             )
         if extra_entry:
             entry.update(extra_entry)
+        if txn is not None:
+            entry["txn"] = {"app": str(txn[0]), "batch": int(txn[1])}
         _commit(root, entry)
     return {
         "version": new_version,
@@ -3968,6 +3981,7 @@ def delete_where_pruned(
     root: str | Path,
     predicates: list[tuple],
     num_files: int | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Zone-map-bounded DELETE: rewrite ONLY the files whose recorded
     [min, max] ranges can intersect the ``(column, op, value)``
@@ -3987,6 +4001,9 @@ def delete_where_pruned(
     is NULL never match (null-rejecting ops) and always survive.
     Returns {version, deleted_rows, rewritten_files, skipped_files,
     carried_files}; with nothing to touch, returns without committing.
+    ``txn=(app_id, batch_id)`` makes the delete idempotent per app
+    (the same watermark contract as :func:`append` — the streaming
+    CDC-apply path stamps its delete phase with it).
     """
     from pyspark.sql import functions as F
 
@@ -4000,6 +4017,15 @@ def delete_where_pruned(
     with writer_lock(root, wait_seconds=_LOCK_WAIT):
         entries = _snapshot_entries(root)
         version, live_data_dirs, live_entries = _resolve(root, entries, None)
+        if txn is not None and int(txn[1]) <= _latest_txns(entries).get(
+            str(txn[0]), -1
+        ):
+            return {
+                "version": version, "deleted_rows": 0,
+                "rewritten_files": 0, "carried_files": 0,
+                "skipped_files": 0, "committed": False,
+                "skipped_duplicate_txn": True,
+            }
         predicates = _preds_to_physical(
             predicates, _column_mapping(live_entries)
         )
@@ -4086,6 +4112,8 @@ def delete_where_pruned(
             "predicates": [list(p) for p in predicates],
             "ts": time.time(),
         }
+        if txn is not None:
+            entry["txn"] = {"app": str(txn[0]), "batch": int(txn[1])}
         if _cf_active(live_entries):
             # change-data file: exactly the deleted rows, written
             # BEFORE the commit link (crash leaves an orphan for

@@ -280,3 +280,83 @@ def test_exactly_once_appender_auto_compact(spark, tmp_path):
     for b in range(6):
         assert vt.append(root, _frame(spark, n=5), txn=("pipe", b)) is None
     assert vt.read_version(spark, root).count() == 300
+
+
+# ------------------------------------------------------- CDC apply path
+
+
+def test_dml_txn_idempotence(spark, tmp_path):
+    """upsert_pruned and delete_where_pruned honor the same (app,
+    batch) watermark as append — the primitives the two-phase CDC
+    apply stamps."""
+    root = tmp_path / "tbl"
+    vt.append(root, _frame(spark, n=20), stats_columns=["k"])
+    up = _frame(spark, n=5).withColumn("v", F.col("v") + 100)
+    st = vt.upsert_pruned(spark, root, up, ["k"], txn=("a", 0))
+    assert st["committed"] is not False
+    st2 = vt.upsert_pruned(spark, root, up, ["k"], txn=("a", 0))
+    assert st2.get("skipped_duplicate_txn") and st2["committed"] is False
+    st3 = vt.delete_where_pruned(
+        spark, root, [("k", "in", [10, 11])], txn=("a", 1)
+    )
+    assert st3["committed"] and st3["deleted_rows"] == 2
+    st4 = vt.delete_where_pruned(
+        spark, root, [("k", "in", [12, 13])], txn=("a", 1)
+    )
+    assert st4.get("skipped_duplicate_txn") and st4["committed"] is False
+    assert vt.read_version(spark, root).count() == 18
+
+
+def test_apply_changes_net_effect_and_replay(spark, tmp_path):
+    """apply_changes: newest version wins per key, an update's
+    delete+insert pair nets to the insert, pure deletes delete — and a
+    full replay of the batch (crash after both phases) changes
+    nothing; a replay after only phase 1 committed completes phase 2
+    exactly once (the monotonic 2b/2b+1 watermark)."""
+    root = tmp_path / "dst"
+    vt.append(root, _frame(spark, n=20), stats_columns=["k"])
+    fn = ts.apply_changes(root, ["k"], app_id="cdc")
+
+    def cdf(rows):
+        return spark.createDataFrame(
+            rows, "k bigint, v bigint, _change string, _commit_version bigint"
+        )
+
+    batch = cdf(
+        # update k=3: delete+insert pair at v5 -> nets to insert v=999
+        [(3, 6, "delete", 5), (3, 999, "insert", 5),
+         # delete k=7 at v5
+         (7, 14, "delete", 5),
+         # k=9: deleted at v5 then re-inserted at v6 -> newest wins
+         (9, 18, "delete", 5), (9, 777, "insert", 6),
+         # brand-new key
+         (100, 1, "insert", 6)]
+    )
+    fn(batch, 0)
+    got = {r["k"]: r["v"] for r in vt.read_version(spark, root).collect()}
+    assert got[3] == 999 and got[9] == 777 and got[100] == 1
+    assert 7 not in got and len(got) == 20  # 20 - 1 del + 1 new
+    fn(batch, 0)  # full replay: both phases skipped
+    assert vt.read_version(spark, root).count() == 20
+    # partial-crash replay: phase 1 (merge, txn 2*1) already committed,
+    # phase 2 never ran -> replay must skip the merge and run the delete
+    batch2 = cdf([(100, 2, "insert", 7), (3, 0, "delete", 7)])
+    up2 = batch2.filter(F.col("_change") == "insert").drop(
+        "_change", "_commit_version"
+    )
+    vt.upsert_pruned(spark, root, up2, ["k"], txn=("cdc", 2))
+    fn(batch2, 1)  # the "restarted" batch 1
+    got2 = {r["k"]: r["v"] for r in vt.read_version(spark, root).collect()}
+    assert got2[100] == 2 and 3 not in got2
+    assert vt.read_version(spark, root).count() == 19
+    # no double-merge: k=100 was upserted once, not duplicated
+    assert (
+        vt.read_version(spark, root).filter(F.col("k") == 100).count() == 1
+    )
+
+
+def test_apply_changes_refusals(spark, tmp_path):
+    with pytest.raises(ValueError, match="one key column"):
+        ts.apply_changes(tmp_path / "t", ["a", "b"], app_id="x")
+    with pytest.raises(ValueError, match="app_id or checkpoint"):
+        ts.apply_changes(tmp_path / "t", ["a"])
