@@ -4488,6 +4488,7 @@ def delete_where_dv(
     spark: SparkSession,
     root: str | Path,
     predicates: list[tuple],
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Merge-on-read DELETE via a DELETION VECTOR (the Delta DV /
     Iceberg position-delete shape): instead of rewriting the files the
@@ -4523,6 +4524,13 @@ def delete_where_dv(
     (root / _VLOG).mkdir(parents=True, exist_ok=True)
     entries = _snapshot_entries(root)  # lock-free base snapshot
     version, live_data_dirs, live_entries = _resolve(root, entries, None)
+    if txn is not None and int(txn[1]) <= _latest_txns(entries).get(
+        str(txn[0]), -1
+    ):
+        return {
+            "version": version, "deleted_rows": 0, "skipped_files": 0,
+            "committed": False, "skipped_duplicate_txn": True,
+        }
     predicates = _preds_to_physical(
         predicates, _column_mapping(live_entries)
     )
@@ -4590,10 +4598,22 @@ def delete_where_dv(
     if last.get("bloom_columns"):
         template["bloom_columns"] = last["bloom_columns"]
         template["bloom_bits"] = last.get("bloom_bits") or 65_536
+    if txn is not None:
+        template["txn"] = {"app": str(txn[0]), "batch": int(txn[1])}
     try:
         with writer_lock(root, wait_seconds=_LOCK_WAIT):
             for _ in range(50):
                 landed = _tail_after(root, version)
+                if txn is not None and int(txn[1]) <= _latest_txns(
+                    entries + landed
+                ).get(str(txn[0]), -1):
+                    # a duplicate landed between the base snapshot and
+                    # the lock (the in-lock exactly-once authority)
+                    return {
+                        "version": version, "deleted_rows": 0,
+                        "skipped_files": 0, "committed": False,
+                        "skipped_duplicate_txn": True,
+                    }
                 _check_rebase(root, "delete", set(dv_files), last, landed)
                 new_version = (
                     landed[-1]["version"] if landed else version
@@ -4642,6 +4662,7 @@ def update_where_dv(
     root: str | Path,
     predicates: list[tuple],
     set_values: dict,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Merge-on-read UPDATE via a DELETION VECTOR (the Delta DV-update
     shape): the pre-image row positions go into a DV sidecar and the
@@ -4680,6 +4701,14 @@ def update_where_dv(
     (root / _VLOG).mkdir(parents=True, exist_ok=True)
     entries = _snapshot_entries(root)  # lock-free base snapshot
     version, live_data_dirs, live_entries = _resolve(root, entries, None)
+    if txn is not None and int(txn[1]) <= _latest_txns(entries).get(
+        str(txn[0]), -1
+    ):
+        return {
+            "version": version, "updated_rows": 0, "rewritten_files": 0,
+            "carried_files": 0, "skipped_files": 0, "committed": False,
+            "skipped_duplicate_txn": True,
+        }
     mapping = _column_mapping(live_entries)
     phys_preds = _preds_to_physical(predicates, mapping)
     schema_cols = live_entries[-1]["columns"]
@@ -4791,10 +4820,21 @@ def update_where_dv(
         blooms = _collect_file_blooms(
             spark, stage_data, bloom_columns, template["bloom_bits"]
         )
+    if txn is not None:
+        template["txn"] = {"app": str(txn[0]), "batch": int(txn[1])}
     try:
         with writer_lock(root, wait_seconds=_LOCK_WAIT):
             for _ in range(50):
                 landed = _tail_after(root, version)
+                if txn is not None and int(txn[1]) <= _latest_txns(
+                    entries + landed
+                ).get(str(txn[0]), -1):
+                    return {
+                        "version": version, "updated_rows": 0,
+                        "rewritten_files": 0, "carried_files": 0,
+                        "skipped_files": 0, "committed": False,
+                        "skipped_duplicate_txn": True,
+                    }
                 _check_rebase(root, "update", set(dv_files), last, landed)
                 new_version = (
                     landed[-1]["version"] if landed else version
@@ -5416,6 +5456,15 @@ def vacuum(
             if d.is_dir() and d.name not in reachable:
                 _rmtree(d)
                 removed.append(d.name)
+        # streaming-sink staging (_sink_stage/): executors stage Arrow
+        # parquet there before the commit hook publishes; a hard kill
+        # between write() and commit() leaves orphans abort() never saw
+        # — same 24 h stale rule as writer staging
+        sink_stage = root / "_sink_stage"
+        for f in sorted(sink_stage.iterdir()) if sink_stage.is_dir() else []:
+            if time.time() - f.stat().st_mtime > 24 * 3600.0:
+                _unlink(f)
+                removed.append(f"_sink_stage/{f.name}")
         # change-data files: keep the feed for the retained version
         # window; drop older ones and crash orphans (cdf written,
         # commit link never happened)

@@ -360,3 +360,46 @@ def test_apply_changes_refusals(spark, tmp_path):
         ts.apply_changes(tmp_path / "t", ["a", "b"], app_id="x")
     with pytest.raises(ValueError, match="app_id or checkpoint"):
         ts.apply_changes(tmp_path / "t", ["a"])
+
+
+def test_dv_dml_txn_idempotence(spark, tmp_path):
+    """The merge-on-read DML shapes honor the watermark too — the full
+    DML surface (append/upsert/delete/update x CoW/DV) is streaming-
+    idempotent."""
+    root = tmp_path / "tbl"
+    vt.append(root, _frame(spark, n=20), stats_columns=["k"])
+    st = vt.delete_where_dv(spark, root, [("k", "<=", 1)], txn=("a", 0))
+    assert st["committed"] and st["deleted_rows"] == 2
+    st2 = vt.delete_where_dv(spark, root, [("k", "<=", 5)], txn=("a", 0))
+    assert st2.get("skipped_duplicate_txn") and st2["committed"] is False
+    st3 = vt.update_where_dv(
+        spark, root, [("k", ">=", 18)], {"v": F.col("v") + 1}, txn=("a", 1)
+    )
+    assert st3["committed"] and st3["updated_rows"] == 2
+    st4 = vt.update_where_dv(
+        spark, root, [("k", ">=", 10)], {"v": F.col("v") + 1}, txn=("a", 1)
+    )
+    assert st4.get("skipped_duplicate_txn") and st4["committed"] is False
+    got = {r["k"]: r["v"] for r in vt.read_version(spark, root).collect()}
+    assert len(got) == 18 and got[18] == 37 and got[19] == 39 and got[10] == 20
+
+
+def test_vacuum_sweeps_stale_sink_staging(spark, tmp_path):
+    """A hard kill between the sink's write() and commit() leaves
+    staged files abort() never saw; vacuum reclaims them after 24 h."""
+    import os as _os
+    import time as _time
+
+    root = tmp_path / "tbl"
+    vt.append(root, _frame(spark))
+    stage = root / ts._STAGE_DIR
+    stage.mkdir()
+    stale = stage / "part-deadbeef.parquet"
+    stale.write_bytes(b"orphan")
+    fresh = stage / "part-live.parquet"
+    fresh.write_bytes(b"inflight")
+    old = _time.time() - 25 * 3600
+    _os.utime(stale, (old, old))
+    removed = vt.vacuum(root)
+    assert "_sink_stage/part-deadbeef.parquet" in removed
+    assert not stale.exists() and fresh.exists()
