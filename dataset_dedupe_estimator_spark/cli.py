@@ -1625,6 +1625,65 @@ def cmd_table(args) -> int:
             f"sink now holds {n} rows; re-run with the same --checkpoint "
             "to pick up new commits exactly-once)"
         )
+    elif args.action == "replicate":
+        # table-to-table streaming replication, exactly-once at both
+        # ends: ROOT is the DESTINATION, SRC the source table. Plain
+        # mode ships whole commits through the versioned sink
+        # (appends); --read-change-feed + --keys applies row-level
+        # changes (deletes/updates too, the APPLY CHANGES shape).
+        if not args.src or not args.checkpoint:
+            print(
+                "replicate needs DST ROOT, SRC table and --checkpoint",
+                file=sys.stderr,
+            )
+            return 2
+        from dataset_dedupe_estimator_spark.sources.table_stream import (
+            VersionedTableStreamSource,
+        )
+
+        spark = _spark(args)
+        spark.dataSource.register(VersionedTableStreamSource)
+        reader = spark.readStream.format("versioned_table").option(
+            "startingVersion", str(args.starting_version)
+        )
+        if args.ignore_changes:
+            reader = reader.option("ignoreChanges", "true")
+        if args.read_change_feed:
+            if not args.keys:
+                print(
+                    "replicate --read-change-feed needs --keys (one "
+                    "column) to apply deletes/updates by key",
+                    file=sys.stderr,
+                )
+                return 2
+            from dataset_dedupe_estimator_spark.sources.table_sink import (
+                apply_changes,
+            )
+
+            stream = reader.option("readChangeFeed", "true").load(args.src)
+            writer = stream.writeStream.foreachBatch(
+                apply_changes(
+                    args.root,
+                    [c for c in args.keys.split(",") if c],
+                    checkpoint=args.checkpoint,
+                )
+            ).option("checkpointLocation", args.checkpoint)
+        else:
+            writer = (
+                reader.load(args.src)
+                .writeStream.format("versioned_table")
+                .option("path", args.root)
+                .option("checkpointLocation", args.checkpoint)
+            )
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        n = vt.read_version(spark, args.root).count()
+        v = vt.history(args.root)[-1]["version"]
+        print(
+            f"replicated {args.src} -> {args.root} (availableNow drain; "
+            f"destination at v{v}, {n} live rows; re-run with the same "
+            "--checkpoint to ship new commits exactly-once)"
+        )
     elif args.action == "vacuum":
         removed = vt.vacuum(
             args.root, keep_versions=args.keep,
@@ -2171,7 +2230,8 @@ def build_parser() -> argparse.ArgumentParser:
         "action",
         choices=[
             "append", "overwrite", "history", "read", "optimize", "vacuum",
-            "ingest", "delete-where", "update-where", "upsert", "tail", "compact-small",
+            "ingest", "delete-where", "update-where", "upsert", "tail",
+            "replicate", "compact-small",
             "set-constraints", "restore", "detail", "rename-column",
             "drop-column", "clone", "set-partitioning", "files",
             "archive-log",

@@ -486,3 +486,49 @@ def test_cli_table_update_where(capsys, spark, tmp_path):
     assert rc == 0 and "DV update: 1 rows" in out
     got = {r.k: r.lang for r in vt.read_version(spark, root).collect()}
     assert got[7] == "fr" and got[8] == "en"
+
+
+def test_cli_table_replicate(capsys, spark, tmp_path):
+    """`de table replicate DST SRC --checkpoint CK`: table-to-table
+    streaming replication from the CLI, exactly-once across re-runs;
+    --read-change-feed --keys applies row-level deletes/updates."""
+    from pyspark.sql import functions as F
+
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    src, dst, ck = tmp_path / "src", tmp_path / "dst", tmp_path / "ck"
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(20)], "k long, price long"
+    )
+    vt.append(src, df, stats_columns=["k"])
+    rc = main([
+        "table", "replicate", str(dst), str(src), "--checkpoint", str(ck),
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "20 live rows" in out
+    # re-run with the same checkpoint: nothing new, nothing duplicated
+    vt.append(src, df.withColumn("k", F.col("k") + 100))
+    rc = main([
+        "table", "replicate", str(dst), str(src), "--checkpoint", str(ck),
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "40 live rows" in out
+    assert vt.read_version(spark, dst).count() == 40
+    # CDC-apply mode: deletes replicate too
+    src2, dst2, ck2 = tmp_path / "s2", tmp_path / "d2", tmp_path / "ck2"
+    vt.append(src2, df, change_feed=True, stats_columns=["k"])
+    vt.append(dst2, df.limit(0), stats_columns=["k"])
+    vt.delete_where_pruned(spark, src2, [("k", "between", (0, 4))])
+    rc = main([
+        "table", "replicate", str(dst2), str(src2),
+        "--checkpoint", str(ck2), "--read-change-feed", "--keys", "k",
+    ])
+    assert rc == 0
+    assert vt.read_version(spark, dst2).count() == 15
+    # missing --keys refuses
+    rc = main([
+        "table", "replicate", str(dst2), str(src2),
+        "--checkpoint", str(tmp_path / "ck3"), "--read-change-feed",
+    ])
+    err = capsys.readouterr().err
+    assert rc == 2 and "--keys" in err
