@@ -224,6 +224,7 @@ def publish_staged_files(
     txn: tuple[str, int],
     stats_columns: list[str] | None = None,
     change_feed: bool = False,
+    allow_new_columns: bool = False,
 ) -> dict | None:
     """Publish already-written parquet files as ONE exactly-once append
     commit — pyarrow only, NO SparkSession (the Python DataSource
@@ -273,12 +274,24 @@ def publish_staged_files(
             f"columns {sorted(retired)} were dropped from this table "
             f"(physical names are retired forever) — {_HELPER}"
         )
+    widened: set = set()
     if entries:
         last = entries[-1]
-        if set(cols) != set(last["columns"]):
+        prior_cols = set(last["columns"])
+        widened = set(cols) - prior_cols
+        if (set(cols) != prior_cols and not allow_new_columns) or not (
+            set(cols) >= prior_cols
+        ):
             raise ValueError(
                 f"schema mismatch: table has {sorted(last['columns'])}, "
                 f"stream writes {sorted(cols)}"
+                + (
+                    ""
+                    if set(cols) >= prior_cols
+                    else " (columns may be added with "
+                    "option('allowNewColumns','true'); dropping one is "
+                    "its own commit: drop_column)"
+                )
             )
         prior_t = vt._prior_types(entries)
         mismatch = {
@@ -312,6 +325,8 @@ def publish_staged_files(
         "types": types,
         "txn": {"app": app, "batch": batch},
     }
+    if widened:
+        entry["added_columns"] = sorted(widened)
     stats = None
     if stats_columns:
         entry["stats_columns"] = stats_columns
@@ -357,6 +372,9 @@ class VersionedTableStreamWriter(DataSourceStreamArrowWriter):
         self.change_feed = str(
             options.get("changefeed", "false")
         ).lower() == "true"
+        self.allow_new_columns = str(
+            options.get("allownewcolumns", "false")
+        ).lower() == "true"
         unsupported = {"bloomcolumns", "partitionby"} & set(options)
         if unsupported:
             raise ValueError(
@@ -401,6 +419,7 @@ class VersionedTableStreamWriter(DataSourceStreamArrowWriter):
                     self.root, paths, txn=self._txn(batchId),
                     stats_columns=self.stats_columns,
                     change_feed=self.change_feed,
+                    allow_new_columns=self.allow_new_columns,
                 )
         finally:
             _unlink_all(paths)

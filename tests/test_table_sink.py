@@ -403,3 +403,43 @@ def test_vacuum_sweeps_stale_sink_staging(spark, tmp_path):
     removed = vt.vacuum(root)
     assert "_sink_stage/part-deadbeef.parquet" in removed
     assert not stale.exists() and fresh.exists()
+
+
+def test_stream_sink_schema_widening(registered, tmp_path):
+    """option('allowNewColumns','true'): a stream that grows a column
+    mid-pipeline widens the table schema (the mergeSchema shape); older
+    commits surface NULL for the new column; without the option the
+    widened batch refuses loudly."""
+    spark = registered
+    src, root, ck = tmp_path / "src", tmp_path / "tbl", tmp_path / "ck"
+    _frame(spark).write.json(str(src))
+    _drain(spark, src, root, ck)
+    src2, ck2 = tmp_path / "src2", tmp_path / "ck2"
+    wide = _frame(spark, shift=100).withColumn("w", F.col("k") * 3)
+    wide.write.json(str(src2))
+
+    def drain_wide(allow):
+        w = (
+            spark.readStream.schema("k bigint, v bigint, w bigint")
+            .json(str(src2))
+            .writeStream.format("versioned_table")
+            .option("path", str(root))
+            .option("checkpointLocation", str(ck2))
+        )
+        if allow:
+            w = w.option("allowNewColumns", "true")
+        q = w.trigger(availableNow=True).start()
+        return q.awaitTermination(300)
+
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.PySparkException):
+        drain_wide(False)
+    import shutil as _sh
+
+    _sh.rmtree(ck2)
+    assert drain_wide(True)
+    got = vt.read_version(spark, root)
+    assert got.count() == 20
+    assert got.filter(F.col("w").isNull()).count() == 10  # pre-widening
+    assert got.filter(F.col("w") == F.col("k") * 3).count() == 10
