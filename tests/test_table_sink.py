@@ -270,12 +270,16 @@ def test_exactly_once_appender_auto_compact(spark, tmp_path):
     assert len(compactions) == 2, [e["action"] for e in h]
     got = vt.read_version(spark, root)
     assert got.count() == 300  # 6 batches x 50 rows, no dupes
-    # post-compaction live files are bounded: 2 compacted outputs + the
-    # small tail commits since the last fold, never 6 per-batch files
+    # post-compaction live files are bounded: the compacted outputs +
+    # the small tail since the last fold, never 6 per-batch files
+    snap = vt._snapshot_entries(root)
+    masks = vt._live_masks(snap)
     live = {
-        f for e in vt._snapshot_entries(root) if e.get("dir")
-        for f in (root / "_data" / e["dir"]).rglob("*.parquet")
-    }
+        f"{e['dir']}/{p.name}"
+        for e in snap if e.get("dir")
+        for p in (root / vt._DATA / e["dir"]).rglob("*.parquet")
+    } - {f"{d}/{r}" for d, rels in masks.items() for r in rels}
+    assert 0 < len(live) < 6, sorted(live)
     # watermark intact after folds: every replay still refuses
     for b in range(6):
         assert vt.append(root, _frame(spark, n=5), txn=("pipe", b)) is None
