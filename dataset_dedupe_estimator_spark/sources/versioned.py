@@ -3526,6 +3526,10 @@ def describe_detail(
         "change_feed": _cf_active(live_entries),
         "constraints": cons,
         "checkpoint_version": _ckpt_version(ck) if ck else None,
+        # idempotent-writer watermarks (r12, the streaming sink's
+        # exactly-once state): highest committed batch per app id —
+        # "where did each ingest pipeline get to"
+        "txns": _latest_txns(live_entries),
     }
 
 
@@ -4217,6 +4221,7 @@ def update_where_pruned(
     predicates: list[tuple],
     set_values: dict,
     num_files: int | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Zone-map-bounded UPDATE (the Delta ``UPDATE ... SET ... WHERE``
     shape): rewrite ONLY the files whose recorded [min, max] ranges can
@@ -4263,6 +4268,17 @@ def update_where_pruned(
     with writer_lock(root, wait_seconds=_LOCK_WAIT):
         entries = _snapshot_entries(root)
         version, live_data_dirs, live_entries = _resolve(root, entries, None)
+        if txn is not None and int(txn[1]) <= _latest_txns(entries).get(
+            str(txn[0]), -1
+        ):
+            # replayed source batch: the whole op holds the lock, so
+            # one check suffices (same contract as the other DML verbs)
+            return {
+                "version": version, "updated_rows": 0,
+                "rewritten_files": 0, "carried_files": 0,
+                "skipped_files": 0, "committed": False,
+                "skipped_duplicate_txn": True,
+            }
         mapping = _column_mapping(live_entries)
         phys_preds = _preds_to_physical(predicates, mapping)
         schema_cols = live_entries[-1]["columns"]
@@ -4411,6 +4427,8 @@ def update_where_pruned(
                     spark, data_dir, bloom_columns, bloom_bits
                 ),
             )
+        if txn is not None:
+            entry["txn"] = {"app": str(txn[0]), "batch": int(txn[1])}
         _commit(root, entry)
     return {
         "version": new_version,

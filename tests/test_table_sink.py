@@ -447,3 +447,25 @@ def test_stream_sink_schema_widening(registered, tmp_path):
     assert got.count() == 20
     assert got.filter(F.col("w").isNull()).count() == 10  # pre-widening
     assert got.filter(F.col("w") == F.col("k") * 3).count() == 10
+
+
+def test_update_where_pruned_txn_and_detail_watermarks(spark, tmp_path):
+    """The CoW UPDATE honors the watermark (completing the DML surface)
+    and describe_detail surfaces per-app watermarks — including as-of
+    time travel (the watermark as it stood at that version)."""
+    root = tmp_path / "tbl"
+    vt.append(root, _frame(spark, n=20), stats_columns=["k"], txn=("in", 0))
+    st = vt.update_where_pruned(
+        spark, root, [("k", ">=", 15)], {"v": F.col("v") + 1},
+        txn=("in", 1),
+    )
+    assert st["updated_rows"] == 5
+    st2 = vt.update_where_pruned(
+        spark, root, [("k", ">=", 0)], {"v": F.col("v") + 1}, txn=("in", 1)
+    )
+    assert st2.get("skipped_duplicate_txn") and st2["committed"] is False
+    vt.append(root, _frame(spark, n=5, shift=100), txn=("other", 7))
+    d = vt.describe_detail(root)
+    assert d["txns"] == {"in": 1, "other": 7}
+    # as-of: the watermark as it stood at v0
+    assert vt.describe_detail(root, version=0)["txns"] == {"in": 0}

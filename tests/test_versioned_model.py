@@ -103,6 +103,13 @@ _OP_PRUNED = st.one_of(
     ),
     st.tuples(st.just("rename"), st.none()),
     st.tuples(st.just("widen_drop"), _ROWS.filter(len)),
+    # r12 exactly-once: stamped ops are immediately REPLAYED with a
+    # DIFFERENT payload under the same (app, batch) — the replay must
+    # commit nothing, under any surrounding history (folds, restores,
+    # compactions, renames included)
+    st.tuples(st.just("txn_append"), st.tuples(_ROWS.filter(len), _ROWS.filter(len))),
+    st.tuples(st.just("txn_upsert"), st.tuples(_ROWS.filter(len), _ROWS.filter(len))),
+    st.tuples(st.just("txn_replay_old"), _ROWS.filter(len)),
 )
 
 
@@ -132,6 +139,8 @@ def test_pruned_mutations_time_travel_exactly(spark, tmp_path_factory, ops):
             root, _df_named(rows), num_files=1,
             stats_columns=["k"], bloom_columns=["k"], bloom_bits=4096,
         )
+
+    next_batch = [0]  # monotone per-history exactly-once batch counter
 
     for kind, arg in ops:
         if kind == "append":
@@ -249,6 +258,69 @@ def test_pruned_mutations_time_travel_exactly(spark, tmp_path_factory, ops):
             schemas.append(["k", vname, xcol])
             stt = vt.drop_column(root, xcol)
             assert stt["action"] == "drop_column"
+        elif kind == "txn_append":
+            rows, replay_rows = arg
+            b = next_batch[0]
+            next_batch[0] += 1
+            if not snapshots:
+                vt.append(
+                    root, _df_named(rows), num_files=1,
+                    stats_columns=["k"], bloom_columns=["k"],
+                    bloom_bits=4096, txn=("m", b),
+                )
+            else:
+                assert vt.append(
+                    root, _df_named(rows), num_files=1, txn=("m", b)
+                ) is not None
+            # immediate replay, different payload: MUST commit nothing
+            assert vt.append(
+                root, _df_named(replay_rows), num_files=1, txn=("m", b)
+            ) is None
+            live = live + sorted(rows.items())
+        elif kind == "txn_upsert":
+            rows, replay_rows = arg
+            b = next_batch[0]
+            next_batch[0] += 1
+            if not snapshots:
+                # bootstrap: version 0 unstamped, version 1 stamped —
+                # then a replayed MERGE under the same batch must skip
+                _first_append(rows)
+                live = sorted(rows.items())
+                snapshots.append(sorted(live))
+                schemas.append(["k", vname])
+                assert vt.append(
+                    root, _df_named(replay_rows), num_files=1,
+                    txn=("m", b),
+                ) is not None
+                live = live + sorted(replay_rows.items())
+                snapshots.append(sorted(live))
+                schemas.append(["k", vname])
+                assert vt.upsert_pruned(
+                    spark, root, _df_named(rows), ["k"], txn=("m", b)
+                ).get("skipped_duplicate_txn")
+                continue  # snapshots appended manually for both commits
+            stt = vt.upsert_pruned(
+                spark, root, _df_named(rows), ["k"], txn=("m", b)
+            )
+            assert stt["committed"] is not False
+            replay = vt.upsert_pruned(
+                spark, root, _df_named(replay_rows), ["k"], txn=("m", b)
+            )
+            assert replay.get("skipped_duplicate_txn")
+            live = sorted(
+                [(k, v) for k, v in live if k not in rows]
+                + list(rows.items())
+            )
+        elif kind == "txn_replay_old":
+            # a LATE replay of the very first stamped batch: refused as
+            # long as any stamped commit exists (accumulate-only, even
+            # across restore/compact/fold)
+            if not snapshots or next_batch[0] == 0:
+                continue
+            assert vt.append(
+                root, _df_named(arg), num_files=1, txn=("m", 0)
+            ) is None
+            continue  # no commit, no snapshot
         elif kind == "concurrent_append":
             # r9 optimistic concurrency: two appends race from a shared
             # barrier; BOTH must land (blind appends always commute),
