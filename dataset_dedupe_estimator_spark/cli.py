@@ -1500,6 +1500,34 @@ def cmd_table(args) -> int:
                     f"{st['rewritten_files']} file(s) rewritten, "
                     f"{st['carried_files']} carried untouched)"
                 )
+    elif args.action == "purge-where":
+        # GDPR right-to-be-forgotten: delete -> optimize -> vacuum ->
+        # verified physical-erasure scan; time travel below the purge
+        # is gone (that is the point)
+        if not args.where:
+            print(
+                "purge-where needs at least one --where COL:OP:VALUE",
+                file=sys.stderr,
+            )
+            return 2
+        preds = _parse_where(args.where)
+        if preds is None:
+            return 2
+        spark = _spark(args)
+        try:
+            st = vt.purge_where(
+                spark, args.root, preds,
+                drop_change_data=args.drop_change_data,
+            )
+        except ValueError as exc:
+            print(str(exc), file=sys.stderr)
+            return 2
+        print(
+            f"purged {st['purged_rows']} rows; {st['vacuumed']} "
+            "superseded artifacts vacuumed; physical-erasure scan of "
+            "every remaining parquet file: VERIFIED (0 matching rows "
+            "on disk; pre-purge time travel is gone)"
+        )
     elif args.action == "delete-where":
         if not args.where:
             print("delete-where needs at least one --where COL:OP:VALUE", file=sys.stderr)
@@ -2230,8 +2258,8 @@ def build_parser() -> argparse.ArgumentParser:
         "action",
         choices=[
             "append", "overwrite", "history", "read", "optimize", "vacuum",
-            "ingest", "delete-where", "update-where", "upsert", "tail",
-            "replicate", "compact-small",
+            "ingest", "delete-where", "update-where", "purge-where",
+            "upsert", "tail", "replicate", "compact-small",
             "set-constraints", "restore", "detail", "rename-column",
             "drop-column", "clone", "set-partitioning", "files",
             "archive-log",
@@ -2273,6 +2301,11 @@ def build_parser() -> argparse.ArgumentParser:
         "VECTOR (position-delete sidecar; update also appends the "
         "post-image rows) instead of rewriting files — O(changed rows) "
         "write, purged physically at the next compaction",
+    )
+    tb.add_argument(
+        "--drop-change-data", dest="drop_change_data", action="store_true",
+        help="purge-where: also erase change-data files (required on a "
+        "change-feed table — CDC consumers lose those commits)",
     )
     tb.add_argument(
         "--keep-hours", type=float,

@@ -100,7 +100,7 @@ _FRONT = [
     "table_bloom_read",
     "q1_pricing_summary",
     "q4_order_priority",
-    "q6_revenue_forecast",
+    "table_purge_read",
     "table_cdc_apply_read",
     "table_replicate_read",
     "cdc_upload_delta",
@@ -109,6 +109,7 @@ _FRONT = [
 # overflow: the remaining round-9-green queries — first in line for
 # round 13's window (locally re-verified every round)
 _NEXT = [
+    "q6_revenue_forecast",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "top_spenders",

@@ -2118,6 +2118,65 @@ def table_cdc_apply_read(spark, sf):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def table_purge_read(spark, sf):
+    """Verified PHYSICAL erasure (r12, ``sources/versioned.py::
+    purge_where`` — the GDPR right-to-be-forgotten verb): delete →
+    optimize → vacuum(keep 1) → a verification scan of EVERY parquet
+    file still on disk (data + change-data) proving zero matching rows
+    remain. The query RAISES unless verification passes and time
+    travel below the purge is actually gone; the oracle aggregates
+    orders minus the purged band, so an incomplete logical delete
+    hash-mismatches while an incomplete PHYSICAL purge raises
+    in-query. Eager by construction; result localCheckpointed before
+    the temp dirs vanish."""
+    import shutil
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", cents("o_totalprice").alias("price_cents")
+    )
+    root = tempfile.mkdtemp(prefix="dde_purge_")
+    try:
+        for m in range(4):
+            vt.append(
+                root,
+                orders.filter(F.col("o_orderkey") % 4 == m)
+                .repartitionByRange(2, "o_orderkey"),
+                stats_columns=["o_orderkey"] if m == 0 else None,
+            )
+        st = vt.purge_where(
+            spark, root, [("o_orderkey", "between", (_DW_LO, _DW_HI))]
+        )
+        if not st["verified"] or st["purged_rows"] == 0:
+            raise AssertionError(f"purge not verified: {st}")
+        try:
+            vt.read_version(spark, root, 0)
+            raise AssertionError("pre-purge version 0 must be unreadable")
+        except vt.VersionVacuumedError:
+            pass  # labeled: entry retained, data verifiably gone
+        got = vt.read_version(spark, root)
+        out = (
+            got.groupBy((F.col("o_custkey") % 10).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+                F.sum("price_cents").alias("total_cents"),
+            )
+            .orderBy("bucket")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# same post-state as table_delete_where: the band is gone — but here
+# its BYTES are verifiably gone from disk too
+TABLE_PURGE_READ_SQL = TABLE_DELETE_WHERE_SQL
+
+
 TABLE_CDC_APPLY_READ_SQL = f"""
 WITH live AS (
     SELECT o_orderkey, o_custkey,
@@ -2513,6 +2572,7 @@ QUERIES = {
     ),
     "table_replicate_read": Q(table_replicate_read, TABLE_REPLICATE_READ_SQL),
     "table_cdc_apply_read": Q(table_cdc_apply_read, TABLE_CDC_APPLY_READ_SQL),
+    "table_purge_read": Q(table_purge_read, TABLE_PURGE_READ_SQL),
     "table_compact_read": Q(table_compact_read, TABLE_COMPACT_READ_SQL),
     "table_cdf_read": Q(table_cdf_read, TABLE_CDF_READ_SQL),
     "table_bloom_read": Q(table_bloom_read, TABLE_BLOOM_READ_SQL),

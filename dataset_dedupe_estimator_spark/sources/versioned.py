@@ -194,6 +194,12 @@ class VersionNotFoundError(LookupError):
     """Requested version is not committed (never existed or vacuumed)."""
 
 
+class VersionVacuumedError(LookupError):
+    """The version's log entry exists (history stays auditable) but its
+    data directories were retired by vacuum past retention — time
+    travel to it is no longer possible."""
+
+
 def _entry_path(root: Path, version: int) -> Path:
     return root / _VLOG / f"v{version:08d}.json"
 
@@ -2905,6 +2911,15 @@ def read_version(
     root = Path(root)
     version = _resolve_as_of(root, version, timestamp)
     version, dirs, live_entries = _resolve(root, _entries_for(root, version), version)
+    gone = [Path(d).name for d in dirs if not Path(d).is_dir()]
+    if gone:
+        # the log entry outlives its data (history stays auditable);
+        # label the failure instead of a raw Spark PATH_NOT_FOUND
+        raise VersionVacuumedError(
+            f"version {version} of {root} references retired "
+            f"directories {gone} — vacuum removed them past retention; "
+            "time travel to this version is no longer possible"
+        )
     schema_cols = live_entries[-1]["columns"]
     mapping = _column_mapping(live_entries)
     # layout is PER DIRECTORY (partition evolution): any live dir with
@@ -5547,3 +5562,81 @@ def vacuum(
         # (lossless — full history moves into the archive bundle)
         archive_log(root)
     return removed
+
+
+def purge_where(
+    spark: SparkSession,
+    root: str | Path,
+    predicates: list[tuple],
+    drop_change_data: bool = False,
+) -> dict:
+    """PHYSICAL erasure of matching rows — the GDPR/right-to-be-
+    forgotten verb, composed from the primitives and then VERIFIED:
+
+    1. ``delete_where_pruned`` removes the rows logically (zone-map/
+       bloom-bounded rewrite of only the touched files);
+    2. ``optimize`` folds the snapshot so no masked file or DV
+       pre-image keeps the bytes reachable;
+    3. ``vacuum(keep_versions=1)`` retires every superseded directory,
+       DV sidecar and pre-purge change-data file — TIME TRAVEL BELOW
+       THE PURGE IS GONE, which is the point;
+    4. a verification scan reads EVERY parquet file still on disk
+       under ``data/`` and ``_cdf/`` and asserts zero rows match.
+
+    A table with the change feed active writes the deleted rows into
+    the delete commit's own change-data file (that is what a CDC
+    consumer needs) — a physical purge must drop that file too, which
+    breaks the at-rest feed for that commit. That trade-off is yours
+    to make: pass ``drop_change_data=True`` to accept it, otherwise an
+    active change feed REFUSES loudly.
+
+    Cost at 100 TB: step 1 is O(files the predicate touches); step 2
+    is the snapshot rewrite you schedule for maintenance windows
+    anyway (run purges in batches); the verification scan reads only
+    the predicate columns of the surviving files. Returns
+    {purged_rows, vacuumed, verified}.
+    """
+    from pyspark.sql import functions as F
+
+    root = Path(root)
+    entries = _snapshot_entries(root)
+    if _cf_active(entries) and not drop_change_data:
+        raise ValueError(
+            "purge_where on a change-feed table erases the delete's own "
+            "change-data file (CDC consumers lose that commit) — pass "
+            "drop_change_data=True to accept that"
+        )
+    st = delete_where_pruned(spark, root, predicates)
+    purged = st.get("deleted_rows", 0)
+    optimize(spark, root)
+    removed = vacuum(root, keep_versions=1)
+    if drop_change_data:
+        cdf = root / _CDF
+        for d in sorted(cdf.iterdir()) if cdf.is_dir() else []:
+            shutil.rmtree(d, ignore_errors=True)
+    # verification: NOTHING left on disk may match — live, masked,
+    # superseded or change-data. Scan every parquet file still present.
+    leftovers: list[str] = []
+    for base in (root / _DATA, root / _CDF):
+        if not base.is_dir():
+            continue
+        leftovers.extend(
+            str(f) for f in sorted(base.rglob("*.parquet"))
+        )
+    n_left = 0
+    if leftovers:
+        scan = spark.read.option("mergeSchema", "true").parquet(*leftovers)
+        cond = _predicate_cond(scan, predicates)
+        n_left = scan.filter(
+            F.coalesce(cond, F.lit(False))
+        ).limit(1).count()
+    if n_left:
+        raise RuntimeError(
+            f"purge verification FAILED: rows matching {predicates} "
+            f"remain in {root} — do not report erasure"
+        )
+    return {
+        "purged_rows": purged,
+        "vacuumed": len(removed),
+        "verified": True,
+    }
