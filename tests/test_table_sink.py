@@ -469,3 +469,42 @@ def test_update_where_pruned_txn_and_detail_watermarks(spark, tmp_path):
     assert d["txns"] == {"in": 1, "other": 7}
     # as-of: the watermark as it stood at v0
     assert vt.describe_detail(root, version=0)["txns"] == {"in": 0}
+
+
+def test_two_pipelines_one_table_independent_watermarks(spark, tmp_path):
+    """Two ingest pipelines (distinct app ids) feed ONE table from
+    racing threads with overlapping batch ids: every (app, batch)
+    lands exactly once, replays are refused per app, and the final
+    row count is exact — the multi-writer exactly-once contract."""
+    import threading
+
+    root = tmp_path / "tbl"
+    vt.append(root, _frame(spark, n=0))  # create
+    errors = []
+    barrier = threading.Barrier(2)
+
+    def run(app, shift):
+        try:
+            fn = ts.exactly_once_appender(root, app_id=app, num_files=1)
+            barrier.wait(timeout=60)
+            for b in range(4):
+                fn(_frame(spark, n=10, shift=shift + 100 * b), b)
+                fn(_frame(spark, n=10, shift=shift + 100 * b), b)  # replay
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=run, args=(app, shift))
+        for app, shift in (("alpha", 0), ("beta", 10_000))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+    assert vt.read_version(spark, root).count() == 80  # 2 x 4 x 10
+    d = vt.describe_detail(root)
+    assert d["txns"] == {"alpha": 3, "beta": 3}
+    # late replays still refused for both apps
+    for app in ("alpha", "beta"):
+        assert vt.append(root, _frame(spark, n=3), txn=(app, 2)) is None
