@@ -46,15 +46,120 @@ for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthet
 # so rotation only affects which subset gets *driver-side* attestation,
 # never whether a regression is caught.
 #
-# Round-12 window (executes the rotation staged at r11 close, COVERAGE.md
-# ledger): the 43 round-8-green queries held in the r11 _NEXT
-# (events_user_lifecycle ... table_bloom_read) plus the 7 stalest
-# round-9-green queries (registry-order tiebreak — all 50 r9-attested
-# entries are equally stale: q1_pricing_summary ...
-# window_top_orders_per_customer).  Queries added DURING r12 displace the
-# tail of the r9-green fill into _NEXT so they carry driver attestation
-# the same round they land (the r9/r10/r11 pattern).
+# Round-13 window (executes the rotation staged at r12 close, COVERAGE.md
+# ledger): the 47 round-9-green queries held in the r12 _NEXT
+# (q6_revenue_forecast ... table_partition_evolution_read) plus the 3
+# stalest round-10-green queries (registry-order tiebreak):
+# customer_hierarchy_rollup, supplier_pagerank, spend_quartiles.
+# Queries added DURING r13 displace the tail of the fill into _NEXT so
+# they carry driver attestation the same round they land (the
+# r9..r12 pattern).
 _FRONT = [
+    "q6_revenue_forecast",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_spenders",
+    "window_top_orders_per_customer",
+    "window_running_spend",
+    "rollup_order_status",
+    "semi_anti_customers",
+    "set_ops_parts",
+    "events_hourly",
+    "events_json_extract",
+    "events_daily_users",
+    "dedup_exact_groups",
+    "ivfpq_search",
+    "synthetic_delete_rows",
+    "synthetic_insert_rows",
+    "synthetic_update_rows",
+    "synthetic_update_column",
+    "synthetic_append_rows",
+    "streaming_windowed_counts",
+    "streaming_sessionize_events",
+    "salted_agg_lineitem",
+    "merge_upsert_orders",
+    "dedup_keep_first_pruned",
+    "dedup_spans",
+    "mixture_sample",
+    "sequence_pack",
+    "quality_classifier",
+    "source_drift_tvd",
+    "unigram_surprisal",
+    "tfidf_top_terms",
+    "bloom_incremental_dedup",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q22_idle_customers",
+    "table_checkpoint_read",
+    "table_restore_read",
+    "table_dv_delete_read",
+    "table_concurrent_append_read",
+    "table_rename_read",
+    "table_drop_read",
+    "table_clone_read",
+    "table_partition_evolution_read",
+    "customer_hierarchy_rollup",
+    "supplier_pagerank",
+    "spend_quartiles",
+]
+# overflow: the remaining round-10-green queries — first in line for
+# round 14's window (locally re-verified every round)
+_NEXT = [
+    "filter_project_scan",
+    "distinct_ship_modes",
+    "user_value_twap",
+    "events_gapfill",
+    "events_attribution",
+    "events_dedup_burst",
+    "events_daily_anomaly",
+    "near_dup_source_matrix",
+    "dedup_exact_events",
+    "dedup_fingerprint_groups",
+    "dedup_keep_first",
+    "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "simhash_signatures",
+    "bm25_search",
+    "text_quality",
+    "binary_digest_features",
+    "lang_score",
+    "token_frequencies",
+    "knn_brute_force",
+    "semdedup_clusters",
+    "ann_lsh_bucketed",
+    "ann_ivf_probe",
+    "embedding_dedup_pairs",
+    "embedding_dedup_lsh",
+    "label_centroid_spread",
+    "synthetic_generate_table",
+    "streaming_cms_counts",
+    "grouping_sets_revenue",
+    "trailing_window_revenue",
+    "asof_prev_order",
+    "unpivot_part_metrics",
+    "range_join_price_bands",
+    "cube_order_stats",
+    "cdc_dedup_trend",
+    "dedup_substring_spans",
+    "source_overlap_minhash",
+    "q8_market_share",
+    "q14_promo_revenue",
+    "q19_disjunctive_revenue",
+    "table_type_widening_read",
+    "table_nested_read",
+    "table_archive_read",
+    "table_time_travel",
+    "zorder_layout",
+]
+# most recent driver green: CORRECTNESS_r12 (47 oracle-green + 3
+# rows-only by design)
+_TAIL = [
     "events_user_lifecycle",
     "events_markov_transitions",
     "session_top_paths",
@@ -105,111 +210,6 @@ _FRONT = [
     "table_replicate_read",
     "cdc_upload_delta",
     "table_stream_sink_read",
-]
-# overflow: the remaining round-9-green queries — first in line for
-# round 13's window (locally re-verified every round)
-_NEXT = [
-    "q6_revenue_forecast",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "top_spenders",
-    "window_top_orders_per_customer",
-    "window_running_spend",
-    "rollup_order_status",
-    "semi_anti_customers",
-    "set_ops_parts",
-    "events_hourly",
-    "events_json_extract",
-    "events_daily_users",
-    "dedup_exact_groups",
-    "ivfpq_search",
-    "synthetic_delete_rows",
-    "synthetic_insert_rows",
-    "synthetic_update_rows",
-    "synthetic_update_column",
-    "synthetic_append_rows",
-    "streaming_windowed_counts",
-    "streaming_sessionize_events",
-    "salted_agg_lineitem",
-    "merge_upsert_orders",
-    "dedup_keep_first_pruned",
-    "dedup_spans",
-    "mixture_sample",
-    "sequence_pack",
-    "quality_classifier",
-    "source_drift_tvd",
-    "unigram_surprisal",
-    "tfidf_top_terms",
-    "bloom_incremental_dedup",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q22_idle_customers",
-    "table_checkpoint_read",
-    "table_restore_read",
-    "table_dv_delete_read",
-    "table_concurrent_append_read",
-    "table_rename_read",
-    "table_drop_read",
-    "table_clone_read",
-    "table_partition_evolution_read",
-]
-# most recent driver green: CORRECTNESS_r11 (43 oracle-green + 7
-# rows-only by design)
-_TAIL = [
-    "lsh_index_incremental",
-    "dedup_near_groups",
-    "dedup_near_survivors",
-    "bm25_index_search",
-    "phrase_search_index",
-    "bpe_train_merges",
-    "bpe_token_stats",
-    "doc_length_quantiles",
-    "repetition_stats",
-    "contamination_check",
-    "corpus_survival_pipeline",
-    "ann_ivf_trained",
-    "ann_recall_at_k",
-    "semantic_vs_lexical_pairs",
-    "hybrid_rrf",
-    "synthetic_generator_e2e",
-    "split_assign",
-    "stratified_sample_docs",
-    "cross_split_leakage",
-    "split_purge_eval",
-    "streaming_dedup_events",
-    "streaming_view_click_join",
-    "cdc_streaming_estimate",
-    "streaming_index_pipeline",
-    "image_near_dup_demo",
-    "multimodal_pipeline_demo",
-    "fuzzy_match_customers",
-    "data_quality_report",
-    "profile_documents",
-    "source_feature_corr",
-    "date_part_revenue",
-    "quantity_percentiles",
-    "dataset_card_stats",
-    "mv_incremental_orders",
-    "table_zonemap_read",
-    "mv_from_version_diff",
-    "streaming_mv_refresh",
-    "snapshot_diff_docs",
-    "temporal_dim_join",
-    "orders_rfm_segments",
-    "basket_part_pairs",
-    "cohort_ltv",
-    "conditional_pivot_brands",
-    "rolling_active_users",
-    "events_late_arrivals",
-    "table_deep_nested_read",
-    "cdc_stats_oracle",
-    "cdc_trend_oracle",
-    "table_update_read",
-    "table_dv_update_read",
 ]
 _missing = (set(_FRONT) | set(_NEXT) | set(_TAIL)) - REGISTRY.keys()
 if _missing:
