@@ -2304,8 +2304,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     tb.add_argument(
         "--drop-change-data", dest="drop_change_data", action="store_true",
-        help="purge-where: also erase change-data files (required on a "
-        "change-feed table — CDC consumers lose those commits)",
+        help="purge-where: also erase the table's ENTIRE at-rest change "
+        "data (_cdf/ for ALL commits, required on a change-feed table — "
+        "mid-stream CDC consumers lose all unread history)",
     )
     tb.add_argument(
         "--keep-hours", type=float,

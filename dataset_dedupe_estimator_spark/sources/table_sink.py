@@ -123,7 +123,6 @@ def apply_changes(
     key_cols: list[str],
     app_id: str | None = None,
     checkpoint: str | os.PathLike | None = None,
-    max_delete_keys: int = 1_000_000,
     **upsert_kwargs,
 ) -> Callable[[DataFrame, int], None]:
     """A ``foreachBatch`` body that APPLIES a change-feed stream to a
@@ -140,16 +139,19 @@ def apply_changes(
     ``_commit_version`` wins; within one version an update's
     delete+insert pair nets to the insert), then applied in two
     zone-map-bounded commits: a MERGE of the net upserts
-    (``versioned.upsert_pruned``) and a pruned DELETE of the net-deleted
-    keys. Exactly-once across a crash between the two phases comes from
-    ONE monotonic (app, batch) watermark: the merge is stamped
+    (``versioned.upsert_pruned``) and a key-set DELETE of the
+    net-deleted keys (``versioned.delete_where_keys`` — the key frame
+    stays distributed end to end: file pruning is a broadcast range
+    join against log metadata, the rewrite a LEFT ANTI join, so a
+    delete-heavy change feed has no driver bottleneck and no key-count
+    ceiling). Exactly-once across a crash between the two phases comes
+    from ONE monotonic (app, batch) watermark: the merge is stamped
     ``2*batch_id``, the delete ``2*batch_id + 1`` — a replay skips
     exactly the phases that already committed (skip-at-or-below), and
     re-runs exactly the ones that didn't.
 
     ``key_cols`` must be one column for the delete phase (a pruned
-    key-set delete is single-column); ``max_delete_keys`` bounds the
-    driver-side key list per batch. Extra kwargs flow to
+    key-set delete is single-column). Extra kwargs flow to
     ``upsert_pruned``."""
     if len(key_cols) != 1:
         raise ValueError(
@@ -180,12 +182,42 @@ def apply_changes(
             F.col("_commit_version").desc(),
             (F.col("_change") == "insert").cast("int").desc(),
         )
+        # duplicate-key guard (the upstream APPLY CHANGES contract):
+        # netting keeps ONE row per key, so a source that legitimately
+        # holds several insert rows for the same key at its newest
+        # version (the table layer's appends are multisets) would
+        # silently replicate as one row — refuse instead of diverging.
+        # Same partitionBy as the ranking window: one shuffle serves
+        # both (Catalyst reuses the exchange).
+        wk = Window.partitionBy(key)
         final = (
             batch_df.withColumn("_rn", F.row_number().over(w))
+            .withColumn(
+                "_dup_inserts",
+                F.sum(
+                    (
+                        (F.col("_change") == "insert")
+                        & (
+                            F.col("_commit_version")
+                            == F.max("_commit_version").over(wk)
+                        )
+                    ).cast("int")
+                ).over(wk),
+            )
             .filter(F.col("_rn") == 1)
             .drop("_rn")
             .localCheckpoint(eager=True)  # two consumers, one reduction
         )
+        dup = final.filter(F.col("_dup_inserts") > 1).select(key).limit(1).collect()
+        if dup:
+            raise ValueError(
+                f"batch {batch_id} holds multiple insert rows for key "
+                f"{key}={dup[0][0]!r} at its newest _commit_version — "
+                "apply_changes requires key-unique sources (the APPLY "
+                "CHANGES contract); net-effect replication of a "
+                "duplicate-key multiset would silently drop rows"
+            )
+        final = final.drop("_dup_inserts")
         upserts = final.filter(F.col("_change") == "insert").drop(
             "_change", "_commit_version"
         )
@@ -193,22 +225,11 @@ def apply_changes(
             spark, root, upserts, key_cols,
             txn=(app, 2 * int(batch_id)), **upsert_kwargs,
         )
-        del_rows = (
-            final.filter(F.col("_change") == "delete")
-            .select(key)
-            .limit(max_delete_keys + 1)
-            .collect()
+        del_keys = final.filter(F.col("_change") == "delete").select(key)
+        vt.delete_where_keys(
+            spark, root, key, del_keys,
+            txn=(app, 2 * int(batch_id) + 1),
         )
-        if len(del_rows) > max_delete_keys:
-            raise ValueError(
-                f"batch {batch_id} nets > {max_delete_keys} deleted keys "
-                "— raise max_delete_keys or split the source batches"
-            )
-        if del_rows:
-            vt.delete_where_pruned(
-                spark, root, [(key, "in", [r[key] for r in del_rows])],
-                txn=(app, 2 * int(batch_id) + 1),
-            )
 
     return _apply
 

@@ -4178,6 +4178,265 @@ def delete_where_pruned(
     }
 
 
+def keys_prune_ranges(
+    live_entries: list[dict], phys_key: str, live_data_dirs: list[str]
+) -> tuple[list[tuple[str, object, object]], list[str]]:
+    """Split the live files into (rangeable, unconditional) for a
+    key-set delete: ``rangeable`` is one ``(abs_path, lo, hi)`` row per
+    file whose commit recorded NUMERIC zone maps for ``phys_key``
+    (plain-number comparison space — date/timestamp encodings and
+    missing stats degrade that file to ``unconditional``, conservative:
+    pruning can only skip work, never rows). O(live files) driver-side
+    arithmetic over the already-parsed log — metadata, never data."""
+    by_dir = {e["dir"]: e for e in live_entries if e.get("dir")}
+    masks = _live_masks(live_entries)
+    rangeable: list[tuple[str, object, object]] = []
+    uncond: list[str] = []
+    for d in live_data_dirs:
+        entry = by_dir.get(Path(d).name) or {}
+        masked = masks.get(Path(d).name, set())
+        stats = entry.get("stats")
+        types = entry.get("stats_types") or {
+            c: "numeric" for c in entry.get("stats_columns", [])
+        }
+        numeric_ok = phys_key in types and types[phys_key] not in (
+            "date", "timestamp_ntz"
+        )
+        if stats is None:
+            uncond.extend(
+                str(f)
+                for f in sorted(Path(d).rglob("*.parquet"))
+                if str(f.relative_to(d)) not in masked
+            )
+            continue
+        for rel in stats:
+            if rel in masked:
+                continue
+            rng = stats[rel].get(phys_key) if numeric_ok else None
+            if rng is None or not all(
+                isinstance(v, (int, float)) for v in rng
+            ):
+                uncond.append(str(Path(d) / rel))
+            else:
+                # double comparison space: rounding is monotone, so a
+                # file whose true range holds the key can never be
+                # excluded (boundaries only ever widen observationally)
+                rangeable.append(
+                    (str(Path(d) / rel), float(rng[0]), float(rng[1]))
+                )
+    return rangeable, uncond
+
+
+def delete_where_keys(
+    spark: SparkSession,
+    root: str | Path,
+    key_col: str,
+    keys: DataFrame,
+    num_files: int | None = None,
+    txn: tuple[str, int] | None = None,
+) -> dict:
+    """Zone-map-bounded DELETE of every row whose ``key_col`` value
+    appears in the ``keys`` DataFrame — the executor-side twin of
+    :func:`delete_where_pruned` for key sets too large to ship as an
+    IN-list literal. The key set NEVER touches the driver:
+
+    * **Pruning** joins the (deduplicated, null-stripped) keys against
+      a metadata-sized per-file ``[min, max]`` frame built from the
+      commit log (:func:`keys_prune_ranges` — one row per live file,
+      the same numbers :func:`zone_map_prune` reads, broadcast to the
+      key frame). Only the file NAMES of intersecting files come back
+      to the driver — O(touched files), never a key.
+    * **The rewrite** drops matching rows with a ``LEFT ANTI`` join of
+      the candidate-file scan against the key frame — executor-side,
+      AQE free to broadcast a small key set or shuffle a huge one.
+      NULL keys never match (anti-join null semantics), matching
+      :func:`delete_where_pruned`'s null-rejecting ops; NULL-key rows
+      in the table always survive.
+
+    ``keys`` must contain ``key_col`` (logical name) or be a single
+    -column frame. Files whose recorded stats for the key are
+    non-numeric (date/timestamp comparison space) or absent stay
+    candidates — conservative, never wrong. At 100 TB this is the
+    APPLY CHANGES delete shape: a change feed netting millions of
+    deleted keys per batch stays distributed end to end — no
+    ``max_delete_keys`` ceiling, no driver key materialization
+    (pinned by ``tests/test_plans.py``). Same commit anatomy as
+    :func:`delete_where_pruned` (``removed`` masks + survivor rewrite,
+    CDF of exactly the deleted rows, txn watermark checked inside the
+    writer-lock critical section)."""
+    from pyspark.sql import functions as F
+
+    root = Path(root)
+    (root / _VLOG).mkdir(parents=True, exist_ok=True)
+    if key_col in keys.columns:
+        keys = keys.select(key_col)
+    elif len(keys.columns) == 1:
+        keys = keys.toDF(key_col)
+    else:
+        raise ValueError(
+            f"keys frame {keys.columns} must contain {key_col!r} or be "
+            "a single-column frame"
+        )
+    with writer_lock(root, wait_seconds=_LOCK_WAIT):
+        entries = _snapshot_entries(root)
+        version, live_data_dirs, live_entries = _resolve(root, entries, None)
+        if txn is not None and int(txn[1]) <= _latest_txns(entries).get(
+            str(txn[0]), -1
+        ):
+            return {
+                "version": version, "deleted_rows": 0,
+                "rewritten_files": 0, "carried_files": 0,
+                "skipped_files": 0, "committed": False,
+                "skipped_duplicate_txn": True,
+            }
+        mapping = _column_mapping(live_entries)
+        phys_key = _name_to_physical(key_col, mapping) if mapping else key_col
+        schema_cols = live_entries[-1]["columns"]
+        if phys_key.split(".")[0] not in schema_cols:
+            raise ValueError(
+                f"key column {key_col!r} is not in the table schema"
+            )
+        # one executor-materialized reduction feeds prune + anti-join +
+        # CDF (recomputation of an arbitrary upstream frame could even
+        # be nondeterministic between those consumers)
+        kd = (
+            keys.withColumnRenamed(key_col, "_k")
+            .where(F.col("_k").isNotNull())
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_keys = kd.count()
+        if not n_keys:
+            return {
+                "version": version, "deleted_rows": 0,
+                "rewritten_files": 0, "carried_files": 0,
+                "skipped_files": 0, "committed": False,
+            }
+        rangeable, cand_files = keys_prune_ranges(
+            live_entries, phys_key, live_data_dirs
+        )
+        total_files = len(rangeable) + len(cand_files)
+        if rangeable:
+            ranges = spark.createDataFrame(
+                rangeable, "_path string, _lo double, _hi double"
+            )
+            touched = (
+                kd.join(
+                    F.broadcast(ranges),
+                    (F.col("_k") >= F.col("_lo"))
+                    & (F.col("_k") <= F.col("_hi")),
+                )
+                .select("_path")
+                .distinct()
+                .collect()
+            )
+            cand_files = cand_files + [r["_path"] for r in touched]
+        if not cand_files:  # no file can hold a match: commit nothing
+            return {
+                "version": version, "deleted_rows": 0,
+                "rewritten_files": 0, "carried_files": 0,
+                "skipped_files": total_files, "committed": False,
+            }
+        partition_by = live_entries[-1].get("partition_by") or []
+        stats_columns = live_entries[-1].get("stats_columns") or []
+        bloom_columns = live_entries[-1].get("bloom_columns") or []
+        bloom_bits = live_entries[-1].get("bloom_bits") or 65_536
+        widened = any("added_columns" in e for e in live_entries)
+        dvf = _dv_frame(spark, root, live_entries)
+
+        def _norm(df):
+            for c in schema_cols:
+                if c not in df.columns:
+                    df = df.withColumn(c, _typed_null(c, live_entries))
+            return df.select(*schema_cols)
+
+        by_base: dict[str, list[str]] = {}
+        for f in cand_files:
+            base = next(
+                d for d in live_data_dirs if f.startswith(d + os.sep)
+            )
+            by_base.setdefault(base, []).append(f)
+        cand = None
+        for base, plist in by_base.items():
+            reader = spark.read.option("basePath", base)
+            if widened:
+                reader = reader.option("mergeSchema", "true")
+            part = _norm(_dv_filter(reader.parquet(*plist), dvf))
+            cand = part if cand is None else cand.unionByName(part)
+        n_cand = cand.count()
+        match = F.col(phys_key) == F.col("_k")
+        survivors = cand.join(kd, match, "left_anti")
+        if num_files is None:
+            cand_bytes = sum(Path(f).stat().st_size for f in cand_files)
+            num_files = max(1, -(-cand_bytes // (128 << 20)))
+        new_version = version + 1
+        dir_name = f"c{new_version:08d}"
+        data_dir = root / _DATA / dir_name
+        out = survivors.coalesce(int(num_files))
+        writer = out.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(data_dir))
+        has_rows = any(data_dir.rglob("*.parquet"))
+        n_kept = (
+            spark.read.parquet(str(data_dir)).count() if has_rows else 0
+        )
+        if not n_kept:
+            has_rows = False
+            shutil.rmtree(data_dir, ignore_errors=True)
+        removed: dict[str, list[str]] = {}
+        for base, plist in by_base.items():
+            removed[Path(base).name] = sorted(
+                str(Path(f).relative_to(base)) for f in plist
+            )
+        entry = {
+            "version": new_version,
+            "action": "delete",
+            "dir": dir_name if has_rows else None,
+            "columns": schema_cols,
+            "partition_by": partition_by,
+            "removed": removed,
+            "predicates": [[phys_key, "in_keys", int(n_keys)]],
+            "ts": time.time(),
+        }
+        if txn is not None:
+            entry["txn"] = {"app": str(txn[0]), "batch": int(txn[1])}
+        if _cf_active(live_entries):
+            deleted = cand.join(kd, match, "left_semi")
+            deleted.withColumn("_change", F.lit("delete")).coalesce(
+                int(num_files)
+            ).write.mode("overwrite").parquet(str(root / _CDF / dir_name))
+            entry["change_data"] = True
+        if stats_columns:
+            entry["stats_columns"] = stats_columns
+            if has_rows:
+                entry["stats_types"] = {
+                    c: _dtype_of_path(survivors, c) for c in stats_columns
+                }
+                entry["stats"] = _collect_file_stats(data_dir, stats_columns)
+        if bloom_columns:
+            entry["bloom_columns"] = bloom_columns
+            entry["bloom_bits"] = bloom_bits
+            if has_rows:
+                entry["bloom_types"] = {
+                    c: _dtype_of_path(survivors, c) for c in bloom_columns
+                }
+                entry["blooms_file"] = _write_bloom_sidecar(
+                    root, dir_name, _collect_file_blooms(
+                        spark, data_dir, bloom_columns, bloom_bits
+                    ),
+                )
+        _commit(root, entry)
+    return {
+        "version": new_version,
+        "deleted_rows": n_cand - n_kept,
+        "rewritten_files": len(cand_files),
+        "carried_files": total_files - len(cand_files),
+        "skipped_files": total_files - len(cand_files),
+        "committed": True,
+    }
+
+
 def _validate_set_values(set_values: dict) -> None:
     if not set_values:
         raise ValueError("UPDATE needs at least one SET column")
@@ -5581,14 +5840,18 @@ def purge_where(
        DV sidecar and pre-purge change-data file — TIME TRAVEL BELOW
        THE PURGE IS GONE, which is the point;
     4. a verification scan reads EVERY parquet file still on disk
-       under ``data/`` and ``_cdf/`` and asserts zero rows match.
+       under ``data/``, ``_cdf/`` AND ``_sink_stage/`` (a crashed
+       stream writer's staged files can hold the rows too) and asserts
+       zero rows match.
 
-    A table with the change feed active writes the deleted rows into
-    the delete commit's own change-data file (that is what a CDC
-    consumer needs) — a physical purge must drop that file too, which
-    breaks the at-rest feed for that commit. That trade-off is yours
-    to make: pass ``drop_change_data=True`` to accept it, otherwise an
-    active change feed REFUSES loudly.
+    A table with the change feed active wrote matching rows into
+    change-data files — and which of those files hold them cannot be
+    proven without scanning, so a physical purge drops the table's
+    ENTIRE ``_cdf/`` tree: EVERY commit's at-rest change data, not
+    just the purge-affected commits'. A CDC consumer mid-stream loses
+    all unread at-rest history (it must re-sync from a snapshot). That
+    trade-off is yours to make: pass ``drop_change_data=True`` to
+    accept it, otherwise an active change feed REFUSES loudly.
 
     Cost at 100 TB: step 1 is O(files the predicate touches); step 2
     is the snapshot rewrite you schedule for maintenance windows
@@ -5602,11 +5865,21 @@ def purge_where(
     entries = _snapshot_entries(root)
     if _cf_active(entries) and not drop_change_data:
         raise ValueError(
-            "purge_where on a change-feed table erases the delete's own "
-            "change-data file (CDC consumers lose that commit) — pass "
-            "drop_change_data=True to accept that"
+            "purge_where on a change-feed table drops the table's ENTIRE "
+            "at-rest change data (every commit's _cdf/ files, not just "
+            "the purge-affected commits' — mid-stream CDC consumers lose "
+            "unread history) — pass drop_change_data=True to accept that"
         )
-    st = delete_where_pruned(spark, root, predicates)
+    # translate the caller's LOGICAL names ONCE, against the same
+    # snapshot the delete resolves: data files, masks and change data
+    # all speak frozen PHYSICAL names, so the verification scan must
+    # probe those — with logical names a renamed-column table would
+    # fail the scan AFTER the irreversible optimize+vacuum already ran,
+    # and a swap-rename (a->b, b->a) would probe the WRONG physical
+    # column and report a false "verified"
+    _, _, _live = _resolve(root, entries, None)
+    phys_preds = _preds_to_physical(predicates, _column_mapping(_live))
+    st = delete_where_pruned(spark, root, predicates)  # translates the same
     purged = st.get("deleted_rows", 0)
     optimize(spark, root)
     removed = vacuum(root, keep_versions=1)
@@ -5615,9 +5888,11 @@ def purge_where(
         for d in sorted(cdf.iterdir()) if cdf.is_dir() else []:
             shutil.rmtree(d, ignore_errors=True)
     # verification: NOTHING left on disk may match — live, masked,
-    # superseded or change-data. Scan every parquet file still present.
+    # superseded, change-data, or SINK-STAGED (a stream writer hard-
+    # killed inside vacuum's 24 h stale window leaves staged parquet
+    # that can still hold the rows). Scan every parquet file present.
     leftovers: list[str] = []
-    for base in (root / _DATA, root / _CDF):
+    for base in (root / _DATA, root / _CDF, root / "_sink_stage"):
         if not base.is_dir():
             continue
         leftovers.extend(
@@ -5626,14 +5901,15 @@ def purge_where(
     n_left = 0
     if leftovers:
         scan = spark.read.option("mergeSchema", "true").parquet(*leftovers)
-        cond = _predicate_cond(scan, predicates)
+        cond = _predicate_cond(scan, phys_preds)
         n_left = scan.filter(
             F.coalesce(cond, F.lit(False))
         ).limit(1).count()
     if n_left:
         raise RuntimeError(
             f"purge verification FAILED: rows matching {predicates} "
-            f"remain in {root} — do not report erasure"
+            f"remain in {root} (check _sink_stage/ for staged files from "
+            "a crashed stream writer) — do not report erasure"
         )
     return {
         "purged_rows": purged,

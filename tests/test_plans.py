@@ -316,3 +316,48 @@ def test_no_unpartitioned_window(spark, sf_dir, name):
         f"{name} plans an unpartitioned window (single-partition shape):\n"
         + "\n".join(bad[:3])
     )
+
+
+def test_keys_delete_is_anti_join_without_key_collect(spark, tmp_path, monkeypatch):
+    """The APPLY CHANGES delete phase's 100 TB pin: delete_where_keys
+    rewrites candidate files through a LEFT ANTI join against the key
+    frame — no IN-list literal in any written plan, and no driver-side
+    collect bigger than O(touched files). (The r12 shape collected the
+    keys into a 1M-literal predicate; this pins the regression.)"""
+    from pyspark.sql import functions as F
+    from pyspark.sql.classic.dataframe import DataFrame
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    root = tmp_path / "t"
+    vt.append(
+        root,
+        spark.range(100).select("id", (F.col("id") * 2).alias("v")),
+        stats_columns=["id"],
+    )
+    plans = []
+    orig_parquet = DataFrameWriter.parquet
+
+    def spy_parquet(self, *a, **k):
+        plans.append(self._df._jdf.queryExecution().optimizedPlan().toString())
+        return orig_parquet(self, *a, **k)
+
+    sizes = []
+    orig_collect = DataFrame.collect
+
+    def spy_collect(self):
+        out = orig_collect(self)
+        sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", spy_parquet)
+    monkeypatch.setattr(DataFrame, "collect", spy_collect)
+    st = vt.delete_where_keys(
+        spark, root, "id", spark.range(40_000).toDF("id")
+    )
+    assert st["committed"] and st["deleted_rows"] == 100
+    assert any("Join LeftAnti" in p for p in plans), plans
+    assert not any(" IN (" in p or "In(id" in p for p in plans), plans
+    # driver saw only file names / scalar stats, never the key set
+    assert sizes and max(sizes) < 1_000

@@ -82,3 +82,39 @@ def test_cli_purge_where(capsys, spark, tmp_path):
     rc = main(["table", "purge-where", str(root2), "--where", "k:==:5"])
     err = capsys.readouterr().err
     assert rc == 2 and "drop_change_data" in err
+
+
+def test_purge_on_renamed_column_probes_physical_names(spark, tmp_path):
+    """r13 (advisor): the verification scan must speak the frozen
+    PHYSICAL names files store. Pre-fix, purging a renamed column
+    raised AnalysisException (unresolvable logical name) AFTER the
+    irreversible optimize+vacuum already ran. (The advisor's worse
+    swap-rename case — probing the WRONG physical column — cannot even
+    be constructed: rename_column refuses a logical name that is the
+    physical name of another column.)"""
+    root = tmp_path / "t"
+    _tbl(spark, root)
+    vt.rename_column(root, "k", "doc_id")
+    st = vt.purge_where(spark, root, [("doc_id", "between", (10, 19))])
+    assert st["verified"] and st["purged_rows"] == 10
+    left = vt.read_version(spark, root)
+    assert left.count() == 30
+    assert left.filter(F.col("doc_id").between(10, 19)).count() == 0
+
+
+def test_purge_verification_sees_sink_stage_leftovers(spark, tmp_path):
+    """r13 (advisor): staged parquet from a hard-killed stream writer
+    (younger than vacuum's 24 h stale rule) can still hold the rows —
+    verification must scan _sink_stage/ and refuse to report erasure."""
+    root = tmp_path / "t"
+    df = _tbl(spark, root)
+    stage = root / "_sink_stage"
+    stage.mkdir()
+    df.filter(F.col("k").isin(12, 13)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "staged"))
+    import shutil as _sh
+    src = next((tmp_path / "staged").glob("*.parquet"))
+    _sh.copy(src, stage / "orphan.parquet")
+    with pytest.raises(RuntimeError, match="_sink_stage"):
+        vt.purge_where(spark, root, [("k", "between", (10, 19))])

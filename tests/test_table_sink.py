@@ -366,6 +366,36 @@ def test_apply_changes_refusals(spark, tmp_path):
         ts.apply_changes(tmp_path / "t", ["a"])
 
 
+def test_apply_changes_refuses_duplicate_key_inserts(spark, tmp_path):
+    """A source batch with several insert rows for one key at its
+    newest version is a contract violation (net-effect replication
+    would silently keep one row) — refuse, never diverge. Superseded
+    duplicates (older versions) stay fine."""
+    root = tmp_path / "dst"
+    vt.append(root, _frame(spark, n=5), stats_columns=["k"])
+    fn = ts.apply_changes(root, ["k"], app_id="dup")
+
+    def cdf(rows):
+        return spark.createDataFrame(
+            rows, "k bigint, v bigint, _change string, _commit_version bigint"
+        )
+
+    with pytest.raises(ValueError, match="key-unique"):
+        fn(cdf([(1, 10, "insert", 5), (1, 11, "insert", 5)]), 0)
+    # an update pair + a same-version EXTRA insert is ambiguous too
+    with pytest.raises(ValueError, match="key-unique"):
+        fn(
+            cdf([(2, 1, "delete", 5), (2, 2, "insert", 5),
+                 (2, 3, "insert", 5)]),
+            1,
+        )
+    # duplicates superseded by a newer version are NOT a violation
+    fn(cdf([(3, 1, "insert", 4), (3, 2, "insert", 4),
+            (3, 9, "insert", 5)]), 2)
+    got = {r["k"]: r["v"] for r in vt.read_version(spark, root).collect()}
+    assert got[3] == 9
+
+
 def test_dv_dml_txn_idempotence(spark, tmp_path):
     """The merge-on-read DML shapes honor the watermark too — the full
     DML surface (append/upsert/delete/update x CoW/DV) is streaming-
