@@ -50,6 +50,92 @@ class IvfIndex:
         centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
         return cls(assigned, centroids)
 
+    @classmethod
+    def train_lloyd(
+        cls,
+        emb: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        k: int = 16,
+        iters: int = 5,
+        seed: int = 42,
+    ) -> "IvfIndex":
+        """Seeded deterministic Lloyd's k-means over pure DataFrame ops
+        (no MLlib): init picks the ``k`` rows ranked lowest by a seeded
+        ``xxhash64(id)`` (a deterministic pseudo-random sample), each
+        of the fixed ``iters`` iterations assigns every vector to its
+        squared-L2-argmin centroid (broadcast cross join, k rows —
+        ties to the lowest cell) and recomputes per-cell component
+        means. Centroids are therefore a pure function of (data, k,
+        iters, seed) given a fixed plan — and, unlike
+        :meth:`train`'s MLlib KMeans, the distance arithmetic is the
+        engine-portable left fold (functions/vectors.dot), so an
+        oracle can recompute the assignment from the exported centroid
+        literals bit-for-bit (queries/similarity.ann_ivf_trained).
+
+        Scale shape per iteration: one broadcast of k centroids, one
+        k-group aggregate — the standard distributed Lloyd's; the
+        corpus is persisted once across iterations."""
+        from pyspark.sql.window import Window
+
+        from dataset_dedupe_estimator_spark.functions.vectors import dot
+
+        spark = emb.sparkSession
+        vecs = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("embedding"),
+        ).persist()
+        init = vecs.orderBy(
+            F.xxhash64(F.col("vec_id"), F.lit(seed)), "vec_id"
+        ).limit(k).collect()
+        C = np.array([r["embedding"] for r in init], dtype=np.float64)
+        dim = C.shape[1]
+
+        def _cents_df(C):
+            return spark.createDataFrame(
+                [(i, [float(v) for v in row]) for i, row in enumerate(C)],
+                "cell int, cemb array<double>",
+            )
+
+        def _assign(cents):
+            # d2 = dot(e,e) - 2*dot(e,c) + dot(c,c): every term the
+            # portable left fold, tie to the lowest cell
+            d2 = (
+                dot(F.col("embedding"), F.col("embedding"))
+                - 2.0 * dot(F.col("embedding"), F.col("cemb"))
+                + dot(F.col("cemb"), F.col("cemb"))
+            )
+            w = Window.partitionBy("vec_id").orderBy(
+                d2.asc(), F.col("cell").asc()
+            )
+            return (
+                vecs.crossJoin(F.broadcast(cents))
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "cemb")
+            )
+
+        for _ in range(iters):
+            means = (
+                _assign(_cents_df(C))
+                .groupBy("cell")
+                .agg(*[
+                    F.avg(F.col("embedding")[i]).alias(f"m{i}")
+                    for i in range(dim)
+                ])
+                .collect()
+            )
+            for r in means:  # an empty cell keeps its old centroid
+                C[r["cell"]] = [r[f"m{i}"] for i in range(dim)]
+
+        assigned = (
+            _assign(_cents_df(C))
+            .withColumn("nrm", norm(F.col("embedding")))
+            .select("vec_id", "embedding", "nrm", "cell")
+        )
+        vecs.unpersist()  # lineage stays valid; one recompute at use
+        return cls(assigned, C)
+
     def search(self, query_vec: list[float], topk: int = 10, nprobe: int = 2) -> DataFrame:
         """Top-k by cosine among the nprobe nearest cells' members."""
         q = np.asarray(query_vec, dtype=np.float64)

@@ -50,10 +50,12 @@ for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthet
 # ledger): the 47 round-9-green queries held in the r12 _NEXT
 # (q6_revenue_forecast ... table_partition_evolution_read) plus the 3
 # stalest round-10-green queries (registry-order tiebreak):
-# customer_hierarchy_rollup, supplier_pagerank, spend_quartiles.
-# Queries added DURING r13 displace the tail of the fill into _NEXT so
-# they carry driver attestation the same round they land (the
-# r9..r12 pattern).
+# customer_hierarchy_rollup, supplier_pagerank, spend_quartiles — the
+# last two displaced into _NEXT by the two r13-TOUCHED rows-only->
+# oracle conversions (cdc_streaming_estimate, ann_ivf_trained; the
+# touched-query rotation rule, as cdc_upload_delta in r12). Queries
+# added DURING r13 displace further fill into _NEXT so they carry
+# driver attestation the same round they land (the r9..r12 pattern).
 _FRONT = [
     "q6_revenue_forecast",
     "q3_shipping_priority",
@@ -103,12 +105,14 @@ _FRONT = [
     "table_clone_read",
     "table_partition_evolution_read",
     "customer_hierarchy_rollup",
-    "supplier_pagerank",
-    "spend_quartiles",
+    "cdc_streaming_estimate",
+    "ann_ivf_trained",
 ]
 # overflow: the remaining round-10-green queries — first in line for
 # round 14's window (locally re-verified every round)
 _NEXT = [
+    "supplier_pagerank",
+    "spend_quartiles",
     "filter_project_scan",
     "distinct_ship_modes",
     "user_value_twap",

@@ -618,20 +618,102 @@ FROM embeddings GROUP BY label ORDER BY label
 """
 
 
+import os as _os
+import tempfile as _tempfile
+
+# deterministic (static oracle SQL must address it) but per-user — the
+# same convention as queries/core_cdc._EXPORT_BASE
+_IVF_EXPORT = _os.path.join(
+    _tempfile.gettempdir(), f"dde_oracle_u{_os.getuid()}_ivf_cents"
+)
+
+
 def ann_ivf_trained(spark, sf):
-    """Production IVF (operators/ann.py): pyspark.ml KMeans centroids,
-    persisted cell assignment, nprobe-cell exact rerank. Rows-only check —
-    trained centroids aren't SQL-expressible — but deterministic for a
-    fixed seed; the exact-seed-centroid variant (ann_ivf_probe) carries
-    the full oracle."""
+    """Production IVF with the repo's own seeded deterministic Lloyd's
+    (operators/ann.py ``train_lloyd``: xxhash64-seeded init, fixed
+    iteration count, portable left-fold distance arithmetic — replaced
+    MLlib KMeans in r13). Oracle-bearing via the export trick: the
+    TRAINED centroids are exported to parquet and DuckDB re-derives,
+    from those same literals, the per-vector cell assignment
+    (squared-L2 argmin, ties to the lowest cell), the 2-probe cell
+    choice (centroid cosine vs the query), and the in-cell exact
+    cosine rerank — a wrong assignment, probe pick, or rerank ordering
+    all hash-mismatch. Only centroid TRAINING stays Spark-only (the
+    oracle consumes its output, as the chunk-table oracles consume
+    chunk emission)."""
+    import shutil
+
     from dataset_dedupe_estimator_spark.operators.ann import IvfIndex
 
     emb = load(spark, sf, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == QUERY_VEC_ID).head().embedding
-    idx = IvfIndex.train(emb, k=8, seed=42)
-    return idx.search([float(v) for v in qvec], topk=10, nprobe=2).filter(
-        F.col("vec_id") != QUERY_VEC_ID
+    idx = IvfIndex.train_lloyd(emb, k=N_CELLS, iters=3, seed=42)
+    shutil.rmtree(_IVF_EXPORT, ignore_errors=True)
+    spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(idx.centroids)],
+        "cell int, cemb array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(_IVF_EXPORT)
+    cents = spark.read.parquet(_IVF_EXPORT)  # both engines read THIS
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe"), _norm(F.col("embedding")).alias("qn")
     )
+    csim = _dot(F.col("cemb"), F.col("qe")) / (
+        F.sqrt(_dot(F.col("cemb"), F.col("cemb"))) * F.col("qn")
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cell", csim.alias("csim"))
+        .orderBy(F.col("csim").desc(), "cell")
+        .limit(2)
+        .select("cell")
+    )
+    cos = _dot(F.col("embedding"), F.col("qe")) / (F.col("nrm") * F.col("qn"))
+    return (
+        idx.assigned.join(F.broadcast(probe), "cell")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "cell", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+ANN_IVF_TRAINED_SQL = f"""
+WITH cents AS (
+  SELECT cell, cemb FROM read_parquet('{_IVF_EXPORT}/*.parquet')
+),
+q AS (
+  SELECT embedding AS qe,
+         sqrt({_sql_dot("embedding", "embedding")}) AS qn
+  FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+),
+assigned AS (
+  SELECT vec_id, embedding, nrm, cell FROM (
+    SELECT e.vec_id, e.embedding,
+           sqrt({_sql_dot("e.embedding", "e.embedding")}) AS nrm,
+           c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ({_sql_dot("e.embedding", "e.embedding")}
+                       - 2.0 * {_sql_dot("e.embedding", "c.cemb")}
+                       + {_sql_dot("c.cemb", "c.cemb")}) ASC,
+                      c.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT cell FROM cents CROSS JOIN q
+  ORDER BY {_sql_dot("cemb", "qe")}
+           / (sqrt({_sql_dot("cemb", "cemb")}) * qn) DESC,
+           cell ASC
+  LIMIT 2
+)
+SELECT a.vec_id, a.cell,
+       {_sql_dot("a.embedding", "qe")} / (a.nrm * q.qn) AS cosine
+FROM assigned a CROSS JOIN q
+WHERE a.cell IN (SELECT cell FROM probe) AND a.vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, a.vec_id
+LIMIT 10
+"""
 
 
 PQ_M = 8  # subspaces
@@ -1508,7 +1590,7 @@ LIMIT {RRF_TOP}
 QUERIES = {
     "knn_brute_force": Q(knn_brute_force, KNN_SQL, headline=True),
     "semdedup_clusters": Q(semdedup_clusters, SEMDEDUP_SQL),
-    "ann_ivf_trained": Q(ann_ivf_trained),
+    "ann_ivf_trained": Q(ann_ivf_trained, ANN_IVF_TRAINED_SQL),
     "pq_codes": Q(pq_codes, _pq_sql()),
     "ann_lsh_bucketed": Q(ann_lsh_bucketed, ANN_LSH_SQL),
     "ann_recall_at_k": Q(ann_recall_at_k, ANN_RECALL_SQL),

@@ -167,9 +167,13 @@ def cdc_streaming_estimate(spark, sf):
     """The incremental chunk estimator end-to-end: files discovered by a
     binaryFile stream, chunked in-task (availableNow pass into a parquet
     chunk table), then the batch dedup aggregate over the accumulated
-    table — the streaming form of cdc_estimate. Rows-only check (the
-    chunker is not SQL-expressible), but the streamed totals are asserted
-    equal to the batch chunker's in tests."""
+    table — the streaming form of cdc_estimate. Oracle-bearing since
+    r13 via the export trick: the chunk table the drain accumulates IS
+    the export — DuckDB re-aggregates it from scratch and must equal
+    the incremental totals (a dropped microbatch row, a duplicated
+    replay, or a wrong two-level aggregate all hash-mismatch). Only
+    chunk EMISSION stays Spark-only, as with every chunk-table oracle."""
+    import shutil
     import tempfile
 
     from dataset_dedupe_estimator_spark.streaming.incremental import (
@@ -177,18 +181,38 @@ def cdc_streaming_estimate(spark, sf):
         run_incremental_chunker,
     )
 
+    shutil.rmtree(_STREAM_EXPORT, ignore_errors=True)
     with tempfile.TemporaryDirectory() as tmp:
         run_incremental_chunker(
             spark,
             sf,
-            f"{tmp}/chunks",
+            _STREAM_EXPORT,
             f"{tmp}/ckpt",
             glob_pattern="*.parquet",
         )
-        # materialize the one-row summary before the temp chunk table is
-        # torn down (a lazy plan would read deleted files)
-        out = incremental_stats(spark, f"{tmp}/chunks").collect()
-    return spark.createDataFrame(out)
+    return incremental_stats(spark, _STREAM_EXPORT)
+
+
+# deterministic per-user export path (queries/core_cdc convention)
+import os as _os  # noqa: E402
+import tempfile as _tempfile  # noqa: E402
+
+_STREAM_EXPORT = _os.path.join(
+    _tempfile.gettempdir(), f"dde_oracle_u{_os.getuid()}_chunks_stream"
+)
+
+CDC_STREAMING_ESTIMATE_SQL = f"""
+WITH c AS (SELECT * FROM read_parquet('{_STREAM_EXPORT}/*.parquet')),
+gh AS (SELECT hash, MIN(size) AS size, MIN(compressed) AS compressed,
+              SUM(size) AS occ_bytes, COUNT(*) AS occ_count
+       FROM c GROUP BY hash)
+SELECT CAST(SUM(occ_bytes) AS BIGINT) AS total_len,
+       CAST(SUM(occ_count) AS BIGINT) AS total_chunks,
+       CAST(COUNT(*) AS BIGINT) AS unique_chunks,
+       CAST(SUM(size) AS BIGINT) AS chunk_bytes,
+       CAST(SUM(compressed) AS BIGINT) AS compressed_chunk_bytes
+FROM gh
+"""
 
 
 def streaming_index_pipeline(spark, sf):
@@ -876,7 +900,7 @@ QUERIES: dict[str, Q] = {
     "streaming_sessionize_events": Q(
         streaming_sessionize_events, STREAMING_SESSIONIZE_SQL
     ),
-    "cdc_streaming_estimate": Q(cdc_streaming_estimate),
+    "cdc_streaming_estimate": Q(cdc_streaming_estimate, CDC_STREAMING_ESTIMATE_SQL),
     "streaming_index_pipeline": Q(streaming_index_pipeline),
     "image_near_dup_demo": Q(image_near_dup_demo),
     "multimodal_pipeline_demo": Q(multimodal_pipeline_demo),

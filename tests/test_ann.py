@@ -482,3 +482,25 @@ def test_pq_encoding_residual_default_and_plain_legacy(spark, emb, tmp_path):
         t.vec_id: tuple(t.codes) for t in legacy.codes_df(spark).collect()
     }
     assert codes_again == pc
+
+
+def test_train_lloyd_assignment_and_exact_probe(spark, emb):
+    """r13 deterministic Lloyd's (no MLlib): every vector gets exactly
+    one in-range cell, and probing ALL cells degenerates to exact
+    brute-force top-k (the IVF invariant)."""
+    idx = IvfIndex.train_lloyd(emb, k=8, iters=2, seed=42)
+    n = emb.count()
+    assert idx.assigned.count() == n
+    assert idx.assigned.select("vec_id").distinct().count() == n
+    cells = {r.cell for r in idx.assigned.select("cell").distinct().collect()}
+    assert cells <= set(range(8))
+    assert idx.centroids.shape == (8, 64)
+    rows = emb.orderBy("vec_id").limit(1).collect()
+    hits = idx.search(list(rows[0].embedding), topk=10, nprobe=8).collect()
+    M_rows = emb.orderBy("vec_id").collect()
+    M = np.array([np.array(r.embedding, dtype=np.float64) for r in M_rows])
+    ids = np.array([r.vec_id for r in M_rows])
+    q = M[ids.tolist().index(rows[0].vec_id)]
+    sims = (M @ q) / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+    true_top = set(ids[np.argsort(-sims)[:10]].tolist())
+    assert {r.vec_id for r in hits} == true_top  # all-cell probe == exact

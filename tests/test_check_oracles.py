@@ -77,11 +77,11 @@ def test_driver_window_rotation_invariants():
 
     oracles = entrymod.oracle_sql()
     rows_only = {n for n in REGISTRY if n not in oracles}
-    # r12: cdc_provenance / cdc_upload_delta / cdc_index_incremental /
-    # cdc_per_file_chunks / cdc_estimate_xet gained oracles via the
-    # export trick — 11 = chunk emission where the export would BE the
-    # timed work (cdc_estimate headline, cdc_dedup_trend's one-pass
-    # variant, cdc_approx_estimate's HLL, format_compare_demo's
-    # env-dependent file bytes), KMeans nondeterminism (1), BPE (2),
-    # demos/pipelines (4)
-    assert len(rows_only) == 11, sorted(rows_only)
+    # r13: cdc_streaming_estimate (chunk table IS the export) and
+    # ann_ivf_trained (deterministic Lloyd's + exported-centroid
+    # re-derivation) gained oracles — 9 = chunk emission where the
+    # export would BE the timed work (cdc_estimate headline,
+    # cdc_dedup_trend's one-pass variant, cdc_approx_estimate's HLL,
+    # format_compare_demo's env-dependent file bytes), BPE (2),
+    # demos/pipelines (3)
+    assert len(rows_only) == 9, sorted(rows_only)
