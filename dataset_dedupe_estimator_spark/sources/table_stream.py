@@ -29,8 +29,10 @@ Semantics follow the Delta streaming-source contract:
 - ``.option("maxFilesPerTrigger", N)`` rate-limits catch-up: each
   micro-batch admits whole commits until their input-file count would
   exceed N (always >= 1 commit) — the Delta option of the same name.
-  Don't combine with ``trigger(availableNow=True)``: its single-batch
-  fallback (below) would stop after the first bounded slice.
+  Under ``trigger(availableNow=True)`` a SINGLE query run stops after
+  the first bounded slice (the fallback below) — drive a bounded
+  backfill with :func:`drain_available_now`, which loops passes
+  against one checkpoint until the source stops advancing.
 - ``.option("readChangeFeed", "true")`` streams ROW-LEVEL changes
   instead: appends emit their rows as ``_change='insert'``;
   deletes/upserts emit the change-data file their commit wrote
@@ -59,9 +61,16 @@ wraps EVERY Python DataSource stream in
 logs the engine's "falling back to a single batch" warning for ANY
 Python source; no hook exists Python-side to change that. The fallback
 drains everything committed at start time in one batch, which is
-correct for bounded drains (what the gate and bench do); rate-limited
-catch-up needs the JVM-native source shape this API doesn't expose.
-Do not retry until the DataSource API grows the capability.
+correct for bounded drains (what the gate and bench do); the engine-
+side multi-batch shape needs the JVM-native source this API doesn't
+expose. Re-verified r13 (spark-sql 4.1.2 ``PythonMicroBatchStream``
+implements ``MicroBatchStream`` + ``AcceptsLatestSeenOffset`` only) —
+do not retry until the DataSource API grows the capability. The
+repo-side equivalent is :func:`drain_available_now`:
+``maxFilesPerTrigger``-bounded passes looped over one checkpoint,
+giving a 100 TB backfill bounded microbatches with exactly-once
+resume TODAY. The engine's WARN on every availableNow drain is
+expected and harmless — see PROTOCOL.md.
 """
 
 from __future__ import annotations
@@ -590,3 +599,40 @@ class VersionedTableStreamSource(DataSource):
         )
 
         return VersionedTableStreamWriter(schema, self.options)
+
+
+def drain_available_now(start_query, max_passes: int = 100_000) -> dict:
+    """Bounded multi-batch catch-up DESPITE the AvailableNow fallback
+    (module docstring: ``PythonMicroBatchStream`` exposes no
+    ``SupportsTriggerAvailableNow`` hook, re-verified against the
+    spark-sql 4.1.2 class this round): loop single-batch availableNow
+    passes against ONE checkpoint until the source stops advancing.
+
+    Pass a zero-arg callable that starts and returns the
+    ``StreamingQuery`` — same ``checkpointLocation`` every time, with
+    ``.option("maxFilesPerTrigger", N)`` on the reader so each pass
+    admits a bounded commit slice. Offsets live in the checkpoint, so
+    every pass resumes where the last committed; the loop ends when a
+    pass reports no offset advance (NOT "zero rows" — a slice of
+    property/compaction commits legitimately advances with no rows).
+    This is the 100 TB backfill shape the missing engine hook would
+    otherwise provide: years of history drain as bounded microbatches
+    instead of one giant batch, and a kill anywhere resumes exactly
+    once (versioned-sink txn watermark or file-sink offset log).
+
+    Returns ``{"passes": n, "rows": total_input_rows}``."""
+    total = passes = 0
+    last_end = None
+    for _ in range(max_passes):
+        q = start_query()
+        q.awaitTermination()
+        p = q.lastProgress
+        passes += 1
+        if p is None:
+            break  # no batch ran: already caught up
+        total += int(p["numInputRows"])
+        end = (p.get("sources") or [{}])[0].get("endOffset")
+        if end == last_end:
+            break  # offset parked: drained
+        last_end = end
+    return {"passes": passes, "rows": total}

@@ -356,3 +356,47 @@ def test_starting_timestamp_option(registered, tmp_path):
             {"path": str(root), "startingversion": "1",
              "startingtimestamp": "2026-01-01"},
         )
+
+
+def test_drain_available_now_bounded_multibatch(registered, tmp_path):
+    spark = registered
+    """r13 (verdict #5): the AvailableNow fallback pinned as an API
+    seam + the repo-side bounded backfill. A maxFilesPerTrigger-capped
+    source under a SINGLE availableNow run stops after one slice;
+    drain_available_now loops passes over one checkpoint until the
+    offset parks — every commit delivered exactly once, in bounded
+    microbatches (the 100 TB backfill shape the missing
+    SupportsTriggerAvailableNow hook would otherwise provide)."""
+    from dataset_dedupe_estimator_spark.sources.table_stream import (
+        drain_available_now,
+    )
+
+    root = tmp_path / "t"
+    for i in range(4):
+        vt.append(
+            root, spark.range(i * 10, i * 10 + 10).toDF("id"), num_files=2
+        )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def start():
+        return (
+            spark.readStream.format("versioned_table")
+            .option("maxFilesPerTrigger", "2")
+            .load(str(root))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # a single capped run really does stop after one bounded slice
+    q = start()
+    q.awaitTermination()
+    first = spark.read.parquet(out).count()
+    assert first == 10  # one 2-file commit, not the whole table
+    rep = drain_available_now(start)
+    assert rep["rows"] == 30  # the three remaining commits
+    assert rep["passes"] >= 3  # bounded slices, not one giant batch
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == list(range(40))
