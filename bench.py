@@ -324,6 +324,75 @@ def main() -> None:
             .awaitTermination()
         )
 
+    # r13 legs (judge ask #6): the r12 replication/CDC-apply verbs
+    # benched round-over-round, mirroring the sink-drain shape — fresh
+    # checkpoint + fresh destination per sample, source state FIXED so
+    # per-sample work is constant
+    from dataset_dedupe_estimator_spark.sources import table_sink as tsk
+
+    # CDC source built ONCE: change-feed orders subset + one pruned
+    # delete band + one 100-key upsert — each sample drains this
+    # identical 3-commit feed
+    cdc_root = f"{lc_dir}/cdcsrc"
+    vt.append(
+        cdc_root,
+        orders.limit(20_000).repartitionByRange(4, "o_orderkey"),
+        stats_columns=["o_orderkey"], change_feed=True,
+    )
+    vt.delete_where_pruned(
+        spark, cdc_root, [("o_orderkey", "between", (1, 2000))]
+    )
+    vt.upsert_pruned(spark, cdc_root, merge_keys, ["o_orderkey"])
+
+    _rep_n = [0]
+
+    def _lc_table_replicate():
+        # foreachBatch exactly_once_appender: the replicate path that
+        # keeps the FULL append option surface (vs the native sink's
+        # pyarrow commit hook benched by table_sink_drain)
+        _rep_n[0] += 1
+        ck = f"{lc_dir}/rep-ck{_rep_n[0]}"
+        (
+            spark.readStream.format("versioned_table")
+            .option("ignoreChanges", "true")
+            .load(vt_root)
+            .writeStream.foreachBatch(
+                tsk.exactly_once_appender(
+                    f"{lc_dir}/rep{_rep_n[0]}", checkpoint=ck
+                )
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    _cdc_n = [0]
+
+    def _lc_table_cdc_apply():
+        # row-level APPLY CHANGES of the fixed feed (20k inserts +
+        # 2k-key delete + 100-key upsert) into a fresh destination —
+        # net-effect window, zone-map-bounded MERGE and the r13
+        # executor-side key-set DELETE all inside the timed region
+        _cdc_n[0] += 1
+        ck = f"{lc_dir}/cdc-ck{_cdc_n[0]}"
+        dst = f"{lc_dir}/cdcdst{_cdc_n[0]}"
+        # empty-append seed creates the destination (constant ~0.2 s,
+        # part of the measured apply path as in table_cdc_apply_read)
+        vt.append(dst, orders.limit(0), stats_columns=["o_orderkey"])
+        (
+            spark.readStream.format("versioned_table")
+            .option("readChangeFeed", "true")
+            .load(cdc_root)
+            .writeStream.foreachBatch(
+                tsk.apply_changes(dst, ["o_orderkey"], checkpoint=ck)
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
     def _lc_cdf_read():
         # pinned to the FIRST merge's change file (version 1): constant
         # work even though the merge leg commits once per sample
@@ -433,6 +502,8 @@ def main() -> None:
         "table_merge100": _lc_table_merge,
         "table_stream_drain": _lc_table_stream_drain,
         "table_sink_drain": _lc_table_sink_drain,
+        "table_replicate": _lc_table_replicate,
+        "table_cdc_apply": _lc_table_cdc_apply,
         "cdf_read": _lc_cdf_read,
         "table_delete_where2k": _lc_table_delete_where,
         "table_dv_delete2k": _lc_table_dv_delete,

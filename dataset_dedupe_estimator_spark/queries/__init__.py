@@ -104,13 +104,14 @@ _FRONT = [
     "table_drop_read",
     "table_clone_read",
     "table_partition_evolution_read",
-    "customer_hierarchy_rollup",
     "cdc_streaming_estimate",
     "ann_ivf_trained",
+    "table_replace_where_read",
 ]
 # overflow: the remaining round-10-green queries — first in line for
 # round 14's window (locally re-verified every round)
 _NEXT = [
+    "customer_hierarchy_rollup",
     "supplier_pagerank",
     "spend_quartiles",
     "filter_project_scan",

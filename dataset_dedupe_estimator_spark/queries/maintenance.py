@@ -629,6 +629,129 @@ def table_update_read(spark, sf):
 _UW_LO, _UW_HI = 100, 400  # updated band (exists at every sf tier)
 
 
+def table_replace_where_read(spark, sf):
+    """Atomic predicate-scoped overwrite (r13,
+    ``sources/versioned.py::replace_where`` — the Delta
+    ``replaceWhere`` / dynamic-partition-backfill shape).
+
+    Orders ingest in two range-partitioned commits with zone maps and
+    the change feed on; an o_orderkey band is then REPLACED in one
+    commit by a recomputed slice — the band's even-keyed rows only,
+    prices tripled and re-tagged — so the slice genuinely RESIZES
+    (an update/merge could not produce this: rows vanish AND change).
+    The query RAISES unless zone maps carried untouched files by
+    reference, time travel below the replace still reads the original
+    band, the smuggling guard refuses an out-of-scope row, and the
+    change feed holds exactly (old band rows) deletes + (new slice)
+    inserts. The aggregate reads the post-replace snapshot; the oracle
+    recomputes it from raw orders (outside-band rows as-is, in-band
+    even keys tripled, odd keys gone), so a row the replace missed,
+    kept, or smuggled hash-mismatches."""
+    import shutil
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", cents("o_totalprice").alias("price_cents"),
+        "o_orderpriority",
+    )
+    root = tempfile.mkdtemp(prefix="dde_rw_")
+    try:
+        half = orders.filter(F.col("o_orderkey") % 2 == 0)
+        rest = orders.filter(F.col("o_orderkey") % 2 == 1)
+        vt.append(
+            root,
+            half.repartitionByRange(4, "o_orderkey"),
+            stats_columns=["o_orderkey"], change_feed=True,
+        )
+        vt.append(root, rest.repartitionByRange(4, "o_orderkey"))
+        band = F.col("o_orderkey").between(_RW_LO, _RW_HI)
+        n_old = vt.read_version(spark, root).filter(band).count()
+        new_slice = (
+            orders.filter(band)
+            .filter(F.col("o_orderkey") % 2 == 0)
+            .withColumn("price_cents", F.col("price_cents") * 3)
+            .withColumn("o_orderpriority", F.lit("8-BACKFILL"))
+        )
+        # the smuggling guard must refuse an out-of-scope row
+        try:
+            vt.replace_where(
+                spark, root,
+                new_slice.unionByName(
+                    orders.filter(F.col("o_orderkey") == _RW_HI + 50)
+                ),
+                [("o_orderkey", "between", (_RW_LO, _RW_HI))],
+            )
+            raise AssertionError("out-of-scope replacement row accepted")
+        except ValueError:
+            pass
+        st = vt.replace_where(
+            spark, root, new_slice,
+            [("o_orderkey", "between", (_RW_LO, _RW_HI))],
+        )
+        if not st["carried_files"]:
+            raise AssertionError(f"replace carried nothing: {st}")
+        if st["replaced_rows"] != n_old:
+            raise AssertionError(
+                f"replaced {st['replaced_rows']} != band size {n_old}"
+            )
+        # time travel below the replace still reads the original band
+        pre = vt.read_version(spark, root, st["version"] - 1).filter(band)
+        if pre.count() != n_old or pre.filter(
+            F.col("o_orderpriority") == "8-BACKFILL"
+        ).count():
+            raise AssertionError("time travel below the replace broke")
+        # change feed: old band rows out, new slice in
+        cdf = vt.read_change_feed(
+            spark, root, st["version"] - 1, st["version"]
+        )
+        n_del = cdf.filter(F.col("_change") == "delete").count()
+        n_ins = cdf.filter(F.col("_change") == "insert").count()
+        if n_del != n_old or n_ins != st["inserted_rows"]:
+            raise AssertionError(
+                f"CDF wrong: {n_del} deletes vs {n_old}, "
+                f"{n_ins} inserts vs {st['inserted_rows']}"
+            )
+        out = (
+            vt.read_version(spark, root)
+            .groupBy((F.col("o_custkey") % 10).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("price_cents").alias("total_cents"),
+                F.sum(
+                    F.when(
+                        F.col("o_orderpriority") == "8-BACKFILL", 1
+                    ).otherwise(0)
+                ).alias("n_backfilled"),
+            )
+            .orderBy("bucket")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_RW_LO, _RW_HI = 150, 650  # replaced band (exists at every sf tier)
+
+
+TABLE_REPLACE_WHERE_READ_SQL = f"""
+SELECT o_custkey % 10 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN o_orderkey BETWEEN {_RW_LO} AND {_RW_HI}
+                THEN {sql_cents('o_totalprice')} * 3
+                ELSE {sql_cents('o_totalprice')} END) AS BIGINT)
+           AS total_cents,
+       CAST(SUM(CASE WHEN o_orderkey BETWEEN {_RW_LO} AND {_RW_HI}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_backfilled
+FROM orders
+WHERE o_orderkey NOT BETWEEN {_RW_LO} AND {_RW_HI}
+   OR o_orderkey % 2 = 0
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 TABLE_UPDATE_READ_SQL = f"""
 SELECT o_custkey % 10 AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -2564,6 +2687,9 @@ QUERIES = {
     "table_archive_read": Q(table_archive_read, TABLE_ARCHIVE_READ_SQL),
     "table_delete_where": Q(table_delete_where, TABLE_DELETE_WHERE_SQL),
     "table_update_read": Q(table_update_read, TABLE_UPDATE_READ_SQL),
+    "table_replace_where_read": Q(
+        table_replace_where_read, TABLE_REPLACE_WHERE_READ_SQL
+    ),
     "table_dv_update_read": Q(table_dv_update_read, TABLE_DV_UPDATE_READ_SQL),
     "table_upsert_merge": Q(table_upsert_merge, TABLE_UPSERT_MERGE_SQL),
     "table_stream_read": Q(table_stream_read, TABLE_STREAM_READ_SQL),

@@ -4437,6 +4437,205 @@ def delete_where_keys(
     }
 
 
+def replace_where(
+    spark: SparkSession,
+    root: str | Path,
+    df: DataFrame,
+    predicates: list[tuple],
+    num_files: int | None = None,
+    txn: tuple[str, int] | None = None,
+) -> dict:
+    """Atomic predicate-scoped overwrite (the Delta ``replaceWhere``
+    shape): ONE commit replaces every live row matching the
+    ``(column, op, value)`` conjunction with the rows of ``df`` — the
+    dynamic-partition-backfill verb (recompute yesterday's slice from
+    scratch without touching the rest of the table, atomically:
+    readers see either the old slice or the new one, never a mix or a
+    gap).
+
+    REFUSES when any row of ``df`` does NOT match the predicates (the
+    Delta constraint — out-of-scope rows would silently corrupt data
+    outside the replaced slice) and when a predicate column is NULL in
+    ``df`` (such a row can never match a null-rejecting predicate).
+
+    Commit anatomy is the upsert dir+mask shape (``action: upsert``
+    with ``op: replace_where`` recorded): a fresh directory holding
+    (survivors of the touched files) ∪ ``df``, plus a ``removed`` mask
+    over the touched originals — readers, time travel, restore,
+    vacuum, checkpoint folds and the streaming source (a rewriting
+    commit: stops without ``ignoreChanges``) need no new cases. The
+    change feed records the replaced rows as deletes and ``df`` as
+    inserts, O(changed rows).
+
+    At 100 TB: zone maps bound the rewrite to the files the predicate
+    can touch (the decision reads zero data bytes); with the slice
+    clustered — the natural state for date/partition-keyed backfills —
+    that is exactly the slice's files and nothing else."""
+    from pyspark.sql import functions as F
+
+    if not predicates:
+        raise ValueError(
+            "replace_where needs at least one predicate — an "
+            "unconditional replacement is overwrite()"
+        )
+    root = Path(root)
+    (root / _VLOG).mkdir(parents=True, exist_ok=True)
+    with writer_lock(root, wait_seconds=_LOCK_WAIT):
+        entries = _snapshot_entries(root)
+        version, live_data_dirs, live_entries = _resolve(root, entries, None)
+        if txn is not None and int(txn[1]) <= _latest_txns(entries).get(
+            str(txn[0]), -1
+        ):
+            return {
+                "version": version, "replaced_rows": 0,
+                "inserted_rows": 0, "rewritten_files": 0,
+                "carried_files": 0, "committed": False,
+                "skipped_duplicate_txn": True,
+            }
+        mapping = _column_mapping(live_entries)
+        predicates = _preds_to_physical(predicates, mapping)
+        if mapping:  # callers speak logical; storage speaks physical
+            df = df.withColumnsRenamed(dict(mapping))
+        schema_cols = live_entries[-1]["columns"]
+        missing = [c for c in schema_cols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"replacement rows missing table columns {missing} — "
+                "replace_where writes whole rows"
+            )
+        df = df.select(*schema_cols)
+        out_of_scope = (
+            df.filter(
+                ~F.coalesce(_predicate_cond(df, predicates), F.lit(False))
+            )
+            .limit(1)
+            .count()
+        )
+        if out_of_scope:
+            raise ValueError(
+                f"replacement rows exist that do not match {predicates} "
+                "— replaceWhere may only write rows inside the replaced "
+                "slice (rows with a NULL predicate column never match)"
+            )
+        partition_by = live_entries[-1].get("partition_by") or []
+        stats_columns = live_entries[-1].get("stats_columns") or []
+        bloom_columns = live_entries[-1].get("bloom_columns") or []
+        bloom_bits = live_entries[-1].get("bloom_bits") or 65_536
+        widened = any("added_columns" in e for e in live_entries)
+        dvf = _dv_frame(spark, root, live_entries)
+        report = zone_map_prune(root, predicates, version)
+        cand_files = list(report["files"]) + [
+            str(f)
+            for d in report["dirs"]
+            for f in sorted(Path(d).rglob("*.parquet"))
+        ]
+
+        def _norm(dfx):
+            for c in schema_cols:
+                if c not in dfx.columns:
+                    dfx = dfx.withColumn(c, _typed_null(c, live_entries))
+            return dfx.select(*schema_cols)
+
+        by_base: dict[str, list[str]] = {}
+        for f in cand_files:
+            base = next(
+                d for d in live_data_dirs if f.startswith(d + os.sep)
+            )
+            by_base.setdefault(base, []).append(f)
+        cand = None
+        for base, plist in by_base.items():
+            reader = spark.read.option("basePath", base)
+            if widened:
+                reader = reader.option("mergeSchema", "true")
+            part = _norm(_dv_filter(reader.parquet(*plist), dvf))
+            cand = part if cand is None else cand.unionByName(part)
+        n_cand = cand.count() if cand is not None else 0
+        n_new = df.count()
+        if cand is not None:
+            survivors = cand.filter(
+                ~F.coalesce(_predicate_cond(cand, predicates), F.lit(False))
+            )
+            out = survivors.unionByName(df)
+        else:
+            out = df
+        if num_files is None:
+            cand_bytes = sum(Path(f).stat().st_size for f in cand_files)
+            num_files = max(1, -(-cand_bytes // (128 << 20)))
+        new_version = version + 1
+        dir_name = f"c{new_version:08d}"
+        data_dir = root / _DATA / dir_name
+        writer = out.coalesce(int(num_files)).write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(data_dir))
+        has_rows = any(data_dir.rglob("*.parquet"))
+        n_dir = (
+            spark.read.parquet(str(data_dir)).count() if has_rows else 0
+        )
+        if not n_dir:
+            has_rows = False
+            shutil.rmtree(data_dir, ignore_errors=True)
+        removed: dict[str, list[str]] = {}
+        for base, plist in by_base.items():
+            removed[Path(base).name] = sorted(
+                str(Path(f).relative_to(base)) for f in plist
+            )
+        entry = {
+            "version": new_version,
+            "action": "upsert",
+            "op": "replace_where",
+            "dir": dir_name if has_rows else None,
+            "columns": schema_cols,
+            "partition_by": partition_by,
+            "removed": removed,
+            "predicates": [list(p) for p in predicates],
+            "ts": time.time(),
+        }
+        if txn is not None:
+            entry["txn"] = {"app": str(txn[0]), "batch": int(txn[1])}
+        if _cf_active(live_entries):
+            changes = df.withColumn("_change", F.lit("insert"))
+            if cand is not None:
+                deleted = cand.filter(
+                    F.coalesce(
+                        _predicate_cond(cand, predicates), F.lit(False)
+                    )
+                ).withColumn("_change", F.lit("delete"))
+                changes = deleted.unionByName(changes)
+            changes.coalesce(int(num_files)).write.mode(
+                "overwrite"
+            ).parquet(str(root / _CDF / dir_name))
+            entry["change_data"] = True
+        if stats_columns:
+            entry["stats_columns"] = stats_columns
+            if has_rows:
+                entry["stats_types"] = {
+                    c: _dtype_of_path(out, c) for c in stats_columns
+                }
+                entry["stats"] = _collect_file_stats(data_dir, stats_columns)
+        if bloom_columns:
+            entry["bloom_columns"] = bloom_columns
+            entry["bloom_bits"] = bloom_bits
+            if has_rows:
+                entry["bloom_types"] = {
+                    c: _dtype_of_path(out, c) for c in bloom_columns
+                }
+                entry["blooms_file"] = _write_bloom_sidecar(
+                    root, dir_name, _collect_file_blooms(
+                        spark, data_dir, bloom_columns, bloom_bits
+                    ),
+                )
+        _commit(root, entry)
+    return {
+        "version": new_version,
+        "replaced_rows": n_cand - (n_dir - n_new),
+        "inserted_rows": n_new,
+        "rewritten_files": len(cand_files),
+        "carried_files": report["skipped_files"],
+        "committed": True,
+    }
+
+
 def _validate_set_values(set_values: dict) -> None:
     if not set_values:
         raise ValueError("UPDATE needs at least one SET column")
