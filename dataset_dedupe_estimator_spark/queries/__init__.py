@@ -103,14 +103,15 @@ _FRONT = [
     "table_rename_read",
     "table_drop_read",
     "table_clone_read",
-    "table_partition_evolution_read",
     "cdc_streaming_estimate",
     "ann_ivf_trained",
     "table_replace_where_read",
+    "table_analyze_read",
 ]
 # overflow: the remaining round-10-green queries — first in line for
 # round 14's window (locally re-verified every round)
 _NEXT = [
+    "table_partition_evolution_read",
     "customer_hierarchy_rollup",
     "supplier_pagerank",
     "spend_quartiles",

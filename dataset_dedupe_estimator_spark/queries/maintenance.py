@@ -735,6 +735,96 @@ def table_replace_where_read(spark, sf):
 _RW_LO, _RW_HI = 150, 650  # replaced band (exists at every sf tier)
 
 
+def table_analyze_read(spark, sf):
+    """ANALYZE TABLE statistics (r13, ``sources/versioned.py::
+    analyze_table`` — the catalog-statistics verb: per-column
+    null_count / NDV / min / max plus table row count, persisted as an
+    advisory sidecar with a staleness flag). The table ingests orders
+    and then DELETES a key band BEFORE analyzing, so the statistics
+    must describe the live snapshot, not the raw ingest — an analyzer
+    that scanned masked files, skipped a column, or mis-counted nulls
+    hash-mismatches against DuckDB recomputing the same stats from
+    orders-minus-band. The query RAISES if the freshness flag misfires
+    (fresh right after ANALYZE, stale after the next commit)."""
+    import shutil
+    import tempfile
+
+    from dataset_dedupe_estimator_spark.sources import versioned as vt
+
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    root = tempfile.mkdtemp(prefix="dde_an_")
+    try:
+        vt.append(
+            root, orders.repartitionByRange(4, "o_orderkey"),
+            stats_columns=["o_orderkey"],
+        )
+        vt.delete_where_pruned(
+            spark, root, [("o_orderkey", "between", (_AN_LO, _AN_HI))]
+        )
+        st = vt.analyze_table(
+            spark, root,
+            columns=["o_orderkey", "o_custkey", "o_orderpriority"],
+        )
+        back = vt.table_statistics(root)
+        if back["stale"] or back["version"] != st["version"]:
+            raise AssertionError(f"freshness flag wrong: {back}")
+        vt.append(root, orders.limit(0))
+        if not vt.table_statistics(root)["stale"]:
+            raise AssertionError("stats not flagged stale after a commit")
+        rows = [
+            (
+                c,
+                cs["null_count"],
+                cs["ndv"],
+                str(cs["min"]),
+                str(cs["max"]),
+                st["rows"],
+            )
+            for c, cs in st["columns"].items()
+        ]
+        return (
+            spark.createDataFrame(
+                rows,
+                "col string, null_count bigint, ndv bigint, "
+                "min_repr string, max_repr string, n_rows bigint",
+            )
+            .orderBy("col")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_AN_LO, _AN_HI = 120, 520  # deleted band before ANALYZE
+
+
+def _an_col_sql(col: str) -> str:
+    return f"""
+SELECT '{col}' AS col,
+       CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS null_count,
+       CAST(COUNT(DISTINCT {col}) AS BIGINT) AS ndv,
+       CAST(MIN({col}) AS VARCHAR) AS min_repr,
+       CAST(MAX({col}) AS VARCHAR) AS max_repr,
+       CAST((SELECT COUNT(*) FROM live) AS BIGINT) AS n_rows
+FROM live"""
+
+
+TABLE_ANALYZE_READ_SQL = f"""
+WITH live AS (
+  SELECT * FROM orders
+  WHERE o_orderkey NOT BETWEEN {_AN_LO} AND {_AN_HI}
+)
+{_an_col_sql('o_orderkey')}
+UNION ALL
+{_an_col_sql('o_custkey')}
+UNION ALL
+{_an_col_sql('o_orderpriority')}
+ORDER BY col
+"""
+
+
 TABLE_REPLACE_WHERE_READ_SQL = f"""
 SELECT o_custkey % 10 AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -2690,6 +2780,7 @@ QUERIES = {
     "table_replace_where_read": Q(
         table_replace_where_read, TABLE_REPLACE_WHERE_READ_SQL
     ),
+    "table_analyze_read": Q(table_analyze_read, TABLE_ANALYZE_READ_SQL),
     "table_dv_update_read": Q(table_dv_update_read, TABLE_DV_UPDATE_READ_SQL),
     "table_upsert_merge": Q(table_upsert_merge, TABLE_UPSERT_MERGE_SQL),
     "table_stream_read": Q(table_stream_read, TABLE_STREAM_READ_SQL),

@@ -5879,6 +5879,133 @@ def archive_log(root: str | Path, keep_tail: int = 0) -> dict:
         }
 
 
+_ANALYZE_DIR = "_analyze"
+
+
+def analyze_table(
+    spark: SparkSession,
+    root: str | Path,
+    columns: list[str] | None = None,
+    approx: bool = False,
+) -> dict:
+    """ANALYZE TABLE ... COMPUTE STATISTICS: table- and column-level
+    statistics over the CURRENT snapshot, persisted as an advisory
+    sidecar (``_analyze/stats-v<version>.json``, atomic
+    ``os.replace``) — the catalog-statistics analog of Delta's ANALYZE
+    into the metastore. Deliberately NOT a commit: statistics describe
+    a version, they don't change one, so readers/time travel/streams/
+    checkpoint folds see nothing new, and vacuum never touches the
+    sidecar dir.
+
+    Table stats: ``rows``, ``live_files``, ``live_bytes``. Column
+    stats (``columns`` defaults to every top-level column):
+    ``null_count``, ``ndv`` (exact by default — ONE aggregate pass;
+    ``approx=True`` switches to HLL ``approx_count_distinct``, the
+    100 TB path: multi-column exact distinct expands the input
+    per-column, HLL folds in one pass), ``min``/``max`` for orderable
+    types, ``avg_len`` for strings. Values are stored JSON-safe
+    (timestamps/dates ISO, everything else native).
+
+    Columns are LOGICAL names (renames resolved); dropped/unknown
+    names refuse. Returns the stats dict; read back with
+    :func:`table_statistics`."""
+    from pyspark.sql import functions as F
+
+    root = Path(root)
+    with writer_lock(root, wait_seconds=_LOCK_WAIT):
+        # lock: the recorded version and the scanned snapshot must be
+        # the same snapshot (a racing writer between resolve and scan
+        # would mislabel the stats)
+        entries = _snapshot_entries(root)
+        version, live_data_dirs, live_entries = _resolve(root, entries, None)
+        df = read_version(spark, root, version)
+        logical_cols = df.columns
+        if columns is None:
+            columns = logical_cols
+        unknown = [c for c in columns if c not in logical_cols]
+        if unknown:
+            raise ValueError(
+                f"analyze columns {unknown} not in table schema "
+                f"{logical_cols}"
+            )
+        dtypes = dict(df.dtypes)
+        ndv = (
+            (lambda c: F.approx_count_distinct(c, 0.02))  # 2% rsd HLL
+            if approx
+            else (lambda c: F.countDistinct(c))
+        )
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in columns:
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}")
+            )
+            aggs.append(ndv(c).alias(f"__ndv_{c}"))
+            t = dtypes[c]
+            if not t.startswith(("array", "map", "struct", "binary")):
+                aggs.append(F.min(c).alias(f"__min_{c}"))
+                aggs.append(F.max(c).alias(f"__max_{c}"))
+            if t == "string":
+                aggs.append(F.avg(F.length(c)).alias(f"__len_{c}"))
+        row = df.agg(*aggs).head()
+        masks = _live_masks(live_entries)
+        live_files = _surviving_files(live_data_dirs, masks)
+        stats: dict = {
+            "version": version,
+            "approx": bool(approx),
+            "ts": time.time(),
+            "rows": int(row["__rows"]),
+            "live_files": len(live_files),
+            "live_bytes": sum(Path(f).stat().st_size for f in live_files),
+            "columns": {},
+        }
+
+        def _safe(v):
+            import datetime as _dt
+            from decimal import Decimal as _Dec
+
+            if isinstance(v, (_dt.datetime, _dt.date)):
+                return v.isoformat()
+            if isinstance(v, _Dec):
+                return str(v)
+            return v
+
+        for c in columns:
+            cs = {
+                "dtype": dtypes[c],
+                "null_count": int(row[f"__nulls_{c}"]),
+                "ndv": int(row[f"__ndv_{c}"]),
+            }
+            if f"__min_{c}" in row.__fields__:
+                cs["min"] = _safe(row[f"__min_{c}"])
+                cs["max"] = _safe(row[f"__max_{c}"])
+            if f"__len_{c}" in row.__fields__ and row[f"__len_{c}"] is not None:
+                cs["avg_len"] = round(float(row[f"__len_{c}"]), 4)
+            stats["columns"][c] = cs
+        adir = root / _ANALYZE_DIR
+        adir.mkdir(exist_ok=True)
+        final = adir / f"stats-v{version:08d}.json"
+        tmp = adir / f".stats-{os.getpid()}.tmp"
+        tmp.write_text(json.dumps(stats, indent=1, default=str))
+        os.replace(tmp, final)
+    return stats
+
+
+def table_statistics(root: str | Path) -> dict | None:
+    """The newest ANALYZE sidecar (:func:`analyze_table`), or None if
+    the table was never analyzed. ``stale`` is set when commits landed
+    after the analyzed version — the CBO-style freshness signal."""
+    root = Path(root)
+    adir = root / _ANALYZE_DIR
+    files = sorted(adir.glob("stats-v*.json")) if adir.is_dir() else []
+    if not files:
+        return None
+    stats = json.loads(files[-1].read_text())
+    entries = _committed_entries(root)
+    current = entries[-1]["version"] if entries else -1
+    stats["stale"] = current > stats["version"]
+    return stats
+
+
 def vacuum(
     root: str | Path,
     keep_versions: int = 1,
