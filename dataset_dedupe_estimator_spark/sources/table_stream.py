@@ -26,13 +26,15 @@ Semantics follow the Delta streaming-source contract:
   at the first commit AT or AFTER the timestamp (epoch seconds or
   ISO-8601; the Delta option — a future timestamp tails new commits
   only).
-- ``.option("maxFilesPerTrigger", N)`` rate-limits catch-up: each
-  micro-batch admits whole commits until their input-file count would
-  exceed N (always >= 1 commit) — the Delta option of the same name.
-  Under ``trigger(availableNow=True)`` a SINGLE query run stops after
-  the first bounded slice (the fallback below) — drive a bounded
-  backfill with :func:`drain_available_now`, which loops passes
-  against one checkpoint until the source stops advancing.
+- ``.option("maxFilesPerTrigger", N)`` / ``.option("maxBytesPerTrigger",
+  B)`` rate-limit catch-up: each micro-batch admits whole commits
+  until their input-file count (bytes) would exceed the budget
+  (always >= 1 commit; both options compose, either cap stops the
+  slice) — the Delta options of the same names. Under
+  ``trigger(availableNow=True)`` a SINGLE query run stops after the
+  first bounded slice (the fallback below) — drive a bounded backfill
+  with :func:`drain_available_now`, which loops passes against one
+  checkpoint until the source stops advancing.
 - ``.option("readChangeFeed", "true")`` streams ROW-LEVEL changes
   instead: appends emit their rows as ``_change='insert'``;
   deletes/upserts emit the change-data file their commit wrote
@@ -213,6 +215,10 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         # latestOffset, not a replay — deliberately emits one
         # unbounded catch-up batch rather than risk re-delivery.
         self.max_files = int(options.get("maxfilespertrigger", 0) or 0)
+        # Delta's maxBytesPerTrigger: same whole-commit admission, byte
+        # budget instead of (or alongside) the file-count budget — the
+        # soft cap always admits at least one commit
+        self.max_bytes = int(options.get("maxbytespertrigger", 0) or 0)
         self._hwm: int | None = None
         self.spark_schema = schema
         # renamed columns: the schema speaks LOGICAL names, data files
@@ -244,35 +250,34 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             self._hwm = self.starting_version - 1
         return {"version": self.starting_version - 1}
 
-    def _commit_file_count(self, root: Path, e: dict) -> int:
-        """Input files this commit would contribute to a batch, mirroring
-        partitions(): property/dir-less/dataChange=false commits are 0;
-        CDF mode counts the change-data files of rewriting commits."""
+    def _commit_file_stats(self, root: Path, e: dict) -> tuple[int, int]:
+        """(input files, input bytes) this commit would contribute to a
+        batch, mirroring partitions(): property/dir-less/
+        dataChange=false commits are (0, 0); CDF mode counts the
+        change-data files of rewriting commits."""
         if e.get("data_change") is False:
-            return 0
+            return 0, 0
         if e["action"] in (
             "set_constraints", "rename_column", "drop_column",
             "set_partitioning",
         ):
-            return 0
+            return 0, 0
         if self.read_change_feed and e.get("change_data"):
-            base = root / _CDF / f"c{e['version']:08d}"
+            bases = [root / _CDF / f"c{e['version']:08d}"]
         elif e["action"] == "restore":
-            return sum(
-                len(list((root / _DATA / d).rglob("*.parquet")))
-                for d in e["dirs"]
-            )
+            bases = [root / _DATA / d for d in e["dirs"]]
         elif e.get("dir"):
-            base = root / _DATA / e["dir"]
+            bases = [root / _DATA / e["dir"]]
         else:
-            return 0
-        return len(list(base.rglob("*.parquet")))
+            return 0, 0
+        files = [f for b in bases for f in b.rglob("*.parquet")]
+        return len(files), sum(f.stat().st_size for f in files)
 
     def latestOffset(self) -> dict:
         root = Path(self.root)
         entries = _committed_entries(root)
         latest = entries[-1]["version"] if entries else self.starting_version - 1
-        if not self.max_files:
+        if not self.max_files and not self.max_bytes:
             return {"version": latest}
         if self._hwm is None:
             # first planning call of a run. A FRESH stream bounds its
@@ -283,15 +288,19 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             # _hwm — before its first latestOffset (verified against
             # spark 4.1's MicroBatchExecution restart path).
             self._hwm = self.starting_version - 1
-        n = admitted = 0
+        n = nb = admitted = 0
         end = self._hwm
         for e in entries:
             if e["version"] <= self._hwm:
                 continue
-            c = self._commit_file_count(root, e)
-            if admitted and n + c > self.max_files:
+            c, cb = self._commit_file_stats(root, e)
+            if admitted and (
+                (self.max_files and n + c > self.max_files)
+                or (self.max_bytes and nb + cb > self.max_bytes)
+            ):
                 break
             n += c
+            nb += cb
             admitted += 1
             end = e["version"]
         self._hwm = max(self._hwm, end)

@@ -400,3 +400,63 @@ def test_drain_available_now_bounded_multibatch(registered, tmp_path):
     assert rep["passes"] >= 3  # bounded slices, not one giant batch
     got = sorted(r.id for r in spark.read.parquet(out).collect())
     assert got == list(range(40))
+
+
+def test_max_bytes_per_trigger_offset_stepping(registered, spark, tmp_path):
+    """r13: the byte-budget twin of maxFilesPerTrigger — whole commits
+    admitted until the byte budget would overflow, always >=1 commit,
+    both caps compose (either one stops the slice)."""
+    from dataset_dedupe_estimator_spark.sources.table_stream import (
+        VersionedTableStreamReader,
+    )
+
+    root = tmp_path / "tbl"
+    for i in range(4):
+        vt.append(root, _mk(spark, i * 10, i * 10 + 10), num_files=1)
+    sizes = [
+        sum(
+            f.stat().st_size
+            for f in (root / "data" / f"c{v:08d}").rglob("*.parquet")
+        )
+        for v in range(4)
+    ]
+    # budget = exactly two commits' bytes -> two commits per step
+    rd = VersionedTableStreamReader(
+        None,
+        {"path": str(root), "maxbytespertrigger": str(sizes[0] + sizes[1])},
+    )
+    rd.initialOffset()
+    assert rd.latestOffset() == {"version": 1}
+    # remaining commits drain in bounded monotone steps to the head
+    # (commit byte sizes vary slightly, so 1 or 2 commits per step)
+    steps = [rd.latestOffset()["version"] for _ in range(3)]
+    assert steps == sorted(steps) and steps[-1] == 3
+    # budget smaller than any commit: one commit per step (>=1 rule)
+    rd2 = VersionedTableStreamReader(
+        None, {"path": str(root), "maxbytespertrigger": "1"}
+    )
+    rd2.initialOffset()
+    got = [rd2.latestOffset()["version"] for _ in range(4)]
+    assert got == [0, 1, 2, 3]
+    # composition: file cap 10 (loose) + tiny byte cap -> byte cap wins
+    rd3 = VersionedTableStreamReader(
+        None,
+        {
+            "path": str(root),
+            "maxfilespertrigger": "10",
+            "maxbytespertrigger": "1",
+        },
+    )
+    rd3.initialOffset()
+    assert rd3.latestOffset() == {"version": 0}
+    # composition the other way: byte cap loose, file cap 1 wins
+    rd4 = VersionedTableStreamReader(
+        None,
+        {
+            "path": str(root),
+            "maxfilespertrigger": "1",
+            "maxbytespertrigger": str(10 * sum(sizes)),
+        },
+    )
+    rd4.initialOffset()
+    assert rd4.latestOffset() == {"version": 0}
