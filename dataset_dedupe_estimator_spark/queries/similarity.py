@@ -340,7 +340,11 @@ def _lsh_features_fn(it):
     import numpy as np
     import pyarrow as pa
 
-    P = np.asarray(_PLANES, dtype=np.float64)  # (T, MAX_PLANES, DIM)
+    # (T*MAX_PLANES, DIM): all tables' planes side by side so ONE
+    # accumulation loop serves every table (r13: replaces 64 per-plane
+    # cumsum passes, each allocating two (nb, DIM) temporaries — 9.5x
+    # faster in the kernel microbench, np.array_equal-identical output)
+    PF = np.asarray(_PLANES, dtype=np.float64).reshape(N_TABLES * MAX_PLANES, DIM)
     names_out = ["vec_id", "unit"] + [f"bits{t}" for t in range(N_TABLES)]
     for batch in it:
         idx = {n: i for i, n in enumerate(batch.schema.names)}
@@ -352,18 +356,26 @@ def _lsh_features_fn(it):
         unit = e / nrm[:, None]
         offsets = pa.array(np.arange(0, (nb + 1) * DIM, DIM, dtype=np.int32))
         arrays = [vec_id, pa.ListArray.from_arrays(offsets, pa.array(unit.ravel()))]
+        # strict left-fold dots for ALL T*P planes at once: acc starts at
+        # +0.0 and adds the d-th term of every plane in ascending d order.
+        # Per plane that is ((0.0 + x_0) + x_1) + ... — IEEE-identical to
+        # np.cumsum's running sum (0.0 + x == x bitwise for every x the
+        # sign-bit comparison can distinguish) and to the F.aggregate /
+        # DuckDB list_reduce folds the oracle mirrors. A BLAS matmul would
+        # be ~2x faster again but sums pairwise — NOT order-identical.
+        dots = np.zeros((nb, N_TABLES * MAX_PLANES))
+        for d in range(DIM):
+            dots += e[:, d, None] * PF[None, :, d]
+        # bit matrix → strings via one vectorized uint8→S-view
+        # reinterpretation instead of a per-row Python join
+        chars = np.where(dots >= 0.0, ord("1"), ord("0")).astype(np.uint8)
+        chars = chars.reshape(nb, N_TABLES, MAX_PLANES)
         for t in range(N_TABLES):
-            # per-plane cumsum keeps the temporaries cache-sized (a
-            # one-shot (nb, MAX_PLANES, DIM) product measured ~25%
-            # SLOWER from allocation/cache misses); the bit matrix is
-            # then turned into strings with one vectorized uint8→S-view
-            # reinterpretation instead of a per-row Python join
-            # (micro-benchmarked ~30% faster end to end, bit-identical)
-            dots = np.empty((nb, MAX_PLANES))
-            for p_i in range(MAX_PLANES):
-                dots[:, p_i] = np.cumsum(e * P[t, p_i][None, :], axis=1)[:, -1]
-            chars = np.where(dots >= 0.0, ord("1"), ord("0")).astype(np.uint8)
-            strs = np.ascontiguousarray(chars).view(f"S{MAX_PLANES}")[:, 0].astype("U")
+            strs = (
+                np.ascontiguousarray(chars[:, t, :])
+                .view(f"S{MAX_PLANES}")[:, 0]
+                .astype("U")
+            )
             arrays.append(pa.array(strs, type=pa.string()))
         yield pa.RecordBatch.from_arrays(arrays, names=names_out)
 
@@ -374,6 +386,50 @@ def lsh_features(emb):
         f"bits{t} string" for t in range(N_TABLES)
     )
     return emb.select("vec_id", "embedding").mapInArrow(_lsh_features_fn, schema)
+
+
+EMB_DEDUP_T = 0.45  # near-dup cosine threshold (shared with the brute baseline)
+
+
+def _pair_cosine_fn(it):
+    """Arrow-batched exact cosine over candidate pairs with attached unit
+    vectors; emits only pairs at/above EMB_DEDUP_T.
+
+    r13: replaces the JVM ``aggregate(zip_with(...))`` rerank — Catalyst
+    evaluates higher-order-function lambdas interpreted (never codegen),
+    and the optimizer additionally evaluated the fold twice per surviving
+    pair (join condition + projection): ~61% of the query's sf1 wall
+    (tools/profile_lsh_query.py). The fold here accumulates from +0.0 in
+    ascending element order — bit-identical to ``F.aggregate``'s left
+    fold and DuckDB's ``list_reduce`` (see _lsh_features_fn note).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in it:
+        idx = {n: i for i, n in enumerate(batch.schema.names)}
+        va = batch.column(idx["vec_a"]).to_numpy(zero_copy_only=False)
+        vb = batch.column(idx["vec_b"]).to_numpy(zero_copy_only=False)
+        ua = (
+            batch.column(idx["ua"]).flatten().to_numpy(zero_copy_only=False)
+            .reshape(-1, DIM)
+        )
+        ub = (
+            batch.column(idx["ub"]).flatten().to_numpy(zero_copy_only=False)
+            .reshape(-1, DIM)
+        )
+        acc = np.zeros(len(va))
+        for d in range(DIM):
+            acc += ua[:, d] * ub[:, d]
+        keep = acc >= EMB_DEDUP_T
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(va[keep], pa.int64()),
+                pa.array(vb[keep], pa.int64()),
+                pa.array(acc[keep], pa.float64()),
+            ],
+            names=["vec_a", "vec_b", "cosine"],
+        )
 
 
 def embedding_dedup_lsh(spark, sf):
@@ -393,7 +449,18 @@ def embedding_dedup_lsh(spark, sf):
     100 TB you'd persist (or write) them once before any pair work."""
     emb = load(spark, sf, "embeddings")
     n_df = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
-    feats = lsh_features(emb).persist(StorageLevel.MEMORY_AND_DISK)
+    # spread an under-partitioned scan before the feature pass (r13):
+    # small parquet inputs arrive as ONE split, which serialized the
+    # Arrow pass AND — because persist preserves partitioning — ran the
+    # whole bucket self-join probe (3.3M emitted rows at sf1) as one
+    # task (§2.5 input skew). Hash on vec_id, only when the scan has
+    # fewer splits than cores — a 100 TB table already arrives with
+    # thousands of splits and must NOT be coalesced to core count.
+    src = emb.select("vec_id", "embedding")
+    par = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par, "vec_id")
+    feats = lsh_features(src).persist(StorageLevel.MEMORY_AND_DISK)
     units = feats.select("vec_id", "unit")
     # one posexplode pass — NOT an N_TABLES-way union that would
     # re-evaluate the feature pass per table
@@ -423,14 +490,19 @@ def embedding_dedup_lsh(spark, sf):
     )
     ua = units.select(F.col("vec_id").alias("vec_a"), F.col("unit").alias("ua"))
     ub = units.select(F.col("vec_id").alias("vec_b"), F.col("unit").alias("ub"))
-    cos = _dot(F.col("ua"), F.col("ub"))
-    return (
+    # rerank in ONE Arrow pass (cosine + threshold): the declarative
+    # `_dot(...) >= 0.45` form pushed the fold into the join condition
+    # AND re-evaluated it in the projection, all interpreted (HOF lambdas
+    # never reach codegen) — 61% of the sf1 wall before r13. Only the
+    # pair columns cross the Python boundary (§4 column discipline).
+    paired = (
         cands.join(ua, "vec_a")
         .join(ub, "vec_b")
-        .select("vec_a", "vec_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= 0.45)
-        .orderBy("vec_a", "vec_b")
+        .select("vec_a", "vec_b", "ua", "ub")
     )
+    return paired.mapInArrow(
+        _pair_cosine_fn, "vec_a long, vec_b long, cosine double"
+    ).orderBy("vec_a", "vec_b")
 
 
 _LSH_BUCKET_COLS = ", ".join(

@@ -89,17 +89,21 @@ def main() -> None:
     out["n_candidates"] = cands.count()
     out["candidates_s"] = round(time.time() - t0, 2)
 
-    # phase 3: exact rerank on the (materialized) candidates
+    # phase 3: exact rerank on the (materialized) candidates — the r13
+    # Arrow-batched kernel the query itself uses (cosine + threshold in
+    # one numpy pass; the old JVM aggregate(zip_with) fold was 61% of
+    # the contended sf1 wall)
     units = feats.select("vec_id", "unit")
     ua = units.select(F.col("vec_id").alias("vec_a"), F.col("unit").alias("ua"))
     ub = units.select(F.col("vec_id").alias("vec_b"), F.col("unit").alias("ub"))
-    cos = S._dot(F.col("ua"), F.col("ub"))
     t0 = time.time()
     out["n_pairs"] = (
         cands.join(ua, "vec_a")
         .join(ub, "vec_b")
-        .select("vec_a", "vec_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= 0.45)
+        .select("vec_a", "vec_b", "ua", "ub")
+        .mapInArrow(
+            S._pair_cosine_fn, "vec_a long, vec_b long, cosine double"
+        )
         .count()
     )
     out["rerank_s"] = round(time.time() - t0, 2)
