@@ -159,13 +159,18 @@ FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fingerprint
 
 def dedup_keep_first(spark, sf):
     """Survivor set after exact dedup: first doc_id per text hash wins
-    (reference first-writer-wins provenance, src/store.rs:121-126)."""
+    (reference first-writer-wins provenance, src/store.rs:121-126).
+
+    r13: the row_number window became a MIN aggregate — same survivors
+    (rn=1 ordered by doc_id IS the group minimum), but the aggregate
+    does partial, map-side reduction so the exchange carries one row per
+    digest instead of every row, and the per-partition sort the window
+    needed disappears (§2.3 "aggregate before you shuffle")."""
     docs = load(spark, sf, "documents")
-    w = Window.partitionBy("text_hash").orderBy("doc_id")
     return (
         docs.select(F.md5(F.col("text").cast("binary")).alias("text_hash"), "doc_id")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
         .orderBy("doc_id")
     )
