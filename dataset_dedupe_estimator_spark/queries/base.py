@@ -45,6 +45,50 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 from dataset_dedupe_estimator_spark.functions.money import cents, sql_cents  # noqa: E402,F401
 
 
+SPREAD_MIN_BYTES = 64 * 1024 * 1024  # below this, one scan task is cheaper
+#                                      than the exchange a spread inserts
+
+
+def maybe_spread(
+    df: DataFrame,
+    sf_dir: str,
+    table: str,
+    *cols: str,
+    min_bytes: int = SPREAD_MIN_BYTES,
+) -> DataFrame:
+    """Input-skew remedy (optimization guide §2.5): a single-row-group
+    parquet file is an unsplittable scan — Spark runs the WHOLE map side
+    (filters, projections, partial aggregates, broadcast-join probes) as
+    one task no matter the cluster size. When the scan (a) arrives as
+    fewer splits than cores and (b) carries enough bytes that serializing
+    the map side dominates (>= SPREAD_MIN_BYTES on disk), hash-repartition
+    on a high-cardinality key (no keyless round-robin: that pays a local
+    sort per SPARK-23207) so downstream work parallelizes.
+
+    Both guards are metadata-only (file size + planned split count, no
+    data pass) and make the spread a no-op exactly where it should be:
+    small fixtures (the exchange would cost more than it saves) and real
+    multi-split tables at scale (a 100 TB table must never be coalesced
+    to core count)."""
+    import glob
+    import os
+
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        nbytes = sum(
+            os.path.getsize(p)
+            for p in glob.glob(os.path.join(sf_dir, f"{table}.parquet"))
+        )
+    except OSError:
+        nbytes = 0
+    if nbytes < min_bytes:
+        return df
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par, *cols) if cols else df.repartition(par)
+
+
 def ts(lit: str) -> Column:
     """timestamp_ntz literal (test tables use TIMESTAMP_NTZ)."""
     return F.lit(lit).cast("timestamp_ntz")

@@ -34,6 +34,12 @@ def q1_pricing_summary(spark, sf):
     disc_price = ep * (F.lit(100) - disc)            # 1e-4 dollar units, exact
     charge = disc_price * (F.lit(100) + tax)         # 1e-6 dollar units, exact
     n = F.count(F.lit(1))
+    # NOTE (r13, measured): spreading the scan before this aggregate
+    # (maybe_spread) made sf1 5x WORSE (2.4 s -> ~14 s): the partial
+    # aggregate collapses 6M rows to 6 groups map-side at near scan
+    # speed, so an exchange of raw rows replaces a trivial agg with a
+    # 600 MB serial shuffle write — §2.3 aggregate-before-shuffle wins
+    # over §2.5 spread here. The single-row-group serial scan stays.
     return (
         li.filter(F.col("l_shipdate") <= ts("1998-09-02 00:00:00"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -75,6 +81,9 @@ def q3_shipping_priority(spark, sf):
     """
     cust = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load(spark, sf, "orders").filter(F.col("o_orderdate") < ts("1998-03-15 00:00:00"))
+    # unspread by design (r13): see q1 — the revenue aggregate does its
+    # reduction map-side; shuffling the filtered rows first costs more
+    # than the serial probe it parallelizes
     li = load(spark, sf, "lineitem").filter(F.col("l_shipdate") > ts("1998-03-15 00:00:00"))
     rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
     return (
@@ -111,6 +120,10 @@ LIMIT 10
 
 def q5_local_supplier_volume(spark, sf):
     """TPC-H Q5 shape: 6-way join, dims broadcast, group by nation."""
+    # unspread by design (r13): the probe chain is cheap per row and the
+    # nation aggregate collapses map-side — an exchange of raw lineitem
+    # rows costs more than the serial probe it parallelizes (same §2.3
+    # verdict as q1; measured there)
     li = load(spark, sf, "lineitem")
     orders = load(spark, sf, "orders")
     cust = load(spark, sf, "customer")

@@ -13,7 +13,7 @@ from functools import reduce
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from dataset_dedupe_estimator_spark.queries.base import Q, load
+from dataset_dedupe_estimator_spark.queries.base import Q, load, maybe_spread
 
 STOPWORDS = ("the", "a", "of", "and", "in", "to", "is", "on")
 _SW_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
@@ -32,7 +32,14 @@ LANG_MARKERS = {
 def text_quality(spark, sf):
     """Per-doc quality metrics: token counts, type-token ratio, stopword
     ratio, average token length — the standard LLM-data quality gates."""
-    docs = load(spark, sf, "documents")
+    # §2.5 spread: the split/distinct/intersect projection is pure
+    # map-side CPU over text — serial on a single-row-group file. Text
+    # is ~an order denser in CPU-per-byte than the numeric scans, so the
+    # byte gate sits lower than the relational default.
+    docs = maybe_spread(
+        load(spark, sf, "documents"), sf, "documents", "doc_id",
+        min_bytes=4 * 1024 * 1024,
+    )
     t = F.split(F.col("text"), " ")
     n_tok = F.size(t)
     n_uniq = F.size(F.array_distinct(t))
