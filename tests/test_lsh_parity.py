@@ -138,3 +138,80 @@ def test_big_corpus_bucketing_recall_at_p13(spark):
         a, b = dup[i], dup[n - 100 + i]
         for t in range(N_TABLES):
             assert a[f"b{t}"] == b[f"b{t}"], (i, t)
+
+
+def test_pair_cosine_kernel_matches_fold_expression(spark, sf_dir):
+    """r13: the Arrow-batched rerank kernel (_pair_cosine_fn) must emit
+    EXACTLY the pairs the declarative aggregate(zip_with) fold + filter
+    emitted, with bit-identical cosines (the fold accumulates from +0.0
+    in ascending element order — same as the kernel's dim loop)."""
+    from pyspark.sql import functions as F
+
+    from dataset_dedupe_estimator_spark.queries.similarity import (
+        EMB_DEDUP_T,
+        _dot,
+        _pair_cosine_fn,
+        unit_features,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    units = unit_features(emb)
+    ua = units.select(F.col("vec_id").alias("vec_a"), F.col("unit").alias("ua"))
+    ub = units.select(F.col("vec_id").alias("vec_b"), F.col("unit").alias("ub"))
+    # all ordered pairs over a small slice: includes pairs on BOTH sides
+    # of the threshold so the kernel's filter is genuinely exercised
+    pairs = (
+        ua.crossJoin(ub)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(F.col("vec_a") < 40)
+    )
+    declarative = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in pairs.select(
+            "vec_a", "vec_b", _dot(F.col("ua"), F.col("ub")).alias("cosine")
+        )
+        .filter(F.col("cosine") >= EMB_DEDUP_T)
+        .collect()
+    }
+    kernel = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in pairs.select("vec_a", "vec_b", "ua", "ub")
+        .mapInArrow(_pair_cosine_fn, "vec_a long, vec_b long, cosine double")
+        .collect()
+    }
+    assert declarative.keys() == kernel.keys() and declarative
+    import struct
+
+    for k, v in declarative.items():
+        # exact bit equality, not approx — the oracle hashes these values
+        assert struct.pack("<d", v) == struct.pack("<d", kernel[k]), k
+
+
+def test_pair_cosine_kernel_empty_batch():
+    """Zero surviving pairs (and an all-filtered batch) must yield an
+    empty, well-typed RecordBatch stream, not an error."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dataset_dedupe_estimator_spark.queries.similarity import (
+        DIM,
+        _pair_cosine_fn,
+    )
+
+    n = 4
+    # orthogonal-ish unit vectors with negative dots: all below threshold
+    ua = np.zeros((n, DIM)); ua[:, 0] = 1.0
+    ub = np.zeros((n, DIM)); ub[:, 0] = -1.0
+    off = pa.array(np.arange(0, (n + 1) * DIM, DIM, dtype=np.int32))
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array(np.arange(n, dtype=np.int64)),
+            pa.array(np.arange(n, dtype=np.int64) + 10),
+            pa.ListArray.from_arrays(off, pa.array(ua.ravel())),
+            pa.ListArray.from_arrays(off, pa.array(ub.ravel())),
+        ],
+        names=["vec_a", "vec_b", "ua", "ub"],
+    )
+    out = list(_pair_cosine_fn(iter([batch])))
+    assert len(out) == 1 and out[0].num_rows == 0
+    assert out[0].schema.names == ["vec_a", "vec_b", "cosine"]
