@@ -46,71 +46,17 @@ for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthet
 # so rotation only affects which subset gets *driver-side* attestation,
 # never whether a regression is caught.
 #
-# Round-13 window (executes the rotation staged at r12 close, COVERAGE.md
-# ledger): the 47 round-9-green queries held in the r12 _NEXT
-# (q6_revenue_forecast ... table_partition_evolution_read) plus the 3
-# stalest round-10-green queries (registry-order tiebreak):
-# customer_hierarchy_rollup, supplier_pagerank, spend_quartiles — the
-# last two displaced into _NEXT by the two r13-TOUCHED rows-only->
-# oracle conversions (cdc_streaming_estimate, ann_ivf_trained; the
-# touched-query rotation rule, as cdc_upload_delta in r12). Queries
-# added DURING r13 displace further fill into _NEXT so they carry
-# driver attestation the same round they land (the r9..r12 pattern).
+# Round-14 window (executes the rotation staged at r13 close, COVERAGE.md
+# ledger): the first 50 of the r13 _NEXT — the round-10-green queries
+# (table_partition_evolution_read ... table_time_travel), the stalest
+# attested tier. This window deliberately contains the r14 optimization
+# targets (minhash_signatures/minhash_lsh_candidates, embedding_dedup_lsh,
+# dedup_keep_first, text_quality), so every query whose physical plan the
+# r13/r14 optimization rounds touched carries driver-side attestation
+# this round (the touched-query rotation rule). The one overflow entry
+# (zorder_layout) heads _NEXT; _middle (computed) holds the r11-green
+# tier; _TAIL = r12-green then the r13-attested 50 (freshest last).
 _FRONT = [
-    "q6_revenue_forecast",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "top_spenders",
-    "window_top_orders_per_customer",
-    "window_running_spend",
-    "rollup_order_status",
-    "semi_anti_customers",
-    "set_ops_parts",
-    "events_hourly",
-    "events_json_extract",
-    "events_daily_users",
-    "dedup_exact_groups",
-    "ivfpq_search",
-    "synthetic_delete_rows",
-    "synthetic_insert_rows",
-    "synthetic_update_rows",
-    "synthetic_update_column",
-    "synthetic_append_rows",
-    "streaming_windowed_counts",
-    "streaming_sessionize_events",
-    "salted_agg_lineitem",
-    "merge_upsert_orders",
-    "dedup_keep_first_pruned",
-    "dedup_spans",
-    "mixture_sample",
-    "sequence_pack",
-    "quality_classifier",
-    "source_drift_tvd",
-    "unigram_surprisal",
-    "tfidf_top_terms",
-    "bloom_incremental_dedup",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q22_idle_customers",
-    "table_checkpoint_read",
-    "table_restore_read",
-    "table_dv_delete_read",
-    "table_concurrent_append_read",
-    "table_rename_read",
-    "table_drop_read",
-    "table_clone_read",
-    "cdc_streaming_estimate",
-    "ann_ivf_trained",
-    "table_replace_where_read",
-    "table_analyze_read",
-]
-# overflow: the remaining round-10-green queries — first in line for
-# round 14's window (locally re-verified every round)
-_NEXT = [
     "table_partition_evolution_read",
     "customer_hierarchy_rollup",
     "supplier_pagerank",
@@ -161,10 +107,15 @@ _NEXT = [
     "table_nested_read",
     "table_archive_read",
     "table_time_travel",
+]
+# overflow: the one round-10-green query the 50-slot window could not
+# hold — first in line for round 15 (locally re-verified every round)
+_NEXT = [
     "zorder_layout",
 ]
-# most recent driver green: CORRECTNESS_r12 (47 oracle-green + 3
-# rows-only by design)
+# most recently driver-checked: the r12-attested 50 (CORRECTNESS_r12:
+# 47 oracle-green + 3 rows-only by design) followed by the r13-attested
+# 50 (CORRECTNESS_r13: 50/50 oracle-green) — freshest at the very back
 _TAIL = [
     "events_user_lifecycle",
     "events_markov_transitions",
@@ -216,6 +167,56 @@ _TAIL = [
     "table_replicate_read",
     "cdc_upload_delta",
     "table_stream_sink_read",
+    "q6_revenue_forecast",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_spenders",
+    "window_top_orders_per_customer",
+    "window_running_spend",
+    "rollup_order_status",
+    "semi_anti_customers",
+    "set_ops_parts",
+    "events_hourly",
+    "events_json_extract",
+    "events_daily_users",
+    "dedup_exact_groups",
+    "ivfpq_search",
+    "synthetic_delete_rows",
+    "synthetic_insert_rows",
+    "synthetic_update_rows",
+    "synthetic_update_column",
+    "synthetic_append_rows",
+    "streaming_windowed_counts",
+    "streaming_sessionize_events",
+    "salted_agg_lineitem",
+    "merge_upsert_orders",
+    "dedup_keep_first_pruned",
+    "dedup_spans",
+    "mixture_sample",
+    "sequence_pack",
+    "quality_classifier",
+    "source_drift_tvd",
+    "unigram_surprisal",
+    "tfidf_top_terms",
+    "bloom_incremental_dedup",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q22_idle_customers",
+    "table_checkpoint_read",
+    "table_restore_read",
+    "table_dv_delete_read",
+    "table_concurrent_append_read",
+    "table_rename_read",
+    "table_drop_read",
+    "table_clone_read",
+    "cdc_streaming_estimate",
+    "ann_ivf_trained",
+    "table_replace_where_read",
+    "table_analyze_read",
 ]
 _missing = (set(_FRONT) | set(_NEXT) | set(_TAIL)) - REGISTRY.keys()
 if _missing:
