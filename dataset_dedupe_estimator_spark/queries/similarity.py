@@ -25,7 +25,6 @@ once per vector, never per pair.
 from __future__ import annotations
 
 import numpy as np
-from pyspark import StorageLevel
 from pyspark.sql import Column, functions as F
 from pyspark.sql.window import Window
 
@@ -397,13 +396,18 @@ def _pair_cosine_fn(it):
     """Arrow-batched exact cosine over candidate pairs with attached unit
     vectors; emits only pairs at/above EMB_DEDUP_T.
 
-    r13: replaces the JVM ``aggregate(zip_with(...))`` rerank — Catalyst
+    r13: replaced the JVM ``aggregate(zip_with(...))`` rerank — Catalyst
     evaluates higher-order-function lambdas interpreted (never codegen),
     and the optimizer additionally evaluated the fold twice per surviving
     pair (join condition + projection): ~61% of the query's sf1 wall
     (tools/profile_lsh_query.py). The fold here accumulates from +0.0 in
     ascending element order — bit-identical to ``F.aggregate``'s left
     fold and DuckDB's ``list_reduce`` (see _lsh_features_fn note).
+
+    r14: no longer on the ``embedding_dedup_lsh`` query path (the
+    bucket-grouped ``_bucket_pair_cosine_fn`` computes the same fold
+    without shipping per-pair unit vectors); kept as the pairwise
+    reference kernel the parity tests pin both implementations against.
     """
     import numpy as np
     import pyarrow as pa
@@ -434,33 +438,134 @@ def _pair_cosine_fn(it):
         )
 
 
+def _bucket_pair_cosine_fn(it):
+    """Arrow-batched within-bucket pair generation + exact cosine +
+    threshold, over rows of (members: list<struct<vec_id, unit>>), one
+    row per (table_id, bucket) posting list.
+
+    r14 (§2.3 "shuffle keys and metadata instead of payloads", §8): the
+    r13 plan joined 3.26M candidate rows, DISTINCTed them, broadcast-
+    joined both unit vectors back on, and shipped ~1 KB per pair (128
+    doubles) across the Python boundary — ~2.8 GB at sf1. Grouping the
+    postings first ships each vector's unit ONCE per (table, bucket)
+    membership (~42 MB at sf1, a ~70x boundary reduction) and the pair
+    fan-out happens inside the kernel. Pair enumeration is vectorized
+    (triangular-number decode of within-bucket pair ranks — no Python
+    loop over buckets); the cosine is the strict ascending-d left fold
+    from +0.0, bit-identical to ``_pair_cosine_fn``, ``F.aggregate`` and
+    DuckDB ``list_reduce`` (test_lsh_parity). Duplicate pairs discovered
+    by several tables/buckets carry bit-identical cosines, so the
+    downstream dropDuplicates([vec_a, vec_b]) is value-deterministic."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _empty():
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array([], pa.int64()),
+                pa.array([], pa.int64()),
+                pa.array([], pa.float64()),
+            ],
+            names=["vec_a", "vec_b", "cosine"],
+        )
+
+    for batch in it:
+        idx = {n: i for i, n in enumerate(batch.schema.names)}
+        members = batch.column(idx["members"])
+        # sizes via list_value_length (robust to sliced arrays whose
+        # offsets don't start at 0); flatten() re-bases the values
+        ks = (
+            pc.list_value_length(members)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        flat = members.flatten()  # StructArray, concatenated in row order
+        ids = flat.field("vec_id").to_numpy(zero_copy_only=False)
+        uflat = flat.field("unit").flatten().to_numpy(zero_copy_only=False)
+        if uflat.size != ids.size * DIM:
+            raise ValueError(
+                f"bucket kernel: unit payload {uflat.size} != "
+                f"{ids.size} vectors x {DIM} dims"
+            )
+        units = uflat.reshape(-1, DIM)
+        pg = ks * (ks - 1) // 2  # pairs per bucket
+        total = int(pg.sum())
+        if total == 0:
+            yield _empty()
+            continue
+        grp = np.repeat(np.arange(len(ks)), pg)
+        # within-bucket pair rank r -> (i, j), i < j, via the triangular
+        # decode r = j*(j-1)/2 + i (float sqrt + integer fix-up: exact
+        # for any r an int64 pair count can reach)
+        r = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(pg) - pg, pg)
+        j = ((1.0 + np.sqrt(1.0 + 8.0 * r)) // 2).astype(np.int64)
+        j[j * (j - 1) // 2 > r] -= 1
+        j[(j + 1) * j // 2 <= r] += 1
+        i = r - j * (j - 1) // 2
+        base = np.concatenate(([0], np.cumsum(ks)))[:-1][grp]
+        ia = base + i
+        ib = base + j
+        # strict ascending-d left fold from +0.0 (bit-identical to the
+        # F.aggregate / DuckDB folds). Layout matters: gathering per-pair
+        # row matrices (pairs x DIM) makes the d-loop a strided
+        # DRAM-latency walk (~3.4 s/M pairs measured); transposing the
+        # SMALL per-batch unit matrix once and gathering per-dimension
+        # from its cache-resident rows is 3x faster (~1.1 s/M) with no
+        # pairs x DIM allocation at all.
+        UT = np.ascontiguousarray(units.T)  # (DIM, members) — L2-sized
+        acc = np.zeros(total)
+        for d in range(DIM):
+            acc += UT[d][ia] * UT[d][ib]
+        va = ids[ia]
+        vb = ids[ib]
+        lo = np.minimum(va, vb)
+        hi = np.maximum(va, vb)
+        keep = acc >= EMB_DEDUP_T
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(lo[keep], pa.int64()),
+                pa.array(hi[keep], pa.int64()),
+                pa.array(acc[keep], pa.float64()),
+            ],
+            names=["vec_a", "vec_b", "cosine"],
+        )
+
+
 def embedding_dedup_lsh(spark, sf):
     """Scale path for embedding near-dup: N_TABLES independent hyperplane
     hash tables (banding — recall survives plane growth), adaptive plane
     count (buckets ∝ corpus via the broadcast-COUNT integer ladder), exact
-    unit-vector cosine only on the deduplicated candidate pairs. Same
-    threshold as the brute-force baseline, so results are its subset.
-    Signatures come from the Arrow-batched numpy pass (`lsh_features`),
-    proven bit-identical to the fold expressions in tests.
+    unit-vector cosine on within-bucket pairs. Same threshold as the
+    brute-force baseline, so results are its subset. Signatures come from
+    the Arrow-batched numpy pass (`lsh_features`), proven bit-identical
+    to the fold expressions in tests.
 
-    The feature table feeds three consumers (bucket explode + both sides
-    of the cosine rerank); without materialization Spark re-runs the scan
-    and Arrow pass per consumer (8 MapInArrow nodes, 0 ReusedExchange —
-    measured 2.7s → 1.3s at sf0.1 when persisted). MEMORY_AND_DISK is the
-    production choice: unit vectors are the expensive artifact, and at
-    100 TB you'd persist (or write) them once before any pair work."""
+    r14 plan shape (§2.3/§8 — decide with small rows, move payloads
+    once): features → posexplode into (table_id, bucket, vec_id, unit)
+    postings → ONE hash exchange on (table_id, bucket) → collect_list
+    posting lists → `_bucket_pair_cosine_fn` (pairs + cosine + threshold
+    in-kernel) → dropDuplicates(pair) → global sort. This replaces the
+    r13 candidate self-join + pair DISTINCT + two unit-attach joins +
+    per-pair boundary transfer (~2.8 GB at sf1 → ~42 MB), and the
+    feature pass now has exactly ONE consumer, so the r13 persist (and
+    its second scan of the cached features) is gone. Known trade-off: a
+    pathological hot bucket concentrates its k² pair work in one task —
+    the same concentration the old broadcast-probe plan had — bounded by
+    the adaptive plane ladder keeping expected bucket size ~TARGET_BUCKET."""
     emb = load(spark, sf, "embeddings")
     n_df = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
     # spread an under-partitioned scan before the feature pass (r13):
     # small parquet inputs arrive as ONE split, which serialized the
-    # Arrow pass AND — because persist preserves partitioning — ran the
-    # whole bucket self-join probe (3.3M emitted rows at sf1) as one
-    # task (§2.5 input skew). Hash on vec_id, only when the scan has
-    # fewer splits than cores — a 100 TB table already arrives with
+    # Arrow pass (§2.5 input skew). Hash on vec_id, only when the scan
+    # has fewer splits than cores — a 100 TB table already arrives with
     # thousands of splits and must NOT be coalesced to core count.
     # Corpus-size gate (parquet footer count, metadata-only): below
     # SPREAD_MIN_VECS the exchange costs more than the serial pass it
-    # saves (measured +0.2 s on the 2k-vector sf0.1 fixture).
+    # saves (measured +0.2 s on the 2k-vector sf0.1 fixture). r14
+    # (ADVICE): 'no files matched' no longer masquerades as 'unknown
+    # corpus size' — an empty glob leaves n_est None (spread allowed),
+    # a real footer count of 0 gates the spread off.
     src = emb.select("vec_id", "embedding")
     par = spark.sparkContext.defaultParallelism
     n_est = None
@@ -469,26 +574,27 @@ def embedding_dedup_lsh(spark, sf):
 
         import pyarrow.parquet as _pq
 
-        n_est = sum(
-            _pq.ParquetFile(p).metadata.num_rows
-            for p in _glob.glob(f"{sf}/embeddings.parquet")
-        ) or None
+        files = _glob.glob(f"{sf}/embeddings.parquet") or _glob.glob(
+            f"{sf}/embeddings.parquet/*.parquet"
+        )
+        if files:
+            n_est = sum(_pq.ParquetFile(p).metadata.num_rows for p in files)
     except Exception:
         pass
     if (n_est is None or n_est >= SPREAD_MIN_VECS) and (
         src.rdd.getNumPartitions() < par
     ):
         src = src.repartition(par, "vec_id")
-    feats = lsh_features(src).persist(StorageLevel.MEMORY_AND_DISK)
-    units = feats.select("vec_id", "unit")
+    feats = lsh_features(src)
     # one posexplode pass — NOT an N_TABLES-way union that would
-    # re-evaluate the feature pass per table
+    # re-evaluate the feature pass per table; the unit vector rides
+    # along so the posting exchange is the ONLY payload movement
     buckets = (
-        feats.select("vec_id", *[f"bits{t}" for t in range(N_TABLES)])
-        .crossJoin(F.broadcast(n_df))
+        feats.crossJoin(F.broadcast(n_df))
         .withColumn("p", _n_planes_col(_m_col(F.col("n_vecs"))))
         .select(
             "vec_id",
+            "unit",
             F.posexplode(
                 F.array(
                     *[
@@ -499,29 +605,18 @@ def embedding_dedup_lsh(spark, sf):
             ).alias("table_id", "bucket"),
         )
     )
-    a = buckets.select("table_id", "bucket", F.col("vec_id").alias("vec_a"))
-    b = buckets.select("table_id", "bucket", F.col("vec_id").alias("vec_b"))
-    cands = (
-        a.join(b, ["table_id", "bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
+    grouped = (
+        buckets.groupBy("table_id", "bucket")
+        .agg(F.collect_list(F.struct("vec_id", "unit")).alias("members"))
+        .select("members")
     )
-    ua = units.select(F.col("vec_id").alias("vec_a"), F.col("unit").alias("ua"))
-    ub = units.select(F.col("vec_id").alias("vec_b"), F.col("unit").alias("ub"))
-    # rerank in ONE Arrow pass (cosine + threshold): the declarative
-    # `_dot(...) >= 0.45` form pushed the fold into the join condition
-    # AND re-evaluated it in the projection, all interpreted (HOF lambdas
-    # never reach codegen) — 61% of the sf1 wall before r13. Only the
-    # pair columns cross the Python boundary (§4 column discipline).
-    paired = (
-        cands.join(ua, "vec_a")
-        .join(ub, "vec_b")
-        .select("vec_a", "vec_b", "ua", "ub")
+    pairs = grouped.mapInArrow(
+        _bucket_pair_cosine_fn, "vec_a long, vec_b long, cosine double"
     )
-    return paired.mapInArrow(
-        _pair_cosine_fn, "vec_a long, vec_b long, cosine double"
-    ).orderBy("vec_a", "vec_b")
+    # every duplicate discovery of a pair carries the same cosine bits
+    # (same kernel, same inputs), so the subset-keyed dropDuplicates is
+    # deterministic in all three columns
+    return pairs.dropDuplicates(["vec_a", "vec_b"]).orderBy("vec_a", "vec_b")
 
 
 _LSH_BUCKET_COLS = ", ".join(

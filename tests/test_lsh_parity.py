@@ -215,3 +215,83 @@ def test_pair_cosine_kernel_empty_batch():
     out = list(_pair_cosine_fn(iter([batch])))
     assert len(out) == 1 and out[0].num_rows == 0
     assert out[0].schema.names == ["vec_a", "vec_b", "cosine"]
+
+
+def test_bucket_pair_kernel_matches_pairwise_kernel(spark, sf_dir):
+    """r14: the bucket-grouped kernel (_bucket_pair_cosine_fn) must emit,
+    per posting list, EXACTLY the within-bucket pairs the pairwise
+    reference kernel (_pair_cosine_fn) emits over the same memberships,
+    with bit-identical cosines (both are the strict ascending-d left
+    fold from +0.0)."""
+    from pyspark.sql import functions as F
+
+    from dataset_dedupe_estimator_spark.queries.similarity import (
+        _bucket_pair_cosine_fn,
+        _pair_cosine_fn,
+        unit_features,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = unit_features(emb).filter(F.col("vec_id") < 60)
+    # duplicate every vector under a shifted id: each bucket then holds
+    # identical twins (cosine exactly 1.0 — above threshold) alongside
+    # unrelated members (below threshold), so the kernel's filter is
+    # exercised in both directions; mod buckets give several sizes,
+    # including singletons (zero pairs)
+    units = base.union(base.withColumn("vec_id", F.col("vec_id") + 1000))
+    buckets = units.withColumn("bucket", (F.col("vec_id") % 1000) % 13)
+    grouped = buckets.groupBy("bucket").agg(
+        F.collect_list(F.struct("vec_id", "unit")).alias("members")
+    ).select("members")
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in grouped.mapInArrow(
+            _bucket_pair_cosine_fn, "vec_a long, vec_b long, cosine double"
+        ).collect()
+    }
+    ua = buckets.select("bucket", F.col("vec_id").alias("vec_a"), F.col("unit").alias("ua"))
+    ub = buckets.select("bucket", F.col("vec_id").alias("vec_b"), F.col("unit").alias("ub"))
+    want = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in ua.join(ub, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "ua", "ub")
+        .mapInArrow(_pair_cosine_fn, "vec_a long, vec_b long, cosine double")
+        .collect()
+    }
+    assert got.keys() == want.keys() and got
+    import struct
+
+    for k, v in want.items():
+        assert struct.pack("<d", v) == struct.pack("<d", got[k]), k
+
+
+def test_bucket_pair_kernel_empty_and_singleton():
+    """All-singleton posting lists (zero pairs) and an empty batch must
+    yield empty, well-typed RecordBatches, not errors."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dataset_dedupe_estimator_spark.queries.similarity import (
+        DIM,
+        _bucket_pair_cosine_fn,
+    )
+
+    n = 3
+    unit = np.zeros((n, DIM)); unit[:, 0] = 1.0
+    uoff = pa.array(np.arange(0, (n + 1) * DIM, DIM, dtype=np.int32))
+    members_flat = pa.StructArray.from_arrays(
+        [
+            pa.array(np.arange(n, dtype=np.int64)),
+            pa.ListArray.from_arrays(uoff, pa.array(unit.ravel())),
+        ],
+        names=["vec_id", "unit"],
+    )
+    # three singleton buckets -> zero pairs
+    moff = pa.array(np.array([0, 1, 2, 3], dtype=np.int32))
+    batch = pa.RecordBatch.from_arrays(
+        [pa.ListArray.from_arrays(moff, members_flat)], names=["members"]
+    )
+    out = list(_bucket_pair_cosine_fn(iter([batch])))
+    assert len(out) == 1 and out[0].num_rows == 0
+    assert out[0].schema.names == ["vec_a", "vec_b", "cosine"]

@@ -38,20 +38,30 @@ def test_topk_is_sort_limit(spark):
 
 
 def test_lsh_paths_avoid_cartesian(spark):
-    for name in ("minhash_lsh_candidates", "embedding_dedup_lsh"):
-        p = plan_of(spark, name)
-        assert "CartesianProduct" not in p, name
-        # the candidate pair join must be hash/merge-based, never nested-loop
-        assert any(
-            j in p for j in ("ShuffledHashJoin", "SortMergeJoin", "BroadcastHashJoin")
-        ), name
-        # the only nested-loops allowed are 1-row scalar-count attaches
-        # (crossJoin(broadcast(agg(count))) feeding the adaptive plane
-        # ladder) — one per self-join side
-        import re
+    import re
 
-        bnlj_ops = set(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p))
-        assert len(bnlj_ops) <= (2 if name == "embedding_dedup_lsh" else 0), name
+    # minhash: the band self-join must be hash/merge-based, never
+    # nested-loop
+    p = plan_of(spark, "minhash_lsh_candidates")
+    assert "CartesianProduct" not in p
+    assert any(
+        j in p for j in ("ShuffledHashJoin", "SortMergeJoin", "BroadcastHashJoin")
+    )
+    assert not re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)
+
+    # embedding_dedup_lsh (r14 shape): NO pair join at all — postings
+    # are grouped by (table_id, bucket) and pairs + cosines come out of
+    # one Arrow kernel, so the only nested-loop allowed is the single
+    # 1-row scalar-count attach feeding the adaptive plane ladder
+    p = plan_of(spark, "embedding_dedup_lsh")
+    assert "CartesianProduct" not in p
+    bnlj_ops = set(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p))
+    assert len(bnlj_ops) <= 1
+    # positive pins on the r14 shape: ONE posting exchange keyed by the
+    # bucket, the posting-list aggregate, and the pair kernel
+    assert "hashpartitioning(table_id" in p
+    assert "collect_list" in p
+    assert "MapInArrow" in p
 
 
 def test_brute_force_pair_scan_is_explicit_cross(spark):

@@ -6,14 +6,13 @@ query's wall into its four plan phases, each measured on its own (the
 feature table is persisted first, exactly as the query does, so phases
 2-4 never re-run the Arrow pass):
 
-  1. features   — scan + Arrow-batched unit-vector/bit-string pass
-                  (persist + count materializes it)
-  2. candidates — posexplode into N_TABLES buckets, banded self-join,
-                  DISTINCT pair set
-  3. rerank     — join candidate ids back to unit vectors, exact cosine,
-                  threshold
-  4. total      — the registry query end-to-end (fresh, unpersisted
-                  run for an honest headline number)
+  1. features — scan + Arrow-batched unit-vector/bit-string pass
+  2. postings — posexplode into (table_id, bucket, vec_id, unit) rows,
+                ONE hash exchange, collect_list posting lists
+  3. kernel   — within-bucket pair generation + exact cosine + threshold
+                (_bucket_pair_cosine_fn, r14)
+  4. dedup    — dropDuplicates over the discovered pairs
+  5. total    — the registry query end-to-end
 
 Usage: python tools/profile_lsh_query.py [sf_dir]   (default: sf1 cache)
 Prints one JSON line; paste the numbers into SCALING.md.
@@ -33,7 +32,6 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 
 def main() -> None:
     from pyspark.sql import functions as F
-    from pyspark.storagelevel import StorageLevel
 
     from dataset_dedupe_estimator_spark import get_spark
     from dataset_dedupe_estimator_spark.queries import similarity as S
@@ -51,19 +49,28 @@ def main() -> None:
     n_vecs = emb.count()
     out: dict[str, float | int] = {"sf_dir": sf, "n_vecs": n_vecs}
 
-    # phase 1: feature pass (the query's persist point)
+    def noop(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    # r14 plan phases: features -> postings explode -> ONE exchange +
+    # collect_list posting lists -> bucket pair kernel -> pair dedup ->
+    # global sort. Each phase timed cumulatively with the noop sink.
+    src = emb.select("vec_id", "embedding")
+    par = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par, "vec_id")
+    feats = S.lsh_features(src)
     t0 = time.time()
-    feats = S.lsh_features(emb).persist(StorageLevel.MEMORY_AND_DISK)
-    feats.count()
+    noop(feats)
     out["features_s"] = round(time.time() - t0, 2)
 
     n_df = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
     buckets = (
-        feats.select("vec_id", *[f"bits{t}" for t in range(S.N_TABLES)])
-        .crossJoin(F.broadcast(n_df))
+        feats.crossJoin(F.broadcast(n_df))
         .withColumn("p", S._n_planes_col(S._m_col(F.col("n_vecs"))))
         .select(
             "vec_id",
+            "unit",
             F.posexplode(
                 F.array(
                     *[
@@ -74,43 +81,27 @@ def main() -> None:
             ).alias("table_id", "bucket"),
         )
     )
-    a = buckets.select("table_id", "bucket", F.col("vec_id").alias("vec_a"))
-    b = buckets.select("table_id", "bucket", F.col("vec_id").alias("vec_b"))
-    cands = (
-        a.join(b, ["table_id", "bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    grouped = (
+        buckets.groupBy("table_id", "bucket")
+        .agg(F.collect_list(F.struct("vec_id", "unit")).alias("members"))
+        .select("members")
     )
-
-    # phase 2: banded self-join + distinct candidate set
     t0 = time.time()
-    out["n_candidates"] = cands.count()
-    out["candidates_s"] = round(time.time() - t0, 2)
+    noop(grouped)
+    out["postings_s"] = round(time.time() - t0, 2)
 
-    # phase 3: exact rerank on the (materialized) candidates — the r13
-    # Arrow-batched kernel the query itself uses (cosine + threshold in
-    # one numpy pass; the old JVM aggregate(zip_with) fold was 61% of
-    # the contended sf1 wall)
-    units = feats.select("vec_id", "unit")
-    ua = units.select(F.col("vec_id").alias("vec_a"), F.col("unit").alias("ua"))
-    ub = units.select(F.col("vec_id").alias("vec_b"), F.col("unit").alias("ub"))
-    t0 = time.time()
-    out["n_pairs"] = (
-        cands.join(ua, "vec_a")
-        .join(ub, "vec_b")
-        .select("vec_a", "vec_b", "ua", "ub")
-        .mapInArrow(
-            S._pair_cosine_fn, "vec_a long, vec_b long, cosine double"
-        )
-        .count()
+    pairs = grouped.mapInArrow(
+        S._bucket_pair_cosine_fn, "vec_a long, vec_b long, cosine double"
     )
-    out["rerank_s"] = round(time.time() - t0, 2)
-    feats.unpersist()
-    cands.unpersist()
+    t0 = time.time()
+    noop(pairs)
+    out["kernel_s"] = round(time.time() - t0, 2)
 
-    # phase 4: honest end-to-end run of the registry query
+    t0 = time.time()
+    out["n_pairs"] = pairs.dropDuplicates(["vec_a", "vec_b"]).count()
+    out["dedup_s"] = round(time.time() - t0, 2)
+
+    # honest end-to-end run of the registry query
     t0 = time.time()
     S.embedding_dedup_lsh(spark, sf).collect()
     out["total_s"] = round(time.time() - t0, 2)
