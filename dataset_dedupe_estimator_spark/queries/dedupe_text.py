@@ -46,10 +46,14 @@ def shingles_of(docs: DataFrame) -> DataFrame:
     """
     spark = docs.sparkSession
     # small input files arrive as one partition; shingling is CPU-bound, so
-    # spread docs across the cluster before the expensive projection
-    toks = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
-        "doc_id", tokens_col().alias("t")
-    )
+    # spread docs across the cluster before the expensive projection.
+    # r14 guard (§2.5): only when the scan has fewer splits than cores —
+    # a 100 TB table arrives with thousands of splits and the old
+    # unconditional repartition would have COALESCED it to core count
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, "doc_id")
+    toks = docs.select("doc_id", tokens_col().alias("t"))
     t = F.col("t")
     n = F.size(t)
     sh = F.when(
@@ -305,27 +309,96 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _minhash_sig_fn(it):
+    """Arrow-batched whole-document MinHash: tokenize, shingle, md5-base
+    and the {N_MINHASH} affine minima in ONE kernel pass per doc.
+
+    Value-identical to the declarative plan by construction, edge for
+    edge (pinned by test_minhash_kernel_parity + the DuckDB oracle):
+
+    - tokens: ``text.split(" ")`` — Python's literal-space split keeps
+      leading/consecutive/trailing empty strings exactly like Spark's
+      ``split(text, ' ')`` (Java regex split, limit -1) and DuckDB's
+      ``string_split``;
+    - shingles: word trigrams joined with one space (``concat_ws``),
+      DISTINCT per doc (set — order irrelevant under min), docs with
+      fewer than {SHINGLE_W} tokens (or NULL text) emit nothing and are
+      absent from the output, exactly like the explode of an empty array;
+    - base hash: first 4 md5 bytes of the UTF-8 shingle, big-endian
+      (== the hex-prefix ``conv(substring(md5(...), 1, 8), 16, 10)``),
+      mod {MH_P};
+    - permutations: ``(a_i * base + b_i) % {MH_P}`` in int64 (products
+      < 2^62 — no overflow), column-wise min over the doc's shingles.
+
+    Why a kernel (§4.2, §2.3): the declarative plan explodes ~10M
+    (doc, shingle) rows at sf1 through an interpreted higher-order
+    transform lambda, evaluates md5+conv+16 muls per row, then shuffles
+    the partial minima; here the only per-shingle JVM work disappears,
+    nothing explodes, and each doc leaves the kernel as ONE 17-int row
+    — the signature aggregate's exchange vanishes from the plan."""
+    import numpy as np
+    import pyarrow as pa
+    from hashlib import md5
+
+    A = np.asarray(MH_A, dtype=np.int64)[None, :]
+    B = np.asarray(MH_B, dtype=np.int64)[None, :]
+    for batch in it:
+        idx = {n: i for i, n in enumerate(batch.schema.names)}
+        doc_ids = batch.column(idx["doc_id"]).to_pylist()
+        texts = batch.column(idx["text"]).to_pylist()
+        out_ids = []
+        sigs = []
+        for doc_id, text in zip(doc_ids, texts):
+            if text is None:
+                continue
+            t = text.split(" ")
+            n = len(t)
+            if n < SHINGLE_W:
+                continue
+            seen = {
+                t[i] + " " + t[i + 1] + " " + t[i + 2]
+                for i in range(n - SHINGLE_W + 1)
+            }
+            bases = np.fromiter(
+                (
+                    int.from_bytes(md5(s.encode("utf-8")).digest()[:4], "big")
+                    % MH_P
+                    for s in seen
+                ),
+                dtype=np.int64,
+                count=len(seen),
+            )
+            sigs.append(((bases[:, None] * A + B) % MH_P).min(axis=0))
+            out_ids.append(doc_id)
+        sig_m = (
+            np.vstack(sigs) if sigs else np.empty((0, N_MINHASH), np.int64)
+        )
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(out_ids, pa.int64())]
+            + [pa.array(sig_m[:, i], pa.int64()) for i in range(N_MINHASH)],
+            names=["doc_id"] + [f"m{i}" for i in range(N_MINHASH)],
+        )
+
+
 def minhash_sig_of(docs: DataFrame) -> DataFrame:
     """Unsorted (doc_id, m0..m15) signature plan from ANY (doc_id, text)
     DataFrame — composition building block for the banding query and the
-    persistent LSH index."""
-    sh = shingles_of(docs)
-    base = (
-        F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10)
-        .cast("long")
-        % MH_P
+    persistent LSH index. r14: one Arrow kernel per doc batch
+    (`_minhash_sig_fn`) instead of explode → md5 → 16 affine columns →
+    min-aggregate; the signature shuffle is gone (each doc appears in
+    exactly one input row, so the signature is complete per batch).
+    Spread guard as in maybe_spread: hash-repartition only when the scan
+    arrives with fewer splits than cores — a 100 TB table must never be
+    coalesced to core count."""
+    spark = docs.sparkSession
+    src = docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    par = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par, "doc_id")
+    schema = "doc_id long, " + ", ".join(
+        f"m{i} long" for i in range(N_MINHASH)
     )
-    based = sh.select("doc_id", base.alias("base"))
-    hashed = based.select(
-        "doc_id",
-        *[
-            ((F.lit(MH_A[i]) * F.col("base") + F.lit(MH_B[i])) % MH_P).alias(f"h{i}")
-            for i in range(N_MINHASH)
-        ],
-    )
-    return hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(N_MINHASH)]
-    )
+    return src.mapInArrow(_minhash_sig_fn, schema)
 
 
 def _minhash_sig(spark, sf):
@@ -385,8 +458,18 @@ FROM hashed GROUP BY doc_id ORDER BY doc_id
 
 def _minhash_candidate_pairs(spark, sf):
     """Unsorted LSH candidate-pair plan — composition building block (the
-    group-forming query must not inherit a global sort)."""
-    bands = band_rows_of(_minhash_sig(spark, sf))
+    group-forming query must not inherit a global sort).
+
+    The signature table is persisted: the band self-join consumes it on
+    BOTH sides (one of them broadcast), and without materialization each
+    side re-runs the whole signature kernel over the corpus (2 MapInArrow
+    nodes in the plan — the 10M-shingle md5 work twice). Signatures are
+    17 ints per doc, the artifact a 100 TB dedup run would persist (or
+    write) once anyway."""
+    from pyspark import StorageLevel
+
+    sig = _minhash_sig(spark, sf).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = band_rows_of(sig)
     a = bands.alias("a")
     b_ = bands.alias("b")
     return (
