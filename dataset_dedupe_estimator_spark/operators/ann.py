@@ -20,6 +20,56 @@ from pyspark.sql import DataFrame, functions as F
 from dataset_dedupe_estimator_spark.functions.vectors import cosine, norm
 
 
+def _make_lloyd_assign_fn(C, dim: int, with_nrm: bool = False):
+    """Arrow-batched squared-L2 argmin assignment against the broadcast
+    (closure) centroid matrix — the Lloyd's inner loop.
+
+    Bit-parity contract with the declarative form it replaced
+    (``dot(e,e) - 2.0*dot(e,c) + dot(c,c)`` + row_number over
+    (d2 asc, cell asc)): every dot accumulates in strict ascending-d
+    order from +0.0 (the left fold of functions.vectors.dot and DuckDB
+    list_reduce), d2 composes as ``(ee - 2.0*ec) + cc`` elementwise —
+    the same IEEE operation tree — and ``np.argmin``'s first-minimum
+    rule is exactly the lowest-cell tie-break."""
+    Cl = np.asarray(C, dtype=np.float64).copy()
+
+    def fn(it):
+        import numpy as np
+        import pyarrow as pa
+
+        k = Cl.shape[0]
+        cc = np.zeros(k)
+        for d in range(dim):
+            cc += Cl[:, d] * Cl[:, d]
+        for batch in it:
+            idx = {n: i for i, n in enumerate(batch.schema.names)}
+            vec_id = batch.column(idx["vec_id"])
+            emb_col = batch.column(idx["embedding"])
+            e = (
+                emb_col.flatten().to_numpy(zero_copy_only=False)
+                .reshape(-1, dim)
+            )
+            nb = e.shape[0]
+            ee = np.zeros(nb)
+            for d in range(dim):
+                ee += e[:, d] * e[:, d]
+            ec = np.zeros((nb, k))
+            for d in range(dim):
+                ec += e[:, d, None] * Cl[None, :, d]
+            d2 = (ee[:, None] - 2.0 * ec) + cc[None, :]
+            cell = np.argmin(d2, axis=1).astype(np.int32)
+            arrays = [vec_id, emb_col]
+            names = ["vec_id", "embedding"]
+            if with_nrm:
+                arrays.append(pa.array(np.sqrt(ee), pa.float64()))
+                names.append("nrm")
+            arrays.append(pa.array(cell, pa.int32()))
+            names.append("cell")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return fn
+
+
 class IvfIndex:
     def __init__(self, assigned: DataFrame, centroids: np.ndarray):
         self.assigned = assigned  # (vec_id, embedding, nrm, cell)
@@ -76,13 +126,8 @@ class IvfIndex:
         Scale shape per iteration: one broadcast of k centroids, one
         k-group aggregate — the standard distributed Lloyd's; the
         corpus is persisted once across iterations."""
-        from pyspark.sql.window import Window
-
-        from dataset_dedupe_estimator_spark.functions.vectors import dot
-
-        spark = emb.sparkSession
         vecs = emb.select(
-            F.col(id_col).alias("vec_id"),
+            F.col(id_col).cast("long").alias("vec_id"),
             F.col(vec_col).cast("array<double>").alias("embedding"),
         ).persist()
         init = vecs.orderBy(
@@ -91,33 +136,27 @@ class IvfIndex:
         C = np.array([r["embedding"] for r in init], dtype=np.float64)
         dim = C.shape[1]
 
-        def _cents_df(C):
-            return spark.createDataFrame(
-                [(i, [float(v) for v in row]) for i, row in enumerate(C)],
-                "cell int, cemb array<double>",
-            )
-
-        def _assign(cents):
-            # d2 = dot(e,e) - 2*dot(e,c) + dot(c,c): every term the
-            # portable left fold, tie to the lowest cell
-            d2 = (
-                dot(F.col("embedding"), F.col("embedding"))
-                - 2.0 * dot(F.col("embedding"), F.col("cemb"))
-                + dot(F.col("cemb"), F.col("cemb"))
-            )
-            w = Window.partitionBy("vec_id").orderBy(
-                d2.asc(), F.col("cell").asc()
-            )
-            return (
-                vecs.crossJoin(F.broadcast(cents))
-                .withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn", "cemb")
+        # r14: the per-iteration assignment is ONE Arrow kernel over the
+        # persisted corpus (centroids ride in the closure) instead of a
+        # k-way broadcast crossJoin + interpreted HOF folds + row_number
+        # window — the d2 arithmetic is the SAME expression tree,
+        # term for term: every dot is the strict ascending-d left fold
+        # from +0.0 (bit-identical to functions.vectors.dot /
+        # list_reduce), d2 = (ee - 2.0*ec) + cc elementwise, and
+        # np.argmin's first-minimum tie-break IS the window's
+        # (d2 asc, cell asc) ordering. Pinned by
+        # test_ann.test_lloyd_kernel_matches_declarative_assign.
+        def _assign(C, with_nrm=False):
+            return vecs.mapInArrow(
+                _make_lloyd_assign_fn(C, dim, with_nrm),
+                "vec_id long, embedding array<double>, "
+                + ("nrm double, " if with_nrm else "")
+                + "cell int",
             )
 
         for _ in range(iters):
             means = (
-                _assign(_cents_df(C))
+                _assign(C)
                 .groupBy("cell")
                 .agg(*[
                     F.avg(F.col("embedding")[i]).alias(f"m{i}")
@@ -128,10 +167,11 @@ class IvfIndex:
             for r in means:  # an empty cell keeps its old centroid
                 C[r["cell"]] = [r[f"m{i}"] for i in range(dim)]
 
-        assigned = (
-            _assign(_cents_df(C))
-            .withColumn("nrm", norm(F.col("embedding")))
-            .select("vec_id", "embedding", "nrm", "cell")
+        # nrm folds into the final kernel pass: sqrt of the same ee
+        # left fold (== functions.vectors.norm, the cumsum identity the
+        # parity tests pin elsewhere)
+        assigned = _assign(C, with_nrm=True).select(
+            "vec_id", "embedding", "nrm", "cell"
         )
         vecs.unpersist()  # lineage stays valid; one recompute at use
         return cls(assigned, C)

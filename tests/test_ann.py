@@ -504,3 +504,62 @@ def test_train_lloyd_assignment_and_exact_probe(spark, emb):
     sims = (M @ q) / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
     true_top = set(ids[np.argsort(-sims)[:10]].tolist())
     assert {r.vec_id for r in hits} == true_top  # all-cell probe == exact
+
+
+def test_lloyd_kernel_matches_declarative_assign(spark, emb):
+    """r14: the Arrow assignment kernel must reproduce, vector for
+    vector, the declarative crossJoin + left-fold-d2 + row_number
+    assignment it replaced (ties to the lowest cell), and its nrm must
+    be bit-identical to functions.vectors.norm."""
+    import struct
+
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dataset_dedupe_estimator_spark.functions.vectors import dot, norm
+    from dataset_dedupe_estimator_spark.operators.ann import (
+        _make_lloyd_assign_fn,
+    )
+
+    vecs = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    k, seed = 8, 42
+    init = vecs.orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)), "vec_id").limit(k).collect()
+    C = np.array([r["embedding"] for r in init], dtype=np.float64)
+    dim = C.shape[1]
+
+    cents = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(C)],
+        "cell int, cemb array<double>",
+    )
+    d2 = (
+        dot(F.col("embedding"), F.col("embedding"))
+        - 2.0 * dot(F.col("embedding"), F.col("cemb"))
+        + dot(F.col("cemb"), F.col("cemb"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(d2.asc(), F.col("cell").asc())
+    want = {
+        r["vec_id"]: r["cell"]
+        for r in vecs.crossJoin(F.broadcast(cents))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    got_rows = vecs.mapInArrow(
+        _make_lloyd_assign_fn(C, dim, with_nrm=True),
+        "vec_id long, embedding array<double>, nrm double, cell int",
+    ).select("vec_id", "nrm", "cell").collect()
+    got = {r["vec_id"]: r["cell"] for r in got_rows}
+    assert got == want and got
+    nrm_want = {
+        r["vec_id"]: r["nrm"]
+        for r in vecs.select("vec_id", norm(F.col("embedding")).alias("nrm")).collect()
+    }
+    for r in got_rows:
+        assert struct.pack("<d", r["nrm"]) == struct.pack(
+            "<d", nrm_want[r["vec_id"]]
+        ), r["vec_id"]
