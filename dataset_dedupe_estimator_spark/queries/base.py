@@ -76,10 +76,20 @@ def maybe_spread(
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     try:
-        nbytes = sum(
-            os.path.getsize(p)
-            for p in glob.glob(os.path.join(sf_dir, f"{table}.parquet"))
-        )
+        # a hit may be a plain file OR a directory-backed table
+        # (Spark's native output layout) — for a directory, getsize
+        # returns the inode size (~4KB) and the gate would silently
+        # never fire, so sum the part files inside instead (ADVICE r13)
+        nbytes = 0
+        for p in glob.glob(os.path.join(sf_dir, f"{table}.parquet")):
+            if os.path.isdir(p):
+                nbytes += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for root, _dirs, files in os.walk(p)
+                    for f in files
+                )
+            else:
+                nbytes += os.path.getsize(p)
     except OSError:
         nbytes = 0
     if nbytes < min_bytes:

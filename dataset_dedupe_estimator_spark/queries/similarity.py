@@ -416,14 +416,21 @@ def _pair_cosine_fn(it):
         idx = {n: i for i, n in enumerate(batch.schema.names)}
         va = batch.column(idx["vec_a"]).to_numpy(zero_copy_only=False)
         vb = batch.column(idx["vec_b"]).to_numpy(zero_copy_only=False)
-        ua = (
+        ua_flat = (
             batch.column(idx["ua"]).flatten().to_numpy(zero_copy_only=False)
-            .reshape(-1, DIM)
         )
-        ub = (
+        ub_flat = (
             batch.column(idx["ub"]).flatten().to_numpy(zero_copy_only=False)
-            .reshape(-1, DIM)
         )
+        # fail fast on a null/ragged unit list: a silent reshape could
+        # misalign every subsequent pair's cosine (ADVICE r13)
+        if ua_flat.size != len(va) * DIM or ub_flat.size != len(vb) * DIM:
+            raise ValueError(
+                f"pair-cosine kernel: unit payloads ({ua_flat.size}, "
+                f"{ub_flat.size}) != {len(va)} pairs x {DIM} dims"
+            )
+        ua = ua_flat.reshape(-1, DIM)
+        ub = ub_flat.reshape(-1, DIM)
         acc = np.zeros(len(va))
         for d in range(DIM):
             acc += ua[:, d] * ub[:, d]
