@@ -47,6 +47,7 @@ def test_recall_vs_brute_force(index, emb):
     assert len(true_top & got) >= 5
 
 
+@pytest.mark.slow
 def test_semdedup_partitions_corpus(spark):
     from dataset_dedupe_estimator_spark.queries.similarity import (
         SEM_MAX_K,
@@ -332,6 +333,7 @@ def test_pq_index_rerank_default_path(spark, emb, pq_index):
     assert len(rr & gt) >= len(adc_only & gt)
 
 
+@pytest.mark.slow
 def test_pq_search_batch_equals_per_query(spark, emb, pq_index):
     """Batch ANN: one job serves many query vectors; per-query rows
     identical to the single-query path in both ADC-only and reranked

@@ -276,6 +276,7 @@ def test_cli_where_in(capsys, spark, tmp_path):
     assert "rows=3" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_in_and_bloom_prune_property(spark, tmp_path):
     """Property: for random IN value sets over a table carrying BOTH
     zone maps (numeric) and blooms (string), read_where equals the
@@ -325,6 +326,7 @@ def test_in_and_bloom_prune_property(spark, tmp_path):
     check()
 
 
+@pytest.mark.slow
 def test_bloom_position_lockstep_property(spark):
     """Property: JVM md5/conv positions equal the pure-Python positions
     for arbitrary text (unicode, controls, long strings) and arbitrary

@@ -5,6 +5,8 @@ source's ``readChangeFeed`` mode serve row-level changes at O(changed
 rows), matching the diff-based ``changes_between`` exactly."""
 
 import pytest
+
+pytestmark = pytest.mark.slow  # driver-budget: deselected from the default run
 from pyspark.sql import functions as F
 
 from dataset_dedupe_estimator_spark.sources import versioned as vt

@@ -6,6 +6,8 @@ import json
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # driver-budget: deselected from the default run
+
 from dataset_dedupe_estimator_spark.cli import main
 
 

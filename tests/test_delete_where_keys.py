@@ -10,6 +10,8 @@ import hashlib
 from pathlib import Path
 
 import pytest
+
+pytestmark = pytest.mark.slow  # driver-budget: deselected from the default run
 from pyspark.sql import functions as F
 
 from dataset_dedupe_estimator_spark.sources import table_sink as ts

@@ -66,6 +66,7 @@ def test_dv_deletes_accumulate_and_never_rematch(spark, table):
     assert len(vt.history(table)) == 4
 
 
+@pytest.mark.slow
 def test_dv_rows_never_resurrect_through_maintenance(spark, table):
     vt.delete_where_dv(spark, table, [("k", "in", [2, 7, 30])])
     # merge rewrites files: DV'd rows must not come back
@@ -253,6 +254,7 @@ def test_describe_detail(capsys, spark, table):
     assert out["version"] == 3 and out["dv_rows"] == 1
 
 
+@pytest.mark.slow
 def test_stream_restore_emission_skips_dv_hidden_rows(spark, table, tmp_path):
     """ADVICE r8: the ignoreChanges restore re-delivery must equal the
     restored LIVE set — rows hidden by a deletion vector reinstated at

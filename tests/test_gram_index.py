@@ -94,6 +94,7 @@ def test_query_is_readonly_and_ignores_intra_probe_dups(spark, tmp_path):
     assert len(list(idx.glob("gen-*.parquet"))) == 1
 
 
+@pytest.mark.slow
 def test_compaction_preserves_answers(spark, tmp_path):
     idx = tmp_path / "idx"
     build_gram_index(spark, _docs(spark, [0]), idx, k=K)
@@ -181,6 +182,7 @@ def test_single_writer_lock(spark, tmp_path):
     assert rep["generation"] == 1 and not lock.exists()
 
 
+@pytest.mark.slow
 def test_streaming_admission(spark, tmp_path):
     """availableNow streaming admission: each drop becomes one
     generation, restarts never re-admit, and the accumulated span feed

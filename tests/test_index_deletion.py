@@ -16,6 +16,8 @@ Contracts under test, per index:
 import glob
 
 import pytest
+
+pytestmark = pytest.mark.slow  # driver-budget: deselected from the default run
 from pyspark.sql import functions as F
 
 from dataset_dedupe_estimator_spark.plans import gram_index as gi

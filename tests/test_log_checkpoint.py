@@ -12,6 +12,8 @@ stats + bloom sidecars."""
 import json
 
 import pytest
+
+pytestmark = pytest.mark.slow  # driver-budget: deselected from the default run
 from pyspark.sql import functions as F
 
 from dataset_dedupe_estimator_spark.sources import versioned as vt

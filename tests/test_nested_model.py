@@ -1,3 +1,7 @@
+import pytest
+
+pytestmark = pytest.mark.slow  # driver-budget: deselected from the default run
+
 """Model-based property test for NESTED schema evolution (r10): random
 sequences of append / leaf-rename / leaf-drop / leaf-widen run against
 both the real table and an in-memory model; every historical version's

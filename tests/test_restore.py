@@ -6,6 +6,8 @@ narrows, streams treat it as a rewrite, and the change feed carries
 the inverse of everything since the target."""
 
 import pytest
+
+pytestmark = pytest.mark.slow  # driver-budget: deselected from the default run
 from pyspark.sql import functions as F
 
 from dataset_dedupe_estimator_spark.sources import versioned as vt

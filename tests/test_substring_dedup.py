@@ -129,6 +129,7 @@ def test_first_occurrence_survives_whole(spark):
     ),
     st.sampled_from([2, 3, 5]),
 )
+@pytest.mark.slow
 def test_property_vs_reference(spark, texts, k):
     stats, _, cleaned = ref_dedup(texts, k)
     df = _docs(spark, texts)

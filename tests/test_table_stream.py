@@ -6,6 +6,8 @@ rewriting commits stop the stream unless ignoreChanges (the Delta
 streaming-source contract)."""
 
 import pytest
+
+pytestmark = pytest.mark.slow  # driver-budget: deselected from the default run
 from pyspark.sql import functions as F
 
 from dataset_dedupe_estimator_spark.sources import versioned as vt

@@ -265,6 +265,7 @@ def test_search_many_equals_per_query_search(spark, docs, tmp_path):
         ti.search_many(spark, idx, {"empty": []})
 
 
+@pytest.mark.slow
 def test_index_equals_scan_property(spark, docs, tmp_path):
     """Property: for RANDOM term sets (in-vocab, out-of-vocab, mixed,
     repeated), index-served BM25 equals the scan-based bm25_frame —
@@ -378,6 +379,7 @@ def _del_ids(docs, n=7):
     return [r.doc_id for r in docs.select("doc_id").orderBy("doc_id").limit(n).collect()]
 
 
+@pytest.mark.slow
 def test_delete_docs_search_equals_rebuild_without_deleted(
     spark, docs, tmp_path
 ):

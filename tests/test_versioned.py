@@ -311,6 +311,7 @@ def test_commit_is_exclusive_per_version(spark, tmp_path):
                           "dir": "cX", "columns": ["id", "v"], "ts": 0})
 
 
+@pytest.mark.slow
 def test_writer_lock_held_during_commit(spark, tmp_path):
     root = tmp_path / "tbl3"
     vt.append(root, _mk(spark, 0, 2), num_files=1)

@@ -1,3 +1,7 @@
+import pytest
+
+pytestmark = pytest.mark.slow  # driver-budget: deselected from the default run
+
 """Model-based property test for the versioned-table commit protocol.
 
 A random sequence of append / overwrite / upsert / delete_where ops runs
