@@ -28,7 +28,20 @@ sys.path.insert(0, REPO)
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(REPO, ".sf1_cache")
 REPLICAS = 10
-VERSION = "sf1-v4"  # bump to invalidate the cache
+VERSION = "sf1-v5"  # bump to invalidate the cache
+# v5 (r14, declared fixture-version bump — VERDICT r13 ask #2): tables
+# are written with 4 MiB parquet row groups instead of one row group
+# per file. A row group is Spark's atomic split, so the v4 layout ran
+# EVERY sf1 scan as one task regardless of core count — masking scan
+# parallelism and flattening the driver's core-count scaling probe.
+# v5 keeps the single-FILE-per-table contract (CDC queries chunk file
+# bytes) but gives each table enough row groups for real splits
+# (lineitem ~109 MB -> ~27 splits at 32 cores). NOTE: sf1 numbers
+# before/after this bump are NOT comparable (scans parallelize AND the
+# byte-level CDC tables see different file bytes); BENCH_r14 notes the
+# cut-over, and the same regeneration is proposed for the driver-owned
+# sf0.1 fixtures in OPTIMIZATION_r14.md.
+ROW_GROUP_BYTES = 4 * 1024 * 1024
 
 TABLES = [
     "region",
@@ -154,7 +167,9 @@ def ensure_sf1(spark) -> str:
         # the CDC queries chunk `{dir}/*.parquet` byte-wise and would
         # otherwise trip over Spark's directory-output layout
         tmp = f"{OUT_DIR}/_tmp_{table}"
-        out.coalesce(1).write.mode("overwrite").parquet(tmp)
+        out.coalesce(1).write.mode("overwrite").option(
+            "parquet.block.size", ROW_GROUP_BYTES
+        ).parquet(tmp)
         part = glob.glob(f"{tmp}/part-*.parquet")[0]
         os.replace(part, f"{OUT_DIR}/{table}.parquet")
         shutil.rmtree(tmp)
