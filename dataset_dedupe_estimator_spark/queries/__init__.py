@@ -47,15 +47,21 @@ for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthet
 # never whether a regression is caught.
 #
 # Round-14 window (executes the rotation staged at r13 close, COVERAGE.md
-# ledger): the first 50 of the r13 _NEXT — the round-10-green queries
-# (table_partition_evolution_read ... table_time_travel), the stalest
-# attested tier. This window deliberately contains the r14 optimization
-# targets (minhash_signatures/minhash_lsh_candidates, embedding_dedup_lsh,
-# dedup_keep_first, text_quality), so every query whose physical plan the
-# r13/r14 optimization rounds touched carries driver-side attestation
-# this round (the touched-query rotation rule). The one overflow entry
-# (zorder_layout) heads _NEXT; _middle (computed) holds the r11-green
-# tier; _TAIL = r12-green then the r13-attested 50 (freshest last).
+# ledger): 45 round-10-green queries (the r13 _NEXT head,
+# table_partition_evolution_read ... q14_promo_revenue) + the 5 queries
+# whose executed plan the r14 optimizations touched OUTSIDE that fill
+# (semantic_vs_lexical_pairs, lsh_index_incremental, dedup_near_groups,
+# dedup_near_survivors — all inherit the r14 bucket-kernel/minhash-kernel
+# plans — and ann_ivf_trained, whose train_lloyd assignment moved into an
+# Arrow kernel; the touched-query rotation rule). The remaining r14
+# optimization targets (minhash_signatures, minhash_lsh_candidates,
+# embedding_dedup_lsh, dedup_keep_first, text_quality, ngram_*,
+# near_dup_source_matrix) were already in the fill, so EVERY
+# r13/r14-touched plan carries driver-side attestation this round. The
+# 5 displaced fills (q19_disjunctive_revenue ... table_time_travel) head
+# _NEXT with the zorder_layout overflow; _middle (computed) holds the
+# r11-green tier; _TAIL = r12-green then the r13-attested 50 minus the
+# re-fronted ann_ivf_trained (freshest last).
 _FRONT = [
     "table_partition_evolution_read",
     "customer_hierarchy_rollup",
@@ -102,15 +108,20 @@ _FRONT = [
     "source_overlap_minhash",
     "q8_market_share",
     "q14_promo_revenue",
+    "semantic_vs_lexical_pairs",
+    "lsh_index_incremental",
+    "dedup_near_groups",
+    "dedup_near_survivors",
+    "ann_ivf_trained",
+]
+# overflow: the one round-10-green query the 50-slot window could not
+# hold — first in line for round 15 (locally re-verified every round)
+_NEXT = [
     "q19_disjunctive_revenue",
     "table_type_widening_read",
     "table_nested_read",
     "table_archive_read",
     "table_time_travel",
-]
-# overflow: the one round-10-green query the 50-slot window could not
-# hold — first in line for round 15 (locally re-verified every round)
-_NEXT = [
     "zorder_layout",
 ]
 # most recently driver-checked: the r12-attested 50 (CORRECTNESS_r12:
@@ -214,7 +225,6 @@ _TAIL = [
     "table_drop_read",
     "table_clone_read",
     "cdc_streaming_estimate",
-    "ann_ivf_trained",
     "table_replace_where_read",
     "table_analyze_read",
 ]
