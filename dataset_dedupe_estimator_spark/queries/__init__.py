@@ -62,6 +62,19 @@ for _mod in (relational, events, dedupe_text, text_analysis, similarity, synthet
 # _NEXT with the zorder_layout overflow; _middle (computed) holds the
 # r11-green tier; _TAIL = r12-green then the r13-attested 50 minus the
 # re-fronted ann_ivf_trained (freshest last).
+#
+# The touched-query rule deliberately overrides staleness: a query whose
+# executed plan changed this round re-enters the window EVEN IF it was
+# green in the most recent driver round (ann_ivf_trained: r13-green AND
+# r14-touched). _RETOUCHED names that set so the rotation-invariant test
+# can tell a sanctioned re-entry from an accidental slot waste.
+_RETOUCHED = {
+    "semantic_vs_lexical_pairs",
+    "lsh_index_incremental",
+    "dedup_near_groups",
+    "dedup_near_survivors",
+    "ann_ivf_trained",
+}
 _FRONT = [
     "table_partition_evolution_read",
     "customer_hierarchy_rollup",
