@@ -3637,6 +3637,35 @@ def upsert(
     return overwrite(root, kept.unionByName(updates), num_files=num_files)
 
 
+def _observed_count(df: DataFrame):
+    """Piggyback a row count on the job that already streams ``df``:
+    returns ``(df_with_metrics, resolve)`` where ``resolve()`` reads
+    the count once the FIRST action over the returned frame completes.
+    The DML verbs use it so the rewrite write is the ONLY pass over
+    candidate data — replacing the separate ``cand.count()`` scan plus
+    the read-back ``spark.read.parquet(written_dir).count()``, which at
+    100 TB are full extra reads of every touched file (guide §1.2).
+    Observed metrics aggregate successful tasks only, so task retries
+    cannot double-count.
+
+    SESSION CONSTRAINT: attach only to frames belonging to the SAME
+    SparkSession that will execute the write — the observation resolves
+    via that session's listener bus, so one registered on a session
+    that never runs the action parks ``resolve()`` forever. Concretely:
+    never observe a caller-provided frame (a ``foreachBatch`` microbatch
+    frame belongs to the STREAMING-CLONE session while the verb may
+    execute on the caller's); counts of caller frames are derived
+    arithmetically from observed same-session frames instead."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    return (
+        df.observe(obs, F.count(F.lit(1)).alias("n")),
+        lambda: int(obs.get["n"]),
+    )
+
+
 def upsert_pruned(
     spark: SparkSession,
     root: str | Path,
@@ -3870,7 +3899,6 @@ def upsert_pruned(
 
         updates_n = _norm(updates)
         _enforce_constraints(updates_n, _active_constraints(live_entries))
-        n_up = updates_n.count()
         if cand_files:
             # read ONLY the candidate files (per commit dir so basePath
             # recovers hive partition columns on partitioned tables)
@@ -3889,12 +3917,18 @@ def upsert_pruned(
                 # a DV-deleted row must never resurrect into a rewrite
                 part = _norm(_dv_filter(reader.parquet(*plist), dvf))
                 cand = part if cand is None else cand.unionByName(part)
-            n_cand = cand.count()
+            # counts ride the rewrite job (one pass; _observed_count's
+            # session constraint: ``updates`` is the CALLER's frame, so
+            # its count is derived as n_out - n_survivors instead of
+            # observed directly)
+            cand, n_cand_of = _observed_count(cand)
             keys_side = F.broadcast(kdf) if exact else kdf
-            survivors = cand.join(keys_side, key_cols, "left_anti")
+            survivors, n_surv_of = _observed_count(
+                cand.join(keys_side, key_cols, "left_anti")
+            )
             out = survivors.unionByName(updates_n)
         else:  # pure insert: no live file can hold an update key
-            n_cand = 0
+            n_cand_of = n_surv_of = lambda: 0  # noqa: E731
             out = updates_n
         if num_files is None:
             if cand_files:
@@ -3907,12 +3941,14 @@ def upsert_pruned(
         new_version = version + 1
         dir_name = f"c{new_version:08d}"
         data_dir = root / _DATA / dir_name
+        out, n_out_of = _observed_count(out)
         out = out.coalesce(int(num_files)) if num_files else out
         writer = out.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(str(data_dir))
-        n_out = spark.read.parquet(str(data_dir)).count()
+        n_cand, n_out = n_cand_of(), n_out_of()
+        n_up = n_out - n_surv_of()
         removed: dict[str, list[str]] = {}
         for f in cand_files:
             base = next(d for d in live_data_dirs if f.startswith(d + os.sep))
@@ -4091,11 +4127,13 @@ def delete_where_pruned(
                 reader = reader.option("mergeSchema", "true")
             part = _norm(_dv_filter(reader.parquet(*plist), dvf))
             cand = part if cand is None else cand.unionByName(part)
-        n_cand = cand.count()
+        # counts ride the rewrite job (one pass — see _observed_count)
+        cand, n_cand_of = _observed_count(cand)
         # survivors: rows the conjunction does NOT match (NULL in a
         # predicate column -> no match -> survives; plain ~cond would
         # wrongly drop those rows)
         survivors = cand.filter(~F.coalesce(_predicate_cond(cand, predicates), F.lit(False)))
+        survivors, n_kept_of = _observed_count(survivors)
         if num_files is None:
             cand_bytes = sum(Path(f).stat().st_size for f in cand_files)
             num_files = max(1, -(-cand_bytes // (128 << 20)))
@@ -4107,10 +4145,8 @@ def delete_where_pruned(
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(str(data_dir))
+        n_cand, n_kept = n_cand_of(), n_kept_of()
         has_rows = any(data_dir.rglob("*.parquet"))
-        n_kept = (
-            spark.read.parquet(str(data_dir)).count() if has_rows else 0
-        )
         if not n_kept:
             # zero survivors (a row-less part file still counts as
             # nothing): commit a dir-less entry, not an empty dir
@@ -4363,9 +4399,12 @@ def delete_where_keys(
                 reader = reader.option("mergeSchema", "true")
             part = _norm(_dv_filter(reader.parquet(*plist), dvf))
             cand = part if cand is None else cand.unionByName(part)
-        n_cand = cand.count()
+        # counts ride the rewrite job (one pass — see _observed_count)
+        cand, n_cand_of = _observed_count(cand)
         match = F.col(phys_key) == F.col("_k")
-        survivors = cand.join(kd, match, "left_anti")
+        survivors, n_kept_of = _observed_count(
+            cand.join(kd, match, "left_anti")
+        )
         if num_files is None:
             cand_bytes = sum(Path(f).stat().st_size for f in cand_files)
             num_files = max(1, -(-cand_bytes // (128 << 20)))
@@ -4377,10 +4416,8 @@ def delete_where_keys(
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(str(data_dir))
+        n_cand, n_kept = n_cand_of(), n_kept_of()
         has_rows = any(data_dir.rglob("*.parquet"))
-        n_kept = (
-            spark.read.parquet(str(data_dir)).count() if has_rows else 0
-        )
         if not n_kept:
             has_rows = False
             shutil.rmtree(data_dir, ignore_errors=True)
@@ -4549,15 +4586,20 @@ def replace_where(
                 reader = reader.option("mergeSchema", "true")
             part = _norm(_dv_filter(reader.parquet(*plist), dvf))
             cand = part if cand is None else cand.unionByName(part)
-        n_cand = cand.count() if cand is not None else 0
-        n_new = df.count()
+        # counts ride the rewrite job (one pass; _observed_count's
+        # session constraint: ``df`` is the CALLER's frame, so its count
+        # is derived as n_dir - n_survivors instead of observed)
         if cand is not None:
+            cand, n_cand_of = _observed_count(cand)
             survivors = cand.filter(
                 ~F.coalesce(_predicate_cond(cand, predicates), F.lit(False))
             )
+            survivors, n_surv_of = _observed_count(survivors)
             out = survivors.unionByName(df)
         else:
+            n_cand_of = n_surv_of = lambda: 0  # noqa: E731
             out = df
+        out, n_dir_of = _observed_count(out)
         if num_files is None:
             cand_bytes = sum(Path(f).stat().st_size for f in cand_files)
             num_files = max(1, -(-cand_bytes // (128 << 20)))
@@ -4569,9 +4611,8 @@ def replace_where(
             writer = writer.partitionBy(*partition_by)
         writer.parquet(str(data_dir))
         has_rows = any(data_dir.rglob("*.parquet"))
-        n_dir = (
-            spark.read.parquet(str(data_dir)).count() if has_rows else 0
-        )
+        n_cand, n_dir = n_cand_of(), n_dir_of()
+        n_new = n_dir - n_surv_of()
         if not n_dir:
             has_rows = False
             shutil.rmtree(data_dir, ignore_errors=True)
@@ -4829,16 +4870,20 @@ def update_where_pruned(
         updated_p = _apply_nested_renames_to_physical(updated_p, mapping)
         post = updated_p.filter(F.col("_upd"))
         _enforce_constraints(post, _active_constraints(live_entries))
+        # matched-row count rides the rewrite job (_observed_count's
+        # rationale): the pre-pass ``post.count()`` was a second full
+        # read of every candidate file. Attached AFTER the constraint
+        # probe so its limit() action cannot resolve the observation
+        # early. A no-match UPDATE now writes the (unchanged)
+        # candidates once and abandons the dir — the rare case pays one
+        # wasted write so the common case scans once.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        updated_p = updated_p.observe(
+            obs, F.count(F.when(F.col("_upd"), F.lit(1))).alias("n")
+        )
         out = updated_p.drop("_upd").select(*schema_cols)
-        n_updated = post.count()
-        if not n_updated:
-            # predicate matched no ROW (files were only possibly
-            # matching): nothing changes — don't rewrite
-            return {
-                "version": version, "updated_rows": 0,
-                "rewritten_files": 0, "carried_files": 0,
-                "skipped_files": report["skipped_files"], "committed": False,
-            }
         if num_files is None:
             cand_bytes = sum(Path(f).stat().st_size for f in cand_files)
             num_files = max(1, -(-cand_bytes // (128 << 20)))
@@ -4849,6 +4894,16 @@ def update_where_pruned(
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(str(data_dir))
+        n_updated = int(obs.get["n"])
+        if not n_updated:
+            # predicate matched no ROW (files were only possibly
+            # matching): nothing changes — abandon the uncommitted dir
+            shutil.rmtree(data_dir, ignore_errors=True)
+            return {
+                "version": version, "updated_rows": 0,
+                "rewritten_files": 0, "carried_files": 0,
+                "skipped_files": report["skipped_files"], "committed": False,
+            }
         removed: dict[str, list[str]] = {}
         for base, plist in by_base.items():
             removed[Path(base).name] = sorted(
