@@ -267,3 +267,25 @@ def test_cli_table_upsert(capsys, spark, tmp_path):
     got = vt.read_version(spark, root)
     assert got.count() == 101
     assert _rows(got.filter(F.col("id").isin(7, 500))) == [(7, -1), (500, -2)]
+
+
+def test_upsert_counts_with_cross_session_updates(spark, banded):
+    """The updates frame may belong to a DIFFERENT SparkSession than
+    the verb executes on — the foreachBatch shape, where the microbatch
+    frame lives on the streaming-clone session (CLI `table ingest
+    --keys` hands it to upsert_pruned with the outer session). The
+    in-write Observation counts must never be attached to such a
+    caller frame: an observation registered on a session that never
+    executes the write parks Observation.get forever (r14 regression —
+    the counts are derived as n_out - n_survivors instead). Pins both
+    the no-hang property and the report arithmetic."""
+    other = spark.newSession()
+    updates = other.createDataFrame([(30, -1), (200, -2), (201, -3)], "id long, v long")
+    r = vt.upsert_pruned(spark, banded, updates, ["id"])
+    assert r["upsert_rows"] == 3
+    assert r["replaced_rows"] == 1
+    got = vt.read_version(spark, banded)
+    assert got.count() == 102
+    assert _rows(got.filter(F.col("id").isin(30, 200, 201))) == [
+        (30, -1), (200, -2), (201, -3),
+    ]
