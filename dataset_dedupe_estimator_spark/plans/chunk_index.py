@@ -53,6 +53,7 @@ from dataset_dedupe_estimator_spark.operators.chunker import (
     chunk_files_auto,
 )
 from dataset_dedupe_estimator_spark.plans._index_lock import writer_lock
+from dataset_dedupe_estimator_spark.plans._observed import observed_metrics
 from dataset_dedupe_estimator_spark.plans._tombstones import (
     _clear_stale_sets,
     append_tombstone_set,
@@ -147,12 +148,14 @@ def build_index(
             chunks.groupBy("hash")
             .agg(F.min("size").alias("size"), F.min("compressed").alias("csize"))
         )
-        distinct.write.mode("errorifexists").parquet(str(gen0))
-        n_chunks, n_bytes = (
-            spark.read.parquet(str(gen0))
-            .agg(F.count(F.lit(1)), F.sum("size"))
-            .collect()[0]
+        # counts ride the gen-0 write (plans/_observed.py) — no
+        # read-back of the rows just written
+        distinct_obs, resolve = observed_metrics(
+            distinct, n=F.count(F.lit(1)), s=F.sum("size")
         )
+        distinct_obs.write.mode("errorifexists").parquet(str(gen0))
+        m = resolve()
+        n_chunks, n_bytes = m["n"], m["s"]
         meta = {
             "params": _params_dict(params),
             # hashes are only comparable under the same identity hash; pin it
@@ -239,10 +242,16 @@ def _update_index_locked(
             resurrected_bytes = int(
                 back.agg(F.sum("size")).collect()[0][0] or 0
             )
-    novel.select(*_CHUNK_COLS).write.mode("errorifexists").parquet(str(out))
-    novel_chunks, novel_bytes = (
-        spark.read.parquet(str(out)).agg(F.count(F.lit(1)), F.sum("size")).collect()[0]
+    # novel accounting rides the generation write (plans/_observed.py):
+    # the write is the only pass over the novel rows — a runtime-empty
+    # novel set (nothing new in the snapshot) resolves to n=0/s=None
+    # exactly like the old read-back did
+    novel_obs, resolve = observed_metrics(
+        novel.select(*_CHUNK_COLS), n=F.count(F.lit(1)), s=F.sum("size")
     )
+    novel_obs.write.mode("errorifexists").parquet(str(out))
+    m = resolve()
+    novel_chunks, novel_bytes = m["n"], m["s"]
     snap_chunks, snap_bytes = (
         snap.agg(F.sum("occ"), F.sum(F.col("occ") * F.col("size"))).collect()[0]
     )

@@ -57,6 +57,7 @@ from dataset_dedupe_estimator_spark.operators.substring_dedup import (
     gram_occurrences,
 )
 from dataset_dedupe_estimator_spark.plans._index_lock import writer_lock
+from dataset_dedupe_estimator_spark.plans._observed import observed_metrics
 from dataset_dedupe_estimator_spark.plans._tombstones import (
     append_tombstone_set,
     clear_tombstones,
@@ -151,10 +152,14 @@ def build_gram_index(
             # between the parquet write and the manifest commit — the
             # orphan was never part of any index; remove and redo
             shutil.rmtree(gen0)
-        _firsts(gram_occurrences(docs, k)).select(*_GRAM_COLS).write.mode(
-            "errorifexists"
-        ).parquet(str(gen0))
-        n_grams = spark.read.parquet(str(gen0)).count()
+        # the gram count rides the generation write (plans/_observed.py)
+        # instead of a read-back of everything just written
+        gen0_df, resolve = observed_metrics(
+            _firsts(gram_occurrences(docs, k)).select(*_GRAM_COLS),
+            n=F.count(F.lit(1)),
+        )
+        gen0_df.write.mode("errorifexists").parquet(str(gen0))
+        n_grams = int(resolve()["n"])
         meta = {
             "k": k,
             "hash_scheme": _HASH_SCHEME,
@@ -237,10 +242,17 @@ def _admit_docs_locked(
     )
     spans = merged_islands(flagged, k).select("id", "span_start", "span_end")
     novel = batch_firsts.join(known, "h", "left_anti")
-    novel.select(*_GRAM_COLS).write.mode("errorifexists").parquet(str(out))
-    # O(batch) accounting: count the generation just written and keep the
-    # running total in the manifest — never a full re-scan of the store
-    novel_grams = spark.read.parquet(str(out)).count()
+    # O(batch) accounting that rides the generation write itself
+    # (plans/_observed.py): the write is the ONLY pass over the novel
+    # rows — no read-back of what was just written, and never a full
+    # re-scan of the store. The observed frame IS the written frame, so
+    # the count resolves on the session executing the write (safe under
+    # foreachBatch — see the module docstring's session constraint).
+    novel_obs, resolve = observed_metrics(
+        novel.select(*_GRAM_COLS), n=F.count(F.lit(1))
+    )
+    novel_obs.write.mode("errorifexists").parquet(str(out))
+    novel_grams = int(resolve()["n"])
     # materialize the (narrow) span set before the manifest commit:
     # callers consume it AFTER this returns, and without the checkpoint
     # that evaluation would re-read the index path we just appended to

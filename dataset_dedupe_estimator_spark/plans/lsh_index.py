@@ -233,9 +233,13 @@ def _admit_docs_locked(
         .distinct()
     )
     new_bands.select(*_BAND_COLS).write.mode("errorifexists").parquet(str(out))
-    n_docs = (
-        spark.read.parquet(str(out)).agg(F.countDistinct("doc_id")).collect()[0][0]
-    )
+    # report accounting from the persisted band cache the write just
+    # materialized — same rows as the generation on disk (the
+    # errorifexists write either landed exactly new_bands or raised),
+    # without re-reading what was just written. Not an observed metric:
+    # countDistinct is a distinct aggregate, which observe() rejects
+    # (plans/_observed.py docstring).
+    n_docs = new_bands.agg(F.countDistinct("doc_id")).collect()[0][0]
     # materialize the (narrow) pair set before dropping the band cache:
     # callers consume cands AFTER this returns, and without the
     # checkpoint that evaluation would re-shingle and re-join the batch

@@ -426,3 +426,25 @@ def test_break_stale_restore_preserves_inode(tmp_path):
     assert not _break_stale(lock, stale_ident)
     _t, after_ident = _read_lock_record(lock)
     assert after_ident == b_ident  # same inode AND content: B can release
+
+
+def test_observed_report_matches_generation_on_disk(spark, tmp_path, snapshots):
+    """r14: novel-chunk accounting rides the generation write as
+    observed metrics instead of a read-back — reported counts/bytes
+    must equal what actually landed on disk (build and update)."""
+    first, rest = snapshots
+    idx = tmp_path / "obschunk"
+    b = build_index(spark, first, idx)
+    import pyspark.sql.functions as F
+    g0 = spark.read.parquet(str(idx / "gen-00000.parquet"))
+    n0, s0 = g0.agg(F.count(F.lit(1)), F.sum("size")).collect()[0]
+    assert b["novel_chunks"] == n0 > 0
+    rep = update_index(spark, first + rest, idx)
+    g1 = spark.read.parquet(str(idx / "gen-00001.parquet"))
+    n1, s1 = g1.agg(F.count(F.lit(1)), F.sum("size")).collect()[0]
+    assert rep["novel_chunks"] == n1 > 0
+    assert rep["novel_bytes"] == s1  # no resurrections in this history
+    with open(idx / "_index_meta.json") as f:
+        meta = json.load(f)
+    assert meta["snapshots"][0]["novel_bytes"] == s0
+    assert meta["snapshots"][1]["novel_chunks"] == n1

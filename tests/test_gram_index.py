@@ -2,6 +2,7 @@
 dedup must reproduce the batch operator, survive crash windows, and keep
 O(batch) admission accounting honest."""
 
+import json
 import os
 import socket
 
@@ -216,3 +217,19 @@ def test_streaming_admission(spark, tmp_path):
     )
     assert got == [t for t in _spans(full) if t[0] >= 2]
     assert index_stats(spark, idx)["generations"] == 3
+
+
+def test_observed_report_matches_generation_on_disk(spark, tmp_path):
+    """r14: admission accounting rides the generation write as an
+    observed metric instead of a read-back — the reported novel count
+    must equal what actually landed on disk (build and admit)."""
+    idx = tmp_path / "obsgram"
+    b = build_gram_index(spark, _docs(spark, [0, 1, 2]), idx, k=K)
+    gen0 = spark.read.parquet(str(idx / "gen-00000.parquet"))
+    assert b["novel_grams"] == gen0.count() > 0
+    _spans_df, rep = admit_docs(spark, _docs(spark, [3, 5, 6]), idx)
+    gen1 = spark.read.parquet(str(idx / "gen-00001.parquet"))
+    assert rep["novel_grams"] == gen1.count() > 0
+    with open(idx / "_index_meta.json") as f:
+        meta = json.load(f)
+    assert meta["total_grams"] == gen0.count() + gen1.count()

@@ -293,3 +293,16 @@ def test_single_writer_lock_refuses_concurrent_admission(spark, tmp_path):
     lock.write_text(f"pid=999999999\nhost={socket.gethostname()}\n")
     _, rep = admit_docs(spark, docs.filter(F.col("doc_id") >= 30), idx)
     assert rep["generation"] == 1 and not lock.exists()
+
+
+def test_report_docs_matches_generation_on_disk(spark, tmp_path):
+    """r14: the per-admission doc count comes from the persisted band
+    cache (countDistinct cannot ride an observed metric) — it must
+    equal the distinct doc_ids of the generation actually on disk."""
+    docs = _docs(spark)
+    idx = tmp_path / "obslsh"
+    build_lsh_index(spark, docs.filter(F.col("doc_id") % 3 == 1), idx)
+    _c, rep = admit_docs(spark, docs.filter(F.col("doc_id") % 3 == 2), idx)
+    gen1 = spark.read.parquet(str(idx / f"gen-{rep['generation']:05d}.parquet"))
+    on_disk = gen1.select("doc_id").distinct().count()
+    assert rep["docs"] == on_disk > 0
