@@ -344,6 +344,13 @@ def _lsh_features_fn(it):
     # cumsum passes, each allocating two (nb, DIM) temporaries — 9.5x
     # faster in the kernel microbench, np.array_equal-identical output)
     PF = np.asarray(_PLANES, dtype=np.float64).reshape(N_TABLES * MAX_PLANES, DIM)
+    PFT = np.ascontiguousarray(PF.T)  # (DIM, T*P) for the GEMM
+    PFT_ABS = np.abs(PFT)
+    # sign-guard tolerance (see the r14 note at the dots computation):
+    # any summation order of DIM products lies within gamma_DIM * A of
+    # the true sum (Higham, gamma_n ~= n*eps), so fold and GEMM differ
+    # by <= 2*gamma_DIM*A; 4*DIM*eps pads that bound 2x
+    GUARD_TOL = 4 * DIM * np.finfo(np.float64).eps
     names_out = ["vec_id", "unit"] + [f"bits{t}" for t in range(N_TABLES)]
     for batch in it:
         idx = {n: i for i, n in enumerate(batch.schema.names)}
@@ -355,16 +362,34 @@ def _lsh_features_fn(it):
         unit = e / nrm[:, None]
         offsets = pa.array(np.arange(0, (nb + 1) * DIM, DIM, dtype=np.int32))
         arrays = [vec_id, pa.ListArray.from_arrays(offsets, pa.array(unit.ravel()))]
-        # strict left-fold dots for ALL T*P planes at once: acc starts at
-        # +0.0 and adds the d-th term of every plane in ascending d order.
-        # Per plane that is ((0.0 + x_0) + x_1) + ... — IEEE-identical to
-        # np.cumsum's running sum (0.0 + x == x bitwise for every x the
-        # sign-bit comparison can distinguish) and to the F.aggregate /
-        # DuckDB list_reduce folds the oracle mirrors. A BLAS matmul would
-        # be ~2x faster again but sums pairwise — NOT order-identical.
-        dots = np.zeros((nb, N_TABLES * MAX_PLANES))
-        for d in range(DIM):
-            dots += e[:, d, None] * PF[None, :, d]
+        # r14 (§4.2): plane dots via ONE BLAS GEMM with a sign guard,
+        # replacing the 128-pass strict-left-fold accumulation loop
+        # (5-14x in the kernel microbench at 2k-100k-row batches — the
+        # loop re-streams the (nb, T*P) accumulator from DRAM per dim).
+        # The dot VALUES feed only the `>= 0.0` sign test below, and the
+        # guard makes the sign decisions PROVABLY identical to the
+        # strict ascending-d left fold the oracle mirrors: any summation
+        # order of the DIM products (GEMM's blocked/FMA order included)
+        # lies within gamma_DIM * A of the true sum, where
+        # A = sum_d |e_d * plane_d| (Higham, gamma_n ~= n*eps), so GEMM
+        # and fold differ by at most 2*gamma_DIM*A < GUARD_TOL*A. Any
+        # entry with |gemm| <= GUARD_TOL*A — including every exact-zero
+        # fold, whose gemm value is itself <= 2*gamma*A — is recomputed
+        # with the verbatim left fold, so its sign (and the >= 0.0 tie,
+        # where -0.0 >= 0.0 is also True) comes from the fold bits; all
+        # other entries satisfy |gemm - fold| <= tol < |gemm|, hence
+        # sign(gemm) == sign(fold). Pinned by
+        # test_lsh_features_match_fold_expressions and the near-zero
+        # adversarial test_guarded_gemm_sign_matches_fold.
+        dots = e @ PFT
+        amax = np.abs(e) @ PFT_ABS
+        near = np.abs(dots) <= GUARD_TOL * amax
+        if near.any():
+            r, c = np.nonzero(near)
+            acc = np.zeros(len(r))
+            for d in range(DIM):
+                acc += e[r, d] * PF[c, d]
+            dots[r, c] = acc
         # bit matrix → strings via one vectorized uint8→S-view
         # reinterpretation instead of a per-row Python join
         chars = np.where(dots >= 0.0, ord("1"), ord("0")).astype(np.uint8)

@@ -39,6 +39,63 @@ def test_lsh_features_match_fold_expressions(spark, sf_dir):
         assert list(exp["unit"]) == list(act["unit"]), f"vec {vid} unit"
 
 
+def test_guarded_gemm_sign_matches_fold():
+    """r14: the feature kernel computes plane dots with a BLAS GEMM plus
+    a sign guard (near-zero entries recomputed with the exact left fold).
+    Adversarial vectors whose fold against a plane is EXACTLY zero (and
+    denormal-scaled copies) must land in the guard band, take the
+    fold's value, and produce bit strings identical to the verbatim
+    strict-left-fold loop."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dataset_dedupe_estimator_spark.queries.similarity import (
+        DIM,
+        _PLANES,
+        _lsh_features_fn,
+    )
+
+    PF = np.asarray(_PLANES, dtype=np.float64).reshape(
+        N_TABLES * MAX_PLANES, DIM
+    )
+    p0 = PF[0]
+    # fold of v against p0 is x0 + x1 with x1 == -x0: exactly 0.0 -> '1'
+    v = np.zeros(DIM)
+    v[0], v[1] = p0[1], -p0[0]
+    rng = np.random.default_rng(4242)
+    e = np.vstack([v, v * 1e-300, p0, rng.standard_normal((13, DIM))])
+    n = e.shape[0]
+
+    # the adversarial rows must genuinely sit inside the guard band, so
+    # this test keeps exercising the fallback if the tolerance changes
+    tol = 4 * DIM * np.finfo(np.float64).eps
+    gemm00 = float(e[0] @ p0)
+    amax00 = float(np.abs(e[0]) @ np.abs(p0))
+    assert abs(gemm00) <= tol * amax00
+
+    # reference: the verbatim strict ascending-d left fold from +0.0
+    ref = np.zeros((n, N_TABLES * MAX_PLANES))
+    for d in range(DIM):
+        ref += e[:, d, None] * PF[None, :, d]
+    assert ref[0, 0] == 0.0  # the planted exact-zero fold
+
+    off = pa.array(np.arange(0, (n + 1) * DIM, DIM, dtype=np.int32))
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array(np.arange(n, dtype=np.int64)),
+            pa.ListArray.from_arrays(off, pa.array(e.ravel())),
+        ],
+        names=["vec_id", "embedding"],
+    )
+    (out,) = list(_lsh_features_fn(iter([batch])))
+    want_chars = np.where(ref >= 0.0, "1", "0").reshape(n, N_TABLES, MAX_PLANES)
+    for t in range(N_TABLES):
+        got = out.column(out.schema.names.index(f"bits{t}")).to_pylist()
+        want = ["".join(want_chars[i, t, :]) for i in range(n)]
+        assert got == want, f"table {t}"
+    assert out.column(1).to_pylist()  # unit column present and non-empty
+
+
 def test_plane_ladder_engages_past_2pow12(spark):
     """r12 scale-ceiling lift: MAX_PLANES=16. The integer CASE ladder
     must pick p>12 once the corpus passes 2^12*TARGET_BUCKET vectors
